@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for the session config the engine depends on. */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 can only surface it as
+      // a long (Tables.events converts to a µs TimestampType).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs parquet timestamps on write (not INT96/ns) so the driver's reader
+      // sees the same logical type DuckDB produces for the oracle result.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int): SparkSession = builder(s"local[$cpus]", cpus).getOrCreate()
+}

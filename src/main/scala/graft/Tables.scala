@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Table registry over the driver-generated parquet star schema
+  * (TESTDATA.md, FIXTURES.md). Mirrors the reference's "kind" abstraction
+  * (SURVEY.md §2.2: a Datastore kind maps to a registered parquet table
+  * [U — reference checkout empty, see SURVEY.md §0]).
+  *
+  * Scale note: `spark.read.parquet` plans splits from parquet row groups, so
+  * scans parallelize across executors with no custom sharding — the Spark
+  * replacement for the reference's scatter-sampled key-range shards.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
+    * a timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+    * GraftSession); here the ns long is truncated to µs with integer `div`
+    * (ns epochs ~1.7e18 exceed double's 2^53 mantissa, so no float division)
+    * and rebuilt as a proper TimestampType column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // cast to NTZ: matches how Spark 4 reads the other tables' naive
+        // parquet timestamps (and how DuckDB sees them); UTC session => the
+        // LTZ->NTZ rebase is the identity.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register all tables as temp views (for `spark.sql` surfaces). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

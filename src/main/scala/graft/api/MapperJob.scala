@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.util.LongAccumulator
+
+/** SURVEY.md §4.2 entry point 3 — the reference-shaped mapper API: a `Job`
+  * declares a query (which "kind" to scan) and a per-record `next` callback,
+  * and the runner executes it as a distributed Spark plan [U: mirrors
+  * datastore-mapper's Job/Next ergonomics; reference checkout is empty, see
+  * SURVEY.md §0].
+  *
+  * The reference's machinery maps onto Spark wholesale (SURVEY.md §5.1):
+  * scatter-shard planning -> parquet split planning; slice checkpoint/resume
+  * -> task retry from lineage; lease locks -> deterministic re-execution +
+  * atomic file commit; per-shard progress entities -> accumulators; GCS
+  * compose -> coalesce(1) on write.
+  */
+trait MapperJob[T, O] extends Serializable {
+  /** The "kind" scan + property filters (Datastore Query analogue). */
+  def query(spark: SparkSession, sfDir: String): Dataset[T]
+  /** Per-entity map callback; 0-or-more outputs (filter + transform). */
+  def next(t: T): IterableOnce[O]
+  /** Lifecycle hooks (reference: JobStarted/JobCompleted [U]). */
+  def jobStarted(spark: SparkSession): Unit = {}
+  def jobCompleted(spark: SparkSession, processed: Long): Unit = {}
+}
+
+object MapperRunner {
+  /** Lazily runs the mapper as mapPartitions; `processed` counts via
+    * accumulator once an action executes. */
+  def run[T, O: Encoder](spark: SparkSession, sfDir: String,
+      job: MapperJob[T, O]): (Dataset[O], LongAccumulator) = {
+    job.jobStarted(spark)
+    val acc = spark.sparkContext.longAccumulator("graft.mapper.processed")
+    val out = job.query(spark, sfDir).mapPartitions { it =>
+      it.flatMap { t => acc.add(1); job.next(t) }
+    }
+    (out, acc)
+  }
+
+  /** Run + write ("compose" = single output file, like the reference's GCS
+    * compose fan-in [U]); fires jobCompleted with the processed count. */
+  def runToParquet[T, O: Encoder](spark: SparkSession, sfDir: String,
+      job: MapperJob[T, O], outPath: String): Long = {
+    val (out, acc) = run(spark, sfDir, job)
+    out.coalesce(1).write.mode("overwrite").parquet(outPath)
+    job.jobCompleted(spark, acc.value)
+    acc.value
+  }
+}
+
+/** The contract-facing demo job: re-expresses q_sink_jsonl through the
+  * mapper facade (same oracle SQL) — typed Dataset in, JSONL-ish out. */
+object MapperFacade {
+  final case class OrderRow(
+      o_orderkey: Long, o_orderstatus: String, o_orderpriority: String)
+  final case class JsonOut(o_orderkey: Long, json: String)
+
+  object JsonlJob extends MapperJob[OrderRow, JsonOut] {
+    def query(spark: SparkSession, sfDir: String): Dataset[OrderRow] = {
+      import spark.implicits._
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .as[OrderRow]
+    }
+    def next(t: OrderRow): IterableOnce[JsonOut] = Iterator.single(JsonOut(
+      t.o_orderkey,
+      s"""{"o_orderkey":${t.o_orderkey},"o_orderstatus":"${t.o_orderstatus}","o_orderpriority":"${t.o_orderpriority}"}"""))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mapper_jsonl" -> ((s, d) => {
+      import s.implicits._
+      MapperRunner.run(s, d, JsonlJob)._1.toDF().orderBy(col("o_orderkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_mapper_jsonl" ->
+      """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""")
+}

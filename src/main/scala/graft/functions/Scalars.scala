@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §3.8 — scalar function families (string/date/math/array/json/
+  * map), one query per family, every function oracle-checked against DuckDB.
+  *
+  * All of these are built-in codegen'd Catalyst expressions — each query is a
+  * single whole-stage-codegen span over the scan, no shuffle except the
+  * final order/aggregate. Transcendentals (ln/pow) are rounded to 6 decimals
+  * because libm implementations may differ in the last ulp across engines.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_scalar_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          lower(col("p_type")).as("lo"),
+          substring(col("p_name"), 1, 10).as("sub"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_name"), " ", "_").as("rep"),
+          element_at(split(col("p_name"), " "), 1).as("tok1"),
+          regexp_extract(col("p_type"), "([a-z]+)$", 1).as("last_word"),
+          col("p_name").like("%red%").as("has_red"))
+        .orderBy("p_partkey")),
+
+    "q_scalar_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    "q_scalar_math" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          round(col("p_retailprice"), 0).as("r0"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("ce"),
+          abs(col("p_retailprice") - lit(950.0)).as("ab"),
+          round(sqrt(col("p_retailprice")), 6).as("sq"),
+          round(log(col("p_retailprice")), 6).as("lg"),
+          round(pow(col("p_size"), lit(1.5)), 6).as("pw"),
+          signum(col("p_retailprice") - lit(950.0)).as("sg"),
+          greatest(col("p_size"), lit(25)).as("gr"),
+          least(col("p_size"), lit(25)).as("le"),
+          when(col("p_size") > 25, "big").otherwise("small").as("bucket"))
+        .orderBy("p_partkey")),
+
+    "q_scalar_array" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"),
+            4).as("sum_all"),
+          expr("slice(embedding, 1, 3)").as("first3"),
+          expr("sort_array(slice(embedding, 1, 5))").as("sorted5"),
+          expr("transform(slice(embedding, 1, 3), x -> -x)").as("neg3"),
+          element_at(col("embedding"), 1).as("e1"),
+          array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_low"))
+        .orderBy("vec_id")),
+
+    "q_scalar_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          expr("from_json(props, 'k INT').k").as("k_int"))
+        .orderBy("event_id")),
+
+    // Map construction: lang -> doc count per source, serialized as
+    // key-sorted JSON so DuckDB can rebuild the identical string.
+    "q_scalar_map" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(
+          to_json(map_from_entries(sort_array(collect_list(struct(col("lang"), col("cnt"))))))
+            .as("lang_counts"),
+          count(lit(1)).as("n_langs"))
+        .orderBy("source")))
+
+  val oracles: Map[String, String] = Map(
+    "q_scalar_string" ->
+      ("SELECT p_partkey, upper(p_name) AS u, lower(p_type) AS lo, " +
+        "substring(p_name, 1, 10) AS sub, trim('  ' || p_brand || '  ') AS trimmed, " +
+        "p_brand || '|' || p_type AS cw, CAST(length(p_name) AS INTEGER) AS len, " +
+        "replace(p_name, ' ', '_') AS rep, split_part(p_name, ' ', 1) AS tok1, " +
+        "regexp_extract(p_type, '([a-z]+)$', 1) AS last_word, " +
+        "p_name LIKE '%red%' AS has_red FROM part ORDER BY p_partkey"),
+    "q_scalar_date" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS m, " +
+        "CAST(day(o_orderdate) AS INTEGER) AS dom, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, " +
+        "CAST(o_orderdate AS DATE) + 30 AS plus30, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS eom, " +
+        "epoch_us(o_orderdate) // 1000000 AS epoch_s " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_scalar_math" ->
+      ("SELECT p_partkey, round(p_retailprice, 0) AS r0, " +
+        "CAST(floor(p_retailprice) AS BIGINT) AS fl, " +
+        "CAST(ceil(p_retailprice) AS BIGINT) AS ce, " +
+        "abs(p_retailprice - 950.0) AS ab, " +
+        "round(sqrt(p_retailprice), 6) AS sq, " +
+        "round(ln(p_retailprice), 6) AS lg, " +
+        "round(pow(p_size, 1.5), 6) AS pw, " +
+        "CAST(sign(p_retailprice - 950.0) AS DOUBLE) AS sg, " +
+        "CAST(greatest(p_size, 25) AS INTEGER) AS gr, " +
+        "CAST(least(p_size, 25) AS INTEGER) AS le, " +
+        "CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS bucket " +
+        "FROM part ORDER BY p_partkey"),
+    "q_scalar_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_all, " +
+        "embedding[1:3] AS first3, list_sort(embedding[1:5]) AS sorted5, " +
+        "list_transform(embedding[1:3], x -> -x) AS neg3, " +
+        "embedding[1] AS e1, list_contains([1, 2, 3], label) AS label_low " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_scalar_json" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+        "CAST(json_extract(props, '$.k') AS INTEGER) AS k_int " +
+        "FROM events ORDER BY event_id"),
+    "q_scalar_map" ->
+      ("SELECT source, '{' || string_agg('\"' || lang || '\":' || CAST(cnt AS VARCHAR), ',' ORDER BY lang) || '}' AS lang_counts, " +
+        "count(*) AS n_langs FROM " +
+        "(SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang) " +
+        "GROUP BY source ORDER BY source"))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.ColumnOps._
+
+/** SURVEY.md §3.4 — aggregations: partial+final hash aggregate, distinct,
+  * approx-distinct (HLL), rollup/cube/grouping sets (Expand), stats.
+  *
+  * Scale: every groupBy here does map-side partial aggregation, so the
+  * shuffle carries one row per (partition × group), not per input row. Group
+  * cardinalities are tiny (flags, statuses, nations) — at 100 TB the shuffle
+  * is KBs. Averages are computed as exact-decimal sum / count so results are
+  * independent of partition layout (see ColumnOps).
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec2 = DecimalType(18, 2)
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: TPC-H Q1-style pricing summary (SURVEY.md §3.4).
+    "q_agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumExact2(col("l_quantity")).as("sum_qty"),
+          sumExact2(col("l_extendedprice")).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (sumExact2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sumExact2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sumExact2(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Distinct aggregates (Expand-based two-phase distinct).
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("cd_cust"),
+          countDistinct(col("o_orderpriority")).as("cd_prio"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch — mergeable across partitions, O(1) memory per group; the
+    // 100 TB path for distinct-user counts. Approximate => no DuckDB oracle.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // ROLLUP over a star join; grouping nulls coalesced to 'ALL' so null
+    // ordering can't diverge between engines.
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(sumExact2(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("revenue"), col("cnt"))
+        .orderBy("nation", "segment")),
+
+    // CUBE (all 4 grouping combinations via Expand).
+    "q_agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sumExact2(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("revenue"))
+        .orderBy("status", "priority")),
+
+    // GROUPING SETS via the SQL surface (SURVEY.md §4.2 entry point 2). The
+    // SQL string is valid in both engines, so the oracle is the same text.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(GroupingSetsSql)
+    }),
+
+    // Stats family: min/max/stddev/exact percentiles.
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")))
+
+  /** Runs verbatim in both Spark and DuckDB. */
+  val GroupingSetsSql: String =
+    "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt " +
+      "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+      "ORDER BY rf, ls"
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_distinct" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS cd_cust, count(DISTINCT o_orderpriority) AS cd_prio, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_agg_rollup" ->
+      ("SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS cnt " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP(n_name, c_mktsegment) ORDER BY nation, segment"),
+    "q_agg_cube" ->
+      ("SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
+    "q_agg_grouping_sets" -> GroupingSetsSql,
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "quantile_cont(l_quantity, 0.5) AS median_qty, " +
+        "quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §3.10 — deduplication family for LLM-data pipelines: exact,
+  * exact n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB of documents):
+  *  - exact dedup: one shuffle on the normalized-text hash.
+  *  - n-gram Jaccard all-pairs is quadratic — it exists as the oracle-checked
+  *    ground truth at test scale; the scale path is MinHash/LSH below.
+  *  - MinHash: signatures are computed with K min-aggregates in ONE pass over
+  *    the exploded shingles (map-side partial min => shuffle carries one
+  *    K-long row per doc). LSH banding then joins docs only within equal
+  *    (band, band-hash) buckets — candidate generation is linear in data
+  *    size, the classic MMDS ch.3 scheme.
+  *  - SimHash: 32 conditional-sum aggregates in one pass, then banded
+  *    Hamming verification via xor+bit_count.
+  * All hashing is Spark's built-in xxhash64 (codegen'd, no UDFs).
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-shingles (distinct) per doc. Tokenizer matches the DuckDB oracle:
+    * split on single space, drop empties. Docs with <3 tokens yield no
+    * shingles (guarded — ANSI sequence(1,0) would be descending). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), w -> w <> '')").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3)))")))
+        .as("sh"))
+
+  /** Exact Jaccard over shingle sets for all candidate pairs (da < db),
+    * restricted to pairs sharing >= 1 shingle (the shingle self-join). */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    val inter = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
+      .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / (col("nsa") + col("nsb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** K independent minhashes via salted xxhash64, one aggregate pass. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from signatures: `bands` bands of `rowsPerBand`
+    * minhashes; docs sharing any band bucket become candidates. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val l = buckets.select(col("doc_id").as("da"), col("band"), col("bh"))
+    val r = buckets.select(col("doc_id").as("db"), col("band"), col("bh"))
+    l.join(r, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** 32-bit SimHash fingerprint per doc from token hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val fp = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on normalized text; keep lowest doc_id per group.
+    "q_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy(lower(trim(col("text")))).orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Ground-truth near-dup pairs by exact 3-shingle Jaccard >= 0.8
+    // (the testdata plants ~0.99-Jaccard pairs).
+    "q_dedup_ngram" -> ((s, d) =>
+      jaccardPairs(shingles(Tables.documents(s, d)), 0.8)
+        .orderBy("da", "db")),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) candidates, verified by exact
+    // Jaccard >= 0.8. Hash-dependent candidate set => no DuckDB oracle;
+    // DedupSpec asserts recall against q_dedup_ngram.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = shingles(Tables.documents(s, d))
+      val cand = lshCandidates(minhashSignatures(sh, 16), 4, 4)
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val a = sh.select(col("doc_id").as("da"), col("sh"))
+      val inter = cand.join(a, "da")
+        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
+        .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
+        .select(col("da"), col("db"),
+          round(col("inter").cast("double") / (col("nsa") + col("nsb") - col("inter")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("da", "db")
+    }),
+
+    // SimHash fingerprints + near-pairs at Hamming distance <= 2.
+    // Hash-dependent => no oracle; DedupSpec checks planted dups collide.
+    "q_dedup_simhash" -> ((s, d) => {
+      val fps = simhash(Tables.documents(s, d))
+      val a = fps.select(col("doc_id").as("da"), col("fingerprint").as("fa"))
+      val b = fps.select(col("doc_id").as("db"), col("fingerprint").as("fb"))
+      // Band on bytes of the fingerprint: a pair within Hamming<=6 of 32 bits
+      // shares at least one of 8 4-bit nibbles... use 4 bytes => Hamming<=3
+      // guaranteed capture; planted dups are near-identical so recall is high.
+      val bandsOf = (f: Column) => array((0 until 4).map(i =>
+        struct(lit(i).as("band"), shiftright(f, i * 8).bitwiseAND(255).as("bv"))): _*)
+      val la = a.select(col("da"), explode(bandsOf(col("fa"))).as("bk"), col("fa"))
+        .select(col("da"), col("bk.band").as("band"), col("bk.bv").as("bv"), col("fa"))
+      val lb = b.select(col("db"), explode(bandsOf(col("fb"))).as("bk"), col("fb"))
+        .select(col("db"), col("bk.band").as("band"), col("bk.bv").as("bv"), col("fb"))
+      la.join(lb, Seq("band", "bv")).filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+        .orderBy("da", "db")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT lang, count(*) AS n_docs FROM (" +
+        "SELECT lang, row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang"),
+    "q_dedup_ngram" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
+        "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
+        "n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) AS jaccard " +
+        "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
+        "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8 " +
+        "ORDER BY da, db"))
+}

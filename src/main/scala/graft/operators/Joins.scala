@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ColumnOps._
+
+/** SURVEY.md §3.3 — joins. The reference has no joins at all [U, §1]; this is
+  * the "spark-surface" capability a usable analytics engine over the star
+  * schema needs.
+  *
+  * Scale strategy (100 TB): dimension tables (region/nation/part/customer at
+  * typical star-schema ratios) are broadcast — no shuffle of the fact table.
+  * Fact-fact joins shuffle on the join key; AQE converts to broadcast at
+  * runtime when a side turns out small, and splits skewed partitions.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Explicit broadcast of the 5-row dim: BroadcastHashJoin, zero shuffle.
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
+    // Equi-join, Catalyst picks the physical strategy (broadcast at this
+    // scale; sort-merge/shuffled-hash when both sides are large).
+    "q_join_hash" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sumExact2(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // 4-way star join: fact table joined to progressively smaller dims —
+    // customer/nation broadcast; lineitem⋈orders co-shuffles on orderkey.
+    "q_join_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sumExact(revenueExpr(col("l_extendedprice"), col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy("n_name")),
+
+    // Left-semi ("has orders") and left-anti ("has none") as one 2-row frame.
+    "q_join_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("kind"), col("cnt"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).select(lit("without_orders").as("kind"), col("cnt"))
+      semi.union(anti).orderBy("kind")
+    }),
+
+    // Left-outer with 0-filled counts; customers with no orders first.
+    "q_join_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_orders", "c_custkey")),
+
+    // Equi key + theta residual: stays a hash/sort-merge join on the equi key
+    // with the range predicate as a post-join filter — NOT a nested loop.
+    "q_join_theta_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") < col("p_size"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sumExact2(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    // As-of join (latest prior 'click' for each 'purchase', per user) as a
+    // window over the unioned event stream: one shuffle on user_id, no
+    // row-at-a-time lookup. SURVEY.md §3.3 chose this formulation so the
+    // DuckDB oracle can express it identically.
+    "q_join_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          // date_trunc yields LTZ even for NTZ input; cast back so the
+          // parquet output stays a naive timestamp like DuckDB's.
+          date_trunc("second", col("ts")).cast("timestamp_ntz").as("ts_s"),
+          date_trunc("second", col("last_click_ts")).cast("timestamp_ntz").as("click_ts_s"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      "SELECT r_name, count(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    "q_join_hash" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_join_multi" ->
+      "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q_join_semi_anti" ->
+      "SELECT 'with_orders' AS kind, count(*) AS cnt FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) UNION ALL SELECT 'without_orders' AS kind, count(*) AS cnt FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY kind",
+    "q_join_outer" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY n_orders, c_custkey",
+    "q_join_theta_range" ->
+      "SELECT p_brand, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity < p_size GROUP BY p_brand ORDER BY p_brand",
+    "q_join_asof" ->
+      "SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, date_trunc('second', last_click_ts) AS click_ts_s FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id")
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §3.10 / builder prompt — multimodal column plumbing: opaque
+  * `binary` payloads + typed metadata, with decode/feature-extraction STUBBED
+  * deterministically (no image/audio codecs in this container). The
+  * Spark-side shapes — binary columns, schema, partition-parallel batch
+  * processing via mapPartitions over a typed Dataset — are real and tested.
+  *
+  * Scale: media payloads dominate row size, so the pipeline projects
+  * metadata-only columns wherever possible (column pruning keeps multi-MB
+  * blobs out of shuffles); feature extraction is map-only per partition.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Media "table" derived from documents: utf-8 payload bytes standing in
+    * for an image/audio blob, plus typed metadata. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("media"),
+      struct(col("lang").as("container"), col("n_chars").as("declared_size"))
+        .as("meta"))
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, width: Int, height: Int, n_frames: Int, feat: Array[Float])
+
+  /** STUB decoder (clearly fake, deterministic): derives pseudo
+    * width/height/frame-count/features from payload bytes. A real deployment
+    * swaps `decodeStub` for a codec call; everything else (typed Dataset in,
+    * typed Dataset out, partition-parallel batches) is the production shape. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val h = row.media.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    def mix(i: Int): Long = { val x = h ^ (i * 0x9e3779b97f4a7c15L); x ^ (x >>> 33) }
+    MediaFeatures(
+      row.doc_id,
+      width = (math.floorMod(mix(1), 640) + 1).toInt,
+      height = (math.floorMod(mix(2), 480) + 1).toInt,
+      n_frames = (math.floorMod(mix(3), 16) + 1).toInt,
+      feat = Array.tabulate(8)(i => (math.floorMod(mix(4 + i), 1000) / 1000.0f)))
+  }
+
+  /** Partition-parallel feature extraction over the binary column. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Metadata + content hash over the binary column (oracle-checked: DuckDB
+    // hashes the identical utf-8 bytes).
+    "q_multimodal_meta" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(
+          col("doc_id"),
+          length(col("media")).as("n_bytes"),
+          col("meta.container").as("container"),
+          col("meta.declared_size").as("declared_size"),
+          sha2(col("media"), 256).as("sha"))
+        .orderBy("doc_id")),
+
+    // Stubbed decode/feature pipeline (deterministic fake features computed
+    // in distributed mapPartitions batches). No oracle: the stub's Scala
+    // hash mix has no DuckDB equivalent; MultimodalSpec pins exact outputs.
+    "q_multimodal_features" -> ((s, d) =>
+      extractFeatures(mediaTable(s, d))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(expr("aggregate(transform(feat, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"), 6)
+            .as("feat_sum"))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, lang AS container, " +
+        "n_chars AS declared_size, sha256(text) AS sha " +
+        "FROM documents ORDER BY doc_id"))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §3.1 (scans/sources/sinks), §3.2 (projection/filter/predicates),
+  * §3.6 (sort/limit/top-k), §3.7 (set ops).
+  *
+  * These reproduce the reference's Datastore-query semantics — keys-only
+  * scans, property filters, projections, sort+limit+cursor — as declarative
+  * DataFrame plans [U capability model, SURVEY.md §1; reference checkout is
+  * empty, SURVEY.md §0]. Scale notes per query inline: every filter and
+  * projection here is pushed into the parquet scan by Catalyst, so at 100 TB
+  * the scan reads only the referenced columns and skips row groups via
+  * min/max stats.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Keys-only kind scan: column pruning means the 100 TB scan reads two
+    // int64 columns only (check: ReadSchema in .explain).
+    "q_scan_keysonly" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // COUNT(*): parquet metadata-only at best; partial counts per partition,
+    // single-row final combine — no data shuffle.
+    "q_scan_count" -> ((s, d) =>
+      Tables.orders(s, d).agg(count(lit(1)).as("cnt"))),
+
+    // JSONL sink row shape (the reference's GCS JSONL writer [U]); the JSON
+    // string is built from stable-typed fields so DuckDB can reproduce it
+    // byte-identically.
+    "q_sink_jsonl" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          concat(
+            lit("{\"o_orderkey\":"), col("o_orderkey").cast("string"),
+            lit(",\"o_orderstatus\":\""), col("o_orderstatus"),
+            lit("\",\"o_orderpriority\":\""), col("o_orderpriority"),
+            lit("\"}")).as("json"))
+        .orderBy("o_orderkey")),
+
+    // Namespace iteration (reference walks __namespace__ [U]): one branch per
+    // "namespace" (documents.source), unioned back. Catalyst collapses the
+    // union of disjoint filters into parallel scans of the same files.
+    "q_source_union_ns" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val branches = (0 to 7).map(i => docs.filter(col("source") === s"src$i"))
+      branches.reduce(_ unionByName _)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    }),
+
+    // Equality property filter (Datastore's core predicate [U]).
+    "q_filter_eq" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Inequality + equality combo; both predicates reach PushedFilters.
+    "q_filter_ineq" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000 &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // IN (= repeated equality in Datastore [U]) + null guard.
+    "q_filter_in_null" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+          col("c_acctbal").isNotNull)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // Projection query with computed column; decimal cast keeps the derived
+    // revenue bit-identical to the DuckDB oracle.
+    "q_project_rename" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Sort + limit + offset (the reference's cursor-paging analogue [U]).
+    // Catalyst plans sort+limit as TakeOrderedAndProject: per-partition top-k,
+    // then a k-row merge on the driver — no global sort at 100 TB.
+    "q_limit_offset_sort" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(100)),
+
+    // Multi-key global sort + limit -> TakeOrderedAndProject (top-k).
+    "q_sort_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(500)),
+
+    // UNION = union + dedup (shuffle on the full row).
+    "q_set_union" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+
+    // INTERSECT: customers ordering in both 1995 and 1996.
+    "q_set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // EXCEPT: customers with orders minus those with an 'F' order.
+    "q_set_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_keysonly" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_scan_count" ->
+      "SELECT count(*) AS cnt FROM orders",
+    "q_sink_jsonl" ->
+      """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""",
+    "q_source_union_ns" ->
+      ("SELECT source, count(*) AS cnt FROM (" +
+        (0 to 7).map(i => s"SELECT * FROM documents WHERE source = 'src$i'")
+          .mkString(" UNION ALL ") +
+        ") GROUP BY source ORDER BY source"),
+    "q_filter_eq" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag = 'R'",
+    "q_filter_ineq" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000 AND o_orderdate >= TIMESTAMP '1996-01-01' ORDER BY o_orderkey",
+    "q_filter_in_null" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal IS NOT NULL ORDER BY c_custkey",
+    "q_project_rename" ->
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_limit_offset_sort" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10",
+    "q_sort_multi" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 500",
+    "q_set_union" ->
+      "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE' ORDER BY c_custkey",
+    "q_set_intersect" ->
+      "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_custkey",
+    "q_set_except" ->
+      "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey")
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ColumnOps._
+
+/** SURVEY.md §3.10 — similarity search over the `embeddings` table.
+  *
+  * Scale design (billions of vectors):
+  *  - Brute-force top-k: broadcast the query vector(s), one codegen'd pass
+  *    over the corpus, TakeOrderedAndProject for the k-row result. Linear,
+  *    embarrassingly parallel — the correct baseline at any scale.
+  *  - Sign-LSH (random hyperplanes, Charikar 2002): each vector gets a small
+  *    signature from deterministic pseudo-random hyperplanes; candidates are
+  *    generated only within equal-signature buckets, turning the quadratic
+  *    pair space into bucket-local work. IVF would follow the same shape with
+  *    learned centroids instead of hyperplanes.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic ±1 hyperplane weights (seeded LCG — no RNG at plan time,
+    * so plans are reproducible across runs/executors). */
+  private[operators] def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+    var state = 42L
+    def nextBit(): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      if ((state >>> 40 & 1L) == 1L) 1 else -1
+    }
+    Array.fill(planes)(Array.fill(dims)(nextBit().toDouble))
+  }
+
+  /** Sign-LSH signature (an int in [0, 2^planes)) of a double-array column. */
+  def lshSignature(v: Column, planes: Int, dims: Int): Column = {
+    val w = planeWeights(planes, dims)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, typedlit(w(p).toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for query vector vec_id=0 (oracle-checked).
+    "q_sim_topk" -> ((s, d) => {
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // Batched brute-force: top-3 neighbors for EACH of the first 5 vectors —
+    // the "many queries" shape. Broadcast the query block; window top-k.
+    "q_sim_topk_batch" -> ((s, d) => {
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
+    }),
+
+    // ANN: sign-LSH bucketing (8 planes -> 256 buckets), cosine only within
+    // the query's bucket. Hash/plane-dependent recall => no DuckDB oracle;
+    // SimilaritySpec checks bucket-local results against brute force.
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val e = corpus(s, d).withColumn("sig", lshSignature(col("v"), 8, 64))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
+    }))
+
+  private val CosineSql =
+    "round(list_aggregate(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), 'sum') / " +
+      "(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) * " +
+      "sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+        s"SELECT vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> 0 " +
+        "ORDER BY cosine DESC, vec_id LIMIT 5"),
+    "q_sim_topk_batch" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +
+        s"c AS (SELECT qid, vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> qid), " +
+        "r AS (SELECT qid, vec_id, cosine, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn FROM c) " +
+        "SELECT qid, vec_id, cosine, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"))
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §3.10 — text analysis for LLM-data pipelines: token counting,
+  * language-ID heuristic, quality scoring, TF-IDF, rolling-hash
+  * fingerprinting. All pure codegen'd expressions (no UDFs), all
+  * oracle-checked.
+  *
+  * Scale: per-document operators are map-only (no shuffle); the corpus-level
+  * ones (TF-IDF df, distinct terms) shuffle once on the term — at 100 TB the
+  * explode output is bounded by token count, and partial aggregation
+  * collapses per-partition duplicates before the exchange.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toks = expr("filter(split(text, ' '), w -> w <> '')")
+
+  /** Marker-word sets for the language-ID heuristic (deterministic,
+    * precision-irrelevant: the testdata's lang labels are synthetic). */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "que"),
+    "zh" -> Seq("zhi", "de", "le"))
+
+  private def markerScore(markers: Seq[String]): Column = {
+    val arr = markers.map(m => s"'$m'").mkString(", ")
+    size(expr(s"filter(filter(split(text, ' '), w -> w <> ''), w -> array_contains(array($arr), w))"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Whitespace + BPE-ish regex token counts per doc.
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Corpus stats per lang: docs, distinct vocabulary, avg tokens/doc.
+    "q_text_stats" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("lang"), col("doc_id"), toks.as("toks"))
+      val perLang = t.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_tokens"))
+      val vocab = t.select(col("lang"), explode(col("toks")).as("term"))
+        .groupBy("lang").agg(countDistinct(col("term")).as("n_terms"))
+      perLang.join(vocab, "lang")
+        .select(col("lang"), col("n_docs"), col("n_terms"), col("total_tokens"),
+          (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Language-ID by marker-word counts, argmax with fixed tie order.
+    "q_text_langid" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +:
+          Markers.toSeq.sortBy(_._1).map { case (l, ws) => markerScore(ws).as(s"s_$l") }: _*)
+      val langs = Markers.keys.toSeq.sorted
+      val m = greatest(langs.map(l => col(s"s_$l")): _*)
+      val predicted = langs.tail.foldLeft(
+        when(col(s"s_${langs.head}") === m, langs.head)) {
+        (acc, l) => acc.when(col(s"s_$l") === m, l)
+      }
+      scored.select(
+        (col("doc_id") +: langs.map(l => col(s"s_$l")))
+          :+ predicted.as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/word-length/stopword-ratio features + a pinned
+    // composite score (formula mirrored exactly in the oracle).
+    "q_text_quality" -> ((s, d) => {
+      val stopHits = markerScore(Markers("en"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("text_chars"),
+          size(toks).as("n_tokens"),
+          round(length(expr("replace(text, ' ', '')")).cast("double") / size(toks), 6)
+            .as("avg_word_len"),
+          round(stopHits.cast("double") / size(toks), 6).as("stop_ratio"),
+          round(least(size(toks).cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - abs(stopHits.cast("double") / size(toks) - lit(0.1))), 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF: each source is one "document"; score = tf * ln((N+1)/(df+1)),
+    // rounded BEFORE ranking so cross-engine libm ulp diffs can't flip ranks.
+    "q_text_tfidf_top" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("source"), explode(toks).as("term"))
+      val tf = t.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d)
+        .agg(countDistinct(col("source")).as("ns"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
+      tf.join(dfc, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("ns") + 1).cast("double") / (col("df") + 1)), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("source", "term", "tf", "df", "score", "rn")
+        .orderBy("source", "rn")
+    }),
+
+    // Rolling-hash document fingerprint: position-weighted char-code sum mod
+    // a prime — order-sensitive, overflow-free (exact in both engines).
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          pmod(aggregate(
+            expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) * ((i * 131) % 1000003) AS BIGINT))"),
+            lit(0L), (acc, x) => acc + x), lit(1000000007L)).as("fingerprint"))
+        .orderBy("doc_id")))
+
+  private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  private def duckMarkerScore(markers: Seq[String]): String = {
+    val arr = markers.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter($DuckToks, w -> list_contains([$arr], w))) AS INTEGER)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      (s"SELECT doc_id, CAST(len($DuckToks) AS INTEGER) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_text_stats" ->
+      (s"WITH t AS (SELECT lang, doc_id, $DuckToks AS toks FROM documents), " +
+        "d AS (SELECT lang, count(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM t GROUP BY lang), " +
+        "v AS (SELECT lang, count(DISTINCT term) AS n_terms FROM (SELECT lang, unnest(toks) AS term FROM t) GROUP BY lang) " +
+        "SELECT d.lang AS lang, n_docs, n_terms, total_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens " +
+        "FROM d JOIN v ON d.lang = v.lang ORDER BY lang"),
+    "q_text_langid" -> {
+      val langs = Markers.keys.toSeq.sorted
+      val scores = langs.map(l => s"${duckMarkerScore(Markers(l))} AS s_$l").mkString(", ")
+      val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, CASE $cases END AS predicted " +
+        s"FROM (SELECT doc_id, $scores FROM documents) ORDER BY doc_id"
+    },
+    "q_text_quality" -> {
+      val stop = duckMarkerScore(Markers("en"))
+      s"SELECT doc_id, CAST(length(text) AS INTEGER) AS text_chars, " +
+        s"CAST(len($DuckToks) AS INTEGER) AS n_tokens, " +
+        s"round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($DuckToks), 6) AS avg_word_len, " +
+        s"round(CAST($stop AS DOUBLE) / len($DuckToks), 6) AS stop_ratio, " +
+        s"round(least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * " +
+        s"(1.0 - abs(CAST($stop AS DOUBLE) / len($DuckToks) - 0.1)), 6) AS quality " +
+        "FROM documents ORDER BY doc_id"
+    },
+    "q_text_tfidf_top" ->
+      (s"WITH t AS (SELECT source, unnest($DuckToks) AS term FROM documents), " +
+        "tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term), " +
+        "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(DISTINCT source) AS ns FROM documents), " +
+        "sc AS (SELECT source, term, tf, df, round(tf * ln(CAST(ns + 1 AS DOUBLE) / (df + 1)), 6) AS score FROM tf JOIN dfc USING (term), n), " +
+        "r AS (SELECT source, term, tf, df, score, CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS INTEGER) AS rn FROM sc) " +
+        "SELECT source, term, tf, df, score, rn FROM r WHERE rn <= 3 ORDER BY source, rn"),
+    "q_text_fingerprint" ->
+      ("SELECT doc_id, CAST(CAST(list_aggregate(list_transform(range(1, CAST(length(text) AS BIGINT) + 1), " +
+        "i -> ascii(text[i]) * ((i * 131) % 1000003)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"))
+}

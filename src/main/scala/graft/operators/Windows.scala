@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.ColumnOps._
+
+/** SURVEY.md §3.5 (window functions) + §3.6's q_topk_per_group.
+  *
+  * Scale: every window below is partitioned by a high-cardinality key
+  * (customer, user, brand), so state per partition stays small and the work
+  * distributes across executors — one shuffle on the partition key. The only
+  * global window (ntile over all customers) is flagged inline.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Ranking family; tie-free total order via the (price, orderkey) sort.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Analytic family: lag/lead + running sum (decimal-exact) per user.
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          sum(col("value").cast(DecimalType(18, 2))).over(wsum)
+            .cast("double").as("run_sum"))
+        .orderBy("event_id")
+    }),
+
+    // RANGE frame: 7-day trailing revenue over daily order totals. The
+    // range frame runs over an integer day number (epoch days) so Spark and
+    // DuckDB agree on frame bounds exactly.
+    "q_window_frame_range" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("daily_dec"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      daily.select(
+        col("day"),
+        col("daily_dec").cast("double").as("daily"),
+        sum(col("daily_dec")).over(w).cast("double").as("trailing7"))
+        .orderBy("day")
+    }),
+
+    // ntile + percent_rank. NOTE: unpartitioned window = single-task sort;
+    // acceptable for a 15k-row dim snapshot, would be repartitionByRange +
+    // global rank composition at 100 TB (documented in SCALE.md).
+    "q_window_ntile_pct" -> ((s, d) => {
+      val w = Window.orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct"))
+        .orderBy("c_custkey")
+    }),
+
+    // Distributed top-k per group: rank within brand, keep top 2. Revenue is
+    // ranked on the exact decimal so ordering is engine-independent.
+    "q_topk_per_group" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      val w = Window.partitionBy("p_brand").orderBy(col("rev_dec").desc, col("p_partkey"))
+      rev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("p_brand"), col("p_partkey"),
+          col("rev_dec").cast("double").as("revenue"), col("rn"))
+        .orderBy("p_brand", "rn")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER w AS INTEGER) AS rn, " +
+        "CAST(rank() OVER w AS INTEGER) AS rnk, " +
+        "CAST(dense_rank() OVER w AS INTEGER) AS drnk " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)" +
+        ") WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_analytic" ->
+      ("SELECT event_id, user_id, value, " +
+        "lag(value, 1) OVER w AS prev_v, lead(value, 1) OVER w AS next_v, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) " +
+        "ORDER BY event_id"),
+    "q_window_frame_range" ->
+      ("SELECT day, CAST(daily_dec AS DOUBLE) AS daily, " +
+        "CAST(SUM(daily_dec) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing7 " +
+        "FROM (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_num, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_dec " +
+        "FROM orders GROUP BY 1, 2) ORDER BY day"),
+    "q_window_ntile_pct" ->
+      ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "percent_rank() OVER w AS pct FROM customer " +
+        "WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"),
+    "q_topk_per_group" ->
+      ("SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rn FROM (" +
+        "SELECT p_brand, p_partkey, rev_dec, " +
+        "CAST(row_number() OVER (PARTITION BY p_brand ORDER BY rev_dec DESC, p_partkey) AS INTEGER) AS rn " +
+        "FROM (SELECT p_brand, p_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey)" +
+        ") WHERE rn <= 2 ORDER BY p_brand, rn"))
+}
