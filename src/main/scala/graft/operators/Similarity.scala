@@ -23,7 +23,7 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane weights (seeded LCG — no RNG at plan time,
     * so plans are reproducible across runs/executors). */
-  private[operators] def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+  private[graft] def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
     var state = 42L
     def nextBit(): Int = {
       state = state * 6364136223846793005L + 1442695040888963407L

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §3.9 — the Structured Streaming surface. The same window
+  * aggregations as EventWindows, executed incrementally with watermarks,
+  * plus a custom-state operator (mapGroupsWithState).
+  *
+  * The reference is batch-only [U, SURVEY.md §2.1]; this is the engine's
+  * incremental path: file-source micro-batches + checkpointed state replace
+  * the reference's "re-run the job with a time-window filter" idiom.
+  *
+  * Scale: state is keyed by (window, event_type) or user_id — bounded by key
+  * cardinality, evicted by watermark; sinks are append-mode once the
+  * watermark passes, so state never grows unboundedly at 100 TB/day rates.
+  */
+object StreamOps {
+
+  /** Schema for reading the events parquet as a stream (ts read as ns long —
+    * same nanosAsLong path as the batch reader — then rebuilt to µs). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source micro-batch stream over a directory of events parquet. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.tumblingAgg(events.withWatermark("ts", watermark))
+
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.slidingAgg(events.withWatermark("ts", watermark))
+
+  def session(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.sessionAgg(events.withWatermark("ts", watermark))
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running totals
+    * (the reference's per-shard progress counters, reimagined as streaming
+    * state [U]). Update output mode; state persists across micro-batches. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotals(user, prev.n_events + batch.size,
+            // 2-decimal inputs: accumulate in cents to stay exact
+            math.rint(prev.total_value * 100 + batch.map(e => math.rint(e.value * 100)).sum) / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the final result table (test/dev harness; complete mode). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.functions.ColumnOps
+
+/** SURVEY.md §3.10 — dedup + similarity: the no-oracle operators are
+  * validated here against ground truth (exact Jaccard / brute force). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("minhash LSH recovers the high-Jaccard planted near-dup pairs") {
+    val truth = rows(Dedup.queries("q_dedup_ngram")(spark, sf))
+      .map(r => (r.head, r(1))).toSet
+    val found = rows(Dedup.queries("q_dedup_minhash")(spark, sf))
+      .map(r => (r.head, r(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    // LSH may miss borderline pairs but must find the vast majority, and
+    // every verified pair it reports is (by construction) a true pair.
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${found.size}/${truth.size})")
+    assert(found.subsetOf(truth))
+  }
+
+  test("exact duplicate docs collide under simhash and minhash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val sig = Dedup.minhashSignatures(sh, 16).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L), "identical docs must share minhash signatures")
+    assert(sig(1L) != sig(3L))
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+  }
+
+  test("jaccardPairs computes exact Jaccard") {
+    import spark.implicits._
+    // doc1: tokens a b c d -> shingles {abc, bcd}; doc2: a b c e -> {abc, bce}
+    // J = 1/3
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(Dedup.shingles(docs), 0.0).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getDouble(2) - 1.0 / 3) < 1e-6)
+  }
+
+  test("brute-force cosine top-k: self-similarity is 1, results match manual calc") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val self = e.select(ColumnOps.cosine(col("v"), col("v")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(self.getDouble(0) == 1.0 && self.getDouble(1) == 1.0)
+
+    // manual top-k for vec 0 on the driver
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(vecs(0L), v) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = rows(Similarity.queries("q_sim_topk")(spark, sf).limit(5))
+      .map(_.head)
+    // q_sim_topk runs on the full table; recompute expectation on full set
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val expectedFull = all.filter(_._1 != 0L)
+      .map { case (id, v) => id -> (math.rint(cos(all(0L), v) * 1e6) / 1e6) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got == expectedFull, s"expected $expectedFull got $got (limit50 variant: $expected)")
+  }
+
+  test("ANN LSH results are a subset of bucket-restricted brute force with true cosines") {
+    val ann = rows(Similarity.queries("q_sim_ann_lsh")(spark, sf))
+    assert(ann.nonEmpty)
+    // every reported cosine must equal the true cosine for that pair
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    ann.foreach { r =>
+      val (qid, vid, c) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double])
+      assert(math.abs(cos(all(qid), all(vid)) - c) < 1e-5)
+    }
+  }
+
+  test("lsh signature is deterministic across invocations") {
+    val a = Similarity.planeWeights(8, 64)
+    val b = Similarity.planeWeights(8, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Relational/join/agg/window operator correctness + plan-shape assertions
+  * (SURVEY.md §6.2.2: assert both results and physical plans). */
+class OperatorSpec extends SparkSpec {
+
+  test("every declared query runs non-empty on sf0.001") {
+    // Row-presence smoke across the whole inventory (oracle values are
+    // checked by the driver + tools/compare.py at sf0.01).
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with zero rows: $empties")
+  }
+
+  test("entry returns non-empty flagship result") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented no-oracle status") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expectedNoOracle = Set(
+      "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
+      "q_sim_ann_lsh", "q_stream_sliding", "q_multimodal_features")
+    assert(noOracle == expectedNoOracle)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("keys-only scan prunes columns at the parquet reader") {
+    val plan = physicalPlan(Relational.queries("q_scan_keysonly")(spark, sf))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      s"expected 2-column ReadSchema in:\n$plan")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val plan = physicalPlan(Relational.queries("q_filter_ineq")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), IsNotNull(o_orderdate), " +
+      "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
+  }
+
+  test("sort+limit plans as TakeOrderedAndProject (top-k, no global sort)") {
+    val plan = physicalPlan(Relational.queries("q_sort_multi")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("broadcast join plans as BroadcastHashJoin") {
+    val plan = physicalPlan(Joins.queries("q_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation uses partial+final HashAggregate") {
+    val plan = physicalPlan(Aggregates.queries("q_agg_pricing_summary")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), s"no partial (map-side) aggregate in:\n$plan")
+  }
+
+  test("flagship pricing summary matches hand-computed values on a literal frame") {
+    import spark.implicits._
+    val lineitem = Seq(
+      // (flag, status, qty, price, disc, tax, shipdate); last row > cutoff
+      ("A", "F", 10.0, 100.00, 0.10, 0.05, "1998-01-01"),
+      ("A", "F", 20.0, 200.00, 0.00, 0.08, "1998-02-01"),
+      ("R", "O", 5.0, 50.00, 0.05, 0.00, "1998-03-01"),
+      ("R", "O", 1.0, 10.00, 0.00, 0.00, "1999-01-01"))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "ship")
+      .withColumn("l_shipdate", to_timestamp(col("ship")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-flagship").toString
+    lineitem.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = rows(Aggregates.queries("q_agg_pricing_summary")(spark, dir))
+    assert(out.size == 2)
+    val af = out.head
+    // A/F: sum_qty=30, sum_base=300, disc_price=90+200=290, charge=94.5+216=310.5
+    assert(af(0) == "A" && af(1) == "F")
+    assert(af(2) == 30.0 && af(3) == 300.0 && af(4) == 290.0 && af(5) == 310.5)
+    assert(af(6) == 15.0 && af(7) == 150.0) // avg qty/price
+    assert(af(9) == 2L)                     // count
+    val ro = out(1)
+    assert(ro(0) == "R" && ro(2) == 5.0 && ro(9) == 1L) // late row filtered
+  }
+
+  test("as-of join picks the latest prior click per user") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:05:00", 7L, "click", 1.0, "{}"),
+      (3L, "2024-01-01 10:10:00", 7L, "purchase", 9.0, "{}"),
+      (4L, "2024-01-01 11:00:00", 8L, "purchase", 9.0, "{}"), // no prior click
+      (5L, "2024-01-01 11:30:00", 7L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rows(Joins.queries("q_join_asof")(spark, dir))
+    assert(out.map(_.head) == Seq(3L, 4L, 5L))
+    val byId = out.map(r => r.head -> r(3)).toMap
+    // NTZ timestamps collect as LocalDateTime ("2024-01-01T10:05")
+    assert(byId(3L).toString.startsWith("2024-01-01T10:05")) // latest prior click
+    assert(byId(4L) == null)                                 // user 8: none
+    assert(byId(5L).toString.startsWith("2024-01-01T10:05")) // still the 10:05 click
+  }
+
+  test("rollup totals are consistent: ALL row equals sum of nation rows") {
+    val out = rows(Aggregates.queries("q_agg_rollup")(spark, sf))
+    val grand = out.filter(r => r.head == "ALL").map(_(3).asInstanceOf[Long]).head
+    val perNation = out.filter(r => r.head != "ALL" && r(1) == "ALL")
+      .map(_(3).asInstanceOf[Long]).sum
+    assert(grand == perNation)
+  }
+
+  test("topk per group returns at most 2 rows per brand, ranked") {
+    val out = rows(Windows.queries("q_topk_per_group")(spark, sf))
+    val perBrand = out.groupBy(_.head)
+    assert(perBrand.values.forall(_.size <= 2))
+    perBrand.values.foreach { rs =>
+      val revs = rs.sortBy(_(3).asInstanceOf[Int]).map(_(2).asInstanceOf[Double])
+      assert(revs == revs.sorted.reverse)
+    }
+  }
+
+  test("set ops: union is distinct, intersect/except behave") {
+    import spark.implicits._
+    val u = Relational.queries("q_set_union")(spark, sf).as[Long].collect()
+    assert(u.distinct.length == u.length)
+    assert(u.sorted.toSeq == u.toSeq)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.ColumnOps
+
+/** SURVEY.md §6.2.3 — property-based algebraic laws. ScalaCheck generators
+  * driven with fixed seeds (the scalatest/scalacheck bridge artifact isn't in
+  * the offline cache, so sampling is explicit and deterministic). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filter commutes with projection on disjoint columns") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 50L), Gen.alphaStr.map(_.take(5)))), 8)
+      .foreach { xs =>
+        val df = xs.toDF("k", "s")
+        val a = df.filter($"k" > 25).select("s").collect().map(_.getString(0)).sorted.toSeq
+        val b = df.select("s", "k").filter($"k" > 25).select("s")
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(a == b)
+      }
+  }
+
+  test("union.distinct is idempotent") {
+    import spark.implicits._
+    samples(Gen.listOfN(20, Gen.chooseNum(0L, 10L)), 8).foreach { xs =>
+      val df = xs.toDF("k")
+      val once = df.union(df).distinct()
+      val twice = once.union(once).distinct()
+      assert(once.collect().map(_.getLong(0)).sorted.toSeq ==
+        twice.collect().map(_.getLong(0)).sorted.toSeq)
+    }
+  }
+
+  test("cosine(v, v) == 1 for any non-zero vector") {
+    import spark.implicits._
+    samples(Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0))
+      .suchThat(v => v.exists(_ != 0.0)), 10)
+      .foreach { v =>
+        val df = Seq(Tuple1(v)).toDF("v")
+        val c = df.select(ColumnOps.cosine(col("v"), col("v"))).head().getDouble(0)
+        assert(math.abs(c - 1.0) <= 1e-6, s"cosine($v, $v) = $c")
+      }
+  }
+
+  test("exact-decimal sum is partitioning-invariant") {
+    import spark.implicits._
+    samples(Gen.listOfN(50, Gen.chooseNum(-99999, 99999).map(_ / 100.0)), 6)
+      .foreach { xs =>
+        val r1 = xs.toDF("x").repartition(1)
+          .agg(ColumnOps.sumExact2(col("x"))).head().getDouble(0)
+        val r7 = xs.toDF("x").repartition(7)
+          .agg(ColumnOps.sumExact2(col("x"))).head().getDouble(0)
+        assert(r1 == r7, "decimal sums must not depend on partition layout")
+      }
+  }
+
+  test("sessionization is invariant to input order") {
+    import spark.implicits._
+    samples(Gen.listOfN(12, Gen.chooseNum(0L, 7200L)), 5).foreach { ts =>
+      val mk = (order: List[Long]) => {
+        val df = order.zipWithIndex
+          .map { case (t, i) =>
+            (i.toLong, new java.sql.Timestamp(1700000000000L + t * 1000), 1L, "view", 1.0, "{}")
+          }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        graft.streaming.EventWindows.sessionAgg(df)
+          .orderBy("sess_start").collect()
+          .map(r => (r.get(1).toString, r.getLong(2))).toSeq
+      }
+      val shuffled = new scala.util.Random(7).shuffle(ts)
+      assert(mk(ts) == mk(shuffled))
+    }
+  }
+
+  test("dedup is a fixpoint: deduping a deduped frame changes nothing") {
+    import spark.implicits._
+    samples(Gen.listOfN(20, Gen.oneOf("a b c", "d e f", "g h i")), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lower(trim(col("text")))).orderBy("doc_id")
+      val d1 = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val d2 = d1.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      assert(d1.count() == d2.count())
+    }
+  }
+
+  test("rollup row count = sum of grouping-set cardinalities") {
+    val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
+    val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)
+    val perNation = out.count(r => r.head != "ALL" && r(1) == "ALL")
+    val grand = out.count(r => r.head == "ALL")
+    assert(grand == 1)
+    assert(out.size == nations + perNation + grand)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{EventWindows, StreamOps}
+
+/** SURVEY.md §6.2.4 — streaming equivalence: the incremental execution of the
+  * window aggregations must converge to the batch result, and watermarking
+  * must drop late rows in append mode. */
+class StreamingSpec extends SparkSpec {
+
+  private def splitEventsIntoChunks(k: Int): String = {
+    // Micro-batch fixture: events parquet re-written as k files ordered by ts
+    // (FIXTURES.md "Streaming-test fixture derivation").
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf).orderBy("ts")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+      .repartitionByRange(k, col("event_id"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  // Watermarks require TIMESTAMP (LTZ), so streams run in LTZ; wstart is
+  // compared as a wall-clock string against the batch NTZ result (UTC
+  // session => identical wall time).
+  private def wallClock(df: org.apache.spark.sql.DataFrame, tsCol: String) = {
+    val others = df.columns.filterNot(_ == tsCol).map(col)
+    df.select(date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss").as(tsCol) +: others.toSeq: _*)
+  }
+
+  test("streaming tumbling counts converge to the batch result") {
+    val dir = splitEventsIntoChunks(8)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.tumbling(StreamOps.eventsStream(spark, dir)),
+      "tumbling_complete", OutputMode.Complete())
+    val batch = EventWindows.tumblingAgg(Tables.events(spark, sf))
+    assert(rows(wallClock(streamed, "wstart").orderBy("wstart", "event_type")) ==
+      rows(wallClock(batch, "wstart").orderBy("wstart", "event_type")))
+  }
+
+  test("streaming session windows converge to the batch result") {
+    val dir = splitEventsIntoChunks(6)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.session(StreamOps.eventsStream(spark, dir)),
+      "session_complete", OutputMode.Complete())
+    val batch = EventWindows.sessionAgg(Tables.events(spark, sf))
+    assert(rows(wallClock(streamed, "sess_start").orderBy("user_id", "sess_start")) ==
+      rows(wallClock(batch, "sess_start").orderBy("user_id", "sess_start")))
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = EventWindows.tumblingAgg(df.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: two events in hour 10
+    mem.addData((1L, t("2024-01-01 10:05:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:55:00"), 1L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past hour 10 (12:30 - 10min >> 11:00)
+    mem.addData((3L, t("2024-01-01 12:30:00"), 1L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 10 — must be dropped...
+    mem.addData((4L, t("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"))
+    // ...and a watermark-advancing row so hour 12 can close later
+    mem.addData((5L, t("2024-01-01 14:00:00"), 1L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test").collect()
+      .map(r => (r.getAs[Any]("wstart").toString, r.getAs[Long]("cnt"))).toMap
+    // hour-10 window emitted with 2 events only; late event 4 NOT counted
+    val hour10 = out.find(_._1.startsWith("2024-01-01 10:00")).get
+    assert(hour10._2 == 2L, s"late row leaked into closed window: $out")
+  }
+
+  test("mapGroupsWithState keeps exact running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.UserEvent]
+    val totals = StreamOps.runningTotals(mem.toDS())
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update()).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(StreamOps.UserEvent(1L, t("2024-01-01 00:00:00"), 1.10),
+      StreamOps.UserEvent(1L, t("2024-01-01 00:01:00"), 2.20))
+    q.processAllAvailable()
+    mem.addData(StreamOps.UserEvent(1L, t("2024-01-01 00:02:00"), 3.30),
+      StreamOps.UserEvent(2L, t("2024-01-01 00:02:00"), 5.00))
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = spark.table("totals").groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalRows(1L) == ((3L, 6.60)))
+    assert(finalRows(2L) == ((1L, 5.00)))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.api.{MapperFacade, MapperRunner}
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text analysis, multimodal stubs, and the mapper-facade API. */
+class TextMapperSpec extends SparkSpec {
+
+  test("text fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ignore")
+    val dir = Files.createTempDirectory("graft-fp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = rows(TextAnalysis.queries("q_text_fingerprint")(spark, dir))
+      .map(r => r.head -> r(1)).toMap
+    assert(fps(1L) == fps(3L), "same text, same fingerprint")
+    assert(fps(1L) != fps(2L), "transposed chars must change the fingerprint")
+    // hand-check doc 1: 'a'=97,'b'=98; weights (1*131)%1000003=131, 262
+    val expected = (97L * 131 + 98L * 262) % 1000000007L
+    assert(fps(1L) == expected)
+  }
+
+  test("langid picks the marker-dominant language deterministically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lang").toString
+    Seq(
+      (1L, "the cat of the house and the dog"), // en markers x3+
+      (2L, "der hund die katze und das haus"),  // de markers
+      (3L, "xyzzy plugh quux"))                 // no markers -> tie -> 'de' (first alphabetically)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = rows(TextAnalysis.queries("q_text_langid")(spark, dir))
+      .map(r => r.head -> r.last).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "de") // deterministic tie-break = first lang in sorted order
+  }
+
+  test("quality score formula: pinned and bounded") {
+    val out = rows(TextAnalysis.queries("q_text_quality")(spark, sf))
+    out.foreach { r =>
+      val q = r.last.asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0, s"quality out of range: $r")
+    }
+  }
+
+  test("multimodal decode stub is deterministic with plausible shapes") {
+    val m = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
+    val m2 = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
+    assert(m.width == m2.width && m.height == m2.height && m.feat.toSeq == m2.feat.toSeq)
+    assert(m.width >= 1 && m.width <= 640 && m.height >= 1 && m.height <= 480)
+    assert(m.n_frames >= 1 && m.n_frames <= 16 && m.feat.length == 8)
+    assert(m.feat.forall(f => f >= 0.0f && f < 1.0f))
+  }
+
+  test("extractFeatures runs distributed over the binary column") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    assert(feats.columns.toSeq ==
+      Seq("doc_id", "width", "height", "n_frames", "feat"))
+    assert(feats.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("mapper facade: accumulator counts processed entities, output matches SQL surface") {
+    val (ds, acc) = MapperRunner.run(spark, sf, MapperFacade.JsonlJob)(
+      org.apache.spark.sql.Encoders.product[MapperFacade.JsonOut])
+    val n = ds.count()
+    assert(acc.value == n, "every scanned entity passes through next()")
+    val viaFacade = MapperFacade.queries("q_mapper_jsonl")(spark, sf)
+    val viaSql = graft.operators.Relational.queries("q_sink_jsonl")(spark, sf)
+    assert(rows(viaFacade) == rows(viaSql))
+  }
+
+  test("mapper facade: runToParquet composes a single output file and fires hooks") {
+    val out = Files.createTempDirectory("graft-mapper").toString + "/out"
+    var completed = -1L
+    val job = new graft.api.MapperJob[MapperFacade.OrderRow, MapperFacade.JsonOut] {
+      def query(s: org.apache.spark.sql.SparkSession, d: String) =
+        MapperFacade.JsonlJob.query(s, d)
+      def next(t: MapperFacade.OrderRow) = MapperFacade.JsonlJob.next(t)
+      override def jobCompleted(s: org.apache.spark.sql.SparkSession, processed: Long): Unit =
+        completed = processed
+    }
+    val n = MapperRunner.runToParquet(spark, sf, job, out)(
+      org.apache.spark.sql.Encoders.product[MapperFacade.JsonOut])
+    assert(completed == n && n == 1500L)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, "compose semantics: exactly one data file")
+    assert(spark.read.parquet(out).count() == n)
+  }
+}
