@@ -36,12 +36,21 @@ object Dedup {
         .as("sh"))
 
   /** Exact Jaccard over shingle sets for all candidate pairs (da < db),
-    * restricted to pairs sharing >= 1 shingle (the shingle self-join). */
+    * restricted to pairs sharing >= 1 shingle. Instead of a 3-shuffle
+    * self-join, docs are grouped per shingle (one shuffle) and ordered pairs
+    * are generated inline with nested array transforms — shingles seen in
+    * one doc contribute nothing and are dropped by the size filter. Skew
+    * bound: a shingle shared by df docs emits df·(df−1)/2 pairs, so a
+    * stop-shingle cap (filter on df) is the 100 TB guard if the corpus has
+    * boilerplate — not needed on this data (max df = 25). */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    val inter = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+    val inter = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS da, y AS db))))"))
+        .as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     inter
       .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")

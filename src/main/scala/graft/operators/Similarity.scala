@@ -60,6 +60,20 @@ object Similarity {
         .limit(5)
     }),
 
+    // Same query through the native codegen'd Expression (registered by
+    // GraftExtensions): one fused loop instead of three HOF folds. Identical
+    // fold order => identical doubles => same oracle as q_sim_topk.
+    "q_sim_topk_native" -> ((s, d) => {
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(expr("cosine_similarity(v, qv)"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // Batched brute-force: top-3 neighbors for EACH of the first 5 vectors —
     // the "many queries" shape. Broadcast the query block; window top-k.
     "q_sim_topk_batch" -> ((s, d) => {
@@ -98,6 +112,11 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+        s"SELECT vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> 0 " +
+        "ORDER BY cosine DESC, vec_id LIMIT 5"),
+    "q_sim_topk_native" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
         s"SELECT vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> 0 " +

@@ -46,18 +46,19 @@ object TextAnalysis {
         .orderBy("doc_id")),
 
     // Corpus stats per lang: docs, distinct vocabulary, avg tokens/doc.
-    "q_text_stats" -> ((s, d) => {
-      val t = Tables.documents(s, d).select(col("lang"), col("doc_id"), toks.as("toks"))
-      val perLang = t.groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(col("toks"))).as("total_tokens"))
-      val vocab = t.select(col("lang"), explode(col("toks")).as("term"))
-        .groupBy("lang").agg(countDistinct(col("term")).as("n_terms"))
-      perLang.join(vocab, "lang")
+    // Single explode + one grouped pass (two distinct-aggs share the scan)
+    // instead of two separate subtrees — one read of the corpus, not two.
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), explode(toks).as("term"))
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("total_tokens"))
         .select(col("lang"), col("n_docs"), col("n_terms"), col("total_tokens"),
           (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     // Language-ID by marker-word counts, argmax with fixed tie order.
     "q_text_langid" -> ((s, d) => {

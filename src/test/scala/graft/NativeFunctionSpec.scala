@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ColumnOps, DocShingle, MinHashAggregator}
+import graft.operators.Similarity
+
+/** Custom Catalyst expression + typed Aggregator (SURVEY.md §5.3). */
+class NativeFunctionSpec extends SparkSpec {
+
+  test("native cosine_similarity is registered and bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        expr("cosine_similarity(v, qv)").as("native"),
+        (ColumnOps.dot(col("v"), col("qv")) /
+          (ColumnOps.norm(col("v")) * ColumnOps.norm(col("qv")))).as("hof"))
+    val diffs = both.filter(col("native") =!= col("hof")).count()
+    assert(diffs == 0, "fold order must make native == HOF bit-exactly")
+  }
+
+  test("native top-k query equals the HOF top-k query") {
+    val a = rows(Similarity.queries("q_sim_topk")(spark, sf))
+    val b = rows(Similarity.queries("q_sim_topk_native")(spark, sf))
+    assert(a == b)
+  }
+
+  test("cosine_similarity participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+      .select(ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val plan = physicalPlan(e.select(expr("cosine_similarity(v, v)").as("c")))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosine_similarity") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("MinHashAggregator: dup docs collide, merge order irrelevant, partition-invariant") {
+    import spark.implicits._
+    val agg = new MinHashAggregator(16).toColumn
+    def sigs(partitions: Int) = Seq(
+      DocShingle(1L, "a b c"), DocShingle(1L, "b c d"),
+      DocShingle(2L, "a b c"), DocShingle(2L, "b c d"), // same shingles as 1
+      DocShingle(3L, "x y z"))
+      .toDS().repartition(partitions)
+      .groupByKey(_.doc_id).agg(agg).collect().toMap
+    val s1 = sigs(1)
+    val s5 = sigs(5)
+    assert(s1 == s5, "partial-merge path must equal single-pass path")
+    assert(s1(1L) == s1(2L))
+    assert(s1(1L) != s1(3L))
+    assert(s1(1L).length == 16)
+  }
+
+  test("hash64 is deterministic and seed-sensitive") {
+    assert(MinHashAggregator.hash64("abc", 0) == MinHashAggregator.hash64("abc", 0))
+    assert(MinHashAggregator.hash64("abc", 0) != MinHashAggregator.hash64("abc", 1))
+    assert(MinHashAggregator.hash64("abc", 0) != MinHashAggregator.hash64("abd", 0))
+  }
+}
