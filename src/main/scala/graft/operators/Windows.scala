@@ -75,6 +75,36 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // The SAME ranking computed without a global window (SCALE.md §Windows):
+    // range-repartition, rank locally per partition, then compose global
+    // ranks from per-partition counts (a tiny 8-row prefix sum). This is the
+    // 100 TB substitute for the single-task global sort above.
+    "q_window_ntile_dist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val ranged = c.repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+      val local = ranged.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      val counts = local.groupBy("pid").agg(count(lit(1)).as("pn"))
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum("pn").over(wOff), lit(0L)))
+        .select("pid", "off")
+      val total = counts.agg(sum("pn").as("n"))
+      local.join(broadcast(offsets), "pid")
+        .crossJoin(broadcast(total))
+        .withColumn("grn", col("lrn") + col("off"))
+        .select(
+          col("c_custkey"), col("c_acctbal"),
+          // standard NTILE bucketing: first (n % 4) buckets get one extra row
+          expr("CAST(CASE WHEN grn <= (n % 4) * (n div 4 + 1) " +
+            "THEN (grn - 1) div (n div 4 + 1) + 1 " +
+            "ELSE (n % 4) + (grn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1 END " +
+            "AS INT)").as("quartile"),
+          expr("CAST(grn - 1 AS DOUBLE) / (n - 1)").as("pct"))
+        .orderBy("c_custkey")
+    }),
+
     // Distributed top-k per group: rank within brand, keep top 2. Revenue is
     // ranked on the exact decimal so ordering is engine-independent.
     "q_topk_per_group" -> ((s, d) => {
@@ -87,6 +117,30 @@ object Windows {
         .filter(col("rn") <= 2)
         .select(col("p_brand"), col("p_partkey"),
           col("rev_dec").cast("double").as("revenue"), col("rn"))
+        .orderBy("p_brand", "rn")
+    }),
+
+    // Same result via the bounded mergeable TopKAggregator: the buffer holds
+    // at most k pairs, so the shuffle carries k rows per (brand × partition)
+    // instead of every part — the 100 TB top-k (SCALE.md §Windows).
+    "q_topk_per_group_agg" -> ((s, d) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      val ds = rev.select(col("p_brand"), col("p_partkey"),
+        col("rev_dec").cast("decimal(38,18)"))
+        .as[(String, Long, BigDecimal)]
+      ds.groupByKey(_._1)
+        .mapValues(t => graft.functions.RankedValue(t._3, t._2))
+        .agg(new graft.functions.TopKAggregator(2).toColumn)
+        .flatMap { case (brand, tops) =>
+          tops.zipWithIndex.map { case (rv, i) => (brand, rv.id, rv.value, i + 1) }
+        }
+        .toDF("p_brand", "p_partkey", "rev", "rn")
+        .select(col("p_brand"), col("p_partkey"),
+          col("rev").cast("double").as("revenue"), col("rn"))
         .orderBy("p_brand", "rn")
     }))
 
@@ -116,7 +170,20 @@ object Windows {
       ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
         "percent_rank() OVER w AS pct FROM customer " +
         "WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"),
+    // identical semantics, distributed formulation — same oracle
+    "q_window_ntile_dist" ->
+      ("SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "percent_rank() OVER w AS pct FROM customer " +
+        "WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"),
     "q_topk_per_group" ->
+      ("SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rn FROM (" +
+        "SELECT p_brand, p_partkey, rev_dec, " +
+        "CAST(row_number() OVER (PARTITION BY p_brand ORDER BY rev_dec DESC, p_partkey) AS INTEGER) AS rn " +
+        "FROM (SELECT p_brand, p_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey)" +
+        ") WHERE rn <= 2 ORDER BY p_brand, rn"),
+    // identical semantics via the bounded aggregator — same oracle
+    "q_topk_per_group_agg" ->
       ("SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rn FROM (" +
         "SELECT p_brand, p_partkey, rev_dec, " +
         "CAST(row_number() OVER (PARTITION BY p_brand ORDER BY rev_dec DESC, p_partkey) AS INTEGER) AS rn " +

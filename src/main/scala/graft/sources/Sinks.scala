@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §3.2 — the reference's source/sink surface re-expressed:
+  * Datastore kinds -> parquet tables (graft.Tables); GCS JSONL writer +
+  * compose -> writeJsonl(compose = true); BigQuery load -> partitioned
+  * parquet as the (zero-egress) warehouse sink stand-in. Formats are the
+  * engine's I/O boundary; everything else is format-agnostic DataFrames.
+  *
+  * Scale: `compose = true` (single output file) is the reference's GCS
+  * compose semantics and only sane at test scale; production writes one
+  * file per task plus `partitionBy` directory pruning, and relies on
+  * Spark's atomic file-commit protocol (the lease-lock equivalent).
+  */
+object Sinks {
+  def writeJsonl(df: DataFrame, path: String, compose: Boolean = false): Unit =
+    (if (compose) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  /** Warehouse sink: columnar, optionally hive-partitioned by columns. */
+  def writeWarehouse(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(path)
+}
+
+object Sources {
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.{RankedValue, TopKAggregator}
+import graft.operators.Windows
+import graft.sources.{Sinks, Sources}
+
+/** Sources/sinks roundtrips + bounded top-k aggregator + distributed ntile. */
+class SinksTopKSpec extends SparkSpec {
+
+  test("jsonl sink roundtrip, composed to a single file") {
+    val df = Tables.nation(spark, sf)
+    val out = Files.createTempDirectory("graft-sink").toString + "/jsonl"
+    Sinks.writeJsonl(df, out, compose = true)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length == 1, "compose => one data file")
+    val back = Sources.jsonl(spark, out, df.schema)
+    assert(rows(back.orderBy("n_nationkey")) == rows(df.orderBy("n_nationkey")))
+  }
+
+  test("warehouse sink partitions by column and prunes on read") {
+    val df = Tables.documents(spark, sf)
+    val out = Files.createTempDirectory("graft-sink").toString + "/wh"
+    Sinks.writeWarehouse(df, out, Seq("lang"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("lang=")) >= 2, dirs.toSeq)
+    val pruned = Sources.parquet(spark, out).filter(col("lang") === "en")
+    val plan = physicalPlan(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(pruned.count() == df.filter(col("lang") === "en").count())
+  }
+
+  test("csv sink roundtrip with schema") {
+    val df = Tables.region(spark, sf)
+    val out = Files.createTempDirectory("graft-sink").toString + "/csv"
+    Sinks.writeCsv(df, out)
+    val back = Sources.csv(spark, out, df.schema)
+    assert(rows(back.orderBy("r_regionkey")) == rows(df.orderBy("r_regionkey")))
+  }
+
+  test("TopKAggregator: bounded buffer, merge == single pass, exact order") {
+    val agg = new TopKAggregator(3)
+    def rv(v: Double, id: Long) = RankedValue(BigDecimal(v), id)
+    val items = Seq(rv(5, 1), rv(9, 2), rv(1, 3), rv(9, 4), rv(7, 5), rv(3, 6))
+    val single = items.foldLeft(agg.zero)(agg.reduce)
+    assert(single == List(rv(9, 2), rv(9, 4), rv(7, 5)), single)
+    val (l, r) = items.splitAt(3)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == single, "merge of partials must equal single pass")
+    assert(single.length <= 3)
+  }
+
+  test("aggregator top-k query equals window top-k query") {
+    val a = rows(Windows.queries("q_topk_per_group")(spark, sf))
+    val b = rows(Windows.queries("q_topk_per_group_agg")(spark, sf))
+    assert(a == b)
+  }
+
+  test("distributed ntile/percent_rank equals the global-window version") {
+    val a = rows(Windows.queries("q_window_ntile_pct")(spark, sf))
+    val b = rows(Windows.queries("q_window_ntile_dist")(spark, sf))
+    assert(a == b)
+  }
+}
