@@ -82,10 +82,12 @@ object CosineSimilarity {
   }
 }
 
-/** Session extension registering the engine's native functions; installed via
-  * spark.sql.extensions (GraftSession sets it). */
+/** Session extension registering the engine's native functions and planner
+  * strategies; installed via spark.sql.extensions (GraftSession sets it). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }

@@ -77,6 +77,25 @@ object Joins {
         .agg(count(lit(1)).as("cnt"), sumExact2(col("l_quantity")).as("sum_qty"))
         .orderBy("p_brand")),
 
+    // Same as-of semantics through the custom whole-operator path
+    // (AsOfJoinPlan -> AsOfStrategy -> AsOfJoinExec, SCALE.md §Joins): two
+    // co-shuffled sorted streams merged with O(1) state per partition.
+    // Bit-identical output => same DuckDB oracle as q_join_asof.
+    "q_join_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.plans.AsOf.joinLatestPrior(purchases, clicks,
+        key = "user_id", ts = "ts", tie = "event_id",
+        tsOutName = "last_click_ts")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).cast("timestamp_ntz").as("ts_s"),
+          date_trunc("second", col("last_click_ts")).cast("timestamp_ntz")
+            .as("click_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // As-of join (latest prior 'click' for each 'purchase', per user) as a
     // window over the unioned event stream: one shuffle on user_id, no
     // row-at-a-time lookup. SURVEY.md §3.3 chose this formulation so the
@@ -109,6 +128,9 @@ object Joins {
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY n_orders, c_custkey",
     "q_join_theta_range" ->
       "SELECT p_brand, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity < p_size GROUP BY p_brand ORDER BY p_brand",
-    "q_join_asof" ->
-      "SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, date_trunc('second', last_click_ts) AS click_ts_s FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id")
+    "q_join_asof" -> AsOfOracleSql,
+    "q_join_asof_native" -> AsOfOracleSql)
+
+  private lazy val AsOfOracleSql: String =
+    "SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, date_trunc('second', last_click_ts) AS click_ts_s FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id"
 }

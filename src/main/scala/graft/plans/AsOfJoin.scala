@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** SURVEY.md §5.3 / spark_guide "custom operator" path — a whole-operator
+  * as-of join: for every left row, the latest right row of the same key
+  * whose (ts, tie) is strictly before the left row's (ts, tie).
+  *
+  * Spark has no native as-of join; the window formulation (q_join_asof)
+  * unions both streams and carries window state. This operator is the
+  * direct physical form: Catalyst's EnsureRequirements co-partitions both
+  * children on the key and sorts them by (key, ts, tie) — declared, not
+  * hand-built — and execution is a single streaming merge per partition:
+  * O(1) state (one buffered match), zero memory blowup, no window
+  * machinery. At 100 TB this is one co-shuffle of each side and a linear
+  * merge, the same cost shape as a sort-merge join.
+  *
+  * Keys/timestamps/tiebreaks must be long-backed types (integers,
+  * timestamps) — true of every as-of use in this engine.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute, leftTie: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightTie: Attribute,
+    tsOut: AttributeReference)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ tsOut
+  override def producedAttributes: AttributeSet = AttributeSet(tsOut)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTs: Attribute, leftTie: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightTie: Attribute,
+    tsOut: AttributeReference)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ tsOut
+  override def producedAttributes: AttributeSet = AttributeSet(tsOut)
+
+  // Declare what execution needs; EnsureRequirements inserts the exchanges
+  // and sorts — nothing is hand-scheduled. Partition count is pinned so the
+  // two children stay zip-compatible under AQE coalescing.
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
+        SortOrder(leftTie, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+        SortOrder(rightTie, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference[Expression](leftKey, left.output)
+    val lTsB = BindReferences.bindReference[Expression](leftTs, left.output)
+    val lTieB = BindReferences.bindReference[Expression](leftTie, left.output)
+    val rKeyB = BindReferences.bindReference[Expression](rightKey, right.output)
+    val rTsB = BindReferences.bindReference[Expression](rightTs, right.output)
+    val rTieB = BindReferences.bindReference[Expression](rightTie, right.output)
+    val leftOutput = left.output
+    val out = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(out, leftOutput :+ tsOut)
+      val matchRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var rHead: InternalRow = null
+      var rHeadValid = false
+      var lastMatchTs: Long = 0L
+      var hasMatch = false
+      var matchKey: Long = 0L
+
+      def advanceRight(): Unit = {
+        if (rIter.hasNext) { rHead = rIter.next(); rHeadValid = true }
+        else { rHead = null; rHeadValid = false }
+      }
+      advanceRight()
+
+      lIter.map { l =>
+        val lk = lKeyB.eval(l).asInstanceOf[Long]
+        val lt = lTsB.eval(l).asInstanceOf[Long]
+        val ltie = lTieB.eval(l).asInstanceOf[Long]
+        // consume all right rows strictly before (lk, lt, ltie)
+        var continue = rHeadValid
+        while (continue) {
+          val rk = rKeyB.eval(rHead).asInstanceOf[Long]
+          val before = rk < lk || (rk == lk && {
+            val rt = rTsB.eval(rHead).asInstanceOf[Long]
+            rt < lt || (rt == lt &&
+              rTieB.eval(rHead).asInstanceOf[Long] < ltie)
+          })
+          if (before) {
+            if (rk == lk) {
+              lastMatchTs = rTsB.eval(rHead).asInstanceOf[Long]
+              hasMatch = true
+              matchKey = rk
+            }
+            advanceRight()
+            continue = rHeadValid
+          } else continue = false
+        }
+        if (hasMatch && matchKey == lk) matchRow.update(0, lastMatchTs)
+        else matchRow.update(0, null)
+        proj(joined(l, matchRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, ltie, rk, rt, rtie, tsOut) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, ltie, rk, rt, rtie,
+        tsOut) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: latest prior `right` row's ts per `left` row, by key. */
+object AsOf {
+  def joinLatestPrior(leftDf: DataFrame, rightDf: DataFrame,
+      key: String, ts: String, tie: String, tsOutName: String): DataFrame = {
+    val spark: SparkSession = leftDf.sparkSession
+    // fresh exprIds on the right side so self-as-of (same source table)
+    // cannot produce duplicate attribute ids across children
+    val r = rightDf.select(col(key).as("__asof_key"), col(ts).as("__asof_ts"),
+      col(tie).as("__asof_tie"))
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not in ${p.output}"))
+    val ltAttr = attr(lPlan, ts)
+    val tsOut = AttributeReference(tsOutName, ltAttr.dataType, nullable = true)()
+    GraftBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), ltAttr, attr(lPlan, tie),
+      attr(rPlan, "__asof_key"), attr(rPlan, "__asof_ts"),
+      attr(rPlan, "__asof_tie"), tsOut))
+  }
+}
