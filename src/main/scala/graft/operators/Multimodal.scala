@@ -45,6 +45,25 @@ object Multimodal {
       feat = Array.tabulate(8)(i => (math.floorMod(mix(4 + i), 1000) / 1000.0f)))
   }
 
+  /** STUB resize: deterministically truncates the payload to a budget
+    * derived from the target geometry (a real deployment calls a codec
+    * here). Pure expression — stays codegen'd and shuffle-free. */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val budget = math.max(w * h / 64, 1)
+    media.withColumn("media", expr(s"substring(media, 1, $budget)"))
+  }
+
+  /** Frame sampling: k byte-range "frames" per payload with index + offset
+    * metadata — the video-frame batch shape with the decode stubbed to
+    * byte slicing. */
+  def frameSample(media: DataFrame, k: Int): DataFrame =
+    media
+      .withColumn("stride", expr("greatest(length(media) div " + k + ", 1)"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, $k - 1), i -> substring(media, CAST(i * stride + 1 AS INT), CAST(stride AS INT)))"))
+          .as(Seq("frame_idx", "frame")))
+
   /** Partition-parallel feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -75,11 +94,27 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           round(expr("aggregate(transform(feat, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"), 6)
             .as("feat_sum"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Frame sampling over the binary payload (oracle-checked: texts are pure
+    // ASCII — verified across all SFs — so DuckDB's char slicing + encode
+    // reproduces the byte slices exactly).
+    "q_multimodal_frames" -> ((s, d) =>
+      frameSample(mediaTable(s, d), 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("n_bytes"),
+          sha2(col("frame"), 256).as("sha"))
+        .orderBy("doc_id", "frame_idx")))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, lang AS container, " +
         "n_chars AS declared_size, sha256(text) AS sha " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id"),
+    "q_multimodal_frames" ->
+      ("WITH d AS (SELECT doc_id, text, greatest(strlen(text) // 4, 1) AS stride FROM documents) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "CAST(strlen(substring(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER))) AS INTEGER) AS n_bytes, " +
+        "sha256(substring(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER))) AS sha " +
+        "FROM d, UNNEST(range(0, 4)) AS t(i) ORDER BY doc_id, frame_idx"))
 }

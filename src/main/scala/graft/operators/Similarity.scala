@@ -89,6 +89,21 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // Embedding-cosine near-dup: ground-truth all-pairs ranking (quadratic —
+    // the LSH variant below is the scale path; this validates it). Top-20
+    // pairs because the synthetic embeddings have no planted near-dups to
+    // threshold on (max pairwise cosine ≈ 0.51, measured).
+    "q_dedup_embed" -> ((s, d) => {
+      val e = corpus(s, d)
+      val a = e.select(col("vec_id").as("da"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          round(expr("cosine_similarity(va, vb)"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("da"), col("db"))
+        .limit(20)
+    }),
+
     // ANN: sign-LSH bucketing (8 planes -> 256 buckets), cosine only within
     // the query's bucket. Hash/plane-dependent recall => no DuckDB oracle;
     // SimilaritySpec checks bucket-local results against brute force.
@@ -121,6 +136,14 @@ object Similarity {
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
         s"SELECT vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> 0 " +
         "ORDER BY cosine DESC, vec_id LIMIT 5"),
+    "q_dedup_embed" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) " +
+        "SELECT a.vec_id AS da, b.vec_id AS db, " +
+        "round(list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum') / " +
+        "(sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum')) * " +
+        "sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cosine " +
+        "FROM e a, e b WHERE a.vec_id < b.vec_id " +
+        "ORDER BY cosine DESC, da, db LIMIT 20"),
     "q_sim_topk_batch" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +

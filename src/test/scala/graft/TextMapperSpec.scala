@@ -56,6 +56,27 @@ class TextMapperSpec extends SparkSpec {
     assert(m.feat.forall(f => f >= 0.0f && f < 1.0f))
   }
 
+  test("resize stub truncates payloads to the geometry budget") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resizeStub(m, 64, 64) // budget = 64 bytes
+    val maxLen = resized.agg(max(length(col("media")))).head().getInt(0)
+    assert(maxLen <= 64)
+    assert(resized.count() == m.count())
+  }
+
+  test("frame sampling yields k contiguous byte slices with metadata") {
+    val frames = Multimodal.frameSample(Multimodal.mediaTable(spark, sf), 4)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame"))
+    val perDoc = frames.groupBy("doc_id").count().agg(min("count"), max("count")).head()
+    assert(perDoc.getLong(0) == 4 && perDoc.getLong(1) == 4)
+    // frames reassemble to a prefix of the original payload
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    val joined = frames.filter(col("doc_id") === 0).orderBy("frame_idx")
+      .collect().map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8")).mkString
+    assert(doc0.startsWith(joined) && joined.length >= doc0.length - 3)
+  }
+
   test("extractFeatures runs distributed over the binary column") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
     assert(feats.columns.toSeq ==
