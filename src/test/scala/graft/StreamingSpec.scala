@@ -80,6 +80,44 @@ class StreamingSpec extends SparkSpec {
     assert(hour10._2 == 2L, s"late row leaked into closed window: $out")
   }
 
+  test("checkpointed file-sink stream stops, resumes, and emits each window exactly once") {
+    // The reference's cursor-checkpoint/resume capability (SURVEY.md §3.2):
+    // kill the query mid-stream, restart from the checkpoint, verify no
+    // window is emitted twice and emitted values equal the batch result.
+    val base = Files.createTempDirectory("graft-ckpt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val staging = splitEventsIntoChunks(6)
+    val files = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+    }
+    def runOnce(): Unit = {
+      val q = StreamOps.tumbling(StreamOps.eventsStream(spark, in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    copyIn(files.take(3)); runOnce()   // phase 1: partial input, then "crash"
+    copyIn(files.drop(3)); runOnce()   // phase 2: resume from checkpoint
+    val emitted = spark.read.parquet(out)
+    assert(emitted.count() > 0)
+    val dups = emitted.groupBy("wstart", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "a window emitted by phase 1 must not re-emit after resume")
+    // every emitted window matches the batch aggregation over the full input
+    val batch = wallClock(EventWindows.tumblingAgg(Tables.events(spark, sf)), "wstart")
+      .withColumnsRenamed(Map("cnt" -> "b_cnt", "sum_value" -> "b_sum"))
+    val mismatches = wallClock(emitted, "wstart")
+      .join(batch, Seq("wstart", "event_type"), "left")
+      .filter(col("cnt") =!= col("b_cnt") || col("sum_value") =!= col("b_sum") ||
+        col("b_cnt").isNull)
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("mapGroupsWithState keeps exact running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
