@@ -48,6 +48,38 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
 
+  /** Assign each vector to its nearest centroid (0-based `cid`); argmin ties
+    * break to the lowest index via array_position. Map-only: centroids ride
+    * along as a broadcast literal. */
+  def assignToCentroid(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
+      .withColumn("dists", expr(
+        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
+      .withColumn("cid",
+        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+      .drop("cs", "dists")
+
+  /** Deterministic distributed Lloyd iterations for IVF coarse quantization:
+    * init = first k vectors by id; each iteration is one grouped-average job
+    * (k × dims result collected to the driver — tiny). At 100 TB: run on a
+    * sample, then assignment stays a map-only pass over the corpus. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val dims = e.select(size(col("v"))).head().getInt(0)
+    var centroids: Seq[Seq[Double]] =
+      e.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val avgs = (0 until dims).map(i => avg(element_at(col("v"), i + 1)).as(s"d$i"))
+      val updated = assignToCentroid(e, centroids)
+        .groupBy("cid").agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)))
+        .toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vector vec_id=0 (oracle-checked).
     "q_sim_topk" -> ((s, d) => {
@@ -102,6 +134,24 @@ object Similarity {
           round(expr("cosine_similarity(va, vb)"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("da"), col("db"))
         .limit(20)
+    }),
+
+    // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
+    // search only the query's cell. Same two-stage shape as production IVF;
+    // centroid-dependent result set => no DuckDB oracle (exactness asserted
+    // against a driver-side recomputation in SimilaritySpec).
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val e = corpus(s, d)
+      val assigned = assignToCentroid(e, kmeansCentroids(e, 8, 3))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
     }),
 
     // ANN: sign-LSH bucketing (8 planes -> 256 buckets), cosine only within

@@ -94,6 +94,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN equals a driver-side recomputation over the same cells") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val cents = Similarity.kmeansCentroids(e, 8, 3)
+    assert(cents.size == 8 && cents.forall(_.size == 64))
+    val assigned = Similarity.assignToCentroid(e, cents)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val expected = (0L until 5L).flatMap { qid =>
+      val (_, qv, qcid) = assigned.find(_._1 == qid).get
+      assigned.filter(t => t._3 == qcid && t._1 != qid)
+        .map(t => (qid, t._1, cos(qv, t._2)))
+        .sortBy { case (_, id, c) => (-c, id) }.take(3)
+        .zipWithIndex.map { case ((q, id, c), i) => Seq[Any](q, id, c, i + 1) }
+    }
+    val got = rows(Similarity.queries("q_sim_ann_ivf")(spark, sf))
+    assert(got == expected)
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)

@@ -21,11 +21,23 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query names are globally unique across operator groups") {
+    val groups = Seq(
+      Relational.queries, Joins.queries, Aggregates.queries, Windows.queries,
+      graft.functions.Scalars.queries, graft.streaming.EventWindows.queries,
+      Dedup.queries, Similarity.queries, TextAnalysis.queries,
+      Multimodal.queries, graft.api.MapperFacade.queries)
+    val total = groups.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      "a duplicate q_* name would silently shadow another group's query")
+  }
+
   test("every query has either an oracle or a documented no-oracle status") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expectedNoOracle = Set(
       "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
-      "q_sim_ann_lsh", "q_stream_sliding", "q_multimodal_features")
+      "q_sim_ann_lsh", "q_sim_ann_ivf", "q_stream_sliding",
+      "q_multimodal_features")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -84,6 +84,19 @@ class TextMapperSpec extends SparkSpec {
     assert(feats.count() == Tables.documents(spark, sf).count())
   }
 
+  test("lifecycle bridge observes completed actions") {
+    val bridge = graft.api.LifecycleBridge.install(spark)
+    try {
+      Tables.region(spark, sf).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (bridge.completed.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(bridge.completed.nonEmpty)
+      assert(bridge.completed.forall(_.error.isEmpty))
+    } finally spark.listenerManager.unregister(bridge)
+  }
+
   test("mapper facade: accumulator counts processed entities, output matches SQL surface") {
     val (ds, acc) = MapperRunner.run(spark, sf, MapperFacade.JsonlJob)(
       org.apache.spark.sql.Encoders.product[MapperFacade.JsonOut])
