@@ -89,6 +89,19 @@ object Aggregates {
       s.sql(GroupingSetsSql)
     }),
 
+    // PIVOT: revenue by nation × market segment widened to one column per
+    // segment (explicit value list => no extra distinct-values job).
+    "q_agg_pivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(sum(col("o_totalprice").cast(dec2)).cast("double"))
+        .orderBy("n_name")
+    }),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -134,6 +147,15 @@ object Aggregates {
         "count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
     "q_agg_grouping_sets" -> GroupingSetsSql,
+    "q_agg_pivot" ->
+      ("SELECT n_name, " +
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+          .map(sg => "CAST(SUM(CASE WHEN c_mktsegment = '" + sg +
+            "' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS \"" + sg + "\"")
+          .mkString(", ") +
+        " FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
     "q_agg_stats" ->
       ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "round(stddev_samp(l_quantity), 4) AS sd_qty, " +

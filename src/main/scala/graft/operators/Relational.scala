@@ -104,6 +104,22 @@ object Relational {
         .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(500)),
 
+    // Correlated EXISTS — Catalyst decorrelates to a left-semi join; the
+    // SQL text runs verbatim in DuckDB, so the oracle is the same string.
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SubqueryExistsSql)
+    }),
+
+    // Correlated scalar subqueries (decorrelated to aggregated joins). The
+    // predicate compares exact decimals (price × count > sum) instead of a
+    // float average, so boundary rows can't flip between engines.
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SubqueryScalarSql)
+    }),
+
     // UNION = union + dedup (shuffle on the full row).
     "q_set_union" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -129,7 +145,23 @@ object Relational {
         .orderBy("o_custkey")
     }))
 
+  /** Runs verbatim in both Spark and DuckDB. */
+  val SubqueryExistsSql: String =
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+      "ORDER BY c_custkey"
+
+  /** Runs verbatim in both Spark and DuckDB. */
+  val SubqueryScalarSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+      "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * " +
+      "(SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) > " +
+      "(SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+      "ORDER BY o_orderkey"
+
   val oracles: Map[String, String] = Map(
+    "q_subquery_exists" -> SubqueryExistsSql,
+    "q_subquery_scalar" -> SubqueryScalarSql,
     "q_scan_keysonly" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_scan_count" ->
