@@ -102,6 +102,16 @@ object Aggregates {
         .orderBy("n_name")
     }),
 
+    // UNPIVOT (melt): the pivoted wide frame back to (nation, segment,
+    // revenue) long form. Oracle = UNION ALL of per-segment projections.
+    "q_agg_unpivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val wide = queries("q_agg_pivot")(s, d)
+      wide.unpivot(Array(col("n_name")), segs.map(col).toArray, "segment", "revenue")
+        .filter(col("revenue").isNotNull)
+        .orderBy("n_name", "segment")
+    }),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -156,6 +166,15 @@ object Aggregates {
         " FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
+    "q_agg_unpivot" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val base = "SELECT n_name, CAST(SUM(CASE WHEN c_mktsegment = '%s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+      "SELECT n_name, segment, revenue FROM (" +
+        segs.map(sg => s"SELECT n_name, '$sg' AS segment, revenue FROM (${base.format(sg)})")
+          .mkString(" UNION ALL ") +
+        ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
+    },
     "q_agg_stats" ->
       ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "round(stddev_samp(l_quantity), 4) AS sd_qty, " +

@@ -30,6 +30,16 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).csv(path)
+
+  /** Bucketed managed table (SCALE.md §Joins): co-bucketing both sides of a
+    * recurring fact-fact join on the join key removes the exchange from
+    * every downstream join — the 100 TB layout move. Requires the session
+    * catalog (saveAsTable), so it's a layout tool, not a query-path sink. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }
 
 object Sources {

@@ -63,6 +63,25 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream join: each purchase joined to this user's clicks from
+    * the preceding hour. Both sides are watermarked so Spark can bound the
+    * join state (clicks older than watermark + range are evicted) — the
+    * stateful-join scale story at 100 TB/day. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the final result table (test/dev harness; complete mode). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

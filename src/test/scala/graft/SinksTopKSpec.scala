@@ -39,6 +39,23 @@ class SinksTopKSpec extends SparkSpec {
     assert(rows(back.orderBy("r_regionkey")) == rows(df.orderBy("r_regionkey")))
   }
 
+  test("co-bucketed tables join without an exchange") {
+    Sinks.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .hint("merge") // force sort-merge so bucketing (not broadcast) is exercised
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+    val plan = physicalPlan(joined)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+
   test("TopKAggregator: bounded buffer, merge == single pass, exact order") {
     val agg = new TopKAggregator(3)
     def rv(v: Double, id: Long) = RankedValue(BigDecimal(v), id)

@@ -118,6 +118,23 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val dir = splitEventsIntoChunks(5)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.purchaseClickJoin(StreamOps.eventsStream(spark, dir)),
+      "ss_join", OutputMode.Append())
+    val batch = StreamOps.purchaseClickJoin(
+      Tables.events(spark, sf)
+        .withColumn("ts", col("ts").cast("timestamp"))) // LTZ like the stream
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("p_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = key(streamed)
+    val b = key(batch)
+    assert(s.nonEmpty)
+    assert(s == b, s"streamed ${s.size} pairs vs batch ${b.size}")
+  }
+
   test("mapGroupsWithState keeps exact running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
