@@ -6,9 +6,9 @@ import graft.operators._
 import graft.functions.Scalars
 import graft.streaming.EventWindows
 
-/** Driver contract — see /root/repo/SURVEY.md §3 (operator inventory) and §7.
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §8.
   * Each operator group contributes its `queries` + `oracles`; names are the
-  * normative q_* identifiers from SURVEY.md §3.
+  * normative q_* identifiers from SURVEY.md §2.
   */
 object SparkEntry {
   /** Flagship query (TPC-H Q1-style pricing summary) on sf0.001;
@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §3. */
+  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ Scalars.queries ++ EventWindows.queries ++

@@ -1,16 +1,15 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
-/** SURVEY.md §4.2 entry point 3 — the reference-shaped mapper API: a `Job`
+/** SURVEY.md §4 entry point 3 — the reference-shaped mapper API: a `Job`
   * declares a query (which "kind" to scan) and a per-record `next` callback,
   * and the runner executes it as a distributed Spark plan [U: mirrors
   * datastore-mapper's Job/Next ergonomics; reference checkout is empty, see
   * SURVEY.md §0].
   *
-  * The reference's machinery maps onto Spark wholesale (SURVEY.md §5.1):
+  * The reference's machinery maps onto Spark wholesale (SURVEY.md §5):
   * scatter-shard planning -> parquet split planning; slice checkpoint/resume
   * -> task retry from lineage; lease locks -> deterministic re-execution +
   * atomic file commit; per-shard progress entities -> accumulators; GCS
@@ -27,26 +26,31 @@ trait MapperJob[T, O] extends Serializable {
 }
 
 object MapperRunner {
-  /** Lazily runs the mapper as mapPartitions; `processed` counts via
-    * accumulator once an action executes. */
+  /** Lazily runs the mapper as mapPartitions. Progress is an `Observation`
+    * on the INPUT rows, not an accumulator inside the transformation:
+    * observed metrics are computed once per completed action, so task
+    * retries/speculation can't inflate the count the way accumulator
+    * increments inside mapPartitions would — the effectively-once
+    * accounting the reference's per-shard progress entities provided [U]. */
   def run[T, O: Encoder](spark: SparkSession, sfDir: String,
-      job: MapperJob[T, O]): (Dataset[O], LongAccumulator) = {
+      job: MapperJob[T, O]): (Dataset[O], Observation) = {
     job.jobStarted(spark)
-    val acc = spark.sparkContext.longAccumulator("graft.mapper.processed")
-    val out = job.query(spark, sfDir).mapPartitions { it =>
-      it.flatMap { t => acc.add(1); job.next(t) }
-    }
-    (out, acc)
+    val obs = Observation()
+    val out = job.query(spark, sfDir)
+      .observe(obs, count(lit(1)).as("processed"))
+      .mapPartitions(it => it.flatMap(job.next))
+    (out, obs)
   }
 
   /** Run + write ("compose" = single output file, like the reference's GCS
     * compose fan-in [U]); fires jobCompleted with the processed count. */
   def runToParquet[T, O: Encoder](spark: SparkSession, sfDir: String,
       job: MapperJob[T, O], outPath: String): Long = {
-    val (out, acc) = run(spark, sfDir, job)
+    val (out, obs) = run(spark, sfDir, job)
     out.coalesce(1).write.mode("overwrite").parquet(outPath)
-    job.jobCompleted(spark, acc.value)
-    acc.value
+    val processed = obs.get("processed").asInstanceOf[Long]
+    job.jobCompleted(spark, processed)
+    processed
   }
 }
 

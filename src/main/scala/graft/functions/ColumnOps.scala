@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Column helpers shared by the operator inventory.
   *
-  * Oracle-parity rule (SURVEY.md §6.2, §8 "hard parts"): the driver
+  * Oracle-parity rule (SURVEY.md §6, §8 "hard parts"): the driver
   * hash-compares Spark parquet output against DuckDB. Floating-point sums are
   * summation-order dependent, so every monetary aggregate goes through an
   * exact DECIMAL cast (the testdata's doubles are exact 2-decimal values —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed UDAF (SURVEY.md §5.3): MinHash signature as an
+/** Typed UDAF (SURVEY.md §5): MinHash signature as an
   * Aggregator[IN, BUF, OUT] — the mergeable-state surface of the engine.
   * The buffer (k running minima) merges associatively/commutatively, so
   * Catalyst can combine partial signatures map-side and across partitions —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SURVEY.md §3.8 — scalar function families (string/date/math/array/json/
+/** SURVEY.md §2.8 — scalar function families (string/date/math/array/json/
   * map), one query per family, every function oracle-checked against DuckDB.
   *
   * All of these are built-in codegen'd Catalyst expressions — each query is a

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.ColumnOps._
 
-/** SURVEY.md §3.4 — aggregations: partial+final hash aggregate, distinct,
+/** SURVEY.md §2.4 — aggregations: partial+final hash aggregate, distinct,
   * approx-distinct (HLL), rollup/cube/grouping sets (Expand), stats.
   *
   * Scale: every groupBy here does map-side partial aggregation, so the
@@ -21,7 +21,7 @@ object Aggregates {
   private val dec2 = DecimalType(18, 2)
 
   val queries: Map[String, Q] = Map(
-    // Flagship: TPC-H Q1-style pricing summary (SURVEY.md §3.4).
+    // Flagship: TPC-H Q1-style pricing summary (SURVEY.md §2.4).
     "q_agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -82,7 +82,7 @@ object Aggregates {
           col("cnt"), col("revenue"))
         .orderBy("status", "priority")),
 
-    // GROUPING SETS via the SQL surface (SURVEY.md §4.2 entry point 2). The
+    // GROUPING SETS via the SQL surface (SURVEY.md §4 entry point 2). The
     // SQL string is valid in both engines, so the oracle is the same text.
     "q_agg_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SURVEY.md §3.10 — deduplication family for LLM-data pipelines: exact,
+/** SURVEY.md §2.10 — deduplication family for LLM-data pipelines: exact,
   * exact n-gram Jaccard, MinHash+LSH, SimHash.
   *
   * Scale design (100 TB of documents):
@@ -44,7 +44,6 @@ object Dedup {
     * stop-shingle cap (filter on df) is the 100 TB guard if the corpus has
     * boilerplate — not needed on this data (max df = 25). */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2)
       .select(explode(expr(
@@ -52,6 +51,16 @@ object Dedup {
         .as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    jaccardFromInter(inter, sh, threshold)
+  }
+
+  /** Shared exact-Jaccard verification: pair intersection counts + per-doc
+    * shingle counts -> round(|∩| / |∪|, 6), thresholded. One definition so
+    * the ground truth (jaccardPairs) and the LSH candidate verification
+    * can't drift apart. */
+  private def jaccardFromInter(inter: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     inter
       .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
       .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
@@ -113,29 +122,21 @@ object Dedup {
       jaccardPairs(shingles(Tables.documents(s, d)), 0.8)
         .orderBy("da", "db")),
 
-    // MinHash(16) + LSH(4 bands × 4 rows) candidates, verified by exact
-    // Jaccard >= 0.8. Hash-dependent candidate set => no DuckDB oracle;
-    // DedupSpec asserts recall against q_dedup_ngram.
+    // MinHash(16) + LSH(4 bands × 4 rows) candidates, verified by the same
+    // exact-Jaccard helper as the ground truth. Hash-dependent candidate
+    // set => no DuckDB oracle; DedupSimilaritySpec asserts recall against
+    // q_dedup_ngram.
     "q_dedup_minhash" -> ((s, d) => {
       val sh = shingles(Tables.documents(s, d))
       val cand = lshCandidates(minhashSignatures(sh, 16), 4, 4)
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val a = sh.select(col("doc_id").as("da"), col("sh"))
-      val inter = cand.join(a, "da")
+      val inter = cand.join(sh.select(col("doc_id").as("da"), col("sh")), "da")
         .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-      inter
-        .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
-        .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
-        .select(col("da"), col("db"),
-          round(col("inter").cast("double") / (col("nsa") + col("nsb") - col("inter")), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("da", "db")
+      jaccardFromInter(inter, sh, 0.8).orderBy("da", "db")
     }),
 
     // SimHash fingerprints + near-pairs at Hamming distance <= 2.
-    // Hash-dependent => no oracle; DedupSpec checks planted dups collide.
+    // Hash-dependent => no oracle; DedupSimilaritySpec checks planted dups collide.
     "q_dedup_simhash" -> ((s, d) => {
       val fps = simhash(Tables.documents(s, d))
       val a = fps.select(col("doc_id").as("da"), col("fingerprint").as("fa"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ColumnOps._
 
-/** SURVEY.md §3.3 — joins. The reference has no joins at all [U, §1]; this is
+/** SURVEY.md §2.3 — joins. The reference has no joins at all [U, §1]; this is
   * the "spark-surface" capability a usable analytics engine over the star
   * schema needs.
   *
@@ -98,7 +98,7 @@ object Joins {
 
     // As-of join (latest prior 'click' for each 'purchase', per user) as a
     // window over the unioned event stream: one shuffle on user_id, no
-    // row-at-a-time lookup. SURVEY.md §3.3 chose this formulation so the
+    // row-at-a-time lookup. SURVEY.md §2.3 chose this formulation so the
     // DuckDB oracle can express it identically.
     "q_join_asof" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SURVEY.md §3.10 / builder prompt — multimodal column plumbing: opaque
+/** SURVEY.md §2.10 / builder prompt — multimodal column plumbing: opaque
   * `binary` payloads + typed metadata, with decode/feature-extraction STUBBED
   * deterministically (no image/audio codecs in this container). The
   * Spark-side shapes — binary columns, schema, partition-parallel batch

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SURVEY.md §3.1 (scans/sources/sinks), §3.2 (projection/filter/predicates),
-  * §3.6 (sort/limit/top-k), §3.7 (set ops).
+/** SURVEY.md §2.1 (scans/sources/sinks), §2.2 (projection/filter/predicates),
+  * §2.6 (sort/limit/top-k), §2.7 (set ops).
   *
   * These reproduce the reference's Datastore-query semantics — keys-only
   * scans, property filters, projections, sort+limit+cursor — as declarative

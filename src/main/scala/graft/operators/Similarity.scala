@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ColumnOps._
 
-/** SURVEY.md §3.10 — similarity search over the `embeddings` table.
+/** SURVEY.md §2.10 — similarity search over the `embeddings` table.
   *
   * Scale design (billions of vectors):
   *  - Brute-force top-k: broadcast the query vector(s), one codegen'd pass
@@ -139,7 +139,7 @@ object Similarity {
     // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
     // search only the query's cell. Same two-stage shape as production IVF;
     // centroid-dependent result set => no DuckDB oracle (exactness asserted
-    // against a driver-side recomputation in SimilaritySpec).
+    // against a driver-side recomputation in DedupSimilaritySpec).
     "q_sim_ann_ivf" -> ((s, d) => {
       val e = corpus(s, d)
       val assigned = assignToCentroid(e, kmeansCentroids(e, 8, 3))
@@ -156,7 +156,7 @@ object Similarity {
 
     // ANN: sign-LSH bucketing (8 planes -> 256 buckets), cosine only within
     // the query's bucket. Hash/plane-dependent recall => no DuckDB oracle;
-    // SimilaritySpec checks bucket-local results against brute force.
+    // DedupSimilaritySpec checks bucket-local results against brute force.
     "q_sim_ann_lsh" -> ((s, d) => {
       val e = corpus(s, d).withColumn("sig", lshSignature(col("v"), 8, 64))
       val q = e.filter(col("vec_id") < 5)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** SURVEY.md §3.10 — text analysis for LLM-data pipelines: token counting,
+/** SURVEY.md §2.10 — text analysis for LLM-data pipelines: token counting,
   * language-ID heuristic, quality scoring, TF-IDF, rolling-hash
   * fingerprinting. All pure codegen'd expressions (no UDFs), all
   * oracle-checked.
@@ -82,6 +82,9 @@ object TextAnalysis {
     "q_text_quality" -> ((s, d) => {
       val stopHits = markerScore(Markers("en"))
       Tables.documents(s, d)
+        // zero-token docs are excluded on both sides (x/0 semantics differ
+        // between engines)
+        .filter(size(toks) > 0)
         .select(
           col("doc_id"),
           length(col("text")).as("text_chars"),
@@ -115,8 +118,12 @@ object TextAnalysis {
 
     // Rolling-hash document fingerprint: position-weighted char-code sum mod
     // a prime — order-sensitive, overflow-free (exact in both engines).
+    // Empty docs are excluded on BOTH sides: Spark's sequence(1,0) would go
+    // descending while DuckDB's range(1,1) is empty, so their "fingerprints"
+    // of '' diverge (0 vs NULL).
     "q_text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
         .select(
           col("doc_id"),
           pmod(aggregate(
@@ -158,7 +165,7 @@ object TextAnalysis {
         s"round(CAST($stop AS DOUBLE) / len($DuckToks), 6) AS stop_ratio, " +
         s"round(least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * " +
         s"(1.0 - abs(CAST($stop AS DOUBLE) / len($DuckToks) - 0.1)), 6) AS quality " +
-        "FROM documents ORDER BY doc_id"
+        s"FROM documents WHERE len($DuckToks) > 0 ORDER BY doc_id"
     },
     "q_text_tfidf_top" ->
       (s"WITH t AS (SELECT source, unnest($DuckToks) AS term FROM documents), " +
@@ -171,5 +178,5 @@ object TextAnalysis {
     "q_text_fingerprint" ->
       ("SELECT doc_id, CAST(CAST(list_aggregate(list_transform(range(1, CAST(length(text) AS BIGINT) + 1), " +
         "i -> ascii(text[i]) * ((i * 131) % 1000003)), 'sum') AS BIGINT) % 1000000007 AS BIGINT) AS fingerprint " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents WHERE length(text) > 0 ORDER BY doc_id"))
 }

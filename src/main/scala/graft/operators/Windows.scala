@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.ColumnOps._
 
-/** SURVEY.md §3.5 (window functions) + §3.6's q_topk_per_group.
+/** SURVEY.md §2.5 (window functions) + §2.6's q_topk_per_group.
   *
   * Scale: every window below is partitioned by a high-cardinality key
   * (customer, user, brand), so state per partition stays small and the work

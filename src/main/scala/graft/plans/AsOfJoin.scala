@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
-/** SURVEY.md §5.3 / spark_guide "custom operator" path — a whole-operator
+/** SURVEY.md §5 / spark_guide "custom operator" path — a whole-operator
   * as-of join: for every left row, the latest right row of the same key
   * whose (ts, tie) is strictly before the left row's (ts, tie).
   *

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
-/** SURVEY.md §3.9 — event-time windowing over `events`, declared in batch
+/** SURVEY.md §2.9 — event-time windowing over `events`, declared in batch
   * mode (same `window()` / `session_window()` expressions Structured
   * Streaming executes incrementally; StreamOps wires the streaming variants
   * and the ScalaTest suite asserts batch/stream equivalence).

@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** SURVEY.md §3.9 — the Structured Streaming surface. The same window
+/** SURVEY.md §2.9 — the Structured Streaming surface. The same window
   * aggregations as EventWindows, executed incrementally with watermarks,
   * plus a custom-state operator (mapGroupsWithState).
   *
-  * The reference is batch-only [U, SURVEY.md §2.1]; this is the engine's
+  * The reference is batch-only [U, SURVEY.md §3.1]; this is the engine's
   * incremental path: file-source micro-batches + checkpointed state replace
   * the reference's "re-run the job with a time-window filter" idiom.
   *

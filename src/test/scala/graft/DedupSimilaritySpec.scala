@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 import graft.functions.ColumnOps
 
-/** SURVEY.md §3.10 — dedup + similarity: the no-oracle operators are
+/** SURVEY.md §2.10 — dedup + similarity: the no-oracle operators are
   * validated here against ground truth (exact Jaccard / brute force). */
 class DedupSimilaritySpec extends SparkSpec {
 

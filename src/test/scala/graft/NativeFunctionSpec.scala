@@ -17,8 +17,21 @@ class NativeFunctionSpec extends SparkSpec {
         expr("cosine_similarity(v, qv)").as("native"),
         (ColumnOps.dot(col("v"), col("qv")) /
           (ColumnOps.norm(col("v")) * ColumnOps.norm(col("qv")))).as("hof"))
-    val diffs = both.filter(col("native") =!= col("hof")).count()
+    // null-safe inequality: a plain =!= returns NULL (dropped by filter)
+    // when either side is NULL, which would mask a divergence
+    val diffs = both.filter(!(col("native") <=> col("hof"))).count()
     assert(diffs == 0, "fold order must make native == HOF bit-exactly")
+  }
+
+  test("mismatched-length arrays yield NULL, matching the HOF zip_with semantics") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      expr("cosine_similarity(a, b)").as("native"),
+      (ColumnOps.dot(col("a"), col("b")) /
+        (ColumnOps.norm(col("a")) * ColumnOps.norm(col("b")))).as("hof")).head()
+    assert(r.isNullAt(0), "native must not silently truncate to the common prefix")
+    assert(r.isNullAt(1))
   }
 
   test("native top-k query equals the HOF top-k query") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** Relational/join/agg/window operator correctness + plan-shape assertions
-  * (SURVEY.md §6.2.2: assert both results and physical plans). */
+  * (SURVEY.md §6: assert both results and physical plans). */
 class OperatorSpec extends SparkSpec {
 
   test("every declared query runs non-empty on sf0.001") {

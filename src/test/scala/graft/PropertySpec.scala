@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.functions.ColumnOps
 
-/** SURVEY.md §6.2.3 — property-based algebraic laws. ScalaCheck generators
+/** SURVEY.md §6 — property-based algebraic laws. ScalaCheck generators
   * driven with fixed seeds (the scalatest/scalacheck bridge artifact isn't in
   * the offline cache, so sampling is explicit and deterministic). */
 class PropertySpec extends SparkSpec {

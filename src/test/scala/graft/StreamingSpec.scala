@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{EventWindows, StreamOps}
 
-/** SURVEY.md §6.2.4 — streaming equivalence: the incremental execution of the
+/** SURVEY.md §6 — streaming equivalence: the incremental execution of the
   * window aggregations must converge to the batch result, and watermarking
   * must drop late rows in append mode. */
 class StreamingSpec extends SparkSpec {

@@ -84,6 +84,20 @@ class TextMapperSpec extends SparkSpec {
     assert(feats.count() == Tables.documents(spark, sf).count())
   }
 
+  test("q_multimodal_features equals local application of the decode stub") {
+    // pins the no-oracle query: distributed output must equal doc-by-doc
+    // driver-side decodeStub + the same feat_sum rounding
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+      val f = Multimodal.decodeStub(Multimodal.MediaRow(id, text.getBytes("UTF-8")))
+      val sum = f.feat.map(_.toDouble).foldLeft(0.0)(_ + _)
+      Seq[Any](id, f.width, f.height, f.n_frames, math.rint(sum * 1e6) / 1e6)
+    }
+    val got = rows(Multimodal.queries("q_multimodal_features")(spark, sf))
+    assert(got == expected)
+  }
+
   test("lifecycle bridge observes completed actions") {
     val bridge = graft.api.LifecycleBridge.install(spark)
     try {
@@ -97,11 +111,11 @@ class TextMapperSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(bridge)
   }
 
-  test("mapper facade: accumulator counts processed entities, output matches SQL surface") {
-    val (ds, acc) = MapperRunner.run(spark, sf, MapperFacade.JsonlJob)(
+  test("mapper facade: observation counts processed entities, output matches SQL surface") {
+    val (ds, obs) = MapperRunner.run(spark, sf, MapperFacade.JsonlJob)(
       org.apache.spark.sql.Encoders.product[MapperFacade.JsonOut])
     val n = ds.count()
-    assert(acc.value == n, "every scanned entity passes through next()")
+    assert(obs.get("processed") == n, "every scanned entity passes through next()")
     val viaFacade = MapperFacade.queries("q_mapper_jsonl")(spark, sf)
     val viaSql = graft.operators.Relational.queries("q_sink_jsonl")(spark, sf)
     assert(rows(viaFacade) == rows(viaSql))
