@@ -49,8 +49,9 @@ object EventWindows {
     "q_stream_tumbling" -> ((s, d) =>
       tumblingAgg(Tables.events(s, d)).orderBy("wstart", "event_type")),
 
-    // Sliding windows multiply each row into 4 overlapping windows (Expand);
-    // no DuckDB oracle per contract (messy generate_series equivalent).
+    // Sliding windows multiply each row into 4 overlapping windows (Expand).
+    // Oracle: each event belongs to the 4 epoch-aligned 15-min buckets
+    // ending at its own bucket — expressible with time_bucket + range(0,4).
     "q_stream_sliding" -> ((s, d) =>
       slidingAgg(Tables.events(s, d)).orderBy("wstart", "event_type")),
 
@@ -59,6 +60,11 @@ object EventWindows {
       sessionAgg(Tables.events(s, d)).orderBy("user_id", "sess_start")))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sliding" ->
+      ("SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, event_type, count(*) AS cnt FROM " +
+        "(SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart, event_type " +
+        "FROM events, UNNEST(range(0, 4)) AS t(k)) " +
+        "GROUP BY wstart, event_type ORDER BY wstart, event_type"),
     "q_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

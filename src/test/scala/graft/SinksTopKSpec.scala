@@ -40,6 +40,20 @@ class SinksTopKSpec extends SparkSpec {
   }
 
   test("co-bucketed tables join without an exchange") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dir persists; clear orphaned locations or saveAsTable refuses them
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Sinks.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
       "b_orders", "o_orderkey", 8)

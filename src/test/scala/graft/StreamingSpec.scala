@@ -41,6 +41,18 @@ class StreamingSpec extends SparkSpec {
       rows(wallClock(batch, "wstart").orderBy("wstart", "event_type")))
   }
 
+  test("streaming sliding windows converge to the batch result") {
+    val dir = splitEventsIntoChunks(7)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.sliding(StreamOps.eventsStream(spark, dir)),
+      "sliding_complete", OutputMode.Complete())
+    val batch = EventWindows.slidingAgg(Tables.events(spark, sf))
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      rows(wallClock(wallClock(df, "wstart"), "wend")
+        .orderBy("wstart", "event_type"))
+    assert(norm(streamed) == norm(batch))
+  }
+
   test("streaming session windows converge to the batch result") {
     val dir = splitEventsIntoChunks(6)
     val streamed = StreamOps.runToMemory(
