@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions.col
   * machinery. At 100 TB this is one co-shuffle of each side and a linear
   * merge, the same cost shape as a sort-merge join.
   *
-  * Keys/timestamps/tiebreaks must be long-backed types (integers,
-  * timestamps) — true of every as-of use in this engine.
+  * Keys/timestamps/tiebreaks must be NON-NULL long-backed types (integers,
+  * timestamps) — true of every as-of use in this engine; the merge compares
+  * raw long values and does not define an ordering for NULLs.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
