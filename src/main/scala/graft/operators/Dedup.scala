@@ -92,6 +92,33 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
+  /** Connected components over an undirected pair list by iterative min-label
+    * propagation (each round: label = min(label, neighbors' labels); converges
+    * in O(component diameter) rounds — near-dup clusters are tiny, so 2-3).
+    * Driver loop checks convergence via a count; each round is one shuffle.
+    * At 100 TB this is the standard large-scale CC shape (the GraphX/Pregel
+    * equivalent expressed in DataFrames). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+      .union(pairs.select(col("db").as("u"), col("da").as("v")))
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("cluster")).as("n_min"))
+      val next = labels.join(viaNeighbors, "doc_id")
+        .select(col("doc_id"), least(col("cluster"), col("n_min")).as("cluster"))
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next.localCheckpoint() // truncate the growing lineage per round
+      converged = changed == 0
+    }
+    labels
+  }
+
   /** 32-bit SimHash fingerprint per doc from token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -135,6 +162,14 @@ object Dedup {
       jaccardFromInter(inter, sh, 0.8).orderBy("da", "db")
     }),
 
+    // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    // graph; each doc maps to its cluster representative (min doc_id).
+    // Oracle: transitive closure via a recursive CTE.
+    "q_dedup_clusters" -> ((s, d) =>
+      connectedComponents(
+        jaccardPairs(shingles(Tables.documents(s, d)), 0.8))
+        .orderBy("doc_id")),
+
     // SimHash fingerprints + near-pairs at Hamming distance <= 2.
     // Hash-dependent => no oracle; DedupSimilaritySpec checks planted dups collide.
     "q_dedup_simhash" -> ((s, d) => {
@@ -173,5 +208,17 @@ object Dedup {
         "SELECT da, db, round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) AS jaccard " +
         "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
         "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8 " +
-        "ORDER BY da, db"))
+        "ORDER BY da, db"),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
+        "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
+        "n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "p AS (SELECT da, db FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
+        "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8), " +
+        "e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p), " +
+        "r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u) " +
+        "SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u ORDER BY doc_id"))
 }

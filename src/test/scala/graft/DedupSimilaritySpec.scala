@@ -47,6 +47,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 1.0 / 3) < 1e-6)
   }
 
+  test("connected components: chains merge, separate components stay apart") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("q_dedup_clusters: every near-dup pair lands in one cluster") {
+    val pairs = rows(Dedup.queries("q_dedup_ngram")(spark, sf))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    val clusters = rows(Dedup.queries("q_dedup_clusters")(spark, sf))
+      .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // representatives are cluster minima
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep == members.keys.min)
+    }
+  }
+
+  test("salted aggregation equals the direct exact sum") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(graft.functions.ColumnOps.sumExact2(col("o_totalprice")).as("sum_o_totalprice"))
+    val salted = graft.functions.SkewOps.saltedSumExact2(
+      Tables.orders(spark, sf), "o_custkey", "o_totalprice", 7)
+    assert(rows(salted.orderBy("o_custkey")) == rows(direct.orderBy("o_custkey")))
+  }
+
   test("brute-force cosine top-k: self-similarity is 1, results match manual calc") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf).limit(50)
