@@ -92,15 +92,56 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
-  /** Connected components over an undirected pair list by iterative min-label
-    * propagation (each round: label = min(label, neighbors' labels); converges
-    * in O(component diameter) rounds — near-dup clusters are tiny, so 2-3).
-    * Driver loop checks convergence via a count; each round is one shuffle.
-    * At 100 TB this is the standard large-scale CC shape (the GraphX/Pregel
-    * equivalent expressed in DataFrames). */
+  /** Connected components over an undirected pair list. Hybrid execution —
+    * the policy production dedup systems use:
+    *  - pair graphs under `DriverCutoff` edges (one distributed pass computes
+    *    the pairs, then a driver-side union-find in milliseconds) — near-dup
+    *    graphs are sparse, so this is the common case even at large corpus
+    *    sizes;
+    *  - larger graphs fall back to distributed iterative min-label
+    *    propagation (one shuffle per round, O(component diameter) rounds) —
+    *    the GraphX/Pregel shape expressed in DataFrames.
+    * Both paths produce identical (doc_id, cluster=min member) labels. */
+  val DriverCutoff: Int = 1 << 20
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = pairs.select(col("da"), col("db")).as[(Long, Long)]
+      .limit(DriverCutoff + 1).collect()
+    if (probe.length <= DriverCutoff) {
+      val labels = unionFind(probe)
+      spark.createDataset(labels.toSeq.sortBy(_._1)).toDF("doc_id", "cluster")
+    } else {
+      iterativeComponents(pairs)
+    }
+  }
+
+  /** Driver-side union-find (path-halving) with min-member representatives. */
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r); parent(r) = parent.getOrElse(p, p); r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Distributed fallback: iterative min-label propagation with per-round
+    * lineage truncation; the edge list is materialized once so convergence
+    * rounds never recompute the upstream pair pipeline. */
+  private[graft] def iterativeComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("da").as("u"), col("db").as("v"))
       .union(pairs.select(col("db").as("u"), col("da").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var converged = false

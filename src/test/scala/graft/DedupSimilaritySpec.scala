@@ -50,9 +50,24 @@ class DedupSimilaritySpec extends SparkSpec {
   test("connected components: chains merge, separate components stay apart") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
-    val cc = Dedup.connectedComponents(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    val hybrid = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(hybrid == expected)
+    // both execution paths must agree (distributed fallback included)
+    val iterative = Dedup.iterativeComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == expected)
+  }
+
+  test("iterative and union-find components agree on the real pair graph") {
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(Tables.documents(spark, sf)), 0.8)
+    val a = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.iterativeComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a == b)
   }
 
   test("q_dedup_clusters: every near-dup pair lands in one cluster") {
