@@ -77,6 +77,20 @@ object Joins {
         .agg(count(lit(1)).as("cnt"), sumExact2(col("l_quantity")).as("sum_qty"))
         .orderBy("p_brand")),
 
+    // Pure non-equi join (no equi key at all) => BroadcastNestedLoopJoin.
+    // Deliberately bounded to the 25-row dim: the nested loop is O(n*m) and
+    // only sane when one side broadcasts — the plan shape the optimizer
+    // must NOT pick for large sides (see q_join_theta_range, which keeps
+    // its equi key precisely to avoid this).
+    "q_join_cross_ineq" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val n1 = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+      val n2 = n.select(col("n_nationkey").as("k2"))
+      n1.join(n2, col("k1") < col("k2"))
+        .groupBy("r1").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("r1")
+    }),
+
     // Same as-of semantics through the custom whole-operator path
     // (AsOfJoinPlan -> AsOfStrategy -> AsOfJoinExec, SCALE.md §Joins): two
     // co-shuffled sorted streams merged with O(1) state per partition.
@@ -128,6 +142,8 @@ object Joins {
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY n_orders, c_custkey",
     "q_join_theta_range" ->
       "SELECT p_brand, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity < p_size GROUP BY p_brand ORDER BY p_brand",
+    "q_join_cross_ineq" ->
+      "SELECT n1.n_regionkey AS r1, count(*) AS n_pairs FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey GROUP BY 1 ORDER BY 1",
     "q_join_asof" -> AsOfOracleSql,
     "q_join_asof_native" -> AsOfOracleSql)
 

@@ -63,6 +63,16 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pure non-equi join plans as BroadcastNestedLoopJoin") {
+    val plan = physicalPlan(Joins.queries("q_join_cross_ineq")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("theta join with an equi key does NOT fall back to a nested loop") {
+    val plan = physicalPlan(Joins.queries("q_join_theta_range")(spark, sf))
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("aggregation uses partial+final HashAggregate") {
     val plan = physicalPlan(Aggregates.queries("q_agg_pricing_summary")(spark, sf))
     assert(plan.contains("HashAggregate"), plan)
