@@ -29,8 +29,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Defensive self-containment: TESTDATA.md's table list omits
+    // documents/embeddings, so if the driver's DuckDB session registers only
+    // the listed names, those oracles would fail to resolve. Rewriting bare
+    // table references to direct parquet paths (for THIS sfDir) works under
+    // either registration scheme — DuckDB names a file scan after its stem,
+    // so qualified column references still resolve, and any explicit alias
+    // after the table token is preserved.
+    val tableRef = ("(FROM|JOIN) (" + Tables.names.mkString("|") + ")\\b").r
+    def selfContained(sql: String): String =
+      tableRef.replaceAllIn(sql, m =>
+        s"${m.group(1)} '$sfDir/${m.group(2)}.parquet'")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(selfContained(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
