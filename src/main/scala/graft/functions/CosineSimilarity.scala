@@ -98,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }
 }

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
@@ -125,6 +126,35 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: Catalyst can't reason about unknown nodes, so without
+  * this a Filter above the as-of join blocks all pushdown and both children
+  * scan their full inputs. Deterministic predicates over left-side columns
+  * push into the left child; predicates touching ONLY the join key are
+  * additionally mirrored onto the right child (sound because a right row
+  * can only ever match a left row with the EQUAL key). Net effect: the
+  * predicate reaches both parquet scans' PushedFilters.
+  */
+object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val newLeft = Filter(pushable.reduce(And), a.left)
+        val keyOnly = pushable.filter(_.references == AttributeSet(a.leftKey))
+        val newRight = if (keyOnly.nonEmpty) {
+          val mirrored = keyOnly.map(_.transform {
+            case att: Attribute if att.semanticEquals(a.leftKey) => a.rightKey
+          }.asInstanceOf[Expression]).reduce(And)
+          Filter(mirrored, a.right)
+        } else a.right
+        val pushed = a.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
 }
 
 object AsOfStrategy extends SparkStrategy {

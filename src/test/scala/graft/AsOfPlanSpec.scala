@@ -21,6 +21,27 @@ class AsOfPlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(user_id"), plan)
   }
 
+  test("filter above as-of pushes to BOTH children's parquet scans") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+    val filtered = AsOf.joinLatestPrior(purchases, clicks,
+      "user_id", "ts", "event_id", "prior_ts")
+      .filter(col("user_id") < 50)
+    val plan = physicalPlan(filtered)
+    // the key predicate must reach the pushed filters of both file scans
+    val pushes = plan.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("LessThan(user_id,50)"))
+      .size
+    assert(pushes == 2, s"expected user_id<50 pushed to both scans:\n$plan")
+    // and the result must equal filtering after the join
+    val unpushed = AsOf.joinLatestPrior(purchases, clicks,
+      "user_id", "ts", "event_id", "prior_ts")
+      .collect().filter(_.getLong(1) < 50).length
+    assert(filtered.count() == unpushed)
+  }
+
   test("hand-built scenario: latest prior tie-broken correctly, no-match is null") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
