@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.CosineSimilarity
+import graft.plans.{AsOfStrategy, PushFilterThroughAsOf}
+
+/** THE session-extension entry point: everything the engine injects into
+  * Catalyst registers here (native functions, planner strategies, optimizer
+  * rules). Installed via spark.sql.extensions — GraftSession sets it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
+      CosineSimilarity.builder))
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
+  }
+}

@@ -9,7 +9,7 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // native engine functions (cosine_similarity) via Catalyst extensions
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); Spark 4 can only surface it as
       // a long (Tables.events converts to a µs TimestampType).

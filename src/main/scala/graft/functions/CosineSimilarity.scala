@@ -91,13 +91,3 @@ object CosineSimilarity {
   }
 }
 
-/** Session extension registering the engine's native functions and planner
-  * strategies; installed via spark.sql.extensions (GraftSession sets it). */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
-      CosineSimilarity.builder))
-    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
-  }
-}

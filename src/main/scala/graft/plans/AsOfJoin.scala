@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions.col
   * machinery. At 100 TB this is one co-shuffle of each side and a linear
   * merge, the same cost shape as a sort-merge join.
   *
-  * Keys/timestamps/tiebreaks must be NON-NULL long-backed types (integers,
-  * timestamps) — true of every as-of use in this engine; the merge compares
-  * raw long values and does not define an ordering for NULLs.
+  * Keys/timestamps/tiebreaks must be long-backed types (bigint, timestamp,
+  * timestamp_ntz) — validated at the AsOf API boundary, which also drops
+  * NULL-keyed rows on both sides; the merge compares raw long values and
+  * defines no NULL ordering.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -101,14 +102,15 @@ case class AsOfJoinExec(
         var continue = rHeadValid
         while (continue) {
           val rk = rKeyB.eval(rHead).asInstanceOf[Long]
+          var rt = 0L
           val before = rk < lk || (rk == lk && {
-            val rt = rTsB.eval(rHead).asInstanceOf[Long]
+            rt = rTsB.eval(rHead).asInstanceOf[Long]
             rt < lt || (rt == lt &&
               rTieB.eval(rHead).asInstanceOf[Long] < ltie)
           })
           if (before) {
             if (rk == lk) {
-              lastMatchTs = rTsB.eval(rHead).asInstanceOf[Long]
+              lastMatchTs = rt
               hasMatch = true
               matchKey = rk
             }
@@ -139,8 +141,13 @@ case class AsOfJoinExec(
 object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, a: AsOfJoinPlan) =>
-      val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      // Only the deterministic PREFIX may move (same conservatism as
+      // Catalyst's own pushdown): reordering evaluation around a
+      // non-deterministic predicate would change which rows it sees.
+      val (detPrefix, tail) = splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, restPrefix) = detPrefix
+        .partition(_.references.subsetOf(a.left.outputSet))
+      val rest = restPrefix ++ tail
       if (pushable.isEmpty) f
       else {
         val newLeft = Filter(pushable.reduce(And), a.left)
@@ -166,26 +173,49 @@ object AsOfStrategy extends SparkStrategy {
   }
 }
 
-/** Public API: latest prior `right` row's ts per `left` row, by key. */
+/** Public API: latest prior `right` row's ts per `left` row, by key.
+  * Rows with NULL key/ts/tie are dropped on both sides (the same semantics
+  * an equi-join gives NULL keys; the merge has no NULL ordering). */
 object AsOf {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  private val LongBacked: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
   def joinLatestPrior(leftDf: DataFrame, rightDf: DataFrame,
       key: String, ts: String, tie: String, tsOutName: String): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
+    val l = leftDf.filter(col(key).isNotNull && col(ts).isNotNull &&
+      col(tie).isNotNull)
     // fresh exprIds on the right side so self-as-of (same source table)
     // cannot produce duplicate attribute ids across children
-    val r = rightDf.select(col(key).as("__asof_key"), col(ts).as("__asof_ts"),
-      col(tie).as("__asof_tie"))
-    val lPlan = leftDf.queryExecution.analyzed
+    val r = rightDf
+      .filter(col(key).isNotNull && col(ts).isNotNull && col(tie).isNotNull)
+      .select(col(key).as("__asof_key"), col(ts).as("__asof_ts"),
+        col(tie).as("__asof_tie"))
+    val lPlan = l.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not in ${p.output}"))
-    val ltAttr = attr(lPlan, ts)
-    val tsOut = AttributeReference(tsOutName, ltAttr.dataType, nullable = true)()
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val matches = p.output.filter(_.name == name)
+      if (matches.isEmpty)
+        throw new IllegalArgumentException(s"column $name not in ${p.output}")
+      if (matches.length > 1)
+        throw new IllegalArgumentException(s"column $name is ambiguous in ${p.output}")
+      val a = matches.head
+      if (!LongBacked.contains(a.dataType))
+        throw new IllegalArgumentException(
+          s"as-of column $name must be a long-backed type (bigint/timestamp), got ${a.dataType.sql}")
+      a
+    }
+    if (lPlan.output.exists(_.name == tsOutName))
+      throw new IllegalArgumentException(
+        s"output column $tsOutName collides with an existing left column")
+    val rtAttr = attr(rPlan, "__asof_ts")
+    // output carries the RIGHT side's ts values, so it takes the right type
+    val tsOut = AttributeReference(tsOutName, rtAttr.dataType, nullable = true)()
     GraftBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      attr(lPlan, key), ltAttr, attr(lPlan, tie),
-      attr(rPlan, "__asof_key"), attr(rPlan, "__asof_ts"),
-      attr(rPlan, "__asof_tie"), tsOut))
+      attr(lPlan, key), attr(lPlan, ts), attr(lPlan, tie),
+      attr(rPlan, "__asof_key"), rtAttr, attr(rPlan, "__asof_tie"), tsOut))
   }
 }

