@@ -28,11 +28,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** ns-epoch long column -> µs TimestampType. THE one definition of the
+    * nanosAsLong rebuild (FIXTURES.md pitfall), shared by the batch and
+    * streaming readers so the two paths cannot diverge. Integer `div`
+    * truncation — ns epochs ~1.7e18 exceed double's 2^53 mantissa, so float
+    * division would corrupt the low bits. */
+  def nsLongToMicrosTs(colName: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$colName div 1000"))
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    * a timestamp. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    * GraftSession); here the ns long is truncated to µs with integer `div`
-    * (ns epochs ~1.7e18 exceed double's 2^53 mantissa, so no float division)
-    * and rebuilt as a proper TimestampType column. */
+    * a timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true
+    * (see GraftSession) and the long is rebuilt here. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
@@ -40,7 +46,7 @@ object Tables {
         // cast to NTZ: matches how Spark 4 reads the other tables' naive
         // parquet timestamps (and how DuckDB sees them); UTC session => the
         // LTZ->NTZ rebase is the identity.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        df.withColumn("ts", nsLongToMicrosTs("ts").cast("timestamp_ntz"))
       case _ => df
     }
   }

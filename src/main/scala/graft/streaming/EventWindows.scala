@@ -69,11 +69,16 @@ object EventWindows {
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // e0 truncates ts to µs first (Spark reads µs-truncated ns timestamps,
+    // so gap comparisons must happen at the SAME precision on both sides —
+    // FIXTURES.md pitfall); both window orderings carry the event_id
+    // tiebreak so duplicate timestamps can't make session ids flap.
     "q_stream_session" ->
-      ("WITH g AS (SELECT user_id, ts, " +
+      ("WITH e0 AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events), " +
+        "g AS (SELECT user_id, event_id, ts, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
         "SELECT user_id, date_trunc('second', min(ts)) AS sess_start, " +
         "count(*) AS n_events, " +
         "epoch_us(date_trunc('second', max(ts))) // 1000000 - epoch_us(date_trunc('second', min(ts))) // 1000000 + 1800 AS dur_s " +

@@ -27,10 +27,17 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source micro-batch stream over a directory of events parquet. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source micro-batch stream over a directory of events parquet.
+    * Default maxFilesPerTrigger=1 so multiple input files genuinely exercise
+    * cross-micro-batch state merging (one big batch would degenerate the
+    * streaming path to batch execution); pass None for throughput mode. */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
+    val reader = spark.readStream.schema(eventsRawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+      .withColumn("ts", graft.Tables.nsLongToMicrosTs("ts"))
+  }
 
   def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     EventWindows.tumblingAgg(events.withWatermark("ts", watermark))
@@ -54,10 +61,11 @@ object StreamOps {
       .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
-          val batch = rows.toSeq
-          val next = UserTotals(user, prev.n_events + batch.size,
-            // 2-decimal inputs: accumulate in cents to stay exact
-            math.rint(prev.total_value * 100 + batch.map(e => math.rint(e.value * 100)).sum) / 100)
+          // single O(1)-memory pass; 2-decimal inputs accumulate in cents
+          val (n, cents) = rows.foldLeft((prev.n_events, math.rint(prev.total_value * 100))) {
+            case ((cnt, sum), e) => (cnt + 1, sum + math.rint(e.value * 100))
+          }
+          val next = UserTotals(user, n, cents / 100)
           state.update(next)
           next
       }
@@ -87,8 +95,8 @@ object StreamOps {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // never leak an active query into the shared session
     df.sparkSession.table(name)
   }
 }

@@ -14,12 +14,20 @@ class StreamingSpec extends SparkSpec {
 
   private def splitEventsIntoChunks(k: Int): String = {
     // Micro-batch fixture: events parquet re-written as k files ordered by ts
-    // (FIXTURES.md "Streaming-test fixture derivation").
+    // (FIXTURES.md "Streaming-test fixture derivation"). The file stream
+    // source orders by MODIFICATION TIME, and parallel write tasks finish in
+    // arbitrary order — stamp mod times in ts order or whole files arrive
+    // "late" (below the watermark) and get dropped.
     val dir = Files.createTempDirectory("graft-stream").toString
     Tables.events(spark, sf).orderBy("ts")
       .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
       .repartitionByRange(k, col("event_id"))
       .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
     dir
   }
 
@@ -104,6 +112,8 @@ class StreamingSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
       java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(in, f.getName))
+      // preserve the staged file's ts-ordered mod time (source ordering)
+      java.nio.file.Paths.get(in, f.getName).toFile.setLastModified(f.lastModified)
     }
     def runOnce(): Unit = {
       val q = StreamOps.tumbling(StreamOps.eventsStream(spark, in))
