@@ -107,13 +107,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val probe = pairs.select(col("da"), col("db")).as[(Long, Long)]
-      .limit(DriverCutoff + 1).collect()
+    // materialize the pair pipeline ONCE (fully parallel); the size probe
+    // and whichever execution path wins both read the materialized edges
+    val mat = pairs.select(col("da"), col("db")).localCheckpoint()
+    val probe = mat.as[(Long, Long)].limit(DriverCutoff + 1).collect()
     if (probe.length <= DriverCutoff) {
       val labels = unionFind(probe)
       spark.createDataset(labels.toSeq.sortBy(_._1)).toDF("doc_id", "cluster")
     } else {
-      iterativeComponents(pairs)
+      iterativeComponents(mat)
     }
   }
 
