@@ -28,7 +28,9 @@ object Scalars {
           length(col("p_name")).as("len"),
           regexp_replace(col("p_name"), " ", "_").as("rep"),
           element_at(split(col("p_name"), " "), 1).as("tok1"),
-          regexp_extract(col("p_type"), "([a-z]+)$", 1).as("last_word"),
+          // lower() first: p_type is all-uppercase, so extracting from the
+          // raw column would match nothing and never exercise the regex path
+          regexp_extract(lower(col("p_type")), "([a-z]+)$", 1).as("last_word"),
           col("p_name").like("%red%").as("has_red"))
         .orderBy("p_partkey")),
 
@@ -105,7 +107,7 @@ object Scalars {
         "substring(p_name, 1, 10) AS sub, trim('  ' || p_brand || '  ') AS trimmed, " +
         "p_brand || '|' || p_type AS cw, CAST(length(p_name) AS INTEGER) AS len, " +
         "replace(p_name, ' ', '_') AS rep, split_part(p_name, ' ', 1) AS tok1, " +
-        "regexp_extract(p_type, '([a-z]+)$', 1) AS last_word, " +
+        "regexp_extract(lower(p_type), '([a-z]+)$', 1) AS last_word, " +
         "p_name LIKE '%red%' AS has_red FROM part ORDER BY p_partkey"),
     "q_scalar_date" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, " +

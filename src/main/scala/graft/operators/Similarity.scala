@@ -36,9 +36,7 @@ object Similarity {
   def lshSignature(v: Column, planes: Int, dims: Int): Column = {
     val w = planeWeights(planes, dims)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, typedlit(w(p).toSeq), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedlit(w(p).toSeq))
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
@@ -59,25 +57,32 @@ object Similarity {
         (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
       .drop("cs", "dists")
 
-  /** Deterministic distributed Lloyd iterations for IVF coarse quantization:
-    * init = first k vectors by id; each iteration is one grouped-average job
-    * (k × dims result collected to the driver — tiny). At 100 TB: run on a
+  /** Distributed Lloyd iterations for IVF coarse quantization: init = first
+    * k vectors by id; each iteration is one grouped-average job (k × dims
+    * result collected to the driver — tiny). Centroid coordinates are
+    * rounded to 9 decimals each iteration: float avg() merges are
+    * partition-order dependent at the last ulp, and rounding absorbs that so
+    * cell assignments are stable across layouts. At 100 TB: run on a
     * sample, then assignment stays a map-only pass over the corpus. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
-    val dims = e.select(size(col("v"))).head().getInt(0)
     var centroids: Seq[Seq[Double]] =
       e.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    for (_ <- 1 to iters) {
-      val avgs = (0 until dims).map(i => avg(element_at(col("v"), i + 1)).as(s"d$i"))
-      val updated = assignToCentroid(e, centroids)
-        .groupBy("cid").agg(avgs.head, avgs.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)))
-        .toMap
-      // empty clusters keep their previous centroid
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
-    }
-    centroids
+    val dims = centroids.head.size
+    val corpus = e.persist()
+    try {
+      for (_ <- 1 to iters) {
+        val avgs = (0 until dims).map(i =>
+          round(avg(element_at(col("v"), i + 1)), 9).as(s"d$i"))
+        val updated = assignToCentroid(corpus, centroids)
+          .groupBy("cid").agg(avgs.head, avgs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)))
+          .toMap
+        // empty clusters keep their previous centroid
+        centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally corpus.unpersist()
   }
 
   val queries: Map[String, Q] = Map(

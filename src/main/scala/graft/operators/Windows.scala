@@ -9,10 +9,13 @@ import graft.functions.ColumnOps._
 
 /** SURVEY.md §2.5 (window functions) + §2.6's q_topk_per_group.
   *
-  * Scale: every window below is partitioned by a high-cardinality key
-  * (customer, user, brand), so state per partition stays small and the work
-  * distributes across executors — one shuffle on the partition key. The only
-  * global window (ntile over all customers) is flagged inline.
+  * Scale: the per-key windows (customer, user, brand) distribute across
+  * executors — one shuffle on the partition key. THREE windows here are
+  * global (single-task sort): q_window_ntile_pct's ranking (by design — its
+  * distributed twin is q_window_ntile_dist), q_window_frame_range's
+  * trailing-revenue frame (safe: it runs post-aggregation over one row per
+  * DAY, not per order), and the 8-row partition-offset window inside
+  * q_window_ntile_dist.
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
