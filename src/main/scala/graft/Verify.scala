@@ -36,12 +36,25 @@ object Verify {
     // either registration scheme — DuckDB names a file scan after its stem,
     // so qualified column references still resolve, and any explicit alias
     // after the table token is preserved.
-    val tableRef = ("(FROM|JOIN) (" + Tables.names.mkString("|") + ")\\b").r
-    def selfContained(sql: String): String =
+    // Case-insensitive keywords so a lowercase `from`/`join` in future
+    // oracle SQL still gets rewritten; the table-name group stays exact.
+    val tableRef = ("(?i)\\b(FROM|JOIN) (" + Tables.names.mkString("|") + ")\\b").r
+    // Guard: the token rewrite cannot tell a real table from a CTE of the
+    // same name — a CTE called e.g. `part` would be rewritten to a parquet
+    // path and silently change the oracle. Fail the dump loudly instead.
+    val cteName = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r
+    def selfContained(name: String, sql: String): String = {
+      val ctes = cteName.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val collisions = ctes.intersect(Tables.names.toSet)
+      require(collisions.isEmpty,
+        s"oracle $name defines CTE(s) ${collisions.mkString(",")} shadowing " +
+          "real table names; rename them — the self-containment rewrite " +
+          "would corrupt the SQL")
       tableRef.replaceAllIn(sql, m =>
         s"${m.group(1)} '$sfDir/${m.group(2)}.parquet'")
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(selfContained(v))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(selfContained(k, v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

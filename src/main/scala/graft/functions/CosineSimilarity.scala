@@ -33,8 +33,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
-  // Mismatched lengths yield NULL — matching the zip_with-based HOF
-  // formulation (ColumnOps.cosine), so both paths share one oracle.
+  // Mismatched lengths yield NULL, and so does ANY null element on either
+  // side — matching the zip_with-based HOF formulation (ColumnOps.cosine:
+  // a null element nulls the product, the fold, and the whole result), so
+  // both paths share one oracle even on ArrayType(_, containsNull = true).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -44,6 +46,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
     }
@@ -66,11 +69,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = $a.getDouble($i);
          |    double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -66,6 +66,11 @@ object Scalars {
           when(col("p_size") > 25, "big").otherwise("small").as("bucket"))
         .orderBy("p_partkey")),
 
+    // Array outputs are serialized to fixed-format strings (%.4f joined by
+    // ',') — the driver's pandas comparator cannot hash raw array cells
+    // (round-1 red row), and a pinned printf format sidesteps float32
+    // repr differences between Spark's to_json and DuckDB's VARCHAR cast.
+    // Every array function stays exercised; only the output shape changes.
     "q_scalar_array" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(
@@ -74,10 +79,17 @@ object Scalars {
           round(expr(
             "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"),
             4).as("sum_all"),
-          expr("slice(embedding, 1, 3)").as("first3"),
-          expr("sort_array(slice(embedding, 1, 5))").as("sorted5"),
-          expr("transform(slice(embedding, 1, 3), x -> -x)").as("neg3"),
-          element_at(col("embedding"), 1).as("e1"),
+          // round() BEFORE %.4f: a raw float32 can sit exactly on a 4dp
+          // half-tie (any odd/32 value), where Java half-up and C printf
+          // half-even disagree; after round(x,4) the double is within 1 ulp
+          // of a 4dp decimal so the format step has no ties left.
+          expr("array_join(transform(slice(embedding, 1, 3), " +
+            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("first3"),
+          expr("array_join(transform(sort_array(slice(embedding, 1, 5)), " +
+            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("sorted5"),
+          expr("array_join(transform(slice(embedding, 1, 3), " +
+            "x -> format_string('%.4f', round(CAST(-x AS DOUBLE), 4))), ',')").as("neg3"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
           array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_low"))
         .orderBy("vec_id")),
 
@@ -135,9 +147,10 @@ object Scalars {
     "q_scalar_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
         "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_all, " +
-        "embedding[1:3] AS first3, list_sort(embedding[1:5]) AS sorted5, " +
-        "list_transform(embedding[1:3], x -> -x) AS neg3, " +
-        "embedding[1] AS e1, list_contains([1, 2, 3], label) AS label_low " +
+        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS first3, " +
+        "array_to_string(list_transform(list_sort(embedding[1:5]), x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS sorted5, " +
+        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(-x AS DOUBLE), 4))), ',') AS neg3, " +
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS e1, list_contains([1, 2, 3], label) AS label_low " +
         "FROM embeddings ORDER BY vec_id"),
     "q_scalar_json" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +

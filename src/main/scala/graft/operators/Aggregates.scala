@@ -112,6 +112,18 @@ object Aggregates {
         .orderBy("n_name", "segment")
     }),
 
+    // Salted two-phase sum over a 3-value key — the skew-mitigation path
+    // from SCALE.md as a first-class declared query. l_returnflag has ~3
+    // distinct values over all of lineitem: the exact shape where one
+    // reducer per key straggles at 100 TB and per-key salting bounds it.
+    // Exact-decimal partials make the result equal a plain GROUP BY
+    // regardless of salt assignment, so the oracle is the plain GROUP BY.
+    "q_agg_salted" -> ((s, d) =>
+      graft.functions.SkewOps
+        .saltedSumExact2(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", salts = 16)
+        .orderBy("l_returnflag")),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -157,6 +169,9 @@ object Aggregates {
         "count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
     "q_agg_grouping_sets" -> GroupingSetsSql,
+    "q_agg_salted" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_l_extendedprice FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_pivot" ->
       ("SELECT n_name, " +
         Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")

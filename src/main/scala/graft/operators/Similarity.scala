@@ -57,6 +57,77 @@ object Similarity {
         (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
       .drop("cs", "dists")
 
+  /** Multi-probe query-side assignment: explode each row to its `nprobe`
+    * nearest centroid cells (ties break to the lowest cell index via the
+    * (dist, idx) struct sort). Single-probe recall collapses as corpus
+    * density grows — production IVF probes several cells per query; the
+    * CORPUS side still indexes each vector into exactly one cell, so probing
+    * more cells only grows the candidate set (recall is monotone in nprobe,
+    * spec-asserted). Map-only: centroids ride along as a broadcast literal.
+    */
+  def probeCells(e: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    e.withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
+      .withColumn("dists", expr(
+        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
+      // the generator must sit at the top level of the projection (no outer
+      // cast), so the int cast happens inside the transform lambda
+      .withColumn("cid", explode(expr(
+        s"transform(slice(array_sort(zip_with(dists, sequence(0, size(dists) - 1), " +
+          s"(d, i) -> struct(d AS d, i AS i))), 1, $nprobe), p -> CAST(p.i AS INT))")))
+      .drop("cs", "dists")
+
+  /** IVF top-k search: corpus indexed into one cell each, queries probe their
+    * `nprobe` nearest cells, cosine ranked within the candidate union. */
+  def ivfTopK(e: DataFrame, centroids: Seq[Seq[Double]], nQueries: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    val assigned = assignToCentroid(e, centroids)
+    val q = probeCells(e.filter(col("vec_id") < nQueries), centroids, nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Probe signatures for LSH multi-probe: the exact signature plus every
+    * signature within `flips` bit flips (Lv et al.'s multi-probe insight:
+    * near neighbors most often land in buckets differing by few bits —
+    * probing those recovers them without extra hash tables). flips=0 is
+    * classic single-bucket LSH; flips=1 probes 1+planes buckets. */
+  def lshProbeSigs(sig: Column, planes: Int, flips: Int): Column = {
+    require(flips >= 0 && flips <= 2, s"flips must be 0..2, got $flips")
+    val one = (0 until planes).map(p => sig.bitwiseXOR(lit(1 << p)))
+    val two = for { a <- 0 until planes; b <- a + 1 until planes }
+      yield sig.bitwiseXOR(lit((1 << a) | (1 << b)))
+    val variants = flips match {
+      case 0 => Seq(sig)
+      case 1 => sig +: one
+      case 2 => (sig +: one) ++ two
+    }
+    array(variants: _*)
+  }
+
+  /** Sign-LSH top-k search with bit-flip multi-probe on the query side; the
+    * corpus keeps one signature per vector, so candidates stay linear in
+    * (corpus ∩ probed buckets) — never all-pairs. */
+  def lshTopK(e: DataFrame, planes: Int, dims: Int, nQueries: Int,
+      flips: Int, k: Int): DataFrame = {
+    val sigged = e.withColumn("sig", lshSignature(col("v"), planes, dims))
+    val q = sigged.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(lshProbeSigs(col("sig"), planes, flips)).as("sig"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    sigged.join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Distributed Lloyd iterations for IVF coarse quantization: init = first
     * k vectors by id; each iteration is one grouped-average job (k × dims
     * result collected to the driver — tiny). Centroid coordinates are
@@ -142,38 +213,24 @@ object Similarity {
     }),
 
     // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
-    // search only the query's cell. Same two-stage shape as production IVF;
-    // centroid-dependent result set => no DuckDB oracle (exactness asserted
-    // against a driver-side recomputation in DedupSimilaritySpec).
+    // queries probe their 2 nearest cells (multi-probe — round 1 was
+    // single-probe, whose recall collapses as corpus density grows). Same
+    // two-stage shape as production IVF; centroid-dependent result set =>
+    // no DuckDB oracle (exactness asserted against a driver-side
+    // recomputation, and recall@3 monotonicity in nprobe, in
+    // DedupSimilaritySpec).
     "q_sim_ann_ivf" -> ((s, d) => {
       val e = corpus(s, d)
-      val assigned = assignToCentroid(e, kmeansCentroids(e, 8, 3))
-      val q = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
-      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(broadcast(q), Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .orderBy("qid", "rn")
+      ivfTopK(e, kmeansCentroids(e, 8, 3), nQueries = 5, nprobe = 2, k = 3)
     }),
 
-    // ANN: sign-LSH bucketing (8 planes -> 256 buckets), cosine only within
-    // the query's bucket. Hash/plane-dependent recall => no DuckDB oracle;
-    // DedupSimilaritySpec checks bucket-local results against brute force.
-    "q_sim_ann_lsh" -> ((s, d) => {
-      val e = corpus(s, d).withColumn("sig", lshSignature(col("v"), 8, 64))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig"))
-      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-      e.join(broadcast(q), Seq("sig"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .orderBy("qid", "rn")
-    }))
+    // ANN: sign-LSH bucketing (8 planes -> 256 buckets), queries probe their
+    // own bucket plus all 1-bit-flip neighbors (multi-probe LSH). Hash/
+    // plane-dependent recall => no DuckDB oracle; DedupSimilaritySpec checks
+    // probed results carry true cosines and recall grows with flips.
+    "q_sim_ann_lsh" -> ((s, d) =>
+      lshTopK(corpus(s, d), planes = 8, dims = 64, nQueries = 5,
+        flips = 1, k = 3)))
 
   private val CosineSql =
     "round(list_aggregate(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), 'sum') / " +

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -53,7 +53,11 @@ case class AsOfJoinExec(
 
   // Declare what execution needs; EnsureRequirements inserts the exchanges
   // and sorts — nothing is hand-scheduled. Partition count is pinned so the
-  // two children stay zip-compatible under AQE coalescing.
+  // two children stay zip-compatible under AQE coalescing. This opts the
+  // exchange out of AQE partition coalescing — the price of zipPartitions;
+  // lifting it would need a true binary co-partitioned exec (like SMJ's
+  // requiredChildDistribution without the pin), revisit if the fixed fan-out
+  // ever dominates at small SF.
   override def requiredChildDistribution: Seq[Distribution] = {
     val n = Some(conf.numShufflePartitions)
     ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
@@ -69,12 +73,22 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyB = BindReferences.bindReference[Expression](leftKey, left.output)
-    val lTsB = BindReferences.bindReference[Expression](leftTs, left.output)
-    val lTieB = BindReferences.bindReference[Expression](leftTie, left.output)
-    val rKeyB = BindReferences.bindReference[Expression](rightKey, right.output)
-    val rTsB = BindReferences.bindReference[Expression](rightTs, right.output)
-    val rTieB = BindReferences.bindReference[Expression](rightTie, right.output)
+    // Bind ordinals ONCE and read via InternalRow.getLong — the round-1
+    // interpreted Expression.eval here (3 boxing evals per row per side)
+    // made this exec ~17× slower than the window formulation of the same
+    // query. All six columns are validated long-backed (bigint/timestamp)
+    // at the AsOf API boundary, so raw long reads are exact.
+    def ordinal(attrs: Seq[Attribute], a: Attribute): Int = {
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"as-of attribute $a not found in child output $attrs")
+      i
+    }
+    val lKeyOrd = ordinal(left.output, leftKey)
+    val lTsOrd = ordinal(left.output, leftTs)
+    val lTieOrd = ordinal(left.output, leftTie)
+    val rKeyOrd = ordinal(right.output, rightKey)
+    val rTsOrd = ordinal(right.output, rightTs)
+    val rTieOrd = ordinal(right.output, rightTie)
     val leftOutput = left.output
     val out = output
 
@@ -95,18 +109,17 @@ case class AsOfJoinExec(
       advanceRight()
 
       lIter.map { l =>
-        val lk = lKeyB.eval(l).asInstanceOf[Long]
-        val lt = lTsB.eval(l).asInstanceOf[Long]
-        val ltie = lTieB.eval(l).asInstanceOf[Long]
+        val lk = l.getLong(lKeyOrd)
+        val lt = l.getLong(lTsOrd)
+        val ltie = l.getLong(lTieOrd)
         // consume all right rows strictly before (lk, lt, ltie)
         var continue = rHeadValid
         while (continue) {
-          val rk = rKeyB.eval(rHead).asInstanceOf[Long]
+          val rk = rHead.getLong(rKeyOrd)
           var rt = 0L
           val before = rk < lk || (rk == lk && {
-            rt = rTsB.eval(rHead).asInstanceOf[Long]
-            rt < lt || (rt == lt &&
-              rTieB.eval(rHead).asInstanceOf[Long] < ltie)
+            rt = rHead.getLong(rTsOrd)
+            rt < lt || (rt == lt && rHead.getLong(rTieOrd) < ltie)
           })
           if (before) {
             if (rk == lk) {

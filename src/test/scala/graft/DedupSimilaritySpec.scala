@@ -142,7 +142,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF ANN equals a driver-side recomputation over the same cells") {
+  test("IVF ANN equals a driver-side recomputation over the same probed cells") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
@@ -156,15 +156,43 @@ class DedupSimilaritySpec extends SparkSpec {
       math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
         math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
     }
+    // same sequential fold order as the zip_with expression => identical
+    // doubles, so the probed cell set matches Spark's exactly
+    def dist2(a: Array[Double], c: Seq[Double]): Double =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
     val expected = (0L until 5L).flatMap { qid =>
-      val (_, qv, qcid) = assigned.find(_._1 == qid).get
-      assigned.filter(t => t._3 == qcid && t._1 != qid)
+      val (_, qv, _) = assigned.find(_._1 == qid).get
+      val probed = cents.zipWithIndex
+        .map { case (c, i) => (dist2(qv, c), i) }.sorted.take(2).map(_._2).toSet
+      assigned.filter(t => probed.contains(t._3) && t._1 != qid)
         .map(t => (qid, t._1, cos(qv, t._2)))
         .sortBy { case (_, id, c) => (-c, id) }.take(3)
         .zipWithIndex.map { case ((q, id, c), i) => Seq[Any](q, id, c, i + 1) }
     }
     val got = rows(Similarity.queries("q_sim_ann_ivf")(spark, sf))
     assert(got == expected)
+  }
+
+  test("ANN recall@3 is monotone in probe count; full probe recovers brute force") {
+    // ground truth: brute-force top-3 per query (oracle-checked query)
+    val truth = rows(Similarity.queries("q_sim_topk_batch")(spark, sf))
+      .map(r => (r.head, r(1))).toSet
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    def recall(got: Seq[Seq[Any]]): Double =
+      truth.intersect(got.map(r => (r.head, r(1))).toSet).size.toDouble / truth.size
+    val cents = Similarity.kmeansCentroids(e, 8, 3)
+    val ivf = Seq(1, 2, 4, 8)
+      .map(np => recall(rows(Similarity.ivfTopK(e, cents, 5, np, 3))))
+    ivf.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"IVF recall must be monotone in nprobe: $ivf")
+    }
+    assert(ivf.last == 1.0, s"probing all 8 cells IS brute force: $ivf")
+    val lsh = Seq(0, 1, 2)
+      .map(f => recall(rows(Similarity.lshTopK(e, 8, 64, 5, f, 3))))
+    lsh.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"LSH recall must be monotone in flips: $lsh")
+    }
   }
 
   test("lsh signature is deterministic across invocations") {

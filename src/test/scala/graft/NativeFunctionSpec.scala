@@ -34,6 +34,24 @@ class NativeFunctionSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("null array elements yield NULL, matching the HOF zip_with semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, null)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      expr("cosine_similarity(a, b)").as("native"),
+      (ColumnOps.dot(col("a"), col("b")) /
+        (ColumnOps.norm(col("a")) * ColumnOps.norm(col("b")))).as("hof"))
+    // interpreted AND codegen'd paths must both agree with the HOF result
+    val diffs = r.filter(!(col("native") <=> col("hof"))).count()
+    assert(diffs == 0, "null-element semantics must match zip_with")
+    val vals = r.collect()
+    assert(vals(0).isNullAt(0) && vals(1).isNullAt(0) && !vals(2).isNullAt(0))
+  }
+
   test("native top-k query equals the HOF top-k query") {
     val a = rows(Similarity.queries("q_sim_topk")(spark, sf))
     val b = rows(Similarity.queries("q_sim_topk_native")(spark, sf))

@@ -89,6 +89,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decimal sums widen to precision+10 and stay exact at adversarial magnitudes") {
+    import org.apache.spark.sql.types.DecimalType
+    // Spark widens sum(DECIMAL(p,s)) to DECIMAL(p+10,s): 10^10 rows of
+    // max-magnitude values fit before overflow. 10^6 rows at the DECIMAL(18,2)
+    // maximum needs 24 integral digits — past double (2^53) and past the
+    // input precision, so this fails if widening ever regresses.
+    val maxV = "9999999999999999.99"
+    val df = spark.range(1000000L)
+      .select(lit(maxV).cast(DecimalType(18, 2)).as("x"))
+    val agg = df.agg(sum(col("x")).as("s"))
+    assert(agg.schema("s").dataType == DecimalType(28, 2),
+      s"sum must widen to DECIMAL(28,2), got ${agg.schema("s").dataType}")
+    val expected = new java.math.BigDecimal(maxV)
+      .multiply(new java.math.BigDecimal(1000000L))
+    assert(agg.head().getDecimal(0).compareTo(expected) == 0,
+      "widened decimal sum must be exact (no overflow, no rounding)")
+    // and it stays partition-invariant at this magnitude
+    val r7 = df.repartition(7).agg(sum(col("x"))).head().getDecimal(0)
+    assert(r7.compareTo(expected) == 0)
+  }
+
+  test("salt assignment is deterministic across re-evaluation") {
+    import spark.implicits._
+    // xxhash64-based salt (SkewOps): same input row -> same salt, every run.
+    val df = samples(Gen.listOfN(40, Gen.zip(Gen.oneOf("A", "N", "R"),
+      Gen.chooseNum(-9999, 9999).map(_ / 100.0))), 1).head.toDF("k", "v")
+    def salts() = df
+      .withColumn("s", pmod(xxhash64(col("k"), col("v")), lit(16)))
+      .orderBy("k", "v").collect().map(_.getLong(2)).toSeq
+    assert(salts() == salts())
+    assert(salts().distinct.size > 1, "salt must actually spread rows")
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)

@@ -31,6 +31,35 @@ class SinksTopKSpec extends SparkSpec {
     assert(pruned.count() == df.filter(col("lang") === "en").count())
   }
 
+  test("date-partitioned fact: pruning provably never reads non-matching partitions") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/fact"
+    val fact = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writeWarehouse(fact, out, Seq("o_year"))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("o_year="))
+    assert(dirs.length >= 2, s"need multiple year partitions, got ${dirs.toSeq}")
+    val expected = fact.filter(col("o_year") === 1995).count()
+    assert(expected > 0)
+    val schema = spark.read.parquet(out).schema
+    // plan-level: the year predicate lands in PartitionFilters
+    val plan = physicalPlan(
+      spark.read.schema(schema).parquet(out).filter(col("o_year") === 1995))
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"), plan)
+    // behavior-level: corrupt every OTHER partition's data files. If pruning
+    // truly skips those directories the filtered read still succeeds — and
+    // the unfiltered control read must fail because it does open them.
+    dirs.filter(_.getName != "o_year=1995").foreach(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+        Files.write(f.toPath, "not a parquet file".getBytes)))
+    val pruned = spark.read.schema(schema).parquet(out)
+      .filter(col("o_year") === 1995)
+    assert(pruned.count() == expected)
+    intercept[Exception] {
+      spark.read.schema(schema).parquet(out).count()
+    }
+  }
+
   test("csv sink roundtrip with schema") {
     val df = Tables.region(spark, sf)
     val out = Files.createTempDirectory("graft-sink").toString + "/csv"

@@ -121,6 +121,52 @@ class TextMapperSpec extends SparkSpec {
     assert(rows(viaFacade) == rows(viaSql))
   }
 
+  test("resumable mapper: kill mid-job, resume skips committed slices, output exactly once") {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc: org.apache.spark.sql.Encoder[MapperFacade.OrderRow] =
+      Encoders.product[MapperFacade.OrderRow]
+    implicit val outEnc: org.apache.spark.sql.Encoder[MapperFacade.JsonOut] =
+      Encoders.product[MapperFacade.JsonOut]
+    val out = Files.createTempDirectory("graft-resume").toString + "/out"
+    val chunks = 8
+    // recompute each row's slice id exactly as the runner does, and poison
+    // every row of slice 5 — slices 0..4 commit, the job dies at 5
+    val df = MapperFacade.JsonlJob.query(spark, sf).toDF()
+    val sliceOf = df
+      .withColumn("c", pmod(xxhash64(struct(col("*"))), lit(chunks)))
+      .select("o_orderkey", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val poisoned = sliceOf.collect { case (k, c) if c == 5 => k }.toSet
+    assert(poisoned.nonEmpty, "hash chunking must populate slice 5")
+
+    TextMapperSpec.mapped.set(0L)
+    intercept[Exception] {
+      MapperRunner.runToParquetResumable(
+        spark, sf, new PoisonJob(poisoned), out, chunks)
+    }
+    (0 to 4).foreach { c =>
+      assert(new java.io.File(s"$out/chunk=$c/_SUCCESS").exists(),
+        s"slice $c must have committed before the kill")
+    }
+    assert(!new java.io.File(s"$out/chunk=5/_SUCCESS").exists())
+
+    // resume with a healthy job: only slices 5..7 run
+    val beforeResume = TextMapperSpec.mapped.get()
+    val (processed, ran) = MapperRunner.runToParquetResumable(
+      spark, sf, new PoisonJob(Set.empty), out, chunks)
+    assert(ran == Seq(5, 6, 7), s"resume must skip committed slices, ran $ran")
+    val total = sliceOf.size.toLong
+    assert(processed == total, "whole-job processed count after resume")
+    val rerunRows = sliceOf.values.count(c => c >= 5).toLong
+    assert(TextMapperSpec.mapped.get() - beforeResume == rerunRows,
+      "resume must map ONLY the un-committed slices' rows")
+
+    // exactly-once: every input key appears in the output exactly once
+    val outKeys = spark.read.parquet(out).groupBy("o_orderkey").count()
+    assert(outKeys.filter(col("count") =!= 1).count() == 0, "no duplicates")
+    assert(outKeys.count() == total, "no missing rows")
+  }
+
   test("mapper facade: runToParquet composes a single output file and fires hooks") {
     val out = Files.createTempDirectory("graft-mapper").toString + "/out"
     var completed = -1L
@@ -137,5 +183,25 @@ class TextMapperSpec extends SparkSpec {
     val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length == 1, "compose semantics: exactly one data file")
     assert(spark.read.parquet(out).count() == n)
+  }
+}
+
+/** File-scope (NOT an inner class of the suite — inner classes hold an outer
+  * reference to the non-serializable suite and break task serialization).
+  * The shared counter lives in a static object so the deserialized task-side
+  * copy of the job increments the same JVM-wide value under local mode. */
+object TextMapperSpec {
+  val mapped = new java.util.concurrent.atomic.AtomicLong()
+}
+
+private class PoisonJob(failOn: Set[Long])
+    extends graft.api.MapperJob[MapperFacade.OrderRow, MapperFacade.JsonOut] {
+  def query(s: org.apache.spark.sql.SparkSession, d: String) =
+    MapperFacade.JsonlJob.query(s, d)
+  def next(t: MapperFacade.OrderRow): IterableOnce[MapperFacade.JsonOut] = {
+    TextMapperSpec.mapped.incrementAndGet()
+    if (failOn.contains(t.o_orderkey))
+      throw new RuntimeException(s"poison row ${t.o_orderkey}")
+    MapperFacade.JsonlJob.next(t)
   }
 }
