@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ Scalars.queries ++ EventWindows.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ MapperFacade.queries
+      Multimodal.queries ++ MapperFacade.queries ++ DataModel.queries
 
   /** DuckDB-equivalent SQL for every oracle-expressible query; names absent
     * here are declared no-oracle (approximate/hash-dependent ops) per the
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracles ++ Joins.oracles ++ Aggregates.oracles ++
       Windows.oracles ++ Scalars.oracles ++ EventWindows.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ MapperFacade.oracles
+      Multimodal.oracles ++ MapperFacade.oracles ++ DataModel.oracles
 }

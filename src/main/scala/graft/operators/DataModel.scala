@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GeoOps, KeyOps}
+
+/** SURVEY.md §2.12 — data-model mappings the reference's entity model
+  * carries that the testdata schema doesn't exercise directly: hierarchical
+  * ancestor keys and GeoPoint properties [U: reference checkout empty —
+  * public Datastore data model]. Both are exercised over DERIVED columns
+  * (paths built from natural keys; coordinates derived deterministically
+  * from keys) so the DuckDB oracle can rebuild the identical values.
+  */
+object DataModel {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Ancestor-path keys: build orders/<id>/lineitem/<line>, then recover
+    // the parent path + id by splitting, and aggregate children per parent
+    // — the Datastore "ancestor query" shape as one hash aggregate.
+    "q_key_hierarchy" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("key", KeyOps.keyPath(
+          "orders" -> col("l_orderkey"), "lineitem" -> col("l_linenumber")))
+      li.withColumn("parent", KeyOps.parentPath(col("key")))
+        .groupBy("parent")
+        .agg(count(lit(1)).as("children"), min(col("key")).as("first_child"))
+        .withColumn("parent_id", KeyOps.idAt(col("parent"), 0))
+        .withColumn("parent_kind", KeyOps.kindAt(col("parent"), 0))
+        .select("parent", "parent_kind", "parent_id", "children", "first_child")
+        .orderBy("parent_id")
+        .limit(200)
+    }),
+
+    // GeoPoint: deterministic per-key coordinates (same arithmetic in the
+    // oracle), haversine distance from each customer to its nation's
+    // derived point, plus the 5-degree grid cell that a spatial join would
+    // co-shuffle on. round(4) absorbs last-ulp libm divergence.
+    "q_geo_distance" -> ((s, d) => {
+      def latOf(k: org.apache.spark.sql.Column) =
+        ((k * lit(7919L)) % lit(18000L)).cast("double") / lit(100.0) - lit(90.0)
+      def lonOf(k: org.apache.spark.sql.Column) =
+        ((k * lit(104729L)) % lit(36000L)).cast("double") / lit(100.0) - lit(180.0)
+      val cust = Tables.customer(s, d)
+        .withColumn("c_lat", latOf(col("c_custkey")))
+        .withColumn("c_lon", lonOf(col("c_custkey")))
+      val nat = Tables.nation(s, d)
+        .withColumn("n_lat", latOf(col("n_nationkey").cast("long")))
+        .withColumn("n_lon", lonOf(col("n_nationkey").cast("long")))
+        .select(col("n_nationkey"), col("n_lat"), col("n_lon"))
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey"),
+          round(col("c_lat"), 4).as("lat"),
+          round(col("c_lon"), 4).as("lon"),
+          round(GeoOps.haversineKm(
+            col("c_lat"), col("c_lon"), col("n_lat"), col("n_lon")), 4)
+            .as("dist_km"),
+          GeoOps.cellId(col("c_lat"), col("c_lon"), 5.0).as("cell"))
+        .orderBy("c_custkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_key_hierarchy" ->
+      ("WITH k AS (SELECT 'orders/' || CAST(l_orderkey AS VARCHAR) || '/lineitem/' || CAST(l_linenumber AS VARCHAR) AS key, " +
+        "l_orderkey FROM lineitem) " +
+        "SELECT 'orders/' || CAST(l_orderkey AS VARCHAR) AS parent, 'orders' AS parent_kind, " +
+        "l_orderkey AS parent_id, count(*) AS children, min(key) AS first_child " +
+        "FROM k GROUP BY l_orderkey ORDER BY parent_id LIMIT 200"),
+    "q_geo_distance" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+        "CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS c_lat, " +
+        "CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS c_lon FROM customer), " +
+        "n AS (SELECT n_nationkey, " +
+        "CAST((n_nationkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS n_lat, " +
+        "CAST((n_nationkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS n_lon FROM nation) " +
+        "SELECT c_custkey, round(c_lat, 4) AS lat, round(c_lon, 4) AS lon, " +
+        "round(2 * 6371.0088 * asin(sqrt(" +
+        "pow(sin(radians(n_lat - c_lat) / 2), 2) + " +
+        "cos(radians(c_lat)) * cos(radians(n_lat)) * pow(sin(radians(n_lon - c_lon) / 2), 2)" +
+        ")), 4) AS dist_km, " +
+        "CAST(floor((c_lat + 90.0) / 5.0) AS BIGINT) * 72 + CAST(floor((c_lon + 180.0) / 5.0) AS BIGINT) AS cell " +
+        "FROM c JOIN n ON c_nationkey = n_nationkey ORDER BY c_custkey"))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoOps, KeyOps}
+import graft.operators.DataModel
+
+/** SURVEY.md §2.12 — hierarchical-key and GeoPoint data-model mappings. */
+class DataModelSpec extends SparkSpec {
+
+  test("key path build/split roundtrip") {
+    import spark.implicits._
+    val df = Seq((42L, 7L)).toDF("oid", "line")
+      .withColumn("key", KeyOps.keyPath("orders" -> col("oid"), "lineitem" -> col("line")))
+    val r = df.select(
+      col("key"),
+      KeyOps.parentPath(col("key")).as("parent"),
+      KeyOps.kindAt(col("key"), 0).as("k0"),
+      KeyOps.idAt(col("key"), 0).as("i0"),
+      KeyOps.kindAt(col("key"), 1).as("k1"),
+      KeyOps.idAt(col("key"), 1).as("i1")).head()
+    assert(r.getString(0) == "orders/42/lineitem/7")
+    assert(r.getString(1) == "orders/42")
+    assert(r.getString(2) == "orders" && r.getLong(3) == 42L)
+    assert(r.getString(4) == "lineitem" && r.getLong(5) == 7L)
+    // a root key's parent is empty
+    val root = Seq(Tuple1(1L)).toDF("id")
+      .withColumn("key", KeyOps.keyPath("orders" -> col("id")))
+      .select(KeyOps.parentPath(col("key"))).head().getString(0)
+    assert(root == "")
+  }
+
+  test("q_key_hierarchy children counts equal per-order lineitem counts") {
+    val got = rows(DataModel.queries("q_key_hierarchy")(spark, sf))
+      .map(r => r(2).asInstanceOf[Long] -> r(3).asInstanceOf[Long]).toMap
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").count().orderBy("l_orderkey").limit(200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("haversine: identity, symmetry, known meridian distance") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 0.0, 1.0)).toDF("la1", "lo1", "la2", "lo2")
+    val r = df.select(
+      GeoOps.haversineKm(col("la1"), col("lo1"), col("la1"), col("lo1")).as("zero"),
+      GeoOps.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")).as("ab"),
+      GeoOps.haversineKm(col("la2"), col("lo2"), col("la1"), col("lo1")).as("ba")).head()
+    assert(r.getDouble(0) == 0.0)
+    // one degree of longitude at the equator ≈ 111.195 km (2πR/360)
+    assert(math.abs(r.getDouble(1) - 111.195) < 0.01, r.getDouble(1))
+    assert(r.getDouble(1) == r.getDouble(2), "haversine must be symmetric")
+  }
+
+  test("grid cells: distinct for far points, stable at 5-degree resolution") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 0.0), (1.0, 1.0))
+      .toDF("lat", "lon")
+      .select(GeoOps.cellId(col("lat"), col("lon"), 5.0).as("cell"))
+    val cells = df.collect().map(_.getLong(0))
+    assert(cells(0) != cells(1) && cells(0) != cells(2))
+    assert(cells(0) == cells(3), "points within one 5-degree cell share an id")
+    assert(cells.forall(c => c >= 0 && c < 36L * 72L))
+  }
+
+  test("q_geo_distance covers every customer with bounded coordinates") {
+    val got = rows(DataModel.queries("q_geo_distance")(spark, sf))
+    assert(got.size == Tables.customer(spark, sf).count())
+    got.foreach { r =>
+      val (lat, lon, d) = (r(1).asInstanceOf[Double], r(2).asInstanceOf[Double],
+        r(3).asInstanceOf[Double])
+      assert(lat >= -90 && lat < 90 && lon >= -180 && lon < 180)
+      assert(d >= 0 && d <= 20016, s"distance $d outside half circumference")
+    }
+  }
+}
