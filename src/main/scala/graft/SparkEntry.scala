@@ -16,19 +16,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** THE single list of operator groups. Both `queries`/`oracleSql` and the
+    * global-uniqueness test derive from this, so adding a group here updates
+    * every consumer at once (round 2: a hand-copied group list in the test
+    * went stale and broke `sbt test` with zero real duplicates). */
+  val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Relational.queries, Relational.oracles),
+      (Joins.queries, Joins.oracles),
+      (Aggregates.queries, Aggregates.oracles),
+      (Windows.queries, Windows.oracles),
+      (Scalars.queries, Scalars.oracles),
+      (EventWindows.queries, EventWindows.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Multimodal.queries, Multimodal.oracles),
+      (MapperFacade.queries, MapperFacade.oracles),
+      (DataModel.queries, DataModel.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ Aggregates.queries ++
-      Windows.queries ++ Scalars.queries ++ EventWindows.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ MapperFacade.queries ++ DataModel.queries
+    groups.map(_._1).reduce(_ ++ _)
 
   /** DuckDB-equivalent SQL for every oracle-expressible query; names absent
     * here are declared no-oracle (approximate/hash-dependent ops) per the
     * contract. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Joins.oracles ++ Aggregates.oracles ++
-      Windows.oracles ++ Scalars.oracles ++ EventWindows.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ MapperFacade.oracles ++ DataModel.oracles
+    groups.map(_._2).reduce(_ ++ _)
 }

@@ -36,8 +36,10 @@ object Verify {
     // either registration scheme — DuckDB names a file scan after its stem,
     // so qualified column references still resolve, and any explicit alias
     // after the table token is preserved.
-    // Case-insensitive keywords so a lowercase `from`/`join` in future
-    // oracle SQL still gets rewritten; the table-name group stays exact.
+    // Case-insensitive so a lowercase `from`/`join` in future oracle SQL
+    // still gets rewritten. The whole-regex (?i) also matches mixed-case
+    // table tokens, so the replacement lowercases the matched name — the
+    // parquet files on disk are all-lowercase.
     val tableRef = ("(?i)\\b(FROM|JOIN) (" + Tables.names.mkString("|") + ")\\b").r
     // Guard: the token rewrite cannot tell a real table from a CTE of the
     // same name — a CTE called e.g. `part` would be rewritten to a parquet
@@ -51,7 +53,7 @@ object Verify {
           "real table names; rename them — the self-containment rewrite " +
           "would corrupt the SQL")
       tableRef.replaceAllIn(sql, m =>
-        s"${m.group(1)} '$sfDir/${m.group(2)}.parquet'")
+        s"${m.group(1)} '$sfDir/${m.group(2).toLowerCase}.parquet'")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(selfContained(k, v))}" }

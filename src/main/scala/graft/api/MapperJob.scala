@@ -23,6 +23,14 @@ trait MapperJob[T, O] extends Serializable {
   /** Lifecycle hooks (reference: JobStarted/JobCompleted [U]). */
   def jobStarted(spark: SparkSession): Unit = {}
   def jobCompleted(spark: SparkSession, processed: Long): Unit = {}
+  /** Per-slice hooks on the resumable path — the reference's shard/slice
+    * boundary callbacks [U]. `sliceStarted` fires before a slice executes;
+    * `sliceCommitted` after its _SUCCESS marker lands, with the slice's
+    * processed count; `sliceSkipped` when a restart finds the slice already
+    * committed by a previous run. Defaults are no-ops. */
+  def sliceStarted(spark: SparkSession, slice: Int): Unit = {}
+  def sliceCommitted(spark: SparkSession, slice: Int, processed: Long): Unit = {}
+  def sliceSkipped(spark: SparkSession, slice: Int): Unit = {}
 }
 
 object MapperRunner {
@@ -87,20 +95,29 @@ object MapperRunner {
     val sliceId = pmod(chunkBy.getOrElse(xxhash64(struct(col("*")))), lit(chunks))
     var processed = 0L
     val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // Marker checks go through Hadoop's FileSystem so resume works on any
+    // supported filesystem (HDFS/S3/GCS), not just local disk — java.io.File
+    // would silently re-run every slice of a remote 100 TB backfill.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     (0 until chunks).foreach { c =>
       val dir = s"$outPath/chunk=$c"
       val slice = df.filter(sliceId === c)
-      if (new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (marker.getFileSystem(hadoopConf).exists(marker)) {
         // committed by a previous run; the deterministic slice expression
         // makes this count identical to what that run processed
+        job.sliceSkipped(spark, c)
         processed += slice.count()
       } else {
+        job.sliceStarted(spark, c)
         val obs = Observation()
         slice.observe(obs, count(lit(1)).as("processed"))
           .as[T](implicitly[Encoder[T]])
           .mapPartitions(it => it.flatMap(job.next))
           .write.mode("overwrite").parquet(dir)
-        processed += obs.get("processed").asInstanceOf[Long]
+        val sliceProcessed = obs.get("processed").asInstanceOf[Long]
+        job.sliceCommitted(spark, c, sliceProcessed)
+        processed += sliceProcessed
         ran += c
       }
     }

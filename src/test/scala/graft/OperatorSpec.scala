@@ -22,14 +22,14 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("query names are globally unique across operator groups") {
-    val groups = Seq(
-      Relational.queries, Joins.queries, Aggregates.queries, Windows.queries,
-      graft.functions.Scalars.queries, graft.streaming.EventWindows.queries,
-      Dedup.queries, Similarity.queries, TextAnalysis.queries,
-      Multimodal.queries, graft.api.MapperFacade.queries)
-    val total = groups.map(_.size).sum
+    // Derived from SparkEntry.groups (the single normative list) — round 2's
+    // hand-copied group list here went stale when DataModel was added.
+    val total = SparkEntry.groups.map(_._1.size).sum
     assert(SparkEntry.queries.size == total,
       "a duplicate q_* name would silently shadow another group's query")
+    val oracleTotal = SparkEntry.groups.map(_._2.size).sum
+    assert(SparkEntry.oracleSql.size == oracleTotal,
+      "a duplicate oracle name would silently shadow another group's oracle")
   }
 
   test("every query has either an oracle or a documented no-oracle status") {

@@ -140,10 +140,17 @@ class TextMapperSpec extends SparkSpec {
     assert(poisoned.nonEmpty, "hash chunking must populate slice 5")
 
     TextMapperSpec.mapped.set(0L)
+    TextMapperSpec.hooks.clear()
     intercept[Exception] {
       MapperRunner.runToParquetResumable(
         spark, sf, new PoisonJob(poisoned), out, chunks)
     }
+    // per-slice lifecycle: slices 0..4 started+committed in order, slice 5
+    // started but never committed (the job died inside it)
+    val firstRun = TextMapperSpec.hookLog
+    assert(firstRun == Seq("job_started") ++
+      (0 to 4).flatMap(c => Seq(s"start:$c", s"commit:$c")) :+ "start:5",
+      s"hook order on the killed run: $firstRun")
     (0 to 4).foreach { c =>
       assert(new java.io.File(s"$out/chunk=$c/_SUCCESS").exists(),
         s"slice $c must have committed before the kill")
@@ -152,9 +159,16 @@ class TextMapperSpec extends SparkSpec {
 
     // resume with a healthy job: only slices 5..7 run
     val beforeResume = TextMapperSpec.mapped.get()
+    TextMapperSpec.hooks.clear()
     val (processed, ran) = MapperRunner.runToParquetResumable(
       spark, sf, new PoisonJob(Set.empty), out, chunks)
     assert(ran == Seq(5, 6, 7), s"resume must skip committed slices, ran $ran")
+    // resume fires sliceSkipped for the committed slices, start/commit for
+    // the rest, then jobCompleted — the full shard/slice hook hierarchy
+    val resumeRun = TextMapperSpec.hookLog
+    assert(resumeRun == Seq("job_started") ++ (0 to 4).map(c => s"skip:$c") ++
+      (5 to 7).flatMap(c => Seq(s"start:$c", s"commit:$c")) :+ "job_completed",
+      s"hook order on the resumed run: $resumeRun")
     val total = sliceOf.size.toLong
     assert(processed == total, "whole-job processed count after resume")
     val rerunRows = sliceOf.values.count(c => c >= 5).toLong
@@ -192,6 +206,12 @@ class TextMapperSpec extends SparkSpec {
   * copy of the job increments the same JVM-wide value under local mode. */
 object TextMapperSpec {
   val mapped = new java.util.concurrent.atomic.AtomicLong()
+  // Lifecycle hooks fire on the DRIVER, sequentially — a plain queue suffices.
+  val hooks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def hookLog: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    hooks.asScala.toSeq
+  }
 }
 
 private class PoisonJob(failOn: Set[Long])
@@ -204,4 +224,15 @@ private class PoisonJob(failOn: Set[Long])
       throw new RuntimeException(s"poison row ${t.o_orderkey}")
     MapperFacade.JsonlJob.next(t)
   }
+  override def jobStarted(s: org.apache.spark.sql.SparkSession): Unit =
+    TextMapperSpec.hooks.add("job_started")
+  override def jobCompleted(s: org.apache.spark.sql.SparkSession, processed: Long): Unit =
+    TextMapperSpec.hooks.add("job_completed")
+  override def sliceStarted(s: org.apache.spark.sql.SparkSession, slice: Int): Unit =
+    TextMapperSpec.hooks.add(s"start:$slice")
+  override def sliceCommitted(s: org.apache.spark.sql.SparkSession, slice: Int,
+      processed: Long): Unit =
+    TextMapperSpec.hooks.add(s"commit:$slice")
+  override def sliceSkipped(s: org.apache.spark.sql.SparkSession, slice: Int): Unit =
+    TextMapperSpec.hooks.add(s"skip:$slice")
 }
