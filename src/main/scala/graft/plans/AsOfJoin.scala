@@ -52,17 +52,18 @@ case class AsOfJoinExec(
   override def producedAttributes: AttributeSet = AttributeSet(tsOut)
 
   // Declare what execution needs; EnsureRequirements inserts the exchanges
-  // and sorts — nothing is hand-scheduled. Partition count is pinned so the
-  // two children stay zip-compatible under AQE coalescing. This opts the
-  // exchange out of AQE partition coalescing — the price of zipPartitions;
-  // lifting it would need a true binary co-partitioned exec (like SMJ's
-  // requiredChildDistribution without the pin), revisit if the fixed fan-out
-  // ever dominates at small SF.
-  override def requiredChildDistribution: Seq[Distribution] = {
-    val n = Some(conf.numShufflePartitions)
-    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
-      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
-  }
+  // and sorts — nothing is hand-scheduled. Like SortMergeJoinExec, the two
+  // ClusteredDistributions are declared WITHOUT a partition-count pin:
+  // EnsureRequirements makes multi-child distributions co-partitioned, and
+  // AQE's CoalesceShufflePartitions coalesces the shuffles feeding one
+  // stage consistently, so the children stay zip-compatible while gaining
+  // runtime coalescing (round 2 pinned numShufflePartitions, opting the
+  // exchanges out of AQE — 32 fixed sorts however small the input).
+  // zipPartitions still hard-fails on any count mismatch, and
+  // AsOfPlanSpec's equality + timing tests exercise exactly that.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),

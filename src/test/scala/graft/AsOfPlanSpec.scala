@@ -15,6 +15,26 @@ class AsOfPlanSpec extends SparkSpec {
     assert(native == window)
   }
 
+  test("native as-of wall time stays within 4x of the window twin") {
+    // Round 2 claimed a perf fix without a measurement and the bench showed
+    // 36x — this pins the ratio in-repo. The fix: requiredChildDistribution
+    // no longer pins numShufflePartitions, so AQE coalesces the two
+    // exchanges instead of forcing 32 sorts of tiny partitions. Bound is 4x
+    // (bench target is 2x) because single-run spec timings on a shared box
+    // are noisy; a 36x-class regression still fails loudly.
+    def time(q: String): Double = {
+      val fn = Joins.queries(q)
+      fn(spark, sf).count() // warm: codegen + scan cache
+      val t0 = System.nanoTime()
+      fn(spark, sf).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val native = time("q_join_asof_native")
+    val window = time("q_join_asof")
+    assert(native <= window.max(0.2) * 4.0,
+      f"native as-of $native%.3fs vs window twin $window%.3fs — ratio ${native / window}%.1fx")
+  }
+
   test("plan contains AsOfJoin with co-shuffled sorted children") {
     val plan = physicalPlan(Joins.queries("q_join_asof_native")(spark, sf))
     assert(plan.contains("AsOfJoin"), plan)

@@ -195,6 +195,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: build/write/read path equals the inline search") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val idx = Similarity.IvfIndex.build(e, 8, 3)
+    try {
+      // in-memory index equals the one-shot inline path
+      val inline = rows(Similarity.ivfTopK(e, idx.centroids, 5, 2, 3))
+      assert(rows(idx.search(queries, 2, 3)) == inline)
+
+      // round-trip through storage: same centroids, same search results
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.IvfIndex.write(idx, dir)
+      val back = Similarity.IvfIndex.read(spark, dir)
+      assert(back.centroids == idx.centroids)
+      assert(rows(back.search(queries, 2, 3)) == inline)
+
+      // the on-disk corpus is laid out one directory per cell, so a probe
+      // of 2 cells reads 2 directories — the partition-pruning scale story
+      val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+      assert(cellDirs.nonEmpty && cellDirs.length <= 8,
+        s"expected per-cell partition dirs, got ${cellDirs.mkString(",")}")
+      val pruned = physicalPlan(
+        back.assigned.filter(col("cid") === 0).select(col("vec_id")))
+      assert(pruned.contains("PartitionFilters") &&
+        pruned.replaceAll("\\s", "").contains("(cid"),
+        s"cell filter must arrive as a partition filter (pruned scan):\n$pruned")
+    } finally idx.drop()
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)
