@@ -228,15 +228,142 @@ object Similarity {
     }
   }
 
-  // Session-scoped memo: q_sim_ann_ivf builds its index once per
-  // (session, table dir) and every later execution — including bench
-  // repeats — reuses it, the "build once, search many" economics real IVF
-  // deployments have. Keyed by session so a stopped session's entries are
-  // never reused by a new one.
+  /** IVF-PQ: product-quantized residual codes over an [[IvfIndex]] (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the standard IVF-PQ shape).
+    *
+    * The d-dim residual (vector minus its cell's coarse centroid) is split
+    * into `m` subvectors of d/m dims; each subspace learns its own `ksub`-
+    * entry codebook (sub-k-means over residuals), and a corpus vector is
+    * stored as `m` small code ints. At 100 TB this is the memory story: a
+    * 64-dim float64 vector (512 B) becomes m=8 codes (≈8 B) — the probed
+    * cells' codes fit in RAM where raw vectors never would.
+    *
+    * Search is ADC (asymmetric distance computation): each query row
+    * precomputes one m × ksub lookup table of subspace distances from ITS
+    * residual to every codebook entry — built once per probe row on the
+    * broadcast side of the join — and a corpus candidate's approximate
+    * squared L2 is then m table lookups (O(m) per candidate, not O(d)).
+    * Approximate-by-construction => no DuckDB oracle; DedupSimilaritySpec
+    * asserts code-range/shape invariants and recall@3 monotone in `ksub`.
+    */
+  final case class IvfPqIndex(ivf: IvfIndex, m: Int, ksub: Int,
+      books: Seq[Seq[Seq[Double]]], encoded: DataFrame) {
+    private val dims = ivf.centroids.head.size
+    private val sub = dims / m
+
+    /** ADC-scored candidates for (qid, v) queries over the probed cells:
+      * (qid, vec_id, adist), unranked. */
+    private def adcCandidates(queries: DataFrame, nprobe: Int): DataFrame = {
+      val q = probeCells(queries, ivf.centroids, nprobe)
+        .withColumn("cents", typedlit(ivf.centroids))
+        .withColumn("qr", expr("zip_with(v, element_at(cents, cid + 1), (x, y) -> x - y)"))
+        .withColumn("bks", typedlit(books))
+        // the per-query ADC table: lut[j][c] = ||qr_subj - books[j][c]||^2,
+        // evaluated once per probe row (broadcast build side), m·ksub doubles
+        .withColumn("lut", expr(
+          s"transform(sequence(0, ${m - 1}), j -> transform(element_at(bks, j + 1), " +
+            s"c -> aggregate(zip_with(slice(qr, j * $sub + 1, $sub), c, " +
+            "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)))"))
+        .select(col("qid"), col("cid"), col("lut"))
+      encoded.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adist", expr(
+          s"aggregate(sequence(0, ${m - 1}), 0D, (acc, j) -> " +
+            "acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))"))
+        .select(col("qid"), col("vec_id"), col("adist"))
+    }
+
+    /** ANN top-k for (qid, v) queries: probe `nprobe` cells, rank candidates
+      * by ADC approximate squared distance (ascending). */
+    def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+      adcCandidates(queries, nprobe)
+        .select(col("qid"), col("vec_id"), round(col("adist"), 6).as("adist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn")
+    }
+
+    /** IVFADC+R (Jégou et al. §V): ADC shortlists `k * refine` candidates
+      * per query, then ONLY those rows are re-ranked with exact distances
+      * against the raw vectors. This is how PQ is deployed when exact top-k
+      * quality matters: the compressed scan bounds the candidates, and the
+      * expensive exact pass touches k·refine rows per query instead of the
+      * corpus. (On isotropic random data ADC ordering is noise-limited near
+      * the top — refinement is what restores recall; spec-asserted monotone
+      * in `refine`.) */
+    def searchRefined(queries: DataFrame, nprobe: Int, k: Int, refine: Int): DataFrame = {
+      val ws = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+      val short = adcCandidates(queries, nprobe)
+        .withColumn("srn", row_number().over(ws))
+        .filter(col("srn") <= k * refine)
+        .select(col("qid"), col("vec_id"))
+      val qv = queries.select(col("qid"), col("v").as("qv"))
+      val wr = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      ivf.assigned.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qv), Seq("qid"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn")
+    }
+
+    def drop(): Unit = encoded.unpersist()
+  }
+
+  object IvfPqIndex {
+    /** Learn per-subspace codebooks over the residuals and encode the corpus.
+      * Build cost: m sub-k-means (each a few grouped-vector-average jobs —
+      * at 100 TB, learn the books on a sample; encoding stays one map-only
+      * pass) plus one encode pass, persisted like the parent IVF assignment. */
+    def build(ivf: IvfIndex, m: Int, ksub: Int, iters: Int): IvfPqIndex = {
+      val dims = ivf.centroids.head.size
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+      val sub = dims / m
+      val resid = ivf.assigned
+        .withColumn("cents", typedlit(ivf.centroids))
+        .withColumn("r", expr("zip_with(v, element_at(cents, cid + 1), (x, y) -> x - y)"))
+        .select(col("vec_id"), col("cid"), col("r")).persist()
+      resid.count()
+      val books: Seq[Seq[Seq[Double]]] =
+        try (0 until m).map { j =>
+          kmeansCentroids(
+            resid.select(col("vec_id"),
+              expr(s"slice(r, ${j * sub + 1}, $sub)").as("v")), ksub, iters)
+        }
+        finally () // resid dropped after encode below
+      val encoded = resid
+        .withColumn("bks", typedlit(books))
+        .withColumn("sdists", expr(
+          s"transform(sequence(0, ${m - 1}), j -> transform(element_at(bks, j + 1), " +
+            s"c -> aggregate(zip_with(slice(r, j * $sub + 1, $sub), c, " +
+            "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)))"))
+        .withColumn("codes", expr(
+          "transform(sdists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+        .select(col("vec_id"), col("cid"), col("codes")).persist()
+      encoded.count()
+      resid.unpersist()
+      IvfPqIndex(ivf, m, ksub, books, encoded)
+    }
+  }
+
+  // Session-scoped memos: q_sim_ann_ivf / q_sim_ann_ivfpq build their index
+  // once per (session, table dir) and every later execution — including
+  // bench repeats — reuses it, the "build once, search many" economics real
+  // IVF deployments have. Keyed by session so a stopped session's entries
+  // are never reused by a new one.
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfIndex]()
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
     ivfCache.computeIfAbsent((s, d), _ => IvfIndex.build(corpus(s, d), 8, 3))
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfPqIndex]()
+  private[graft] def ivfPqIndexFor(s: SparkSession, d: String): IvfPqIndex =
+    ivfPqCache.computeIfAbsent((s, d),
+      _ => IvfPqIndex.build(ivfIndexFor(s, d), m = 8, ksub = 16, iters = 2))
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vector vec_id=0 (oracle-checked).
@@ -309,6 +436,21 @@ object Similarity {
         corpus(s, d).filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v")),
         nprobe = 2, k = 3)
+    }),
+
+    // ANN, IVF-PQ with refinement (IVFADC+R): same coarse quantizer as
+    // q_sim_ann_ivf, candidates shortlisted by ADC over m=8 ksub=16
+    // product-quantized residual codes (≈64x smaller than raw vectors),
+    // then the k·4 shortlist re-ranked with exact distances — the full
+    // production compressed-index shape. Approximate by construction => no
+    // DuckDB oracle; DedupSimilaritySpec asserts code invariants, ADC error
+    // monotone in ksub, and refined recall monotone in the refine factor.
+    "q_sim_ann_ivfpq" -> ((s, d) => {
+      val idx = ivfPqIndexFor(s, d)
+      idx.searchRefined(
+        corpus(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v")),
+        nprobe = 2, k = 3, refine = 4)
     }),
 
     // ANN: sign-LSH bucketing (8 planes -> 256 buckets), queries probe their
