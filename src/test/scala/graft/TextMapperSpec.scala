@@ -98,6 +98,36 @@ class TextMapperSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("batched feature extraction equals the row path and actually batches") {
+    val media = Multimodal.mediaTable(spark, sf)
+    // driver-side sort: a distributed orderBy would add a range-sampling
+    // pass that executes the map twice and doubles every accumulator
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      rows(df.select("doc_id", "width", "height", "n_frames"))
+        .sortBy(_.head.asInstanceOf[Long])
+    val rowPath = sorted(Multimodal.extractFeatures(media))
+    // accumulators are the executor->driver channel for observing real
+    // task-side batch shapes (the onBatch seam runs inside tasks)
+    val calls = spark.sparkContext.longAccumulator("model_calls")
+    val rowsSeen = spark.sparkContext.longAccumulator("rows_seen")
+    val oversized = spark.sparkContext.longAccumulator("oversized_batches")
+    val batched = Multimodal.extractFeaturesBatched(media, batchSize = 64,
+      onBatch = n => {
+        calls.add(1); rowsSeen.add(n); if (n > 64) oversized.add(1)
+      })
+    val got = sorted(batched)
+    assert(got == rowPath, "batched pipeline must produce identical features")
+    val nRows = media.count()
+    val nParts = media.rdd.getNumPartitions
+    // one model call per <=64-row chunk per partition: far fewer calls than
+    // rows (that's the amortization), at least one per non-empty partition
+    assert(calls.value < nRows, s"expected batching, got ${calls.value} calls for $nRows rows")
+    assert(rowsSeen.value == nRows, s"every row must pass through a batch: ${rowsSeen.value}")
+    assert(oversized.value == 0, "no batch may exceed batchSize")
+    assert(calls.value >= (nRows + 64 * nParts - 1) / (64 * nParts),
+      s"implausibly few model calls: ${calls.value}")
+  }
+
   test("lifecycle bridge observes completed actions") {
     val bridge = graft.api.LifecycleBridge.install(spark)
     try {
