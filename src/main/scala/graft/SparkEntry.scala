@@ -33,7 +33,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (MapperFacade.queries, MapperFacade.oracles),
-      (DataModel.queries, DataModel.oracles))
+      (DataModel.queries, DataModel.oracles),
+      (Pipeline.queries, Pipeline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -93,6 +93,22 @@ object Scalars {
           array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_low"))
         .orderBy("vec_id")),
 
+    // Regex family over free text: extract-all (list + count + slice),
+    // single-group extract, replace-all, and match-test. Patterns stay in
+    // the char-class subset where Java regex (Spark) and RE2 (DuckDB) agree.
+    "q_scalar_regex" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).as("n_long"),
+          expr("array_join(slice(regexp_extract_all(text, '[a-z]{8,}', 0), 1, 5), ',')")
+            .as("first5"),
+          regexp_extract(col("text"), "([a-z]{8,})", 1).as("first_long"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowel"),
+          col("text").rlike("ing ").as("has_ing"))
+        .orderBy("doc_id")),
+
     "q_scalar_json" -> ((s, d) =>
       Tables.events(s, d)
         .select(
@@ -114,6 +130,16 @@ object Scalars {
         .orderBy("source")))
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_regex" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS INTEGER) AS n_long, " +
+        // [1:5] on an empty DuckDB list yields NULL (Spark's slice+join gives
+        // ''); coalesce pins the no-match case to the same empty string
+        "coalesce(array_to_string(regexp_extract_all(text, '[a-z]{8,}')[1:5], ','), '') AS first5, " +
+        "regexp_extract(text, '([a-z]{8,})', 1) AS first_long, " +
+        "CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowel, " +
+        "regexp_matches(text, 'ing ') AS has_ing " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
     "q_scalar_string" ->
       ("SELECT p_partkey, upper(p_name) AS u, lower(p_type) AS lo, " +
         "substring(p_name, 1, 10) AS sub, trim('  ' || p_brand || '  ') AS trimmed, " +

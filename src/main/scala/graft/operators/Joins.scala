@@ -91,6 +91,43 @@ object Joins {
         .orderBy("r1")
     }),
 
+    // Salted fact-dim equi-join for skewed keys: the fact side gets a
+    // deterministic per-row salt in [0, 8), the dim side is replicated once
+    // per salt value, and the join key becomes (key, salt) — so one hot
+    // orderkey's rows spread across 8 reducers instead of one straggler.
+    // Replication factor × dim size is the cost; result set is EXACTLY the
+    // plain join (every fact row still meets its dim row, in exactly one
+    // salt bucket), so the oracle is the unsalted join. AQE's skew-join
+    // split is the automatic alternative; this is the explicit form for
+    // engines/sinks where AQE can't reach (SCALE.md §skew).
+    "q_join_salted" -> ((s, d) => {
+      val salts = 8
+      val fact = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      val dim = Tables.orders(s, d)
+        .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sumExact(revenueExpr(col("l_extendedprice"), col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Fuzzy (edit-distance) self-join on nation names: levenshtein <= 3,
+    // deliberately bounded to the 25-row dim where the O(n*m) broadcast
+    // nested loop is the right plan. At corpus scale the same semantics run
+    // through blocking first (the n-gram/minhash bucketing in Dedup), with
+    // the edit distance only inside candidate buckets.
+    "q_join_fuzzy" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val a = n.select(col("n_name").as("na"))
+      val b = n.select(col("n_name").as("nb"))
+      a.join(b, col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 3)
+        .select(col("na"), col("nb"), levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy("na", "nb")
+    }),
+
     // Same as-of semantics through the custom whole-operator path
     // (AsOfJoinPlan -> AsOfStrategy -> AsOfJoinExec, SCALE.md §Joins): two
     // co-shuffled sorted streams merged with O(1) state per partition.
@@ -144,6 +181,16 @@ object Joins {
       "SELECT p_brand, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity < p_size GROUP BY p_brand ORDER BY p_brand",
     "q_join_cross_ineq" ->
       "SELECT n1.n_regionkey AS r1, count(*) AS n_pairs FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey GROUP BY 1 ORDER BY 1",
+    "q_join_salted" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_fuzzy" ->
+      ("SELECT a.n_name AS na, b.n_name AS nb, " +
+        "CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist " +
+        "FROM nation a JOIN nation b ON a.n_name < b.n_name " +
+        "AND levenshtein(a.n_name, b.n_name) <= 3 ORDER BY na, nb"),
     "q_join_asof" -> AsOfOracleSql,
     "q_join_asof_native" -> AsOfOracleSql)
 

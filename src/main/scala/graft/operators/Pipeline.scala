@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.13 — training-data pipeline operators: deterministic
+  * sampling, per-stratum quotas, token-budget cuts, and latest-version
+  * compaction. These are the selection/curation steps between "raw corpus"
+  * and "training mix" in an LLM data pipeline.
+  *
+  * Scale design:
+  *  - All sampling here is HASH-based and deterministic — reproducible
+  *    across runs, cluster layouts, and engines (md5 on both sides of the
+  *    oracle), and embarrassingly parallel: a filter on a hash is map-only,
+  *    no global coordination, unlike reservoir-style sampling which needs a
+  *    single-pass state merge.
+  *  - Stratified quota + budget cut use one shuffle on the stratum key; the
+  *    per-stratum window never materializes more than a partition's rows.
+  *    Quotas per stratum are small (constant output per stratum).
+  *  - Latest-version compaction is the classic log-to-snapshot shape: one
+  *    shuffle on the entity key, one pass per group — at 100 TB this is the
+  *    standard "compact the CDC log" job, and AQE handles hot entities.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count — same formula as TextAnalysis (and its oracle),
+    * so budget math agrees across engines. */
+  private val nToks = size(expr("filter(split(text, ' '), w -> w <> '')"))
+  private val DuckNToks =
+    "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER)"
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic ~1/8 hash sample of orders: keep rows whose md5(key)
+    // starts below '20' (32/256 of the hex space). Map-only, reproducible,
+    // engine-independent — the consistent-sampling story TABLESAMPLE
+    // (rand-based) cannot give. Aggregated so the declared output is small.
+    "q_sample_hash" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "20")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("o_orderstatus")),
+
+    // Stratified quota: exactly 20 documents per language, chosen by hash
+    // order (md5 of the text) — a deterministic "uniform within stratum"
+    // draw. One shuffle on lang; quota bounds each stratum's output.
+    "q_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
+    // Token-budget cut: walk each language's docs in doc_id order and keep
+    // documents while the running token total stays within budget — the
+    // "fill the training mix to N tokens per language" selection step.
+    "q_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("toks", nToks)
+        .withColumn("cum_toks", sum(col("toks").cast("long")).over(w))
+        .filter(col("cum_toks") <= 2000)
+        .select(col("lang"), col("doc_id"), col("toks"), col("cum_toks"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Latest-version compaction: one surviving row per (user_id, event_type)
+    // entity — the newest by (ts, event_id). The upsert/SCD-1 snapshot shape:
+    // reading a change log back to current state.
+    "q_upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_trunc("second", col("ts")).cast("timestamp_ntz").as("ts_s"),
+          round(col("value"), 4).as("value_r"))
+        .orderBy("user_id", "event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_sample_stratified" ->
+      ("SELECT lang, rn, doc_id FROM (" +
+        "SELECT lang, doc_id, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rn " +
+        "FROM documents) WHERE rn <= 20 ORDER BY lang, rn"),
+    "q_token_budget" ->
+      (s"SELECT lang, doc_id, toks, cum_toks FROM (" +
+        s"SELECT lang, doc_id, $DuckNToks AS toks, " +
+        s"SUM(CAST($DuckNToks AS BIGINT)) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks " +
+        "FROM documents) WHERE cum_toks <= 2000 ORDER BY lang, doc_id"),
+    "q_upsert_latest" ->
+      ("SELECT user_id, event_type, event_id, " +
+        "date_trunc('second', ts) AS ts_s, round(value, 4) AS value_r FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id, event_type"))
+}

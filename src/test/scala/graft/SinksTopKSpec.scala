@@ -99,6 +99,41 @@ class SinksTopKSpec extends SparkSpec {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("AQE splits a skewed join partition: skew=true in the executed plan") {
+    // The automatic complement to q_join_salted's explicit salting: one key
+    // holds ~90% of the left side, thresholds are lowered so local data
+    // trips them, and AQE must rewrite the sort-merge join with a split
+    // skewed partition at runtime. Proves the engine's default config path
+    // handles skew without manual intervention.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 55000, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("pad-pad-pad-pad-pad-"), col("id")).as("pad"))
+      val right = spark.range(0, 3000).select(col("id").as("k"), lit("r").as("v"))
+      val j = left.join(right, "k")
+      // execute j ITSELF (count() would plan a separate query and leave
+      // j's adaptive plan unexecuted at isFinalPlan=false)
+      // key 0: 55000 left rows x 1 right row; left keys >= 55000 miss right
+      assert(j.collect().length == 55000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed sort-merge join:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("TopKAggregator: bounded buffer, merge == single pass, exact order") {
     val agg = new TopKAggregator(3)
     def rv(v: Double, id: Long) = RankedValue(BigDecimal(v), id)
