@@ -34,7 +34,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (MapperFacade.queries, MapperFacade.oracles),
       (DataModel.queries, DataModel.oracles),
-      (Pipeline.queries, Pipeline.oracles))
+      (Pipeline.queries, Pipeline.oracles),
+      (Behavior.queries, Behavior.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

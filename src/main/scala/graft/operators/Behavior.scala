@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.14 — behavioral analytics over the event log: batch
+  * sessionization, ordered funnels, cohort retention, and time-series
+  * gap-filling. The batch complements of §2.9's streaming windows.
+  *
+  * Scale design: every query shuffles ONCE on user_id (the natural entity
+  * key) and computes per-user state with windows or grouped aggregates —
+  * never a self-join per event. Calendar spines (gap-fill) are generated
+  * per-user with `sequence`, so the spine is computed where the user's rows
+  * already live; no driver-side calendar broadcast. Timestamp arithmetic is
+  * integer microseconds (unix_micros / epoch_us) — float seconds would
+  * drift between engines.
+  */
+object Behavior {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GapUs: Long = 1800L * 1000000L // 30 min session gap
+
+  val queries: Map[String, Q] = Map(
+    // Gap-based sessionization: a new session starts after >30 min of
+    // silence. lag + conditional flag + running sum assigns session ids in
+    // one window pass; two grouped passes compute per-user session stats.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > GapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_s").over(run))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("s_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("s_events").as("n_events"),
+          max("s_events").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // Ordered funnel signup -> view -> purchase: each stage requires an
+    // event STRICTLY AFTER the previous stage's first completion (not just
+    // any co-occurrence). Three grouped passes, each a semi-join back on
+    // user_id — never an event-level self-join.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("m1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, "user_id").filter(col("ts") > col("m1"))
+        .groupBy("user_id").agg(min("ts").as("m2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("m2"))
+        .groupBy("user_id").agg(min("ts").as("m3"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("users"))
+          .select(lit(name).as("stage"), col("users"))
+      stage("1_signup", s1).union(stage("2_then_view", s2))
+        .union(stage("3_then_purchase", s3))
+        .orderBy("stage")
+    }),
+
+    // Cohort retention: users bucketed by first-event week (vs the dataset
+    // epoch 2024-01-01), counted once per (cohort, week-offset) they remain
+    // active in. Day-difference math, not date_trunc('week'), so week
+    // boundaries cannot differ between engines.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("day0"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"),
+          floor(datediff(col("day0"), lit("2024-01-01").cast("date")) / 7)
+            .as("cohort_week"),
+          floor(datediff(col("day"), col("day0")) / 7).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Time-series gap-fill: a per-user daily calendar spine over the
+    // observed span (sequence + explode — generated next to the user's
+    // rows), zero-filled counts, and forward-filled last daily revenue.
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("rev"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("rev_ffill",
+          round(last(col("rev"), ignoreNulls = true).over(w), 4))
+        .select(col("user_id"), col("day"), col("cnt"), col("rev_ffill"))
+        .orderBy("user_id", "day")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap, " +
+        "CASE WHEN (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) IS NULL " +
+        s"OR (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) > $GapUs THEN 1 ELSE 0 END AS new_s, " +
+        "us, event_id FROM e), " +
+        "g AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f), " +
+        "h AS (SELECT user_id, sid, count(*) AS s_events FROM g GROUP BY user_id, sid) " +
+        "SELECT user_id, count(*) AS n_sessions, CAST(SUM(s_events) AS BIGINT) AS n_events, " +
+        "max(s_events) AS max_session_events FROM h GROUP BY user_id ORDER BY user_id"),
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS m1 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(ts) AS m2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'view' AND ts > m1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(ts) AS m3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > m2 GROUP BY e.user_id) " +
+        "SELECT stage, users FROM (" +
+        "SELECT '1_signup' AS stage, count(*) AS users FROM s1 " +
+        "UNION ALL SELECT '2_then_view', count(*) FROM s2 " +
+        "UNION ALL SELECT '3_then_purchase', count(*) FROM s3) ORDER BY stage"),
+    "q_retention" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS day0 FROM ev GROUP BY user_id), " +
+        "x AS (SELECT DISTINCT ev.user_id, " +
+        "CAST(floor(date_diff('day', DATE '2024-01-01', day0) / 7.0) AS BIGINT) AS cohort_week, " +
+        "CAST(floor(date_diff('day', day0, day) / 7.0) AS BIGINT) AS week_offset " +
+        "FROM ev JOIN c USING (user_id)) " +
+        "SELECT cohort_week, week_offset, count(*) AS users FROM x " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q_gap_fill" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE user_id < 20), " +
+        "daily AS (SELECT user_id, day, count(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev FROM ev GROUP BY user_id, day), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span) " +
+        "SELECT s.user_id, s.day, COALESCE(cnt, 0) AS cnt, " +
+        "round(last_value(rev IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rev_ffill " +
+        "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day " +
+        "ORDER BY s.user_id, s.day"))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Behavioral analytics (SURVEY.md §2.14): semantics on hand-built data and
+  * plan-shape proof that the one-shuffle design holds. */
+class BehaviorSpec extends SparkSpec {
+
+  test("sessionize plan shuffles ONCE on user_id (window + both aggs reuse it)") {
+    val plan = physicalPlan(Behavior.queries("q_sessionize")(spark, sf))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
+    // hashpartitioning(user_id) satisfies the window AND both downstream
+    // group-bys ((user_id, sid) ⊇ user_id co-location) — a second exchange
+    // would mean the key-subset reuse broke
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$plan")
+  }
+
+  test("sessionize semantics: 30-min gap splits, boundary exactly at gap does not") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: 3 events, second exactly 30:00 later (NOT a new session —
+      // the rule is strictly greater), third 30:01 after that (new session)
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 10:30:00")),
+      (3L, 1L, t("2024-01-01 11:00:01")),
+      // user 2: single event = single session
+      (4L, 2L, t("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val out = ev
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(run))
+      .groupBy("user_id").agg(max("sid").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L, s"30:00 gap keeps the session, 30:01 splits: $out")
+    assert(out(2L) == 1L)
+  }
+
+  test("funnel stages are monotone non-increasing and bounded by user count") {
+    val out = rows(Behavior.queries("q_funnel")(spark, sf))
+      .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.keySet == Set("1_signup", "2_then_view", "3_then_purchase"))
+    assert(out("1_signup") >= out("2_then_view"))
+    assert(out("2_then_view") >= out("3_then_purchase"))
+    assert(out("1_signup") <= users)
+  }
+
+  test("gap-fill: spine is contiguous per user, counts zero-filled, ffill carries") {
+    val got = rows(Behavior.queries("q_gap_fill")(spark, sf))
+    val byUser = got.groupBy(_.head.asInstanceOf[Long])
+    byUser.foreach { case (_, rws) =>
+      val days = rws.map(_(1).asInstanceOf[java.sql.Date].toLocalDate)
+      days.sliding(2).foreach { case Seq(a, b) =>
+        assert(b == a.plusDays(1), s"spine must be contiguous: $a -> $b")
+      }
+      // once any revenue is seen, the forward fill never returns to null
+      val revs = rws.map(_(3))
+      val firstSeen = revs.indexWhere(_ != null)
+      if (firstSeen >= 0)
+        assert(revs.drop(firstSeen).forall(_ != null), "ffill must carry forward")
+    }
+    // zero-filled gap days exist in this data (cnt = 0 rows on the spine)
+    assert(got.exists(_(2).asInstanceOf[Long] == 0L), "expected zero-filled days")
+  }
+}
