@@ -71,6 +71,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming deduplication with BOUNDED state: an event_id's dedup state
+    * lives only until the watermark passes its event time, so at
+    * 100 TB/day the state is a sliding window over the redelivery horizon
+    * (at-least-once sources redeliver within minutes, not days), never the
+    * full history. Plain dropDuplicates would grow state forever. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream join: each purchase joined to this user's clicks from
     * the preceding hour. Both sides are watermarked so Spark can bound the
     * join state (clicks older than watermark + range are evicted) — the

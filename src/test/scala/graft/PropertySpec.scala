@@ -122,6 +122,26 @@ class PropertySpec extends SparkSpec {
     assert(salts().distinct.size > 1, "salt must actually spread rows")
   }
 
+  test("percentile_approx error is bounded and shrinks with sketch accuracy") {
+    // The KLL-style sketch behind percentile_approx is the mergeable
+    // bounded-memory path for quantiles at 100 TB (exact percentile sorts
+    // each group). Contract: rank error <= 1/accuracy. Verified against the
+    // exact percentile as rank distance, for accuracy 20 vs 10000.
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf).select(col("l_extendedprice").as("x"))
+    val n = df.count().toDouble
+    val sorted = df.orderBy("x").collect().map(_.getDouble(0))
+    def rankOf(v: Double): Double = sorted.count(_ <= v) / n
+    val errs = Seq(20, 10000).map { acc =>
+      val approx = df.agg(percentile_approx(col("x"), lit(0.5), lit(acc)))
+        .head().getDouble(0)
+      math.abs(rankOf(approx) - 0.5)
+    }
+    assert(errs.head <= 1.0 / 20 + 0.01, s"rank error beyond guarantee: $errs")
+    assert(errs.last <= 1.0 / 10000 + 1.0 / n, s"high-accuracy sketch off: $errs")
+    assert(errs.last <= errs.head, s"error must not grow with accuracy: $errs")
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)

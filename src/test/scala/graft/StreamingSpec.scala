@@ -71,6 +71,33 @@ class StreamingSpec extends SparkSpec {
       rows(wallClock(batch, "sess_start").orderBy("user_id", "sess_start")))
   }
 
+  test("streaming dedup: duplicate input files collapse to exactly-once output") {
+    val dir = splitEventsIntoChunks(5)
+    // duplicate every chunk right after itself — the redelivery shape of an
+    // at-least-once source; mod time +1s makes each copy the immediately
+    // following micro-batch, inside the dedup watermark
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.foreach { f =>
+      val dup = new java.io.File(dir, s"zz-dup-${f.getName}")
+      Files.copy(f.toPath, dup.toPath)
+      dup.setLastModified(f.lastModified() + 1000)
+    }
+    val n = Tables.events(spark, sf).count()
+    // contrast: the raw passthrough stream sees every duplicate row
+    val raw = StreamOps.runToMemory(
+      StreamOps.eventsStream(spark, dir), "raw_pass", OutputMode.Append())
+    assert(raw.count() == 2 * n, "fixture must actually duplicate the input")
+    // watermark wide enough that nothing in the fixture is late: output is
+    // then EXACTLY the distinct event set, each id once
+    val dd = StreamOps.runToMemory(
+      StreamOps.dedupedEvents(StreamOps.eventsStream(spark, dir), "30 days"),
+      "dedup_pass", OutputMode.Append())
+    val ids = dd.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "no event_id may appear twice")
+    assert(ids.length == n, s"expected $n unique events, got ${ids.length}")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
