@@ -116,6 +116,25 @@ object TextAnalysis {
         .orderBy("source", "rn")
     }),
 
+    // Approximate heavy hitters: top-10 most frequent terms via a count-min
+    // sketch + bounded candidate set — ONE pass, fixed-size mergeable
+    // partial state (4×1024 longs per partition), vs the exact path's
+    // one-shuffled-row-per-distinct-term. Estimates are sketch-dependent
+    // (never under, boundedly over) => no DuckDB oracle; TextMapperSpec
+    // asserts the CMS guarantees against exact counts and that the true
+    // top term is recovered.
+    "q_text_heavy_hitters" -> ((s, d) => {
+      val hh = udaf(new graft.functions.CountMinHeavyHitters(
+        depth = 4, width = 1024, k = 10, cap = 512))
+      Tables.documents(s, d)
+        .select(explode(toks).as("term"))
+        .agg(hh(col("term")).as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "te")))
+        .select((col("i") + 1).as("rank"), col("te._1").as("term"),
+          col("te._2").as("est_cnt"))
+        .orderBy("rank")
+    }),
+
     // Rolling-hash document fingerprint: position-weighted char-code sum mod
     // a prime — order-sensitive, overflow-free (exact in both engines).
     // Empty docs are excluded on BOTH sides: Spark's sequence(1,0) would go

@@ -37,7 +37,7 @@ class OperatorSpec extends SparkSpec {
     val expectedNoOracle = Set(
       "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
       "q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_ivfpq",
-      "q_multimodal_features")
+      "q_multimodal_features", "q_text_heavy_hitters")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -47,6 +47,27 @@ class TextMapperSpec extends SparkSpec {
     }
   }
 
+  test("count-min heavy hitters: never undercounts, bounded over, true top recovered") {
+    import org.apache.spark.sql.functions._
+    val terms = Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val got = rows(graft.operators.TextAnalysis
+      .queries("q_text_heavy_hitters")(spark, sf))
+      .map(r => (r(1).asInstanceOf[String], r(2).asInstanceOf[Long]))
+    assert(got.size == 10)
+    got.foreach { case (t, est) =>
+      assert(est >= exact(t), s"CMS must never undercount: $t est=$est true=${exact(t)}")
+      // ε·N with ε = e/width, times depth-failure slack — loose but real
+      assert(est - exact(t) <= (math.E / 1024 * n).toLong + 1,
+        s"overcount beyond CMS bound: $t est=$est true=${exact(t)} n=$n")
+    }
+    val trueTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.head._1
+    assert(got.exists(_._1 == trueTop), s"true top term $trueTop must be in the top-10")
+  }
+
   test("multimodal decode stub is deterministic with plausible shapes") {
     val m = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
     val m2 = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
