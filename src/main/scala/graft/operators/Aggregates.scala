@@ -124,6 +124,19 @@ object Aggregates {
           "l_extendedprice", salts = 16)
         .orderBy("l_returnflag")),
 
+    // Fixed-width histogram: constant bucket edges => map-only bucketing +
+    // one tiny-cardinality groupBy (at 100 TB the shuffle carries ~12 rows
+    // per partition). Constant edges are the scale-friendly choice — data-
+    // dependent edges (equi-depth) would need a quantile pre-pass.
+    "q_agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          least(floor(col("l_extendedprice") / 10000).cast("long"), lit(10L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          sumExact2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket")),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -190,6 +203,10 @@ object Aggregates {
           .mkString(" UNION ALL ") +
         ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
     },
+    "q_agg_histogram" ->
+      ("SELECT least(CAST(floor(l_extendedprice / 10000) AS BIGINT), 10) AS bucket, " +
+        "count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_agg_stats" ->
       ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "round(stddev_samp(l_quantity), 4) AS sd_qty, " +

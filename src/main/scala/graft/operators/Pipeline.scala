@@ -71,6 +71,46 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     }),
 
+    // Weighted sampling (Efraimidis-Spirakis A-Res): each doc draws a
+    // deterministic pseudo-uniform u from integer hashing, and the top-50 by
+    // u^(1/weight) is a weighted-without-replacement sample — longer docs
+    // (weight = n_chars) proportionally likelier. Map-only scoring + one
+    // top-k; the "sample proportional to content size" mix step. round(.,6)
+    // before ranking absorbs cross-engine libm ulp differences in pow.
+    "q_sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("u",
+          ((col("doc_id") * 2654435761L + 97) % 1000000007L + 1).cast("double")
+            / 1000000008.0)
+        .withColumn("score", round(pow(col("u"), lit(1.0) / col("n_chars")), 6))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), col("score"))),
+
+    // Table profiling (the data-quality gate a pipeline runs before
+    // training): one narrow (metric-per-row) summary of orders — null
+    // counts, distincts, range — computed in a single pass (one aggregate,
+    // unpivoted), not one job per column.
+    "q_profile_table" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prof = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        countDistinct(col("o_orderpriority")).as("nd_priority"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+      prof.select(round(col("min_price"), 2).as("min_price"),
+          round(col("max_price"), 2).as("max_price"),
+          col("n_rows").cast("double"), col("null_custkey").cast("double"),
+          col("nd_status").cast("double"), col("nd_priority").cast("double"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("n_rows"), col("null_custkey"), col("nd_status"),
+            col("nd_priority"), col("min_price"), col("max_price")),
+          "metric", "value")
+        .orderBy("metric")
+    }),
+
     // Latest-version compaction: one surviving row per (user_id, event_type)
     // entity — the newest by (ts, event_id). The upsert/SCD-1 snapshot shape:
     // reading a change log back to current state.
@@ -103,6 +143,22 @@ object Pipeline {
         s"SUM(CAST($DuckNToks AS BIGINT)) OVER " +
         "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks " +
         "FROM documents) WHERE cum_toks <= 2000 ORDER BY lang, doc_id"),
+    "q_sample_weighted" ->
+      ("SELECT doc_id, n_chars, score FROM (" +
+        "SELECT doc_id, n_chars, " +
+        "round(pow(CAST((doc_id * 2654435761 + 97) % 1000000007 + 1 AS DOUBLE) / 1000000008.0, " +
+        "1.0 / n_chars), 6) AS score FROM documents) " +
+        "ORDER BY score DESC, doc_id LIMIT 50"),
+    "q_profile_table" ->
+      ("SELECT metric, value FROM (" +
+        "SELECT CAST(count(*) AS DOUBLE) AS n_rows, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_custkey, " +
+        "CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status, " +
+        "CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS nd_priority, " +
+        "round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price, " +
+        "round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price FROM orders) " +
+        "UNPIVOT (value FOR metric IN (n_rows, null_custkey, nd_status, nd_priority, min_price, max_price)) " +
+        "ORDER BY metric"),
     "q_upsert_latest" ->
       ("SELECT user_id, event_type, event_id, " +
         "date_trunc('second', ts) AS ts_s, round(value, 4) AS value_r FROM (" +
