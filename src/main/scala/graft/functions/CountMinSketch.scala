@@ -57,7 +57,10 @@ final class CountMinHeavyHitters(depth: Int, width: Int, k: Int, cap: Int)
   override def reduce(b: CmsBuf, term: String): CmsBuf = {
     var r = 0
     while (r < depth) { b.counts(cell(r, term)) += 1; r += 1 }
-    b.cand = trim(b.cand + (term -> estimate(b.counts, term)))
+    // trim LAZILY at 2×cap (amortized: one sort per cap inserts, not one
+    // per row once full); estimates are refreshed at finish anyway
+    b.cand = b.cand + (term -> estimate(b.counts, term))
+    if (b.cand.size > 2 * cap) b.cand = trim(b.cand)
     b
   }
 
