@@ -99,6 +99,54 @@ object StreamOps {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
   }
 
+  /** Streaming upsert sink via foreachBatch: each micro-batch is merged
+    * into a keyed parquet snapshot — latest (ts, event_id) wins per
+    * (user_id, event_type) entity, the streaming twin of the batch
+    * `q_upsert_latest` compaction. foreachBatch is THE escape hatch for
+    * sinks Spark has no native connector for (JDBC upsert, Delta MERGE,
+    * entity stores): the batch is a plain DataFrame, so the merge is
+    * ordinary batch code, executed once per micro-batch with the sink's own
+    * atomicity (here: write-new-then-swap directories).
+    *
+    * Scale: the snapshot re-write is proportional to the SNAPSHOT size, not
+    * history; a production deployment partitions the snapshot by key range
+    * and rewrites only partitions a batch touches. */
+  def runUpsertSnapshot(events: DataFrame, snapshotDir: String): Unit = {
+    val q = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$snapshotDir/current")
+        val merged = {
+          val prev =
+            if (cur.exists()) spark.read.parquet(cur.getPath)
+            else batch.limit(0)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "event_type")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          prev.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        }
+        // write-new-then-swap: the snapshot is never half-written
+        val next = s"$snapshotDir/next-$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        val old = new java.io.File(s"$snapshotDir/old-$batchId")
+        if (cur.exists()) cur.renameTo(old)
+        new java.io.File(next).renameTo(cur)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(old)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the final result table (test/dev harness; complete mode). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

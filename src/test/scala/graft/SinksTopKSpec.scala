@@ -99,6 +99,51 @@ class SinksTopKSpec extends SparkSpec {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("jsonl source: corrupt lines are captured, clean rows survive (PERMISSIVE)") {
+    // Dirty data is a certainty at pipeline scale; the engine must degrade
+    // row-wise, not job-wise. PERMISSIVE + columnNameOfCorruptRecord is the
+    // contract: bad lines land in the corrupt column with data columns null.
+    val dir = Files.createTempDirectory("graft-dirty").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok-one"}""",
+      """{"id": 2, "name": "ok-two"}""",
+      """{"id": 3, "name": BROKEN""", // not valid JSON
+      """{"id": 4, "name": "ok-three"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir)
+      .cache() // corrupt-column access requires the full row to be materialized
+    assert(df.filter(col("_bad").isNull).count() == 3, "clean rows survive")
+    val bad = df.filter(col("_bad").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_bad").contains("BROKEN"))
+    df.unpersist()
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // batch 1: v1 schema; batch 2 adds a column (the additive-evolution path)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/b=1")
+    Seq((3L, "c", 9.5), (4L, "d", 7.25)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("b", "id", "name", "score"))
+    val out = merged.orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out.take(2).forall(_.isNullAt(merged.columns.indexOf("score"))),
+      "old-batch rows read the new column as null")
+    assert(out.drop(2).map(_.getAs[Double]("score")).toSeq == Seq(9.5, 7.25))
+  }
+
   test("AQE splits a skewed join partition: skew=true in the executed plan") {
     // The automatic complement to q_join_salted's explicit salting: one key
     // holds ~90% of the left side, thresholds are lowered so local data

@@ -98,6 +98,21 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length == n, s"expected $n unique events, got ${ids.length}")
   }
 
+  test("foreachBatch upsert snapshot converges to the batch compaction") {
+    val dir = splitEventsIntoChunks(6)
+    val snap = Files.createTempDirectory("graft-upsert").toString
+    StreamOps.runUpsertSnapshot(StreamOps.eventsStream(spark, dir), snap)
+    val got = spark.read.parquet(s"$snap/current")
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+    // batch twin: q_upsert_latest on the same events (first 3 cols)
+    val batch = graft.operators.Pipeline.queries("q_upsert_latest")(spark, sf)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+    assert(rows(got) == rows(batch),
+      "incremental per-batch merges must equal the one-shot compaction")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
