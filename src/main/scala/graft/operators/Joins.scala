@@ -114,6 +114,23 @@ object Joins {
         .orderBy("o_orderpriority")
     }),
 
+    // Null-safe equality join (<=>): the NULL-keyed group joins ITSELF
+    // instead of being dropped like `=` would — the semantics entity stores
+    // need for "unset property" keys. Keys are synthesized via nullif
+    // (status 'P' -> NULL) since the testdata has no physical nulls.
+    "q_join_nullsafe" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("k", expr("nullif(o_orderstatus, 'P')"))
+      val left = o.groupBy("k").agg(count(lit(1)).as("cnt_all"))
+      val right = o.filter(col("o_totalprice") > 150000)
+        .groupBy("k").agg(count(lit(1)).as("cnt_big"))
+        .withColumnRenamed("k", "rk")
+      left.join(right, col("k") <=> col("rk"), "left_outer")
+        .select(coalesce(col("k"), lit("UNSET")).as("status"),
+          col("cnt_all"), coalesce(col("cnt_big"), lit(0L)).as("cnt_big"))
+        .orderBy("status")
+    }),
+
     // Fuzzy (edit-distance) self-join on nation names: levenshtein <= 3,
     // deliberately bounded to the 25-row dim where the O(n*m) broadcast
     // nested loop is the right plan. At corpus scale the same semantics run
@@ -186,6 +203,12 @@ object Joins {
         "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_nullsafe" ->
+      ("WITH o AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders), " +
+        "l AS (SELECT k, count(*) AS cnt_all FROM o GROUP BY k), " +
+        "r AS (SELECT k AS rk, count(*) AS cnt_big FROM o WHERE o_totalprice > 150000 GROUP BY k) " +
+        "SELECT COALESCE(l.k, 'UNSET') AS status, cnt_all, COALESCE(cnt_big, 0) AS cnt_big " +
+        "FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.rk ORDER BY status"),
     "q_join_fuzzy" ->
       ("SELECT a.n_name AS na, b.n_name AS nb, " +
         "CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist " +

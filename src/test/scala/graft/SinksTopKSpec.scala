@@ -179,6 +179,43 @@ class SinksTopKSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Catalyst's runtime row-level filtering: a bloom filter built from the
+    // selective (filtered) side is pushed into the large side's scan as
+    // might_contain, dropping non-joining rows BEFORE the shuffle — at
+    // 100 TB this is the difference between shuffling the fact table and
+    // shuffling the ~matching slice. Thresholds lowered so local sizes
+    // qualify (the application side must normally scan >10 GB).
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$optimized")
+      // and the filtered result is still exact
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(j.agg(sum("cnt")).head().getLong(0) == expected)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("TopKAggregator: bounded buffer, merge == single pass, exact order") {
     val agg = new TopKAggregator(3)
     def rv(v: Double, id: Long) = RankedValue(BigDecimal(v), id)
