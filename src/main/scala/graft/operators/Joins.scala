@@ -164,6 +164,27 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // As-of with TOLERANCE: like q_join_asof but a prior click only counts
+    // within the last 15 minutes (pandas merge_asof's `tolerance`, kdb's
+    // windowed aj) — stale state must not join. Same single user_id shuffle;
+    // the tolerance is a post-window filter on the matched timestamp.
+    "q_join_asof_tolerance" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("click_ts_tol",
+          when(col("last_click_ts") >= col("ts") - expr("INTERVAL 15 MINUTES"),
+            col("last_click_ts")))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).cast("timestamp_ntz").as("ts_s"),
+          date_trunc("second", col("click_ts_tol")).cast("timestamp_ntz")
+            .as("click_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // As-of join (latest prior 'click' for each 'purchase', per user) as a
     // window over the unioned event stream: one shuffle on user_id, no
     // row-at-a-time lookup. SURVEY.md §2.3 chose this formulation so the
@@ -215,7 +236,16 @@ object Joins {
         "FROM nation a JOIN nation b ON a.n_name < b.n_name " +
         "AND levenshtein(a.n_name, b.n_name) <= 3 ORDER BY na, nb"),
     "q_join_asof" -> AsOfOracleSql,
-    "q_join_asof_native" -> AsOfOracleSql)
+    "q_join_asof_native" -> AsOfOracleSql,
+    "q_join_asof_tolerance" ->
+      ("SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, " +
+        "date_trunc('second', CASE WHEN last_click_ts >= ts - INTERVAL 15 MINUTE " +
+        "THEN last_click_ts END) AS click_ts_s FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"))
 
   private lazy val AsOfOracleSql: String =
     "SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, date_trunc('second', last_click_ts) AS click_ts_s FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id"
