@@ -34,6 +34,19 @@ object TextAnalysis {
     size(expr(s"filter(filter(split(text, ' '), w -> w <> ''), w -> array_contains(array($arr), w))"))
   }
 
+  // Session-scoped inverted-index memo: built once per (session, table dir)
+  // into a temp directory; lookups are then bucket-pruned reads. Mirrors
+  // Similarity's IVF index economics (build once, search many).
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def indexDirFor(s: SparkSession, d: String): String =
+    idxCache.computeIfAbsent((s, d), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-invidx").toString
+      graft.sources.InvertedIndex.build(graft.Tables.documents(s, d), dir)
+      dir
+    })
+
   val queries: Map[String, Q] = Map(
     // Whitespace + BPE-ish regex token counts per doc.
     "q_text_tokens" -> ((s, d) =>
@@ -116,6 +129,16 @@ object TextAnalysis {
         .orderBy("source", "rn")
     }),
 
+    // Index-backed term search: docs containing 'vector' via the on-disk
+    // inverted index (built once per session, bucket-partitioned so the
+    // lookup reads ONE of 64 directories — corpus-size-independent). The
+    // Datastore-style index-backed query shape; oracle = the full-scan
+    // list_contains filter, which must return the identical doc set.
+    "q_search_index" -> ((s, d) => {
+      val dir = indexDirFor(s, d)
+      graft.sources.InvertedIndex.lookup(s, dir, "vector")
+    }),
+
     // Approximate heavy hitters: top-10 most frequent terms via a count-min
     // sketch + bounded candidate set — ONE pass, fixed-size mergeable
     // partial state (4×1024 longs per partition), vs the exact path's
@@ -158,6 +181,10 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_search_index" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
+        "ORDER BY doc_id"),
     "q_text_tokens" ->
       (s"SELECT doc_id, CAST(len($DuckToks) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens " +

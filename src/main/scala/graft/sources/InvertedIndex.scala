@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk inverted index: term → sorted posting list of doc_ids, stored
+  * partitioned by a hash BUCKET of the term so a term lookup reads exactly
+  * one of `buckets` directories (partition pruning) instead of scanning the
+  * corpus — the index-backed query shape the reference's Datastore backend
+  * implies (every Datastore query is index-backed [U, SURVEY.md §0]).
+  *
+  * Build: one explode + distinct + groupBy(term) — two shuffles, run once;
+  * lookups are then corpus-size-independent (bucket dir + term filter).
+  * The bucket expression `pmod(xxhash64(term), buckets)` is evaluated on a
+  * LITERAL at lookup time, so Catalyst constant-folds it and the partition
+  * filter prunes at planning. At 100 TB, posting lists for stop-word-class
+  * terms exceed a single row's practical size — production splits postings
+  * into fixed-size segments (term, seg_no, doc_ids); the lookup shape is
+  * unchanged (explode over segments).
+  */
+object InvertedIndex {
+  val DefaultBuckets = 64
+
+  private def toks = expr("filter(split(text, ' '), w -> w <> '')")
+
+  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        count(lit(1)).as("df"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** All doc_ids whose text contains `term`, via the index: reads one
+    * bucket directory, one term row, explodes its postings. */
+  def lookup(spark: SparkSession, dir: String, term: String,
+      buckets: Int = DefaultBuckets): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("bucket") === pmod(xxhash64(lit(term)), lit(buckets.toLong))
+        && col("term") === term)
+      .select(explode(col("doc_ids")).as("doc_id"))
+      .orderBy("doc_id")
+}

@@ -47,6 +47,29 @@ class TextMapperSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: lookup equals full scan and prunes to one bucket dir") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-spec").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), dir)
+    // one directory per populated bucket on disk
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.length > 1 && bucketDirs.length <= 64, bucketDirs.toSeq)
+    for (term <- Seq("vector", "join", "no-such-term-anywhere")) {
+      val viaIndex = rows(graft.sources.InvertedIndex.lookup(spark, dir, term))
+      val viaScan = rows(Tables.documents(spark, sf)
+        .filter(array_contains(expr("filter(split(text, ' '), w -> w <> '')"), term))
+        .select("doc_id").orderBy("doc_id"))
+      assert(viaIndex == viaScan, s"index lookup must equal full scan for '$term'")
+    }
+    // the bucket expression over a literal constant-folds into a partition
+    // filter => the lookup reads one bucket directory, not the whole index
+    val plan = physicalPlan(graft.sources.InvertedIndex.lookup(spark, dir, "vector"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(bucket"),
+      s"term lookup must prune on the bucket partition:\n$plan")
+  }
+
   test("count-min heavy hitters: never undercounts, bounded over, true top recovered") {
     import org.apache.spark.sql.functions._
     val terms = Tables.documents(spark, sf)
