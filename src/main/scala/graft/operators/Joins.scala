@@ -114,6 +114,16 @@ object Joins {
         .orderBy("o_orderpriority")
     }),
 
+    // Correlated LATERAL subquery (top-2 customers by balance per nation)
+    // through the SQL surface — Catalyst decorrelates the per-row dependent
+    // subquery (DomainJoin rewrite) instead of executing it N times; the
+    // same SQL text runs verbatim in DuckDB as the oracle.
+    "q_join_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(LateralSql)
+    }),
+
     // Null-safe equality join (<=>): the NULL-keyed group joins ITSELF
     // instead of being dropped like `=` would — the semantics entity stores
     // need for "unset property" keys. Keys are synthesized via nullif
@@ -224,6 +234,7 @@ object Joins {
         "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_lateral" -> LateralSql,
     "q_join_nullsafe" ->
       ("WITH o AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders), " +
         "l AS (SELECT k, count(*) AS cnt_all FROM o GROUP BY k), " +
@@ -246,6 +257,15 @@ object Joins {
         "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"))
+
+  /** Runs verbatim in both Spark and DuckDB. Lazy: referenced from the
+    * `oracles` val above, which initializes before this definition. */
+  lazy val LateralSql: String =
+    "SELECT n_name, c_custkey, c_acctbal FROM nation, " +
+      "LATERAL (SELECT c_custkey, c_acctbal FROM customer " +
+      "WHERE c_nationkey = n_nationkey " +
+      "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) " +
+      "ORDER BY n_name, c_acctbal DESC, c_custkey"
 
   private lazy val AsOfOracleSql: String =
     "SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, date_trunc('second', last_click_ts) AS click_ts_s FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id"
