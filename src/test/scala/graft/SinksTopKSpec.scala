@@ -179,6 +179,30 @@ class SinksTopKSpec extends SparkSpec {
     }
   }
 
+  test("identical shuffle subtrees are computed once (ReusedExchange)") {
+    // Self-join of one aggregated subquery: Spark must plan the shuffle
+    // subtree once and reference it (ReusedExchange), not scan+aggregate
+    // twice. At 100 TB this is a 2x scan/shuffle saving on every
+    // "compare a table to its own aggregate" query (q_agg_unpivot's pivot
+    // reuse has the same shape).
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = Tables.orders(spark, sf)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      val joined = agg.as("a")
+        .join(agg.as("b"), col("a.cnt") <= col("b.cnt"))
+        .select(col("a.o_orderstatus"), col("b.o_orderstatus"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected the aggregate's exchange to be planned once:\n$plan")
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // Catalyst's runtime row-level filtering: a bloom filter built from the
     // selective (filtered) side is pushed into the large side's scan as
