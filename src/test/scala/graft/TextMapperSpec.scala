@@ -172,6 +172,29 @@ class TextMapperSpec extends SparkSpec {
       s"implausibly few model calls: ${calls.value}")
   }
 
+  test("Observation metrics ride the job: row/sum accounting without a second pass") {
+    // The reference's per-shard progress counters, as the modern Spark
+    // shape: observe() attaches named aggregates that are computed DURING
+    // the action — no second scan for accounting, unlike a separate
+    // count()/agg() job. The mapper facade's accumulators cover custom
+    // metrics; Observation covers SQL-expressible ones.
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("mapper_progress")
+    val out = Tables.orders(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("price_sum"))
+      .filter(col("o_totalprice") > 0)
+      .count()
+    val metrics = obs.get
+    assert(metrics("rows_seen") == Tables.orders(spark, sf).count())
+    val exact = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(metrics("price_sum") == exact)
+    assert(out > 0)
+  }
+
   test("lifecycle bridge observes completed actions") {
     val bridge = graft.api.LifecycleBridge.install(spark)
     try {
