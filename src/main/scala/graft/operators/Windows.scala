@@ -35,6 +35,26 @@ object Windows {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Value-position family: first/last/nth within the partition's frame,
+    // plus cume_dist — completes the window inventory beyond ranks/offsets.
+    // The full-partition frame (unbounded both ways) makes first/nth/last
+    // refer to the whole customer, not the running prefix.
+    "q_window_nth" -> ((s, d) => {
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          first(col("o_orderkey")).over(full).as("top_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          last(col("o_orderkey")).over(full).as("smallest_order"),
+          round(cume_dist().over(ord), 6).as("cd"),
+          row_number().over(ord).as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    }),
+
     // Analytic family: lag/lead + running sum (decimal-exact) per user.
     "q_window_analytic" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -156,6 +176,20 @@ object Windows {
         "CAST(dense_rank() OVER w AS INTEGER) AS drnk " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)" +
         ") WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_nth" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, top_order, second_order, " +
+        "smallest_order, cd, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "first_value(o_orderkey) OVER wf AS top_order, " +
+        "nth_value(o_orderkey, 2) OVER wf AS second_order, " +
+        "last_value(o_orderkey) OVER wf AS smallest_order, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "CAST(row_number() OVER w AS INTEGER) AS rn " +
+        "FROM orders WINDOW " +
+        "w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), " +
+        "wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)" +
+        ") WHERE rn <= 2 ORDER BY o_custkey, rn"),
     "q_window_analytic" ->
       ("SELECT event_id, user_id, value, " +
         "lag(value, 1) OVER w AS prev_v, lead(value, 1) OVER w AS next_v, " +

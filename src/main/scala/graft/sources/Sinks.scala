@@ -31,6 +31,31 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).csv(path)
 
+  /** ORC sink — the second columnar format (bundled orc-core); same
+    * pruning/pushdown surface as parquet through the shared DSv2 reader. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Small-files compaction: rewrite a parquet directory into ~`targetFiles`
+    * files (write-new-then-swap, so readers never see a half state). The
+    * maintenance job every long-running ingest needs — streaming sinks and
+    * per-slice mappers accrete small files, and scan parallelism degrades
+    * into per-file task overhead. At 100 TB run per partition directory
+    * with targetFiles sized to ~128-512 MB outputs. */
+  def compactParquet(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    val tmp = s"$dir-compact-tmp"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(s"$dir-compact-old")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    new java.io.File(dir).renameTo(old)
+    new java.io.File(tmp).renameTo(new java.io.File(dir))
+    rm(old)
+  }
+
   /** Bucketed managed table (SCALE.md §Joins): co-bucketing both sides of a
     * recurring fact-fact join on the join key removes the exchange from
     * every downstream join — the 100 TB layout move. Requires the session
@@ -48,6 +73,9 @@ object Sources {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =

@@ -60,6 +60,42 @@ class SinksTopKSpec extends SparkSpec {
     }
   }
 
+  test("orc sink roundtrip with predicate pushdown") {
+    val df = Tables.orders(spark, sf)
+    val out = Files.createTempDirectory("graft-sink").toString + "/orc"
+    Sinks.writeOrc(df, out)
+    val back = Sources.orc(spark, out).filter(col("o_totalprice") > 200000)
+    val plan = physicalPlan(back)
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_totalprice"),
+      s"ORC scan must receive the pushed predicate:\n$plan")
+    assert(back.count() == df.filter(col("o_totalprice") > 200000).count())
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/frag"
+    val df = Tables.orders(spark, sf)
+    df.repartition(16).write.parquet(out)
+    def files() = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 16, s"fixture should be fragmented, got $before files")
+    val rowsBefore = spark.read.parquet(out).count()
+    Sinks.compactParquet(spark, out, targetFiles = 2)
+    assert(files() <= 2, s"expected <=2 files after compaction, got ${files()}")
+    assert(spark.read.parquet(out).count() == rowsBefore)
+    assert(!new java.io.File(s"$out-compact-tmp").exists())
+    assert(!new java.io.File(s"$out-compact-old").exists())
+  }
+
+  test("scans expose _metadata provenance columns") {
+    // row-level provenance (which file produced this row) without a custom
+    // source — what a curation pipeline logs when tracing bad documents
+    val md = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("_metadata.file_path").as("fp"))
+    val got = md.limit(10).collect()
+    assert(got.nonEmpty && got.forall(_.getString(1).contains("documents.parquet")))
+  }
+
   test("csv sink roundtrip with schema") {
     val df = Tables.region(spark, sf)
     val out = Files.createTempDirectory("graft-sink").toString + "/csv"
