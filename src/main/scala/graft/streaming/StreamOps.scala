@@ -147,6 +147,23 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** One incremental run: process whatever input files are NEW since the
+    * checkpoint, append to the parquet sink, stop (Trigger.AvailableNow).
+    * This is the reference's "re-run the mapper over new data" idiom as a
+    * first-class pattern — a cron-driven job that is exactly-once across
+    * runs because the file-source offsets and sink commit log live in the
+    * checkpoint. Returns when the run has drained. */
+  def runIncremental(events: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = events.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the final result table (test/dev harness; complete mode). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length == n, s"expected $n unique events, got ${ids.length}")
   }
 
+  test("AvailableNow runs process only new files, exactly-once across runs") {
+    // The periodic-incremental idiom: each run drains what arrived since
+    // the checkpoint and stops. Run 1 sees chunks 1-3; chunks 4-6 arrive;
+    // run 2 must process ONLY those; a third run with nothing new adds 0.
+    val src = Files.createTempDirectory("graft-incr-src").toString
+    val out = Files.createTempDirectory("graft-incr-out").toString
+    val ckpt = Files.createTempDirectory("graft-incr-ckpt").toString
+    val all = splitEventsIntoChunks(6)
+    val parts = new java.io.File(all).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def arrive(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName))
+    }
+    def outCount() = spark.read.schema(
+      StreamOps.eventsStream(spark, all).schema).parquet(out).count()
+
+    arrive(parts.take(3))
+    StreamOps.runIncremental(StreamOps.eventsStream(spark, src), out, ckpt)
+    val afterFirst = outCount()
+    assert(afterFirst > 0)
+
+    arrive(parts.drop(3))
+    StreamOps.runIncremental(StreamOps.eventsStream(spark, src), out, ckpt)
+    val n = Tables.events(spark, sf).count()
+    assert(outCount() == n, s"two runs must cover all $n events exactly once")
+
+    StreamOps.runIncremental(StreamOps.eventsStream(spark, src), out, ckpt)
+    assert(outCount() == n, "a run with no new input must append nothing")
+  }
+
   test("foreachBatch upsert snapshot converges to the batch compaction") {
     val dir = splitEventsIntoChunks(6)
     val snap = Files.createTempDirectory("graft-upsert").toString
