@@ -124,6 +124,19 @@ object Aggregates {
           "l_extendedprice", salts = 16)
         .orderBy("l_returnflag")),
 
+    // Conditional/boolean aggregate family: count_if + bool_and/bool_or —
+    // the predicate-accounting shapes data-quality checks aggregate with
+    // (all rows valid? any row flagged? how many matched?).
+    "q_agg_bool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderstatus") === "F").as("any_finished"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
     // Fixed-width histogram: constant bucket edges => map-only bucketing +
     // one tiny-cardinality groupBy (at 100 TB the shuffle carries ~12 rows
     // per partition). Constant edges are the scale-friendly choice — data-
@@ -203,6 +216,12 @@ object Aggregates {
           .mkString(" UNION ALL ") +
         ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
     },
+    "q_agg_bool" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big, " +
+        "bool_and(o_totalprice > 0) AS all_positive, " +
+        "bool_or(o_orderstatus = 'F') AS any_finished, count(*) AS cnt " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_agg_histogram" ->
       ("SELECT least(CAST(floor(l_extendedprice / 10000) AS BIGINT), 10) AS bucket, " +
         "count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
