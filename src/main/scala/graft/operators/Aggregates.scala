@@ -150,6 +150,19 @@ object Aggregates {
           sumExact2(col("l_extendedprice")).as("sum_price"))
         .orderBy("bucket")),
 
+    // Array-aggregation family: collect_set (distinct) with a pinned sort +
+    // string serialization, so the grouped list is deterministic and both
+    // engines hash identically (raw collect order is partition-dependent —
+    // never expose it unsorted).
+    "q_agg_collect" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          size(collect_set(col("o_orderpriority"))).as("n_distinct"))
+        .orderBy("o_orderstatus")),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -216,6 +229,11 @@ object Aggregates {
           .mkString(" UNION ALL ") +
         ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
     },
+    "q_agg_collect" ->
+      ("SELECT o_orderstatus, " +
+        "array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities, " +
+        "CAST(len(list_distinct(list(o_orderpriority))) AS INTEGER) AS n_distinct " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_agg_bool" ->
       ("SELECT o_orderpriority, " +
         "CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big, " +
