@@ -117,6 +117,36 @@ object Scalars {
           expr("from_json(props, 'k INT').k").as("k_int"))
         .orderBy("event_id")),
 
+    // Bitwise family over integer keys: and/or/xor/shifts/bit_count —
+    // the primitives the engine's own simhash banding and salting build on.
+    "q_scalar_bitwise" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          (col("p_partkey").bitwiseAND(255)).as("lo_byte"),
+          (col("p_partkey").bitwiseOR(16)).as("or16"),
+          (col("p_partkey").bitwiseXOR(col("p_size"))).as("xr"),
+          shiftleft(col("p_partkey"), 3).as("shl"),
+          shiftright(col("p_partkey"), 2).as("shr"),
+          bit_count(col("p_partkey")).as("bits"))
+        .orderBy("p_partkey")),
+
+    // Conditional family: CASE chains, coalesce/nullif/nvl2-style logic,
+    // greatest/least over mixed expressions.
+    "q_scalar_conditional" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium")
+            .otherwise("large").as("size_class"),
+          coalesce(expr("nullif(p_brand, 'Brand#11')"), lit("SUPPRESSED")).as("brand_vis"),
+          when(expr("nullif(p_size, 25)").isNull, lit("exactly25"))
+            .otherwise(lit("other")).as("is25"),
+          greatest(col("p_size") * 2, col("p_partkey") % 100).as("g"),
+          least(col("p_size") * 2, col("p_partkey") % 100).as("l"))
+        .orderBy("p_partkey")),
+
     // VARIANT (Spark 4): parse once into the binary semi-structured type,
     // then typed path extraction — the open-schema column format that
     // replaces string-JSON re-parsing per access. At scale the parse cost
@@ -146,6 +176,20 @@ object Scalars {
         .orderBy("source")))
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_bitwise" ->
+      ("SELECT p_partkey, p_partkey & 255 AS lo_byte, p_partkey | 16 AS or16, " +
+        "xor(p_partkey, CAST(p_size AS BIGINT)) AS xr, " +
+        "p_partkey << 3 AS shl, p_partkey >> 2 AS shr, " +
+        "CAST(bit_count(p_partkey) AS INTEGER) AS bits " +
+        "FROM part ORDER BY p_partkey"),
+    "q_scalar_conditional" ->
+      ("SELECT p_partkey, " +
+        "CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class, " +
+        "COALESCE(nullif(p_brand, 'Brand#11'), 'SUPPRESSED') AS brand_vis, " +
+        "CASE WHEN nullif(p_size, 25) IS NULL THEN 'exactly25' ELSE 'other' END AS is25, " +
+        "greatest(p_size * 2, p_partkey % 100) AS g, " +
+        "least(p_size * 2, p_partkey % 100) AS l " +
+        "FROM part ORDER BY p_partkey"),
     "q_scalar_variant" ->
       ("SELECT event_id, CAST(json_extract_string(CAST(props AS JSON), '$.k') AS INTEGER) AS k_int, " +
         "json_extract_string(CAST(props AS JSON), '$.k') AS k_str, " +

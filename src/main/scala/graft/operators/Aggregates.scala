@@ -163,6 +163,18 @@ object Aggregates {
           size(collect_set(col("o_orderpriority"))).as("n_distinct"))
         .orderBy("o_orderstatus")),
 
+    // Bivariate stats: Pearson correlation + sample covariance between
+    // price and discount per flag — streaming-mergeable moments, one pass.
+    // round(6) absorbs libm ulp variance between engines.
+    "q_agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_pd"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // Stats family: min/max/stddev/exact percentiles.
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -229,6 +241,10 @@ object Aggregates {
           .mkString(" UNION ALL ") +
         ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
     },
+    "q_agg_corr" ->
+      ("SELECT l_returnflag, round(corr(l_extendedprice, l_discount), 6) AS corr_pd, " +
+        "round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_collect" ->
       ("SELECT o_orderstatus, " +
         "array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities, " +
