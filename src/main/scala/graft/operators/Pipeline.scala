@@ -111,6 +111,23 @@ object Pipeline {
         .orderBy("metric")
     }),
 
+    // Deterministic train/val/test assignment: each doc's md5 band maps it
+    // to train (~87.5%), val, or test — stable under corpus growth (a doc's
+    // split never changes when other docs arrive, unlike rank-based
+    // splits), reproducible across engines and runs, map-only. The split
+    // step every training corpus needs; summarized per (lang, split).
+    "q_split_train" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("band", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("band") < "e0", "train")
+            .when(col("band") < "f0", "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy("lang", "split")),
+
     // Latest-version compaction: one surviving row per (user_id, event_type)
     // entity — the newest by (ts, event_id). The upsert/SCD-1 snapshot shape:
     // reading a change log back to current state.
@@ -159,6 +176,13 @@ object Pipeline {
         "round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price FROM orders) " +
         "UNPIVOT (value FOR metric IN (n_rows, null_custkey, nd_status, nd_priority, min_price, max_price)) " +
         "ORDER BY metric"),
+    "q_split_train" ->
+      ("SELECT lang, split, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM (" +
+        "SELECT lang, n_chars, CASE " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'train' " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "GROUP BY lang, split ORDER BY lang, split"),
     "q_upsert_latest" ->
       ("SELECT user_id, event_type, event_id, " +
         "date_trunc('second', ts) AS ts_s, round(value, 4) AS value_r FROM (" +
