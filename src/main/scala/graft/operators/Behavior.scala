@@ -84,6 +84,22 @@ object Behavior {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Per-group feature standardization (z-score): each event's value
+    // scaled by its event_type's mean/stddev — the feature-engineering
+    // normalization step, as one grouped-stats pass broadcast back onto the
+    // rows (window-over-group would shuffle the same once; the join form
+    // keeps the stats frame tiny and broadcastable at any fact size).
+    "q_normalize_z" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("v"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
     // Time-series gap-fill: a per-user daily calendar spine over the
     // observed span (sequence + explode — generated next to the user's
     // rows), zero-filled counts, and forward-filled last daily revenue.
@@ -139,6 +155,12 @@ object Behavior {
         "FROM ev JOIN c USING (user_id)) " +
         "SELECT cohort_week, week_offset, count(*) AS users FROM x " +
         "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q_normalize_z" ->
+      ("WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_id, e.event_type AS event_type, round(value, 4) AS v, " +
+        "round((value - mu) / sigma, 4) AS z " +
+        "FROM events e JOIN s ON e.event_type = s.event_type ORDER BY event_id"),
     "q_gap_fill" ->
       ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE user_id < 20), " +
         "daily AS (SELECT user_id, day, count(*) AS cnt, " +
