@@ -9,11 +9,16 @@ import java.nio.file.{Files, Paths}
   * machine-wide noise on untouched queries, making regressions
   * unattributable. "value" is the sum of medians.
   *
-  * Output: the JSON line is printed three ways so no log-capture scheme can
-  * lose it (rounds 1 AND 2 both ended with `"parsed": null`):
-  *   1. a grep-able sentinel line `BENCH_JSON: {...}` before spark.stop(),
-  *   2. the bare JSON as the very last stdout line after spark.stop(),
-  *   3. written to bench_out.json (authoritative — see README).
+  * Output: rounds 1-3 all ended `"parsed": null` because the driver's tail
+  * window cannot hold the 100+-entry per-query map on one line. So the very
+  * last stdout line is now a SHORT total-only JSON the driver can always
+  * parse; the full per-query map lives in the `BENCH_JSON:` sentinel line
+  * and in bench_out.json (authoritative — see README).
+  *
+  * Each query is evaluated through the `noop` write sink, not `count()`:
+  * Catalyst prunes projected columns a count never reads, which under-bills
+  * projection-heavy queries (the r3 verdict's column-pruning hole). The noop
+  * sink materializes every output column at full cost, discards the rows.
   *
   * A query that throws is recorded with a NEGATIVE duration (its wall time
   * until failure, negated, remaining reps skipped) and listed in "failed" —
@@ -32,8 +37,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen path once so the first timed query doesn't absorb
     // one-time session setup costs.
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     SparkEntry.queries.get("q_scan_count")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+      .foreach(fn => try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () })
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -42,7 +49,7 @@ object Bench {
       var rep = 0
       while (rep < reps && !failed) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { evaluate(fn(spark, sfDir)) }
         catch { case _: Throwable => failed = true }
         times += (System.nanoTime() - t0) / 1e9
         rep += 1
@@ -62,7 +69,9 @@ object Bench {
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(s"BENCH_JSON: $json")
     spark.stop()
-    // Final line of output: the one a tail-parsing driver reads.
-    println(json)
+    // Final line of output: SHORT so a tail-parsing driver with a bounded
+    // capture window always gets complete JSON (full map is in the sentinel
+    // line above and bench_out.json).
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
   }
 }

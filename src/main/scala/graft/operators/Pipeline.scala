@@ -157,8 +157,10 @@ object Pipeline {
     "q_token_budget" ->
       (s"SELECT lang, doc_id, toks, cum_toks FROM (" +
         s"SELECT lang, doc_id, $DuckNToks AS toks, " +
-        s"SUM(CAST($DuckNToks AS BIGINT)) OVER " +
-        "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks " +
+        // DuckDB SUM(BIGINT) yields HUGEINT (pandas float64); the outer cast
+        // pins the dtype to int64 to match Spark's LongType cum_toks.
+        s"CAST(SUM(CAST($DuckNToks AS BIGINT)) OVER " +
+        "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks " +
         "FROM documents) WHERE cum_toks <= 2000 ORDER BY lang, doc_id"),
     "q_sample_weighted" ->
       ("SELECT doc_id, n_chars, score FROM (" +

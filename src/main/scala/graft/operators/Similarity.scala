@@ -226,6 +226,38 @@ object Similarity {
         .map(_.getSeq[Double](1).toSeq).toSeq
       IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
     }
+
+    /** Incremental append for a live index: assign the new (vec_id, v) batch
+      * with the EXISTING centroids (no re-training — the append path a
+      * 100 TB corpus needs: a map-only pass over the batch, corpus untouched)
+      * and union it into the persisted assignment. Returns the grown index;
+      * the old one's cache is released. Search results equal an index built
+      * by assigning the unioned corpus with the same centroids — exactly,
+      * because assignment is per-row and deterministic. Quantizer drift
+      * under heavy appends is handled the way FAISS/ScaNN do: periodic
+      * re-train + full rebuild, which is just [[build]] on the union. */
+    def append(idx: IvfIndex, batch: DataFrame): IvfIndex = {
+      val delta = assignToCentroid(batch, idx.centroids)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val merged = idx.assigned.unionByName(delta).persist()
+      merged.count() // materialize before dropping the old cache
+      idx.assigned.unpersist()
+      IvfIndex(idx.centroids, merged)
+    }
+
+    /** Incremental append for an on-disk index written by [[write]]: assign
+      * the batch with the stored centroids and append the rows into the
+      * per-cell partition directories (dynamic-partition append — only the
+      * cells the batch touches gain files; existing files are never
+      * rewritten). Directory-level probe pruning is preserved. */
+    def appendTo(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cid").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      assignToCentroid(batch, cents)
+        .select(col("vec_id"), col("v"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/assigned")
+    }
   }
 
   /** IVF-PQ: product-quantized residual codes over an [[IvfIndex]] (Jégou,

@@ -23,14 +23,31 @@ object InvertedIndex {
 
   private def toks = expr("filter(split(text, ' '), w -> w <> '')")
 
-  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+  private def postings(docs: DataFrame, buckets: Int): DataFrame =
     docs.select(col("doc_id"), explode(toks).as("term"))
       .distinct()
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
         count(lit(1)).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+    postings(docs, buckets).write.mode("overwrite")
+      .partitionBy("bucket").parquet(dir)
+
+  /** Incremental append: the new docs' postings land as ADDITIONAL segment
+    * rows in the same bucket partitions (dynamic-partition append — nothing
+    * existing is rewritten, and only the new docs shuffle). A term present
+    * in both builds then has one row per build; [[lookup]] already explodes
+    * every matching row, so lookups over (initial + appended) equal a
+    * from-scratch build on the union, provided the corpora are doc-disjoint
+    * (append-only doc_ids — re-ingesting a doc needs a compaction rebuild).
+    * This IS the posting-segment strategy the build doc describes; `df` is
+    * per-segment, so a total document frequency is sum(df) over a term's
+    * segments. */
+  def append(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+    postings(docs, buckets).write.mode("append")
+      .partitionBy("bucket").parquet(dir)
 
   /** All doc_ids whose text contains `term`, via the index: reads one
     * bucket directory, one term row, explodes its postings. */

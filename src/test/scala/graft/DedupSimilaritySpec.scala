@@ -309,6 +309,42 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally idx.drop()
   }
 
+  test("incremental IVF append: in-memory and on-disk equal a same-centroid union build") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val initial = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 =!= 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val idx = Similarity.IvfIndex.build(initial, 8, 3)
+    // reference: the FULL corpus assigned with the initial build's centroids
+    // (append must equal this exactly — assignment is per-row deterministic)
+    val expected = rows(Similarity.ivfSearch(
+      Similarity.assignToCentroid(e, idx.centroids)
+        .select(col("vec_id"), col("v"), col("cid")),
+      idx.centroids, queries, 2, 3))
+    // on-disk path first (append unpersists idx's cache): write the initial
+    // index, append the batch into its cell partitions, read back
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.IvfIndex.write(idx, dir)
+    Similarity.IvfIndex.appendTo(spark, dir, batch)
+    val back = Similarity.IvfIndex.read(spark, dir)
+    assert(back.centroids == idx.centroids)
+    assert(rows(back.search(queries, 2, 3)) == expected,
+      "disk append + read must equal the union search")
+    // appended files landed INSIDE the per-cell dirs (pruning preserved)
+    val stray = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(stray.isEmpty, s"appended data must live in cid= dirs: ${stray.toSeq}")
+
+    val grown = Similarity.IvfIndex.append(idx, batch)
+    try {
+      assert(grown.centroids == idx.centroids, "append must not retrain")
+      assert(rows(grown.search(queries, 2, 3)) == expected)
+    } finally grown.drop()
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)

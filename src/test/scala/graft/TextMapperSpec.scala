@@ -70,6 +70,27 @@ class TextMapperSpec extends SparkSpec {
       s"term lookup must prune on the bucket partition:\n$plan")
   }
 
+  test("inverted index append: incremental segments equal a from-scratch build") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val initial = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    val incDir = java.nio.file.Files.createTempDirectory("graft-invidx-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-invidx-full").toString
+    graft.sources.InvertedIndex.build(initial, incDir)
+    graft.sources.InvertedIndex.append(delta, incDir)
+    graft.sources.InvertedIndex.build(docs, fullDir)
+    for (term <- Seq("vector", "join", "the", "no-such-term-anywhere")) {
+      val inc = rows(graft.sources.InvertedIndex.lookup(spark, incDir, term))
+      val full = rows(graft.sources.InvertedIndex.lookup(spark, fullDir, term))
+      assert(inc == full, s"segmented lookup must equal full rebuild for '$term'")
+    }
+    // still prunes to one bucket dir after the append
+    val plan = physicalPlan(graft.sources.InvertedIndex.lookup(spark, incDir, "vector"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(bucket"), plan)
+  }
+
   test("count-min heavy hitters: never undercounts, bounded over, true top recovered") {
     import org.apache.spark.sql.functions._
     val terms = Tables.documents(spark, sf)

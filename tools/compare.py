@@ -69,6 +69,15 @@ def main(sf_dir, out_dir):
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
             continue
+        # The driver's value hash is dtype-sensitive (r3: DuckDB HUGEINT ->
+        # float64 vs Spark int64 hashed differently despite equal values), so
+        # mirror it: same column must materialize as the same pandas dtype.
+        dbad = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                for c in spark_df.columns
+                if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dbad:
+            results[name] = f"DTYPE_MISMATCH {dbad}"
+            continue
         bad = None
         for ci, c in enumerate(spark_df.columns):
             sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
