@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RollingFingerprint}
 import graft.plans.{AsOfStrategy, PushFilterThroughAsOf}
 
 /** THE session-extension entry point: everything the engine injects into
@@ -12,6 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectFunction((RollingFingerprint.identifier, RollingFingerprint.info,
+      RollingFingerprint.builder))
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
   }

@@ -35,7 +35,8 @@ object SparkEntry {
       (MapperFacade.queries, MapperFacade.oracles),
       (DataModel.queries, DataModel.oracles),
       (Pipeline.queries, Pipeline.oracles),
-      (Behavior.queries, Behavior.oracles))
+      (Behavior.queries, Behavior.oracles),
+      (Curation.queries, Curation.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

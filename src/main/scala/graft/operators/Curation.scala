@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.15 — corpus-curation operators an LLM training-data pipeline
+  * runs between "raw text" and "training mix": benchmark decontamination,
+  * PII scrubbing, repetition-based quality filtering (the Gopher rules'
+  * shape), and language rebalancing. All exact and oracle-checked — the
+  * approximate/scalable siblings (minhash, simhash) live in Dedup.
+  *
+  * Scale design:
+  *  - Decontamination joins the corpus's shingles against the BENCHMARK's
+  *    shingle set. The benchmark (eval suites) is tiny relative to a 100 TB
+  *    corpus, so its distinct-shingle set is broadcast: the corpus side is
+  *    one map-only pass (explode + hash-probe), no corpus shuffle at all.
+  *    At extreme benchmark sizes, the same query degrades gracefully to a
+  *    shuffled semi-join — the DataFrame shape doesn't change.
+  *  - PII scrubbing is pure per-row expression work (regexp_extract_all /
+  *    regexp_replace are codegen'd): map-only, shuffle-free, scales
+  *    linearly with executors.
+  *  - Repetition scoring shuffles once on (doc_id, gram) with map-side
+  *    partial aggregation; the per-doc reduce state is one (max, sum) pair.
+  *  - Rebalancing aggregates per-language counts (a handful of rows),
+  *    broadcasts them back, and filters with a DETERMINISTIC per-doc
+  *    uniform hash — reproducible across runs, engines, and cluster
+  *    layouts, unlike rand()-based sampling (same Knuth-hash idiom as
+  *    Pipeline's q_sample_weighted).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toksOf = expr("filter(split(text, ' '), w -> w <> '')")
+
+  /** Word 5-gram shingles: (doc_id, g) for every window position. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toksOf.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))"))
+        .as("g"))
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark decontamination: drop corpus docs sharing ANY word-5-gram
+    // with the benchmark partition (here: doc_id < 20 stands in for the
+    // eval suite). Broadcast the benchmark's distinct shingles; the corpus
+    // pass is map-only + a distinct on the (small) hit set.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = shingles(docs)
+      val bench = sh.filter(col("doc_id") < 20).select("g").distinct()
+      val hits = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "g")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") >= 20)
+        .join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // PII scrubbing: count + redact emails and phone numbers. The testdata
+    // carries no PII, so each doc is augmented with a synthetic address and
+    // number first (same augmentation in the oracle) — the point is the
+    // scrub expressions, which are codegen'd and map-only.
+    "q_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 now")).as("aug"))
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(aug, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(aug, '$PhoneRe', 0)")).as("n_phones"),
+          length(regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("clean_len"))
+        .orderBy("doc_id").limit(100)),
+
+    // Gopher-style repetition signal: the fraction of a doc's word-2-grams
+    // occupied by its single most frequent 2-gram (high = boilerplate/spam).
+    "q_text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toksOf.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c").cast("double"), 6)
+          .as("top2_frac"))
+        .orderBy("doc_id")),
+
+    // Language rebalancing: cap every language at ~120 docs via a
+    // deterministic per-doc uniform; languages under the cap keep all docs.
+    // The per-language count table is tiny → broadcast back to the corpus.
+    "q_lang_rebalance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val u = (col("doc_id") * lit(2654435761L) + lit(97L)) % lit(1000000007L)
+      val kept = docs.join(broadcast(n), "lang")
+        .filter(u.cast("double") / 1000000007.0 <
+          least(lit(1.0), lit(120.0) / col("n_total")))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      n.join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .select("lang", "n_total", "n_kept")
+        .orderBy("lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "shingled AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g " +
+        "FROM tok, UNNEST(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5), " +
+        "hits AS (SELECT DISTINCT s.doc_id FROM shingled s " +
+        "JOIN (SELECT DISTINCT g FROM shingled WHERE doc_id < 20) b USING (g) " +
+        "WHERE s.doc_id >= 20) " +
+        "SELECT d.doc_id FROM documents d " +
+        "WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits) " +
+        "ORDER BY d.doc_id"),
+    "q_pii_scrub" ->
+      ("SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INTEGER) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INTEGER) AS n_phones, " +
+        s"CAST(length(regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g')) AS INTEGER) AS clean_len " +
+        "FROM (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or 555-123-4567 now' AS aug FROM documents) " +
+        "ORDER BY doc_id LIMIT 100"),
+    "q_text_repetition" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g " +
+        "FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2), " +
+        "cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2) " +
+        "SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top2_frac " +
+        "FROM cnt GROUP BY doc_id ORDER BY doc_id"),
+    "q_lang_rebalance" ->
+      ("WITH lang_n AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang), " +
+        "kept AS (SELECT d.lang, count(*) AS n_kept FROM documents d JOIN lang_n USING (lang) " +
+        "WHERE CAST((d.doc_id * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007.0 " +
+        "< LEAST(1.0, 120.0 / lang_n.n_total) GROUP BY d.lang) " +
+        "SELECT lang_n.lang, lang_n.n_total, COALESCE(kept.n_kept, 0) AS n_kept " +
+        "FROM lang_n LEFT JOIN kept USING (lang) ORDER BY lang_n.lang"))
+}

@@ -162,16 +162,25 @@ object TextAnalysis {
     // a prime — order-sensitive, overflow-free (exact in both engines).
     // Empty docs are excluded on BOTH sides: Spark's sequence(1,0) would go
     // descending while DuckDB's range(1,1) is empty, so their "fingerprints"
-    // of '' diverge (0 vs NULL).
+    // of '' diverge (0 vs NULL). Since r4 this runs the native codegen'd
+    // `rolling_fingerprint` expression (one fused loop, whole-stage
+    // codegen) instead of the interpreted HOF array pipeline; the native ==
+    // HOF equivalence is spec-asserted in NativeFunctionSpec.
     "q_text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(length(col("text")) > 0)
         .select(
           col("doc_id"),
-          pmod(aggregate(
-            expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) * ((i * 131) % 1000003) AS BIGINT))"),
-            lit(0L), (acc, x) => acc + x), lit(1000000007L)).as("fingerprint"))
+          expr("rolling_fingerprint(text)").as("fingerprint"))
         .orderBy("doc_id")))
+
+  /** The pre-r4 higher-order-function formulation of the fingerprint —
+    * kept as the spec reference the native expression is asserted equal
+    * against (and the shape a user without GraftExtensions would write). */
+  private[graft] val fingerprintHof: Column =
+    pmod(aggregate(
+      expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) * ((i * 131) % 1000003) AS BIGINT))"),
+      lit(0L), (acc, x) => acc + x), lit(1000000007L))
 
   private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
 

@@ -23,6 +23,18 @@ class NativeFunctionSpec extends SparkSpec {
     assert(diffs == 0, "fold order must make native == HOF bit-exactly")
   }
 
+  test("native rolling_fingerprint equals the HOF formulation on every doc") {
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) > 0)
+    val diffs = docs.select(
+      expr("rolling_fingerprint(text)").as("native"),
+      graft.operators.TextAnalysis.fingerprintHof.as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(diffs == 0, "native fingerprint must equal the HOF array pipeline")
+    // null in, null out
+    val r = docs.limit(1).select(expr("rolling_fingerprint(CAST(NULL AS STRING))")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("mismatched-length arrays yield NULL, matching the HOF zip_with semantics") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")

@@ -54,6 +54,17 @@ class OperatorSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
   }
 
+  test("bucketed join reads co-located buckets: no Exchange on either side") {
+    Joins.ensureBucketed(spark, sf)
+    val joined = spark.table(Joins.bucketTable(sf, "lineitem"))
+      .join(spark.table(Joins.bucketTable(sf, "orders")).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = physicalPlan(joined)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed-by-join-key scans must not shuffle:\n$plan")
+  }
+
   test("sort+limit plans as TakeOrderedAndProject (top-k, no global sort)") {
     val plan = physicalPlan(Relational.queries("q_sort_multi")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
