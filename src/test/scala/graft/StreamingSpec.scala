@@ -143,6 +143,36 @@ class StreamingSpec extends SparkSpec {
       "incremental per-batch merges must equal the one-shot compaction")
   }
 
+  test("streaming ingestion maintains the inverted index via per-batch appends") {
+    // The index-as-maintained-artifact story end-to-end: a document stream
+    // builds the index on its first micro-batch and APPENDS segments on
+    // every later one (InvertedIndex.append) — lookups afterwards equal a
+    // from-scratch batch build. This is the foreachBatch shape a 100 TB
+    // ingest pipeline runs continuously.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-invidx-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId == 0L) graft.sources.InvertedIndex.build(batch.toDF(), dir)
+        else graft.sources.InvertedIndex.append(batch.toDF(), dir)
+      }.start()
+    mem.addData(evens.toSeq: _*); q.processAllAvailable()
+    mem.addData(odds.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val fullDir = Files.createTempDirectory("graft-invidx-stream-full").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), fullDir)
+    for (term <- Seq("vector", "join", "no-such-term-anywhere")) {
+      val inc = rows(graft.sources.InvertedIndex.lookup(spark, dir, term))
+      val full = rows(graft.sources.InvertedIndex.lookup(spark, fullDir, term))
+      assert(inc == full, s"stream-maintained lookup must equal batch build for '$term'")
+    }
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -89,6 +89,18 @@ class TextMapperSpec extends SparkSpec {
     val plan = physicalPlan(graft.sources.InvertedIndex.lookup(spark, incDir, "vector"))
     assert(plan.contains("PartitionFilters") &&
       plan.replaceAll("\\s", "").contains("(bucket"), plan)
+
+    // compaction folds per-batch segments back to one row per term and
+    // changes NO lookup result
+    graft.sources.InvertedIndex.compact(spark, incDir)
+    val maxSegs = spark.read.parquet(incDir)
+      .groupBy("term").count().agg(max("count")).head().getLong(0)
+    assert(maxSegs == 1L, s"compact must leave one segment per term, max=$maxSegs")
+    for (term <- Seq("vector", "join", "the")) {
+      val inc = rows(graft.sources.InvertedIndex.lookup(spark, incDir, term))
+      val full = rows(graft.sources.InvertedIndex.lookup(spark, fullDir, term))
+      assert(inc == full, s"compaction must not change lookups for '$term'")
+    }
   }
 
   test("count-min heavy hitters: never undercounts, bounded over, true top recovered") {
