@@ -31,4 +31,16 @@ object SkewOps {
       .agg(sum(col(value).cast(DecimalType(18, 2))).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).cast("double").as(s"sum_$value"))
+
+  /** Keys carrying more than 1/n of `df`'s rows, as a single column `hk` —
+    * the phase-1 discovery of two-phase targeted salting (q_join_salted_hot).
+    * Fully declarative (the scalar total rides along as a broadcast cross
+    * join, no driver-side action), and the output is tiny BY DEFINITION —
+    * at most n-1 keys can each exceed 1/n of the rows — so it is always
+    * safe to broadcast, at any corpus size. */
+  def hotKeys(df: DataFrame, key: String, n: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__tot"))))
+      .filter(col("__c") > col("__tot") / n)
+      .select(col(key).as("hk"))
 }

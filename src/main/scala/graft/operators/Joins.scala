@@ -149,6 +149,43 @@ object Joins {
         .orderBy("o_orderpriority")
     }),
 
+    // Production-shape skew handling: TWO-PHASE targeted salting. The naive
+    // q_join_salted replicates the ENTIRE dim ×salts — that cost scales
+    // with the dim and dies at 1000×. The shape that survives: (1) find the
+    // hot keys (a grouped count — its output is tiny by definition of
+    // "hot"), broadcast that set; (2) salt ONLY hot-key rows on the fact
+    // side and explode ONLY hot-key rows on the dim side. Cold keys pay
+    // nothing. Skew is synthesized deterministically (80% of events land on
+    // user 1 — the testdata is uniform); result provably equals the
+    // unsalted join, so the oracle is the plain formulation. The
+    // shuffle_hash hint keeps the join a real shuffled join at test scale
+    // (the 150-row dim would otherwise broadcast and hide the mechanics).
+    "q_join_salted_hot" -> ((s, d) => {
+      val salts = 8
+      val fact = Tables.events(s, d)
+        .withColumn("uid", when(col("event_id") % 10 < 8, lit(1L))
+          .otherwise(col("user_id")))
+      val dim = Tables.events(s, d).select(col("user_id").as("du")).distinct()
+      // hot = carries more than 1/50 of all rows; hotKeys' output is ≤49
+      // rows by definition, so the broadcasts below are always safe
+      val hot = graft.functions.SkewOps.hotKeys(fact, "uid", 50)
+      val f2 = fact.join(broadcast(hot), col("uid") === col("hk"), "left")
+        .withColumn("salt", when(col("hk").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("event_id")), lit(salts))))
+        .drop("hk")
+      val d2 = dim.join(broadcast(hot), col("du") === col("hk"), "left")
+        .withColumn("salt", explode(when(col("hk").isNull, array(lit(0L)))
+          .otherwise(array((0 until salts).map(i => lit(i.toLong)): _*))))
+        .drop("hk")
+      f2.join(d2.hint("shuffle_hash"),
+          f2("uid") === d2("du") && f2("salt") === d2("salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Co-located (bucketed) join: both fact tables pre-written bucketed by
     // the join key into the session warehouse — the join then reads
     // co-partitioned buckets and needs NO Exchange on either side (asserted
@@ -277,6 +314,12 @@ object Joins {
       "SELECT c_mktsegment, count(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q_join_multi" ->
       "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    // targeted salting provably equals the unsalted join
+    "q_join_salted_hot" ->
+      ("WITH fact_sk AS (SELECT event_type, value, CASE WHEN event_id % 10 < 8 THEN 1 ELSE user_id END AS uid FROM events), " +
+        "dim_sk AS (SELECT DISTINCT user_id AS du FROM events) " +
+        "SELECT event_type, count(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM fact_sk JOIN dim_sk ON uid = du GROUP BY event_type ORDER BY event_type"),
     // bucketing only changes the physical layout, never the rows
     "q_join_bucketed" ->
       "SELECT o_orderpriority, count(*) AS cnt, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",

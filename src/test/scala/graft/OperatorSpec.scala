@@ -54,6 +54,21 @@ class OperatorSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
   }
 
+  test("hotKeys finds exactly the synthesized heavy key, nothing else") {
+    // q_join_salted_hot's skew shape: 80% of events collapse onto uid 1
+    val fact = Tables.events(spark, sf)
+      .withColumn("uid", when(col("event_id") % 10 < 8, lit(1L))
+        .otherwise(col("user_id")))
+    val hot = graft.functions.SkewOps.hotKeys(fact, "uid", 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(1L), s"expected only the planted hot key, got $hot")
+    // uniform data (sf0.001: ~50 users, ~1/50 of rows each) has no key
+    // above 1/10 of the rows
+    val none = graft.functions.SkewOps.hotKeys(
+      Tables.events(spark, sf), "user_id", 10).count()
+    assert(none == 0L)
+  }
+
   test("bucketed join reads co-located buckets: no Exchange on either side") {
     Joins.ensureBucketed(spark, sf)
     val joined = spark.table(Joins.bucketTable(sf, "lineitem"))
