@@ -491,7 +491,40 @@ object Similarity {
     // probed results carry true cosines and recall grows with flips.
     "q_sim_ann_lsh" -> ((s, d) =>
       lshTopK(corpus(s, d), planes = 8, dims = 64, nQueries = 5,
-        flips = 1, k = 3)))
+        flips = 1, k = 3)),
+
+    // Per-label centroid norm via position-wise aggregation (posexplode →
+    // (label, pos) avg → norm): the "how clustered is each class" probe.
+    // One shuffle keyed (label, pos) — at 100 TB this is rows × dims
+    // exploded but partially aggregated map-side, so the exchange carries
+    // only labels × dims rows per partition. (VectorAvg collapses the same
+    // computation into one pass when dims are known; this is the
+    // SQL-surface formulation that needs no fixed dims.)
+    "q_embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), toDoubleArray(col("embedding")).as("v"))
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg("x").as("m"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("int").as("dims"),
+          round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+        .orderBy("label")),
+
+    // Symmetric int8 quantization of the embedding column (per-vector
+    // scale = max|x|/127) with the reconstruction-error report — the
+    // embedding-compression step before a 100 TB corpus ships to an ANN
+    // index. Pure per-row HOF expression work: map-only, no shuffle.
+    "q_embed_quantize" -> ((s, d) =>
+      corpus(s, d)
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+        .withColumn("codes", expr("transform(v, x -> round(x / scale))"))
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale_r"),
+          expr("CAST(array_max(transform(codes, x -> abs(x))) AS INT)").as("max_code"),
+          round(sqrt(expr(
+            "aggregate(zip_with(v, codes, (x, c) -> (x - c * scale) * (x - c * scale)), 0D, (a, b) -> a + b)")), 6)
+            .as("recon_err"))
+        .orderBy("vec_id").limit(200)))
 
   private val CosineSql =
     "round(list_aggregate(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), 'sum') / " +
@@ -522,5 +555,18 @@ object Similarity {
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), " +
         s"c AS (SELECT qid, vec_id, $CosineSql AS cosine FROM e, q WHERE vec_id <> qid), " +
         "r AS (SELECT qid, vec_id, cosine, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn FROM c) " +
-        "SELECT qid, vec_id, cosine, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"))
+        "SELECT qid, vec_id, cosine, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"),
+    "q_embed_centroid" ->
+      ("WITH posx AS (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "cent AS (SELECT label, i, avg(CAST(x AS DOUBLE)) AS m FROM posx GROUP BY label, i) " +
+        "SELECT label, CAST(count(*) AS INTEGER) AS dims, round(sqrt(sum(m*m)), 6) AS centroid_norm " +
+        "FROM cent GROUP BY label ORDER BY label"),
+    "q_embed_quantize" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+        "sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v), " +
+        "qt AS (SELECT vec_id, scale, e, list_transform(e, x -> round(x / scale)) AS codes FROM sc) " +
+        "SELECT vec_id, round(scale, 9) AS scale_r, " +
+        "CAST(list_max(list_transform(codes, x -> abs(x))) AS INTEGER) AS max_code, " +
+        "round(sqrt(list_sum(list_transform(list_zip(e, codes), p -> (p[1] - p[2]*scale) * (p[1] - p[2]*scale)))), 6) AS recon_err " +
+        "FROM qt ORDER BY vec_id LIMIT 200"))
 }
