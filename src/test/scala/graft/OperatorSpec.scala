@@ -54,6 +54,37 @@ class OperatorSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact scan") {
+    // The third skew/volume lever next to broadcast and bucketing: Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the FILTERED dim side
+    // and applies it to the fact side BEFORE the join shuffle, cutting the
+    // exchanged rows to ~the join's selectivity. Threshold configs are
+    // production-scale (10 GB application side), so pin them down to test
+    // scale; broadcast is disabled so the join actually shuffles (the filter
+    // only injects into probably-shuffle joins).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Tables.lineitem(spark, sf)
+        .join(Tables.part(spark, sf).filter(col("p_size") < 3),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloom"),
+        s"expected an injected bloom filter in the optimized plan:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hotKeys finds exactly the synthesized heavy key, nothing else") {
     // q_join_salted_hot's skew shape: 80% of events collapse onto uid 1
     val fact = Tables.events(spark, sf)
