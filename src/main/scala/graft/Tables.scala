@@ -53,7 +53,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (for `spark.sql` surfaces). */
+  /** Table accessor by name, applying any per-table normalization (events'
+    * ns-long → timestamp rebuild) — the one lookup both the DataFrame and
+    * SQL surfaces share. */
+  def table(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case n => load(s, d, n)
+  }
+
+  /** Register all tables as temp views (for `spark.sql` surfaces). Goes
+    * through [[table]], NOT raw [[load]]: a raw-load registration would
+    * hand SQL users an events.ts that is still a nanosecond long while the
+    * DataFrame surface sees a timestamp — the two surfaces must agree. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -54,6 +54,23 @@ class OperatorSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
   }
 
+  test("registerAll gives the SQL surface the same tables as the DataFrame surface") {
+    Tables.registerAll(spark, sf)
+    // events.ts must arrive as a usable timestamp, not the raw ns long
+    val tsType = spark.sql("SELECT ts FROM events").schema("ts").dataType.typeName
+    assert(tsType.startsWith("timestamp"), s"SQL surface sees ts as $tsType")
+    // a join-shaped SQL query over the views equals its DataFrame twin
+    val viaSql = rows(spark.sql(
+      "SELECT c_mktsegment, count(*) AS n_orders FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment " +
+        "ORDER BY c_mktsegment"))
+    val viaDf = rows(Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment"))
+    assert(viaSql == viaDf)
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact scan") {
     // The third skew/volume lever next to broadcast and bucketing: Catalyst's
     // InjectRuntimeFilter builds a bloom filter from the FILTERED dim side
