@@ -94,6 +94,35 @@ object Curation {
           .as("top2_frac"))
         .orderBy("doc_id")),
 
+    // Document chunking for RAG / context-window prep: 64-token windows at
+    // stride 48 (16-token overlap), identified by (doc_id, chunk_id) with a
+    // content hash. Map-only (generation is per-row HOF work); at 100 TB the
+    // output is ~1.3× the token count and never shuffles here — downstream
+    // ops key by doc_id or chunk hash as needed.
+    "q_doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toksOf.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(1, size(t), 48), s -> slice(t, s, 64))"))
+          .as(Seq("chunk_id", "chunk")))
+        .filter(size(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          size(col("chunk")).as("n_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Encoding scalar family: base64 / hex / byte length over utf-8 text —
+    // the content-addressing and wire-format primitives. Pure codegen'd
+    // expressions, map-only.
+    "q_scalar_encode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          base64(encode(substring(col("text"), 1, 16), "utf-8")).as("b64"),
+          hex(substring(col("text"), 1, 8)).as("hx"),
+          octet_length(col("text")).as("n_bytes"))
+        .orderBy("doc_id").limit(50)),
+
     // Language rebalancing: cap every language at ~120 docs via a
     // deterministic per-doc uniform; languages under the cap keep all docs.
     // The per-language count table is tiny → broadcast back to the corpus.
@@ -138,6 +167,18 @@ object Curation {
         "cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2) " +
         "SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top2_frac " +
         "FROM cnt GROUP BY doc_id ORDER BY doc_id"),
+    "q_doc_chunks" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "ch AS (SELECT doc_id, CAST((s - 1) / 48 AS INTEGER) AS chunk_id, t[s:s+63] AS chunk " +
+        "FROM tok, UNNEST(range(1, len(t)+1, 48)) AS u(s) WHERE len(t) > 0) " +
+        "SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_toks, " +
+        "md5(array_to_string(chunk, ' ')) AS chunk_md5 " +
+        "FROM ch WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id"),
+    "q_scalar_encode" ->
+      ("SELECT doc_id, base64(CAST(substring(text, 1, 16) AS BLOB)) AS b64, " +
+        "hex(substring(text, 1, 8)) AS hx, " +
+        "CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes " +
+        "FROM documents ORDER BY doc_id LIMIT 50"),
     "q_lang_rebalance" ->
       ("WITH lang_n AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang), " +
         "kept AS (SELECT d.lang, count(*) AS n_kept FROM documents d JOIN lang_n USING (lang) " +
