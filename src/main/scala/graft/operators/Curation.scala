@@ -112,6 +112,51 @@ object Curation {
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Chunk-level (paragraph-grade) dedup: which 64-token chunks appear in
+    // more than one place, and who keeps them (min doc_id owner). The
+    // composition of q_doc_chunks with exact dedup — one shuffle on the
+    // chunk hash with map-side partial counts; the chunk TEXT never
+    // shuffles, only its md5.
+    "q_dedup_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toksOf.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(t), 48), s -> slice(t, s, 64))"))
+          .as("chunk"))
+        .filter(size(col("chunk")) > 0)
+        .select(col("doc_id"), md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).cast("int").as("n_copies"),
+          min("doc_id").as("keeper_doc"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("n_copies").desc, col("chunk_md5"))
+        .limit(50)),
+
+    // Percentile-gated quality filter: keep docs at or above their
+    // language's 25th quality percentile (percent_rank — integer-ratio
+    // math, so the cut is bit-identical across engines, unlike an
+    // interpolated percentile threshold). Per-language window over the
+    // quality scores = one shuffle on lang.
+    "q_quality_filter" -> ((s, d) => {
+      val stopHits = TextAnalysis.markerScore(TextAnalysis.Markers("en"))
+      val t = toksOf
+      val scored = Tables.documents(s, d)
+        .filter(size(t) > 0)
+        .select(col("lang"), col("doc_id"),
+          round(least(size(t).cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - abs(stopHits.cast("double") / size(t) - lit(0.1))), 6)
+            .as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("quality")
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     // Encoding scalar family: base64 / hex / byte length over utf-8 text —
     // the content-addressing and wire-format primitives. Pure codegen'd
     // expressions, map-only.
@@ -174,6 +219,25 @@ object Curation {
         "SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_toks, " +
         "md5(array_to_string(chunk, ' ')) AS chunk_md5 " +
         "FROM ch WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id"),
+    "q_dedup_chunks" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "ch AS (SELECT doc_id, t[s:s+63] AS chunk " +
+        "FROM tok, UNNEST(range(1, len(t)+1, 48)) AS u(s) WHERE len(t) > 0) " +
+        "SELECT md5(array_to_string(chunk, ' ')) AS chunk_md5, " +
+        "CAST(count(*) AS INTEGER) AS n_copies, CAST(min(doc_id) AS BIGINT) AS keeper_doc " +
+        "FROM ch WHERE len(chunk) > 0 GROUP BY 1 HAVING count(*) > 1 " +
+        "ORDER BY n_copies DESC, chunk_md5 LIMIT 50"),
+    "q_quality_filter" -> {
+      val stop = TextAnalysis.duckMarkerScore(TextAnalysis.Markers("en"))
+      val dt = TextAnalysis.DuckToks
+      s"WITH scored AS (SELECT lang, doc_id, " +
+        s"round(least(CAST(len($dt) AS DOUBLE) / 100.0, 1.0) * " +
+        s"(1.0 - abs(CAST($stop AS DOUBLE) / len($dt) - 0.1)), 6) AS quality " +
+        s"FROM documents WHERE len($dt) > 0), " +
+        "pr AS (SELECT lang, quality, percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS p FROM scored) " +
+        "SELECT lang, CAST(count(*) AS INTEGER) AS n_kept, round(avg(quality), 6) AS avg_quality " +
+        "FROM pr WHERE p >= 0.25 GROUP BY lang ORDER BY lang"
+    },
     "q_scalar_encode" ->
       ("SELECT doc_id, base64(CAST(substring(text, 1, 16) AS BLOB)) AS b64, " +
         "hex(substring(text, 1, 8)) AS hx, " +

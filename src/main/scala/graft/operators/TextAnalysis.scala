@@ -29,7 +29,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que"),
     "zh" -> Seq("zhi", "de", "le"))
 
-  private def markerScore(markers: Seq[String]): Column = {
+  private[graft] def markerScore(markers: Seq[String]): Column = {
     val arr = markers.map(m => s"'$m'").mkString(", ")
     size(expr(s"filter(filter(split(text, ' '), w -> w <> ''), w -> array_contains(array($arr), w))"))
   }
@@ -182,9 +182,9 @@ object TextAnalysis {
       expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) * ((i * 131) % 1000003) AS BIGINT))"),
       lit(0L), (acc, x) => acc + x), lit(1000000007L))
 
-  private val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private[graft] val DuckToks = "list_filter(string_split(text, ' '), w -> w <> '')"
 
-  private def duckMarkerScore(markers: Seq[String]): String = {
+  private[graft] def duckMarkerScore(markers: Seq[String]): String = {
     val arr = markers.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter($DuckToks, w -> list_contains([$arr], w))) AS INTEGER)"
   }

@@ -54,6 +54,17 @@ class OperatorSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark shingles; PII scrub is exchange-free") {
+    // the §2.15 scale claims, asserted on the actual plans
+    val decon = physicalPlan(Curation.queries("q_decontaminate")(spark, sf))
+    assert(decon.contains("BroadcastHashJoin") || decon.contains("BroadcastExchange"),
+      s"benchmark shingle set must broadcast:\n$decon")
+    val pii = physicalPlan(Curation.queries("q_pii_scrub")(spark, sf))
+    // TakeOrderedAndProject handles the final order+limit; the scrub itself
+    // must not shuffle (no Exchange anywhere in the plan)
+    assert(!pii.contains("Exchange"), s"PII scrub must be map-only:\n$pii")
+  }
+
   test("registerAll gives the SQL surface the same tables as the DataFrame surface") {
     Tables.registerAll(spark, sf)
     // events.ts must arrive as a usable timestamp, not the raw ns long
