@@ -355,10 +355,7 @@ object Similarity {
       val dims = ivf.centroids.head.size
       require(dims % m == 0, s"dims=$dims not divisible by m=$m")
       val sub = dims / m
-      val resid = ivf.assigned
-        .withColumn("cents", typedlit(ivf.centroids))
-        .withColumn("r", expr("zip_with(v, element_at(cents, cid + 1), (x, y) -> x - y)"))
-        .select(col("vec_id"), col("cid"), col("r")).persist()
+      val resid = residualsOf(ivf.assigned, ivf.centroids).persist()
       resid.count()
       val books: Seq[Seq[Seq[Double]]] =
         try (0 until m).map { j =>
@@ -367,7 +364,27 @@ object Similarity {
               expr(s"slice(r, ${j * sub + 1}, $sub)").as("v")), ksub, iters)
         }
         finally () // resid dropped after encode below
-      val encoded = resid
+      val encoded = encodeResiduals(resid, books, m, sub).persist()
+      encoded.count()
+      resid.unpersist()
+      IvfPqIndex(ivf, m, ksub, books, encoded)
+    }
+
+    /** Residuals of (vec_id, v) rows against the given coarse centroids —
+      * the shared first step of build-encode and append-encode. */
+    private[graft] def residualsOf(assigned: DataFrame,
+        centroids: Seq[Seq[Double]]): DataFrame =
+      assigned
+        .withColumn("cents", typedlit(centroids))
+        .withColumn("r", expr("zip_with(v, element_at(cents, cid + 1), (x, y) -> x - y)"))
+        .select(col("vec_id"), col("cid"), col("r"))
+
+    /** Nearest-codebook-entry encoding of (vec_id, cid, r) residual rows —
+      * ONE shared definition for the initial build and incremental appends,
+      * so delta codes can never diverge from build codes. */
+    private[graft] def encodeResiduals(resid: DataFrame,
+        books: Seq[Seq[Seq[Double]]], m: Int, sub: Int): DataFrame =
+      resid
         .withColumn("bks", typedlit(books))
         .withColumn("sdists", expr(
           s"transform(sequence(0, ${m - 1}), j -> transform(element_at(bks, j + 1), " +
@@ -375,10 +392,28 @@ object Similarity {
             "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)))"))
         .withColumn("codes", expr(
           "transform(sdists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
-        .select(col("vec_id"), col("cid"), col("codes")).persist()
-      encoded.count()
-      resid.unpersist()
-      IvfPqIndex(ivf, m, ksub, books, encoded)
+        .select(col("vec_id"), col("cid"), col("codes"))
+
+    /** Incremental append: assign + residual-encode the (vec_id, v) batch
+      * with the EXISTING centroids and codebooks (no re-training — one
+      * map-only pass over the batch), growing both the parent IVF
+      * assignment (exact re-rank side) and the code table (ADC side).
+      * Codebook drift under heavy appends is the same operational story as
+      * the coarse quantizer's: periodic [[build]] on the union. */
+    def append(idx: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
+      val dims = idx.ivf.centroids.head.size
+      val sub = dims / idx.m
+      val grownIvf = IvfIndex.append(idx.ivf, batch)
+      val delta = encodeResiduals(
+        residualsOf(
+          assignToCentroid(batch, idx.ivf.centroids)
+            .select(col("vec_id"), col("v"), col("cid")),
+          idx.ivf.centroids),
+        idx.books, idx.m, sub)
+      val merged = idx.encoded.unionByName(delta).persist()
+      merged.count()
+      idx.encoded.unpersist()
+      IvfPqIndex(grownIvf, idx.m, idx.ksub, idx.books, merged)
     }
   }
 

@@ -345,6 +345,35 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally grown.drop()
   }
 
+  test("incremental PQ append equals same-books encoding of the union corpus") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val initial = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 =!= 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val ivf = Similarity.IvfIndex.build(initial, 8, 3)
+    val pq = Similarity.IvfPqIndex.build(ivf, m = 8, ksub = 16, iters = 2)
+    // reference: the SAME centroids + books applied to the unioned corpus
+    // (assignment and encoding are per-row deterministic, so append must
+    // reproduce this exactly)
+    val unionAssigned = Similarity.assignToCentroid(e, ivf.centroids)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val refIdx = Similarity.IvfPqIndex(
+      Similarity.IvfIndex(ivf.centroids, unionAssigned), 8, 16, pq.books,
+      Similarity.IvfPqIndex.encodeResiduals(
+        Similarity.IvfPqIndex.residualsOf(unionAssigned, ivf.centroids),
+        pq.books, 8, 8))
+    val expected = rows(refIdx.searchRefined(queries, nprobe = 8, k = 3, refine = 4))
+    val grown = Similarity.IvfPqIndex.append(pq, batch)
+    try {
+      assert(grown.books == pq.books, "append must not retrain codebooks")
+      assert(rows(grown.searchRefined(queries, nprobe = 8, k = 3, refine = 4)) == expected,
+        "append search must equal the same-books union encoding")
+    } finally grown.drop()
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)

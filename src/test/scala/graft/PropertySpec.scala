@@ -36,6 +36,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native rolling_fingerprint equals the HOF formulation on arbitrary BMP strings") {
+    import spark.implicits._
+    // printable ASCII plus Latin-1 and a few CJK chars: exercises the
+    // charAt == ascii(substring) equivalence claim beyond the ASCII corpus
+    val charGen = Gen.frequency(
+      8 -> Gen.choose(32.toChar, 126.toChar),
+      2 -> Gen.choose(160.toChar, 255.toChar),
+      1 -> Gen.oneOf('世', '界', 'é', '€'))
+    val strGen = Gen.chooseNum(1, 200)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    samples(Gen.listOfN(25, strGen), 8).foreach { xs =>
+      val df = xs.toDF("text")
+      val diffs = df.select(
+        expr("rolling_fingerprint(text)").as("native"),
+        graft.operators.TextAnalysis.fingerprintHof.as("hof"))
+        .filter(!(col("native") <=> col("hof"))).count()
+      assert(diffs == 0, s"native != HOF on some of: ${xs.take(3)}")
+    }
+  }
+
   test("cosine(v, v) == 1 for any non-zero vector") {
     import spark.implicits._
     samples(Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0))
