@@ -173,6 +173,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion maintains the on-disk IVF index via per-batch appends") {
+    // Vector twin of the inverted-index ingest: batch 0 builds + writes the
+    // index, later batches appendTo into the per-cell partitions; the final
+    // on-disk index searches exactly like a same-centroid assignment of the
+    // full corpus.
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val vecs = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (evens, odds) = vecs.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-ivf-stream").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId == 0L)
+          Similarity.IvfIndex.write(Similarity.IvfIndex.build(batch.toDF(), 8, 3), dir)
+        else Similarity.IvfIndex.appendTo(spark, dir, batch.toDF())
+      }.start()
+    mem.addData(evens.toSeq: _*); q.processAllAvailable()
+    mem.addData(odds.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val idx = Similarity.IvfIndex.read(spark, dir)
+    val queries = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v"))
+    val expected = rows(Similarity.ivfSearch(
+      Similarity.assignToCentroid(e, idx.centroids)
+        .select(col("vec_id"), col("v"), col("cid")),
+      idx.centroids, queries, 2, 3))
+    assert(rows(idx.search(queries, 2, 3)) == expected,
+      "stream-maintained IVF index must equal the same-centroid batch assignment")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
