@@ -83,12 +83,16 @@ object Scalars {
           // half-tie (any odd/32 value), where Java half-up and C printf
           // half-even disagree; after round(x,4) the double is within 1 ulp
           // of a 4dp decimal so the format step has no ties left.
+          // "+ 0.0" AFTER round kills the signed zero: Spark's round goes
+          // through BigDecimal (no -0.0 exists, tiny negatives format as
+          // "0.0000") while DuckDB's C round keeps the sign ("-0.0000");
+          // IEEE -0.0 + 0.0 = +0.0 normalizes both (first hit at sf0.1).
           expr("array_join(transform(slice(embedding, 1, 3), " +
-            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("first3"),
+            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0D)), ',')").as("first3"),
           expr("array_join(transform(sort_array(slice(embedding, 1, 5)), " +
-            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("sorted5"),
+            "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0D)), ',')").as("sorted5"),
           expr("array_join(transform(slice(embedding, 1, 3), " +
-            "x -> format_string('%.4f', round(CAST(-x AS DOUBLE), 4))), ',')").as("neg3"),
+            "x -> format_string('%.4f', round(CAST(-x AS DOUBLE), 4) + 0.0D)), ',')").as("neg3"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
           array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_low"))
         .orderBy("vec_id")),
@@ -238,9 +242,9 @@ object Scalars {
     "q_scalar_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
         "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_all, " +
-        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS first3, " +
-        "array_to_string(list_transform(list_sort(embedding[1:5]), x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS sorted5, " +
-        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(-x AS DOUBLE), 4))), ',') AS neg3, " +
+        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS first3, " +
+        "array_to_string(list_transform(list_sort(embedding[1:5]), x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS sorted5, " +
+        "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(-x AS DOUBLE), 4) + 0.0)), ',') AS neg3, " +
         "round(CAST(embedding[1] AS DOUBLE), 6) AS e1, list_contains([1, 2, 3], label) AS label_low " +
         "FROM embeddings ORDER BY vec_id"),
     "q_scalar_json" ->
