@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** SURVEY.md §2.15 — corpus-curation operators an LLM training-data pipeline
-  * runs between "raw text" and "training mix": benchmark decontamination,
-  * PII scrubbing, repetition-based quality filtering (the Gopher rules'
-  * shape), and language rebalancing. All exact and oracle-checked — the
+  * runs between "raw text" and "training mix": benchmark decontamination
+  * (n-gram overlap, the GPT-3/PaLM appendix methodology), PII scrubbing,
+  * repetition-based quality filtering (the repetition-signal family of
+  * Rae et al. 2021's Gopher data rules), chunking, chunk-level dedup (the
+  * substring-duplication concern of Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better", at chunk granularity), and
+  * language rebalancing. All exact and oracle-checked — the
   * approximate/scalable siblings (minhash, simhash) live in Dedup.
   *
   * Scale design:
