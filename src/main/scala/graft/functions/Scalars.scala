@@ -76,9 +76,9 @@ object Scalars {
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(expr(
+          (round(expr(
             "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"),
-            4).as("sum_all"),
+            4) + 0.0).as("sum_all"),
           // round() BEFORE %.4f: a raw float32 can sit exactly on a 4dp
           // half-tie (any odd/32 value), where Java half-up and C printf
           // half-even disagree; after round(x,4) the double is within 1 ulp
@@ -93,7 +93,7 @@ object Scalars {
             "x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0D)), ',')").as("sorted5"),
           expr("array_join(transform(slice(embedding, 1, 3), " +
             "x -> format_string('%.4f', round(CAST(-x AS DOUBLE), 4) + 0.0D)), ',')").as("neg3"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          (round(element_at(col("embedding"), 1).cast("double"), 6) + 0.0).as("e1"),
           array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_low"))
         .orderBy("vec_id")),
 
@@ -241,11 +241,11 @@ object Scalars {
         "FROM part ORDER BY p_partkey"),
     "q_scalar_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
-        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_all, " +
+        "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS sum_all, " +
         "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS first3, " +
         "array_to_string(list_transform(list_sort(embedding[1:5]), x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS sorted5, " +
         "array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(-x AS DOUBLE), 4) + 0.0)), ',') AS neg3, " +
-        "round(CAST(embedding[1] AS DOUBLE), 6) AS e1, list_contains([1, 2, 3], label) AS label_low " +
+        "round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS e1, list_contains([1, 2, 3], label) AS label_low " +
         "FROM embeddings ORDER BY vec_id"),
     "q_scalar_json" ->
       ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +

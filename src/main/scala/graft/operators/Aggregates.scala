@@ -170,8 +170,8 @@ object Aggregates {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_pd"),
-          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"),
+          (round(corr(col("l_extendedprice"), col("l_discount")), 6) + 0.0).as("corr_pd"),
+          (round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4) + 0.0).as("cov_pq"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
@@ -242,8 +242,8 @@ object Aggregates {
         ") WHERE revenue IS NOT NULL ORDER BY n_name, segment"
     },
     "q_agg_corr" ->
-      ("SELECT l_returnflag, round(corr(l_extendedprice, l_discount), 6) AS corr_pd, " +
-        "round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq, count(*) AS cnt " +
+      ("SELECT l_returnflag, round(corr(l_extendedprice, l_discount), 6) + 0.0 AS corr_pd, " +
+        "round(covar_samp(l_extendedprice, l_quantity), 4) + 0.0 AS cov_pq, count(*) AS cnt " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_collect" ->
       ("SELECT o_orderstatus, " +

@@ -96,7 +96,7 @@ object Behavior {
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
           round(col("value"), 4).as("v"),
-          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+          (round((col("value") - col("mu")) / col("sigma"), 4) + 0.0).as("z"))
         .orderBy("event_id")
     }),
 
@@ -159,7 +159,7 @@ object Behavior {
       ("WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma " +
         "FROM events GROUP BY event_type) " +
         "SELECT event_id, e.event_type AS event_type, round(value, 4) AS v, " +
-        "round((value - mu) / sigma, 4) AS z " +
+        "round((value - mu) / sigma, 4) + 0.0 AS z " +
         "FROM events e JOIN s ON e.event_type = s.event_type ORDER BY event_id"),
     "q_gap_fill" ->
       ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE user_id < 20), " +

@@ -57,8 +57,8 @@ object DataModel {
       cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(
           col("c_custkey"),
-          round(col("c_lat"), 4).as("lat"),
-          round(col("c_lon"), 4).as("lon"),
+          (round(col("c_lat"), 4) + 0.0).as("lat"),
+          (round(col("c_lon"), 4) + 0.0).as("lon"),
           round(GeoOps.haversineKm(
             col("c_lat"), col("c_lon"), col("n_lat"), col("n_lon")), 4)
             .as("dist_km"),
@@ -79,7 +79,7 @@ object DataModel {
         "n AS (SELECT n_nationkey, " +
         "CAST((n_nationkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS n_lat, " +
         "CAST((n_nationkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS n_lon FROM nation) " +
-        "SELECT c_custkey, round(c_lat, 4) AS lat, round(c_lon, 4) AS lon, " +
+        "SELECT c_custkey, round(c_lat, 4) + 0.0 AS lat, round(c_lon, 4) + 0.0 AS lon, " +
         "round(2 * 6371.0088 * asin(sqrt(" +
         "pow(sin(radians(n_lat - c_lat) / 2), 2) + " +
         "cos(radians(c_lat)) * cos(radians(n_lat)) * pow(sin(radians(n_lon - c_lon) / 2), 2)" +

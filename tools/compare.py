@@ -26,6 +26,11 @@ def cell_eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if a == 0.0 and b == 0.0:
+            # the driver hashes raw float64 bytes, so -0.0 != +0.0 there
+            # (Spark's BigDecimal round has no signed zero; DuckDB's C
+            # round keeps it) — mirror that strictness
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     if hasattr(a, "__len__") and not isinstance(a, str) and hasattr(b, "__len__") and not isinstance(b, str):
         return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
