@@ -165,9 +165,34 @@ object Windows {
         .select(col("p_brand"), col("p_partkey"),
           col("rev").cast("double").as("revenue"), col("rn"))
         .orderBy("p_brand", "rn")
+    }),
+
+    // TIME-interval RANGE frame (1 preceding hour per user) through the SQL
+    // surface — the text runs VERBATIM in DuckDB as its own oracle (same
+    // idiom as q_join_lateral). RANGE over a timestamp is set-based: rows
+    // tied on ts are frame peers, so the result is deterministic without an
+    // event_id tiebreak. One shuffle on user_id; per-row frame state is the
+    // sliding hour, not the partition. (The events views come from
+    // Tables.registerAll, so ts arrives rebuilt on the Spark side; the
+    // parquet ns timestamps are µs-aligned, so both engines see identical
+    // instants.)
+    "q_window_time_range" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(TimeRangeSql)
     }))
 
+  /** Runs verbatim in both Spark and DuckDB. */
+  lazy val TimeRangeSql: String =
+    "SELECT event_id, user_id, " +
+      "CAST(count(*) OVER w AS INTEGER) AS cnt_1h, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h " +
+      "FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"
+
   val oracles: Map[String, String] = Map(
+    "q_window_time_range" -> TimeRangeSql,
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
