@@ -186,7 +186,30 @@ object Aggregates {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
           count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // Mergeable-sketch rollup (DataSketches HLL): per-group sketches of
+    // distinct customers, PLUS an 'ALL' row whose estimate comes from
+    // hll_union_agg over the group sketches — NOT a re-scan of the fact.
+    // This is THE 100 TB distinct-count pattern: materialize per-partition/
+    // per-day sketches once, answer any rollup by register-max union (HLL
+    // updates are max-of-hashes, so the result is order-insensitive and
+    // deterministic). Sketch binary => engine-specific => declared
+    // no-oracle; OperatorSpec asserts estimates within the sketch's error
+    // envelope of exact counts and that union == direct whole-table sketch.
+    "q_agg_hll_merge" -> ((s, d) => {
+      val perGroup = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val groups = perGroup
+        .select(col("o_orderpriority").as("grp"),
+          expr("hll_sketch_estimate(sk)").cast("long").as("est_customers"))
+      val all = perGroup
+        .agg(expr("hll_union_agg(sk)").as("u"))
+        .select(lit("ALL").as("grp"),
+          expr("hll_sketch_estimate(u)").cast("long").as("est_customers"))
+      groups.unionByName(all).orderBy("grp")
+    }))
 
   /** Runs verbatim in both Spark and DuckDB. */
   val GroupingSetsSql: String =

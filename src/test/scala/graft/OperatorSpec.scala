@@ -37,7 +37,7 @@ class OperatorSpec extends SparkSpec {
     val expectedNoOracle = Set(
       "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_simhash",
       "q_sim_ann_lsh", "q_sim_ann_ivf", "q_sim_ann_ivfpq",
-      "q_multimodal_features", "q_text_heavy_hitters")
+      "q_multimodal_features", "q_text_heavy_hitters", "q_agg_hll_merge")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -52,6 +52,27 @@ class OperatorSpec extends SparkSpec {
     val plan = physicalPlan(Relational.queries("q_filter_ineq")(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), IsNotNull(o_orderdate), " +
       "GreaterThan(o_totalprice,100000.0)"), s"missing pushed filters in:\n$plan")
+  }
+
+  test("HLL sketch rollup: estimates near exact, union equals direct sketch") {
+    val out = rows(Aggregates.queries("q_agg_hll_merge")(spark, sf))
+      .map(r => r.head.asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    val exactPer = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.orders(spark, sf)
+      .agg(countDistinct("o_custkey")).head().getLong(0)
+    (exactPer + ("ALL" -> exactAll)).foreach { case (g, exact) =>
+      val est = out(g)
+      assert(math.abs(est - exact) <= math.max(3, 0.05 * exact),
+        s"HLL estimate for $g: $est vs exact $exact")
+    }
+    // merge correctness: union of group sketches == one direct sketch
+    val direct = Tables.orders(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("long"))
+      .head().getLong(0)
+    assert(out("ALL") == direct,
+      "union-of-group-sketches must equal the whole-table sketch estimate")
   }
 
   test("decontamination broadcasts the benchmark shingles; PII scrub is exchange-free") {
