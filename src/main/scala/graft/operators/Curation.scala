@@ -35,7 +35,7 @@ import graft.Tables
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
-  private def toksOf = expr("filter(split(text, ' '), w -> w <> '')")
+  private def toksOf = expr(graft.functions.TextTokens.ToksSql)
 
   /** Word 5-gram shingles: (doc_id, g) for every window position. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -47,6 +47,11 @@ object Curation {
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  // Spark's SQL parser unescapes string literals, so a pattern interpolated
+  // into expr(...) needs its backslashes doubled or the literal-dot `\.`
+  // silently becomes match-anything `.` — diverging from both the Column
+  // API (no unescaping) and the DuckDB oracle.
+  private val EmailReSql = EmailRe.replace("\\", "\\\\")
 
   val queries: Map[String, Q] = Map(
     // Benchmark decontamination: drop corpus docs sharing ANY word-5-gram
@@ -76,7 +81,7 @@ object Curation {
           lit("@example.com or 555-123-4567 now")).as("aug"))
         .select(
           col("doc_id"),
-          size(expr(s"regexp_extract_all(aug, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(aug, '$EmailReSql', 0)")).as("n_emails"),
           size(expr(s"regexp_extract_all(aug, '$PhoneRe', 0)")).as("n_phones"),
           length(regexp_replace(
             regexp_replace(col("aug"), EmailRe, "<EMAIL>"),

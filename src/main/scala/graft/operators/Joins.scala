@@ -26,8 +26,7 @@ object Joins {
   // One bucketing pass per (session, sfDir): lineitem + orders written
   // bucketed AND sorted by the join key (16 buckets). Rows are unchanged, so
   // every oracle stays the plain-table SQL.
-  private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+  private val bucketCache = new graft.SessionCache[java.lang.Boolean]()
   // The in-memory catalog dies with the JVM but the warehouse directory
   // survives; a fresh session's saveAsTable then fails with
   // LOCATION_ALREADY_EXISTS (create, not overwrite — the table is unknown
@@ -41,7 +40,7 @@ object Joins {
     }
 
   private[graft] def ensureBucketed(s: SparkSession, d: String): Unit =
-    bucketCache.computeIfAbsent((s, d), _ => {
+    bucketCache.getOrBuild(s, d) {
       clearOrphanLocation(s, bucketTable(d, "lineitem"))
       clearOrphanLocation(s, bucketTable(d, "orders"))
       Tables.lineitem(s, d).write.mode("overwrite")
@@ -51,7 +50,7 @@ object Joins {
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(bucketTable(d, "orders"))
       java.lang.Boolean.TRUE
-    })
+    }
 
   val queries: Map[String, Q] = Map(
     // Explicit broadcast of the 5-row dim: BroadcastHashJoin, zero shuffle.

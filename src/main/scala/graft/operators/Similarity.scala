@@ -220,12 +220,8 @@ object Similarity {
 
     /** Read an index written by [[write]]. The assigned side stays lazy —
       * a search scans only the probed cells' partitions. */
-    def read(spark: SparkSession, dir: String): IvfIndex = {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .orderBy("cid").collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
-      IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
-    }
+    def read(spark: SparkSession, dir: String): IvfIndex =
+      IvfIndex(loadCentroids(spark, dir), spark.read.parquet(s"$dir/assigned"))
 
     /** Incremental append for a live index: assign the new (vec_id, v) batch
       * with the EXISTING centroids (no re-training — the append path a
@@ -236,14 +232,26 @@ object Similarity {
       * because assignment is per-row and deterministic. Quantizer drift
       * under heavy appends is handled the way FAISS/ScaNN do: periodic
       * re-train + full rebuild, which is just [[build]] on the union. */
-    def append(idx: IvfIndex, batch: DataFrame): IvfIndex = {
-      val delta = assignToCentroid(batch, idx.centroids)
-        .select(col("vec_id"), col("v"), col("cid"))
+    def append(idx: IvfIndex, batch: DataFrame): IvfIndex =
+      appendAssigned(idx, assignToCentroid(batch, idx.centroids)
+        .select(col("vec_id"), col("v"), col("cid")))
+
+    /** [[append]] for a batch whose (vec_id, v, cid) assignment is already
+      * computed — lets IvfPqIndex.append reuse ONE assignment pass for both
+      * the IVF union and the residual encode instead of assigning twice. */
+    private[graft] def appendAssigned(idx: IvfIndex, delta: DataFrame): IvfIndex = {
       val merged = idx.assigned.unionByName(delta).persist()
       merged.count() // materialize before dropping the old cache
       idx.assigned.unpersist()
       IvfIndex(idx.centroids, merged)
     }
+
+    /** Centroids of an index written by [[write]] — the ONE on-disk layout
+      * decoder, shared by [[read]] and [[appendTo]]. */
+    private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+      spark.read.parquet(s"$dir/centroids")
+        .orderBy("cid").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
 
     /** Incremental append for an on-disk index written by [[write]]: assign
       * the batch with the stored centroids and append the rows into the
@@ -251,9 +259,7 @@ object Similarity {
       * cells the batch touches gain files; existing files are never
       * rewritten). Directory-level probe pruning is preserved. */
     def appendTo(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .orderBy("cid").collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
+      val cents = loadCentroids(spark, dir)
       assignToCentroid(batch, cents)
         .select(col("vec_id"), col("v"), col("cid"))
         .write.mode("append").partitionBy("cid").parquet(s"$dir/assigned")
@@ -403,15 +409,17 @@ object Similarity {
     def append(idx: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
       val dims = idx.ivf.centroids.head.size
       val sub = dims / idx.m
-      val grownIvf = IvfIndex.append(idx.ivf, batch)
+      // ONE assignment pass feeds both halves (a second brute-force
+      // distance pass over the batch would double the append cost)
+      val assignedDelta = assignToCentroid(batch, idx.ivf.centroids)
+        .select(col("vec_id"), col("v"), col("cid")).persist()
+      assignedDelta.count()
+      val grownIvf = IvfIndex.appendAssigned(idx.ivf, assignedDelta)
       val delta = encodeResiduals(
-        residualsOf(
-          assignToCentroid(batch, idx.ivf.centroids)
-            .select(col("vec_id"), col("v"), col("cid")),
-          idx.ivf.centroids),
-        idx.books, idx.m, sub)
+        residualsOf(assignedDelta, idx.ivf.centroids), idx.books, idx.m, sub)
       val merged = idx.encoded.unionByName(delta).persist()
       merged.count()
+      assignedDelta.unpersist()
       idx.encoded.unpersist()
       IvfPqIndex(grownIvf, idx.m, idx.ksub, idx.books, merged)
     }
@@ -422,15 +430,13 @@ object Similarity {
   // bench repeats — reuses it, the "build once, search many" economics real
   // IVF deployments have. Keyed by session so a stopped session's entries
   // are never reused by a new one.
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfIndex]()
+  private val ivfCache = new graft.SessionCache[IvfIndex]()
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
-    ivfCache.computeIfAbsent((s, d), _ => IvfIndex.build(corpus(s, d), 8, 3))
-  private val ivfPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfPqIndex]()
+    ivfCache.getOrBuild(s, d)(IvfIndex.build(corpus(s, d), 8, 3))
+  private val ivfPqCache = new graft.SessionCache[IvfPqIndex]()
   private[graft] def ivfPqIndexFor(s: SparkSession, d: String): IvfPqIndex =
-    ivfPqCache.computeIfAbsent((s, d),
-      _ => IvfPqIndex.build(ivfIndexFor(s, d), m = 8, ksub = 16, iters = 2))
+    ivfPqCache.getOrBuild(s, d)(
+      IvfPqIndex.build(ivfIndexFor(s, d), m = 8, ksub = 16, iters = 2))
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vector vec_id=0 (oracle-checked).

@@ -18,7 +18,7 @@ import graft.Tables
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private val toks = expr("filter(split(text, ' '), w -> w <> '')")
+  private val toks = expr(graft.functions.TextTokens.ToksSql)
 
   /** Marker-word sets for the language-ID heuristic (deterministic,
     * precision-irrelevant: the testdata's lang labels are synthetic). */
@@ -31,21 +31,20 @@ object TextAnalysis {
 
   private[graft] def markerScore(markers: Seq[String]): Column = {
     val arr = markers.map(m => s"'$m'").mkString(", ")
-    size(expr(s"filter(filter(split(text, ' '), w -> w <> ''), w -> array_contains(array($arr), w))"))
+    size(expr(s"filter(${graft.functions.TextTokens.ToksSql}, w -> array_contains(array($arr), w))"))
   }
 
   // Session-scoped inverted-index memo: built once per (session, table dir)
   // into a temp directory; lookups are then bucket-pruned reads. Mirrors
   // Similarity's IVF index economics (build once, search many).
-  private val idxCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val idxCache = new graft.SessionCache[String]()
   private[graft] def indexDirFor(s: SparkSession, d: String): String =
-    idxCache.computeIfAbsent((s, d), _ => {
+    idxCache.getOrBuild(s, d) {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-invidx").toString
       graft.sources.InvertedIndex.build(graft.Tables.documents(s, d), dir)
       dir
-    })
+    }
 
   val queries: Map[String, Q] = Map(
     // Whitespace + BPE-ish regex token counts per doc.

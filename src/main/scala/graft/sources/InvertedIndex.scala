@@ -13,68 +13,91 @@ import org.apache.spark.sql.functions._
   * lookups are then corpus-size-independent (bucket dir + term filter).
   * The bucket expression `pmod(xxhash64(term), buckets)` is evaluated on a
   * LITERAL at lookup time, so Catalyst constant-folds it and the partition
-  * filter prunes at planning. At 100 TB, posting lists for stop-word-class
-  * terms exceed a single row's practical size — production splits postings
-  * into fixed-size segments (term, seg_no, doc_ids); the lookup shape is
-  * unchanged (explode over segments).
+  * filter prunes at planning.
+  *
+  * Layout: `bucket=B/seg=S/...` — `seg` is the ingest batch id (0 for the
+  * initial build). Appends land as new seg partitions via DYNAMIC partition
+  * overwrite, which makes a retried batch id idempotent: the retry replaces
+  * its own seg partitions instead of duplicating rows (the at-least-once
+  * guarantee foreachBatch ingest needs). At 100 TB, stop-word-class terms
+  * also split across segs naturally; the lookup shape is unchanged
+  * (explode over all of a term's segment rows).
   */
 object InvertedIndex {
   val DefaultBuckets = 64
 
-  private def toks = expr("filter(split(text, ' '), w -> w <> '')")
+  private def toks = expr(graft.functions.TextTokens.ToksSql)
 
-  private def postings(docs: DataFrame, buckets: Int): DataFrame =
+  private def postings(docs: DataFrame, buckets: Int, seg: Long): DataFrame =
     docs.select(col("doc_id"), explode(toks).as("term"))
       .distinct()
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
         count(lit(1)).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("seg", lit(seg))
 
   def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
-    postings(docs, buckets).write.mode("overwrite")
-      .partitionBy("bucket").parquet(dir)
+    postings(docs, buckets, seg = 0L).write.mode("overwrite")
+      .partitionBy("bucket", "seg").parquet(dir)
 
-  /** Incremental append: the new docs' postings land as ADDITIONAL segment
-    * rows in the same bucket partitions (dynamic-partition append — nothing
-    * existing is rewritten, and only the new docs shuffle). A term present
-    * in both builds then has one row per build; [[lookup]] already explodes
-    * every matching row, so lookups over (initial + appended) equal a
-    * from-scratch build on the union, provided the corpora are doc-disjoint
-    * (append-only doc_ids — re-ingesting a doc needs a compaction rebuild).
-    * This IS the posting-segment strategy the build doc describes; `df` is
-    * per-segment, so a total document frequency is sum(df) over a term's
-    * segments. */
-  def append(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
-    postings(docs, buckets).write.mode("append")
-      .partitionBy("bucket").parquet(dir)
+  /** Incremental append: batch `seg`'s postings land as new
+    * `bucket=B/seg=N` partitions. Dynamic partition overwrite means a
+    * RETRY of the same seg replaces exactly its own partitions — appends
+    * are idempotent per batch id, so at-least-once drivers (foreachBatch
+    * restarts) converge to exactly-once layout. Only the new docs shuffle;
+    * nothing existing is rewritten. A term present in several batches has
+    * one row per batch; [[lookup]] explodes all of them, so lookups over
+    * (initial + appended) equal a from-scratch build on the union,
+    * provided batches are doc-disjoint (re-ingesting a doc under a NEW seg
+    * needs a compaction rebuild). `df` is per-segment; total document
+    * frequency is sum(df) over a term's segments. */
+  def append(docs: DataFrame, dir: String, seg: Long,
+      buckets: Int = DefaultBuckets): Unit =
+    postings(docs, buckets, seg).write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("bucket", "seg").parquet(dir)
 
   /** Segment compaction: after many [[append]]s a hot term accumulates one
-    * segment row per batch; this folds them back to one row per term
-    * (merged sorted postings, summed df) and rewrites the index in place.
-    * One shuffle keyed by term — run it on the cadence LSM stores run
-    * their merges, amortized across the append-heavy interval. The write
-    * goes through a temp directory + atomic-ish swap so a reader never
-    * sees a half-compacted index (same pattern as the ORC compaction
-    * sink). Lookup results are unchanged by construction. */
+    * segment row per batch; this folds them back to one row per term in
+    * `seg=0` (merged DISTINCT sorted postings — so even duplicated doc_ids
+    * from overlapping batches collapse — and recomputed df) and swaps the
+    * result in. One shuffle keyed by term — run it on the cadence LSM
+    * stores run their merges.
+    *
+    * Swap guarantee (single-maintainer, plain filesystem): the new index
+    * is fully written to a temp dir first, the old dir is moved aside, the
+    * new one renamed in, and only then is the old dropped — a crash leaves
+    * either the old index (recoverable at `<dir>.old`) or the new one, and
+    * never a half-written mix. Between the two renames there is a brief
+    * window where a CONCURRENT reader can miss the directory; a
+    * multi-reader 100 TB deployment puts a manifest pointer in front
+    * (Iceberg/Delta-style) instead of renaming data paths — the layout
+    * under the pointer is exactly this one. */
   def compact(spark: SparkSession, dir: String,
       buckets: Int = DefaultBuckets): Unit = {
     val merged = spark.read.parquet(dir)
       .select(col("term"), explode(col("doc_ids")).as("doc_id"))
+      .distinct()
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
         count(lit(1)).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("seg", lit(0L))
     val tmp = dir + ".compacting"
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    merged.write.mode("overwrite").partitionBy("bucket", "seg").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    fs.delete(old, true)
+    fs.rename(p, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
   }
 
   /** All doc_ids whose text contains `term`, via the index: reads one
-    * bucket directory, one term row, explodes its postings. */
+    * bucket directory, one term row per segment, explodes the postings. */
   def lookup(spark: SparkSession, dir: String, term: String,
       buckets: Int = DefaultBuckets): DataFrame =
     spark.read.parquet(dir)

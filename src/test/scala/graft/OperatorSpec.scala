@@ -75,6 +75,19 @@ class OperatorSpec extends SparkSpec {
       "union-of-group-sketches must equal the whole-table sketch estimate")
   }
 
+  test("SQL-interpolated email regex keeps its literal dot (parser unescaping)") {
+    // Spark's SQL parser eats single backslashes in string literals: '\.'
+    // becomes match-anything '.', silently counting "a@bcde" as an email.
+    // The doubled-backslash form (Curation.EmailReSql's idiom) must not.
+    import spark.implicits._
+    val df = Seq("mail a@bcde without dot", "real user@example.com here").toDF("aug")
+    val escaped = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+    val got = df.select(
+      size(expr(s"regexp_extract_all(aug, '$escaped', 0)")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1), s"escaped pattern must match only the real email: $got")
+  }
+
   test("decontamination broadcasts the benchmark shingles; PII scrub is exchange-free") {
     // the §2.15 scale claims, asserted on the actual plans
     val decon = physicalPlan(Curation.queries("q_decontaminate")(spark, sf))

@@ -159,7 +159,7 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId == 0L) graft.sources.InvertedIndex.build(batch.toDF(), dir)
-        else graft.sources.InvertedIndex.append(batch.toDF(), dir)
+        else graft.sources.InvertedIndex.append(batch.toDF(), dir, seg = batchId)
       }.start()
     mem.addData(evens.toSeq: _*); q.processAllAvailable()
     mem.addData(odds.toSeq: _*); q.processAllAvailable()

@@ -78,7 +78,10 @@ class TextMapperSpec extends SparkSpec {
     val incDir = java.nio.file.Files.createTempDirectory("graft-invidx-inc").toString
     val fullDir = java.nio.file.Files.createTempDirectory("graft-invidx-full").toString
     graft.sources.InvertedIndex.build(initial, incDir)
-    graft.sources.InvertedIndex.append(delta, incDir)
+    graft.sources.InvertedIndex.append(delta, incDir, seg = 1L)
+    // at-least-once retry of the SAME batch id must be a no-op (dynamic
+    // partition overwrite replaces seg=1 instead of duplicating it)
+    graft.sources.InvertedIndex.append(delta, incDir, seg = 1L)
     graft.sources.InvertedIndex.build(docs, fullDir)
     for (term <- Seq("vector", "join", "the", "no-such-term-anywhere")) {
       val inc = rows(graft.sources.InvertedIndex.lookup(spark, incDir, term))
