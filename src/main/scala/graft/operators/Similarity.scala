@@ -207,21 +207,26 @@ object Similarity {
     }
 
     /** Persist to `dir`: centroids as one tiny parquet, the assigned corpus
-      * partitioned by cell id so probes prune at the directory level. */
+      * partitioned by cell id (then ingest-batch `seg`, 0 for the build) so
+      * probes prune at the directory level. */
     def write(idx: IvfIndex, dir: String): Unit = {
       val spark = idx.assigned.sparkSession
       import spark.implicits._
       idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      idx.assigned.write.mode("overwrite")
-        .partitionBy("cid").parquet(s"$dir/assigned")
+      idx.assigned.withColumn("seg", lit(0L)).write.mode("overwrite")
+        .partitionBy("cid", "seg").parquet(s"$dir/assigned")
     }
 
     /** Read an index written by [[write]]. The assigned side stays lazy —
       * a search scans only the probed cells' partitions. */
     def read(spark: SparkSession, dir: String): IvfIndex =
-      IvfIndex(loadCentroids(spark, dir), spark.read.parquet(s"$dir/assigned"))
+      // project away the seg ingest-batch column so a read-back index has
+      // the same (vec_id, v, cid) shape as a built one (cid stays a
+      // partition column underneath — probe pruning is unaffected)
+      IvfIndex(loadCentroids(spark, dir),
+        spark.read.parquet(s"$dir/assigned").select("vec_id", "v", "cid"))
 
     /** Incremental append for a live index: assign the new (vec_id, v) batch
       * with the EXISTING centroids (no re-training — the append path a
@@ -254,15 +259,22 @@ object Similarity {
         .map(_.getSeq[Double](1).toSeq).toSeq
 
     /** Incremental append for an on-disk index written by [[write]]: assign
-      * the batch with the stored centroids and append the rows into the
-      * per-cell partition directories (dynamic-partition append — only the
-      * cells the batch touches gain files; existing files are never
-      * rewritten). Directory-level probe pruning is preserved. */
-    def appendTo(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+      * the batch with the stored centroids and write it into
+      * `cid=C/seg=batchId` partitions via DYNAMIC partition overwrite — a
+      * retried batch id replaces exactly its own partitions, so
+      * at-least-once drivers (foreachBatch restarts) converge to
+      * exactly-once layout, mirroring InvertedIndex.append. Existing files
+      * are never rewritten; directory-level probe pruning on `cid` is
+      * preserved. */
+    def appendTo(spark: SparkSession, dir: String, batch: DataFrame,
+        seg: Long = 1L): Unit = {
       val cents = loadCentroids(spark, dir)
       assignToCentroid(batch, cents)
         .select(col("vec_id"), col("v"), col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(s"$dir/assigned")
+        .withColumn("seg", lit(seg))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("cid", "seg").parquet(s"$dir/assigned")
     }
   }
 

@@ -328,7 +328,9 @@ class DedupSimilaritySpec extends SparkSpec {
     // index, append the batch into its cell partitions, read back
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
     Similarity.IvfIndex.write(idx, dir)
-    Similarity.IvfIndex.appendTo(spark, dir, batch)
+    Similarity.IvfIndex.appendTo(spark, dir, batch, seg = 1L)
+    // at-least-once retry of the SAME batch id must replace, not duplicate
+    Similarity.IvfIndex.appendTo(spark, dir, batch, seg = 1L)
     val back = Similarity.IvfIndex.read(spark, dir)
     assert(back.centroids == idx.centroids)
     assert(rows(back.search(queries, 2, 3)) == expected,

@@ -191,7 +191,7 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId == 0L)
           Similarity.IvfIndex.write(Similarity.IvfIndex.build(batch.toDF(), 8, 3), dir)
-        else Similarity.IvfIndex.appendTo(spark, dir, batch.toDF())
+        else Similarity.IvfIndex.appendTo(spark, dir, batch.toDF(), seg = batchId)
       }.start()
     mem.addData(evens.toSeq: _*); q.processAllAvailable()
     mem.addData(odds.toSeq: _*); q.processAllAvailable()
