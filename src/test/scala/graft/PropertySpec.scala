@@ -36,6 +36,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hotKeys returns at most n-1 keys, each truly above 1/n of rows") {
+    import spark.implicits._
+    // zipf-ish generator: small key ids drawn much more often
+    val keyGen = Gen.frequency(6 -> Gen.const(1L), 3 -> Gen.const(2L),
+      2 -> Gen.chooseNum(3L, 6L), 1 -> Gen.chooseNum(7L, 40L))
+    samples(Gen.listOfN(120, keyGen), 6).foreach { xs =>
+      val df = xs.toDF("k")
+      for (n <- Seq(3, 10, 50)) {
+        val hot = graft.functions.SkewOps.hotKeys(df, "k", n)
+          .collect().map(_.getLong(0)).toSet
+        assert(hot.size <= n - 1,
+          s"more than n-1 keys cannot each exceed 1/$n of rows: $hot")
+        val counts = xs.groupBy(identity).view.mapValues(_.size).toMap
+        hot.foreach(k => assert(counts(k) > xs.size / n,
+          s"key $k returned as hot but carries ${counts(k)}/${xs.size} rows at n=$n"))
+        counts.foreach { case (k, c) =>
+          if (c > xs.size.toDouble / n)
+            assert(hot.contains(k), s"key $k above 1/$n missing from hot set")
+        }
+      }
+    }
+  }
+
   test("native rolling_fingerprint equals the HOF formulation on arbitrary BMP strings") {
     import spark.implicits._
     // printable ASCII plus Latin-1 and a few CJK chars: exercises the
