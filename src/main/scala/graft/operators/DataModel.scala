@@ -64,9 +64,35 @@ object DataModel {
             .as("dist_km"),
           GeoOps.cellId(col("c_lat"), col("c_lon"), 5.0).as("cell"))
         .orderBy("c_custkey")
+    }),
+
+    // Graph analytics: GENERIC connected components (Dedup's hybrid
+    // union-find / min-label-propagation engine) run over a chain graph —
+    // consecutive custkeys within each nation — whose true components are
+    // known by construction (one per nation, labeled by its min custkey),
+    // giving an exact oracle for an iterative graph algorithm. Nodes
+    // without edges (single-customer nations) stay their own singleton
+    // component via the left join.
+    "q_graph_components" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      val edges = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"))
+        .withColumn("prev", lag("c_custkey", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("da"), col("c_custkey").as("db"))
+      val labels = Dedup.connectedComponents(edges)
+        .toDF("c_custkey", "component")
+      Tables.customer(s, d).select("c_custkey")
+        .join(labels, Seq("c_custkey"), "left")
+        .withColumn("component", coalesce(col("component"), col("c_custkey")))
+        .orderBy("c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_components" ->
+      ("SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey) AS component " +
+        "FROM customer ORDER BY c_custkey"),
     "q_key_hierarchy" ->
       ("SELECT 'orders/' || CAST(l_orderkey AS VARCHAR) AS parent, 'orders' AS parent_kind, " +
         "l_orderkey AS parent_id, count(*) AS children, " +
