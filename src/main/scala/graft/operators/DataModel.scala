@@ -87,12 +87,66 @@ object DataModel {
         .join(labels, Seq("c_custkey"), "left")
         .withColumn("component", coalesce(col("component"), col("c_custkey")))
         .orderBy("c_custkey")
+    }),
+
+    // Fixed-iteration PageRank (2 power iterations, d=0.85) over the same
+    // chain graph — the iterative-numeric graph shape (each iteration: one
+    // contributions shuffle keyed by dst + a broadcast of the scalar N).
+    // Chain degrees are ≤2, so per-node inflow sums have ≤2 terms and the
+    // result is floating-point-stable across engines; the oracle is the
+    // identical recurrence as chained CTEs. At 100 TB the loop shape is
+    // unchanged — per-round localCheckpoint (as in connectedComponents)
+    // truncates lineage; rounds are O(iterations), not data size.
+    "q_graph_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("cur")
+      val chain = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey").as("cur"))
+        .withColumn("prev", lag("cur", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val edges = chain.select(col("prev").as("src"), col("cur").as("dst"))
+        .unionByName(chain.select(col("cur").as("src"), col("prev").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+      def step(prev: DataFrame): DataFrame = {
+        val contrib = edges
+          .join(prev.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("r") / col("d")).as("inflow"))
+        nodes.crossJoin(broadcast(nn))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("inflow"), lit(0.0)))
+              .as("r"))
+      }
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      step(step(r0))
+        .select(col("node"), round(col("r") * 1000, 6).as("rank_k"))
+        .orderBy("node").limit(200)
     }))
 
   val oracles: Map[String, String] = Map(
     "q_graph_components" ->
       ("SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey) AS component " +
         "FROM customer ORDER BY c_custkey"),
+    "q_graph_pagerank" ->
+      ("WITH chain AS (SELECT lag(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS prev, c_custkey AS cur FROM customer), " +
+        "edges AS (SELECT prev AS src, cur AS dst FROM chain WHERE prev IS NOT NULL " +
+        "UNION ALL SELECT cur AS src, prev AS dst FROM chain WHERE prev IS NOT NULL), " +
+        "vtx AS (SELECT DISTINCT src AS node FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vtx), " +
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src), " +
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM vtx), " +
+        "pr1 AS (SELECT nd.node, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(SUM(pr0.r / deg.d), 0) AS r " +
+        "FROM vtx nd LEFT JOIN edges ON edges.dst = nd.node " +
+        "LEFT JOIN pr0 ON pr0.node = edges.src LEFT JOIN deg ON deg.src = edges.src GROUP BY nd.node), " +
+        "pr2 AS (SELECT nd.node, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(SUM(pr1.r / deg.d), 0) AS r " +
+        "FROM vtx nd LEFT JOIN edges ON edges.dst = nd.node " +
+        "LEFT JOIN pr1 ON pr1.node = edges.src LEFT JOIN deg ON deg.src = edges.src GROUP BY nd.node) " +
+        "SELECT node, round(r * 1000, 6) AS rank_k FROM pr2 ORDER BY node LIMIT 200"),
     "q_key_hierarchy" ->
       ("SELECT 'orders/' || CAST(l_orderkey AS VARCHAR) AS parent, 'orders' AS parent_kind, " +
         "l_orderkey AS parent_id, count(*) AS children, " +
