@@ -50,10 +50,14 @@ object ColumnOps {
 
   /** Cosine similarity between two double-array columns, rounded for
     * cross-engine stability (sqrt is IEEE-exact; the fold is sequential in
-    * both engines; rounding absorbs any last-ulp libm divergence).
-    */
+    * both engines; rounding absorbs any last-ulp libm divergence). "+ 0.0"
+    * after the round kills the signed zero: a cosine in (-5e-7, 0) rounds
+    * to -0.0 under DuckDB's C round but to +0.0 under Spark's BigDecimal
+    * round, and the driver hashes raw float64 bytes — the oracles apply the
+    * same normalization (IEEE: -0.0 + 0.0 = +0.0, every other value
+    * unchanged). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(dot(a, b) / (norm(a) * norm(b)), 6) + lit(0.0)
 
   /** Float array column -> double array column (DuckDB list math is f64). */
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))

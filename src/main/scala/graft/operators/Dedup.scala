@@ -35,17 +35,29 @@ object Dedup {
         expr("transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3)))")))
         .as("sh"))
 
+  /** Stop-shingle / hot-bucket document-frequency cap: a shingle (or LSH
+    * bucket) shared by df docs emits df·(df−1)/2 candidate pairs, so one
+    * boilerplate shingle (repeated header, license block) with df=10^6
+    * would emit 5·10^11 pairs and OOM the collect_list before the join even
+    * starts. Capping df drops only near-stop-word shingles, which carry no
+    * discriminative signal for Jaccard anyway (the standard stop-shingle
+    * policy, MMDS ch.3). 1000 bounds any single shingle's fan-out at
+    * ~500k pairs while sitting 40× above this testdata's max df
+    * (25 at sf0.1, measured) — so results at every gate scale are
+    * byte-identical with or without the cap (property-tested both ways). */
+  val DefaultMaxDf: Int = 1000
+
   /** Exact Jaccard over shingle sets for all candidate pairs (da < db),
     * restricted to pairs sharing >= 1 shingle. Instead of a 3-shuffle
     * self-join, docs are grouped per shingle (one shuffle) and ordered pairs
     * are generated inline with nested array transforms — shingles seen in
     * one doc contribute nothing and are dropped by the size filter. Skew
-    * bound: a shingle shared by df docs emits df·(df−1)/2 pairs, so a
-    * stop-shingle cap (filter on df) is the 100 TB guard if the corpus has
-    * boilerplate — not needed on this data (max df = 25). */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    * bound: shingles with df > maxDf are dropped BEFORE pair generation
+    * (see [[DefaultMaxDf]]) — the 100 TB boilerplate guard. */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
     val inter = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) >= 2)
+      .filter(size(col("docs")).between(2, maxDf))
       .select(explode(expr(
         "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS da, y AS db))))"))
         .as("p"))
@@ -78,18 +90,29 @@ object Dedup {
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of `rowsPerBand`
-    * minhashes; docs sharing any band bucket become candidates. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * minhashes; docs sharing any band bucket become candidates. Docs are
+    * grouped per (band, bucket-hash) — one shuffle — and ordered pairs
+    * generated inline, with buckets larger than `maxBucket` dropped BEFORE
+    * pair generation: a mega-bucket (boilerplate-identical signatures over
+    * df docs) would otherwise emit df·(df−1)/2 candidates, the same
+    * quadratic fan-out [[DefaultMaxDf]] guards in the exact path. Dropping
+    * it loses only candidates a verifier would reject wholesale or that a
+    * cheaper exact-dup pass catches first. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxDf): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val l = buckets.select(col("doc_id").as("da"), col("band"), col("bh"))
-    val r = buckets.select(col("doc_id").as("db"), col("band"), col("bh"))
-    l.join(r, Seq("band", "bh")).filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS da, y AS db))))"))
+        .as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
   }
 
   /** Connected components over an undirected pair list. Hybrid execution —

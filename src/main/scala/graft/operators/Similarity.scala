@@ -471,7 +471,7 @@ object Similarity {
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(expr("cosine_similarity(v, qv)"), 6).as("cosine"))
+          (round(expr("cosine_similarity(v, qv)"), 6) + lit(0.0)).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
     }),
@@ -501,7 +501,7 @@ object Similarity {
       val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
       a.crossJoin(b).filter(col("da") < col("db"))
         .select(col("da"), col("db"),
-          round(expr("cosine_similarity(va, vb)"), 6).as("cosine"))
+          (round(expr("cosine_similarity(va, vb)"), 6) + lit(0.0)).as("cosine"))
         .orderBy(col("cosine").desc, col("da"), col("db"))
         .limit(20)
     }),
@@ -579,10 +579,12 @@ object Similarity {
             .as("recon_err"))
         .orderBy("vec_id").limit(200)))
 
+  // "+ 0.0" mirrors ColumnOps.cosine's signed-zero normalization (DuckDB's C
+  // round keeps -0.0; Spark's BigDecimal round cannot produce it).
   private val CosineSql =
     "round(list_aggregate(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), 'sum') / " +
       "(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) * " +
-      "sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))), 6)"
+      "sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))), 6) + 0.0"
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -600,7 +602,7 @@ object Similarity {
         "SELECT a.vec_id AS da, b.vec_id AS db, " +
         "round(list_aggregate(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), 'sum') / " +
         "(sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum')) * " +
-        "sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cosine " +
+        "sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) + 0.0 AS cosine " +
         "FROM e a, e b WHERE a.vec_id < b.vec_id " +
         "ORDER BY cosine DESC, da, db LIMIT 20"),
     "q_sim_topk_batch" ->

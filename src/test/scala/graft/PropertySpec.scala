@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -183,6 +184,50 @@ class PropertySpec extends SparkSpec {
     assert(errs.head <= 1.0 / 20 + 0.01, s"rank error beyond guarantee: $errs")
     assert(errs.last <= 1.0 / 10000 + 1.0 / n, s"high-accuracy sketch off: $errs")
     assert(errs.last <= errs.head, s"error must not grow with accuracy: $errs")
+  }
+
+  test("hot-shingle df cap bounds exact-Jaccard pair generation") {
+    import spark.implicits._
+    // one boilerplate shingle shared by 1000 docs (would emit 499,500
+    // pairs), one unique shingle per doc, one legit small group of 3
+    val sh = ((0L until 1000L).map(d => (d, "HOT")) ++
+      (0L until 1000L).map(d => (d, s"u$d")) ++
+      (0L until 3L).map(d => (d, "G"))).toDF("doc_id", "sh")
+    val capped = graft.operators.Dedup.jaccardPairs(sh, 0.0, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"only the df=3 group may pair once the hot shingle is capped: $capped")
+    // the default cap is inert when every df is below it
+    val legit = sh.filter(col("sh") =!= "HOT")
+    val a = graft.operators.Dedup.jaccardPairs(legit, 0.0)
+      .collect().map(_.toSeq).toSet
+    val b = graft.operators.Dedup.jaccardPairs(legit, 0.0, maxDf = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "default maxDf must not change sub-cap results")
+  }
+
+  test("hot-bucket cap bounds LSH candidate generation") {
+    import spark.implicits._
+    // 500 docs with identical signatures (one mega-bucket per band) plus a
+    // legit group of 3; k=16 minhashes = 4 bands × 4 rows
+    val rows = (0L until 500L).map(d => d -> 1L) ++
+      (1000L until 1003L).map(d => d -> 2L)
+    val sig = rows.map { case (d, g) => (d, Seq.fill(16)(g)) }
+      .map { case (d, ms) => Row.fromSeq(d +: ms) }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType) +:
+        (0 until 16).map(i => org.apache.spark.sql.types.StructField(
+          s"m$i", org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sig), schema)
+    val capped = graft.operators.Dedup.lshCandidates(df, 4, 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)),
+      s"mega-bucket must be dropped before pair generation: $capped")
+    val uncapped = graft.operators.Dedup.lshCandidates(df, 4, 4).count()
+    assert(uncapped == 500L * 499 / 2 + 3,
+      "default cap (1000) keeps the 500-doc bucket: all its pairs emit")
   }
 
   test("rollup row count = sum of grouping-set cardinalities") {
