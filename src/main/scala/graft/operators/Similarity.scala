@@ -251,8 +251,28 @@ object Similarity {
       IvfIndex(idx.centroids, merged)
     }
 
+    /** Search an index ON DISK, reading only the probed cells' partition
+      * directories — the 100 TB shape: the corpus never loads; the `cid`
+      * IN-list lands as a partition filter on the parquet scan (directory
+      * pruning, plan-asserted in DedupSimilaritySpec), so a 2-of-8-cell
+      * probe does 2/8ths of the I/O. The probed cell ids are computed on the
+      * driver from the query batch — bounded work, the same rows the search
+      * broadcasts anyway. Results are row-identical to [[IvfIndex.search]]
+      * on the full corpus: cells outside the probe set cannot contribute
+      * candidates by construction. */
+    def searchOnDisk(spark: SparkSession, dir: String, queries: DataFrame,
+        nprobe: Int, k: Int): DataFrame = {
+      val cents = loadCentroids(spark, dir)
+      val probed = probeCells(queries, cents, nprobe)
+        .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+      val assigned = spark.read.parquet(s"$dir/assigned")
+        .filter(col("cid").isin(probed.map(Int.box): _*))
+        .select("vec_id", "v", "cid")
+      ivfSearch(assigned, cents, queries, nprobe, k)
+    }
+
     /** Centroids of an index written by [[write]] — the ONE on-disk layout
-      * decoder, shared by [[read]] and [[appendTo]]. */
+      * decoder, shared by [[read]], [[searchOnDisk]] and [[appendTo]]. */
     private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
       spark.read.parquet(s"$dir/centroids")
         .orderBy("cid").collect()
@@ -265,9 +285,12 @@ object Similarity {
       * at-least-once drivers (foreachBatch restarts) converge to
       * exactly-once layout, mirroring InvertedIndex.append. Existing files
       * are never rewritten; directory-level probe pruning on `cid` is
-      * preserved. */
+      * preserved. `seg` is deliberately REQUIRED: a default batch id would
+      * make two different appends silently replace each other through the
+      * dynamic partition overwrite (each caller must own a distinct id;
+      * retries reuse theirs). */
     def appendTo(spark: SparkSession, dir: String, batch: DataFrame,
-        seg: Long = 1L): Unit = {
+        seg: Long): Unit = {
       val cents = loadCentroids(spark, dir)
       assignToCentroid(batch, cents)
         .select(col("vec_id"), col("v"), col("cid"))
@@ -445,6 +468,18 @@ object Similarity {
   private val ivfCache = new graft.SessionCache[IvfIndex]()
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
     ivfCache.getOrBuild(s, d)(IvfIndex.build(corpus(s, d), 8, 3))
+  // The PERSISTED twin of ivfIndexFor: built once per (session, dir), then
+  // written cell-partitioned to a temp directory so the declared query
+  // searches through the on-disk layout (directory-level probe pruning) —
+  // the path a 100 TB deployment takes, where the assignment never fits in
+  // one session's cache.
+  private val ivfDirCache = new graft.SessionCache[String]()
+  private[graft] def ivfDirFor(s: SparkSession, d: String): String =
+    ivfDirCache.getOrBuild(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-disk").toString
+      IvfIndex.write(ivfIndexFor(s, d), dir)
+      dir
+    }
   private val ivfPqCache = new graft.SessionCache[IvfPqIndex]()
   private[graft] def ivfPqIndexFor(s: SparkSession, d: String): IvfPqIndex =
     ivfPqCache.getOrBuild(s, d)(
@@ -509,19 +544,19 @@ object Similarity {
     // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
     // queries probe their 2 nearest cells (multi-probe — round 1 was
     // single-probe, whose recall collapses as corpus density grows). The
-    // index (centroids + assigned corpus) is built ONCE per session and
-    // cached — round 2 rebuilt quantizer AND assignment inside every
-    // execution, the root of its 33.9 s bench entry. Centroid-dependent
-    // result set => no DuckDB oracle (exactness asserted against a
-    // driver-side recomputation, and recall@3 monotonicity in nprobe, in
-    // DedupSimilaritySpec).
-    "q_sim_ann_ivf" -> ((s, d) => {
-      val idx = ivfIndexFor(s, d)
-      idx.search(
+    // index is built ONCE per session, persisted cell-partitioned on disk,
+    // and the query searches THROUGH the on-disk layout: the probed cell ids
+    // arrive as a partition filter on the parquet scan, so only nprobe of 8
+    // cell directories are read (plan-asserted in DedupSimilaritySpec) —
+    // round 5 searched a session-cached in-memory assignment, which a
+    // 100 TB corpus doesn't have. Centroid-dependent result set => no DuckDB
+    // oracle (exactness asserted against a driver-side recomputation, and
+    // recall@3 monotonicity in nprobe, in DedupSimilaritySpec).
+    "q_sim_ann_ivf" -> ((s, d) =>
+      IvfIndex.searchOnDisk(s, ivfDirFor(s, d),
         corpus(s, d).filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v")),
-        nprobe = 2, k = 3)
-    }),
+        nprobe = 2, k = 3)),
 
     // ANN, IVF-PQ with refinement (IVFADC+R): same coarse quantizer as
     // q_sim_ann_ivf, candidates shortlisted by ADC over m=8 ksub=16

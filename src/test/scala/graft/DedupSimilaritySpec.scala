@@ -171,6 +171,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val got = rows(Similarity.queries("q_sim_ann_ivf")(spark, sf))
     assert(got == expected)
+
+    // the declared query routes through the ON-DISK index: the probed cell
+    // ids must land as a partition filter on the parquet scan of
+    // <dir>/assigned, pruning to exactly the probed cells' directories
+    val probedUnion = (0L until 5L).flatMap { qid =>
+      val (_, qv, _) = assigned.find(_._1 == qid).get
+      cents.zipWithIndex.map { case (c, i) => (dist2(qv, c), i) }
+        .sorted.take(2).map(_._2)
+    }.toSet
+    // sparkPlan, not executedPlan: AQE wraps the executed tree, so a plain
+    // collect() there never reaches the leaf scan nodes
+    val df = Similarity.queries("q_sim_ann_ivf")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("assigned")) => f
+    }
+    assert(scans.nonEmpty, "disk route must scan the on-disk assigned corpus")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s"probe cells must arrive as a cid partition filter: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == probedUnion.size,
+      s"scan must read exactly the ${probedUnion.size} probed cell dirs, " +
+        s"read ${scan.selectedPartitions.partitionCount}")
   }
 
   test("ANN recall@3 is monotone in probe count; full probe recovers brute force") {
@@ -345,6 +368,38 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(grown.centroids == idx.centroids, "append must not retrain")
       assert(rows(grown.search(queries, 2, 3)) == expected)
     } finally grown.drop()
+  }
+
+  test("two writers with distinct seg ids coexist on disk; a retry replaces only its own seg") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val initial = e.filter(col("vec_id") % 3 === 0)
+    val batchA  = e.filter(col("vec_id") % 3 === 1)
+    val batchB  = e.filter(col("vec_id") % 3 === 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val idx = Similarity.IvfIndex.build(initial, 8, 3)
+    try {
+      val expected = rows(Similarity.ivfSearch(
+        Similarity.assignToCentroid(e, idx.centroids)
+          .select(col("vec_id"), col("v"), col("cid")),
+        idx.centroids, queries, 2, 3))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-2w").toString
+      Similarity.IvfIndex.write(idx, dir)
+      // two independent writers, each owning its batch id (seg is a required
+      // parameter precisely so they cannot collide on a default)
+      Similarity.IvfIndex.appendTo(spark, dir, batchA, seg = 1L)
+      Similarity.IvfIndex.appendTo(spark, dir, batchB, seg = 2L)
+      // an at-least-once REPLAY of writer A must replace seg=1 only —
+      // writer B's rows survive untouched
+      Similarity.IvfIndex.appendTo(spark, dir, batchA, seg = 1L)
+      val back = Similarity.IvfIndex.read(spark, dir)
+      assert(rows(back.search(queries, 2, 3)) == expected,
+        "both writers' batches must coexist after the seg=1 replay")
+      // and the corpus is exactly initial+A+B, no duplicates from the replay
+      assert(back.assigned.count() == e.count())
+    } finally idx.drop()
   }
 
   test("incremental PQ append equals same-books encoding of the union corpus") {
