@@ -138,6 +138,20 @@ object TextAnalysis {
       graft.sources.InvertedIndex.lookup(s, dir, "vector")
     }),
 
+    // The same index lookup through the DataSourceV2 connector surface
+    // (sources/IndexSource.scala): `format("graft.index")` with the term
+    // equality PUSHED into the source, which plans input partitions for
+    // exactly one of 64 bucket directories. Row-identical to q_search_index
+    // by construction; the pushdown + pruning are plan-asserted in
+    // TextMapperSpec.
+    "q_search_index_dsv2" -> ((s, d) => {
+      val dir = indexDirFor(s, d)
+      s.read.format("graft.index").option("dir", dir).load()
+        .filter(col("term") === "vector")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Approximate heavy hitters: top-10 most frequent terms via a count-min
     // sketch + bounded candidate set — ONE pass, fixed-size mergeable
     // partial state (4×1024 longs per partition), vs the exact path's
@@ -190,6 +204,10 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_search_index" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
+        "ORDER BY doc_id"),
+    "q_search_index_dsv2" ->
       ("SELECT doc_id FROM documents " +
         "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
         "ORDER BY doc_id"),

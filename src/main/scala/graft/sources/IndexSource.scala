@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 read surface for the on-disk inverted index written by
+  * [[InvertedIndex.build]]/[[InvertedIndex.append]] — the packaging a Spark
+  * user expects from a "native connector":
+  *
+  * {{{
+  * spark.read.format("graft.index")
+  *   .option("dir", "/indexes/docs")      // required: InvertedIndex root
+  *   .option("buckets", "64")             // optional: must match the build
+  *   .load()                              // => (term STRING, doc_id BIGINT)
+  *   .filter($"term" === "vector")        // pushed to the source
+  * }}}
+  *
+  * The `term = <literal>` predicate is accepted through
+  * `SupportsPushDownFilters`: the scan then plans input partitions ONLY for
+  * the term's hash-bucket directory (`bucket = pmod(xxhash64(term), buckets)`
+  * — the same expression the writer partitioned by), so a lookup reads 1 of
+  * `buckets` directories no matter how large the corpus is. Unpushable
+  * residual predicates stay in Spark; the pushed equality is ALSO re-checked
+  * per row in the reader, because a bucket holds many terms.
+  *
+  * Column pruning arrives through `SupportsPushDownRequiredColumns`; a
+  * doc_id-only projection never materializes term strings in the rows it
+  * returns. Rows are emitted one per posting (the `doc_ids` array is
+  * exploded in the reader), so `format("graft.index")` + term filter is
+  * row-identical to [[InvertedIndex.lookup]] (spec-asserted).
+  *
+  * Scale notes: file listing happens once on the driver against only the
+  * pruned bucket directory; each parquet file becomes one `InputPartition`,
+  * so segment files read in parallel. Readers use parquet-hadoop's Group
+  * API directly — postings files are written by [[InvertedIndex]] with the
+  * standard 3-level list layout this reader walks.
+  */
+final class IndexSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft.index"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IndexSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = properties.get("dir")
+    require(dir != null && dir.nonEmpty,
+      "graft.index requires .option(\"dir\", <InvertedIndex root>)")
+    val buckets = Option(properties.get("buckets")).map(_.toInt)
+      .getOrElse(InvertedIndex.DefaultBuckets)
+    new IndexTable(dir, buckets)
+  }
+}
+
+object IndexSource {
+  /** One row per (term, posting). */
+  val Schema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false)))
+
+  /** The writer's bucket function (Spark's xxhash64, seed 42, pmod) — must
+    * match `InvertedIndex.postings` or pruning would read the wrong dir. */
+  private[graft] def bucketOf(term: String, buckets: Int): Long = {
+    val h = XxHash64Function.hash(UTF8String.fromString(term), StringType, 42L)
+    ((h % buckets) + buckets) % buckets
+  }
+}
+
+private[sources] final class IndexTable(dir: String, buckets: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.index(`$dir`)"
+  override def schema(): StructType = IndexSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IndexScanBuilder(dir, buckets)
+}
+
+private[sources] final class IndexScanBuilder(dir: String, buckets: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushedTerm: Option[String] = None
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = IndexSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accept ONE term equality (the index's access path); everything else —
+    // doc_id predicates, disjunctions, a second term equality — stays in
+    // Spark as a post-scan filter.
+    val (take, keep) = filters.partition {
+      case EqualTo("term", v: String) => pushedTerm.isEmpty && { pushedTerm = Some(v); true }
+      case _ => false
+    }
+    accepted = take
+    keep
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order; requiredSchema may be empty (count(*))
+    required = StructType(IndexSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new IndexScan(dir, buckets, pushedTerm, required)
+}
+
+private[graft] final class IndexScan(val dir: String, val buckets: Int,
+    val pushedTerm: Option[String], val required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftInvertedIndexScan dir=$dir " +
+      s"pushedTerm=${pushedTerm.getOrElse("<none>")} " +
+      s"bucketsScanned=${if (pushedTerm.isDefined) 1 else buckets}/$buckets"
+
+  /** Postings files under the pushed term's bucket directory (or the whole
+    * index for a full scan), listed once on the driver and shared by
+    * partition planning and statistics. */
+  private lazy val files: Seq[(String, Long)] = {
+    val conf = new Configuration()
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf)
+    val scanRoots = pushedTerm match {
+      case Some(t) =>
+        val b = new HPath(root, s"bucket=${IndexSource.bucketOf(t, buckets)}")
+        if (fs.exists(b)) Seq(b) else Seq.empty // absent term: zero partitions
+      case None => Seq(root)
+    }
+    val found = ArrayBuffer.empty[(String, Long)]
+    scanRoots.foreach { r =>
+      val it = fs.listFiles(r, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          found += ((f.getPath.toString, f.getLen))
+      }
+    }
+    found.sortBy(_._1).toSeq
+  }
+
+  /** One partition per postings parquet file: segment files read in
+    * parallel, and a pruned lookup plans only one bucket's files. */
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => IndexFilePartition(f._1): InputPartition).toArray
+
+  /** Post-pruning size from the listed files — a term lookup reports
+    * 1/buckets of the index, so downstream joins against lookup results can
+    * plan them as the small (broadcastable) side. Row count is unknown
+    * without reading footers; size alone is what join planning keys on. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IndexReaderFactory(pushedTerm, required.fieldNames)
+}
+
+private[graft] final case class IndexFilePartition(path: String)
+    extends InputPartition
+
+private[sources] final class IndexReaderFactory(pushedTerm: Option[String],
+    fieldNames: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new IndexPartitionReader(
+      partition.asInstanceOf[IndexFilePartition].path, pushedTerm, fieldNames)
+}
+
+/** Reads one postings parquet file with parquet-hadoop's Group API (the
+  * files are small per-bucket segments), re-checks the pushed term equality,
+  * and explodes `doc_ids` into one row per posting. */
+private[sources] final class IndexPartitionReader(path: String,
+    pushedTerm: Option[String], fieldNames: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(new Configuration()).build()
+
+  private val wantTerm = fieldNames.contains("term")
+  private val wantDoc = fieldNames.contains("doc_id")
+
+  private var curTerm: UTF8String = _
+  private var docIds: Array[Long] = Array.empty
+  private var docPos = 0
+
+  /** Advance to the next matching postings row; false at EOF. */
+  private def nextGroup(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val term = g.getBinary("term", 0).toStringUsingUTF8
+      if (pushedTerm.forall(_ == term)) {
+        curTerm = UTF8String.fromString(term)
+        // Spark's 3-level list layout: doc_ids (LIST) > repeated list > element
+        val list = g.getGroup("doc_ids", 0)
+        val n = list.getFieldRepetitionCount(0)
+        docIds = Array.tabulate(n)(i => list.getGroup(0, i).getLong(0, 0))
+        docPos = 0
+        if (n > 0) return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def next(): Boolean =
+    docPos < docIds.length || nextGroup()
+
+  override def get(): InternalRow = {
+    val id = docIds(docPos)
+    docPos += 1
+    val values = fieldNames.map {
+      case "term" if wantTerm => curTerm
+      case "doc_id" if wantDoc => java.lang.Long.valueOf(id)
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}

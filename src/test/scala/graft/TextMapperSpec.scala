@@ -70,6 +70,58 @@ class TextMapperSpec extends SparkSpec {
       s"term lookup must prune on the bucket partition:\n$plan")
   }
 
+  test("DSv2 graft.index: identical rows to lookup, term pushed, one bucket planned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-idx").toString
+    val docs = Tables.documents(spark, sf)
+    graft.sources.InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    graft.sources.InvertedIndex.append(docs.filter(col("doc_id") % 2 =!= 0), dir, seg = 1L)
+
+    def dsv2(term: String) =
+      spark.read.format("graft.index").option("dir", dir).load()
+        .filter(col("term") === term).select("doc_id").orderBy("doc_id")
+
+    // row-identical to the helper lookup across present/absent terms and a
+    // multi-segment layout
+    for (term <- Seq("vector", "join", "the", "no-such-term-anywhere")) {
+      assert(rows(dsv2(term)) ==
+        rows(graft.sources.InvertedIndex.lookup(spark, dir, term)),
+        s"DSv2 path must equal InvertedIndex.lookup for '$term'")
+    }
+
+    // the term equality is ACCEPTED by the source (pushed), and the scan
+    // plans partitions only under the term's single bucket directory
+    // (sparkPlan, not executedPlan: AQE wraps the executed tree so a plain
+    // collect() would not reach the leaf scan node)
+    val df = dsv2("vector")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.IndexScan]
+    assert(scan.pushedTerm.contains("vector"),
+      s"term equality must reach the source as a pushed filter: $scan")
+    assert(scan.description().contains("bucketsScanned=1/64"), scan.description())
+    val parts = scan.planInputPartitions()
+    val expectBucket = s"bucket=${graft.sources.IndexSource.bucketOf("vector", 64)}"
+    assert(parts.nonEmpty && parts.forall(
+      _.asInstanceOf[graft.sources.IndexFilePartition].path.contains(expectBucket)),
+      s"all planned files must sit under $expectBucket")
+
+    // an absent term prunes to ZERO partitions only when its hash bucket has
+    // no directory; either way the result is empty (asserted above) and the
+    // scan never reads more than one bucket
+    val missing = dsv2("no-such-term-anywhere").queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.IndexScan]
+    assert(missing.planInputPartitions().length <= parts.length)
+
+    // no pushed term => full-index scan: (term, posting) cardinality equals
+    // the exploded postings of a direct parquet read
+    val full = spark.read.format("graft.index").option("dir", dir).load()
+    val expected = spark.read.parquet(dir)
+      .select(explode(col("doc_ids"))).count()
+    assert(full.count() == expected)
+  }
+
   test("inverted index append: incremental segments equal a from-scratch build") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
