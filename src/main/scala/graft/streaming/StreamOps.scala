@@ -99,6 +99,73 @@ object StreamOps {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
   }
 
+  final case class AsOfEvent(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String)
+  final case class AsOfMatch(event_id: Long, user_id: Long, ts: Timestamp,
+      last_click_ts: Option[Timestamp])
+  /** Per-user as-of state: the newest matured click, plus the not-yet-matured
+    * event buffer. The buffer holds ONLY rows above the watermark — matured
+    * rows are swept out (emitted/folded) on every invocation — so state per
+    * key is O(events inside the watermark horizon), not O(history). */
+  final case class AsOfBuffer(lastClick: Option[Timestamp], pending: Seq[AsOfEvent])
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Stream-stream AS-OF join under a watermark: each purchase is matched to
+    * this user's latest STRICTLY-PRIOR click (ties on equal ts broken by
+    * event_id, exactly the batch `q_join_asof` window order) — the semantics
+    * Spark's stream-stream interval join cannot express, because "latest
+    * prior" needs a per-key running maximum, not a range predicate.
+    *
+    * Implementation: flatMapGroupsWithState keyed by user with EVENT-TIME
+    * timeout. Rows buffer per user until the watermark passes their event
+    * time; on every invocation (data or timeout) the matured prefix is swept
+    * in (ts, event_id) order — clicks fold into `lastClick`, purchases emit
+    * with the click state as of their position. Correctness does not depend
+    * on micro-batch boundaries: a purchase emits only once its entire prior
+    * history is sealed by the watermark, so out-of-order arrival WITHIN the
+    * horizon cannot change any emitted row (batch-equivalence asserted in
+    * StreamingSpec).
+    *
+    * Scale: state per user = one timestamp + the events inside the watermark
+    * horizon (swept every batch; watermark-late rows are dropped upstream by
+    * `withWatermark`). At 100 TB/day this is the same bound the built-in
+    * stream-stream join holds, with one long per key extra. */
+  def asOfPurchaseClick(events: DataFrame, watermark: String = "10 minutes"): Dataset[AsOfMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsOfBuffer(None, Nil))
+          val all = prev.pending ++ rows
+          // strictly-below-watermark rows are sealed: nothing that could sort
+          // before them can still arrive (rows AT the watermark may — they
+          // stay pending until the watermark moves past them)
+          val (mature, pending) = all.partition(_.ts.getTime < wm)
+          var lastClick = prev.lastClick
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+          mature.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (e.event_type == "click") lastClick = Some(e.ts)
+            else if (e.event_type == "purchase")
+              out += AsOfMatch(e.event_id, user, e.ts, lastClick)
+          }
+          state.update(AsOfBuffer(lastClick, pending))
+          if (pending.nonEmpty)
+            // wake when the watermark can have passed the oldest pending row
+            state.setTimeoutTimestamp(math.max(
+              pending.map(_.ts.getTime).min, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming upsert sink via foreachBatch: each micro-batch is merged
     * into a keyed parquet snapshot — latest (ts, event_id) wins per
     * (user_id, event_type) entity, the streaming twin of the batch

@@ -128,6 +128,59 @@ class StreamingSpec extends SparkSpec {
     assert(outCount() == n, "a run with no new input must append nothing")
   }
 
+  test("stream-stream as-of under a watermark equals the batch as-of; state stays bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = splitEventsIntoChunks(8)
+    val q = StreamOps.asOfPurchaseClick(StreamOps.eventsStream(spark, dir), "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    val progress = try { q.processAllAvailable(); q.lastProgress } finally q.stop()
+    // compare as epoch micros computed IN Spark: the streaming side is LTZ
+    // (watermarks require it), the batch side NTZ — with a UTC session the
+    // epoch values coincide, while JVM-side accessors would see two
+    // different classes (Timestamp vs LocalDateTime)
+    def epochRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Option[Long])] =
+      df.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        unix_micros(col("last_click_ts").cast("timestamp")).as("cu"))
+        .collect().map { r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        }.toMap
+    val got = epochRows(spark.table("asof_stream"))
+
+    // batch truth: latest strictly-prior click per purchase, same tie order
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = epochRows(Tables.events(spark, sf)
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase"))
+
+    // 1) SOUNDNESS: every emitted row is exactly the batch row — micro-batch
+    // boundaries may defer rows but can never change one
+    got.foreach { case (id, row) =>
+      assert(batch.get(id).contains(row),
+        s"streamed as-of row for purchase $id diverges: $row vs ${batch.get(id)}")
+    }
+    // 2) COMPLETENESS: everything the final watermark sealed was emitted
+    // (1 s slack on the boundary against ms truncation of the watermark)
+    val maxTsU = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val sealedBefore = maxTsU - 600000000L - 1000000L
+    val missing = batch.filter { case (id, (_, ts, _)) =>
+      ts < sealedBefore && !got.contains(id)
+    }
+    assert(missing.isEmpty, s"${missing.size} sealed purchases never emitted")
+    assert(got.nonEmpty, "fixture must mature at least some purchases")
+    // 3) BOUNDED STATE: one state row per user (buffer + one click ts), never
+    // per event — the watermark sweeps matured rows out every batch
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= nUsers,
+      s"as-of state must be one row per user: $stateRows > $nUsers")
+  }
+
   test("foreachBatch upsert snapshot converges to the batch compaction") {
     val dir = splitEventsIntoChunks(6)
     val snap = Files.createTempDirectory("graft-upsert").toString
