@@ -47,32 +47,48 @@ object Dedup {
     * byte-identical with or without the cap (property-tested both ways). */
   val DefaultMaxDf: Int = 1000
 
-  /** Exact Jaccard over shingle sets for all candidate pairs (da < db),
-    * restricted to pairs sharing >= 1 shingle. Instead of a 3-shuffle
-    * self-join, docs are grouped per shingle (one shuffle) and ordered pairs
-    * are generated inline with nested array transforms — shingles seen in
-    * one doc contribute nothing and are dropped by the size filter. Skew
-    * bound: shingles with df > maxDf are dropped BEFORE pair generation
-    * (see [[DefaultMaxDf]]) — the 100 TB boilerplate guard. */
+  /** Per-shingle posting lists under the stop-shingle df cap. Shingles with
+    * df > maxDf leave the computation ENTIRELY — both the pair space and,
+    * via [[docCounts]], the per-doc set sizes. Capping only the pair side
+    * (round 5) deviated from the MMDS stop-shingle policy: a surviving pair
+    * sharing a hot shingle lost it from |A∩B| but not |A|+|B|, biasing its
+    * Jaccard downward once the cap actually trimmed data. */
+  private def cappedPostings(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+
+  /** Per-doc shingle counts over the SAME capped set the pairs see. */
+  private def docCounts(postings: DataFrame): DataFrame =
+    postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+
+  /** Exact Jaccard over capped shingle sets for all candidate pairs
+    * (da < db), restricted to pairs sharing >= 1 surviving shingle. Instead
+    * of a 3-shuffle self-join, docs are grouped per shingle (one shuffle)
+    * and ordered pairs are generated inline with nested array transforms.
+    * Skew bound: shingles with df > maxDf are dropped BEFORE pair
+    * generation (see [[DefaultMaxDf]]) — the 100 TB boilerplate guard —
+    * and symmetrically from the union sizes (stop-shingle policy: removed
+    * from both sets, not just the intersection). */
   def jaccardPairs(sh: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val inter = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")).between(2, maxDf))
+    val postings = cappedPostings(sh, maxDf)
+    val inter = postings
+      .filter(size(col("docs")) >= 2)
       .select(explode(expr(
         "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS da, y AS db))))"))
         .as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    jaccardFromInter(inter, sh, threshold)
+    jaccardFromInter(inter, docCounts(postings), threshold)
   }
 
   /** Shared exact-Jaccard verification: pair intersection counts + per-doc
-    * shingle counts -> round(|∩| / |∪|, 6), thresholded. One definition so
-    * the ground truth (jaccardPairs) and the LSH candidate verification
-    * can't drift apart. */
-  private def jaccardFromInter(inter: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    * (capped-set) shingle counts -> round(|∩| / |∪|, 6), thresholded. One
+    * definition so the ground truth (jaccardPairs) and the LSH candidate
+    * verification can't drift apart. */
+  private def jaccardFromInter(inter: DataFrame, n: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
       .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
@@ -80,7 +96,6 @@ object Dedup {
         round(col("inter").cast("double") / (col("nsa") + col("nsb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** K independent minhashes via salted xxhash64, one aggregate pass. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
@@ -95,9 +110,15 @@ object Dedup {
     * generated inline, with buckets larger than `maxBucket` dropped BEFORE
     * pair generation: a mega-bucket (boilerplate-identical signatures over
     * df docs) would otherwise emit df·(df−1)/2 candidates, the same
-    * quadratic fan-out [[DefaultMaxDf]] guards in the exact path. Dropping
-    * it loses only candidates a verifier would reject wholesale or that a
-    * cheaper exact-dup pass catches first. */
+    * quadratic fan-out [[DefaultMaxDf]] guards in the exact path.
+    *
+    * PRECONDITION the cap assumes: exact duplicates are collapsed BEFORE
+    * signatures reach this function (q_dedup_minhash runs that pre-pass —
+    * identical docs have identical signatures, so >maxBucket exact copies
+    * of one doc would land in one bucket and emit ZERO pairs, silently
+    * losing genuine duplicates). With the pre-pass in place, a residual
+    * mega-bucket can only be near-identical-but-distinct docs; dropping it
+    * is the documented recall loss of the cap. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxDf): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
@@ -185,6 +206,58 @@ object Dedup {
     labels
   }
 
+  /** The full MinHash near-dup pipeline over a (doc_id, text) frame, with
+    * the EXACT-DUP COLLAPSE pre-pass the LSH bucket cap assumes:
+    * identical-text docs collapse to one representative before hashing (so
+    * 10^6 copies of a boilerplate doc cost ONE signature row, never a
+    * dropped mega-bucket), and their pairs are reconstructed afterwards by
+    * expansion — exact, because identical text means identical shingle
+    * sets, so every member inherits its representative's Jaccard values
+    * verbatim. The expansion is output-sized: pair listings over exact-dup
+    * groups are inherently quadratic in group size, and that cost is paid
+    * only where the answer itself is. Candidates from LSH(bands × rows)
+    * over k minhashes, verified with exact capped-set Jaccard. */
+  def minhashNearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val keyed = docs.withColumn("tfp", xxhash64(lower(trim(col("text")))))
+    val grp = keyed.groupBy("tfp").agg(min("doc_id").as("rep"),
+      sort_array(collect_list(col("doc_id"))).as("members"))
+    val repDocs = keyed.join(grp.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val sh = shingles(repDocs)
+    val cand = lshCandidates(minhashSignatures(sh, k), bands, rowsPerBand,
+      maxBucket = maxDf)
+    val postings = cappedPostings(sh, maxDf)
+    val kept = postings.select(col("sh"), explode(col("docs")).as("doc_id"))
+    val inter = cand.join(kept.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(kept.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val verified = jaccardFromInter(inter, docCounts(postings), threshold)
+    // cross-group expansion: a verified (repA, repB) pair holds for every
+    // (member of A) × (member of B) — da < db restored via least/greatest
+    val mem = grp.select(col("rep"), col("members"))
+    val cross = verified
+      .join(mem.select(col("rep").as("da"), col("members").as("ma")), "da")
+      .join(mem.select(col("rep").as("db"), col("members").as("mb")), "db")
+      .select(explode(expr(
+        "flatten(transform(ma, x -> transform(mb, y -> " +
+          "struct(least(x, y) AS da, greatest(x, y) AS db))))")).as("p"),
+        col("jaccard"))
+      .select(col("p.da").as("da"), col("p.db").as("db"), col("jaccard"))
+    // within-group pairs: identical texts are Jaccard-1 dups by definition
+    // — but only for docs that HAVE shingles (<3-token docs are outside
+    // the ngram ground truth's domain and must stay outside ours)
+    val within = grp.filter(size(col("members")) >= 2)
+      .join(sh.select(col("doc_id").as("rep")).distinct(), "rep")
+      .select(explode(expr(
+        "flatten(transform(members, x -> transform(filter(members, y -> y > x), " +
+          "y -> struct(x AS da, y AS db))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** 32-bit SimHash fingerprint per doc from token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -216,17 +289,19 @@ object Dedup {
         .orderBy("da", "db")),
 
     // MinHash(16) + LSH(4 bands × 4 rows) candidates, verified by the same
-    // exact-Jaccard helper as the ground truth. Hash-dependent candidate
-    // set => no DuckDB oracle; DedupSimilaritySpec asserts recall against
-    // q_dedup_ngram.
-    "q_dedup_minhash" -> ((s, d) => {
-      val sh = shingles(Tables.documents(s, d))
-      val cand = lshCandidates(minhashSignatures(sh, 16), 4, 4)
-      val inter = cand.join(sh.select(col("doc_id").as("da"), col("sh")), "da")
-        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-      jaccardFromInter(inter, sh, 0.8).orderBy("da", "db")
-    }),
+    // exact-Jaccard helper as the ground truth — with the EXACT-DUP
+    // COLLAPSE pre-pass the LSH bucket cap assumes: identical-text docs
+    // collapse to one representative before hashing (so 10^6 copies of a
+    // boilerplate doc cost ONE signature row, never a dropped mega-bucket),
+    // and their pairs are reconstructed afterwards by expansion — exact,
+    // because identical text means identical shingle sets, so every member
+    // inherits its representative's Jaccard values verbatim. The expansion
+    // is output-sized: pair listings over exact-dup groups are inherently
+    // quadratic in group size, and that cost is paid only where the answer
+    // itself is. Hash-dependent candidate set => no DuckDB oracle;
+    // DedupSimilaritySpec asserts recall against q_dedup_ngram.
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashNearDupPairs(Tables.documents(s, d)).orderBy("da", "db")),
 
     // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
     // graph; each doc maps to its cluster representative (min doc_id).
@@ -264,13 +339,19 @@ object Dedup {
       ("SELECT lang, count(*) AS n_docs FROM (" +
         "SELECT lang, row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang"),
+    // The oracle mirrors the engine's stop-shingle df cap (shingles with
+    // df > 1000 leave both sets) so engine and oracle stay byte-identical
+    // even at a scale where the cap actually trims data — an uncapped
+    // oracle would surface as an opaque hash mismatch the first time a
+    // boilerplate shingle crossed the threshold (ADVICE r5).
     "q_dedup_ngram" ->
       ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
         "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
-        "n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id), " +
+        "shk AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)), " +
+        "n AS (SELECT doc_id, count(*) AS ns FROM shk GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT da, db, round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) AS jaccard " +
         "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
         "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8 " +
@@ -279,9 +360,10 @@ object Dedup {
       ("WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
         "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
-        "n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id), " +
+        "shk AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)), " +
+        "n AS (SELECT doc_id, count(*) AS ns FROM shk GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "p AS (SELECT da, db FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
         "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8), " +
         "e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p), " +

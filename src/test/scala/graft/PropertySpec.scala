@@ -206,6 +206,39 @@ class PropertySpec extends SparkSpec {
     assert(a == b, "default maxDf must not change sub-cap results")
   }
 
+  test("df cap removes hot shingles from BOTH sets: surviving pairs' Jaccard unbiased") {
+    import spark.implicits._
+    // docs 0 and 1 share a hot shingle (df=1000) AND a legit shingle G;
+    // each also carries one unique shingle. Stop-shingle policy: the hot
+    // shingle leaves both sets, so J = |{G}| / |{u0,G} ∪ {u1,G}| = 1/3.
+    // Capping only the pair side (round 5) would count it in the union and
+    // report 1/5 — the downward bias ADVICE r5 flagged.
+    val sh = ((0L until 1000L).map(d => (d, "HOT")) ++
+      Seq((0L, "u0"), (1L, "u1"), (0L, "G"), (1L, "G"))).toDF("doc_id", "sh")
+    val out = graft.operators.Dedup.jaccardPairs(sh, 0.0, maxDf = 100)
+      .filter(col("da") === 0L && col("db") === 1L).collect()
+    assert(out.length == 1, "the (0,1) pair must survive via shingle G")
+    assert(math.abs(out.head.getDouble(2) - 1.0 / 3) < 1e-6,
+      s"hot shingle must leave BOTH sets, got J=${out.head.getDouble(2)}")
+  }
+
+  test("minhash pipeline: >maxBucket exact duplicates survive via the collapse pre-pass") {
+    import spark.implicits._
+    // 1200 byte-identical docs: without the exact-dup collapse they form
+    // one >maxBucket LSH bucket per band and emit ZERO pairs (ADVICE r5);
+    // with it they collapse to one signature row and every pair comes back
+    // through the within-group expansion at J = 1.
+    val n = 1200
+    val docs = (0 until n)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.minhashNearDupPairs(docs)
+    assert(out.count() == n.toLong * (n - 1) / 2,
+      "every exact-dup pair must be emitted")
+    assert(out.filter(col("jaccard") =!= 1.0).count() == 0,
+      "exact duplicates carry Jaccard exactly 1")
+  }
+
   test("hot-bucket cap bounds LSH candidate generation") {
     import spark.implicits._
     // 500 docs with identical signatures (one mega-bucket per band) plus a
