@@ -4,10 +4,14 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main.
   *
-  * Timing: each query runs `SPARK_GRAFT_REPS` times (default 3) and reports
-  * the per-query MEDIAN — round 2's single-shot timings moved ~2× with
-  * machine-wide noise on untouched queries, making regressions
-  * unattributable. "value" is the sum of medians.
+  * Timing: each query runs ONE discarded warmup rep (codegen + shuffle-file
+  * cache effects) and then `SPARK_GRAFT_REPS` timed reps (default 5),
+  * reporting the per-query MEDIAN — round 2's single-shot timings moved ~2×
+  * with machine-wide noise on untouched queries, and round 5 showed
+  * median-of-3 still cannot resolve sub-2× movement (3–5× swings on
+  * byte-identical queries). "value" is the sum of medians. The residual
+  * noise band is documented in BASELINE.md: treat per-query deltas within
+  * ±30% (and single-query spikes on untouched code) as machine noise.
   *
   * Output: rounds 1-3 all ended `"parsed": null` because the driver's tail
   * window cannot hold the 100+-entry per-query map on one line. So the very
@@ -30,7 +34,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -46,6 +50,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
+      // one warmup rep per query, EXCLUDED from the median: first executions
+      // pay codegen compilation and cold file listing that no steady-state
+      // rep pays, and they land unpredictably — dropping the rep removes a
+      // noise source instead of averaging over it (it still counts as the
+      // failure witness if the query throws)
+      val w0 = System.nanoTime()
+      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => failed = true }
+      val warmup = (System.nanoTime() - w0) / 1e9
       var rep = 0
       while (rep < reps && !failed) {
         val t0 = System.nanoTime()
@@ -55,8 +67,8 @@ object Bench {
         rep += 1
       }
       val sorted = times.sorted
-      val median = sorted(sorted.size / 2)
-      (name, if (failed) -times.last else median, !failed)
+      val median = if (sorted.isEmpty) warmup else sorted(sorted.size / 2)
+      (name, if (failed) -times.lastOption.getOrElse(warmup) else median, !failed)
     }
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
