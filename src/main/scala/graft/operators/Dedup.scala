@@ -72,7 +72,12 @@ object Dedup {
     * from both sets, not just the intersection). */
   def jaccardPairs(sh: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val postings = cappedPostings(sh, maxDf)
+    // materialize the capped postings ONCE: both consumers (pair generation
+    // and the per-doc counts) read the materialized rows instead of each
+    // recomputing the shingle explode + groupBy — at 100 TB that is the
+    // dominant stage, and exchange reuse does not survive the two different
+    // downstream aggregations under AQE
+    val postings = cappedPostings(sh, maxDf).localCheckpoint()
     val inter = postings
       .filter(size(col("docs")) >= 2)
       .select(explode(expr(
@@ -220,15 +225,22 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val keyed = docs.withColumn("tfp", xxhash64(lower(trim(col("text")))))
-    val grp = keyed.groupBy("tfp").agg(min("doc_id").as("rep"),
-      sort_array(collect_list(col("doc_id"))).as("members"))
-    val repDocs = keyed.join(grp.select(col("rep").as("doc_id")), "doc_id")
-      .select(col("doc_id"), col("text"))
-    val sh = shingles(repDocs)
+    // Collapse key = sha2 of the RAW text: the expansion below is only
+    // exact for byte-identical members (case/whitespace variants have
+    // different shingle sets, so they must go through LSH individually —
+    // lower/trim normalization belongs to q_dedup_exact's dedup notion,
+    // not this one). 256-bit key => no collision caveat at corpus scale,
+    // and ONE aggregation yields reps + members with no join back.
+    val grp = docs
+      .groupBy(sha2(col("text").cast("binary"), 256).as("tkey"))
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("text")).as("text"))
+    val repDocs = grp.select(col("rep").as("doc_id"), col("text"))
+    val sh = shingles(repDocs).localCheckpoint() // feeds signatures AND verification
     val cand = lshCandidates(minhashSignatures(sh, k), bands, rowsPerBand,
       maxBucket = maxDf)
-    val postings = cappedPostings(sh, maxDf)
+    val postings = cappedPostings(sh, maxDf).localCheckpoint()
     val kept = postings.select(col("sh"), explode(col("docs")).as("doc_id"))
     val inter = cand.join(kept.select(col("doc_id").as("da"), col("sh")), "da")
       .join(kept.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
