@@ -120,6 +120,15 @@ class TextMapperSpec extends SparkSpec {
     val expected = spark.read.parquet(dir)
       .select(explode(col("doc_ids"))).count()
     assert(full.count() == expected)
+
+    // SupportsReportStatistics: the pruned lookup reports ~1/64 of the
+    // index's bytes, so Catalyst plans a join against it as a BROADCAST
+    // hash join without any hint — the connector behaves like a
+    // first-class small table, not an unknown-size black box
+    val joined = Tables.documents(spark, sf)
+      .join(dsv2("vector"), "doc_id")
+    assert(physicalPlan(joined).contains("BroadcastHashJoin"),
+      s"stats must make the pruned lookup the broadcast side:\n${physicalPlan(joined)}")
   }
 
   test("inverted index append: incremental segments equal a from-scratch build") {
