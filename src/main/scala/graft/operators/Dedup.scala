@@ -323,6 +323,34 @@ object Dedup {
         jaccardPairs(shingles(Tables.documents(s, d)), 0.8))
         .orderBy("doc_id")),
 
+    // The user-facing DEDUP OUTPUT: per-lang counts of docs surviving
+    // near-dup removal — every doc keeps its cluster's min-doc_id
+    // representative; non-representative members drop. Combines the exact
+    // pair graph + connected components + retention in one declared op (the
+    // thing a corpus owner actually runs); q_dedup_exact is its
+    // byte-identity sibling. Same cost shape as q_dedup_clusters plus one
+    // left-anti join against the doc table.
+    "q_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = connectedComponents(jaccardPairs(shingles(docs), 0.8))
+      docs.join(clusters.filter(col("doc_id") =!= col("cluster")),
+          Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // The PRODUCTION dedup pipeline end-to-end: minhash+LSH candidates
+    // (linear in corpus size) -> exact verification -> connected
+    // components. q_dedup_clusters is its quadratic ground-truth twin;
+    // this is the shape that runs at 100 TB. Hash-dependent pair set =>
+    // no DuckDB oracle; DedupSimilaritySpec asserts every minhash cluster
+    // refines an exact cluster (found pairs ⊆ true pairs => components of
+    // the subgraph nest inside components of the graph).
+    "q_dedup_minhash_clusters" -> ((s, d) =>
+      connectedComponents(
+        minhashNearDupPairs(Tables.documents(s, d)).select(col("da"), col("db")))
+        .orderBy("doc_id")),
+
     // SimHash fingerprints + near-pairs at Hamming distance <= 2.
     // Hash-dependent => no oracle; DedupSimilaritySpec checks planted dups collide.
     "q_dedup_simhash" -> ((s, d) => {
@@ -369,16 +397,26 @@ object Dedup {
         "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8 " +
         "ORDER BY da, db"),
     "q_dedup_clusters" ->
-      ("WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
-        "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
-        "shk AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)), " +
-        "n AS (SELECT doc_id, count(*) AS ns FROM shk GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
-        "FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "p AS (SELECT da, db FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
-        "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8), " +
-        "e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p), " +
-        "r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u) " +
-        "SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u ORDER BY doc_id"))
+      (ClustersCte + " SELECT doc_id, cluster FROM cl ORDER BY doc_id"),
+    "q_dedup_survivors" ->
+      (ClustersCte + " SELECT lang, count(*) AS n_docs FROM documents d " +
+        "WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id AND cl.cluster <> d.doc_id) " +
+        "GROUP BY lang ORDER BY lang"))
+
+  /** Shared recursive-CTE transitive closure over the capped exact-Jaccard
+    * pair graph, ending in `cl(doc_id, cluster = min member)` — one text so
+    * the clusters oracle and the survivors oracle cannot drift apart. */
+  private def ClustersCte: String =
+    "WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
+      "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
+      "shk AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)), " +
+      "n AS (SELECT doc_id, count(*) AS ns FROM shk GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+      "FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "p AS (SELECT da, db FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
+      "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8), " +
+      "e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p), " +
+      "r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u), " +
+      "cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)"
 }

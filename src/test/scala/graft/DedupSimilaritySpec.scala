@@ -85,6 +85,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_survivors: survivors = all docs minus non-representative members") {
+    val total = Tables.documents(spark, sf).count()
+    val clusters = rows(Dedup.queries("q_dedup_clusters")(spark, sf))
+    val dropped = clusters.count(r => r.head != r(1)) // non-rep members
+    val survived = rows(Dedup.queries("q_dedup_survivors")(spark, sf))
+      .map(_(1).asInstanceOf[Long]).sum
+    assert(survived == total - dropped,
+      s"expected ${total - dropped} survivors, got $survived")
+  }
+
+  test("minhash clusters refine the exact clusters") {
+    val exact = rows(Dedup.queries("q_dedup_clusters")(spark, sf))
+      .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    val mh = rows(Dedup.queries("q_dedup_minhash_clusters")(spark, sf))
+      .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long])
+    assert(mh.nonEmpty)
+    // found pairs ⊆ true pairs => every component of the candidate subgraph
+    // nests inside one component of the exact graph
+    mh.groupBy(_._2).values.foreach { members =>
+      val exactIds = members.map { case (d, _) => exact(d) }.toSet
+      assert(exactIds.size == 1,
+        s"minhash cluster spans multiple exact clusters: $members")
+    }
+  }
+
   test("salted aggregation equals the direct exact sum") {
     import org.apache.spark.sql.functions._
     val direct = Tables.orders(spark, sf)
