@@ -8,19 +8,22 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSourceV2 read surface for the on-disk inverted index written by
+/** DataSourceV2 surface for the on-disk inverted index written by
   * [[InvertedIndex.build]]/[[InvertedIndex.append]] — the packaging a Spark
-  * user expects from a "native connector":
+  * user expects from a "native connector". Reads AND writes the postings
+  * relation `(term, doc_id)`; read side:
   *
   * {{{
   * spark.read.format("graft.index")
@@ -82,13 +85,57 @@ object IndexSource {
 }
 
 private[sources] final class IndexTable(dir: String, buckets: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.index(`$dir`)"
   override def schema(): StructType = IndexSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE admits the table to DataFrameWriter's V2 write branch;
+    // V1_BATCH_WRITE then routes the plan through the V1 fallback exec
+    // (AppendDataExecV1), which hands the incoming data to our
+    // InsertableRelation as one DataFrame
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexScanBuilder(dir, buckets)
+
+  /** Writes take the SAME (term, doc_id) relation the reads produce —
+    * tokenization stays the caller's concern (or [[InvertedIndex.build]]'s,
+    * for raw documents). `mode("overwrite")` rebuilds the index from the
+    * incoming pairs; `mode("append")` requires `.option("seg", <batch id>)`
+    * and lands the pairs as that segment's partitions via dynamic
+    * overwrite — the same retry-idempotent layout contract as
+    * [[InvertedIndex.append]]. Delegated through `V1Write`: the incoming
+    * data is a plain DataFrame, so the proven postings pipeline (distinct →
+    * groupBy(term) → bucket) runs unchanged, Catalyst-planned, instead of
+    * being reimplemented row-at-a-time in a DataWriter. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val fields = info.schema().fieldNames.toSet
+    require(fields == Set("term", "doc_id"),
+      s"graft.index writes take (term, doc_id) rows, got ${fields.mkString(", ")}")
+    new IndexWriteBuilder(dir, buckets,
+      Option(info.options.get("seg")).map(_.toLong))
+  }
+}
+
+private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
+    seg: Option[Long]) extends WriteBuilder with SupportsTruncate {
+  private var rebuild = false
+  override def truncate(): WriteBuilder = { rebuild = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
+          if (rebuild || overwrite)
+            InvertedIndex.writePairs(data, dir, buckets, seg = 0L,
+              rebuild = true)
+          else
+            InvertedIndex.writePairs(data, dir, buckets,
+              seg = seg.getOrElse(throw new IllegalArgumentException(
+                "graft.index append requires .option(\"seg\", <batch id>) — " +
+                  "each writer owns a distinct id; retries reuse theirs")),
+              rebuild = false)
+      }
+  }
 }
 
 private[sources] final class IndexScanBuilder(dir: String, buckets: Int)

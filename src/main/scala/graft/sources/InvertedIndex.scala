@@ -28,8 +28,13 @@ object InvertedIndex {
 
   private def toks = expr(graft.functions.TextTokens.ToksSql)
 
-  private def postings(docs: DataFrame, buckets: Int, seg: Long): DataFrame =
-    docs.select(col("doc_id"), explode(toks).as("term"))
+  /** (term, doc_id) pairs -> the on-disk postings layout. The shared tail
+    * of the doc-tokenizing build/append paths AND the DataSourceV2 write
+    * path (which accepts pairs directly — tokenization is the caller's
+    * concern there). */
+  private[sources] def pairsToPostings(pairs: DataFrame, buckets: Int,
+      seg: Long): DataFrame =
+    pairs.select(col("term"), col("doc_id"))
       .distinct()
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
@@ -37,9 +42,29 @@ object InvertedIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("seg", lit(seg))
 
+  private def postings(docs: DataFrame, buckets: Int, seg: Long): DataFrame =
+    pairsToPostings(
+      docs.select(col("doc_id"), explode(toks).as("term")), buckets, seg)
+
+  /** Write a postings frame as a full rebuild or as new `seg` partitions
+    * via dynamic overwrite — the ONE writer build/append and the DSv2
+    * write path all go through. */
+  private[sources] def writeOut(out: DataFrame, dir: String,
+      rebuild: Boolean): Unit =
+    if (rebuild)
+      out.write.mode("overwrite").partitionBy("bucket", "seg").parquet(dir)
+    else
+      out.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("bucket", "seg").parquet(dir)
+
+  /** (term, doc_id) pairs in; postings on disk out — the DSv2 writer's
+    * delegate (rebuild = SaveMode.Overwrite, else a `seg` append). */
+  private[sources] def writePairs(pairs: DataFrame, dir: String, buckets: Int,
+      seg: Long, rebuild: Boolean): Unit =
+    writeOut(pairsToPostings(pairs, buckets, seg), dir, rebuild)
+
   def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
-    postings(docs, buckets, seg = 0L).write.mode("overwrite")
-      .partitionBy("bucket", "seg").parquet(dir)
+    writeOut(postings(docs, buckets, seg = 0L), dir, rebuild = true)
 
   /** Incremental append: batch `seg`'s postings land as new
     * `bucket=B/seg=N` partitions. Dynamic partition overwrite means a
@@ -54,10 +79,7 @@ object InvertedIndex {
     * frequency is sum(df) over a term's segments. */
   def append(docs: DataFrame, dir: String, seg: Long,
       buckets: Int = DefaultBuckets): Unit =
-    postings(docs, buckets, seg).write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("bucket", "seg").parquet(dir)
+    writeOut(postings(docs, buckets, seg), dir, rebuild = false)
 
   /** Segment compaction: after many [[append]]s a hot term accumulates one
     * segment row per batch; this folds them back to one row per term in

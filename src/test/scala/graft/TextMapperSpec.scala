@@ -131,6 +131,42 @@ class TextMapperSpec extends SparkSpec {
       s"stats must make the pruned lookup the broadcast side:\n${physicalPlan(joined)}")
   }
 
+  test("DSv2 graft.index write: overwrite rebuilds, append lands retry-idempotent segments") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // the connector writes the SAME (term, doc_id) relation reads produce;
+    // tokenize with the index's own tokenizer so results are comparable
+    val pairs = docs.select(col("doc_id"),
+      explode(expr(graft.functions.TextTokens.ToksSql)).as("term"))
+      .select("term", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-w").toString
+    pairs.filter(col("doc_id") % 2 === 0)
+      .write.format("graft.index").option("dir", dir).mode("overwrite").save()
+    val odd = pairs.filter(col("doc_id") % 2 =!= 0)
+    odd.write.format("graft.index").option("dir", dir)
+      .option("seg", "1").mode("append").save()
+    // at-least-once retry of the same seg must replace, not duplicate
+    odd.write.format("graft.index").option("dir", dir)
+      .option("seg", "1").mode("append").save()
+
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-dsv2-wf").toString
+    graft.sources.InvertedIndex.build(docs, fullDir)
+    for (term <- Seq("vector", "join", "the", "no-such-term-anywhere")) {
+      val viaConnector = rows(graft.sources.InvertedIndex.lookup(spark, dir, term))
+      val viaBuild = rows(graft.sources.InvertedIndex.lookup(spark, fullDir, term))
+      assert(viaConnector == viaBuild,
+        s"connector-written index must equal the helper build for '$term'")
+    }
+
+    // append without a seg id must fail loudly, never guess a batch id
+    val e = intercept[Exception] {
+      odd.write.format("graft.index").option("dir", dir).mode("append").save()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("seg"), s"error must name the missing seg option: $chain")
+  }
+
   test("inverted index append: incremental segments equal a from-scratch build") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
