@@ -14,8 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, InsertableRelation}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,13 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .filter($"term" === "vector")        // pushed to the source
   * }}}
   *
-  * The `term = <literal>` predicate is accepted through
+  * A `term = <literal>` or `term IN (...)` predicate is accepted through
   * `SupportsPushDownFilters`: the scan then plans input partitions ONLY for
-  * the term's hash-bucket directory (`bucket = pmod(xxhash64(term), buckets)`
-  * — the same expression the writer partitioned by), so a lookup reads 1 of
-  * `buckets` directories no matter how large the corpus is. Unpushable
-  * residual predicates stay in Spark; the pushed equality is ALSO re-checked
-  * per row in the reader, because a bucket holds many terms.
+  * the terms' hash-bucket directories (`bucket = pmod(xxhash64(term),
+  * buckets)` — the same expression the writer partitioned by), so a lookup
+  * reads 1 directory per term no matter how large the corpus is. The scan
+  * also implements `SupportsRuntimeFiltering` on `term`: when the index is
+  * joined to a small dimension of terms, Spark injects the build side's
+  * values after materializing it and the scan re-plans to just those
+  * buckets — the dynamic-partition-pruning shape for this source.
+  * Unpushable residual predicates stay in Spark; the pushed/runtime
+  * constraint is ALSO re-checked per row in the reader, because a bucket
+  * holds many terms.
   *
   * Column pruning arrives through `SupportsPushDownRequiredColumns`; a
   * doc_id-only projection never materializes term strings in the rows it
@@ -141,16 +147,20 @@ private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
 private[sources] final class IndexScanBuilder(dir: String, buckets: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
-  private var pushedTerm: Option[String] = None
+  private var pushedTerms: Option[Seq[String]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = IndexSource.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // Accept ONE term equality (the index's access path); everything else —
-    // doc_id predicates, disjunctions, a second term equality — stays in
-    // Spark as a post-scan filter.
+    // Accept ONE term equality or IN-list (the index's access paths);
+    // everything else — doc_id predicates, disjunctions, a second term
+    // predicate — stays in Spark as a post-scan filter.
     val (take, keep) = filters.partition {
-      case EqualTo("term", v: String) => pushedTerm.isEmpty && { pushedTerm = Some(v); true }
+      case EqualTo("term", v: String) if pushedTerms.isEmpty =>
+        pushedTerms = Some(Seq(v)); true
+      case In("term", vs) if pushedTerms.isEmpty && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        pushedTerms = Some(vs.toSeq.map(_.asInstanceOf[String])); true
       case _ => false
     }
     accepted = take
@@ -163,31 +173,64 @@ private[sources] final class IndexScanBuilder(dir: String, buckets: Int)
     required = StructType(IndexSource.Schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new IndexScan(dir, buckets, pushedTerm, required)
+  override def build(): Scan = new IndexScan(dir, buckets, pushedTerms, required)
 }
 
 private[graft] final class IndexScan(val dir: String, val buckets: Int,
-    val pushedTerm: Option[String], val required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    val pushedTerms: Option[Seq[String]], val required: StructType)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Runtime narrowing from a dynamic-pruning join (Spark injects the
+    * build side's term values after it materializes — the DPP analogue for
+    * this source). Combined with compile-time pushdown by intersection:
+    * both constraints must hold. */
+  @volatile private var runtimeTerms: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    // runtime-filter refs resolve against the scan's (column-pruned)
+    // OUTPUT — advertising term on a doc_id-only projection would fail
+    // analysis in the dynamic-pruning rule
+    if (required.fieldNames.contains("term")) Array(Expressions.column("term"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("term", vs) =>
+      runtimeTerms = Some(vs.collect { case s: String => s }.toSet)
+    case EqualTo("term", v: String) => runtimeTerms = Some(Set(v))
+    case _ => () // unusable runtime filter: keep the planned scope
+  }
+
+  /** The terms the scan must cover after compile-time pushdown AND runtime
+    * filtering; None = the full index. */
+  private def effectiveTerms: Option[Set[String]] =
+    (pushedTerms.map(_.toSet), runtimeTerms) match {
+      case (Some(p), Some(r)) => Some(p.intersect(r))
+      case (p, r) => p.orElse(r)
+    }
+
   override def description(): String =
     s"GraftInvertedIndexScan dir=$dir " +
-      s"pushedTerm=${pushedTerm.getOrElse("<none>")} " +
-      s"bucketsScanned=${if (pushedTerm.isDefined) 1 else buckets}/$buckets"
+      s"pushedTerm=${pushedTerms.map(_.mkString(",")).getOrElse("<none>")} " +
+      s"bucketsScanned=${effectiveTerms.map(bucketsOf(_).size).getOrElse(buckets)}/$buckets"
 
-  /** Postings files under the pushed term's bucket directory (or the whole
-    * index for a full scan), listed once on the driver and shared by
-    * partition planning and statistics. */
-  private lazy val files: Seq[(String, Long)] = {
+  private def bucketsOf(terms: Set[String]): Set[Long] =
+    terms.map(IndexSource.bucketOf(_, buckets))
+
+  /** Postings files under the effective terms' bucket directories (or the
+    * whole index for a full scan). A def, not a cache: runtime filtering
+    * may narrow the scope between statistics estimation and partition
+    * planning, and each listing touches only the selected directories. */
+  private def files(): Seq[(String, Long)] = {
     val conf = new Configuration()
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf)
-    val scanRoots = pushedTerm match {
-      case Some(t) =>
-        val b = new HPath(root, s"bucket=${IndexSource.bucketOf(t, buckets)}")
-        if (fs.exists(b)) Seq(b) else Seq.empty // absent term: zero partitions
+    val scanRoots = effectiveTerms match {
+      case Some(terms) =>
+        bucketsOf(terms).toSeq.sorted.map(b => new HPath(root, s"bucket=$b"))
+          .filter(fs.exists) // absent term/bucket: zero partitions
       case None => Seq(root)
     }
     val found = ArrayBuffer.empty[(String, Long)]
@@ -203,40 +246,42 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   }
 
   /** One partition per postings parquet file: segment files read in
-    * parallel, and a pruned lookup plans only one bucket's files. */
+    * parallel, and a pruned lookup plans only the matching buckets' files. */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => IndexFilePartition(f._1): InputPartition).toArray
+    files().map(f => IndexFilePartition(f._1): InputPartition).toArray
 
   /** Post-pruning size from the listed files — a term lookup reports
-    * 1/buckets of the index, so downstream joins against lookup results can
-    * plan them as the small (broadcastable) side. Row count is unknown
-    * without reading footers; size alone is what join planning keys on. */
+    * ~1/buckets of the index per term, so downstream joins against lookup
+    * results can plan them as the small (broadcastable) side. Row count is
+    * unknown without reading footers; size alone is what join planning
+    * keys on. */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val size = files().map(_._2).sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(files.map(_._2).sum)
+      java.util.OptionalLong.of(size)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexReaderFactory(pushedTerm, required.fieldNames)
+    new IndexReaderFactory(effectiveTerms, required.fieldNames)
 }
 
 private[graft] final case class IndexFilePartition(path: String)
     extends InputPartition
 
-private[sources] final class IndexReaderFactory(pushedTerm: Option[String],
+private[sources] final class IndexReaderFactory(terms: Option[Set[String]],
     fieldNames: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new IndexPartitionReader(
-      partition.asInstanceOf[IndexFilePartition].path, pushedTerm, fieldNames)
+      partition.asInstanceOf[IndexFilePartition].path, terms, fieldNames)
 }
 
 /** Reads one postings parquet file with parquet-hadoop's Group API (the
-  * files are small per-bucket segments), re-checks the pushed term equality,
-  * and explodes `doc_ids` into one row per posting. */
+  * files are small per-bucket segments), re-checks the pushed/runtime term
+  * constraint, and explodes `doc_ids` into one row per posting. */
 private[sources] final class IndexPartitionReader(path: String,
-    pushedTerm: Option[String], fieldNames: Array[String])
+    terms: Option[Set[String]], fieldNames: Array[String])
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(path))
@@ -254,7 +299,7 @@ private[sources] final class IndexPartitionReader(path: String,
     var g = reader.read()
     while (g != null) {
       val term = g.getBinary("term", 0).toStringUsingUTF8
-      if (pushedTerm.forall(_ == term)) {
+      if (terms.forall(_.contains(term))) {
         curTerm = UTF8String.fromString(term)
         // Spark's 3-level list layout: doc_ids (LIST) > repeated list > element
         val list = g.getGroup("doc_ids", 0)

@@ -97,7 +97,7 @@ class TextMapperSpec extends SparkSpec {
     val scan = df.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
     }.head.asInstanceOf[graft.sources.IndexScan]
-    assert(scan.pushedTerm.contains("vector"),
+    assert(scan.pushedTerms.contains(Seq("vector")),
       s"term equality must reach the source as a pushed filter: $scan")
     assert(scan.description().contains("bucketsScanned=1/64"), scan.description())
     val parts = scan.planInputPartitions()
@@ -129,6 +129,50 @@ class TextMapperSpec extends SparkSpec {
       .join(dsv2("vector"), "doc_id")
     assert(physicalPlan(joined).contains("BroadcastHashJoin"),
       s"stats must make the pruned lookup the broadcast side:\n${physicalPlan(joined)}")
+  }
+
+  test("DSv2 graft.index: IN-list pushdown and runtime filtering prune to the terms' buckets") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-in").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), dir)
+
+    // compile-time IN pushdown: ≤2 bucket dirs planned, rows = union of
+    // the two single-term lookups
+    val df = spark.read.format("graft.index").option("dir", dir).load()
+      .filter(col("term").isin("vector", "join"))
+      .select("term", "doc_id").orderBy("term", "doc_id")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.IndexScan]
+    assert(scan.pushedTerms.exists(_.toSet == Set("vector", "join")),
+      s"IN-list must reach the source: ${scan.pushedTerms}")
+    val wantBuckets = Set("vector", "join")
+      .map(t => s"bucket=${graft.sources.IndexSource.bucketOf(t, 64)}")
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(p =>
+      wantBuckets.exists(p.asInstanceOf[graft.sources.IndexFilePartition].path.contains)),
+      s"planned files must sit under ${wantBuckets.mkString(",")}")
+    val expected = Seq("join", "vector").flatMap { t =>
+      rows(graft.sources.InvertedIndex.lookup(spark, dir, t))
+        .map(r => Seq[Any](t, r.head))
+    }
+    assert(rows(df) == expected)
+
+    // runtime filtering surface (the DPP analogue): Spark calls
+    // filter(In(term, ...)) on an unpushed scan after the join's build side
+    // materializes; the scan must re-plan to only those buckets
+    val full = spark.read.format("graft.index").option("dir", dir).load()
+      .queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.IndexScan]
+    val before = full.planInputPartitions().length
+    full.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("term", Array("vector"))))
+    val after = full.planInputPartitions()
+    val vectorBucket = s"bucket=${graft.sources.IndexSource.bucketOf("vector", 64)}"
+    assert(after.length < before, "runtime filter must shrink the planned files")
+    assert(after.forall(
+      _.asInstanceOf[graft.sources.IndexFilePartition].path.contains(vectorBucket)))
   }
 
   test("DSv2 graft.index write: overwrite rebuilds, append lands retry-idempotent segments") {
