@@ -226,6 +226,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion through the DSv2 connector equals a batch build") {
+    // Same maintained-artifact story, but every micro-batch goes through
+    // format("graft.index"): batch 0 overwrite-rebuilds, later batches
+    // append under seg=batchId — the WRITE half of the connector driven by
+    // foreachBatch, with the batch id doubling as the retry-idempotent
+    // segment id (exactly the at-least-once contract foreachBatch gives).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft-dsv2-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val pairs = batch.toDF().select(col("doc_id"),
+          explode(expr(graft.functions.TextTokens.ToksSql)).as("term"))
+          .select("term", "doc_id")
+        val w = pairs.write.format("graft.index").option("dir", dir)
+        if (batchId == 0L) w.mode("overwrite").save()
+        else w.option("seg", batchId.toString).mode("append").save()
+      }.start()
+    mem.addData(evens.toSeq: _*); q.processAllAvailable()
+    mem.addData(odds.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val fullDir = Files.createTempDirectory("graft-dsv2-stream-full").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), fullDir)
+    for (term <- Seq("vector", "join", "no-such-term-anywhere")) {
+      val inc = rows(graft.sources.InvertedIndex.lookup(spark, dir, term))
+      val full = rows(graft.sources.InvertedIndex.lookup(spark, fullDir, term))
+      assert(inc == full,
+        s"connector-streamed lookup must equal batch build for '$term'")
+    }
+  }
+
   test("streaming ingestion maintains the on-disk IVF index via per-batch appends") {
     // Vector twin of the inverted-index ingest: batch 0 builds + writes the
     // index, later batches appendTo into the per-cell partitions; the final
