@@ -70,8 +70,11 @@ final class IndexSource extends TableProvider with DataSourceRegister {
     val dir = properties.get("dir")
     require(dir != null && dir.nonEmpty,
       "graft.index requires .option(\"dir\", <InvertedIndex root>)")
+    // the index records its own bucket count at build time; resolving it
+    // here (option override > recorded meta > default) means a mismatched
+    // caller can no longer probe the wrong directory and read silence
     val buckets = Option(properties.get("buckets")).map(_.toInt)
-      .getOrElse(InvertedIndex.DefaultBuckets)
+      .getOrElse(InvertedIndex.metaBuckets(dir))
     new IndexTable(dir, buckets)
   }
 }

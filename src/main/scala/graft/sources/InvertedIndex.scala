@@ -26,6 +26,54 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
   val DefaultBuckets = 64
 
+  /** The index records its OWN bucket count in `_graft_meta.json` at the
+    * root: the bucket function must match between writer and reader, and a
+    * caller passing a different count would probe the wrong directory and
+    * get silently-empty results — the worst failure mode an index can
+    * have. Readers resolve the count from the meta file by default; the
+    * leading underscore keeps Spark's own file readers from treating it as
+    * data. */
+  private val MetaFile = "_graft_meta.json"
+  private val MetaBuckets = """"buckets"\s*:\s*(\d+)""".r.unanchored
+
+  private def hadoopFs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  private[sources] def writeMeta(dir: String, buckets: Int): Unit = {
+    val (fs, p) = hadoopFs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    try out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Bucket count recorded at build time; `fallback` when the meta file is
+    * absent (pre-meta indexes). */
+  private[sources] def metaBuckets(dir: String,
+      fallback: Int = DefaultBuckets): Int = {
+    val (fs, p) = hadoopFs(dir)
+    val f = new org.apache.hadoop.fs.Path(p, MetaFile)
+    if (!fs.exists(f)) fallback
+    else {
+      val in = fs.open(f)
+      val text = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+      text match {
+        case MetaBuckets(b) => b.toInt
+        case _ => fallback
+      }
+    }
+  }
+
+  /** Resolve the effective bucket count: an explicit positive argument
+    * wins; otherwise the index's own recorded count. */
+  private def resolveBuckets(dir: String, buckets: Int): Int =
+    if (buckets > 0) buckets else metaBuckets(dir)
+
   private def toks = expr(graft.functions.TextTokens.ToksSql)
 
   /** (term, doc_id) pairs -> the on-disk postings layout. The shared tail
@@ -60,11 +108,15 @@ object InvertedIndex {
   /** (term, doc_id) pairs in; postings on disk out — the DSv2 writer's
     * delegate (rebuild = SaveMode.Overwrite, else a `seg` append). */
   private[sources] def writePairs(pairs: DataFrame, dir: String, buckets: Int,
-      seg: Long, rebuild: Boolean): Unit =
+      seg: Long, rebuild: Boolean): Unit = {
     writeOut(pairsToPostings(pairs, buckets, seg), dir, rebuild)
+    writeMeta(dir, buckets)
+  }
 
-  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit = {
     writeOut(postings(docs, buckets, seg = 0L), dir, rebuild = true)
+    writeMeta(dir, buckets)
+  }
 
   /** Incremental append: batch `seg`'s postings land as new
     * `bucket=B/seg=N` partitions. Dynamic partition overwrite means a
@@ -78,8 +130,11 @@ object InvertedIndex {
     * needs a compaction rebuild). `df` is per-segment; total document
     * frequency is sum(df) over a term's segments. */
   def append(docs: DataFrame, dir: String, seg: Long,
-      buckets: Int = DefaultBuckets): Unit =
-    writeOut(postings(docs, buckets, seg), dir, rebuild = false)
+      buckets: Int = -1): Unit = {
+    val b = resolveBuckets(dir, buckets)
+    writeOut(postings(docs, b, seg), dir, rebuild = false)
+    writeMeta(dir, b) // first write to a fresh dir records the count
+  }
 
   /** Segment compaction: after many [[append]]s a hot term accumulates one
     * segment row per batch; this folds them back to one row per term in
@@ -98,17 +153,19 @@ object InvertedIndex {
     * (Iceberg/Delta-style) instead of renaming data paths — the layout
     * under the pointer is exactly this one. */
   def compact(spark: SparkSession, dir: String,
-      buckets: Int = DefaultBuckets): Unit = {
+      buckets: Int = -1): Unit = {
+    val b = resolveBuckets(dir, buckets)
     val merged = spark.read.parquet(dir)
       .select(col("term"), explode(col("doc_ids")).as("doc_id"))
       .distinct()
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
         count(lit(1)).as("df"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(b.toLong)))
       .withColumn("seg", lit(0L))
     val tmp = dir + ".compacting"
     merged.write.mode("overwrite").partitionBy("bucket", "seg").parquet(tmp)
+    writeMeta(tmp, b) // the swapped-in dir must carry the count too
     val p = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,10 +187,12 @@ object InvertedIndex {
   /** All doc_ids whose text contains `term`, via the index: reads one
     * bucket directory, one term row per segment, explodes the postings. */
   def lookup(spark: SparkSession, dir: String, term: String,
-      buckets: Int = DefaultBuckets): DataFrame =
+      buckets: Int = -1): DataFrame = {
+    val b = resolveBuckets(dir, buckets)
     spark.read.parquet(dir)
-      .filter(col("bucket") === pmod(xxhash64(lit(term)), lit(buckets.toLong))
+      .filter(col("bucket") === pmod(xxhash64(lit(term)), lit(b.toLong))
         && col("term") === term)
       .select(explode(col("doc_ids")).as("doc_id"))
       .orderBy("doc_id")
+  }
 }

@@ -131,6 +131,31 @@ class TextMapperSpec extends SparkSpec {
       s"stats must make the pruned lookup the broadcast side:\n${physicalPlan(joined)}")
   }
 
+  test("index records its bucket count: readers resolve it without being told") {
+    import org.apache.spark.sql.functions._
+    // build with a NON-default bucket count; every reader below resolves it
+    // from the index's own meta file — before round 6 a caller who didn't
+    // repeat the count probed the wrong directory and read silence
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta-idx").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), dir, buckets = 16)
+    val expected = rows(Tables.documents(spark, sf)
+      .filter(array_contains(expr("filter(split(text, ' '), w -> w <> '')"), "vector"))
+      .select("doc_id").orderBy("doc_id"))
+    assert(rows(graft.sources.InvertedIndex.lookup(spark, dir, "vector")) == expected,
+      "lookup must resolve the recorded bucket count")
+    val df = spark.read.format("graft.index").option("dir", dir).load()
+      .filter(col("term") === "vector").select("doc_id").orderBy("doc_id")
+    assert(rows(df) == expected, "DSv2 read must resolve the recorded count")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.IndexScan]
+    assert(scan.buckets == 16, s"connector must pick up buckets=16: ${scan.buckets}")
+    // compaction swaps directories — the recorded count must survive it
+    graft.sources.InvertedIndex.compact(spark, dir)
+    assert(rows(graft.sources.InvertedIndex.lookup(spark, dir, "vector")) == expected,
+      "compaction must preserve the recorded bucket count")
+  }
+
   test("DSv2 graft.index: IN-list pushdown and runtime filtering prune to the terms' buckets") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-in").toString
