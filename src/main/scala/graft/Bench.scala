@@ -28,6 +28,19 @@ import java.nio.file.{Files, Paths}
   * until failure, negated, remaining reps skipped) and listed in "failed" —
   * never as a normal-looking success.
   *
+  * Driver-budget safety (round 6's BENCH artifact was rc:124 — the driver
+  * killed the run and got NO numbers): two defenses, both on by default.
+  * (1) Incremental emission — each query prints a short `BENCH_Q:` JSON line
+  * the moment it finishes, and bench_out.json is rewritten (always-valid
+  * JSON) after every query, so a killed run still yields per-query numbers
+  * in the tail and a parseable partial file. (2) A wall-clock budget
+  * (`SPARK_GRAFT_BUDGET_S`, default 240 s of post-startup query time)
+  * degrades reps 5→3→1 as elapsed time crosses 50%/80% of the budget, so
+  * the suite lands inside a bounded window; the per-query `reps` field
+  * records what each query actually got. The precision protocol (full
+  * median-of-5) is unchanged when the budget isn't threatened — raise
+  * SPARK_GRAFT_BUDGET_S for precision runs.
+  *
   * Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries.
   */
 object Bench {
@@ -45,9 +58,34 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
     SparkEntry.queries.get("q_scan_count")
       .foreach(fn => try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () })
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "240").toDouble
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def r3(v: Double): String = f"$v%.3f"
+    val benchStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+    // (name, medianOrNegFailTime, ok, repsUsed)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
+    def writeSnapshot(): String = {
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true, _) => v }.sum
+      val json =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"budget_s":${r3(budgetS)},"done":${results.size},"of":${selected.size},"sf":"$sfDir"}"""
+      // Rewritten after EVERY query: a killed run leaves a valid partial.
+      Files.writeString(Paths.get("bench_out.json"), json + "\n")
+      json
+    }
+    selected.foreach { case (name, fn) =>
+      // Budget-aware rep degradation: full precision while under half the
+      // budget, median-of-3 to 80%, single-rep beyond — completion of the
+      // whole suite beats precision on the tail queries.
+      val repsThis = {
+        val frac = elapsedS / budgetS
+        if (frac < 0.5) reps else if (frac < 0.8) reps.min(3) else 1
+      }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       // one warmup rep per query, EXCLUDED from the median: first executions
@@ -59,7 +97,7 @@ object Bench {
       try evaluate(fn(spark, sfDir)) catch { case _: Throwable => failed = true }
       val warmup = (System.nanoTime() - w0) / 1e9
       var rep = 0
-      while (rep < reps && !failed) {
+      while (rep < repsThis && !failed) {
         val t0 = System.nanoTime()
         try { evaluate(fn(spark, sfDir)) }
         catch { case _: Throwable => failed = true }
@@ -68,17 +106,16 @@ object Bench {
       }
       val sorted = times.sorted
       val median = if (sorted.isEmpty) warmup else sorted(sorted.size / 2)
-      (name, if (failed) -times.lastOption.getOrElse(warmup) else median, !failed)
+      results += ((name, if (failed) -times.lastOption.getOrElse(warmup) else median, !failed, repsThis))
+      // Per-query line the instant it completes — a killed run's tail still
+      // carries every finished query.
+      println(s"""BENCH_Q: {"name":"$name","sec":${r3(median)},"reps":$repsThis,"ok":${!failed}}""")
+      writeSnapshot()
     }
-    def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val json = writeSnapshot()
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     println(s"BENCH_JSON: $json")
     spark.stop()
     // Final line of output: SHORT so a tail-parsing driver with a bounded
