@@ -16,20 +16,33 @@ import org.apache.spark.sql.SparkSession
   * SparkContext are only evicted when the whole application ends — a server
   * that churns through thousands of short-lived child sessions must call
   * [[dropSession]] when it retires one (there is nothing to hook instead:
-  * `SparkListenerApplicationEnd` is the only end signal Spark exposes). */
-final class SessionCache[V] {
+  * `SparkListenerApplicationEnd` is the only end signal Spark exposes).
+  *
+  * `onEvict` runs once per evicted VALUE on every eviction path (listener,
+  * [[drop]], [[dropSession]]) — the place to release what the cached value
+  * owns (unpersist a frame, delete a temp directory). Cached values backed
+  * by on-disk state would otherwise outlive every eviction (ADVICE r6: the
+  * IVF temp-dir leak). */
+final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
+  private def evictSession(s: SparkSession): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { it.remove(); onEvict(e.getValue) }
+    }
+    hooked.remove(s)
+  }
+
   private def hook(s: SparkSession): Unit =
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
-          entries.keySet.removeIf(_._1 eq s)
-          hooked.remove(s)
-        }
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          evictSession(s)
       })
     }
 
@@ -38,14 +51,16 @@ final class SessionCache[V] {
     entries.computeIfAbsent((s, key), _ => build)
   }
 
-  def drop(s: SparkSession, key: String): Option[V] =
-    Option(entries.remove((s, key)))
+  /** Eager single-entry eviction; `onEvict` has already run on the returned
+    * value. */
+  def drop(s: SparkSession, key: String): Option[V] = {
+    val v = Option(entries.remove((s, key)))
+    v.foreach(onEvict)
+    v
+  }
 
   /** Evict every entry of one session — the hook for servers retiring a
     * `newSession()` child while the shared context lives on (see the class
     * LIMITATION note). */
-  def dropSession(s: SparkSession): Unit = {
-    entries.keySet.removeIf(_._1 eq s)
-    hooked.remove(s)
-  }
+  def dropSession(s: SparkSession): Unit = evictSession(s)
 }

@@ -221,7 +221,26 @@ object Dedup {
     * verbatim. The expansion is output-sized: pair listings over exact-dup
     * groups are inherently quadratic in group size, and that cost is paid
     * only where the answer itself is. Candidates from LSH(bands × rows)
-    * over k minhashes, verified with exact capped-set Jaccard. */
+    * over k minhashes, verified with exact capped-set Jaccard.
+    *
+    * Cap semantics after the collapse (ADVICE r6): the stop-shingle df cap
+    * is applied to MEMBER-weighted document frequency — each rep's shingle
+    * counts once per collapsed member — so a shingle's survival here equals
+    * its survival in the uncollapsed ground truth ([[jaccardPairs]] /
+    * q_dedup_ngram's oracle) exactly, and every cross-group pair this
+    * pipeline emits carries the identical capped-set Jaccard the ground
+    * truth computes. A rep-level (unweighted) df would under-count: a
+    * shingle the ground truth caps out could survive the collapsed pass and
+    * bias verified Jaccard values. The ONE declared divergence is
+    * within-group pairs of byte-identical docs: the ground truth drops such
+    * a group entirely when ALL its shingles exceed the cap (a >maxDf-copy
+    * doc IS boilerplate under the stop-shingle policy), while this pipeline
+    * still emits its member pairs at Jaccard = 1 — byte-identity is certain
+    * (no hashing or capping involved), the cap exists to bound candidate
+    * fan-out and the within-expansion is already output-sized, so dropping
+    * certain duplicates to mirror a cost-policy artifact would be strictly
+    * worse dedup. Net: found pairs ⊆ (capped ground truth ∪ byte-identity
+    * pairs), with equality of Jaccard values on the first component. */
   def minhashNearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxDf: Int = DefaultMaxDf): DataFrame = {
@@ -240,7 +259,16 @@ object Dedup {
     val sh = shingles(repDocs).localCheckpoint() // feeds signatures AND verification
     val cand = lshCandidates(minhashSignatures(sh, k), bands, rowsPerBand,
       maxBucket = maxDf)
-    val postings = cappedPostings(sh, maxDf).localCheckpoint()
+    // member-weighted df cap (see the Scaladoc): survival matches the
+    // uncollapsed ground truth exactly
+    val gsz = grp.select(col("rep").as("doc_id"),
+      size(col("members")).as("gsz"))
+    val postings = sh.join(gsz, "doc_id")
+      .groupBy("sh")
+      .agg(collect_list(col("doc_id")).as("docs"), sum(col("gsz")).as("wdf"))
+      .filter(col("wdf") <= maxDf)
+      .select(col("sh"), col("docs"))
+      .localCheckpoint()
     val kept = postings.select(col("sh"), explode(col("docs")).as("doc_id"))
     val inter = cand.join(kept.select(col("doc_id").as("da"), col("sh")), "da")
       .join(kept.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
@@ -259,7 +287,11 @@ object Dedup {
       .select(col("p.da").as("da"), col("p.db").as("db"), col("jaccard"))
     // within-group pairs: identical texts are Jaccard-1 dups by definition
     // — but only for docs that HAVE shingles (<3-token docs are outside
-    // the ngram ground truth's domain and must stay outside ours)
+    // the ngram ground truth's domain and must stay outside ours). Gated on
+    // shingle EXISTENCE, not capped-set survival: a group whose every
+    // shingle exceeds the weighted cap still emits its byte-identity pairs
+    // (the declared divergence from the capped ground truth — see the
+    // Scaladoc).
     val within = grp.filter(size(col("members")) >= 2)
       .join(sh.select(col("doc_id").as("rep")).distinct(), "rep")
       .select(explode(expr(
@@ -344,8 +376,11 @@ object Dedup {
     // components. q_dedup_clusters is its quadratic ground-truth twin;
     // this is the shape that runs at 100 TB. Hash-dependent pair set =>
     // no DuckDB oracle; DedupSimilaritySpec asserts every minhash cluster
-    // refines an exact cluster (found pairs ⊆ true pairs => components of
-    // the subgraph nest inside components of the graph).
+    // refines a component of the exact pair graph AUGMENTED with
+    // byte-identity edges (found pairs ⊆ capped true pairs ∪ identity
+    // pairs — see minhashNearDupPairs' cap-semantics Scaladoc; on corpora
+    // with no >maxDf exact-dup group, as at every gate scale, that equals
+    // plain refinement of the exact clusters).
     "q_dedup_minhash_clusters" -> ((s, d) =>
       connectedComponents(
         minhashNearDupPairs(Tables.documents(s, d)).select(col("da"), col("db")))

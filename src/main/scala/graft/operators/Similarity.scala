@@ -473,10 +473,13 @@ object Similarity {
   // searches through the on-disk layout (directory-level probe pruning) —
   // the path a 100 TB deployment takes, where the assignment never fits in
   // one session's cache.
-  private val ivfDirCache = new graft.SessionCache[String]()
+  // Evicted entries delete their directory (and a JVM shutdown hook sweeps
+  // whatever survives), so session churn can't accumulate index-sized temp
+  // dirs.
+  private val ivfDirCache = new graft.SessionCache[String](graft.TempDirs.delete)
   private[graft] def ivfDirFor(s: SparkSession, d: String): String =
     ivfDirCache.getOrBuild(s, d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-disk").toString
+      val dir = graft.TempDirs.create("graft-ivf-disk")
       IvfIndex.write(ivfIndexFor(s, d), dir)
       dir
     }

@@ -37,11 +37,11 @@ object TextAnalysis {
   // Session-scoped inverted-index memo: built once per (session, table dir)
   // into a temp directory; lookups are then bucket-pruned reads. Mirrors
   // Similarity's IVF index economics (build once, search many).
-  private val idxCache = new graft.SessionCache[String]()
+  // Eviction deletes the directory; a shutdown hook sweeps survivors.
+  private val idxCache = new graft.SessionCache[String](graft.TempDirs.delete)
   private[graft] def indexDirFor(s: SparkSession, d: String): String =
     idxCache.getOrBuild(s, d) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-invidx").toString
+      val dir = graft.TempDirs.create("graft-invidx")
       graft.sources.InvertedIndex.build(graft.Tables.documents(s, d), dir)
       dir
     }

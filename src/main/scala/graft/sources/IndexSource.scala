@@ -186,6 +186,14 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The session's Hadoop configuration, captured at planning and shipped
+    * to the partition readers — `spark.hadoop.*` settings (object-store
+    * credentials, filesystem impls) must reach connector I/O exactly as
+    * they reach Spark's own readers; a bare `new Configuration()` silently
+    * dropped them (ADVICE r6). */
+  private val confSer = new org.apache.spark.util.SerializableConfiguration(
+    InvertedIndex.driverHadoopConf)
+
   /** Runtime narrowing from a dynamic-pruning join (Spark injects the
     * build side's term values after it materializes — the DPP analogue for
     * this source). Combined with compile-time pushdown by intersection:
@@ -227,7 +235,7 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
     * may narrow the scope between statistics estimation and partition
     * planning, and each listing touches only the selected directories. */
   private def files(): Seq[(String, Long)] = {
-    val conf = new Configuration()
+    val conf = confSer.value
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf)
     val scanRoots = effectiveTerms match {
@@ -267,28 +275,32 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexReaderFactory(effectiveTerms, required.fieldNames)
+    new IndexReaderFactory(effectiveTerms, required.fieldNames, confSer)
 }
 
 private[graft] final case class IndexFilePartition(path: String)
     extends InputPartition
 
 private[sources] final class IndexReaderFactory(terms: Option[Set[String]],
-    fieldNames: Array[String]) extends PartitionReaderFactory {
+    fieldNames: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new IndexPartitionReader(
-      partition.asInstanceOf[IndexFilePartition].path, terms, fieldNames)
+      partition.asInstanceOf[IndexFilePartition].path, terms, fieldNames,
+      conf.value)
 }
 
 /** Reads one postings parquet file with parquet-hadoop's Group API (the
   * files are small per-bucket segments), re-checks the pushed/runtime term
   * constraint, and explodes `doc_ids` into one row per posting. */
 private[sources] final class IndexPartitionReader(path: String,
-    terms: Option[Set[String]], fieldNames: Array[String])
+    terms: Option[Set[String]], fieldNames: Array[String],
+    conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
 
   private val wantTerm = fieldNames.contains("term")
   private val wantDoc = fieldNames.contains("doc_id")
@@ -296,11 +308,36 @@ private[sources] final class IndexPartitionReader(path: String,
   private var curTerm: UTF8String = _
   private var docIds: Array[Long] = Array.empty
   private var docPos = 0
+  private var layoutChecked = false
+
+  /** The doc_ids walk below hard-codes Spark's standard 3-level list layout
+    * (`doc_ids` LIST group > one repeated group > one primitive element). A
+    * file written with spark.sql.parquet.writeLegacyFormat=true uses the
+    * 2-level legacy layout (element primitive directly under the repeated
+    * field) and would misread or throw opaquely — check the schema once per
+    * file and fail with a named cause instead (ADVICE r6). */
+  private def checkLayout(g: org.apache.parquet.example.data.Group): Unit = {
+    val t = g.getType.getType("doc_ids")
+    val threeLevel = !t.isPrimitive && {
+      val outer = t.asGroupType()
+      outer.getFieldCount == 1 && !outer.getType(0).isPrimitive && {
+        val repeated = outer.getType(0).asGroupType()
+        repeated.getFieldCount == 1 && repeated.getType(0).isPrimitive
+      }
+    }
+    if (!threeLevel) throw new IllegalStateException(
+      s"$path: doc_ids is not in the standard 3-level parquet list layout " +
+        s"(got ${t}); was the index written with " +
+        "spark.sql.parquet.writeLegacyFormat=true? graft.index requires the " +
+        "default (non-legacy) layout")
+    layoutChecked = true
+  }
 
   /** Advance to the next matching postings row; false at EOF. */
   private def nextGroup(): Boolean = {
     var g = reader.read()
     while (g != null) {
+      if (!layoutChecked) checkLayout(g)
       val term = g.getBinary("term", 0).toStringUsingUTF8
       if (terms.forall(_.contains(term))) {
         curTerm = UTF8String.fromString(term)

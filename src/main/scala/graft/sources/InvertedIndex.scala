@@ -36,9 +36,20 @@ object InvertedIndex {
   private val MetaFile = "_graft_meta.json"
   private val MetaBuckets = """"buckets"\s*:\s*(\d+)""".r.unanchored
 
+  /** The active session's Hadoop configuration when one exists (so
+    * `spark.hadoop.*` settings — object-store credentials, fs.defaultFS,
+    * filesystem impls — reach meta reads/writes exactly as they reach the
+    * data reads), falling back to a bare Configuration only outside any
+    * session. A bare `new Configuration()` here silently dropped those
+    * settings (ADVICE r6). */
+  private[sources] def driverHadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def hadoopFs(dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    (p.getFileSystem(driverHadoopConf), p)
   }
 
   private[sources] def writeMeta(dir: String, buckets: Int): Unit = {
@@ -56,15 +67,25 @@ object InvertedIndex {
     val f = new org.apache.hadoop.fs.Path(p, MetaFile)
     if (!fs.exists(f)) fallback
     else {
+      // Read to EOF: a single InputStream.read may return a short count
+      // (remote stores especially), truncating the JSON so the regex missed
+      // and the code silently fell back to the default bucket count — the
+      // exact silent-wrong-bucket failure the meta file exists to prevent
+      // (ADVICE r6).
       val in = fs.open(f)
       val text = try {
+        val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
       } finally in.close()
       text match {
         case MetaBuckets(b) => b.toInt
-        case _ => fallback
+        case _ => throw new IllegalStateException(
+          // a present-but-unparseable meta is corruption, not absence:
+          // falling back would re-open the silent-empty-lookup hole
+          s"$dir/$MetaFile exists but has no \"buckets\" field: $text")
       }
     }
   }

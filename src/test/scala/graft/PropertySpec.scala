@@ -239,6 +239,31 @@ class PropertySpec extends SparkSpec {
       "exact duplicates carry Jaccard exactly 1")
   }
 
+  test("weighted df cap: collapse can't resurrect shingles the ground truth caps out") {
+    import spark.implicits._
+    // Two near-dup texts (J = 9/11 ≈ 0.82 uncapped), 8 byte-identical
+    // copies each. Shared shingles live in 16 docs > maxDf=10, so the
+    // UNCOLLAPSED ground truth caps them out and no cross-text pair exists;
+    // each text's unique last shingle (df 8) survives, so within-copy
+    // identity pairs remain at J = 1. A rep-level (unweighted) df of 2
+    // would resurrect the shared shingles after the exact-dup collapse and
+    // emit the 64 cross pairs at 0.82 — the ADVICE r6 divergence.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wA"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wB"
+    val docs = ((0L until 8L).map(i => (i, a)) ++
+      (100L until 108L).map(i => (i, b))).toDF("doc_id", "text")
+    val truth = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingles(docs), 0.8, maxDf = 10)
+      .collect().map(_.toSeq).toSet
+    val found = graft.operators.Dedup.minhashNearDupPairs(docs, maxDf = 10)
+      .collect().map(_.toSeq).toSet
+    assert(truth.size == 2 * (8 * 7 / 2), s"truth must be the within pairs only")
+    assert(!truth.exists(r => r(2) != 1.0), "surviving pairs are identity pairs")
+    assert(found == truth,
+      s"minhash pipeline must match the capped ground truth exactly; " +
+        s"extra=${(found -- truth).take(3)} missing=${(truth -- found).take(3)}")
+  }
+
   test("hot-bucket cap bounds LSH candidate generation") {
     import spark.implicits._
     // 500 docs with identical signatures (one mega-bucket per band) plus a
