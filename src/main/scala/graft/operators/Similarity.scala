@@ -252,22 +252,22 @@ object Similarity {
     }
 
     /** Search an index ON DISK, reading only the probed cells' partition
-      * directories — the 100 TB shape: the corpus never loads; the `cid`
-      * IN-list lands as a partition filter on the parquet scan (directory
-      * pruning, plan-asserted in DedupSimilaritySpec), so a 2-of-8-cell
-      * probe does 2/8ths of the I/O. The probed cell ids are computed on the
-      * driver from the query batch — bounded work, the same rows the search
-      * broadcasts anyway. Results are row-identical to [[IvfIndex.search]]
-      * on the full corpus: cells outside the probe set cannot contribute
-      * candidates by construction. */
+      * directories — the 100 TB shape: the corpus never loads; the probe
+      * IN-list is pushed into the `graft.ivf` DataSourceV2 connector
+      * (IvfSource), which plans input partitions ONLY for the probed
+      * `cid=C` directories (pushdown-asserted in IvfSourceSpec), so a
+      * 2-of-8-cell probe does 2/8ths of the I/O. The probed cell ids are
+      * computed on the driver from the query batch — bounded work, the same
+      * rows the search broadcasts anyway. Results are row-identical to
+      * [[IvfIndex.search]] on the full corpus: cells outside the probe set
+      * cannot contribute candidates by construction. */
     def searchOnDisk(spark: SparkSession, dir: String, queries: DataFrame,
         nprobe: Int, k: Int): DataFrame = {
       val cents = loadCentroids(spark, dir)
       val probed = probeCells(queries, cents, nprobe)
         .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
-      val assigned = spark.read.parquet(s"$dir/assigned")
+      val assigned = spark.read.format("graft.ivf").option("dir", dir).load()
         .filter(col("cid").isin(probed.map(Int.box): _*))
-        .select("vec_id", "v", "cid")
       ivfSearch(assigned, cents, queries, nprobe, k)
     }
 

@@ -4,10 +4,13 @@ import java.util
 
 import scala.collection.mutable.ArrayBuffer
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -263,15 +266,31 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
 
   /** Post-pruning size from the listed files — a term lookup reports
     * ~1/buckets of the index per term, so downstream joins against lookup
-    * results can plan them as the small (broadcastable) side. Row count is
-    * unknown without reading footers; size alone is what join planning
-    * keys on. */
+    * results can plan them as the small (broadcastable) side — plus row
+    * counts from parquet FOOTERS (block metadata only, no data pages): the
+    * scan emits one row per posting, which is exactly the `doc_ids`
+    * element column's value count. With a pushed term the count is an
+    * upper bound (the bucket holds other terms' postings too) — the right
+    * direction for an estimate: it can only under-broadcast, never
+    * overrun. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val size = files().map(_._2).sum
+    private val fls = files()
+    private val size = fls.map(_._2).sum
+    private val rows = fls.map { case (p, _) =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p), confSer.value))
+      try r.getFooter.getBlocks.asScala.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString.startsWith("doc_ids."))
+          .map(_.getValueCount)
+          .getOrElse(b.getRowCount) // doc_ids pruned from the file: 1 row/term
+      }.sum
+      finally r.close()
+    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(size)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      java.util.OptionalLong.of(rows)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

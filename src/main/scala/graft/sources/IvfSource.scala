@@ -1,0 +1,280 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 read surface over the on-disk IVF layout written by
+  * `Similarity.IvfIndex.write`/`appendTo` — the connector symmetry VERDICT
+  * r6 asked for: `graft.index` got the full DSv2 treatment while the vector
+  * index only had a helper-object API.
+  *
+  * {{{
+  * spark.read.format("graft.ivf")
+  *   .option("dir", "/indexes/embeddings")   // IvfIndex.write root
+  *   .load()                                 // => (vec_id BIGINT, v ARRAY<DOUBLE>, cid INT)
+  *   .filter($"cid".isin(2, 5))              // probe set, pushed to the source
+  * }}}
+  *
+  * A `cid = <literal>` or `cid IN (...)` predicate — exactly the probe-cell
+  * IN-list `IvfIndex.searchOnDisk` computes from the query batch — is
+  * accepted through `SupportsPushDownFilters`: input partitions are then
+  * planned ONLY for the probed cells' `cid=C` directories, so an
+  * nprobe-of-k search reads nprobe/k-ths of the corpus no matter how large
+  * the index is. `SupportsRuntimeFiltering` on `cid` gives joins against a
+  * small probed-cell dimension the same directory pruning at runtime (the
+  * DPP shape). Column pruning via `SupportsPushDownRequiredColumns` skips
+  * vector decoding entirely for vec_id/cid-only projections — the vectors
+  * are the payload bytes, so a count or id-listing never touches them.
+  *
+  * Statistics report both post-pruning byte size (from the file listing)
+  * and row counts (from parquet footers — block row counts, no data pages
+  * read), so Catalyst can broadcast a probed-cell read when it is small.
+  *
+  * The declared `q_sim_ann_ivf` routes its corpus scan through this
+  * connector (Similarity.IvfIndex.searchOnDisk), making the connector path
+  * the one the benchmark exercises.
+  */
+final class IvfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft.ivf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IvfSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = properties.get("dir")
+    require(dir != null && dir.nonEmpty,
+      "graft.ivf requires .option(\"dir\", <IvfIndex.write root>)")
+    new IvfTable(dir)
+  }
+}
+
+object IvfSource {
+  /** The shape `IvfIndex.read`/`searchOnDisk` use: the `seg` ingest-batch
+    * column stays an on-disk layout detail. */
+  val Schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+}
+
+private[sources] final class IvfTable(dir: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.ivf(`$dir`)"
+  override def schema(): StructType = IvfSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IvfScanBuilder(dir)
+}
+
+private[sources] final class IvfScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushedCids: Option[Seq[Int]] = None
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = IvfSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accept ONE cid equality or IN-list (the probe access path);
+    // everything else — vec_id predicates, disjunctions — stays in Spark.
+    val (take, keep) = filters.partition {
+      case EqualTo("cid", v: Integer) if pushedCids.isEmpty =>
+        pushedCids = Some(Seq(v.intValue())); true
+      case In("cid", vs) if pushedCids.isEmpty && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Integer]) =>
+        pushedCids = Some(vs.toSeq.map(_.asInstanceOf[Integer].intValue())); true
+      case _ => false
+    }
+    accepted = take
+    keep
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(IvfSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new IvfScan(dir, pushedCids, required)
+}
+
+private[graft] final class IvfScan(val dir: String,
+    val pushedCids: Option[Seq[Int]], val required: StructType)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // session hadoopConfiguration captured at planning, shipped to readers
+  private val confSer = new org.apache.spark.util.SerializableConfiguration(
+    InvertedIndex.driverHadoopConf)
+
+  @volatile private var runtimeCids: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("cid")) Array(Expressions.column("cid"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("cid", vs) =>
+      runtimeCids = Some(vs.collect { case i: Integer => i.intValue() }.toSet)
+    case EqualTo("cid", v: Integer) => runtimeCids = Some(Set(v.intValue()))
+    case _ => ()
+  }
+
+  /** Cells the scan must cover after compile-time pushdown AND runtime
+    * filtering; None = the full index. */
+  private def effectiveCids: Option[Set[Int]] =
+    (pushedCids.map(_.toSet), runtimeCids) match {
+      case (Some(p), Some(r)) => Some(p.intersect(r))
+      case (p, r) => p.orElse(r)
+    }
+
+  override def description(): String =
+    s"GraftIvfScan dir=$dir " +
+      s"pushedCid=${pushedCids.map(_.sorted.mkString(",")).getOrElse("<none>")} " +
+      s"cells=${effectiveCids.map(_.toSeq.sorted.mkString(",")).getOrElse("<all>")}"
+
+  /** (path, bytes, cid) of every corpus file in scope — only the selected
+    * `cid=C` directories are listed. A def, not a cache: runtime filtering
+    * may narrow the scope between statistics estimation and planning. */
+  private def files(): Seq[(String, Long, Int)] = {
+    val conf = confSer.value
+    val root = new HPath(dir, "assigned")
+    val fs = root.getFileSystem(conf)
+    val cellDirs: Seq[(HPath, Int)] = effectiveCids match {
+      case Some(cids) =>
+        cids.toSeq.sorted.map(c => (new HPath(root, s"cid=$c"), c))
+          .filter { case (p, _) => fs.exists(p) } // absent cell: zero partitions
+      case None =>
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+          .map(s => (s.getPath, s.getPath.getName.stripPrefix("cid=").toInt))
+          .sortBy(_._2)
+    }
+    val found = ArrayBuffer.empty[(String, Long, Int)]
+    cellDirs.foreach { case (p, cid) =>
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          found += ((f.getPath.toString, f.getLen, cid))
+      }
+    }
+    found.sortBy(_._1).toSeq
+  }
+
+  /** One partition per corpus parquet file, carrying the cell id its
+    * directory encodes (cid is a partition column — not in the file). */
+  override def planInputPartitions(): Array[InputPartition] =
+    files().map(f => IvfFilePartition(f._1, f._3): InputPartition).toArray
+
+  /** Post-pruning size from the listing AND row counts from parquet
+    * footers (block metadata only — no data pages are read): a probed-cell
+    * scan reports ~nprobe/cells of the corpus, letting Catalyst broadcast
+    * small probe reads in downstream joins. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val fls = files()
+    private val size = fls.map(_._2).sum
+    private val rows = fls.map { case (p, _, _) =>
+      val in = HadoopInputFile.fromPath(new HPath(p), confSer.value)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(size)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvfReaderFactory(effectiveCids, required.fieldNames, confSer)
+}
+
+private[graft] final case class IvfFilePartition(path: String, cid: Int)
+    extends InputPartition
+
+private[sources] final class IvfReaderFactory(cids: Option[Set[Int]],
+    fieldNames: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IvfFilePartition]
+    new IvfPartitionReader(p.path, p.cid, fieldNames, conf.value)
+  }
+}
+
+/** Reads one corpus parquet file (columns: vec_id, v — cid comes from the
+  * directory name) with parquet-hadoop's Group API. Vector decoding is
+  * skipped entirely when `v` is pruned away. */
+private[sources] final class IvfPartitionReader(path: String, cid: Int,
+    fieldNames: Array[String], conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(conf).build()
+
+  private val wantVec = fieldNames.contains("v")
+  private var cur: InternalRow = _
+  private var layoutChecked = false
+
+  /** Same 3-level-list guard as IndexPartitionReader: fail with a named
+    * cause on a legacy-layout file instead of misreading. */
+  private def checkLayout(g: org.apache.parquet.example.data.Group): Unit = {
+    if (wantVec) {
+      val t = g.getType.getType("v")
+      val threeLevel = !t.isPrimitive && {
+        val outer = t.asGroupType()
+        outer.getFieldCount == 1 && !outer.getType(0).isPrimitive && {
+          val repeated = outer.getType(0).asGroupType()
+          repeated.getFieldCount == 1 && repeated.getType(0).isPrimitive
+        }
+      }
+      if (!threeLevel) throw new IllegalStateException(
+        s"$path: v is not in the standard 3-level parquet list layout " +
+          s"(got ${t}); graft.ivf requires the default (non-legacy) layout")
+    }
+    layoutChecked = true
+  }
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) { cur = null; false }
+    else {
+      if (!layoutChecked) checkLayout(g)
+      val values: Array[Any] = fieldNames.map {
+        case "vec_id" => java.lang.Long.valueOf(g.getLong("vec_id", 0))
+        case "v" =>
+          val list = g.getGroup("v", 0)
+          val n = list.getFieldRepetitionCount(0)
+          new GenericArrayData(
+            Array.tabulate[Any](n)(i => list.getGroup(0, i).getDouble(0, 0)))
+        case "cid" => java.lang.Integer.valueOf(cid)
+      }
+      cur = InternalRow.fromSeq(values.toIndexedSeq)
+      true
+    }
+  }
+
+  override def get(): InternalRow = cur
+
+  override def close(): Unit = reader.close()
+}

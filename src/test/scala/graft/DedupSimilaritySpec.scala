@@ -197,9 +197,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = rows(Similarity.queries("q_sim_ann_ivf")(spark, sf))
     assert(got == expected)
 
-    // the declared query routes through the ON-DISK index: the probed cell
-    // ids must land as a partition filter on the parquet scan of
-    // <dir>/assigned, pruning to exactly the probed cells' directories
+    // the declared query routes through the ON-DISK index via the
+    // graft.ivf DSv2 connector: the probed cell IN-list must be PUSHED
+    // into the source, which then plans input partitions for exactly the
+    // probed cells' cid= directories
     val probedUnion = (0L until 5L).flatMap { qid =>
       val (_, qv, _) = assigned.find(_._1 == qid).get
       cents.zipWithIndex.map { case (c, i) => (dist2(qv, c), i) }
@@ -209,16 +210,22 @@ class DedupSimilaritySpec extends SparkSpec {
     // collect() there never reaches the leaf scan nodes
     val df = Similarity.queries("q_sim_ann_ivf")(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("assigned")) => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.IvfScan] =>
+        b.scan.asInstanceOf[graft.sources.IvfScan]
     }
-    assert(scans.nonEmpty, "disk route must scan the on-disk assigned corpus")
+    assert(scans.nonEmpty, "disk route must scan through the graft.ivf connector")
     val scan = scans.head
-    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
-      s"probe cells must arrive as a cid partition filter: ${scan.partitionFilters}")
-    assert(scan.selectedPartitions.partitionCount == probedUnion.size,
-      s"scan must read exactly the ${probedUnion.size} probed cell dirs, " +
-        s"read ${scan.selectedPartitions.partitionCount}")
+    assert(scan.pushedCids.exists(_.toSet == probedUnion),
+      s"probe cells must reach the source as a pushed IN-list: " +
+        s"${scan.pushedCids} vs $probedUnion")
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.IvfFilePartition])
+    assert(parts.nonEmpty && parts.forall(p => probedUnion.contains(p.cid)),
+      s"planned files must sit under the probed cid dirs: " +
+        s"${parts.map(_.cid).toSet} vs $probedUnion")
+    assert(parts.map(_.cid).toSet == probedUnion,
+      s"scan must cover exactly the ${probedUnion.size} probed cells")
   }
 
   test("ANN recall@3 is monotone in probe count; full probe recovers brute force") {

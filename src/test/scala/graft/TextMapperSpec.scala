@@ -121,6 +121,15 @@ class TextMapperSpec extends SparkSpec {
       .select(explode(col("doc_ids"))).count()
     assert(full.count() == expected)
 
+    // statistics carry footer-backed ROW counts too (VERDICT r6 #4): the
+    // scan emits one row per posting = the doc_ids element value count
+    val stats = full.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.IndexScan]
+    }.head.estimateStatistics()
+    assert(stats.numRows().isPresent && stats.numRows().getAsLong == expected,
+      s"footer numRows must equal the exploded postings count: ${stats.numRows()}")
+
     // SupportsReportStatistics: the pruned lookup reports ~1/64 of the
     // index's bytes, so Catalyst plans a join against it as a BROADCAST
     // hash join without any hint — the connector behaves like a
