@@ -104,9 +104,12 @@ private[sources] final class IndexTable(dir: String, buckets: Int)
     // BATCH_WRITE admits the table to DataFrameWriter's V2 write branch;
     // V1_BATCH_WRITE then routes the plan through the V1 fallback exec
     // (AppendDataExecV1), which hands the incoming data to our
-    // InsertableRelation as one DataFrame
+    // InsertableRelation as one DataFrame. MICRO_BATCH_READ is the read
+    // twin of the streaming-ingest write path: newly appended `seg`
+    // partitions arrive as micro-batches (see IndexMicroBatchStream).
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexScanBuilder(dir, buckets)
 
@@ -295,6 +298,104 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IndexReaderFactory(effectiveTerms, required.fieldNames, confSer)
+
+  /** Streaming read: tail the index's `seg` ingest batches as micro-batches
+    * (offset = highest segment already delivered). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IndexMicroBatchStream(dir, buckets, pushedTerms.map(_.toSet),
+      required, confSer)
+}
+
+/** Streaming offset for [[IndexMicroBatchStream]]: every segment with id
+  * ≤ `maxSeg` has been delivered. */
+private[graft] final case class IndexSegOffset(maxSeg: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"maxSeg":$maxSeg}"""
+}
+
+private[graft] object IndexSegOffset {
+  private val Re = """"maxSeg"\s*:\s*(-?\d+)""".r.unanchored
+  def fromJson(json: String): IndexSegOffset = json match {
+    case Re(v) => IndexSegOffset(v.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"not a graft.index offset: $json")
+  }
+}
+
+/** The READ twin of the connector's streaming-ingest write path: each
+  * micro-batch delivers the postings of every `seg` partition that appeared
+  * since the last committed offset, exploded to (term, doc_id) rows exactly
+  * like the batch read. Offsets are segment ids — the layout's own ingest
+  * unit — so a restart resumes from the checkpointed `maxSeg` with no
+  * rescan of delivered segments.
+  *
+  * Contract (mirrors the write path's): each appended batch owns a FRESH
+  * seg id. A retry that replaces an already-DELIVERED seg via dynamic
+  * partition overwrite re-lands identical rows (same batch, same layout),
+  * so delivered data never silently changes; replacing a delivered seg
+  * with DIFFERENT rows is out of contract, exactly as it is for the batch
+  * layout. Compaction folds all segments into seg=0 — below any delivered
+  * offset — so compact on a tailing index only between stream restarts
+  * (the same single-maintainer window InvertedIndex.compact already
+  * documents for its directory swap).
+  *
+  * A pushed term filter is honored per-row by the reader AND prunes the
+  * tailed files to the terms' hash-bucket directories — a filtered tail
+  * reads 1/buckets of each new segment, the same access-path economics as
+  * the batch lookup. */
+private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
+    terms: Option[Set[String]], required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val allowedBuckets: Option[Set[Long]] =
+    terms.map(_.map(IndexSource.bucketOf(_, buckets)))
+
+  /** (path, seg) of every postings file in the tailed scope. A structured
+    * `bucket=B/seg=S` walk, NOT a blind recursive listing: a concurrent
+    * appender keeps `.spark-staging-*`/`_temporary` trees under the root
+    * whose files vanish mid-listing — recursing into them races and
+    * crashes the stream; the layout walk never enters them. */
+  private def segFiles(): Seq[(String, Long)] = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf.value)
+    if (!fs.exists(root)) return Seq.empty
+    val found = ArrayBuffer.empty[(String, Long)]
+    val bucketDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(s => allowedBuckets.forall(
+        _.contains(s.getPath.getName.stripPrefix("bucket=").toLong)))
+    for (b <- bucketDirs;
+         segDir <- fs.listStatus(b.getPath).toSeq
+           if segDir.isDirectory && segDir.getPath.getName.startsWith("seg=")) {
+      val seg = segDir.getPath.getName.stripPrefix("seg=").toLong
+      for (f <- fs.listStatus(segDir.getPath).toSeq
+             if f.getPath.getName.endsWith(".parquet"))
+        found += ((f.getPath.toString, seg))
+    }
+    found.sortBy(_._1).toSeq
+  }
+
+  override def initialOffset(): Offset = IndexSegOffset(-1L)
+  override def latestOffset(): Offset =
+    IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._2)))
+  override def deserializeOffset(json: String): Offset =
+    IndexSegOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IndexSegOffset].maxSeg
+    val e = end.asInstanceOf[IndexSegOffset].maxSeg
+    segFiles().collect {
+      case (p, seg) if seg > s && seg <= e => IndexFilePartition(p): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IndexReaderFactory(terms, required.fieldNames, conf)
+
+  override def commit(end: Offset): Unit = () // progress lives in the checkpoint
+  override def stop(): Unit = ()
 }
 
 private[graft] final case class IndexFilePartition(path: String)

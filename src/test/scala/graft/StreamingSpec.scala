@@ -262,6 +262,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("graft.index streaming read: appended segments arrive as micro-batches") {
+    // The READ twin of the connector ingest tests above (VERDICT r6 #5):
+    // readStream.format("graft.index") tails the index's seg partitions —
+    // segments existing at start arrive as the first batch, appends made
+    // WHILE the stream runs arrive as later batches, and the accumulated
+    // sink equals the batch read of the same segments.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(expr(graft.functions.TextTokens.ToksSql)).as("term"))
+      .select("term", "doc_id")
+    val third = (r: Long) => docs.filter(col("doc_id") % 3 === r)
+    val dir = Files.createTempDirectory("graft-idx-tail").toString
+    third(0L).write.format("graft.index").option("dir", dir)
+      .mode("overwrite").save() // seg=0, present before the stream starts
+    val q = spark.readStream.format("graft.index").option("dir", dir).load()
+      .writeStream.format("memory").queryName("idx_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def sunk() = rows(spark.table("idx_tail").orderBy("term", "doc_id"))
+      def batchRead() = rows(
+        spark.read.format("graft.index").option("dir", dir).load()
+          .orderBy("term", "doc_id"))
+      assert(sunk() == batchRead(), "initial segments must arrive as batch 0")
+      val before = spark.table("idx_tail").count()
+      // appends DURING the stream: two independent writers, then a retry of
+      // seg=1 BEFORE the stream has seen it (replaces its own partitions —
+      // the sink must not double-count the replayed segment)
+      third(1L).write.format("graft.index").option("dir", dir)
+        .option("seg", "1").mode("append").save()
+      third(1L).write.format("graft.index").option("dir", dir)
+        .option("seg", "1").mode("append").save()
+      third(2L).write.format("graft.index").option("dir", dir)
+        .option("seg", "2").mode("append").save()
+      q.processAllAvailable()
+      assert(sunk() == batchRead(),
+        "tailed segments must equal the batch read of the same layout")
+      assert(spark.table("idx_tail").count() > before,
+        "the appended segments must actually arrive through the stream")
+    } finally q.stop()
+  }
+
   test("streaming ingestion maintains the on-disk IVF index via per-batch appends") {
     // Vector twin of the inverted-index ingest: batch 0 builds + writes the
     // index, later batches appendTo into the per-cell partitions; the final
