@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -51,6 +51,68 @@ object Joins {
         .saveAsTable(bucketTable(d, "orders"))
       java.lang.Boolean.TRUE
     }
+
+  /** Blocked edit-distance join (PassJoin partition signatures — Li, Deng,
+    * Feng, "PASS-JOIN: A Partition-based Method for Similarity Joins",
+    * PVLDB 5(3), 2011): the scale-safe shape of `q_join_fuzzy`, whose
+    * broadcast nested loop is only right for a dim-sized side.
+    *
+    * Scheme: each right string of length n splits into k+1 contiguous
+    * segments. If ed(t, s) ≤ k, an optimal alignment edits at most k of
+    * the k+1 segments (pigeonhole), so at least one segment survives
+    * verbatim in t, displaced by at most k positions (the net
+    * insertions/deletions before it), and |n − |t|| ≤ k. The probe side
+    * therefore generates, for each candidate right-length n within ±k and
+    * each segment index, the substrings at the segment's position ±k —
+    * O((2k+1)²(k+1)) keys per row, a CONSTANT — and candidates come from a
+    * plain equi-join on (n, segment index, segment content): linear
+    * candidate space, shuffle-partitioned, NO nested loop (plan-asserted
+    * in OperatorSpec). Exact verification (levenshtein ≤ k) runs only on
+    * candidates, so the result provably EQUALS the unblocked join — this
+    * is guaranteed-complete blocking, not a recall heuristic. */
+  private[graft] def fuzzyJoinBlocked(a: DataFrame, aCol: String,
+      b: DataFrame, bCol: String, k: Int): DataFrame = {
+    require(aCol != bCol, "rename the join columns apart first")
+    val kp1 = k + 1
+    // segment geometry for a length-n string: k+1 contiguous parts, the
+    // last (n mod (k+1)) parts one char longer (1-based start positions)
+    def segLen(n: Column, i: Int): Column = {
+      val rem = pmod(n, lit(kp1))
+      ((n - rem) / kp1).cast("int") +
+        when(lit(i) >= lit(kp1) - rem, 1).otherwise(0)
+    }
+    def segStart(n: Column, i: Int): Column = {
+      val rem = pmod(n, lit(kp1))
+      (lit(i) * ((n - rem) / kp1).cast("int") +
+        greatest(lit(0), lit(i) - (lit(kp1) - rem)) + 1).cast("int")
+    }
+    val segs = b.select(col(bCol), explode(array((0 to k).map { i =>
+      val n = length(col(bCol))
+      struct(n.as("n"), lit(i).as("i"),
+        col(bCol).substr(segStart(n, i), segLen(n, i)).as("sig"))
+    }: _*)).as("s"))
+      .select(col(bCol), col("s.n"), col("s.i"), col("s.sig"))
+    val probeKeys: Seq[Column] = for {
+      d <- -k to k; i <- 0 to k; shift <- -k to k
+    } yield {
+      val m = length(col(aCol))
+      val n = m + d
+      val len = segLen(n, i)
+      val pos = segStart(n, i) + shift
+      val sig = when(n >= 0 && len === 0, lit("")) // short right strings: empty segment matches trivially
+        .when(pos >= 1 && pos + len - 1 <= m, col(aCol).substr(pos, len))
+        .otherwise(lit(null))
+      struct(n.as("n"), lit(i).as("i"), sig.as("sig"))
+    }
+    val probes = a.select(col(aCol),
+      explode(array_distinct(array(probeKeys: _*))).as("p"))
+      .filter(col("p.sig").isNotNull)
+      .select(col(aCol), col("p.n"), col("p.i"), col("p.sig"))
+    probes.join(segs, Seq("n", "i", "sig"))
+      .select(col(aCol), col(bCol)).distinct()
+      .withColumn("dist", levenshtein(col(aCol), col(bCol)))
+      .filter(col("dist") <= k)
+  }
 
   val queries: Map[String, Q] = Map(
     // Explicit broadcast of the 5-row dim: BroadcastHashJoin, zero shuffle.
@@ -235,15 +297,31 @@ object Joins {
 
     // Fuzzy (edit-distance) self-join on nation names: levenshtein <= 3,
     // deliberately bounded to the 25-row dim where the O(n*m) broadcast
-    // nested loop is the right plan. At corpus scale the same semantics run
-    // through blocking first (the n-gram/minhash bucketing in Dedup), with
-    // the edit distance only inside candidate buckets.
+    // nested loop is the right plan. q_join_fuzzy_blocked below is the
+    // scale shape; this one doubles as its oracle-provable twin.
     "q_join_fuzzy" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val a = n.select(col("n_name").as("na"))
       val b = n.select(col("n_name").as("nb"))
       a.join(b, col("na") < col("nb") && levenshtein(col("na"), col("nb")) <= 3)
         .select(col("na"), col("nb"), levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy("na", "nb")
+    }),
+
+    // The SCALE shape of the fuzzy join: PassJoin partition-signature
+    // blocking (guaranteed complete — see fuzzyJoinBlocked) makes the
+    // candidate space linear and the join a shuffled equi-join, no nested
+    // loop (plan-asserted in OperatorSpec). Same rows, same oracle as
+    // q_join_fuzzy.
+    "q_join_fuzzy_blocked" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      fuzzyJoinBlocked(
+        n.select(col("n_name").as("na")),
+        "na",
+        n.select(col("n_name").as("nb")),
+        "nb", 3)
+        .filter(col("na") < col("nb"))
+        .select(col("na"), col("nb"), col("dist"))
         .orderBy("na", "nb")
     }),
 
@@ -343,6 +421,13 @@ object Joins {
         "SELECT COALESCE(l.k, 'UNSET') AS status, cnt_all, COALESCE(cnt_big, 0) AS cnt_big " +
         "FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.rk ORDER BY status"),
     "q_join_fuzzy" ->
+      ("SELECT a.n_name AS na, b.n_name AS nb, " +
+        "CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist " +
+        "FROM nation a JOIN nation b ON a.n_name < b.n_name " +
+        "AND levenshtein(a.n_name, b.n_name) <= 3 ORDER BY na, nb"),
+    // blocking is guaranteed complete, so the blocked query shares the
+    // unblocked oracle verbatim
+    "q_join_fuzzy_blocked" ->
       ("SELECT a.n_name AS na, b.n_name AS nb, " +
         "CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist " +
         "FROM nation a JOIN nation b ON a.n_name < b.n_name " +

@@ -42,6 +42,17 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("blocked fuzzy join plans an equi-join, never a nested loop") {
+    val plan = physicalPlan(
+      graft.operators.Joins.queries("q_join_fuzzy_blocked")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked path must not fall back to a nested loop:\n$plan")
+    // candidates come from a signature equi-join (hash or sort-merge)
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"expected a join operator in:\n$plan")
+  }
+
   test("keys-only scan prunes columns at the parquet reader") {
     val plan = physicalPlan(Relational.queries("q_scan_keysonly")(spark, sf))
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),

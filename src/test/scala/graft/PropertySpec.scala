@@ -288,6 +288,35 @@ class PropertySpec extends SparkSpec {
       "default cap (1000) keeps the 500-doc bucket: all its pairs emit")
   }
 
+  test("blocked fuzzy join equals the unblocked nested loop on a mixed-length vocabulary") {
+    import spark.implicits._
+    // corpus vocabulary + adversarial shorts: strings shorter than k+1
+    // exercise the empty-segment path of the PassJoin signature scheme
+    val words = (rows(Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .distinct().orderBy("w").limit(400))
+      .map(_.head.asInstanceOf[String]) ++
+      Seq("a", "ab", "abc", "b", "xy", "xyz", "ax", "bx")).distinct
+    for (k <- Seq(1, 3)) {
+      val a = words.toDF("wa")
+      val b = words.toDF("wb")
+      val blocked = rows(graft.operators.Joins
+        .fuzzyJoinBlocked(a, "wa", b, "wb", k)
+        .filter(col("wa") < col("wb")).orderBy("wa", "wb"))
+      val brute = rows(a.crossJoin(b)
+        .filter(col("wa") < col("wb") &&
+          levenshtein(col("wa"), col("wb")) <= k)
+        .select(col("wa"), col("wb"),
+          levenshtein(col("wa"), col("wb")).as("dist"))
+        .orderBy("wa", "wb"))
+      assert(brute.nonEmpty, s"fixture must contain close pairs at k=$k")
+      assert(blocked == brute,
+        s"PassJoin blocking must be complete at k=$k: " +
+          s"missing=${(brute.toSet -- blocked.toSet).take(3)} " +
+          s"extra=${(blocked.toSet -- brute.toSet).take(3)}")
+    }
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)
