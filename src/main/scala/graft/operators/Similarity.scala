@@ -299,6 +299,43 @@ object Similarity {
         .mode("overwrite")
         .partitionBy("cid", "seg").parquet(s"$dir/assigned")
     }
+
+    /** Quantizer refresh — the documented FAISS/ScaNN-style answer to
+      * centroid drift under heavy [[appendTo]] traffic (appends assign with
+      * the ORIGINAL centroids; a corpus that drifts from the training
+      * distribution degrades probe recall): re-train k-means on the UNION
+      * of all on-disk segments and rebuild the index in place. All
+      * segments fold into `seg=0`, like [[InvertedIndex.compact]].
+      *
+      * Swap guarantee (single-maintainer, same contract as
+      * `InvertedIndex.compact`): the new index is fully written to
+      * `<dir>.retraining` first, the live dir is moved to `<dir>.old`, the
+      * new one renamed in, and only then is `.old` dropped. Renames are
+      * CHECKED (HDFS-style FileSystems report failure by returning false):
+      * a failure throws with the index either still live at `dir` or
+      * recoverable at `<dir>.old`, never half-swapped. A leftover
+      * `.retraining`/`.old` from a crashed run is overwritten/replaced by
+      * the next retrain. Multi-reader deployments front this with a
+      * manifest pointer (Iceberg/Delta-style) exactly as compact's note
+      * describes. */
+    def retrain(spark: SparkSession, dir: String, k: Int, iters: Int): Unit = {
+      val corpus = spark.read.parquet(s"$dir/assigned").select("vec_id", "v")
+      val idx = build(corpus, k, iters)
+      val tmp = dir + ".retraining"
+      try write(idx, tmp) finally idx.drop()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def renameOrThrow(from: org.apache.hadoop.fs.Path,
+          to: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"retrain: rename $from -> $to failed; index left unswapped")
+      fs.delete(old, true)
+      renameOrThrow(p, old)
+      renameOrThrow(new org.apache.hadoop.fs.Path(tmp), p)
+      fs.delete(old, true)
+    }
   }
 
   /** IVF-PQ: product-quantized residual codes over an [[IvfIndex]] (Jégou,

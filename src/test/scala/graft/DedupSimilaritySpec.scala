@@ -434,6 +434,59 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally idx.drop()
   }
 
+  test("IVF retrain: in-place rebuild equals a fresh build; crash window keeps a live index") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val initial = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 =!= 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString
+    val idx = Similarity.IvfIndex.build(initial, 8, 3)
+    Similarity.IvfIndex.write(idx, dir)
+    idx.drop()
+    Similarity.IvfIndex.appendTo(spark, dir, batch, seg = 1L)
+    // a leftover temp dir from a crashed earlier retrain must not break
+    // the next one (it is rebuilt from scratch via mode=overwrite)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".retraining", "junk"))
+
+    Similarity.IvfIndex.retrain(spark, dir, 8, 3)
+    val after = Similarity.IvfIndex.read(spark, dir)
+    val fresh = Similarity.IvfIndex.build(e, 8, 3)
+    try {
+      // same corpus, same deterministic seeding => the rebuilt quantizer
+      // and search results equal a from-scratch build on the union
+      assert(after.centroids == fresh.centroids,
+        "retrain must re-train on the union of all segments")
+      assert(rows(after.search(queries, 2, 3)) == rows(fresh.search(queries, 2, 3)))
+    } finally fresh.drop()
+    // segments folded into seg=0 (compact semantics) and no temp residue
+    val segDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cid=")).flatMap(_.listFiles())
+      .map(_.getName).toSet
+    assert(segDirs == Set("seg=0"), s"retrain must fold segments: $segDirs")
+    assert(!new java.io.File(dir + ".retraining").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+
+    // crash-window recovery contract: the state between the two renames is
+    // "old index moved aside, new not yet in place" — the old index at
+    // <dir>.old must still be a complete, searchable index
+    val expected = rows(Similarity.IvfIndex.read(spark, dir).search(queries, 2, 3))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(rows(Similarity.IvfIndex.read(spark, dir + ".old")
+      .search(queries, 2, 3)) == expected,
+      "mid-swap state must leave a complete recoverable index at .old")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + ".old"),
+      new org.apache.hadoop.fs.Path(dir))) // recovery = rename back
+    assert(rows(Similarity.IvfIndex.read(spark, dir).search(queries, 2, 3))
+      == expected)
+  }
+
   test("incremental PQ append equals same-books encoding of the union corpus") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
