@@ -68,9 +68,20 @@ final class IndexSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     IndexSource.Schema
 
+  // the schema is fixed; accepting user-specified metadata (and validating
+  // it in getTable) is what lets DDL like
+  // `CREATE TABLE ... (term STRING, doc_id BIGINT) USING graft.index` work
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = properties.get("dir")
+    require(schema == null || schema.isEmpty ||
+      schema.fieldNames.toSet == IndexSource.Schema.fieldNames.toSet,
+      s"graft.index tables have columns (term, doc_id), got ${schema.fieldNames.mkString(", ")}")
+    // "dir" from the reader/writer option route; "location" when the DDL
+    // path (CREATE TABLE ... LOCATION) validates the provider
+    val dir = Option(properties.get("dir"))
+      .orElse(Option(properties.get("location"))).orNull
     require(dir != null && dir.nonEmpty,
       "graft.index requires .option(\"dir\", <InvertedIndex root>)")
     // the index records its own bucket count at build time; resolving it
@@ -140,7 +151,13 @@ private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
-          if (rebuild || overwrite)
+          // An append into an index with no data yet is a first build, not
+          // an append — this is the path a catalog CTAS takes (createTable
+          // then insert(overwrite=false) into the empty location), where
+          // there is no batch id to demand. The seg requirement guards
+          // RETRY AMBIGUITY between real appends; an empty index has no
+          // prior segments for a default id to collide with.
+          if (rebuild || overwrite || InvertedIndex.isEmpty(dir))
             InvertedIndex.writePairs(data, dir, buckets, seg = 0L,
               rebuild = true)
           else

@@ -95,6 +95,14 @@ object InvertedIndex {
   private def resolveBuckets(dir: String, buckets: Int): Int =
     if (buckets > 0) buckets else metaBuckets(dir)
 
+  /** True when the index holds no postings yet (absent dir or no bucket
+    * partitions) — the state a catalog CTAS writes its first batch into. */
+  private[sources] def isEmpty(dir: String): Boolean = {
+    val (fs, p) = hadoopFs(dir)
+    !fs.exists(p) || !fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
+  }
+
   private def toks = expr(graft.functions.TextTokens.ToksSql)
 
   /** (term, doc_id) pairs -> the on-disk postings layout. The shared tail

@@ -56,9 +56,17 @@ final class IvfSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     IvfSource.Schema
 
+  // fixed schema, validated in getTable — lets schema-carrying DDL create
+  // named tables over this provider
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val dir = properties.get("dir")
+    require(schema == null || schema.isEmpty ||
+      schema.fieldNames.toSet == IvfSource.Schema.fieldNames.toSet,
+      s"graft.ivf tables have columns (vec_id, v, cid), got ${schema.fieldNames.mkString(", ")}")
+    val dir = Option(properties.get("dir"))
+      .orElse(Option(properties.get("location"))).orNull
     require(dir != null && dir.nonEmpty,
       "graft.ivf requires .option(\"dir\", <IvfIndex.write root>)")
     new IvfTable(dir)
