@@ -109,7 +109,9 @@ object IndexSource {
 
 private[sources] final class IndexTable(dir: String, buckets: Int)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft.index(`$dir`)"
+  // no backticks: Spark renders this name through its attribute-name
+  // parser in some error paths, and unbalanced quoting aborts the render
+  override def name(): String = s"graft.index($dir)"
   override def schema(): StructType = IndexSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE admits the table to DataFrameWriter's V2 write branch;

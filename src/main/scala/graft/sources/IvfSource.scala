@@ -10,12 +10,14 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -62,14 +64,23 @@ final class IvfSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // full schema on the read/DDL route; (vec_id, v) when a writer supplies
+    // its data's schema (cid is assigned by the quantizer, never written)
     require(schema == null || schema.isEmpty ||
-      schema.fieldNames.toSet == IvfSource.Schema.fieldNames.toSet,
+      schema.fieldNames.toSet == IvfSource.Schema.fieldNames.toSet ||
+      schema.fieldNames.toSet == Set("vec_id", "v"),
       s"graft.ivf tables have columns (vec_id, v, cid), got ${schema.fieldNames.mkString(", ")}")
     val dir = Option(properties.get("dir"))
       .orElse(Option(properties.get("location"))).orNull
     require(dir != null && dir.nonEmpty,
       "graft.ivf requires .option(\"dir\", <IvfIndex.write root>)")
-    new IvfTable(dir)
+    // a writer hands its DATA's (vec_id, v) schema through here; the table
+    // instance must advertise that shape or AppendData's by-name output
+    // resolution would demand a cid column no writer can supply
+    if (schema != null && schema.nonEmpty &&
+        schema.fieldNames.toSet == Set("vec_id", "v"))
+      new IvfTable(dir, IvfSource.WriteSchema)
+    else new IvfTable(dir)
   }
 }
 
@@ -80,16 +91,69 @@ object IvfSource {
     StructField("vec_id", LongType, nullable = false),
     StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
     StructField("cid", IntegerType, nullable = false)))
+
+  /** What writers supply — cid is assigned by the quantizer. */
+  val WriteSchema: StructType = StructType(Schema.fields.filter(_.name != "cid"))
 }
 
-private[sources] final class IvfTable(dir: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft.ivf(`$dir`)"
-  override def schema(): StructType = IvfSource.Schema
+private[sources] final class IvfTable(dir: String,
+    tableSchema: StructType = IvfSource.Schema)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft.ivf($dir)"
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IvfScanBuilder(dir)
+
+  /** Writes take raw (vec_id, v) vectors — `cid` is DERIVED by quantizer
+    * assignment, never supplied. `mode("append")` requires
+    * `.option("seg", <batch id>)` and lands the batch as that segment's
+    * cell partitions via [[graft.operators.Similarity.IvfIndex.appendTo]]
+    * (retry-idempotent, same contract as graft.index). `mode("overwrite")`
+    * TRAINS a new index — k-means needs its hyperparameters, so it
+    * requires `.option("k", cells)` (and optional `.option("iters", n)`)
+    * and is exactly `IvfIndex.build` + `write`. Delegated through V1Write
+    * so the proven Catalyst-planned assignment pipeline runs unchanged. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val fields = info.schema().fieldNames.toSet
+    require(fields == Set("vec_id", "v"),
+      s"graft.ivf writes take (vec_id, v) rows — cid is assigned by the " +
+        s"quantizer, not supplied; got ${fields.mkString(", ")}")
+    new IvfWriteBuilder(dir,
+      Option(info.options.get("seg")).map(_.toLong),
+      Option(info.options.get("k")).map(_.toInt),
+      Option(info.options.get("iters")).map(_.toInt).getOrElse(3))
+  }
+}
+
+private[sources] final class IvfWriteBuilder(dir: String, seg: Option[Long],
+    k: Option[Int], iters: Int) extends WriteBuilder with SupportsTruncate {
+  private var rebuild = false
+  override def truncate(): WriteBuilder = { rebuild = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          import graft.operators.Similarity.IvfIndex
+          if (rebuild || overwrite) {
+            val cells = k.getOrElse(throw new IllegalArgumentException(
+              "graft.ivf overwrite TRAINS a new quantizer and requires " +
+                ".option(\"k\", <cells>) (optional .option(\"iters\", n))"))
+            val idx = IvfIndex.build(data.toDF(), cells, iters)
+            try IvfIndex.write(idx, dir) finally idx.drop()
+          } else {
+            IvfIndex.appendTo(spark, dir, data.toDF(),
+              seg = seg.getOrElse(throw new IllegalArgumentException(
+                "graft.ivf append requires .option(\"seg\", <batch id>) — " +
+                  "each writer owns a distinct id; retries reuse theirs")))
+          }
+        }
+      }
+  }
 }
 
 private[sources] final class IvfScanBuilder(dir: String)
@@ -215,6 +279,67 @@ private[graft] final class IvfScan(val dir: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IvfReaderFactory(effectiveCids, required.fieldNames, confSer)
+
+  /** Streaming read: tail the index's `seg` ingest batches as
+    * micro-batches — the vector twin of graft.index's tail (same offset
+    * shape, same fresh-seg contract, same "don't retrain/compact under a
+    * live tail" caveat since [[graft.operators.Similarity.IvfIndex.retrain]]
+    * folds segments to 0). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IvfMicroBatchStream(dir, pushedCids.map(_.toSet), required, confSer)
+}
+
+/** Tails `assigned/cid=C/seg=S` partitions by segment id; a pushed cid
+  * filter restricts the tail to those cells' directories. */
+private[graft] final class IvfMicroBatchStream(dir: String,
+    cids: Option[Set[Int]], required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** (path, cid, seg) via the structured layout walk (never enters a
+    * concurrent writer's staging dirs — see IndexMicroBatchStream). */
+  private def segFiles(): Seq[(String, Int, Long)] = {
+    val root = new HPath(dir, "assigned")
+    val fs = root.getFileSystem(conf.value)
+    if (!fs.exists(root)) return Seq.empty
+    val found = ArrayBuffer.empty[(String, Int, Long)]
+    val cellDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .filter(s => cids.forall(
+        _.contains(s.getPath.getName.stripPrefix("cid=").toInt)))
+    for (c <- cellDirs;
+         segDir <- fs.listStatus(c.getPath).toSeq
+           if segDir.isDirectory && segDir.getPath.getName.startsWith("seg=")) {
+      val cid = c.getPath.getName.stripPrefix("cid=").toInt
+      val seg = segDir.getPath.getName.stripPrefix("seg=").toLong
+      for (f <- fs.listStatus(segDir.getPath).toSeq
+             if f.getPath.getName.endsWith(".parquet"))
+        found += ((f.getPath.toString, cid, seg))
+    }
+    found.sortBy(_._1).toSeq
+  }
+
+  override def initialOffset(): Offset = IndexSegOffset(-1L)
+  override def latestOffset(): Offset =
+    IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._3)))
+  override def deserializeOffset(json: String): Offset =
+    IndexSegOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IndexSegOffset].maxSeg
+    val e = end.asInstanceOf[IndexSegOffset].maxSeg
+    segFiles().collect {
+      case (p, cid, seg) if seg > s && seg <= e =>
+        IvfFilePartition(p, cid): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvfReaderFactory(cids, required.fieldNames, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[graft] final case class IvfFilePartition(path: String, cid: Int)

@@ -119,6 +119,49 @@ class IvfSourceSpec extends SparkSpec {
     } finally idx.drop()
   }
 
+  test("graft.ivf write: overwrite trains, seg append assigns with stored centroids, retries replace") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-wr").toString
+    val initial = corpus.filter(col("vec_id") % 2 === 0)
+    val batch = corpus.filter(col("vec_id") % 2 =!= 0)
+    // overwrite = train + build (k required: training needs hyperparameters)
+    initial.write.format("graft.ivf").option("dir", dir)
+      .option("k", "8").option("iters", "3").mode("overwrite").save()
+    val idx = Similarity.IvfIndex.build(initial, 8, 3)
+    try {
+      assert(Similarity.IvfIndex.read(spark, dir).centroids == idx.centroids,
+        "connector overwrite must equal IvfIndex.build + write")
+      // append assigns with the STORED centroids; a same-seg retry replaces
+      batch.write.format("graft.ivf").option("dir", dir)
+        .option("seg", "1").mode("append").save()
+      batch.write.format("graft.ivf").option("dir", dir)
+        .option("seg", "1").mode("append").save()
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v"))
+      val expected = rows(Similarity.ivfSearch(
+        Similarity.assignToCentroid(corpus, idx.centroids)
+          .select(col("vec_id"), col("v"), col("cid")),
+        idx.centroids, queries, 2, 3))
+      val back = Similarity.IvfIndex.read(spark, dir)
+      assert(rows(back.search(queries, 2, 3)) == expected,
+        "connector append + retry must equal the same-centroid union")
+      assert(back.assigned.count() == corpus.count(), "retry must not duplicate")
+      // append without a seg id fails loudly, never guesses a batch id
+      val e = intercept[Exception] {
+        batch.write.format("graft.ivf").option("dir", dir).mode("append").save()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(chain.contains("seg"), s"error must name the missing option: $chain")
+      // overwrite without k fails loudly too (training hyperparameter)
+      val e2 = intercept[Exception] {
+        batch.write.format("graft.ivf").option("dir", dir).mode("overwrite").save()
+      }
+      val chain2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(chain2.contains("\"k\""), s"error must name the missing option: $chain2")
+    } finally idx.drop()
+  }
+
   test("graft.ivf: column pruning skips vector decode; searchOnDisk equals the in-memory search") {
     val (idx, dir) = writeIndex()
     try {

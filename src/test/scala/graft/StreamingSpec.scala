@@ -304,6 +304,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft.ivf streaming read: appended vector segments arrive as micro-batches") {
+    // vector twin of the graft.index tail: build on disk, tail the corpus,
+    // append two batches mid-stream, sink equals the batch read
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val third = (r: Long) => e.filter(col("vec_id") % 3 === r)
+    val dir = Files.createTempDirectory("graft-ivf-tail").toString
+    val idx = Similarity.IvfIndex.build(third(0L), 8, 3)
+    Similarity.IvfIndex.write(idx, dir)
+    idx.drop()
+    val q = spark.readStream.format("graft.ivf").option("dir", dir).load()
+      .select("vec_id", "cid") // id projection: no vector decode on the tail
+      .writeStream.format("memory").queryName("ivf_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def sunk() = rows(spark.table("ivf_tail").orderBy("vec_id"))
+      def batchRead() = rows(
+        spark.read.format("graft.ivf").option("dir", dir).load()
+          .select("vec_id", "cid").orderBy("vec_id"))
+      assert(sunk() == batchRead(), "initial segments must arrive as batch 0")
+      Similarity.IvfIndex.appendTo(spark, dir, third(1L), seg = 1L)
+      Similarity.IvfIndex.appendTo(spark, dir, third(2L), seg = 2L)
+      q.processAllAvailable()
+      assert(sunk() == batchRead(),
+        "tailed vector segments must equal the batch read")
+      assert(spark.table("ivf_tail").count() == e.count(),
+        "all three thirds must have arrived")
+    } finally q.stop()
+  }
+
   test("streaming ingestion maintains the on-disk IVF index via per-batch appends") {
     // Vector twin of the inverted-index ingest: batch 0 builds + writes the
     // index, later batches appendTo into the per-cell partitions; the final
