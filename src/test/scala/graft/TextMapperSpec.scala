@@ -121,6 +121,15 @@ class TextMapperSpec extends SparkSpec {
       .select(explode(col("doc_ids"))).count()
     assert(full.count() == expected)
 
+    // the connector decodes in columnar batches; Spark's codegen'd
+    // ColumnarToRow consumes them (the row-identity assertions above all
+    // ran through this path). The transition only renders in the FINAL
+    // adaptive plan, so execute first.
+    val cdf = dsv2("vector")
+    cdf.collect()
+    assert(cdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"expected a columnar scan:\n${cdf.queryExecution.executedPlan}")
+
     // statistics carry footer-backed ROW counts too (VERDICT r6 #4): the
     // scan emits one row per posting = the doc_ids element value count
     val stats = full.queryExecution.sparkPlan.collect {
