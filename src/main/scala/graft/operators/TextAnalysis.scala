@@ -46,6 +46,17 @@ object TextAnalysis {
       dir
     }
 
+  // Session-scoped root for the query-surface catalog (named `graft_q` so
+  // it can never collide with a user's own `graft` registration).
+  private val catRootCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private[graft] def catalogRootFor(s: SparkSession): String =
+    catRootCache.getOrBuild(s, "root") {
+      val root = graft.TempDirs.create("graft-catalog-q")
+      s.conf.set("spark.sql.catalog.graft_q", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q.dir", root)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
     // Whitespace + BPE-ish regex token counts per doc.
     "q_text_tokens" -> ((s, d) =>
@@ -152,6 +163,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The same lookup as a NAMED TABLE through the graft TableCatalog
+    // (sources/GraftCatalog.scala): register the session's index once
+    // under a catalog name, then spark.table() — the ergonomics a Spark
+    // user expects from a native index. Identical plan/pushdown to the
+    // dsv2 route (the catalog loads the same IndexTable), so the same
+    // oracle applies.
+    "q_search_index_table" -> ((s, d) => {
+      val tbl = s"graft_q.docs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl)) {
+        catalogRootFor(s) // registers the graft_q catalog on first use
+        s.sql(s"CREATE TABLE $tbl (term STRING, doc_id BIGINT) " +
+          s"USING `graft.index` LOCATION '${indexDirFor(s, d)}'")
+      }
+      s.table(tbl)
+        .filter(col("term") === "vector")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Approximate heavy hitters: top-10 most frequent terms via a count-min
     // sketch + bounded candidate set — ONE pass, fixed-size mergeable
     // partial state (4×1024 longs per partition), vs the exact path's
@@ -208,6 +238,10 @@ object TextAnalysis {
         "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
         "ORDER BY doc_id"),
     "q_search_index_dsv2" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
+        "ORDER BY doc_id"),
+    "q_search_index_table" ->
       ("SELECT doc_id FROM documents " +
         "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
         "ORDER BY doc_id"),
