@@ -76,36 +76,42 @@ object Joins {
     val kp1 = k + 1
     // segment geometry for a length-n string: k+1 contiguous parts, the
     // last (n mod (k+1)) parts one char longer (1-based start positions)
-    def segLen(n: Column, i: Int): Column = {
+    def segLen(n: Column, i: Column): Column = {
       val rem = pmod(n, lit(kp1))
       ((n - rem) / kp1).cast("int") +
-        when(lit(i) >= lit(kp1) - rem, 1).otherwise(0)
+        when(i >= lit(kp1) - rem, 1).otherwise(0)
     }
-    def segStart(n: Column, i: Int): Column = {
+    def segStart(n: Column, i: Column): Column = {
       val rem = pmod(n, lit(kp1))
-      (lit(i) * ((n - rem) / kp1).cast("int") +
-        greatest(lit(0), lit(i) - (lit(kp1) - rem)) + 1).cast("int")
+      (i * ((n - rem) / kp1).cast("int") +
+        greatest(lit(0), i - (lit(kp1) - rem)) + 1).cast("int")
     }
     val segs = b.select(col(bCol), explode(array((0 to k).map { i =>
       val n = length(col(bCol))
       struct(n.as("n"), lit(i).as("i"),
-        col(bCol).substr(segStart(n, i), segLen(n, i)).as("sig"))
+        col(bCol).substr(segStart(n, lit(i)), segLen(n, lit(i))).as("sig"))
     }: _*)).as("s"))
       .select(col(bCol), col("s.n"), col("s.i"), col("s.sig"))
-    val probeKeys: Seq[Column] = for {
-      d <- -k to k; i <- 0 to k; shift <- -k to k
-    } yield {
+    // The (2k+1)²(k+1) probe combos are DATA (one typedLit array literal),
+    // not expression nodes: the signature is computed once inside a single
+    // transform lambda. Unrolling the combos into per-key struct columns
+    // (196 substr/when trees at k=3) makes analysis + whole-stage codegen
+    // of the probe projection the dominant cost — ~10 s per run at k=3
+    // regardless of data size — where this shape plans in milliseconds.
+    val combos = typedLit(for { d <- -k to k; i <- 0 to k; shift <- -k to k }
+      yield (d, i, shift))
+    val probeArr = array_distinct(transform(combos, p => {
       val m = length(col(aCol))
-      val n = m + d
+      val n = m + p.getField("_1")
+      val i = p.getField("_2")
       val len = segLen(n, i)
-      val pos = segStart(n, i) + shift
+      val pos = segStart(n, i) + p.getField("_3")
       val sig = when(n >= 0 && len === 0, lit("")) // short right strings: empty segment matches trivially
         .when(pos >= 1 && pos + len - 1 <= m, col(aCol).substr(pos, len))
         .otherwise(lit(null))
-      struct(n.as("n"), lit(i).as("i"), sig.as("sig"))
-    }
-    val probes = a.select(col(aCol),
-      explode(array_distinct(array(probeKeys: _*))).as("p"))
+      struct(n.as("n"), i.as("i"), sig.as("sig"))
+    }))
+    val probes = a.select(col(aCol), explode(probeArr).as("p"))
       .filter(col("p.sig").isNotNull)
       .select(col(aCol), col("p.n"), col("p.i"), col("p.sig"))
     probes.join(segs, Seq("n", "i", "sig"))
