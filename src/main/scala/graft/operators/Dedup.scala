@@ -27,13 +27,19 @@ object Dedup {
   /** Word 3-shingles (distinct) per doc. Tokenizer matches the DuckDB oracle:
     * split on single space, drop empties. Docs with <3 tokens yield no
     * shingles (guarded — ANSI sequence(1,0) would be descending). */
-  def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr("filter(split(text, ' '), w -> w <> '')").as("words"))
+  def shingles(docs: DataFrame): DataFrame = shinglesKeeping(docs)
+
+  /** [[shingles]], carrying `keep` columns of `docs` through the explode —
+    * ONE shingle definition for both the plain and the annotated path
+    * (minhashNearDupPairs rides the collapse-group size along each shingle
+    * row instead of joining it back against the full shingle set). */
+  private[graft] def shinglesKeeping(docs: DataFrame, keep: Column*): DataFrame =
+    docs.select(col("doc_id") +: keep :+
+        expr("filter(split(text, ' '), w -> w <> '')").as("words"): _*)
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
+      .select(col("doc_id") +: keep :+ explode(array_distinct(
         expr("transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3)))")))
-        .as("sh"))
+        .as("sh"): _*)
 
   /** Stop-shingle / hot-bucket document-frequency cap: a shingle (or LSH
     * bucket) shared by df docs emits df·(df−1)/2 candidate pairs, so one
@@ -250,20 +256,28 @@ object Dedup {
     // lower/trim normalization belongs to q_dedup_exact's dedup notion,
     // not this one). 256-bit key => no collision caveat at corpus scale,
     // and ONE aggregation yields reps + members with no join back.
+    // materialized ONCE: four consumers (repDocs/shingling, the weighted
+    // cap, the cross-group expansion, the within-group pairs) would each
+    // re-run the full-text collapse shuffle otherwise
     val grp = docs
       .groupBy(sha2(col("text").cast("binary"), 256).as("tkey"))
       .agg(min("doc_id").as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("text")).as("text"))
-    val repDocs = grp.select(col("rep").as("doc_id"), col("text"))
-    val sh = shingles(repDocs).localCheckpoint() // feeds signatures AND verification
+      .localCheckpoint()
+    // the collapse-group size rides ALONG each shingle row (shinglesKeeping)
+    // instead of joining doc-sized weights back against the corpus-sized
+    // shingle set — the join would be the one non-broadcastable shuffle in
+    // the pipeline at corpus scale
+    val repDocs = grp.select(col("rep").as("doc_id"), col("text"),
+      size(col("members")).as("gsz"))
+    val sh = shinglesKeeping(repDocs, col("gsz"))
+      .localCheckpoint() // feeds signatures AND verification
     val cand = lshCandidates(minhashSignatures(sh, k), bands, rowsPerBand,
       maxBucket = maxDf)
     // member-weighted df cap (see the Scaladoc): survival matches the
     // uncollapsed ground truth exactly
-    val gsz = grp.select(col("rep").as("doc_id"),
-      size(col("members")).as("gsz"))
-    val postings = sh.join(gsz, "doc_id")
+    val postings = sh
       .groupBy("sh")
       .agg(collect_list(col("doc_id")).as("docs"), sum(col("gsz")).as("wdf"))
       .filter(col("wdf") <= maxDf)

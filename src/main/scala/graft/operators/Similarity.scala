@@ -83,11 +83,19 @@ object Similarity {
     * back partitioned by cell ([[IvfIndex.read]]); this search is then one
     * broadcast join + linear cosine pass over the probed cells only. */
   def ivfSearch(assigned: DataFrame, centroids: Seq[Seq[Double]],
-      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val q = probeCells(queries, centroids, nprobe)
-      .select(col("qid"), col("v").as("qv"), col("cid"))
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfSearchProbed(assigned,
+      probeCells(queries, centroids, nprobe)
+        .select(col("qid"), col("v").as("qv"), col("cid")), k)
+
+  /** [[ivfSearch]] against an already-probed query side (qid, qv, cid) —
+    * lets [[IvfIndex.searchOnDisk]] reuse the one probe pass it needs on
+    * the driver anyway instead of recomputing the query assignment for the
+    * join side. */
+  private[graft] def ivfSearchProbed(assigned: DataFrame, probedQ: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(q), Seq("cid"))
+    assigned.join(broadcast(probedQ), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
       .withColumn("rn", row_number().over(w))
@@ -215,7 +223,14 @@ object Similarity {
       idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      idx.assigned.withColumn("seg", lit(0L)).write.mode("overwrite")
+      // Cluster by cell before the partitioned write: without it every
+      // upstream partition emits a file into every cid=C directory
+      // (partitions × cells tiny files — per-file scan overhead dominates
+      // probes). Range-partitioning on (cid, vec_id) keeps the file count
+      // bounded by shuffle-partitions while still splitting a huge cell
+      // across files, so the layout holds at corpus scale.
+      idx.assigned.repartitionByRange(col("cid"), col("vec_id"))
+        .withColumn("seg", lit(0L)).write.mode("overwrite")
         .partitionBy("cid", "seg").parquet(s"$dir/assigned")
     }
 
@@ -264,19 +279,41 @@ object Similarity {
     def searchOnDisk(spark: SparkSession, dir: String, queries: DataFrame,
         nprobe: Int, k: Int): DataFrame = {
       val cents = loadCentroids(spark, dir)
-      val probed = probeCells(queries, cents, nprobe)
-        .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+      // ONE probe pass: the assigned (qid, qv, cid) batch is collected once
+      // — bounded, it is the side the search broadcasts anyway — and serves
+      // both as the probed-cid pushdown list and, as a LocalRelation, as
+      // the join's query side (no second query-corpus scan, and the
+      // broadcast builds driver-side without a job).
+      val probedQ = probeCells(queries, cents, nprobe)
+        .select(col("qid"), col("v").as("qv"), col("cid"))
+      val rows = probedQ.collect()
+      val probed = rows.map(_.getInt(2)).distinct.sorted
       val assigned = spark.read.format("graft.ivf").option("dir", dir).load()
         .filter(col("cid").isin(probed.map(Int.box): _*))
-      ivfSearch(assigned, cents, queries, nprobe, k)
+      val localQ = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), probedQ.schema)
+      ivfSearchProbed(assigned, localQ, k)
     }
 
     /** Centroids of an index written by [[write]] — the ONE on-disk layout
       * decoder, shared by [[read]], [[searchOnDisk]] and [[appendTo]]. */
-    private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
-      spark.read.parquet(s"$dir/centroids")
-        .orderBy("cid").collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
+    private val centroidCache = new graft.SessionCache[Seq[Seq[Double]]]()
+
+    private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+      // memoized per (session, dir, mtime): centroids are immutable once
+      // written — only retrain replaces them, and its atomic directory swap
+      // gives the path a fresh modification time, which changes the key (a
+      // stale entry is dead weight, never served). One cheap fs stat per
+      // call replaces a full Spark read+collect job.
+      val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val mtime = fs.getFileStatus(p).getModificationTime
+      centroidCache.getOrBuild(spark, s"$dir@$mtime") {
+        spark.read.parquet(s"$dir/centroids")
+          .orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+      }
+    }
 
     /** Incremental append for an on-disk index written by [[write]]: assign
       * the batch with the stored centroids and write it into
@@ -295,6 +332,7 @@ object Similarity {
       assignToCentroid(batch, cents)
         .select(col("vec_id"), col("v"), col("cid"))
         .withColumn("seg", lit(seg))
+        .repartitionByRange(col("cid"), col("vec_id")) // same small-file guard as write
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy("cid", "seg").parquet(s"$dir/assigned")

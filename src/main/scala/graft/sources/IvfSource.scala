@@ -224,13 +224,27 @@ private[graft] final class IvfScan(val dir: String,
       s"cells=${effectiveCids.map(_.toSeq.sorted.mkString(",")).getOrElse("<all>")}"
 
   /** (path, bytes, cid) of every corpus file in scope — only the selected
-    * `cid=C` directories are listed. A def, not a cache: runtime filtering
-    * may narrow the scope between statistics estimation and planning. */
+    * `cid=C` directories are listed. Memoized per effective cid-set (NOT a
+    * plain lazy val: runtime filtering may narrow the scope between
+    * statistics estimation and planning, which re-lists; a repeat call at
+    * the same scope — stats then planning, or repeated stats estimates
+    * during join reorder — reuses the listing instead of re-walking the
+    * filesystem). */
+  @volatile private var filesCache: (Option[Set[Int]], Seq[(String, Long, Int)]) = null
   private def files(): Seq[(String, Long, Int)] = {
+    val scope = effectiveCids
+    val c = filesCache
+    if (c != null && c._1 == scope) return c._2
+    val listed = listFiles(scope)
+    filesCache = (scope, listed)
+    listed
+  }
+
+  private def listFiles(scope: Option[Set[Int]]): Seq[(String, Long, Int)] = {
     val conf = confSer.value
     val root = new HPath(dir, "assigned")
     val fs = root.getFileSystem(conf)
-    val cellDirs: Seq[(HPath, Int)] = effectiveCids match {
+    val cellDirs: Seq[(HPath, Int)] = scope match {
       case Some(cids) =>
         cids.toSeq.sorted.map(c => (new HPath(root, s"cid=$c"), c))
           .filter { case (p, _) => fs.exists(p) } // absent cell: zero partitions
@@ -262,14 +276,19 @@ private[graft] final class IvfScan(val dir: String,
     * footers (block metadata only — no data pages are read): a probed-cell
     * scan reports ~nprobe/cells of the corpus, letting Catalyst broadcast
     * small probe reads in downstream joins. */
+  // footer row counts per file path (footers are immutable once written)
+  private val footerRows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val fls = files()
     private val size = fls.map(_._2).sum
     private val rows = fls.map { case (p, _, _) =>
-      val in = HadoopInputFile.fromPath(new HPath(p), confSer.value)
-      val r = ParquetFileReader.open(in)
-      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-      finally r.close()
+      footerRows.getOrElseUpdate(p, {
+        val in = HadoopInputFile.fromPath(new HPath(p), confSer.value)
+        val r = ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      })
     }.sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(size)
