@@ -124,7 +124,8 @@ private[sources] final class IndexTable(dir: String, buckets: Int)
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IndexScanBuilder(dir, buckets)
+    new IndexScanBuilder(dir, buckets,
+      Option(options.get("maxSegsPerTrigger")).map(_.toInt))
 
   /** Writes take the SAME (term, doc_id) relation the reads produce —
     * tokenization stays the caller's concern (or [[InvertedIndex.build]]'s,
@@ -172,7 +173,8 @@ private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
   }
 }
 
-private[sources] final class IndexScanBuilder(dir: String, buckets: Int)
+private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
+    maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushedTerms: Option[Seq[String]] = None
@@ -201,11 +203,13 @@ private[sources] final class IndexScanBuilder(dir: String, buckets: Int)
     required = StructType(IndexSource.Schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new IndexScan(dir, buckets, pushedTerms, required)
+  override def build(): Scan =
+    new IndexScan(dir, buckets, pushedTerms, required, maxSegsPerTrigger)
 }
 
 private[graft] final class IndexScan(val dir: String, val buckets: Int,
-    val pushedTerms: Option[Seq[String]], val required: StructType)
+    val pushedTerms: Option[Seq[String]], val required: StructType,
+    maxSegsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -321,7 +325,7 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   /** Streaming read: tail the index's `seg` ingest batches as micro-batches
     * (offset = highest segment already delivered). */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IndexMicroBatchStream(dir, buckets, pushedTerms.map(_.toSet),
+    new IndexMicroBatchStream(dir, buckets, maxSegsPerTrigger, pushedTerms.map(_.toSet),
       required, confSer)
 }
 
@@ -361,12 +365,23 @@ private[graft] object IndexSegOffset {
   * A pushed term filter is honored per-row by the reader AND prunes the
   * tailed files to the terms' hash-bucket directories — a filtered tail
   * reads 1/buckets of each new segment, the same access-path economics as
-  * the batch lookup. */
+  * the batch lookup.
+  *
+  * Admission control: `.option("maxSegsPerTrigger", n)` bounds each
+  * micro-batch to n SEGMENTS (the layout's ingest unit — a segment may span
+  * several files), the same catch-up shape as Kafka's maxOffsetsPerTrigger
+  * and the file source's maxFilesPerTrigger: a tail starting against a
+  * long-lived index drains the backlog in bounded batches instead of one
+  * giant batch 0. Reported through [[ReadLimit.maxFiles]] — the engine
+  * hands it back to `latestOffset(start, limit)`, which advances the end
+  * offset at most n fresh segment ids past `start`. */
 private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
+    maxSegsPerTrigger: Option[Int],
     terms: Option[Set[String]], required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val allowedBuckets: Option[Set[Long]] =
     terms.map(_.map(IndexSource.bucketOf(_, buckets)))
@@ -401,6 +416,19 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
     IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._2)))
   override def deserializeOffset(json: String): Offset =
     IndexSegOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[IndexSegOffset].maxSeg
+    val fresh = segFiles().map(_._2).filter(_ > s).distinct.sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    IndexSegOffset(admitted.lastOption.getOrElse(s))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IndexSegOffset].maxSeg

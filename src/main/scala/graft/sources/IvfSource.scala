@@ -106,7 +106,8 @@ private[sources] final class IvfTable(dir: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IvfScanBuilder(dir)
+    new IvfScanBuilder(dir,
+      Option(options.get("maxSegsPerTrigger")).map(_.toInt))
 
   /** Writes take raw (vec_id, v) vectors — `cid` is DERIVED by quantizer
     * assignment, never supplied. `mode("append")` requires
@@ -156,7 +157,8 @@ private[sources] final class IvfWriteBuilder(dir: String, seg: Option[Long],
   }
 }
 
-private[sources] final class IvfScanBuilder(dir: String)
+private[sources] final class IvfScanBuilder(dir: String,
+    maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushedCids: Option[Seq[Int]] = None
@@ -183,11 +185,13 @@ private[sources] final class IvfScanBuilder(dir: String)
     required = StructType(IvfSource.Schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new IvfScan(dir, pushedCids, required)
+  override def build(): Scan =
+    new IvfScan(dir, pushedCids, required, maxSegsPerTrigger)
 }
 
 private[graft] final class IvfScan(val dir: String,
-    val pushedCids: Option[Seq[Int]], val required: StructType)
+    val pushedCids: Option[Seq[Int]], val required: StructType,
+    maxSegsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -305,16 +309,21 @@ private[graft] final class IvfScan(val dir: String,
     * live tail" caveat since [[graft.operators.Similarity.IvfIndex.retrain]]
     * folds segments to 0). */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IvfMicroBatchStream(dir, pushedCids.map(_.toSet), required, confSer)
+    new IvfMicroBatchStream(dir, maxSegsPerTrigger, pushedCids.map(_.toSet),
+      required, confSer)
 }
 
 /** Tails `assigned/cid=C/seg=S` partitions by segment id; a pushed cid
-  * filter restricts the tail to those cells' directories. */
+  * filter restricts the tail to those cells' directories.
+  * `.option("maxSegsPerTrigger", n)` bounds each micro-batch to n segments
+  * — same admission-control contract as [[IndexMicroBatchStream]]. */
 private[graft] final class IvfMicroBatchStream(dir: String,
+    maxSegsPerTrigger: Option[Int],
     cids: Option[Set[Int]], required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** (path, cid, seg) via the structured layout walk (never enters a
     * concurrent writer's staging dirs — see IndexMicroBatchStream). */
@@ -344,6 +353,19 @@ private[graft] final class IvfMicroBatchStream(dir: String,
     IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._3)))
   override def deserializeOffset(json: String): Offset =
     IndexSegOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[IndexSegOffset].maxSeg
+    val fresh = segFiles().map(_._3).filter(_ > s).distinct.sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    IndexSegOffset(admitted.lastOption.getOrElse(s))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IndexSegOffset].maxSeg

@@ -304,6 +304,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxSegsPerTrigger drains a segment backlog in bounded micro-batches") {
+    // Admission control (SupportsAdmissionControl, the Kafka
+    // maxOffsetsPerTrigger / file-source maxFilesPerTrigger shape): a tail
+    // starting against an index with a 3-segment backlog must deliver it in
+    // >= 3 one-segment batches when maxSegsPerTrigger=1 — not one giant
+    // batch 0 — and the accumulated sink still equals the batch read.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(expr(graft.functions.TextTokens.ToksSql)).as("term"))
+      .select("term", "doc_id")
+    val third = (r: Long) => docs.filter(col("doc_id") % 3 === r)
+    val dir = Files.createTempDirectory("graft-idx-throttle").toString
+    third(0L).write.format("graft.index").option("dir", dir)
+      .mode("overwrite").save() // seg=0
+    third(1L).write.format("graft.index").option("dir", dir)
+      .option("seg", "1").mode("append").save()
+    third(2L).write.format("graft.index").option("dir", dir)
+      .option("seg", "2").mode("append").save()
+    val q = spark.readStream.format("graft.index").option("dir", dir)
+      .option("maxSegsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("idx_throttle")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"a 3-segment backlog at maxSegsPerTrigger=1 must take >= 3 batches, got $nonEmpty")
+      assert(rows(spark.table("idx_throttle").orderBy("term", "doc_id")) ==
+        rows(spark.read.format("graft.index").option("dir", dir).load()
+          .orderBy("term", "doc_id")),
+        "throttled tail must still deliver exactly the batch read")
+    } finally q.stop()
+  }
+
   test("graft.ivf streaming read: appended vector segments arrive as micro-batches") {
     // vector twin of the graft.index tail: build on disk, tail the corpus,
     // append two batches mid-stream, sink equals the batch read
@@ -316,7 +350,9 @@ class StreamingSpec extends SparkSpec {
     val idx = Similarity.IvfIndex.build(third(0L), 8, 3)
     Similarity.IvfIndex.write(idx, dir)
     idx.drop()
-    val q = spark.readStream.format("graft.ivf").option("dir", dir).load()
+    val q = spark.readStream.format("graft.ivf").option("dir", dir)
+      .option("maxSegsPerTrigger", "1") // admission control on the vector tail
+      .load()
       .select("vec_id", "cid") // id projection: no vector decode on the tail
       .writeStream.format("memory").queryName("ivf_tail")
       .outputMode("append").start()
@@ -334,6 +370,9 @@ class StreamingSpec extends SparkSpec {
         "tailed vector segments must equal the batch read")
       assert(spark.table("ivf_tail").count() == e.count(),
         "all three thirds must have arrived")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"3 segments at maxSegsPerTrigger=1 must arrive as >= 3 batches, got $nonEmpty")
     } finally q.stop()
   }
 
