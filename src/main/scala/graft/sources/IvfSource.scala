@@ -394,6 +394,75 @@ private[sources] final class IvfReaderFactory(cids: Option[Set[Int]],
     val p = partition.asInstanceOf[IvfFilePartition]
     new IvfPartitionReader(p.path, p.cid, fieldNames, conf.value)
   }
+
+  // Vector decode in ColumnarBatches (same treatment as graft.index's
+  // postings decode): the embedding doubles land in a dense child vector
+  // once per batch and Spark's codegen'd ColumnarToRow takes over —
+  // instead of a virtual call + a fresh GenericArrayData per corpus row on
+  // the search hot path. Empty projections (count(*)) stay row-based.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    fieldNames.nonEmpty
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[IvfFilePartition]
+    new IvfColumnarReader(p.path, p.cid, fieldNames, conf.value)
+  }
+}
+
+/** Columnar twin of [[IvfPartitionReader]]: the same Group walk fills
+  * reused on-heap vectors (the `v` doubles go straight into the array
+  * column's child vector), amortizing per-row overhead across 4k-vector
+  * batches. */
+private[sources] final class IvfColumnarReader(path: String, cid: Int,
+    fieldNames: Array[String], conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val Capacity = 4096
+  private val rows = new IvfPartitionReader(path, cid, fieldNames, conf)
+  private val vectors: Array[OnHeapColumnVector] = fieldNames.map {
+    case "vec_id" => new OnHeapColumnVector(Capacity, LongType)
+    case "v" => new OnHeapColumnVector(Capacity,
+      ArrayType(DoubleType, containsNull = false))
+    case "cid" => new OnHeapColumnVector(Capacity, IntegerType)
+  }
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var childOffset = 0
+    var n = 0
+    while (n < Capacity && rows.next()) {
+      val row = rows.get()
+      var c = 0
+      while (c < fieldNames.length) {
+        fieldNames(c) match {
+          case "vec_id" => vectors(c).putLong(n, row.getLong(c))
+          case "v" =>
+            val arr = row.getArray(c)
+            val len = arr.numElements()
+            val child = vectors(c).arrayData()
+            child.reserve(childOffset + len)
+            var i = 0
+            while (i < len) {
+              child.putDouble(childOffset + i, arr.getDouble(i)); i += 1
+            }
+            vectors(c).putArray(n, childOffset, len)
+            childOffset += len
+          case "cid" => vectors(c).putInt(n, row.getInt(c))
+        }
+        c += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = { batch.close(); rows.close() }
 }
 
 /** Reads one corpus parquet file (columns: vec_id, v — cid comes from the

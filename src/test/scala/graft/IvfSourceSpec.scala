@@ -162,6 +162,20 @@ class IvfSourceSpec extends SparkSpec {
     } finally idx.drop()
   }
 
+  test("graft.ivf: vectors decode in columnar batches consumed by ColumnarToRow") {
+    // same treatment as graft.index's postings decode: the row-identity
+    // tests above prove correctness of the values; this pins the columnar
+    // path actually being taken (a silent fallback to the row reader would
+    // keep results identical while losing the batched decode)
+    val (idx, dir) = writeIndex()
+    try {
+      val df = spark.read.format("graft.ivf").option("dir", dir).load()
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"expected a columnar scan:\n${df.queryExecution.executedPlan}")
+      assert(df.count() == corpus.count(), "columnar read must see every row")
+    } finally idx.drop()
+  }
+
   test("graft.ivf: column pruning skips vector decode; searchOnDisk equals the in-memory search") {
     val (idx, dir) = writeIndex()
     try {
