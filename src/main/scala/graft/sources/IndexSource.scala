@@ -380,8 +380,21 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
     terms: Option[Set[String]], required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  /** Trigger.AvailableNow (the catch-up-and-stop backfill): the end offset
+    * is CAPTURED here, once, at query start — `latestOffset(start, limit)`
+    * then keeps honoring the per-batch segment cap while clamping to it,
+    * so the backfill drains in bounded batches and terminates at the
+    * captured end even if a writer keeps appending (Kafka's contract;
+    * without this the engine's generic wrapper pre-fetches the end and
+    * delivers the whole backlog as one batch, bypassing admission). */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._2)))
 
   private val allowedBuckets: Option[Set[Long]] =
     terms.map(_.map(IndexSource.bucketOf(_, buckets)))
@@ -422,7 +435,9 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[IndexSegOffset].maxSeg
-    val fresh = segFiles().map(_._2).filter(_ > s).distinct.sorted
+    val fresh = segFiles().map(_._2)
+      .filter(seg => seg > s && availableNowEnd.forall(seg <= _))
+      .distinct.sorted
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh

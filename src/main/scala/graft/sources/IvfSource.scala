@@ -322,8 +322,16 @@ private[graft] final class IvfMicroBatchStream(dir: String,
     cids: Option[Set[Int]], required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  /** Same Trigger.AvailableNow contract as [[IndexMicroBatchStream]]: end
+    * captured once at start; capped batches drain to it, then terminate. */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._3)))
 
   /** (path, cid, seg) via the structured layout walk (never enters a
     * concurrent writer's staging dirs — see IndexMicroBatchStream). */
@@ -359,7 +367,9 @@ private[graft] final class IvfMicroBatchStream(dir: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[IndexSegOffset].maxSeg
-    val fresh = segFiles().map(_._3).filter(_ > s).distinct.sorted
+    val fresh = segFiles().map(_._3)
+      .filter(seg => seg > s && availableNowEnd.forall(seg <= _))
+      .distinct.sorted
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh

@@ -338,6 +338,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow catches up a throttled tail and stops on its own") {
+    // The production backfill pattern: process everything that exists,
+    // in admission-bounded batches, then terminate — no always-on cluster
+    // for a catch-up job. The engine wraps a SupportsAdmissionControl
+    // source in its available-now wrapper; the segment cap must still
+    // bound each batch and the query must stop by itself at the end
+    // offset captured at start.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(expr(graft.functions.TextTokens.ToksSql)).as("term"))
+      .select("term", "doc_id")
+    val third = (r: Long) => docs.filter(col("doc_id") % 3 === r)
+    val dir = Files.createTempDirectory("graft-idx-avnow").toString
+    third(0L).write.format("graft.index").option("dir", dir)
+      .mode("overwrite").save()
+    third(1L).write.format("graft.index").option("dir", dir)
+      .option("seg", "1").mode("append").save()
+    third(2L).write.format("graft.index").option("dir", dir)
+      .option("seg", "2").mode("append").save()
+    val q = spark.readStream.format("graft.index").option("dir", dir)
+      .option("maxSegsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("idx_avnow")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000),
+        "an AvailableNow query must terminate once the backlog is drained")
+      assert(rows(spark.table("idx_avnow").orderBy("term", "doc_id")) ==
+        rows(spark.read.format("graft.index").option("dir", dir).load()
+          .orderBy("term", "doc_id")),
+        "the terminated backfill must have delivered exactly the batch read")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"the segment cap must bound available-now batches too, got $nonEmpty")
+    } finally q.stop()
+  }
+
   test("graft.ivf streaming read: appended vector segments arrive as micro-batches") {
     // vector twin of the graft.index tail: build on disk, tail the corpus,
     // append two batches mid-stream, sink equals the batch read
