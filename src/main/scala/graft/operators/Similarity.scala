@@ -299,7 +299,7 @@ object Similarity {
       * decoder, shared by [[read]], [[searchOnDisk]] and [[appendTo]]. */
     private val centroidCache = new graft.SessionCache[Seq[Seq[Double]]]()
 
-    private def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    private[operators] def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
       // memoized per (session, dir, mtime): centroids are immutable once
       // written — only retrain replaces them, and its atomic directory swap
       // gives the path a fresh modification time, which changes the key (a
@@ -327,16 +327,21 @@ object Similarity {
       * dynamic partition overwrite (each caller must own a distinct id;
       * retries reuse theirs). */
     def appendTo(spark: SparkSession, dir: String, batch: DataFrame,
-        seg: Long): Unit = {
-      val cents = loadCentroids(spark, dir)
-      assignToCentroid(batch, cents)
-        .select(col("vec_id"), col("v"), col("cid"))
+        seg: Long): Unit =
+      writeSeg(assignToCentroid(batch, loadCentroids(spark, dir))
+        .select(col("vec_id"), col("v"), col("cid")), s"$dir/assigned", seg)
+
+    /** One (cid, seg)-partitioned retry-idempotent segment write — shared
+      * by [[appendTo]] and the PQ code-table append so the two halves of a
+      * compressed index can never diverge in layout contract. */
+    private[operators] def writeSeg(assigned: DataFrame, root: String,
+        seg: Long): Unit =
+      assigned
         .withColumn("seg", lit(seg))
         .repartitionByRange(col("cid"), col("vec_id")) // same small-file guard as write
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
-        .partitionBy("cid", "seg").parquet(s"$dir/assigned")
-    }
+        .partitionBy("cid", "seg").parquet(root)
 
     /** Quantizer refresh — the documented FAISS/ScaNN-style answer to
       * centroid drift under heavy [[appendTo]] traffic (appends assign with
@@ -533,6 +538,106 @@ object Similarity {
       idx.encoded.unpersist()
       IvfPqIndex(grownIvf, idx.m, idx.ksub, idx.books, merged)
     }
+
+    /** Persist a compressed index: the parent IVF layout (centroids +
+      * cell-partitioned raw vectors — the exact re-rank side) plus
+      * `pq/books` (one tiny parquet: (j, c, centroid)) and `pq/codes`
+      * (`cid=C/seg=S`-partitioned (vec_id, codes) rows). Codes share the
+      * raw corpus's partitioning contract, so a probed ADC scan prunes to
+      * the probed cells' directories exactly like the raw scan — at 64×
+      * compression the ADC pass reads nprobe/cells of ~1.5% of the corpus
+      * bytes. */
+    def write(idx: IvfPqIndex, dir: String): Unit = {
+      IvfIndex.write(idx.ivf, dir)
+      val spark = idx.encoded.sparkSession
+      import spark.implicits._
+      idx.books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, ci) => (j, ci, c) }
+      }.toDF("j", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq/books")
+      idx.encoded.select(col("vec_id"), col("codes"), col("cid"))
+        .withColumn("seg", lit(0L))
+        .repartitionByRange(col("cid"), col("vec_id"))
+        .write.mode("overwrite")
+        .partitionBy("cid", "seg").parquet(s"$dir/pq/codes")
+    }
+
+    private val bookCache = new graft.SessionCache[Seq[Seq[Seq[Double]]]]()
+
+    /** Codebooks of an index written by [[write]] — memoized per
+      * (session, dir, mtime) like the coarse centroids (books are immutable
+      * outside a full rebuild, which replaces the directory). */
+    private[operators] def loadBooks(spark: SparkSession,
+        dir: String): Seq[Seq[Seq[Double]]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/pq/books")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val mtime = fs.getFileStatus(p).getModificationTime
+      bookCache.getOrBuild(spark, s"$dir@$mtime") {
+        spark.read.parquet(s"$dir/pq/books").orderBy("j", "c").collect()
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+      }
+    }
+
+    /** Read back a compressed index written by [[write]]/[[appendTo]]: the
+      * SAME IvfPqIndex shape the in-memory build produces, so search /
+      * searchRefined run unchanged over the lazy on-disk frames. */
+    def read(spark: SparkSession, dir: String): IvfPqIndex = {
+      val ivf = IvfIndex.read(spark, dir)
+      val books = loadBooks(spark, dir)
+      IvfPqIndex(ivf, books.size, books.head.size, books,
+        spark.read.parquet(s"$dir/pq/codes")
+          .select(col("vec_id"), col("cid"), col("codes")))
+    }
+
+    /** Incremental append for an on-disk compressed index: ONE assignment
+      * pass with the STORED centroids feeds both the raw-vector segment and
+      * the code-table segment (encoded with the STORED books — no
+      * re-training), each landing as retry-idempotent `cid=C/seg=batchId`
+      * partitions via the shared [[IvfIndex.writeSeg]] contract. */
+    def appendTo(spark: SparkSession, dir: String, batch: DataFrame,
+        seg: Long): Unit = {
+      val cents = IvfIndex.loadCentroids(spark, dir)
+      val books = loadBooks(spark, dir)
+      val m = books.size
+      val sub = cents.head.size / m
+      val assignedDelta = assignToCentroid(batch, cents)
+        .select(col("vec_id"), col("v"), col("cid")).persist()
+      assignedDelta.count() // one assignment pass for both halves
+      try {
+        IvfIndex.writeSeg(assignedDelta, s"$dir/assigned", seg)
+        IvfIndex.writeSeg(
+          encodeResiduals(residualsOf(assignedDelta, cents), books, m, sub),
+          s"$dir/pq/codes", seg)
+      } finally assignedDelta.unpersist()
+    }
+
+    /** IVFADC+R THROUGH the on-disk layout — the 100 TB shape: probed cell
+      * ids (driver-side, from the tiny query batch) become partition
+      * filters on BOTH compressed halves — the `pq/codes` parquet scan
+      * (native `cid=` directory pruning) for the ADC shortlist and the
+      * `graft.ivf` connector read (pushed IN-list) for the exact re-rank —
+      * so neither pass ever touches an unprobed cell's files. Results are
+      * row-identical to [[IvfPqIndex.searchRefined]] on the full index:
+      * cells outside the probe set cannot contribute candidates, and a
+      * shortlisted candidate's raw vector lives in the same cell as its
+      * code. */
+    def searchOnDisk(spark: SparkSession, dir: String, queries: DataFrame,
+        nprobe: Int, k: Int, refine: Int): DataFrame = {
+      val cents = IvfIndex.loadCentroids(spark, dir)
+      val books = loadBooks(spark, dir)
+      val probed = probeCells(queries, cents, nprobe)
+        .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+      val cidList = probed.map(Int.box).toSeq
+      val codes = spark.read.parquet(s"$dir/pq/codes")
+        .filter(col("cid").isin(cidList: _*))
+        .select(col("vec_id"), col("cid"), col("codes"))
+      val assigned = spark.read.format("graft.ivf").option("dir", dir).load()
+        .filter(col("cid").isin(cidList: _*))
+      IvfPqIndex(IvfIndex(cents, assigned), books.size, books.head.size,
+        books, codes)
+        .searchRefined(queries, nprobe, k, refine)
+    }
   }
 
   // Session-scoped memos: q_sim_ann_ivf / q_sim_ann_ivfpq build their index
@@ -562,6 +667,17 @@ object Similarity {
   private[graft] def ivfPqIndexFor(s: SparkSession, d: String): IvfPqIndex =
     ivfPqCache.getOrBuild(s, d)(
       IvfPqIndex.build(ivfIndexFor(s, d), m = 8, ksub = 16, iters = 2))
+  // The persisted twin of ivfPqIndexFor (same lifecycle as ivfDirFor): the
+  // declared q_sim_ann_ivfpq searches the COMPRESSED index through its
+  // on-disk layout — codes pruned to probed cells, raw re-rank through the
+  // graft.ivf connector.
+  private val ivfPqDirCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private[graft] def ivfPqDirFor(s: SparkSession, d: String): String =
+    ivfPqDirCache.getOrBuild(s, d) {
+      val dir = graft.TempDirs.create("graft-ivfpq-disk")
+      IvfPqIndex.write(ivfPqIndexFor(s, d), dir)
+      dir
+    }
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vector vec_id=0 (oracle-checked).
@@ -640,16 +756,18 @@ object Similarity {
     // q_sim_ann_ivf, candidates shortlisted by ADC over m=8 ksub=16
     // product-quantized residual codes (≈64x smaller than raw vectors),
     // then the k·4 shortlist re-ranked with exact distances — the full
-    // production compressed-index shape. Approximate by construction => no
-    // DuckDB oracle; DedupSimilaritySpec asserts code invariants, ADC error
-    // monotone in ksub, and refined recall monotone in the refine factor.
-    "q_sim_ann_ivfpq" -> ((s, d) => {
-      val idx = ivfPqIndexFor(s, d)
-      idx.searchRefined(
+    // production compressed-index shape, searched THROUGH the on-disk
+    // layout since round 7: the probed cells prune both the pq/codes scan
+    // (native cid= directory pruning) and the raw re-rank side (graft.ivf
+    // connector pushdown), row-identical to the in-memory searchRefined
+    // (spec-asserted). Approximate by construction => no DuckDB oracle;
+    // DedupSimilaritySpec asserts code invariants, ADC error monotone in
+    // ksub, and refined recall monotone in the refine factor.
+    "q_sim_ann_ivfpq" -> ((s, d) =>
+      IvfPqIndex.searchOnDisk(s, ivfPqDirFor(s, d),
         corpus(s, d).filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v")),
-        nprobe = 2, k = 3, refine = 4)
-    }),
+        nprobe = 2, k = 3, refine = 4)),
 
     // ANN: sign-LSH bucketing (8 planes -> 256 buckets), queries probe their
     // own bucket plus all 1-bit-flip neighbors (multi-probe LSH). Hash/

@@ -516,6 +516,70 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally grown.drop()
   }
 
+  test("persisted IVF-PQ: on-disk search equals in-memory, codes scan prunes to probed cells") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val ivf = Similarity.IvfIndex.build(e, 8, 3)
+    val pq = Similarity.IvfPqIndex.build(ivf, m = 8, ksub = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-disk").toString
+    try {
+      Similarity.IvfPqIndex.write(pq, dir)
+      // row identity: disk route == in-memory compressed search
+      val expected = rows(pq.searchRefined(queries, nprobe = 2, k = 3, refine = 4))
+      val onDisk = Similarity.IvfPqIndex.searchOnDisk(spark, dir, queries,
+        nprobe = 2, k = 3, refine = 4)
+      assert(rows(onDisk) == expected,
+        "on-disk IVFADC+R must equal the in-memory searchRefined")
+      // read-back reconstructs the same index shape
+      val back = Similarity.IvfPqIndex.read(spark, dir)
+      assert(back.m == 8 && back.ksub == 16 && back.books == pq.books,
+        "books must round-trip bit-identically")
+      assert(rows(back.encoded.orderBy("vec_id")) ==
+        rows(pq.encoded.select(col("vec_id"), col("cid"), col("codes")).orderBy("vec_id")),
+        "code table must round-trip")
+      // the ADC side's parquet scan must carry a cid partition filter
+      val codesScan = spark.read.parquet(s"$dir/pq/codes")
+        .filter(col("cid").isin(1, 3)).queryExecution.sparkPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+      assert(codesScan.partitionFilters.exists(_.toString.contains("cid")),
+        s"probed cells must prune codes partitions: ${codesScan.partitionFilters}")
+    } finally pq.drop()
+  }
+
+  test("on-disk IVF-PQ append: one stored-quantizer pass grows both halves retry-idempotently") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val initial = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 =!= 0)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val ivf = Similarity.IvfIndex.build(initial, 8, 3)
+    val pq = Similarity.IvfPqIndex.build(ivf, m = 8, ksub = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    try {
+      Similarity.IvfPqIndex.write(pq, dir)
+      Similarity.IvfPqIndex.appendTo(spark, dir, batch, seg = 1L)
+      Similarity.IvfPqIndex.appendTo(spark, dir, batch, seg = 1L) // retry replays its own seg
+      // reference: in-memory append over the same base (proven above to
+      // equal the same-books union encoding)
+      val grown = Similarity.IvfPqIndex.append(pq, batch)
+      val expected = rows(grown.searchRefined(queries, nprobe = 8, k = 3, refine = 4))
+      val got = rows(Similarity.IvfPqIndex.searchOnDisk(spark, dir, queries,
+        nprobe = 8, k = 3, refine = 4))
+      assert(got == expected,
+        "on-disk appended index must search identically to the in-memory append")
+      assert(Similarity.IvfPqIndex.read(spark, dir).encoded.count() == e.count(),
+        "the replayed segment must not double-count")
+      grown.drop()
+    } finally pq.drop()
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)
