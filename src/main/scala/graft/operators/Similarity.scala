@@ -362,10 +362,28 @@ object Similarity {
       * manifest pointer (Iceberg/Delta-style) exactly as compact's note
       * describes. */
     def retrain(spark: SparkSession, dir: String, k: Int, iters: Int): Unit = {
+      // GUARD: a compressed index's pq/ half lives beside assigned/ — an
+      // IVF-only retrain would rebuild the coarse half and atomically swap
+      // a directory WITHOUT pq/, silently destroying books and codes.
+      val pqPath = new org.apache.hadoop.fs.Path(s"$dir/pq")
+      if (pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(pqPath))
+        throw new IllegalStateException(
+          s"$dir holds a compressed (IVF-PQ) index; IvfIndex.retrain would " +
+            "drop its pq/ half in the swap — use IvfPqIndex.retrain")
       val corpus = spark.read.parquet(s"$dir/assigned").select("vec_id", "v")
       val idx = build(corpus, k, iters)
       val tmp = dir + ".retraining"
       try write(idx, tmp) finally idx.drop()
+      swapInRebuilt(spark, dir, tmp)
+    }
+
+    /** The atomic checked-rename swap shared by [[retrain]] and
+      * [[IvfPqIndex.retrain]]: `tmp` (fully written) replaces `dir` via
+      * live → `.old` → drop, every rename checked, so a crash leaves the
+      * index either still live at `dir` or recoverable at `<dir>.old`. */
+    private[operators] def swapInRebuilt(spark: SparkSession, dir: String,
+        tmp: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val old = new org.apache.hadoop.fs.Path(dir + ".old")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -610,6 +628,23 @@ object Similarity {
           encodeResiduals(residualsOf(assignedDelta, cents), books, m, sub),
           s"$dir/pq/codes", seg)
       } finally assignedDelta.unpersist()
+    }
+
+    /** Full-stack quantizer refresh for a compressed index: re-train the
+      * coarse k-means AND the per-subspace codebooks on the union of all
+      * on-disk segments (m/ksub preserved from the stored books), rebuild
+      * both halves to `<dir>.retraining`, and swap with the same atomic
+      * checked-rename contract as [[IvfIndex.retrain]] — which REFUSES to
+      * run on a compressed index precisely because it would drop the pq/
+      * half in the swap. */
+    def retrain(spark: SparkSession, dir: String, k: Int, iters: Int): Unit = {
+      val books = loadBooks(spark, dir)
+      val corpus = spark.read.parquet(s"$dir/assigned").select("vec_id", "v")
+      val ivf = IvfIndex.build(corpus, k, iters)
+      val pq = build(ivf, m = books.size, ksub = books.head.size, iters = iters)
+      val tmp = dir + ".retraining"
+      try write(pq, tmp) finally { pq.drop(); ivf.drop() }
+      IvfIndex.swapInRebuilt(spark, dir, tmp)
     }
 
     /** IVFADC+R THROUGH the on-disk layout — the 100 TB shape: probed cell

@@ -580,6 +580,42 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally pq.drop()
   }
 
+  test("IVF-PQ retrain rebuilds both halves; IVF-only retrain refuses on a compressed index") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    val ivf = Similarity.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), 8, 3)
+    val pq = Similarity.IvfPqIndex.build(ivf, m = 8, ksub = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    try {
+      Similarity.IvfPqIndex.write(pq, dir)
+      Similarity.IvfPqIndex.appendTo(spark, dir,
+        e.filter(col("vec_id") % 2 =!= 0), seg = 1L)
+      // the IVF-only retrain would atomically swap in a directory WITHOUT
+      // pq/ — it must refuse instead of silently destroying books + codes
+      val ex = intercept[IllegalStateException] {
+        Similarity.IvfIndex.retrain(spark, dir, k = 8, iters = 3)
+      }
+      assert(ex.getMessage.contains("IvfPqIndex.retrain"))
+      assert(rows(spark.read.parquet(s"$dir/pq/books")).nonEmpty,
+        "the refused retrain must leave the compressed half untouched")
+      // the full-stack retrain equals a fresh build over the union corpus
+      Similarity.IvfPqIndex.retrain(spark, dir, k = 8, iters = 3)
+      val got = rows(Similarity.IvfPqIndex.searchOnDisk(spark, dir, queries,
+        nprobe = 2, k = 3, refine = 4))
+      val freshIvf = Similarity.IvfIndex.build(e, 8, 3)
+      val fresh = Similarity.IvfPqIndex.build(freshIvf, m = 8, ksub = 16, iters = 3)
+      try assert(got ==
+        rows(fresh.searchRefined(queries, nprobe = 2, k = 3, refine = 4)),
+        "retrained on-disk search must equal a fresh build on the union")
+      finally { fresh.drop(); freshIvf.drop() }
+      assert(Similarity.IvfPqIndex.read(spark, dir).encoded.count() == e.count(),
+        "retrain must fold every segment into the rebuilt code table")
+    } finally pq.drop()
+  }
+
   test("lsh signature is deterministic across invocations") {
     val a = Similarity.planeWeights(8, 64)
     val b = Similarity.planeWeights(8, 64)
