@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.DecimalType
 object SkewOps {
   def saltedSumExact2(df: DataFrame, key: String, value: String,
       salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+    df.withColumn("__salt",
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(value).cast(DecimalType(18, 2))).as("__partial"))
       .groupBy(col(key))

@@ -289,7 +289,7 @@ object Similarity {
       val rows = probedQ.collect()
       val probed = rows.map(_.getInt(2)).distinct.sorted
       val assigned = spark.read.format("graft.ivf").option("dir", dir).load()
-        .filter(col("cid").isin(probed.map(Int.box): _*))
+        .filter(col("cid").isin(probed.toIndexedSeq.map(Int.box): _*))
       val localQ = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), probedQ.schema)
       ivfSearchProbed(assigned, localQ, k)
