@@ -111,6 +111,39 @@ object Similarity {
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v")),
       nprobe, k)
 
+  /** SemDeDup-style blocked embedding near-dup mining (Abbas et al. 2023,
+    * arXiv:2303.09540): instead of the all-pairs cartesian (q_dedup_embed's
+    * declared ground-truth twin), every vector is multi-assigned to its
+    * `nprobe` nearest k-means cells and candidate pairs are generated only
+    * WITHIN a shared cell, so the pair space is Σ_cell |cell|² — linear in
+    * the corpus when k grows with it (|cell| ≈ nprobe·n/k stays bounded) —
+    * never n². Exact cosine runs on candidates only, and a pair sharing
+    * several probed cells is deduped on (da, db) AFTER the cosine, so only
+    * the narrow (da, db, cosine) rows reach that exchange — the vectors
+    * never shuffle twice. Probe lists are nearest-first prefixes, so the
+    * candidate set is nested in nprobe: top-n recall vs the all-pairs truth
+    * is monotone, and nprobe = k (every vector in every cell) degenerates to
+    * exactly the ground-truth result (both spec-asserted). Cells with more
+    * than `maxCell` members are excluded from pair generation: a degenerate
+    * quantizer (all points in one cell) must surface as missing coverage to
+    * retrain with a larger k — never as a hidden n² shuffle. */
+  def embedDedupBlocked(e: DataFrame, centroids: Seq[Seq[Double]],
+      nprobe: Int, topn: Int, maxCell: Long = 1L << 20): DataFrame = {
+    val probed = probeCells(e, centroids, nprobe)
+    val smallCells = probed.groupBy("cid").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= maxCell).select("cid")
+    val kept = probed.join(broadcast(smallCells), Seq("cid"))
+    val a = kept.select(col("cid"), col("vec_id").as("da"), col("v").as("va"))
+    val b = kept.select(col("cid"), col("vec_id").as("db"), col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (round(expr("cosine_similarity(va, vb)"), 6) + lit(0.0)).as("cosine"))
+      .dropDuplicates("da", "db")
+      .orderBy(col("cosine").desc, col("da"), col("db"))
+      .limit(topn)
+  }
+
   /** Probe signatures for LSH multi-probe: the exact signature plus every
     * signature within `flips` bit flips (Lv et al.'s multi-probe insight:
     * near neighbors most often land in buckets differing by few bits —
@@ -769,6 +802,16 @@ object Similarity {
         .orderBy(col("cosine").desc, col("da"), col("db"))
         .limit(20)
     }),
+
+    // SemDeDup-style blocked scale path for q_dedup_embed (its declared
+    // all-pairs twin above): candidate pairs only within shared IVF cells,
+    // reusing the session's coarse quantizer — one cell-keyed self-join,
+    // not a cartesian. Centroid-dependent candidate set => no DuckDB
+    // oracle (spec: nprobe = k equals the all-pairs ground truth exactly;
+    // top-20 recall monotone in nprobe).
+    "q_dedup_embed_blocked" -> ((s, d) =>
+      embedDedupBlocked(corpus(s, d), ivfIndexFor(s, d).centroids,
+        nprobe = 2, topn = 20)),
 
     // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
     // queries probe their 2 nearest cells (multi-probe — round 1 was

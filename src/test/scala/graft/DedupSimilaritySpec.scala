@@ -250,6 +250,50 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked embed dedup: full probe equals all-pairs truth; recall monotone in nprobe") {
+    val truth = rows(Similarity.queries("q_dedup_embed")(spark, sf))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val cents = Similarity.kmeansCentroids(e, 8, 3)
+    // nprobe = k puts every vector in every cell: candidates = all pairs,
+    // same cosine expression, same (cosine desc, da, db) total order =>
+    // row-identical to the declared ground-truth twin.
+    val full = rows(Similarity.embedDedupBlocked(e, cents, nprobe = 8, topn = 20))
+    assert(full == truth, s"full probe must BE the all-pairs truth:\n$full\n$truth")
+    // probe lists are nearest-first prefixes => candidate sets are nested
+    // in nprobe => top-20 recall vs the truth is monotone
+    val truthPairs = truth.map(r => (r.head, r(1))).toSet
+    def recall(got: Seq[Seq[Any]]): Double =
+      truthPairs.intersect(got.map(r => (r.head, r(1))).toSet).size.toDouble /
+        truthPairs.size
+    val recalls = Seq(1, 2, 4, 8)
+      .map(np => recall(rows(Similarity.embedDedupBlocked(e, cents, np, 20))))
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"blocked-dedup recall must be monotone in nprobe: $recalls")
+    }
+    assert(recalls.last == 1.0, s"full probe recall must be 1.0: $recalls")
+    // the blocked path must plan as a cell-keyed equi-join, never a
+    // cartesian — that is its whole reason to exist
+    val plan = physicalPlan(Similarity.embedDedupBlocked(e, cents, 2, 20))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked dedup must not fall back to all-pairs:\n$plan")
+    // the declared query (session IVF centroids, nprobe=2) must find a
+    // usable share of the true top pairs, not just run
+    val declared = rows(Similarity.queries("q_dedup_embed_blocked")(spark, sf))
+    assert(declared.size == 20)
+    assert(recall(declared) >= 0.4,
+      s"declared blocked dedup recall too low: ${recall(declared)}")
+    // every reported cosine is a TRUE cosine: blocked output rows must be a
+    // subset of the all-pairs ranking's values for those pairs
+    val truthAll = rows(Similarity.embedDedupBlocked(e, cents, 8, 200))
+      .map(r => (r.head, r(1)) -> r(2)).toMap
+    declared.foreach { r =>
+      truthAll.get((r.head, r(1))).foreach(c => assert(c == r(2),
+        s"blocked pair ${(r.head, r(1))} cosine ${r(2)} != true $c"))
+    }
+  }
+
   test("IVF-PQ: codes are well-formed and the declared query returns top-3 per query") {
     val idx = Similarity.ivfPqIndexFor(spark, sf)
     val n = Tables.embeddings(spark, sf).count()
