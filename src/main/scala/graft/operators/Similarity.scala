@@ -117,29 +117,49 @@ object Similarity {
     * `nprobe` nearest k-means cells and candidate pairs are generated only
     * WITHIN a shared cell, so the pair space is Σ_cell |cell|² — linear in
     * the corpus when k grows with it (|cell| ≈ nprobe·n/k stays bounded) —
-    * never n². Exact cosine runs on candidates only, and a pair sharing
-    * several probed cells is deduped on (da, db) AFTER the cosine, so only
-    * the narrow (da, db, cosine) rows reach that exchange — the vectors
-    * never shuffle twice. Probe lists are nearest-first prefixes, so the
+    * never n². A pair sharing several probed cells is emitted EXACTLY ONCE,
+    * in its canonical cell (the numeric minimum of the two probe lists'
+    * intersection, checked before the cosine): no post-hoc dedup exchange,
+    * no duplicate cosine work — the plan is one cell-keyed self-join plus
+    * TakeOrderedAndProject. Probe lists are nearest-first prefixes, so the
     * candidate set is nested in nprobe: top-n recall vs the all-pairs truth
     * is monotone, and nprobe = k (every vector in every cell) degenerates to
     * exactly the ground-truth result (both spec-asserted). Cells with more
-    * than `maxCell` members are excluded from pair generation: a degenerate
-    * quantizer (all points in one cell) must surface as missing coverage to
-    * retrain with a larger k — never as a hidden n² shuffle. */
+    * than `maxCell` members are excluded from the join: a pair whose
+    * canonical cell is degenerate (all points collapsing onto few
+    * centroids) surfaces as missing coverage to retrain with a larger k —
+    * never as a hidden n² shuffle. */
   def embedDedupBlocked(e: DataFrame, centroids: Seq[Seq[Double]],
       nprobe: Int, topn: Int, maxCell: Long = 1L << 20): DataFrame = {
-    val probed = probeCells(e, centroids, nprobe)
+    val withProbes = e
+      .withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
+      .withColumn("dists", expr(
+        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
+      .withColumn("probes", expr(
+        s"transform(slice(array_sort(zip_with(dists, sequence(0, size(dists) - 1), " +
+          s"(d, i) -> struct(d AS d, i AS i))), 1, $nprobe), p -> CAST(p.i AS INT))"))
+      .drop("cs", "dists")
+    // Materialize the probed corpus ONCE per execution: the centroid
+    // literal (k×dims doubles) would otherwise be embedded — and the
+    // probe transform recomputed — in all three downstream subtrees
+    // (cell sizes + both self-join sides), and plan/codegen cost scales
+    // with that literal (same lesson as Dedup's shared postings). The
+    // checkpoint is n·nprobe rows; at 100 TB this materialization IS the
+    // cell-partitioned on-disk index write (IvfIndex.write).
+    val probed = withProbes.withColumn("cid", explode(col("probes")))
+      .localCheckpoint()
     val smallCells = probed.groupBy("cid").agg(count(lit(1)).as("cn"))
       .filter(col("cn") <= maxCell).select("cid")
     val kept = probed.join(broadcast(smallCells), Seq("cid"))
-    val a = kept.select(col("cid"), col("vec_id").as("da"), col("v").as("va"))
-    val b = kept.select(col("cid"), col("vec_id").as("db"), col("v").as("vb"))
+    val a = kept.select(col("cid"), col("vec_id").as("da"),
+      col("v").as("va"), col("probes").as("pa"))
+    val b = kept.select(col("cid"), col("vec_id").as("db"),
+      col("v").as("vb"), col("probes").as("pb"))
     a.join(b, Seq("cid"))
-      .filter(col("da") < col("db"))
+      .filter(col("da") < col("db") &&
+        col("cid") === expr("array_min(array_intersect(pa, pb))"))
       .select(col("da"), col("db"),
         (round(expr("cosine_similarity(va, vb)"), 6) + lit(0.0)).as("cosine"))
-      .dropDuplicates("da", "db")
       .orderBy(col("cosine").desc, col("da"), col("db"))
       .limit(topn)
   }
@@ -731,6 +751,13 @@ object Similarity {
       IvfIndex.write(ivfIndexFor(s, d), dir)
       dir
     }
+  // Dedicated dedup quantizer: SemDeDup picks k for CELL GRANULARITY
+  // (pair volume ∝ n²·nprobe²/k), decoupled from the search index's k —
+  // at 100 TB, k ∝ n / target-cell-size keeps within-cell pair work
+  // bounded, while the ANN index tunes k for probe recall instead.
+  private val dedupCentCache = new graft.SessionCache[Seq[Seq[Double]]]()
+  private[graft] def dedupCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
+    dedupCentCache.getOrBuild(s, d)(kmeansCentroids(corpus(s, d), 32, 2))
   private val ivfPqCache = new graft.SessionCache[IvfPqIndex]()
   private[graft] def ivfPqIndexFor(s: SparkSession, d: String): IvfPqIndex =
     ivfPqCache.getOrBuild(s, d)(
@@ -789,7 +816,7 @@ object Similarity {
     }),
 
     // Embedding-cosine near-dup: ground-truth all-pairs ranking (quadratic —
-    // the LSH variant below is the scale path; this validates it). Top-20
+    // q_dedup_embed_blocked below is the scale path; this validates it). Top-20
     // pairs because the synthetic embeddings have no planted near-dups to
     // threshold on (max pairwise cosine ≈ 0.51, measured).
     "q_dedup_embed" -> ((s, d) => {
@@ -804,13 +831,14 @@ object Similarity {
     }),
 
     // SemDeDup-style blocked scale path for q_dedup_embed (its declared
-    // all-pairs twin above): candidate pairs only within shared IVF cells,
-    // reusing the session's coarse quantizer — one cell-keyed self-join,
-    // not a cartesian. Centroid-dependent candidate set => no DuckDB
-    // oracle (spec: nprobe = k equals the all-pairs ground truth exactly;
-    // top-20 recall monotone in nprobe).
+    // all-pairs twin above): candidate pairs only within shared quantizer
+    // cells — one cell-keyed self-join, not a cartesian. Uses a dedicated
+    // k=32 quantizer (cell granularity is the dedup knob; the k=8 search
+    // index tunes for probe recall instead). Centroid-dependent candidate
+    // set => no DuckDB oracle (spec: nprobe = k equals the all-pairs
+    // ground truth exactly; top-20 recall monotone in nprobe).
     "q_dedup_embed_blocked" -> ((s, d) =>
-      embedDedupBlocked(corpus(s, d), ivfIndexFor(s, d).centroids,
+      embedDedupBlocked(corpus(s, d), dedupCentroidsFor(s, d),
         nprobe = 2, topn = 20)),
 
     // ANN, IVF-style: k-means coarse quantizer (8 cells, 3 Lloyd iters),
