@@ -317,6 +317,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blocked embed dedup at full probe equals brute-force all-pairs on arbitrary corpora") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // components drawn from a nonzero set: no zero-norm vectors, but
+    // duplicate vectors (cosine exactly 1.0, ordering ties) are likely
+    val vecGen = Gen.listOfN(4, Gen.oneOf(-2.0, -1.0, -0.5, 0.5, 1.0, 2.0))
+    val cases = Seq((6, 2, 0), (17, 3, 1), (40, 5, 2)).map { case (n, k, si) =>
+      (samples(Gen.listOfN(n, vecGen), si + 1).last, k)
+    } :+ ((List.fill(8)(List(1.0, -0.5, 2.0, 0.5)), 3)) // degenerate: all identical
+    cases.foreach { case (vs, k) =>
+      val e = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val cents = Similarity.kmeansCentroids(e, k, 2)
+      val blocked = rows(Similarity.embedDedupBlocked(
+        e, cents, nprobe = cents.size, topn = 1000))
+      val a = e.select(col("vec_id").as("da"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
+      val brute = rows(a.crossJoin(b).filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          (round(expr("cosine_similarity(va, vb)"), 6) + lit(0.0)).as("cosine"))
+        .orderBy(col("cosine").desc, col("da"), col("db")).limit(1000))
+      assert(blocked == brute,
+        s"full-probe blocking must be complete (n=${vs.size}, k=$k): " +
+          s"missing=${(brute.toSet -- blocked.toSet).take(3)} " +
+          s"extra=${(blocked.toSet -- brute.toSet).take(3)}")
+    }
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)
