@@ -35,6 +35,7 @@ object SparkEntry {
       (MapperFacade.queries, MapperFacade.oracles),
       (DataModel.queries, DataModel.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (Layout.queries, Layout.oracles),
       (Behavior.queries, Behavior.oracles),
       (Curation.queries, Curation.oracles))
 

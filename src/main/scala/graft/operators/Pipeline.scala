@@ -71,6 +71,29 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sequence-packing manifest (the GPT-style "concatenate the corpus,
+    // chunk at L tokens" pretraining step): per language in doc_id order,
+    // each doc's cumulative token interval [start_off, start_off+toks)
+    // maps to the training sequences (bins of L=512) it lands in —
+    // first_bin..last_bin, straddling docs spanning several. Window cumsum
+    // only: one shuffle on lang, no per-bin explode, and the manifest is
+    // exactly what a loader needs to materialize any bin independently.
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("toks", nToks)
+        .filter(col("toks") > 0)
+        .withColumn("cum", sum(col("toks").cast("long")).over(w))
+        .withColumn("start_off", col("cum") - col("toks"))
+        .withColumn("first_bin", floor(col("start_off") / lit(512.0)).cast("long"))
+        .withColumn("last_bin", floor((col("cum") - 1) / lit(512.0)).cast("long"))
+        .select(col("lang"), col("doc_id"), col("toks"), col("start_off"),
+          col("first_bin"), col("last_bin"),
+          (col("last_bin") - col("first_bin") + 1).as("n_bins"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Weighted sampling (Efraimidis-Spirakis A-Res): each doc draws a
     // deterministic pseudo-uniform u from integer hashing, and the top-50 by
     // u^(1/weight) is a weighted-without-replacement sample — longer docs
@@ -162,6 +185,18 @@ object Pipeline {
         s"CAST(SUM(CAST($DuckNToks AS BIGINT)) OVER " +
         "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks " +
         "FROM documents) WHERE cum_toks <= 2000 ORDER BY lang, doc_id"),
+    "q_pack_sequences" ->
+      (s"WITH base AS (SELECT lang, doc_id, $DuckNToks AS toks FROM documents), " +
+        "t AS (SELECT lang, doc_id, toks, " +
+        "CAST(SUM(CAST(toks AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "FROM base WHERE toks > 0) " +
+        "SELECT lang, doc_id, toks, cum - toks AS start_off, " +
+        "CAST(floor((cum - toks) / 512.0) AS BIGINT) AS first_bin, " +
+        "CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_bin, " +
+        "CAST(floor((cum - 1) / 512.0) AS BIGINT) - " +
+        "CAST(floor((cum - toks) / 512.0) AS BIGINT) + 1 AS n_bins " +
+        "FROM t ORDER BY lang, doc_id"),
     "q_sample_weighted" ->
       ("SELECT doc_id, n_chars, score FROM (" +
         "SELECT doc_id, n_chars, " +

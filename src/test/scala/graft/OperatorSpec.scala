@@ -111,6 +111,58 @@ class OperatorSpec extends SparkSpec {
     assert(!pii.contains("Exchange"), s"PII scrub must be map-only:\n$pii")
   }
 
+  test("z-ordered files are tight on BOTH dims; a 1-dim sort leaves the other dim global") {
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey").cast("long").as("x"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long").as("y"))
+    val Seq(gx, gy) = Seq("x", "y").map { c =>
+      val r = o.agg(min(c), max(c)).head(); (r.getLong(1) - r.getLong(0)).max(1L)
+    }
+    def spans(dir: String): Seq[(Double, Double)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      assert(files.size >= 4, s"expected several files in $dir, got ${files.size}")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble / gx,
+          (r.getLong(3) - r.getLong(2)).toDouble / gy)
+      }
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.writeZOrdered(o, "x", "y", 8, zDir)
+    val zSpans = spans(zDir)
+    val zx = zSpans.map(_._1).sum / zSpans.size
+    val zy = zSpans.map(_._2).sum / zSpans.size
+    // 8 z-range files fix the top ~3 alternating bits: both dims stay well
+    // under the global span — the "skip files on EITHER predicate" property
+    assert(zx <= 0.6 && zy <= 0.6,
+      s"z-order must bound both dims per file: avg x span $zx, y span $zy")
+    // control: sorting by x alone nails x but leaves y at ~the full range
+    val xDir = java.nio.file.Files.createTempDirectory("graft-xsort").toString
+    o.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    val xSpans = spans(xDir)
+    val cy = xSpans.map(_._2).sum / xSpans.size
+    assert(cy >= 0.8,
+      s"1-dim control should leave y unclustered (got avg y span $cy) — " +
+        "otherwise the z-order comparison proves nothing")
+  }
+
+  test("z-order bucket profile: buckets bound both dims by construction") {
+    val out = rows(Layout.queries("q_layout_zorder")(spark, sf))
+    assert(out.nonEmpty && out.size > 1, s"expected several buckets, got ${out.size}")
+    out.foreach { r =>
+      val (minX, maxX) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      val (minY, maxY) = (r(4).asInstanceOf[Long], r(5).asInstanceOf[Long])
+      // top-5 z-bits fix y15,x15,y14,x14,y13: x within 1/4, y within 1/8
+      // of the 16-bit grid
+      assert(maxX - minX < 65536 / 4, s"bucket ${r.head}: x span ${maxX - minX}")
+      assert(maxY - minY < 65536 / 8, s"bucket ${r.head}: y span ${maxY - minY}")
+    }
+  }
+
   test("registerAll gives the SQL surface the same tables as the DataFrame surface") {
     Tables.registerAll(spark, sf)
     // events.ts must arrive as a usable timestamp, not the raw ns long
