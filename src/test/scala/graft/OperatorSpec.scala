@@ -150,6 +150,20 @@ class OperatorSpec extends SparkSpec {
         "otherwise the z-order comparison proves nothing")
   }
 
+  test("z-order profile broadcasts its bounds and partially aggregates; packing shuffles once") {
+    // the §2.13 scale claims, asserted on the actual plans
+    val zPlan = physicalPlan(Layout.queries("q_layout_zorder")(spark, sf))
+    assert(zPlan.contains("BroadcastExchange"),
+      s"1-row normalization bounds must broadcast:\n$zPlan")
+    assert(zPlan.contains("partial_"),
+      s"bucket extents must partially aggregate map-side:\n$zPlan")
+    val pPlan = physicalPlan(Pipeline.queries("q_pack_sequences")(spark, sf))
+    assert(pPlan.contains("Window"), pPlan)
+    val hashExchanges = "hashpartitioning".r.findAllIn(pPlan).size
+    assert(hashExchanges == 1,
+      s"packing must shuffle once (the lang window), found $hashExchanges:\n$pPlan")
+  }
+
   test("z-order bucket profile: buckets bound both dims by construction") {
     val out = rows(Layout.queries("q_layout_zorder")(spark, sf))
     assert(out.nonEmpty && out.size > 1, s"expected several buckets, got ${out.size}")
