@@ -29,13 +29,23 @@ import graft.Tables
 object Layout {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 32-bit Morton interleave of two 16-bit dims (x at even bits, y at odd).
-    * Plain long arithmetic — whole-stage-codegen'd, no UDF, no HOF. */
+  /** Morton interleave of N pre-normalized dims, `bits` bits each,
+    * round-robin (bit j of dim i lands at position j·N + i). Plain long
+    * arithmetic — whole-stage-codegen'd, no UDF, no HOF; plan size is the
+    * constant N·bits shifts. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"need 1..N dims with N*bits <= 63, got ${dims.size} x $bits")
+    val n = dims.size
+    (for { (c, i) <- dims.zipWithIndex; j <- 0 until bits } yield
+      shiftleft(shiftrightunsigned(c, j).bitwiseAND(lit(1L)), j * n + i))
+      .reduce(_ + _)
+  }
+
+  /** 32-bit Morton interleave of two 16-bit dims (x at even bits, y at
+    * odd) — the 2-dim instance of [[zValueN]]. */
   def zValue(x16: Column, y16: Column): Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftrightunsigned(x16, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(y16, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    zValueN(Seq(x16, y16), 16)
 
   /** Min/max range normalization onto 0..65535 (the 16-bit grid the
     * interleave expects); exact for magnitudes far below 2^53. */
@@ -43,25 +53,44 @@ object Layout {
     floor((c - mn).cast("double") * 65536.0 /
       ((mx - mn).cast("double") + 1.0)).cast("long")
 
-  /** Write `df` clustered by the z-order of (xCol, yCol): range-partition on
-    * the Morton key, sort within partitions, drop the helper columns. Each
-    * output file then covers a tight hyper-rectangle in BOTH dims, so
-    * parquet min/max stats skip files for predicates on EITHER column
-    * (locality spec-asserted against a 1-dim-sorted control layout). */
-  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
-      nFiles: Int, dir: String): Unit = {
-    val bounds = df.agg(
-      min(col(xCol)).cast("long").as("__mnx"), max(col(xCol)).cast("long").as("__mxx"),
-      min(col(yCol)).cast("long").as("__mny"), max(col(yCol)).cast("long").as("__mxy"))
+  /** Min/max range normalization onto a 2^bits grid (the general form of
+    * [[norm16]]); exact for magnitudes far below 2^53. */
+  private def normBits(c: Column, mn: Column, mx: Column, bits: Int): Column =
+    floor((c - mn).cast("double") * (1L << bits).toDouble /
+      ((mx - mn).cast("double") + 1.0)).cast("long")
+
+  /** Write `df` clustered by the z-order of `cols` (2 or more dims, like
+    * Delta/Iceberg `ZORDER BY (a, b, ...)`): range-partition on the Morton
+    * key, sort within partitions, drop the helper columns. Each output file
+    * then covers a tight hyper-rectangle in ALL the dims, so parquet
+    * min/max stats skip files for a predicate on ANY of them (locality
+    * spec-asserted against a 1-dim-sorted control layout, in 2 and 3 dims).
+    * Bits per dim = 63/N — precision degrades gracefully as dims grow,
+    * the standard Morton trade-off. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], nFiles: Int,
+      dir: String): Unit = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    val bits = math.min(16, 63 / cols.size)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("long").as(s"__mn$i"),
+        max(col(c)).cast("long").as(s"__mx$i"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      normBits(col(c).cast("long"), col(s"__mn$i"), col(s"__mx$i"), bits)
+    }
     df.crossJoin(broadcast(bounds))
-      .withColumn("__zv", zValue(
-        norm16(col(xCol).cast("long"), col("__mnx"), col("__mxx")),
-        norm16(col(yCol).cast("long"), col("__mny"), col("__mxy"))))
+      .withColumn("__zv", zValueN(normed, bits))
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
-      .drop("__zv", "__mnx", "__mxx", "__mny", "__mxy")
+      .drop("__zv" +: cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** 2-dim convenience overload. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, dir: String): Unit =
+    writeZOrdered(df, Seq(xCol, yCol), nFiles, dir)
 
   val queries: Map[String, Q] = Map(
     // Z-order bucket profile of orders on (custkey, order day): normalize
