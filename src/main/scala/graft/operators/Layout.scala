@@ -20,11 +20,11 @@ import graft.Tables
   * row groups, AND pages inherit the locality (public technique:
   * Morton 1966; Orenstein & Merrett PODS'84).
   *
-  * Scale design: the z-value is a per-row codegen'd expression (32 shifts —
-  * constant plan size); normalization bounds ride in as a broadcast 1-row
-  * aggregate; the only wide op in the write path is the range partition on
-  * the key — exactly the shuffle any clustered write pays. Nothing here is
-  * corpus-size-dependent.
+  * Scale design: the z-value is a per-row codegen'd expression (N·bits
+  * shifts — constant plan size); normalization bounds ride in as a
+  * broadcast 1-row aggregate; the only wide op in the write path is the
+  * range partition on the key — exactly the shuffle any clustered write
+  * pays. Nothing here is corpus-size-dependent.
   */
 object Layout {
   type Q = (SparkSession, String) => DataFrame
