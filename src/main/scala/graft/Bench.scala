@@ -64,6 +64,18 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val benchStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+    // Re-emit the sentinel from a JVM shutdown hook (VERDICT r7 wrong #2):
+    // it runs after sbt's in-band output, landing the full per-query JSON as
+    // late as possible in stdout — the driver's bounded tail window is far
+    // more likely to reach it than the mid-run print, and a SIGTERM'd run
+    // still emits its latest partial snapshot.
+    @volatile var latestJson: String = null
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (latestJson != null) {
+        System.out.println(s"BENCH_JSON: $latestJson")
+        System.out.flush()
+      }
+    }))
     // (name, medianOrNegFailTime, ok, repsUsed)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
     def writeSnapshot(): String = {
@@ -72,10 +84,16 @@ object Bench {
       val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true, _) => v }.sum
+      // degraded=true when ANY query ran below full reps (the budget fired):
+      // medians from such a run are position-dependent (alphabetically-late
+      // queries got fewer reps) and must only be compared against runs with
+      // the same budget settings (ADVICE r7; protocol in BASELINE.md)
+      val degraded = results.exists(_._4 < reps)
       val json =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"budget_s":${r3(budgetS)},"done":${results.size},"of":${selected.size},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"degraded":$degraded,"budget_s":${r3(budgetS)},"done":${results.size},"of":${selected.size},"sf":"$sfDir"}"""
       // Rewritten after EVERY query: a killed run leaves a valid partial.
       Files.writeString(Paths.get("bench_out.json"), json + "\n")
+      latestJson = json
       json
     }
     selected.foreach { case (name, fn) =>

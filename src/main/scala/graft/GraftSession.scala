@@ -17,6 +17,11 @@ object GraftSession {
       // µs parquet timestamps on write (not INT96/ns) so the driver's reader
       // sees the same logical type DuckDB produces for the oracle result.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // let keyed ops consume the graft connectors' on-disk clustering
+      // (KeyGroupedPartitioning reported by IvfScan/IndexScan): without this
+      // Spark ignores connector-reported partitioning and re-shuffles data
+      // the layout already groups by cid / term-bucket
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = builder(s"local[$cpus]", cpus).getOrCreate()

@@ -3,10 +3,12 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A tiny `TableCatalog` that names the on-disk graft indexes, completing
@@ -34,7 +36,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every pushdown/pruning/statistics behavior is identical (spec-asserted)
   * and a 100 TB deployment can swap this for a real metastore without
   * touching the connectors. */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with FunctionCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -70,7 +72,8 @@ final class GraftCatalog extends TableCatalog {
         out.toString("UTF-8")
       } finally in.close()
       (text, text) match {
-        case (ProviderRe(prov), LocationRe(loc)) => Some((prov, loc))
+        case (ProviderRe(prov), LocationRe(loc)) =>
+          Some((unescapeJson(prov), unescapeJson(loc)))
         case _ => throw new IllegalStateException(
           s"$p exists but is not a graft table descriptor: $text")
       }
@@ -80,7 +83,8 @@ final class GraftCatalog extends TableCatalog {
   private def writeMeta(ident: Identifier, provider: String, location: String): Unit = {
     val out = fs.create(metaPath(ident), true)
     try out.write(
-      s"""{"provider": "$provider", "location": "$location"}""".getBytes("UTF-8"))
+      s"""{"provider": "${escapeJson(provider)}", "location": "${escapeJson(location)}"}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -117,7 +121,12 @@ final class GraftCatalog extends TableCatalog {
         s"graft catalog stores graft.index / graft.ivf tables, not $other")
     }
     val got = info.schema.fieldNames.toSet
-    require(got.isEmpty || got == expected.fieldNames.toSet,
+    // ivf CTAS/append supplies the WRITER's (vec_id, v) shape — cid is
+    // assigned by the quantizer, never written (same special case as
+    // IvfSource.getTable; ADVICE r7: the catalog route rejected it)
+    val writerOk = provider == IvfProvider &&
+      got == IvfSource.WriteSchema.fieldNames.toSet
+    require(got.isEmpty || got == expected.fieldNames.toSet || writerOk,
       s"$provider tables have columns ${expected.fieldNames.mkString(", ")}, got ${got.mkString(", ")}")
     val location = Option(info.properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(tableDir(ident).toString)
@@ -150,6 +159,20 @@ final class GraftCatalog extends TableCatalog {
       true
   }
 
+  /** [[FunctionCatalog]]: exposes the ONE function the connectors' reported
+    * partitioning needs — `bucket` (see [[GraftCatalog.BucketUnbound]]).
+    * Catalyst looks it up here when resolving [[IndexScan]]'s
+    * `bucket(buckets, term)` transform on a catalog-routed read. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"graft catalog has a single flat namespace, got ${namespace.mkString(".")}")
+    Array(Identifier.of(Array.empty, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") BucketUnbound
+    else throw new NoSuchFunctionException(ident)
+
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
@@ -167,6 +190,45 @@ object GraftCatalog {
   val MetaFile = "_graft_table.json"
   val IndexProvider = "graft.index"
   val IvfProvider = "graft.ivf"
-  private val ProviderRe = """"provider"\s*:\s*"([^"]+)"""".r.unanchored
-  private val LocationRe = """"location"\s*:\s*"([^"]+)"""".r.unanchored
+  // JSON-string values with escapes: a location containing a quote or
+  // backslash round-trips instead of bricking the table name (ADVICE r7)
+  private val ProviderRe = """"provider"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
+  private val LocationRe = """"location"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** The `bucket` partition-transform function [[IndexScan]] reports its
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * over: `pmod(xxhash64(term, seed=42), buckets)` — byte-identical to the
+    * writer's layout expression (`IndexSource.bucketOf`). Exposing it from
+    * the catalog is what lets Catalyst resolve the transform on
+    * catalog-routed reads, unlocking shuffle-free `groupBy("term")` and
+    * term-keyed storage-partitioned joins between graft indexes. */
+  private[sources] object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(buckets INT, term STRING) -> INT: pmod(xxhash64(term, 42), buckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == StringType,
+        s"bucket takes (buckets INT, term STRING), got $inputType")
+      BucketBound
+    }
+  }
+
+  private[sources] object BucketBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    // compared across join sides for storage-partitioned-join compatibility:
+    // two indexes bucketed by this same function (and count) co-locate
+    override def canonicalName(): String = "graft.bucket(xxhash64,seed=42)"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      Integer.valueOf(
+        IndexSource.bucketOf(input.getUTF8String(1).toString, input.getInt(0)).toInt)
+  }
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
@@ -211,7 +212,7 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
     val pushedTerms: Option[Seq[String]], val required: StructType,
     maxSegsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -260,26 +261,43 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
     terms.map(IndexSource.bucketOf(_, buckets))
 
   /** Postings files under the effective terms' bucket directories (or the
-    * whole index for a full scan). A def, not a cache: runtime filtering
+    * whole index for a full scan), with the hash-bucket id each file's
+    * directory encodes. Memoized per effective term-set (runtime filtering
     * may narrow the scope between statistics estimation and partition
-    * planning, and each listing touches only the selected directories. */
-  private def files(): Seq[(String, Long)] = {
+    * planning; a repeat call at the same scope — stats, then partitioning
+    * report, then planning — reuses the listing instead of re-walking). */
+  @volatile private var filesCache: (Option[Set[String]], Seq[(String, Long, Long)]) = null
+  private def files(): Seq[(String, Long, Long)] = {
+    val scope = effectiveTerms
+    val c = filesCache
+    if (c != null && c._1 == scope) return c._2
+    val listed = listFiles(scope)
+    filesCache = (scope, listed)
+    listed
+  }
+
+  private def listFiles(scope: Option[Set[String]]): Seq[(String, Long, Long)] = {
     val conf = confSer.value
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf)
-    val scanRoots = effectiveTerms match {
+    val bucketDirs: Seq[(HPath, Long)] = scope match {
       case Some(terms) =>
-        bucketsOf(terms).toSeq.sorted.map(b => new HPath(root, s"bucket=$b"))
-          .filter(fs.exists) // absent term/bucket: zero partitions
-      case None => Seq(root)
+        bucketsOf(terms).toSeq.sorted.map(b => (new HPath(root, s"bucket=$b"), b))
+          .filter { case (p, _) => fs.exists(p) } // absent term/bucket: zero partitions
+      case None =>
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(s => (s.getPath, s.getPath.getName.stripPrefix("bucket=").toLong))
+          .sortBy(_._2)
     }
-    val found = ArrayBuffer.empty[(String, Long)]
-    scanRoots.foreach { r =>
+    val found = ArrayBuffer.empty[(String, Long, Long)]
+    bucketDirs.foreach { case (r, b) =>
       val it = fs.listFiles(r, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet"))
-          found += ((f.getPath.toString, f.getLen))
+          found += ((f.getPath.toString, f.getLen, b))
       }
     }
     found.sortBy(_._1).toSeq
@@ -288,7 +306,28 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   /** One partition per postings parquet file: segment files read in
     * parallel, and a pruned lookup plans only the matching buckets' files. */
   override def planInputPartitions(): Array[InputPartition] =
-    files().map(f => IndexFilePartition(f._1): InputPartition).toArray
+    files().map(f => IndexFilePartition(f._1, f._3.toInt): InputPartition).toArray
+
+  /** The layout IS a `bucket(buckets, term)` clustering (the writer
+    * partitioned by `pmod(xxhash64(term, 42), buckets)`), so report it as a
+    * [[KeyGroupedPartitioning]] over that transform. Catalyst can only
+    * resolve a non-identity transform against a `FunctionCatalog`, so the
+    * report takes effect on catalog-routed reads ([[GraftCatalog]] exposes
+    * the matching `bucket` function); path-option reads silently keep
+    * UnknownPartitioning — same rows, one extra shuffle. With it resolved,
+    * `groupBy("term")` and term-keyed joins between two graft indexes (the
+    * storage-partitioned-join shape) plan ZERO Exchange: equal terms are
+    * already co-located by construction. Reported only when `term` survives
+    * column pruning (the transform's input must be in the scan output). */
+  override def outputPartitioning(): Partitioning = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (!conf.v2BucketingEnabled || !required.fieldNames.contains("term"))
+      return new UnknownPartitioning(0)
+    val present = files().map(_._3).distinct
+    if (present.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      Array(Expressions.bucket(buckets, "term")), present.size)
+  }
 
   /** Post-pruning size from the listed files — a term lookup reports
     * ~1/buckets of the index per term, so downstream joins against lookup
@@ -299,24 +338,40 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
     * upper bound (the bucket holds other terms' postings too) — the right
     * direction for an estimate: it can only under-broadcast, never
     * overrun. */
+  // footer posting counts per file path, memoized across estimateStatistics
+  // calls (join reorder re-estimates repeatedly; footers are immutable once
+  // written — same treatment as IvfScan.footerRows, ADVICE r7)
+  private val footerRows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Driver-side footer reads are O(files-in-scope) at planning time, so
+    * cap them: a pruned lookup touches ~1/buckets of the index and pays a
+    * handful of footer opens; an UNfiltered scan of a huge index would pay
+    * one remote open per file for a number Catalyst only uses to pick join
+    * sides — skip it (rows = empty) above this many files. */
+  private val FooterReadCap = 256
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val fls = files()
     private val size = fls.map(_._2).sum
-    private val rows = fls.map { case (p, _) =>
-      val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(p), confSer.value))
-      try r.getFooter.getBlocks.asScala.map { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString.startsWith("doc_ids."))
-          .map(_.getValueCount)
-          .getOrElse(b.getRowCount) // doc_ids pruned from the file: 1 row/term
-      }.sum
-      finally r.close()
-    }.sum
+    private val rows: Option[Long] =
+      if (effectiveTerms.isEmpty && fls.length > FooterReadCap) None
+      else Some(fls.map { case (p, _, _) =>
+        footerRows.getOrElseUpdate(p, {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(p), confSer.value))
+          try r.getFooter.getBlocks.asScala.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString.startsWith("doc_ids."))
+              .map(_.getValueCount)
+              .getOrElse(b.getRowCount) // doc_ids pruned from the file: 1 row/term
+          }.sum
+          finally r.close()
+        })
+      }.sum)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(size)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
+      rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -394,7 +449,7 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
   @volatile private var availableNowEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd =
-      Some(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._2)))
+      Some(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._3)))
 
   private val allowedBuckets: Option[Set[Long]] =
     terms.map(_.map(IndexSource.bucketOf(_, buckets)))
@@ -404,11 +459,11 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
     * appender keeps `.spark-staging-*`/`_temporary` trees under the root
     * whose files vanish mid-listing — recursing into them races and
     * crashes the stream; the layout walk never enters them. */
-  private def segFiles(): Seq[(String, Long)] = {
+  private def segFiles(): Seq[(String, Long, Long)] = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf.value)
     if (!fs.exists(root)) return Seq.empty
-    val found = ArrayBuffer.empty[(String, Long)]
+    val found = ArrayBuffer.empty[(String, Long, Long)]
     val bucketDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .filter(s => allowedBuckets.forall(
@@ -416,17 +471,18 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
     for (b <- bucketDirs;
          segDir <- fs.listStatus(b.getPath).toSeq
            if segDir.isDirectory && segDir.getPath.getName.startsWith("seg=")) {
+      val bucket = b.getPath.getName.stripPrefix("bucket=").toLong
       val seg = segDir.getPath.getName.stripPrefix("seg=").toLong
       for (f <- fs.listStatus(segDir.getPath).toSeq
              if f.getPath.getName.endsWith(".parquet"))
-        found += ((f.getPath.toString, seg))
+        found += ((f.getPath.toString, bucket, seg))
     }
     found.sortBy(_._1).toSeq
   }
 
   override def initialOffset(): Offset = IndexSegOffset(-1L)
   override def latestOffset(): Offset =
-    IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._2)))
+    IndexSegOffset(segFiles().foldLeft(-1L)((m, f) => math.max(m, f._3)))
   override def deserializeOffset(json: String): Offset =
     IndexSegOffset.fromJson(json)
 
@@ -435,7 +491,7 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[IndexSegOffset].maxSeg
-    val fresh = segFiles().map(_._2)
+    val fresh = segFiles().map(_._3)
       .filter(seg => seg > s && availableNowEnd.forall(seg <= _))
       .distinct.sorted
     val admitted = limit match {
@@ -449,7 +505,8 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
     val s = start.asInstanceOf[IndexSegOffset].maxSeg
     val e = end.asInstanceOf[IndexSegOffset].maxSeg
     segFiles().collect {
-      case (p, seg) if seg > s && seg <= e => IndexFilePartition(p): InputPartition
+      case (p, bucket, seg) if seg > s && seg <= e =>
+        IndexFilePartition(p, bucket.toInt): InputPartition
     }.toArray
   }
 
@@ -460,8 +517,13 @@ private[graft] final class IndexMicroBatchStream(dir: String, buckets: Int,
   override def stop(): Unit = ()
 }
 
-private[graft] final case class IndexFilePartition(path: String)
-    extends InputPartition
+/** Carries the hash-bucket id its directory encodes; `HasPartitionKey`
+  * lets Spark group same-bucket files into one task under the reported
+  * [[KeyGroupedPartitioning]]. */
+private[graft] final case class IndexFilePartition(path: String, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
 
 private[sources] final class IndexReaderFactory(terms: Option[Set[String]],
     fieldNames: Array[String],

@@ -53,10 +53,23 @@ object InvertedIndex {
   }
 
   private[sources] def writeMeta(dir: String, buckets: Int): Unit = {
+    // Write to a temp name and rename into place: metaBuckets HARD-FAILS on
+    // a present-but-unparseable meta, so a reader racing a build must only
+    // ever observe a complete file — fs.create + write exposes an
+    // empty/partial window (ADVICE r7). The rename replaces atomically on
+    // HDFS-like stores; on stores where rename-onto-existing fails, delete
+    // first (the absent-file window falls back, which is the lenient path).
     val (fs, p) = hadoopFs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    val target = new org.apache.hadoop.fs.Path(p, MetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(p, s".$MetaFile.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"buckets": $buckets}""".getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"writeMeta: rename $tmp -> $target failed")
+    }
   }
 
   /** Bucket count recorded at build time; `fallback` when the meta file is

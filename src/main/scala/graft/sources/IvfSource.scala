@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -94,6 +95,12 @@ object IvfSource {
 
   /** What writers supply — cid is assigned by the quantizer. */
   val WriteSchema: StructType = StructType(Schema.fields.filter(_.name != "cid"))
+
+  /** No trained index at `dir` yet (no centroids written). */
+  private[sources] def isEmpty(dir: String): Boolean = {
+    val p = new HPath(dir, "centroids")
+    !p.getFileSystem(InvertedIndex.driverHadoopConf).exists(p)
+  }
 }
 
 private[sources] final class IvfTable(dir: String,
@@ -102,9 +109,14 @@ private[sources] final class IvfTable(dir: String,
   override def name(): String = s"graft.ivf($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
+    // ACCEPT_ANY_SCHEMA: writers supply (vec_id, v) while the table reads
+    // as (vec_id, v, cid) — by-name output resolution would otherwise
+    // demand the quantizer-assigned cid no writer can supply (the catalog
+    // route hits this: loadTable can't know a write is coming, ADVICE r7).
+    // The write builder below still validates the writer shape loudly.
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IvfScanBuilder(dir,
       Option(options.get("maxSegsPerTrigger")).map(_.toInt))
@@ -140,10 +152,16 @@ private[sources] final class IvfWriteBuilder(dir: String, seg: Option[Long],
         override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
           val spark = data.sparkSession
           import graft.operators.Similarity.IvfIndex
-          if (rebuild || overwrite) {
+          // An append into a location with no index yet is a FIRST BUILD,
+          // not an append: there are no stored centroids to assign with.
+          // This is the catalog-CTAS path (createTable, then
+          // insert(overwrite=false) into the empty location) — same
+          // empty-target special case as IndexWriteBuilder.
+          if (rebuild || overwrite || IvfSource.isEmpty(dir)) {
             val cells = k.getOrElse(throw new IllegalArgumentException(
-              "graft.ivf overwrite TRAINS a new quantizer and requires " +
-                ".option(\"k\", <cells>) (optional .option(\"iters\", n))"))
+              "graft.ivf training a quantizer (overwrite, or first write " +
+                "into an empty location) requires .option(\"k\", <cells>) " +
+                "(optional .option(\"iters\", n))"))
             val idx = IvfIndex.build(data.toDF(), cells, iters)
             try IvfIndex.write(idx, dir) finally idx.drop()
           } else {
@@ -193,9 +211,31 @@ private[graft] final class IvfScan(val dir: String,
     val pushedCids: Option[Seq[Int]], val required: StructType,
     maxSegsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The on-disk layout IS a clustering on `cid` (every `cid=C` directory
+    * holds exactly one cell), so report it: with
+    * `spark.sql.sources.v2.bucketing.enabled` Spark groups the file
+    * partitions per cell and keyed downstream ops — `groupBy("cid")`, a
+    * cid-keyed self-join (the storage-partitioned-join shape) — consume the
+    * clustering with ZERO Exchange instead of re-shuffling data the index
+    * already groups. At 100 TB that removes a full corpus shuffle from
+    * every cell-keyed consumer; task count becomes one per cell, which for
+    * a √n-sized quantizer is ample parallelism. Reported only when `cid`
+    * survives column pruning (the clustering key must be in the scan
+    * output) and the conf is on (so the planning-time listing isn't paid
+    * for nothing). */
+  override def outputPartitioning(): Partitioning = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (!conf.v2BucketingEnabled || !required.fieldNames.contains("cid"))
+      return new UnknownPartitioning(0)
+    val cells = files().map(_._3).distinct
+    if (cells.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      Array(Expressions.identity("cid")), cells.size)
+  }
 
   // session hadoopConfiguration captured at planning, shipped to readers
   private val confSer = new org.apache.spark.util.SerializableConfiguration(
@@ -393,8 +433,14 @@ private[graft] final class IvfMicroBatchStream(dir: String,
   override def stop(): Unit = ()
 }
 
+/** Carries the cell id its directory encodes; `HasPartitionKey` lets Spark
+  * group same-cell files into one task under the reported
+  * [[KeyGroupedPartitioning]] (and verify subset-preservation after runtime
+  * filtering). */
 private[graft] final case class IvfFilePartition(path: String, cid: Int)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(cid)
+}
 
 private[sources] final class IvfReaderFactory(cids: Option[Set[Int]],
     fieldNames: Array[String],

@@ -108,6 +108,109 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.vecs")
   }
 
+  test("bucket transform resolves through the catalog: groupBy(term) and a term-keyed join plan zero shuffle Exchange") {
+    // VERDICT r7 #1, index side: the bucket=B layout is a bucket(64, term)
+    // clustering. The transform only resolves against a FunctionCatalog —
+    // this catalog exposes the matching `bucket` function — so the
+    // catalog-routed read is the one that consumes it shuffle-free.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    ensureCatalog()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cat-spj").toString
+    graft.sources.InvertedIndex.build(Tables.documents(spark, sf), idxDir)
+    spark.sql(s"CREATE TABLE graft.spj_idx (term STRING, doc_id BIGINT) " +
+      s"USING `graft.index` LOCATION '$idxDir'")
+    try {
+      // document frequency: the index's groupBy(term) — equal terms are
+      // co-located by the writer's bucketing, so zero Exchange
+      val df = spark.table("graft.spj_idx").groupBy("term").count()
+      assert(shuffles(df).isEmpty,
+        s"groupBy(term) must consume the bucket clustering, zero Exchange:\n${df.queryExecution.sparkPlan}")
+      assert(rows(df.orderBy("term")) == rows(
+        spark.read.format("graft.index").option("dir", idxDir).load()
+          .groupBy("term").count().orderBy("term")),
+        "shuffle-free term counts must equal the path-route read")
+
+      // term-keyed self-join of two catalog reads: both sides report the
+      // same canonical bucket function over 64 buckets -> storage-
+      // partitioned join, zero Exchange
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val l = spark.table("graft.spj_idx")
+        val r = spark.table("graft.spj_idx")
+          .filter(col("doc_id") % 5 === 0) // residual: stays in Spark, keeps partitioning
+          .select(col("term"), col("doc_id").as("other"))
+        val j = l.join(r, "term")
+        assert(shuffles(j).isEmpty,
+          s"term-keyed index join must be storage-partitioned, zero Exchange:\n${j.queryExecution.sparkPlan}")
+        val p = spark.read.format("graft.index").option("dir", idxDir).load()
+        assert(j.count() ==
+          p.join(p.filter(col("doc_id") % 5 === 0)
+            .select(col("term"), col("doc_id").as("other")), "term").count(),
+          "the storage-partitioned join must produce exactly the shuffled join's rows")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    } finally spark.sql("DROP TABLE graft.spj_idx")
+  }
+
+  test("ivf CTAS and seg append through the catalog take the writer's (vec_id, v) schema") {
+    // ADVICE r7: catalog-named ivf tables were effectively read-only — the
+    // full-schema table demanded the quantizer-assigned cid from writers
+    ensureCatalog()
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    e.filter(col("vec_id") % 2 === 0)
+      .write.format("graft.ivf").option("k", "8").option("iters", "3")
+      .saveAsTable("graft.vec_tbl") // first write into the empty managed dir TRAINS
+    try {
+      e.filter(col("vec_id") % 2 =!= 0)
+        .write.format("graft.ivf").option("seg", "1")
+        .mode("append").saveAsTable("graft.vec_tbl") // assigns with stored centroids
+      val t = spark.table("graft.vec_tbl")
+      assert(t.columns.toSeq == Seq("vec_id", "v", "cid"),
+        "reads still surface the full (vec_id, v, cid) schema")
+      assert(t.count() == e.count(), "both writes' rows must be visible")
+      // the append assigned with the CTAS-trained centroids: every row's
+      // cid matches a driver-side reassignment with the stored centroids
+      val cents = rows(spark.read.parquet(s"$root/vec_tbl/centroids").orderBy("cid"))
+        .map(_(1).asInstanceOf[scala.collection.Seq[Double]].toSeq)
+      val mismatch = t.collect().count { row =>
+        val v = row.getSeq[Double](1)
+        val best = cents.zipWithIndex.minBy { case (c, _) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+          s
+        }._2
+        best != row.getInt(2)
+      }
+      assert(mismatch == 0, s"$mismatch rows have a cid that is not the nearest stored centroid")
+    } finally spark.sql("DROP TABLE graft.vec_tbl")
+    assert(!new java.io.File(s"$root/vec_tbl").exists(),
+      "dropping the managed ivf table must remove its data")
+  }
+
+  test("descriptor round-trips locations with quotes and backslashes") {
+    // ADVICE r7: writeMeta interpolated raw strings into JSON; a location
+    // with a quote wrote a descriptor readMeta then rejected, bricking the
+    // table name
+    import scala.jdk.CollectionConverters._
+    val root2 = java.nio.file.Files.createTempDirectory("graft-cat-esc").toString
+    val cat = new graft.sources.GraftCatalog
+    cat.initialize("gesc", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("dir" -> root2).asJava))
+    val weird = """/tmp/we"ird\loc"""
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "weird")
+    cat.createTable(ident, graft.sources.IndexSource.Schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      Map(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER -> "graft.index",
+        org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION -> weird).asJava)
+    val loaded = cat.loadTable(ident)
+    assert(loaded.name().contains(weird),
+      s"the exact location must round-trip through the descriptor: ${loaded.name()}")
+    assert(cat.dropTable(ident))
+  }
+
   test("catalog inventory: list, rename, recreate after drop") {
     ensureCatalog()
     val idxDir = java.nio.file.Files.createTempDirectory("graft-cat-ls").toString
