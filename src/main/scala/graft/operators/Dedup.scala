@@ -130,14 +130,30 @@ object Dedup {
     * losing genuine duplicates). With the pre-pass in place, a residual
     * mega-bucket can only be near-identical-but-distinct docs; dropping it
     * is the documented recall loss of the cap. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = DefaultMaxDf): DataFrame = {
+  /** The (doc_id, band, bh) LSH bucket entries of a signature frame — the
+    * banding half of [[lshCandidates]], exposed so [[MinHashIndex]] can
+    * PERSIST bucket membership per ingest segment instead of recomputing
+    * it from text. */
+  private[graft] def bandBuckets(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .groupBy(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxDf): DataFrame =
+    pairsFromBuckets(bandBuckets(sig, bands, rowsPerBand), maxBucket)
+
+  /** Ordered candidate pairs from (doc_id, band, bh) bucket entries — the
+    * pairing half of [[lshCandidates]], shared with [[MinHashIndex]]'s
+    * stored-bucket path so the two cannot drift. */
+  private[graft] def pairsFromBuckets(bk: DataFrame,
+      maxBucket: Int = DefaultMaxDf): DataFrame = {
+    bk.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")).between(2, maxBucket))
       .select(explode(expr(
@@ -283,14 +299,35 @@ object Dedup {
       .filter(col("wdf") <= maxDf)
       .select(col("sh"), col("docs"))
       .localCheckpoint()
+    verifiedExpandedPairs(cand, postings,
+      grp.select(col("rep"), col("members")),
+      grp.filter(size(col("members")) >= 2)
+        .join(sh.select(col("doc_id").as("rep")).distinct(), "rep")
+        .select(col("members")),
+      threshold)
+  }
+
+  /** The verification + expansion tail shared by [[minhashNearDupPairs]]
+    * and [[MinHashIndex.pairs]] (one definition, so the from-text and
+    * from-stored-components paths cannot drift):
+    *  - `cand`: (da, db) candidate REP pairs from LSH buckets;
+    *  - `postings`: (sh, docs) capped shingle posting lists — the exact
+    *    capped-set Jaccard verifier's input;
+    *  - `mem`: (rep, members) collapse groups for cross-group expansion (a
+    *    verified rep pair holds for every member cross product — exact,
+    *    identical text means identical shingle sets);
+    *  - `withinGroups`: (members) of groups with >= 2 members whose text
+    *    HAS shingles — byte-identity pairs at Jaccard 1, gated on shingle
+    *    EXISTENCE (not capped survival: the declared divergence from the
+    *    capped ground truth, see [[minhashNearDupPairs]]'s Scaladoc). */
+  private[graft] def verifiedExpandedPairs(cand: DataFrame, postings: DataFrame,
+      mem: DataFrame, withinGroups: DataFrame, threshold: Double): DataFrame = {
     val kept = postings.select(col("sh"), explode(col("docs")).as("doc_id"))
     val inter = cand.join(kept.select(col("doc_id").as("da"), col("sh")), "da")
       .join(kept.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     val verified = jaccardFromInter(inter, docCounts(postings), threshold)
-    // cross-group expansion: a verified (repA, repB) pair holds for every
-    // (member of A) × (member of B) — da < db restored via least/greatest
-    val mem = grp.select(col("rep"), col("members"))
+    // cross-group expansion: da < db restored via least/greatest
     val cross = verified
       .join(mem.select(col("rep").as("da"), col("members").as("ma")), "da")
       .join(mem.select(col("rep").as("db"), col("members").as("mb")), "db")
@@ -299,15 +336,7 @@ object Dedup {
           "struct(least(x, y) AS da, greatest(x, y) AS db))))")).as("p"),
         col("jaccard"))
       .select(col("p.da").as("da"), col("p.db").as("db"), col("jaccard"))
-    // within-group pairs: identical texts are Jaccard-1 dups by definition
-    // — but only for docs that HAVE shingles (<3-token docs are outside
-    // the ngram ground truth's domain and must stay outside ours). Gated on
-    // shingle EXISTENCE, not capped-set survival: a group whose every
-    // shingle exceeds the weighted cap still emits its byte-identity pairs
-    // (the declared divergence from the capped ground truth — see the
-    // Scaladoc).
-    val within = grp.filter(size(col("members")) >= 2)
-      .join(sh.select(col("doc_id").as("rep")).distinct(), "rep")
+    val within = withinGroups
       .select(explode(expr(
         "flatten(transform(members, x -> transform(filter(members, y -> y > x), " +
           "y -> struct(x AS da, y AS db))))")).as("p"))

@@ -42,7 +42,7 @@ object InvertedIndex {
     * data reads), falling back to a bare Configuration only outside any
     * session. A bare `new Configuration()` here silently dropped those
     * settings (ADVICE r6). */
-  private[sources] def driverHadoopConf: org.apache.hadoop.conf.Configuration =
+  private[graft] def driverHadoopConf: org.apache.hadoop.conf.Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
