@@ -31,7 +31,19 @@ trait MapperJob[T, O] extends Serializable {
   def sliceStarted(spark: SparkSession, slice: Int): Unit = {}
   def sliceCommitted(spark: SparkSession, slice: Int, processed: Long): Unit = {}
   def sliceSkipped(spark: SparkSession, slice: Int): Unit = {}
+
+  /** Job chaining [U: a datastore-mapper job can trigger a continuation job
+    * on completion]: `this` runs to completion (its `jobCompleted` hook
+    * fires), then `next` starts with THIS job's output directory as its
+    * input. Executed by [[MapperRunner.runChainedResumable]], which also
+    * carries the slice checkpoint-resume contract ACROSS the boundary. */
+  def andThen[T2, O2](next: MapperJob[T2, O2]): ChainedMapperJob[T, O, T2, O2] =
+    ChainedMapperJob(this, next)
 }
+
+/** A two-stage chain built by [[MapperJob.andThen]]. */
+final case class ChainedMapperJob[T1, O1, T2, O2](
+    first: MapperJob[T1, O1], second: MapperJob[T2, O2])
 
 object MapperRunner {
   /** Lazily runs the mapper as mapPartitions. Progress is an `Observation`
@@ -123,6 +135,78 @@ object MapperRunner {
     }
     job.jobCompleted(spark, processed)
     (processed, ran.toSeq)
+  }
+
+  /** Entity MUTATION through the facade [U: datastore-mapper jobs iterate
+    * entities and can put/delete them, not only export] — the
+    * transform-in-place shape: the job's `query` reads the LIVE table at
+    * `path`, `next` returns the entity's replacement(s) (empty = delete),
+    * the full output lands BESIDE the live directory, and
+    * [[graft.AtomicSwap]] replaces it with the compact/retrain
+    * checked-rename contract: a crash leaves the old snapshot live (or
+    * fully intact at `<path>.old`), never half-rewritten. Returns the
+    * processed entity count. */
+  def rewriteInPlace[T, O: Encoder](spark: SparkSession, path: String,
+      job: MapperJob[T, O]): Long = {
+    job.jobStarted(spark)
+    val obs = Observation()
+    val tmp = path + ".rewriting"
+    job.query(spark, path)
+      .observe(obs, count(lit(1)).as("processed"))
+      .mapPartitions(it => it.flatMap(job.next))
+      .write.mode("overwrite").parquet(tmp)
+    val processed = obs.get("processed").asInstanceOf[Long]
+    graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
+      path, tmp, "rewriteInPlace")
+    job.jobCompleted(spark, processed)
+    processed
+  }
+
+  /** Delete-by-predicate over a parquet table — the common mutation,
+    * without requiring a typed job: survivors pass through UNCHANGED
+    * (row-identical rewrite), rows matching the predicate are removed, and
+    * NULL-predicate rows are kept (SQL DELETE semantics). Same
+    * copy-on-write atomic swap as [[rewriteInPlace]]. Returns
+    * (kept, deleted), accounted by an Observation on the one rewrite pass
+    * — no second scan. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, not, when}
+    val obs = Observation()
+    val tmp = path + ".rewriting"
+    spark.read.parquet(path)
+      .observe(obs, count(lit(1)).as("total"),
+        count(when(predicate, 1)).as("deleted"))
+      .filter(not(coalesce(predicate, lit(false))))
+      .write.mode("overwrite").parquet(tmp)
+    val total = obs.get("total").asInstanceOf[Long]
+    val deleted = obs.get("deleted").asInstanceOf[Long]
+    graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
+      path, tmp, "deleteWhere")
+    (total - deleted, deleted)
+  }
+
+  /** Run a [[ChainedMapperJob]] with the resumable slice contract carried
+    * ACROSS the chain boundary: job A checkpoints per slice into `midPath`;
+    * when its final slice commits, its `jobCompleted` hook fires and job B
+    * starts — reading A's output at `midPath` as its input — checkpointing
+    * into `outPath`. ONE restart of this call resumes wherever the kill
+    * landed: A's committed slices skip via their `_SUCCESS` markers (B
+    * never starts early, because a restart re-walks A first), and B's
+    * committed slices skip likewise. Combined progress = A's + B's
+    * processed counts, with each job's own lifecycle events intact. */
+  def runChainedResumable[T1: Encoder, O1: Encoder, T2: Encoder, O2: Encoder](
+      spark: SparkSession, sfDir: String,
+      chain: ChainedMapperJob[T1, O1, T2, O2],
+      midPath: String, outPath: String,
+      chunks: Int = 16): (Long, Seq[Int], Seq[Int]) = {
+    val (pa, ranA) = runToParquetResumable(spark, sfDir, chain.first,
+      midPath, chunks)
+    // chain.first.jobCompleted has fired inside the call above — the
+    // continuation starts on the completion hook, consuming A's output
+    val (pb, ranB) = runToParquetResumable(spark, midPath, chain.second,
+      outPath, chunks)
+    (pa + pb, ranA, ranB)
   }
 }
 

@@ -553,20 +553,9 @@ object Similarity {
       * live → `.old` → drop, every rename checked, so a crash leaves the
       * index either still live at `dir` or recoverable at `<dir>.old`. */
     private[operators] def swapInRebuilt(spark: SparkSession, dir: String,
-        tmp: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val old = new org.apache.hadoop.fs.Path(dir + ".old")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def renameOrThrow(from: org.apache.hadoop.fs.Path,
-          to: org.apache.hadoop.fs.Path): Unit =
-        if (!fs.rename(from, to))
-          throw new java.io.IOException(
-            s"retrain: rename $from -> $to failed; index left unswapped")
-      fs.delete(old, true)
-      renameOrThrow(p, old)
-      renameOrThrow(new org.apache.hadoop.fs.Path(tmp), p)
-      fs.delete(old, true)
-    }
+        tmp: String): Unit =
+      graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
+        dir, tmp, "retrain")
   }
 
   /** IVF-PQ: product-quantized residual codes over an [[IvfIndex]] (Jégou,

@@ -208,22 +208,8 @@ object InvertedIndex {
     val tmp = dir + ".compacting"
     merged.write.mode("overwrite").partitionBy("bucket", "seg").parquet(tmp)
     writeMeta(tmp, b) // the swapped-in dir must carry the count too
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // HDFS-style FileSystems report rename failure by RETURNING FALSE, not
-    // throwing — an unchecked rename here would leave the stale index live
-    // and then delete its only `.old` backup. Fail loudly instead; the
-    // recovery state is documented above (old index intact, or at `.old`).
-    def renameOrThrow(from: org.apache.hadoop.fs.Path,
-        to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(
-          s"compact: rename $from -> $to failed; index left unswapped")
-    fs.delete(old, true)
-    renameOrThrow(p, old)
-    renameOrThrow(new org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(old, true)
+    graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
+      dir, tmp, "compact")
   }
 
   /** All doc_ids whose text contains `term`, via the index: reads one
