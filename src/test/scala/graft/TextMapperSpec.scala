@@ -610,6 +610,32 @@ class TextMapperSpec extends SparkSpec {
       .filter(col("len") <= lit(0)).count() == 0)
   }
 
+  test("q_mutate_delete is idempotent across executions; q_search_index_df aggregates without a hash shuffle") {
+    import org.apache.spark.sql.functions._
+    val q1 = rows(MapperFacade.queries("q_mutate_delete")(spark, sf))
+    val q2 = rows(MapperFacade.queries("q_mutate_delete")(spark, sf))
+    assert(q1.nonEmpty && q1 == q2,
+      "re-executing the mutation query must rewrite the identical survivor set")
+    assert(q1.forall(_.head.asInstanceOf[Long] % 7 != 0), "predicate rows gone")
+
+    // the term-df query consumes the index's reported bucket clustering:
+    // the ONLY shuffle in the plan is the deterministic output sort
+    // (range), never a hash exchange for the aggregation
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = graft.operators.TextAnalysis.queries("q_search_index_df")(spark, sf)
+    val ex = df.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+      s"the groupBy(term) must consume the bucket clustering — only the output sort may shuffle:\n${df.queryExecution.sparkPlan}")
+    // and it equals a from-text recompute
+    val viaText = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(graft.functions.TextTokens.ToksSql))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df")).orderBy("term")
+    assert(rows(df) == rows(viaText),
+      "index-side document frequency must equal the from-text recompute")
+  }
+
   test("mapper facade: runToParquet composes a single output file and fires hooks") {
     val out = Files.createTempDirectory("graft-mapper").toString + "/out"
     var completed = -1L
