@@ -186,6 +186,37 @@ object MapperRunner {
     (total - deleted, deleted)
   }
 
+  /** Upsert-by-key over a parquet table — the datastore "put" verb [U:
+    * datastore-mapper jobs put entities]: rows of `updates` REPLACE live
+    * rows sharing their key and rows with unseen keys are inserted, in one
+    * copy-on-write pass (live anti-join updates' keys, union updates) with
+    * the same [[graft.AtomicSwap]] contract as the other mutation verbs.
+    * `updates` must carry the live schema. Returns (updated, inserted),
+    * accounted by Observations on the single rewrite — no extra scan. At
+    * scale the anti-join shuffles on the key once; a partitioned store
+    * would bound the rewrite to the touched partitions, the same way the
+    * segmented indexes replace only their own `seg=` directories. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    val live = spark.read.parquet(path)
+    val obsL = Observation(); val obsK = Observation(); val obsU = Observation()
+    val keyed = updates.select(keyCols.map(col): _*)
+    val tmp = path + ".rewriting"
+    live
+      .observe(obsL, count(lit(1)).as("live"))
+      .join(keyed, keyCols, "left_anti")
+      .observe(obsK, count(lit(1)).as("kept"))
+      .unionByName(updates.observe(obsU, count(lit(1)).as("upd")))
+      .write.mode("overwrite").parquet(tmp)
+    val liveN = obsL.get("live").asInstanceOf[Long]
+    val kept = obsK.get("kept").asInstanceOf[Long]
+    val updN = obsU.get("upd").asInstanceOf[Long]
+    graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
+      path, tmp, "upsert")
+    val updated = liveN - kept
+    (updated, updN - updated)
+  }
+
   /** Run a [[ChainedMapperJob]] with the resumable slice contract carried
     * ACROSS the chain boundary: job A checkpoints per slice into `midPath`;
     * when its final slice commits, its `jobCompleted` hook fires and job B
@@ -229,18 +260,46 @@ object MapperFacade {
       s"""{"o_orderkey":${t.o_orderkey},"o_orderstatus":"${t.o_orderstatus}","o_orderpriority":"${t.o_orderpriority}"}"""))
   }
 
-  // Session-scoped MUTABLE copy of the documents table — the entity store
-  // q_mutate_delete deletes from. A copy because the testdata is read-only
-  // and a mutation query must own its target; cached per (session, sfDir)
-  // so the copy cost is paid once, evicted with the temp-dir sweep.
+  // Session-scoped MUTABLE copies of the documents table — the entity
+  // stores the mutation queries operate on. Copies because the testdata is
+  // read-only and a mutation query must own its target; one per mutation
+  // query (their mutations must not interact — Verify/Bench run queries in
+  // arbitrary order), cached per (session, sfDir) so the copy cost is paid
+  // once, evicted with the temp-dir sweep.
   private val mutCache = new graft.SessionCache[String](graft.TempDirs.delete)
-  private def mutableDocsFor(s: SparkSession, d: String): String =
-    mutCache.getOrBuild(s, d) {
-      val root = graft.TempDirs.create("graft-mutable-docs")
+  private val rwCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private val upCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def ownedDocsCopy(cache: graft.SessionCache[String],
+      s: SparkSession, d: String, tag: String): String =
+    cache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create(tag)
       val path = s"$root/documents"
       graft.Tables.documents(s, d).write.mode("overwrite").parquet(path)
       path
     }
+  private def mutableDocsFor(s: SparkSession, d: String): String =
+    ownedDocsCopy(mutCache, s, d, "graft-mutable-docs")
+
+  /** The rewrite twin of q_mutate_delete: a TYPED transform-in-place job.
+    * Entities from the retired `src13` feed are dropped (`next` returns
+    * empty — the facade's flatMap contract covers delete and rewrite in
+    * one pass); every survivor's `lang` normalizes to upper case. Both
+    * steps are idempotent, so re-execution rewrites the identical entity
+    * set. The job's `query` selects only the columns its output carries,
+    * so it reads the live table equally before and after the first
+    * rewrite. */
+  final case class DocEnt(doc_id: Long, lang: String, source: String,
+      n_chars: Long)
+  object NormalizeJob extends MapperJob[DocEnt, DocEnt] {
+    def query(spark: SparkSession, path: String): Dataset[DocEnt] = {
+      import spark.implicits._
+      spark.read.parquet(path)
+        .select("doc_id", "lang", "source", "n_chars").as[DocEnt]
+    }
+    def next(t: DocEnt): IterableOnce[DocEnt] =
+      if (t.source == "src13") Iterator.empty
+      else Iterator.single(t.copy(lang = t.lang.toUpperCase))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mapper_jsonl" -> ((s, d) => {
@@ -261,6 +320,40 @@ object MapperFacade {
       s.read.parquet(path)
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // The rewrite verb through the same facade (on its OWN table copy):
+    // a typed job drops one source's entities and normalizes the rest,
+    // rewriteInPlace swaps the result in atomically, and the query reads
+    // the LIVE table back. The oracle applies the equivalent
+    // transform-SELECT to the original table.
+    "q_mutate_rewrite" -> ((s, d) => {
+      import s.implicits._
+      val path = ownedDocsCopy(rwCache, s, d, "graft-rewrite-docs")
+      MapperRunner.rewriteInPlace(s, path, NormalizeJob)
+      s.read.parquet(path)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // The put verb (upsert-by-key) through the facade, on its OWN copy:
+    // one deterministic batch both UPDATES every doc_id % 10 == 0 entity
+    // (source recurated) and INSERTS a shifted twin of every
+    // doc_id % 50 == 0 doc — derived from the original table, so
+    // re-execution converges (updates rewrite the same values, inserts
+    // replace identical rows). The oracle applies the same merge as a
+    // SELECT over the original table.
+    "q_mutate_upsert" -> ((s, d) => {
+      val path = ownedDocsCopy(upCache, s, d, "graft-upsert-docs")
+      val orig = graft.Tables.documents(s, d)
+      val updates = orig.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("curated"))
+        .unionByName(orig.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      MapperRunner.upsert(s, path, updates, Seq("doc_id"))
+      s.read.parquet(path)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +361,14 @@ object MapperFacade {
       """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""",
     "q_mutate_delete" ->
       ("SELECT doc_id, source, lang, n_chars FROM documents " +
-        "WHERE NOT (doc_id % 7 = 0) ORDER BY doc_id"))
+        "WHERE NOT (doc_id % 7 = 0) ORDER BY doc_id"),
+    "q_mutate_rewrite" ->
+      ("SELECT doc_id, upper(lang) AS lang, source, n_chars FROM documents " +
+        "WHERE source <> 'src13' ORDER BY doc_id"),
+    "q_mutate_upsert" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 10 = 0 THEN 'curated' ELSE source END AS source, " +
+        "n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars " +
+        "FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"))
 }

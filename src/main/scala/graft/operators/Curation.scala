@@ -192,6 +192,39 @@ object Curation {
         .na.fill(0L, Seq("n_kept"))
         .select("lang", "n_total", "n_kept")
         .orderBy("lang")
+    }),
+
+    // Temperature-flattened source mixing (the "set the training mix"
+    // step, the multilingual-sampling rule of Conneau & Lample 2019 /
+    // mT5): source s with n_s docs gets target share ∝ n_s^(1/2) (T=2
+    // flattening — sqrt is IEEE-correctly-rounded, so the weights are
+    // bit-identical across engines), scaled to a 200-doc budget and kept
+    // via the deterministic integer-hash uniform. The weight SUM crosses
+    // engines through a decimal cast (partition-order-invariant, exact);
+    // every double op after it is a fixed left-to-right sequence mirrored
+    // in the oracle. The corpus pass is map-only against a broadcast
+    // per-source rate table — at 100 TB the only full-data cost is one
+    // filter.
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val w = n.withColumn("w",
+        sqrt(col("n_total").cast("double")).cast("decimal(28,12)"))
+      val tot = w.agg(sum(col("w")).as("tot"))
+      val rated = w.crossJoin(broadcast(tot))
+        .withColumn("rate", round(
+          least(lit(1.0),
+            lit(200.0) * col("w").cast("double") / col("tot").cast("double")
+              / col("n_total").cast("double")), 6))
+        .select("source", "n_total", "rate")
+      val u = (col("doc_id") * lit(2654435761L) + lit(97L)) % lit(1000000007L)
+      val kept = docs.join(broadcast(rated), "source")
+        .filter(u.cast("double") / 1000000007.0 < col("rate"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rated.join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .select("source", "n_total", "n_kept", "rate")
+        .orderBy("source")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +291,16 @@ object Curation {
         "WHERE CAST((d.doc_id * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007.0 " +
         "< LEAST(1.0, 120.0 / lang_n.n_total) GROUP BY d.lang) " +
         "SELECT lang_n.lang, lang_n.n_total, COALESCE(kept.n_kept, 0) AS n_kept " +
-        "FROM lang_n LEFT JOIN kept USING (lang) ORDER BY lang_n.lang"))
+        "FROM lang_n LEFT JOIN kept USING (lang) ORDER BY lang_n.lang"),
+    "q_mix_temperature" ->
+      ("WITH n AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_total, CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(28,12)) AS w FROM n), " +
+        "t AS (SELECT SUM(w) AS tot FROM w), " +
+        "r AS (SELECT source, n_total, round(least(1.0, " +
+        "200.0 * CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS rate FROM w, t), " +
+        "kept AS (SELECT d.source, count(*) AS n_kept FROM documents d JOIN r USING (source) " +
+        "WHERE CAST((d.doc_id * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007.0 < r.rate " +
+        "GROUP BY d.source) " +
+        "SELECT r.source, r.n_total, COALESCE(kept.n_kept, 0) AS n_kept, r.rate " +
+        "FROM r LEFT JOIN kept USING (source) ORDER BY r.source"))
 }

@@ -203,6 +203,46 @@ object MinHashIndex {
       .select(col("sh"), col("docs"))
       .localCheckpoint()
 
+  /** Compact every segment into ONE (seg=0): the read-side collapse —
+    * cross-segment group merge, rep remap, bucket/posting dedup — runs once
+    * and lands as the new physical layout, so subsequent reads skip the
+    * remap join and the file count drops from O(segments × pb) to O(pb).
+    * Each component directory is replaced via [[graft.AtomicSwap]]
+    * (checked renames: a crash leaves that component's old snapshot live or
+    * fully intact at `.old`, never half-rewritten). The swap order is
+    * groups → buckets → postings, and a crash BETWEEN component swaps still
+    * reads exactly the same pairs: compaction changes representation, not
+    * content — a segmented component and its compacted form remap to the
+    * identical distinct row set, because every per-segment rep of a text
+    * wrote the same bucket keys and shingles as the surviving global rep
+    * (identical text ⇒ identical signature). Compaction resets the segment
+    * clock: live data sits entirely in seg=0, so appends after compact use
+    * fresh seg ≥ 1 and `freshPairs(sinceSeg = 0)` sees exactly the
+    * post-compact arrivals. Single-maintainer contract, like
+    * `InvertedIndex.compact`. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val p = readMeta(dir)
+    val (g, _, bk, posts) = components(spark, dir)
+    // materialize ALL THREE rewrites before any swap — the lazy reads
+    // behind bk/posts still point at the live directories
+    val tmpRoot = dir + ".compacting"
+    writeSeg(g.select("tkey", "rep", "members", "has_sh"),
+      s"$tmpRoot/groups", 0L, Seq("seg"))
+    writeSeg(
+      bk.select(col("doc_id").as("rep"), col("band"), col("bh"))
+        .withColumn("pb", pmod(xxhash64(col("band"), col("bh")), lit(p.buckets))),
+      s"$tmpRoot/buckets", 0L, Seq("pb", "seg"))
+    writeSeg(
+      posts.select(col("doc_id").as("rep"), col("sh"))
+        .withColumn("pb", pmod(xxhash64(col("sh")), lit(p.buckets))),
+      s"$tmpRoot/postings", 0L, Seq("pb", "seg"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (c <- Seq("groups", "buckets", "postings"))
+      graft.AtomicSwap.replace(conf, s"$dir/$c", s"$tmpRoot/$c", "minhash-compact")
+    val (fs, _) = hadoopFs(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+  }
+
   /** The steady-state incremental question: pairs INVOLVING docs that
     * arrived after `sinceSeg` — candidate generation probes only buckets
     * containing a batch-touched group (the "new batch probes existing

@@ -151,6 +151,36 @@ object Pipeline {
           sum(col("n_chars")).cast("long").as("n_chars"))
         .orderBy("lang", "split")),
 
+    // Deterministic global training shuffle: an epoch's order is the
+    // range-sort of a seeded hash key — reproducible across runs, engines,
+    // and cluster layouts (no rand()), and scalable: ONE range-partitioned
+    // sort exchange, no single-partition window, no driver pass. A new
+    // epoch is a new seed string — a full, equally-cheap reshuffle; a
+    // loader resumes mid-epoch by remembering its last key.
+    "q_shuffle_seeded" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("skey",
+          md5(concat(lit("epoch-42:"), col("doc_id").cast("string"))))
+        .select("skey", "doc_id", "lang")
+        .orderBy("skey")),
+
+    // Token-balanced shard assignment: within each language, docs walk in
+    // descending token order and round-robin across 8 shards — the greedy
+    // LPT-style guarantee (any two shards of a language differ by at most
+    // one document's tokens) with only a per-stratum window, never a
+    // global rank. The "write N equal training shards" step, summarized
+    // per (lang, shard).
+    "q_shard_balanced" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("toks").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("toks", nToks)
+        .withColumn("shard", (row_number().over(w) - 1) % 8)
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("shard_toks"))
+        .orderBy("lang", "shard")
+    }),
+
     // Latest-version compaction: one surviving row per (user_id, event_type)
     // entity — the newest by (ts, event_id). The upsert/SCD-1 snapshot shape:
     // reading a change log back to current state.
@@ -220,6 +250,15 @@ object Pipeline {
         "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) " +
         "GROUP BY lang, split ORDER BY lang, split"),
+    "q_shuffle_seeded" ->
+      ("SELECT md5('epoch-42:' || CAST(doc_id AS VARCHAR)) AS skey, doc_id, lang " +
+        "FROM documents ORDER BY skey"),
+    "q_shard_balanced" ->
+      (s"SELECT lang, shard, count(*) AS n_docs, " +
+        "CAST(SUM(CAST(toks AS BIGINT)) AS BIGINT) AS shard_toks FROM (" +
+        s"SELECT lang, doc_id, $DuckNToks AS toks, " +
+        s"CAST((row_number() OVER (PARTITION BY lang ORDER BY $DuckNToks DESC, doc_id) - 1) % 8 AS INTEGER) AS shard " +
+        "FROM documents) GROUP BY lang, shard ORDER BY lang, shard"),
     "q_upsert_latest" ->
       ("SELECT user_id, event_type, event_id, " +
         "date_trunc('second', ts) AS ts_s, round(value, 4) AS value_r FROM (" +

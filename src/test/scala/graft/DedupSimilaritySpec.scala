@@ -520,6 +520,51 @@ class DedupSimilaritySpec extends SparkSpec {
       s"the candidate read must partition-prune on pb:\n${bucketScans.map(_.metadata.get("PartitionFilters")).mkString}")
   }
 
+  test("minhash index compaction: one segment, identical pairs, the segment clock restarts") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MinHashIndex
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val c = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-compact").toString
+    MinHashIndex.build(a, dir)
+    MinHashIndex.append(b, dir, seg = 1L)
+    val before = rows(MinHashIndex.pairs(spark, dir).orderBy("da", "db"))
+    assert(before.nonEmpty)
+    def segs: Set[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        st.forEach(p => {
+          val n = p.getFileName.toString
+          if (n.startsWith("seg=")) out += n
+        })
+        out.toSet
+      } finally st.close()
+    }
+    assert(segs == Set("seg=0", "seg=1"))
+    MinHashIndex.compact(spark, dir)
+    assert(segs == Set("seg=0"),
+      "compaction must leave exactly one segment in every component")
+    assert(rows(MinHashIndex.pairs(spark, dir).orderBy("da", "db")) == before,
+      "compaction changes representation, never content")
+    // the segment clock restarts: a post-compact batch lands as seg 1 and
+    // the union still reproduces the from-scratch pipeline exactly
+    MinHashIndex.append(c, dir, seg = 1L)
+    val scratch = rows(Dedup.minhashNearDupPairs(docs).orderBy("da", "db"))
+    assert(rows(MinHashIndex.pairs(spark, dir).orderBy("da", "db")) == scratch,
+      "post-compact appends must keep the from-scratch equivalence")
+    // and the steady-state probe sees exactly the post-compact arrivals
+    val cIds = c.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = scratch.filter(r =>
+      cIds.contains(r.head.asInstanceOf[Long]) ||
+        cIds.contains(r(1).asInstanceOf[Long]))
+    assert(rows(MinHashIndex.freshPairs(spark, dir, sinceSeg = 0L)
+        .orderBy("da", "db")) == expected,
+      "freshPairs(0) after compact must see exactly the new batch's pairs")
+  }
+
   test("auto-k sizing, staleness-triggered retrain policy, and the recall report") {
     // VERDICT r7 wrong #3 / next #4: k was a pinned toy constant and
     // nothing ever called retrain — this is the sizing rule + the policy

@@ -479,4 +479,50 @@ class OperatorSpec extends SparkSpec {
     assert(u.distinct.length == u.length)
     assert(u.sorted.toSeq == u.toSeq)
   }
+
+  test("seeded shuffle is a windowless range-sort permutation; shards and mixing hold their bounds") {
+    // q_shuffle_seeded: ONE range-sort exchange, no global-rank window, and
+    // the output is exactly a permutation of the corpus in a non-trivial order
+    val sh = Pipeline.queries("q_shuffle_seeded")(spark, sf)
+    val shPlan = physicalPlan(sh)
+    assert(shPlan.contains("rangepartitioning"),
+      s"epoch order must be a range sort:\n$shPlan")
+    assert(!shPlan.contains("Window"),
+      s"a global-rank window would single-partition at scale:\n$shPlan")
+    val ids = rows(sh).map(_(1).asInstanceOf[Long])
+    val all = rows(Tables.documents(spark, sf).select("doc_id"))
+      .map(_.head.asInstanceOf[Long])
+    assert(ids.size == all.size && ids.toSet == all.toSet,
+      "an epoch must be a permutation of the corpus")
+    assert(ids != ids.sorted, "the seeded order should not be doc_id order")
+
+    // q_shard_balanced: round-robin over descending token order bounds any
+    // two shards of a language by one document's tokens
+    val shards = rows(Pipeline.queries("q_shard_balanced")(spark, sf))
+    val maxToks = rows(Tables.documents(spark, sf).groupBy("lang")
+        .agg(max(size(expr("filter(split(text, ' '), w -> w <> '')")))))
+      .map(r => r.head.asInstanceOf[String] -> r(1).asInstanceOf[Int]).toMap
+    shards.groupBy(_.head.asInstanceOf[String]).foreach { case (lang, rs) =>
+      val tots = rs.map(_(3).asInstanceOf[Long])
+      assert(tots.max - tots.min <= maxToks(lang),
+        s"$lang: shard spread ${tots.max - tots.min} exceeds one doc (${maxToks(lang)})")
+    }
+
+    // q_mix_temperature: rates are valid probabilities and T=2 flattening
+    // always favors the smaller source
+    val mix = rows(Curation.queries("q_mix_temperature")(spark, sf))
+    assert(mix.nonEmpty)
+    mix.foreach { r =>
+      val (n, k, rate) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+        r(3).asInstanceOf[Double])
+      assert(rate > 0.0 && rate <= 1.0 && k <= n, s"bad mix row: $r")
+    }
+    mix.sortBy(_(1).asInstanceOf[Long]).map(_(3).asInstanceOf[Double])
+      .sliding(2).foreach {
+        case Seq(smaller, larger) =>
+          assert(smaller >= larger,
+            "temperature flattening must give a smaller source >= keep rate")
+        case _ => ()
+      }
+  }
 }

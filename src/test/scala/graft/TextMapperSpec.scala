@@ -618,6 +618,40 @@ class TextMapperSpec extends SparkSpec {
       "re-executing the mutation query must rewrite the identical survivor set")
     assert(q1.forall(_.head.asInstanceOf[Long] % 7 != 0), "predicate rows gone")
 
+    // the rewrite verb, on its own copy: the typed job drops src13 and
+    // upper-cases lang in ONE flatMap pass; re-execution is a fixpoint
+    val r1 = rows(MapperFacade.queries("q_mutate_rewrite")(spark, sf))
+    val r2 = rows(MapperFacade.queries("q_mutate_rewrite")(spark, sf))
+    assert(r1.nonEmpty && r1 == r2,
+      "re-running the rewrite job must rewrite the identical entity set")
+    assert(r1.forall(_(2).asInstanceOf[String] != "src13"),
+      "the dropped source's entities must be gone")
+    assert(r1.forall(r => { val l = r(1).asInstanceOf[String]; l == l.toUpperCase }),
+      "survivors' langs must be normalized")
+  }
+
+  test("upsert-by-key: update/insert accounting, merge content, and the declared query converges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(dir)
+    val (upd, ins) = MapperRunner.upsert(spark, dir,
+      Seq((2L, "B"), (9L, "z")).toDF("id", "v"), Seq("id"))
+    assert((upd, ins) == ((1L, 1L)),
+      s"one key existed (update), one was new (insert): got ($upd, $ins)")
+    assert(rows(spark.read.parquet(dir).orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c"), Seq(9L, "z")),
+      "updates replace by key, inserts append, survivors untouched")
+
+    // the declared put-verb query: a re-run converges (updates rewrite the
+    // same values, inserts replace identical rows) and the recuration shows
+    val u1 = rows(MapperFacade.queries("q_mutate_upsert")(spark, sf))
+    val u2 = rows(MapperFacade.queries("q_mutate_upsert")(spark, sf))
+    assert(u1.nonEmpty && u1 == u2, "re-running the upsert must converge")
+    assert(u1.exists(_(2).asInstanceOf[String] == "curated"),
+      "updated entities must carry the recurated source")
+    assert(u1.exists(_.head.asInstanceOf[Long] >= 1000000L),
+      "inserted twins must be present")
+
     // the term-df query consumes the index's reported bucket clustering:
     // the ONLY shuffle in the plan is the deterministic output sort
     // (range), never a hash exchange for the aggregation
