@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST line of a bounded stdout tail as JSON;
+// sbt's `[success] Total time …` footer shadowed it every round
+// (BASELINE.md "parsed: null"). Suppress it so graft.Bench's shutdown-hook
+// JSON line is genuinely last. rc semantics are unchanged.
+Global / showSuccess := false
+// Forked run output must reach stdout UNPREFIXED — the default logged
+// strategy wraps every line in "[info] ", which would make the driver's
+// last-line JSON parse fail even with the footer suppressed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,19 +5,22 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main.
   *
   * Timing: each query runs ONE discarded warmup rep (codegen + shuffle-file
-  * cache effects) and then `SPARK_GRAFT_REPS` timed reps (default 5),
-  * reporting the per-query MEDIAN — round 2's single-shot timings moved ~2×
-  * with machine-wide noise on untouched queries, and round 5 showed
-  * median-of-3 still cannot resolve sub-2× movement (3–5× swings on
-  * byte-identical queries). "value" is the sum of medians. The residual
-  * noise band is documented in BASELINE.md: treat per-query deltas within
-  * ±30% (and single-query spikes on untouched code) as machine noise.
+  * cache effects) and then `SPARK_GRAFT_REPS` timed reps (default 5)
+  * BACK-TO-BACK, reporting the per-query MEDIAN — round 2's single-shot
+  * timings moved ~2× with machine-wide noise on untouched queries, and
+  * round 5 showed median-of-3 still cannot resolve sub-2× movement.
+  * "value" is the sum of medians. The residual noise band is documented in
+  * BASELINE.md: treat per-query deltas within ±30% (and single-query spikes
+  * on untouched code) as machine noise.
   *
-  * Output: rounds 1-3 all ended `"parsed": null` because the driver's tail
-  * window cannot hold the 100+-entry per-query map on one line. So the very
-  * last stdout line is now a SHORT total-only JSON the driver can always
-  * parse; the full per-query map lives in the `BENCH_JSON:` sentinel line
-  * and in bench_out.json (authoritative — see README).
+  * A round-9 A/B rejected the whole-suite-pass alternative (each pass runs
+  * every query once, medians across passes): interleaving 133 queries
+  * between a query's executions cools every cache tier the back-to-back
+  * protocol keeps hot (JIT'd generated code, OS page cache, memoized file
+  * listings) and measured reps ~3× slower (≈1.03 s/q vs ≈0.35 s/q at
+  * sf0.1), which would have tripled "value" against every prior round and
+  * BASELINE.md with no engine change. Back-to-back medians stay the one
+  * protocol all rounds share.
   *
   * Each query is evaluated through the `noop` write sink, not `count()`:
   * Catalyst prunes projected columns a count never reads, which under-bills
@@ -36,10 +39,21 @@ import java.nio.file.{Files, Paths}
   * in the tail and a parseable partial file. (2) A wall-clock budget
   * (`SPARK_GRAFT_BUDGET_S`, default 240 s of post-startup query time)
   * degrades reps 5→3→1 as elapsed time crosses 50%/80% of the budget, so
-  * the suite lands inside a bounded window; the per-query `reps` field
-  * records what each query actually got. The precision protocol (full
-  * median-of-5) is unchanged when the budget isn't threatened — raise
-  * SPARK_GRAFT_BUDGET_S for precision runs.
+  * the suite lands inside a bounded window; `degraded:true` marks any run
+  * where the budget fired (per-query medians are then position-dependent —
+  * compare only against runs with the same budget settings, BASELINE.md).
+  *
+  * Output protocol (round 9 — fixes every prior round's `parsed: null`):
+  * the driver parses the LAST stdout line of a bounded (~4 KB,
+  * front-truncated) tail, so (1) build.sbt sets
+  * `Global / showSuccess := false` — sbt's `[success] Total time` footer
+  * kept shadowing the JSON — plus `outputStrategy := StdoutOutput` so the
+  * forked JVM's lines reach stdout without an `[info] ` prefix, and (2)
+  * the final bare-JSON line is emitted from a JVM shutdown hook so it is
+  * the last write on both normal and SIGTERM'd exits: the full per-query
+  * JSON when short enough to survive the tail window, otherwise a short
+  * total-only JSON (the full map then lives in the mid-run `BENCH_JSON:`
+  * sentinel and in bench_out.json).
   *
   * Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries.
   */
@@ -64,20 +78,10 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val benchStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
-    // Re-emit the sentinel from a JVM shutdown hook (VERDICT r7 wrong #2):
-    // it runs after sbt's in-band output, landing the full per-query JSON as
-    // late as possible in stdout — the driver's bounded tail window is far
-    // more likely to reach it than the mid-run print, and a SIGTERM'd run
-    // still emits its latest partial snapshot.
-    @volatile var latestJson: String = null
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (latestJson != null) {
-        System.out.println(s"BENCH_JSON: $latestJson")
-        System.out.flush()
-      }
-    }))
+
     // (name, medianOrNegFailTime, ok, repsUsed)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
+    @volatile var latestJson: String = null
     def writeSnapshot(): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -96,6 +100,26 @@ object Bench {
       latestJson = json
       json
     }
+    def shortJson(json: String): String =
+      // A >3 KB line can be front-truncated by the driver's tail window into
+      // unparseable JSON; fall back to a total-only line that always fits.
+      if (json.length <= 3000) json
+      else {
+        val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
+        val total = results.collect { case (_, v, true, _) => v }.sum
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"reps":$reps,"degraded":${results.exists(_._4 < reps)},"done":${results.size},"of":${selected.size},"sf":"$sfDir","queries_in":"bench_out.json"}"""
+      }
+    // The shutdown hook is the ONLY emitter of the final bare-JSON line: it
+    // runs after all in-band prints on a normal exit and still fires on
+    // SIGTERM, so the driver's last-line parse sees valid JSON either way.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (latestJson != null) {
+        System.out.println(shortJson(latestJson))
+        System.out.flush()
+      }
+    }))
+
     selected.foreach { case (name, fn) =>
       // Budget-aware rep degradation: full precision while under half the
       // budget, median-of-3 to 80%, single-rep beyond — completion of the
@@ -131,14 +155,8 @@ object Bench {
       writeSnapshot()
     }
     val json = writeSnapshot()
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    // Human-readable full-map sentinel (prefixed, so never the parse target).
     println(s"BENCH_JSON: $json")
     spark.stop()
-    // Final line of output: SHORT so a tail-parsing driver with a bounded
-    // capture window always gets complete JSON (full map is in the sentinel
-    // line above and bench_out.json).
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
   }
 }
