@@ -57,6 +57,23 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // GK-sketch quantiles (percentile_approx) — mergeable, bounded memory
+    // per group; THE 100 TB percentile path (the exact `percentile` in
+    // q_agg_stats materializes every group's values — right for an oracle
+    // twin, wrong at scale). accuracy=1000 bounds rank error at n/1000.
+    // Approximate => no DuckDB oracle; the spec pins each approx quantile
+    // inside the exact neighboring-quantile envelope.
+    "q_agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95_approx"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // ROLLUP over a star join; grouping nulls coalesced to 'ALL' so null
     // ordering can't diverge between engines.
     "q_agg_rollup" -> ((s, d) =>

