@@ -71,6 +71,35 @@ object Curation {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — the 100 TB upgrade of
+    // q_decontaminate. Instead of broadcasting the benchmark's full
+    // distinct-shingle SET to every corpus task, a scalar subquery builds a
+    // ~16-bits/item bloom filter ONCE (graft_bloom_agg over xxhash64'd
+    // shingles) and the corpus probe is a map-only graft_might_contain —
+    // at a 10^9-shingle benchmark that is ~2 GB of strings vs ~200 MB of
+    // filter. No false negatives, so non-candidates are EXACT survivors;
+    // only the (small) candidate pair set exact-confirms against the true
+    // shingle set, which stays broadcastable because it only meets
+    // candidates. Result is row-identical to q_decontaminate — they share
+    // the oracle verbatim (spec-asserted equal too).
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = shingles(docs)
+      sh.filter(col("doc_id") < 20).select("g").distinct()
+        .createOrReplaceTempView("graft_bench_sh")
+      sh.filter(col("doc_id") >= 20).createOrReplaceTempView("graft_corpus_sh")
+      val cand = s.sql(
+        """SELECT c.doc_id, c.g FROM graft_corpus_sh c
+          |WHERE graft_might_contain(
+          |  (SELECT graft_bloom_agg(g, 200000L, 1600000L) FROM graft_bench_sh),
+          |  c.g)""".stripMargin)
+      val hits = cand.join(broadcast(s.table("graft_bench_sh")), "g")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") >= 20)
+        .join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // PII scrubbing: count + redact emails and phone numbers. The testdata
     // carries no PII, so each doc is augmented with a synthetic address and
     // number first (same augmentation in the oracle) — the point is the
@@ -292,6 +321,18 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
+        "shingled AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g " +
+        "FROM tok, UNNEST(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5), " +
+        "hits AS (SELECT DISTINCT s.doc_id FROM shingled s " +
+        "JOIN (SELECT DISTINCT g FROM shingled WHERE doc_id < 20) b USING (g) " +
+        "WHERE s.doc_id >= 20) " +
+        "SELECT d.doc_id FROM documents d " +
+        "WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits) " +
+        "ORDER BY d.doc_id"),
+    // The bloom prefilter is exact end-to-end (no false negatives + exact
+    // confirm of positives), so the oracle is q_decontaminate's verbatim.
+    "q_decontaminate_bloom" ->
       ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
         "shingled AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g " +
         "FROM tok, UNNEST(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5), " +

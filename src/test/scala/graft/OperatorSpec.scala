@@ -134,6 +134,16 @@ class OperatorSpec extends SparkSpec {
     assert(!pii.contains("Exchange"), s"PII scrub must be map-only:\n$pii")
   }
 
+  test("bloom decontamination equals the exact route; the probe is a bloom expression, not a set join") {
+    val exact = rows(Curation.queries("q_decontaminate")(spark, sf))
+    val bloom = rows(Curation.queries("q_decontaminate_bloom")(spark, sf))
+    assert(exact == bloom,
+      "bloom prefilter + exact confirm must be row-identical to the exact route")
+    val plan = physicalPlan(Curation.queries("q_decontaminate_bloom")(spark, sf))
+    assert(plan.contains("might_contain"),
+      s"candidate probe must be the bloom expression:\n$plan")
+  }
+
   test("substring dedup: spans are merged interval unions bounded by doc length; only the gram hash shuffles") {
     val out = rows(Curation.queries("q_dedup_substring")(spark, sf))
     assert(out.nonEmpty, "sf0.001 documents contain no duplicated 10-grams?")
