@@ -46,6 +46,39 @@ object Curation {
         expr("transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))"))
         .as("g"))
 
+  /** Duplicated-k-gram coverage per doc (the q_dedup_substring engine,
+    * parameterized over the corpus so PropertySpec can drive it with
+    * generated token arrays against a brute-force oracle). Input: (doc_id,
+    * t: array<string>). Output: (doc_id, n_toks, dup_tokens, dup_frac)
+    * where dup_tokens is the size of the UNION of [p, p+k-1] spans over
+    * positions p whose k-gram occurs >1× corpus-wide — overlapping spans
+    * counted once via the running-max interval merge. */
+  private[graft] def substringDupCoverage(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val grams = docs
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
+        expr(s"transform(sequence(1, size(t)-${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))"))
+        .as(Seq("p", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("gh")
+    val runs = grams.join(dup, "gh")
+      .select(col("doc_id"), col("n_toks"), col("p").cast("long").as("p"))
+      .withColumn("new_run", when(
+        col("p") > coalesce(
+          max(col("p") + lit(k - 1L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("run", sum("new_run").over(w))
+    runs.groupBy("doc_id", "n_toks", "run")
+      .agg((max(col("p") + lit(k - 1L)) - min(col("p")) + lit(1L)).as("span"))
+      .groupBy("doc_id", "n_toks")
+      .agg(sum("span").as("dup_tokens"))
+      .select(col("doc_id"), col("n_toks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_toks").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   // Spark's SQL parser unescapes string literals, so a pattern interpolated
@@ -235,32 +268,9 @@ object Curation {
     // At 100 TB the gram-count shuffle uses map-side partial aggregation
     // and the window shuffles only (doc_id, pos) pairs of duplicated
     // grams — a small fraction of the corpus for natural text.
-    "q_dedup_substring" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), toksOf.as("t"))
-        .filter(size(col("t")) >= 10)
-        .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
-          expr("transform(sequence(1, size(t)-9), i -> md5(concat_ws(' ', slice(t, i, 10))))"))
-          .as(Seq("p", "gh")))
-      val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select("gh")
-      val runs = grams.join(dup, "gh")
-        .select(col("doc_id"), col("n_toks"), col("p").cast("long").as("p"))
-        .withColumn("new_run", when(
-          col("p") > coalesce(
-            max(col("p") + lit(9L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(-1L)), 1L).otherwise(0L))
-        .withColumn("run", sum("new_run").over(w))
-      runs.groupBy("doc_id", "n_toks", "run")
-        .agg((max(col("p") + lit(9L)) - min(col("p")) + lit(1L)).as("span"))
-        .groupBy("doc_id", "n_toks")
-        .agg(sum("span").as("dup_tokens"))
-        .select(col("doc_id"), col("n_toks"), col("dup_tokens"),
-          round(col("dup_tokens").cast("double") / col("n_toks").cast("double"), 6)
-            .as("dup_frac"))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_substring" -> ((s, d) =>
+      substringDupCoverage(
+        Tables.documents(s, d).select(col("doc_id"), toksOf.as("t")), 10)),
 
     // Unigram-LM quality score (the perplexity-filter proxy of the CCNet /
     // Wikipedia-LM data rules, with the corpus itself as the LM): per doc,

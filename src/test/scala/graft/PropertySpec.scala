@@ -344,6 +344,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substring dup coverage equals brute-force interval union on generated corpora") {
+    import spark.implicits._
+    val k = 3
+    // dense vocab (4 symbols) floods the corpus with colliding, overlapping
+    // k-grams — the interval-merge stress case; sparse vocab (26) leaves
+    // mostly-unique grams with isolated duplicate islands
+    for (vocab <- Seq(Seq("a", "b", "c", "d"), ('a' to 'z').map(_.toString))) {
+      val docGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      samples(Gen.listOfN(8, docGen), 5).foreach { corpus =>
+        val docs = corpus.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+        val got = graft.operators.Curation.substringDupCoverage(docs, k)
+          .select("doc_id", "n_toks", "dup_tokens")
+          .as[(Long, Int, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        val counts = corpus.flatMap(t => t.sliding(k).filter(_.size == k))
+          .groupBy(_.mkString(" ")).view.mapValues(_.size).toMap
+        corpus.zipWithIndex.foreach { case (t, i) =>
+          val covered = collection.mutable.Set.empty[Int]
+          if (t.size >= k)
+            t.sliding(k).zipWithIndex.foreach { case (g, p) =>
+              if (counts(g.mkString(" ")) > 1) (p until p + k).foreach(covered += _)
+            }
+          if (covered.nonEmpty)
+            assert(got(i.toLong) == (t.size, covered.size.toLong),
+              s"doc $i: got ${got.get(i.toLong)}, brute (${t.size}, ${covered.size})")
+          else
+            // NOTE: the clue is eagerly evaluated — keep it total (.get)
+            assert(!got.contains(i.toLong),
+              s"doc $i: expected absent (no duplicated grams), got ${got.get(i.toLong)}")
+        }
+      }
+    }
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)
