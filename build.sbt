@@ -20,6 +20,9 @@ Global / showSuccess := false
 // strategy wraps every line in "[info] ", which would make the driver's
 // last-line JSON parse fail even with the footer suppressed.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Both keys are read by the run task at runtime; the unused-key lint
+// cannot see that and would print a warning into every driver log.
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

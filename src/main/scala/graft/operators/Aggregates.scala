@@ -226,6 +226,24 @@ object Aggregates {
         .select(lit("ALL").as("grp"),
           expr("hll_sketch_estimate(u)").cast("long").as("est_customers"))
       groups.unionByName(all).orderBy("grp")
+    }),
+
+    // Rollups from a PERSISTED sketch table (SketchStore): the stored
+    // per-(priority, status) HLL binaries union to per-status + ALL
+    // estimates without touching the fact table — the query's only input
+    // is kilobytes of sketches. Register-max union makes the estimates
+    // identical to sketching the fact directly (spec-asserted equality);
+    // approximate => no DuckDB oracle.
+    "q_agg_hll_stored" -> ((s, d) => {
+      val sk = SketchStore.ordersCustomerHll(s, d)
+      val byStatus = sk.groupBy("o_orderstatus")
+        .agg(expr("hll_union_agg(sk)").as("u"))
+        .select(col("o_orderstatus").as("grp"),
+          expr("hll_sketch_estimate(u)").cast("long").as("est_customers"))
+      val all = sk.agg(expr("hll_union_agg(sk)").as("u"))
+        .select(lit("ALL").as("grp"),
+          expr("hll_sketch_estimate(u)").cast("long").as("est_customers"))
+      byStatus.unionByName(all).orderBy("grp")
     }))
 
   /** Runs verbatim in both Spark and DuckDB. */

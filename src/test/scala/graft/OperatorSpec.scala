@@ -38,7 +38,8 @@ class OperatorSpec extends SparkSpec {
       "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_minhash_clusters",
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
-      "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile")
+      "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
+      "q_agg_hll_stored")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -108,6 +109,54 @@ class OperatorSpec extends SparkSpec {
       assert(p50a >= lo50 && p50a <= hi50, s"$flag p50 $p50a outside [$lo50,$hi50]")
       assert(p95a >= lo95 && p95a <= hi95, s"$flag p95 $p95a outside [$lo95,$hi95]")
     }
+  }
+
+  test("stored-sketch rollups equal direct-from-fact sketching; fact table absent from the plan") {
+    val stored = rows(Aggregates.queries("q_agg_hll_stored")(spark, sf))
+      .map(r => r.head.asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    // register-max union: rolling up the persisted finest-grain sketches
+    // must give the IDENTICAL estimate as sketching the fact directly
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("long").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (g, est) =>
+      assert(stored(g) == est, s"stored-sketch rollup for $g: ${stored(g)} vs direct $est")
+    }
+    val directAll = Tables.orders(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("long"))
+      .head().getLong(0)
+    assert(stored("ALL") == directAll)
+    // and the query must read ONLY the sketch table — no orders scan
+    val plan = physicalPlan(Aggregates.queries("q_agg_hll_stored")(spark, sf))
+    assert(!plan.contains("orders.parquet"),
+      s"stored-sketch rollup must not rescan the fact table:\n$plan")
+  }
+
+  test("a persisted bloom reloaded in-session filters identically to the scalar-subquery route") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val toksOf = expr(graft.functions.TextTokens.ToksSql)
+    val sh = docs.select(col("doc_id"), toksOf.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))"))
+        .as("g"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-store").toString
+    SketchStore.writeBloom(sh.filter(col("doc_id") < 20).select("g").distinct(),
+      "g", 200000L, 1600000L, dir)
+    val bf = SketchStore.readBloom(spark, dir)
+    // stored-bloom candidates + exact confirm == the declared bloom route
+    val benchG = sh.filter(col("doc_id") < 20).select("g").distinct()
+    val hits = sh.filter(col("doc_id") >= 20)
+      .filter(SketchStore.mightContain(bf, col("g")))
+      .join(broadcast(benchG), "g").select("doc_id").distinct()
+    val viaStored = rows(docs.filter(col("doc_id") >= 20)
+      .join(hits, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id"))
+    val viaSubquery = rows(Curation.queries("q_decontaminate_bloom")(spark, sf))
+    assert(viaStored == viaSubquery,
+      "persisted and freshly-built blooms must filter identically")
   }
 
   test("SQL-interpolated email regex keeps its literal dot (parser unescaping)") {
