@@ -79,6 +79,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM scoring (the q_text_logprob engine, parameterized over the
+    * corpus so PropertySpec can drive it with generated token arrays
+    * against a brute-force oracle). Input: (doc_id, t: array<string>).
+    * Output: (doc_id, n_toks, avg_logprob) — token-weighted mean
+    * ln(c_term / total_tokens) over the input's own unigram counts. */
+  private[graft] def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = cnt.agg(sum(col("c")).as("tot"))
+    tf.join(cnt, "term").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        round(
+          sum(col("tf").cast("double") *
+            log(col("c").cast("double") / col("tot").cast("double"))) /
+            sum(col("tf")).cast("double"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   // Spark's SQL parser unescapes string literals, so a pattern interpolated
@@ -280,21 +300,9 @@ object Curation {
     // combine), THEN the join to the corpus vocabulary — token INSTANCES
     // never cross the join, only (doc, distinct-term) pairs. The vocabulary
     // count table shuffles on term; the scalar corpus total is broadcast.
-    "q_text_logprob" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toksOf).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
-      val tot = cnt.agg(sum(col("c")).as("tot"))
-      tf.join(cnt, "term").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_toks"),
-          round(
-            sum(col("tf").cast("double") *
-              log(col("c").cast("double") / col("tot").cast("double"))) /
-              sum(col("tf")).cast("double"), 6).as("avg_logprob"))
-        .orderBy("doc_id")
-    }),
+    "q_text_logprob" -> ((s, d) =>
+      unigramLogprob(
+        Tables.documents(s, d).select(col("doc_id"), toksOf.as("t")))),
 
     // Temperature-flattened source mixing (the "set the training mix"
     // step, the multilingual-sampling rule of Conneau & Lample 2019 /

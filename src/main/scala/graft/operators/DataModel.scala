@@ -136,22 +136,30 @@ object DataModel {
     // same (o_orderdate, o_orderkey) sort, so Catalyst plans a single
     // Exchange+Sort and the lag/lead run back-to-back. The o_orderkey
     // tiebreak makes same-day status flips deterministic on both engines.
-    "q_scd2_history" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      Tables.orders(s, d)
+    "q_scd2_history" -> ((s, d) =>
+      scd2History(Tables.orders(s, d)
         .filter(col("o_custkey") < 500)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderdate"))
-        .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
-        .filter(col("prev_status").isNull ||
-          col("prev_status") =!= col("o_orderstatus"))
-        .withColumn("valid_to", lead("o_orderdate", 1).over(w))
-        .select(col("o_custkey"), col("o_orderstatus").as("status"),
-          col("o_orderdate").as("valid_from"), col("valid_to"),
-          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
-        .orderBy("o_custkey", "valid_from", "status")
-    }))
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status"), col("o_orderdate").as("ts")))
+        .withColumnRenamed("k", "o_custkey")))
+
+  /** Generic SCD Type-2 collapse (the q_scd2_history engine, parameterized
+    * so PropertySpec can drive it with generated mutation logs against a
+    * brute-force fold). Input: (k, seq, status, ts) — `seq` is the unique
+    * tiebreak for equal-ts events. Output: (k, status, valid_from,
+    * valid_to, is_current) ordered by (k, valid_from, status). */
+  private[graft] def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("ts", "seq")
+    events
+      .withColumn("prev_status", lag("status", 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("k"), col("status"), col("ts").as("valid_from"),
+        col("valid_to"), when(col("valid_to").isNull, 1).otherwise(0)
+          .as("is_current"))
+      .orderBy("k", "valid_from", "status")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" ->

@@ -379,6 +379,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 collapse equals a brute-force fold on generated mutation logs") {
+    import spark.implicits._
+    // few keys, few statuses, COLLIDING timestamps — the seq tiebreak and
+    // change-point logic get no easy cases
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 9L), Gen.oneOf("O", "F", "P")))
+    samples(evGen, 8).foreach { evs =>
+      val rowsIn = evs.zipWithIndex.map { case ((k, ts, st), i) => (k, i.toLong, st, ts) }
+      val got = graft.operators.DataModel.scd2History(
+        rowsIn.toDF("k", "seq", "status", "ts"))
+        .select("k", "status", "valid_from", "valid_to")
+        .as[(Long, String, Long, Option[Long])].collect().toSeq
+      val brute = rowsIn.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val ordered = es.sortBy(e => (e._4, e._2)) // (ts, seq)
+        val changes = ordered.foldLeft(Vector.empty[(String, Long)]) {
+          case (acc, (_, _, st, ts)) =>
+            if (acc.lastOption.exists(_._1 == st)) acc else acc :+ (st, ts)
+        }
+        changes.zipWithIndex.map { case ((st, from), i) =>
+          (k, st, from, changes.lift(i + 1).map(_._2))
+        }
+      }
+      // same (k, status, valid_from) can recur with different valid_to when
+      // statuses flip back at one colliding ts — sort on the full row
+      assert(got.sortBy(r => (r._1, r._3, r._2, r._4)) ==
+        brute.sortBy(r => (r._1, r._3, r._2, r._4)),
+        s"scd2 mismatch: got=${got.take(5)} brute=${brute.take(5)}")
+    }
+  }
+
+  test("unigram logprob equals a brute-force weighted mean on generated corpora") {
+    import spark.implicits._
+    val docGen = Gen.chooseNum(1, 20)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")))
+    samples(Gen.listOfN(6, docGen), 6).foreach { corpus =>
+      val got = graft.operators.Curation.unigramLogprob(
+        corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t"))
+        .select("doc_id", "n_toks", "avg_logprob")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val counts = corpus.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val total = corpus.map(_.size).sum.toDouble
+      corpus.zipWithIndex.foreach { case (t, i) =>
+        val brute = t.map(w => math.log(counts(w) / total)).sum / t.size
+        val (n, lp) = got(i.toLong)
+        assert(n == t.size.toLong, s"doc $i token count: $n vs ${t.size}")
+        // query rounds to 6 decimals; float-order drift is ~1e-12
+        assert(math.abs(lp - brute) <= 1e-6, s"doc $i: $lp vs brute $brute")
+      }
+    }
+  }
+
   test("rollup row count = sum of grouping-set cardinalities") {
     val out = rows(graft.operators.Aggregates.queries("q_agg_rollup")(spark, sf))
     val nations = out.count(r => r.head != "ALL" && r(1) != "ALL") // (nation, seg)
