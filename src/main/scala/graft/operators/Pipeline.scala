@@ -134,6 +134,30 @@ object Pipeline {
         .orderBy("metric")
     }),
 
+    // Referential-integrity gate (the cross-table half of the data-quality
+    // gate q_profile_table starts): orphaned facts via anti-joins + a
+    // key-uniqueness check, reported metric-per-row. Testdata is consistent
+    // so the expected counts are 0 — the CHECKS are the product, and they
+    // hold cross-engine. At 100 TB: anti-joins shuffle on the key like any
+    // fact join (dims broadcast when small), the uniqueness check is one
+    // keyed count — no new machinery, which is the point: integrity gates
+    // must be cheap enough to run every ingest.
+    "q_integrity_fk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val orphanLine = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem_without_order").as("chk"), col("n"))
+      val orphanOrder = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders_without_customer").as("chk"), col("n"))
+      val dupKeys = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+        .select(lit("duplicate_orderkeys").as("chk"), col("n"))
+      orphanLine.unionByName(orphanOrder).unionByName(dupKeys).orderBy("chk")
+    }),
+
     // Deterministic train/val/test assignment: each doc's md5 band maps it
     // to train (~87.5%), val, or test — stable under corpus growth (a doc's
     // split never changes when other docs arrive, unlike rank-based
@@ -233,6 +257,15 @@ object Pipeline {
         "round(pow(CAST((doc_id * 2654435761 + 97) % 1000000007 + 1 AS DOUBLE) / 1000000008.0, " +
         "1.0 / n_chars), 6) AS score FROM documents) " +
         "ORDER BY score DESC, doc_id LIMIT 50"),
+    "q_integrity_fk" ->
+      ("SELECT chk, n FROM (" +
+        "SELECT 'lineitem_without_order' AS chk, count(*) AS n FROM lineitem l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'orders_without_customer', count(*) FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+        "UNION ALL SELECT 'duplicate_orderkeys', count(*) FROM " +
+        "(SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)" +
+        ") ORDER BY chk"),
     "q_profile_table" ->
       ("SELECT metric, value FROM (" +
         "SELECT CAST(count(*) AS DOUBLE) AS n_rows, " +
