@@ -37,11 +37,20 @@ import java.nio.file.{Files, Paths}
   * the moment it finishes, and bench_out.json is rewritten (always-valid
   * JSON) after every query, so a killed run still yields per-query numbers
   * in the tail and a parseable partial file. (2) A wall-clock budget
-  * (`SPARK_GRAFT_BUDGET_S`, default 240 s of post-startup query time)
-  * degrades reps 5→3→1 as elapsed time crosses 50%/80% of the budget, so
-  * the suite lands inside a bounded window; `degraded:true` marks any run
-  * where the budget fired (per-query medians are then position-dependent —
-  * compare only against runs with the same budget settings, BASELINE.md).
+  * (`SPARK_GRAFT_BUDGET_S`, default 240 s of post-startup query time) caps
+  * the run via a UNIFORM UP-FRONT rep decision (round 10, VERDICT r9 #1 —
+  * the previous mid-suite 5→3→1 degradation gave alphabetically-late
+  * queries fewer reps, making their medians position-dependent garbage:
+  * r9's driver artifact read q_scalar_variant at 16.2 s single-rep vs
+  * 0.77 s at full reps on the same HEAD): the per-query cost map of the
+  * COMMITTED bench_out.json estimates one suite pass, and
+  * `reps_effective = clamp((budget − warmup_pass) / pass, 1, reps)` is
+  * fixed BEFORE the first query, identically for every query. A run whose
+  * medians come from uniform reduced reps is comparable across the whole
+  * suite and says so via `reps_effective`; `degraded:true` now marks ONLY
+  * the emergency brake (elapsed > 1.25× budget — the estimate was badly
+  * wrong, e.g. no committed cost map on a brand-new checkout), which drops
+  * remaining queries to one rep rather than risk the driver's hard kill.
   *
   * Output protocol (round 9 — fixes every prior round's `parsed: null`):
   * the driver parses the LAST stdout line of a bounded (~4 KB,
@@ -53,7 +62,14 @@ import java.nio.file.{Files, Paths}
   * the last write on both normal and SIGTERM'd exits: the full per-query
   * JSON when short enough to survive the tail window, otherwise a short
   * total-only JSON (the full map then lives in the mid-run `BENCH_JSON:`
-  * sentinel and in bench_out.json).
+  * sentinel and in bench_out.json). The hook prints only PRE-RENDERED
+  * `@volatile` strings built by writeSnapshot on the main thread (ADVICE
+  * r9 medium: rendering inside the hook iterated the mutable results
+  * buffer concurrently with main-thread appends — a mid-resize read could
+  * throw and emit nothing on exactly the SIGTERM path the hook protects).
+  * The last-line guarantee on SIGTERM is best-effort: JVM shutdown hooks
+  * run concurrently in unspecified order, and Spark/Hadoop register their
+  * own — acceptable because their cleanup logs default to stderr.
   *
   * Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries.
   */
@@ -76,58 +92,90 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def r3(v: Double): String = f"$v%.3f"
+
+    // Uniform up-front rep decision (VERDICT r9 #1). Pass-cost estimate =
+    // per-query medians of the COMMITTED bench_out.json (every round commits
+    // one, so a driver checkout always has it); queries it doesn't know
+    // (new this round) are priced at the known median-of-medians. The warmup
+    // pass is priced at 1.5× a steady-state pass (cold codegen + file
+    // listings — r9 measured the 6-pass full protocol at ~6.2× one pass).
+    // No estimate (fresh repo, SPARK_GRAFT_ONLY of all-new queries) =>
+    // requested reps, and the emergency brake below is the only cap.
+    val priorCosts: Map[String, Double] = {
+      val p = Paths.get("bench_out.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val txt = Files.readString(p)
+        "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> math.abs(m.group(2).toDouble)).toMap
+      }
+    }
+    val repsEffective: Int = {
+      val known = selected.flatMap { case (n, _) => priorCosts.get(n) }
+      if (known.size * 2 < selected.size) reps // estimate too thin to trust
+      else {
+        val fallback = known.sorted.apply(known.size / 2)
+        val pass = selected.map { case (n, _) =>
+          priorCosts.getOrElse(n, fallback) }.sum
+        // budget covers 1.5 warmup-equivalents + repsEffective timed passes
+        ((budgetS * 0.95 - 1.5 * pass) / pass).toInt.max(1).min(reps)
+      }
+    }
     val benchStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
 
     // (name, medianOrNegFailTime, ok, repsUsed)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
     @volatile var latestJson: String = null
+    // Pre-rendered short fallback for the shutdown hook (ADVICE r9 medium):
+    // the hook must never touch the mutable `results` buffer — a SIGTERM
+    // mid-append could observe a mid-resize buffer and throw, emitting
+    // nothing. Both strings are built on the main thread per snapshot.
+    @volatile var latestShortJson: String = null
     def writeSnapshot(): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true, _) => v }.sum
-      // degraded=true when ANY query ran below full reps (the budget fired):
-      // medians from such a run are position-dependent (alphabetically-late
-      // queries got fewer reps) and must only be compared against runs with
-      // the same budget settings (ADVICE r7; protocol in BASELINE.md)
-      val degraded = results.exists(_._4 < reps)
+      // degraded=true ONLY when the emergency brake fired (some query ran
+      // below the uniform reps_effective): such medians are position-
+      // dependent. A uniform reduced-rep run (reps_effective < reps) is NOT
+      // degraded — every query got the same protocol; compare against runs
+      // with the same reps_effective (BASELINE.md).
+      val degraded = results.exists(_._4 < repsEffective)
+      val common = s""""failed":$failed,"reps":$reps,"reps_effective":$repsEffective,"degraded":$degraded,"budget_s":${r3(budgetS)},"done":${results.size},"of":${selected.size},"sf":"$sfDir""""
       val json =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"degraded":$degraded,"budget_s":${r3(budgetS)},"done":${results.size},"of":${selected.size},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$common}"""
       // Rewritten after EVERY query: a killed run leaves a valid partial.
       Files.writeString(Paths.get("bench_out.json"), json + "\n")
+      // A >3 KB line can be front-truncated by the driver's tail window into
+      // unparseable JSON; the fallback total-only line always fits.
+      latestShortJson =
+        if (json.length <= 3000) json
+        else s"""{"metric":"total","value":${r3(total)},"unit":"sec",$common,"queries_in":"bench_out.json"}"""
       latestJson = json
       json
     }
-    def shortJson(json: String): String =
-      // A >3 KB line can be front-truncated by the driver's tail window into
-      // unparseable JSON; fall back to a total-only line that always fits.
-      if (json.length <= 3000) json
-      else {
-        val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
-          .mkString("[", ",", "]")
-        val total = results.collect { case (_, v, true, _) => v }.sum
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"reps":$reps,"degraded":${results.exists(_._4 < reps)},"done":${results.size},"of":${selected.size},"sf":"$sfDir","queries_in":"bench_out.json"}"""
-      }
     // The shutdown hook is the ONLY emitter of the final bare-JSON line: it
     // runs after all in-band prints on a normal exit and still fires on
     // SIGTERM, so the driver's last-line parse sees valid JSON either way.
+    // Best-effort on SIGTERM: other shutdown hooks (Spark's) run
+    // concurrently in unspecified order, but they log to stderr.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (latestJson != null) {
-        System.out.println(shortJson(latestJson))
+      val snap = latestShortJson // volatile read; immutable pre-built string
+      if (snap != null) {
+        System.out.println(snap)
         System.out.flush()
       }
     }))
 
     selected.foreach { case (name, fn) =>
-      // Budget-aware rep degradation: full precision while under half the
-      // budget, median-of-3 to 80%, single-rep beyond — completion of the
-      // whole suite beats precision on the tail queries.
-      val repsThis = {
-        val frac = elapsedS / budgetS
-        if (frac < 0.5) reps else if (frac < 0.8) reps.min(3) else 1
-      }
+      // Uniform reps for every query; the emergency brake (estimate badly
+      // wrong or absent) drops to a single rep only beyond 1.25× budget —
+      // completing the suite beats precision once the driver's own kill
+      // timer is the alternative.
+      val repsThis = if (elapsedS > budgetS * 1.25) 1 else repsEffective
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       // one warmup rep per query, EXCLUDED from the median: first executions

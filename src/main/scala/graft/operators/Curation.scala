@@ -36,6 +36,9 @@ import graft.Tables
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-invocation suffix for q_decontaminate_bloom's temp views. */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def toksOf = expr(graft.functions.TextTokens.ToksSql)
 
   /** Word 5-gram shingles: (doc_id, g) for every window position. */
@@ -126,27 +129,37 @@ object Curation {
 
     // Bloom-prefiltered decontamination — the 100 TB upgrade of
     // q_decontaminate. Instead of broadcasting the benchmark's full
-    // distinct-shingle SET to every corpus task, a scalar subquery builds a
-    // ~16-bits/item bloom filter ONCE (graft_bloom_agg over xxhash64'd
-    // shingles) and the corpus probe is a map-only graft_might_contain —
-    // at a 10^9-shingle benchmark that is ~2 GB of strings vs ~200 MB of
-    // filter. No false negatives, so non-candidates are EXACT survivors;
-    // only the (small) candidate pair set exact-confirms against the true
-    // shingle set, which stays broadcastable because it only meets
-    // candidates. Result is row-identical to q_decontaminate — they share
-    // the oracle verbatim (spec-asserted equal too).
+    // distinct-shingle SET to every corpus task, a scalar subquery builds
+    // an 8-bits/item bloom filter ONCE (graft_bloom_agg over xxhash64'd
+    // shingles: 1.6e6 bits for the 2e5-item capacity here, ≈2% FPP at the
+    // optimal hash count) and the corpus probe is a map-only
+    // graft_might_contain — at a 10^9-shingle benchmark that is ~2 GB of
+    // strings vs ~1 GB of filter, and the bits (unlike the strings) never
+    // need to be JVM objects on the probe side. No false negatives, so
+    // non-candidates are EXACT survivors; only the (small) candidate pair
+    // set exact-confirms against the true shingle set, which stays
+    // broadcastable because it only meets candidates. Result is
+    // row-identical to q_decontaminate — they share the oracle verbatim
+    // (spec-asserted equal too).
+    //
+    // The temp views are per-invocation unique (ADVICE r9): fixed global
+    // names raced under concurrent builds in one session (view replacement
+    // vs scalar-subquery resolution) and leaked catalog state.
     "q_decontaminate_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = shingles(docs)
+      val id = bloomViewSeq.incrementAndGet()
+      val benchView = s"graft_bench_sh_$id"
+      val corpusView = s"graft_corpus_sh_$id"
       sh.filter(col("doc_id") < 20).select("g").distinct()
-        .createOrReplaceTempView("graft_bench_sh")
-      sh.filter(col("doc_id") >= 20).createOrReplaceTempView("graft_corpus_sh")
+        .createOrReplaceTempView(benchView)
+      sh.filter(col("doc_id") >= 20).createOrReplaceTempView(corpusView)
       val cand = s.sql(
-        """SELECT c.doc_id, c.g FROM graft_corpus_sh c
-          |WHERE graft_might_contain(
-          |  (SELECT graft_bloom_agg(g, 200000L, 1600000L) FROM graft_bench_sh),
-          |  c.g)""".stripMargin)
-      val hits = cand.join(broadcast(s.table("graft_bench_sh")), "g")
+        s"""SELECT c.doc_id, c.g FROM $corpusView c
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(g, 200000L, 1600000L) FROM $benchView),
+           |  c.g)""".stripMargin)
+      val hits = cand.join(broadcast(s.table(benchView)), "g")
         .select("doc_id").distinct()
       docs.filter(col("doc_id") >= 20)
         .join(hits, Seq("doc_id"), "left_anti")

@@ -206,9 +206,18 @@ class OperatorSpec extends SparkSpec {
       assert(frac >= 0.0 && frac <= 1.0, s"dup_frac out of [0,1]: $r")
     }
     val plan = physicalPlan(Curation.queries("q_dedup_substring")(spark, sf))
-    // the 10-gram TEXT must not shuffle — only its md5: no Exchange keyed on
-    // a raw gram column (the hash column is `gh`)
+    // the 10-gram TEXT must not shuffle — only its md5: assert the NEGATIVE
+    // claim directly (ADVICE r9): no Exchange's partitioning expression may
+    // contain the gram construction (concat_ws over the token slice) or an
+    // un-hashed gram column; grams must be reduced to `gh` (md5) BEFORE any
+    // exchange. A plan.contains("gh") alone would pass even if the raw gram
+    // also shuffled.
     assert(plan.contains("gh"), s"gram-hash column missing from plan:\n$plan")
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchangeLines.foreach { l =>
+      assert(!l.contains("concat_ws"),
+        s"an Exchange partitions on the RAW gram expression:\n$l\n$plan")
+    }
   }
 
   test("unigram logprob: per-doc token-weighted means are negative and token counts match the tokenizer") {
