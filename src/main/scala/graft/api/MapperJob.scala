@@ -32,6 +32,26 @@ trait MapperJob[T, O] extends Serializable {
   def sliceCommitted(spark: SparkSession, slice: Int, processed: Long): Unit = {}
   def sliceSkipped(spark: SparkSession, slice: Int): Unit = {}
 
+  /** Namespace iteration on the resumable path [U: the reference iterates
+    * Datastore namespaces between the job and shard levels, firing
+    * namespace-boundary lifecycle callbacks]. `namespaceColumn = None`
+    * (default) keeps single-namespace behavior — no namespace hooks fire.
+    * When set, [[MapperRunner.runToParquetResumable]] groups the input by
+    * the column's string value, processes namespaces in sorted order (each
+    * into its own `ns=<value>` output partition with its own slice set),
+    * and fires these hooks around each group — the job → namespace → slice
+    * hook hierarchy. Like `jobStarted`/`jobCompleted`, namespace hooks
+    * RE-FIRE on a restart even when every slice inside skips via its
+    * marker: they bracket iteration, not work; `namespaceCompleted`'s
+    * `processed` is the whole-namespace total (skipped slices included),
+    * mirroring `jobCompleted`. Namespace values must be path-safe (they
+    * name output directories) and of small cardinality — they are
+    * partition GROUPS (tenants, Datastore namespaces), collected to the
+    * driver for ordered iteration. */
+  def namespaceColumn: Option[Column] = None
+  def namespaceStarted(spark: SparkSession, ns: String): Unit = {}
+  def namespaceCompleted(spark: SparkSession, ns: String, processed: Long): Unit = {}
+
   /** Job chaining [U: a datastore-mapper job can trigger a continuation job
     * on completion]: `this` runs to completion (its `jobCompleted` hook
     * fires), then `next` starts with THIS job's output directory as its
@@ -104,6 +124,45 @@ object MapperRunner {
     require(chunks > 0, s"chunks must be positive, got $chunks")
     job.jobStarted(spark)
     val df = job.query(spark, sfDir).toDF()
+    val (processed, ran) = job.namespaceColumn match {
+      case None =>
+        runSlices(spark, df, job, outPath, chunks, chunkBy, sliceBase = 0)
+      case Some(nsCol) =>
+        // Namespace list collected to the driver: namespaces are partition
+        // GROUPS (Datastore namespaces, tenant ids) — small cardinality by
+        // contract, exactly the reference's namespace-iteration shape [U].
+        // Sorted so slice ids (nsIndex*chunks + c) and hook order are
+        // deterministic across runs — resume depends on it. Null-safe
+        // comparison so a NULL namespace forms its own "null" group rather
+        // than silently dropping rows.
+        val ns = nsCol.cast("string")
+        val values = df.select(ns.as("ns")).distinct().orderBy("ns")
+          .collect().map(_.getString(0))
+        var total = 0L
+        val ranAll = scala.collection.mutable.ArrayBuffer.empty[Int]
+        values.zipWithIndex.foreach { case (v, i) =>
+          job.namespaceStarted(spark, v)
+          val (p, r) = runSlices(spark, df.filter(ns <=> lit(v)), job,
+            s"$outPath/ns=$v", chunks, chunkBy, sliceBase = i * chunks)
+          job.namespaceCompleted(spark, v, p)
+          total += p
+          ranAll ++= r
+        }
+        (total, ranAll.toSeq)
+    }
+    job.jobCompleted(spark, processed)
+    (processed, ran)
+  }
+
+  /** The slice checkpoint/commit loop shared by the single-namespace and
+    * per-namespace paths. Slice ids reported to hooks and returned in `ran`
+    * are GLOBAL (`sliceBase + chunk`), so the job → namespace → slice
+    * ordering is provable from the hook stream; without namespaces
+    * `sliceBase` is 0 and ids equal chunk ids, the pre-namespace API. */
+  private def runSlices[T: Encoder, O: Encoder](
+      spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      job: MapperJob[T, O], outPath: String, chunks: Int,
+      chunkBy: Option[Column], sliceBase: Int): (Long, Seq[Int]) = {
     val sliceId = pmod(chunkBy.getOrElse(xxhash64(struct(col("*")))), lit(chunks))
     var processed = 0L
     val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -118,22 +177,21 @@ object MapperRunner {
       if (marker.getFileSystem(hadoopConf).exists(marker)) {
         // committed by a previous run; the deterministic slice expression
         // makes this count identical to what that run processed
-        job.sliceSkipped(spark, c)
+        job.sliceSkipped(spark, sliceBase + c)
         processed += slice.count()
       } else {
-        job.sliceStarted(spark, c)
+        job.sliceStarted(spark, sliceBase + c)
         val obs = Observation()
         slice.observe(obs, count(lit(1)).as("processed"))
           .as[T](implicitly[Encoder[T]])
           .mapPartitions(it => it.flatMap(job.next))
           .write.mode("overwrite").parquet(dir)
         val sliceProcessed = obs.get("processed").asInstanceOf[Long]
-        job.sliceCommitted(spark, c, sliceProcessed)
+        job.sliceCommitted(spark, sliceBase + c, sliceProcessed)
         processed += sliceProcessed
-        ran += c
+        ran += sliceBase + c
       }
     }
-    job.jobCompleted(spark, processed)
     (processed, ran.toSeq)
   }
 
@@ -147,7 +205,7 @@ object MapperRunner {
     * fully intact at `<path>.old`), never half-rewritten. Returns the
     * processed entity count. */
   def rewriteInPlace[T, O: Encoder](spark: SparkSession, path: String,
-      job: MapperJob[T, O]): Long = {
+      job: MapperJob[T, O], keepGenerations: Int = 0): Long = {
     job.jobStarted(spark)
     val obs = Observation()
     val tmp = path + ".rewriting"
@@ -157,9 +215,25 @@ object MapperRunner {
       .write.mode("overwrite").parquet(tmp)
     val processed = obs.get("processed").asInstanceOf[Long]
     graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
-      path, tmp, "rewriteInPlace")
+      path, tmp, "rewriteInPlace", keepGenerations = keepGenerations)
     job.jobCompleted(spark, processed)
     processed
+  }
+
+  /** Read the `back`-th previous generation of a mutated table (see
+    * [[graft.AtomicSwap.versionPath]]) — the time-travel escape hatch over
+    * the copy-on-write verbs when they ran with `keepGenerations > 0`.
+    * Throws with the retained-generation count when asked further back
+    * than retention kept. */
+  def readVersion(spark: SparkSession, path: String,
+      back: Int = 1): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.AtomicSwap.versionPath(conf, path, back) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => throw new java.util.NoSuchElementException(
+        s"no generation $back back of $path — retention kept fewer; " +
+          "run the mutation verb with keepGenerations > 0")
+    }
   }
 
   /** Delete-by-predicate over a parquet table — the common mutation,
@@ -170,7 +244,7 @@ object MapperRunner {
     * (kept, deleted), accounted by an Observation on the one rewrite pass
     * — no second scan. */
   def deleteWhere(spark: SparkSession, path: String,
-      predicate: Column): (Long, Long) = {
+      predicate: Column, keepGenerations: Int = 0): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, not, when}
     val obs = Observation()
     val tmp = path + ".rewriting"
@@ -182,7 +256,7 @@ object MapperRunner {
     val total = obs.get("total").asInstanceOf[Long]
     val deleted = obs.get("deleted").asInstanceOf[Long]
     graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
-      path, tmp, "deleteWhere")
+      path, tmp, "deleteWhere", keepGenerations = keepGenerations)
     (total - deleted, deleted)
   }
 
@@ -197,7 +271,7 @@ object MapperRunner {
     * would bound the rewrite to the touched partitions, the same way the
     * segmented indexes replace only their own `seg=` directories. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String]): (Long, Long) = {
+      keyCols: Seq[String], keepGenerations: Int = 0): (Long, Long) = {
     val live = spark.read.parquet(path)
     val obsL = Observation(); val obsK = Observation(); val obsU = Observation()
     val keyed = updates.select(keyCols.map(col): _*)
@@ -212,7 +286,7 @@ object MapperRunner {
     val kept = obsK.get("kept").asInstanceOf[Long]
     val updN = obsU.get("upd").asInstanceOf[Long]
     graft.AtomicSwap.replace(spark.sparkContext.hadoopConfiguration,
-      path, tmp, "upsert")
+      path, tmp, "upsert", keepGenerations = keepGenerations)
     val updated = liveN - kept
     (updated, updN - updated)
   }

@@ -18,7 +18,30 @@ import graft.Tables
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  // Session-cached JSONL copy of the documents table for q_source_jsonl —
+  // the copy is the test fixture (testdata ships parquet only); the query
+  // under test is the schema-pinned JSONL READ path.
+  private val jsonlCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def jsonlDocsFor(s: SparkSession, d: String): String =
+    jsonlCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-jsonl-docs")
+      val path = s"$root/documents.jsonl"
+      Tables.documents(s, d).write.mode("overwrite").json(path)
+      path
+    }
+
   val queries: Map[String, Q] = Map(
+    // Non-parquet ingestion into the same table contract (the reference
+    // loads JSONL exports [U]): a JSONL copy of documents read back
+    // through Tables.loadAs with the parquet twin's schema pinned — the
+    // oracle (plain SELECT over the parquet table) proves the two routes
+    // hash-identical. Line-splittable input + pinned schema = the scan
+    // parallelizes and type-checks exactly like the parquet path.
+    "q_source_jsonl" -> ((s, d) =>
+      Tables.loadAs(s, jsonlDocsFor(s, d), Tables.documents(s, d).schema)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Keys-only kind scan: column pruning means the 100 TB scan reads two
     // int64 columns only (check: ReadSchema in .explain).
     "q_scan_keysonly" -> ((s, d) =>
@@ -160,6 +183,8 @@ object Relational {
       "ORDER BY o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "q_source_jsonl" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_subquery_exists" -> SubqueryExistsSql,
     "q_subquery_scalar" -> SubqueryScalarSql,
     "q_scan_keysonly" ->

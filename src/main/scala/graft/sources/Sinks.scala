@@ -68,8 +68,15 @@ object Sinks {
 }
 
 object Sources {
+  /** JSONL/CSV reads pin the caller's schema (no inference pass, no type
+    * drift between batches) and are explicitly PERMISSIVE: a corrupt line
+    * yields null columns — captured whole if the schema declares Spark's
+    * `columnNameOfCorruptRecord` — instead of failing a 100 TB ingest at
+    * row one-billion. Both formats are line-splittable, so the scan
+    * parallelizes like parquet. `Tables.loadAs` dispatches here by path
+    * suffix — the one non-parquet route into the table contract. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -79,5 +86,6 @@ object Sources {
 
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
+    spark.read.schema(schema).option("header", header.toString)
+      .option("mode", "PERMISSIVE").csv(path)
 }
