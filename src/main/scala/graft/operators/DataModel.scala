@@ -128,6 +128,24 @@ object DataModel {
         .orderBy("node").limit(200)
     }),
 
+    // Snapshot diff — the audit every mutation verb / backfill / migration
+    // needs: classify every key of two keyed snapshots as inserted /
+    // deleted / updated / unchanged in ONE full-outer co-shuffle on the
+    // key plus a null-safe struct compare, never a row-by-row driver loop.
+    // The "new" snapshot is a deterministic in-query mutation of orders
+    // (delete keys ≡0 mod 97, bump o_totalprice on keys ≡0 mod 50, insert
+    // key+10M copies of keys ≡0 mod 1000) so the DuckDB oracle rebuilds
+    // both sides bit-identically — the DIFF operator is the declared op,
+    // the mutation is just reproducible input. At 100 TB: snapshots
+    // bucketed on the key diff with ZERO Exchange (q_join_bucketed's
+    // layout); the classify expression is map-side; the count aggregate
+    // partial-merges to 4 rows per partition.
+    "q_table_diff" -> ((s, d) => {
+      val old = Tables.orders(s, d)
+      snapshotDiff(old, tableDiffNewSnapshot(old), "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    }),
+
     // Slowly-changing-dimension Type-2 build (Kimball): collapse each
     // customer's order-status timeline into versioned rows with
     // [valid_from, valid_to) ranges and an is_current flag — the
@@ -161,7 +179,56 @@ object DataModel {
       .orderBy("k", "valid_from", "status")
   }
 
+  /** The deterministic "new" snapshot q_table_diff audits against: ~1% of
+    * keys deleted, ~2% updated (price bump), ~0.1% re-inserted under fresh
+    * keys (base+10M — far above any testdata orderkey, which tops out at
+    * 6M even at TPC-H SF1 sparsity). */
+  private[graft] def tableDiffNewSnapshot(orders: DataFrame): DataFrame = {
+    val kept = orders.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(50)) === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val inserted = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    kept.unionByName(inserted)
+  }
+
+  /** Generic keyed snapshot diff: full-outer join on `key`, null-safe
+    * compare of the `compare` columns packed as ONE struct (a single
+    * codegen'd `<=>`, not N boolean ANDs), per-class counts. Exposed so
+    * callers can diff real snapshot pairs (e.g. two AtomicSwap
+    * generations) with any column subset. */
+  def snapshotDiff(oldS: DataFrame, newS: DataFrame, key: String,
+      compare: Seq[String]): DataFrame = {
+    val o = oldS.select(col(key).as("k"), struct(compare.map(col): _*).as("ov"))
+    val n = newS.select(col(key).as("k"), struct(compare.map(col): _*).as("nv"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(when(col("ov").isNull, lit("inserted"))
+        .when(col("nv").isNull, lit("deleted"))
+        .when(col("ov") <=> col("nv"), lit("unchanged"))
+        .otherwise(lit("updated")).as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("change_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_table_diff" ->
+      ("WITH newsnap AS (" +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 1000 = 0), " +
+        "j AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted' " +
+        "WHEN n.o_orderkey IS NULL THEN 'deleted' " +
+        "WHEN (o.o_custkey IS NOT DISTINCT FROM n.o_custkey) " +
+        "AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) " +
+        "AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) " +
+        "AND (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) " +
+        "THEN 'unchanged' ELSE 'updated' END AS change_type " +
+        "FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey) " +
+        "SELECT change_type, count(*) AS cnt FROM j GROUP BY change_type ORDER BY change_type"),
     "q_scd2_history" ->
       ("WITH chg AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
         "lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status " +

@@ -345,6 +345,22 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Keep exactly one survivor per near-dup cluster, chosen by `policy`
+    * sort order (first row wins); docs in no cluster survive untouched
+    * (COALESCE to their own id = singleton group). Shared engine for any
+    * keep-best policy — q_dedup_keep_longest drives it with
+    * longest-text-wins; PropertySpec drives it against a brute-force
+    * group-max fold. */
+  private[graft] def keepBestSurvivors(docs: DataFrame, clusters: DataFrame,
+      policy: Seq[Column]): DataFrame = {
+    val labeled = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+    val w = Window.partitionBy("cl").orderBy(policy: _*)
+    labeled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cl", "cluster")
+  }
+
   /** 32-bit SimHash fingerprint per doc from token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -441,6 +457,21 @@ object Dedup {
         .orderBy("lang")
     }),
 
+    // Survivor selection with a KEEP-BEST policy — "keep the most complete
+    // copy" (longest text; ties → min doc_id) — instead of
+    // q_dedup_survivors' keep-min-id. Real dedup runs pick survivors by
+    // quality, not arrival order; this is that policy over the same
+    // memoized cluster labels. Cost shape: one left join against the
+    // OUTPUT-sized label frame plus one window keyed on the cluster label
+    // (state = one cluster's members), so the corpus pass stays linear.
+    "q_dedup_keep_longest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      keepBestSurvivors(docs, exactClusters(s, d),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // The PRODUCTION dedup pipeline end-to-end: minhash+LSH candidates
     // (linear in corpus size) -> exact verification -> connected
     // components. q_dedup_clusters is its quadratic ground-truth twin;
@@ -505,6 +536,13 @@ object Dedup {
     "q_dedup_survivors" ->
       (ClustersCte + " SELECT lang, count(*) AS n_docs FROM documents d " +
         "WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id AND cl.cluster <> d.doc_id) " +
+        "GROUP BY lang ORDER BY lang"),
+    "q_dedup_keep_longest" ->
+      (ClustersCte + ", ranked AS (SELECT d.lang, row_number() OVER (" +
+        "PARTITION BY COALESCE(cl.cluster, d.doc_id) " +
+        "ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id) " +
+        "SELECT lang, count(*) AS n_docs FROM ranked WHERE rn = 1 " +
         "GROUP BY lang ORDER BY lang"))
 
   /** Shared recursive-CTE transitive closure over the capped exact-Jaccard

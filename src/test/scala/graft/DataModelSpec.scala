@@ -62,6 +62,42 @@ class DataModelSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 36L * 72L))
   }
 
+  test("q_table_diff class counts match independently-derived mutation counts") {
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    // the planted mutation, recomputed here WITHOUT the diff machinery
+    val deleted = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val inserted = orders.filter(col("o_orderkey") % 1000 === 0).count()
+    val updated = orders.filter(col("o_orderkey") % 97 =!= 0 &&
+      col("o_orderkey") % 50 === 0).count()
+    val got = rows(DataModel.queries("q_table_diff")(spark, sf))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(got.getOrElse("deleted", 0L) == deleted)
+    assert(got.getOrElse("inserted", 0L) == inserted)
+    assert(got.getOrElse("updated", 0L) == updated)
+    assert(got.getOrElse("unchanged", 0L) == total - deleted - updated)
+    // every class present at test scale, so the oracle compares all four
+    assert(got.keySet == Set("deleted", "inserted", "updated", "unchanged"))
+  }
+
+  test("snapshotDiff: identical snapshots are all-unchanged; key-only view detects value edits") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("k", "s", "v")
+    val same = rows(DataModel.snapshotDiff(a, a, "k", Seq("s", "v")))
+    assert(same == Seq(Seq("unchanged", 2L)))
+    // one value edit, one delete, one insert — classified independently
+    val b = Seq((1L, "x", 11.0), (3L, "z", 30.0)).toDF("k", "s", "v")
+    val got = rows(DataModel.snapshotDiff(a, b, "k", Seq("s", "v")))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(got == Map("updated" -> 1L, "deleted" -> 1L, "inserted" -> 1L))
+    // null-safe compare: null == null is unchanged, null vs value is updated
+    val c1 = Seq((1L, Option.empty[String]), (2L, Option("w"))).toDF("k", "s")
+    val c2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val nu = rows(DataModel.snapshotDiff(c1, c2, "k", Seq("s")))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(nu == Map("unchanged" -> 1L, "updated" -> 1L))
+  }
+
   test("q_geo_distance covers every customer with bounded coordinates") {
     val got = rows(DataModel.queries("q_geo_distance")(spark, sf))
     assert(got.size == Tables.customer(spark, sf).count())

@@ -95,6 +95,36 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected ${total - dropped} survivors, got $survived")
   }
 
+  test("q_dedup_keep_longest: same survivor COUNT as keep-min-id, different members when lengths differ") {
+    // both policies keep exactly one doc per cluster, so totals must agree
+    val minId = rows(Dedup.queries("q_dedup_survivors")(spark, sf))
+      .map(_(1).asInstanceOf[Long]).sum
+    val longest = rows(Dedup.queries("q_dedup_keep_longest")(spark, sf))
+      .map(_(1).asInstanceOf[Long]).sum
+    assert(longest == minId,
+      s"keep-longest kept $longest docs, keep-min-id kept $minId")
+  }
+
+  test("keepBestSurvivors picks the policy-max member per cluster; singletons survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} (rep 1), singleton 9; doc 2 is longest
+    val docs = Seq((1L, "aa", 2), (2L, "aaaa", 4), (3L, "a", 1), (9L, "bb", 2))
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val got = Dedup.keepBestSurvivors(docs, clusters,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 9L), s"got $got")
+    // tie on the policy column falls back to min doc_id
+    val tied = Seq((5L, "xx", 2), (6L, "yy", 2)).toDF("doc_id", "text", "n_chars")
+    val tiedCl = Seq((5L, 5L), (6L, 5L)).toDF("doc_id", "cluster")
+    val tGot = Dedup.keepBestSurvivors(tied, tiedCl,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tGot == Set(5L))
+  }
+
   test("minhash clusters refine the exact clusters") {
     val exact = rows(Dedup.queries("q_dedup_clusters")(spark, sf))
       .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap

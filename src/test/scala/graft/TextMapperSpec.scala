@@ -665,6 +665,29 @@ class TextMapperSpec extends SparkSpec {
       "vacuum must not touch the live table")
   }
 
+  test("snapshotDiff over AtomicSwap generations reports exactly the mutation") {
+    // q_table_diff's engine against the generation-retention escape hatch:
+    // diff(previous generation, live) after a deleteWhere must classify
+    // exactly the deleted keys as 'deleted' and everything else unchanged —
+    // the audit a facade user runs after any mutation verb.
+    val base = Files.createTempDirectory("graft-gendiff").toString
+    val path = s"$base/tbl"
+    Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+      .write.parquet(path)
+    val total = spark.read.parquet(path).count()
+    val toDelete = spark.read.parquet(path)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(toDelete > 0)
+    MapperRunner.deleteWhere(spark, path, col("doc_id") % 7 === 0,
+      keepGenerations = 1)
+    val diff = rows(graft.operators.DataModel.snapshotDiff(
+      MapperRunner.readVersion(spark, path, 1),
+      spark.read.parquet(path), "doc_id", Seq("lang", "n_chars")))
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(diff == Map("deleted" -> toDelete,
+      "unchanged" -> (total - toDelete)), s"got $diff")
+  }
+
   test("chained mapper jobs: continuation starts on A's completion; one restart crosses the boundary") {
     // VERDICT r7 missing #4: MapperJob.andThen with combined accounting
     import org.apache.spark.sql.{Encoders, Encoder}
