@@ -49,6 +49,37 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")),
 
+    // Incremental aggregate maintenance (the materialized-view pattern
+    // every 100 TB rollup pipeline runs): the stored partial-aggregate
+    // state for the base partition (shipped < 1997) MERGES with the delta
+    // batch's partials (≥ 1997) without re-reading a single base fact row —
+    // mergeable partials only (count/sum/min/max; avg derived at read
+    // time), the same algebra Spark's own two-phase aggregation uses,
+    // lifted to cross-batch persistence. The oracle is the full recompute,
+    // proving merge(partial(base), partial(delta)) ≡ agg(base ∪ delta).
+    // At 100 TB the "base" side is a tiny persisted rollup table (one row
+    // per group) — the daily refresh touches only the delta's row groups
+    // (shipdate partition pruning) plus that rollup.
+    "q_agg_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("l_returnflag").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(dec2)).as("sum_qty_d"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      partials(li.filter(col("l_shipdate") < cutoff))
+        .unionByName(partials(li.filter(col("l_shipdate") >= cutoff)))
+        .groupBy("l_returnflag")
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_qty_d")).cast("double").as("sum_qty"),
+          min(col("min_price")).as("min_price"),
+          max(col("max_price")).as("max_price"))
+        .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // HLL sketch — mergeable across partitions, O(1) memory per group; the
     // 100 TB path for distinct-user counts. Approximate => no DuckDB oracle.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -268,6 +299,12 @@ object Aggregates {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q_agg_distinct" ->
       "SELECT o_orderstatus, count(DISTINCT o_custkey) AS cd_cust, count(DISTINCT o_orderpriority) AS cd_prio, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_agg_incremental" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_rollup" ->
       ("SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS cnt " +

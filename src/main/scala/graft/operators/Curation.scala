@@ -327,6 +327,27 @@ object Curation {
     // every double op after it is a fixed left-to-right sequence mirrored
     // in the oracle. The corpus pass is map-only against a broadcast
     // per-source rate table — at 100 TB the only full-data cost is one
+    // Fingerprint-key canonicalization (OpenRefine's fingerprint clustering,
+    // the first normalization pass web-corpus curation runs before any
+    // fuzzy dedup): a document's KEY is its distinct tokens, sorted and
+    // re-joined — word order, repetition, and duplication all collapse,
+    // so boilerplate re-orderings land in one cluster a plain exact-hash
+    // dedup misses. Map-only key build (no UDF — array_distinct/array_sort
+    // are codegen'd), ONE shuffle on the key; only multi-member clusters
+    // emit (the dedup candidates). At 100 TB the key can be hashed to 16
+    // bytes before the shuffle (the full key string never needs to move —
+    // same md5 trick as q_dedup_exact); kept raw here so the oracle can
+    // rebuild it verbatim.
+    "q_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_join(
+          array_sort(array_distinct(graft.functions.ColumnOps.tokens(col("text")))),
+          " ").as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("members"), min(col("doc_id")).as("canonical"))
+        .filter(col("members") > 1)
+        .orderBy("canonical")),
+
     // filter.
     "q_mix_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -351,6 +372,12 @@ object Curation {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_text_normalize" ->
+      ("WITH fp AS (SELECT doc_id, array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split(text, ' '), w -> w <> ''))), ' ') AS fp " +
+        "FROM documents) " +
+        "SELECT fp, count(*) AS members, min(doc_id) AS canonical FROM fp " +
+        "GROUP BY fp HAVING count(*) > 1 ORDER BY canonical"),
     "q_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS t FROM documents), " +
         "shingled AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g " +

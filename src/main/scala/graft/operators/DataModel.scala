@@ -146,6 +146,61 @@ object DataModel {
         Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
     }),
 
+    // CDC changelog apply (the Datastore mutation-log → snapshot compaction
+    // [U: reference checkout empty — public CDC/lakehouse-merge semantics],
+    // and the standard CDC MERGE every ingest pipeline runs): a keyed
+    // changelog of upserts and tombstones with per-key sequence numbers
+    // folds into a base snapshot — last writer wins, deletes remove. ONE
+    // shuffle on the key: base rows enter the fold as seq-0 upserts, log
+    // rows at their seq, a single row_number window picks each key's
+    // latest, tombstones filter out AFTER winning (a delete must beat an
+    // earlier update, not coexist with it). The changelog is a
+    // deterministic derivation of orders (update on ≡0 mod 31; a SECOND
+    // competing update on ≡0 mod 62 proving last-writer-wins; delete on
+    // ≡0 mod 97 — which also tombstones some updated keys; insert of fresh
+    // keys on ≡0 mod 1000) so DuckDB rebuilds it bit-identically — the
+    // APPLY is the declared operator, the log is reproducible input. At
+    // 100 TB: base bucketed on the key (q_join_bucketed's layout) makes
+    // the window Exchange-free on the base side; the log co-shuffles at
+    // delta size, never base size.
+    "q_cdc_apply" -> ((s, d) => {
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      cdcApply(base, cdcChangelog(Tables.orders(s, d)), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // Triangle counting (the clustering-coefficient / community-density
+    // primitive) via the oriented two-wedge join: edges deduped to
+    // src < dst so each triangle is generated exactly once as
+    // (a<b)⋈(b<c)⋈(a<c) — two equi-joins, no candidate ever counted
+    // twice, no driver iteration. The graph is deterministic (each
+    // customer links to the next 1 and 2 custkeys in its nation's rank
+    // order ⇒ every consecutive rank triple closes a triangle), so the
+    // DuckDB oracle runs the identical 3-way join. At 100 TB the
+    // orientation is BY DEGREE (low-degree endpoint first — the standard
+    // wedge-bound trick that caps intermediate wedges at Σ deg(v)²
+    // over low-degree vertices); id-order here is the same plan shape on
+    // a bounded-degree graph.
+    "q_graph_triangles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      val ranked = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+      val r2 = ranked.select(col("c_nationkey").as("nk2"),
+        col("c_custkey").as("dst"), col("rk").as("rkd"))
+      val edges = ranked
+        .join(r2, col("c_nationkey") === col("nk2") &&
+          (col("rkd") - col("rk")).isin(1, 2))
+        .select(col("c_nationkey").as("nk"), col("c_custkey").as("src"),
+          col("dst"))
+      triangleCount(edges.select("src", "dst"))
+        .join(edges.select(col("src").as("a"), col("nk")).distinct(), Seq("a"))
+        .groupBy("nk").agg(sum(col("tri")).as("triangles"))
+        .withColumnRenamed("nk", "c_nationkey")
+        .orderBy("c_nationkey")
+    }),
+
     // Slowly-changing-dimension Type-2 build (Kimball): collapse each
     // customer's order-status timeline into versioned rows with
     // [valid_from, valid_to) ranges and an is_current flag — the
@@ -193,6 +248,62 @@ object DataModel {
     kept.unionByName(inserted)
   }
 
+  /** Generic CDC fold: apply a keyed changelog (op ∈ {U, D}, per-key `seq`
+    * ordering, payload columns matching `base`) to a base snapshot. Base
+    * rows enter as seq-0 upserts; one row_number window per key picks the
+    * latest op; 'D' winners tombstone the key. Exactly one shuffle on the
+    * key. Requires per-key-unique seqs (op breaks a malformed tie
+    * deterministically: 'D' sorts before 'U' descending ⇒ delete wins). */
+  def cdcApply(base: DataFrame, log: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.withColumn("seq", lit(0L)).withColumn("op", lit("U"))
+    val w = Window.partitionBy(key).orderBy(col("seq").desc, col("op"))
+    b.unionByName(log)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn", "seq", "op")
+  }
+
+  /** The deterministic changelog q_cdc_apply folds: an update wave (seq 1,
+    * +5.00 on keys ≡0 mod 31), a COMPETING second wave (seq 2, +7.00 on
+    * ≡0 mod 62 — every such key also matched wave 1, so last-writer-wins is
+    * exercised on real collisions), tombstones (seq 3, ≡0 mod 97 — some of
+    * which kill updated keys), and inserts of fresh keys (≡0 mod 1000,
+    * +20M — beyond any testdata orderkey). */
+  private[graft] def cdcChangelog(orders: DataFrame): DataFrame = {
+    def wave(filterMod: Int, seq: Long, op: String, price: org.apache.spark.sql.Column) =
+      orders.filter(pmod(col("o_orderkey"), lit(filterMod)) === 0)
+        .select(col("o_orderkey"), price.as("o_totalprice"),
+          lit(seq).as("seq"), lit(op).as("op"))
+    wave(31, 1L, "U", col("o_totalprice") + lit(5.0))
+      .unionByName(wave(62, 2L, "U", col("o_totalprice") + lit(7.0)))
+      .unionByName(wave(97, 3L, "D", col("o_totalprice")))
+      .unionByName(
+        orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+          .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit(1L).as("seq"), lit("U").as("op")))
+  }
+
+  /** Generic oriented triangle count. Edges are canonicalized to u < v and
+    * deduped, so each undirected edge appears once and each triangle is
+    * generated exactly once as (a<b)⋈(b<c)⋈(a<c) — two equi-joins, never a
+    * cartesian. Returns per-apex counts (a, tri); sum(tri) is the global
+    * count. Scale: for skewed graphs swap the id orientation for DEGREE
+    * orientation (low-degree endpoint first) — identical plan, and the
+    * wedge intermediate is bounded by Σ_v deg⁻(v)² over the oriented
+    * out-degrees instead of the raw degree squares. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+    e1.join(e2, Seq("b"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .groupBy("a").agg(count(lit(1)).as("tri"))
+  }
+
   /** Generic keyed snapshot diff: full-outer join on `key`, null-safe
     * compare of the `compare` columns packed as ONE struct (a single
     * codegen'd `<=>`, not N boolean ANDs), per-class counts. Exposed so
@@ -212,6 +323,26 @@ object DataModel {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      ("WITH log AS (" +
+        "SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice, 1 AS seq, 'U' AS op FROM orders WHERE o_orderkey % 31 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_totalprice + 7.0, 2, 'U' FROM orders WHERE o_orderkey % 62 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, 3, 'D' FROM orders WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT o_orderkey + 20000000, 1.0, 1, 'U' FROM orders WHERE o_orderkey % 1000 = 0), " +
+        "allr AS (SELECT o_orderkey, o_totalprice, 0 AS seq, 'U' AS op FROM orders " +
+        "UNION ALL SELECT * FROM log), " +
+        "r AS (SELECT o_orderkey, o_totalprice, op, " +
+        "row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op) AS rn FROM allr) " +
+        "SELECT o_orderkey, o_totalprice FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"),
+    "q_graph_triangles" ->
+      ("WITH rk AS (SELECT c_nationkey, c_custkey, " +
+        "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rk FROM customer), " +
+        "e AS (SELECT a.c_nationkey AS nk, a.c_custkey AS u, b.c_custkey AS v " +
+        "FROM rk a JOIN rk b ON a.c_nationkey = b.c_nationkey AND b.rk - a.rk IN (1, 2)), " +
+        "t AS (SELECT e1.nk FROM e e1 JOIN e e2 ON e1.v = e2.u " +
+        "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT nk AS c_nationkey, count(*) AS triangles FROM t " +
+        "GROUP BY nk ORDER BY c_nationkey"),
     "q_table_diff" ->
       ("WITH newsnap AS (" +
         "SELECT o_orderkey, o_custkey, o_orderstatus, " +

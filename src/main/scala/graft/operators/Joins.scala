@@ -193,6 +193,45 @@ object Joins {
         .orderBy("r1")
     }),
 
+    // Interval-overlap join on the SCALE path: each order carries a
+    // [start, end) validity interval (start = o_orderdate, length =
+    // o_orderkey%30+1 days — deterministic so DuckDB rebuilds it); 25
+    // maintenance windows (90-day cadence, 45-day width) must find every
+    // overlapping order. The naive form is a pure inequality join —
+    // a nested loop that dies when BOTH sides are large (the dim here is
+    // broadcastable, but real interval joins — sessions × incidents — are
+    // not). The scale shape: EXPLODE each interval into the fixed-width
+    // time buckets it covers (45-day grid ⇒ ≤2 buckets per short order
+    // interval, 2 per window), EQUI-join on the bucket id, re-check the
+    // exact overlap predicate, and de-dup pairs that met in two buckets.
+    // All arithmetic in day numbers from a fixed epoch — identical
+    // integer math in both engines, no interval-type divergence. At
+    // 100 TB both sides shuffle on the bucket id (bounded fan-out ≤
+    // ceil(len/bucket)+1), never a cartesian; bucket width tunes fan-out
+    // vs per-bucket pair volume exactly like LSH band width.
+    "q_join_interval" -> ((s, d) => {
+      val bucket = 45
+      // day number from 1990-01-01; 1995-01-01 is day 1826
+      val day0 = to_date(lit("1990-01-01"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), day0).as("os"),
+          (datediff(to_date(col("o_orderdate")), day0)
+            + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
+      val w = Tables.nation(s, d).select(col("n_nationkey").as("w_id"),
+          (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
+          (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
+      def explodeBuckets(df: DataFrame, s0: String, e0: String) =
+        df.withColumn("bk",
+          explode(sequence(floor(col(s0) / bucket).cast("int"),
+            floor((col(e0) - 1) / bucket).cast("int"))))
+      explodeBuckets(o, "os", "oe")
+        .join(explodeBuckets(w, "ws", "we"), Seq("bk"))
+        .filter(col("os") < col("we") && col("ws") < col("oe"))
+        .select("w_id", "o_orderkey").distinct()
+        .groupBy("w_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("w_id")
+    }),
+
     // Salted fact-dim equi-join for skewed keys: the fact side gets a
     // deterministic per-row salt in [0, 8), the dim side is replicated once
     // per salt value, and the join key becomes (key, salt) — so one hot
@@ -414,6 +453,17 @@ object Joins {
       "SELECT p_brand, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity < p_size GROUP BY p_brand ORDER BY p_brand",
     "q_join_cross_ineq" ->
       "SELECT n1.n_regionkey AS r1, count(*) AS n_pairs FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey GROUP BY 1 ORDER BY 1",
+    // bucket blocking is complete (every overlapping pair shares >=1 covered
+    // bucket), so the oracle is the plain inequality join
+    "q_join_interval" ->
+      ("WITH o AS (SELECT o_orderkey, " +
+        "datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS os, " +
+        "datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + (o_orderkey % 30) + 1 AS oe " +
+        "FROM orders), " +
+        "w AS (SELECT n_nationkey AS w_id, 1826 + n_nationkey * 90 AS ws, " +
+        "1826 + n_nationkey * 90 + 45 AS we FROM nation) " +
+        "SELECT w_id, count(*) AS cnt FROM w JOIN o ON os < we AND ws < oe " +
+        "GROUP BY w_id ORDER BY w_id"),
     "q_join_salted" ->
       ("SELECT o_orderpriority, count(*) AS cnt, " +
         "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +

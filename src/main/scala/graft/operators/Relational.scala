@@ -30,6 +30,19 @@ object Relational {
       path
     }
 
+  // Session-cached CSV copy for q_source_csv (same fixture economics).
+  // Quote-all on write so the text column's trailing spaces survive the
+  // round trip; the read side disables whitespace trimming to match.
+  private val csvCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def csvDocsFor(s: SparkSession, d: String): String =
+    csvCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-csv-docs")
+      val path = s"$root/documents.csv"
+      Tables.documents(s, d).write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(path)
+      path
+    }
+
   val queries: Map[String, Q] = Map(
     // Non-parquet ingestion into the same table contract (the reference
     // loads JSONL exports [U]): a JSONL copy of documents read back
@@ -40,6 +53,17 @@ object Relational {
     "q_source_jsonl" -> ((s, d) =>
       Tables.loadAs(s, jsonlDocsFor(s, d), Tables.documents(s, d).schema)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // CSV twin of q_source_jsonl — the OTHER common first mile. Unlike
+    // JSONL, CSV has no self-describing field names per row, so the pinned
+    // schema + header is the whole type contract; the full text column
+    // (embedded spaces, quoted) rides the round trip and is length-checked
+    // in the output, proving payload fidelity, not just key columns.
+    "q_source_csv" -> ((s, d) =>
+      Tables.loadAs(s, csvDocsFor(s, d), Tables.documents(s, d).schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("text_len"))
         .orderBy("doc_id")),
 
     // Keys-only kind scan: column pruning means the 100 TB scan reads two
@@ -185,6 +209,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_source_jsonl" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_source_csv" ->
+      "SELECT doc_id, lang, source, n_chars, CAST(length(text) AS INTEGER) AS text_len FROM documents ORDER BY doc_id",
     "q_subquery_exists" -> SubqueryExistsSql,
     "q_subquery_scalar" -> SubqueryScalarSql,
     "q_scan_keysonly" ->

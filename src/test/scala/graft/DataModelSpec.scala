@@ -98,6 +98,47 @@ class DataModelSpec extends SparkSpec {
     assert(nu == Map("unchanged" -> 1L, "updated" -> 1L))
   }
 
+  test("q_cdc_apply: last writer wins, tombstones remove, inserts land, untouched keys identical") {
+    val got = rows(DataModel.queries("q_cdc_apply")(spark, sf))
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Double]).toMap
+    val base = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val del = base.keys.filter(_ % 97 == 0)
+    assert(del.nonEmpty && del.forall(k => !got.contains(k)),
+      "every tombstoned key must vanish")
+    // keys hit by BOTH update waves end at the seq-2 value (+7), never the
+    // seq-1 value (+5) or a compounded +12 — last-writer-wins on real
+    // collisions (%62 ⊂ %31)
+    val competing = base.keys.filter(k => k % 62 == 0 && k % 97 != 0)
+    assert(competing.nonEmpty, "test scale must exercise competing updates")
+    competing.foreach(k => assert(got(k) == base(k) + 7.0, s"key $k"))
+    base.keys.filter(k => k % 31 == 0 && k % 62 != 0 && k % 97 != 0)
+      .foreach(k => assert(got(k) == base(k) + 5.0, s"key $k"))
+    val ins = base.keys.filter(_ % 1000 == 0)
+    assert(ins.nonEmpty && ins.forall(k => got(k + 20000000L) == 1.0),
+      "inserted fresh keys must land at their log payload")
+    base.keys.filter(k => k % 31 != 0 && k % 97 != 0)
+      .foreach(k => assert(got(k) == base(k), s"untouched key $k must not move"))
+  }
+
+  test("triangleCount: K4 has 4, a chordless square 0; dup/reversed edges canonicalized") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L),
+      (2L, 4L), (4L, 2L), (3L, 3L)).toDF("src", "dst") // + dup, reverse, self-loop
+    assert(DataModel.triangleCount(k4).agg(sum("tri")).head().getLong(0) == 4L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(DataModel.triangleCount(c4).count() == 0, "a chordless cycle has no triangles")
+  }
+
+  test("q_graph_triangles: each nation's chain+skip graph closes exactly n-2 triangles") {
+    val got = rows(DataModel.queries("q_graph_triangles")(spark, sf))
+      .map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    val expected = Tables.customer(spark, sf).groupBy("c_nationkey").count()
+      .collect().map(r => r.get(0) -> (r.getLong(1) - 2))
+      .filter(_._2 > 0).toMap
+    assert(got == expected)
+  }
+
   test("q_geo_distance covers every customer with bounded coordinates") {
     val got = rows(DataModel.queries("q_geo_distance")(spark, sf))
     assert(got.size == Tables.customer(spark, sf).count())

@@ -684,4 +684,57 @@ class OperatorSpec extends SparkSpec {
         case _ => ()
       }
   }
+
+  test("q_join_interval: bucket blocking equals the naive inequality join, no nested loop") {
+    val q = Joins.queries("q_join_interval")(spark, sf)
+    val day0 = to_date(lit("1990-01-01"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), day0).as("os"),
+      (datediff(to_date(col("o_orderdate")), day0)
+        + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
+    val w = Tables.nation(spark, sf).select(col("n_nationkey").as("w_id"),
+      (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
+      (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
+    val naive = w.join(o, col("os") < col("we") && col("ws") < col("oe"))
+      .groupBy("w_id").agg(count(lit(1)).as("cnt")).orderBy("w_id")
+    assert(rows(q) == rows(naive),
+      "exploded-bucket equi-join must be a complete blocking of the overlap predicate")
+    val plan = physicalPlan(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"scale path must equi-join on the bucket id:\n$plan")
+  }
+
+  test("q_agg_incremental: merged base+delta partials equal the full recompute") {
+    val merged = rows(Aggregates.queries("q_agg_incremental")(spark, sf))
+    val full = rows(Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+      .orderBy("l_returnflag"))
+    assert(merged == full)
+    // both shipdate slices are non-empty at test scale, so the merge is real
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val li = Tables.lineitem(spark, sf)
+    assert(li.filter(col("l_shipdate") < cutoff).count() > 0)
+    assert(li.filter(col("l_shipdate") >= cutoff).count() > 0)
+  }
+
+  test("q_text_normalize: fingerprint key collapses word order and repetition") {
+    import spark.implicits._
+    val fp = array_join(array_sort(array_distinct(
+      graft.functions.ColumnOps.tokens(col("text")))), " ")
+    val keys = Seq((1L, "b a c a"), (2L, "c  b a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), fp.as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == "a b c" && keys(2L) == "a b c",
+      "order/repetition/extra-whitespace variants share one key")
+    assert(keys(3L) == "a b d")
+    // and the declared query only emits multi-member clusters
+    rows(Curation.queries("q_text_normalize")(spark, sf)).foreach(r =>
+      assert(r(1).asInstanceOf[Long] > 1))
+  }
 }

@@ -146,8 +146,12 @@ object ScaleCrossover {
         f""""quadratic_s":$quad%.2f,"linear_s":$lin%.2f,""" +
         f""""ratio":${quad / lin}%.2f}""")
 
+    // SCALEX_PROBES=2,3 re-runs a subset without repeating the others
+    val probes = sys.env.getOrElse("SCALEX_PROBES", "1,2,3")
+      .split(",").map(_.trim).toSet
+
     // 1. text dedup: exact Jaccard pairs vs MinHash+LSH verified pairs
-    for (m <- Seq(2, 6, 12)) {
+    for (m <- Seq(2, 6, 12) if probes("1")) {
       val docs = synthDocs(spark, sfDir, m).localCheckpoint()
       val n = docs.count()
       val tExact = time(Dedup.jaccardPairs(Dedup.shingles(docs), 0.8))
@@ -156,8 +160,13 @@ object ScaleCrossover {
       docs.unpersist()
     }
 
-    // 2. embedding dedup: all-pairs cosine vs blocked with k ∝ n cells
-    for (m <- Seq(2, 4, 8)) {
+    // 2. embedding dedup: all-pairs cosine vs blocked with k ∝ n cells.
+    // Quantizer balance is THE lever: a first run with iters=2 measured
+    // ratio ≈ 1.0 at every m (2-iteration k-means on 64-d Gaussian data
+    // leaves a few whale cells, and Σ|cell|² of a skewed partition is
+    // quadratic again — recorded in SCALE.md as the negative result).
+    // iters=10 is the balanced-quantizer variant.
+    for (m <- Seq(2, 4, 8) if probes("2")) {
       val e = synthEmb(spark, sfDir, m).localCheckpoint()
       val n = e.count()
       val tExact = time {
@@ -168,7 +177,7 @@ object ScaleCrossover {
             (round(expr("cosine_similarity(va, vb)"), 6) + lit(0.0)).as("cosine"))
           .orderBy(col("cosine").desc, col("da"), col("db")).limit(20)
       }
-      val cents = Similarity.kmeansCentroids(e, 32 * m, 2)
+      val cents = Similarity.kmeansCentroids(e, 32 * m, 10)
       val tBlocked = time(
         Similarity.embedDedupBlocked(e, cents, nprobe = 2, topn = 20))
       report("embed_dedup", m, n, tExact, tBlocked)
@@ -176,7 +185,7 @@ object ScaleCrossover {
     }
 
     // 3. skewed join: naive shuffled-hash vs two-phase targeted salting
-    for (m <- Seq(1, 4)) {
+    for (m <- Seq(1, 4, 10) if probes("3")) {
       val fact = synthSkewFact(spark, sfDir, m).localCheckpoint()
       val n = fact.count()
       val dim = spark.range(0, 10000)

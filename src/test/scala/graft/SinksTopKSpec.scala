@@ -55,6 +55,17 @@ class SinksTopKSpec extends SparkSpec {
       .map(_.head) == Seq(1L, 2L), "well-formed rows parse under the pinned schema")
   }
 
+  test("CSV documents round trip preserves text byte-identically (incl. trailing spaces)") {
+    // q_source_csv's gate check compares length(text); this is the stronger
+    // full-equality claim on the same route — quoteAll on write keeps the
+    // fixture's trailing-space text intact through the quoted round trip.
+    val docs = Tables.documents(spark, sf)
+    val out = Files.createTempDirectory("graft-csvdocs").toString + "/docs.csv"
+    docs.write.option("header", "true").option("quoteAll", "true").csv(out)
+    val back = Tables.loadAs(spark, out, docs.schema)
+    assert(rows(back.orderBy("doc_id")) == rows(docs.orderBy("doc_id")))
+  }
+
   test("warehouse sink partitions by column and prunes on read") {
     val df = Tables.documents(spark, sf)
     val out = Files.createTempDirectory("graft-sink").toString + "/wh"
