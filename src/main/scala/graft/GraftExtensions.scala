@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.{BloomOps, CosineSimilarity, RollingFingerprint}
-import graft.plans.{AsOfStrategy, PushFilterThroughAsOf}
+import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf}
 
 /** THE session-extension entry point: everything the engine injects into
   * Catalyst registers here (native functions, planner strategies, optimizer
@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomOps.mightBuilder))
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    // opt-in via spark.graft.intervalJoin.enabled (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
   }
 }

@@ -100,6 +100,41 @@ object Behavior {
         .orderBy("event_id")
     }),
 
+    // Robust per-group outlier accounting (median/MAD — the robust
+    // alternative to z-scores that one corrupt whale row cannot drag; the
+    // data-quality gate run before training-data aggregation). Medians are
+    // LOWER medians — the ceil(n/2)-th order statistic picked by
+    // row_number, never an interpolated average: an order statistic is an
+    // input value verbatim, so med, the residuals |x − med|, MAD (the
+    // residuals' own order statistic) and the 6·MAD threshold compare
+    // bit-identically in both engines with no rounding guard. Exact
+    // medians don't merge, so this is two ranked passes by construction
+    // (the one-pass mergeable path is q_agg_approx_quantile's sketch);
+    // both windows shuffle once on event_type and the med/mad frames stay
+    // group-cardinality-sized broadcasts.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
+        val n = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        df.withColumn("rn", row_number().over(w))
+          .join(broadcast(n), "event_type")
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(valueCol).as(out))
+      }
+      val med = lowerMedian(ev, "value", "med")
+      val withMed = ev.join(broadcast(med), "event_type")
+        .withColumn("resid", abs(col("value") - col("med")))
+      val mad = lowerMedian(withMed, "resid", "mad")
+      withMed.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("resid") > col("mad") * 6, 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // Time-series gap-fill: a per-user daily calendar spine over the
     // observed span (sequence + explode — generated next to the user's
     // rows), zero-filled counts, and forward-filled last daily revenue.
@@ -125,6 +160,22 @@ object Behavior {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      ("WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1), " +
+        "rk AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events), " +
+        "med AS (SELECT rk.event_type, rk.value AS med FROM rk JOIN n USING (event_type) " +
+        "WHERE rn = (n + 1) // 2), " +
+        "wm AS (SELECT e.event_type, e.event_id, abs(e.value - med.med) AS resid, med.med " +
+        "FROM events e JOIN med USING (event_type)), " +
+        "rk2 AS (SELECT event_type, resid, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY resid, event_id) AS rn FROM wm), " +
+        "mad AS (SELECT rk2.event_type, rk2.resid AS mad FROM rk2 JOIN n USING (event_type) " +
+        "WHERE rn = (n + 1) // 2) " +
+        "SELECT wm.event_type, min(wm.med) AS med, min(mad.mad) AS mad, " +
+        "CAST(sum(CASE WHEN wm.resid > mad.mad * 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "count(*) AS cnt " +
+        "FROM wm JOIN mad USING (event_type) GROUP BY wm.event_type ORDER BY wm.event_type"),
     "q_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "f AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap, " +

@@ -232,6 +232,33 @@ object Joins {
         .orderBy("w_id")
     }),
 
+    // The SAME interval-overlap join written NAIVELY (pure inequality
+    // condition — the declarative spelling a user would write) and rewritten
+    // to the bucket-blocked equi-join AUTOMATICALLY by the injected
+    // IntervalJoinRewrite optimizer rule (plans/IntervalJoinRewrite.scala;
+    // opt-in conf, enabled here). Same oracle as q_join_interval — the
+    // rewrite must be invisible in the results; the spec asserts the plan
+    // flipped from nested-loop to an equi-join and flips back when the rule
+    // is disabled. The conf stays set for the session (harmless: the rule
+    // only fires on no-equi-key overlap-pattern inner joins, and every
+    // other inventory query either carries an equi key or a single
+    // inequality).
+    "q_join_interval_auto" -> ((s, d) => {
+      s.conf.set("spark.graft.intervalJoin.enabled", "true")
+      s.conf.set("spark.graft.intervalJoin.bucket", "45")
+      val day0 = to_date(lit("1990-01-01"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), day0).as("os"),
+        (datediff(to_date(col("o_orderdate")), day0)
+          + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
+      val w = Tables.nation(s, d).select(col("n_nationkey").as("w_id"),
+        (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
+        (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
+      w.join(o, col("os") < col("we") && col("ws") < col("oe"))
+        .groupBy("w_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("w_id")
+    }),
+
     // Salted fact-dim equi-join for skewed keys: the fact side gets a
     // deterministic per-row salt in [0, 8), the dim side is replicated once
     // per salt value, and the join key becomes (key, salt) — so one hot
@@ -454,7 +481,17 @@ object Joins {
     "q_join_cross_ineq" ->
       "SELECT n1.n_regionkey AS r1, count(*) AS n_pairs FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey GROUP BY 1 ORDER BY 1",
     // bucket blocking is complete (every overlapping pair shares >=1 covered
-    // bucket), so the oracle is the plain inequality join
+    // bucket), so the oracle is the plain inequality join — shared verbatim
+    // by the rule-rewritten twin below
+    "q_join_interval_auto" ->
+      ("WITH o AS (SELECT o_orderkey, " +
+        "datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS os, " +
+        "datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + (o_orderkey % 30) + 1 AS oe " +
+        "FROM orders), " +
+        "w AS (SELECT n_nationkey AS w_id, 1826 + n_nationkey * 90 AS ws, " +
+        "1826 + n_nationkey * 90 + 45 AS we FROM nation) " +
+        "SELECT w_id, count(*) AS cnt FROM w JOIN o ON os < we AND ws < oe " +
+        "GROUP BY w_id ORDER BY w_id"),
     "q_join_interval" ->
       ("WITH o AS (SELECT o_orderkey, " +
         "datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS os, " +

@@ -73,4 +73,32 @@ class BehaviorSpec extends SparkSpec {
     // zero-filled gap days exist in this data (cnt = 0 rows on the spine)
     assert(got.exists(_(2).asInstanceOf[Long] == 0L), "expected zero-filled days")
   }
+
+  test("q_anomaly_mad equals a brute-force lower-median/MAD fold") {
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (et, rws) =>
+      def lowerMedian[A](xs: Seq[(Double, A)])(implicit ord: Ordering[A]): Double = {
+        val sorted = xs.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, ord))
+        sorted(((sorted.size + 1) / 2) - 1)._1
+      }
+      val med = lowerMedian(rws.toSeq.map(r => (r._3, r._2)))
+      val resid = rws.toSeq.map(r => (math.abs(r._3 - med), r._2))
+      val mad = lowerMedian(resid)
+      val outliers = resid.count(_._1 > mad * 6).toLong
+      et -> ((med, mad, outliers, rws.size.toLong))
+    }
+    val got = rows(Behavior.queries("q_anomaly_mad")(spark, sf))
+      .map(r => r(0).asInstanceOf[String] ->
+        ((r(1).asInstanceOf[Double], r(2).asInstanceOf[Double],
+          r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))).toMap
+    assert(got == expected)
+    // robustness sanity: every group found a non-negative mad and med is a
+    // value actually present in the group
+    got.foreach { case (et, (med, mad, _, _)) =>
+      assert(mad >= 0.0)
+      assert(ev.exists(r => r._1 == et && r._3 == med), s"$et med not an order statistic")
+    }
+  }
 }

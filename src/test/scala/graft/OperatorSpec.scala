@@ -705,6 +705,67 @@ class OperatorSpec extends SparkSpec {
       s"scale path must equi-join on the bucket id:\n$plan")
   }
 
+  test("IntervalJoinRewrite: naive overlap join flips to an equi-join under the rule, rows identical") {
+    def naive() = {
+      val day0 = to_date(lit("1990-01-01"))
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), day0).as("os"),
+        (datediff(to_date(col("o_orderdate")), day0)
+          + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
+      val w = Tables.nation(spark, sf).select(col("n_nationkey").as("w_id"),
+        (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
+        (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
+      w.join(o, col("os") < col("we") && col("ws") < col("oe"))
+        .groupBy("w_id").agg(count(lit(1)).as("cnt")).orderBy("w_id")
+    }
+    try {
+      spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+      val off = naive()
+      val planOff = physicalPlan(off)
+      assert(planOff.contains("BroadcastNestedLoopJoin") ||
+        planOff.contains("CartesianProduct"),
+        s"without the rule the pure-inequality join is a nested loop:\n$planOff")
+      val rowsOff = rows(off)
+
+      spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+      spark.conf.set("spark.graft.intervalJoin.bucket", "45")
+      val on = naive()
+      val planOn = physicalPlan(on)
+      assert(!planOn.contains("BroadcastNestedLoopJoin") &&
+        !planOn.contains("CartesianProduct"),
+        s"rule must rewrite the overlap join to an equi-join:\n$planOn")
+      // the exactly-once guard means counts match even for pairs sharing
+      // two covered buckets (orders crossing a 45-day grid line)
+      assert(rows(on) == rowsOff)
+    } finally spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+  }
+
+  test("IntervalJoinRewrite property: random intervals (incl. malformed and negative bounds) match the nested loop at several bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val a = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(400) - 100, rnd.nextInt(400) - 100)).toDF("ida", "sa", "ea")
+    val b2 = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(400) - 100, rnd.nextInt(400) - 100)).toDF("idb", "sb", "eb")
+    def joined() = a.join(b2, col("sa") < col("eb") && col("sb") < col("ea"))
+      .groupBy("ida").agg(count(lit(1)).as("c")).orderBy("ida")
+    spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+    val expected = rows(joined())
+    try {
+      spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+      for (bw <- Seq(1, 7, 64)) {
+        spark.conf.set("spark.graft.intervalJoin.bucket", bw.toString)
+        // exactly-once multiplicity + complete cover must hold for pairs
+        // sharing many buckets (bw=1), malformed e<s rows, and negative
+        // day numbers (floorDiv is floor, not truncate-toward-zero)
+        assert(rows(joined()) == expected, s"bucket width $bw")
+      }
+    } finally {
+      spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+      spark.conf.set("spark.graft.intervalJoin.bucket", "64")
+    }
+  }
+
   test("q_agg_incremental: merged base+delta partials equal the full recompute") {
     val merged = rows(Aggregates.queries("q_agg_incremental")(spark, sf))
     val full = rows(Tables.lineitem(spark, sf).groupBy("l_returnflag")
