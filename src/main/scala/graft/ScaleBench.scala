@@ -4,52 +4,47 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
-/** Empirical linear-vs-quadratic crossover measurement (round 10, VERDICT
-  * r9 #3): the driver's sf0.1 tables top out at ~600 k rows / 17 MB, so
-  * every "survives 100 TB" claim in SCALE.md was analysis, not measurement.
-  * This main SYNTHESIZES corpora 5–100× beyond sf0.1 — with the features
-  * that actually hurt at scale (shared boilerplate vocabulary, planted
-  * near-dup clusters, one byte-identical mega-group, an 80 %-hot join
-  * key) — and times the declared quadratic ground-truth operators against
-  * their linear production twins at growing n. Results are printed as one
-  * `SCALE_ROW:` JSON line per measurement and transcribed into SCALE.md.
+/** SCALE.md evidence tool #2 (round 10, VERDICT r9 #3): the DENSITY and
+  * STRATEGY sweeps that complement `ScaleCrossover` (src/test). The two
+  * harnesses deliberately do not overlap: ScaleCrossover multiplies the
+  * driver's sf0.1 tables ×m and answers "at what corpus SIZE does each
+  * linear twin overtake its quadratic oracle"; this main synthesizes
+  * corpora from scratch so the variables a ×m multiply cannot move become
+  * the axes:
   *
-  * NOT part of the driver gate: no SparkEntry queries, no oracle — this is
-  * evidence generation (the same role as tools/local_gate.sh), kept in
-  * src/main so it compiles against the real operators and cannot drift
-  * from them.
+  *  1. Boilerplate DENSITY at fixed n (dedup): 30 % of token positions
+  *     draw from a `vocab`-word common vocabulary, so sub-cap shared
+  *     3-shingle document frequency df ≈ n·0.027/vocab³ is a free knob
+  *     while corpus size, cluster structure (20 % of docs in 20-member
+  *     near-dup clusters, one 300-copy byte-identical mega-group) and
+  *     bytes stay constant. The exact path's junk-pair volume is Σ df²
+  *     (pairs at Jaccard ≈ 0.02, generated then discarded); LSH never
+  *     surfaces them (footer shingles don't align 4-hash bands). This is
+  *     the axis real corpora actually vary on — shared phrases, license
+  *     blocks, templates below the stop-shingle cap.
   *
-  * Three measured pairs (each: same synthetic input read from parquet, so
-  * generation cost is excluded and both sides scan identical bytes):
+  *  2. Skew STRATEGY × dim size (join): 80 % of fact rows on ONE key;
+  *     four fixes measured against each other — plain SHJ with AQE off
+  *     (the straggler), AQE skew split with thresholds scaled to the
+  *     harness's byte volume, full-dim ×8 replication (q_join_salted's
+  *     declared-naive shape), targeted two-phase hot-key salting
+  *     (q_join_salted_hot / SkewOps.hotKeys). `SPARK_GRAFT_SCALE_SKEW_
+  *     KEYS_DIV` moves the dim from replicable (n/20 keys) to fact-sized
+  *     (n/2) — the variable that decides full-vs-targeted. Dim broadcast
+  *     disabled throughout (a real dim doesn't broadcast).
   *
-  *  1. exact-Jaccard dedup (Dedup.jaccardPairs → connectedComponents — the
-  *     q_dedup_ngram/q_dedup_clusters ground-truth path) vs MinHash+LSH
-  *     (Dedup.minhashNearDupPairs → connectedComponents — the
-  *     q_dedup_minhash_clusters production path). The synthetic corpus
-  *     gives 30 % of token positions a 20-word "stopword" vocabulary, so
-  *     common 3-shingles have document frequency ∝ n: the exact path's
-  *     per-shingle pair expansion (Σ df²) grows quadratically with corpus
-  *     size on pairs that are pure junk (Jaccard ≈ 0.02, all filtered),
-  *     while LSH only surfaces candidates whose full signature bands
-  *     collide — the planted structure. 20 % of docs sit in 20-member
-  *     near-dup clusters (1 expected token mutation per member), plus one
-  *     300-copy byte-identical boilerplate group (the collapse pre-pass's
-  *     showcase; the exact path DROPS it by the declared stop-shingle cap
-  *     — its shingles exceed maxDf — so minhash emits strictly more true
-  *     pairs at scale, the documented divergence).
+  *  3. Embedding corpus sizes past ScaleCrossover's reach (its ×m tops
+  *     out at 16 k vectors where the blocked path only ties): all-pairs
+  *     cartesian top-n vs SemDeDup blocked with k ∝ n cells, k-means fit
+  *     reported separately (at production scale the fit amortizes into
+  *     the IvfIndex build; the search is the recurring cost).
   *
-  *  2. skewed fact-dim equi-join, 80 % of fact rows on ONE key: plain
-  *     shuffled join with AQE off (the straggler), plain with AQE skew
-  *     split, full-dim ×8 replication (q_join_salted's declared-naive
-  *     shape), targeted two-phase hot-key salting (q_join_salted_hot's
-  *     shape via SkewOps.hotKeys). Dim broadcast is disabled for all four
-  *     (hint + threshold) — at real scale the dim doesn't broadcast.
-  *
-  *  3. embedding near-dup: all-pairs cartesian top-n (q_dedup_embed's
-  *     ground truth, n² cosines) vs SemDeDup-style cell-blocked self-join
-  *     (Similarity.embedDedupBlocked, k centroids grown ∝ n, pair space
-  *     Σ|cell|²). The blocked time INCLUDES its k-means fit (reported
-  *     separately too) — the index build is part of the production cost.
+  * Results print as one `SCALE_ROW:` JSON line per measurement,
+  * transcribed into SCALE.md §"Measured crossovers". NOT part of the
+  * driver gate: no SparkEntry queries, no oracle — evidence generation
+  * kept in src/main so it compiles against the real operators and cannot
+  * drift from them. Inputs are written to parquet and read back, so both
+  * sides of every A/B scan identical bytes and generation is excluded.
   *
   * Protocol: each measurement runs `SPARK_GRAFT_SCALE_REPS` times (default
   * 2) back-to-back; the MIN is the steady-state number (first rep carries
@@ -59,7 +54,11 @@ import graft.operators.{Dedup, Similarity}
   * synthesis is xxhash64-deterministic: re-runs see byte-identical corpora.
   */
 object ScaleBench {
-  private def timeOnce(df: DataFrame): Double = {
+  /** By-name on purpose: the dedup pipelines materialize eagerly while the
+    * plan is BUILT (localCheckpoint'd postings, the driver union-find in
+    * connectedComponents), so construction must happen inside the timed
+    * region — a strict parameter would bill only the final noop write. */
+  private def timeOnce(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
@@ -82,7 +81,7 @@ object ScaleBench {
     * n/100 clusters of 20 near-dup members (shared seed = cluster id, ~1
     * mutated token per member → pairwise Jaccard ≈ 0.86–1.0); the next 300
     * docs are ONE byte-identical boilerplate text; the rest are unique. */
-  private def synthDocs(s: SparkSession, n: Long): DataFrame = {
+  private def synthDocs(s: SparkSession, n: Long, vocab: Int = 20): DataFrame = {
     val g = 20L
     val clustered = (n / 100L) * g // 20% of corpus
     val megaEnd = clustered + 300L
@@ -99,7 +98,7 @@ object ScaleBench {
                 THEN concat('m', xxhash64(id, p, 29L))
                 ELSE CASE
                   WHEN pmod(xxhash64(IF(id < ${clustered}L, id DIV $g, id), p, 13L), 10) < 3
-                  THEN concat('c', pmod(xxhash64(IF(id < ${clustered}L, id DIV $g, id), p, 17L), 20))
+                  THEN concat('c', pmod(xxhash64(IF(id < ${clustered}L, id DIV $g, id), p, 17L), $vocab))
                   ELSE concat('u', xxhash64(IF(id < ${clustered}L, id DIV $g, id), p, 19L))
                 END
               END)
@@ -119,12 +118,19 @@ object ScaleBench {
   /** Fact: n rows, 80 % on key 1, rest uniform over n/20 keys. Dim: one row
     * per key. The fact's per-key max partition is what a straggler eats. */
   private def synthSkew(s: SparkSession, n: Long): (DataFrame, DataFrame) = {
-    val nKeys = (n / 20L).max(100L)
+    // keysDiv controls dim size relative to fact: 20 → a replicable dim
+    // (full ×8 replication is affordable); 2 → a fact-sized dim where
+    // only TARGETED salting stays affordable (the q_join_salted_hot claim)
+    val keysDiv = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW_KEYS_DIV", "20").toLong
+    val nKeys = (n / keysDiv).max(100L)
     val fact = s.range(n).selectExpr(
       "id AS event_id",
       s"IF(pmod(xxhash64(id, 3L), 10) < 8, 1L, pmod(xxhash64(id, 5L), ${nKeys}L)) AS k",
       "CAST(pmod(xxhash64(id, 7L), 1000) AS DOUBLE) / 10 AS value")
-    val dim = s.range(nKeys).selectExpr("id AS dk", "concat('g', id % 10) AS grp")
+    // 240-byte payload: dim replication cost (×salts) has to be visible —
+    // a 16-byte dim row makes full replication spuriously free at any n
+    val dim = s.range(nKeys).selectExpr("id AS dk", "concat('g', id % 10) AS grp",
+      "repeat(concat('d', id), 24) AS payload")
     (fact, dim)
   }
 
@@ -152,7 +158,7 @@ object ScaleBench {
     if (enabled("dedup")) {
       // sf0.1 documents = 5k rows; these are ×5 .. ×100.
       val docPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "25000,100000,400000")
-        .split(",").map(_.trim.toLong)
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
       for (n <- docPoints) {
         val docs = writeRead(s, synthDocs(s, n), s"$root/docs_$n")
         measure("dedup_exact_clusters", n, reps) {
@@ -162,11 +168,30 @@ object ScaleBench {
           Dedup.connectedComponents(Dedup.minhashNearDupPairs(docs))
         }
       }
+      // Boilerplate-density sweep at fixed n: the exact path's quadratic
+      // term is Σ_shingle df² over SUB-cap document frequencies (capped
+      // shingles leave; df ≈ n·0.027/vocab³ here). Shrinking the common
+      // vocab raises df toward the cap without tripping it — the zone
+      // where real corpora live (shared phrases, license blocks below the
+      // stop-shingle threshold) and where LSH's candidate generation,
+      // blind to raw shingle sharing, must win.
+      val vocabPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_VOCABS", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      val vocabN = sys.env.getOrElse("SPARK_GRAFT_SCALE_VOCAB_N", "400000").toLong
+      for (v <- vocabPoints) {
+        val docs = writeRead(s, synthDocs(s, vocabN, v), s"$root/docs_v${v}_$vocabN")
+        measure(s"dedup_exact_clusters_v$v", vocabN, reps) {
+          Dedup.connectedComponents(Dedup.jaccardPairs(Dedup.shingles(docs), 0.8))
+        }
+        measure(s"dedup_minhash_clusters_v$v", vocabN, reps) {
+          Dedup.connectedComponents(Dedup.minhashNearDupPairs(docs))
+        }
+      }
     }
 
     if (enabled("skew")) {
       val skewPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW", "1000000,4000000,16000000")
-        .split(",").map(_.trim.toLong)
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
       for (n <- skewPoints) {
         val (f0, d0) = synthSkew(s, n)
         val fact = writeRead(s, f0, s"$root/skewfact_$n")
@@ -179,9 +204,19 @@ object ScaleBench {
             skewAgg(fact, dim, col("k") === col("dk"))
           }
           s.conf.set("spark.sql.adaptive.enabled", "true")
+          // Production skew-split thresholds are 256 MB / a 5× median
+          // factor — sized for multi-GB reducer partitions. At this
+          // harness's byte volume the hot partition is ~100-300 MB, so the
+          // default never fires (measured: aqe == noaqe); scale the
+          // threshold with the data exactly as a 100 TB deploy tunes it
+          // DOWN per-executor-memory, and assert the split mechanism.
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+          s.conf.set("spark.sql.advisoryPartitionSizeInBytes", "8m")
           measure("skew_plain_aqe", n, reps) {
             skewAgg(fact, dim, col("k") === col("dk"))
           }
+          s.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          s.conf.unset("spark.sql.advisoryPartitionSizeInBytes")
           measure("skew_salted_full", n, reps) {
             val f = fact.withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts.toLong)))
             val d = dim.withColumn("salt",
@@ -209,7 +244,7 @@ object ScaleBench {
 
     if (enabled("embed")) {
       val embedPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_EMBED", "2000,8000,24000")
-        .split(",").map(_.trim.toLong)
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
       for (n <- embedPoints) {
         val e = writeRead(s, synthEmbeds(s, n), s"$root/embeds_$n").persist()
         e.count()
