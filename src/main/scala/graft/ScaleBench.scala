@@ -187,6 +187,48 @@ object ScaleBench {
           Dedup.connectedComponents(Dedup.minhashNearDupPairs(docs))
         }
       }
+      // Linear-scaling proof for the production path alone, at sizes where
+      // the exact oracle twin cannot run at all (its v10-density cousin
+      // already OOMs an 8 GB heap at 400 k): minhash time per doc should
+      // stay ~flat as n grows past the sweep range.
+      val minhashPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_MINHASH", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      for (n <- minhashPoints) {
+        val docs = writeRead(s, synthDocs(s, n), s"$root/docs_$n")
+        measure("dedup_minhash_clusters_only", n, reps) {
+          Dedup.connectedComponents(Dedup.minhashNearDupPairs(docs))
+        }
+      }
+    }
+
+    if (enabled("index")) {
+      // Inverted-index term lookup vs the full-corpus scan it replaces, at
+      // ×80 the sf0.1 corpus. The term is a COMMON-vocab token (present in
+      // ~60 % of docs) — the worst hot-term case for the index: one bucket
+      // directory of 64 read, one fat posting row exploded. The scan
+      // tokenizes every doc. Build time reported too (the amortized cost).
+      val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_INDEX_N", "400000").toLong
+      val docs = writeRead(s, synthDocs(s, n), s"$root/docs_$n")
+      val idxDir = s"$root/index_$n"
+      val t0 = System.nanoTime()
+      graft.sources.InvertedIndex.build(docs, idxDir)
+      println(s"""SCALE_ROW:{"op":"index_build","n":$n,"sec":${r3((System.nanoTime() - t0) / 1e9)},"reps":[1]}""")
+      measure("index_lookup_hot_term", n, reps) {
+        graft.sources.InvertedIndex.lookup(s, idxDir, "c5")
+      }
+      measure("index_scan_hot_term", n, reps) {
+        docs.filter(array_contains(split(col("text"), " "), "c5"))
+          .select(col("doc_id")).orderBy("doc_id")
+      }
+      // selective term: a boilerplate token present in exactly the 300
+      // mega-group docs (df = 300 of n) — the case an index exists for
+      measure("index_lookup_selective", n, reps) {
+        graft.sources.InvertedIndex.lookup(s, idxDir, "b3")
+      }
+      measure("index_scan_selective", n, reps) {
+        docs.filter(array_contains(split(col("text"), " "), "b3"))
+          .select(col("doc_id")).orderBy("doc_id")
+      }
     }
 
     if (enabled("skew")) {

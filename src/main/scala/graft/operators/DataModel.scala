@@ -264,6 +264,38 @@ object DataModel {
       .drop("rn", "seq", "op")
   }
 
+  /** VERSIONED CDC merge — the incremental-fold sibling of [[cdcApply]].
+    * Both inputs carry the full (payload, seq, op) shape and the output
+    * KEEPS the winning row's seq and op, tombstones included: a 'D' winner
+    * stays in the snapshot as a marker instead of silently vanishing.
+    * That retained version is what makes the fold ASSOCIATIVE under any
+    * batch split of the changelog — even when a later micro-batch delivers
+    * a lower-seq row for a key an earlier batch already updated or deleted
+    * (cross-batch disorder), the stale row loses to the stored seq, which
+    * [[cdcApply]]'s fold cannot do (it resets base rows to seq 0, so any
+    * late log row would beat them; it needs per-key batch-monotone
+    * delivery). This is the log-compaction contract (Kafka compacted
+    * topics, LSM tombstones): merge by highest version, keep tombstones
+    * until a GC horizon. One shuffle on the key per merge.
+    *
+    * The live view is `.filter(op =!= "D").drop("seq", "op")`
+    * ([[cdcLiveView]]); tombstone GC is a plain filter `seq >= horizon OR
+    * op =!= "D"` once every producer has passed `horizon` — the same
+    * horizon reasoning as streaming watermarks. */
+  def cdcMerge(prev: DataFrame, batch: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col("seq").desc, col("op"))
+    prev.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** The queryable state of a [[cdcMerge]] snapshot: tombstones out,
+    * version bookkeeping dropped. */
+  def cdcLiveView(snapshot: DataFrame): DataFrame =
+    snapshot.filter(col("op") =!= "D").drop("seq", "op")
+
   /** The deterministic changelog q_cdc_apply folds: an update wave (seq 1,
     * +5.00 on keys ≡0 mod 31), a COMPETING second wave (seq 2, +7.00 on
     * ≡0 mod 62 — every such key also matched wave 1, so last-writer-wins is

@@ -214,6 +214,43 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Streaming CDC snapshot maintenance: each micro-batch of a keyed
+    * changelog (payload, seq, op∈{U,D}) folds into a VERSIONED parquet
+    * snapshot via [[graft.operators.DataModel.cdcMerge]] — the snapshot
+    * retains each key's winning (seq, op) including tombstones, so the
+    * fold is correct under ANY batch split of the log, even cross-batch
+    * per-key disorder (a late lower-seq row loses to the stored version;
+    * see cdcMerge's Scaladoc for why the plain cdcApply fold can't offer
+    * that). The queryable state is `DataModel.cdcLiveView(read(current))`.
+    * Same foreachBatch + write-new-then-swap atomicity as
+    * [[runUpsertSnapshot]]; same scale note (snapshot-proportional
+    * rewrite; partition by key range at size and rewrite only touched
+    * partitions — or point this merge at a MERGE-capable table format). */
+  def runCdcSnapshot(log: DataFrame, key: String, snapshotDir: String): Unit = {
+    val q = log.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$snapshotDir/current")
+        val prev =
+          if (cur.exists()) spark.read.parquet(cur.getPath)
+          else batch.limit(0)
+        val merged = graft.operators.DataModel.cdcMerge(prev, batch, key)
+        val next = s"$snapshotDir/next-$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        val old = new java.io.File(s"$snapshotDir/old-$batchId")
+        if (cur.exists()) cur.renameTo(old)
+        new java.io.File(next).renameTo(cur)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(old)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** One incremental run: process whatever input files are NEW since the
     * checkpoint, append to the parquet sink, stop (Trigger.AvailableNow).
     * This is the reference's "re-run the mapper over new data" idiom as a

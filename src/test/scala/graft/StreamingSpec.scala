@@ -196,6 +196,54 @@ class StreamingSpec extends SparkSpec {
       "incremental per-batch merges must equal the one-shot compaction")
   }
 
+  test("streaming CDC fold equals one-shot apply under cross-batch disorder; tombstones retained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Changelog over keys 1..6 with per-key-UNIQUE seqs split so the SECOND
+    // batch delivers LOWER seqs than the first for keys 1 and 3 (cross-batch
+    // disorder — the case the versioned snapshot exists for: the stored seq
+    // must beat the late row) plus a fresh key 6 and a delete of key 4.
+    val batch1 = Seq((1L, 10.0, 5L, "U"), (2L, 20.0, 4L, "U"),
+      (3L, 30.0, 7L, "D"), (4L, 40.0, 2L, "U"), (5L, 50.0, 1L, "U"))
+    val batch2 = Seq((1L, 11.0, 3L, "U"), // stale: must NOT overwrite seq 5
+      (3L, 33.0, 6L, "U"), // stale: must NOT resurrect the seq-7 tombstone
+      (4L, 0.0, 9L, "D"), (6L, 60.0, 1L, "U"))
+    def asLog(rows: Seq[(Long, Double, Long, String)]) = {
+      val ms = MemoryStream[(Long, Double, Long, String)]
+      ms.addData(rows: _*)
+      ms.toDF().toDF("k", "v", "seq", "op")
+    }
+    val snap = Files.createTempDirectory("graft-cdc").toString
+    StreamOps.runCdcSnapshot(asLog(batch1), "k", snap)
+    StreamOps.runCdcSnapshot(asLog(batch2), "k", snap)
+    val snapshot = spark.read.parquet(s"$snap/current")
+    val live = graft.operators.DataModel.cdcLiveView(snapshot)
+      .orderBy("k")
+    val full = (batch1 ++ batch2).toDF("k", "v", "seq", "op")
+    val oneShot = graft.operators.DataModel.cdcApply(
+      full.filter(lit(false)).select("k", "v"), full, "k").orderBy("k")
+    assert(rows(live) == rows(oneShot),
+      "per-batch versioned folds must equal applying the whole log at once")
+    assert(rows(live) == Seq(Seq(1L, 10.0), Seq(2L, 20.0), Seq(5L, 50.0), Seq(6L, 60.0)),
+      "stale updates must lose to stored versions; deletes must stick")
+    // tombstone markers survive in the snapshot (the guard against future
+    // late rows), invisible in the live view
+    assert(rows(snapshot.filter(col("op") === "D").select("k", "seq")
+        .orderBy("k")) == Seq(Seq(3L, 7L), Seq(4L, 9L)),
+      "deleted keys must persist as versioned tombstones, not vanish")
+    // and the UNVERSIONED fold is provably wrong under the same disorder —
+    // the documented reason cdcMerge retains versions: folding batch2 via
+    // cdcApply (base seqs reset to 0) resurrects key 3 and revives key 1's
+    // stale value
+    val naive = graft.operators.DataModel.cdcApply(
+      graft.operators.DataModel.cdcApply(
+        full.filter(lit(false)).select("k", "v"),
+        batch1.toDF("k", "v", "seq", "op"), "k"),
+      batch2.toDF("k", "v", "seq", "op"), "k")
+    assert(rows(naive.orderBy("k")) != rows(oneShot),
+      "fixture must exercise the disorder the versioned fold fixes")
+  }
+
   test("streaming ingestion maintains the inverted index via per-batch appends") {
     // The index-as-maintained-artifact story end-to-end: a document stream
     // builds the index on its first micro-batch and APPENDS segments on
