@@ -327,7 +327,17 @@ object Dedup {
       .join(kept.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     val verified = jaccardFromInter(inter, docCounts(postings), threshold)
-    // cross-group expansion: da < db restored via least/greatest
+    expandMemberPairs(verified, mem, withinGroups)
+  }
+
+  /** Collapse-group expansion shared by the verified and the
+    * signature-estimated pipelines: rep-level scored pairs (da, db,
+    * jaccard) fan out to every member cross product (exact — identical
+    * text means identical shingle sets), and ≥2-member groups emit their
+    * within-pairs at Jaccard 1 (byte-identity needs no score). da < db
+    * restored via least/greatest. */
+  private[graft] def expandMemberPairs(verified: DataFrame, mem: DataFrame,
+      withinGroups: DataFrame): DataFrame = {
     val cross = verified
       .join(mem.select(col("rep").as("da"), col("members").as("ma")), "da")
       .join(mem.select(col("rep").as("db"), col("members").as("mb")), "db")
@@ -343,6 +353,49 @@ object Dedup {
       .select(col("p.da").as("da"), col("p.db").as("db"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** Signature-ESTIMATED near-dup pairs — the zero-verification triage
+    * tier below [[minhashNearDupPairs]]. Candidates come from the same
+    * LSH banding, but the score is the MinHash estimator itself (the
+    * fraction of the k signature positions that agree — an unbiased
+    * estimate of Jaccard with sd ≈ √(J(1−J)/k), MMDS ch.3) instead of the
+    * exact capped-set Jaccard. What that buys at corpus scale: the exact
+    * verifier joins candidates back against the corpus-sized posting
+    * lists (two shuffles over every shingle row); this tier touches ONLY
+    * the k-long signatures the banding pass already computed — after
+    * signature aggregation nothing corpus-sized shuffles again. The
+    * production shape: triage at est ≥ t, exact-verify just the survivors
+    * (est resolution is 1/k, so t should sit ≥ 2/k below the decision
+    * threshold to keep refinement recall). Same exact-dup collapse
+    * pre-pass and member expansion as the verified pipeline — within-group
+    * byte-identity pairs carry Jaccard exactly 1, no estimation. */
+  def minhashEstimatedPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      rowsPerBand: Int = 4, threshold: Double = 0.75): DataFrame = {
+    val grp = docs
+      .groupBy(sha2(col("text").cast("binary"), 256).as("tkey"))
+      .agg(min("doc_id").as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("text")).as("text"))
+      .localCheckpoint()
+    val repDocs = grp.select(col("rep").as("doc_id"), col("text"))
+    // materialized once: bucket generation AND the estimator read it
+    val sig = minhashSignatures(shingles(repDocs), k).localCheckpoint()
+    val cand = lshCandidates(sig, bands, rowsPerBand)
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val estimated = cand
+      .join(sigArr.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigArr.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"),
+        (size(expr("filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)"))
+          .cast("double") / k).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val withinGroups = grp.filter(size(col("members")) >= 2)
+      .join(sig.select(col("doc_id").as("rep")).distinct(), "rep")
+      .select(col("members"))
+    expandMemberPairs(estimated, grp.select(col("rep"), col("members")),
+      withinGroups)
   }
 
   /** Keep exactly one survivor per near-dup cluster, chosen by `policy`
@@ -404,6 +457,11 @@ object Dedup {
     minhashPairsCache.getOrBuild(s, d) {
       minhashNearDupPairs(Tables.documents(s, d)).localCheckpoint()
     }
+  private val estPairsCache = new graft.SessionCache[DataFrame]()
+  private def estPairs(s: SparkSession, d: String): DataFrame =
+    estPairsCache.getOrBuild(s, d) {
+      minhashEstimatedPairs(Tables.documents(s, d)).localCheckpoint()
+    }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup on normalized text; keep lowest doc_id per group.
@@ -435,6 +493,16 @@ object Dedup {
     // DedupSimilaritySpec asserts recall against q_dedup_ngram.
     "q_dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("da", "db")),
+
+    // Signature-estimated triage tier: same LSH candidates, scored by the
+    // MinHash estimator (matching-position fraction) instead of exact
+    // posting-list verification — nothing corpus-sized shuffles after the
+    // signature pass. Hash-dependent score => no DuckDB oracle; spec
+    // asserts estimator error bounds against the exact pipeline and full
+    // recall of its strong pairs.
+    "q_dedup_minhash_est" -> ((s, d) =>
+      estPairs(s, d).withColumnRenamed("jaccard", "est_jaccard")
+        .orderBy("da", "db")),
 
     // Near-dup CLUSTERS: connected components over the exact-Jaccard pair
     // graph; each doc maps to its cluster representative (min doc_id).

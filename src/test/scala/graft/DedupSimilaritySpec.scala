@@ -21,6 +21,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(found.subsetOf(truth))
   }
 
+  test("signature-estimated tier: unbiased-estimator error bound and strong-pair recall") {
+    // The triage tier's contract: (1) every pair the VERIFIED pipeline
+    // scores at J >= 0.9 must surface at the default est threshold (0.75 —
+    // ≥ 2/k below, so estimator noise of sd ≈ √(J(1−J)/16) ≈ 0.07 cannot
+    // push a strong pair under it); (2) on the pairs both tiers report,
+    // the estimate tracks exact Jaccard within the estimator's resolution
+    // band; (3) estimates are valid probabilities on the 1/k grid (member
+    // expansion adds exact 1.0s for byte-identical groups).
+    val exact = rows(Dedup.queries("q_dedup_minhash")(spark, sf))
+      .map(r => (r.head, r(1)) -> r(2).asInstanceOf[Double]).toMap
+    val est = rows(Dedup.queries("q_dedup_minhash_est")(spark, sf))
+      .map(r => (r.head, r(1)) -> r(2).asInstanceOf[Double]).toMap
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty, "testdata should plant strong near-dups")
+    val missed = strong -- est.keySet
+    assert(missed.isEmpty, s"strong pairs missing from the est tier: $missed")
+    val both = exact.keySet.intersect(est.keySet)
+    val errs = both.toSeq.map(p => math.abs(exact(p) - est(p)))
+    assert(errs.nonEmpty && errs.sum / errs.size <= 0.15,
+      s"mean |est - exact| ${errs.sum / errs.size} exceeds the k=16 noise band")
+    est.values.foreach { e =>
+      assert(e >= 0.0 && e <= 1.0 &&
+        (math.abs(e * 16 - math.round(e * 16)) < 1e-9 || e == 1.0),
+        s"estimate $e not on the 1/16 grid")
+    }
+  }
+
   test("exact duplicate docs collide under simhash and minhash") {
     import spark.implicits._
     val docs = Seq(

@@ -35,7 +35,8 @@ class OperatorSpec extends SparkSpec {
   test("every query has either an oracle or a documented no-oracle status") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expectedNoOracle = Set(
-      "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_minhash_clusters",
+      "q_agg_approx_distinct", "q_dedup_minhash", "q_dedup_minhash_est",
+      "q_dedup_minhash_clusters",
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
