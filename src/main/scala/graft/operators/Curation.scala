@@ -369,6 +369,45 @@ object Curation {
         .na.fill(0L, Seq("n_kept"))
         .select("source", "n_total", "n_kept", "rate")
         .orderBy("source")
+    }),
+
+    // Hashed-feature linear quality classifier — the fastText shape
+    // (Joulin et al. 2016) every production corpus filter runs: unigram +
+    // adjacent-bigram features, each hashed into a fixed-width bucket
+    // space (here md5's first byte → 256 buckets; a real model uses 2^18+,
+    // same plumbing), scored against a broadcast weight table, mean-pooled
+    // per doc, thresholded. The weights are a deterministic stand-in
+    // (bucket b → 2b−255, zero-mean over the bucket space) so the oracle
+    // can regenerate them — swapping in trained weights changes ONE line.
+    // Scale: the weight table is O(buckets) and broadcast (8 B/bucket —
+    // a 2^20-bucket model is 8 MB); the corpus side is explode + hash +
+    // broadcast-probe + one partial-agg'd groupBy(doc_id), so the only
+    // shuffle carries one (sum, count) pair per doc. Integer weights keep
+    // the sum exact and order-independent (float partial sums would make
+    // the score depend on partitioning); the single double division
+    // happens once per doc, after the aggregate.
+    "q_quality_classifier" -> ((s, d) => {
+      val weights = broadcast(s.range(256).select(
+        format_string("%02x", col("id")).as("h"),
+        (col("id") * 2 - 255).as("wv")))
+      val t = Tables.documents(s, d)
+        .withColumn("toks", expr(graft.functions.TextTokens.ToksSql))
+        .filter(size(col("toks")) > 0)
+      val feats = t.select(col("doc_id"),
+        explode(concat(col("toks"),
+          when(size(col("toks")) >= 2, expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"))
+            .otherwise(expr("CAST(array() AS array<string>)")))).as("f"))
+      feats.withColumn("h", substring(md5(col("f")), 1, 2))
+        .join(weights, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("wv")).as("sw"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("sw").cast("double") / (lit(510.0) * col("n_feats")), 6)
+            .as("score"),
+          (col("sw") > 0).as("keep"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -487,5 +526,17 @@ object Curation {
         "WHERE CAST((d.doc_id * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007.0 < r.rate " +
         "GROUP BY d.source) " +
         "SELECT r.source, r.n_total, COALESCE(kept.n_kept, 0) AS n_kept, r.rate " +
-        "FROM r LEFT JOIN kept USING (source) ORDER BY r.source"))
+        "FROM r LEFT JOIN kept USING (source) ORDER BY r.source"),
+    "q_quality_classifier" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks " +
+        "FROM documents WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0), " +
+        "f AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 " +
+        "THEN list_transform(range(1, CAST(len(toks) AS BIGINT)), i -> toks[i] || '_' || toks[i+1]) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS f FROM t), " +
+        "wt AS (SELECT printf('%02x', CAST(i AS INTEGER)) AS h, CAST(i * 2 - 255 AS BIGINT) AS wv FROM range(256) r(i)), " +
+        "j AS (SELECT doc_id, wv FROM f JOIN wt ON substring(md5(f.f), 1, 2) = wt.h) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+        "round(CAST(sum(wv) AS DOUBLE) / (510.0 * count(*)), 6) AS score, " +
+        "CAST(sum(wv) AS BIGINT) > 0 AS keep " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"))
 }

@@ -84,14 +84,46 @@ object Dedup {
     // dominant stage, and exchange reuse does not survive the two different
     // downstream aggregations under AQE
     val postings = cappedPostings(sh, maxDf).localCheckpoint()
-    val inter = postings
+    jaccardFromInter(interCounts(postings), docCounts(postings), threshold)
+  }
+
+  /** Pair intersection counts from capped postings: ordered pairs (da < db)
+    * generated inline per posting list, then one grouped count — the shared
+    * candidate-generation stage of [[jaccardPairs]] and
+    * [[containmentPairs]]. */
+  private def interCounts(postings: DataFrame): DataFrame =
+    postings
       .filter(size(col("docs")) >= 2)
       .select(explode(expr(
         "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS da, y AS db))))"))
         .as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    jaccardFromInter(inter, docCounts(postings), threshold)
+
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
+    * SAME capped shingle sets as [[jaccardPairs]]. Containment is the
+    * dedup signal Jaccard structurally misses: a short doc fully embedded
+    * in a much longer one (a chunk re-published inside a compilation, a
+    * quoted article inside a digest) has |A∩B| ≈ |A| but
+    * |A∪B| ≈ |B| >> |A|, so its Jaccard tends to |A|/|B| → 0 while its
+    * containment stays ≈ 1 (Broder 1997 distinguishes resemblance from
+    * containment for exactly this case). Cost shape is identical to the
+    * Jaccard ground truth — one posting shuffle, inline ordered-pair
+    * generation under the stop-shingle df cap, two output-sized joins —
+    * so the same 100 TB caveat applies: this is the exact/oracle tier;
+    * the linear triage tier is the minhash pipeline (a containment
+    * variant would bucket on the SHORTER doc's signature; not declared). */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val postings = cappedPostings(sh, maxDf).localCheckpoint()
+    val n = docCounts(postings)
+    interCounts(postings)
+      .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
+      .join(n.select(col("doc_id").as("db"), col("ns").as("nsb")), "db")
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / least(col("nsa"), col("nsb")), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Shared exact-Jaccard verification: pair intersection counts + per-doc
@@ -462,6 +494,11 @@ object Dedup {
     estPairsCache.getOrBuild(s, d) {
       minhashEstimatedPairs(Tables.documents(s, d)).localCheckpoint()
     }
+  private val containPairsCache = new graft.SessionCache[DataFrame]()
+  private def containPairs(s: SparkSession, d: String): DataFrame =
+    containPairsCache.getOrBuild(s, d) {
+      containmentPairs(shingles(Tables.documents(s, d)), 0.9).localCheckpoint()
+    }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup on normalized text; keep lowest doc_id per group.
@@ -554,6 +591,16 @@ object Dedup {
       connectedComponents(minhashPairs(s, d).select(col("da"), col("db")))
         .orderBy("doc_id")),
 
+    // Containment pairs: |A∩B| / min(|A|,|B|) >= 0.9 over the same capped
+    // 3-shingle sets as q_dedup_ngram — catches a short doc embedded in a
+    // longer one, where Jaccard → |A|/|B| hides the duplication (Broder's
+    // resemblance-vs-containment distinction). Superset of the Jaccard
+    // pairs at the same threshold (min ≤ union); the extra rows are
+    // exactly the asymmetric-length dups. Oracle mirrors the ngram oracle
+    // with a least() denominator.
+    "q_dedup_containment" -> ((s, d) =>
+      containPairs(s, d).orderBy("da", "db")),
+
     // SimHash fingerprints + near-pairs at Hamming distance <= 2.
     // Hash-dependent => no oracle; DedupSimilaritySpec checks planted dups collide.
     "q_dedup_simhash" -> ((s, d) => {
@@ -598,6 +645,18 @@ object Dedup {
         "SELECT da, db, round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) AS jaccard " +
         "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
         "WHERE round(CAST(i AS DOUBLE) / (na.ns + nb.ns - i), 6) >= 0.8 " +
+        "ORDER BY da, db"),
+    "q_dedup_containment" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s " +
+        "FROM w, UNNEST(range(1, len(words) - 1)) AS t(i) WHERE len(words) >= 3), " +
+        "shk AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)), " +
+        "n AS (SELECT doc_id, count(*) AS ns FROM shk GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, round(CAST(i AS DOUBLE) / least(na.ns, nb.ns), 6) AS containment " +
+        "FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db " +
+        "WHERE round(CAST(i AS DOUBLE) / least(na.ns, nb.ns), 6) >= 0.9 " +
         "ORDER BY da, db"),
     "q_dedup_clusters" ->
       (ClustersCte + " SELECT doc_id, cluster FROM cl ORDER BY doc_id"),

@@ -1020,7 +1020,21 @@ object Similarity {
           round(sqrt(expr(
             "aggregate(zip_with(v, codes, (x, c) -> (x - c * scale) * (x - c * scale)), 0D, (a, b) -> a + b)")), 6)
             .as("recon_err"))
-        .orderBy("vec_id").limit(200)))
+        .orderBy("vec_id").limit(200)),
+
+    // Cell-size histogram of the on-disk IVF index — the index-health
+    // query behind autoK/retrainIfStale (skew, dead cells) — answered
+    // from parquet FOOTERS via the connector's aggregate pushdown
+    // (IvfScanBuilder.pushAggregation): COUNT(*) GROUP BY cid plans a
+    // GraftIvfAggScan that replays per-file footer row counts, so ZERO
+    // vector bytes are read — at 100 TB the histogram costs a metadata
+    // walk, not a corpus scan. Centroid-dependent cell contents => no
+    // DuckDB oracle; DedupSimilaritySpec asserts equality with the
+    // full-scan groupBy and that the plan carries the agg scan.
+    "q_sim_index_stats" -> ((s, d) =>
+      s.read.format("graft.ivf").option("dir", ivfDirFor(s, d)).load()
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cid")))
 
   // "+ 0.0" mirrors ColumnOps.cosine's signed-zero normalization (DuckDB's C
   // round keeps -0.0; Spark's BigDecimal round cannot produce it).

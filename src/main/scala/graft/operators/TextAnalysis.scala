@@ -204,6 +204,19 @@ object TextAnalysis {
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy("term")),
 
+    // Total postings count (index cardinality — the first statistic an
+    // index health check reads), answered from parquet FOOTERS via the
+    // connector's aggregate pushdown (IndexScanBuilder.pushAggregation):
+    // an ungrouped COUNT(*) plans a GraftIndexAggScan replaying each
+    // file's doc_ids element value count, so no posting pages are read —
+    // the Datastore __Stat__-style metadata count, grading O(files) not
+    // O(postings). Oracle = the distinct (doc, term) pair count over the
+    // raw documents, which is what the index stores by construction.
+    "q_search_index_count" -> ((s, d) =>
+      s.read.format("graft.index")
+        .option("dir", indexDirFor(s, d)).load()
+        .agg(count(lit(1)).as("n_postings"))),
+
     // Approximate heavy hitters: top-10 most frequent terms via a count-min
     // sketch + bounded candidate set — ONE pass, fixed-size mergeable
     // partial state (4×1024 longs per partition), vs the exact path's
@@ -270,6 +283,9 @@ object TextAnalysis {
     "q_search_index_df" ->
       (s"WITH t AS (SELECT doc_id, unnest(list_distinct($DuckToks)) AS term FROM documents) " +
         "SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term ORDER BY term"),
+    "q_search_index_count" ->
+      (s"WITH t AS (SELECT doc_id, unnest(list_distinct($DuckToks)) AS term FROM documents) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_postings FROM t"),
     "q_text_tokens" ->
       (s"SELECT doc_id, CAST(len($DuckToks) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens " +

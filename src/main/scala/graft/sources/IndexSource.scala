@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -177,10 +178,30 @@ private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
 private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
     maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushedTerms: Option[Seq[String]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = IndexSource.Schema
+  private var pushedCounts: Int = 0 // number of accepted COUNT(*) columns
+
+  /** Global COUNT(*) — the total-postings statistic (index cardinality,
+    * the first number an index health check reads) — is answerable from
+    * parquet footers alone: the scan emits one row per posting, which is
+    * exactly the `doc_ids` element value count the footers record per
+    * file. Accepted ONLY ungrouped and ONLY when no term filter was
+    * pushed: footer counts cover whole bucket files, and a bucket holds
+    * other terms' postings too, so a filtered or per-term count must read
+    * the postings (Spark falls back to the row scan). Pushdown is PARTIAL:
+    * per-file rows, Spark sums. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = pushedTerms.isEmpty && accepted.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) pushedCounts = agg.aggregateExpressions.length
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Accept ONE term equality or IN-list (the index's access paths);
@@ -205,7 +226,63 @@ private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(dir, buckets, pushedTerms, required, maxSegsPerTrigger)
+    if (pushedCounts > 0) new IndexAggScan(dir, pushedCounts)
+    else new IndexScan(dir, buckets, pushedTerms, required, maxSegsPerTrigger)
+}
+
+/** Footer-only COUNT(*) scan over the whole index: total postings from
+  * each file's `doc_ids` element value count (block metadata — no posting
+  * pages read). One pre-counted row per file, merged by Spark's final
+  * aggregate; the planning cost is the same O(files) footer walk
+  * [[IndexScan.estimateStatistics]] pays, which at any index size is
+  * metadata-sized, not data-sized. */
+private[graft] final class IndexAggScan(val dir: String, nCounts: Int)
+    extends Scan with Batch {
+  private val schema: StructType = StructType((0 until nCounts).map(i =>
+    StructField(s"count_$i", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  private val confSer = new org.apache.spark.util.SerializableConfiguration(
+    InvertedIndex.driverHadoopConf)
+
+  private lazy val fileCounts: Seq[(Int, Long)] = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(confSer.value)
+    val found = ArrayBuffer.empty[(Int, Long)]
+    if (fs.exists(root)) {
+      // bucket=* walk only (same scope as IndexScan.listFiles): a
+      // concurrent writer's staging dirs must not leak into the count
+      for (b <- fs.listStatus(root).toSeq
+             if b.isDirectory && b.getPath.getName.startsWith("bucket=")) {
+        val it = fs.listFiles(b.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(f.getPath, confSer.value))
+            try found += ((0, r.getFooter.getBlocks.asScala.map { blk =>
+              blk.getColumns.asScala
+                .find(_.getPath.toDotString.startsWith("doc_ids."))
+                .map(_.getValueCount)
+                .getOrElse(blk.getRowCount) // doc_ids absent: 1 row/term
+            }.sum))
+            finally r.close()
+          }
+        }
+      }
+    }
+    found.toSeq
+  }
+
+  override def description(): String =
+    s"GraftIndexAggScan dir=$dir agg=count(*) files=${fileCounts.size}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IvfAggPartition(fileCounts, grouped = false, nCounts))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvfAggReaderFactory
 }
 
 private[graft] final class IndexScan(val dir: String, val buckets: Int,

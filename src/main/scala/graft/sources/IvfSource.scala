@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -101,6 +102,36 @@ object IvfSource {
     val p = new HPath(dir, "centroids")
     !p.getFileSystem(InvertedIndex.driverHadoopConf).exists(p)
   }
+
+  /** (path, bytes, cid) of every corpus file under `dir/assigned` within
+    * `scope` (None = all cells) — the ONE layout walk shared by the row
+    * scan's partition planning and the aggregate scan's footer counting. */
+  private[sources] def listCorpusFiles(dir: String, scope: Option[Set[Int]],
+      conf: Configuration): Seq[(String, Long, Int)] = {
+    val root = new HPath(dir, "assigned")
+    val fs = root.getFileSystem(conf)
+    val cellDirs: Seq[(HPath, Int)] = scope match {
+      case Some(cids) =>
+        cids.toSeq.sorted.map(c => (new HPath(root, s"cid=$c"), c))
+          .filter { case (p, _) => fs.exists(p) } // absent cell: zero partitions
+      case None =>
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+          .map(s => (s.getPath, s.getPath.getName.stripPrefix("cid=").toInt))
+          .sortBy(_._2)
+    }
+    val found = ArrayBuffer.empty[(String, Long, Int)]
+    cellDirs.foreach { case (p, cid) =>
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          found += ((f.getPath.toString, f.getLen, cid))
+      }
+    }
+    found.sortBy(_._1).toSeq
+  }
 }
 
 private[sources] final class IvfTable(dir: String,
@@ -178,10 +209,39 @@ private[sources] final class IvfWriteBuilder(dir: String, seg: Option[Long],
 private[sources] final class IvfScanBuilder(dir: String,
     maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushedCids: Option[Seq[Int]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = IvfSource.Schema
+  // accepted aggregate pushdown: (grouped by cid?, number of COUNT(*) cols)
+  private var pushedAgg: Option[(Boolean, Int)] = None
+
+  /** COUNT(*) [GROUP BY cid] is answerable from parquet FOOTERS alone —
+    * every `cid=C` file's block metadata carries its row count, so the
+    * cell-size histogram (the index-health query: skew, dead cells,
+    * retrain triggers) never reads a single vector byte. Pushdown is
+    * PARTIAL (`supportCompletePushDown` = false): the scan emits one
+    * pre-counted row per corpus FILE and Spark's final aggregate sums
+    * them per cell — which is exactly what makes the contract safe under
+    * multi-file cells (seg appends) and needs no single-partition merge
+    * on the scan side. Anything beyond COUNT(*) — counts of a column
+    * (NULL semantics need the data), MIN/MAX over vectors, a non-cid
+    * grouping — is declined and Spark falls back to the row scan. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.length <= 1 &&
+      agg.groupByExpressions.forall {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("cid"))
+        case _ => false
+      }
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (groupOk && aggsOk) {
+      pushedAgg = Some((agg.groupByExpressions.length == 1,
+        agg.aggregateExpressions.length))
+      true
+    } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Accept ONE cid equality or IN-list (the probe access path);
@@ -203,8 +263,76 @@ private[sources] final class IvfScanBuilder(dir: String,
     required = StructType(IvfSource.Schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new IvfScan(dir, pushedCids, required, maxSegsPerTrigger)
+  override def build(): Scan = pushedAgg match {
+    case Some((grouped, nCounts)) =>
+      new IvfAggScan(dir, pushedCids.map(_.toSet), grouped, nCounts)
+    case None => new IvfScan(dir, pushedCids, required, maxSegsPerTrigger)
+  }
+}
+
+/** Footer-only aggregate scan: COUNT(*) [GROUP BY cid] answered from
+  * parquet block metadata. Emits one pre-counted row per corpus file from
+  * ONE driver-side planning pass (listing + footers are O(files), the same
+  * metadata [[IvfScan.estimateStatistics]] already touches); the single
+  * input partition replays those rows executor-side, and Spark's final
+  * aggregate merges per cell. Zero vector bytes read — at 100 TB the
+  * cell-size histogram costs a metadata walk, not a corpus scan. */
+private[graft] final class IvfAggScan(val dir: String,
+    scope: Option[Set[Int]], grouped: Boolean, nCounts: Int)
+    extends Scan with Batch {
+  // group-by columns FIRST, then aggregate columns — the column order
+  // V2ScanRelationPushDown zips the pushed-aggregate scan output with
+  private val schema: StructType = StructType(
+    (if (grouped) Seq(StructField("cid", IntegerType, nullable = false)) else Nil) ++
+      (0 until nCounts).map(i =>
+        StructField(s"count_$i", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  private val confSer = new org.apache.spark.util.SerializableConfiguration(
+    InvertedIndex.driverHadoopConf)
+
+  /** (cid, footer row count) per file — computed at planning, driver-side. */
+  private lazy val fileCounts: Seq[(Int, Long)] =
+    IvfSource.listCorpusFiles(dir, scope, confSer.value).map { case (p, _, cid) =>
+      val in = HadoopInputFile.fromPath(new HPath(p), confSer.value)
+      val r = ParquetFileReader.open(in)
+      try (cid, r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+      finally r.close()
+    }
+
+  override def description(): String =
+    s"GraftIvfAggScan dir=$dir agg=count(*)" +
+      s"${if (grouped) " groupBy=cid" else ""} files=${fileCounts.size}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IvfAggPartition(fileCounts, grouped, nCounts))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvfAggReaderFactory
+}
+
+private[graft] final case class IvfAggPartition(counts: Seq[(Int, Long)],
+    grouped: Boolean, nCounts: Int) extends InputPartition
+
+private[sources] final class IvfAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IvfAggPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.counts.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (cid, cnt) = it.next()
+        val vals: Seq[Any] =
+          (if (p.grouped) Seq(cid) else Nil) ++ Seq.fill(p.nCounts)(cnt)
+        cur = InternalRow.fromSeq(vals)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[graft] final class IvfScan(val dir: String,
@@ -284,32 +412,8 @@ private[graft] final class IvfScan(val dir: String,
     listed
   }
 
-  private def listFiles(scope: Option[Set[Int]]): Seq[(String, Long, Int)] = {
-    val conf = confSer.value
-    val root = new HPath(dir, "assigned")
-    val fs = root.getFileSystem(conf)
-    val cellDirs: Seq[(HPath, Int)] = scope match {
-      case Some(cids) =>
-        cids.toSeq.sorted.map(c => (new HPath(root, s"cid=$c"), c))
-          .filter { case (p, _) => fs.exists(p) } // absent cell: zero partitions
-      case None =>
-        if (!fs.exists(root)) Seq.empty
-        else fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-          .map(s => (s.getPath, s.getPath.getName.stripPrefix("cid=").toInt))
-          .sortBy(_._2)
-    }
-    val found = ArrayBuffer.empty[(String, Long, Int)]
-    cellDirs.foreach { case (p, cid) =>
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          found += ((f.getPath.toString, f.getLen, cid))
-      }
-    }
-    found.sortBy(_._1).toSeq
-  }
+  private def listFiles(scope: Option[Set[Int]]): Seq[(String, Long, Int)] =
+    IvfSource.listCorpusFiles(dir, scope, confSer.value)
 
   /** One partition per corpus parquet file, carrying the cell id its
     * directory encodes (cid is a partition column — not in the file). */

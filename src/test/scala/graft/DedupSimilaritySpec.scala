@@ -873,4 +873,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
   }
+
+  test("containment: superset of Jaccard pairs, and catches an embedded doc Jaccard misses") {
+    // C(A,B) = |∩|/min >= |∩|/|∪| = J, so every J >= 0.9 pair must appear
+    // in the containment output, with containment >= its Jaccard.
+    val jac = rows(Dedup.queries("q_dedup_ngram")(spark, sf))
+      .map(r => (r.head, r(1)) -> r(2).asInstanceOf[Double]).toMap
+    val con = rows(Dedup.queries("q_dedup_containment")(spark, sf))
+      .map(r => (r.head, r(1)) -> r(2).asInstanceOf[Double]).toMap
+    val strong = jac.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty && strong.subsetOf(con.keySet))
+    con.foreach { case (p, c) =>
+      jac.get(p).foreach(j => assert(c >= j - 1e-9, s"$p: C=$c < J=$j")) }
+
+    // The signal Jaccard structurally misses: a 30-word prefix embedded in
+    // a 200-word doc has containment exactly 1.0 but Jaccard ≈ 0.14.
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"w$i")
+    val docs = Seq((1L, words.take(30).mkString(" ")),
+      (2L, words.mkString(" "))).toDF("doc_id", "text")
+    val found = Dedup.containmentPairs(Dedup.shingles(docs), 0.9).collect()
+    assert(found.length == 1 && found.head.getAs[Double]("containment") == 1.0)
+    assert(Dedup.jaccardPairs(Dedup.shingles(docs), 0.8).collect().isEmpty,
+      "the embedded pair must be invisible to Jaccard at 0.8")
+  }
+
+  test("q_sim_index_stats: footer-only aggregate pushdown matches the full-scan groupBy") {
+    val viaAgg = Similarity.queries("q_sim_index_stats")(spark, sf)
+    assert(physicalPlan(viaAgg).contains("GraftIvfAggScan"),
+      s"COUNT(*) GROUP BY cid must plan the footer-only agg scan:\n${physicalPlan(viaAgg)}")
+    // Control: an unpushable vec_id filter pins the row scan, forcing the
+    // count to read postings the ordinary way. Same result, different plan.
+    val dir = Similarity.ivfDirFor(spark, sf)
+    val control = spark.read.format("graft.ivf").option("dir", dir).load()
+      .filter(col("vec_id") >= 0L)
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cid")
+    assert(!physicalPlan(control).contains("GraftIvfAggScan"))
+    assert(rows(viaAgg) == rows(control),
+      "footer counts must equal the row-scan counts per cell")
+  }
 }

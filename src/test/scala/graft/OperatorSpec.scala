@@ -40,7 +40,7 @@ class OperatorSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
-      "q_agg_hll_stored")
+      "q_agg_hll_stored", "q_sim_index_stats")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -798,5 +798,38 @@ class OperatorSpec extends SparkSpec {
     // and the declared query only emits multi-member clusters
     rows(Curation.queries("q_text_normalize")(spark, sf)).foreach(r =>
       assert(r(1).asInstanceOf[Long] > 1))
+  }
+
+  test("q_search_index_count: footer-only count pushdown matches the postings scan") {
+    val viaAgg = TextAnalysis.queries("q_search_index_count")(spark, sf)
+    assert(physicalPlan(viaAgg).contains("GraftIndexAggScan"),
+      s"ungrouped COUNT(*) must plan the footer-only agg scan:\n${physicalPlan(viaAgg)}")
+    val n = rows(viaAgg).head.head
+    // Control: an unpushable doc_id filter pins the row scan.
+    val dir = TextAnalysis.indexDirFor(spark, sf)
+    val control = spark.read.format("graft.index").option("dir", dir).load()
+      .filter(col("doc_id") >= 0L).agg(count(lit(1)).as("n_postings"))
+    assert(!physicalPlan(control).contains("GraftIndexAggScan"))
+    assert(rows(control).head.head == n,
+      "footer value counts must equal the posting-scan count")
+    // a term-filtered count must NOT use footer counts (bucket files hold
+    // other terms' postings too — the footer total would overcount)
+    val filtered = spark.read.format("graft.index").option("dir", dir).load()
+      .filter(col("term") === "vector").agg(count(lit(1)))
+    assert(!physicalPlan(filtered).contains("GraftIndexAggScan"))
+  }
+
+  test("quality classifier: exact-integer scoring invariants") {
+    val out = rows(Curation.queries("q_quality_classifier")(spark, sf))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nFeats = r(1).asInstanceOf[Long]
+      val score = r(2).asInstanceOf[Double]
+      // t unigrams + (t-1) bigrams = 2t-1 features: always odd
+      assert(nFeats % 2 == 1, s"n_feats $nFeats should be odd (2t-1)")
+      // mean of weights in [-255, 255] scaled by 1/510 stays in [-0.5, 0.5]
+      assert(score >= -0.5 && score <= 0.5, s"score $score out of range")
+      assert(r(3).isInstanceOf[Boolean])
+    }
   }
 }
