@@ -259,6 +259,74 @@ object Aggregates {
       groups.unionByName(all).orderBy("grp")
     }),
 
+    // MODE (most frequent value) per group with a DETERMINISTIC tie-break
+    // (higher count wins, ties → lexicographically smallest value) — the
+    // "typical category" aggregate. Two-phase: one partial-agg'd pair
+    // count, then a window over the OUTPUT-sized (group × value) frame —
+    // the per-group state is the value histogram, never the raw rows.
+    // Engines differ on native mode() tie-breaks, so both sides spell the
+    // tie-break explicitly via row_number.
+    "q_agg_mode" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Exact INTERPOLATED percentiles (percentile_cont semantics: rank
+    // p·(n−1), linear interpolation between neighbors) — the exact twin of
+    // q_agg_approx_quantile and the quartile family q_agg_stats'
+    // median-only `percentile` doesn't cover. Exact percentiles
+    // materialize each group's values (right for the oracle tier; the
+    // mergeable 100 TB path IS the GK sketch above). round(6) absorbs the
+    // one-ulp interpolation-formula difference between engines; the
+    // quarter-fraction ranks make the rounded value boundary-safe for
+    // 2-decimal prices.
+    "q_agg_percentile_cont" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // SKETCH SET ALGEBRA: distinct-customer overlap between order
+    // statuses by inclusion-exclusion over the stored HLL sketches —
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B). Unions are register-max (exact
+    // sketch algebra, deterministic); the subtraction is NOT a sketch
+    // operation, so intersection error compounds to O(err·|A∪B|) — the
+    // standard HLL caveat (a tighter estimator needs theta/KLL-style
+    // sample sketches). What this buys at 100 TB: every pairwise overlap
+    // of any group combination answered from kilobytes of stored
+    // sketches, zero fact-table scans. Approximate => no DuckDB oracle;
+    // OperatorSpec asserts each estimate within the compounded error
+    // envelope of the exact overlap and union monotonicity.
+    "q_agg_hll_intersect" -> ((s, d) => {
+      val byStatus = SketchStore.ordersCustomerHll(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("hll_union_agg(sk)").as("u"))
+      val a = byStatus.select(col("o_orderstatus").as("grp_a"), col("u").as("ua"))
+      val b = byStatus.select(col("o_orderstatus").as("grp_b"), col("u").as("ub"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          expr("hll_sketch_estimate(ua)").cast("long").as("est_a"),
+          expr("hll_sketch_estimate(ub)").cast("long").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(ua, ub))").cast("long")
+            .as("est_union"))
+        .withColumn("est_intersect",
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // Rollups from a PERSISTED sketch table (SketchStore): the stored
     // per-(priority, status) HLL binaries union to per-status + ALL
     // estimates without touching the fact table — the query's only input
@@ -360,5 +428,20 @@ object Aggregates {
         "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
         "quantile_cont(l_quantity, 0.5) AS median_qty, " +
         "quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_mode" ->
+      ("WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+        "FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT o_orderstatus, o_orderpriority, cnt, " +
+        "row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) " +
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt " +
+        "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
+    "q_agg_percentile_cont" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, " +
+        "count(*) AS cnt " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 }

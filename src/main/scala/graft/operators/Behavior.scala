@@ -157,6 +157,43 @@ object Behavior {
           round(last(col("rev"), ignoreNulls = true).over(w), 4))
         .select(col("user_id"), col("day"), col("cnt"), col("rev_ffill"))
         .orderBy("user_id", "day")
+    }),
+
+    // Per-user EWMA (α = 0.5) of event values in event-time order — the
+    // exponential time-decay feature every behavioral scoring pipeline
+    // computes (recency-weighted activity). One grouped collect per user,
+    // then a SEQUENTIAL left fold over the ordered value array: the fold
+    // runs the identical IEEE op sequence in both engines (Spark
+    // `aggregate` seeded with the first element ≡ DuckDB `list_reduce`),
+    // so the result is bit-stable under any partitioning — a float SUM
+    // would not be. State is one user's event list; the shuffle carries
+    // each event once, keyed by the entity — the §2.14 scale contract.
+    "q_events_ewma" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+        .withColumn("vs", expr("transform(evs, e -> e.value)"))
+        .select(col("user_id"), size(col("vs")).as("n_events"),
+          round(expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), " +
+              "(s, v) -> 0.5 * v + 0.5 * s)"), 6).as("ewma"))
+        .orderBy("user_id")),
+
+    // First-order Markov transition matrix over the event stream: counts
+    // of consecutive (from → to) event-type pairs within each user's
+    // timeline — the navigation/journey model behind next-event
+    // prediction and funnel discovery. ONE user-keyed window pass (lead)
+    // + one partial-agg'd count on the (from, to) pair; type pairs are
+    // tiny, so the second exchange carries ~|types|² rows per partition.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("from_type", "to_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +259,17 @@ object Behavior {
         "round(last_value(rev IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rev_ffill " +
         "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day " +
-        "ORDER BY s.user_id, s.day"))
+        "ORDER BY s.user_id, s.day"),
+    "q_events_ewma" ->
+      ("WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(len(vs) AS INTEGER) AS n_events, " +
+        "round(list_reduce(vs, (s, v) -> 0.5 * v + 0.5 * s), 6) AS ewma " +
+        "FROM g ORDER BY user_id"),
+    "q_event_transitions" ->
+      ("WITH t AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events) " +
+        "SELECT event_type AS from_type, to_type, count(*) AS cnt FROM t " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"))
 }

@@ -178,11 +178,22 @@ private[sources] final class IndexWriteBuilder(dir: String, buckets: Int,
 private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
     maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var pushedTerms: Option[Seq[String]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = IndexSource.Schema
   private var pushedCounts: Int = 0 // number of accepted COUNT(*) columns
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each
+    * partition reader stops decoding postings after `limit` rows, so a
+    * LIMIT-n peek at a huge index decodes n rows per file instead of
+    * whole posting lists; Spark's global Limit above remains the
+    * correctness gate. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
 
   /** Global COUNT(*) — the total-postings statistic (index cardinality,
     * the first number an index health check reads) — is answerable from
@@ -227,7 +238,8 @@ private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
 
   override def build(): Scan =
     if (pushedCounts > 0) new IndexAggScan(dir, pushedCounts)
-    else new IndexScan(dir, buckets, pushedTerms, required, maxSegsPerTrigger)
+    else new IndexScan(dir, buckets, pushedTerms, required, maxSegsPerTrigger,
+      pushedLimit)
 }
 
 /** Footer-only COUNT(*) scan over the whole index: total postings from
@@ -287,7 +299,8 @@ private[graft] final class IndexAggScan(val dir: String, nCounts: Int)
 
 private[graft] final class IndexScan(val dir: String, val buckets: Int,
     val pushedTerms: Option[Seq[String]], val required: StructType,
-    maxSegsPerTrigger: Option[Int] = None)
+    maxSegsPerTrigger: Option[Int] = None,
+    val pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -332,7 +345,8 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   override def description(): String =
     s"GraftInvertedIndexScan dir=$dir " +
       s"pushedTerm=${pushedTerms.map(_.mkString(",")).getOrElse("<none>")} " +
-      s"bucketsScanned=${effectiveTerms.map(bucketsOf(_).size).getOrElse(buckets)}/$buckets"
+      s"bucketsScanned=${effectiveTerms.map(bucketsOf(_).size).getOrElse(buckets)}/$buckets" +
+      pushedLimit.map(l => s" pushedLimit=$l").getOrElse("")
 
   private def bucketsOf(terms: Set[String]): Set[Long] =
     terms.map(IndexSource.bucketOf(_, buckets))
@@ -452,7 +466,8 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexReaderFactory(effectiveTerms, required.fieldNames, confSer)
+    new IndexReaderFactory(effectiveTerms, required.fieldNames, confSer,
+      pushedLimit)
 
   /** Streaming read: tail the index's `seg` ingest batches as micro-batches
     * (offset = highest segment already delivered). */
@@ -604,24 +619,44 @@ private[graft] final case class IndexFilePartition(path: String, bucket: Int)
 
 private[sources] final class IndexReaderFactory(terms: Option[Set[String]],
     fieldNames: Array[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new IndexPartitionReader(
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = new IndexPartitionReader(
       partition.asInstanceOf[IndexFilePartition].path, terms, fieldNames,
       conf.value)
+    limit.map(new LimitedRowReader(r, _)).getOrElse(r)
+  }
 
   // Postings decode in 4k-row ColumnarBatches (VERDICT r6 missing #3: the
   // row-at-a-time reader was the one per-row cost on the connector path):
   // Spark then runs its codegen'd ColumnarToRow over dense vectors instead
   // of a virtual call per posting. The empty-projection scan (count(*))
-  // stays on the row path — a zero-column batch buys nothing.
+  // stays on the row path — a zero-column batch buys nothing — and so does
+  // a limit-pushed scan (a LIMIT-n peek is row-sized by definition).
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    fieldNames.nonEmpty
+    fieldNames.nonEmpty && limit.isEmpty
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new IndexColumnarReader(
       partition.asInstanceOf[IndexFilePartition].path, terms, fieldNames,
       conf.value)
+}
+
+/** PARTIAL limit pushdown decorator: stops a partition's decode after
+  * `limit` rows (Spark's own global Limit still runs above — each
+  * partition can contribute up to `limit`, so correctness never depends
+  * on this; it only stops posting/vector decode early). */
+private[sources] final class LimitedRowReader(
+    inner: PartitionReader[InternalRow], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var n = 0
+  override def next(): Boolean = {
+    if (n >= limit || !inner.next()) return false
+    n += 1; true
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Columnar twin of [[IndexPartitionReader]]: the same Group walk fills

@@ -209,12 +209,22 @@ private[sources] final class IvfWriteBuilder(dir: String, seg: Option[Long],
 private[sources] final class IvfScanBuilder(dir: String,
     maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var pushedCids: Option[Seq[Int]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = IvfSource.Schema
   // accepted aggregate pushdown: (grouped by cid?, number of COUNT(*) cols)
   private var pushedAgg: Option[(Boolean, Int)] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: readers stop vector decode after `limit`
+    * rows per partition — a LIMIT-n peek at the corpus stops paying the
+    * embedding decode immediately; Spark's global Limit above remains the
+    * correctness gate (same contract as [[IndexScanBuilder.pushLimit]]). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
 
   /** COUNT(*) [GROUP BY cid] is answerable from parquet FOOTERS alone —
     * every `cid=C` file's block metadata carries its row count, so the
@@ -266,7 +276,8 @@ private[sources] final class IvfScanBuilder(dir: String,
   override def build(): Scan = pushedAgg match {
     case Some((grouped, nCounts)) =>
       new IvfAggScan(dir, pushedCids.map(_.toSet), grouped, nCounts)
-    case None => new IvfScan(dir, pushedCids, required, maxSegsPerTrigger)
+    case None =>
+      new IvfScan(dir, pushedCids, required, maxSegsPerTrigger, pushedLimit)
   }
 }
 
@@ -337,7 +348,8 @@ private[sources] final class IvfAggReaderFactory extends PartitionReaderFactory 
 
 private[graft] final class IvfScan(val dir: String,
     val pushedCids: Option[Seq[Int]], val required: StructType,
-    maxSegsPerTrigger: Option[Int] = None)
+    maxSegsPerTrigger: Option[Int] = None,
+    val pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -393,7 +405,8 @@ private[graft] final class IvfScan(val dir: String,
   override def description(): String =
     s"GraftIvfScan dir=$dir " +
       s"pushedCid=${pushedCids.map(_.sorted.mkString(",")).getOrElse("<none>")} " +
-      s"cells=${effectiveCids.map(_.toSeq.sorted.mkString(",")).getOrElse("<all>")}"
+      s"cells=${effectiveCids.map(_.toSeq.sorted.mkString(",")).getOrElse("<all>")}" +
+      pushedLimit.map(l => s" pushedLimit=$l").getOrElse("")
 
   /** (path, bytes, cid) of every corpus file in scope — only the selected
     * `cid=C` directories are listed. Memoized per effective cid-set (NOT a
@@ -445,7 +458,8 @@ private[graft] final class IvfScan(val dir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IvfReaderFactory(effectiveCids, required.fieldNames, confSer)
+    new IvfReaderFactory(effectiveCids, required.fieldNames, confSer,
+      pushedLimit)
 
   /** Streaming read: tail the index's `seg` ingest batches as
     * micro-batches — the vector twin of graft.index's tail (same offset
@@ -548,20 +562,23 @@ private[graft] final case class IvfFilePartition(path: String, cid: Int)
 
 private[sources] final class IvfReaderFactory(cids: Option[Set[Int]],
     fieldNames: Array[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IvfFilePartition]
-    new IvfPartitionReader(p.path, p.cid, fieldNames, conf.value)
+    val r = new IvfPartitionReader(p.path, p.cid, fieldNames, conf.value)
+    limit.map(new LimitedRowReader(r, _)).getOrElse(r)
   }
 
   // Vector decode in ColumnarBatches (same treatment as graft.index's
   // postings decode): the embedding doubles land in a dense child vector
   // once per batch and Spark's codegen'd ColumnarToRow takes over —
   // instead of a virtual call + a fresh GenericArrayData per corpus row on
-  // the search hot path. Empty projections (count(*)) stay row-based.
+  // the search hot path. Empty projections (count(*)) stay row-based, and
+  // so do limit-pushed peeks (row-sized by definition).
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    fieldNames.nonEmpty
+    fieldNames.nonEmpty && limit.isEmpty
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[IvfFilePartition]
     new IvfColumnarReader(p.path, p.cid, fieldNames, conf.value)

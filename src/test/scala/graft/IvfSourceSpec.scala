@@ -265,4 +265,41 @@ class IvfSourceSpec extends SparkSpec {
         "connector-backed searchOnDisk must equal the in-memory search")
     } finally idx.drop()
   }
+
+  test("limit pushdown: readers stop decode early, global limit stays correct") {
+    val (idx, dir) = writeIndex()
+    try {
+      val limited = spark.read.format("graft.ivf").option("dir", dir).load()
+        .limit(3)
+      assert(ivfScan(limited).description().contains("pushedLimit=3"),
+        "LIMIT must reach the scan")
+      assert(limited.count() == 3, "global limit semantics unchanged")
+      // aggregate pushdown wins over limit on a count: agg scan has no limit
+      val counted = spark.read.format("graft.ivf").option("dir", dir).load()
+        .groupBy("cid").count().limit(2)
+      assert(counted.count() == 2)
+    } finally idx.drop()
+  }
+
+  test("aggregate pushdown: COUNT(*) GROUP BY cid never touches vector pages") {
+    val (idx, dir) = writeIndex()
+    try {
+      val agg = spark.read.format("graft.ivf").option("dir", dir).load()
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftIvfAggScan"),
+        s"grouped COUNT(*) must plan the footer-only scan:\n$plan")
+      // per-cell counts equal the parquet ground truth
+      val got = rows(agg.orderBy("cid"))
+      val want = rows(spark.read.parquet(s"$dir/assigned")
+        .groupBy("cid").agg(count(lit(1)).as("n")).orderBy("cid"))
+      assert(got == want)
+      // a cid-filtered count keeps the pushed filter's pruning AND the agg
+      val one = spark.read.format("graft.ivf").option("dir", dir).load()
+        .filter(col("cid") === 0).groupBy("cid").agg(count(lit(1)).as("n"))
+      assert(one.queryExecution.executedPlan.toString.contains("GraftIvfAggScan"))
+      assert(rows(one) == rows(spark.read.parquet(s"$dir/assigned")
+        .filter(col("cid") === 0).groupBy("cid").agg(count(lit(1)).as("n"))))
+    } finally idx.drop()
+  }
 }

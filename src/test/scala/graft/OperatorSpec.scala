@@ -40,7 +40,7 @@ class OperatorSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
-      "q_agg_hll_stored", "q_sim_index_stats")
+      "q_agg_hll_stored", "q_sim_index_stats", "q_agg_hll_intersect")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
@@ -87,6 +87,29 @@ class OperatorSpec extends SparkSpec {
       .head().getLong(0)
     assert(out("ALL") == direct,
       "union-of-group-sketches must equal the whole-table sketch estimate")
+  }
+
+  test("hll intersection: inclusion-exclusion within the compounded error envelope") {
+    val out = rows(Aggregates.queries("q_agg_hll_intersect")(spark, sf))
+    assert(out.nonEmpty)
+    val byStatus = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (ga, gb) = (r.head.asInstanceOf[String], r(1).asInstanceOf[String])
+      val (estA, estB) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      val (estU, estI) = (r(4).asInstanceOf[Long], r(5).asInstanceOf[Long])
+      // union is register-max: it can never fall below either side
+      assert(estU >= math.max(estA, estB), s"($ga,$gb): union $estU below sides")
+      val exactI = byStatus(ga).intersect(byStatus(gb)).size
+      val exactU = byStatus(ga).union(byStatus(gb)).size
+      // inclusion-exclusion compounds three ~1.6% sketch errors, each
+      // scaled by set size — the envelope is O(err · |A∪B|), not err · |A∩B|
+      val tol = math.max(8.0, 0.1 * exactU)
+      assert(math.abs(estI - exactI) <= tol,
+        s"($ga,$gb): est intersect $estI vs exact $exactI (tol $tol)")
+    }
   }
 
   test("approx quantiles land inside the exact neighboring-quantile envelope") {
