@@ -43,6 +43,22 @@ object Relational {
       path
     }
 
+  // Per-(session, sfDir) base table for q_sink_partitioned: the events
+  // table written ONCE partitioned by day; the declared query then
+  // dynamic-overwrites one day per run (idempotent — same restatement
+  // every time) and reads the final state back.
+  private val dpoCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private[graft] def dayEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("ts").cast("date").as("day"),
+      col("event_type"), col("value"))
+  private def dpoDirFor(s: SparkSession, d: String): String =
+    dpoCache.getOrBuild(s, d) {
+      val dir = graft.TempDirs.create("graft-dpo")
+      graft.sources.Sinks.overwritePartitions(
+        dayEvents(s, d), dir, Seq("day"))
+      dir
+    }
+
   val queries: Map[String, Q] = Map(
     // Non-parquet ingestion into the same table contract (the reference
     // loads JSONL exports [U]): a JSONL copy of documents read back
@@ -91,6 +107,34 @@ object Relational {
             lit("\",\"o_orderpriority\":\""), col("o_orderpriority"),
             lit("\"}")).as("json"))
         .orderBy("o_orderkey")),
+
+    // Day restatement via DYNAMIC partition overwrite — the backfill
+    // primitive: the events table sits day-partitioned on disk (written
+    // once per session); each run re-states the EARLIEST day (keeps only
+    // its purchases — "the day after reprocessing") through
+    // Sinks.overwritePartitions, which replaces exactly that day's
+    // directory and leaves every other day's files byte-untouched
+    // (SinksTopKSpec asserts untouched file paths). The declared result is
+    // the read-back per-day rollup, so the oracle independently proves the
+    // on-disk final state: restated day = purchases only, all other days
+    // intact — a static overwrite would have emptied them.
+    "q_sink_partitioned" -> ((s, d) => {
+      val dir = dpoDirFor(s, d)
+      val ev = dayEvents(s, d)
+      val restate = ev
+        .join(broadcast(ev.agg(min("day").as("day0"))),
+          col("day") === col("day0"))
+        .filter(col("event_type") === "purchase")
+        .select("day", "event_type", "value")
+      graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
+      s.read.parquet(dir)
+        .withColumn("day", col("day").cast("date"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+            .as("rev"))
+        .orderBy("day")
+    }),
 
     // Namespace iteration (reference walks __namespace__ [U]): one branch per
     // "namespace" (documents.source), unioned back. Catalyst collapses the
@@ -219,6 +263,13 @@ object Relational {
       "SELECT count(*) AS cnt FROM orders",
     "q_sink_jsonl" ->
       """SELECT o_orderkey, '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) || ',"o_orderstatus":"' || o_orderstatus || '","o_orderpriority":"' || o_orderpriority || '"}' AS json FROM orders ORDER BY o_orderkey""",
+    "q_sink_partitioned" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events), " +
+        "d0 AS (SELECT min(day) AS day0 FROM e), " +
+        "f AS (SELECT e.* FROM e, d0 WHERE day <> day0 OR event_type = 'purchase') " +
+        "SELECT day, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS rev " +
+        "FROM f GROUP BY day ORDER BY day"),
     "q_source_union_ns" ->
       ("SELECT source, count(*) AS cnt FROM (" +
         (0 to 7).map(i => s"SELECT * FROM documents WHERE source = 'src$i'")

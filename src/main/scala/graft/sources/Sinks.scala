@@ -27,6 +27,30 @@ object Sinks {
       .parquet(path)
   }
 
+  /** DYNAMIC partition overwrite: replace ONLY the partitions `df`
+    * contains rows for, leaving every other partition's files byte-
+    * untouched (spec-asserted) — the day-restatement primitive behind
+    * backfills and late-data reprocessing. Spark's default overwrite mode
+    * is STATIC (drops the whole table root first); production restatement
+    * jobs flip `partitionOverwriteMode=dynamic` for exactly this call, so
+    * the helper scopes the conf flip to the write and restores it after.
+    * At 100 TB: the write cost is the restated partitions' data, never the
+    * table's — plus the same atomic per-partition file-commit every other
+    * write here relies on. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).csv(path)

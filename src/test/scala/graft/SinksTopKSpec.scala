@@ -347,4 +347,27 @@ class SinksTopKSpec extends SparkSpec {
     val b = rows(Windows.queries("q_window_ntile_dist")(spark, sf))
     assert(a == b)
   }
+
+  test("dynamic partition overwrite rewrites only the restated partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpo-spec").toString
+    val base = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("p", "v")
+    Sinks.overwritePartitions(base, dir, Seq("p"))
+    // file NAMES are write-unique (task UUIDs), so identical listings prove
+    // the partition was not rewritten — stronger than mtime comparison
+    def files(p: String): Seq[String] =
+      new java.io.File(s"$dir/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+    val before = (files("b"), files("c"))
+    Sinks.overwritePartitions(Seq(("a", 9)).toDF("p", "v"), dir, Seq("p"))
+    assert((files("b"), files("c")) == before,
+      "partitions absent from the restatement must keep their exact files")
+    val got = spark.read.parquet(dir).select(col("p"), col("v"))
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 9), ("b", 3), ("c", 4)),
+      "only partition a is replaced; a STATIC overwrite would drop b and c")
+    // and the conf flip is scoped: session default is back to static
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
 }
