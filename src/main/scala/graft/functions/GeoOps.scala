@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** GeoPoint mapping (SURVEY.md §3.1): the reference's GeoPoint property [U]
@@ -33,5 +33,62 @@ object GeoOps {
     val cols = math.ceil(360.0 / cellDeg).toLong
     (floor((lat + lit(90.0)) / lit(cellDeg)).cast("long") * lit(cols) +
       floor((lon + lit(180.0)) / lit(cellDeg)).cast("long"))
+  }
+
+  /** COMPLETE grid-blocked radius self-join (radius ≤ 500 km): pairs of
+    * `pts` rows (`k`, `lat`, `lon`) within `radiusKm`, found without an
+    * all-pairs cross join. Blocking, with the completeness argument:
+    *  - 5° latitude bands: 500 km ≤ 4.497° of latitude ⇒ a qualifying
+    *    pair's bands differ by ≤ 1;
+    *  - non-polar bands (\|lat\| ≤ 70, bands 4..31) use a 15° longitude
+    *    grid: at \|lat\| ≤ 70, 500 km ≤ 500/(111.19·cos 70°) = 13.2° of
+    *    longitude < 15° ⇒ qualifying cells differ by ≤ 1 (mod 24 — the
+    *    ±180° wraparound is a REAL adjacency, handled with pmod);
+    *  - polar bands (\|lat\| > 70) collapse to ONE cell per band (cos → 0
+    *    defeats any fixed longitude window; polar populations are
+    *    vanishing, so a catch-all bucket is the right trade).
+    * A pair with a polar member is caught by the other member probing the
+    * polar band's catch-all key; that match may exist in only ONE probe
+    * direction, so pairs are canonicalized (least/greatest) AFTER the
+    * join instead of by join role. Probes explode ×9 (array_distinct'd);
+    * the join is a pure equi-join on (band, cell) — no nested loop at any
+    * corpus size — then the exact haversine confirms, rounded BEFORE the
+    * threshold compare so boundary ulps can't flip membership across
+    * engines. */
+  def radiusSelfJoinKm(pts: DataFrame, radiusKm: Double): DataFrame = {
+    require(radiusKm <= 500.0,
+      "blocking constants (5-degree bands, 15-degree cells, polar cutoff 70) are derived for radius <= 500 km")
+    val keyed = pts
+      .withColumn("band", floor((col("lat") + lit(90.0)) / lit(5.0)).cast("int"))
+      .withColumn("cellRaw", floor((col("lon") + lit(180.0)) / lit(15.0)).cast("int"))
+      .withColumn("cell",
+        when(col("band") <= 3 || col("band") >= 32, lit(0))
+          .otherwise(col("cellRaw")))
+    val homes = keyed.select(col("k").as("db"), col("lat").as("latb"),
+      col("lon").as("lonb"), col("band"), col("cell"))
+    val probes = keyed.select(col("k").as("da"), col("lat").as("lata"),
+      col("lon").as("lona"),
+      explode(expr(
+        "array_distinct(flatten(transform(array(-1, 0, 1), db -> " +
+          "filter(transform(array(-1, 0, 1), dc -> " +
+          "IF(band + db < 0 OR band + db > 35, " +
+          "CAST(null AS struct<band: int, cell: int>), " +
+          "struct(band + db AS band, " +
+          "IF(band + db <= 3 OR band + db >= 32, 0, " +
+          "CAST(pmod(cellRaw + dc, 24) AS INT)) AS cell))), " +
+          "x -> x IS NOT NULL))))")).as("bk"))
+      .select(col("da"), col("lata"), col("lona"),
+        col("bk.band").as("band"), col("bk.cell").as("cell"))
+    probes.join(homes, Seq("band", "cell"))
+      .filter(col("da") =!= col("db"))
+      .select(
+        least(col("da"), col("db")).as("pa"),
+        greatest(col("da"), col("db")).as("pb"),
+        round(haversineKm(
+          col("lata"), col("lona"), col("latb"), col("lonb")), 4)
+          .as("dist_km"))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("pa").as("da"), col("pb").as("db"), col("dist_km"))
+      .distinct()
   }
 }

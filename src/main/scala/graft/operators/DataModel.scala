@@ -66,6 +66,28 @@ object DataModel {
         .orderBy("c_custkey")
     }),
 
+    // SPATIAL RADIUS SELF-JOIN via complete grid blocking — the geo twin
+    // of q_join_interval's bucket blocking: customer points (deterministic
+    // synthetic lat/lon, same formulas as q_geo_distance) paired within
+    // 500 km WITHOUT an all-pairs cross join. The blocking scheme and its
+    // completeness argument live in GeoOps.radiusSelfJoinKm (5° lat bands
+    // + 15° lon cells mod 24 + polar catch-alls, ×9 probe window, exact
+    // haversine confirm); PropertySpec drives the helper against brute
+    // force on generated corpora including polar and ±180°-wraparound
+    // points. Oracle = the brute-force cross join — the blocking must be
+    // invisible in the result.
+    "q_geo_neighbors" -> ((s, d) => {
+      def latOf(k: org.apache.spark.sql.Column) =
+        ((k * lit(7919L)) % lit(18000L)).cast("double") / lit(100.0) - lit(90.0)
+      def lonOf(k: org.apache.spark.sql.Column) =
+        ((k * lit(104729L)) % lit(36000L)).cast("double") / lit(100.0) - lit(180.0)
+      val pts = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"))
+        .withColumn("lat", latOf(col("k")))
+        .withColumn("lon", lonOf(col("k")))
+      GeoOps.radiusSelfJoinKm(pts, 500.0).orderBy("da", "db")
+    }),
+
     // Graph analytics: GENERIC connected components (Dedup's hybrid
     // union-find / min-label-propagation engine) run over a chain graph —
     // consecutive custkeys within each nation — whose true components are
@@ -439,5 +461,17 @@ object DataModel {
         "cos(radians(c_lat)) * cos(radians(n_lat)) * pow(sin(radians(n_lon - c_lon) / 2), 2)" +
         ")), 4) AS dist_km, " +
         "CAST(floor((c_lat + 90.0) / 5.0) AS BIGINT) * 72 + CAST(floor((c_lon + 180.0) / 5.0) AS BIGINT) AS cell " +
-        "FROM c JOIN n ON c_nationkey = n_nationkey ORDER BY c_custkey"))
+        "FROM c JOIN n ON c_nationkey = n_nationkey ORDER BY c_custkey"),
+    // brute-force cross join: the grid blocking must be invisible here
+    "q_geo_neighbors" ->
+      ("WITH c AS (SELECT c_custkey AS k, " +
+        "CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat, " +
+        "CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon FROM customer), " +
+        "p AS (SELECT a.k AS da, b.k AS db, " +
+        "round(2 * 6371.0088 * asin(sqrt(" +
+        "pow(sin(radians(b.lat - a.lat) / 2), 2) + " +
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)" +
+        ")), 4) AS dist_km " +
+        "FROM c a JOIN c b ON a.k < b.k) " +
+        "SELECT da, db, dist_km FROM p WHERE dist_km <= 500.0 ORDER BY da, db"))
 }

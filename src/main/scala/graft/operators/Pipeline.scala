@@ -134,6 +134,49 @@ object Pipeline {
         .orderBy("metric")
     }),
 
+    // DISTRIBUTION DRIFT between two snapshots (population stability
+    // index, the standard model-monitoring / data-quality drift metric):
+    // orders split at 1997-01-01 into baseline and current, two features
+    // profiled — a fixed-edge price bucketing (fixed edges, NOT
+    // quantile-derived: quantile edges would make the report depend on
+    // the baseline's own distribution and break cross-run comparability)
+    // and the priority categorical. Reported PER BUCKET (n, share, PSI
+    // term) rather than as one summed PSI: the per-bucket terms are what
+    // an operator actually reads ("which segment moved"), and it keeps
+    // every emitted number a fixed sequence of scalar ops — no
+    // cross-bucket float summation order to pin. One-sided buckets carry
+    // a NULL term (their ln is undefined; the convention every PSI
+    // implementation documents). Cost: two grouped counts + broadcast
+    // totals — a drift gate must be cheap enough to run every ingest.
+    "q_profile_drift" -> ((s, d) => {
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      def feats(df: DataFrame) = df.select(
+        explode(array(
+          struct(lit("price_bucket").as("feature"),
+            concat(lit("b"), least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
+              .cast("string")).as("bucket")),
+          struct(lit("priority").as("feature"),
+            col("o_orderpriority").as("bucket")))).as("f"))
+        .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
+      val o = Tables.orders(s, d)
+      val old = feats(o.filter(col("o_orderdate") < cutoff))
+        .groupBy("feature", "bucket").agg(count(lit(1)).as("n_old"))
+      val cur = feats(o.filter(col("o_orderdate") >= cutoff))
+        .groupBy("feature", "bucket").agg(count(lit(1)).as("n_new"))
+      val tOld = old.groupBy("feature").agg(sum("n_old").as("t_old"))
+      val tNew = cur.groupBy("feature").agg(sum("n_new").as("t_new"))
+      val pOld = col("n_old").cast("double") / col("t_old")
+      val pNew = col("n_new").cast("double") / col("t_new")
+      old.join(cur, Seq("feature", "bucket"), "full_outer")
+        .na.fill(0L, Seq("n_old", "n_new"))
+        .join(broadcast(tOld), "feature").join(broadcast(tNew), "feature")
+        .select(col("feature"), col("bucket"), col("n_old"), col("n_new"),
+          round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
+          when(col("n_old") > 0 && col("n_new") > 0,
+            round((pOld - pNew) * log(pOld / pNew), 6)).as("psi_term"))
+        .orderBy("feature", "bucket")
+    }),
+
     // Referential-integrity gate (the cross-table half of the data-quality
     // gate q_profile_table starts): orphaned facts via anti-joins + a
     // key-uniqueness check, reported metric-per-row. Testdata is consistent
@@ -257,6 +300,26 @@ object Pipeline {
         "round(pow(CAST((doc_id * 2654435761 + 97) % 1000000007 + 1 AS DOUBLE) / 1000000008.0, " +
         "1.0 / n_chars), 6) AS score FROM documents) " +
         "ORDER BY score DESC, doc_id LIMIT 50"),
+    "q_profile_drift" ->
+      ("WITH f AS (" +
+        "SELECT 'price_bucket' AS feature, 'b' || CAST(least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS VARCHAR) AS bucket, o_orderdate FROM orders " +
+        "UNION ALL SELECT 'priority', o_orderpriority, o_orderdate FROM orders), " +
+        "old AS (SELECT feature, bucket, count(*) AS n_old FROM f " +
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2), " +
+        "nw AS (SELECT feature, bucket, count(*) AS n_new FROM f " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1, 2), " +
+        "j AS (SELECT COALESCE(old.feature, nw.feature) AS feature, " +
+        "COALESCE(old.bucket, nw.bucket) AS bucket, " +
+        "COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new " +
+        "FROM old FULL OUTER JOIN nw ON old.feature = nw.feature AND old.bucket = nw.bucket), " +
+        "t AS (SELECT feature, sum(n_old) AS t_old, sum(n_new) AS t_new FROM j GROUP BY feature) " +
+        "SELECT j.feature AS feature, bucket, n_old, n_new, " +
+        "round(CAST(n_old AS DOUBLE) / t_old, 6) AS p_old, " +
+        "round(CAST(n_new AS DOUBLE) / t_new, 6) AS p_new, " +
+        "CASE WHEN n_old > 0 AND n_new > 0 THEN " +
+        "round((CAST(n_old AS DOUBLE) / t_old - CAST(n_new AS DOUBLE) / t_new) * " +
+        "ln((CAST(n_old AS DOUBLE) / t_old) / (CAST(n_new AS DOUBLE) / t_new)), 6) END AS psi_term " +
+        "FROM j JOIN t USING (feature) ORDER BY feature, bucket"),
     "q_integrity_fk" ->
       ("SELECT chk, n FROM (" +
         "SELECT 'lineitem_without_order' AS chk, count(*) AS n FROM lineitem l " +

@@ -438,4 +438,40 @@ class PropertySpec extends SparkSpec {
     assert(grand == 1)
     assert(out.size == nations + perNation + grand)
   }
+
+  test("grid-blocked radius join equals brute force (polar + wraparound adversaries planted)") {
+    import spark.implicits._
+    import graft.functions.GeoOps
+    // pseudo-random global scatter + the placements each blocking rule
+    // exists for: a high-latitude pair 2 lon-cells apart (only the polar
+    // catch-all finds it), a south-polar wrapped pair, an equatorial
+    // ±180° wraparound pair (pmod adjacency), and a cross-polar-boundary
+    // pair whose POLAR member has the SMALLER key (found in only one
+    // probe direction — exercises the post-join canonicalization).
+    val pts = (1 to 300).map { i =>
+      val lat = ((i * 7919) % 18000) / 100.0 - 90.0
+      val lon = ((i * 104729) % 36000) / 100.0 - 180.0
+      (i.toLong, lat, lon)
+    } ++ Seq(
+      (1001L, 74.0, 14.9), (1002L, 74.0, 31.0),    // Δlon = 2 cells at 74°N
+      (1003L, -74.0, -173.0), (1004L, -73.8, 173.0), // south-polar wrap
+      (1005L, 0.0, 179.9), (1006L, 0.1, -179.8),   // equator ±180° wrap
+      (1009L, 71.2, 3.0), (1010L, 69.9, 0.0))      // polar member, smaller key
+    val df = pts.toDF("k", "lat", "lon")
+    val blocked = GeoOps.radiusSelfJoinKm(df, 500.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = df.select(col("k").as("da"), col("lat").as("lata"), col("lon").as("lona"))
+    val b = df.select(col("k").as("db"), col("lat").as("latb"), col("lon").as("lonb"))
+    val brute = a.crossJoin(b).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(GeoOps.haversineKm(col("lata"), col("lona"), col("latb"), col("lonb")), 4)
+          .as("d"))
+      .filter(col("d") <= 500.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    // the adversarial pairs must actually qualify, or the test proves nothing
+    for (p <- Seq((1001L, 1002L), (1003L, 1004L), (1005L, 1006L), (1009L, 1010L)))
+      assert(brute.exists(x => (x._1, x._2) == p), s"planted pair $p not in brute force")
+  }
 }
