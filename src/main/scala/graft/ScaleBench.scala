@@ -231,6 +231,42 @@ object ScaleBench {
       }
     }
 
+    if (enabled("aggstats")) {
+      // Metadata-only aggregates vs the row scans they replace (round-10
+      // aggregate pushdown): a COUNT answered from parquet footers reads
+      // ZERO data pages, so its cost is O(files) while the row scan's
+      // grows with data volume — the gap IS the design claim, measured.
+      val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_AGGSTATS_N", "400000").toLong
+      val docs = writeRead(s, synthDocs(s, n), s"$root/docs_$n")
+      val idxDir = s"$root/index_$n"
+      if (!new java.io.File(idxDir).exists())
+        graft.sources.InvertedIndex.build(docs, idxDir)
+      measure("index_count_pushdown", n, reps) {
+        s.read.format("graft.index").option("dir", idxDir).load()
+          .agg(count(lit(1)).as("n"))
+      }
+      measure("index_count_rowscan", n, reps) {
+        // unpushable doc_id predicate pins the posting-decode path
+        s.read.format("graft.index").option("dir", idxDir).load()
+          .filter(col("doc_id") >= 0L).agg(count(lit(1)).as("n"))
+      }
+      val ne = sys.env.getOrElse("SPARK_GRAFT_SCALE_AGGSTATS_VECS", "200000").toLong
+      val e = writeRead(s, synthEmbeds(s, ne), s"$root/embeds_$ne")
+      val ivfDir = s"$root/ivfagg_$ne"
+      if (!new java.io.File(ivfDir).exists()) {
+        val idx = Similarity.IvfIndex.build(e, (ne / 1000L).max(8L).toInt, 3)
+        try Similarity.IvfIndex.write(idx, ivfDir) finally idx.drop()
+      }
+      measure("ivf_stats_pushdown", ne, reps) {
+        s.read.format("graft.ivf").option("dir", ivfDir).load()
+          .groupBy("cid").agg(count(lit(1)).as("n"))
+      }
+      measure("ivf_stats_rowscan", ne, reps) {
+        s.read.format("graft.ivf").option("dir", ivfDir).load()
+          .filter(col("vec_id") >= 0L).groupBy("cid").agg(count(lit(1)).as("n"))
+      }
+    }
+
     if (enabled("skew")) {
       val skewPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW", "1000000,4000000,16000000")
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)

@@ -64,10 +64,26 @@ object GeoOps {
       .withColumn("cell",
         when(col("band") <= 3 || col("band") >= 32, lit(0))
           .otherwise(col("cellRaw")))
+      // unit-sphere coordinates, computed ONCE PER POINT: the candidate
+      // loop then prefilters on squared chord length (3 subs + 3 mults per
+      // pair) instead of running the haversine's per-pair trig — the
+      // expensive formula only touches survivors. The chord threshold is
+      // the exact monotone image of the radius, widened 0.1 % so no pair
+      // the final (semantic) round(haversine) ≤ radius gate would keep can
+      // be lost to the prefilter's floating point.
+      .withColumn("px", cos(radians(col("lat"))) * cos(radians(col("lon"))))
+      .withColumn("py", cos(radians(col("lat"))) * sin(radians(col("lon"))))
+      .withColumn("pz", sin(radians(col("lat"))))
+    val chord2Max = {
+      val half = radiusKm * 1.001 / (2 * EarthRadiusKm)
+      4 * math.sin(half) * math.sin(half)
+    }
     val homes = keyed.select(col("k").as("db"), col("lat").as("latb"),
-      col("lon").as("lonb"), col("band"), col("cell"))
+      col("lon").as("lonb"), col("px").as("xb"), col("py").as("yb"),
+      col("pz").as("zb"), col("band"), col("cell"))
     val probes = keyed.select(col("k").as("da"), col("lat").as("lata"),
-      col("lon").as("lona"),
+      col("lon").as("lona"), col("px").as("xa"), col("py").as("ya"),
+      col("pz").as("za"),
       explode(expr(
         "array_distinct(flatten(transform(array(-1, 0, 1), db -> " +
           "filter(transform(array(-1, 0, 1), dc -> " +
@@ -78,9 +94,15 @@ object GeoOps {
           "CAST(pmod(cellRaw + dc, 24) AS INT)) AS cell))), " +
           "x -> x IS NOT NULL))))")).as("bk"))
       .select(col("da"), col("lata"), col("lona"),
+        col("xa"), col("ya"), col("za"),
         col("bk.band").as("band"), col("bk.cell").as("cell"))
+    val chord2 =
+      (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) +
+        (col("za") - col("zb")) * (col("za") - col("zb"))
     probes.join(homes, Seq("band", "cell"))
       .filter(col("da") =!= col("db"))
+      .filter(chord2 <= lit(chord2Max))
       .select(
         least(col("da"), col("db")).as("pa"),
         greatest(col("da"), col("db")).as("pb"),

@@ -77,15 +77,17 @@ object Dedup {
     * and symmetrically from the union sizes (stop-shingle policy: removed
     * from both sets, not just the intersection). */
   def jaccardPairs(sh: DataFrame, threshold: Double,
-      maxDf: Int = DefaultMaxDf): DataFrame = {
+      maxDf: Int = DefaultMaxDf): DataFrame =
     // materialize the capped postings ONCE: both consumers (pair generation
     // and the per-doc counts) read the materialized rows instead of each
     // recomputing the shingle explode + groupBy — at 100 TB that is the
     // dominant stage, and exchange reuse does not survive the two different
     // downstream aggregations under AQE
-    val postings = cappedPostings(sh, maxDf).localCheckpoint()
+    jaccardFromPostings(cappedPostings(sh, maxDf).localCheckpoint(), threshold)
+
+  private def jaccardFromPostings(postings: DataFrame,
+      threshold: Double): DataFrame =
     jaccardFromInter(interCounts(postings), docCounts(postings), threshold)
-  }
 
   /** Pair intersection counts from capped postings: ordered pairs (da < db)
     * generated inline per posting list, then one grouped count — the shared
@@ -114,8 +116,12 @@ object Dedup {
     * the linear triage tier is the minhash pipeline (a containment
     * variant would bucket on the SHORTER doc's signature; not declared). */
   def containmentPairs(sh: DataFrame, threshold: Double,
-      maxDf: Int = DefaultMaxDf): DataFrame = {
-    val postings = cappedPostings(sh, maxDf).localCheckpoint()
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    containmentFromPostings(cappedPostings(sh, maxDf).localCheckpoint(),
+      threshold)
+
+  private def containmentFromPostings(postings: DataFrame,
+      threshold: Double): DataFrame = {
     val n = docCounts(postings)
     interCounts(postings)
       .join(n.select(col("doc_id").as("da"), col("ns").as("nsa")), "da")
@@ -477,9 +483,18 @@ object Dedup {
   private val exactPairsCache = new graft.SessionCache[DataFrame]()
   private val exactClustersCache = new graft.SessionCache[DataFrame]()
   private val minhashPairsCache = new graft.SessionCache[DataFrame]()
+  // The capped-posting lists are the corpus-dominant stage shared by the
+  // exact-Jaccard AND containment families — memoized once per (session,
+  // sfDir) so the second family pays only its output-sized pair math.
+  private val postingsCache = new graft.SessionCache[DataFrame]()
+  private def postingsFor(s: SparkSession, d: String): DataFrame =
+    postingsCache.getOrBuild(s, d) {
+      cappedPostings(shingles(Tables.documents(s, d)), DefaultMaxDf)
+        .localCheckpoint()
+    }
   private def exactPairs(s: SparkSession, d: String): DataFrame =
     exactPairsCache.getOrBuild(s, d) {
-      jaccardPairs(shingles(Tables.documents(s, d)), 0.8).localCheckpoint()
+      jaccardFromPostings(postingsFor(s, d), 0.8).localCheckpoint()
     }
   private def exactClusters(s: SparkSession, d: String): DataFrame =
     exactClustersCache.getOrBuild(s, d) {
@@ -497,7 +512,7 @@ object Dedup {
   private val containPairsCache = new graft.SessionCache[DataFrame]()
   private def containPairs(s: SparkSession, d: String): DataFrame =
     containPairsCache.getOrBuild(s, d) {
-      containmentPairs(shingles(Tables.documents(s, d)), 0.9).localCheckpoint()
+      containmentFromPostings(postingsFor(s, d), 0.9).localCheckpoint()
     }
 
   val queries: Map[String, Q] = Map(
