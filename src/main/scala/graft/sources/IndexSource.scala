@@ -244,10 +244,11 @@ private[sources] final class IndexScanBuilder(dir: String, buckets: Int,
 
 /** Footer-only COUNT(*) scan over the whole index: total postings from
   * each file's `doc_ids` element value count (block metadata — no posting
-  * pages read). One pre-counted row per file, merged by Spark's final
-  * aggregate; the planning cost is the same O(files) footer walk
-  * [[IndexScan.estimateStatistics]] pays, which at any index size is
-  * metadata-sized, not data-sized. */
+  * pages read). The driver pays only the bucket-dir listing; footer opens
+  * distribute across executors via [[GraftFooterCountPartition]] chunks
+  * (a first cut opened them serially on the driver and lost to the row
+  * scan — see SCALE.md), and Spark's final aggregate sums the per-file
+  * rows. */
 private[graft] final class IndexAggScan(val dir: String, nCounts: Int)
     extends Scan with Batch {
   private val schema: StructType = StructType((0 until nCounts).map(i =>
@@ -258,43 +259,33 @@ private[graft] final class IndexAggScan(val dir: String, nCounts: Int)
   private val confSer = new org.apache.spark.util.SerializableConfiguration(
     InvertedIndex.driverHadoopConf)
 
-  private lazy val fileCounts: Seq[(Int, Long)] = {
+  /** Listing only — bucket=* walk (same scope as IndexScan.listFiles): a
+    * concurrent writer's staging dirs must not leak into the count. */
+  private lazy val files: Seq[(String, Int)] = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(confSer.value)
-    val found = ArrayBuffer.empty[(Int, Long)]
+    val found = ArrayBuffer.empty[(String, Int)]
     if (fs.exists(root)) {
-      // bucket=* walk only (same scope as IndexScan.listFiles): a
-      // concurrent writer's staging dirs must not leak into the count
       for (b <- fs.listStatus(root).toSeq
              if b.isDirectory && b.getPath.getName.startsWith("bucket=")) {
-        val it = fs.listFiles(b.getPath, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromPath(f.getPath, confSer.value))
-            try found += ((0, r.getFooter.getBlocks.asScala.map { blk =>
-              blk.getColumns.asScala
-                .find(_.getPath.toDotString.startsWith("doc_ids."))
-                .map(_.getValueCount)
-                .getOrElse(blk.getRowCount) // doc_ids absent: 1 row/term
-            }.sum))
-            finally r.close()
-          }
-        }
+        val files = ArrayBuffer.empty[(String, Long)]
+        GraftAggScans.walkParquet(fs, b.getPath, files)
+        files.foreach { case (path, _) => found += ((path, 0)) }
       }
     }
     found.toSeq
   }
 
   override def description(): String =
-    s"GraftIndexAggScan dir=$dir agg=count(*) files=${fileCounts.size}"
+    s"GraftIndexAggScan dir=$dir agg=count(*) files=${files.size}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(IvfAggPartition(fileCounts, grouped = false, nCounts))
+    GraftAggScans.chunk(files).map(fs =>
+      GraftFooterCountPartition(fs, grouped = false, nCounts,
+        docIdsValueCount = true): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IvfAggReaderFactory
+    new GraftFooterCountReaderFactory(confSer)
 }
 
 private[graft] final class IndexScan(val dir: String, val buckets: Int,
@@ -384,12 +375,11 @@ private[graft] final class IndexScan(val dir: String, val buckets: Int,
     }
     val found = ArrayBuffer.empty[(String, Long, Long)]
     bucketDirs.foreach { case (r, b) =>
-      val it = fs.listFiles(r, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          found += ((f.getPath.toString, f.getLen, b))
-      }
+      // listStatus walk, NOT listFiles(recursive) — the latter fetches
+      // per-file block locations at ~4 ms/file (see GraftAggScans.walkParquet)
+      val files = ArrayBuffer.empty[(String, Long)]
+      GraftAggScans.walkParquet(fs, r, files)
+      files.foreach { case (path, len) => found += ((path, len, b)) }
     }
     found.sortBy(_._1).toSeq
   }
