@@ -56,8 +56,8 @@ object GeoOps {
     * threshold compare so boundary ulps can't flip membership across
     * engines. */
   def radiusSelfJoinKm(pts: DataFrame, radiusKm: Double): DataFrame = {
-    require(radiusKm <= 500.0,
-      "blocking constants (5-degree bands, 15-degree cells, polar cutoff 70) are derived for radius <= 500 km")
+    require(radiusKm > 0.0 && radiusKm <= 500.0,
+      "blocking constants (5-degree bands, 15-degree cells, polar cutoff 70) are derived for 0 < radius <= 500 km")
     val keyed = pts
       .withColumn("band", floor((col("lat") + lit(90.0)) / lit(5.0)).cast("int"))
       .withColumn("cellRaw", floor((col("lon") + lit(180.0)) / lit(15.0)).cast("int"))

@@ -48,6 +48,11 @@ object Relational {
   // dynamic-overwrites one day per run (idempotent — same restatement
   // every time) and reads the final state back.
   private val dpoCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  // Serializes the per-invocation restatement write: two concurrent
+  // builds of q_sink_partitioned in one session would race Spark's
+  // commit protocol on the same partition directory (the same
+  // concurrent-build class ADVICE r9 flagged on the bloom temp views).
+  private[graft] val dpoWriteLock = new Object
   private[graft] def dayEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("ts").cast("date").as("day"),
       col("event_type"), col("value"))
@@ -126,7 +131,9 @@ object Relational {
           col("day") === col("day0"))
         .filter(col("event_type") === "purchase")
         .select("day", "event_type", "value")
-      graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
+      dpoWriteLock.synchronized {
+        graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
+      }
       s.read.parquet(dir)
         .withColumn("day", col("day").cast("date"))
         .groupBy("day")

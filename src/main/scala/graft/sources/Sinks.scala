@@ -36,7 +36,9 @@ object Sinks {
     * the helper scopes the conf flip to the write and restores it after.
     * At 100 TB: the write cost is the restated partitions' data, never the
     * table's — plus the same atomic per-partition file-commit every other
-    * write here relies on. */
+    * write here relies on. The conf flip is SESSION-scoped state:
+    * concurrent calls in one session must be externally serialized (the
+    * declared query holds a lock), or use separate sessions. */
   def overwritePartitions(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
     val s = df.sparkSession
