@@ -236,7 +236,42 @@ object DataModel {
         .filter(col("o_custkey") < 500)
         .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
           col("o_orderstatus").as("status"), col("o_orderdate").as("ts")))
-        .withColumnRenamed("k", "o_custkey")))
+        .withColumnRenamed("k", "o_custkey")),
+
+    // The SCD2 CONSUMER: effective-dated dimension lookup — each lineitem
+    // enriched with the customer-status VERSION valid at SHIP time (which
+    // can differ from the status at order time; n_drifted counts exactly
+    // those). The point-in-time join every Kimball mart runs: equi-join
+    // on the ENTITY key, then the [valid_from, valid_to) interval
+    // predicate filters the bounded per-key version fan-out
+    // (#changes + 1 rows per customer) — no blocking machinery needed,
+    // unlike q_join_interval's keyless ranges. Half-open intervals make
+    // boundary dates land in exactly one version (a same-day flip's
+    // zero-length interval matches nothing), and every ship date ≥ its
+    // order date ≥ the customer's first version start, so coverage is
+    // total — both facts the oracle re-derives independently.
+    "q_join_scd2_lookup" -> ((s, d) => {
+      val dim = scd2History(Tables.orders(s, d)
+        .filter(col("o_custkey") < 500)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status"), col("o_orderdate").as("ts")))
+      val facts = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_custkey") < 500),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("o_orderstatus"),
+          col("l_shipdate"), col("l_quantity"))
+      facts.join(dim, Seq("k"))
+        .filter(col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .select(col("status").as("status_at_ship"),
+          (col("status") =!= col("o_orderstatus")).cast("int").as("drifted"),
+          col("l_quantity"))
+        .groupBy("status_at_ship")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("drifted")).as("n_drifted"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("status_at_ship")
+    }))
 
   /** Generic SCD Type-2 collapse (the q_scd2_history engine, parameterized
     * so PropertySpec can drive it with generated mutation logs against a
@@ -425,6 +460,23 @@ object DataModel {
         "CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL " +
         "THEN 1 ELSE 0 END AS is_current " +
         "FROM pts ORDER BY o_custkey, valid_from, status"),
+    "q_join_scd2_lookup" ->
+      ("WITH chg AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status " +
+        "FROM orders WHERE o_custkey < 500), " +
+        "pts AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM chg " +
+        "WHERE prev_status IS NULL OR prev_status <> o_orderstatus), " +
+        "ver AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to FROM pts), " +
+        "f AS (SELECT o.o_custkey, o.o_orderstatus, l.l_shipdate, l.l_quantity " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_custkey < 500), " +
+        "j AS (SELECT v.status AS status_at_ship, " +
+        "CASE WHEN v.status <> f.o_orderstatus THEN 1 ELSE 0 END AS drifted, f.l_quantity " +
+        "FROM f JOIN ver v ON f.o_custkey = v.o_custkey " +
+        "AND v.valid_from <= f.l_shipdate AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)) " +
+        "SELECT status_at_ship, count(*) AS n_items, CAST(SUM(drifted) AS BIGINT) AS n_drifted, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
     "q_graph_components" ->
       ("SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey) AS component " +
         "FROM customer ORDER BY c_custkey"),
