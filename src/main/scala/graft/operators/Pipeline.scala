@@ -150,31 +150,12 @@ object Pipeline {
     // totals — a drift gate must be cheap enough to run every ingest.
     "q_profile_drift" -> ((s, d) => {
       val cutoff = lit("1997-01-01").cast("timestamp")
-      def feats(df: DataFrame) = df.select(
-        explode(array(
-          struct(lit("price_bucket").as("feature"),
-            concat(lit("b"), least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
-              .cast("string")).as("bucket")),
-          struct(lit("priority").as("feature"),
-            col("o_orderpriority").as("bucket")))).as("f"))
-        .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
       val o = Tables.orders(s, d)
-      val old = feats(o.filter(col("o_orderdate") < cutoff))
+      val old = ordersDriftBuckets(o.filter(col("o_orderdate") < cutoff))
         .groupBy("feature", "bucket").agg(count(lit(1)).as("n_old"))
-      val cur = feats(o.filter(col("o_orderdate") >= cutoff))
+      val cur = ordersDriftBuckets(o.filter(col("o_orderdate") >= cutoff))
         .groupBy("feature", "bucket").agg(count(lit(1)).as("n_new"))
-      val tOld = old.groupBy("feature").agg(sum("n_old").as("t_old"))
-      val tNew = cur.groupBy("feature").agg(sum("n_new").as("t_new"))
-      val pOld = col("n_old").cast("double") / col("t_old")
-      val pNew = col("n_new").cast("double") / col("t_new")
-      old.join(cur, Seq("feature", "bucket"), "full_outer")
-        .na.fill(0L, Seq("n_old", "n_new"))
-        .join(broadcast(tOld), "feature").join(broadcast(tNew), "feature")
-        .select(col("feature"), col("bucket"), col("n_old"), col("n_new"),
-          round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
-          when(col("n_old") > 0 && col("n_new") > 0,
-            round((pOld - pNew) * log(pOld / pNew), 6)).as("psi_term"))
-        .orderBy("feature", "bucket")
+      psiReport(old, cur).orderBy("feature", "bucket")
     }),
 
     // Referential-integrity gate (the cross-table half of the data-quality
@@ -262,6 +243,40 @@ object Pipeline {
           round(col("value"), 4).as("value_r"))
         .orderBy("user_id", "event_type")
     }))
+
+  /** The orders-table feature bucketing q_profile_drift profiles: a
+    * fixed-edge price bucket + the priority categorical, one (feature,
+    * bucket) row per feature per input row. */
+  private[graft] def ordersDriftBuckets(df: DataFrame): DataFrame =
+    df.select(
+      explode(array(
+        struct(lit("price_bucket").as("feature"),
+          concat(lit("b"), least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
+            .cast("string")).as("bucket")),
+        struct(lit("priority").as("feature"),
+          col("o_orderpriority").as("bucket")))).as("f"))
+      .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
+
+  /** Generic per-bucket PSI report from two bucket-count frames —
+    * (feature, bucket, n_old) vs (feature, bucket, n_new). Shared by the
+    * batch q_profile_drift and the streaming drift monitor
+    * (StreamOps.runDriftMonitor), so the two can never diverge on the
+    * math. Every emitted number is a fixed sequence of scalar ops (no
+    * cross-bucket float summation); one-sided buckets carry a NULL term
+    * (undefined ln — the documented PSI convention). */
+  private[graft] def psiReport(old: DataFrame, cur: DataFrame): DataFrame = {
+    val tOld = old.groupBy("feature").agg(sum("n_old").as("t_old"))
+    val tNew = cur.groupBy("feature").agg(sum("n_new").as("t_new"))
+    val pOld = col("n_old").cast("double") / col("t_old")
+    val pNew = col("n_new").cast("double") / col("t_new")
+    old.join(cur, Seq("feature", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .join(broadcast(tOld), "feature").join(broadcast(tNew), "feature")
+      .select(col("feature"), col("bucket"), col("n_old"), col("n_new"),
+        round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round((pOld - pNew) * log(pOld / pNew), 6)).as("psi_term"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" ->

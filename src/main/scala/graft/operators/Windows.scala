@@ -179,6 +179,32 @@ object Windows {
     "q_window_time_range" -> ((s, d) => {
       graft.Tables.registerAll(s, d)
       s.sql(TimeRangeSql)
+    }),
+
+    // RATIO-TO-REPORT: each nation's share of its region's revenue — the
+    // unframed partition-total window (sum OVER (PARTITION BY region)
+    // with no ORDER BY = the whole partition as frame). The window sum
+    // runs on the EXACT DECIMAL, so partial order can't move it; the one
+    // double division per row happens after, then round(6). Cost shape:
+    // the star join aggregates to one row per nation BEFORE the window,
+    // so the window's partition state is ≤ nations-per-region rows. */
+    "q_window_share" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_d"))
+      val w = Window.partitionBy("r_name")
+      rev
+        .withColumn("region_rev_d", sum(col("rev_d")).over(w))
+        .select(col("r_name"), col("n_name"),
+          col("rev_d").cast("double").as("revenue"),
+          round(col("rev_d").cast("double") /
+            col("region_rev_d").cast("double"), 6).as("share"))
+        .orderBy("r_name", "n_name")
     }))
 
   /** Runs verbatim in both Spark and DuckDB. */
@@ -192,6 +218,17 @@ object Windows {
       "ORDER BY event_id"
 
   val oracles: Map[String, String] = Map(
+    "q_window_share" ->
+      ("WITH rev AS (SELECT r_name, n_name, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name) " +
+        "SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue, " +
+        "round(CAST(rev_d AS DOUBLE) / " +
+        "CAST(SUM(rev_d) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share " +
+        "FROM rev ORDER BY r_name, n_name"),
     "q_window_time_range" -> TimeRangeSql,
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (" +

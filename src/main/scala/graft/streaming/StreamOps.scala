@@ -251,6 +251,32 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Streaming DRIFT MONITOR — the online twin of q_profile_drift: each
+    * micro-batch's feature distribution is PSI-compared against a STATIC
+    * baseline count frame and the per-bucket report (stamped with the
+    * batch id) appends to a parquet audit log. This is how a production
+    * ingest watches itself: the baseline is the blessed snapshot's bucket
+    * counts (kilobytes, computed once), each arriving batch costs one
+    * grouped count plus output-sized PSI math, and an alert is a filter
+    * on the audit log (psi_term above threshold). Shares
+    * Pipeline.psiReport with the batch query, so the streaming and batch
+    * reports are definitionally identical on identical slices
+    * (spec-asserted per batch in StreamingSpec). */
+  def runDriftMonitor(stream: DataFrame, baselineCounts: DataFrame,
+      bucketize: DataFrame => DataFrame, outDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = bucketize(batch).groupBy("feature", "bucket")
+          .agg(count(lit(1)).as("n_new"))
+        graft.operators.Pipeline.psiReport(baselineCounts, cur)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** One incremental run: process whatever input files are NEW since the
     * checkpoint, append to the parquet sink, stop (Trigger.AvailableNow).
     * This is the reference's "re-run the mapper over new data" idiom as a
