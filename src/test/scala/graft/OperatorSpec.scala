@@ -842,6 +842,14 @@ class OperatorSpec extends SparkSpec {
     assert(!physicalPlan(filtered).contains("GraftIndexAggScan"))
   }
 
+  test("geo radius join plans an equi-join, never a nested loop") {
+    val plan = physicalPlan(DataModel.queries("q_geo_neighbors")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grid blocking must keep the spatial join an equi-join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"))
+  }
+
   test("quality classifier: exact-integer scoring invariants") {
     val out = rows(Curation.queries("q_quality_classifier")(spark, sf))
     assert(out.nonEmpty)
