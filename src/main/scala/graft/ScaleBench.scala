@@ -267,6 +267,28 @@ object ScaleBench {
       }
     }
 
+    if (enabled("geo")) {
+      // Grid-blocked radius join: candidate volume is Θ(output) with a
+      // bounded constant — probes×9 over 864 grid buckets gives
+      // candidates ≈ (9/864)·n² while true 500 km pairs on a uniform
+      // globe are ≈ (πr²/A_earth)·n² ≈ 1.5e-3·n², a ~7× ratio the chord
+      // prefilter then thins before trig. Both n² (the OUTPUT of a
+      // fixed-radius all-pairs-within-r join is itself quadratic in
+      // density) — the probe verifies time tracks output, not worse.
+      val geoPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_GEO", "25000,50000,100000")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      for (n <- geoPoints) {
+        val pts = writeRead(s, s.range(n).selectExpr(
+          "id AS k",
+          "CAST(pmod(xxhash64(id, 11L), 18000) AS DOUBLE) / 100 - 90 AS lat",
+          "CAST(pmod(xxhash64(id, 13L), 36000) AS DOUBLE) / 100 - 180 AS lon"),
+          s"$root/geopts_$n")
+        val out = graft.functions.GeoOps.radiusSelfJoinKm(pts, 500.0)
+        measure("geo_radius_join", n, reps) { out }
+        println(s"""SCALE_ROW:{"op":"geo_radius_pairs","n":$n,"sec":0,"reps":[${out.count()}]}""")
+      }
+    }
+
     if (enabled("skew")) {
       val skewPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEW", "1000000,4000000,16000000")
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)

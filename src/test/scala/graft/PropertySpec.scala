@@ -439,6 +439,45 @@ class PropertySpec extends SparkSpec {
     assert(out.size == nations + perNation + grand)
   }
 
+  test("psiReport equals a brute-force scala fold on generated count frames") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.zip(
+      Gen.oneOf("f1", "f2"), Gen.chooseNum(0, 5).map(i => s"b$i"),
+      Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))
+    samples(gen, 6).foreach { xs =>
+      // collapse duplicate (feature, bucket) rows; drop all-zero buckets
+      // on each side independently (a zero count row is "absent")
+      val m = xs.groupBy(x => (x._1, x._2))
+        .map { case (k, vs) => k -> (vs.map(_._3).sum, vs.map(_._4).sum) }
+      val oldRows = m.collect { case ((f, b), (o, _)) if o > 0 => (f, b, o) }.toSeq
+      val newRows = m.collect { case ((f, b), (_, n)) if n > 0 => (f, b, n) }.toSeq
+      if (oldRows.nonEmpty && newRows.nonEmpty) {
+        val got = rows(graft.operators.Pipeline.psiReport(
+          oldRows.toDF("feature", "bucket", "n_old"),
+          newRows.toDF("feature", "bucket", "n_new"))
+          .orderBy("feature", "bucket"))
+        // brute force: totals per feature, shares, terms
+        val tOld = oldRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val tNew = newRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val keys = (oldRows.map(r => (r._1, r._2)) ++ newRows.map(r => (r._1, r._2)))
+          .distinct
+          // buckets only appear for features present on BOTH sides after
+          // the engine's inner total joins; mirror that filter
+          .filter { case (f, _) => tOld.contains(f) && tNew.contains(f) }
+          .sorted
+        val want = keys.map { case (f, b) =>
+          val o = oldRows.find(r => r._1 == f && r._2 == b).map(_._3).getOrElse(0L)
+          val n = newRows.find(r => r._1 == f && r._2 == b).map(_._3).getOrElse(0L)
+          val p = o.toDouble / tOld(f); val q = n.toDouble / tNew(f)
+          def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Seq[Any](f, b, o, n, r6(p), r6(q),
+            if (o > 0 && n > 0) r6((p - q) * math.log(p / q)) else null)
+        }
+        assert(got == want, s"psi mismatch\ngot  $got\nwant $want")
+      }
+    }
+  }
+
   test("grid-blocked radius join equals brute force (polar + wraparound adversaries planted)") {
     import spark.implicits._
     import graft.functions.GeoOps
