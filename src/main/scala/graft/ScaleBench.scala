@@ -283,9 +283,13 @@ object ScaleBench {
           "CAST(pmod(xxhash64(id, 11L), 18000) AS DOUBLE) / 100 - 90 AS lat",
           "CAST(pmod(xxhash64(id, 13L), 36000) AS DOUBLE) / 100 - 180 AS lon"),
           s"$root/geopts_$n")
-        val out = graft.functions.GeoOps.radiusSelfJoinKm(pts, 500.0)
-        measure("geo_radius_join", n, reps) { out }
-        println(s"""SCALE_ROW:{"op":"geo_radius_pairs","n":$n,"sec":0,"reps":[${out.count()}]}""")
+        // constructed INSIDE the timed block (a shared instance would let
+        // rep 2 reuse the cached QueryExecution and under-bill planning)
+        measure("geo_radius_join", n, reps) {
+          graft.functions.GeoOps.radiusSelfJoinKm(pts, 500.0)
+        }
+        val pairs = graft.functions.GeoOps.radiusSelfJoinKm(pts, 500.0).count()
+        println(s"""SCALE_ROW:{"op":"geo_radius_pairs","n":$n,"sec":0,"reps":[$pairs]}""")
       }
     }
 
