@@ -159,6 +159,47 @@ object Behavior {
         .orderBy("user_id", "day")
     }),
 
+    // LINEAR INTERPOLATION over the daily spine — the resampling sibling
+    // of q_gap_fill's forward-fill: missing days get
+    // prev + (next − prev) · Δdays/span between the nearest OBSERVED
+    // days on each side (the time-series resample every metrics pipeline
+    // needs between "carry last value" and "model it"). The spine spans
+    // [min, max] observed day per user, so interior gaps always have
+    // both anchors — no extrapolation branch. Two mirrored
+    // ignoreNulls window fills (last←, first→) carry (value, day)
+    // anchors; the arithmetic is a fixed op sequence on integer day
+    // diffs, round(4)'d — engine-stable. One user-keyed shuffle, frame
+    // state is one anchor pair per row.
+    "q_gap_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("rev"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val back = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("rev").isNotNull, col("day"))
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("pv", last(col("rev"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("rev"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("day"),
+          col("rev").isNotNull.as("observed"),
+          round(when(col("rev").isNotNull, col("rev")).otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))), 4)
+            .as("rev_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     // Per-user EWMA (α = 0.5) of event values in event-time order — the
     // exponential time-decay feature every behavioral scoring pipeline
     // computes (recency-weighted activity). One grouped collect per user,
@@ -260,6 +301,27 @@ object Behavior {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rev_ffill " +
         "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day " +
         "ORDER BY s.user_id, s.day"),
+    "q_gap_interpolate" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE user_id < 20), " +
+        "daily AS (SELECT user_id, day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev FROM ev GROUP BY user_id, day), " +
+        "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "j AS (SELECT s.user_id, s.day, d.rev FROM spine s " +
+        "LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day), " +
+        "f AS (SELECT user_id, day, rev, " +
+        "last_value(rev IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd, " +
+        "first_value(rev IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd " +
+        "FROM j WINDOW " +
+        "wb AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, day, rev IS NOT NULL AS observed, " +
+        "round(CASE WHEN rev IS NOT NULL THEN rev ELSE " +
+        "pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE) / " +
+        "CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 4) AS rev_interp " +
+        "FROM f ORDER BY user_id, day"),
     "q_events_ewma" ->
       ("WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs " +
         "FROM events GROUP BY user_id) " +
