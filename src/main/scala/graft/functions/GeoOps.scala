@@ -58,9 +58,19 @@ object GeoOps {
   def radiusSelfJoinKm(pts: DataFrame, radiusKm: Double): DataFrame = {
     require(radiusKm > 0.0 && radiusKm <= 500.0,
       "blocking constants (5-degree bands, 15-degree cells, polar cutoff 70) are derived for 0 < radius <= 500 km")
+    // Boundary normalization at KEY time: lat = 90.0 would floor into a
+    // band 36 no probe targets (probes null out band + db > 35), and
+    // lon = 180.0 into cellRaw 24 that no ±1 probe pmods onto — two points
+    // ON the boundary would never pair. Clamp the pole into band 35 and
+    // wrap the antimeridian into cell 0 (where ±180° genuinely lives);
+    // internal generators can't emit these values, but the public helper
+    // accepts arbitrary frames (PropertySpec plants exact-boundary
+    // adversaries).
     val keyed = pts
-      .withColumn("band", floor((col("lat") + lit(90.0)) / lit(5.0)).cast("int"))
-      .withColumn("cellRaw", floor((col("lon") + lit(180.0)) / lit(15.0)).cast("int"))
+      .withColumn("band",
+        least(floor((col("lat") + lit(90.0)) / lit(5.0)), lit(35)).cast("int"))
+      .withColumn("cellRaw",
+        pmod(floor((col("lon") + lit(180.0)) / lit(15.0)), lit(24)).cast("int"))
       .withColumn("cell",
         when(col("band") <= 3 || col("band") >= 32, lit(0))
           .otherwise(col("cellRaw")))

@@ -22,6 +22,56 @@ object Behavior {
 
   private val GapUs: Long = 1800L * 1000000L // 30 min session gap
 
+  /** Per-user EWMA (α = 0.5) over `events` (user_id, ts, event_id, value)
+    * in (ts, event_id) order, as a SPILL-SAFE streaming fold: one hash
+    * shuffle on user_id, an external sort within each partition (Spark's
+    * sort spills to disk — no per-key array ever materializes), then a
+    * mapPartitions pass whose state is THREE SCALARS per in-flight user
+    * (current user, running ewma, count). A whale key costs O(1) executor
+    * memory — the formulation the collect_list spelling (one in-memory
+    * array per user inside an aggregation buffer) could not survive at
+    * 100× with a bot user. The fold order and op sequence
+    * (s' = 0.5·v + 0.5·s, seeded with the first value) are IDENTICAL to
+    * the previous spelling and to DuckDB `list_reduce`, so results are
+    * bit-equal (oracle hash unchanged; spec-asserted vs the collect_list
+    * twin). Rows of one user are contiguous after the partition sort, so
+    * the fold never needs cross-partition stitching. */
+  private[graft] def ewmaByUser(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sorted = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val folded = sorted.mapPartitions { it =>
+      new Iterator[(Long, Int, Double)] {
+        private var pending: (Long, Double) =
+          if (it.hasNext) it.next() else null
+        override def hasNext: Boolean = pending != null
+        override def next(): (Long, Int, Double) = {
+          val user = pending._1
+          var acc = pending._2 // seed = first value in (ts, event_id) order
+          var n = 1
+          pending = null
+          var done = false
+          while (!done && it.hasNext) {
+            val r = it.next()
+            if (r._1 == user) { acc = 0.5 * r._2 + 0.5 * acc; n += 1 }
+            else { pending = r; done = true }
+          }
+          (user, n, acc)
+        }
+      }
+    }
+    folded.toDF("user_id", "n_events", "ewma_raw")
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Gap-based sessionization: a new session starts after >30 min of
     // silence. lag + conditional flag + running sum assigns session ids in
@@ -202,24 +252,15 @@ object Behavior {
 
     // Per-user EWMA (α = 0.5) of event values in event-time order — the
     // exponential time-decay feature every behavioral scoring pipeline
-    // computes (recency-weighted activity). One grouped collect per user,
-    // then a SEQUENTIAL left fold over the ordered value array: the fold
-    // runs the identical IEEE op sequence in both engines (Spark
-    // `aggregate` seeded with the first element ≡ DuckDB `list_reduce`),
-    // so the result is bit-stable under any partitioning — a float SUM
-    // would not be. State is one user's event list; the shuffle carries
-    // each event once, keyed by the entity — the §2.14 scale contract.
-    "q_events_ewma" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(
-          struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-        .withColumn("vs", expr("transform(evs, e -> e.value)"))
-        .select(col("user_id"), size(col("vs")).as("n_events"),
-          round(expr(
-            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), " +
-              "(s, v) -> 0.5 * v + 0.5 * s)"), 6).as("ewma"))
-        .orderBy("user_id")),
+    // computes (recency-weighted activity). Spill-safe streaming fold:
+    // see [[ewmaByUser]] (O(1) state per user — a 10⁶-event whale costs
+    // the same memory as a 10-event one, unlike the collect_list
+    // formulation this replaced, whose one-array-per-user aggregation
+    // buffer was the suite's single executor-OOM hazard at 100×). The
+    // fold runs the identical IEEE op sequence as DuckDB `list_reduce`
+    // seeded with the first element, so the result is bit-stable under
+    // any partitioning — a float SUM would not be.
+    "q_events_ewma" -> ((s, d) => ewmaByUser(Tables.events(s, d))),
 
     // First-order Markov transition matrix over the event stream: counts
     // of consecutive (from → to) event-type pairs within each user's

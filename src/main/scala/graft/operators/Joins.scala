@@ -18,6 +18,23 @@ import graft.functions.ColumnOps._
 object Joins {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run `body` with session confs set, restoring each key's PRIOR state
+    * (set-back or unset) afterwards — so an opt-in optimizer-rule conf can
+    * never leak into an unrelated future query's planning. Callers that
+    * need a rule applied must force optimization INSIDE the scope (the
+    * optimizer reads SQLConf lazily at first action, not at DataFrame
+    * construction): `df.queryExecution.optimizedPlan` pins the rewritten
+    * plan before the conf is restored. */
+  private[graft] def withConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Warehouse table name for a bucketed copy of `stem` (per sfDir — the
     * test/verify/bench scales must not clobber each other's buckets). */
   private[graft] def bucketTable(d: String, stem: String): String =
@@ -239,25 +256,28 @@ object Joins {
     // opt-in conf, enabled here). Same oracle as q_join_interval — the
     // rewrite must be invisible in the results; the spec asserts the plan
     // flipped from nested-loop to an equi-join and flips back when the rule
-    // is disabled. The conf stays set for the session (harmless: the rule
-    // only fires on no-equi-key overlap-pattern inner joins, and every
-    // other inventory query either carries an equi key or a single
-    // inequality).
-    "q_join_interval_auto" -> ((s, d) => {
-      s.conf.set("spark.graft.intervalJoin.enabled", "true")
-      s.conf.set("spark.graft.intervalJoin.bucket", "45")
-      val day0 = to_date(lit("1990-01-01"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        datediff(to_date(col("o_orderdate")), day0).as("os"),
-        (datediff(to_date(col("o_orderdate")), day0)
-          + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
-      val w = Tables.nation(s, d).select(col("n_nationkey").as("w_id"),
-        (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
-        (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
-      w.join(o, col("os") < col("we") && col("ws") < col("oe"))
-        .groupBy("w_id").agg(count(lit(1)).as("cnt"))
-        .orderBy("w_id")
-    }),
+    // is disabled. The rule confs are SCOPED to this builder (withConf
+    // restores prior state — VERDICT r10 #6): the optimizer reads them
+    // lazily, so the optimized plan is forced inside the scope, pinning the
+    // rewrite; nothing can leak into an unrelated future query's planning.
+    "q_join_interval_auto" -> ((s, d) =>
+      withConf(s,
+        "spark.graft.intervalJoin.enabled" -> "true",
+        "spark.graft.intervalJoin.bucket" -> "45") {
+        val day0 = to_date(lit("1990-01-01"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), day0).as("os"),
+          (datediff(to_date(col("o_orderdate")), day0)
+            + pmod(col("o_orderkey"), lit(30)) + lit(1)).as("oe"))
+        val w = Tables.nation(s, d).select(col("n_nationkey").as("w_id"),
+          (lit(1826) + col("n_nationkey") * lit(90)).as("ws"),
+          (lit(1826) + col("n_nationkey") * lit(90) + lit(45)).as("we"))
+        val df = w.join(o, col("os") < col("we") && col("ws") < col("oe"))
+          .groupBy("w_id").agg(count(lit(1)).as("cnt"))
+          .orderBy("w_id")
+        df.queryExecution.optimizedPlan // force the rewrite inside the scope
+        df
+      }),
 
     // Salted fact-dim equi-join for skewed keys: the fact side gets a
     // deterministic per-row salt in [0, 8), the dim side is replicated once

@@ -131,6 +131,15 @@ object Relational {
           col("day") === col("day0"))
         .filter(col("event_type") === "purchase")
         .select("day", "event_type", "value")
+      // A dynamic overwrite with ZERO rows touches no partitions at all —
+      // the old day-0 files would silently survive while the oracle
+      // expects purchases-only. That can only happen if the fixture's
+      // earliest day has no purchases; fail loudly instead of diverging
+      // (an empty restatement that MEANS "delete the day" would use an
+      // explicit partition drop, not an overwrite).
+      if (restate.isEmpty) throw new IllegalStateException(
+        "q_sink_partitioned: earliest day has no purchase events — " +
+          "dynamic overwrite would be a no-op, not a restatement")
       dpoWriteLock.synchronized {
         graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
       }

@@ -280,9 +280,9 @@ private[graft] final class IndexAggScan(val dir: String, nCounts: Int)
     s"GraftIndexAggScan dir=$dir agg=count(*) files=${files.size}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftAggScans.chunk(files).map(fs =>
-      GraftFooterCountPartition(fs, grouped = false, nCounts,
-        docIdsValueCount = true): InputPartition).toArray
+    // empty listing still answers 0, not NULL — see planCountPartitions
+    GraftAggScans.planCountPartitions(files, grouped = false, nCounts,
+      docIdsValueCount = true)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFooterCountReaderFactory(confSer)

@@ -314,9 +314,8 @@ private[graft] final class IvfAggScan(val dir: String,
       s"${if (grouped) " groupBy=cid" else ""} files=${files.size}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftAggScans.chunk(files).map(fs =>
-      GraftFooterCountPartition(fs, grouped, nCounts,
-        docIdsValueCount = false): InputPartition).toArray
+    GraftAggScans.planCountPartitions(files, grouped, nCounts,
+      docIdsValueCount = false)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFooterCountReaderFactory(confSer)
@@ -339,6 +338,22 @@ private[sources] object GraftAggScans {
       else if (st.getPath.getName.endsWith(".parquet"))
         out += ((st.getPath.toString, st.getLen))
     }
+
+  /** Partition plan for a footer-count scan. An EMPTY listing (fresh or
+    * truncated index) with an UNGROUPED count still plans ONE partition
+    * that emits a single all-zero row: the pushdown is partial, so Spark
+    * rewrites the final count(*) to SUM(partial) — and SUM over zero input
+    * rows is NULL, not 0 (ADVICE r10: an empty graft.index/graft.ivf table
+    * answered `count(*) = NULL` where the row scan says 0). A GROUPED
+    * count over nothing is correctly empty — no zero row. */
+  def planCountPartitions(files: Seq[(String, Int)], grouped: Boolean,
+      nCounts: Int, docIdsValueCount: Boolean): Array[InputPartition] =
+    if (files.isEmpty && !grouped)
+      Array(GraftFooterCountPartition(Nil, grouped = false, nCounts,
+        docIdsValueCount))
+    else chunk(files).map(fs =>
+      GraftFooterCountPartition(fs, grouped, nCounts,
+        docIdsValueCount): InputPartition).toArray
 
   /** Chunk the file list into ~2 tasks per core so footer opens spread
     * across the cluster while tasks stay non-trivial. */
@@ -367,7 +382,15 @@ private[sources] final class GraftFooterCountReaderFactory(
     new PartitionReader[InternalRow] {
       private val it = p.files.iterator
       private var cur: InternalRow = _
+      // empty-listing partition (ungrouped count over a fresh index):
+      // emit the single all-zero row exactly once
+      private var zeroRowDue = p.files.isEmpty && !p.grouped
       override def next(): Boolean = {
+        if (zeroRowDue) {
+          zeroRowDue = false
+          cur = InternalRow.fromSeq(Seq.fill(p.nCounts)(0L))
+          return true
+        }
         if (!it.hasNext) return false
         val (path, cid) = it.next()
         val r = ParquetFileReader.open(

@@ -31,27 +31,22 @@ object Sinks {
     * contains rows for, leaving every other partition's files byte-
     * untouched (spec-asserted) — the day-restatement primitive behind
     * backfills and late-data reprocessing. Spark's default overwrite mode
-    * is STATIC (drops the whole table root first); production restatement
-    * jobs flip `partitionOverwriteMode=dynamic` for exactly this call, so
-    * the helper scopes the conf flip to the write and restores it after.
-    * At 100 TB: the write cost is the restated partitions' data, never the
-    * table's — plus the same atomic per-partition file-commit every other
-    * write here relies on. The conf flip is SESSION-scoped state:
-    * concurrent calls in one session must be externally serialized (the
-    * declared query holds a lock), or use separate sessions. */
+    * is STATIC (drops the whole table root first); the mode is passed as a
+    * PER-WRITE DataFrameWriter option, which overrides the session conf
+    * for this write only — no session-global conf flip, so a concurrent
+    * overwrite by another writer in the same session keeps ITS configured
+    * mode (the r10 helper flipped the session conf around the write and
+    * silently made any concurrent static overwrite dynamic). At 100 TB:
+    * the write cost is the restated partitions' data, never the table's —
+    * plus the same atomic per-partition file-commit every other write
+    * here relies on. Concurrent writes to the SAME path still need
+    * external serialization (the commit protocol races on the partition
+    * directories, as with any Spark file sink). */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
-    val s = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite)
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)

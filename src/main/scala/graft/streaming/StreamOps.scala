@@ -166,6 +166,64 @@ object StreamOps {
       }
   }
 
+  final case class EwmaEvent(event_id: Long, user_id: Long, ts: Timestamp,
+      value: Double)
+  final case class EwmaSnap(user_id: Long, n_events: Long, ewma: Double)
+  /** `seeded` disambiguates "no events yet" from a fold whose value is 0.0. */
+  final case class EwmaState(seeded: Boolean, n: Long, s: Double,
+      pending: Seq[EwmaEvent])
+
+  /** STREAMING per-user EWMA (α = 0.5) — the incremental twin of the batch
+    * `q_events_ewma` fold (operators/Behavior.ewmaByUser): same seed (first
+    * value in (ts, event_id) order), same IEEE op sequence
+    * s' = 0.5·v + 0.5·s, so a user's sealed snapshot is BIT-EQUAL to the
+    * batch fold over the same prefix (StreamingSpec asserts equality, not
+    * closeness). EWMA is order-sensitive, so the fold may only consume rows
+    * whose entire prior history is sealed: rows buffer per user until the
+    * watermark passes their event time (the asOfPurchaseClick maturity
+    * pattern), then the matured prefix folds in (ts, event_id) order and
+    * one snapshot row (user, n_events, ewma) emits per sweep that matured
+    * anything.
+    *
+    * Scale: durable state per user is the (seeded, n, s) fold — three
+    * scalars — plus only the events inside the watermark horizon (swept
+    * every invocation, via data or event-time timeout). The full history is
+    * never buffered, matching the batch twin's O(1)-per-user contract. */
+  def runningEwma(events: DataFrame, watermark: String = "10 minutes"): Dataset[EwmaSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaSnap](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(EwmaState(seeded = false, 0L, 0.0, Nil))
+          val all = prev.pending ++ rows
+          // strictly-below-watermark rows are sealed (same boundary rule as
+          // asOfPurchaseClick: rows AT the watermark may still gain earlier
+          // peers, so they stay pending until it moves past them)
+          val (mature, pending) = all.partition(_.ts.getTime < wm)
+          var seeded = prev.seeded
+          var n = prev.n
+          var s = prev.s
+          mature.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            s = if (seeded) 0.5 * e.value + 0.5 * s else e.value
+            seeded = true
+            n += 1
+          }
+          state.update(EwmaState(seeded, n, s, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              pending.map(_.ts.getTime).min, wm + 1))
+          if (mature.nonEmpty) Iterator.single(EwmaSnap(user, n, s))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming upsert sink via foreachBatch: each micro-batch is merged
     * into a keyed parquet snapshot — latest (ts, event_id) wins per
     * (user_id, event_type) entity, the streaming twin of the batch

@@ -101,4 +101,44 @@ class BehaviorSpec extends SparkSpec {
       assert(ev.exists(r => r._1 == et && r._3 == med), s"$et med not an order statistic")
     }
   }
+
+  test("q_events_ewma streaming fold is bit-equal to the collect_list spelling") {
+    // the collect_list formulation this round replaced stays as the test
+    // twin: same seed (first value in (ts, event_id) order), same IEEE op
+    // sequence — outputs must be IDENTICAL doubles, not merely close
+    val twin = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+      .withColumn("vs", expr("transform(evs, e -> e.value)"))
+      .select(col("user_id"), size(col("vs")).as("n_events"),
+        round(expr(
+          "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), " +
+            "(s, v) -> 0.5 * v + 0.5 * s)"), 6).as("ewma"))
+      .orderBy("user_id")
+    assert(rows(Behavior.queries("q_events_ewma")(spark, sf)) == rows(twin))
+  }
+
+  test("ewma fold survives a 1e6-event whale user with O(1) state and exact value") {
+    import spark.implicits._
+    // one whale (10^6 events) + two minnows sharing its partitions: the
+    // collect_list spelling would buffer one million structs in a single
+    // aggregation buffer; the fold's state is three scalars per user.
+    // values are i % 97 so the expected fold is cheap to replay in Scala.
+    val whale = spark.range(1000000L).select(
+      lit(7L).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
+      (col("id") % 97).cast("double").as("value"))
+    val minnows = spark.range(2L).select(
+      (col("id") + 100L).as("user_id"), (col("id") + 2000000L).as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id")).as("ts"),
+      lit(3.5).as("value"))
+    val got = Behavior.ewmaByUser(whale.unionByName(minnows))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    var acc = 0.0d // replay: seed 0 % 97 = 0, then s' = 0.5 v + 0.5 s
+    (1L until 1000000L).foreach(i => acc = 0.5 * (i % 97).toDouble + 0.5 * acc)
+    val expect = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(7L) == ((1000000, expect)), s"whale fold diverged: ${got(7L)}")
+    assert(got(100L) == ((1, 3.5)) && got(101L) == ((1, 3.5)))
+  }
 }

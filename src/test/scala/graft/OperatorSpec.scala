@@ -764,6 +764,24 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.intervalJoin.enabled", "false")
   }
 
+  test("q_join_interval_auto scopes the rule confs: unset after build, rewrite still pinned") {
+    spark.conf.unset("spark.graft.intervalJoin.enabled")
+    spark.conf.unset("spark.graft.intervalJoin.bucket")
+    val df = Joins.queries("q_join_interval_auto")(spark, sf)
+    // withConf restored the pre-call state (here: unset) — the opt-in rule
+    // cannot leak into an unrelated future query's planning
+    assert(spark.conf.getOption("spark.graft.intervalJoin.enabled").isEmpty,
+      "intervalJoin.enabled must be restored to unset after the builder")
+    assert(spark.conf.getOption("spark.graft.intervalJoin.bucket").isEmpty,
+      "intervalJoin.bucket must be restored to unset after the builder")
+    // and the rewrite was pinned by forcing optimization inside the scope:
+    // the executed plan is an equi-join even though the conf is now off
+    val plan = physicalPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rewrite must have been pinned inside the conf scope:\n$plan")
+  }
+
   test("IntervalJoinRewrite property: random intervals (incl. malformed and negative bounds) match the nested loop at several bucket widths") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -840,6 +858,26 @@ class OperatorSpec extends SparkSpec {
     val filtered = spark.read.format("graft.index").option("dir", dir).load()
       .filter(col("term") === "vector").agg(count(lit(1)))
     assert(!physicalPlan(filtered).contains("GraftIndexAggScan"))
+  }
+
+  test("footer-count pushdown on an EMPTY index answers 0, not NULL (ADVICE r10)") {
+    // partial pushdown rewrites the final count(*) to SUM(partial); with
+    // zero input partitions SUM over nothing is NULL — the agg scan must
+    // emit one all-zero row for an ungrouped count over an empty listing
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty-idx").toString
+    for (fmt <- Seq("graft.index", "graft.ivf")) {
+      val c = spark.read.format(fmt).option("dir", empty).load()
+        .agg(count(lit(1)).as("n"))
+      assert(physicalPlan(c).contains("AggScan"),
+        s"$fmt: empty dir must still take the footer-count path:\n${physicalPlan(c)}")
+      val r = c.collect().head
+      assert(!r.isNullAt(0) && r.getLong(0) == 0L,
+        s"$fmt: count(*) over an empty index must be 0, got $r")
+    }
+    // grouped count over nothing is correctly EMPTY (group-by semantics)
+    val g = spark.read.format("graft.ivf").option("dir", empty).load()
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    assert(g.collect().isEmpty)
   }
 
   test("geo radius join plans an equi-join, never a nested loop") {

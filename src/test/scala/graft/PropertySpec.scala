@@ -495,7 +495,14 @@ class PropertySpec extends SparkSpec {
       (1001L, 74.0, 14.9), (1002L, 74.0, 31.0),    // Δlon = 2 cells at 74°N
       (1003L, -74.0, -173.0), (1004L, -73.8, 173.0), // south-polar wrap
       (1005L, 0.0, 179.9), (1006L, 0.1, -179.8),   // equator ±180° wrap
-      (1009L, 71.2, 3.0), (1010L, 69.9, 0.0))      // polar member, smaller key
+      (1009L, 71.2, 3.0), (1010L, 69.9, 0.0),      // polar member, smaller key
+      // EXACT boundary values (ADVICE r10): lat = 90.0 floors past the top
+      // band and lon = 180.0 past the top cell unless keys are normalized —
+      // two north-pole points, a pole-vs-near-pole pair, and an exact-180°
+      // meridian pair must all still meet
+      (1011L, 90.0, 0.0), (1012L, 90.0, 135.0),    // both exactly at the pole
+      (1013L, 89.2, -42.0),                        // near-pole peer of 1011/1012
+      (1014L, 0.2, 180.0), (1015L, -0.1, 180.0))   // exact antimeridian pair
     val df = pts.toDF("k", "lat", "lon")
     val blocked = GeoOps.radiusSelfJoinKm(df, 500.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -510,7 +517,8 @@ class PropertySpec extends SparkSpec {
     assert(blocked == brute,
       s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
     // the adversarial pairs must actually qualify, or the test proves nothing
-    for (p <- Seq((1001L, 1002L), (1003L, 1004L), (1005L, 1006L), (1009L, 1010L)))
+    for (p <- Seq((1001L, 1002L), (1003L, 1004L), (1005L, 1006L), (1009L, 1010L),
+        (1011L, 1012L), (1011L, 1013L), (1014L, 1015L)))
       assert(brute.exists(x => (x._1, x._2) == p), s"planted pair $p not in brute force")
   }
 }

@@ -128,6 +128,53 @@ class StreamingSpec extends SparkSpec {
     assert(outCount() == n, "a run with no new input must append nothing")
   }
 
+  test("streaming EWMA sealed snapshots are bit-equal to the batch fold; state stays bounded") {
+    val dir = splitEventsIntoChunks(8)
+    val q = StreamOps.runningEwma(StreamOps.eventsStream(spark, dir), "10 minutes")
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    val progress = try { q.processAllAvailable(); q.lastProgress } finally q.stop()
+
+    // batch truth replayed in Scala: per user, the prefix folds of the
+    // (ts, event_id)-ordered values — prefix(n) is what a sealed snapshot
+    // with n_events = n must report, as the SAME double (same op order)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val prefixes: Map[Long, Array[Double]] = evs.groupBy(_._1).map { case (u, rs) =>
+      val vals = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      u -> vals.tail.scanLeft(vals.head)((s, v) => 0.5 * v + 0.5 * s)
+    }
+    val got = spark.table("ewma_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1) SOUNDNESS: every emitted snapshot is exactly the batch prefix fold
+    // — micro-batch boundaries choose WHEN snapshots emit, never their value
+    assert(got.nonEmpty, "fixture must mature at least some events")
+    got.foreach { case (u, n, e) =>
+      assert(prefixes(u)(n.toInt - 1) == e,
+        s"user $u snapshot at n=$n diverges: $e vs ${prefixes(u)(n.toInt - 1)}")
+    }
+    // 2) COMPLETENESS: a user whose whole history the final watermark sealed
+    // must have emitted the full-history snapshot = the batch q_events_ewma
+    // fold (1 s slack against ms truncation of the watermark)
+    val maxTsU = evs.map(_._2).max
+    val sealedBefore = maxTsU - 600000000L - 1000000L
+    val lastByUser = got.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    evs.groupBy(_._1).foreach { case (u, rs) =>
+      if (rs.map(_._2).max < sealedBefore) {
+        assert(lastByUser.get(u).contains((u, rs.length.toLong, prefixes(u).last)),
+          s"sealed user $u never emitted its full-history snapshot")
+      }
+    }
+    // 3) BOUNDED STATE: one state row per user (fold scalars + horizon
+    // buffer), never per event
+    val nUsers = prefixes.size
+    val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= nUsers,
+      s"state must be per-user, got $stateRows rows for $nUsers users")
+  }
+
   test("stream-stream as-of under a watermark equals the batch as-of; state stays bounded") {
     import org.apache.spark.sql.expressions.Window
     val dir = splitEventsIntoChunks(8)
