@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{BloomOps, CosineSimilarity, RollingFingerprint}
+import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, RollingFingerprint}
 import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf}
 
 /** THE session-extension entry point: everything the engine injects into
@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.builder))
     ext.injectFunction((RollingFingerprint.identifier, RollingFingerprint.info,
       RollingFingerprint.builder))
+    ext.injectFunction((BpeTokenCount.identifier, BpeTokenCount.info,
+      BpeTokenCount.builder))
     ext.injectFunction((BloomOps.aggIdentifier, BloomOps.aggInfo,
       BloomOps.aggBuilder))
     ext.injectFunction((BloomOps.mightIdentifier, BloomOps.mightInfo,

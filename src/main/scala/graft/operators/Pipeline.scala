@@ -71,6 +71,27 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     }),
 
+    // The q_token_budget walk with REAL tokenizer counts: bpe_token_count
+    // (functions/Bpe.scala — greedy-merge BPE over the committed 159-rank
+    // vocabulary, evaluated as a codegen'd native expression) replaces the
+    // whitespace proxy, so the budget is measured in the tokens a training
+    // loader would actually produce (BPE counts run higher: sub-word
+    // splits). Same shape as q_token_budget — one window pass per lang —
+    // with the count column a fused map inside the scan projection.
+    // NO-ORACLE by contract (DuckDB cannot run the merge walk); the spec
+    // proves the expression against an independent brute-force BPE and
+    // pins vocabulary-derived counts.
+    "q_token_budget_bpe" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("toks", expr("bpe_token_count(text)"))
+        .withColumn("cum_toks", sum(col("toks").cast("long")).over(w))
+        .filter(col("cum_toks") <= 4000)
+        .select(col("lang"), col("doc_id"), col("toks"), col("cum_toks"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Sequence-packing manifest (the GPT-style "concatenate the corpus,
     // chunk at L tokens" pretraining step): per language in doc_id order,
     // each doc's cumulative token interval [start_off, start_off+toks)

@@ -64,7 +64,41 @@ object Relational {
       dir
     }
 
+  // Session-cached TWO-GENERATION parquet directory for q_source_evolved:
+  // generation g=0 was written BEFORE the `source` column existed (even
+  // doc_ids, three columns); g=1 carries the evolved four-column schema
+  // (odd doc_ids). The fixture is the standard life of any long-lived
+  // ingest directory — the schema grew a column mid-stream.
+  private val evoCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def evolvedDocsFor(s: SparkSession, d: String): String =
+    evoCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-evolved-docs")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/g=0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").parquet(s"$root/g=1")
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // Schema-evolved read: one directory, two parquet generations, the
+    // newer with an added column — read through mergeSchema, which unions
+    // the footer schemas and nulls the missing column for old files (the
+    // mechanics every long-lived ingest needs when the contract grows).
+    // Columns are selected EXPLICITLY: merged field order depends on file
+    // enumeration, and a declared result must not. Scale: mergeSchema
+    // costs one footer read per file at planning (distributed); the data
+    // scan itself still prunes columns per file — old files read 3
+    // columns, new files 4, nothing is rewritten. The oracle rebuilds the
+    // same union from the documents table with an explicit NULL branch.
+    "q_source_evolved" -> ((s, d) =>
+      s.read.option("mergeSchema", "true").parquet(evolvedDocsFor(s, d))
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")),
+
     // Non-parquet ingestion into the same table contract (the reference
     // loads JSONL exports [U]): a JSONL copy of documents read back
     // through Tables.loadAs with the parquet twin's schema pinned — the
@@ -267,6 +301,11 @@ object Relational {
       "ORDER BY o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "q_source_evolved" ->
+      ("SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source " +
+        "FROM documents WHERE doc_id % 2 = 0 " +
+        "UNION ALL SELECT doc_id, lang, n_chars, source " +
+        "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
     "q_source_jsonl" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_source_csv" ->

@@ -79,6 +79,66 @@ class NativeFunctionSpec extends SparkSpec {
       l.contains("cosine_similarity") && l.trim.startsWith("*(")), plan)
   }
 
+  test("bpe_token_count equals an independent brute-force BPE on docs + adversarial strings") {
+    import graft.functions.Bpe
+    // independent reference: same published greedy-BPE SPEC (repeatedly
+    // merge every occurrence of the lowest-rank adjacent pair), written
+    // list-functional instead of the expression's in-place array walk
+    val ranks = Bpe.Merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def refEncode(word: String): List[String] = {
+      var syms = word.toCharArray.map(_.toString).toList
+      var continue = true
+      while (continue && syms.size > 1) {
+        val present = syms.zip(syms.tail).filter(ranks.contains)
+        if (present.isEmpty) continue = false
+        else {
+          val (a, b) = present.minBy(ranks)
+          def mergeAll(l: List[String]): List[String] = l match {
+            case x :: y :: rest if x == a && y == b => (a + b) :: mergeAll(rest)
+            case x :: rest => x :: mergeAll(rest)
+            case Nil => Nil
+          }
+          syms = mergeAll(syms)
+        }
+      }
+      syms
+    }
+    val preTok = java.util.regex.Pattern.compile(
+      "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    def refCount(text: String): Int = {
+      val m = preTok.matcher(text)
+      var t = 0
+      while (m.find()) t += refEncode(m.group()).size
+      t
+    }
+    // whole corpus sample + adversaries: empty, punctuation runs,
+    // contractions, digits, multi-space, non-ASCII, unknown chars
+    val texts = Tables.documents(spark, sf).select("text")
+      .limit(200).collect().map(_.getString(0)) ++ Seq(
+      "", " ", "the fast scan", "don't stop", "a1b2  c3", "héllo wörld",
+      "x!!??y", "   trailing  ", "the the the", "1234 5678", "\tmixed\nws")
+    import spark.implicits._
+    val got = texts.toSeq.toDF("text")
+      .select(expr("bpe_token_count(text)")).collect().map(_.getInt(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == refCount(t), s"BPE count diverges on ${t.take(60)}: $g vs ${refCount(t)}")
+    }
+    // vocabulary sanity: whole-word merges actually fire — the committed
+    // ranks produce loader-like single tokens for corpus words
+    assert(Bpe.encodeCount("the") == 1)
+    assert(Bpe.encodeCount(" the") == 1)
+    assert(Bpe.encodeCount(" window") == 1)
+    // and unknown characters degrade to one token per code point
+    assert(Bpe.encodeCount("µ¶") == 2)
+    // null in, null out; codegen participation (fused-stage marker)
+    val r = spark.range(1).select(expr("bpe_token_count(CAST(NULL AS STRING))")).head()
+    assert(r.isNullAt(0))
+    val plan = physicalPlan(Tables.documents(spark, sf)
+      .select(expr("bpe_token_count(text)").as("c")))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bpe_token_count") && l.trim.startsWith("*(")), plan)
+  }
+
   test("MinHashAggregator: dup docs collide, merge order irrelevant, partition-invariant") {
     import spark.implicits._
     val agg = new MinHashAggregator(16).toColumn

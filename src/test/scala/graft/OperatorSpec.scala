@@ -40,7 +40,10 @@ class OperatorSpec extends SparkSpec {
       "q_dedup_simhash", "q_dedup_embed_blocked", "q_sim_ann_lsh",
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
-      "q_agg_hll_stored", "q_sim_index_stats", "q_agg_hll_intersect")
+      "q_agg_hll_stored", "q_sim_index_stats", "q_agg_hll_intersect",
+      // DuckDB cannot run the committed greedy-merge BPE walk; the
+      // expression is property-tested against an independent brute force
+      "q_token_budget_bpe")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
