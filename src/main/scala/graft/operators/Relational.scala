@@ -83,7 +83,53 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log: THREE commits built
+  // through the optimistic protocol — create (an orders slice), a
+  // read-modify-write (every open order's price + 10.0 — one exact IEEE
+  // add), and an append (a second disjoint slice). Built once per
+  // (session, sfDir); the declared query reads the committed head.
+  private val clogCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def commitLogFor(s: SparkSession, d: String): String =
+    clogCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitlog")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter(col("o_orderkey") % 100 === 0)
+      }
+      graft.sources.CommitLog.commit(s, root, "repricer", "adjust") { cur =>
+        cur.get.withColumn("o_totalprice",
+          when(col("o_orderstatus") === "O", col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      }
+      graft.sources.CommitLog.commit(s, root, "loader", "append") { cur =>
+        cur.get.unionByName(orders.filter(col("o_orderkey") % 100 === 1))
+      }
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // Multi-writer table head through the OPTIMISTIC COMMIT LOG
+    // (sources/CommitLog.scala — the lakehouse-style create-exclusive
+    // claim protocol that replaces AtomicSwap's single-maintainer rename
+    // for cross-session writers): three committed versions (create,
+    // read-modify-write reprice, append) built once per session, then the
+    // declared result aggregates the committed HEAD snapshot. The oracle
+    // rebuilds the same final state relationally from orders — proving
+    // the serialized commit history applied each mutation exactly once.
+    // CommitLogSpec covers the concurrency surface (8-writer
+    // serializability, torn-tail repair, snapshot-consistent reads,
+    // vacuum); this query gates the end state through DuckDB.
+    "q_commit_log" -> ((s, d) => {
+      val root = commitLogFor(s, d)
+      graft.sources.CommitLog.readLatest(s, root).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Schema-evolved read: one directory, two parquet generations, the
     // newer with an added column — read through mergeSchema, which unions
     // the footer schemas and nulls the missing column for old files (the
@@ -170,13 +216,17 @@ object Relational {
       // expects purchases-only. That can only happen if the fixture's
       // earliest day has no purchases; fail loudly instead of diverging
       // (an empty restatement that MEANS "delete the day" would use an
-      // explicit partition drop, not an overwrite).
-      if (restate.isEmpty) throw new IllegalStateException(
-        "q_sink_partitioned: earliest day has no purchase events — " +
-          "dynamic overwrite would be a no-op, not a restatement")
-      dpoWriteLock.synchronized {
-        graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
-      }
+      // explicit partition drop, not an overwrite). The restated frame is
+      // persisted across guard + write so the join computes once.
+      restate.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (restate.isEmpty) throw new IllegalStateException(
+          "q_sink_partitioned: earliest day has no purchase events — " +
+            "dynamic overwrite would be a no-op, not a restatement")
+        dpoWriteLock.synchronized {
+          graft.sources.Sinks.overwritePartitions(restate, dir, Seq("day"))
+        }
+      } finally restate.unpersist(blocking = false)
       s.read.parquet(dir)
         .withColumn("day", col("day").cast("date"))
         .groupBy("day")
@@ -301,6 +351,17 @@ object Relational {
       "ORDER BY o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "q_commit_log" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 0 " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 1) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_source_evolved" ->
       ("SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source " +
         "FROM documents WHERE doc_id % 2 = 0 " +

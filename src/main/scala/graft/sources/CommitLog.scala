@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lakehouse-style OPTIMISTIC COMMIT LOG (SURVEY.md §3.2; VERDICT r10
+  * missing #4 — the [U] capability model's task-queue lease analogue):
+  * multiple uncoordinated writers mutate one logical table with
+  * serializable read-modify-write semantics and readers always see a
+  * complete committed snapshot — the guarantee [[graft.AtomicSwap]]'s
+  * single-maintainer rename swap cannot give across sessions, because two
+  * processes renaming the same live directory race the filesystem.
+  *
+  * Protocol (the published Delta/Iceberg commit shape, re-expressed
+  * minimally over copy-on-write snapshot directories):
+  *  - `<root>/_commits/v<seq>.json` is the log; a table VERSION exists iff
+  *    its commit file does. The commit file names the snapshot data
+  *    directory; data directories are immutable once committed.
+  *  - A writer: reads the latest version, builds the FULL next snapshot
+  *    from it (copy-on-write — the builder sees the current state), stages
+  *    it to a fresh `data-<uuid>` directory, then CLAIMS version N+1 by
+  *    creating `v<N+1>.json` create-exclusive. Exactly one concurrent
+  *    claimant wins; losers delete their staged directory, re-read the new
+  *    state, REBUILD, and retry — optimistic concurrency, serializability
+  *    by construction (every committed version's builder saw exactly the
+  *    previous version).
+  *  - A reader: lists `_commits`, loads the newest PARSEABLE commit's data
+  *    directory. Commit files become visible atomically-or-torn only at
+  *    the log tail (a crash mid-write); readers skip a torn tail (they see
+  *    version N−1 — the crashed commit never happened), and the next
+  *    writer REPAIRS it: an unparseable tail file is deleted and its
+  *    version number re-claimed (the dead writer can never return to
+  *    finish it; deletion is idempotent under racing repairers).
+  *
+  * Claim atomicity: on `file://` the claim uses java.nio CREATE_NEW —
+  * O_EXCL, atomic under concurrent processes on one host; on HDFS-like
+  * stores `FileSystem.create(overwrite = false)` is the same atomic
+  * create-exclusive (the Delta HDFS LogStore contract). Object stores
+  * without atomic create-exclusive need a coordination service — exactly
+  * the documented Delta/S3 caveat; out of scope here.
+  *
+  * Scale: a commit costs one snapshot write + one ~200-byte log file;
+  * conflict cost is proportional to ACTUAL contention (losers redo only
+  * their own build). History is bounded by [[vacuum]], which drops all but
+  * the newest K versions' data directories and log entries. At 100 TB the
+  * snapshot write dominates and is the same cost the single-writer swap
+  * already paid; production tables make `build` emit partition-level
+  * copy-on-write (rewrite only touched partitions into the new dir) —
+  * the log protocol is unchanged.
+  */
+object CommitLog {
+  final case class Commit(version: Long, dataDir: String, writer: String,
+      action: String)
+
+  private val Width = 20 // zero-padded version in the filename => lex order
+
+  private def logDir(root: String) = new HPath(root, "_commits")
+  private def commitPath(root: String, v: Long) =
+    new HPath(logDir(root), "v" + ("%0" + Width + "d").format(v) + ".json")
+
+  private def fs(spark: SparkSession, root: String) =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Create the table root + empty log (idempotent). */
+  def init(spark: SparkSession, root: String): Unit =
+    fs(spark, root).mkdirs(logDir(root))
+
+  private def render(c: Commit): String =
+    s"""{"version":${c.version},"dataDir":"${c.dataDir}","writer":"${c.writer}","action":"${c.action}"}"""
+
+  private def parse(v: Long, s: String): Option[Commit] = {
+    // minimal strict parse of exactly the shape `render` writes; anything
+    // else (torn tail from a crash mid-write) is None => repair path
+    def field(k: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(s)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    if (!s.trim.endsWith("}")) None
+    else for { d <- field("dataDir"); w <- field("writer"); a <- field("action") }
+      yield Commit(v, d, w, a)
+  }
+
+  /** All version numbers present in the log (committed OR torn), ascending. */
+  private def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(logDir(root))) Nil
+    else f.listStatus(logDir(root)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.substring(1, n.length - 5).toLong).toOption)
+      .sorted
+  }
+
+  private def readCommitFile(spark: SparkSession, root: String, v: Long): Option[Commit] = {
+    val f = fs(spark, root)
+    val p = commitPath(root, v)
+    val in = f.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    parse(v, new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** Newest COMMITTED version (a torn tail file is skipped — that commit
+    * never happened; only the tail can be torn since claims are ordered). */
+  def latest(spark: SparkSession, root: String): Option[Commit] =
+    versions(spark, root).reverse.view
+      .flatMap(v => readCommitFile(spark, root, v)).headOption
+
+  /** Load the newest committed snapshot (None = table has no commits). */
+  def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
+    latest(spark, root).map(c => spark.read.parquet(s"$root/${c.dataDir}"))
+
+  /** Load a specific committed version — time travel over retained
+    * history (None if that version was vacuumed or never committed). */
+  def readVersion(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
+    if (!versions(spark, root).contains(v)) None
+    else readCommitFile(spark, root, v)
+      .map(c => spark.read.parquet(s"$root/${c.dataDir}"))
+
+  /** Atomic create-exclusive of the claim file with `content`. True =
+    * this writer owns the version. */
+  private def tryClaim(spark: SparkSession, root: String, v: Long,
+      content: String): Boolean = {
+    val p = commitPath(root, v)
+    val f = fs(spark, root)
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
+      // local fs: Hadoop's create(overwrite=false) is check-then-create
+      // (TOCTOU). Write the FULL content to a private temp file, then
+      // claim via hard LINK — link(2) fails with EEXIST atomically, and
+      // the claimed file carries complete content from the instant it
+      // becomes visible (no torn-claim window at all on this path)
+      val local = java.nio.file.Paths.get(
+        Option(p.toUri.getPath).getOrElse(p.toString))
+      val tmp = local.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = f.create(p, false) // atomic create-exclusive on HDFS-likes
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    }
+  }
+
+  /** OPTIMISTIC READ-MODIFY-WRITE commit. `build` receives the CURRENT
+    * committed snapshot (None for an empty table) and returns the full
+    * next snapshot; on a lost claim the staged data is discarded and
+    * `build` re-runs against the new state — so the committed history is
+    * serializable regardless of writer interleaving. Returns the winning
+    * commit. `maxAttempts` bounds livelock under pathological contention. */
+  def commit(spark: SparkSession, root: String, writer: String, action: String,
+      maxAttempts: Int = 20)(build: Option[DataFrame] => DataFrame): Commit = {
+    init(spark, root)
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // repair a torn tail before building against it: the claim exists
+      // but the commit content never completed — delete (idempotent under
+      // racing repairers) and re-claim. Local-fs claims are hard-linked
+      // with full content, so a torn tail there is impossible; on
+      // HDFS-likes the create→write→close window means a SLOW living
+      // writer is indistinguishable from a dead one, so repair only files
+      // older than a grace period (a live claimant finishes its ~200-byte
+      // write in milliseconds).
+      val vs = versions(spark, root)
+      val tornTail = vs.lastOption.filter { v =>
+        readCommitFile(spark, root, v).isEmpty && {
+          val st = f.getFileStatus(commitPath(root, v))
+          System.currentTimeMillis() - st.getModificationTime > 10000L
+        }
+      }
+      tornTail.foreach(v => f.delete(commitPath(root, v), false))
+      val cur = latest(spark, root)
+      val nextV = cur.map(_.version).getOrElse(0L) + 1
+      val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      build(cur.map(c => spark.read.parquet(s"$root/${c.dataDir}")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
+      val c = Commit(nextV, dataDir, writer, action)
+      if (tryClaim(spark, root, nextV, render(c))) return c
+      // lost the race: another writer committed nextV first — discard the
+      // stale staging (built against an outdated snapshot), back off
+      // linearly (also paces retries while a torn-young tail ages past
+      // the repair grace), and retry
+      f.delete(new HPath(s"$root/$dataDir"), true)
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive claims on $root — " +
+        "pathological contention; raise maxAttempts or reduce writers")
+  }
+
+  /** Retain only the newest `keep` committed versions: older versions'
+    * data directories AND log entries are dropped, plus orphaned staging
+    * directories from crashed writers. Safe under CONCURRENT writers: the
+    * orphan sweep only touches `data-*-v<N>` stagings whose target
+    * version N is ≤ the newest committed version — such a staging can
+    * never be claimed (the create-exclusive claim for N already exists,
+    * so its writer must lose and rebuild), while an in-flight staging for
+    * a future version is left alone. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Int = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val f = fs(spark, root)
+    val committed = versions(spark, root)
+      .flatMap(v => readCommitFile(spark, root, v))
+    val (old, kept) = committed.splitAt(math.max(0, committed.size - keep))
+    old.foreach { c =>
+      f.delete(new HPath(s"$root/${c.dataDir}"), true)
+      f.delete(commitPath(root, c.version), false)
+    }
+    val live = kept.map(_.dataDir).toSet
+    val newestCommitted = committed.lastOption.map(_.version).getOrElse(0L)
+    def targetVersion(dirName: String): Option[Long] = {
+      val i = dirName.lastIndexOf("-v")
+      if (i < 0) None
+      else scala.util.Try(dirName.substring(i + 2).toLong).toOption
+    }
+    Option(f.listStatus(new HPath(root))).toSeq.flatten
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("data-") &&
+          !live.contains(st.getPath.getName) &&
+          targetVersion(st.getPath.getName).exists(_ <= newestCommitted)
+      }
+      .foreach(st => f.delete(st.getPath, true))
+    old.size
+  }
+}
