@@ -26,6 +26,23 @@ object Multimodal {
       struct(col("lang").as("container"), col("n_chars").as("declared_size"))
         .as("meta"))
 
+  /** Media table WITH planted re-uploads for the CAS-dedup queries: every
+    * doc_id ≡ 3 (mod 7) carries its predecessor's payload byte-for-byte —
+    * the "same blob uploaded under a new id" case content addressing
+    * exists for (the corpus itself has no byte-identical texts at any SF,
+    * so duplication is planted deterministically and mirrored in the
+    * oracle). The alias is an equi-self-join on the source id; test
+    * plumbing only — production payloads arrive already duplicated. */
+  def casMediaTable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id").as("src_id"), col("text"))
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, col("doc_id") - 1)
+          .otherwise(col("doc_id")).as("src_id"))
+      .join(src, "src_id")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
+  }
+
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, width: Int, height: Int, n_frames: Int, feat: Array[Float])
@@ -135,7 +152,38 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).as("n_bytes"),
           sha2(col("frame"), 256).as("sha"))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // CONTENT-ADDRESSED media dedup — the "store once, reference by hash"
+    // pass every media ingest runs before any decode: byte-identical
+    // payloads collapse on their sha-256, keeper = min doc_id. Only the
+    // 32-byte digests shuffle (computed next to the scan; the multi-MB
+    // payloads never leave their partitions), one partial-agg'd groupBy —
+    // the same shape as q_dedup_exact with the digest standing in for the
+    // text hash, which is exactly how a 100 TB blob store dedups.
+    "q_multimodal_dedup" -> ((s, d) =>
+      casMediaTable(s, d)
+        .select(col("doc_id"), sha2(col("media"), 256).as("sha"),
+          length(col("media")).as("n_bytes"))
+        .groupBy("sha", "n_bytes")
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+        .filter(col("copies") > 1)
+        .orderBy("sha")),
+
+    // SHARED-SEGMENT detection across media: frame-sampled byte ranges
+    // hashed and grouped — a frame hash appearing under >1 doc marks
+    // payloads sharing a segment (the intro/outro/watermark-reel case;
+    // with a real decoder the same plan runs over perceptual frame
+    // hashes). Frame digests shuffle, frames don't; k× the CAS pass's
+    // row count, still digest-width rows only.
+    "q_multimodal_shared_frames" -> ((s, d) =>
+      frameSample(casMediaTable(s, d), 4)
+        .select(col("doc_id"), sha2(col("frame"), 256).as("fsha"))
+        .groupBy("fsha")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fsha")))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -147,5 +195,21 @@ object Multimodal {
         "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
         "CAST(strlen(substring(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER))) AS INTEGER) AS n_bytes, " +
         "sha256(substring(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER))) AS sha " +
-        "FROM d, UNNEST(range(0, 4)) AS t(i) ORDER BY doc_id, frame_idx"))
+        "FROM d, UNNEST(range(0, 4)) AS t(i) ORDER BY doc_id, frame_idx"),
+    "q_multimodal_dedup" ->
+      ("WITH cas AS (SELECT a.doc_id, b.text FROM documents a JOIN documents b " +
+        "ON b.doc_id = CASE WHEN a.doc_id % 7 = 3 THEN a.doc_id - 1 ELSE a.doc_id END) " +
+        "SELECT sha256(text) AS sha, CAST(strlen(text) AS INTEGER) AS n_bytes, " +
+        "count(*) AS copies, min(doc_id) AS keeper FROM cas " +
+        "GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY sha"),
+    "q_multimodal_shared_frames" ->
+      ("WITH cas AS (SELECT a.doc_id, b.text FROM documents a JOIN documents b " +
+        "ON b.doc_id = CASE WHEN a.doc_id % 7 = 3 THEN a.doc_id - 1 ELSE a.doc_id END), " +
+        "d AS (SELECT doc_id, text, greatest(strlen(text) // 4, 1) AS stride FROM cas), " +
+        "f AS (SELECT doc_id, " +
+        "sha256(substring(text, CAST(i * stride + 1 AS INTEGER), CAST(stride AS INTEGER))) AS fsha " +
+        "FROM d, UNNEST(range(0, 4)) AS t(i)) " +
+        "SELECT fsha, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ, " +
+        "min(doc_id) AS first_doc FROM f " +
+        "GROUP BY fsha HAVING count(DISTINCT doc_id) > 1 ORDER BY fsha"))
 }

@@ -341,6 +341,31 @@ class TextMapperSpec extends SparkSpec {
     assert(doc0.startsWith(joined) && joined.length >= doc0.length - 3)
   }
 
+  test("media CAS dedup: groups are byte-identical payloads; digests shuffle, payloads don't") {
+    val groups = Multimodal.queries("q_multimodal_dedup")(spark, sf).collect()
+    assert(groups.nonEmpty, "fixture carries byte-identical payloads")
+    // every reported group is real: re-fetch the members by keeper's sha
+    // and confirm byte equality + the claimed copy count
+    val m = Multimodal.casMediaTable(spark, sf)
+      .select(col("doc_id"), sha2(col("media"), 256).as("sha"),
+        col("media"))
+    groups.take(3).foreach { g =>
+      val members = m.filter(col("sha") === g.getString(0)).collect()
+      assert(members.length.toLong == g.getLong(2), "copy count must match")
+      val payloads = members.map(_.getAs[Array[Byte]]("media").toSeq).distinct
+      assert(payloads.size == 1, "a sha-256 group must be byte-identical")
+      assert(members.map(_.getLong(0)).min == g.getLong(3), "keeper = min doc_id")
+    }
+    // plan: the exchange partitions on the digest — payload bytes are
+    // projected away before any shuffle
+    val plan = physicalPlan(Multimodal.queries("q_multimodal_dedup")(spark, sf))
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.exists(_.contains("sha")), plan)
+    assert(!exchangeLines.exists(_.contains("media")), "payloads must not shuffle")
+    // shared-frame detection: a duplicated payload guarantees shared frames
+    assert(Multimodal.queries("q_multimodal_shared_frames")(spark, sf).count() > 0)
+  }
+
   test("extractFeatures runs distributed over the binary column") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
     assert(feats.columns.toSeq ==
