@@ -102,9 +102,10 @@ object Relational {
           when(col("o_orderstatus") === "O", col("o_totalprice") + 10.0)
             .otherwise(col("o_totalprice")))
       }
-      graft.sources.CommitLog.commit(s, root, "loader", "append") { cur =>
-        cur.get.unionByName(orders.filter(col("o_orderkey") % 100 === 1))
-      }
+      // the third commit takes the O(delta) append path: only the new
+      // slice's rows are written; the head references prior dirs + delta
+      graft.sources.CommitLog.commitAppend(s, root, "loader", "append")(
+        orders.filter(col("o_orderkey") % 100 === 1))
       root
     }
 

@@ -50,7 +50,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the log protocol is unchanged.
   */
 object CommitLog {
-  final case class Commit(version: Long, dataDir: String, writer: String,
+  /** A committed version is the UNION of its immutable data directories —
+    * one dir for a full rewrite, prior dirs + one delta dir for an append
+    * (the O(delta) commit shape: appending to a 100 TB table writes the
+    * new rows and one ~300-byte log file, never the table). */
+  final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String)
 
   private val Width = 20 // zero-padded version in the filename => lex order
@@ -67,7 +71,8 @@ object CommitLog {
     fs(spark, root).mkdirs(logDir(root))
 
   private def render(c: Commit): String =
-    s"""{"version":${c.version},"dataDir":"${c.dataDir}","writer":"${c.writer}","action":"${c.action}"}"""
+    s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
+      s""""writer":"${c.writer}","action":"${c.action}"}"""
 
   private def parse(v: Long, s: String): Option[Commit] = {
     // minimal strict parse of exactly the shape `render` writes; anything
@@ -77,8 +82,23 @@ object CommitLog {
         .compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(s)
       if (m.find()) Some(m.group(1)) else None
     }
+    def dirs: Option[Seq[String]] = {
+      val m = java.util.regex.Pattern
+        .compile("\"dataDirs\":\\[([^\\]]*)\\]").matcher(s)
+      if (!m.find()) None
+      else {
+        val body = m.group(1).trim
+        if (body.isEmpty) Some(Nil)
+        else {
+          val items = body.split(",").toSeq.map(_.trim)
+          if (items.forall(i => i.length >= 2 && i.startsWith("\"") && i.endsWith("\"")))
+            Some(items.map(i => i.substring(1, i.length - 1)))
+          else None
+        }
+      }
+    }
     if (!s.trim.endsWith("}")) None
-    else for { d <- field("dataDir"); w <- field("writer"); a <- field("action") }
+    else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
       yield Commit(v, d, w, a)
   }
 
@@ -113,16 +133,18 @@ object CommitLog {
     versions(spark, root).reverse.view
       .flatMap(v => readCommitFile(spark, root, v)).headOption
 
+  private def load(spark: SparkSession, root: String, c: Commit): DataFrame =
+    spark.read.parquet(c.dataDirs.map(d => s"$root/$d"): _*)
+
   /** Load the newest committed snapshot (None = table has no commits). */
   def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
-    latest(spark, root).map(c => spark.read.parquet(s"$root/${c.dataDir}"))
+    latest(spark, root).map(c => load(spark, root, c))
 
   /** Load a specific committed version — time travel over retained
     * history (None if that version was vacuumed or never committed). */
   def readVersion(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
     if (!versions(spark, root).contains(v)) None
-    else readCommitFile(spark, root, v)
-      .map(c => spark.read.parquet(s"$root/${c.dataDir}"))
+    else readCommitFile(spark, root, v).map(c => load(spark, root, c))
 
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
@@ -157,12 +179,31 @@ object CommitLog {
     }
   }
 
-  /** OPTIMISTIC READ-MODIFY-WRITE commit. `build` receives the CURRENT
-    * committed snapshot (None for an empty table) and returns the full
-    * next snapshot; on a lost claim the staged data is discarded and
-    * `build` re-runs against the new state — so the committed history is
-    * serializable regardless of writer interleaving. Returns the winning
-    * commit. `maxAttempts` bounds livelock under pathological contention. */
+  /** Repair a torn tail claim before building against it: the claim
+    * exists but the commit content never completed — delete (idempotent
+    * under racing repairers) and let the caller re-claim. Local-fs claims
+    * are hard-linked with full content, so a torn tail there is
+    * impossible; on HDFS-likes the create→write→close window means a
+    * SLOW living writer is indistinguishable from a dead one, so repair
+    * only files older than a grace period (a live claimant finishes its
+    * ~300-byte write in milliseconds). */
+  private def repairTornTail(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    versions(spark, root).lastOption.filter { v =>
+      readCommitFile(spark, root, v).isEmpty && {
+        val st = f.getFileStatus(commitPath(root, v))
+        System.currentTimeMillis() - st.getModificationTime > 10000L
+      }
+    }.foreach(v => f.delete(commitPath(root, v), false))
+  }
+
+  /** OPTIMISTIC READ-MODIFY-WRITE commit (full rewrite). `build` receives
+    * the CURRENT committed snapshot (None for an empty table) and returns
+    * the full next snapshot; on a lost claim the staged data is discarded
+    * and `build` re-runs against the new state — so the committed history
+    * is serializable regardless of writer interleaving. Returns the
+    * winning commit. `maxAttempts` bounds livelock under pathological
+    * contention. */
   def commit(spark: SparkSession, root: String, writer: String, action: String,
       maxAttempts: Int = 20)(build: Option[DataFrame] => DataFrame): Commit = {
     init(spark, root)
@@ -170,28 +211,13 @@ object CommitLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      // repair a torn tail before building against it: the claim exists
-      // but the commit content never completed — delete (idempotent under
-      // racing repairers) and re-claim. Local-fs claims are hard-linked
-      // with full content, so a torn tail there is impossible; on
-      // HDFS-likes the create→write→close window means a SLOW living
-      // writer is indistinguishable from a dead one, so repair only files
-      // older than a grace period (a live claimant finishes its ~200-byte
-      // write in milliseconds).
-      val vs = versions(spark, root)
-      val tornTail = vs.lastOption.filter { v =>
-        readCommitFile(spark, root, v).isEmpty && {
-          val st = f.getFileStatus(commitPath(root, v))
-          System.currentTimeMillis() - st.getModificationTime > 10000L
-        }
-      }
-      tornTail.foreach(v => f.delete(commitPath(root, v), false))
+      repairTornTail(spark, root)
       val cur = latest(spark, root)
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      build(cur.map(c => spark.read.parquet(s"$root/${c.dataDir}")))
+      build(cur.map(c => load(spark, root, c)))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
-      val c = Commit(nextV, dataDir, writer, action)
+      val c = Commit(nextV, Seq(dataDir), writer, action)
       if (tryClaim(spark, root, nextV, render(c))) return c
       // lost the race: another writer committed nextV first — discard the
       // stale staging (built against an outdated snapshot), back off
@@ -205,36 +231,75 @@ object CommitLog {
         "pathological contention; raise maxAttempts or reduce writers")
   }
 
-  /** Retain only the newest `keep` committed versions: older versions'
-    * data directories AND log entries are dropped, plus orphaned staging
-    * directories from crashed writers. Safe under CONCURRENT writers: the
-    * orphan sweep only touches `data-*-v<N>` stagings whose target
-    * version N is ≤ the newest committed version — such a staging can
-    * never be claimed (the create-exclusive claim for N already exists,
-    * so its writer must lose and rebuild), while an in-flight staging for
-    * a future version is left alone. */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Int = {
+  /** O(DELTA) APPEND commit: writes ONLY `delta`'s rows into a fresh
+    * directory and commits prior dirs + the delta — appending to a 100 TB
+    * table costs the new rows plus one log file, never a table rewrite.
+    * The delta's content is independent of the table head, so a lost
+    * claim retries by RE-REFERENCING the new head's directory list; the
+    * staged delta is written once and never rebuilt (the optimistic
+    * conflict cost of an append is a re-list, ~free). Callers own schema
+    * compatibility with the existing snapshot, as with any parquet
+    * append. */
+  def commitAppend(spark: SparkSession, root: String, writer: String,
+      action: String, maxAttempts: Int = 20)(delta: DataFrame): Commit = {
+    init(spark, root)
+    val f = fs(spark, root)
+    repairTornTail(spark, root)
+    val tentative = latest(spark, root).map(_.version).getOrElse(0L) + 1
+    val deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
+    delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val cur = latest(spark, root)
+      val nextV = cur.map(_.version).getOrElse(0L) + 1
+      val c = Commit(nextV, cur.map(_.dataDirs).getOrElse(Nil) :+ deltaDir,
+        writer, action)
+      if (tryClaim(spark, root, nextV, render(c))) return c
+      Thread.sleep(50L * attempt)
+    }
+    // give up: remove the never-committed delta so it reads as a lost
+    // staging (vacuum would sweep it anyway once its version is passed)
+    f.delete(new HPath(s"$root/$deltaDir"), true)
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive append claims on $root")
+  }
+
+  /** Retain only the newest `keep` committed versions: older commit FILES
+    * are dropped, then every `data-*-v<N>` directory no kept commit
+    * references is swept — vacuumed-version data and crashed/lost
+    * stagings alike (append commits SHARE directories across versions, so
+    * a dir is deletable only when NO kept commit lists it, never merely
+    * because its creating version aged out). Safe under CONCURRENT
+    * writers: a sweepable dir must (a) be unreferenced by every kept
+    * commit, (b) target a version ≤ the newest committed — its claim can
+    * no longer be won at that number — and (c) be older than `graceMs`,
+    * which covers the appender whose tentative version was passed while
+    * it retries (retry backoff is seconds; the default grace is 10
+    * minutes). */
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      graceMs: Long = 600000L): Int = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val f = fs(spark, root)
     val committed = versions(spark, root)
       .flatMap(v => readCommitFile(spark, root, v))
     val (old, kept) = committed.splitAt(math.max(0, committed.size - keep))
-    old.foreach { c =>
-      f.delete(new HPath(s"$root/${c.dataDir}"), true)
-      f.delete(commitPath(root, c.version), false)
-    }
-    val live = kept.map(_.dataDir).toSet
+    old.foreach(c => f.delete(commitPath(root, c.version), false))
+    val live = kept.flatMap(_.dataDirs).toSet
     val newestCommitted = committed.lastOption.map(_.version).getOrElse(0L)
     def targetVersion(dirName: String): Option[Long] = {
       val i = dirName.lastIndexOf("-v")
       if (i < 0) None
       else scala.util.Try(dirName.substring(i + 2).toLong).toOption
     }
+    val now = System.currentTimeMillis()
     Option(f.listStatus(new HPath(root))).toSeq.flatten
       .filter { st =>
         st.isDirectory && st.getPath.getName.startsWith("data-") &&
           !live.contains(st.getPath.getName) &&
-          targetVersion(st.getPath.getName).exists(_ <= newestCommitted)
+          targetVersion(st.getPath.getName).exists(_ <= newestCommitted) &&
+          now - st.getModificationTime > graceMs
       }
       .foreach(st => f.delete(st.getPath, true))
     old.size

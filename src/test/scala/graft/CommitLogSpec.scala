@@ -134,7 +134,9 @@ class CommitLogSpec extends SparkSpec {
     // and an in-flight staging for a future version (must survive)
     new java.io.File(s"$root/data-deadbeef-v3").mkdirs()
     new java.io.File(s"$root/data-future00-v9").mkdirs()
-    val dropped = CommitLog.vacuum(spark, root, keep = 2)
+    // graceMs = 0 disables the concurrent-appender age guard (no
+    // concurrent writers in this test; the guard is covered below)
+    val dropped = CommitLog.vacuum(spark, root, keep = 2, graceMs = 0L)
     assert(dropped == 3)
     assert(CommitLog.readVersion(spark, root, 3L).isEmpty, "vacuumed version gone")
     assert(rows(CommitLog.readVersion(spark, root, 4L).get) == Seq(Seq(4L)))
@@ -143,5 +145,60 @@ class CommitLogSpec extends SparkSpec {
       "lost-claim staging must be swept")
     assert(new java.io.File(s"$root/data-future00-v9").exists(),
       "possible in-flight staging must survive vacuum")
+    // the age guard: a fresh unreferenced staging for a passed version
+    // survives a default-grace vacuum (it may belong to a LIVE appender
+    // whose tentative version was overtaken while it retries)
+    new java.io.File(s"$root/data-retrying-v4").mkdirs()
+    CommitLog.vacuum(spark, root, keep = 2)
+    assert(new java.io.File(s"$root/data-retrying-v4").exists(),
+      "grace period must protect a possibly-live appender's staging")
+  }
+
+  test("append commits are O(delta): shared prior dirs untouched; vacuum respects sharing") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq(1L, 2L, 3L).toDF("id")
+    }
+    val dirA = CommitLog.latest(spark, root).get.dataDirs.head
+    def filesOf(dir: String) = new java.io.File(s"$root/$dir").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = filesOf(dirA)
+    val c2 = CommitLog.commitAppend(spark, root, "w", "append")(Seq(4L).toDF("id"))
+    // the append referenced the existing dir and added ONE delta dir —
+    // nothing of the prior snapshot was rewritten
+    assert(c2.dataDirs.size == 2 && c2.dataDirs.head == dirA)
+    assert(filesOf(dirA) == before, "append must not touch prior data files")
+    val c3 = CommitLog.commitAppend(spark, root, "w", "append")(Seq(5L).toDF("id"))
+    assert(c3.dataDirs.size == 3)
+    assert(CommitLog.readLatest(spark, root).get.orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // vacuum keep=2 drops v1's commit file, but dirA is SHARED by the
+    // kept append commits and must survive; v2 stays time-travelable
+    val dropped = CommitLog.vacuum(spark, root, keep = 2, graceMs = 0L)
+    assert(dropped == 1)
+    assert(new java.io.File(s"$root/$dirA").exists(),
+      "a dir referenced by kept commits must survive vacuum")
+    assert(CommitLog.readVersion(spark, root, 2L).get.orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 4L))
+    assert(CommitLog.readVersion(spark, root, 1L).isEmpty)
+  }
+
+  test("concurrent appends all land exactly once with sequential versions") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "seed", "create") { _ => Seq(0L).toDF("id") }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = Await.result(Future.sequence((1 to 4).map(w => Future {
+        CommitLog.commitAppend(spark, root, s"w$w", "append")(
+          Seq(w.toLong).toDF("id"))
+      })), Duration.Inf)
+      assert(commits.map(_.version).sorted == (2L to 5L))
+    } finally pool.shutdown()
+    assert(CommitLog.readLatest(spark, root).get.orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (0L to 4L))
   }
 }
