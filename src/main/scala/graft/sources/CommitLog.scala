@@ -146,6 +146,34 @@ object CommitLog {
     if (!versions(spark, root).contains(v)) None
     else readCommitFile(spark, root, v).map(c => load(spark, root, c))
 
+  /** INCREMENTAL consumption: the rows ADDED after `sinceVersion` — the
+    * data directories the current head references that version
+    * `sinceVersion` did not (None when nothing new; empty-schema-safe:
+    * a caller unions with its prior state). Correct whenever the commits
+    * since `sinceVersion` are appends (dirs are immutable and only ever
+    * added); if any rewrite commit intervened, directory identity no
+    * longer means row identity, so this returns None and the caller must
+    * fall back to a full read or a row-level diff
+    * ([[graft.operators.DataModel.snapshotDiff]] is that fallback). This
+    * is the "give me documents added since my last training run" pattern:
+    * cost = the new rows' scan, never the table's. */
+  def appendedSince(spark: SparkSession, root: String,
+      sinceVersion: Long): Option[DataFrame] = {
+    val head = latest(spark, root)
+    val base = readCommitFile(spark, root, sinceVersion)
+    (head, base) match {
+      case (Some(h), Some(b)) if h.version > b.version =>
+        // append-only history since the base ⟺ the base's dirs are a
+        // prefix-set of the head's (a rewrite would have dropped them)
+        if (b.dataDirs.forall(h.dataDirs.contains)) {
+          val added = h.dataDirs.filterNot(b.dataDirs.contains)
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(added.map(d => s"$root/$d"): _*))
+        } else None
+      case _ => None
+    }
+  }
+
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
   private def tryClaim(spark: SparkSession, root: String, v: Long,

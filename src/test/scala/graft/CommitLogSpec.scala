@@ -185,6 +185,28 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readVersion(spark, root, 1L).isEmpty)
   }
 
+  test("appendedSince reads only the delta; a rewrite voids directory identity") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ => Seq(1L, 2L).toDF("id") }
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(3L).toDF("id"))
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(4L, 5L).toDF("id"))
+    // consumer last saw v1: the increment is exactly the two appends
+    val delta = CommitLog.appendedSince(spark, root, 1L).get
+    assert(delta.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    // consumer at v2 gets only the second append
+    assert(CommitLog.appendedSince(spark, root, 2L).get.orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    // consumer already at head: nothing new
+    assert(CommitLog.appendedSince(spark, root, 3L).isEmpty)
+    // a REWRITE breaks dir-identity incrementality: consumers must fall
+    // back to a full read / row diff, signalled by None
+    CommitLog.commit(spark, root, "w", "rewrite") { cur =>
+      cur.get.filter(col("id") =!= 2L)
+    }
+    assert(CommitLog.appendedSince(spark, root, 1L).isEmpty)
+  }
+
   test("concurrent appends all land exactly once with sequential versions") {
     import spark.implicits._
     val root = freshRoot()
