@@ -335,6 +335,52 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** One CHANGEFEED run over a [[graft.sources.CommitLog]] table: process
+    * whatever was committed since this consumer's checkpointed version,
+    * then advance the checkpoint — the commit-log sibling of
+    * [[runIncremental]]'s file-source idiom (the log's data dirs are
+    * scattered per commit, so a file-source can't tail them; the VERSION
+    * is the offset). First run processes the full head snapshot
+    * (bootstrap); later runs process exactly the appended rows
+    * (`CommitLog.appendedSince` — cost = the delta's scan). Returns the
+    * new checkpoint version (unchanged when nothing is new).
+    *
+    * Delivery is the foreachBatch contract: `process` runs, THEN the
+    * checkpoint advances via write-new-then-rename — a crash between the
+    * two re-delivers the batch, so exactly-once needs an idempotent or
+    * version-keyed sink (process receives the head version to key on).
+    * A REWRITE commit (or a checkpoint older than vacuum retention)
+    * breaks append-only incrementality; the run fails with a clear
+    * resync instruction rather than silently re-reading the world. */
+  def runCommitLogTail(spark: SparkSession, root: String, checkpointDir: String)
+      (process: (DataFrame, Long) => Unit): Long = {
+    import graft.sources.CommitLog
+    new java.io.File(checkpointDir).mkdirs()
+    val ckpt = new java.io.File(checkpointDir, "version")
+    val last =
+      if (ckpt.exists())
+        new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8").trim.toLong
+      else 0L
+    val head = CommitLog.latest(spark, root).map(_.version).getOrElse(0L)
+    if (head <= last) return last
+    val delta =
+      if (last == 0L) CommitLog.readLatest(spark, root)
+      else CommitLog.appendedSince(spark, root, last)
+    val df = delta.getOrElse(throw new IllegalStateException(
+      s"commit-log tail at version $last cannot read incrementally to $head " +
+        "(a rewrite commit intervened, or the checkpointed version was " +
+        "vacuumed) — resync: clear the checkpoint and reprocess the head"))
+    process(df, head)
+    val tmp = new java.io.File(checkpointDir, s".version-$head")
+    java.nio.file.Files.write(tmp.toPath, head.toString.getBytes("UTF-8"))
+    if (!tmp.renameTo(ckpt)) {
+      ckpt.delete()
+      if (!tmp.renameTo(ckpt)) throw new java.io.IOException(
+        s"commit-log tail: checkpoint rename failed at $ckpt")
+    }
+    head
+  }
+
   /** One incremental run: process whatever input files are NEW since the
     * checkpoint, append to the parquet sink, stop (Trigger.AvailableNow).
     * This is the reference's "re-run the mapper over new data" idiom as a

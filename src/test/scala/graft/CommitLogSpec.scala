@@ -207,6 +207,32 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.appendedSince(spark, root, 1L).isEmpty)
   }
 
+  test("commit-log tail: bootstrap, delta-only runs, no-op at head, rewrite demands resync") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-cl-tail").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def run(): Long = StreamOps.runCommitLogTail(spark, root, ckpt) { (df, v) =>
+      seen += ((v, df.orderBy("id").collect().map(_.getLong(0)).toSeq))
+    }
+    CommitLog.commit(spark, root, "w", "create") { _ => Seq(1L, 2L).toDF("id") }
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(3L).toDF("id"))
+    // bootstrap: the full head snapshot at version 2
+    assert(run() == 2L && seen.toSeq == Seq((2L, Seq(1L, 2L, 3L))))
+    // two more appends: one tail run processes EXACTLY the new rows
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(4L).toDF("id"))
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(5L).toDF("id"))
+    assert(run() == 4L && seen.last == ((4L, Seq(4L, 5L))))
+    // nothing new: no process call, checkpoint unchanged
+    assert(run() == 4L && seen.size == 2)
+    // a rewrite breaks append-only incrementality: loud resync, not a
+    // silent re-read
+    CommitLog.commit(spark, root, "w", "rewrite") { cur => cur.get.limit(2) }
+    val e = intercept[IllegalStateException](run())
+    assert(e.getMessage.contains("resync"))
+  }
+
   test("concurrent appends all land exactly once with sequential versions") {
     import spark.implicits._
     val root = freshRoot()
