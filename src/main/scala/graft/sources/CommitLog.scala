@@ -70,6 +70,15 @@ object CommitLog {
   def init(spark: SparkSession, root: String): Unit =
     fs(spark, root).mkdirs(logDir(root))
 
+  /** Writer/action tags are embedded UNESCAPED in the claim JSON; an
+    * uncontrolled string (a quote, a backslash) would render a COMMITTED
+    * claim unparseable — which reads as a torn tail and gets repaired
+    * away, silently dropping the version. Reject at the API edge. */
+  private def requireTag(v: String, what: String): Unit =
+    require(v.nonEmpty && v.forall(ch =>
+      ch.isLetterOrDigit || ch == '_' || ch == '-' || ch == '.'),
+      s"CommitLog $what must be non-empty [A-Za-z0-9_.-]: '$v'")
+
   private def render(c: Commit): String =
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
       s""""writer":"${c.writer}","action":"${c.action}"}"""
@@ -234,6 +243,7 @@ object CommitLog {
     * contention. */
   def commit(spark: SparkSession, root: String, writer: String, action: String,
       maxAttempts: Int = 20)(build: Option[DataFrame] => DataFrame): Commit = {
+    requireTag(writer, "writer"); requireTag(action, "action")
     init(spark, root)
     val f = fs(spark, root)
     var attempt = 0
@@ -270,6 +280,7 @@ object CommitLog {
     * append. */
   def commitAppend(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int = 20)(delta: DataFrame): Commit = {
+    requireTag(writer, "writer"); requireTag(action, "action")
     init(spark, root)
     val f = fs(spark, root)
     repairTornTail(spark, root)

@@ -23,6 +23,11 @@ class CommitLogSpec extends SparkSpec {
       Seq((1L, "a")).toDF("id", "v")
     }
     assert(c1.version == 1L)
+    // a quote in a tag would render a COMMITTED claim unparseable (read
+    // as torn and repaired away) — rejected at the API edge instead
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(spark, root, "w\"evil", "x") { _ => Seq(1L).toDF("id") }
+    }
     val c2 = CommitLog.commit(spark, root, "w1", "append") { cur =>
       cur.get.unionByName(Seq((2L, "b")).toDF("id", "v"))
     }
