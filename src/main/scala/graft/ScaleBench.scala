@@ -444,8 +444,19 @@ object ScaleBench {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val clRoot = s"$root/commitlog"
-      def runCommits(writers: Int, each: Int, tag: String): Unit = {
+      def freshDir(tag: String): String = {
+        // a re-run finds the previous run's log and every claim loses;
+        // probe tables start empty
         val dir = s"$clRoot-$tag"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+        dir
+      }
+      def runCommits(writers: Int, each: Int, tag: String): Unit = {
+        val dir = freshDir(tag)
         graft.sources.CommitLog.commit(s, dir, "seed", "create") { _ =>
           s.range(1).selectExpr("0L AS updates")
         }
@@ -469,6 +480,41 @@ object ScaleBench {
       }
       runCommits(1, 32, "serial")
       runCommits(8, 4, "contended")
+
+      // O(delta) append vs full-rewrite commit on a LARGE table: the
+      // design claim is that appending to a 100 TB table prices at the
+      // delta's write, not the table's. Seed n rows once, then time 3
+      // append commits of n/200 rows each way — commitAppend writes one
+      // small dir + a log file; the rewrite path re-materializes the
+      // whole snapshot per commit.
+      val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_N", "2000000").toLong
+      val deltaN = (big / 200L).max(1000L)
+      def seedBig(tag: String): String = {
+        val dir = freshDir(s"big-$tag")
+        graft.sources.CommitLog.commit(s, dir, "seed", "create") { _ =>
+          s.range(big).selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS v")
+        }
+        dir
+      }
+      def timeCommits(tag: String, body: (String, Int) => Unit): Unit = {
+        val dir = seedBig(tag)
+        val t0 = System.nanoTime()
+        (1 to 3).foreach(i => body(dir, i))
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(graft.sources.CommitLog.readLatest(s, dir).get.count() ==
+          big + 3L * deltaN, s"commitlog_$tag lost rows")
+        println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":$big,"sec":${r3(sec)},"reps":[3]}""")
+      }
+      timeCommits("append_odelta", (dir, i) =>
+        graft.sources.CommitLog.commitAppend(s, dir, "w", "append")(
+          s.range(big + (i - 1) * deltaN, big + i * deltaN)
+            .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS v")))
+      timeCommits("append_rewrite", (dir, i) =>
+        graft.sources.CommitLog.commit(s, dir, "w", "append-as-rewrite") { cur =>
+          cur.get.unionByName(
+            s.range(big + (i - 1) * deltaN, big + i * deltaN)
+              .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS v"))
+        })
     }
 
     println("SCALE_DONE")

@@ -131,6 +131,24 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // TIME TRAVEL over the same commit log: the declared result reads
+    // version 2 — after the read-modify-write reprice, BEFORE the append
+    // — through CommitLog.readVersion (retained history is immutable
+    // snapshot dirs, so the read is an ordinary parquet scan of the old
+    // version's dir list). The oracle rebuilds v2's state relationally:
+    // the repriced first slice only. This is the "what did the table hold
+    // before the last commit" audit read; at 100 TB it costs the old
+    // snapshot's scan, not a log replay.
+    "q_commit_log_travel" -> ((s, d) => {
+      val root = commitLogFor(s, d)
+      graft.sources.CommitLog.readVersion(s, root, 2L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Schema-evolved read: one directory, two parquet generations, the
     // newer with an added column — read through mergeSchema, which unions
     // the footer schemas and nulls the missing column for old files (the
@@ -360,6 +378,15 @@ object Relational {
         "FROM orders WHERE o_orderkey % 100 = 0 " +
         "UNION ALL SELECT o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 100 = 1) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_travel" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 0) " +
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
