@@ -448,11 +448,7 @@ object ScaleBench {
         // a re-run finds the previous run's log and every claim loses;
         // probe tables start empty
         val dir = s"$clRoot-$tag"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(dir))
+        graft.TempDirs.delete(dir)
         dir
       }
       def runCommits(writers: Int, each: Int, tag: String): Unit = {

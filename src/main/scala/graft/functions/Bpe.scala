@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the count is total over arbitrary input (no <unk> handling needed
   * for counting).
   *
-  * [[Merges]] is a fixed 160-rank vocabulary hand-derived from English
+  * [[Merges]] is a fixed 183-rank vocabulary hand-derived from English
   * letter-pair frequency and the corpus's query-log word stock; ranks are
   * positions (lower merges first). It ships in code — the committed-
   * fixture requirement: zero egress, and every engine sees byte-identical
@@ -86,8 +86,10 @@ object Bpe {
     (" k", "ey"), ("ar", "k"), ("sp", "ark"), (" sp", "ark"),
     ("al", "l"), ("sm", "all"), (" sm", "all"), ("as", "t"), ("f", "ast"),
     (" f", "ast"), ("d", "up"), (" d", "up"), ("a", "st"),
-    // tier 4: common suffix/prefix glue
-    ("d", "ow"), ("o", "w"), ("e", "w"), ("o", "o"), ("e", "e"),
+    // tier 4: common suffix/prefix glue (("o","w") already ranks in
+    // tier 2 — the rank map REQUIRES uniqueness below, since a duplicate
+    // would silently shadow the earlier rank)
+    ("d", "ow"), ("e", "w"), ("o", "o"), ("e", "e"),
     ("a", "b"), ("u", "p"), ("i", "d"), ("a", "d"), ("i", "l"),
     ("o", "l"), ("e", "l"), ("u", "l"), ("i", "r"), ("o", "p"),
     ("i", "m"), ("a", "m"), ("u", "m"), ("o", "t"), ("u", "t"),
@@ -104,6 +106,9 @@ object Bpe {
       // concatenate to the same key
       m.put(a + "\u0000" + b, i)
     }
+    require(m.size == Merges.length,
+      s"duplicate merge pair in Bpe.Merges (${Merges.length} listed, ${m.size} distinct) " +
+        "- a duplicate silently shadows the earlier rank")
     m
   }
 

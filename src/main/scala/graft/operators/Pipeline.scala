@@ -72,7 +72,7 @@ object Pipeline {
     }),
 
     // The q_token_budget walk with REAL tokenizer counts: bpe_token_count
-    // (functions/Bpe.scala — greedy-merge BPE over the committed 159-rank
+    // (functions/Bpe.scala — greedy-merge BPE over the committed 183-rank
     // vocabulary, evaluated as a codegen'd native expression) replaces the
     // whitespace proxy, so the budget is measured in the tokens a training
     // loader would actually produce (BPE counts run higher: sub-word

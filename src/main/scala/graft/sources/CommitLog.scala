@@ -145,6 +145,12 @@ object CommitLog {
   private def load(spark: SparkSession, root: String, c: Commit): DataFrame =
     spark.read.parquet(c.dataDirs.map(d => s"$root/$d"): _*)
 
+  /** Load a specific Commit's snapshot (dirs are immutable, so a Commit
+    * handle stays readable until vacuumed — the anchor for consumers that
+    * must read and version-stamp ATOMICALLY against one log listing). */
+  def readCommit(spark: SparkSession, root: String, c: Commit): DataFrame =
+    load(spark, root, c)
+
   /** Load the newest committed snapshot (None = table has no commits). */
   def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
     latest(spark, root).map(c => load(spark, root, c))
@@ -167,15 +173,29 @@ object CommitLog {
     * is the "give me documents added since my last training run" pattern:
     * cost = the new rows' scan, never the table's. */
   def appendedSince(spark: SparkSession, root: String,
-      sinceVersion: Long): Option[DataFrame] = {
-    val head = latest(spark, root)
-    val base = readCommitFile(spark, root, sinceVersion)
-    (head, base) match {
-      case (Some(h), Some(b)) if h.version > b.version =>
+      sinceVersion: Long): Option[DataFrame] =
+    latest(spark, root).flatMap(h =>
+      appendedSince(spark, root, sinceVersion, h))
+
+  /** Same, against a CALLER-HELD head commit — the atomic form: a
+    * consumer that lists the log once and both reads and version-stamps
+    * from that one Commit cannot mis-attribute rows landed by a
+    * concurrent commit between two listings. */
+  def appendedSince(spark: SparkSession, root: String, sinceVersion: Long,
+      head: Commit): Option[DataFrame] = {
+    // guard the vacuumed-base case: readCommitFile on a deleted claim
+    // file would throw FileNotFoundException; absence means the base is
+    // gone (or never existed) and incrementality is impossible — None,
+    // the caller's resync path
+    val base =
+      if (!versions(spark, root).contains(sinceVersion)) None
+      else readCommitFile(spark, root, sinceVersion)
+    base match {
+      case Some(b) if head.version > b.version =>
         // append-only history since the base ⟺ the base's dirs are a
         // prefix-set of the head's (a rewrite would have dropped them)
-        if (b.dataDirs.forall(h.dataDirs.contains)) {
-          val added = h.dataDirs.filterNot(b.dataDirs.contains)
+        if (b.dataDirs.forall(head.dataDirs.contains)) {
+          val added = head.dataDirs.filterNot(b.dataDirs.contains)
           if (added.isEmpty) None
           else Some(spark.read.parquet(added.map(d => s"$root/$d"): _*))
         } else None

@@ -361,11 +361,19 @@ object StreamOps {
       if (ckpt.exists())
         new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8").trim.toLong
       else 0L
-    val head = CommitLog.latest(spark, root).map(_.version).getOrElse(0L)
+    // ONE log listing anchors the whole run: the head Commit both names
+    // the dirs read AND stamps the version handed to `process` — reading
+    // head/delta from separate listings would let a concurrent commit
+    // land rows in the delta that get stamped with the older version
+    // (duplicate delivery a version-keyed sink cannot dedup)
+    val headOpt = CommitLog.latest(spark, root)
+    if (headOpt.isEmpty) return last
+    val headC = headOpt.get
+    val head = headC.version
     if (head <= last) return last
     val delta =
-      if (last == 0L) CommitLog.readLatest(spark, root)
-      else CommitLog.appendedSince(spark, root, last)
+      if (last == 0L) Some(CommitLog.readCommit(spark, root, headC))
+      else CommitLog.appendedSince(spark, root, last, headC)
     val df = delta.getOrElse(throw new IllegalStateException(
       s"commit-log tail at version $last cannot read incrementally to $head " +
         "(a rewrite commit intervened, or the checkpointed version was " +

@@ -210,6 +210,10 @@ class CommitLogSpec extends SparkSpec {
       cur.get.filter(col("id") =!= 2L)
     }
     assert(CommitLog.appendedSince(spark, root, 1L).isEmpty)
+    // a VACUUMED base version also yields None (the resync signal), not a
+    // FileNotFoundException from reading the deleted claim file
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(CommitLog.appendedSince(spark, root, 2L).isEmpty)
   }
 
   test("commit-log tail: bootstrap, delta-only runs, no-op at head, rewrite demands resync") {

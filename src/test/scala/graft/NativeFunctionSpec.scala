@@ -86,7 +86,11 @@ class NativeFunctionSpec extends SparkSpec {
     // list-functional instead of the expression's in-place array walk
     val ranks = Bpe.Merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     def refEncode(word: String): List[String] = {
-      var syms = word.toCharArray.map(_.toString).toList
+      // code-point symbols, like production — a UTF-16-char split would
+      // disagree on supplementary-plane characters (2 symbols per astral
+      // code point) and could fail spuriously on non-BMP corpus text
+      var syms = word.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
       var continue = true
       while (continue && syms.size > 1) {
         val present = syms.zip(syms.tail).filter(ranks.contains)

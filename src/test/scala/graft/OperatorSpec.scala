@@ -777,8 +777,17 @@ class OperatorSpec extends SparkSpec {
       "intervalJoin.enabled must be restored to unset after the builder")
     assert(spark.conf.getOption("spark.graft.intervalJoin.bucket").isEmpty,
       "intervalJoin.bucket must be restored to unset after the builder")
-    // and the rewrite was pinned by forcing optimization inside the scope:
-    // the executed plan is an equi-join even though the conf is now off
+    // and the rewrite is baked into the returned LOGICAL plan, so a FRESH
+    // execution — what Bench's noop write and Verify's parquet write
+    // actually run (they wrap the logical plan in a new command and
+    // re-optimize; the cached df.queryExecution is only used by df's own
+    // actions) — still gets the equi-join with the conf off. Merely
+    // forcing df.queryExecution.optimizedPlan inside the scope would pass
+    // physicalPlan(df) but leave every real execution a nested loop.
+    val fresh = org.apache.spark.sql.GraftBridge.freshExecutedPlan(df)
+    assert(!fresh.contains("BroadcastNestedLoopJoin") &&
+      !fresh.contains("CartesianProduct"),
+      s"rewrite must survive a fresh execution of the logical plan:\n$fresh")
     val plan = physicalPlan(df)
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
