@@ -203,6 +203,18 @@ object CommitLog {
     }
   }
 
+  /** Commit history as a DataFrame (version, writer, action, n_dirs) —
+    * the audit surface: who changed the table, when in the version order,
+    * and by which verb. Reads only the log (O(versions) tiny files),
+    * never a data dir. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root)
+      .flatMap(v => readCommitFile(spark, root, v))
+      .map(c => (c.version, c.writer, c.action, c.dataDirs.size))
+      .toDF("version", "writer", "action", "n_dirs")
+  }
+
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
   private def tryClaim(spark: SparkSession, root: String, v: Long,
@@ -304,7 +316,23 @@ object CommitLog {
     init(spark, root)
     val f = fs(spark, root)
     repairTornTail(spark, root)
-    val tentative = latest(spark, root).map(_.version).getOrElse(0L) + 1
+    // SCHEMA enforcement: the head is read as the union of dirs, so a
+    // delta whose columns drift (renamed, re-typed) would silently merge
+    // into a franken-schema on the next read. Names + types must match
+    // the head exactly (nullability may widen — parquet reads it back
+    // nullable anyway).
+    val headNow = latest(spark, root)
+    headNow.foreach { h =>
+      val headSchema = load(spark, root, h).schema
+      val same = headSchema.length == delta.schema.length &&
+        headSchema.zip(delta.schema).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType }
+      require(same,
+        s"commitAppend schema mismatch vs head v${h.version}: " +
+          s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
+          "— evolve the schema with a rewrite commit, not an append")
+    }
+    val tentative = headNow.map(_.version).getOrElse(0L) + 1
     val deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
     var attempt = 0

@@ -190,6 +190,27 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readVersion(spark, root, 1L).isEmpty)
   }
 
+  test("append schema enforcement and the history audit surface") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "loader", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    // a drifted delta (renamed column) is rejected — it would silently
+    // merge into a franken-schema on the next multi-dir read
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "loader", "append")(
+        Seq((2L, "b")).toDF("id", "val"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    CommitLog.commitAppend(spark, root, "loader", "append")(
+      Seq((2L, "b")).toDF("id", "v"))
+    // history: one row per commit, in version order, log-only read
+    val h = CommitLog.history(spark, root).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(h.toSeq == Seq((1L, "loader", "create", 1), (2L, "loader", "append", 2)))
+  }
+
   test("appendedSince reads only the delta; a rewrite voids directory identity") {
     import spark.implicits._
     val root = freshRoot()
