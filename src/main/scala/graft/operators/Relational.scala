@@ -109,6 +109,31 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_compact: a create plus
+  // three O(delta) appends leave a FOUR-directory head; compact consolidates
+  // it into one coalesced directory (action="compact") and vacuum(keep=1,
+  // grace 0) sweeps every pre-compact directory — the OPTIMIZE-then-clean
+  // cadence a long-lived append table runs on a schedule. The declared
+  // query reads the compacted head, so a compaction that dropped or
+  // duplicated one row hash-fails the DuckDB gate.
+  private val compactCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def compactLogFor(s: SparkSession, d: String): String =
+    compactCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitcompact")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter(col("o_orderkey") % 100 === 2)
+      }
+      Seq(3, 4, 5).foreach { m =>
+        graft.sources.CommitLog.commitAppend(s, root, "loader", "append")(
+          orders.filter(col("o_orderkey") % 100 === m))
+      }
+      graft.sources.CommitLog.compact(s, root, "optimizer")
+      graft.sources.CommitLog.vacuum(s, root, keep = 1, graceMs = 0L)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
     // Multi-writer table head through the OPTIMISTIC COMMIT LOG
     // (sources/CommitLog.scala — the lakehouse-style create-exclusive
@@ -142,6 +167,25 @@ object Relational {
     "q_commit_log_travel" -> ((s, d) => {
       val root = commitLogFor(s, d)
       graft.sources.CommitLog.readVersion(s, root, 2L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // COMPACTION through the commit log (sources/CommitLog.compact — the
+    // lakehouse OPTIMIZE): the fixture's four-directory append history is
+    // consolidated to one directory and vacuumed, and the declared result
+    // aggregates the compacted head. The oracle rebuilds the same union
+    // relationally from orders, proving compaction is row-invisible;
+    // CommitLogSpec covers the mechanics (dir collapse, file bound,
+    // travel-before-vacuum, no-op on a compact head). At 100 TB this is
+    // what bounds scan planning at O(targetFiles + appends-since-compact)
+    // files instead of O(history).
+    "q_commit_log_compact" -> ((s, d) => {
+      val root = compactLogFor(s, d)
+      graft.sources.CommitLog.readLatest(s, root).get
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -390,6 +434,11 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_compact" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (2, 3, 4, 5) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_source_evolved" ->
       ("SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source " +
         "FROM documents WHERE doc_id % 2 = 0 " +

@@ -353,6 +353,48 @@ object CommitLog {
       s"CommitLog: $writer lost $maxAttempts consecutive append claims on $root")
   }
 
+  /** COMPACTION (the lakehouse OPTIMIZE): consolidate the head's
+    * accumulated directory list — a rewrite base plus N append deltas,
+    * each with its own small files — into ONE directory of `targetFiles`
+    * parquet files, committed through the ordinary optimistic [[commit]]
+    * loop as action="compact". Rows are read-equivalent by construction
+    * (the build is identity over the head snapshot), and serializable
+    * under concurrent writers: if an append lands mid-compact, the lost
+    * claim re-reads the NEW head and re-consolidates it, so no committed
+    * row is ever dropped. `coalesce` (not repartition) collapses the read
+    * partitions without a shuffle — the same bin-packing-without-shuffle
+    * shape Delta's OPTIMIZE uses; output files inherit read-partition
+    * sizing, which is parquet-block-bounded and good enough.
+    *
+    * Already-compact heads (one dir, ≤ targetFiles files) return the
+    * existing commit untouched — compaction must be safely schedulable on
+    * a cadence without rewriting quiescent tables.
+    *
+    * Scale: an uncompacted 1000-append day leaves 1000 directories whose
+    * listing + footer reads dominate scan planning long before the data
+    * scan starts (SCALE.md r10 measured 8.3 s of planning per 2048 files);
+    * compact + [[vacuum]] bound the head at O(targetFiles +
+    * appends-since-compact) files regardless of history length, at the
+    * cost of one full-snapshot rewrite — amortized across the appends it
+    * absorbs, exactly the OPTIMIZE trade. Returns None on an empty table. */
+  def compact(spark: SparkSession, root: String, writer: String,
+      targetFiles: Int = 4, maxAttempts: Int = 20): Option[Commit] = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    latest(spark, root).map { head =>
+      val f = fs(spark, root)
+      val nFiles = head.dataDirs.iterator.map { d =>
+        Option(f.listStatus(new HPath(root, d))).toSeq.flatten
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }.sum
+      if (head.dataDirs.size <= 1 && nFiles <= targetFiles) head
+      else commit(spark, root, writer, "compact", maxAttempts) { cur =>
+        // cur is always Some here: versions only grow, and the head
+        // existed when compaction started
+        cur.get.coalesce(targetFiles)
+      }
+    }
+  }
+
   /** Retain only the newest `keep` committed versions: older commit FILES
     * are dropped, then every `data-*-v<N>` directory no kept commit
     * references is swept — vacuumed-version data and crashed/lost

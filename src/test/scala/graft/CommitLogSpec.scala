@@ -279,4 +279,50 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readLatest(spark, root).get.orderBy("id")
       .collect().map(_.getLong(0)).toSeq == (0L to 4L))
   }
+
+  test("compact consolidates the head, preserves rows, travels until vacuumed, no-ops when compact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dirs: Seq[String]): Int = dirs.map { d =>
+      f.listStatus(new org.apache.hadoop.fs.Path(root, d))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }.sum
+    // empty table: nothing to compact
+    assert(CommitLog.compact(spark, root, "opt").isEmpty)
+    CommitLog.commit(spark, root, "seed", "create") { _ =>
+      (0L until 8L).toDF("id").repartition(8)
+    }
+    (1 to 3).foreach { k =>
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        (k * 100L until k * 100L + 4L).toDF("id").repartition(4))
+    }
+    val before = CommitLog.latest(spark, root).get
+    assert(before.dataDirs.size == 4)
+    val preFiles = parquetFiles(before.dataDirs)
+    // empty repartition slices write no file, so the count is ≤ 8+3·4;
+    // what matters is it's far above the post-compact bound of 2
+    assert(preFiles >= 10, s"fixture should be small-file-heavy, got $preFiles")
+    val expect = (0L until 8L) ++ (1 to 3).flatMap(k => k * 100L until k * 100L + 4L)
+
+    val compacted = CommitLog.compact(spark, root, "opt", targetFiles = 2).get
+    assert(compacted.version == 5L && compacted.action == "compact")
+    assert(compacted.dataDirs.size == 1, "head collapses to one directory")
+    assert(parquetFiles(compacted.dataDirs) <= 2, "file count bounded by targetFiles")
+    assert(CommitLog.readLatest(spark, root).get.orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == expect.sorted,
+      "compaction is row-invisible")
+    // pre-compact versions stay travel-readable until vacuum sweeps them
+    assert(CommitLog.readVersion(spark, root, before.version).get.count() == expect.size)
+    val swept = CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(swept == 4, s"vacuum drops the 4 pre-compact commits, got $swept")
+    assert(CommitLog.readVersion(spark, root, before.version).isEmpty)
+    val dirsOnDisk = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
+    assert(dirsOnDisk.length == 1, "all pre-compact directories swept")
+    // an already-compact head is returned untouched (schedulable cadence)
+    val again = CommitLog.compact(spark, root, "opt", targetFiles = 2).get
+    assert(again.version == compacted.version, "no-op compaction writes no commit")
+  }
 }
