@@ -134,6 +134,26 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_skip: four commits,
+  // each carrying one disjoint `bucket` value (o_orderkey % 4), with
+  // per-dir [min, max] bucket stats recorded in the commit JSON — so a
+  // bucket-range read can prove which directories it never touched.
+  private val skipCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def skipLogFor(s: SparkSession, d: String): String =
+    skipCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitskip")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).as("bucket"))
+      graft.sources.CommitLog.commit(s, root, "loader", "create",
+        statsCol = Some("bucket")) { _ => orders.filter(col("bucket") === 0) }
+      (1 to 3).foreach { k =>
+        graft.sources.CommitLog.commitAppend(s, root, "loader", "append",
+          statsCol = Some("bucket"))(orders.filter(col("bucket") === k))
+      }
+      root
+    }
+
   val queries: Map[String, Q] = Map(
     // Multi-writer table head through the OPTIMISTIC COMMIT LOG
     // (sources/CommitLog.scala — the lakehouse-style create-exclusive
@@ -186,6 +206,25 @@ object Relational {
     "q_commit_log_compact" -> ((s, d) => {
       val root = compactLogFor(s, d)
       graft.sources.CommitLog.readLatest(s, root).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // DATA SKIPPING through commit-log min/max stats (CommitLog
+    // .readLatestWhere — the Delta/Iceberg file-stats story at directory
+    // granularity): each commit records its dir's [min, max] of a
+    // designated column in the commit JSON, and a key-range read scans
+    // only intersecting dirs (here 1 of 4 — CommitLogSpec proves the
+    // pruning via inputFiles), with the row predicate still applied after.
+    // The oracle rebuilds the same slice relationally, so pruning that
+    // dropped a row it shouldn't have hash-fails. At 100 TB: a key-range
+    // probe of an append history costs O(matching dirs), not O(history).
+    "q_commit_log_skip" -> ((s, d) => {
+      val root = skipLogFor(s, d)
+      graft.sources.CommitLog.readLatestWhere(s, root, "bucket", 2L, 2L).get
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -438,6 +477,11 @@ object Relational {
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM orders WHERE o_orderkey % 100 IN (2, 3, 4, 5) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_skip" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 4 = 2 " +
         "GROUP BY 1 ORDER BY 1"),
     "q_source_evolved" ->
       ("SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source " +

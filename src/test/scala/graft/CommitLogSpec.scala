@@ -325,4 +325,54 @@ class CommitLogSpec extends SparkSpec {
     val again = CommitLog.compact(spark, root, "opt", targetFiles = 2).get
     assert(again.version == compacted.version, "no-op compaction writes no commit")
   }
+
+  test("min/max stats skip non-intersecting dirs; stats-less dirs always read") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four disjoint key-range commits, each recording [min, max] of k
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("k")) { _ =>
+      (0L until 10L).toDF("k")
+    }
+    (1 to 3).foreach { b =>
+      CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("k"))(
+        (b * 10L until b * 10L + 10L).toDF("k"))
+    }
+    val head = CommitLog.latest(spark, root).get
+    assert(head.stats.size == 4, "every dir carries stats after the JSON round-trip")
+    head.dataDirs.zipWithIndex.foreach { case (d, i) =>
+      assert(head.stats(d) == (i * 10L, i * 10L + 9L),
+        s"dir $i stats ${head.stats(d)}")
+    }
+    // a range inside dir 2: only that dir's files are planned
+    val pruned = CommitLog.readLatestWhere(spark, root, "k", 23L, 27L).get
+    val dir2 = head.dataDirs(2)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(dir2)),
+      "planning touches only the intersecting directory")
+    assert(pruned.orderBy("k").collect().map(_.getLong(0)).toSeq == (23L to 27L),
+      "pruned read equals filter-after-full-read")
+    // a range spanning two dirs keeps both, drops the other two
+    val two = CommitLog.readLatestWhere(spark, root, "k", 5L, 15L).get
+    assert(two.inputFiles.forall(f =>
+      f.contains(head.dataDirs(0)) || f.contains(head.dataDirs(1))))
+    assert(two.count() == 11L)
+    // out-of-range: provably empty, planned from a single schema anchor
+    val none = CommitLog.readLatestWhere(spark, root, "k", 999L, 1000L).get
+    assert(none.count() == 0L)
+    // a stats-less append (old-style commit) is ALWAYS read — skipping
+    // degrades, correctness doesn't
+    CommitLog.commitAppend(spark, root, "w", "append")((100L to 101L).toDF("k"))
+    val mixed = CommitLog.latest(spark, root).get
+    assert(mixed.stats.size == 4, "stats carry forward; new dir has none")
+    val probe = CommitLog.readLatestWhere(spark, root, "k", 23L, 27L).get
+    assert(probe.orderBy("k").collect().map(_.getLong(0)).toSeq == (23L to 27L),
+      "stats-less dir scanned and row-filtered, not wrongly skipped")
+    assert(probe.inputFiles.exists(_.contains(mixed.dataDirs.last)),
+      "the stats-less dir must be in the plan")
+    // compact with statsCol: one dir, full-range stats, skipping still works
+    val c = CommitLog.compact(spark, root, "opt", targetFiles = 1,
+      statsCol = Some("k")).get
+    assert(c.dataDirs.size == 1 && c.stats(c.dataDirs.head) == (0L, 101L))
+    assert(CommitLog.readLatestWhere(spark, root, "k", 23L, 27L).get.count() == 5L)
+  }
 }
