@@ -511,6 +511,44 @@ object ScaleBench {
             s.range(big + (i - 1) * deltaN, big + i * deltaN)
               .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS v"))
         })
+
+      // Compaction + data-skipping payoff (r11 close): an nAppend-commit
+      // head pays nAppend dir listings + footer reads per FULL read and
+      // per stats-less range probe. Three prices for the same logical
+      // scan: (a) full read of the fragmented head, (b) a key-range probe
+      // through readLatestWhere — stats prune to 1 of nAppend dirs at
+      // planning, (c) the same full read after compact(targetFiles=8) —
+      // the steady-state cost once OPTIMIZE has run. (b) is the probe
+      // whose cost should be ~independent of history length; (c) is what
+      // bounds the full-scan price after the cadence runs.
+      val nApp = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_APPENDS", "64").toInt
+      val perDir = 20000L
+      val skipDir = freshDir("skip")
+      graft.sources.CommitLog.commit(s, skipDir, "seed", "create",
+        statsCol = Some("id")) { _ =>
+        s.range(0L, perDir).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+      }
+      (1 until nApp).foreach { k =>
+        graft.sources.CommitLog.commitAppend(s, skipDir, "w", "append",
+          statsCol = Some("id"))(
+          s.range(k * perDir, (k + 1) * perDir)
+            .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v"))
+      }
+      val mid = (nApp / 2).toLong * perDir
+      measure(s"commitlog_fullread_${nApp}dirs", nApp * perDir, reps) {
+        graft.sources.CommitLog.readLatest(s, skipDir).get
+      }
+      measure(s"commitlog_skipprobe_${nApp}dirs", perDir, reps) {
+        graft.sources.CommitLog.readLatestWhere(
+          s, skipDir, "id", mid, mid + perDir - 1L).get
+      }
+      graft.sources.CommitLog.compact(s, skipDir, "opt", targetFiles = 8,
+        statsCol = Some("id"))
+      require(graft.sources.CommitLog.readLatest(s, skipDir).get.count() ==
+        nApp * perDir, "compaction lost rows")
+      measure(s"commitlog_fullread_compacted", nApp * perDir, reps) {
+        graft.sources.CommitLog.readLatest(s, skipDir).get
+      }
     }
 
     println("SCALE_DONE")
