@@ -64,9 +64,19 @@ object CommitLog {
     * dirs whose range overlaps, never the history. Dirs absent from the
     * map are always read: stats are an optimization, never a filter, so
     * mixed histories (stats-less old commits, stats-bearing new ones)
-    * stay correct. */
+    * stay correct.
+    *
+    * `rowInvisible` marks a commit whose snapshot is ROW-IDENTICAL to its
+    * parent (today: [[compact]]) — the Delta `dataChange=false` idea.
+    * Incremental consumers ([[appendedSince]]) skip such commits instead
+    * of treating their rewrite shape as a resync-forcing mutation, so a
+    * scheduled OPTIMIZE never re-delivers a 100 TB table downstream.
+    * Only the library sets it; the public [[commit]] always records
+    * row-visible commits, so a lying writer can't make consumers skip
+    * real changes. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
-      action: String, stats: Map[String, (Long, Long)] = Map.empty)
+      action: String, stats: Map[String, (Long, Long)] = Map.empty,
+      rowInvisible: Boolean = false)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -98,8 +108,9 @@ object CommitLog {
       else c.stats.toSeq.sortBy(_._1).map { case (d, (lo, hi)) =>
         "\"" + d + "\":[" + lo + "," + hi + "]"
       }.mkString(""","stats":{""", ",", "}")
+    val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$stats}"""
   }
 
   private def parse(v: Long, s: String): Option[Commit] = {
@@ -143,7 +154,7 @@ object CommitLog {
     }
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
-      yield Commit(v, d, w, a, stats)
+      yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"))
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -232,16 +243,19 @@ object CommitLog {
     else readCommitFile(spark, root, v).map(c => load(spark, root, c))
 
   /** INCREMENTAL consumption: the rows ADDED after `sinceVersion` — the
-    * data directories the current head references that version
-    * `sinceVersion` did not (None when nothing new; empty-schema-safe:
+    * data directories row-VISIBLE commits after that version introduced
+    * (None when the consumer is already at head; empty-schema-safe:
     * a caller unions with its prior state). Correct whenever the commits
-    * since `sinceVersion` are appends (dirs are immutable and only ever
-    * added); if any rewrite commit intervened, directory identity no
-    * longer means row identity, so this returns None and the caller must
-    * fall back to a full read or a row-level diff
-    * ([[graft.operators.DataModel.snapshotDiff]] is that fallback). This
-    * is the "give me documents added since my last training run" pattern:
-    * cost = the new rows' scan, never the table's. */
+    * since `sinceVersion` are appends or rowInvisible compactions —
+    * compaction rewrites directories but not rows, so consumers skip it
+    * (Some of an EMPTY frame when compacts are all that happened: the
+    * checkpoint advances, nothing re-delivers). If a genuine rewrite
+    * commit intervened, directory identity no longer means row identity,
+    * so this returns None and the caller must fall back to a full read or
+    * a row-level diff ([[graft.operators.DataModel.snapshotDiff]] is that
+    * fallback). This is the "give me documents added since my last
+    * training run" pattern: cost = the new rows' scan, never the
+    * table's — and a scheduled OPTIMIZE never re-delivers the table. */
   def appendedSince(spark: SparkSession, root: String,
       sinceVersion: Long): Option[DataFrame] =
     latest(spark, root).flatMap(h =>
@@ -262,14 +276,48 @@ object CommitLog {
       else readCommitFile(spark, root, sinceVersion)
     base match {
       case Some(b) if head.version > b.version =>
-        // append-only history since the base ⟺ the base's dirs are a
-        // prefix-set of the head's (a rewrite would have dropped them)
-        if (b.dataDirs.forall(head.dataDirs.contains)) {
-          val added = head.dataDirs.filterNot(b.dataDirs.contains)
-          if (added.isEmpty) None
-          else Some(spark.read.parquet(added.map(d => s"$root/$d"): _*))
-        } else None
+        deltaDirs(spark, root, b, head).map { added =>
+          if (added.nonEmpty)
+            spark.read.parquet(added.map(d => s"$root/$d"): _*)
+          else
+            // only rowInvisible commits (compact) since the base: the
+            // table moved but no row did — an EMPTY delta, so the
+            // consumer advances its checkpoint without resyncing
+            load(spark, root, head).limit(0)
+        }
       case _ => None
+    }
+  }
+
+  /** Dirs added by ROW-VISIBLE commits strictly after `b` up to `head`.
+    * Fast path: `b`'s dirs are a prefix-set of `head`'s (pure append-only
+    * history). Otherwise walk the commit chain — rowInvisible commits
+    * (compact: snapshot row-identical to its parent) contribute nothing
+    * and re-anchor the dir comparison, append-shaped commits contribute
+    * their added dirs, anything else is a real rewrite → None (resync).
+    * Chain completeness: vacuum retains a SUFFIX of commit files, so if
+    * the base survived every later commit file did too — a hole means a
+    * concurrent vacuum passed the base, which is the resync case anyway.
+    * Walked `added` dirs are always readable: each is referenced by its
+    * own (retained) commit, and vacuum keeps any dir a kept commit
+    * lists, even after a later compact dropped it from the head. */
+  private def deltaDirs(spark: SparkSession, root: String, b: Commit,
+      head: Commit): Option[Seq[String]] = {
+    if (b.dataDirs.forall(head.dataDirs.contains))
+      Some(head.dataDirs.filterNot(b.dataDirs.contains))
+    else {
+      val chain = ((b.version + 1) to head.version).map { v =>
+        if (v == head.version) Some(head) else readCommitFile(spark, root, v)
+      }
+      if (chain.exists(_.isEmpty)) None
+      else chain.flatten.foldLeft(Option((b, Vector.empty[String]))) {
+        case (None, _) => None
+        case (Some((prev, added)), c) =>
+          if (c.rowInvisible) Some((c, added))
+          else if (prev.dataDirs.forall(c.dataDirs.contains))
+            Some((c, added ++ c.dataDirs.filterNot(prev.dataDirs.contains)))
+          else None
+      }.map(_._2)
     }
   }
 
@@ -346,7 +394,16 @@ object CommitLog {
     * [min, max] is recorded for [[readLatestWhere]] data skipping. */
   def commit(spark: SparkSession, root: String, writer: String, action: String,
       maxAttempts: Int = 20, statsCol: Option[String] = None)(
-      build: Option[DataFrame] => DataFrame): Commit = {
+      build: Option[DataFrame] => DataFrame): Commit =
+    commitImpl(spark, root, writer, action, maxAttempts, statsCol,
+      rowInvisible = false)(build)
+
+  /** The rewrite engine behind [[commit]] (rowInvisible=false, always)
+    * and [[compact]] (rowInvisible=true — only row-preserving internal
+    * verbs may claim consumer-skippability). */
+  private def commitImpl(spark: SparkSession, root: String, writer: String,
+      action: String, maxAttempts: Int, statsCol: Option[String],
+      rowInvisible: Boolean)(build: Option[DataFrame] => DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     init(spark, root)
     val f = fs(spark, root)
@@ -357,11 +414,15 @@ object CommitLog {
       val cur = latest(spark, root)
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      build(cur.map(c => load(spark, root, c)))
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
+      val next = build(cur.map(c => load(spark, root, c)))
+      // a bad statsCol must fail BEFORE the snapshot write, not after
+      // minutes of I/O with an orphaned staging left behind
+      statsCol.foreach(sc => require(next.columns.contains(sc),
+        s"statsCol '$sc' not in snapshot schema ${next.schema.simpleString}"))
+      next.write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
       val st = statsCol.flatMap(sc => dirStats(spark, s"$root/$dataDir", sc))
         .map(dataDir -> _).toMap
-      val c = Commit(nextV, Seq(dataDir), writer, action, st)
+      val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible)
       if (tryClaim(spark, root, nextV, render(c))) return c
       // lost the race: another writer committed nextV first — discard the
       // stale staging (built against an outdated snapshot), back off
@@ -409,6 +470,9 @@ object CommitLog {
           s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
           "— evolve the schema with a rewrite commit, not an append")
     }
+    // a bad statsCol must fail BEFORE the delta write (no orphan staging)
+    statsCol.foreach(sc => require(delta.columns.contains(sc),
+      s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
     val tentative = headNow.map(_.version).getOrElse(0L) + 1
     val deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
@@ -447,7 +511,10 @@ object CommitLog {
     *
     * Already-compact heads (one dir, ≤ targetFiles files) return the
     * existing commit untouched — compaction must be safely schedulable on
-    * a cadence without rewriting quiescent tables.
+    * a cadence without rewriting quiescent tables. The commit is marked
+    * `rowInvisible`, so incremental consumers ([[appendedSince]], the
+    * changefeed tail) skip it instead of resyncing — OPTIMIZE never
+    * re-delivers the table downstream.
     *
     * Scale: an uncompacted 1000-append day leaves 1000 directories whose
     * listing + footer reads dominate scan planning long before the data
@@ -461,13 +528,18 @@ object CommitLog {
       statsCol: Option[String] = None): Option[Commit] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     latest(spark, root).map { head =>
-      val f = fs(spark, root)
-      val nFiles = head.dataDirs.iterator.map { d =>
-        Option(f.listStatus(new HPath(root, d))).toSeq.flatten
-          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      }.sum
+      // multi-dir heads always compact — count files (one listing per
+      // dir) only in the single-dir case, where it decides the no-op
+      def nFiles = {
+        val f = fs(spark, root)
+        head.dataDirs.iterator.map { d =>
+          Option(f.listStatus(new HPath(root, d))).toSeq.flatten
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        }.sum
+      }
       if (head.dataDirs.size <= 1 && nFiles <= targetFiles) head
-      else commit(spark, root, writer, "compact", maxAttempts, statsCol) { cur =>
+      else commitImpl(spark, root, writer, "compact", maxAttempts, statsCol,
+        rowInvisible = true) { cur =>
         // cur is always Some here: versions only grow, and the head
         // existed when compaction started
         cur.get.coalesce(targetFiles)

@@ -351,7 +351,10 @@ object StreamOps {
     * version-keyed sink (process receives the head version to key on).
     * A REWRITE commit (or a checkpoint older than vacuum retention)
     * breaks append-only incrementality; the run fails with a clear
-    * resync instruction rather than silently re-reading the world. */
+    * resync instruction rather than silently re-reading the world.
+    * Compaction does NOT: compact commits are rowInvisible and
+    * `appendedSince` skips them (empty delta, checkpoint advances), so
+    * the scheduled-OPTIMIZE cadence never forces a tail resync. */
   def runCommitLogTail(spark: SparkSession, root: String, checkpointDir: String)
       (process: (DataFrame, Long) => Unit): Long = {
     import graft.sources.CommitLog

@@ -374,5 +374,59 @@ class CommitLogSpec extends SparkSpec {
       statsCol = Some("k")).get
     assert(c.dataDirs.size == 1 && c.stats(c.dataDirs.head) == (0L, 101L))
     assert(CommitLog.readLatestWhere(spark, root, "k", 23L, 27L).get.count() == 5L)
+    // a bad statsCol fails BEFORE any write — no orphaned staging
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "w", "append",
+        statsCol = Some("tpyo"))((0L to 1L).toDF("k"))
+    }
+  }
+
+  test("compaction is transparent to incremental consumers (rowInvisible skip)") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ => Seq(1L, 2L).toDF("id") }
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(3L).toDF("id"))   // v2
+    val v2 = CommitLog.latest(spark, root).get.version
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(4L).toDF("id"))   // v3
+    CommitLog.compact(spark, root, "opt", targetFiles = 1)                   // v4
+    assert(CommitLog.latest(spark, root).get.rowInvisible,
+      "compact commits carry the dataChange=false marker")
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(5L).toDF("id"))   // v5
+    // consumer at v2: the delta across the compact is EXACTLY the rows
+    // appended after v2 — the pre-compact append (v3, whose dir survives
+    // because its commit is retained) plus the post-compact one (v5);
+    // the compacted snapshot itself is never re-delivered
+    val delta = CommitLog.appendedSince(spark, root, v2).get
+    assert(delta.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    // consumer at v3, only compact-then-append after it
+    assert(CommitLog.appendedSince(spark, root, 3L).get
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // consumer at v4 (the compact itself): just the append
+    assert(CommitLog.appendedSince(spark, root, 4L).get
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // compact-only progress: EMPTY delta (not None) — checkpoint advances
+    CommitLog.compact(spark, root, "opt", targetFiles = 2)                   // v6
+    val empty = CommitLog.appendedSince(spark, root, 5L).get
+    assert(empty.count() == 0L, "compact-only progress is an empty delta")
+    // a REAL rewrite still demands resync
+    CommitLog.commit(spark, root, "w", "rewrite") { cur =>
+      cur.get.filter(col("id") =!= 1L)
+    }
+    assert(CommitLog.appendedSince(spark, root, v2).isEmpty)
+    // and the changefeed tail rides through a compact without resync
+    val root2 = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-tailckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def tail(): Long = graft.streaming.StreamOps.runCommitLogTail(
+      spark, root2, ckpt)((df, _) =>
+      seen += df.collect().map(_.getLong(0)).toSeq.sorted)
+    CommitLog.commit(spark, root2, "w", "create") { _ => Seq(1L, 2L).toDF("id") }
+    tail()                                                                   // bootstrap
+    CommitLog.commitAppend(spark, root2, "w", "append")(Seq(3L).toDF("id"))
+    CommitLog.compact(spark, root2, "opt", targetFiles = 1)
+    CommitLog.commitAppend(spark, root2, "w", "append")(Seq(4L).toDF("id"))
+    tail()                                                                   // across the compact
+    assert(seen.toSeq == Seq(Seq(1L, 2L), Seq(3L, 4L)),
+      "tail delivers exactly the appended rows across a compaction")
   }
 }
