@@ -547,6 +547,36 @@ object CommitLog {
     }
   }
 
+  /** PURGE (retention enforcement / right-to-be-forgotten): commit a head
+    * WITHOUT the rows matching `pred`, then drop ALL retained history, so
+    * no API path — readLatest, readVersion, appendedSince — can reach a
+    * purged row again. The rewrite rides the ordinary optimistic loop
+    * (action="purge", row-VISIBLE: downstream consumers must resync,
+    * because rows they already received are being retracted — silently
+    * skipping a retraction would be the bug). The logical purge is
+    * IMMEDIATE: vacuum(keep=1) deletes old commit files synchronously, so
+    * dropped versions stop resolving the moment this returns; the retired
+    * data DIRECTORIES linger up to `graceMs` (the same window that
+    * protects in-flight appenders' stagings) and are swept by this or any
+    * later vacuum — call again with graceMs=0 once writers are quiesced
+    * if physical deletion must also be synchronous.
+    *
+    * Scale: one filtered snapshot rewrite — the unavoidable copy-on-write
+    * cost of retracting rows from immutable files; at 100 TB, production
+    * narrows the rewrite to affected partitions, same protocol. Returns
+    * None on an empty table. */
+  def purge(spark: SparkSession, root: String, writer: String,
+      graceMs: Long = 600000L)(
+      pred: org.apache.spark.sql.Column): Option[Commit] =
+    latest(spark, root).map { _ =>
+      val c = commit(spark, root, writer, "purge") { cur =>
+        // cur is always Some: versions only grow and the head existed
+        cur.get.filter(!pred)
+      }
+      vacuum(spark, root, keep = 1, graceMs)
+      c
+    }
+
   /** Retain only the newest `keep` committed versions: older commit FILES
     * are dropped, then every `data-*-v<N>` directory no kept commit
     * references is swept — vacuumed-version data and crashed/lost

@@ -429,4 +429,68 @@ class CommitLogSpec extends SparkSpec {
     assert(seen.toSeq == Seq(Seq(1L, 2L), Seq(3L, 4L)),
       "tail delivers exactly the appended rows across a compaction")
   }
+
+  test("compact racing appends stays serializable: no committed row lost") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "seed", "create") { _ =>
+      (0L until 100L).toDF("id").repartition(8)
+    }
+    (1 to 4).foreach(k => CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq(100L + k).toDF("id")))
+    val pool = Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // one compactor vs four appenders, all in flight together; a lost
+      // compaction claim must re-consolidate the NEW head, so whichever
+      // interleaving wins, every append survives
+      val fs = Future.sequence(
+        Future(CommitLog.compact(spark, root, "opt", targetFiles = 2)) +:
+          (5 to 8).map(k => Future {
+            CommitLog.commitAppend(spark, root, "w", "append")(
+              Seq(100L + k).toDF("id")): Any
+          }))
+      Await.result(fs, Duration.Inf)
+    } finally pool.shutdown()
+    val ids = CommitLog.readLatest(spark, root).get
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 100L) ++ (101L to 108L)).toSet,
+      "all appended rows survive a racing compaction")
+    // history is a serial chain: versions 1..10, exactly one compact
+    val h = CommitLog.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    assert(h.count(_.getString(2) == "compact") == 1)
+  }
+
+  test("purge removes rows from head AND all retained history") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(CommitLog.purge(spark, root, "gdpr")(col("id") < 0L).isEmpty,
+      "purge of an empty table is None")
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      (0L until 20L).toDF("id")
+    }
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+      (20L until 30L).toDF("id"))
+    val preVersions = CommitLog.history(spark, root).collect().map(_.getLong(0))
+    val purged = CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(
+      col("id") % 10L === 3L).get
+    assert(purged.action == "purge" && !purged.rowInvisible,
+      "purge is a row-VISIBLE rewrite — consumers must resync")
+    val ids = CommitLog.readLatest(spark, root).get
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 30L).filter(_ % 10L != 3L).toSet)
+    // every pre-purge version is unreachable — logical purge is immediate
+    preVersions.foreach(v =>
+      assert(CommitLog.readVersion(spark, root, v).isEmpty,
+        s"version $v must not resolve after purge"))
+    assert(CommitLog.appendedSince(spark, root, preVersions.max).isEmpty,
+      "a pre-purge checkpoint demands resync, not a silent skip")
+    // with grace 0, the retired data dirs are physically gone too
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
+    assert(dirs.length == 1, "only the purged head's directory remains")
+  }
 }
