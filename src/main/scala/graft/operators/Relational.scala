@@ -151,6 +151,10 @@ object Relational {
         graft.sources.CommitLog.commitAppend(s, root, "loader", "append",
           statsCol = Some("bucket"))(orders.filter(col("bucket") === k))
       }
+      // bloom sidecars over the PRIMARY key (uniformly scattered across
+      // buckets — the shape min/max stats cannot prune) for
+      // q_commit_log_bloom's point lookup
+      graft.sources.CommitLog.addBloom(s, root, "o_orderkey", fpp = 0.0001)
       root
     }
 
@@ -230,6 +234,22 @@ object Relational {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // POINT-lookup data skipping via BLOOM SIDECARS (CommitLog
+    // .readLatestPoint — the Delta bloom-index story): the probe key
+    // (the primary key, uniformly scattered across all four dirs) defeats
+    // min/max stats, but each dir's `_bloom/<dir>.bin` sidecar answers
+    // "definitely absent" with no false negatives, so the exact-key read
+    // scans ~1 of 4 dirs (CommitLogSpec proves pruning via inputFiles and
+    // the corrupt-sidecar degrade path). Oracle = the same point SELECT —
+    // a wrongly-skipped dir would drop the row and hash-fail. At 100 TB:
+    // key probes cost O(dirs that might hold the key), not O(history).
+    "q_commit_log_bloom" -> ((s, d) => {
+      val root = skipLogFor(s, d)
+      graft.sources.CommitLog.readLatestPoint(s, root, "o_orderkey", 32L).get
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "bucket")
+        .orderBy("o_orderkey")
     }),
 
     // Schema-evolved read: one directory, two parquet generations, the
@@ -478,6 +498,10 @@ object Relational {
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM orders WHERE o_orderkey % 100 IN (2, 3, 4, 5) " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_bloom" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "o_orderkey % 4 AS bucket FROM orders WHERE o_orderkey = 32 " +
+        "ORDER BY o_orderkey"),
     "q_commit_log_skip" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

@@ -547,6 +547,72 @@ object CommitLog {
     }
   }
 
+  private def bloomDir(root: String) = new HPath(root, "_bloom")
+  private def bloomPath(root: String, dir: String) =
+    new HPath(bloomDir(root), dir + ".bin")
+
+  /** Build missing BLOOM SIDECARS over `colName` for the head's data
+    * directories — the POINT-lookup complement of min/max stats: range
+    * stats prune nothing for a uniformly-distributed key (every dir
+    * spans the full range), but a bloom answers "definitely not in this
+    * dir" per exact value with no false negatives. Sidecars live in
+    * `<root>/_bloom/<dir>.bin`, keyed by the immutable dir name, and are
+    * ADVISORY metadata outside the commit protocol: a missing or corrupt
+    * sidecar means "scan the dir" ([[readLatestPoint]]), so no commit
+    * shape changes and no reader ever depends on one existing.
+    * Idempotent and schedulable (the [[compact]] cadence pattern): each
+    * call builds only sidecars that don't exist yet, so run it after
+    * appends to keep point reads cheap. Returns the number built.
+    * Supports long- and string-typed columns (the
+    * `DataFrameStatFunctions.bloomFilter` contract). */
+  def addBloom(spark: SparkSession, root: String, colName: String,
+      fpp: Double = 0.001): Int =
+    latest(spark, root).map { head =>
+      val f = fs(spark, root)
+      f.mkdirs(bloomDir(root))
+      head.dataDirs.count { d =>
+        val p = bloomPath(root, d)
+        !f.exists(p) && {
+          val df = spark.read.parquet(s"$root/$d")
+          require(df.columns.contains(colName),
+            s"bloom column '$colName' not in ${df.schema.simpleString}")
+          val n = df.count().max(1L)
+          val bf = df.stat.bloomFilter(colName, n, fpp)
+          val out = f.create(p, true)
+          try bf.writeTo(out) finally out.close()
+          true
+        }
+      }
+    }.getOrElse(0)
+
+  /** POINT-lookup read: the head filtered to `colName = value`, scanning
+    * only directories whose bloom sidecar might contain the value (no
+    * sidecar, or one that fails to parse ⇒ scan — skipping degrades,
+    * correctness doesn't; bloom false-positives just scan a dir the
+    * row-level filter then empties). Equals filter-after-readLatest by
+    * construction. At 100 TB: an exact-key probe of a long append
+    * history reads O(dirs that might hold the key) — for a key present
+    * once, that is ~1 dir + fpp·history false positives — instead of
+    * every dir, the lookup shape min/max stats cannot serve. */
+  def readLatestPoint(spark: SparkSession, root: String, colName: String,
+      value: Any): Option[DataFrame] =
+    latest(spark, root).map { c =>
+      val f = fs(spark, root)
+      val keep = c.dataDirs.filter { d =>
+        val p = bloomPath(root, d)
+        !f.exists(p) || {
+          val in = f.open(p)
+          try scala.util.Try(
+            org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              .mightContain(value)).getOrElse(true)
+          finally in.close()
+        }
+      }
+      val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
+      spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+        .filter(col(colName) === org.apache.spark.sql.functions.lit(value))
+    }
+
   /** PURGE (retention enforcement / right-to-be-forgotten): commit a head
     * WITHOUT the rows matching `pred`, then drop ALL retained history, so
     * no API path — readLatest, readVersion, appendedSince — can reach a
@@ -613,6 +679,16 @@ object CommitLog {
           now - st.getModificationTime > graceMs
       }
       .foreach(st => f.delete(st.getPath, true))
+    // stranded bloom sidecars: advisory metadata keyed by dir name, so a
+    // sidecar is garbage exactly when no kept commit references its dir
+    // AND the dir itself is gone (swept above or by an earlier pass)
+    if (f.exists(bloomDir(root)))
+      Option(f.listStatus(bloomDir(root))).toSeq.flatten
+        .filter { st =>
+          val d = st.getPath.getName.stripSuffix(".bin")
+          !live.contains(d) && !f.exists(new HPath(root, d))
+        }
+        .foreach(st => f.delete(st.getPath, false))
     old.size
   }
 }

@@ -462,6 +462,50 @@ class CommitLogSpec extends SparkSpec {
     assert(h.count(_.getString(2) == "compact") == 1)
   }
 
+  test("bloom sidecars skip definitely-absent dirs; missing/corrupt sidecars degrade to scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CommitLog.addBloom(spark, root, "id") == 0, "empty table: nothing to index")
+    CommitLog.commit(spark, root, "w", "create") { _ => (0L until 10L).toDF("id") }
+    (1 to 2).foreach(b => CommitLog.commitAppend(spark, root, "w", "append")(
+      (b * 10L until b * 10L + 10L).toDF("id")))
+    assert(CommitLog.addBloom(spark, root, "id", fpp = 0.0001) == 3)
+    assert(CommitLog.addBloom(spark, root, "id", fpp = 0.0001) == 0,
+      "idempotent: existing sidecars are not rebuilt")
+    val head = CommitLog.latest(spark, root).get
+    // a key in dir 1 only: bloom prunes dirs 0 and 2 (deterministic —
+    // same inserted sets always produce the same bits)
+    val hit = CommitLog.readLatestPoint(spark, root, "id", 15L).get
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains(head.dataDirs(1))),
+      "only the might-contain dir is planned")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(15L))
+    // an absent key: every dir bloom-pruned, provably-empty result
+    assert(CommitLog.readLatestPoint(spark, root, "id", 999L).get.count() == 0L)
+    // a new append WITHOUT a sidecar is always scanned
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(100L).toDF("id"))
+    val h2 = CommitLog.latest(spark, root).get
+    val probe = CommitLog.readLatestPoint(spark, root, "id", 100L).get
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(100L),
+      "sidecar-less dir is scanned, not wrongly skipped")
+    // corrupt sidecar: degrade to scan, never to a wrong answer
+    val bp = new org.apache.hadoop.fs.Path(root, "_bloom/" + h2.dataDirs(1) + ".bin")
+    val out = f.create(bp, true)
+    try out.write("not a bloom filter".getBytes("UTF-8")) finally out.close()
+    assert(CommitLog.readLatestPoint(spark, root, "id", 15L).get
+      .collect().map(_.getLong(0)).toSeq == Seq(15L))
+    // compact + vacuum strand the old sidecars; vacuum sweeps them
+    CommitLog.compact(spark, root, "opt", targetFiles = 1)
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val sidecars = f.listStatus(new org.apache.hadoop.fs.Path(root, "_bloom"))
+    assert(sidecars.isEmpty, "stranded sidecars are swept with their dirs")
+    // rebuild for the compacted head; point reads work again
+    assert(CommitLog.addBloom(spark, root, "id", fpp = 0.0001) == 1)
+    assert(CommitLog.readLatestPoint(spark, root, "id", 15L).get.count() == 1L)
+  }
+
   test("purge removes rows from head AND all retained history") {
     import spark.implicits._
     val root = freshRoot()
