@@ -522,7 +522,7 @@ object ScaleBench {
       // whose cost should be ~independent of history length; (c) is what
       // bounds the full-scan price after the cadence runs.
       val nApp = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_APPENDS", "64").toInt
-      val perDir = 20000L
+      val perDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_PERDIR", "20000").toLong
       val skipDir = freshDir("skip")
       graft.sources.CommitLog.commit(s, skipDir, "seed", "create",
         statsCol = Some("id")) { _ =>
@@ -549,6 +549,45 @@ object ScaleBench {
       measure(s"commitlog_fullread_compacted", nApp * perDir, reps) {
         graft.sources.CommitLog.readLatest(s, skipDir).get
       }
+
+      // Point lookups + clustering (r11 close): a SCATTERED-key history —
+      // append k holds ids ≡ k (mod nApp), so every dir spans the full
+      // range and min/max stats prune NOTHING. Three reads of the same
+      // logical point/range: (a) point probe with bloom sidecars (prunes
+      // to might-contain dirs) vs (b) the same probe as a full-history
+      // filter scan; then after an UNSORTED compact a key-range scan
+      // (files hold scattered keys — footer stats can't prune) vs after
+      // a SORTED compact (range-partitioned files — pushed predicate +
+      // footer min/max prune to ~1 file).
+      val scatDir = freshDir("scatter")
+      val totalN = nApp.toLong * perDir
+      graft.sources.CommitLog.commit(s, scatDir, "seed", "create") { _ =>
+        s.range(0L, totalN, nApp.toLong)
+          .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+      }
+      (1 until nApp).foreach { k =>
+        graft.sources.CommitLog.commitAppend(s, scatDir, "w", "append")(
+          s.range(k.toLong, totalN, nApp.toLong)
+            .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v"))
+      }
+      graft.sources.CommitLog.addBloom(s, scatDir, "id", fpp = 0.001)
+      val key = totalN / 2L + 1L
+      measure(s"commitlog_point_bloom_${nApp}dirs", 1L, reps) {
+        graft.sources.CommitLog.readLatestPoint(s, scatDir, "id", key).get
+      }
+      measure(s"commitlog_point_fullscan_${nApp}dirs", 1L, reps) {
+        graft.sources.CommitLog.readLatest(s, scatDir).get
+          .filter(org.apache.spark.sql.functions.col("id") === key)
+      }
+      def rangeScan() = graft.sources.CommitLog.readLatest(s, scatDir).get
+        .filter(s"id BETWEEN ${totalN / 2} AND ${totalN / 2 + perDir - 1}")
+      graft.sources.CommitLog.compact(s, scatDir, "opt", targetFiles = 8)
+      measure("commitlog_rangescan_unsorted", perDir, reps)(rangeScan())
+      graft.sources.CommitLog.compact(s, scatDir, "opt", targetFiles = 8,
+        sortCols = Seq("id"))
+      require(graft.sources.CommitLog.readLatest(s, scatDir).get.count() ==
+        totalN, "sorted compaction lost rows")
+      measure("commitlog_rangescan_sorted", perDir, reps)(rangeScan())
     }
 
     println("SCALE_DONE")

@@ -525,7 +525,8 @@ object CommitLog {
     * absorbs, exactly the OPTIMIZE trade. Returns None on an empty table. */
   def compact(spark: SparkSession, root: String, writer: String,
       targetFiles: Int = 4, maxAttempts: Int = 20,
-      statsCol: Option[String] = None): Option[Commit] = {
+      statsCol: Option[String] = None,
+      sortCols: Seq[String] = Nil): Option[Commit] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     latest(spark, root).map { head =>
       // multi-dir heads always compact — count files (one listing per
@@ -537,12 +538,23 @@ object CommitLog {
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         }.sum
       }
-      if (head.dataDirs.size <= 1 && nFiles <= targetFiles) head
+      if (head.dataDirs.size <= 1 && nFiles <= targetFiles && sortCols.isEmpty)
+        head
       else commitImpl(spark, root, writer, "compact", maxAttempts, statsCol,
         rowInvisible = true) { cur =>
         // cur is always Some here: versions only grow, and the head
-        // existed when compaction started
-        cur.get.coalesce(targetFiles)
+        // existed when compaction started. Plain compact coalesces
+        // (no shuffle); SORTED compact (the OPTIMIZE ZORDER BY idea)
+        // range-partitions + sorts on sortCols so each output file
+        // covers a NARROW key range — parquet row-group min/max stats
+        // then prune pushed key predicates inside the one consolidated
+        // dir, the sub-dir granularity the per-dir stats can't reach.
+        // The shuffle is the documented price of clustering.
+        val snap = cur.get
+        if (sortCols.isEmpty) snap.coalesce(targetFiles)
+        else snap
+          .repartitionByRange(targetFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
       }
     }
   }

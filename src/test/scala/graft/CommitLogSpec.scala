@@ -506,6 +506,44 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readLatestPoint(spark, root, "id", 15L).get.count() == 1L)
   }
 
+  test("sorted compaction clusters files into disjoint key ranges") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 4 appends of INTERLEAVED keys: every dir spans the full range, the
+    // worst case for any stats-based pruning
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      spark.range(0L, 400L, 4L).toDF("id")
+    }
+    (1 to 3).foreach(k => CommitLog.commitAppend(spark, root, "w", "append")(
+      spark.range(k.toLong, 400L, 4L).toDF("id")))
+    val c = CommitLog.compact(spark, root, "opt", targetFiles = 4,
+      statsCol = Some("id"), sortCols = Seq("id")).get
+    assert(c.rowInvisible && c.dataDirs.size == 1)
+    assert(c.stats(c.dataDirs.head) == (0L, 399L))
+    val head = CommitLog.readLatest(spark, root).get
+    assert(head.collect().map(_.getLong(0)).toSet == (0L until 400L).toSet,
+      "sorted compaction is row-invisible")
+    // per-file key ranges must be DISJOINT — the property that lets
+    // parquet footer min/max prune pushed key predicates to ~1 file
+    val ranges = head.inputFiles.toSeq.map { fpath =>
+      val r = spark.read.parquet(fpath)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size == 4)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file ranges overlap: $ranges")
+    }
+    // a sorted re-compact is NOT a no-op even on a compact head (it must
+    // re-cluster); an unsorted one still is
+    val v = CommitLog.latest(spark, root).get.version
+    assert(CommitLog.compact(spark, root, "opt", targetFiles = 4)
+      .get.version == v)
+    assert(CommitLog.compact(spark, root, "opt", targetFiles = 4,
+      sortCols = Seq("id")).get.version == v + 1)
+  }
+
   test("purge removes rows from head AND all retained history") {
     import spark.implicits._
     val root = freshRoot()
