@@ -158,6 +158,62 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_merge: create + append
+  // leave two dirs (key classes 6 and 7 mod 100, o_orderkey stats recorded),
+  // then ONE merge commit applies updates (class-6 keys divisible by 3:
+  // price + 5.0), inserts (class 8 — all-new keys), and deletes (even
+  // class-7 keys) with copy-on-write dir pruning. CommitLogSpec proves the
+  // pruning mechanics (untouched dirs byte-identical); this fixture gates
+  // the merged END STATE through DuckDB.
+  private val mergeCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def mergeLogFor(s: SparkSession, d: String): String =
+    mergeCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitmerge")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create",
+        statsCol = Some("o_orderkey")) { _ =>
+        orders.filter(col("o_orderkey") % 100 === 6)
+      }
+      graft.sources.CommitLog.commitAppend(s, root, "loader", "append",
+        statsCol = Some("o_orderkey"))(
+        orders.filter(col("o_orderkey") % 100 === 7))
+      val updates = orders
+        .filter(col("o_orderkey") % 100 === 6 && col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .withColumn("_del", lit(false))
+      val inserts = orders.filter(col("o_orderkey") % 100 === 8)
+        .withColumn("_del", lit(false))
+      val deletes = orders
+        .filter(col("o_orderkey") % 100 === 7 && col("o_orderkey") % 2 === 0)
+        .withColumn("_del", lit(true))
+      graft.sources.CommitLog.merge(s, root, "merger", "o_orderkey",
+        updates.union(inserts).union(deletes), deleteCol = Some("_del"))
+      root
+    }
+
+  // Session-cached commit-log table for q_commit_log_txn: three batches
+  // appended via commitAppendOnce, with batch 1 deliberately delivered
+  // TWICE — the foreachBatch crash-replay shape. The txn watermark in the
+  // commit JSON makes the second delivery a no-op, so the declared state
+  // holds each batch exactly once; a duplicated batch doubles class 10's
+  // counts and hash-fails the oracle.
+  private val txnCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def txnLogFor(s: SparkSession, d: String): String =
+    txnCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-committxn")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def slice(m: Int) = orders.filter(col("o_orderkey") % 100 === m)
+      def once(b: Long, m: Int) =
+        graft.sources.CommitLog.commitAppendOnce(s, root, "app1",
+          "stream-append", appId = "app1", batchId = b)(slice(m))
+      once(0L, 9); once(1L, 10)
+      once(1L, 10) // re-delivery: must be a no-op
+      once(2L, 11)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
     // Multi-writer table head through the OPTIMISTIC COMMIT LOG
     // (sources/CommitLog.scala — the lakehouse-style create-exclusive
@@ -250,6 +306,43 @@ object Relational {
       graft.sources.CommitLog.readLatestPoint(s, root, "o_orderkey", 32L).get
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "bucket")
         .orderBy("o_orderkey")
+    }),
+
+    // MERGE INTO through the commit log (CommitLog.merge — the Delta
+    // upsert/delete verb): one serializable commit applies updates,
+    // inserts, and flagged deletes to the keyed table, rewriting ONLY the
+    // directories whose recorded o_orderkey stats might contain a merge
+    // key (copy-on-write dir pruning; all-new-key changesets degrade to
+    // an O(delta) append). The oracle rebuilds the merged end state
+    // relationally — a stale row left beside its update, a lost delete,
+    // or a dropped insert all hash-fail. At 100 TB: a merge costs the
+    // affected dirs' rewrite + the changeset scan, never a table rewrite.
+    "q_commit_log_merge" -> ((s, d) => {
+      val root = mergeLogFor(s, d)
+      graft.sources.CommitLog.readLatest(s, root).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // EXACTLY-ONCE idempotent appends (CommitLog.commitAppendOnce — the
+    // Delta `txn` watermark): each append records (appId, batchId) in its
+    // commit, and a batch at-or-below the newest retained watermark
+    // no-ops — so foreachBatch re-delivery (crash between sink write and
+    // checkpoint advance) cannot duplicate rows. The fixture delivers
+    // batch 1 twice; the oracle holds each batch once, so a duplicated
+    // batch hash-fails. StreamOps.runStreamToCommitLog rides this to make
+    // writeStream → commit log exactly-once end-to-end (StreamingSpec).
+    "q_commit_log_txn" -> ((s, d) => {
+      val root = txnLogFor(s, d)
+      graft.sources.CommitLog.readLatest(s, root).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     // Schema-evolved read: one directory, two parquet generations, the
@@ -502,6 +595,27 @@ object Relational {
       ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
         "o_orderkey % 4 AS bucket FROM orders WHERE o_orderkey = 32 " +
         "ORDER BY o_orderkey"),
+    "q_commit_log_merge" ->
+      ("WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 IN (6, 7)), " +
+        "changes AS (" +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice + 5.0 AS o_totalprice, " +
+        "FALSE AS del FROM orders WHERE o_orderkey % 100 = 6 AND o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, FALSE " +
+        "FROM orders WHERE o_orderkey % 100 = 8 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE " +
+        "FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey % 2 = 0), " +
+        "merged AS (" +
+        "SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes) " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE NOT del) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM merged GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_txn" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (9, 10, 11) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_skip" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

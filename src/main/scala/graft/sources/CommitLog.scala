@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, when}
 
 /** Lakehouse-style OPTIMISTIC COMMIT LOG (SURVEY.md §3.2; VERDICT r10
   * missing #4 — the [U] capability model's task-queue lease analogue):
@@ -73,10 +73,26 @@ object CommitLog {
     * scheduled OPTIMIZE never re-delivers a 100 TB table downstream.
     * Only the library sets it; the public [[commit]] always records
     * row-visible commits, so a lying writer can't make consumers skip
-    * real changes. */
+    * real changes.
+    *
+    * `statsColName` records WHICH column the stats describe (r11): stats
+    * maps are carried forward across appends, so the column is a
+    * table-level convention — recording it lets [[readLatestWhere]] and
+    * [[merge]] prove the recorded ranges apply to the column they are
+    * pruning on, turning a mismatched-column misuse into a harmless full
+    * scan instead of a silently wrong prune. Pre-r11 commits lack the
+    * field (None): their stats prune only through the legacy
+    * caller-asserted path.
+    *
+    * `txn` is the idempotent-writer watermark (the Delta `txn` action):
+    * `(appId, batchId)` of the writer's last applied batch.
+    * [[commitAppendOnce]] skips a batch whose id is ≤ the newest retained
+    * watermark for its appId — exactly-once appends under foreachBatch
+    * re-delivery. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String, stats: Map[String, (Long, Long)] = Map.empty,
-      rowInvisible: Boolean = false)
+      rowInvisible: Boolean = false, statsColName: Option[String] = None,
+      txn: Option[(String, Long)] = None)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -102,15 +118,21 @@ object CommitLog {
 
   private def render(c: Commit): String = {
     // dir names are UUID-based internal identifiers ([A-Za-z0-9-]), so
-    // they embed unescaped for the same reason tags do (requireTag)
+    // they embed unescaped for the same reason tags do (requireTag);
+    // statsColName/txn.appId are requireTag-validated at the API edge
     val stats =
       if (c.stats.isEmpty) ""
       else c.stats.toSeq.sortBy(_._1).map { case (d, (lo, hi)) =>
         "\"" + d + "\":[" + lo + "," + hi + "]"
       }.mkString(""","stats":{""", ",", "}")
+    val statsCol = c.statsColName.filter(_ => c.stats.nonEmpty)
+      .map(n => s""","statsCol":"$n"""").getOrElse("")
+    val txn = c.txn.map { case (app, b) =>
+      s""","txn":{"app":"$app","batch":$b}"""
+    }.getOrElse("")
     val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$txn$statsCol$stats}"""
   }
 
   private def parse(v: Long, s: String): Option[Commit] = {
@@ -152,9 +174,19 @@ object CommitLog {
         b.result()
       }
     }
+    // txn watermark: like stats, OPTIONAL and damage-tolerant — a
+    // malformed block degrades to "no watermark" (a duplicate batch may
+    // re-append, the documented at-least-once floor), never unreadable
+    def txn: Option[(String, Long)] = {
+      val m = java.util.regex.Pattern
+        .compile("\"txn\":\\{\"app\":\"([^\"]*)\",\"batch\":(-?\\d+)\\}")
+        .matcher(s)
+      if (m.find()) Some((m.group(1), m.group(2).toLong)) else None
+    }
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
-      yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"))
+      yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
+        field("statsCol"), txn)
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -227,8 +259,15 @@ object CommitLog {
   def readLatestWhere(spark: SparkSession, root: String, statsCol: String,
       lo: Long, hi: Long): Option[DataFrame] =
     latest(spark, root).map { c =>
+      // stats prune only when the commit RECORDS that its ranges describe
+      // this column (r11) — asking for a range over a different column
+      // than the table's stats column degrades to scan-everything instead
+      // of wrongly pruning; pre-r11 commits (no recorded name) keep the
+      // caller-asserted legacy contract
+      val usable = c.statsColName.forall(_ == statsCol)
       val keep = c.dataDirs.filter(d =>
-        c.stats.get(d).forall { case (dLo, dHi) => dHi >= lo && dLo <= hi })
+        !usable ||
+          c.stats.get(d).forall { case (dLo, dHi) => dHi >= lo && dLo <= hi })
       // every dir pruned ⇒ provably-empty result; one dir anchors the
       // schema (its rows are filtered out by the predicate)
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
@@ -405,6 +444,7 @@ object CommitLog {
       action: String, maxAttempts: Int, statsCol: Option[String],
       rowInvisible: Boolean)(build: Option[DataFrame] => DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
+    statsCol.foreach(sc => requireTag(sc, "statsCol")) // embeds in the JSON
     init(spark, root)
     val f = fs(spark, root)
     var attempt = 0
@@ -422,7 +462,8 @@ object CommitLog {
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
       val st = statsCol.flatMap(sc => dirStats(spark, s"$root/$dataDir", sc))
         .map(dataDir -> _).toMap
-      val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible)
+      val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
+        statsColName = statsCol.filter(_ => st.nonEmpty))
       if (tryClaim(spark, root, nextV, render(c))) return c
       // lost the race: another writer committed nextV first — discard the
       // stale staging (built against an outdated snapshot), back off
@@ -449,10 +490,57 @@ object CommitLog {
     * commits recorded (carried forward through the head). */
   def commitAppend(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int = 20,
+      statsCol: Option[String] = None)(delta: DataFrame): Commit =
+    appendImpl(spark, root, writer, action, maxAttempts, statsCol,
+      txn = None)(delta)
+
+  /** Newest retained txn watermark for `appId` — the largest batch id any
+    * retained commit records for that app (commits are scanned newest-
+    * first; the first hit wins because one app's batches commit in
+    * order). O(retained log files), never a data read. Retention caveat
+    * (the Delta txn-retention contract): [[vacuum]] drops old commits'
+    * watermarks with them, so `keep` must exceed the longest writer
+    * restart window or a very stale writer may re-append its last batch. */
+  def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] =
+    versions(spark, root).reverse.view
+      .flatMap(v => readCommitFile(spark, root, v))
+      .flatMap(c => c.txn.collect { case (a, b) if a == appId => b })
+      .headOption
+
+  /** IDEMPOTENT transactional append — the Delta `txn` / foreachBatch
+    * exactly-once story: the commit records `(appId, batchId)`, and a
+    * batch whose id is ≤ the newest retained watermark for `appId` is a
+    * NO-OP returning the current head. Safe under re-delivery (a crash
+    * between a sink write and Spark's checkpoint advance re-runs the
+    * batch) AND under zombie writers (two instances of one app racing the
+    * same batch: the watermark is re-checked against the fresh head on
+    * every claim attempt, so the loser's retry sees the winner's
+    * watermark and no-ops). Requires batch ids non-decreasing per app —
+    * the Structured Streaming epoch contract. Combined with
+    * [[graft.streaming.StreamOps.runStreamToCommitLog]] this makes
+    * `writeStream → commit log` exactly-once end-to-end. */
+  def commitAppendOnce(spark: SparkSession, root: String, writer: String,
+      action: String, appId: String, batchId: Long, maxAttempts: Int = 20,
       statsCol: Option[String] = None)(delta: DataFrame): Commit = {
+    requireTag(appId, "appId") // embeds in the claim JSON
+    appendImpl(spark, root, writer, action, maxAttempts, statsCol,
+      txn = Some((appId, batchId)))(delta)
+  }
+
+  private def appendImpl(spark: SparkSession, root: String, writer: String,
+      action: String, maxAttempts: Int, statsCol: Option[String],
+      txn: Option[(String, Long)])(delta: DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
+    statsCol.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
     val f = fs(spark, root)
+    // already-applied batch: answer from the log alone, before any
+    // schema read or delta write
+    txn.foreach { case (app, b) =>
+      if (lastTxn(spark, root, app).exists(_ >= b))
+        return latest(spark, root).getOrElse(throw new IllegalStateException(
+          s"CommitLog: txn watermark for $app exists but no commit parses"))
+    }
     repairTornTail(spark, root)
     // SCHEMA enforcement: the head is read as the union of dirs, so a
     // delta whose columns drift (renamed, re-typed) would silently merge
@@ -469,6 +557,11 @@ object CommitLog {
         s"commitAppend schema mismatch vs head v${h.version}: " +
           s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
           "— evolve the schema with a rewrite commit, not an append")
+      // stats are ONE column per table (the map is carried forward, so
+      // heterogeneous columns would poison every later range prune)
+      for (hn <- h.statsColName; sc <- statsCol) require(hn == sc,
+        s"statsCol '$sc' conflicts with the table's recorded stats column " +
+          s"'$hn' — one stats column per table; change it with a rewrite")
     }
     // a bad statsCol must fail BEFORE the delta write (no orphan staging)
     statsCol.foreach(sc => require(delta.columns.contains(sc),
@@ -483,9 +576,26 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
+      // zombie-writer guard: a racing instance of the same app may have
+      // committed this batch since the pre-check. Re-verify AFTER reading
+      // `cur` (ordering matters): our claim succeeds only if no commit
+      // landed after `cur`, and any commit already in `cur` is visible to
+      // this later watermark listing — so a duplicate either loses the
+      // claim or sees the watermark; it can never append.
+      txn.foreach { case (app, b) =>
+        if (lastTxn(spark, root, app).exists(_ >= b)) {
+          f.delete(new HPath(s"$root/$deltaDir"), true)
+          return latest(spark, root).getOrElse(throw new IllegalStateException(
+            s"CommitLog: txn watermark for $app exists but no commit parses"))
+        }
+      }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
+      val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
       val c = Commit(nextV, cur.map(_.dataDirs).getOrElse(Nil) :+ deltaDir,
-        writer, action, cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats)
+        writer, action, allStats,
+        statsColName = statsCol.orElse(cur.flatMap(_.statsColName))
+          .filter(_ => allStats.nonEmpty),
+        txn = txn)
       if (tryClaim(spark, root, nextV, render(c))) return c
       Thread.sleep(50L * attempt)
     }
@@ -562,6 +672,31 @@ object CommitLog {
   private def bloomDir(root: String) = new HPath(root, "_bloom")
   private def bloomPath(root: String, dir: String) =
     new HPath(bloomDir(root), dir + ".bin")
+  private def bloomColPath(root: String) = new HPath(bloomDir(root), "_column")
+
+  /** The table's bloom column, from the `_bloom/_column` marker (r11):
+    * sidecars are raw BloomFilter bytes keyed by dir name, so the marker
+    * is what records WHICH column their members came from — [[merge]]
+    * refuses to prune with blooms built over a different column, and
+    * [[readLatestPoint]] ignores them (full scan beats a wrong prune).
+    * Absent for pre-marker tables: those keep the caller-asserted legacy
+    * contract on the point-lookup path and never bloom-prune a merge. */
+  def bloomColumn(spark: SparkSession, root: String): Option[String] = {
+    val f = fs(spark, root)
+    val p = bloomColPath(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try scala.util.Try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8).trim
+      }.toOption.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
 
   /** Build missing BLOOM SIDECARS over `colName` for the head's data
     * directories — the POINT-lookup complement of min/max stats: range
@@ -582,6 +717,19 @@ object CommitLog {
     latest(spark, root).map { head =>
       val f = fs(spark, root)
       f.mkdirs(bloomDir(root))
+      // ONE bloom column per table (the stats-column rule's sidecar
+      // twin): existing sidecars' members came from the marker's column,
+      // so building new ones over a different column would leave a
+      // heterogeneous set no reader could prune with safely
+      bloomColumn(spark, root) match {
+        case Some(existing) => require(existing == colName,
+          s"bloom column '$colName' conflicts with the table's existing " +
+            s"bloom column '$existing' — one bloom column per table")
+        case None =>
+          val out = f.create(bloomColPath(root), true)
+          try out.write(colName.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+      }
       head.dataDirs.count { d =>
         val p = bloomPath(root, d)
         !f.exists(p) && {
@@ -610,9 +758,14 @@ object CommitLog {
       value: Any): Option[DataFrame] =
     latest(spark, root).map { c =>
       val f = fs(spark, root)
+      // marker mismatch ⇒ the sidecars describe a DIFFERENT column: skip
+      // pruning entirely (scan all dirs) rather than consult blooms whose
+      // "definitely absent" answers are about the wrong values; no marker
+      // (pre-marker table) keeps the caller-asserted legacy contract
+      val markerOk = bloomColumn(spark, root).forall(_ == colName)
       val keep = c.dataDirs.filter { d =>
         val p = bloomPath(root, d)
-        !f.exists(p) || {
+        !markerOk || !f.exists(p) || {
           val in = f.open(p)
           try scala.util.Try(
             org.apache.spark.util.sketch.BloomFilter.readFrom(in)
@@ -654,6 +807,180 @@ object CommitLog {
       vacuum(spark, root, keep = 1, graceMs)
       c
     }
+
+  /** MERGE (the Delta `MERGE INTO` shape): apply a keyed changeset to the
+    * table in ONE serializable commit — a change row whose key exists
+    * REPLACES the stored row (update), a new key INSERTS, and a row whose
+    * `deleteCol` flag is true DELETES its key (no-op for absent keys).
+    * `changes` must carry the head's schema (plus the optional flag
+    * column) and exactly one row per key; keys must be non-null (null
+    * never equi-matches — a null-keyed "update" would silently insert).
+    *
+    * COPY-ON-WRITE with DIRECTORY PRUNING — the scale story: only
+    * directories that MIGHT contain a merge key are rewritten; every
+    * other directory is carried into the new commit untouched
+    * (byte-identical files, stats preserved). "Might contain" is proven
+    * per dir, strongest evidence first:
+    *  - its bloom sidecar (when the `_bloom/_column` marker names
+    *    `keyCol` and the changeset's distinct keys fit `maxProbeKeys`):
+    *    every key definitely absent ⇒ prune — exact per-key evidence
+    *    with no false negatives, the [[readLatestPoint]] machinery;
+    *  - else its recorded [min, max] stats (when the commit's
+    *    `statsColName` is `keyCol`): key range disjoint ⇒ prune;
+    *  - else the dir is rewritten (no evidence, no risk).
+    * A dir wrongly pruned would strand a stale row under a merged key —
+    * which is why pruning only ever uses evidence RECORDED for `keyCol`,
+    * never a caller assertion. When NO dir might contain a key, the merge
+    * degrades to a pure O(delta) insert append (prior dirs re-referenced,
+    * deletes of absent keys no-op) — and to a no-op returning the head
+    * when there is nothing to insert either.
+    *
+    * At 100 TB: a changeset touching k of N sorted/bloomed directories
+    * costs k dir rewrites + the changeset scan, never a table rewrite —
+    * run [[compact]] with `sortCols=keyCol` and [[addBloom]] on a cadence
+    * and k tracks the changeset's true key locality. The commit is
+    * row-VISIBLE (it retracts/replaces rows), so incremental consumers
+    * resync — except the pure-insert path, which commits append-shaped
+    * and flows through [[appendedSince]] like any append.
+    *
+    * Concurrency: the ordinary optimistic loop — pruning and the rebuild
+    * re-run against the fresh head after every lost claim, so a racing
+    * append landing a merge key between attempts is re-pruned, never
+    * missed. Returns the winning commit (or the unchanged head for a
+    * no-op). */
+  def merge(spark: SparkSession, root: String, writer: String, keyCol: String,
+      changes: DataFrame, deleteCol: Option[String] = None,
+      statsCol: Option[String] = None, maxAttempts: Int = 20,
+      maxProbeKeys: Int = 10000): Commit = {
+    requireTag(writer, "writer")
+    statsCol.foreach(sc => requireTag(sc, "statsCol"))
+    deleteCol.foreach(dc => require(changes.columns.contains(dc),
+      s"deleteCol '$dc' not in changes schema ${changes.schema.simpleString}"))
+    require(changes.columns.contains(keyCol),
+      s"keyCol '$keyCol' not in changes schema ${changes.schema.simpleString}")
+    init(spark, root)
+    val f = fs(spark, root)
+    val delFlag = deleteCol.map(col).getOrElse(lit(false))
+
+    // changeset invariants + pruning metadata, computed ONCE (the
+    // changeset is attempt-invariant): one row per non-null key, the key
+    // range for stats pruning (usable only when EVERY key casts to long —
+    // a partial cast would shrink the range and wrongly prune), and the
+    // collected keys for bloom probing when they fit the driver budget
+    val kc = col(keyCol)
+    val kstats = changes.agg(
+      count(lit(1)), count(when(kc.isNull, 1)),
+      org.apache.spark.sql.functions.count_distinct(kc),
+      min(kc.cast("long")), max(kc.cast("long")),
+      count(when(kc.isNotNull && kc.cast("long").isNull, 1))).head()
+    val (nRows, nNullKeys, nKeys) =
+      (kstats.getLong(0), kstats.getLong(1), kstats.getLong(2))
+    require(nNullKeys == 0, s"merge keys ('$keyCol') must be non-null")
+    require(nRows == nKeys,
+      s"merge changes must hold one row per '$keyCol': $nRows rows over " +
+        s"$nKeys distinct keys — pre-aggregate the changeset (q_upsert_latest)")
+    val keysRange: Option[(Long, Long)] =
+      if (kstats.getLong(5) == 0 && !kstats.isNullAt(3))
+        Some((kstats.getLong(3), kstats.getLong(4)))
+      else None
+    val probeKeys: Option[Array[Any]] =
+      if (nKeys <= maxProbeKeys)
+        Some(changes.select(kc).distinct().collect().map(_.get(0)))
+      else None
+    val hasInserts = changes.filter(!delFlag).limit(1).count() > 0
+
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val cur = latest(spark, root)
+      val (dirs, stage, effStatsCol) = cur match {
+        case None =>
+          // empty table: the merge is a create of the inserts
+          if (!hasInserts)
+            throw new IllegalStateException(
+              "merge into an empty table with no inserts — nothing to commit")
+          val payload = changes.filter(!delFlag)
+            .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
+          (Nil, payload, statsCol)
+        case Some(head) =>
+          val headSchema = load(spark, root, head).schema
+          require(headSchema.fieldNames.contains(keyCol),
+            s"keyCol '$keyCol' not in head schema ${headSchema.simpleString}")
+          val payloadFields = changes.schema.filterNot(sf =>
+            deleteCol.contains(sf.name))
+          val same = headSchema.length == payloadFields.length &&
+            headSchema.forall(hf => payloadFields.exists(pf =>
+              pf.name == hf.name && pf.dataType == hf.dataType))
+          require(same,
+            s"merge schema mismatch vs head v${head.version}: head " +
+              s"${headSchema.simpleString} vs changes (minus deleteCol) " +
+              payloadFields.map(_.toDDL).mkString("[", ", ", "]"))
+          for (hn <- head.statsColName; sc <- statsCol) require(hn == sc,
+            s"statsCol '$sc' conflicts with the table's recorded stats " +
+              s"column '$hn' — one stats column per table")
+          val eff = statsCol.orElse(head.statsColName)
+          val inserts = changes.filter(!delFlag)
+            .select(headSchema.fieldNames.map(col): _*)
+          val bloomUsable = bloomColumn(spark, root).contains(keyCol) &&
+            probeKeys.isDefined
+          val statsUsable = head.statsColName.contains(keyCol)
+          def mightContain(d: String): Boolean = {
+            val byBloom: Option[Boolean] =
+              if (!bloomUsable) None
+              else {
+                val p = bloomPath(root, d)
+                if (!f.exists(p)) None
+                else {
+                  val in = f.open(p)
+                  try scala.util.Try {
+                    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                    probeKeys.get.exists(bf.mightContain)
+                  }.toOption finally in.close()
+                }
+              }
+            byBloom.getOrElse {
+              !statsUsable || head.stats.get(d).forall { case (lo, hi) =>
+                keysRange.forall { case (kLo, kHi) => hi >= kLo && lo <= kHi }
+              }
+            }
+          }
+          val affected = head.dataDirs.filter(mightContain)
+          if (affected.isEmpty) {
+            // proven: no stored row carries a merge key — deletes no-op
+            // and the merge is a pure insert (append shape, O(delta))
+            if (!hasInserts) return head // full no-op: nothing moves
+            (head.dataDirs, inserts, eff)
+          } else {
+            val old = spark.read.parquet(affected.map(d => s"$root/$d"): _*)
+            val keys = changes.select(kc).distinct()
+            val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
+            val rebuilt = old.join(keyed, Seq(keyCol), "left_anti")
+              .select(headSchema.fieldNames.map(col): _*)
+              .union(inserts)
+            (head.dataDirs.filterNot(affected.contains), rebuilt, eff)
+          }
+      }
+      val nextV = cur.map(_.version).getOrElse(0L) + 1
+      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      val newStats = effStatsCol
+        .flatMap(sc => dirStats(spark, s"$root/$newDir", sc))
+        .map(newDir -> _).toMap
+      val carried = cur.map(_.stats).getOrElse(Map.empty)
+        .filter { case (d, _) => dirs.contains(d) }
+      val allStats = carried ++ newStats
+      val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
+        statsColName = effStatsCol.filter(_ => allStats.nonEmpty))
+      if (tryClaim(spark, root, nextV, render(c))) return c
+      // lost the race: the affected set may have changed under the new
+      // head — discard the staging and re-prune from scratch
+      f.delete(new HPath(s"$root/$newDir"), true)
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive merge claims on $root")
+  }
 
   /** Retain only the newest `keep` committed versions: older commit FILES
     * are dropped, then every `data-*-v<N>` directory no kept commit
@@ -697,8 +1024,12 @@ object CommitLog {
     if (f.exists(bloomDir(root)))
       Option(f.listStatus(bloomDir(root))).toSeq.flatten
         .filter { st =>
-          val d = st.getPath.getName.stripSuffix(".bin")
-          !live.contains(d) && !f.exists(new HPath(root, d))
+          // only `<dir>.bin` sidecars are sweepable — the `_column`
+          // marker is table-lifetime metadata, not keyed to any dir
+          st.getPath.getName.endsWith(".bin") && {
+            val d = st.getPath.getName.stripSuffix(".bin")
+            !live.contains(d) && !f.exists(new HPath(root, d))
+          }
         }
         .foreach(st => f.delete(st.getPath, false))
     old.size

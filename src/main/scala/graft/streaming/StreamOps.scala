@@ -392,6 +392,38 @@ object StreamOps {
     head
   }
 
+  /** Stream → COMMIT LOG, exactly-once end-to-end (r11): drain whatever
+    * is new in `stream` (Trigger.AvailableNow) and append each
+    * micro-batch to the commit-log table through
+    * [[graft.sources.CommitLog.commitAppendOnce]], keyed by
+    * (appId, batchId). foreachBatch is at-least-once — a crash between
+    * the sink write and Spark's checkpoint advance RE-DELIVERS the batch
+    * on restart — but the commit log's txn watermark makes the re-run a
+    * no-op, so the table sees every batch exactly once. This is the
+    * Delta idempotent-sink pattern: Spark's checkpoint orders the
+    * batches, the sink's own log dedups them; neither alone suffices.
+    * Scale: each batch commits O(batch) rows + one log file; the table's
+    * compact/vacuum cadence bounds the dir count as batches accumulate. */
+  def runStreamToCommitLog(stream: DataFrame, root: String,
+      checkpointDir: String, appId: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // an empty micro-batch would commit an empty dir — skip it; the
+        // unadvanced watermark is harmless (replaying an empty batch
+        // appends nothing by definition)
+        if (!df.isEmpty)
+          graft.sources.CommitLog.commitAppendOnce(df.sparkSession, root,
+            writer = appId, action = "stream-append", appId = appId,
+            batchId = batchId)(df)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One incremental run: process whatever input files are NEW since the
     * checkpoint, append to the parquet sink, stop (Trigger.AvailableNow).
     * This is the reference's "re-run the mapper over new data" idiom as a

@@ -500,7 +500,9 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.compact(spark, root, "opt", targetFiles = 1)
     CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
     val sidecars = f.listStatus(new org.apache.hadoop.fs.Path(root, "_bloom"))
-    assert(sidecars.isEmpty, "stranded sidecars are swept with their dirs")
+    // only the table-lifetime `_column` marker survives the sweep
+    assert(sidecars.map(_.getPath.getName).toSeq == Seq("_column"),
+      "stranded sidecars are swept with their dirs; the marker is kept")
     // rebuild for the compacted head; point reads work again
     assert(CommitLog.addBloom(spark, root, "id", fpp = 0.0001) == 1)
     assert(CommitLog.readLatestPoint(spark, root, "id", 15L).get.count() == 1L)
@@ -542,6 +544,176 @@ class CommitLogSpec extends SparkSpec {
       .get.version == v)
     assert(CommitLog.compact(spark, root, "opt", targetFiles = 4,
       sortCols = Seq("id")).get.version == v + 1)
+  }
+
+  test("merge applies updates, inserts, and deletes in one commit; rejects bad changesets") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v")
+    }
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "tag", "v"))
+    val changes = Seq(
+      (2L, "B", 99.0, false), // update
+      (5L, "e", 50.0, false), // insert
+      (3L, "c", 0.0, true),   // delete
+      (9L, "x", 0.0, true)    // delete of an absent key: no-op
+    ).toDF("id", "tag", "v", "del")
+    val c = CommitLog.merge(spark, root, "m", "id", changes,
+      deleteCol = Some("del"))
+    assert(c.action == "merge")
+    assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) == Seq(
+      Seq(1L, "a", 10.0), Seq(2L, "B", 99.0), Seq(4L, "d", 40.0),
+      Seq(5L, "e", 50.0)))
+    // guards: two rows per key, null keys, schema drift — each rejected
+    // before any staging write
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, "m", "id",
+        Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, "m", "id",
+        Seq((Option.empty[Long], "q", 1.0)).toDF("id", "tag", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, "m", "id", Seq((1L, 5)).toDF("id", "other"))
+    }
+  }
+
+  test("merge rewrites only dirs that might hold a merge key (stats pruning)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three dirs with DISJOINT id ranges, o_orderkey-style stats recorded
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      spark.range(0L, 100L).toDF("id")
+    }
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+      spark.range(100L, 200L).toDF("id"))
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+      spark.range(200L, 300L).toDF("id"))
+    val before = CommitLog.latest(spark, root).get
+    val filesBefore = CommitLog.readLatest(spark, root).get.inputFiles.toSet
+    // delete two keys confined to the MIDDLE dir
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((150L, true), (160L, true)).toDF("id", "del"),
+      deleteCol = Some("del"))
+    val after = CommitLog.latest(spark, root).get
+    // outer dirs carried over verbatim — same dir names, same files,
+    // stats preserved; only the middle dir was rewritten
+    assert(after.dataDirs.toSet.intersect(before.dataDirs.toSet).size == 2)
+    val untouchedStats = after.dataDirs.filter(before.dataDirs.contains)
+      .flatMap(after.stats.get)
+    assert(untouchedStats.toSet == Set((0L, 99L), (200L, 299L)))
+    val filesAfter = CommitLog.readLatest(spark, root).get.inputFiles.toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "untouched dirs share their physical files across the merge")
+    assert(CommitLog.readLatest(spark, root).get.count() == 298L)
+    assert(after.statsColName.contains("id"), "stats column survives a merge")
+  }
+
+  test("merge bloom pruning, pure-insert append path, and the no-op merge") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two dirs with INTERLEAVED ranges — min/max stats cannot prune; the
+    // bloom sidecars can
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      spark.range(0L, 100L, 2L).toDF("id") // evens
+    }
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+      spark.range(1L, 100L, 2L).toDF("id")) // odds
+    CommitLog.addBloom(spark, root, "id")
+    val before = CommitLog.latest(spark, root).get
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((11L, true), (13L, true)).toDF("id", "del"), deleteCol = Some("del"))
+    val after = CommitLog.latest(spark, root).get
+    assert(after.dataDirs.contains(before.dataDirs.head),
+      "even dir untouched: its bloom proves both odd keys absent")
+    assert(!after.dataDirs.contains(before.dataDirs(1)))
+    assert(CommitLog.readLatest(spark, root).get.count() == 98L)
+    // all-new keys ⇒ PURE-INSERT fast path: append-shaped commit (prior
+    // dirs re-referenced), and incremental consumers receive exactly the
+    // inserted rows — a merge that is an append flows like one
+    val v = after.version
+    val c = CommitLog.merge(spark, root, "m", "id",
+      Seq(1000L, 1001L).toDF("id"))
+    assert(c.dataDirs.init == after.dataDirs, "append shape: dirs shared")
+    assert(rows(CommitLog.appendedSince(spark, root, v).get.orderBy("id")) ==
+      Seq(Seq(1000L), Seq(1001L)))
+    // deletes of provably-absent keys only ⇒ full no-op: head unchanged
+    val c2 = CommitLog.merge(spark, root, "m", "id",
+      Seq((5000L, true)).toDF("id", "del"), deleteCol = Some("del"))
+    assert(c2.version == c.version)
+  }
+
+  test("stats and bloom columns are table-level contracts; mismatched reads scan, not prune") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("a")) { _ =>
+      Seq((1L, 100L), (2L, 200L)).toDF("a", "b")
+    }
+    // a second stats column is rejected — carried-forward stats maps must
+    // stay homogeneous or every later range prune is poisoned
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("b"))(
+        Seq((3L, 300L)).toDF("a", "b"))
+    }
+    // a range read over column b, with stats recorded for a, must NOT
+    // prune with a's ranges (a-range [1,2] is disjoint from [150,250] —
+    // a wrong prune would return empty); it scans and answers correctly
+    assert(rows(CommitLog.readLatestWhere(spark, root, "b", 150L, 250L).get) ==
+      Seq(Seq(2L, 200L)))
+    // bloom column is equally exclusive, and a point lookup on the
+    // OTHER column ignores the sidecars (scan-all) instead of consulting
+    // blooms about the wrong values
+    CommitLog.addBloom(spark, root, "a")
+    intercept[IllegalArgumentException] { CommitLog.addBloom(spark, root, "b") }
+    assert(rows(CommitLog.readLatestPoint(spark, root, "b", 100L).get) ==
+      Seq(Seq(1L, 100L)))
+  }
+
+  test("commitAppendOnce: re-delivered batches no-op; watermarks are per-app") {
+    import spark.implicits._
+    val root = freshRoot()
+    def once(b: Long, ids: Seq[Long]) =
+      CommitLog.commitAppendOnce(spark, root, "s", "stream-append",
+        appId = "appA", batchId = b)(ids.toDF("id"))
+    val c0 = once(0L, Seq(1L, 2L))
+    assert(c0.txn.contains(("appA", 0L)))
+    assert(CommitLog.lastTxn(spark, root, "appA").contains(0L))
+    assert(once(0L, Seq(1L, 2L)).version == c0.version, "re-delivery no-ops")
+    assert(CommitLog.readLatest(spark, root).get.count() == 2L)
+    // an unrelated writer's commit does not disturb the watermark
+    CommitLog.commitAppend(spark, root, "other", "append")(Seq(50L).toDF("id"))
+    assert(CommitLog.lastTxn(spark, root, "appA").contains(0L))
+    once(1L, Seq(3L))
+    once(1L, Seq(3L)) // replay after later progress: still a no-op
+    assert(CommitLog.readLatest(spark, root).get.count() == 4L)
+    // apps are independent watermarks
+    assert(CommitLog.lastTxn(spark, root, "appB").isEmpty)
+    CommitLog.commitAppendOnce(spark, root, "s", "stream-append",
+      appId = "appB", batchId = 0L)(Seq(99L).toDF("id"))
+    assert(CommitLog.readLatest(spark, root).get.count() == 5L)
+  }
+
+  test("zombie writers racing one batch: exactly one append lands") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "seed", "create") { _ => Seq(0L).toDF("id") }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 4).map { _ =>
+        Future {
+          CommitLog.commitAppendOnce(spark, root, "s", "stream-append",
+            appId = "appZ", batchId = 7L)(Seq(1L, 2L, 3L).toDF("id"))
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+    assert(CommitLog.readLatest(spark, root).get.count() == 4L,
+      "the batch appended exactly once despite 4 racing writers")
+    assert(CommitLog.lastTxn(spark, root, "appZ").contains(7L))
   }
 
   test("purge removes rows from head AND all retained history") {

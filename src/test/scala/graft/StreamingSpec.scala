@@ -128,6 +128,51 @@ class StreamingSpec extends SparkSpec {
     assert(outCount() == n, "a run with no new input must append nothing")
   }
 
+  test("stream to commit log is exactly-once: re-delivered batches and empty runs append nothing") {
+    import graft.sources.CommitLog
+    val src = Files.createTempDirectory("graft-cl-src").toString
+    val ckpt = Files.createTempDirectory("graft-cl-ckpt").toString
+    val root = Files.createTempDirectory("graft-cl-root").toString
+    val all = splitEventsIntoChunks(6)
+    val parts = new java.io.File(all).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def arrive(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName))
+    }
+    def tableCount() = CommitLog.readLatest(spark, root).map(_.count()).getOrElse(0L)
+
+    arrive(parts.take(3))
+    StreamOps.runStreamToCommitLog(StreamOps.eventsStream(spark, src), root, ckpt, "ingest")
+    val afterFirst = tableCount()
+    assert(afterFirst > 0)
+    val v1 = CommitLog.latest(spark, root).get.version
+
+    // foreachBatch re-delivery (a crash between the sink write and the
+    // checkpoint advance re-runs the batch): replay the newest applied
+    // batch directly — the txn watermark must make it a no-op
+    val lastB = CommitLog.lastTxn(spark, root, "ingest").get
+    CommitLog.commitAppendOnce(spark, root, "ingest", "stream-append",
+      appId = "ingest", batchId = lastB)(Tables.events(spark, sf))
+    assert(tableCount() == afterFirst && CommitLog.latest(spark, root).get.version == v1,
+      "a re-delivered batch appends nothing")
+
+    arrive(parts.drop(3))
+    StreamOps.runStreamToCommitLog(StreamOps.eventsStream(spark, src), root, ckpt, "ingest")
+    val n = Tables.events(spark, sf).count()
+    assert(tableCount() == n, s"two runs must land all $n events exactly once")
+
+    // nothing new: the run must not commit (no version motion at all)
+    val v2 = CommitLog.latest(spark, root).get.version
+    StreamOps.runStreamToCommitLog(StreamOps.eventsStream(spark, src), root, ckpt, "ingest")
+    assert(CommitLog.latest(spark, root).get.version == v2)
+
+    // and the ingested table IS the batch table, row for row
+    val a = CommitLog.readLatest(spark, root).get
+    val b = Tables.events(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "commit-log ingest equals the batch read")
+  }
+
   test("streaming EWMA sealed snapshots are bit-equal to the batch fold; state stays bounded") {
     val dir = splitEventsIntoChunks(8)
     val q = StreamOps.runningEwma(StreamOps.eventsStream(spark, dir), "10 minutes")
