@@ -588,6 +588,45 @@ object ScaleBench {
       require(graft.sources.CommitLog.readLatest(s, scatDir).get.count() ==
         totalN, "sorted compaction lost rows")
       measure("commitlog_rangescan_sorted", perDir, reps)(rangeScan())
+
+      // MERGE pruning payoff (r11): a scattered-key table and a 100-key
+      // changeset whose keys are all ≡ 5 (mod nm) — every merge key
+      // lives in ONE of the nm dirs. With bloom sidecars the merge
+      // PROVES the other nm−1 dirs clean and rewrites O(1) dirs + the
+      // changeset; with no recorded evidence it must rewrite every dir
+      // (same final table, asserted). These are the two prices of the
+      // Delta MERGE story: O(affected) vs O(table).
+      val nm = 16
+      val perM = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_PERMERGE", "80000").toLong
+      val mergeN = nm.toLong * perM
+      // 64-char pseudo-random payload so the rewrite price is a real
+      // document-row price, not a 16-byte-row artifact
+      val payloadExpr =
+        "concat(md5(CAST(id AS STRING)), md5(CAST(id + 7 AS STRING))) AS payload"
+      def mergeTable(tag: String, blooms: Boolean): String = {
+        val dir = freshDir(tag)
+        graft.sources.CommitLog.commit(s, dir, "seed", "create") { _ =>
+          s.range(0L, mergeN, nm.toLong).selectExpr("id", payloadExpr)
+        }
+        (1 until nm).foreach { k =>
+          graft.sources.CommitLog.commitAppend(s, dir, "w", "append")(
+            s.range(k.toLong, mergeN, nm.toLong).selectExpr("id", payloadExpr))
+        }
+        if (blooms) graft.sources.CommitLog.addBloom(s, dir, "id", fpp = 0.001)
+        dir
+      }
+      def mergeChanges = s.range(0L, 100L)
+        .selectExpr(s"id * $nm + 5 AS id", "'updated' AS payload")
+      def timeMerge(tag: String, dir: String): Unit = {
+        val t0 = System.nanoTime()
+        graft.sources.CommitLog.merge(s, dir, "m", "id", mergeChanges)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(graft.sources.CommitLog.readLatest(s, dir).get.count() ==
+          mergeN, s"commitlog_$tag changed the row count")
+        println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":$mergeN,"sec":${r3(sec)},"reps":[1]}""")
+      }
+      timeMerge("merge_full_rewrite", mergeTable("mergefull", blooms = false))
+      timeMerge("merge_bloom_pruned", mergeTable("mergebloom", blooms = true))
     }
 
     println("SCALE_DONE")
