@@ -192,6 +192,35 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_cdf: create (class
+  // 12), append (class 13), then a merge applying updates (class-12 keys
+  // divisible by 3: price + 5.0) and deletes (even class-13 keys). The
+  // declared result is the CHANGE FEED from version 1: the append's rows
+  // synthesized as inserts (zero extra storage) plus the merge's persisted
+  // changeset as upserts/deletes, each stamped with its commit version.
+  private val cdfCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def cdfLogFor(s: SparkSession, d: String): String =
+    cdfCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitcdf")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter(col("o_orderkey") % 100 === 12)
+      }
+      graft.sources.CommitLog.commitAppend(s, root, "loader", "append")(
+        orders.filter(col("o_orderkey") % 100 === 13))
+      val updates = orders
+        .filter(col("o_orderkey") % 100 === 12 && col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .withColumn("_del", lit(false))
+      val deletes = orders
+        .filter(col("o_orderkey") % 100 === 13 && col("o_orderkey") % 2 === 0)
+        .withColumn("_del", lit(true))
+      graft.sources.CommitLog.merge(s, root, "merger", "o_orderkey",
+        updates.union(deletes), deleteCol = Some("_del"))
+      root
+    }
+
   // Session-cached commit-log table for q_commit_log_txn: three batches
   // appended via commitAppendOnce, with batch 1 deliberately delivered
   // TWICE — the foreachBatch crash-replay shape. The txn watermark in the
@@ -343,6 +372,29 @@ object Relational {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // CHANGE DATA FEED over the commit log (CommitLog.changesSince — the
+    // Delta CDF shape): row-level deltas from a base version to the head,
+    // typed insert/upsert/delete and stamped with their commit version,
+    // so downstream keyed state rides THROUGH merges instead of
+    // resyncing. Appends synthesize inserts from their own data dirs
+    // (zero storage); merges persist their changeset to _changes/v<N>
+    // post-claim; purge deliberately breaks the feed (a CDF that
+    // retained purged rows as delete records would defeat retention).
+    // Oracle rebuilds the same typed rows relationally — a missing
+    // delete, a double-delivered insert, or a mis-stamped version all
+    // hash-fail. At 100 TB: consuming a merge costs the changeset's
+    // size, not the table's.
+    "q_commit_log_cdf" -> ((s, d) => {
+      val root = cdfLogFor(s, d)
+      graft.sources.CommitLog.changesSince(s, root, 1L).get
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+            .as("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("commit_version", "change_type", "o_orderkey")
     }),
 
     // Schema-evolved read: one directory, two parquet generations, the
@@ -611,6 +663,20 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM merged GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_cdf" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice, " +
+        "'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version " +
+        "FROM orders WHERE o_orderkey % 100 = 13 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice + 5.0 AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'upsert', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 12 AND o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'delete', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 2 = 0 " +
+        "ORDER BY commit_version, change_type, o_orderkey"),
     "q_commit_log_txn" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

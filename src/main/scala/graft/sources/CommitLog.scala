@@ -328,6 +328,74 @@ object CommitLog {
     }
   }
 
+  private def changesDir(root: String) = new HPath(root, "_changes")
+  private def changesPath(root: String, v: Long) =
+    new HPath(changesDir(root), "v" + v)
+
+  /** Row-level CHANGE FEED from `sinceVersion` (exclusive) to the head —
+    * the Delta CDF shape: payload columns plus `_change_type`
+    * (`insert` | `upsert` | `delete`) and `_commit_version`, so an
+    * incremental consumer can maintain downstream state through MERGE
+    * commits instead of resyncing (fold in `_commit_version` order:
+    * delete drops the key, insert/upsert puts the row). Storage cost is
+    * asymmetric by design: appends synthesize their `insert` rows from
+    * the commit's own data dirs (zero extra storage — the common case at
+    * 100 TB); a merge persists its changeset (tiny, the changeset's own
+    * size) to `_changes/v<N>` after winning its claim; compaction
+    * contributes nothing (rowInvisible). Returns None — the resync
+    * signal — for a plain rewrite, a [[purge]] (deliberately: purge is
+    * retention/right-to-be-forgotten, and a change feed that RETAINED
+    * the purged rows as delete records would defeat it — consumers must
+    * resync and forget), a vacuumed base, or a merge whose change file
+    * was lost (crash between claim and CDF write degrades to resync,
+    * never to a wrong feed). None also when already at head, mirroring
+    * [[appendedSince]]. */
+  def changesSince(spark: SparkSession, root: String,
+      sinceVersion: Long): Option[DataFrame] =
+    latest(spark, root).flatMap(h => changesSince(spark, root, sinceVersion, h))
+
+  /** Same, against a caller-held head commit (the atomic form). */
+  def changesSince(spark: SparkSession, root: String, sinceVersion: Long,
+      head: Commit): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark, root)
+    val base =
+      if (!versions(spark, root).contains(sinceVersion)) None
+      else readCommitFile(spark, root, sinceVersion)
+    base match {
+      case Some(b) if head.version > b.version =>
+        val chain = ((b.version + 1) to head.version).map { v =>
+          if (v == head.version) Some(head) else readCommitFile(spark, root, v)
+        }
+        if (chain.exists(_.isEmpty)) return None
+        var prev = b
+        val pieces = Vector.newBuilder[DataFrame]
+        for (c <- chain.flatten) {
+          if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to emit
+          else if (prev.dataDirs.forall(c.dataDirs.contains)) {
+            val added = c.dataDirs.filterNot(prev.dataDirs.contains)
+            if (added.nonEmpty)
+              pieces += spark.read.parquet(added.map(d => s"$root/$d"): _*)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(c.version))
+          } else {
+            val p = changesPath(root, c.version)
+            if (!f.exists(p)) return None // rewrite/purge/lost CDF: resync
+            pieces += spark.read.parquet(p.toString)
+              .withColumn("_commit_version", lit(c.version))
+          }
+          prev = c
+        }
+        val ps = pieces.result()
+        Some(
+          if (ps.nonEmpty) ps.reduce(_.unionByName(_))
+          else load(spark, root, head).limit(0)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(head.version)))
+      case _ => None
+    }
+  }
+
   /** Dirs added by ROW-VISIBLE commits strictly after `b` up to `head`.
     * Fast path: `b`'s dirs are a prefix-set of `head`'s (pure append-only
     * history). Otherwise walk the commit chain — rowInvisible commits
@@ -894,7 +962,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
-      val (dirs, stage, effStatsCol) = cur match {
+      val (dirs, stage, effStatsCol, cdf) = cur match {
         case None =>
           // empty table: the merge is a create of the inserts
           if (!hasInserts)
@@ -902,7 +970,7 @@ object CommitLog {
               "merge into an empty table with no inserts — nothing to commit")
           val payload = changes.filter(!delFlag)
             .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
-          (Nil, payload, statsCol)
+          (Nil, payload, statsCol, None)
         case Some(head) =>
           val headSchema = load(spark, root, head).schema
           require(headSchema.fieldNames.contains(keyCol),
@@ -948,9 +1016,11 @@ object CommitLog {
           val affected = head.dataDirs.filter(mightContain)
           if (affected.isEmpty) {
             // proven: no stored row carries a merge key — deletes no-op
-            // and the merge is a pure insert (append shape, O(delta))
+            // and the merge is a pure insert (append shape, O(delta));
+            // no CDF file: [[changesSince]] synthesizes the inserts from
+            // the committed delta dir itself
             if (!hasInserts) return head // full no-op: nothing moves
-            (head.dataDirs, inserts, eff)
+            (head.dataDirs, inserts, eff, None)
           } else {
             val old = spark.read.parquet(affected.map(d => s"$root/$d"): _*)
             val keys = changes.select(kc).distinct()
@@ -958,7 +1028,14 @@ object CommitLog {
             val rebuilt = old.join(keyed, Seq(keyCol), "left_anti")
               .select(headSchema.fieldNames.map(col): _*)
               .union(inserts)
-            (head.dataDirs.filterNot(affected.contains), rebuilt, eff)
+            // CDF record: the changeset itself, typed — upserts carry the
+            // post-image, deletes their changeset row (only the key is
+            // semantically live; consumers fold by key)
+            val typed = changes.select(headSchema.fieldNames.map(col) :+
+              when(delFlag, lit("delete")).otherwise(lit("upsert"))
+                .as("_change_type"): _*)
+            (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
+              Some(typed))
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
@@ -972,7 +1049,23 @@ object CommitLog {
       val allStats = carried ++ newStats
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
         statsColName = effStatsCol.filter(_ => allStats.nonEmpty))
-      if (tryClaim(spark, root, nextV, render(c))) return c
+      if (tryClaim(spark, root, nextV, render(c))) {
+        // persist the change feed AFTER winning the claim (before it, a
+        // lost claim would strand OUR changeset under ANOTHER writer's
+        // version number); staged + renamed so readers never see a
+        // half-written feed — a crash in this window leaves the commit
+        // CDF-less, which changesSince reads as "resync", never as a
+        // wrong feed
+        cdf.foreach { typed =>
+          f.mkdirs(changesDir(root))
+          val stagePath = new HPath(changesDir(root),
+            s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+          typed.write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
+          if (!f.rename(stagePath, changesPath(root, nextV)))
+            f.delete(stagePath, true)
+        }
+        return c
+      }
       // lost the race: the affected set may have changed under the new
       // head — discard the staging and re-prune from scratch
       f.delete(new HPath(s"$root/$newDir"), true)
@@ -1018,6 +1111,21 @@ object CommitLog {
           now - st.getModificationTime > graceMs
       }
       .foreach(st => f.delete(st.getPath, true))
+    // change-feed files for unreachable versions: a changesSince walk
+    // starts strictly AFTER a retained base commit, so `_changes/vN` is
+    // reachable only when N > the oldest kept version — sweep the rest,
+    // plus crash-stranded staging dirs past the grace window
+    val oldestKept = kept.headOption.map(_.version).getOrElse(Long.MaxValue)
+    if (f.exists(changesDir(root)))
+      Option(f.listStatus(changesDir(root))).toSeq.flatten
+        .filter { st =>
+          val nm = st.getPath.getName
+          (nm.startsWith("v") &&
+            scala.util.Try(nm.drop(1).toLong).toOption.exists(_ <= oldestKept)) ||
+          (nm.startsWith(".stage-") &&
+            now - st.getModificationTime > graceMs)
+        }
+        .foreach(st => f.delete(st.getPath, true))
     // stranded bloom sidecars: advisory metadata keyed by dir name, so a
     // sidecar is garbage exactly when no kept commit references its dir
     // AND the dir itself is gone (swept above or by an earlier pass)

@@ -392,6 +392,52 @@ object StreamOps {
     head
   }
 
+  /** CHANGE-FEED tail (r11): like [[runCommitLogTail]] but delivering
+    * row-level changes — payload columns plus `_change_type`
+    * (insert | upsert | delete) and `_commit_version` — so the consumer
+    * can maintain keyed downstream state THROUGH merge commits instead
+    * of failing to a resync (the append-only tail's contract). First run
+    * bootstraps with the full head as `insert` rows stamped with the
+    * head version. A plain rewrite or purge still demands a resync —
+    * for purge that is the point: the feed must not retain purged rows.
+    * Delivery is the same at-least-once-then-checkpoint contract as the
+    * append tail; sinks key on the version. */
+  def runCommitLogChangesTail(spark: SparkSession, root: String,
+      checkpointDir: String)(process: (DataFrame, Long) => Unit): Long = {
+    import graft.sources.CommitLog
+    new java.io.File(checkpointDir).mkdirs()
+    val ckpt = new java.io.File(checkpointDir, "version")
+    val last =
+      if (ckpt.exists())
+        new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8").trim.toLong
+      else 0L
+    val headOpt = CommitLog.latest(spark, root)
+    if (headOpt.isEmpty) return last
+    val headC = headOpt.get
+    val head = headC.version
+    if (head <= last) return last
+    val df =
+      if (last == 0L)
+        CommitLog.readCommit(spark, root, headC)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(head))
+      else CommitLog.changesSince(spark, root, last, headC)
+        .getOrElse(throw new IllegalStateException(
+          s"commit-log changes tail at version $last cannot read a change " +
+            s"feed to $head (a rewrite or purge intervened, or the " +
+            "checkpointed version was vacuumed) — resync: clear the " +
+            "checkpoint and reprocess the head"))
+    process(df, head)
+    val tmp = new java.io.File(checkpointDir, s".version-$head")
+    java.nio.file.Files.write(tmp.toPath, head.toString.getBytes("UTF-8"))
+    if (!tmp.renameTo(ckpt)) {
+      ckpt.delete()
+      if (!tmp.renameTo(ckpt)) throw new java.io.IOException(
+        s"commit-log changes tail: checkpoint rename failed at $ckpt")
+    }
+    head
+  }
+
   /** Stream → COMMIT LOG, exactly-once end-to-end (r11): drain whatever
     * is new in `stream` (Trigger.AvailableNow) and append each
     * micro-batch to the commit-log table through

@@ -716,6 +716,99 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.lastTxn(spark, root, "appZ").contains(7L))
   }
 
+  test("change feed: appends synthesize inserts, merges persist typed changesets; folding reproduces the head") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")          // v1
+    }
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, 30.0)).toDF("id", "v"))                      // v2
+    CommitLog.merge(spark, root, "m", "id",                 // v3
+      Seq((2L, 99.0, false), (4L, 40.0, false), (3L, 0.0, true))
+        .toDF("id", "v", "del"),
+      deleteCol = Some("del"))
+    CommitLog.compact(spark, root, "opt")                   // v4, rowInvisible
+    val feed = CommitLog.changesSince(spark, root, 1L).get
+      .orderBy("_commit_version", "_change_type", "id")
+    assert(rows(feed) == Seq(
+      Seq(3L, 30.0, "insert", 2L),
+      Seq(3L, 0.0, "delete", 3L),
+      Seq(2L, 99.0, "upsert", 3L),
+      Seq(4L, 40.0, "upsert", 3L)),
+      "append rows synthesized as inserts; merge changeset typed; compact silent")
+    // APPLY semantics: fold the feed (last change per key wins; delete
+    // drops, insert/upsert puts) onto the base — must reproduce the head
+    val changes = feed.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    val lastByKey = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4))
+    val baseMap = CommitLog.readVersion(spark, root, 1L).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val folded =
+      (baseMap -- lastByKey.collect { case (k, c) if c._3 == "delete" => k }) ++
+        lastByKey.collect { case (k, c) if c._3 != "delete" => k -> c._2 }
+    val head = CommitLog.readLatest(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded == head, "folding the change feed reproduces the head")
+    // at head: None, mirroring appendedSince
+    assert(CommitLog.changesSince(spark, root, 4L).isEmpty)
+    // a plain rewrite has no change record: resync signal
+    CommitLog.commit(spark, root, "w", "rewrite") { cur =>
+      cur.get.filter(col("id") =!= 1L)                      // v5
+    }
+    assert(CommitLog.changesSince(spark, root, 1L).isEmpty,
+      "a plain rewrite demands resync")
+    // purge sweeps retained change files: the feed must not retain
+    // purged rows as delete records
+    CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(col("id") === 2L)
+    assert(!new java.io.File(root, "_changes/v3").exists(),
+      "purge removes persisted changesets from history")
+  }
+
+  test("changes tail rides through appends, merges, and compacts; purge demands resync") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-cl-ctail").toString
+    // the consumer maintains a keyed materialization from the feed alone
+    val state = scala.collection.mutable.Map.empty[Long, Double]
+    var runs = 0
+    def run(): Long = StreamOps.runCommitLogChangesTail(spark, root, ckpt) {
+      (df, _) =>
+        runs += 1
+        df.orderBy("_commit_version").collect().foreach { r =>
+          if (r.getAs[String]("_change_type") == "delete")
+            state.remove(r.getLong(0))
+          else state(r.getLong(0)) = r.getDouble(1)
+        }
+    }
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    }
+    run() // bootstrap: full head as inserts
+    assert(state.toMap == Map(1L -> 10.0, 2L -> 20.0))
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, 30.0)).toDF("id", "v"))
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((1L, 11.0, false), (2L, 0.0, true)).toDF("id", "v", "del"),
+      deleteCol = Some("del"))
+    CommitLog.compact(spark, root, "opt")
+    run() // one run: append + merge + compact, no resync
+    assert(state.toMap == Map(1L -> 11.0, 3L -> 30.0),
+      "keyed state rides through the merge")
+    def headMap() = CommitLog.readLatest(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.toMap == headMap())
+    // nothing new: no process call
+    val r0 = runs
+    run()
+    assert(runs == r0)
+    // purge forces the resync the feed must not paper over
+    CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(col("id") === 1L)
+    val e = intercept[IllegalStateException](run())
+    assert(e.getMessage.contains("resync"))
+  }
+
   test("purge removes rows from head AND all retained history") {
     import spark.implicits._
     val root = freshRoot()
