@@ -626,7 +626,18 @@ object ScaleBench {
         println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":$mergeN,"sec":${r3(sec)},"reps":[1]}""")
       }
       timeMerge("merge_full_rewrite", mergeTable("mergefull", blooms = false))
-      timeMerge("merge_bloom_pruned", mergeTable("mergebloom", blooms = true))
+      val bloomed = mergeTable("mergebloom", blooms = true)
+      val preMergeV = graft.sources.CommitLog.latest(s, bloomed).get.version
+      timeMerge("merge_bloom_pruned", bloomed)
+      // CDF consumption price (r11): a consumer at preMergeV can either
+      // resync (re-read the whole head) or consume the merge's persisted
+      // changeset through changesSince — O(changeset), not O(table).
+      measure("commitlog_cdf_consume", 100L, reps) {
+        graft.sources.CommitLog.changesSince(s, bloomed, preMergeV).get
+      }
+      measure("commitlog_cdf_resync", mergeN, reps) {
+        graft.sources.CommitLog.readLatest(s, bloomed).get
+      }
     }
 
     println("SCALE_DONE")

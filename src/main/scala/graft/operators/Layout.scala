@@ -68,7 +68,18 @@ object Layout {
     * Bits per dim = 63/N — precision degrades gracefully as dims grow,
     * the standard Morton trade-off. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], nFiles: Int,
-      dir: String): Unit = {
+      dir: String): Unit =
+    clusterZOrdered(df, cols, nFiles).write.mode("overwrite").parquet(dir)
+
+  /** The clustering TRANSFORM behind [[writeZOrdered]]: `df`
+    * range-partitioned and sorted on the Morton key of `cols`, helper
+    * columns dropped — schema-identical to the input, so it composes
+    * with any writer ([[graft.sources.CommitLog.compact]] uses it as its
+    * multi-dim OPTIMIZE ZORDER path). The partition/sort order survives
+    * a direct parquet write (no shuffle follows), which is what gives
+    * each output file its tight per-dim extents. */
+  def clusterZOrdered(df: DataFrame, cols: Seq[String],
+      nFiles: Int): DataFrame = {
     require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
     val bits = math.min(16, 63 / cols.size)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
@@ -84,7 +95,6 @@ object Layout {
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv" +: cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
-      .write.mode("overwrite").parquet(dir)
   }
 
   /** 2-dim convenience overload. */

@@ -704,8 +704,13 @@ object CommitLog {
   def compact(spark: SparkSession, root: String, writer: String,
       targetFiles: Int = 4, maxAttempts: Int = 20,
       statsCol: Option[String] = None,
-      sortCols: Seq[String] = Nil): Option[Commit] = {
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Option[Commit] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "pass sortCols (1-D clustering) OR zorderCols (multi-dim), not both")
+    require(zorderCols.isEmpty || zorderCols.size >= 2,
+      s"zorderCols needs >= 2 dims (use sortCols for one): $zorderCols")
     latest(spark, root).map { head =>
       // multi-dir heads always compact — count files (one listing per
       // dir) only in the single-dir case, where it decides the no-op
@@ -716,20 +721,26 @@ object CommitLog {
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         }.sum
       }
-      if (head.dataDirs.size <= 1 && nFiles <= targetFiles && sortCols.isEmpty)
+      if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
+          sortCols.isEmpty && zorderCols.isEmpty)
         head
       else commitImpl(spark, root, writer, "compact", maxAttempts, statsCol,
         rowInvisible = true) { cur =>
         // cur is always Some here: versions only grow, and the head
         // existed when compaction started. Plain compact coalesces
-        // (no shuffle); SORTED compact (the OPTIMIZE ZORDER BY idea)
-        // range-partitions + sorts on sortCols so each output file
-        // covers a NARROW key range — parquet row-group min/max stats
-        // then prune pushed key predicates inside the one consolidated
-        // dir, the sub-dir granularity the per-dir stats can't reach.
-        // The shuffle is the documented price of clustering.
+        // (no shuffle); SORTED compact range-partitions + sorts on
+        // sortCols so each output file covers a NARROW key range —
+        // parquet row-group min/max stats then prune pushed key
+        // predicates inside the one consolidated dir, the sub-dir
+        // granularity the per-dir stats can't reach; ZORDER compact
+        // (the full OPTIMIZE ZORDER BY) clusters on the Morton key of
+        // 2+ dims so every file is narrow in ALL of them — skippable on
+        // a predicate over ANY dim. The shuffle is the documented price
+        // of clustering.
         val snap = cur.get
-        if (sortCols.isEmpty) snap.coalesce(targetFiles)
+        if (zorderCols.nonEmpty)
+          graft.operators.Layout.clusterZOrdered(snap, zorderCols, targetFiles)
+        else if (sortCols.isEmpty) snap.coalesce(targetFiles)
         else snap
           .repartitionByRange(targetFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)

@@ -716,6 +716,53 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.lastTxn(spark, root, "appZ").contains(7L))
   }
 
+  test("zorder compaction clusters files tightly in BOTH dims; 1-D sort leaves one dim unbounded") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 64x64 uniform grid delivered as 4 interleaved appends — every dir
+    // spans the full range of both dims, so only clustering can help
+    def grid(m: Int) = spark.range(m.toLong, 4096L, 4L)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    CommitLog.commit(spark, root, "w", "create") { _ => grid(0) }
+    (1 to 3).foreach(k =>
+      CommitLog.commitAppend(spark, root, "w", "append")(grid(k)))
+    intercept[IllegalArgumentException] {
+      CommitLog.compact(spark, root, "opt", sortCols = Seq("x"),
+        zorderCols = Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.compact(spark, root, "opt", zorderCols = Seq("x"))
+    }
+    val c = CommitLog.compact(spark, root, "opt", targetFiles = 4,
+      zorderCols = Seq("x", "y")).get
+    assert(c.rowInvisible && c.dataDirs.size == 1)
+    val head = CommitLog.readLatest(spark, root).get
+    assert(head.count() == 4096L, "zorder compaction is row-invisible")
+    def spans(files: Seq[String]) = files.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(max("x") - min("x"), max("y") - min("y")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val z = spans(head.inputFiles.toSeq)
+    assert(z.size == 4)
+    // y rides the top interleaved bit, so of 4 z-quarters only the file
+    // straddling the middle boundary can mix y-halves. The range
+    // partitioner's sampled boundaries overshoot quadrant edges by
+    // slivers, so per-file exactness is non-deterministic — the robust
+    // claims: at most one y-wide file, and files narrow in BOTH dims
+    // exist (the skippable-on-either-predicate property), which the 1-D
+    // control provably has zero of.
+    assert(z.count { case (_, ys) => ys > 47L } <= 1, s"z spans: $z")
+    assert(z.count { case (xs, ys) => xs <= 47L && ys <= 47L } >= 2,
+      s"z spans: $z")
+    // 1-D control: an x-sorted compact bounds x but leaves EVERY file
+    // spanning all of y — a y predicate can skip nothing
+    CommitLog.compact(spark, root, "opt", targetFiles = 4,
+      sortCols = Seq("x"))
+    val s1 = spans(CommitLog.readLatest(spark, root).get.inputFiles.toSeq)
+    assert(s1.count { case (_, ys) => ys == 63L } == 4, s"control spans: $s1")
+  }
+
   test("change feed: appends synthesize inserts, merges persist typed changesets; folding reproduces the head") {
     import spark.implicits._
     val root = freshRoot()
