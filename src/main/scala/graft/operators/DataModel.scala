@@ -311,6 +311,37 @@ object DataModel {
     * latest op; 'D' winners tombstone the key. Exactly one shuffle on the
     * key. Requires per-key-unique seqs (op breaks a malformed tie
     * deterministically: 'D' sorts before 'U' descending ⇒ delete wins). */
+  /** INCREMENTAL VIEW MAINTENANCE of a grouped (count, sum) from a
+    * commit-log CHANGE FEED (r11 — the reason
+    * [[graft.sources.CommitLog.changesSince]] emits pre-images): every
+    * change row carries an algebraic sign — +1 for insert /
+    * update_postimage, −1 for update_preimage / delete — so the delta to
+    * any per-group COUNT or SUM is itself one small aggregation of the
+    * feed, applied to the stored state with a full-outer join. Emptied
+    * groups drop out (their cnt nets to 0); groups only the delta knows
+    * appear. Exactness contract: pass an exact-typed `valCol` (decimal,
+    * long) and the maintained state is bit-equal to recomputing from
+    * scratch — the oracle gates exactly that. At 100 TB: refreshing a
+    * dashboard aggregate after a merge costs the CHANGESET's scan plus a
+    * shuffle of the delta's groups, never the table's — the materialized-
+    * view maintenance every warehouse sells, derived here from the log.
+    * State schema: (groupCol, cnt: long, total: valCol's type summed). */
+  def maintainAggFromChanges(state: DataFrame, changes: DataFrame,
+      groupCol: String, valCol: String): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = changes.groupBy(groupCol).agg(
+      sum(sign).as("__dcnt"),
+      sum(col(valCol) * sign).as("__dsum"))
+    state.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("total"), lit(0)) + coalesce(col("__dsum"), lit(0)))
+          .as("total"))
+      .filter(col("cnt") > 0)
+  }
+
   def cdcApply(base: DataFrame, log: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = base.withColumn("seq", lit(0L)).withColumn("op", lit("U"))

@@ -375,10 +375,13 @@ object Relational {
     }),
 
     // CHANGE DATA FEED over the commit log (CommitLog.changesSince — the
-    // Delta CDF shape): row-level deltas from a base version to the head,
-    // typed insert/upsert/delete and stamped with their commit version,
-    // so downstream keyed state rides THROUGH merges instead of
-    // resyncing. Appends synthesize inserts from their own data dirs
+    // Delta CDF shape and vocabulary): row-level deltas from a base
+    // version to the head, typed insert / update_preimage /
+    // update_postimage / delete (pre-images and deletes carry the STORED
+    // row) and stamped with their commit version, so downstream keyed
+    // state — and, because every type carries an algebraic sign,
+    // downstream AGGREGATES — ride THROUGH merges instead of resyncing.
+    // Appends synthesize inserts from their own data dirs
     // (zero storage); merges persist their changeset to _changes/v<N>
     // post-claim; purge deliberately breaks the feed (a CDF that
     // retained purged rows as delete records would defeat retention).
@@ -395,6 +398,32 @@ object Relational {
           col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
         .orderBy("commit_version", "change_type", "o_orderkey")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE from the change feed (DataModel
+    // .maintainAggFromChanges): a per-status (count, sum) is materialized
+    // at version 1 and maintained to the head PURELY from changesSince —
+    // the append's inserts add, the merge's pre-images subtract exactly
+    // the rows its post-images replace, deletes subtract the stored row.
+    // Decimal arithmetic keeps the fold exact, so the oracle — the same
+    // aggregate recomputed directly over the final state — must
+    // hash-match: incremental maintenance and recomputation are provably
+    // interchangeable. At 100 TB: refreshing the aggregate after a merge
+    // costs the changeset's scan, not the table's — materialized-view
+    // maintenance derived from the log.
+    "q_commit_log_incr_agg" -> ((s, d) => {
+      val root = cdfLogFor(s, d)
+      val base = graft.sources.CommitLog.readVersion(s, root, 1L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      val changes = graft.sources.CommitLog.changesSince(s, root, 1L).get
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      graft.operators.DataModel
+        .maintainAggFromChanges(base, changes, "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("total").cast("double"), 2).as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     // Schema-evolved read: one directory, two parquet generations, the
@@ -669,14 +698,28 @@ object Relational {
         "'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version " +
         "FROM orders WHERE o_orderkey % 100 = 13 " +
         "UNION ALL SELECT o_orderkey, o_orderstatus, " +
-        "round(CAST(CAST(o_totalprice + 5.0 AS DECIMAL(18,2)) AS DOUBLE), 2), " +
-        "'upsert', CAST(3 AS BIGINT) " +
-        "FROM orders WHERE o_orderkey % 100 = 12 AND o_orderkey % 3 = 0 " +
-        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
         "'delete', CAST(3 AS BIGINT) " +
         "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice + 5.0 AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'update_postimage', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 12 AND o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'update_preimage', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 12 AND o_orderkey % 3 = 0 " +
         "ORDER BY commit_version, change_type, o_orderkey"),
+    "q_commit_log_incr_agg" ->
+      ("WITH final AS (" +
+        "SELECT o_orderstatus, CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 5.0 ELSE o_totalprice END AS p " +
+        "FROM orders WHERE o_orderkey % 100 = 12 " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 2 = 1) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM final GROUP BY 1 ORDER BY 1"),
     "q_commit_log_txn" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

@@ -328,16 +328,24 @@ object CommitLog {
     }
   }
 
+  private def broadcastIf(small: Boolean, df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
   private def changesDir(root: String) = new HPath(root, "_changes")
   private def changesPath(root: String, v: Long) =
     new HPath(changesDir(root), "v" + v)
 
   /** Row-level CHANGE FEED from `sinceVersion` (exclusive) to the head —
-    * the Delta CDF shape: payload columns plus `_change_type`
-    * (`insert` | `upsert` | `delete`) and `_commit_version`, so an
-    * incremental consumer can maintain downstream state through MERGE
-    * commits instead of resyncing (fold in `_commit_version` order:
-    * delete drops the key, insert/upsert puts the row). Storage cost is
+    * the Delta CDF shape and vocabulary: payload columns plus
+    * `_change_type` (`insert` | `update_preimage` | `update_postimage` |
+    * `delete`, where pre-images and deletes carry the STORED row being
+    * replaced/removed) and `_commit_version`. Keyed state folds in
+    * `_commit_version` order (delete drops the key, insert/postimage
+    * puts the row, preimages are informational); aggregates fold
+    * ALGEBRAICALLY — every row carries sign +1 (insert/postimage) or −1
+    * (preimage/delete), so a downstream SUM/COUNT is maintainable from
+    * the feed alone ([[graft.operators.DataModel.maintainAggFromChanges]]).
+    * Storage cost is
     * asymmetric by design: appends synthesize their `insert` rows from
     * the commit's own data dirs (zero extra storage — the common case at
     * 100 TB); a merge persists its changeset (tiny, the changeset's own
@@ -1039,14 +1047,36 @@ object CommitLog {
             val rebuilt = old.join(keyed, Seq(keyCol), "left_anti")
               .select(headSchema.fieldNames.map(col): _*)
               .union(inserts)
-            // CDF record: the changeset itself, typed — upserts carry the
-            // post-image, deletes their changeset row (only the key is
-            // semantically live; consumers fold by key)
-            val typed = changes.select(headSchema.fieldNames.map(col) :+
-              when(delFlag, lit("delete")).otherwise(lit("upsert"))
-                .as("_change_type"): _*)
+            // CDF record, algebraically complete (the Delta change-type
+            // vocabulary): pre-images are the STORED rows being replaced
+            // or deleted (all of them — a key stored N times yields N
+            // negative rows), post-images the changeset's new rows,
+            // split insert-vs-update by whether the key was present. A
+            // consumer can therefore maintain sums/counts downstream:
+            // every change row carries sign +1 (insert/update_postimage)
+            // or −1 (update_preimage/delete). Costs one extra
+            // changeset-bounded pass over the affected dirs.
+            val headCols = headSchema.fieldNames.map(col)
+            val pre = old.join(keyed, Seq(keyCol), "left_semi")
+            val upsertKeys = changes.filter(!delFlag).select(kc).distinct()
+            val deleteKeys = changes.filter(delFlag).select(kc).distinct()
+            val preU = pre.join(broadcastIf(probeKeys.isDefined, upsertKeys),
+              Seq(keyCol), "left_semi")
+              .select(headCols :+ lit("update_preimage").as("_change_type"): _*)
+            val preD = pre.join(broadcastIf(probeKeys.isDefined, deleteKeys),
+              Seq(keyCol), "left_semi")
+              .select(headCols :+ lit("delete").as("_change_type"): _*)
+            val preKeys = pre.select(kc).distinct()
+              .withColumn("__present", lit(true))
+            val post = inserts
+              .join(broadcastIf(probeKeys.isDefined, preKeys),
+                Seq(keyCol), "left")
+              .withColumn("_change_type",
+                when(col("__present"), lit("update_postimage"))
+                  .otherwise(lit("insert")))
+              .select(headCols :+ col("_change_type"): _*)
             (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
-              Some(typed))
+              Some(preU.union(preD).union(post)))
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1

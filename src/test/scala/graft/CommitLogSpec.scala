@@ -778,15 +778,21 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.compact(spark, root, "opt")                   // v4, rowInvisible
     val feed = CommitLog.changesSince(spark, root, 1L).get
       .orderBy("_commit_version", "_change_type", "id")
+    // Delta vocabulary: the delete and the preimage carry the STORED row
+    // (id 3 held 30.0, id 2 held 20.0 — not the changeset's values); the
+    // changeset's key-4 row types as insert because the key was absent
     assert(rows(feed) == Seq(
       Seq(3L, 30.0, "insert", 2L),
-      Seq(3L, 0.0, "delete", 3L),
-      Seq(2L, 99.0, "upsert", 3L),
-      Seq(4L, 40.0, "upsert", 3L)),
+      Seq(3L, 30.0, "delete", 3L),
+      Seq(4L, 40.0, "insert", 3L),
+      Seq(2L, 99.0, "update_postimage", 3L),
+      Seq(2L, 20.0, "update_preimage", 3L)),
       "append rows synthesized as inserts; merge changeset typed; compact silent")
-    // APPLY semantics: fold the feed (last change per key wins; delete
-    // drops, insert/upsert puts) onto the base — must reproduce the head
-    val changes = feed.collect()
+    // APPLY semantics: fold the feed (preimages informational; last
+    // change per key wins; delete drops, insert/postimage puts) onto the
+    // base — must reproduce the head
+    val changes = feed.filter(col("_change_type") =!= "update_preimage")
+      .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
     val lastByKey = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4))
     val baseMap = CommitLog.readVersion(spark, root, 1L).get.collect()
@@ -823,11 +829,12 @@ class CommitLogSpec extends SparkSpec {
     def run(): Long = StreamOps.runCommitLogChangesTail(spark, root, ckpt) {
       (df, _) =>
         runs += 1
-        df.orderBy("_commit_version").collect().foreach { r =>
-          if (r.getAs[String]("_change_type") == "delete")
-            state.remove(r.getLong(0))
-          else state(r.getLong(0)) = r.getDouble(1)
-        }
+        df.filter(col("_change_type") =!= "update_preimage")
+          .orderBy("_commit_version").collect().foreach { r =>
+            if (r.getAs[String]("_change_type") == "delete")
+              state.remove(r.getLong(0))
+            else state(r.getLong(0)) = r.getDouble(1)
+          }
     }
     CommitLog.commit(spark, root, "w", "create") { _ =>
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")

@@ -7,6 +7,25 @@ import graft.operators.DataModel
 /** SURVEY.md §2.12 — hierarchical-key and GeoPoint data-model mappings. */
 class DataModelSpec extends SparkSpec {
 
+  test("maintainAggFromChanges: algebraic fold equals recompute; emptied groups drop, new groups appear") {
+    import spark.implicits._
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L)).toDF("g", "v")
+    val state = base.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    // delete BOTH 'a' rows (a key stored twice yields two pre-images),
+    // update b (pre 10 → post 12), insert into brand-new group d
+    val changes = Seq(
+      ("a", 1L, "delete"), ("a", 2L, "delete"),
+      ("b", 10L, "update_preimage"), ("b", 12L, "update_postimage"),
+      ("d", 7L, "insert")).toDF("g", "v", "_change_type")
+    val maintained = DataModel.maintainAggFromChanges(state, changes, "g", "v")
+    val after = Seq(("b", 12L), ("c", 5L), ("d", 7L)).toDF("g", "v")
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    assert(rows(maintained.orderBy("g")) == rows(after.orderBy("g")),
+      "maintained state equals recomputing over the post-change table; " +
+        "'a' nets to zero and drops, 'd' appears from the delta alone")
+  }
+
   test("key path build/split roundtrip") {
     import spark.implicits._
     val df = Seq((42L, 7L)).toDF("oid", "line")
