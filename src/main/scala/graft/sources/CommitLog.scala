@@ -1057,16 +1057,22 @@ object CommitLog {
             // or −1 (update_preimage/delete). Costs one extra
             // changeset-bounded pass over the affected dirs.
             val headCols = headSchema.fieldNames.map(col)
-            val pre = old.join(keyed, Seq(keyCol), "left_semi")
-            val upsertKeys = changes.filter(!delFlag).select(kc).distinct()
-            val deleteKeys = changes.filter(delFlag).select(kc).distinct()
-            val preU = pre.join(broadcastIf(probeKeys.isDefined, upsertKeys),
-              Seq(keyCol), "left_semi")
-              .select(headCols :+ lit("update_preimage").as("_change_type"): _*)
-            val preD = pre.join(broadcastIf(probeKeys.isDefined, deleteKeys),
-              Seq(keyCol), "left_semi")
-              .select(headCols :+ lit("delete").as("_change_type"): _*)
-            val preKeys = pre.select(kc).distinct()
+            // ONE pass over the affected dirs harvests every pre-image
+            // with its delete flag; the result is changeset-bounded
+            // (stored copies of changeset keys), so it is materialized
+            // via localCheckpoint and every derived frame — typed
+            // pre-images, the present-key set, the insert/update split —
+            // reads the tiny checkpoint instead of re-scanning the dirs
+            val keyFlags = changes.select(kc, delFlag.as("__del"))
+            val preT = old
+              .join(broadcastIf(probeKeys.isDefined, keyFlags),
+                Seq(keyCol), "inner")
+              .select(headCols :+ col("__del"): _*)
+              .localCheckpoint(true)
+            val preTyped = preT.select(headCols :+
+              when(col("__del"), lit("delete"))
+                .otherwise(lit("update_preimage")).as("_change_type"): _*)
+            val preKeys = preT.select(kc).distinct()
               .withColumn("__present", lit(true))
             val post = inserts
               .join(broadcastIf(probeKeys.isDefined, preKeys),
@@ -1076,7 +1082,7 @@ object CommitLog {
                   .otherwise(lit("insert")))
               .select(headCols :+ col("_change_type"): _*)
             (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
-              Some(preU.union(preD).union(post)))
+              Some(preTyped.union(post)))
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
