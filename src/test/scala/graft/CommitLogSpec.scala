@@ -646,6 +646,39 @@ class CommitLogSpec extends SparkSpec {
     assert(c2.version == c.version)
   }
 
+  test("merge racing appends stays serializable: updates and appends all land") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      spark.range(0L, 100L).selectExpr("id", "CAST(0 AS LONG) AS v")
+    }
+    // disjoint effects so the serial result is order-independent: the
+    // merge updates existing keys 0..9, the appender lands new keys —
+    // a lost-update bug would drop one side's rows or updates
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val appender = Future {
+        (0 until 5).foreach { k =>
+          CommitLog.commitAppend(spark, root, "a", "append")(
+            spark.range(100L + k * 10L, 110L + k * 10L)
+              .selectExpr("id", "CAST(7 AS LONG) AS v"))
+        }
+      }
+      val merger = Future {
+        CommitLog.merge(spark, root, "m", "id",
+          spark.range(0L, 10L).selectExpr("id", "CAST(1000 AS LONG) AS v"))
+      }
+      Await.result(Future.sequence(Seq(appender, merger)), Duration.Inf)
+    } finally pool.shutdown()
+    val got = CommitLog.readLatest(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 150, s"all rows present, got ${got.size}")
+    (0L until 10L).foreach(k => assert(got(k) == 1000L, s"update on $k lost"))
+    (10L until 100L).foreach(k => assert(got(k) == 0L))
+    (100L until 150L).foreach(k => assert(got(k) == 7L, s"append row $k lost"))
+  }
+
   test("stats and bloom columns are table-level contracts; mismatched reads scan, not prune") {
     import spark.implicits._
     val root = freshRoot()
@@ -861,6 +894,43 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(col("id") === 1L)
     val e = intercept[IllegalStateException](run())
     assert(e.getMessage.contains("resync"))
+  }
+
+  test("changes tail + maintainAggFromChanges: a continuously-maintained materialized view") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import graft.operators.DataModel
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-cl-mv").toString
+    def emptyState() = spark.emptyDataFrame
+      .select(lit("x").as("g"), lit(0L).as("cnt"), lit(0L).as("total"))
+      .limit(0)
+    var view = emptyState()
+    def refresh(): Unit = StreamOps.runCommitLogChangesTail(spark, root, ckpt) {
+      (df, _) =>
+        view = DataModel.maintainAggFromChanges(view,
+          df.select(col("g"), col("v"), col("_change_type")), "g", "v")
+          .localCheckpoint(true) // seal the state between runs
+    }
+    def direct() = rows(CommitLog.readLatest(spark, root).get
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .orderBy("g"))
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq(("a", 1L, 10L), ("b", 2L, 20L), ("a", 3L, 30L)).toDF("g", "id", "v")
+        .select("g", "id", "v")
+    }
+    refresh() // bootstrap: head as inserts, maintained from empty state
+    assert(rows(view.orderBy("g")) == direct())
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq(("c", 4L, 40L)).toDF("g", "id", "v"))
+    CommitLog.merge(spark, root, "m", "id",
+      Seq(("a", 3L, 99L, false), ("b", 2L, 0L, true)).toDF("g", "id", "v", "del"),
+      deleteCol = Some("del")) // update id 3, delete id 2 → group b empties
+    refresh() // one run rides the append AND the merge
+    assert(rows(view.orderBy("g")) == direct(),
+      "the maintained view equals the direct aggregate after a merge; " +
+        "group b emptied out of the view")
+    assert(!view.collect().exists(_.getString(0) == "b"))
   }
 
   test("purge removes rows from head AND all retained history") {
