@@ -521,4 +521,49 @@ class PropertySpec extends SparkSpec {
         (1011L, 1012L), (1011L, 1013L), (1014L, 1015L)))
       assert(brute.exists(x => (x._1, x._2) == p), s"planted pair $p not in brute force")
   }
+
+  test("commit-log merge equals its relational specification on arbitrary changesets") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    // base: random rows over a small key space, DUPLICATE table keys
+    // allowed (merge must remove every stored copy of a merged key),
+    // delivered as create + append so both dir shapes participate;
+    // changeset: unique keys mixing updates, deletes, and absent keys
+    val baseGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-50L, 50L)))
+    val chGen = Gen.someOf(0L to 25L).flatMap { keys =>
+      Gen.sequence[List[(Long, Long, Boolean)], (Long, Long, Boolean)](
+        keys.toList.map(k =>
+          Gen.zip(Gen.const(k), Gen.chooseNum(-50L, 50L),
+            Gen.oneOf(true, false))))
+    }
+    samples(Gen.zip(baseGen, chGen), 6).zipWithIndex.foreach {
+      case ((base, ch), i) =>
+        if (ch.nonEmpty) {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-mergeprop$i").toString
+          val (b1, b2) = base.splitAt(base.size / 2)
+          CommitLog.commit(spark, root, "w", "create") { _ =>
+            b1.toDF("id", "v")
+          }
+          CommitLog.commitAppend(spark, root, "w", "append")(b2.toDF("id", "v"))
+          CommitLog.merge(spark, root, "m", "id",
+            ch.toDF("id", "v", "del"), deleteCol = Some("del"))
+          val chKeys = ch.map(_._1).toSet
+          val expected = (base.filterNot { case (k, _) => chKeys(k) } ++
+            ch.collect { case (k, v, false) => (k, v) }).sorted
+          val got = CommitLog.readLatest(spark, root).get.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+          assert(got == expected, s"sample $i: merge diverged from spec")
+          // and the change feed folds back to the same state: signed
+          // count must net to (|head| − |base|)
+          val feed = CommitLog.changesSince(spark, root, 2L).get.collect()
+          val net = feed.map(r =>
+            if (Set("insert", "update_postimage")(r.getAs[String]("_change_type")))
+              1 else -1).sum
+          assert(net == expected.size - base.size,
+            s"sample $i: CDF signed count must net the cardinality delta")
+        }
+    }
+  }
 }
