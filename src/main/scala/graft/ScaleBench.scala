@@ -638,6 +638,32 @@ object ScaleBench {
       measure("commitlog_cdf_resync", mergeN, reps) {
         graft.sources.CommitLog.readLatest(s, bloomed).get
       }
+
+      // ZORDER vs 1-D sorted compaction (r11): a 2048x2048 grid table
+      // (x = id mod 2048, y = id div 2048) probed with a narrow
+      // predicate on EACH dim. The x-sorted layout answers x-range
+      // probes from ~1 file but every file spans all of y; the zorder
+      // layout bounds both dims per file, so BOTH probes prune.
+      val zSide = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_ZSIDE", "2048").toLong
+      val zn = zSide * zSide
+      val zDir = freshDir("zorder")
+      graft.sources.CommitLog.commit(s, zDir, "seed", "create") { _ =>
+        s.range(0L, zn).selectExpr(s"id % $zSide AS x", s"id DIV $zSide AS y",
+          "concat(md5(CAST(id AS STRING)), md5(CAST(id + 3 AS STRING)), " +
+            "md5(CAST(id + 5 AS STRING)), md5(CAST(id + 11 AS STRING))) AS payload")
+      }
+      def probe(c: String) = graft.sources.CommitLog.readLatest(s, zDir).get
+        .filter(s"$c BETWEEN ${zSide / 2} AND ${zSide / 2 + 63}")
+      graft.sources.CommitLog.compact(s, zDir, "opt", targetFiles = 16,
+        sortCols = Seq("x"))
+      measure("commitlog_zprobe_x_sorted1d", zn, reps)(probe("x"))
+      measure("commitlog_zprobe_y_sorted1d", zn, reps)(probe("y"))
+      graft.sources.CommitLog.compact(s, zDir, "opt", targetFiles = 16,
+        zorderCols = Seq("x", "y"))
+      require(graft.sources.CommitLog.readLatest(s, zDir).get.count() == zn,
+        "zorder compaction lost rows")
+      measure("commitlog_zprobe_x_zorder", zn, reps)(probe("x"))
+      measure("commitlog_zprobe_y_zorder", zn, reps)(probe("y"))
     }
 
     println("SCALE_DONE")
