@@ -333,8 +333,12 @@ object DataModel {
     val delta = changes.groupBy(groupCol).agg(
       sum(sign).as("__dcnt"),
       sum(col(valCol) * sign).as("__dsum"))
-    state.join(delta, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+      .withColumnRenamed(groupCol, "__dg")
+    // NULL-SAFE group equality: a plain equi-join would never match the
+    // null group, leaving the state's null-group row and the delta's
+    // null-group row side by side instead of merged
+    state.join(delta, col(groupCol) <=> col("__dg"), "full_outer")
+      .select(coalesce(col(groupCol), col("__dg")).as(groupCol),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
           .as("cnt"),
         (coalesce(col("total"), lit(0)) + coalesce(col("__dsum"), lit(0)))

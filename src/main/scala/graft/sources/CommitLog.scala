@@ -92,7 +92,8 @@ object CommitLog {
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String, stats: Map[String, (Long, Long)] = Map.empty,
       rowInvisible: Boolean = false, statsColName: Option[String] = None,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      clusterSpec: Option[String] = None)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -127,12 +128,14 @@ object CommitLog {
       }.mkString(""","stats":{""", ",", "}")
     val statsCol = c.statsColName.filter(_ => c.stats.nonEmpty)
       .map(n => s""","statsCol":"$n"""").getOrElse("")
+    val cluster = c.clusterSpec
+      .map(sp => s""","cluster":"$sp"""").getOrElse("")
     val txn = c.txn.map { case (app, b) =>
       s""","txn":{"app":"$app","batch":$b}"""
     }.getOrElse("")
     val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$txn$statsCol$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$cluster$txn$statsCol$stats}"""
   }
 
   private def parse(v: Long, s: String): Option[Commit] = {
@@ -186,7 +189,7 @@ object CommitLog {
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
-        field("statsCol"), txn)
+        field("statsCol"), txn, field("cluster"))
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -203,7 +206,12 @@ object CommitLog {
   private def readCommitFile(spark: SparkSession, root: String, v: Long): Option[Commit] = {
     val f = fs(spark, root)
     val p = commitPath(root, v)
-    val in = f.open(p)
+    // a concurrent vacuum may delete a listed commit file between the
+    // listing and this open — absence reads as "not a commit" (the same
+    // degrade every caller already handles: skip / no watermark / resync)
+    val in = try f.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
     val bytes = try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -332,8 +340,14 @@ object CommitLog {
     if (small) broadcast(df) else df
 
   private def changesDir(root: String) = new HPath(root, "_changes")
-  private def changesPath(root: String, v: Long) =
-    new HPath(changesDir(root), "v" + v)
+  // CDF files are keyed by the MERGE COMMIT'S NEW DATA DIR name, not the
+  // version: the dir name exists before the claim, so the feed can be
+  // written BEFORE the commit becomes visible — a reader that can see
+  // the merge commit can always see its feed (no claim-to-CDF-write
+  // window forcing spurious resyncs), a lost claim deletes both, and
+  // vacuum sweeps the feed by the same dir-keyed rule as bloom sidecars.
+  private def changesPath(root: String, dir: String) =
+    new HPath(changesDir(root), dir)
 
   /** Row-level CHANGE FEED from `sinceVersion` (exclusive) to the head —
     * the Delta CDF shape and vocabulary: payload columns plus
@@ -349,15 +363,16 @@ object CommitLog {
     * asymmetric by design: appends synthesize their `insert` rows from
     * the commit's own data dirs (zero extra storage — the common case at
     * 100 TB); a merge persists its changeset (tiny, the changeset's own
-    * size) to `_changes/v<N>` after winning its claim; compaction
-    * contributes nothing (rowInvisible). Returns None — the resync
-    * signal — for a plain rewrite, a [[purge]] (deliberately: purge is
-    * retention/right-to-be-forgotten, and a change feed that RETAINED
-    * the purged rows as delete records would defeat it — consumers must
-    * resync and forget), a vacuumed base, or a merge whose change file
-    * was lost (crash between claim and CDF write degrades to resync,
-    * never to a wrong feed). None also when already at head, mirroring
-    * [[appendedSince]]. */
+    * size) to `_changes/<newDir>` BEFORE claiming — keyed by its new
+    * data dir's unique name, so any reader that can see the merge commit
+    * can see its feed (no claim-to-feed visibility window), a lost claim
+    * deletes both, and vacuum sweeps feeds by the bloom-sidecar rule;
+    * compaction contributes nothing (rowInvisible). Returns None — the
+    * resync signal — for a plain rewrite, a [[purge]] (deliberately:
+    * purge is retention/right-to-be-forgotten, and a change feed that
+    * RETAINED the purged rows as delete records would defeat it —
+    * consumers must resync and forget), or a vacuumed base. None also
+    * when already at head, mirroring [[appendedSince]]. */
   def changesSince(spark: SparkSession, root: String,
       sinceVersion: Long): Option[DataFrame] =
     latest(spark, root).flatMap(h => changesSince(spark, root, sinceVersion, h))
@@ -372,13 +387,10 @@ object CommitLog {
       else readCommitFile(spark, root, sinceVersion)
     base match {
       case Some(b) if head.version > b.version =>
-        val chain = ((b.version + 1) to head.version).map { v =>
-          if (v == head.version) Some(head) else readCommitFile(spark, root, v)
-        }
-        if (chain.exists(_.isEmpty)) return None
+        val chain = commitChain(spark, root, b, head).getOrElse(return None)
         var prev = b
         val pieces = Vector.newBuilder[DataFrame]
-        for (c <- chain.flatten) {
+        for (c <- chain) {
           if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to emit
           else if (prev.dataDirs.forall(c.dataDirs.contains)) {
             val added = c.dataDirs.filterNot(prev.dataDirs.contains)
@@ -387,8 +399,15 @@ object CommitLog {
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(c.version))
           } else {
-            val p = changesPath(root, c.version)
-            if (!f.exists(p)) return None // rewrite/purge/lost CDF: resync
+            // non-append shape: consumable only if the commit left a
+            // change feed, keyed by its (single) new data dir — absent
+            // for plain rewrites and purges: resync
+            val added = c.dataDirs.filterNot(prev.dataDirs.contains)
+            val p = added match {
+              case Seq(one) => changesPath(root, one)
+              case _ => return None
+            }
+            if (!f.exists(p)) return None
             pieces += spark.read.parquet(p.toString)
               .withColumn("_commit_version", lit(c.version))
           }
@@ -402,6 +421,21 @@ object CommitLog {
             .withColumn("_commit_version", lit(head.version)))
       case _ => None
     }
+  }
+
+  /** The commits in (b.version, head.version], ascending, with the
+    * caller-held `head` substituted at its own slot (it may not be
+    * re-readable from a fresh listing if a concurrent writer advanced
+    * the log). None if any file in the range is missing or unparseable —
+    * a vacuum hole, which is the resync case for every chain consumer
+    * ([[deltaDirs]] and [[changesSince]] share this walk so they can
+    * never disagree about whether a history is incrementally readable). */
+  private def commitChain(spark: SparkSession, root: String, b: Commit,
+      head: Commit): Option[Seq[Commit]] = {
+    val reads = ((b.version + 1) to head.version).map { v =>
+      if (v == head.version) Some(head) else readCommitFile(spark, root, v)
+    }
+    if (reads.exists(_.isEmpty)) None else Some(reads.flatten)
   }
 
   /** Dirs added by ROW-VISIBLE commits strictly after `b` up to `head`.
@@ -420,12 +454,8 @@ object CommitLog {
       head: Commit): Option[Seq[String]] = {
     if (b.dataDirs.forall(head.dataDirs.contains))
       Some(head.dataDirs.filterNot(b.dataDirs.contains))
-    else {
-      val chain = ((b.version + 1) to head.version).map { v =>
-        if (v == head.version) Some(head) else readCommitFile(spark, root, v)
-      }
-      if (chain.exists(_.isEmpty)) None
-      else chain.flatten.foldLeft(Option((b, Vector.empty[String]))) {
+    else commitChain(spark, root, b, head).flatMap {
+      _.foldLeft(Option((b, Vector.empty[String]))) {
         case (None, _) => None
         case (Some((prev, added)), c) =>
           if (c.rowInvisible) Some((c, added))
@@ -451,10 +481,15 @@ object CommitLog {
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
   private def tryClaim(spark: SparkSession, root: String, v: Long,
-      content: String): Boolean = {
-    val p = commitPath(root, v)
-    val f = fs(spark, root)
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
+      content: String): Boolean =
+    atomicCreate(fs(spark, root), commitPath(root, v),
+      content.getBytes(StandardCharsets.UTF_8))
+
+  /** Atomic create-exclusive of `p` carrying `bytes`; true = this caller
+    * created it. The claim-file primitive, also used for the bloom
+    * `_column` marker (one-writer-wins metadata). */
+  private def atomicCreate(f: org.apache.hadoop.fs.FileSystem, p: HPath,
+      bytes: Array[Byte]): Boolean = {
     if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
       // local fs: Hadoop's create(overwrite=false) is check-then-create
       // (TOCTOU). Write the FULL content to a private temp file, then
@@ -493,8 +528,12 @@ object CommitLog {
     val f = fs(spark, root)
     versions(spark, root).lastOption.filter { v =>
       readCommitFile(spark, root, v).isEmpty && {
-        val st = f.getFileStatus(commitPath(root, v))
-        System.currentTimeMillis() - st.getModificationTime > 10000L
+        // the file may vanish between the listing and this stat (a
+        // racing repairer or vacuum) — then there is nothing to repair
+        try {
+          val st = f.getFileStatus(commitPath(root, v))
+          System.currentTimeMillis() - st.getModificationTime > 10000L
+        } catch { case _: java.io.FileNotFoundException => false }
       }
     }.foreach(v => f.delete(commitPath(root, v), false))
   }
@@ -518,7 +557,9 @@ object CommitLog {
     * verbs may claim consumer-skippability). */
   private def commitImpl(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int, statsCol: Option[String],
-      rowInvisible: Boolean)(build: Option[DataFrame] => DataFrame): Commit = {
+      rowInvisible: Boolean,
+      clusterSpec: Option[String] = None)(
+      build: Option[DataFrame] => DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     statsCol.foreach(sc => requireTag(sc, "statsCol")) // embeds in the JSON
     init(spark, root)
@@ -539,7 +580,8 @@ object CommitLog {
       val st = statsCol.flatMap(sc => dirStats(spark, s"$root/$dataDir", sc))
         .map(dataDir -> _).toMap
       val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
-        statsColName = statsCol.filter(_ => st.nonEmpty))
+        statsColName = statsCol.filter(_ => st.nonEmpty),
+        clusterSpec = clusterSpec)
       if (tryClaim(spark, root, nextV, render(c))) return c
       // lost the race: another writer committed nextV first — discard the
       // stale staging (built against an outdated snapshot), back off
@@ -729,11 +771,20 @@ object CommitLog {
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         }.sum
       }
+      // the cluster spec is RECORDED in the compact commit, so a
+      // scheduled same-spec clustering compact on a quiescent head is a
+      // no-op (the schedulability contract) — it re-clusters only when
+      // the head is fragmented, under-packed, or clustered differently
+      val requested =
+        if (zorderCols.nonEmpty) Some("z:" + zorderCols.mkString(","))
+        else if (sortCols.nonEmpty) Some("sort:" + sortCols.mkString(","))
+        else None
+      (sortCols ++ zorderCols).foreach(c => requireTag(c, "cluster column"))
       if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
-          sortCols.isEmpty && zorderCols.isEmpty)
+          (requested.isEmpty || head.clusterSpec == requested))
         head
       else commitImpl(spark, root, writer, "compact", maxAttempts, statsCol,
-        rowInvisible = true) { cur =>
+        rowInvisible = true, clusterSpec = requested) { cur =>
         // cur is always Some here: versions only grow, and the head
         // existed when compaction started. Plain compact coalesces
         // (no shuffle); SORTED compact range-partitions + sorts on
@@ -813,9 +864,17 @@ object CommitLog {
           s"bloom column '$colName' conflicts with the table's existing " +
             s"bloom column '$existing' — one bloom column per table")
         case None =>
-          val out = f.create(bloomColPath(root), true)
-          try out.write(colName.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
+          // atomic create-exclusive: two concurrent addBloom calls with
+          // different columns must not interleave check-then-overwrite
+          // (sidecars built over A under a marker saying B would enable
+          // a WRONG merge prune) — exactly one claims, the loser verifies
+          if (!atomicCreate(f, bloomColPath(root),
+              colName.getBytes(StandardCharsets.UTF_8))) {
+            val winner = bloomColumn(spark, root)
+            require(winner.contains(colName),
+              s"bloom column '$colName' conflicts with concurrently " +
+                s"claimed '${winner.getOrElse("?")}' — one per table")
+          }
       }
       head.dataDirs.count { d =>
         val p = bloomPath(root, d)
@@ -955,17 +1014,30 @@ object CommitLog {
     // a partial cast would shrink the range and wrongly prune), and the
     // collected keys for bloom probing when they fit the driver budget
     val kc = col(keyCol)
+    val flagNull = deleteCol.map(dc => col(dc).isNull).getOrElse(lit(false))
     val kstats = changes.agg(
       count(lit(1)), count(when(kc.isNull, 1)),
       org.apache.spark.sql.functions.count_distinct(kc),
       min(kc.cast("long")), max(kc.cast("long")),
-      count(when(kc.isNotNull && kc.cast("long").isNull, 1))).head()
+      count(when(kc.isNotNull && kc.cast("long").isNull, 1)),
+      count(when(flagNull, 1))).head()
     val (nRows, nNullKeys, nKeys) =
       (kstats.getLong(0), kstats.getLong(1), kstats.getLong(2))
     require(nNullKeys == 0, s"merge keys ('$keyCol') must be non-null")
+    // a NULL flag would silently act as a delete (filter(!flag) drops the
+    // row from the inserts while its key is still anti-joined away) —
+    // reject it at the edge like null keys
+    require(kstats.getLong(6) == 0,
+      s"merge delete flags ('${deleteCol.getOrElse("")}') must be non-null")
     require(nRows == nKeys,
       s"merge changes must hold one row per '$keyCol': $nRows rows over " +
         s"$nKeys distinct keys — pre-aggregate the changeset (q_upsert_latest)")
+    // an empty changeset changes nothing: answer from the log, never
+    // rewrite (with no pruning evidence every dir would count as
+    // affected and a 0-key merge would rewrite the whole table)
+    if (nRows == 0)
+      return latest(spark, root).getOrElse(throw new IllegalStateException(
+        "merge of an empty changeset into an empty table — nothing to commit"))
     val keysRange: Option[(Long, Long)] =
       if (kstats.getLong(5) == 0 && !kstats.isNullAt(3))
         Some((kstats.getLong(3), kstats.getLong(4)))
@@ -1082,12 +1154,22 @@ object CommitLog {
                   .otherwise(lit("insert")))
               .select(headCols :+ col("_change_type"): _*)
             (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
-              Some(preTyped.union(post)))
+              Some((preTyped.union(post), preT)))
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // change feed written BEFORE the claim, keyed by the new dir name
+      // (unique to this attempt): any reader that can see the merge
+      // commit can see its feed — there is no claim-to-feed window
+      // forcing a spurious resync; a crash here leaves only a staged
+      // dir + feed orphan pair for vacuum
+      cdf.foreach { case (typed, _) =>
+        f.mkdirs(changesDir(root))
+        typed.write.mode(SaveMode.Overwrite)
+          .parquet(changesPath(root, newDir).toString)
+      }
       val newStats = effStatsCol
         .flatMap(sc => dirStats(spark, s"$root/$newDir", sc))
         .map(newDir -> _).toMap
@@ -1096,26 +1178,16 @@ object CommitLog {
       val allStats = carried ++ newStats
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
         statsColName = effStatsCol.filter(_ => allStats.nonEmpty))
-      if (tryClaim(spark, root, nextV, render(c))) {
-        // persist the change feed AFTER winning the claim (before it, a
-        // lost claim would strand OUR changeset under ANOTHER writer's
-        // version number); staged + renamed so readers never see a
-        // half-written feed — a crash in this window leaves the commit
-        // CDF-less, which changesSince reads as "resync", never as a
-        // wrong feed
-        cdf.foreach { typed =>
-          f.mkdirs(changesDir(root))
-          val stagePath = new HPath(changesDir(root),
-            s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-          typed.write.mode(SaveMode.Overwrite).parquet(stagePath.toString)
-          if (!f.rename(stagePath, changesPath(root, nextV)))
-            f.delete(stagePath, true)
-        }
-        return c
-      }
+      val won = tryClaim(spark, root, nextV, render(c))
+      // release the pre-image checkpoint whether or not we won — each
+      // attempt materializes its own (lost claims would otherwise leak
+      // executor storage blocks for the session's lifetime)
+      cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
+      if (won) return c
       // lost the race: the affected set may have changed under the new
-      // head — discard the staging and re-prune from scratch
+      // head — discard the staged dir AND its feed, re-prune from scratch
       f.delete(new HPath(s"$root/$newDir"), true)
+      f.delete(changesPath(root, newDir), true)
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -1158,19 +1230,16 @@ object CommitLog {
           now - st.getModificationTime > graceMs
       }
       .foreach(st => f.delete(st.getPath, true))
-    // change-feed files for unreachable versions: a changesSince walk
-    // starts strictly AFTER a retained base commit, so `_changes/vN` is
-    // reachable only when N > the oldest kept version — sweep the rest,
-    // plus crash-stranded staging dirs past the grace window
-    val oldestKept = kept.headOption.map(_.version).getOrElse(Long.MaxValue)
+    // change-feed files: keyed by the merge commit's new data dir, so
+    // the sweep rule is the bloom-sidecar rule — garbage exactly when no
+    // kept commit references the dir AND the dir itself is gone (covers
+    // vacuumed merges, purged history, and pre-claim crash orphans,
+    // whose staged dirs the data sweep above already aged out)
     if (f.exists(changesDir(root)))
       Option(f.listStatus(changesDir(root))).toSeq.flatten
         .filter { st =>
-          val nm = st.getPath.getName
-          (nm.startsWith("v") &&
-            scala.util.Try(nm.drop(1).toLong).toOption.exists(_ <= oldestKept)) ||
-          (nm.startsWith(".stage-") &&
-            now - st.getModificationTime > graceMs)
+          val d = st.getPath.getName
+          !live.contains(d) && !f.exists(new HPath(root, d))
         }
         .foreach(st => f.delete(st.getPath, true))
     // stranded bloom sidecars: advisory metadata keyed by dir name, so a

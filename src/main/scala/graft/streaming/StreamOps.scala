@@ -358,52 +358,33 @@ object StreamOps {
   def runCommitLogTail(spark: SparkSession, root: String, checkpointDir: String)
       (process: (DataFrame, Long) => Unit): Long = {
     import graft.sources.CommitLog
-    new java.io.File(checkpointDir).mkdirs()
-    val ckpt = new java.io.File(checkpointDir, "version")
-    val last =
-      if (ckpt.exists())
-        new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8").trim.toLong
-      else 0L
-    // ONE log listing anchors the whole run: the head Commit both names
-    // the dirs read AND stamps the version handed to `process` — reading
-    // head/delta from separate listings would let a concurrent commit
-    // land rows in the delta that get stamped with the older version
-    // (duplicate delivery a version-keyed sink cannot dedup)
-    val headOpt = CommitLog.latest(spark, root)
-    if (headOpt.isEmpty) return last
-    val headC = headOpt.get
-    val head = headC.version
-    if (head <= last) return last
-    val delta =
-      if (last == 0L) Some(CommitLog.readCommit(spark, root, headC))
-      else CommitLog.appendedSince(spark, root, last, headC)
-    val df = delta.getOrElse(throw new IllegalStateException(
-      s"commit-log tail at version $last cannot read incrementally to $head " +
-        "(a rewrite commit intervened, or the checkpointed version was " +
-        "vacuumed) — resync: clear the checkpoint and reprocess the head"))
-    process(df, head)
-    val tmp = new java.io.File(checkpointDir, s".version-$head")
-    java.nio.file.Files.write(tmp.toPath, head.toString.getBytes("UTF-8"))
-    if (!tmp.renameTo(ckpt)) {
-      ckpt.delete()
-      if (!tmp.renameTo(ckpt)) throw new java.io.IOException(
-        s"commit-log tail: checkpoint rename failed at $ckpt")
-    }
-    head
+    // ONE log listing anchors the whole run (inside tailImpl): the head
+    // Commit both names the dirs read AND stamps the version handed to
+    // `process` — reading head/delta from separate listings would let a
+    // concurrent commit land rows in the delta that get stamped with the
+    // older version (duplicate delivery a version-keyed sink cannot dedup)
+    tailImpl(spark, root, checkpointDir) { (last, headC) =>
+      val delta =
+        if (last == 0L) Some(CommitLog.readCommit(spark, root, headC))
+        else CommitLog.appendedSince(spark, root, last, headC)
+      delta.getOrElse(throw new IllegalStateException(
+        s"commit-log tail at version $last cannot read incrementally to " +
+          s"${headC.version} (a rewrite commit intervened, or the " +
+          "checkpointed version was vacuumed) — resync: clear the " +
+          "checkpoint and reprocess the head"))
+    }(process)
   }
 
-  /** CHANGE-FEED tail (r11): like [[runCommitLogTail]] but delivering
-    * row-level changes — payload columns plus `_change_type`
-    * (insert | upsert | delete) and `_commit_version` — so the consumer
-    * can maintain keyed downstream state THROUGH merge commits instead
-    * of failing to a resync (the append-only tail's contract). First run
-    * bootstraps with the full head as `insert` rows stamped with the
-    * head version. A plain rewrite or purge still demands a resync —
-    * for purge that is the point: the feed must not retain purged rows.
-    * Delivery is the same at-least-once-then-checkpoint contract as the
-    * append tail; sinks key on the version. */
-  def runCommitLogChangesTail(spark: SparkSession, root: String,
-      checkpointDir: String)(process: (DataFrame, Long) => Unit): Long = {
+  /** Shared tail machinery: read the version checkpoint, gate on the
+    * head, hand `mkBatch(lastVersion, headCommit)` to `process`, then
+    * advance the checkpoint via write-new-then-rename. The one log
+    * listing that produces the head Commit anchors BOTH the rows read
+    * and the version stamped (see [[runCommitLogTail]]'s scaladoc for
+    * why separate listings would double-deliver). */
+  private def tailImpl(spark: SparkSession, root: String,
+      checkpointDir: String)(
+      mkBatch: (Long, graft.sources.CommitLog.Commit) => DataFrame)(
+      process: (DataFrame, Long) => Unit): Long = {
     import graft.sources.CommitLog
     new java.io.File(checkpointDir).mkdirs()
     val ckpt = new java.io.File(checkpointDir, "version")
@@ -416,26 +397,46 @@ object StreamOps {
     val headC = headOpt.get
     val head = headC.version
     if (head <= last) return last
-    val df =
-      if (last == 0L)
-        CommitLog.readCommit(spark, root, headC)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(head))
-      else CommitLog.changesSince(spark, root, last, headC)
-        .getOrElse(throw new IllegalStateException(
-          s"commit-log changes tail at version $last cannot read a change " +
-            s"feed to $head (a rewrite or purge intervened, or the " +
-            "checkpointed version was vacuumed) — resync: clear the " +
-            "checkpoint and reprocess the head"))
-    process(df, head)
+    process(mkBatch(last, headC), head)
     val tmp = new java.io.File(checkpointDir, s".version-$head")
     java.nio.file.Files.write(tmp.toPath, head.toString.getBytes("UTF-8"))
     if (!tmp.renameTo(ckpt)) {
       ckpt.delete()
       if (!tmp.renameTo(ckpt)) throw new java.io.IOException(
-        s"commit-log changes tail: checkpoint rename failed at $ckpt")
+        s"commit-log tail: checkpoint rename failed at $ckpt")
     }
     head
+  }
+
+  /** CHANGE-FEED tail (r11): like [[runCommitLogTail]] but delivering
+    * row-level changes — payload columns plus `_change_type`
+    * (`insert` | `update_preimage` | `update_postimage` | `delete`,
+    * where pre-images and deletes carry the stored row; keyed-state
+    * consumers treat pre-images as informational, aggregate maintainers
+    * use them as the negative side of the signed fold) and
+    * `_commit_version` — so the consumer can maintain downstream state
+    * THROUGH merge commits instead of failing to a resync (the
+    * append-only tail's contract). First run bootstraps with the full
+    * head as `insert` rows stamped with the head version. A plain
+    * rewrite or purge still demands a resync — for purge that is the
+    * point: the feed must not retain purged rows. Delivery is the same
+    * at-least-once-then-checkpoint contract as the append tail; sinks
+    * key on the version. */
+  def runCommitLogChangesTail(spark: SparkSession, root: String,
+      checkpointDir: String)(process: (DataFrame, Long) => Unit): Long = {
+    import graft.sources.CommitLog
+    tailImpl(spark, root, checkpointDir) { (last, headC) =>
+      if (last == 0L)
+        CommitLog.readCommit(spark, root, headC)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(headC.version))
+      else CommitLog.changesSince(spark, root, last, headC)
+        .getOrElse(throw new IllegalStateException(
+          s"commit-log changes tail at version $last cannot read a change " +
+            s"feed to ${headC.version} (a rewrite or purge intervened, or " +
+            "the checkpointed version was vacuumed) — resync: clear the " +
+            "checkpoint and reprocess the head"))
+    }(process)
   }
 
   /** Stream → COMMIT LOG, exactly-once end-to-end (r11): drain whatever

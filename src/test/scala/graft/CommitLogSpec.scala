@@ -537,13 +537,20 @@ class CommitLogSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
       assert(hi < lo2, s"file ranges overlap: $ranges")
     }
-    // a sorted re-compact is NOT a no-op even on a compact head (it must
-    // re-cluster); an unsorted one still is
+    // the cluster spec is recorded in the commit: a SAME-spec sorted
+    // re-compact on the already-clustered head is a no-op (the
+    // schedulable-cadence contract), as is a plain compact; clustering
+    // DIFFERENTLY re-commits
+    assert(c.clusterSpec.contains("sort:id"))
     val v = CommitLog.latest(spark, root).get.version
     assert(CommitLog.compact(spark, root, "opt", targetFiles = 4)
       .get.version == v)
     assert(CommitLog.compact(spark, root, "opt", targetFiles = 4,
-      sortCols = Seq("id")).get.version == v + 1)
+      sortCols = Seq("id")).get.version == v,
+      "a same-spec clustering compact must no-op on a quiescent head")
+    assert(CommitLog.compact(spark, root, "opt", targetFiles = 2,
+      sortCols = Seq("id")).get.version == v + 1,
+      "a tighter file target re-compacts")
   }
 
   test("merge applies updates, inserts, and deletes in one commit; rejects bad changesets") {
@@ -579,6 +586,17 @@ class CommitLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CommitLog.merge(spark, root, "m", "id", Seq((1L, 5)).toDF("id", "other"))
     }
+    // a NULL delete flag would silently act as a delete — rejected
+    intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, "m", "id",
+        Seq((1L, "q", 1.0, Option.empty[Boolean]))
+          .toDF("id", "tag", "v", "del"), deleteCol = Some("del"))
+    }
+    // an empty changeset is a no-op answered from the log, never a
+    // rewrite (on an evidence-less table every dir would count affected)
+    val v = CommitLog.latest(spark, root).get.version
+    assert(CommitLog.merge(spark, root, "m", "id",
+      Seq.empty[(Long, String, Double)].toDF("id", "tag", "v")).version == v)
   }
 
   test("merge rewrites only dirs that might hold a merge key (stats pruning)") {
@@ -845,9 +863,16 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.changesSince(spark, root, 1L).isEmpty,
       "a plain rewrite demands resync")
     // purge sweeps retained change files: the feed must not retain
-    // purged rows as delete records
+    // purged rows as delete records (feeds are keyed by their merge's
+    // data dir; purge's synchronous vacuum drops the dirs, so the
+    // feeds go in the same pass)
+    val changesBefore = new java.io.File(root, "_changes").list()
+    assert(changesBefore != null && changesBefore.nonEmpty,
+      "the merge's feed exists before the purge")
     CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(col("id") === 2L)
-    assert(!new java.io.File(root, "_changes/v3").exists(),
+    val changesAfter = Option(new java.io.File(root, "_changes").list())
+      .map(_.toSeq).getOrElse(Nil)
+    assert(changesAfter.isEmpty,
       "purge removes persisted changesets from history")
   }
 

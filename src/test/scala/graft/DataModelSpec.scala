@@ -24,6 +24,18 @@ class DataModelSpec extends SparkSpec {
     assert(rows(maintained.orderBy("g")) == rows(after.orderBy("g")),
       "maintained state equals recomputing over the post-change table; " +
         "'a' nets to zero and drops, 'd' appears from the delta alone")
+    // the NULL group must merge through the null-safe join, not split
+    // into separate state and delta rows
+    val nBase = Seq((Option.empty[String], 30L), (Some("e"), 1L)).toDF("g", "v")
+    val nState = nBase.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+    val nChanges = Seq((Option.empty[String], 5L, "insert"))
+      .toDF("g", "v", "_change_type")
+    val nGot = DataModel.maintainAggFromChanges(nState, nChanges, "g", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(nGot == Set((None, 2L, 35L), (Some("e"), 1L, 1L)),
+      "null-group state and delta merge into one row")
   }
 
   test("key path build/split roundtrip") {
