@@ -557,12 +557,25 @@ class PropertySpec extends SparkSpec {
           assert(got == expected, s"sample $i: merge diverged from spec")
           // and the change feed folds back to the same state: signed
           // count must net to (|head| − |base|)
-          val feed = CommitLog.changesSince(spark, root, 2L).get.collect()
+          val feedDf = CommitLog.changesSince(spark, root, 2L).get
+          val feed = feedDf.collect()
           val net = feed.map(r =>
             if (Set("insert", "update_postimage")(r.getAs[String]("_change_type")))
               1 else -1).sum
           assert(net == expected.size - base.size,
             s"sample $i: CDF signed count must net the cardinality delta")
+          // incremental view maintenance from the same feed: a per-group
+          // (count, sum) maintained through the merge must equal the
+          // direct aggregate over the head (exact long arithmetic)
+          val state = base.toDF("id", "v").withColumn("g", col("id") % 3)
+            .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+          val maintained = graft.operators.DataModel.maintainAggFromChanges(
+            state, feedDf.withColumn("g", col("id") % 3), "g", "v")
+          val direct = CommitLog.readLatest(spark, root).get
+            .withColumn("g", col("id") % 3)
+            .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+          assert(rows(maintained.orderBy("g")) == rows(direct.orderBy("g")),
+            s"sample $i: maintained aggregate diverged from recomputation")
         }
     }
   }
