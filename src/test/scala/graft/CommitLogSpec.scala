@@ -921,6 +921,49 @@ class CommitLogSpec extends SparkSpec {
     assert(e.getMessage.contains("resync"))
   }
 
+  test("change feed across a long mixed chain: multiple merges' feeds stitch in order") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")             // v1
+    }
+    CommitLog.merge(spark, root, "m", "id",                  // v2: upd 1
+      Seq((1L, 10.0)).toDF("id", "v"))
+    CommitLog.commitAppend(spark, root, "w", "append")(      // v3: ins 3
+      Seq((3L, 3.0)).toDF("id", "v"))
+    CommitLog.merge(spark, root, "m", "id",                  // v4: del 2, ins 4
+      Seq((2L, 0.0, true), (4L, 4.0, false)).toDF("id", "v", "del"),
+      deleteCol = Some("del"))
+    // the compact may no-op here (the v4 merge already left one small
+    // dir) — either way it must be silent in the feed
+    CommitLog.compact(spark, root, "opt")
+    val lastMerge = CommitLog.merge(spark, root, "m", "id",  // upd 1 again
+      Seq((1L, 100.0)).toDF("id", "v"))
+    val feed = CommitLog.changesSince(spark, root, 1L).get
+    // fold (preimages informational, last change per key by version)
+    val changes = feed.filter(col("_change_type") =!= "update_preimage")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    val lastByKey = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4))
+    val baseMap = CommitLog.readVersion(spark, root, 1L).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val folded =
+      (baseMap -- lastByKey.collect { case (k, c) if c._3 == "delete" => k }) ++
+        lastByKey.collect { case (k, c) if c._3 != "delete" => k -> c._2 }
+    val head = CommitLog.readLatest(spark, root).get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded == head && head == Map(1L -> 100.0, 3L -> 3.0, 4L -> 4.0),
+      "three merges' feeds + one synthesized append stitch to the head")
+    // both updates of key 1 appear, each stamped with its own version
+    assert(changes.filter(c => c._1 == 1L && c._3 == "update_postimage")
+      .map(_._4).sorted.toSeq == Seq(2L, lastMerge.version))
+    // intermediate consumption windows work too
+    val mid = CommitLog.changesSince(spark, root, 3L).get
+      .filter(col("_change_type") =!= "update_preimage").collect()
+    assert(mid.map(_.getLong(mid.head.fieldIndex("_commit_version"))).toSet ==
+      Set(4L, lastMerge.version))
+  }
+
   test("changes tail + maintainAggFromChanges: a continuously-maintained materialized view") {
     import spark.implicits._
     import graft.streaming.StreamOps
