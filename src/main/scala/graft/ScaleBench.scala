@@ -644,7 +644,7 @@ object ScaleBench {
       // predicate on EACH dim. The x-sorted layout answers x-range
       // probes from ~1 file but every file spans all of y; the zorder
       // layout bounds both dims per file, so BOTH probes prune.
-      val zSide = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_ZSIDE", "2048").toLong
+      val zSide = sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_ZSIDE", "4096").toLong
       val zn = zSide * zSide
       val zDir = freshDir("zorder")
       graft.sources.CommitLog.commit(s, zDir, "seed", "create") { _ =>

@@ -381,9 +381,11 @@ object Relational {
     // row) and stamped with their commit version, so downstream keyed
     // state — and, because every type carries an algebraic sign,
     // downstream AGGREGATES — ride THROUGH merges instead of resyncing.
-    // Appends synthesize inserts from their own data dirs
-    // (zero storage); merges persist their changeset to _changes/v<N>
-    // post-claim; purge deliberately breaks the feed (a CDF that
+    // Appends synthesize inserts from their own data dirs at zero
+    // storage; merges persist their changeset to _changes/<newDir>,
+    // keyed by the new data dir's unique name and written BEFORE the
+    // claim, so a visible merge commit always has a visible feed;
+    // purge deliberately breaks the feed (a CDF that
     // retained purged rows as delete records would defeat retention).
     // Oracle rebuilds the same typed rows relationally — a missing
     // delete, a double-delivered insert, or a mis-stamped version all

@@ -372,7 +372,11 @@ object CommitLog {
     * purge is retention/right-to-be-forgotten, and a change feed that
     * RETAINED the purged rows as delete records would defeat it —
     * consumers must resync and forget), or a vacuumed base. None also
-    * when already at head, mirroring [[appendedSince]]. */
+    * when already at head, mirroring [[appendedSince]]. Feed files are
+    * a THIS-VERSION format (dir-keyed; an earlier in-repo revision keyed
+    * them `v<N>` — such files read as feed-less merges, i.e. resync, and
+    * are swept by vacuum): the commit log has no cross-version table
+    * compatibility contract. */
   def changesSince(spark: SparkSession, root: String,
       sinceVersion: Long): Option[DataFrame] =
     latest(spark, root).flatMap(h => changesSince(spark, root, sinceVersion, h))
@@ -868,12 +872,29 @@ object CommitLog {
           // different columns must not interleave check-then-overwrite
           // (sidecars built over A under a marker saying B would enable
           // a WRONG merge prune) — exactly one claims, the loser verifies
-          if (!atomicCreate(f, bloomColPath(root),
-              colName.getBytes(StandardCharsets.UTF_8))) {
+          var claimed = atomicCreate(f, bloomColPath(root),
+            colName.getBytes(StandardCharsets.UTF_8))
+          if (!claimed && bloomColumn(spark, root).isEmpty) {
+            // the marker exists but carries no column: a writer crashed
+            // in the HDFS create→write→close window (a torn marker must
+            // not brick the table forever). Repair ONLY once it is old
+            // enough that no live claimant can still be mid-write —
+            // the repairTornTail grace pattern.
+            val age = try {
+              System.currentTimeMillis() -
+                f.getFileStatus(bloomColPath(root)).getModificationTime
+            } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+            if (age > 10000L) {
+              f.delete(bloomColPath(root), false)
+              claimed = atomicCreate(f, bloomColPath(root),
+                colName.getBytes(StandardCharsets.UTF_8))
+            }
+          }
+          if (!claimed) {
             val winner = bloomColumn(spark, root)
             require(winner.contains(colName),
               s"bloom column '$colName' conflicts with concurrently " +
-                s"claimed '${winner.getOrElse("?")}' — one per table")
+                s"claimed '${winner.getOrElse("<torn marker>")}' — one per table")
           }
       }
       head.dataDirs.count { d =>
@@ -1178,11 +1199,12 @@ object CommitLog {
       val allStats = carried ++ newStats
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
         statsColName = effStatsCol.filter(_ => allStats.nonEmpty))
-      val won = tryClaim(spark, root, nextV, render(c))
-      // release the pre-image checkpoint whether or not we won — each
-      // attempt materializes its own (lost claims would otherwise leak
-      // executor storage blocks for the session's lifetime)
-      cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
+      // release the pre-image checkpoint whether the claim wins, loses,
+      // or THROWS (a transient store error must not leak the blocks) —
+      // each attempt materializes its own
+      val won =
+        try tryClaim(spark, root, nextV, render(c))
+        finally cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
       if (won) return c
       // lost the race: the affected set may have changed under the new
       // head — discard the staged dir AND its feed, re-prune from scratch
