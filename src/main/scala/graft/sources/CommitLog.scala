@@ -470,16 +470,20 @@ object CommitLog {
     }
   }
 
-  /** Commit history as a DataFrame (version, writer, action, n_dirs) —
-    * the audit surface: who changed the table, when in the version order,
-    * and by which verb. Reads only the log (O(versions) tiny files),
-    * never a data dir. */
+  /** Commit history as a DataFrame (version, writer, action, n_dirs,
+    * row_invisible, cluster, txn_app, txn_batch) — the audit surface:
+    * who changed the table, when in the version order, by which verb,
+    * whether consumers skip it, how the head is clustered, and which
+    * streaming batch it carries. Reads only the log (O(versions) tiny
+    * files), never a data dir. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(spark, root)
       .flatMap(v => readCommitFile(spark, root, v))
-      .map(c => (c.version, c.writer, c.action, c.dataDirs.size))
-      .toDF("version", "writer", "action", "n_dirs")
+      .map(c => (c.version, c.writer, c.action, c.dataDirs.size,
+        c.rowInvisible, c.clusterSpec, c.txn.map(_._1), c.txn.map(_._2)))
+      .toDF("version", "writer", "action", "n_dirs",
+        "row_invisible", "cluster", "txn_app", "txn_batch")
   }
 
   /** Atomic create-exclusive of the claim file with `content`. True =

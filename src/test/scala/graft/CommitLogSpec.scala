@@ -745,6 +745,11 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.commitAppendOnce(spark, root, "s", "stream-append",
       appId = "appB", batchId = 0L)(Seq(99L).toDF("id"))
     assert(CommitLog.readLatest(spark, root).get.count() == 5L)
+    // the audit surface exposes the watermarks per commit
+    val h = CommitLog.history(spark, root)
+      .filter(col("txn_app") === "appA").orderBy("version").collect()
+    assert(h.map(r => r.getLong(r.fieldIndex("txn_batch"))).toSeq ==
+      Seq(0L, 1L))
   }
 
   test("zombie writers racing one batch: exactly one append lands") {
