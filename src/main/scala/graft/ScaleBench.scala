@@ -639,6 +639,44 @@ object ScaleBench {
         graft.sources.CommitLog.readLatest(s, bloomed).get
       }
 
+      // CONTENDED merges (r11 close): 4 writers each merge 100 keys
+      // confined to a DIFFERENT dir of the bloomed table — disjoint
+      // data, so with pruning each rewrites only its own dir and the
+      // only interaction is the optimistic claim: a loser re-prunes and
+      // re-stages its (one-dir) rewrite against the new head. Serial vs
+      // 4-thread wall time bounds that conflict tax.
+      // each writer runs the documented cadence first (addBloom builds
+      // sidecars only for dirs that lack one — here, dirs earlier merges
+      // just rewrote); without it every post-merge dir is evidence-less
+      // and each successive merge re-rewrites its predecessors' output
+      // (measured: 4 serial merges cost 15.4 s instead of ~6 s)
+      def mergeInto(dir: String, tag: String, d: Int): Unit = {
+        graft.sources.CommitLog.addBloom(s, dir, "id", fpp = 0.001)
+        graft.sources.CommitLog.merge(s, dir, s"m$tag", "id",
+          s.range(0L, 100L)
+            .selectExpr(s"id * $nm + $d AS id", s"'w$tag' AS payload"))
+        ()
+      }
+      val serialDir = mergeTable("mcser", blooms = true)
+      val t0 = System.nanoTime()
+      (0 until 4).foreach(k => mergeInto(serialDir, s"s$k", k * 3 + 1))
+      val serialSec = (System.nanoTime() - t0) / 1e9
+      println(s"""SCALE_ROW:{"op":"commitlog_merge_serial4","n":$mergeN,"sec":${r3(serialSec)},"reps":[1]}""")
+      val contDir = mergeTable("mccon", blooms = true)
+      val mpool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val mec = scala.concurrent.ExecutionContext.fromExecutor(mpool)
+      val t1 = System.nanoTime()
+      val futs = (0 until 4).map(k =>
+        scala.concurrent.Future(mergeInto(contDir, s"c$k", k * 3 + 1))(mec))
+      futs.foreach(fu => scala.concurrent.Await.result(fu,
+        scala.concurrent.duration.Duration.Inf))
+      val contSec = (System.nanoTime() - t1) / 1e9
+      mpool.shutdown()
+      require(graft.sources.CommitLog.readLatest(s, contDir).get
+        .filter("payload LIKE 'wc%'").count() == 400L,
+        "contended merges lost updates")
+      println(s"""SCALE_ROW:{"op":"commitlog_merge_contended4","n":$mergeN,"sec":${r3(contSec)},"reps":[1]}""")
+
       // ZORDER vs 1-D sorted compaction (r11): a 2048x2048 grid table
       // (x = id mod 2048, y = id div 2048) probed with a narrow
       // predicate on EACH dim. The x-sorted layout answers x-range
