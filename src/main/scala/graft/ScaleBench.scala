@@ -645,13 +645,11 @@ object ScaleBench {
       // only interaction is the optimistic claim: a loser re-prunes and
       // re-stages its (one-dir) rewrite against the new head. Serial vs
       // 4-thread wall time bounds that conflict tax.
-      // each writer runs the documented cadence first (addBloom builds
-      // sidecars only for dirs that lack one — here, dirs earlier merges
-      // just rewrote); without it every post-merge dir is evidence-less
-      // and each successive merge re-rewrites its predecessors' output
-      // (measured: 4 serial merges cost 15.4 s instead of ~6 s)
+      // merges SELF-bloom their output dirs (the table blooms "id"), so
+      // no cadence call is needed between them: successive merges keep
+      // pruning each other's output — before self-blooming, 4 serial
+      // merges cost 15.4 s here with escalating affected-sets
       def mergeInto(dir: String, tag: String, d: Int): Unit = {
-        graft.sources.CommitLog.addBloom(s, dir, "id", fpp = 0.001)
         graft.sources.CommitLog.merge(s, dir, s"m$tag", "id",
           s.range(0L, 100L)
             .selectExpr(s"id * $nm + $d AS id", s"'w$tag' AS payload"))

@@ -902,19 +902,24 @@ object CommitLog {
           }
       }
       head.dataDirs.count { d =>
-        val p = bloomPath(root, d)
-        !f.exists(p) && {
-          val df = spark.read.parquet(s"$root/$d")
-          require(df.columns.contains(colName),
-            s"bloom column '$colName' not in ${df.schema.simpleString}")
-          val n = df.count().max(1L)
-          val bf = df.stat.bloomFilter(colName, n, fpp)
-          val out = f.create(p, true)
-          try bf.writeTo(out) finally out.close()
+        !f.exists(bloomPath(root, d)) && {
+          buildSidecar(spark, root, d, colName, fpp)
           true
         }
       }
     }.getOrElse(0)
+
+  private def buildSidecar(spark: SparkSession, root: String, d: String,
+      colName: String, fpp: Double): Unit = {
+    val f = fs(spark, root)
+    val df = spark.read.parquet(s"$root/$d")
+    require(df.columns.contains(colName),
+      s"bloom column '$colName' not in ${df.schema.simpleString}")
+    val n = df.count().max(1L)
+    val bf = df.stat.bloomFilter(colName, n, fpp)
+    val out = f.create(bloomPath(root, d), true)
+    try bf.writeTo(out) finally out.close()
+  }
 
   /** POINT-lookup read: the head filtered to `colName = value`, scanning
     * only directories whose bloom sidecar might contain the value (no
@@ -1009,7 +1014,11 @@ object CommitLog {
     * At 100 TB: a changeset touching k of N sorted/bloomed directories
     * costs k dir rewrites + the changeset scan, never a table rewrite —
     * run [[compact]] with `sortCols=keyCol` and [[addBloom]] on a cadence
-    * and k tracks the changeset's true key locality. The commit is
+    * and k tracks the changeset's true key locality. A merge on a
+    * bloomed key column SELF-blooms its output dir (one extra scan of
+    * the dir it just wrote), so successive merges keep pruning each
+    * other's output without waiting on the cadence — only appended
+    * dirs rely on it. The commit is
     * row-VISIBLE (it retracts/replaces rows), so incremental consumers
     * resync — except the pure-insert path, which commits append-shaped
     * and flows through [[appendedSince]] like any append.
@@ -1195,6 +1204,16 @@ object CommitLog {
         typed.write.mode(SaveMode.Overwrite)
           .parquet(changesPath(root, newDir).toString)
       }
+      // SELF-MAINTAINING evidence (r11 close): when the table blooms this
+      // key column, the merge gives its own output dir a sidecar
+      // immediately — one extra scan of the (affected-sized) dir it just
+      // wrote. Without this, every post-merge dir is evidence-less until
+      // the addBloom cadence runs, and successive merges re-rewrite
+      // their predecessors' output (SCALE.md measured the escalation).
+      // Appends stay lean by contrast (cadence-bloomed): an append is
+      // the hot path and must cost O(delta) writes only.
+      if (bloomColumn(spark, root).contains(keyCol))
+        buildSidecar(spark, root, newDir, keyCol, fpp = 0.001)
       val newStats = effStatsCol
         .flatMap(sc => dirStats(spark, s"$root/$newDir", sc))
         .map(newDir -> _).toMap
@@ -1211,9 +1230,11 @@ object CommitLog {
         finally cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
       if (won) return c
       // lost the race: the affected set may have changed under the new
-      // head — discard the staged dir AND its feed, re-prune from scratch
+      // head — discard the staged dir, its feed, and its self-built
+      // sidecar, then re-prune from scratch
       f.delete(new HPath(s"$root/$newDir"), true)
       f.delete(changesPath(root, newDir), true)
+      f.delete(bloomPath(root, newDir), false)
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(

@@ -649,13 +649,28 @@ class CommitLogSpec extends SparkSpec {
       "even dir untouched: its bloom proves both odd keys absent")
     assert(!after.dataDirs.contains(before.dataDirs(1)))
     assert(CommitLog.readLatest(spark, root).get.count() == 98L)
+    // SELF-MAINTAINING evidence: the merge bloomed its own output dir,
+    // so a follow-up merge on another odd key prunes the even dir AND
+    // needs no manual addBloom to know the new dir must be rewritten
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newOdd = after.dataDirs.filterNot(before.dataDirs.contains).head
+    assert(fsys.exists(
+      new org.apache.hadoop.fs.Path(root, "_bloom/" + newOdd + ".bin")),
+      "merge builds its output dir's sidecar itself")
+    val after2 = CommitLog.merge(spark, root, "m", "id",
+      Seq((15L, true)).toDF("id", "del"), deleteCol = Some("del"))
+    assert(after2.dataDirs.contains(before.dataDirs.head),
+      "even dir still untouched across the second merge")
+    assert(!after2.dataDirs.contains(newOdd))
+    assert(CommitLog.readLatest(spark, root).get.count() == 97L)
     // all-new keys ⇒ PURE-INSERT fast path: append-shaped commit (prior
     // dirs re-referenced), and incremental consumers receive exactly the
     // inserted rows — a merge that is an append flows like one
-    val v = after.version
+    val v = after2.version
     val c = CommitLog.merge(spark, root, "m", "id",
       Seq(1000L, 1001L).toDF("id"))
-    assert(c.dataDirs.init == after.dataDirs, "append shape: dirs shared")
+    assert(c.dataDirs.init == after2.dataDirs, "append shape: dirs shared")
     assert(rows(CommitLog.appendedSince(spark, root, v).get.orderBy("id")) ==
       Seq(Seq(1000L), Seq(1001L)))
     // deletes of provably-absent keys only ⇒ full no-op: head unchanged
