@@ -832,7 +832,11 @@ object CommitLog {
     val p = bloomColPath(root)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
+      // exists-then-open races a concurrent sweep: absence = "no marker",
+      // the same advisory degrade readCommitFile applies (ADVICE r11)
+      val in = try f.open(p) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
       try scala.util.Try {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](256)
@@ -942,11 +946,18 @@ object CommitLog {
       val keep = c.dataDirs.filter { d =>
         val p = bloomPath(root, d)
         !markerOk || !f.exists(p) || {
-          val in = f.open(p)
-          try scala.util.Try(
-            org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-              .mightContain(value)).getOrElse(true)
-          finally in.close()
+          // a vacuum sweeping the sidecar between exists and open must
+          // degrade to "scan the dir", never throw (the advisory-metadata
+          // contract; ADVICE r11)
+          val in = try f.open(p) catch {
+            case _: java.io.FileNotFoundException => null
+          }
+          in == null || {
+            try scala.util.Try(
+              org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                .mightContain(value)).getOrElse(true)
+            finally in.close()
+          }
         }
       }
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
@@ -1038,6 +1049,24 @@ object CommitLog {
       s"deleteCol '$dc' not in changes schema ${changes.schema.simpleString}"))
     require(changes.columns.contains(keyCol),
       s"keyCol '$keyCol' not in changes schema ${changes.schema.simpleString}")
+    // materialize the changeset ONCE (ADVICE r11): validation, pruning
+    // metadata, each claim attempt's staged rewrite, and the CDF pre-image
+    // join all re-evaluate the plan — a non-deterministic changeset
+    // (rand(), a re-read mutable source) could pass the one-row-per-key
+    // validation yet stage DIFFERENT rows, silently corrupting the
+    // committed state and its feed. localCheckpoint pins the rows; every
+    // downstream evaluation reads the materialized blocks.
+    val pinned = changes.localCheckpoint(true)
+    try mergePinned(spark, root, writer, keyCol, pinned, deleteCol, statsCol,
+      maxAttempts, maxProbeKeys)
+    finally pinned.unpersist()
+  }
+
+  /** [[merge]] body over the checkpoint-pinned changeset. */
+  private def mergePinned(spark: SparkSession, root: String, writer: String,
+      keyCol: String, changes: DataFrame, deleteCol: Option[String],
+      statsCol: Option[String], maxAttempts: Int,
+      maxProbeKeys: Int): Commit = {
     init(spark, root)
     val f = fs(spark, root)
     val delFlag = deleteCol.map(col).getOrElse(lit(false))
@@ -1125,8 +1154,14 @@ object CommitLog {
                 val p = bloomPath(root, d)
                 if (!f.exists(p)) None
                 else {
-                  val in = f.open(p)
-                  try scala.util.Try {
+                  // sidecar swept between exists and open ⇒ no bloom
+                  // evidence for this dir (fall through to stats/rewrite),
+                  // never an exception out of merge (ADVICE r11)
+                  val in = try f.open(p) catch {
+                    case _: java.io.FileNotFoundException => null
+                  }
+                  if (in == null) None
+                  else try scala.util.Try {
                     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
                     probeKeys.get.exists(bf.mightContain)
                   }.toOption finally in.close()
@@ -1303,6 +1338,18 @@ object CommitLog {
           }
         }
         .foreach(st => f.delete(st.getPath, false))
+    // crashed atomicCreate stagings: the local-fs claim path writes a
+    // .tmp-<uuid> sibling before hard-linking; a crash between write and
+    // the finally-delete leaks it forever (versions() ignores tmp names,
+    // but nothing else swept them — ADVICE r11). Age-gate on the same
+    // grace as data dirs: a LIVE claimant's tmp file is milliseconds old.
+    Seq(logDir(root), bloomDir(root)).foreach { d =>
+      if (f.exists(d))
+        Option(f.listStatus(d)).toSeq.flatten
+          .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+            now - st.getModificationTime > graceMs)
+          .foreach(st => f.delete(st.getPath, false))
+    }
     old.size
   }
 }

@@ -386,23 +386,43 @@ object StreamOps {
       mkBatch: (Long, graft.sources.CommitLog.Commit) => DataFrame)(
       process: (DataFrame, Long) => Unit): Long = {
     import graft.sources.CommitLog
-    new java.io.File(checkpointDir).mkdirs()
-    val ckpt = new java.io.File(checkpointDir, "version")
+    import org.apache.hadoop.fs.{Path => HPath}
+    // Hadoop FileSystem API throughout (ADVICE r11): the table root already
+    // rides it, so the consumer checkpoint must too — a tail whose table
+    // lives on an object store keeps its checkpoint beside it instead of
+    // silently requiring a local path.
+    val dir = new HPath(checkpointDir)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(dir)
+    val ckpt = new HPath(dir, "version")
     val last =
-      if (ckpt.exists())
-        new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8").trim.toLong
-      else 0L
+      if (!f.exists(ckpt)) 0L
+      else {
+        val in = f.open(ckpt)
+        try {
+          val out = new java.io.ByteArrayOutputStream(64)
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8").trim.toLong
+        } finally in.close()
+      }
     val headOpt = CommitLog.latest(spark, root)
     if (headOpt.isEmpty) return last
     val headC = headOpt.get
     val head = headC.version
     if (head <= last) return last
     process(mkBatch(last, headC), head)
-    val tmp = new java.io.File(checkpointDir, s".version-$head")
-    java.nio.file.Files.write(tmp.toPath, head.toString.getBytes("UTF-8"))
-    if (!tmp.renameTo(ckpt)) {
-      ckpt.delete()
-      if (!tmp.renameTo(ckpt)) throw new java.io.IOException(
+    // advance via write-new-then-rename; Hadoop rename refuses an existing
+    // destination, so replace is delete-then-rename — the no-checkpoint
+    // window in between re-delivers at most one batch on a crash, inside
+    // the documented at-least-once contract (sinks key on the version)
+    val tmp = new HPath(dir, s".version-$head")
+    val out = f.create(tmp, true)
+    try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, ckpt)) {
+      f.delete(ckpt, false)
+      if (!f.rename(tmp, ckpt)) throw new java.io.IOException(
         s"commit-log tail: checkpoint rename failed at $ckpt")
     }
     head
