@@ -477,6 +477,62 @@ object ScaleBench {
       runCommits(1, 32, "serial")
       runCommits(8, 4, "contended")
 
+      // O(1) head pointer (r12, VERDICT r11 #4): latest() cost vs
+      // retained-log length — the advisory `_commits/_head` pointer plus
+      // forward probe should stay FLAT as retained history grows, while
+      // the listing walk it replaces scales with the retained file count.
+      // A long retained history is synthesized at the commit-FILE level
+      // (all versions share the seed's data dirs — the probe measures log
+      // RESOLUTION, which is the only thing the pointer changes);
+      // correctness is asserted by resolving the synthesized head through
+      // the ordinary read path before timing, and the synthesized files
+      // go through the same strict parser as real ones.
+      Seq(256, sys.env.getOrElse("SPARK_GRAFT_SCALE_CL_COMMITS", "10000").toInt)
+        .foreach { nCommits =>
+          val ptrDir = freshDir(s"headptr$nCommits")
+          graft.sources.CommitLog.commit(s, ptrDir, "seed", "create") { _ =>
+            s.range(1000).selectExpr("id")
+          }
+          val headC = graft.sources.CommitLog.latest(s, ptrDir).get
+          val logD = new java.io.File(ptrDir, "_commits")
+          val dirJson = headC.dataDirs.map(d => "\"" + d + "\"").mkString(",")
+          (2 to nCommits).foreach { v =>
+            java.nio.file.Files.write(
+              new java.io.File(logD, "v" + "%020d".format(v.toLong) + ".json").toPath,
+              (s"""{"version":$v,"dataDirs":[$dirJson],""" +
+                s""""writer":"probe","action":"append"}""").getBytes("UTF-8"))
+          }
+          // pointer current, written through the Hadoop FS API as a real
+          // writer would (a raw java.nio overwrite leaves the local
+          // ChecksumFileSystem's .crc sidecar stale — reads then fail the
+          // checksum and the path degrades to the walk, which is correct
+          // damage handling but not the path under measurement)
+          val fsys = new org.apache.hadoop.fs.Path(ptrDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val ptrPath = new org.apache.hadoop.fs.Path(ptrDir, "_commits/_head")
+          val out = fsys.create(ptrPath, true)
+          try out.write(nCommits.toString.getBytes("UTF-8")) finally out.close()
+          def resolveHead(): Long =
+            graft.sources.CommitLog.latest(s, ptrDir).get.version
+          require(resolveHead() == nCommits.toLong,
+            s"synthesized $nCommits-commit head must parse through the real path")
+          val repsPtr = 50
+          val t1 = System.nanoTime()
+          (1 to repsPtr).foreach(_ => resolveHead())
+          val fastSec = (System.nanoTime() - t1) / 1e9
+          println(s"""SCALE_ROW:{"op":"commitlog_latest_pointer_$nCommits","n":$nCommits,"sec":${r3(fastSec)},"reps":[$repsPtr]}""")
+          // the walk (pointer deleted = the pre-r12 resolution path; also
+          // the degrade path every damaged-pointer read takes)
+          fsys.delete(ptrPath, false)
+          val repsWalk = 20
+          require(resolveHead() == nCommits.toLong,
+            "walk fallback must resolve the same head")
+          val t2 = System.nanoTime()
+          (1 to repsWalk).foreach(_ => resolveHead())
+          val walkSec = (System.nanoTime() - t2) / 1e9
+          println(s"""SCALE_ROW:{"op":"commitlog_latest_walk_$nCommits","n":$nCommits,"sec":${r3(walkSec)},"reps":[$repsWalk]}""")
+        }
+
       // O(delta) append vs full-rewrite commit on a LARGE table: the
       // design claim is that appending to a 100 TB table prices at the
       // delta's write, not the table's. Seed n rows once, then time 3

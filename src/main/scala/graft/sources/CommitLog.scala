@@ -93,13 +93,20 @@ object CommitLog {
       action: String, stats: Map[String, (Long, Long)] = Map.empty,
       rowInvisible: Boolean = false, statsColName: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      clusterSpec: Option[String] = None)
+      clusterSpec: Option[String] = None,
+      schemaDDL: Option[String] = None)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
   private def logDir(root: String) = new HPath(root, "_commits")
   private def commitPath(root: String, v: Long) =
     new HPath(logDir(root), "v" + ("%0" + Width + "d").format(v) + ".json")
+  // O(1) head pointer (r12, the Delta `_last_checkpoint` idea): an ADVISORY
+  // file holding the newest version a writer committed. `versions()` ignores
+  // it (names must match v*.json), vacuum's sweeps never touch it, and
+  // [[latest]] only trusts it as a STARTING POINT — stale/torn/corrupt
+  // degrades to the listing walk, never to a wrong head.
+  private def headPath(root: String) = new HPath(logDir(root), "_head")
 
   private def fs(spark: SparkSession, root: String) =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,9 +141,21 @@ object CommitLog {
       s""","txn":{"app":"$app","batch":$b}"""
     }.getOrElse("")
     val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
+    // the recorded table schema (r12 additive evolution) is the one field
+    // whose content is NOT tag-restricted — a DDL string carries spaces,
+    // commas, backticks — so it is the one field that round-trips through
+    // real JSON string escaping (parse's field() regex already reads
+    // escaped content; render was the missing half)
+    val schema = c.schemaDDL
+      .map(ddl => s""","schema":"${escapeJson(ddl)}"""").getOrElse("")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$cluster$txn$statsCol$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$cluster$txn$schema$statsCol$stats}"""
   }
+
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def parse(v: Long, s: String): Option[Commit] = {
     // minimal strict parse of exactly the shape `render` writes; anything
@@ -189,7 +208,8 @@ object CommitLog {
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
-        field("statsCol"), txn, field("cluster"))
+        field("statsCol"), txn, field("cluster"),
+        field("schema").map(unescapeJson))
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -222,14 +242,87 @@ object CommitLog {
     parse(v, new String(bytes, StandardCharsets.UTF_8))
   }
 
+  /** Best-effort write of the head pointer after a won claim. Plain
+    * overwrite, deliberately NOT atomic: two winners racing the pointer can
+    * only leave a STALE-LOW value (each writes its own version; version
+    * numbers only grow, and a torn read of a decimal prefix is ≤ the full
+    * number), which [[latest]] repairs by probing forward. Failure is
+    * swallowed — the pointer is pure advice. */
+  private def writeHeadPointer(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Unit =
+    scala.util.Try {
+      val out = f.create(headPath(root), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** The advisory head pointer's value, if present and parseable (torn or
+    * corrupt content reads as None — the walk fallback). */
+  private def readHeadPointer(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Long] = {
+    val p = headPath(root)
+    val in = try f.open(p) catch { case _: java.io.IOException => return None }
+    try scala.util.Try {
+      val out = new java.io.ByteArrayOutputStream(64)
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8").trim.toLong
+    }.toOption.filter(_ >= 1)
+    finally in.close()
+  }
+
   /** Newest COMMITTED version (a torn tail file is skipped — that commit
-    * never happened; only the tail can be torn since claims are ordered). */
-  def latest(spark: SparkSession, root: String): Option[Commit] =
-    versions(spark, root).reverse.view
-      .flatMap(v => readCommitFile(spark, root, v)).headOption
+    * never happened; only the tail can be torn since claims are ordered).
+    *
+    * O(1) fast path (r12): start from the advisory `_commits/_head` pointer
+    * and probe FORWARD — retained version numbers are dense (every claim
+    * takes latest+1; a repaired torn tail is re-claimed at its own number;
+    * vacuum keeps a suffix), so the true head is reachable in O(pointer
+    * lag) existence checks instead of an O(retained-history) directory
+    * listing. The pointer can only mislead LOW (writers update it after
+    * their claim; a torn read is a decimal prefix ≤ the real value), and a
+    * pointer at a vacuumed/never-committed version fails its own existence
+    * check — both degrade to the listing walk, never to a wrong head. */
+  def latest(spark: SparkSession, root: String): Option[Commit] = {
+    val f = fs(spark, root)
+    val fast = readHeadPointer(f, root).flatMap { v =>
+      if (!f.exists(commitPath(root, v))) None // stale beyond retention: walk
+      else {
+        var cur = v
+        while (f.exists(commitPath(root, cur + 1))) cur += 1
+        // torn tail: step back down, but never below the pointer — below
+        // it we have no existence evidence, so the walk takes over
+        var c: Option[Commit] = None
+        var i = cur
+        while (c.isEmpty && i >= v) { c = readCommitFile(spark, root, i); i -= 1 }
+        c
+      }
+    }
+    fast.orElse(
+      versions(spark, root).reverse.view
+        .flatMap(v => readCommitFile(spark, root, v)).headOption)
+  }
+
+  /** Read `dirs` as one frame. When the commit RECORDS a table schema
+    * (additive evolution happened — r12), the read pins it: parquet fills
+    * columns a pre-evolution directory lacks with typed NULLs, exactly the
+    * q_source_evolved union semantics, WITHOUT the per-file footer-merge
+    * pass `mergeSchema` would pay — the log already knows the answer.
+    * Schema-less commits (the common case) read footer-first as before. */
+  private def readDirs(spark: SparkSession, root: String,
+      schemaDDL: Option[String], dirs: Seq[String]): DataFrame = {
+    val paths = dirs.map(d => s"$root/$d")
+    schemaDDL match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
 
   private def load(spark: SparkSession, root: String, c: Commit): DataFrame =
-    spark.read.parquet(c.dataDirs.map(d => s"$root/$d"): _*)
+    readDirs(spark, root, c.schemaDDL, c.dataDirs)
 
   /** Load a specific Commit's snapshot (dirs are immutable, so a Commit
     * handle stays readable until vacuumed — the anchor for consumers that
@@ -272,22 +365,44 @@ object CommitLog {
       // than the table's stats column degrades to scan-everything instead
       // of wrongly pruning; pre-r11 commits (no recorded name) keep the
       // caller-asserted legacy contract
-      val usable = c.statsColName.forall(_ == statsCol)
-      val keep = c.dataDirs.filter(d =>
-        !usable ||
-          c.stats.get(d).forall { case (dLo, dHi) => dHi >= lo && dLo <= hi })
+      val keep = statsKeepDirs(c, statsCol, lo, hi, requireRecorded = false)
       // every dir pruned ⇒ provably-empty result; one dir anchors the
       // schema (its rows are filtered out by the predicate)
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
-      spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      readDirs(spark, root, c.schemaDDL, dirs)
         .filter(col(statsCol).cast("long").between(lo, hi))
     }
+
+  /** The dirs of `c` whose recorded [min, max] for `statsCol` intersect
+    * [lo, hi] — [[readLatestWhere]]'s planning decision, shared with the
+    * `graft.commitlog` connector's FileIndex (r12) so the two routes can
+    * never prune differently. Dirs without stats are always kept.
+    * `requireRecorded = true` (the connector, where the range is DERIVED
+    * from pushed filters rather than caller-asserted) prunes only when the
+    * commit records that its stats describe `statsCol`; `false` keeps the
+    * library route's legacy caller-asserted contract for pre-r11 commits. */
+  private[graft] def statsKeepDirs(c: Commit, statsCol: String, lo: Long,
+      hi: Long, requireRecorded: Boolean): Seq[String] = {
+    val usable =
+      if (requireRecorded) c.statsColName.contains(statsCol)
+      else c.statsColName.forall(_ == statsCol)
+    c.dataDirs.filter(d =>
+      !usable ||
+        c.stats.get(d).forall { case (dLo, dHi) => dHi >= lo && dLo <= hi })
+  }
+
+  /** The Commit record at version `v` (None if vacuumed or never
+    * committed) — the metadata half of [[readVersion]], for callers that
+    * plan their own scan over the version's immutable directories (the
+    * `graft.commitlog` connector's time travel). */
+  def commitAt(spark: SparkSession, root: String, v: Long): Option[Commit] =
+    if (!versions(spark, root).contains(v)) None
+    else readCommitFile(spark, root, v)
 
   /** Load a specific committed version — time travel over retained
     * history (None if that version was vacuumed or never committed). */
   def readVersion(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
-    if (!versions(spark, root).contains(v)) None
-    else readCommitFile(spark, root, v).map(c => load(spark, root, c))
+    commitAt(spark, root, v).map(c => load(spark, root, c))
 
   /** INCREMENTAL consumption: the rows ADDED after `sinceVersion` — the
     * data directories row-VISIBLE commits after that version introduced
@@ -325,7 +440,10 @@ object CommitLog {
       case Some(b) if head.version > b.version =>
         deltaDirs(spark, root, b, head).map { added =>
           if (added.nonEmpty)
-            spark.read.parquet(added.map(d => s"$root/$d"): _*)
+            // head-schema read: an evolution inside the window delivers
+            // pre-evolution dirs with typed NULLs instead of a
+            // first-file-schema franken-read — old consumers ride through
+            readDirs(spark, root, head.schemaDDL, added)
           else
             // only rowInvisible commits (compact) since the base: the
             // table moved but no row did — an EMPTY delta, so the
@@ -399,7 +517,10 @@ object CommitLog {
           else if (prev.dataDirs.forall(c.dataDirs.contains)) {
             val added = c.dataDirs.filterNot(prev.dataDirs.contains)
             if (added.nonEmpty)
-              pieces += spark.read.parquet(added.map(d => s"$root/$d"): _*)
+              // each insert piece reads with ITS commit's recorded schema
+              // (the rows as committed); a window that crosses an
+              // evolution unions pieces by name below with typed NULLs
+              pieces += readDirs(spark, root, c.schemaDDL, added)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(c.version))
           } else {
@@ -419,12 +540,52 @@ object CommitLog {
         }
         val ps = pieces.result()
         Some(
-          if (ps.nonEmpty) ps.reduce(_.unionByName(_))
+          // allowMissingColumns: a feed window crossing an additive schema
+          // evolution (r12) mixes pre- and post-evolution pieces — absent
+          // columns union as typed NULLs, the same contract as the
+          // snapshot read; within one schema generation this never fires
+          if (ps.nonEmpty) ps.reduce(_.unionByName(_, allowMissingColumns = true))
           else load(spark, root, head).limit(0)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(head.version)))
       case _ => None
     }
+  }
+
+  /** Dirs added by row-visible commits in `(fromV, toV]`, for the
+    * streaming tail ([[CommitLogStreamSource]]): `fromV = 0` walks from
+    * the first commit (the backfill batch); rowInvisible compactions
+    * contribute nothing; a missing/unparseable commit in the range means
+    * the checkpoint outlived retention, and a non-append shape means rows
+    * were retracted — both THROW (a streaming batch must be exact or
+    * absent, never silently partial; the caller restarts with a fresh
+    * checkpoint after resyncing downstream). */
+  private[sources] def addedDirsBetween(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Seq[String] = {
+    if (toV <= fromV) return Nil
+    var prevDirs: Seq[String] =
+      if (fromV == 0L) Nil
+      else commitAt(spark, root, fromV).getOrElse(throw new IllegalStateException(
+        s"commit-log stream: base version $fromV at $root is no longer " +
+          "retained (vacuumed) — the checkpoint is too old; resync and " +
+          "restart with a fresh one")).dataDirs
+    val added = Vector.newBuilder[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val c = readCommitFile(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"commit-log stream: version $v at $root is missing or " +
+            "unparseable — vacuumed past the checkpoint; resync and " +
+            "restart with a fresh one"))
+      if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to deliver
+      else if (prevDirs.forall(c.dataDirs.contains))
+        added ++= c.dataDirs.filterNot(prevDirs.contains)
+      else throw new IllegalStateException(
+        s"commit-log stream: version $v (action=${c.action}) at $root " +
+          "rewrote rows — a streaming tail delivers appends only; resync " +
+          "downstream and restart with a fresh checkpoint")
+      prevDirs = c.dataDirs
+    }
+    added.result()
   }
 
   /** The commits in (b.version, head.version], ascending, with the
@@ -590,7 +751,9 @@ object CommitLog {
       val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
         statsColName = statsCol.filter(_ => st.nonEmpty),
         clusterSpec = clusterSpec)
-      if (tryClaim(spark, root, nextV, render(c))) return c
+      if (tryClaim(spark, root, nextV, render(c))) {
+        writeHeadPointer(f, root, nextV); return c
+      }
       // lost the race: another writer committed nextV first — discard the
       // stale staging (built against an outdated snapshot), back off
       // linearly (also paces retries while a torn-young tail ages past
@@ -616,9 +779,10 @@ object CommitLog {
     * commits recorded (carried forward through the head). */
   def commitAppend(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int = 20,
-      statsCol: Option[String] = None)(delta: DataFrame): Commit =
+      statsCol: Option[String] = None,
+      evolve: Boolean = false)(delta: DataFrame): Commit =
     appendImpl(spark, root, writer, action, maxAttempts, statsCol,
-      txn = None)(delta)
+      txn = None, evolve = evolve)(delta)
 
   /** Newest retained txn watermark for `appId` — the largest batch id any
     * retained commit records for that app (commits are scanned newest-
@@ -650,12 +814,12 @@ object CommitLog {
       statsCol: Option[String] = None)(delta: DataFrame): Commit = {
     requireTag(appId, "appId") // embeds in the claim JSON
     appendImpl(spark, root, writer, action, maxAttempts, statsCol,
-      txn = Some((appId, batchId)))(delta)
+      txn = Some((appId, batchId)), evolve = false)(delta)
   }
 
   private def appendImpl(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int, statsCol: Option[String],
-      txn: Option[(String, Long)])(delta: DataFrame): Commit = {
+      txn: Option[(String, Long)], evolve: Boolean)(delta: DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     statsCol.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
@@ -674,15 +838,41 @@ object CommitLog {
     // the head exactly (nullability may widen — parquet reads it back
     // nullable anyway).
     val headNow = latest(spark, root)
+    // ADDITIVE SCHEMA EVOLUTION (r12): under an EXPLICIT evolve=true, a
+    // delta may carry a superset of the head's columns — the new commit
+    // then RECORDS the widened schema (head's fields in their order, new
+    // fields after) in its JSON, and every reader pins it, so
+    // pre-evolution directories fill the new columns with typed NULLs
+    // (the q_source_evolved union, answered from the log instead of a
+    // mergeSchema footer sweep). Without evolve the contract stays exact:
+    // silent drift is the bug this check exists to catch.
+    var evolvedDDL: Option[String] = None
     headNow.foreach { h =>
       val headSchema = load(spark, root, h).schema
-      val same = headSchema.length == delta.schema.length &&
-        headSchema.zip(delta.schema).forall { case (a, b) =>
-          a.name == b.name && a.dataType == b.dataType }
-      require(same,
-        s"commitAppend schema mismatch vs head v${h.version}: " +
-          s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
-          "— evolve the schema with a rewrite commit, not an append")
+      if (!evolve) {
+        val same = headSchema.length == delta.schema.length &&
+          headSchema.zip(delta.schema).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType }
+        require(same,
+          s"commitAppend schema mismatch vs head v${h.version}: " +
+            s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
+            "— add columns with commitAppend(evolve = true); rename/retype " +
+            "with a rewrite commit")
+      } else {
+        val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+        val broken = headSchema.filterNot(hf =>
+          deltaTypes.get(hf.name).contains(hf.dataType))
+        require(broken.isEmpty,
+          s"commitAppend(evolve) vs head v${h.version}: evolution is " +
+            s"ADDITIVE only — delta must carry every head column unchanged, " +
+            s"but ${broken.map(_.toDDL).mkString(", ")} are missing/retyped " +
+            s"in delta ${delta.schema.simpleString}")
+        val added = delta.schema.filterNot(f =>
+          headSchema.fieldNames.contains(f.name))
+        if (added.nonEmpty)
+          evolvedDDL = Some(org.apache.spark.sql.types.StructType(
+            headSchema.fields ++ added).toDDL)
+      }
       // stats are ONE column per table (the map is carried forward, so
       // heterogeneous columns would poison every later range prune)
       for (hn <- h.statsColName; sc <- statsCol) require(hn == sc,
@@ -721,8 +911,13 @@ object CommitLog {
         writer, action, allStats,
         statsColName = statsCol.orElse(cur.flatMap(_.statsColName))
           .filter(_ => allStats.nonEmpty),
-        txn = txn)
-      if (tryClaim(spark, root, nextV, render(c))) return c
+        txn = txn,
+        // this commit's evolution wins; otherwise carry the head's
+        // recorded schema forward (pre-evolution dirs stay in the union)
+        schemaDDL = evolvedDDL.orElse(cur.flatMap(_.schemaDDL)))
+      if (tryClaim(spark, root, nextV, render(c))) {
+        writeHeadPointer(f, root, nextV); return c
+      }
       Thread.sleep(50L * attempt)
     }
     // give up: remove the never-committed delta so it reads as a lost
@@ -937,33 +1132,53 @@ object CommitLog {
   def readLatestPoint(spark: SparkSession, root: String, colName: String,
       value: Any): Option[DataFrame] =
     latest(spark, root).map { c =>
-      val f = fs(spark, root)
-      // marker mismatch ⇒ the sidecars describe a DIFFERENT column: skip
-      // pruning entirely (scan all dirs) rather than consult blooms whose
-      // "definitely absent" answers are about the wrong values; no marker
-      // (pre-marker table) keeps the caller-asserted legacy contract
-      val markerOk = bloomColumn(spark, root).forall(_ == colName)
-      val keep = c.dataDirs.filter { d =>
-        val p = bloomPath(root, d)
-        !markerOk || !f.exists(p) || {
-          // a vacuum sweeping the sidecar between exists and open must
-          // degrade to "scan the dir", never throw (the advisory-metadata
-          // contract; ADVICE r11)
-          val in = try f.open(p) catch {
-            case _: java.io.FileNotFoundException => null
-          }
-          in == null || {
-            try scala.util.Try(
-              org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                .mightContain(value)).getOrElse(true)
-            finally in.close()
-          }
-        }
-      }
+      val keep =
+        bloomKeepDirs(spark, root, c, colName, Seq(value), requireMarker = false)
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
-      spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      readDirs(spark, root, c.schemaDDL, dirs)
         .filter(col(colName) === org.apache.spark.sql.functions.lit(value))
     }
+
+  /** The dir's bloom sidecar, if present and parseable. Missing, swept
+    * between exists and open (ADVICE r11), or corrupt all read as None —
+    * sidecars are advisory, absence means "scan the dir". */
+  private[sources] def readSidecar(spark: SparkSession, root: String,
+      dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, root)
+    val p = bloomPath(root, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = try f.open(p) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
+      try scala.util.Try(
+        org.apache.spark.util.sketch.BloomFilter.readFrom(in)).toOption
+      finally in.close()
+    }
+  }
+
+  /** The dirs of `c` that might contain ANY of `values` in `colName` —
+    * [[readLatestPoint]]'s planning decision generalized to a value set,
+    * shared with the `graft.commitlog` connector (r12). A dir is kept
+    * unless its sidecar proves every value absent; marker mismatch (the
+    * sidecars describe a DIFFERENT column) disables pruning entirely —
+    * "definitely absent" answers about the wrong values must not skip a
+    * dir. `requireMarker = true` (the connector: values are derived from
+    * pushed filters) also refuses to prune marker-less pre-r11 tables;
+    * `false` keeps the library route's caller-asserted legacy contract. */
+  private[graft] def bloomKeepDirs(spark: SparkSession, root: String,
+      c: Commit, colName: String, values: Seq[Any],
+      requireMarker: Boolean): Seq[String] = {
+    val marker = bloomColumn(spark, root)
+    val usable =
+      if (requireMarker) marker.contains(colName)
+      else marker.forall(_ == colName)
+    if (!usable || values.isEmpty) c.dataDirs
+    else c.dataDirs.filter { d =>
+      readSidecar(spark, root, d).forall(bf =>
+        scala.util.Try(values.exists(bf.mightContain)).getOrElse(true))
+    }
+  }
 
   /** PURGE (retention enforcement / right-to-be-forgotten): commit a head
     * WITHOUT the rows matching `pred`, then drop ALL retained history, so
@@ -1148,25 +1363,13 @@ object CommitLog {
             probeKeys.isDefined
           val statsUsable = head.statsColName.contains(keyCol)
           def mightContain(d: String): Boolean = {
+            // missing/swept/corrupt sidecar ⇒ no bloom evidence for this
+            // dir (fall through to stats/rewrite), never an exception out
+            // of merge (ADVICE r11; readSidecar owns the degrade)
             val byBloom: Option[Boolean] =
               if (!bloomUsable) None
-              else {
-                val p = bloomPath(root, d)
-                if (!f.exists(p)) None
-                else {
-                  // sidecar swept between exists and open ⇒ no bloom
-                  // evidence for this dir (fall through to stats/rewrite),
-                  // never an exception out of merge (ADVICE r11)
-                  val in = try f.open(p) catch {
-                    case _: java.io.FileNotFoundException => null
-                  }
-                  if (in == null) None
-                  else try scala.util.Try {
-                    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                    probeKeys.get.exists(bf.mightContain)
-                  }.toOption finally in.close()
-                }
-              }
+              else readSidecar(spark, root, d).flatMap(bf =>
+                scala.util.Try(probeKeys.get.exists(bf.mightContain)).toOption)
             byBloom.getOrElse {
               !statsUsable || head.stats.get(d).forall { case (lo, hi) =>
                 keysRange.forall { case (kLo, kHi) => hi >= kLo && lo <= kHi }
@@ -1182,7 +1385,7 @@ object CommitLog {
             if (!hasInserts) return head // full no-op: nothing moves
             (head.dataDirs, inserts, eff, None)
           } else {
-            val old = spark.read.parquet(affected.map(d => s"$root/$d"): _*)
+            val old = readDirs(spark, root, head.schemaDDL, affected)
             val keys = changes.select(kc).distinct()
             val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
             val rebuilt = old.join(keyed, Seq(keyCol), "left_anti")
@@ -1256,14 +1459,17 @@ object CommitLog {
         .filter { case (d, _) => dirs.contains(d) }
       val allStats = carried ++ newStats
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
-        statsColName = effStatsCol.filter(_ => allStats.nonEmpty))
+        statsColName = effStatsCol.filter(_ => allStats.nonEmpty),
+        // carried (untouched) dirs may predate an evolution even though
+        // the rewritten dir holds the full head schema — keep the record
+        schemaDDL = cur.flatMap(_.schemaDDL))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
       val won =
         try tryClaim(spark, root, nextV, render(c))
         finally cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
-      if (won) return c
+      if (won) { writeHeadPointer(f, root, nextV); return c }
       // lost the race: the affected set may have changed under the new
       // head — discard the staged dir, its feed, and its self-built
       // sidecar, then re-prune from scratch

@@ -105,6 +105,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     case Some((IndexProvider, loc)) =>
       new IndexTable(loc, InvertedIndex.metaBuckets(loc))
     case Some((IvfProvider, loc)) => new IvfTable(loc)
+    case Some((CommitLogProvider, loc)) =>
+      // loadTable runs per query resolution, so each query plans against
+      // the newest commit AT RESOLUTION — snapshot isolation comes from
+      // the pinned commit's immutable directory list, exactly like the
+      // options route. Reads are DSv2 parquet (vectorized, pushdown);
+      // time travel / CDF / streaming go through the options route, and
+      // WRITES must go through the CommitLog protocol (the table exposes
+      // no write capability — a raw parquet write would bypass the log).
+      new CommitLogCatalogTable(loc)
     case Some((other, _)) => throw new IllegalStateException(
       s"table ${ident.name} has unknown provider $other")
     case None => throw new NoSuchTableException(ident)
@@ -114,20 +123,25 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val provider = Option(info.properties.get(TableCatalog.PROP_PROVIDER))
       .getOrElse(IndexProvider)
-    val expected: StructType = provider match {
-      case IndexProvider => IndexSource.Schema
-      case IvfProvider => IvfSource.Schema
-      case other => throw new IllegalArgumentException(
-        s"graft catalog stores graft.index / graft.ivf tables, not $other")
+    // commit-log tables carry whatever schema their commits hold — the
+    // catalog only names an existing root (reads resolve the head's
+    // schema at load); index/ivf schemas stay fixed-by-contract
+    if (provider != CommitLogProvider) {
+      val expected: StructType = provider match {
+        case IndexProvider => IndexSource.Schema
+        case IvfProvider => IvfSource.Schema
+        case other => throw new IllegalArgumentException(
+          s"graft catalog stores graft.index / graft.ivf / graft.commitlog tables, not $other")
+      }
+      val got = info.schema.fieldNames.toSet
+      // ivf CTAS/append supplies the WRITER's (vec_id, v) shape — cid is
+      // assigned by the quantizer, never written (same special case as
+      // IvfSource.getTable; ADVICE r7: the catalog route rejected it)
+      val writerOk = provider == IvfProvider &&
+        got == IvfSource.WriteSchema.fieldNames.toSet
+      require(got.isEmpty || got == expected.fieldNames.toSet || writerOk,
+        s"$provider tables have columns ${expected.fieldNames.mkString(", ")}, got ${got.mkString(", ")}")
     }
-    val got = info.schema.fieldNames.toSet
-    // ivf CTAS/append supplies the WRITER's (vec_id, v) shape — cid is
-    // assigned by the quantizer, never written (same special case as
-    // IvfSource.getTable; ADVICE r7: the catalog route rejected it)
-    val writerOk = provider == IvfProvider &&
-      got == IvfSource.WriteSchema.fieldNames.toSet
-    require(got.isEmpty || got == expected.fieldNames.toSet || writerOk,
-      s"$provider tables have columns ${expected.fieldNames.mkString(", ")}, got ${got.mkString(", ")}")
     val location = Option(info.properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(tableDir(ident).toString)
     fs.mkdirs(tableDir(ident))
@@ -190,6 +204,7 @@ object GraftCatalog {
   val MetaFile = "_graft_table.json"
   val IndexProvider = "graft.index"
   val IvfProvider = "graft.ivf"
+  val CommitLogProvider = "graft.commitlog"
   // JSON-string values with escapes: a location containing a quote or
   // backslash round-trips instead of bricking the table name (ADVICE r7)
   private val ProviderRe = """"provider"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored

@@ -1052,4 +1052,245 @@ class CommitLogSpec extends SparkSpec {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
     assert(dirs.length == 1, "only the purged head's directory remains")
   }
+
+  // ---- graft.commitlog connector (r12: VERDICT r11 #1) ----
+
+  /** Files the executed plan actually scanned — the connector twin of the
+    * library route's inputFiles pruning proofs (the FileIndex's static
+    * inputFiles is deliberately unpruned, so the proof reads the scan). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+  }
+
+  test("connector snapshot, time-travel, and CDF routes row-equal the library reads") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c")).toDF("id", "v"))
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((2L, "B")).toDF("id", "v"))
+    // snapshot = readLatest
+    assert(rows(spark.read.format("graft.commitlog").load(root).orderBy("id")) ==
+      rows(CommitLog.readLatest(spark, root).get.orderBy("id")))
+    // time travel = readVersion, for every retained version
+    (1L to 3L).foreach { ver =>
+      assert(rows(spark.read.format("graft.commitlog")
+        .option("versionAsOf", ver.toString).load(root).orderBy("id")) ==
+        rows(CommitLog.readVersion(spark, root, ver).get.orderBy("id")),
+        s"versionAsOf $ver must equal readVersion")
+    }
+    // vacuumed/never-committed version: loud error, not silence
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.commitlog").option("versionAsOf", "99").load(root)
+    }
+    // change feed = changesSince (typed rows incl. the merge's images)
+    val lib = rows(CommitLog.changesSince(spark, root, 1L).get
+      .orderBy("_commit_version", "_change_type", "id"))
+    val conn = rows(spark.read.format("graft.commitlog")
+      .option("changesSince", "1").load(root)
+      .orderBy("_commit_version", "_change_type", "id"))
+    assert(conn == lib)
+    assert(lib.exists(_.contains("update_postimage")),
+      "fixture must exercise the merge feed, not just inserts")
+    // caught-up CDF: empty frame with the feed schema, not an error
+    val head = CommitLog.latest(spark, root).get.version
+    val atHead = spark.read.format("graft.commitlog")
+      .option("changesSince", head.toString).load(root)
+    assert(atHead.count() == 0L &&
+      atHead.columns.contains("_change_type"))
+  }
+
+  test("connector prunes directories from pushed filters via the library's stats/bloom planning") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four dirs with disjoint id ranges, stats recorded; blooms on id
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      (0L until 100L).toDF("id") }
+    Seq(100L, 200L, 300L).foreach(base =>
+      CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+        (base until base + 100L).toDF("id")))
+    CommitLog.addBloom(spark, root, "id")
+    val snap = spark.read.format("graft.commitlog").load(root)
+    val all = scannedFiles(snap)
+    // range predicate: only the intersecting dir's files scan
+    val ranged = spark.read.format("graft.commitlog").load(root)
+      .filter(col("id") >= 210L && col("id") <= 240L)
+    assert(rows(ranged.orderBy("id")) == (210L to 240L).map(Seq(_)))
+    assert(scannedFiles(ranged) < all,
+      s"range filter must prune files (${scannedFiles(ranged)} vs $all)")
+    // point predicate: bloom sidecars prune scattered exact keys
+    val point = spark.read.format("graft.commitlog").load(root)
+      .filter(col("id") === 250L)
+    assert(rows(point) == Seq(Seq(250L)))
+    assert(scannedFiles(point) < all,
+      "bloom-prunable equality must not scan every file")
+    // connector pruning = library pruning, decision-for-decision
+    val idx = new graft.sources.CommitLogFileIndex(spark, root,
+      CommitLog.latest(spark, root).get)
+    val expr = ranged.queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.get
+    val kept = idx.prunedDirs(splitConj(expr))
+    val libKept = CommitLog.statsKeepDirs(CommitLog.latest(spark, root).get,
+      "id", 210L, 240L, requireRecorded = true)
+    assert(kept.toSet == libKept.toSet,
+      s"connector dirs $kept must equal library dirs $libKept")
+    // unrecognized filter shapes scan everything — conservative, never wrong
+    val weird = spark.read.format("graft.commitlog").load(root)
+      .filter((col("id") % 97L) === 13L)
+    assert(scannedFiles(weird) == all)
+  }
+
+  private def splitConj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  test("catalog route: spark.table over a commitlog table equals readLatest; writes are refused") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gcl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl.dir", catRoot)
+    try {
+      spark.sql(s"CREATE TABLE gcl.t USING `graft.commitlog` LOCATION '$root'")
+      assert(rows(spark.table("gcl.t").orderBy("id")) ==
+        rows(CommitLog.readLatest(spark, root).get.orderBy("id")))
+      // resolution is per query: a new commit is visible to the next read
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((3L, "c")).toDF("id", "v"))
+      assert(spark.table("gcl.t").count() == 3L)
+      // read-only: a write that bypassed the log would corrupt it
+      intercept[Exception] {
+        Seq((9L, "z")).toDF("id", "v").writeTo("gcl.t").append()
+      }
+      assert(CommitLog.readLatest(spark, root).get.count() == 3L,
+        "refused write must not have touched the table")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcl.t")
+      spark.conf.unset("spark.sql.catalog.gcl")
+      spark.conf.unset("spark.sql.catalog.gcl.dir")
+    }
+  }
+
+  // ---- additive schema evolution (r12: VERDICT r11 #2) ----
+
+  test("evolve append widens the schema; readers union with typed NULLs; consumers ride through") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val base = CommitLog.latest(spark, root).get.version
+    val evolved = CommitLog.commitAppend(spark, root, "w", "append",
+      statsCol = Some("id"), evolve = true)(
+      Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    assert(evolved.schemaDDL.isDefined, "evolve append records the schema")
+    // snapshot: old rows carry typed NULLs in the new column, no rewrite
+    val head = CommitLog.readLatest(spark, root).get
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(rows(head.orderBy("id")) ==
+      Seq(Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", 0.5)))
+    // connector route reads the same union
+    assert(rows(spark.read.format("graft.commitlog").load(root).orderBy("id")) ==
+      rows(head.orderBy("id")))
+    // incremental consumers ride through WITHOUT resync
+    val delta = CommitLog.appendedSince(spark, root, base)
+    assert(delta.isDefined, "evolution must not void incrementality")
+    assert(rows(delta.get) == Seq(Seq(3L, "c", 0.5)))
+    val feed = CommitLog.changesSince(spark, root, base)
+    assert(feed.isDefined &&
+      rows(feed.get.select("id", "v", "score", "_change_type")) ==
+        Seq(Seq(3L, "c", 0.5, "insert")))
+    // a feed window CROSSING the evolution (from zero... base-1 has no
+    // commit, so window from the create) unions old and new generations
+    // with typed NULLs
+    CommitLog.commitAppend(spark, root, "w", "append",
+      statsCol = Some("id"))(Seq((4L, "d", 1.5)).toDF("id", "v", "score"))
+    val wide = CommitLog.appendedSince(spark, root, base).get
+    assert(rows(wide.orderBy("id")) ==
+      Seq(Seq(3L, "c", 0.5), Seq(4L, "d", 1.5)))
+    // a merge on the evolved table rewrites the PRE-evolution dir with the
+    // recorded schema (typed NULL preserved), never a franken-read
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((1L, "A", 9.9)).toDF("id", "v", "score"))
+    assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) ==
+      Seq(Seq(1L, "A", 9.9), Seq(2L, "b", null),
+        Seq(3L, "c", 0.5), Seq(4L, "d", 1.5)))
+    // compact materializes the union physically; the record then travels
+    // with the history it still describes
+    CommitLog.compact(spark, root, "opt")
+    assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) ==
+      Seq(Seq(1L, "A", 9.9), Seq(2L, "b", null),
+        Seq(3L, "c", 0.5), Seq(4L, "d", 1.5)))
+  }
+
+  test("evolution guardrails: silent drift still rejected; evolve demands a superset") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    // plain append with extra column: still the loud schema error
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((2L, "b", 1.0)).toDF("id", "v", "score"))
+    }
+    // evolve append MISSING a head column: rejected (additive only)
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "w", "append", evolve = true)(
+        Seq((2L, 1.0)).toDF("id", "score"))
+    }
+    // evolve append RETYPING a head column: rejected
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root, "w", "append", evolve = true)(
+        Seq((2L, 7L, 1.0)).toDF("id", "v", "score"))
+    }
+    // evolve with an identical schema: legal no-op evolution, no record
+    val c = CommitLog.commitAppend(spark, root, "w", "append", evolve = true)(
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(c.schemaDDL.isEmpty, "no new column, nothing to record")
+  }
+
+  // ---- O(1) head pointer (r12: VERDICT r11 #4) ----
+
+  test("head pointer is advisory: stale, corrupt, or missing degrades to the walk, never a wrong head") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ => Seq(1L).toDF("id") }
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(2L).toDF("id"))
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(3L).toDF("id"))
+    val ptr = new java.io.File(root, "_commits/_head")
+    assert(ptr.exists(), "writers maintain the pointer")
+    assert(new String(Files.readAllBytes(ptr.toPath), "UTF-8").trim == "3")
+    def headVersion() = CommitLog.latest(spark, root).get.version
+    assert(headVersion() == 3L)
+    // STALE-LOW pointer (a lagging writer's overwrite): forward probe wins
+    Files.write(ptr.toPath, "1".getBytes("UTF-8"))
+    assert(headVersion() == 3L, "stale pointer must not serve an old head")
+    // CORRUPT pointer: walk fallback
+    Files.write(ptr.toPath, "not-a-version".getBytes("UTF-8"))
+    assert(headVersion() == 3L)
+    // pointer past the log (can only arise from corruption): existence
+    // check fails, walk fallback
+    Files.write(ptr.toPath, "99".getBytes("UTF-8"))
+    assert(headVersion() == 3L)
+    // MISSING pointer (pre-r12 table): walk fallback
+    Files.delete(ptr.toPath)
+    assert(headVersion() == 3L)
+    // the next commit restores it
+    CommitLog.commitAppend(spark, root, "w", "append")(Seq(4L).toDF("id"))
+    assert(new String(Files.readAllBytes(ptr.toPath), "UTF-8").trim == "4")
+    // vacuum keeps the pointer consistent with the retained suffix
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(headVersion() == 4L)
+  }
 }
