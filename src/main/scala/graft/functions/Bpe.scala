@@ -45,6 +45,16 @@ object Bpe {
   private val PreTok = Pattern.compile(
     "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
+  /** The pre-tokens of `text` (words carrying their leading space) — the
+    * unit BPE merges within; public so training derives word frequencies
+    * with EXACTLY the segmentation encoding will use. */
+  def preTokens(text: String): Seq[String] = {
+    val m = PreTok.matcher(text)
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
   /** Ordered merge list; rank = index, lower rank merges first. Any pair
     * not listed never merges. Later entries reference symbols earlier
     * entries create (e.g. " th"+"e" needs " t"+"h"). */
@@ -98,16 +108,176 @@ object Bpe {
     ("o", "d"), ("u", "d"), ("e", "g"), ("u", "g"), ("i", "f"),
     ("o", "f"), ("e", "f"), ("a", "f"), ("u", "f"), ("i", "k"))
 
+  /** The committed default vocabulary — what one-argument
+    * `bpe_token_count(text)` counts with. */
+  val Default: BpeVocab = new BpeVocab(Merges)
+
+  /** Greedy BPE token count of one pre-token under the DEFAULT vocabulary
+    * (see [[BpeVocab.encodeCount]]). */
+  def encodeCount(word: String): Int = Default.encodeCount(word)
+
+  /** Total BPE token count of `text` under the default vocabulary — the
+    * codegen entry point (static forwarder callable from generated Java). */
+  def countTokensJ(text: UTF8String): Int = Default.countTokens(text.toString)
+
+  /** Total BPE token count under the LOADED vocabulary at `path` — the
+    * codegen entry point for the two-argument form `bpe_token_count(text,
+    * '/vocab/merges.txt')`. The registry resolves the path lazily PER JVM,
+    * so executors load the file themselves: ship it on a shared
+    * filesystem / object store (the same reachability contract as any
+    * input path) or via `--files`. One load, then counting is exactly the
+    * default vocabulary's codegen'd walk — a trained vocab costs nothing
+    * at scan time. */
+  def countTokensForJ(path: String, text: UTF8String): Int =
+    vocabAt(path).countTokens(text.toString)
+
+  // path -> loaded vocabulary, once per JVM (driver AND each executor)
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+  def vocabAt(path: String): BpeVocab =
+    loaded.computeIfAbsent(path, p => new BpeVocab(loadMerges(p)))
+
+  // merges-file escaping: symbols may contain literal spaces (the leading-
+  // space word-boundary symbols) and, in principle, tabs/newlines (a
+  // whitespace-run pre-token can become a symbol), so fields are
+  // tab-separated with C-style escapes — lossless for any symbol
+  private def esc(s: String): String =
+    s.flatMap { case '\\' => "\\\\"; case '\t' => "\\t"; case '\n' => "\\n"
+                case '\r' => "\\r"; case c => c.toString }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'; case 't' => b += '\t'
+          case 'n' => b += '\n'; case 'r' => b += '\r'
+          case other => b += other
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** Persist an ordered merge list (rank = line order) — the trained-
+    * vocabulary artifact [[loadMerges]] reads back. */
+  def writeMerges(path: String, merges: Array[(String, String)]): Unit = {
+    val sb = new StringBuilder("#graft-bpe v1\n")
+    merges.foreach { case (a, b) =>
+      sb ++= esc(a); sb += '\t'; sb ++= esc(b); sb += '\n' }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load an ordered merge list written by [[writeMerges]] — the
+    * file-path route a production deployment uses to swap its trained
+    * merges in for the committed default. */
+  def loadMerges(path: String): Array[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    text.split("\n", -1).iterator
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l =>
+        val tab = l.indexOf('\t')
+        require(tab > 0, s"malformed merges line in $path: '$l'")
+        (unesc(l.substring(0, tab)), unesc(l.substring(tab + 1)))
+      }.toArray
+  }
+
+  /** TRAIN a merge vocabulary from word frequencies — the published BPE
+    * training loop (Sennrich et al. 2016): start from code-point symbols,
+    * repeatedly merge the most frequent adjacent pair, `nMerges` times (or
+    * until no pair repeats). Deterministic: ties break on the
+    * lexicographically smallest pair, so two engines training on the same
+    * frequencies emit byte-identical merges files. `wordFreqs` should be
+    * PRE-TOKENIZED words ([[preTokens]] — leading spaces carried) with
+    * corpus counts; at scale that table comes out of one groupBy over the
+    * corpus (DISTINCT words with counts, not token instances, so it fits
+    * the driver — the standard tokenizer-training data reduction), and
+    * this loop is O(nMerges · Σ|word|) over it. */
+  def train(wordFreqs: Seq[(String, Long)],
+      nMerges: Int): Array[(String, String)] = {
+    var words: Vector[(Vector[String], Long)] = wordFreqs.iterator.map {
+      case (w, f) =>
+        val syms = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val l = Character.charCount(w.codePointAt(i))
+          syms += w.substring(i, i + l)
+          i += l
+        }
+        (syms.result(), f)
+    }.toVector
+    val out = Array.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          j += 1
+        }
+      }
+      // a pair seen once merges nothing worth keeping; stop when no pair
+      // repeats (the natural end of training on a small corpus)
+      val candidates = counts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val maxF = candidates.valuesIterator.max
+        // deterministic tie-break: among max-count pairs, smallest (a, b)
+        val (a, b) = candidates.collect { case (p, f) if f == maxF => p }
+          .minBy(identity)
+        out += ((a, b))
+        words = words.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val nb = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                nb += (a + b); j += 2
+              } else { nb += syms(j); j += 1 }
+            }
+            (nb.result(), f)
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+}
+
+/** One BPE merge vocabulary: the greedy encode walk plus its own
+  * per-thread word→count memo (memos must be per-vocab — a shared memo
+  * would serve one vocabulary\'s counts to another\'s queries). */
+final class BpeVocab(val merges: Array[(String, String)]) extends Serializable {
   private val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](Merges.length * 2)
-    Merges.zipWithIndex.foreach { case ((a, b), i) =>
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
       // NUL-separated key: NUL can never appear inside a merge symbol
       // (symbols are built from text characters), so no two pairs
       // concatenate to the same key
       m.put(a + "\u0000" + b, i)
     }
-    require(m.size == Merges.length,
-      s"duplicate merge pair in Bpe.Merges (${Merges.length} listed, ${m.size} distinct) " +
+    require(m.size == merges.length,
+      s"duplicate merge pair in BPE merges (${merges.length} listed, ${m.size} distinct) " +
         "- a duplicate silently shadows the earlier rank")
     m
   }
@@ -141,7 +311,7 @@ object Bpe {
       }
       if (best == Integer.MAX_VALUE) done = true
       else {
-        val (a, b) = Merges(best)
+        val (a, b) = merges(best)
         val out = new Array[String](len)
         var src = 0
         var dst = 0
@@ -164,12 +334,14 @@ object Bpe {
   }
 
   /** Per-thread LRU word→count memo (natural language repeats words; the
-    * cap bounds executor memory at 16k entries per task thread). */
-  private val memo = ThreadLocal.withInitial[java.util.LinkedHashMap[String, Integer]](() =>
-    new java.util.LinkedHashMap[String, Integer](1024, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Integer]): Boolean = size() > 16384
-    })
+    * cap bounds executor memory at 16k entries per task thread). Transient
+    * lazy: a vocab shipped in a task closure re-creates its memo JVM-side. */
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Integer]](() =>
+      new java.util.LinkedHashMap[String, Integer](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Integer]): Boolean = size() > 16384
+      })
 
   private def countWord(w: String): Int = {
     val m = memo.get()
@@ -182,23 +354,25 @@ object Bpe {
     }
   }
 
-  /** Total BPE token count of `text` — the codegen entry point (static
-    * forwarder callable from generated Java). */
-  def countTokensJ(text: UTF8String): Int = {
-    val s = text.toString
-    val m = PreTok.matcher(s)
+  /** Total BPE token count of `text`. */
+  def countTokens(text: String): Int = {
     var total = 0
-    while (m.find()) total += countWord(m.group())
+    Bpe.preTokens(text).foreach(w => total += countWord(w))
     total
   }
 }
 
-/** Codegen'd unary expression `bpe_token_count(text)` — evaluation calls
-  * the static [[Bpe.countTokensJ]] from inside whole-stage codegen (the
-  * pattern of Spark's own regexp expressions: a fused loop calling a
-  * JVM-static helper; no UDF serialization boundary, no interpreted
-  * fallback). */
-case class BpeTokenCount(child: Expression) extends UnaryExpression {
+/** Codegen'd expression `bpe_token_count(text[, '/vocab/merges.txt'])` —
+  * evaluation calls the static [[Bpe.countTokensJ]] (committed default
+  * vocabulary) or [[Bpe.countTokensForJ]] (a TRAINED merges file, loaded
+  * once per JVM through the path registry — r12, VERDICT r11 #7) from
+  * inside whole-stage codegen (the pattern of Spark's own regexp
+  * expressions: a fused loop calling a JVM-static helper; no UDF
+  * serialization boundary, no interpreted fallback). The vocabulary path
+  * must be a LITERAL: it selects a tokenizer at plan time, exactly like a
+  * regexp pattern — per-row vocabularies are not a thing a loader does. */
+case class BpeTokenCount(child: Expression,
+    vocabPath: Option[String] = None) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bpe_token_count"
 
@@ -208,12 +382,26 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string argument, got ${dt.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    Bpe.countTokensJ(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any): Any = vocabPath match {
+    case Some(p) => Bpe.countTokensForJ(p, input.asInstanceOf[UTF8String])
+    case None => Bpe.countTokensJ(input.asInstanceOf[UTF8String])
+  }
+
+  // the path embeds in generated Java as a string literal — escape it
+  private def javaLit(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case '\n' => "\\n"; case '\r' => "\\r"
+      case c => c.toString
+    } + "\""
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.Bpe.countTokensJ($a);")
+    nullSafeCodeGen(ctx, ev, a => vocabPath match {
+      case Some(p) =>
+        s"${ev.value} = graft.functions.Bpe.countTokensForJ(${javaLit(p)}, $a);"
+      case None =>
+        s"${ev.value} = graft.functions.Bpe.countTokensJ($a);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -225,7 +413,16 @@ object BpeTokenCount {
     classOf[BpeTokenCount].getName, "bpe_token_count")
   val builder: Seq[Expression] => Expression = {
     case Seq(c) => BpeTokenCount(c)
+    case Seq(c, p) if p.foldable &&
+        p.dataType == org.apache.spark.sql.types.StringType =>
+      val v = p.eval(null)
+      if (v == null) throw new IllegalArgumentException(
+        "bpe_token_count vocabulary path must not be NULL")
+      BpeTokenCount(c, Some(v.toString))
+    case Seq(_, p) => throw new IllegalArgumentException(
+      "bpe_token_count's second argument must be a literal vocabulary " +
+        s"path string, got $p")
     case exprs => throw new IllegalArgumentException(
-      s"bpe_token_count requires exactly 1 argument, got ${exprs.size}")
+      s"bpe_token_count requires 1 or 2 arguments, got ${exprs.size}")
   }
 }

@@ -334,6 +334,40 @@ object Aggregates {
         .orderBy("grp_a", "grp_b")
     }),
 
+    // THETA/KMV INTERSECTION (functions/ThetaSketch.scala — VERDICT r11
+    // #8): the same pairwise-overlap question as q_agg_hll_intersect,
+    // answered by a sketch whose set algebra carries intersection
+    // FIRST-CLASS instead of through inclusion-exclusion. Each status's
+    // KMV sketch retains the 1024 smallest key hashes (a typed Aggregator
+    // with map-side-mergeable buffers — one k-long row per group crosses
+    // the shuffle); the estimators are NATIVE column expressions over the
+    // stored arrays (est, union, direct θ-scaled intersection), so every
+    // pairwise overlap of any group combination answers from kilobytes of
+    // sketch with zero fact re-scans — and, unlike the HLL route, the
+    // intersection error scales with sqrt(|A∪B|/k), not err·|A∪B|
+    // (OperatorSpec pins both envelopes and the small-overlap adversary
+    // where inclusion-exclusion collapses). Sketch content is
+    // hash-dependent => declared no-oracle.
+    "q_agg_theta_intersect" -> ((s, d) => {
+      val k = graft.functions.Theta.DefaultK
+      val kmv = udaf(new graft.functions.KmvAggregator(k))
+      val byStatus = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(kmv(col("o_custkey")).as("sk"))
+      val a = byStatus.select(col("o_orderstatus").as("grp_a"), col("sk").as("ska"))
+      val b = byStatus.select(col("o_orderstatus").as("grp_b"), col("sk").as("skb"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          graft.functions.Theta.estimate(col("ska"), k).cast("long").as("est_a"),
+          graft.functions.Theta.estimate(col("skb"), k).cast("long").as("est_b"),
+          graft.functions.Theta.estimate(
+            graft.functions.Theta.unionSketch(col("ska"), col("skb"), k), k)
+            .cast("long").as("est_union"),
+          graft.functions.Theta.intersectEstimate(col("ska"), col("skb"), k)
+            .cast("long").as("est_intersect"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // Rollups from a PERSISTED sketch table (SketchStore): the stored
     // per-(priority, status) HLL binaries union to per-status + ALL
     // estimates without touching the fact table — the query's only input

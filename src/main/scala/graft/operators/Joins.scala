@@ -24,16 +24,27 @@ object Joins {
     * need a rule applied must force optimization INSIDE the scope (the
     * optimizer reads SQLConf lazily at first action, not at DataFrame
     * construction): `df.queryExecution.optimizedPlan` pins the rewritten
-    * plan before the conf is restored. */
-  private[graft] def withConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
+    * plan before the conf is restored.
+    *
+    * Concurrency (ADVICE r11): scoped sections SERIALIZE on a per-JVM
+    * lock, so two conf-scoped builders can no longer interleave their
+    * set/restore and clobber each other's state or plan with the wrong
+    * rule set. Residual cross-talk: a concurrent query planned OUTSIDE
+    * any withConf scope can still observe the conf mid-scope — harmless
+    * for the opt-in rewrite rules scoped here (they fire only on their
+    * own plan patterns), but a caller needing full isolation should build
+    * on `spark.newSession()` (own SQLConf, shared context) instead. */
+  private val confScopeLock = new Object
+  private[graft] def withConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
+    confScopeLock.synchronized {
+      val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
-  }
 
   /** Warehouse table name for a bucketed copy of `stem` (per sfDir — the
     * test/verify/bench scales must not clobber each other's buckets). */

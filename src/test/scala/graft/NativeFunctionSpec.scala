@@ -143,6 +143,99 @@ class NativeFunctionSpec extends SparkSpec {
       l.contains("bpe_token_count") && l.trim.startsWith("*(")), plan)
   }
 
+  test("trained-vocab BPE (r12): corpus-trained merges load through the file route and match brute force") {
+    import graft.functions.Bpe
+    // word frequencies from the corpus, derived with the SAME
+    // pre-tokenizer encode uses (leading spaces carried); sorted input
+    // order makes the whole pipeline bit-deterministic end to end
+    val freqs = Tables.documents(spark, sf).select("text").limit(300)
+      .collect().iterator.flatMap(r => Bpe.preTokens(r.getString(0)))
+      .foldLeft(Map.empty[String, Long])((m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L))
+      .toSeq.sortBy(_._1)
+    // budget far above what the corpus supports: training runs to its
+    // natural FIXPOINT (no adjacent pair repeats — the synthetic query-log
+    // word stock saturates around ~130 ranks, at which point every
+    // repeated corpus word is a single token; real web text sustains the
+    // tens of thousands of ranks production vocabularies carry, through
+    // this same loop)
+    val trained = Bpe.train(freqs, 5000)
+    assert(trained.length >= 100,
+      s"corpus training must learn a real vocabulary, got ${trained.length}")
+    assert(trained.length < 5000,
+      "the synthetic corpus saturates below the budget (fixpoint reached)")
+    // fixpoint proof: every REPEATED corpus word merges to one token
+    freqs.filter(_._2 >= 2L).foreach { case (w, _) =>
+      val n = new graft.functions.BpeVocab(trained).encodeCount(w)
+      assert(n == 1, s"trained-to-fixpoint vocab must fully merge '$w', got $n")
+    }
+    // deterministic: same frequencies, same merges, byte for byte
+    assert(Bpe.train(freqs, 5000).toSeq == trained.toSeq)
+    // file route round-trips exactly — including leading-space symbols,
+    // which is why the format is tab-separated with escapes
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val path = s"$dir/merges.txt"
+    Bpe.writeMerges(path, trained)
+    assert(Bpe.loadMerges(path).toSeq == trained.toSeq)
+    assert(trained.exists(_._1.startsWith(" ")),
+      "trained merges learn space-prefixed word-boundary symbols")
+    // independent brute-force reference under the TRAINED ranks: leftmost
+    // single-occurrence merge, re-scanning after every merge (a different
+    // walk shape than production's all-occurrences sweep; greedy BPE
+    // converges identically because a merge's product can only appear in
+    // later-ranked pairs)
+    val ranks = trained.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def refEncode(word: String): Int = {
+      var syms = word.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
+      var continue = true
+      while (continue && syms.size > 1) {
+        val pairs = syms.zip(syms.tail)
+        val ranked = pairs.filter(ranks.contains)
+        if (ranked.isEmpty) continue = false
+        else {
+          val best = ranked.minBy(ranks)
+          val i = pairs.indexOf(best)
+          syms = syms.take(i) ++ ((best._1 + best._2) :: syms.drop(i + 2))
+        }
+      }
+      syms.size
+    }
+    def refCount(text: String): Int = Bpe.preTokens(text).map(refEncode).sum
+    val texts = Tables.documents(spark, sf).select("text")
+      .limit(120).collect().map(_.getString(0)) ++ Seq(
+      "", " ", "the fast scan", "don't stop", "a1b2  c3", "héllo wörld",
+      "x!!??y", "   trailing  ", "the the the", "1234 5678", "\tmixed\nws",
+      "aaaa bbbb", "supercalifragilistic", "😀 emoji 😀 test")
+    import spark.implicits._
+    val got = texts.toSeq.toDF("text")
+      .select(expr(s"bpe_token_count(text, '$path')"))
+      .collect().map(_.getInt(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == refCount(t),
+        s"trained-vocab count diverges on '${t.take(60)}': $g vs ${refCount(t)}")
+    }
+    // the trained vocabulary COMPRESSES corpus text harder than the
+    // 183-rank committed default — the reason a deployment swaps it in
+    val sample = texts.take(120).toSeq.toDF("text")
+    val trainedTotal = sample.select(
+      sum(expr(s"bpe_token_count(text, '$path')"))).head().getLong(0)
+    val defaultTotal = sample.select(
+      sum(expr("bpe_token_count(text)"))).head().getLong(0)
+    assert(trainedTotal < defaultTotal,
+      s"2000 corpus ranks must out-compress the default: $trainedTotal vs $defaultTotal")
+    // the 2-arg form stays inside whole-stage codegen like the 1-arg form
+    val plan = physicalPlan(Tables.documents(spark, sf)
+      .select(expr(s"bpe_token_count(text, '$path')").as("c")))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bpe_token_count") && l.trim.startsWith("*(")), plan)
+    // guardrails: non-literal / null paths are plan-time errors
+    intercept[Exception] {
+      spark.range(1).selectExpr("bpe_token_count('x', CAST(id AS STRING))")
+        .collect()
+    }
+  }
+
   test("MinHashAggregator: dup docs collide, merge order irrelevant, partition-invariant") {
     import spark.implicits._
     val agg = new MinHashAggregator(16).toColumn

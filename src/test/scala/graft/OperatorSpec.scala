@@ -41,6 +41,7 @@ class OperatorSpec extends SparkSpec {
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
       "q_agg_hll_stored", "q_sim_index_stats", "q_agg_hll_intersect",
+      "q_agg_theta_intersect",
       // DuckDB cannot run the committed greedy-merge BPE walk; the
       // expression is property-tested against an independent brute force
       "q_token_budget_bpe")
@@ -113,6 +114,83 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(estI - exactI) <= tol,
         s"($ga,$gb): est intersect $estI vs exact $exactI (tol $tol)")
     }
+  }
+
+  test("theta intersection: direct estimator inside its envelope; beats inclusion-exclusion where it collapses") {
+    import graft.functions.{KmvAggregator, Theta}
+    import spark.implicits._
+    val k = Theta.DefaultK
+    val out = rows(Aggregates.queries("q_agg_theta_intersect")(spark, sf))
+    assert(out.nonEmpty)
+    val byStatus = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (ga, gb) = (r.head.asInstanceOf[String], r(1).asInstanceOf[String])
+      val (estA, estB) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      val (estU, estI) = (r(4).asInstanceOf[Long], r(5).asInstanceOf[Long])
+      val exactA = byStatus(ga).size
+      val exactU = byStatus(ga).union(byStatus(gb)).size
+      val exactI = byStatus(ga).intersect(byStatus(gb)).size
+      // distinct estimates: RSE ≈ 1/sqrt(k−2) ≈ 3.1 % — allow 4 RSE
+      val rse = 1.0 / math.sqrt(k - 2.0)
+      assert(math.abs(estA - exactA) <= math.max(4, 4 * rse * exactA),
+        s"($ga,$gb): est_a $estA vs exact $exactA")
+      assert(math.abs(estU - exactU) <= math.max(4, 4 * rse * exactU),
+        s"($ga,$gb): est_union $estU vs exact $exactU")
+      assert(estU >= math.max(estA, estB), s"($ga,$gb): union below sides")
+      // DIRECT intersection: absolute error ~ sqrt(|A∪B|)·θ-scaled sample
+      // noise — pinned at 5·|A∪B|/sqrt(k) + 4, far inside the HLL
+      // inclusion-exclusion envelope of 0.1·|A∪B| the sibling spec needs
+      val tol = math.max(4.0, 5.0 * exactU / math.sqrt(k.toDouble))
+      assert(math.abs(estI - exactI) <= tol,
+        s"($ga,$gb): est_intersect $estI vs exact $exactI (tol $tol)")
+    }
+    // the adversary that breaks inclusion-exclusion: 40k-element sets
+    // overlapping in just 2000 — incl-excl subtracts two big ±3% estimates
+    // (each error ~1250 absolute) to find a small number; the direct theta
+    // estimator samples the overlap itself (~26 retained samples → ~±20%
+    // of 2000). On any ONE instance incl-excl can get lucky (errors
+    // cancel), so the pin is the MEAN ABSOLUTE error over six disjoint
+    // deterministic instances — fixed offsets, seedless hash: the whole
+    // comparison is a constant of the code, not a coin flip.
+    val kmv = udaf(new KmvAggregator(k))
+    val overlap = 2000L
+    val errs = (0 until 6).map { inst =>
+      val base = inst * 1000000L
+      val setA = (base until base + 40000L)
+      val setB = (base + 40000L - overlap) until (base + 80000L - overlap)
+      val sk = Seq(("a", setA), ("b", setB))
+        .flatMap { case (g, vs) => vs.map(v => (g, v)) }
+        .toDF("grp", "v").groupBy("grp").agg(kmv(col("v")).as("sk"))
+      val a = sk.filter(col("grp") === "a").select(col("sk").as("ska"))
+      val b = sk.filter(col("grp") === "b").select(col("sk").as("skb"))
+      val row = a.crossJoin(b).select(
+        Theta.intersectEstimate(col("ska"), col("skb"), k).as("direct"),
+        (Theta.estimate(col("ska"), k) + Theta.estimate(col("skb"), k) -
+          Theta.estimate(Theta.unionSketch(col("ska"), col("skb"), k), k))
+          .as("incl_excl")).head()
+      // per-instance: the direct estimate always stays inside its envelope
+      assert(math.abs(row.getDouble(0) - overlap) <=
+        5.0 * 78000.0 / math.sqrt(k.toDouble) + 4,
+        s"instance $inst: direct ${row.getDouble(0)} outside the envelope")
+      (math.abs(row.getDouble(0) - overlap), math.abs(row.getDouble(1) - overlap))
+    }
+    val meanDirect = errs.map(_._1).sum / errs.length
+    val meanIncl = errs.map(_._2).sum / errs.length
+    assert(meanDirect < meanIncl,
+      s"direct estimator (MAE $meanDirect) must beat inclusion-exclusion " +
+        s"(MAE $meanIncl) on small overlaps: ${errs.mkString(", ")}")
+    // partition invariance: the sketch is a pure function of the SET
+    val inv = (0L until 40000L)
+    val sk1 = inv.toDF("v").repartition(1).agg(kmv(col("v"))).head().getSeq[Long](0)
+    val sk7 = inv.toDF("v").repartition(7).agg(kmv(col("v"))).head().getSeq[Long](0)
+    assert(sk1 == sk7, "merge order must not change the sketch")
+    // exact below saturation: a tiny set estimates exactly, and the exact
+    // intersection of two unsaturated sketches is the true overlap
+    val tiny = (0L until 100L).toDF("v").agg(kmv(col("v"))).head().getSeq[Long](0)
+    assert(tiny.length == 100)
   }
 
   test("approx quantiles land inside the exact neighboring-quantile envelope") {
