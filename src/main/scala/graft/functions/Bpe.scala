@@ -161,6 +161,24 @@ object Bpe {
     b.toString
   }
 
+  /** The Hadoop configuration merges-file I/O resolves filesystems with:
+    * the active session's (spark.hadoop.* — object-store credentials,
+    * endpoints — applied exactly as they reach table reads; code review
+    * r12: a bare `new Configuration()` dropped them), falling back on
+    * executors without an active session to defaults plus any
+    * spark.hadoop.* keys from the executor's SparkConf. */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse {
+        val c = new org.apache.hadoop.conf.Configuration()
+        Option(org.apache.spark.SparkEnv.get).foreach(env =>
+          env.conf.getAllWithPrefix("spark.hadoop.").foreach {
+            case (k, v) => c.set(k, v)
+          })
+        c
+      }
+
   /** Persist an ordered merge list (rank = line order) — the trained-
     * vocabulary artifact [[loadMerges]] reads back. */
   def writeMerges(path: String, merges: Array[(String, String)]): Unit = {
@@ -168,7 +186,7 @@ object Bpe {
     merges.foreach { case (a, b) =>
       sb ++= esc(a); sb += '\t'; sb ++= esc(b); sb += '\n' }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val out = fs.create(p, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -179,7 +197,7 @@ object Bpe {
     * merges in for the committed default. */
   def loadMerges(path: String): Array[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val in = fs.open(p)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()

@@ -396,8 +396,10 @@ object CommitLog {
     * plan their own scan over the version's immutable directories (the
     * `graft.commitlog` connector's time travel). */
   def commitAt(spark: SparkSession, root: String, v: Long): Option[Commit] =
-    if (!versions(spark, root).contains(v)) None
-    else readCommitFile(spark, root, v)
+    // a direct point read: readCommitFile already returns None for a
+    // missing or torn file, so a versions() listing first would re-pay the
+    // O(retained-history) walk the head pointer exists to avoid
+    readCommitFile(spark, root, v)
 
   /** Load a specific committed version — time travel over retained
     * history (None if that version was vacuumed or never committed). */
@@ -429,13 +431,10 @@ object CommitLog {
     * concurrent commit between two listings. */
   def appendedSince(spark: SparkSession, root: String, sinceVersion: Long,
       head: Commit): Option[DataFrame] = {
-    // guard the vacuumed-base case: readCommitFile on a deleted claim
-    // file would throw FileNotFoundException; absence means the base is
-    // gone (or never existed) and incrementality is impossible — None,
-    // the caller's resync path
-    val base =
-      if (!versions(spark, root).contains(sinceVersion)) None
-      else readCommitFile(spark, root, sinceVersion)
+    // vacuumed-base case: readCommitFile reads absence as None — the base
+    // is gone (or never existed) and incrementality is impossible — the
+    // caller's resync path; a point read, never an O(history) listing
+    val base = readCommitFile(spark, root, sinceVersion)
     base match {
       case Some(b) if head.version > b.version =>
         deltaDirs(spark, root, b, head).map { added =>
@@ -504,9 +503,7 @@ object CommitLog {
       head: Commit): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
     val f = fs(spark, root)
-    val base =
-      if (!versions(spark, root).contains(sinceVersion)) None
-      else readCommitFile(spark, root, sinceVersion)
+    val base = readCommitFile(spark, root, sinceVersion) // None = resync
     base match {
       case Some(b) if head.version > b.version =>
         val chain = commitChain(spark, root, b, head).getOrElse(return None)
@@ -846,9 +843,18 @@ object CommitLog {
     // (the q_source_evolved union, answered from the log instead of a
     // mergeSchema footer sweep). Without evolve the contract stays exact:
     // silent drift is the bug this check exists to catch.
-    var evolvedDDL: Option[String] = None
-    headNow.foreach { h =>
+    //
+    // Validation runs against a SPECIFIC head and is RE-RUN inside the
+    // claim loop whenever the head moved (code review r12): computed only
+    // against the pre-loop head, a lost claim against a CONCURRENT
+    // EVOLUTION would commit a recorded schema derived from the stale
+    // head — silently clipping the racing writer's new column from every
+    // pinned read. Re-validating against the fresh head turns that race
+    // into the same loud additive-only/exact-match error a sequential
+    // mismatch gets.
+    def validateSchemaAgainst(h: Commit): Option[String] = {
       val headSchema = load(spark, root, h).schema
+      var evolvedDDL: Option[String] = None
       if (!evolve) {
         val same = headSchema.length == delta.schema.length &&
           headSchema.zip(delta.schema).forall { case (a, b) =>
@@ -878,7 +884,10 @@ object CommitLog {
       for (hn <- h.statsColName; sc <- statsCol) require(hn == sc,
         s"statsCol '$sc' conflicts with the table's recorded stats column " +
           s"'$hn' — one stats column per table; change it with a rewrite")
+      evolvedDDL
     }
+    var validatedAt: Option[Long] = headNow.map(_.version)
+    var evolvedDDL: Option[String] = headNow.flatMap(validateSchemaAgainst)
     // a bad statsCol must fail BEFORE the delta write (no orphan staging)
     statsCol.foreach(sc => require(delta.columns.contains(sc),
       s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
@@ -904,6 +913,20 @@ object CommitLog {
           return latest(spark, root).getOrElse(throw new IllegalStateException(
             s"CommitLog: txn watermark for $app exists but no commit parses"))
         }
+      }
+      // the head MOVED since validation (a lost claim, or a commit landing
+      // between the pre-check and attempt 1): re-validate the delta and
+      // recompute the recorded schema against the commit we now build on —
+      // a concurrent evolution fails loudly here (delete the staging
+      // first) instead of committing a stale recorded schema
+      if (cur.map(_.version) != validatedAt) {
+        val ddl =
+          try cur.flatMap(validateSchemaAgainst)
+          catch { case e: Throwable =>
+            f.delete(new HPath(s"$root/$deltaDir"), true); throw e
+          }
+        evolvedDDL = ddl
+        validatedAt = cur.map(_.version)
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats

@@ -53,12 +53,15 @@ import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, 
   *
   * The streaming read is a V1 [[Source]] with admission control — the
   * FileStreamSource shape: offsets are COMMIT VERSIONS (the log's own
-  * unit), `getBatch(start, end)` returns the rows appended by row-visible
-  * commits in `(start, end]` as an ordinary schema-pinned parquet read,
+  * unit). A fresh stream BOOTSTRAPS from the head snapshot (first batch =
+  * the table's state, whatever shapes built it), then delivers the rows
+  * row-visible commits append, as ordinary schema-pinned parquet reads;
   * rowInvisible compactions ride through silently, and a rewrite/merge in
-  * the window fails loudly (a tail delivers appends; retractions need a
-  * resync — the same contract as [[CommitLog.appendedSince]]). Exactly-once
-  * end-to-end comes from the engine's offset checkpoint plus
+  * an incremental window fails loudly (a tail delivers appends;
+  * retractions need a resync — the same contract as
+  * [[CommitLog.appendedSince]]). `option("startingVersion", v)` opts into
+  * append replay from a retained version instead of the bootstrap.
+  * Exactly-once end-to-end comes from the engine's offset checkpoint plus
   * [[CommitLog.commitAppendOnce]] on the sink side.
   *
   * At 100 TB: planning cost is O(head's directory count) listing + the
@@ -128,8 +131,14 @@ final class CommitLogSource extends DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val startingVersion =
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    // default (no startingVersion): BOOTSTRAP — first batch is the head
+    // SNAPSHOT, then incremental appends (the runCommitLogTail contract;
+    // code review r12: replaying history from v1 permanently fails on any
+    // table whose retained history holds a merge/rewrite or whose early
+    // versions were vacuumed — i.e. most real tables). An explicit
+    // startingVersion opts into append REPLAY from that version, for
+    // consumers that want the retained history as insert batches.
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
     val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toInt)
     maxCommits.foreach(n => require(n >= 1,
       s"maxCommitsPerTrigger must be >= 1, got $n"))
@@ -187,14 +196,21 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   private val fsys =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // dir name -> its parquet files, listed once (immutable once committed)
+  // dir name -> its parquet files, listed once (immutable once committed).
+  // A MISSING directory fails loudly (code review r12): the commit lists
+  // it, so absence means a vacuum outran this query's snapshot (or
+  // external damage) — the library route's spark.read.parquet throws for
+  // the same state, and a silent empty would return partial rows (worst
+  // of all in a streaming batch, which must be exact or absent).
   private lazy val byDir: Seq[(String, Array[FileStatus])] =
     commit.dataDirs.map { d =>
       val p = new HPath(root, d)
-      val files =
-        (if (fsys.exists(p)) fsys.listStatus(p) else Array.empty[FileStatus])
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      d -> files
+      if (!fsys.exists(p)) throw new IllegalStateException(
+        s"graft.commitlog: data directory $p of version ${commit.version} " +
+          "is missing — vacuumed past this read's snapshot (raise retention " +
+          "or re-resolve the head) or externally damaged")
+      d -> fsys.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     }
 
   override def rootPaths: Seq[HPath] =
@@ -368,25 +384,38 @@ private[sources] final class CommitLogChangesRelation(
 }
 
 /** Micro-batch tail of a commit-log table — the FileStreamSource shape
-  * over the log's own ingest unit: offsets are COMMIT VERSIONS, and a
-  * batch is the schema-pinned parquet read of the directories that
-  * row-visible commits in `(start, end]` added. Admission control
+  * over the log's own ingest unit: offsets are COMMIT VERSIONS. Default
+  * (BOOTSTRAP) mode delivers the head SNAPSHOT as the first batch and
+  * appends incrementally after — the [[graft.streaming.StreamOps
+  * .runCommitLogTail]] contract, and the only mode that works on tables
+  * whose retained history holds merges/rewrites or vacuumed early
+  * versions; `startingVersion` opts into append REPLAY, where each batch
+  * is the schema-pinned parquet read of the directories row-visible
+  * commits in `(start, end]` added. Admission control
   * (`maxCommitsPerTrigger`) bounds catch-up batches exactly like the file
-  * source's `maxFilesPerTrigger`; Trigger.AvailableNow captures the head
-  * at query start and drains to it in bounded batches. Compactions
-  * (rowInvisible) deliver nothing and advance silently; a rewrite/merge in
-  * the window throws — a tail delivers appends, retractions require a
-  * downstream resync, the [[CommitLog.appendedSince]] contract. Delivery
-  * is exactly-once from the engine's offset checkpoint: `getBatch` is a
-  * pure function of the immutable log range. */
+  * source's `maxFilesPerTrigger` (the bootstrap snapshot is ONE
+  * indivisible batch — it is a state, not a commit range);
+  * Trigger.AvailableNow captures the head at query start and drains to
+  * it. Compactions (rowInvisible) deliver nothing and advance silently;
+  * a rewrite/merge in an INCREMENTAL window throws — a tail delivers
+  * appends, retractions require a downstream resync, the
+  * [[CommitLog.appendedSince]] contract. Delivery is exactly-once from
+  * the engine's offset checkpoint: `getBatch` is a pure function of the
+  * immutable log range. */
 private[sources] final class CommitLogStreamSource(spark: SparkSession,
-    root: String, tableSchema: StructType, startingVersion: Long,
+    root: String, tableSchema: StructType, startingVersion: Option[Long],
     maxCommitsPerTrigger: Option[Int]) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  // replay floor (explicit startingVersion) or the bootstrap sentinel 0 —
+  // in bootstrap mode offset 0 always means "nothing delivered yet", and
+  // the first real batch is the snapshot at its end offset's version
+  private val floor: Long = startingVersion.getOrElse(0L)
+  private val bootstrap: Boolean = startingVersion.isEmpty
+
   // newest version already offered as an end offset — latestOffset must be
   // monotone even if the head pointer briefly reads stale across calls
-  @volatile private var lastOffered: Long = startingVersion
+  @volatile private var lastOffered: Long = floor
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def schema: StructType = tableSchema
@@ -396,7 +425,7 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
       "latestOffset(Offset, ReadLimit) should be called instead " +
         "(admission-control source)")
 
-  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+  override def initialOffset(): OffsetV2 = LongOffset(floor)
   override def deserializeOffset(json: String): OffsetV2 =
     LongOffset(json.trim.toLong)
 
@@ -406,17 +435,20 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(CommitLog.latest(spark, root)
-      .map(_.version).getOrElse(startingVersion))
+      .map(_.version).getOrElse(floor))
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val start = math.max(lastOffered,
-      Option(startOffset).map(versionOf).getOrElse(startingVersion))
+      Option(startOffset).map(versionOf).getOrElse(floor))
     val head = CommitLog.latest(spark, root).map(_.version).getOrElse(start)
     val capped = availableNowEnd.fold(head)(math.min(head, _))
     val end = limit match {
       // version numbers are dense in retained history, so admitting n
-      // commits is exactly advancing the offset by n
-      case m: ReadMaxFiles => math.min(capped, start + m.maxFiles())
+      // commits is exactly advancing the offset by n. The bootstrap
+      // snapshot ignores the cap: it is one indivisible state, not a
+      // backlog of commits to drain.
+      case m: ReadMaxFiles if !(bootstrap && start == 0L) =>
+        math.min(capped, start + m.maxFiles())
       case _ => capped
     }
     lastOffered = math.max(lastOffered, end)
@@ -424,9 +456,20 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val s = start.map(versionOf).getOrElse(startingVersion)
+    val s = start.map(versionOf).getOrElse(floor)
     val e = versionOf(end)
-    val dirs = CommitLog.addedDirsBetween(spark, root, s, e)
+    val dirs =
+      if (e <= s) Nil
+      else if (bootstrap && s == 0L)
+        // first delivery: the version-e SNAPSHOT (whatever shapes built
+        // it — merges, rewrites, compactions all fine: a snapshot is read
+        // as a state, not replayed as changes)
+        CommitLog.commitAt(spark, root, e).getOrElse(
+          throw new IllegalStateException(
+            s"commit-log stream: bootstrap version $e at $root was " +
+              "vacuumed between offset resolution and the batch read — " +
+              "raise retention")).dataDirs
+      else CommitLog.addedDirsBetween(spark, root, s, e)
     // the FileStreamSource shape: a parquet HadoopFsRelation over exactly
     // the batch's files, wrapped isStreaming=true (the engine asserts it).
     // Schema pinned at query start: an additive evolution mid-stream keeps

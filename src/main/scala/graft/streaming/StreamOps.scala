@@ -395,28 +395,40 @@ object StreamOps {
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.mkdirs(dir)
     val ckpt = new HPath(dir, "version")
-    val last =
-      if (!f.exists(ckpt)) 0L
-      else {
-        val in = f.open(ckpt)
-        try {
-          val out = new java.io.ByteArrayOutputStream(64)
-          val buf = new Array[Byte](64)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toString("UTF-8").trim.toLong
-        } finally in.close()
+    def readLong(p: HPath): Option[Long] = {
+      val in = try f.open(p) catch {
+        case _: java.io.FileNotFoundException => return None
       }
+      try scala.util.Try {
+        val out = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8").trim.toLong
+      }.toOption finally in.close()
+    }
+    // the checkpoint is the MAX of the main file and any surviving
+    // `.version-<v>` staging (code review r12): the advance below stages
+    // the new version BEFORE delete-then-rename (Hadoop rename refuses an
+    // existing destination), so a crash inside the replace window leaves
+    // the staging as the record — without this, a crash after the delete
+    // lost the checkpoint entirely and a restart re-delivered the FULL
+    // head under a fresh version key, which a version-keyed sink cannot
+    // dedup. A staging is only ever written after its batch's process()
+    // returned, so trusting it never skips undelivered data.
+    val stagings = Option(f.listStatus(dir)).toSeq.flatten
+      .map(_.getPath).filter(_.getName.startsWith(".version-"))
+    val last = (readLong(ckpt).toSeq ++ stagings.flatMap(readLong))
+      .foldLeft(0L)(math.max)
     val headOpt = CommitLog.latest(spark, root)
     if (headOpt.isEmpty) return last
     val headC = headOpt.get
     val head = headC.version
     if (head <= last) return last
     process(mkBatch(last, headC), head)
-    // advance via write-new-then-rename; Hadoop rename refuses an existing
-    // destination, so replace is delete-then-rename — the no-checkpoint
-    // window in between re-delivers at most one batch on a crash, inside
-    // the documented at-least-once contract (sinks key on the version)
+    // advance: stage the new version, then replace the main file
+    // (delete-then-rename); every crash point leaves at least one file
+    // carrying `head`, and the startup max() above reads through it
     val tmp = new HPath(dir, s".version-$head")
     val out = f.create(tmp, true)
     try out.write(head.toString.getBytes("UTF-8")) finally out.close()
@@ -425,6 +437,9 @@ object StreamOps {
       if (!f.rename(tmp, ckpt)) throw new java.io.IOException(
         s"commit-log tail: checkpoint rename failed at $ckpt")
     }
+    // sweep stagings from PAST crashes now that the main file is ahead of
+    // them (the just-renamed tmp is already gone; anything left is older)
+    stagings.foreach(p => scala.util.Try(f.delete(p, false)))
     head
   }
 

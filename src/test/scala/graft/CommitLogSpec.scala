@@ -1260,6 +1260,41 @@ class CommitLogSpec extends SparkSpec {
     assert(c.schemaDDL.isEmpty, "no new column, nothing to record")
   }
 
+  test("concurrent evolutions cannot clip each other: exactly one wins, the loser fails loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    // two writers race evolve-appends adding DIFFERENT columns; whatever
+    // the interleaving, create-exclusive claims admit exactly one — and
+    // the loser's re-validation against the WINNER's head must reject its
+    // now-incomplete delta (additive-only) instead of committing a
+    // recorded schema that clips the winner's column (code review r12)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val attempts = try {
+      Await.result(Future.sequence(Seq(
+        Future(scala.util.Try(CommitLog.commitAppend(spark, root, "wx",
+          "append", evolve = true)(Seq((2L, "b", 7L)).toDF("id", "v", "x")))),
+        Future(scala.util.Try(CommitLog.commitAppend(spark, root, "wy",
+          "append", evolve = true)(Seq((3L, "c", 0.5)).toDF("id", "v", "y"))))
+      )), Duration.Inf)
+    } finally pool.shutdown()
+    assert(attempts.count(_.isSuccess) == 1,
+      s"exactly one evolution may land: $attempts")
+    val failure = attempts.find(_.isFailure).get.failed.get
+    assert(failure.getMessage.contains("ADDITIVE only"),
+      s"the loser must get the additive-only rejection, got: $failure")
+    // the winner's column survives in the recorded schema and the read
+    val head = CommitLog.readLatest(spark, root).get
+    val winnerCol = attempts.find(_.isSuccess).get.get
+      .schemaDDL.get // the evolve recorded its schema
+    assert(head.schema.fieldNames.length == 3 &&
+      (head.schema.fieldNames.contains("x") ^ head.schema.fieldNames.contains("y")))
+    assert(head.count() == 2L)
+    assert(winnerCol.nonEmpty)
+  }
+
   // ---- O(1) head pointer (r12: VERDICT r11 #4) ----
 
   test("head pointer is advisory: stale, corrupt, or missing degrades to the walk, never a wrong head") {

@@ -770,12 +770,15 @@ class StreamingSpec extends SparkSpec {
   /** Run one AvailableNow pass of the commit-log tail into a collected
     * buffer; returns (rows-by-batch, total batches). */
   private def drainCommitLogTail(root: String, ckpt: String,
-      maxCommitsPerTrigger: Option[Int] = None): Seq[Seq[Seq[Any]]] = {
+      maxCommitsPerTrigger: Option[Int] = None,
+      startingVersion: Option[Long] = None): Seq[Seq[Seq[Any]]] = {
     val batches =
       new java.util.concurrent.ConcurrentLinkedQueue[Seq[Seq[Any]]]()
     var r = spark.readStream.format("graft.commitlog")
     maxCommitsPerTrigger.foreach(n =>
       r = r.option("maxCommitsPerTrigger", n.toString))
+    startingVersion.foreach(v =>
+      r = r.option("startingVersion", v.toString))
     val q = r.load(root)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -800,22 +803,45 @@ class StreamingSpec extends SparkSpec {
       Seq((3L, "c")).toDF("id", "v"))
     CommitLog.commitAppend(spark, root, "w", "append")(
       Seq((4L, "d")).toDF("id", "v"))
-    // admission control: one commit per micro-batch — the backlog drains
-    // in 3 bounded batches, together equal to the head snapshot (the
-    // manual tail's bootstrap contract, runCommitLogTail)
+    // REPLAY mode (explicit startingVersion=0) with admission control:
+    // one commit per micro-batch — the backlog drains in 3 bounded
+    // batches, together equal to the head snapshot
     val ckpt = Files.createTempDirectory("graft-cls-ck").toString
-    val batches = drainCommitLogTail(root, ckpt, Some(1))
+    val batches = drainCommitLogTail(root, ckpt, Some(1), Some(0L))
     assert(batches.length == 3,
       s"maxCommitsPerTrigger=1 over 3 commits must yield 3 batches, got ${batches.length}")
     assert(batches.map(_.length) == Seq(2, 1, 1),
       "each batch carries exactly its commit's rows")
     assert(batches.flatten.sortBy(_.head.asInstanceOf[Long]) ==
       rows(CommitLog.readLatest(spark, root).get.orderBy("id")))
-    // unthrottled: the same rows in one catch-up batch
+    // default BOOTSTRAP mode: ONE snapshot batch even under admission
+    // control (the snapshot is a state, not a commit backlog)
     val ckpt2 = Files.createTempDirectory("graft-cls-ck2").toString
-    val one = drainCommitLogTail(root, ckpt2)
+    val one = drainCommitLogTail(root, ckpt2, Some(1))
     assert(one.length == 1 && one.head ==
       rows(CommitLog.readLatest(spark, root).get.orderBy("id")))
+  }
+
+  test("graft.commitlog stream: a fresh tail bootstraps from the snapshot even over merged/vacuumed history") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val root = Files.createTempDirectory("graft-clb").toString
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    CommitLog.merge(spark, root, "m", "id", Seq((1L, "A")).toDF("id", "v"))
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    // retained history = ONE merge-shaped commit with v1 vacuumed: append
+    // replay from v0 is impossible, but a fresh tail must still work — it
+    // reads the head STATE first, then appends incrementally
+    val ckpt = Files.createTempDirectory("graft-clb-ck").toString
+    val boot = drainCommitLogTail(root, ckpt)
+    assert(boot.length == 1 && boot.head ==
+      rows(CommitLog.readLatest(spark, root).get.orderBy("id")),
+      s"bootstrap must deliver the head snapshot: $boot")
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(drainCommitLogTail(root, ckpt).flatten.map(_.head) == Seq(3L),
+      "after the bootstrap the tail is incremental")
   }
 
   test("graft.commitlog stream: kill/resume is exactly-once; compaction rides through silently") {
@@ -852,6 +878,19 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.StreamOps.runCommitLogTail(spark, root, manualCkpt) {
       (df, _) => manual = rows(df.orderBy("id")) }
     assert((run1 ++ run4).flatten.sortBy(_.head.asInstanceOf[Long]) == manual)
+    // manual-tail crash window (code review r12): the main checkpoint
+    // file is lost mid-replace but the pre-written staging survives — a
+    // resumed tail reads the max of both and must NOT re-deliver the head
+    val ckptFile = new java.io.File(manualCkpt, "version")
+    val v = new String(Files.readAllBytes(ckptFile.toPath), "UTF-8").trim
+    Files.write(new java.io.File(manualCkpt, s".version-$v").toPath,
+      v.getBytes("UTF-8"))
+    Files.delete(ckptFile.toPath)
+    var redelivered = false
+    graft.streaming.StreamOps.runCommitLogTail(spark, root, manualCkpt) {
+      (_, _) => redelivered = true }
+    assert(!redelivered,
+      "a surviving staging checkpoint must prevent full re-delivery")
   }
 
   test("graft.commitlog stream: a merge in the window fails the query with the resync contract") {
