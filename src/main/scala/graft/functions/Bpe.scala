@@ -55,6 +55,11 @@ object Bpe {
     b.result()
   }
 
+  /** Matcher form of [[preTokens]] for the per-row encode hot path (no
+    * per-call Seq). */
+  private[functions] def preTokMatcher(text: String): java.util.regex.Matcher =
+    PreTok.matcher(text)
+
   /** Ordered merge list; rank = index, lower rank merges first. Any pair
     * not listed never merges. Later entries reference symbols earlier
     * entries create (e.g. " th"+"e" needs " t"+"h"). */
@@ -372,10 +377,14 @@ final class BpeVocab(val merges: Array[(String, String)]) extends Serializable {
     }
   }
 
-  /** Total BPE token count of `text`. */
+  /** Total BPE token count of `text` — the per-row hot path: walk the
+    * matcher directly (the r12 restructure briefly went through
+    * [[Bpe.preTokens]], allocating a Seq per ROW on a path that exists to
+    * avoid per-row overhead). */
   def countTokens(text: String): Int = {
+    val m = Bpe.preTokMatcher(text)
     var total = 0
-    Bpe.preTokens(text).foreach(w => total += countWord(w))
+    while (m.find()) total += countWord(m.group())
     total
   }
 }
