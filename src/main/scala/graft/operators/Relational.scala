@@ -265,7 +265,67 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_restore and
+  // q_commit_log_history: create (class-16 orders slice) → reprice (+10
+  // on open orders) → append (class 17, "the bad load") → RESTORE to v2,
+  // rolling the bad load back as a fourth, auditable commit. The declared
+  // restore query reads the head (== v2's state); the history query reads
+  // the audit surface, proving the rollback never rewrote history.
+  private val restoreCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def restoreLogFor(s: SparkSession, d: String): String =
+    restoreCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitrestore")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter(col("o_orderkey") % 100 === 16)
+      }
+      graft.sources.CommitLog.commit(s, root, "repricer", "adjust") { cur =>
+        cur.get.withColumn("o_totalprice",
+          when(col("o_orderstatus") === "O", col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      }
+      graft.sources.CommitLog.commitAppend(s, root, "loader", "append")(
+        orders.filter(col("o_orderkey") % 100 === 17))
+      graft.sources.CommitLog.restore(s, root, "operator", 2L)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // RESTORE through the commit log (CommitLog.restore — the Delta
+    // RESTORE verb, r12): the head is rolled back to version 2's content
+    // as a NEW row-visible commit, so the bad append stays auditable and
+    // time-travelable while every reader sees the pre-load state. The
+    // oracle rebuilds v2's state relationally — a surviving bad-load row,
+    // a lost repriced row, or a restore that silently rewrote history all
+    // hash-fail. At 100 TB: one snapshot rewrite, the same copy-on-write
+    // price as purge, with stats re-recorded so skipping survives.
+    "q_commit_log_restore" -> ((s, d) => {
+      val root = restoreLogFor(s, d)
+      graft.sources.CommitLog.readLatest(s, root).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // COMMIT HISTORY audit surface (CommitLog.history, r12 as a declared
+    // query): who changed the table, in which version order, by which
+    // verb, how many dirs each head carried, and whether consumers skip
+    // it — read from the log alone (O(versions) tiny JSON files, never a
+    // data dir). The fixture's four-commit history (create → adjust →
+    // append → restore) is fully deterministic, so the oracle pins it as
+    // literal VALUES — proving the restore APPENDED to history instead of
+    // rewriting it, and that the O(delta) append really carried two dirs.
+    "q_commit_log_history" -> ((s, d) => {
+      val root = restoreLogFor(s, d)
+      graft.sources.CommitLog.history(s, root)
+        .select(col("version"), col("writer"), col("action"),
+          col("n_dirs"), col("row_invisible"))
+        .orderBy("version")
+    }),
+
     // CONNECTOR route over the commit log (sources/CommitLogSource.scala —
     // VERDICT r11 #1): the same committed head as q_commit_log, read
     // through `spark.read.format("graft.commitlog")` instead of the
@@ -712,6 +772,23 @@ object Relational {
       "ORDER BY o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "q_commit_log_restore" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 16) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_history" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'loader', 'create', 1, FALSE), " +
+        "(CAST(2 AS BIGINT), 'repricer', 'adjust', 1, FALSE), " +
+        "(CAST(3 AS BIGINT), 'loader', 'append', 2, FALSE), " +
+        "(CAST(4 AS BIGINT), 'operator', 'restore', 1, FALSE)) " +
+        "AS h(version, writer, action, n_dirs, row_invisible) " +
+        "ORDER BY version"),
     "q_commit_log_sql" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, " +

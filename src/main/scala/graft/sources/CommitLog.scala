@@ -1033,6 +1033,35 @@ object CommitLog {
     }
   }
 
+  /** RESTORE (the Delta RESTORE verb, r12): make the table's head the
+    * content of retained version `v` — as a NEW row-visible rewrite
+    * commit, so history is never rewritten: the rolled-back commits stay
+    * auditable and time-travelable until vacuum, and the rollback is
+    * itself one more audited commit (action="restore"). Restoring the
+    * current head returns it unchanged (schedulable); a vacuumed or
+    * never-committed target throws. Row-VISIBLE by necessity: rows are
+    * being retracted, so incremental consumers resync — the same
+    * [[appendedSince]]/[[changesSince]] contract as any rewrite. The new
+    * snapshot re-records stats for the table's stats column (carried from
+    * the target's record unless overridden), so data skipping survives
+    * the rollback. At 100 TB: one snapshot rewrite — the copy-on-write
+    * price of retraction, same as [[purge]]; production narrows it to
+    * affected partitions under the same protocol. */
+  def restore(spark: SparkSession, root: String, writer: String, v: Long,
+      maxAttempts: Int = 20, statsCol: Option[String] = None): Commit = {
+    val target = commitAt(spark, root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"CommitLog: cannot restore $root to version $v — vacuumed or " +
+          "never committed"))
+    val head = latest(spark, root)
+    if (head.exists(_.version == v)) return head.get
+    // the target's dirs are immutable, so this plan is stable across
+    // optimistic retries — every attempt rewrites the same rows
+    val snapshot = load(spark, root, target)
+    commit(spark, root, writer, "restore", maxAttempts,
+      statsCol = statsCol.orElse(target.statsColName))(_ => snapshot)
+  }
+
   private def bloomDir(root: String) = new HPath(root, "_bloom")
   private def bloomPath(root: String, dir: String) =
     new HPath(bloomDir(root), dir + ".bin")

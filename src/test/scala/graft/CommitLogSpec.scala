@@ -1260,6 +1260,37 @@ class CommitLogSpec extends SparkSpec {
     assert(c.schemaDDL.isEmpty, "no new column, nothing to record")
   }
 
+  test("restore rolls the head back as a new commit; history survives; consumers resync") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("id")) { _ =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("id"))(
+      Seq((3L, "bad")).toDF("id", "v"))
+    val consumerBase = 1L
+    val restored = CommitLog.restore(spark, root, "op", 1L)
+    // the head is v1's content, committed as a NEW version
+    assert(restored.version == 3L && restored.action == "restore")
+    assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // history intact: the bad append stays auditable and time-travelable
+    assert(CommitLog.history(spark, root).collect().map(_.getString(2)).toSeq ==
+      Seq("create", "append", "restore"))
+    assert(rows(CommitLog.readVersion(spark, root, 2L).get.orderBy("id")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "bad")))
+    // row-visible rewrite: an incremental consumer must resync, never
+    // silently skip the retraction
+    assert(CommitLog.appendedSince(spark, root, consumerBase).isEmpty)
+    // stats carried from the target's record: skipping survives
+    assert(restored.statsColName.contains("id") && restored.stats.nonEmpty)
+    // restore-to-head is a schedulable no-op; vacuumed target is loud
+    assert(CommitLog.restore(spark, root, "op", 3L).version == 3L)
+    assert(CommitLog.history(spark, root).count() == 3L)
+    intercept[IllegalArgumentException] {
+      CommitLog.restore(spark, root, "op", 99L)
+    }
+  }
+
   test("concurrent evolutions cannot clip each other: exactly one wins, the loser fails loudly") {
     import spark.implicits._
     val root = freshRoot()

@@ -459,11 +459,17 @@ class StreamingSpec extends SparkSpec {
           .orderBy("term", "doc_id"))
       assert(sunk() == batchRead(), "initial segments must arrive as batch 0")
       val before = spark.table("idx_tail").count()
-      // appends DURING the stream: two independent writers, then a retry of
-      // seg=1 BEFORE the stream has seen it (replaces its own partitions —
-      // the sink must not double-count the replayed segment)
+      // appends DURING the stream, then a retry of the already-DELIVERED
+      // seg=1 (the crash-after-commit replay shape: dynamic partition
+      // overwrite re-lands identical rows; the checkpointed offset keeps
+      // the sink from double-counting). The retry is sequenced AFTER
+      // delivery on purpose — replacing a seg while a batch may be
+      // mid-read races the overwrite's delete window (the same
+      // single-maintainer caveat the connector documents for compact),
+      // and an earlier version of this test did exactly that and flaked.
       third(1L).write.format("graft.index").option("dir", dir)
         .option("seg", "1").mode("append").save()
+      q.processAllAvailable()
       third(1L).write.format("graft.index").option("dir", dir)
         .option("seg", "1").mode("append").save()
       third(2L).write.format("graft.index").option("dir", dir)
