@@ -75,26 +75,38 @@ object CommitLog {
     * row-visible commits, so a lying writer can't make consumers skip
     * real changes.
     *
-    * `statsColName` records WHICH column the stats describe (r11): stats
-    * maps are carried forward across appends, so the column is a
-    * table-level convention — recording it lets [[readLatestWhere]] and
-    * [[merge]] prove the recorded ranges apply to the column they are
-    * pruning on, turning a mismatched-column misuse into a harmless full
-    * scan instead of a silently wrong prune. Pre-r11 commits lack the
-    * field (None): their stats prune only through the legacy
-    * caller-asserted path.
+    * `statsCols` records WHICH columns the stats describe (r11 single-
+    * column; r13 generalizes to a column SET, the Delta per-column
+    * min/max story): stats maps are carried forward across appends, so
+    * the set is a table-level convention — recording it lets
+    * [[readLatestWhere]] and [[merge]] prove the recorded ranges apply to
+    * the column they are pruning on, turning a mismatched-column misuse
+    * into a harmless full scan instead of a silently wrong prune. `stats`
+    * is dir → column → [min, max]; pre-r13 commits' flat single-column
+    * shape parses into the same model under their recorded `statsCol`
+    * (mixed histories stay correct: a dir whose map lacks a column is
+    * always scanned for predicates on it). Pre-r11 commits lack the
+    * recorded names entirely (Nil): their stats prune only through the
+    * legacy caller-asserted path.
     *
     * `txn` is the idempotent-writer watermark (the Delta `txn` action):
     * `(appId, batchId)` of the writer's last applied batch.
     * [[commitAppendOnce]] skips a batch whose id is ≤ the newest retained
     * watermark for its appId — exactly-once appends under foreachBatch
-    * re-delivery. */
+    * re-delivery.
+    *
+    * `tsMs` is the commit's UTC wall-clock epoch-ms, stamped at claim
+    * time (r13) — the evidence `TIMESTAMP AS OF` and the audit surface
+    * need. Damage-tolerant like txn/stats: a commit missing the field
+    * stays readable everywhere EXCEPT time-based resolution, which fails
+    * loudly on it ([[commitAtTimestamp]]) rather than silently guessing. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
-      action: String, stats: Map[String, (Long, Long)] = Map.empty,
-      rowInvisible: Boolean = false, statsColName: Option[String] = None,
+      action: String, stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      rowInvisible: Boolean = false, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       clusterSpec: Option[String] = None,
-      schemaDDL: Option[String] = None)
+      schemaDDL: Option[String] = None,
+      tsMs: Option[Long] = None)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -127,20 +139,25 @@ object CommitLog {
   private def render(c: Commit): String = {
     // dir names are UUID-based internal identifiers ([A-Za-z0-9-]), so
     // they embed unescaped for the same reason tags do (requireTag);
-    // statsColName/txn.appId are requireTag-validated at the API edge
+    // statsCols/txn.appId are requireTag-validated at the API edge
     val stats =
       if (c.stats.isEmpty) ""
-      else c.stats.toSeq.sortBy(_._1).map { case (d, (lo, hi)) =>
-        "\"" + d + "\":[" + lo + "," + hi + "]"
+      else c.stats.toSeq.sortBy(_._1).map { case (d, byCol) =>
+        "\"" + d + "\":{" + byCol.toSeq.sortBy(_._1).map { case (cn, (lo, hi)) =>
+          "\"" + cn + "\":[" + lo + "," + hi + "]"
+        }.mkString(",") + "}"
       }.mkString(""","stats":{""", ",", "}")
-    val statsCol = c.statsColName.filter(_ => c.stats.nonEmpty)
-      .map(n => s""","statsCol":"$n"""").getOrElse("")
+    val statsCols =
+      if (c.statsCols.isEmpty || c.stats.isEmpty) ""
+      else c.statsCols.map(n => "\"" + n + "\"")
+        .mkString(""","statsCols":[""", ",", "]")
     val cluster = c.clusterSpec
       .map(sp => s""","cluster":"$sp"""").getOrElse("")
     val txn = c.txn.map { case (app, b) =>
       s""","txn":{"app":"$app","batch":$b}"""
     }.getOrElse("")
     val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
+    val ts = c.tsMs.map(t => s""","ts":$t""").getOrElse("")
     // the recorded table schema (r12 additive evolution) is the one field
     // whose content is NOT tag-restricted — a DDL string carries spaces,
     // commas, backticks — so it is the one field that round-trips through
@@ -149,13 +166,50 @@ object CommitLog {
     val schema = c.schemaDDL
       .map(ddl => s""","schema":"${escapeJson(ddl)}"""").getOrElse("")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$cluster$txn$schema$statsCol$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$txn$schema$statsCols$stats}"""
   }
 
-  private def escapeJson(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unescapeJson(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
+    * DDL carrying a control char — e.g. a backtick-quoted column name with
+    * \n — emitted raw, making the file invalid JSON for external readers). */
+  private def escapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case ch if ch < 0x20 => b.append(f"\\u${ch.toInt}%04x")
+        case ch => b.append(ch)
+      }
+      i += 1
+    }
+    b.toString
+  }
+  private def unescapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); i += 2
+          case '"' => b.append('"'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(ch); i += 1 }
+    }
+    b.toString
+  }
 
   private def parse(v: Long, s: String): Option[Commit] = {
     // minimal strict parse of exactly the shape `render` writes; anything
@@ -182,19 +236,83 @@ object CommitLog {
     }
     // stats are OPTIONAL (absent in pre-stats commits) and damage-tolerant:
     // a malformed stats block degrades to "no stats" (every dir read),
-    // never to an unparseable commit — skipping must not gate readability
-    def stats: Map[String, (Long, Long)] = {
-      val m = java.util.regex.Pattern
-        .compile("\"stats\":\\{([^}]*)\\}").matcher(s)
-      if (!m.find()) Map.empty
+    // never to an unparseable commit — skipping must not gate readability.
+    // The block's content (the stats object's body, braces balanced —
+    // the r13 per-column shape nests one brace level).
+    def statsBody: Option[String] = {
+      val at = s.indexOf("\"stats\":{")
+      if (at < 0) None
       else {
-        val pair = java.util.regex.Pattern
-          .compile("\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]").matcher(m.group(1))
-        val b = Map.newBuilder[String, (Long, Long)]
-        while (pair.find())
-          b += pair.group(1) -> (pair.group(2).toLong, pair.group(3).toLong)
-        b.result()
+        val open = at + "\"stats\":".length
+        var depth = 0
+        var i = open
+        while (i < s.length) {
+          s.charAt(i) match {
+            case '{' => depth += 1
+            case '}' =>
+              depth -= 1
+              if (depth == 0) return Some(s.substring(open + 1, i))
+            case _ => ()
+          }
+          i += 1
+        }
+        None // unbalanced: damaged block, degrade to no stats
       }
+    }
+    // r13 shape: "dir":{"col":[lo,hi],...}; legacy flat shape (pre-r13):
+    // "dir":[lo,hi] under the single recorded "statsCol" — both parse into
+    // the per-column model so mixed histories prune identically
+    def stats: Map[String, Map[String, (Long, Long)]] = statsBody match {
+      case None => Map.empty
+      case Some(body) =>
+        val b = Map.newBuilder[String, Map[String, (Long, Long)]]
+        val nested = java.util.regex.Pattern
+          .compile("\"([^\"]+)\":\\{([^}]*)\\}").matcher(body)
+        var anyNested = false
+        while (nested.find()) {
+          anyNested = true
+          val inner = java.util.regex.Pattern
+            .compile("\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]")
+            .matcher(nested.group(2))
+          val cb = Map.newBuilder[String, (Long, Long)]
+          while (inner.find())
+            cb += inner.group(1) -> (inner.group(2).toLong, inner.group(3).toLong)
+          b += nested.group(1) -> cb.result()
+        }
+        if (!anyNested) {
+          // legacy flat single-column shape: attribute the ranges to the
+          // recorded statsCol (absent name ⇒ caller-asserted legacy "" key
+          // never matches a real column request, so such stats only serve
+          // the requireRecorded=false library path via statsCols Nil)
+          val legacyCol = field("statsCol")
+          val flat = java.util.regex.Pattern
+            .compile("\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]").matcher(body)
+          while (flat.find())
+            b += flat.group(1) -> Map(legacyCol.getOrElse("") ->
+              (flat.group(2).toLong, flat.group(3).toLong))
+        }
+        b.result()
+    }
+    // the recorded stats column set: r13 "statsCols":[...], else the
+    // legacy single "statsCol" field
+    def statsCols: Seq[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"statsCols\":\\[([^\\]]*)\\]").matcher(s)
+      if (m.find()) {
+        val item = java.util.regex.Pattern
+          .compile("\"([^\"]+)\"").matcher(m.group(1))
+        val b = Seq.newBuilder[String]
+        while (item.find()) b += item.group(1)
+        b.result()
+      } else field("statsCol").toSeq
+    }
+    // commit wall-clock (r13): OPTIONAL and damage-tolerant like txn —
+    // a malformed field reads as "no timestamp" (version-travel still
+    // works; time-travel fails loudly at resolution)
+    def tsMs: Option[Long] = {
+      val m = java.util.regex.Pattern
+        .compile("\"ts\":(-?\\d+)").matcher(s)
+      if (m.find()) scala.util.Try(m.group(1).toLong).toOption else None
     }
     // txn watermark: like stats, OPTIONAL and damage-tolerant — a
     // malformed block degrades to "no watermark" (a duplicate batch may
@@ -208,8 +326,8 @@ object CommitLog {
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
-        field("statsCol"), txn, field("cluster"),
-        field("schema").map(unescapeJson))
+        statsCols, txn, field("cluster"),
+        field("schema").map(unescapeJson), tsMs)
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -334,17 +452,23 @@ object CommitLog {
   def readLatest(spark: SparkSession, root: String): Option[DataFrame] =
     latest(spark, root).map(c => load(spark, root, c))
 
-  /** [min, max] of `c` (cast to long) over one staged directory; None for
-    * an empty directory or an all-null column — which reads as "no stats,
-    * always scan". Cost: one column-pruned scan of the NEW data only
-    * (production harvests parquet footer min/max instead — free at write
-    * time; the commit shape and read path are identical). */
+  /** Per-column [min, max] (cast to long) over one staged directory, for
+    * every column in `cols`, in ONE column-pruned scan (r13: the agg list
+    * carries 2·|cols| exprs — still a single pass over the new data).
+    * Columns empty/all-null in the dir are absent from the map — which
+    * reads as "no stats for that column, always scan". Production harvests
+    * parquet footer min/max instead — free at write time; the commit shape
+    * and read path are identical. */
   private def dirStats(spark: SparkSession, path: String,
-      c: String): Option[(Long, Long)] = {
-    val r = spark.read.parquet(path)
-      .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-    if (r.isNullAt(0) || r.isNullAt(1)) None
-    else Some((r.getLong(0), r.getLong(1)))
+      cols: Seq[String]): Map[String, (Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+      else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }.toMap
   }
 
   /** DATA-SKIPPING READ: the head filtered to `statsCol BETWEEN lo AND hi`,
@@ -376,19 +500,26 @@ object CommitLog {
   /** The dirs of `c` whose recorded [min, max] for `statsCol` intersect
     * [lo, hi] — [[readLatestWhere]]'s planning decision, shared with the
     * `graft.commitlog` connector's FileIndex (r12) so the two routes can
-    * never prune differently. Dirs without stats are always kept.
-    * `requireRecorded = true` (the connector, where the range is DERIVED
-    * from pushed filters rather than caller-asserted) prunes only when the
-    * commit records that its stats describe `statsCol`; `false` keeps the
-    * library route's legacy caller-asserted contract for pre-r11 commits. */
+    * never prune differently. Dirs without stats for the column are always
+    * kept. `requireRecorded = true` (the connector, where the range is
+    * DERIVED from pushed filters rather than caller-asserted) prunes only
+    * when the commit records `statsCol` in its stats column set; `false`
+    * keeps the library route's legacy caller-asserted contract for pre-r11
+    * commits (whose flat stats parse under the "" sentinel column). */
   private[graft] def statsKeepDirs(c: Commit, statsCol: String, lo: Long,
       hi: Long, requireRecorded: Boolean): Seq[String] = {
     val usable =
-      if (requireRecorded) c.statsColName.contains(statsCol)
-      else c.statsColName.forall(_ == statsCol)
+      if (requireRecorded) c.statsCols.contains(statsCol)
+      else c.statsCols.isEmpty || c.statsCols.contains(statsCol)
+    // legacy pre-r11 commits record no column name: their flat ranges sit
+    // under "" and serve only the caller-asserted (!requireRecorded) path
+    def range(byCol: Map[String, (Long, Long)]): Option[(Long, Long)] =
+      byCol.get(statsCol).orElse(
+        if (!requireRecorded && c.statsCols.isEmpty) byCol.get("") else None)
     c.dataDirs.filter(d =>
       !usable ||
-        c.stats.get(d).forall { case (dLo, dHi) => dHi >= lo && dLo <= hi })
+        c.stats.get(d).flatMap(range).forall { case (dLo, dHi) =>
+          dHi >= lo && dLo <= hi })
   }
 
   /** The Commit record at version `v` (None if vacuumed or never
@@ -628,20 +759,60 @@ object CommitLog {
     }
   }
 
-  /** Commit history as a DataFrame (version, writer, action, n_dirs,
-    * row_invisible, cluster, txn_app, txn_batch) — the audit surface:
-    * who changed the table, when in the version order, by which verb,
-    * whether consumers skip it, how the head is clustered, and which
-    * streaming batch it carries. Reads only the log (O(versions) tiny
-    * files), never a data dir. */
+  /** Commit history as a DataFrame (version, ts_ms, writer, action,
+    * n_dirs, row_invisible, cluster, txn_app, txn_batch) — the audit
+    * surface: who changed the table, WHEN (wall-clock epoch-ms, r13 —
+    * null for pre-timestamp commits) and where in the version order, by
+    * which verb, whether consumers skip it, how the head is clustered,
+    * and which streaming batch it carries. Reads only the log
+    * (O(versions) tiny files), never a data dir. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(spark, root)
       .flatMap(v => readCommitFile(spark, root, v))
-      .map(c => (c.version, c.writer, c.action, c.dataDirs.size,
+      .map(c => (c.version, c.tsMs, c.writer, c.action, c.dataDirs.size,
         c.rowInvisible, c.clusterSpec, c.txn.map(_._1), c.txn.map(_._2)))
-      .toDF("version", "writer", "action", "n_dirs",
+      .toDF("version", "ts_ms", "writer", "action", "n_dirs",
         "row_invisible", "cluster", "txn_app", "txn_batch")
+  }
+
+  /** TIMESTAMP-based version resolution (r13 — the Delta `TIMESTAMP AS
+    * OF` rule): the newest commit whose wall-clock is at-or-before
+    * `tsMs`, over MONOTONIZED timestamps — each commit's effective time
+    * is max(its recorded ts, every predecessor's), exactly Delta's
+    * clock-skew adjustment, so resolution follows commit order even when
+    * two writers' clocks disagree. Boundary semantics: a ts equal to a
+    * commit's resolves TO that commit (at-or-before); a ts before the
+    * earliest retained commit throws (nothing retained was live then);
+    * a RETAINED commit missing the field throws — a silent guess could
+    * time-travel to the wrong version, and pre-timestamp histories are
+    * explicitly outside the time-resolution contract. O(retained log
+    * files), never a data read. */
+  def commitAtTimestamp(spark: SparkSession, root: String, tsMs: Long): Commit = {
+    val cs = versions(spark, root)
+      .flatMap(v => readCommitFile(spark, root, v))
+    require(cs.nonEmpty, s"CommitLog: no commits at $root")
+    val missing = cs.filter(_.tsMs.isEmpty).map(_.version)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"CommitLog: timestampAsOf cannot resolve over $root — retained " +
+        s"commits ${missing.mkString(", ")} record no timestamp " +
+        "(pre-timestamp history); use versionAsOf")
+    // monotonize in version order, then pick the last at-or-before
+    var eff = Long.MinValue
+    val resolved = cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
+    val atOrBefore = resolved.takeWhile(_._2 <= tsMs)
+    if (atOrBefore.isEmpty) throw new IllegalArgumentException(
+      s"CommitLog: timestampAsOf $tsMs precedes the earliest retained " +
+        s"commit of $root (v${cs.head.version} at ${resolved.head._2}) — " +
+        "that state is not retained")
+    atOrBefore.last._1
+  }
+
+  /** Load the snapshot as of wall-clock `tsMs` — [[commitAtTimestamp]]'s
+    * read half: time travel by timestamp instead of version. */
+  def readAsOfTimestamp(spark: SparkSession, root: String, tsMs: Long): DataFrame = {
+    val c = commitAtTimestamp(spark, root, tsMs)
+    load(spark, root, c)
   }
 
   /** Atomic create-exclusive of the claim file with `content`. True =
@@ -682,6 +853,24 @@ object CommitLog {
     }
   }
 
+  /** Newest version NUMBER present in the log — committed OR torn (a torn
+    * tail is still a file). Fast path (ADVICE r12): start from the
+    * advisory head pointer and probe FORWARD by existence checks, the
+    * same dense-suffix argument [[latest]] uses — so writer claim loops
+    * (which call [[repairTornTail]] every attempt) stop paying the
+    * O(retained-history) listing the pointer was built to remove. A
+    * missing/stale-beyond-retention pointer degrades to the listing walk. */
+  private def newestPresentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    readHeadPointer(f, root) match {
+      case Some(v) if f.exists(commitPath(root, v)) =>
+        var cur = v
+        while (f.exists(commitPath(root, cur + 1))) cur += 1
+        Some(cur)
+      case _ => versions(spark, root).lastOption
+    }
+  }
+
   /** Repair a torn tail claim before building against it: the claim
     * exists but the commit content never completed — delete (idempotent
     * under racing repairers) and let the caller re-claim. Local-fs claims
@@ -692,7 +881,7 @@ object CommitLog {
     * ~300-byte write in milliseconds). */
   private def repairTornTail(spark: SparkSession, root: String): Unit = {
     val f = fs(spark, root)
-    versions(spark, root).lastOption.filter { v =>
+    newestPresentVersion(spark, root).filter { v =>
       readCommitFile(spark, root, v).isEmpty && {
         // the file may vanish between the listing and this stat (a
         // racing repairer or vacuum) — then there is nothing to repair
@@ -711,23 +900,27 @@ object CommitLog {
     * is serializable regardless of writer interleaving. Returns the
     * winning commit. `maxAttempts` bounds livelock under pathological
     * contention. `statsCol` names a long-typed column whose per-dir
-    * [min, max] is recorded for [[readLatestWhere]] data skipping. */
+    * [min, max] is recorded for [[readLatestWhere]] data skipping;
+    * `statsCols` (r13) extends the recorded set to MULTIPLE columns —
+    * the Delta per-column min/max shape — so predicates on any recorded
+    * column prune (one extra agg pair per column, same single scan). */
   def commit(spark: SparkSession, root: String, writer: String, action: String,
-      maxAttempts: Int = 20, statsCol: Option[String] = None)(
+      maxAttempts: Int = 20, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil)(
       build: Option[DataFrame] => DataFrame): Commit =
-    commitImpl(spark, root, writer, action, maxAttempts, statsCol,
-      rowInvisible = false)(build)
+    commitImpl(spark, root, writer, action, maxAttempts,
+      (statsCol.toSeq ++ statsCols).distinct, rowInvisible = false)(build)
 
   /** The rewrite engine behind [[commit]] (rowInvisible=false, always)
     * and [[compact]] (rowInvisible=true — only row-preserving internal
     * verbs may claim consumer-skippability). */
   private def commitImpl(spark: SparkSession, root: String, writer: String,
-      action: String, maxAttempts: Int, statsCol: Option[String],
+      action: String, maxAttempts: Int, statsCols: Seq[String],
       rowInvisible: Boolean,
       clusterSpec: Option[String] = None)(
       build: Option[DataFrame] => DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
-    statsCol.foreach(sc => requireTag(sc, "statsCol")) // embeds in the JSON
+    statsCols.foreach(sc => requireTag(sc, "statsCol")) // embeds in the JSON
     init(spark, root)
     val f = fs(spark, root)
     var attempt = 0
@@ -740,14 +933,15 @@ object CommitLog {
       val next = build(cur.map(c => load(spark, root, c)))
       // a bad statsCol must fail BEFORE the snapshot write, not after
       // minutes of I/O with an orphaned staging left behind
-      statsCol.foreach(sc => require(next.columns.contains(sc),
+      statsCols.foreach(sc => require(next.columns.contains(sc),
         s"statsCol '$sc' not in snapshot schema ${next.schema.simpleString}"))
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
-      val st = statsCol.flatMap(sc => dirStats(spark, s"$root/$dataDir", sc))
-        .map(dataDir -> _).toMap
+      val byCol = dirStats(spark, s"$root/$dataDir", statsCols)
+      val st = if (byCol.nonEmpty) Map(dataDir -> byCol)
+        else Map.empty[String, Map[String, (Long, Long)]]
       val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
-        statsColName = statsCol.filter(_ => st.nonEmpty),
-        clusterSpec = clusterSpec)
+        statsCols = if (st.nonEmpty) statsCols else Nil,
+        clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -777,22 +971,43 @@ object CommitLog {
   def commitAppend(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int = 20,
       statsCol: Option[String] = None,
-      evolve: Boolean = false)(delta: DataFrame): Commit =
-    appendImpl(spark, root, writer, action, maxAttempts, statsCol,
+      evolve: Boolean = false,
+      statsCols: Seq[String] = Nil)(delta: DataFrame): Commit =
+    appendImpl(spark, root, writer, action, maxAttempts,
+      (statsCol.toSeq ++ statsCols).distinct,
       txn = None, evolve = evolve)(delta)
 
   /** Newest retained txn watermark for `appId` — the largest batch id any
     * retained commit records for that app (commits are scanned newest-
     * first; the first hit wins because one app's batches commit in
-    * order). O(retained log files), never a data read. Retention caveat
-    * (the Delta txn-retention contract): [[vacuum]] drops old commits'
-    * watermarks with them, so `keep` must exceed the longest writer
-    * restart window or a very stale writer may re-append its last batch. */
-  def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] =
-    versions(spark, root).reverse.view
-      .flatMap(v => readCommitFile(spark, root, v))
-      .flatMap(c => c.txn.collect { case (a, b) if a == appId => b })
-      .headOption
+    * order). Never a data read; worst case O(retained log files) point
+    * reads when no commit carries the app's watermark, but the walk
+    * starts from the head POINTER (ADVICE r12 — no directory listing)
+    * and a steady writer finds its own watermark within its commit
+    * cadence of the head. Retention caveat (the Delta txn-retention
+    * contract): [[vacuum]] drops old commits' watermarks with them, so
+    * `keep` must exceed the longest writer restart window or a very
+    * stale writer may re-append its last batch. */
+  def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] = {
+    val top = newestPresentVersion(spark, root).getOrElse(return None)
+    var v = top
+    while (v >= 1) {
+      readCommitFile(spark, root, v) match {
+        case Some(c) =>
+          c.txn match {
+            case Some((a, b)) if a == appId => return Some(b)
+            case _ => ()
+          }
+        case None =>
+          // only the tail can be torn (reads as None but files continue
+          // below it); any LOWER missing file is the retention edge —
+          // nothing older is retained, stop
+          if (v != top) return None
+      }
+      v -= 1
+    }
+    None
+  }
 
   /** IDEMPOTENT transactional append — the Delta `txn` / foreachBatch
     * exactly-once story: the commit records `(appId, batchId)`, and a
@@ -810,15 +1025,15 @@ object CommitLog {
       action: String, appId: String, batchId: Long, maxAttempts: Int = 20,
       statsCol: Option[String] = None)(delta: DataFrame): Commit = {
     requireTag(appId, "appId") // embeds in the claim JSON
-    appendImpl(spark, root, writer, action, maxAttempts, statsCol,
+    appendImpl(spark, root, writer, action, maxAttempts, statsCol.toSeq,
       txn = Some((appId, batchId)), evolve = false)(delta)
   }
 
   private def appendImpl(spark: SparkSession, root: String, writer: String,
-      action: String, maxAttempts: Int, statsCol: Option[String],
+      action: String, maxAttempts: Int, statsCols: Seq[String],
       txn: Option[(String, Long)], evolve: Boolean)(delta: DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
-    statsCol.foreach(sc => requireTag(sc, "statsCol"))
+    statsCols.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
     val f = fs(spark, root)
     // already-applied batch: answer from the log alone, before any
@@ -879,23 +1094,28 @@ object CommitLog {
           evolvedDDL = Some(org.apache.spark.sql.types.StructType(
             headSchema.fields ++ added).toDDL)
       }
-      // stats are ONE column per table (the map is carried forward, so
-      // heterogeneous columns would poison every later range prune)
-      for (hn <- h.statsColName; sc <- statsCol) require(hn == sc,
-        s"statsCol '$sc' conflicts with the table's recorded stats column " +
-          s"'$hn' — one stats column per table; change it with a rewrite")
+      // stats columns are ONE set per table (the map is carried forward,
+      // so heterogeneous sets would poison every later range prune)
+      if (statsCols.nonEmpty && h.statsCols.nonEmpty)
+        require(statsCols.toSet == h.statsCols.toSet,
+          s"statsCols ${statsCols.mkString("[", ",", "]")} conflict with " +
+            s"the table's recorded stats columns " +
+            s"${h.statsCols.mkString("[", ",", "]")} — one stats column " +
+            "set per table; change it with a rewrite")
       evolvedDDL
     }
     var validatedAt: Option[Long] = headNow.map(_.version)
     var evolvedDDL: Option[String] = headNow.flatMap(validateSchemaAgainst)
     // a bad statsCol must fail BEFORE the delta write (no orphan staging)
-    statsCol.foreach(sc => require(delta.columns.contains(sc),
+    statsCols.foreach(sc => require(delta.columns.contains(sc),
       s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
     val tentative = headNow.map(_.version).getOrElse(0L) + 1
     val deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
-    val deltaStats = statsCol.flatMap(sc => dirStats(spark, s"$root/$deltaDir", sc))
-      .map(deltaDir -> _).toMap
+    val deltaByCol = dirStats(spark, s"$root/$deltaDir", statsCols)
+    val deltaStats =
+      if (deltaByCol.nonEmpty) Map(deltaDir -> deltaByCol)
+      else Map.empty[String, Map[String, (Long, Long)]]
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -930,14 +1150,17 @@ object CommitLog {
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
+      val effCols =
+        if (statsCols.nonEmpty) statsCols
+        else cur.map(_.statsCols).getOrElse(Nil)
       val c = Commit(nextV, cur.map(_.dataDirs).getOrElse(Nil) :+ deltaDir,
         writer, action, allStats,
-        statsColName = statsCol.orElse(cur.flatMap(_.statsColName))
-          .filter(_ => allStats.nonEmpty),
+        statsCols = if (allStats.nonEmpty) effCols else Nil,
         txn = txn,
         // this commit's evolution wins; otherwise carry the head's
         // recorded schema forward (pre-evolution dirs stay in the union)
-        schemaDDL = evolvedDDL.orElse(cur.flatMap(_.schemaDDL)))
+        schemaDDL = evolvedDDL.orElse(cur.flatMap(_.schemaDDL)),
+        tsMs = Some(System.currentTimeMillis()))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1009,7 +1232,10 @@ object CommitLog {
       if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
           (requested.isEmpty || head.clusterSpec == requested))
         head
-      else commitImpl(spark, root, writer, "compact", maxAttempts, statsCol,
+      else commitImpl(spark, root, writer, "compact", maxAttempts,
+        // compaction is row-invisible maintenance: keep the table's
+        // recorded stats column set alive unless the caller overrides
+        if (statsCol.nonEmpty) statsCol.toSeq else head.statsCols,
         rowInvisible = true, clusterSpec = requested) { cur =>
         // cur is always Some here: versions only grow, and the head
         // existed when compaction started. Plain compact coalesces
@@ -1059,7 +1285,8 @@ object CommitLog {
     // optimistic retries — every attempt rewrites the same rows
     val snapshot = load(spark, root, target)
     commit(spark, root, writer, "restore", maxAttempts,
-      statsCol = statsCol.orElse(target.statsColName))(_ => snapshot)
+      statsCol = statsCol,
+      statsCols = if (statsCol.isEmpty) target.statsCols else Nil)(_ => snapshot)
   }
 
   private def bloomDir(root: String) = new HPath(root, "_bloom")
@@ -1383,7 +1610,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
-      val (dirs, stage, effStatsCol, cdf) = cur match {
+      val (dirs, stage, effStatsCols, cdf) = cur match {
         case None =>
           // empty table: the merge is a create of the inserts
           if (!hasInserts)
@@ -1391,7 +1618,7 @@ object CommitLog {
               "merge into an empty table with no inserts — nothing to commit")
           val payload = changes.filter(!delFlag)
             .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
-          (Nil, payload, statsCol, None)
+          (Nil, payload, statsCol.toSeq, None)
         case Some(head) =>
           val headSchema = load(spark, root, head).schema
           require(headSchema.fieldNames.contains(keyCol),
@@ -1405,15 +1632,18 @@ object CommitLog {
             s"merge schema mismatch vs head v${head.version}: head " +
               s"${headSchema.simpleString} vs changes (minus deleteCol) " +
               payloadFields.map(_.toDDL).mkString("[", ", ", "]"))
-          for (hn <- head.statsColName; sc <- statsCol) require(hn == sc,
-            s"statsCol '$sc' conflicts with the table's recorded stats " +
-              s"column '$hn' — one stats column per table")
-          val eff = statsCol.orElse(head.statsColName)
+          if (statsCol.nonEmpty && head.statsCols.nonEmpty)
+            require(statsCol.toSeq.toSet == head.statsCols.toSet,
+              s"statsCol '${statsCol.get}' conflicts with the table's " +
+                s"recorded stats columns " +
+                s"${head.statsCols.mkString("[", ",", "]")} — one stats " +
+                "column set per table")
+          val eff = if (statsCol.nonEmpty) statsCol.toSeq else head.statsCols
           val inserts = changes.filter(!delFlag)
             .select(headSchema.fieldNames.map(col): _*)
           val bloomUsable = bloomColumn(spark, root).contains(keyCol) &&
             probeKeys.isDefined
-          val statsUsable = head.statsColName.contains(keyCol)
+          val statsUsable = head.statsCols.contains(keyCol)
           def mightContain(d: String): Boolean = {
             // missing/swept/corrupt sidecar ⇒ no bloom evidence for this
             // dir (fall through to stats/rewrite), never an exception out
@@ -1423,9 +1653,11 @@ object CommitLog {
               else readSidecar(spark, root, d).flatMap(bf =>
                 scala.util.Try(probeKeys.get.exists(bf.mightContain)).toOption)
             byBloom.getOrElse {
-              !statsUsable || head.stats.get(d).forall { case (lo, hi) =>
-                keysRange.forall { case (kLo, kHi) => hi >= kLo && lo <= kHi }
-              }
+              !statsUsable ||
+                head.stats.get(d).flatMap(_.get(keyCol)).forall {
+                  case (lo, hi) => keysRange.forall { case (kLo, kHi) =>
+                    hi >= kLo && lo <= kHi }
+                }
             }
           }
           val affected = head.dataDirs.filter(mightContain)
@@ -1504,17 +1736,19 @@ object CommitLog {
       // the hot path and must cost O(delta) writes only.
       if (bloomColumn(spark, root).contains(keyCol))
         buildSidecar(spark, root, newDir, keyCol, fpp = 0.001)
-      val newStats = effStatsCol
-        .flatMap(sc => dirStats(spark, s"$root/$newDir", sc))
-        .map(newDir -> _).toMap
+      val newByCol = dirStats(spark, s"$root/$newDir", effStatsCols)
+      val newStats =
+        if (newByCol.nonEmpty) Map(newDir -> newByCol)
+        else Map.empty[String, Map[String, (Long, Long)]]
       val carried = cur.map(_.stats).getOrElse(Map.empty)
         .filter { case (d, _) => dirs.contains(d) }
       val allStats = carried ++ newStats
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
-        statsColName = effStatsCol.filter(_ => allStats.nonEmpty),
+        statsCols = if (allStats.nonEmpty) effStatsCols else Nil,
         // carried (untouched) dirs may predate an evolution even though
         // the rewritten dir holds the full head schema — keep the record
-        schemaDDL = cur.flatMap(_.schemaDDL))
+        schemaDDL = cur.flatMap(_.schemaDDL),
+        tsMs = Some(System.currentTimeMillis()))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own

@@ -2,17 +2,18 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
-import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** The connector surface for [[CommitLog]] tables (VERDICT r11 #1/#3) —
   * the same packaging the graft.index / graft.ivf sources already have, so
@@ -70,7 +71,8 @@ import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, 
   * history to answer a head read.
   */
 final class CommitLogSource extends DataSourceRegister
-    with RelationProvider with StreamSourceProvider {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider {
   import CommitLogSource._
 
   override def shortName(): String = "graft.commitlog"
@@ -80,9 +82,12 @@ final class CommitLogSource extends DataSourceRegister
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val timestampAsOf = parameters.get("timestampAsOf").map(_.toLong)
     val changesSince = parameters.get("changesSince").map(_.toLong)
-    require(versionAsOf.isEmpty || changesSince.isEmpty,
-      "graft.commitlog takes versionAsOf OR changesSince, not both")
+    require(Seq(versionAsOf, timestampAsOf, changesSince)
+      .count(_.isDefined) <= 1,
+      "graft.commitlog takes versionAsOf OR timestampAsOf OR changesSince, " +
+        "not a combination")
     changesSince match {
       case Some(since) =>
         val head = CommitLog.latest(spark, root).getOrElse(
@@ -102,12 +107,17 @@ final class CommitLogSource extends DataSourceRegister
                 "base version was vacuumed) — resync from a snapshot read"))
         new CommitLogChangesRelation(sqlContext, df)
       case None =>
-        val commit = versionAsOf match {
-          case Some(v) => CommitLog.commitAt(spark, root, v).getOrElse(
+        val commit = (versionAsOf, timestampAsOf) match {
+          case (Some(v), _) => CommitLog.commitAt(spark, root, v).getOrElse(
             throw new IllegalArgumentException(
               s"graft.commitlog: version $v at $root was vacuumed or never " +
                 "committed"))
-          case None => CommitLog.latest(spark, root).getOrElse(
+          // TIMESTAMP AS OF (r13): the Delta rule — newest commit whose
+          // (monotonized) wall-clock is at-or-before the given epoch-ms;
+          // resolution failures (pre-timestamp commits, a ts before the
+          // earliest retained commit) throw loudly in commitAtTimestamp
+          case (None, Some(ts)) => CommitLog.commitAtTimestamp(spark, root, ts)
+          case (None, None) => CommitLog.latest(spark, root).getOrElse(
             throw new IllegalArgumentException(
               s"graft.commitlog: no commits at $root"))
         }
@@ -115,15 +125,119 @@ final class CommitLogSource extends DataSourceRegister
     }
   }
 
+  /** The WRITE half of the connector (VERDICT r12 #1): `df.write
+    * .format("graft.commitlog")` routes through the commit protocol —
+    * never a raw parquet write — so connector writes and library writes
+    * produce byte-identical commit JSON and contend through the same
+    * optimistic claim.
+    *
+    *  - `mode("append")` → [[CommitLog.commitAppend]] (O(delta): the new
+    *    rows + one log file), honoring `option("evolve","true")` for
+    *    additive schema widening and `option("statsCol"/"statsCols", …)`
+    *    for recorded min/max skipping stats; with
+    *    `option("txnAppId", …)` + `option("txnVersion", …)` it becomes
+    *    [[CommitLog.commitAppendOnce]] — the Delta idempotent-writer
+    *    shape (re-delivering the same txnVersion is a no-op).
+    *  - `mode("overwrite")` → [[CommitLog.commit]] rewrite (action
+    *    "overwrite"; "create" on an empty table).
+    *  - `mode("errorifexists")` (the default) creates, and throws if the
+    *    table already has commits; `mode("ignore")` no-ops then.
+    *
+    * Returns the written version's snapshot relation. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val writer = parameters.getOrElse("writer", "connector")
+    val evolve = parameters.get("evolve").exists(_.toBoolean)
+    val statsCols = statsColsOf(parameters)
+    val txnAppId = parameters.get("txnAppId")
+    val txnVersion = parameters.get("txnVersion").map(_.toLong)
+    require(txnAppId.isDefined == txnVersion.isDefined,
+      "graft.commitlog: txnAppId and txnVersion must be passed together")
+    val exists = CommitLog.latest(spark, root).isDefined
+    val commit = mode match {
+      case SaveMode.Append => txnAppId match {
+        case Some(app) =>
+          require(!evolve,
+            "graft.commitlog: evolve is not supported with txn options — " +
+              "idempotent appends pin the head schema")
+          CommitLog.commitAppendOnce(spark, root, writer, "append",
+            appId = app, batchId = txnVersion.get,
+            statsCol = statsCols.headOption)(data)
+        case None =>
+          CommitLog.commitAppend(spark, root, writer,
+            if (exists) "append" else "create",
+            statsCols = statsCols, evolve = evolve)(data)
+      }
+      case SaveMode.Overwrite =>
+        CommitLog.commit(spark, root, writer,
+          if (exists) "overwrite" else "create",
+          statsCols = statsCols)(_ => data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft.commitlog: $root already has commits — use " +
+            "mode(\"append\") or mode(\"overwrite\")")
+        CommitLog.commit(spark, root, writer, "create",
+          statsCols = statsCols)(_ => data)
+      case SaveMode.Ignore =>
+        if (exists) CommitLog.latest(spark, root).get
+        else CommitLog.commit(spark, root, writer, "create",
+          statsCols = statsCols)(_ => data)
+    }
+    snapshotRelation(spark, root, commit, parameters)
+  }
+
+  /** `writeStream.format("graft.commitlog")` — the exactly-once streaming
+    * sink: each micro-batch appends through
+    * [[CommitLog.commitAppendOnce]] keyed by (appId, batchId), so the
+    * engine's at-least-once re-delivery after a crash between sink write
+    * and checkpoint advance no-ops against the txn watermark — the
+    * packaged form of [[graft.streaming.StreamOps.runStreamToCommitLog]].
+    * The appId comes from `option("txnAppId", …)` or, by default, a
+    * stable digest of the query's checkpoint location (the identity that
+    * already defines "the same query" across restarts). Append output
+    * mode only — a commit-log table is an append log; rewrites go through
+    * merge/commit. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft.commitlog sink supports Append output mode, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft.commitlog sink does not take partitionBy — layout is the " +
+        "table's compact/zorder cadence")
+    val root = rootOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map(p =>
+        "sink-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.commitlog sink needs option(\"txnAppId\", ...) or a " +
+          "checkpointLocation to derive a stable writer identity from"))
+    new CommitLogSink(root, appId, statsColsOf(parameters).headOption)
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
-    val s = schema.orElse(
+    val base = schema.orElse(
       CommitLog.readLatest(sqlContext.sparkSession, root).map(_.schema))
       .getOrElse(throw new IllegalArgumentException(
         s"graft.commitlog stream: $root has no commits yet and no schema " +
           "was given — pass .schema(...) to tail a not-yet-created table"))
+    // the CDF stream (r13) delivers typed change rows: payload columns
+    // plus the Delta change-feed vocabulary — when a user schema was
+    // given it is the PAYLOAD schema, the change columns are ours
+    val s =
+      if (readChangeFeedOf(parameters))
+        StructType(base.fields.filterNot(f =>
+          f.name == "_change_type" || f.name == "_commit_version") ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false)))
+      else base
     (s"graft.commitlog($root)", s)
   }
 
@@ -144,7 +258,7 @@ final class CommitLogSource extends DataSourceRegister
       s"maxCommitsPerTrigger must be >= 1, got $n"))
     new CommitLogStreamSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      startingVersion, maxCommits)
+      startingVersion, maxCommits, readChangeFeedOf(parameters))
   }
 }
 
@@ -155,6 +269,16 @@ object CommitLogSource {
       .getOrElse(throw new IllegalArgumentException(
         "graft.commitlog requires .option(\"root\", <table root>) or " +
           "load(<table root>)"))
+
+  private def readChangeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  /** The declared skipping-stats column set: `statsCols` (comma-separated)
+    * plus the single `statsCol`, deduped. */
+  private def statsColsOf(parameters: Map[String, String]): Seq[String] =
+    (parameters.get("statsCol").toSeq ++
+      parameters.get("statsCols").toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty)).distinct
 
   /** The snapshot read plan for one committed version: Spark's own parquet
     * relation over a [[CommitLogFileIndex]]. Shared by the options route
@@ -232,9 +356,13 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
     * exposed for the pruning spec (the connector twin of CommitLogSpec's
     * inputFiles proofs). */
   private[graft] def prunedDirs(dataFilters: Seq[Expression]): Seq[String] = {
-    // ---- min/max stats: narrow a [lo, hi] range on the stats column ----
-    val statsKept: Seq[String] = commit.statsColName match {
-      case Some(sc) =>
+    // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
+    // (r13: the stats set can hold several columns — each contributes its
+    // own conjunct-derived range, and a dir survives only if EVERY
+    // recorded column's range intersects; intersecting keep-sets is sound
+    // because the pushed conjuncts are ANDed) ----
+    val statsKept: Seq[String] = commit.statsCols.foldLeft(commit.dataDirs) {
+      (kept, sc) =>
         var lo = Long.MinValue
         var hi = Long.MaxValue
         var any = false
@@ -270,10 +398,12 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
             narrowLo(vs.min); narrowHi(vs.max)
           case _ => () // unrecognized shape: contributes no narrowing
         }
-        if (any)
-          CommitLog.statsKeepDirs(commit, sc, lo, hi, requireRecorded = true)
-        else commit.dataDirs
-      case None => commit.dataDirs
+        if (!any) kept
+        else {
+          val keep = CommitLog.statsKeepDirs(commit, sc, lo, hi,
+            requireRecorded = true).toSet
+          kept.filter(keep)
+        }
     }
     // ---- bloom sidecars: point-probe an equality/IN literal set ----
     // Per-conjunct soundness: a value set is used only when it is COMPLETE
@@ -340,16 +470,22 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   * `graft.commitlog`): `spark.table("graft.my_table")` plans a DSv2
   * parquet read (vectorized, filter/column pushdown) over the NEWEST
   * commit's immutable directory list, resolved per query — snapshot
-  * isolation by construction. Read-only by design: the table advertises no
-  * write capability, because a write that bypassed the commit protocol
-  * would corrupt the log (writes go through [[CommitLog.commit]]/
-  * [[CommitLog.commitAppend]]/[[CommitLog.merge]]). Time travel, the
-  * change feed, dir-pruned range/point reads, and streaming tails use the
-  * `graft.commitlog` format options route. */
+  * isolation by construction. WRITES (r13) go through the commit
+  * protocol, never a raw parquet write: `INSERT INTO` appends via
+  * [[CommitLog.commitAppend]] (O(delta)), `INSERT OVERWRITE` rewrites via
+  * [[CommitLog.commit]] — the V1-write fallback shape (V1_BATCH_WRITE +
+  * InsertableRelation), so the catalog route and the library route
+  * produce identical commit JSON and contend through the same optimistic
+  * claim. Time travel, the change feed, dir-pruned range/point reads,
+  * and streaming tails/sinks use the `graft.commitlog` format options
+  * route. */
 private[sources] final class CommitLogCatalogTable(root: String)
     extends org.apache.spark.sql.connector.catalog.Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
   import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
   private def spark = SparkSession.active
@@ -365,10 +501,35 @@ private[sources] final class CommitLogCatalogTable(root: String)
   override def name(): String = s"graft.commitlog($root)"
   override def schema(): StructType = inner.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     inner.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              // the analyzer has already coerced `data` to the table
+              // schema by position; the rename pins the names so the
+              // protocol's exact-schema check compares like for like
+              val renamed = data.toDF(schema().fieldNames.toSeq: _*)
+              if (overwrite || overwriteFlag)
+                CommitLog.commit(data.sparkSession, root, "catalog",
+                  "overwrite")(_ => renamed)
+              else
+                CommitLog.commitAppend(data.sparkSession, root, "catalog",
+                  "append")(renamed)
+              ()
+            }
+          }
+      }
+    }
 }
 
 /** The change feed as a V1 [[TableScan]]: the rows come from
@@ -404,7 +565,7 @@ private[sources] final class CommitLogChangesRelation(
   * immutable log range. */
 private[sources] final class CommitLogStreamSource(spark: SparkSession,
     root: String, tableSchema: StructType, startingVersion: Option[Long],
-    maxCommitsPerTrigger: Option[Int]) extends Source
+    maxCommitsPerTrigger: Option[Int], cdf: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // replay floor (explicit startingVersion) or the bootstrap sentinel 0 —
@@ -442,13 +603,22 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
       Option(startOffset).map(versionOf).getOrElse(floor))
     val head = CommitLog.latest(spark, root).map(_.version).getOrElse(start)
     val capped = availableNowEnd.fold(head)(math.min(head, _))
-    val end = limit match {
+    // unwrap composites (ADVICE r12): some Trigger.AvailableNow paths hand
+    // a CompositeReadLimit — the ReadMaxFiles component inside it must
+    // still bound the batch, or catch-up admission silently unbounds
+    def maxFilesOf(l: ReadLimit): Option[Int] = l match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(math.min)
+      case _ => None
+    }
+    val end = maxFilesOf(limit) match {
       // version numbers are dense in retained history, so admitting n
       // commits is exactly advancing the offset by n. The bootstrap
       // snapshot ignores the cap: it is one indivisible state, not a
       // backlog of commits to drain.
-      case m: ReadMaxFiles if !(bootstrap && start == 0L) =>
-        math.min(capped, start + m.maxFiles())
+      case Some(n) if !(bootstrap && start == 0L) =>
+        math.min(capped, start + n)
       case _ => capped
     }
     lastOffered = math.max(lastOffered, end)
@@ -458,6 +628,7 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s = start.map(versionOf).getOrElse(floor)
     val e = versionOf(end)
+    if (cdf) return getChangesBatch(s, e)
     val dirs =
       if (e <= s) Nil
       else if (bootstrap && s == 0L)
@@ -487,6 +658,61 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
         rel, isStreaming = true))
   }
 
+  /** The CDF micro-batch (r13): typed change rows for the commits in
+    * (s, e] — the engine-checkpointed twin of
+    * [[graft.streaming.StreamOps.runCommitLogChangesTail]]. The bootstrap
+    * batch is the head snapshot as `insert` rows stamped with its version
+    * (a state, not a replay); incremental batches come from
+    * [[CommitLog.changesSince]] — appends synthesize inserts from their
+    * own dirs, MERGES DELIVER THEIR PERSISTED CHANGESETS (the append-only
+    * tail's one failure mode, ridden through here), compactions deliver
+    * nothing, and a plain rewrite/purge still throws: the feed must not
+    * resurrect retracted history, so the consumer resyncs. Rows are
+    * pinned to the query-start schema and wrapped isStreaming via the
+    * internalCreateDataFrame boundary (the Kafka-source idiom) — the
+    * conversion cost is the DELTA's size, never the table's. */
+  private def getChangesBatch(s: Long, e: Long): DataFrame = {
+    val batch: DataFrame =
+      if (e <= s)
+        emptyBatch()
+      else if (bootstrap && s == 0L) {
+        val c = CommitLog.commitAt(spark, root, e).getOrElse(
+          throw new IllegalStateException(
+            s"commit-log CDF stream: bootstrap version $e at $root was " +
+              "vacuumed between offset resolution and the batch read — " +
+              "raise retention"))
+        CommitLog.readCommit(spark, root, c)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(e))
+      } else {
+        val headC = CommitLog.commitAt(spark, root, e).getOrElse(
+          throw new IllegalStateException(
+            s"commit-log CDF stream: version $e at $root is missing or " +
+              "unparseable — vacuumed past the checkpoint; resync and " +
+              "restart with a fresh one"))
+        CommitLog.changesSince(spark, root, s, headC).getOrElse(
+          throw new IllegalStateException(
+            s"commit-log CDF stream: changes ($s, $e] at $root are not " +
+              "incrementally readable (a plain rewrite or purge " +
+              s"intervened, or version $s was vacuumed) — the feed must " +
+              "not resurrect retracted history; resync downstream and " +
+              "restart with a fresh checkpoint"))
+      }
+    // pin the query-start schema (evolution mid-stream clips new columns
+    // until restart, same contract as the append tail), then cross the
+    // streaming boundary on the batch plan's own rows
+    val pinned = batch.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark,
+      pinned.queryExecution.toRdd.map(_.copy()), schema, isStreaming = true)
+  }
+
+  /** An empty CDF batch carrying the stream schema. */
+  private def emptyBatch(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(List.empty[Row].asJava, schema)
+  }
+
   private def versionOf(o: Any): Long = o match {
     case l: LongOffset => l.offset
     case other: OffsetV2 => other.json().trim.toLong
@@ -495,4 +721,31 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
 
   override def commit(end: OffsetV1): Unit = () // progress is the checkpoint
   override def stop(): Unit = ()
+}
+
+/** The exactly-once streaming sink behind `writeStream
+  * .format("graft.commitlog")`: each micro-batch appends through
+  * [[CommitLog.commitAppendOnce]] keyed by (appId, batchId) — the engine
+  * orders and re-delivers batches, the table's txn watermark dedups them
+  * (the Delta idempotent-sink pattern; neither alone suffices). The V1
+  * sink boundary pins the engine's incremental-execution rows
+  * (toRdd + copy) before the commit path re-plans them through batch
+  * writes — re-planning the handed frame directly is outside the V1
+  * contract. Empty batches commit nothing (replaying an empty batch
+  * appends nothing by definition, so the unadvanced watermark is
+  * harmless). Scale: each batch costs O(batch) rows + one log file; the
+  * table's compact/vacuum cadence bounds directory count. */
+private[sources] final class CommitLogSink(root: String, appId: String,
+    statsCol: Option[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val rows = data.queryExecution.toRdd.map(_.copy())
+    val batch = org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, rows, data.schema, isStreaming = false)
+    if (!batch.isEmpty)
+      CommitLog.commitAppendOnce(spark, root, writer = appId,
+        action = "stream-append", appId = appId, batchId = batchId,
+        statsCol = statsCol)(batch)
+  }
+  override def toString: String = s"CommitLogSink($root, $appId)"
 }

@@ -110,9 +110,10 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       // the newest commit AT RESOLUTION — snapshot isolation comes from
       // the pinned commit's immutable directory list, exactly like the
       // options route. Reads are DSv2 parquet (vectorized, pushdown);
-      // time travel / CDF / streaming go through the options route, and
-      // WRITES must go through the CommitLog protocol (the table exposes
-      // no write capability — a raw parquet write would bypass the log).
+      // INSERT INTO / INSERT OVERWRITE route through the CommitLog
+      // protocol (r13: commitAppend / commit via the V1-write fallback —
+      // never a raw parquet write, which would bypass the log); time
+      // travel / CDF / streaming go through the options route.
       new CommitLogCatalogTable(loc)
     case Some((other, _)) => throw new IllegalStateException(
       s"table ${ident.name} has unknown provider $other")

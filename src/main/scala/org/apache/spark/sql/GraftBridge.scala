@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
 
 /** Minimal private[sql] bridge (the standard technique Spark-ecosystem
   * libraries use to build DataFrames from custom logical plans — the
@@ -9,6 +12,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame over pre-encoded InternalRows — the V1 streaming
+    * source/sink boundary (the Kafka-source idiom): a streaming `getBatch`
+    * must return an isStreaming plan, and a V1 `Sink.addBatch` must pin
+    * the engine's incremental-execution rows before re-planning them
+    * through batch writes. Rows must already match `schema`'s layout. */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType, isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 
   /** The physical plan a FRESH QueryExecution over `df`'s logical plan
     * would run — what a `df.write...` action actually executes (writes

@@ -207,8 +207,13 @@ class CommitLogSpec extends SparkSpec {
       Seq((2L, "b")).toDF("id", "v"))
     // history: one row per commit, in version order, log-only read
     val h = CommitLog.history(spark, root).orderBy("version").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getInt(4)))
     assert(h.toSeq == Seq((1L, "loader", "create", 1), (2L, "loader", "append", 2)))
+    // every commit carries its wall-clock (r13) — the audit's WHEN column
+    val ts = CommitLog.history(spark, root).orderBy("version").collect()
+      .map(r => r.getAs[java.lang.Long]("ts_ms"))
+    assert(ts.forall(_ != null) && ts(0) <= ts(1),
+      "commit timestamps recorded and ordered with versions")
   }
 
   test("appendedSince reads only the delta; a rewrite voids directory identity") {
@@ -340,7 +345,7 @@ class CommitLogSpec extends SparkSpec {
     val head = CommitLog.latest(spark, root).get
     assert(head.stats.size == 4, "every dir carries stats after the JSON round-trip")
     head.dataDirs.zipWithIndex.foreach { case (d, i) =>
-      assert(head.stats(d) == (i * 10L, i * 10L + 9L),
+      assert(head.stats(d) == Map("k" -> (i * 10L, i * 10L + 9L)),
         s"dir $i stats ${head.stats(d)}")
     }
     // a range inside dir 2: only that dir's files are planned
@@ -372,7 +377,7 @@ class CommitLogSpec extends SparkSpec {
     // compact with statsCol: one dir, full-range stats, skipping still works
     val c = CommitLog.compact(spark, root, "opt", targetFiles = 1,
       statsCol = Some("k")).get
-    assert(c.dataDirs.size == 1 && c.stats(c.dataDirs.head) == (0L, 101L))
+    assert(c.dataDirs.size == 1 && c.stats(c.dataDirs.head) == Map("k" -> (0L, 101L)))
     assert(CommitLog.readLatestWhere(spark, root, "k", 23L, 27L).get.count() == 5L)
     // a bad statsCol fails BEFORE any write — no orphaned staging
     intercept[IllegalArgumentException] {
@@ -459,7 +464,7 @@ class CommitLogSpec extends SparkSpec {
     // history is a serial chain: versions 1..10, exactly one compact
     val h = CommitLog.history(spark, root).collect()
     assert(h.map(_.getLong(0)).sorted.toSeq == (1L to 10L))
-    assert(h.count(_.getString(2) == "compact") == 1)
+    assert(h.count(_.getString(3) == "compact") == 1)
   }
 
   test("bloom sidecars skip definitely-absent dirs; missing/corrupt sidecars degrade to scan") {
@@ -521,7 +526,7 @@ class CommitLogSpec extends SparkSpec {
     val c = CommitLog.compact(spark, root, "opt", targetFiles = 4,
       statsCol = Some("id"), sortCols = Seq("id")).get
     assert(c.rowInvisible && c.dataDirs.size == 1)
-    assert(c.stats(c.dataDirs.head) == (0L, 399L))
+    assert(c.stats(c.dataDirs.head) == Map("id" -> (0L, 399L)))
     val head = CommitLog.readLatest(spark, root).get
     assert(head.collect().map(_.getLong(0)).toSet == (0L until 400L).toSet,
       "sorted compaction is row-invisible")
@@ -621,13 +626,13 @@ class CommitLogSpec extends SparkSpec {
     // stats preserved; only the middle dir was rewritten
     assert(after.dataDirs.toSet.intersect(before.dataDirs.toSet).size == 2)
     val untouchedStats = after.dataDirs.filter(before.dataDirs.contains)
-      .flatMap(after.stats.get)
+      .flatMap(after.stats.get).flatMap(_.get("id"))
     assert(untouchedStats.toSet == Set((0L, 99L), (200L, 299L)))
     val filesAfter = CommitLog.readLatest(spark, root).get.inputFiles.toSet
     assert(filesBefore.intersect(filesAfter).nonEmpty,
       "untouched dirs share their physical files across the merge")
     assert(CommitLog.readLatest(spark, root).get.count() == 298L)
-    assert(after.statsColName.contains("id"), "stats column survives a merge")
+    assert(after.statsCols == Seq("id"), "stats column survives a merge")
   }
 
   test("merge bloom pruning, pure-insert append path, and the no-op merge") {
@@ -1154,7 +1159,7 @@ class CommitLogSpec extends SparkSpec {
     case other => Seq(other)
   }
 
-  test("catalog route: spark.table over a commitlog table equals readLatest; writes are refused") {
+  test("catalog route: spark.table equals readLatest; INSERT routes through the protocol") {
     import spark.implicits._
     val root = freshRoot()
     CommitLog.commit(spark, root, "w", "create") { _ =>
@@ -1170,12 +1175,20 @@ class CommitLogSpec extends SparkSpec {
       CommitLog.commitAppend(spark, root, "w", "append")(
         Seq((3L, "c")).toDF("id", "v"))
       assert(spark.table("gcl.t").count() == 3L)
-      // read-only: a write that bypassed the log would corrupt it
-      intercept[Exception] {
-        Seq((9L, "z")).toDF("id", "v").writeTo("gcl.t").append()
-      }
-      assert(CommitLog.readLatest(spark, root).get.count() == 3L,
-        "refused write must not have touched the table")
+      // INSERT routes THROUGH the protocol (r13): the catalog write is a
+      // real commitAppend — one new version, O(delta) dirs, writer tagged
+      Seq((9L, "z")).toDF("id", "v").writeTo("gcl.t").append()
+      assert(spark.table("gcl.t").count() == 4L)
+      val afterIns = CommitLog.latest(spark, root).get
+      assert(afterIns.action == "append" && afterIns.writer == "catalog",
+        "catalog INSERT is an audited protocol commit, not a raw write")
+      spark.sql("INSERT INTO gcl.t VALUES (10, 'y')")
+      assert(CommitLog.readLatest(spark, root).get.count() == 5L)
+      // INSERT OVERWRITE is a protocol rewrite commit
+      spark.sql("INSERT OVERWRITE gcl.t VALUES (42, 'w')")
+      val afterOw = CommitLog.latest(spark, root).get
+      assert(afterOw.action == "overwrite" &&
+        spark.table("gcl.t").collect().map(_.getLong(0)).toSeq == Seq(42L))
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcl.t")
       spark.conf.unset("spark.sql.catalog.gcl")
@@ -1274,7 +1287,7 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) ==
       Seq(Seq(1L, "a"), Seq(2L, "b")))
     // history intact: the bad append stays auditable and time-travelable
-    assert(CommitLog.history(spark, root).collect().map(_.getString(2)).toSeq ==
+    assert(CommitLog.history(spark, root).collect().map(_.getString(3)).toSeq ==
       Seq("create", "append", "restore"))
     assert(rows(CommitLog.readVersion(spark, root, 2L).get.orderBy("id")) ==
       Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "bad")))
@@ -1282,7 +1295,7 @@ class CommitLogSpec extends SparkSpec {
     // silently skip the retraction
     assert(CommitLog.appendedSince(spark, root, consumerBase).isEmpty)
     // stats carried from the target's record: skipping survives
-    assert(restored.statsColName.contains("id") && restored.stats.nonEmpty)
+    assert(restored.statsCols == Seq("id") && restored.stats.nonEmpty)
     // restore-to-head is a schedulable no-op; vacuumed target is loud
     assert(CommitLog.restore(spark, root, "op", 3L).version == 3L)
     assert(CommitLog.history(spark, root).count() == 3L)
