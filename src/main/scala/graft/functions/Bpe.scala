@@ -136,7 +136,16 @@ object Bpe {
   def countTokensForJ(path: String, text: UTF8String): Int =
     vocabAt(path).countTokens(text.toString)
 
-  // path -> loaded vocabulary, once per JVM (driver AND each executor)
+  // path -> loaded vocabulary, once per JVM (driver AND each executor).
+  // IMMUTABLE-ARTIFACT CONTRACT (ADVICE r12): the memo is deliberately
+  // keyed by PATH ALONE and never invalidated, because vocabAt sits on
+  // the per-row codegen hot path — a freshness stat per call would cost
+  // a filesystem RPC per row. A merges file is therefore an immutable
+  // artifact: publish a retrained vocabulary under a NEW (versioned)
+  // path — e.g. `/vocabs/bpe-v2/merges.txt` — never by overwriting the
+  // old one, which this JVM (and every executor) would keep serving for
+  // its lifetime. Distinct paths accumulate one entry each; vocabularies
+  // are a handful per deployment, not unbounded.
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
   def vocabAt(path: String): BpeVocab =

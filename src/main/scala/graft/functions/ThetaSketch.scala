@@ -128,3 +128,26 @@ class KmvAggregator(k: Int)
   override def outputEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
 }
+
+/** Typed UDAF MERGING already-built KMV sketches (r13 — the SketchStore
+  * rollup shape, [[KmvAggregator]]'s union twin): input rows are stored
+  * Array[Long] sketches; the fold is the same bounded sorted merge. The
+  * rollup is EXACT sketch algebra: every hash in the merged k-minimum set
+  * is also within its own grain's k smallest (a global minimum is a
+  * per-grain minimum), so unioning finest-grain stored sketches yields
+  * the IDENTICAL sketch — and estimate — as sketching the fact directly
+  * (spec-asserted equality, the hll_union_agg story for theta). */
+class KmvMergeAggregator(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  private val inner = new KmvAggregator(k)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] =
+    inner.merge(buf, if (sk == null) Array.emptyLongArray else sk)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}

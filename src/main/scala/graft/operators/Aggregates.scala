@@ -368,6 +368,33 @@ object Aggregates {
         .orderBy("grp_a", "grp_b")
     }),
 
+    // THETA OVERLAPS FROM STORAGE (r13 — VERDICT r12 #8): the same
+    // pairwise-intersection question as q_agg_theta_intersect, answered
+    // from the PERSISTED finest-grain KMV table instead of re-sketching
+    // the fact per run (the q_agg_hll_stored economics, for the one
+    // estimator HLL storage can't serve). KmvMergeAggregator unions the
+    // stored Array[Long] sketches per status — exact sketch algebra, so
+    // the estimates are IDENTICAL to direct sketching (spec-asserted,
+    // plus a plan assertion that no fact scan appears). At 100 TB: every
+    // pairwise overlap of any group combination from kilobytes of stored
+    // sketches. Hash-dependent content => declared no-oracle.
+    "q_agg_theta_stored" -> ((s, d) => {
+      val k = graft.functions.Theta.DefaultK
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(k))
+      val byStatus = SketchStore.ordersCustomerKmv(s, d)
+        .groupBy("o_orderstatus")
+        .agg(kmvMerge(col("sk")).as("sk"))
+      val a = byStatus.select(col("o_orderstatus").as("grp_a"), col("sk").as("ska"))
+      val b = byStatus.select(col("o_orderstatus").as("grp_b"), col("sk").as("skb"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          graft.functions.Theta.estimate(col("ska"), k).cast("long").as("est_a"),
+          graft.functions.Theta.estimate(col("skb"), k).cast("long").as("est_b"),
+          graft.functions.Theta.intersectEstimate(col("ska"), col("skb"), k)
+            .cast("long").as("est_intersect"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // Rollups from a PERSISTED sketch table (SketchStore): the stored
     // per-(priority, status) HLL binaries union to per-status + ALL
     // estimates without touching the fact table — the query's only input

@@ -291,7 +291,186 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_write: built ENTIRELY
+  // through the connector WRITE path (r13) — `df.write.format(
+  // "graft.commitlog")`: mode("errorifexists") creates (class 18),
+  // mode("append") appends O(delta) (class 19), and a txn append
+  // (txnAppId/txnVersion) is delivered TWICE (class 20, the foreachBatch
+  // crash-replay shape) — the second delivery must no-op against the txn
+  // watermark exactly like the library route. A raw-parquet bypass, a
+  // doubled txn batch, or an overwrite-instead-of-append all hash-fail.
+  private val writeCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def writeLogFor(s: SparkSession, d: String): String =
+    writeCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitwrite")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === 18)
+        .write.format("graft.commitlog").mode("errorifexists").save(root)
+      orders.filter(col("o_orderkey") % 100 === 19)
+        .write.format("graft.commitlog").mode("append").save(root)
+      def txnAppend(): Unit = orders.filter(col("o_orderkey") % 100 === 20)
+        .write.format("graft.commitlog").mode("append")
+        .option("txnAppId", "wapp").option("txnVersion", "1").save(root)
+      txnAppend()
+      txnAppend() // re-delivery: a no-op against the txn watermark
+      root
+    }
+
+  // Session-cached commit-log table for q_commit_log_insert: the CATALOG
+  // write route (r13) — a GraftCatalog commitlog table accepts
+  // `INSERT INTO` / `writeTo(...).append()` through the V1-write fallback,
+  // routing every row through CommitLog.commitAppend (one audited O(delta)
+  // commit), never a raw parquet write. Created from a class-21 slice,
+  // then class 22 is INSERTed via the DSv2 AppendData path.
+  private val insertCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def insertLogFor(s: SparkSession, d: String): String =
+    insertCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitinsert")
+      val table = s"$root/table"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === 21)
+        .write.format("graft.commitlog").save(table)
+      s.conf.set("spark.sql.catalog.gclq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gclq.dir", s"$root/cat")
+      s.sql("CREATE TABLE IF NOT EXISTS gclq.orders_cl " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      orders.filter(col("o_orderkey") % 100 === 22)
+        .writeTo("gclq.orders_cl").append()
+      root
+    }
+
+  // Session-cached commit-log table for q_commit_log_ts: create (class-23
+  // slice) → reprice (+10 on open orders) → append (class 24), each commit
+  // stamped with its wall-clock (r13). The fixture captures v2's recorded
+  // ts_ms from the history audit; the declared query time-travels with
+  // `option("timestampAsOf", ts_v2)` — the at-or-before boundary rule
+  // resolves the EXACT timestamp to v2 itself, so the result is the
+  // repriced pre-append state. Sleeps a few ms between commits so distinct
+  // commits carry distinct wall-clocks (commits are orders of magnitude
+  // slower in practice; the sleep pins the fixture's determinism).
+  private val tsCache = new graft.SessionCache[(String, Long)](
+    p => graft.TempDirs.delete(p._1))
+  private def tsLogFor(s: SparkSession, d: String): (String, Long) =
+    tsCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-committs")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter(col("o_orderkey") % 100 === 23)
+      }
+      Thread.sleep(20L)
+      graft.sources.CommitLog.commit(s, root, "repricer", "adjust") { cur =>
+        cur.get.withColumn("o_totalprice",
+          when(col("o_orderstatus") === "O", col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      }
+      Thread.sleep(20L)
+      graft.sources.CommitLog.commitAppend(s, root, "loader", "append")(
+        orders.filter(col("o_orderkey") % 100 === 24))
+      val ts2 = graft.sources.CommitLog.history(s, root)
+        .filter(col("version") === 2).select("ts_ms").head().getLong(0)
+      (root, ts2)
+    }
+
+  // Session-cached commit-log table for q_commit_log_skip2: four connector
+  // WRITES each carrying one disjoint `bucket` (o_orderkey % 4) — and a
+  // second derived column `wave` (bucket / 2) — with PER-COLUMN [min, max]
+  // stats recorded via option("statsCols", "bucket,wave") (r13, the Delta
+  // per-column skipping shape). The declared query filters on the SECOND
+  // recorded column alone, so dirs 0–1 are pruned on evidence min/max
+  // stats for `bucket` cannot provide; CommitLogSpec proves the
+  // inputFiles-level pruning through both routes.
+  private val skip2Cache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def skip2LogFor(s: SparkSession, d: String): String =
+    skip2Cache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitskip2")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 4).as("bucket"),
+          ((col("o_orderkey") % 4) / lit(2)).cast("long").as("wave"))
+      (0 to 3).foreach { k =>
+        orders.filter(col("bucket") === k)
+          .write.format("graft.commitlog").mode("append")
+          .option("statsCols", "bucket,wave").save(root)
+      }
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // Connector WRITE path end state (r13 — sources/CommitLogSource
+    // .createRelation(mode)): the fixture's create + append + twice-
+    // delivered txn append all route through the commit protocol from
+    // `df.write`, and the declared result aggregates the committed head
+    // via the connector read. The oracle holds each class exactly once —
+    // a duplicated txn batch, a lost append, or a mode that rewrote
+    // instead of appending all hash-fail. At 100 TB: the write path IS
+    // commitAppend — O(delta) rows + one log file per batch.
+    "q_commit_log_write" -> ((s, d) => {
+      val root = writeLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Catalog INSERT route (r13 — CommitLogCatalogTable.newWriteBuilder):
+    // `INSERT INTO` / writeTo(...).append() on a GraftCatalog commitlog
+    // table is a V1-write-fallback commitAppend — one audited O(delta)
+    // commit through the same optimistic claim as the library route. The
+    // declared result reads the table back through the catalog; the
+    // oracle holds the created class plus the inserted class.
+    "q_commit_log_insert" -> ((s, d) => {
+      insertLogFor(s, d)
+      s.table("gclq.orders_cl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // TIMESTAMP AS OF (r13 — CommitLog.commitAtTimestamp + the connector's
+    // timestampAsOf option): time travel by wall-clock with Delta's rule —
+    // the newest commit whose monotonized timestamp is at-or-before the
+    // target. The fixture probes the BOUNDARY: the target IS v2's recorded
+    // ts_ms, which must resolve to v2 itself (at-or-before, not strictly-
+    // before), so the result is the repriced state WITHOUT the later
+    // append. CommitLogSpec pins ordering/boundary/missing-field loudness.
+    "q_commit_log_ts" -> ((s, d) => {
+      val (root, ts2) = tsLogFor(s, d)
+      s.read.format("graft.commitlog")
+        .option("timestampAsOf", ts2.toString).load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // PER-COLUMN data skipping (r13 — the Delta multi-column min/max
+    // story): each commit records [min, max] for a column SET
+    // (statsCols), and the connector's FileIndex narrows one range PER
+    // recorded column from the pushed conjuncts. The declared predicate
+    // filters on the SECOND column alone — pruning evidence the
+    // single-column q_commit_log_skip shape cannot provide —
+    // and the oracle rebuilds the slice relationally, so a wrongly
+    // pruned dir hash-fails. At 100 TB real probes filter on
+    // (event_time, tenant, key) at once; this is that shape.
+    "q_commit_log_skip2" -> ((s, d) => {
+      val root = skip2LogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .filter(col("wave") === 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // RESTORE through the commit log (CommitLog.restore — the Delta
     // RESTORE verb, r12): the head is rolled back to version 2's content
     // as a NEW row-visible commit, so the bad append stays auditable and
@@ -789,6 +968,30 @@ object Relational {
         "(CAST(4 AS BIGINT), 'operator', 'restore', 1, FALSE)) " +
         "AS h(version, writer, action, n_dirs, row_invisible) " +
         "ORDER BY version"),
+    "q_commit_log_write" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (18, 19, 20) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_insert" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (21, 22) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_ts" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 23) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_skip2" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE (o_orderkey % 4) // 2 = 1 " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_sql" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, " +

@@ -43,6 +43,28 @@ object SketchStore {
     s.read.parquet(dir)
   }
 
+  private val kmvDirCache = new graft.SessionCache[String](graft.TempDirs.delete)
+
+  /** KMV/theta sketch table over orders (r13 — the HLL store's theta
+    * sibling, so INTERSECTIONS also answer from storage): distinct-
+    * customer KMV per (o_orderpriority, o_orderstatus). Rollups merge the
+    * stored Array[Long] sketches with [[graft.functions.KmvMergeAggregator]]
+    * — exact sketch algebra, estimate-identical to sketching the fact
+    * (spec-asserted). Built once per (session, sfDir). */
+  def ordersCustomerKmv(s: SparkSession, d: String): DataFrame = {
+    val dir = kmvDirCache.getOrBuild(s, d) {
+      val out = TempDirs.create("graft-kmv-sketches")
+      val kmv = udaf(new graft.functions.KmvAggregator(
+        graft.functions.Theta.DefaultK))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(kmv(col("o_custkey")).as("sk"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(dir)
+  }
+
   /** Persist a bloom filter over `c` (xxhash64'd by graft_bloom_agg) as a
     * one-row binary parquet at `path`. */
   def writeBloom(df: DataFrame, c: String, items: Long, bits: Long,

@@ -690,7 +690,26 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
             s"commit-log CDF stream: version $e at $root is missing or " +
               "unparseable — vacuumed past the checkpoint; resync and " +
               "restart with a fresh one"))
-        CommitLog.changesSince(spark, root, s, headC).getOrElse(
+        def incremental(from: Long): Option[DataFrame] =
+          if (from >= e) Some(emptyBatch())
+          else CommitLog.changesSince(spark, root, from, headC)
+        // replay-from-0 (explicit startingVersion=0): version 0 is "before
+        // the first commit", so the window opens with v1's full content as
+        // inserts — v1 must still be retained for a replay to be exact
+        val changes =
+          if (s == 0L) {
+            val c1 = CommitLog.commitAt(spark, root, 1L).getOrElse(
+              throw new IllegalStateException(
+                s"commit-log CDF stream: replay from version 0 at $root " +
+                  "is impossible — version 1 was vacuumed; bootstrap from " +
+                  "the snapshot instead (drop startingVersion)"))
+            val first = CommitLog.readCommit(spark, root, c1)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(1L))
+            incremental(1L).map(rest =>
+              first.unionByName(rest, allowMissingColumns = true))
+          } else incremental(s)
+        changes.getOrElse(
           throw new IllegalStateException(
             s"commit-log CDF stream: changes ($s, $e] at $root are not " +
               "incrementally readable (a plain rewrite or purge " +

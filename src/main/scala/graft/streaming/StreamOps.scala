@@ -243,11 +243,8 @@ object StreamOps {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = new java.io.File(s"$snapshotDir/current")
         val merged = {
-          val prev =
-            if (cur.exists()) spark.read.parquet(cur.getPath)
-            else batch.limit(0)
+          val prev = readSnapshot(spark, snapshotDir).getOrElse(batch.limit(0))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("user_id", "event_type")
             .orderBy(col("ts").desc, col("event_id").desc)
@@ -255,21 +252,43 @@ object StreamOps {
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn")
         }
-        // write-new-then-swap: the snapshot is never half-written
-        val next = s"$snapshotDir/next-$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        val old = new java.io.File(s"$snapshotDir/old-$batchId")
-        if (cur.exists()) cur.renameTo(old)
-        new java.io.File(next).renameTo(cur)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(old)
+        swapSnapshot(spark, snapshotDir, batchId, merged)
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
+  }
+
+  /** The current generation of a write-new-then-swap snapshot, if one has
+    * been committed yet. */
+  private def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val cur = new org.apache.hadoop.fs.Path(dir, "current")
+    val f = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+  }
+
+  /** Write-new-then-swap generation replacement for the foreachBatch
+    * snapshot sinks, through the Hadoop FS API (VERDICT r12 #7 — the
+    * `java.io.File.renameTo` sibling of the fixed tail checkpoint, so a
+    * snapshot beside an object-store table no longer silently requires a
+    * local path): stage `next-<batch>`, retire `current` to
+    * `old-<batch>`, promote, sweep. The swap window is the same
+    * directory-rename contract as before — atomic on HDFS-likes; a crash
+    * between retire and promote leaves `old-<batch>` as the recoverable
+    * prior generation and `next-<batch>` complete on disk. */
+  private def swapSnapshot(spark: SparkSession, dir: String, batchId: Long,
+      merged: DataFrame): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir, "current")
+    val next = new org.apache.hadoop.fs.Path(dir, s"next-$batchId")
+    val old = new org.apache.hadoop.fs.Path(dir, s"old-$batchId")
+    merged.write.mode("overwrite").parquet(next.toString)
+    if (f.exists(cur) && !f.rename(cur, old))
+      throw new java.io.IOException(s"snapshot swap: retiring $cur failed")
+    if (!f.rename(next, cur))
+      throw new java.io.IOException(s"snapshot swap: promoting $next failed")
+    f.delete(old, true)
   }
 
   /** Streaming CDC snapshot maintenance: each micro-batch of a keyed
@@ -288,21 +307,9 @@ object StreamOps {
     val q = log.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = new java.io.File(s"$snapshotDir/current")
-        val prev =
-          if (cur.exists()) spark.read.parquet(cur.getPath)
-          else batch.limit(0)
+        val prev = readSnapshot(spark, snapshotDir).getOrElse(batch.limit(0))
         val merged = graft.operators.DataModel.cdcMerge(prev, batch, key)
-        val next = s"$snapshotDir/next-$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        val old = new java.io.File(s"$snapshotDir/old-$batchId")
-        if (cur.exists()) cur.renameTo(old)
-        new java.io.File(next).renameTo(cur)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(old)
+        swapSnapshot(spark, snapshotDir, batchId, merged)
       }
       .start()
     try q.processAllAvailable()

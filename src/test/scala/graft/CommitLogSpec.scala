@@ -1372,4 +1372,217 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
     assert(headVersion() == 4L)
   }
+
+  // ---- r13: connector WRITE path ----
+
+  private def commitJson(root: String, v: Long): String = {
+    val p = java.nio.file.Paths.get(root, "_commits",
+      "v" + "%020d".format(v) + ".json")
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  /** Normalize the claim-JSON's run-specific fields (dir uuids, wall
+    * clocks, writer tags; the stats block's dir entries sort by uuid, so
+    * its per-dir maps compare as a canonicalized multiset). */
+  private def normalizeJson(s: String): String = {
+    val base = s
+      .replaceAll("data-[0-9a-f]{8}-v\\d+", "DIR")
+      .replaceAll("\"ts\":\\d+", "\"ts\":TS")
+      .replaceAll("\"writer\":\"[^\"]*\"", "\"writer\":\"W\"")
+    // stats is render's final field: canonicalize its dir entries' order
+    val at = base.indexOf("\"stats\":{")
+    if (at < 0) base
+    else {
+      val entries = """"DIR":\{[^}]*\}""".r
+        .findAllIn(base.substring(at)).toSeq.sorted
+      base.substring(0, at) + "\"stats\":{" + entries.mkString(",") + "}}"
+    }
+  }
+
+  test("connector write route: commit JSON is shape-identical to the library route; claims serialize under racing writers") {
+    import spark.implicits._
+    val delta = Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+    // library route
+    val rootL = freshRoot()
+    CommitLog.commit(spark, rootL, "w", "create", statsCol = Some("id")) { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    CommitLog.commitAppend(spark, rootL, "w", "append",
+      statsCol = Some("id"))(delta)
+    // connector route — same table history through df.write
+    val rootC = freshRoot()
+    Seq((1L, "a")).toDF("id", "v").write.format("graft.commitlog")
+      .option("statsCol", "id").save(rootC)
+    delta.write.format("graft.commitlog").mode("append")
+      .option("statsCol", "id").save(rootC)
+    // byte-equivalent modulo the run-specific fields: same field set,
+    // same order, same stats values, same action verbs — the connector
+    // writes THROUGH commitAppend, it does not reimplement it
+    assert(normalizeJson(commitJson(rootC, 1L)) ==
+      normalizeJson(commitJson(rootL, 1L)))
+    assert(normalizeJson(commitJson(rootC, 2L)) ==
+      normalizeJson(commitJson(rootL, 2L)))
+    assert(rows(spark.read.format("graft.commitlog").load(rootC).orderBy("id")) ==
+      rows(CommitLog.readLatest(spark, rootL).get.orderBy("id")))
+    // optimistic-claim serializability: four racing df.write appenders —
+    // every row lands, versions stay a serial chain (the library route's
+    // 8-writer proof, through the connector)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((1 to 4).map(k => Future {
+        Seq((100L + k, s"r$k")).toDF("id", "v")
+          .write.format("graft.commitlog").mode("append").save(rootC)
+      })), Duration.Inf)
+    } finally pool.shutdown()
+    val head = CommitLog.latest(spark, rootC).get
+    assert(head.version == 6L, "4 racing claims serialize to 4 versions")
+    assert(CommitLog.readLatest(spark, rootC).get.count() == 7L)
+    // save-mode edges: errorifexists refuses a non-empty table; ignore
+    // no-ops; overwrite is a protocol rewrite commit (history intact)
+    intercept[IllegalStateException] {
+      delta.write.format("graft.commitlog").save(rootC)
+    }
+    delta.write.format("graft.commitlog").mode("ignore").save(rootC)
+    assert(CommitLog.latest(spark, rootC).get.version == 6L)
+    Seq((42L, "w")).toDF("id", "v").write.format("graft.commitlog")
+      .mode("overwrite").save(rootC)
+    val ow = CommitLog.latest(spark, rootC).get
+    assert(ow.version == 7L && ow.action == "overwrite")
+    assert(rows(CommitLog.readVersion(spark, rootC, 6L).get).size == 7,
+      "overwrite never rewrites history")
+    // idempotent txn writes through the connector: same (appId, version)
+    // delivered twice commits once
+    def txnWrite(): Unit = Seq((50L, "t")).toDF("id", "v")
+      .write.format("graft.commitlog").mode("append")
+      .option("txnAppId", "capp").option("txnVersion", "7").save(rootC)
+    txnWrite(); txnWrite()
+    assert(CommitLog.latest(spark, rootC).get.version == 8L,
+      "re-delivered txn batch must no-op")
+  }
+
+  test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    Thread.sleep(20L)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((2L, "b")).toDF("id", "v"))
+    val hist = CommitLog.history(spark, root).orderBy("version").collect()
+    val (t1, t2) = (hist(0).getAs[Long]("ts_ms"), hist(1).getAs[Long]("ts_ms"))
+    assert(t1 < t2, "fixture needs distinct wall-clocks")
+    // boundary: the EXACT timestamp resolves TO its commit (at-or-before)
+    assert(CommitLog.commitAtTimestamp(spark, root, t1).version == 1L)
+    assert(CommitLog.commitAtTimestamp(spark, root, t2).version == 2L)
+    // ordering: between the two → the earlier; far future → the head
+    assert(CommitLog.commitAtTimestamp(spark, root, (t1 + t2) / 2).version == 1L)
+    assert(CommitLog.commitAtTimestamp(spark, root, t2 + 1000000L).version == 2L)
+    // pre-history: before the earliest retained commit throws
+    val pre = intercept[IllegalArgumentException] {
+      CommitLog.commitAtTimestamp(spark, root, t1 - 1L)
+    }
+    assert(pre.getMessage.contains("precedes"))
+    // connector route resolves identically
+    assert(rows(spark.read.format("graft.commitlog")
+      .option("timestampAsOf", t1.toString).load(root)) ==
+      rows(CommitLog.readVersion(spark, root, 1L).get))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.commitlog")
+        .option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "1").load(root)
+    }
+    // CLOCK SKEW: forge v3 whose recorded ts is BEFORE v1's — Delta's
+    // monotonization clamps its effective time to v2's, so a target of t2
+    // resolves to v3 (the newest commit no later than t2 in commit order)
+    val dir2 = CommitLog.latest(spark, root).get.dataDirs.head
+    val v3 = java.nio.file.Paths.get(root, "_commits",
+      "v" + "%020d".format(3L) + ".json")
+    Files.write(v3, (s"""{"version":3,"dataDirs":["$dir2"],""" +
+      s""""writer":"skewed","action":"forge","ts":${t1 - 5000}}""")
+      .getBytes("UTF-8"))
+    assert(CommitLog.commitAtTimestamp(spark, root, t2).version == 3L,
+      "skewed commit clamps forward, never reorders time travel")
+    assert(CommitLog.commitAtTimestamp(spark, root, t2 - 1L).version == 1L,
+      "t2's OWN wall-clock still gates versions 2 and 3")
+    // MISSING field: a retained pre-timestamp commit makes time-based
+    // resolution impossible — it must fail loudly, never guess
+    val v4 = java.nio.file.Paths.get(root, "_commits",
+      "v" + "%020d".format(4L) + ".json")
+    Files.write(v4, (s"""{"version":4,"dataDirs":["$dir2"],""" +
+      """"writer":"old","action":"forge"}""").getBytes("UTF-8"))
+    val miss = intercept[IllegalStateException] {
+      CommitLog.commitAtTimestamp(spark, root, t2)
+    }
+    assert(miss.getMessage.contains("4") &&
+      miss.getMessage.contains("no timestamp"))
+    // version travel is unaffected by the timestamp gaps
+    assert(CommitLog.readVersion(spark, root, 1L).get.count() == 1L)
+  }
+
+  test("per-column stats: any recorded column prunes through both routes; legacy flat commits still parse and prune") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four dirs: a in [k*10, k*10+9], b constant k/2 — recorded as a SET
+    (0 to 3).foreach { k =>
+      CommitLog.commitAppend(spark, root, "w", "append",
+        statsCols = Seq("a", "b"))(
+        (k * 10L until k * 10L + 10L).toDF("a")
+          .withColumn("b", lit(k / 2).cast("long")))
+    }
+    val head = CommitLog.latest(spark, root).get
+    assert(head.statsCols == Seq("a", "b"))
+    head.dataDirs.zipWithIndex.foreach { case (d, k) =>
+      assert(head.stats(d) == Map("a" -> (k * 10L, k * 10L + 9L),
+        "b" -> ((k / 2).toLong, (k / 2).toLong)))
+    }
+    // the planning decision itself, per pushed-filter shape (the r12
+    // probe pattern: the FileIndex's prunedDirs over the optimized
+    // plan's own conjuncts)
+    val idx = new graft.sources.CommitLogFileIndex(spark, root, head)
+    def planned(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val expr = df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+      idx.prunedDirs(splitConj(expr)).toSet
+    }
+    val conn = spark.read.format("graft.commitlog").load(root)
+    // the SECOND column alone prunes (evidence min/max on `a` can't give)
+    val byB = conn.filter(col("b") === 1L)
+    assert(planned(byB) == Set(head.dataDirs(2), head.dataDirs(3)))
+    assert(byB.count() == 20L)
+    // both columns narrow; the intersection can prove EMPTINESS
+    val both = conn.filter(col("a").between(23L, 27L) && col("b") === 1L)
+    assert(planned(both) == Set(head.dataDirs(2)))
+    assert(rows(both.orderBy("a")).map(_.head) == (23L to 27L))
+    val disjoint = conn.filter(col("a").between(23L, 27L) && col("b") === 0L)
+    assert(planned(disjoint).isEmpty,
+      "disjoint per-column evidence proves the scan empty")
+    assert(disjoint.count() == 0L)
+    // the executed plan reads fewer files under the second-column filter
+    assert(scannedFiles(byB) < scannedFiles(conn.filter(col("a") >= 0L)),
+      "second-column pruning must reach the physical scan")
+    // library route agrees (statsKeepDirs is the shared decision)
+    assert(CommitLog.statsKeepDirs(head, "b", 1L, 1L, requireRecorded = true) ==
+      Seq(head.dataDirs(2), head.dataDirs(3)))
+    // LEGACY flat single-column JSON (pre-r13 shape): rewrite v1's claim
+    // to the old `"statsCol":"a","stats":{dir:[lo,hi]}` form — it must
+    // parse into the per-column model and keep pruning on `a`
+    val legacyRoot = freshRoot()
+    CommitLog.commitAppend(spark, legacyRoot, "w", "append",
+      statsCol = Some("a"))((0L until 10L).toDF("a"))
+    val lc = CommitLog.latest(spark, legacyRoot).get
+    val lp = java.nio.file.Paths.get(legacyRoot, "_commits",
+      "v" + "%020d".format(1L) + ".json")
+    Files.delete(lp)
+    Files.write(lp, (s"""{"version":1,"dataDirs":["${lc.dataDirs.head}"],""" +
+      s""""writer":"w","action":"append","statsCol":"a",""" +
+      s""""stats":{"${lc.dataDirs.head}":[0,9]}}""").getBytes("UTF-8"))
+    val legacy = CommitLog.latest(spark, legacyRoot).get
+    assert(legacy.statsCols == Seq("a") &&
+      legacy.stats(legacy.dataDirs.head) == Map("a" -> (0L, 9L)),
+      "flat pre-r13 stats parse into the per-column model")
+    assert(CommitLog.statsKeepDirs(legacy, "a", 50L, 60L,
+      requireRecorded = true).isEmpty,
+      "legacy stats still prune after the upgrade")
+  }
 }

@@ -41,7 +41,7 @@ class OperatorSpec extends SparkSpec {
       "q_sim_ann_ivf", "q_sim_ann_ivfpq", "q_multimodal_features",
       "q_text_heavy_hitters", "q_agg_hll_merge", "q_agg_approx_quantile",
       "q_agg_hll_stored", "q_sim_index_stats", "q_agg_hll_intersect",
-      "q_agg_theta_intersect",
+      "q_agg_theta_intersect", "q_agg_theta_stored",
       // DuckDB cannot run the committed greedy-merge BPE walk; the
       // expression is property-tested against an independent brute force
       "q_token_budget_bpe")
@@ -114,6 +114,33 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(estI - exactI) <= tol,
         s"($ga,$gb): est intersect $estI vs exact $exactI (tol $tol)")
     }
+  }
+
+  test("stored theta sketches: rollup merge is estimate-identical to direct sketching; fact table absent from the plan") {
+    import graft.functions.{KmvAggregator, Theta}
+    val k = Theta.DefaultK
+    val stored = rows(Aggregates.queries("q_agg_theta_stored")(spark, sf))
+    assert(stored.nonEmpty)
+    // KMV merge is exact sketch algebra: the stored-route estimates must
+    // EQUAL direct-from-fact sketching, not just sit in an envelope
+    val kmv = udaf(new KmvAggregator(k))
+    val byStatus = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").agg(kmv(col("o_custkey")).as("sk"))
+    val a = byStatus.select(col("o_orderstatus").as("grp_a"), col("sk").as("ska"))
+    val b = byStatus.select(col("o_orderstatus").as("grp_b"), col("sk").as("skb"))
+    val direct = rows(a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        Theta.estimate(col("ska"), k).cast("long").as("est_a"),
+        Theta.estimate(col("skb"), k).cast("long").as("est_b"),
+        Theta.intersectEstimate(col("ska"), col("skb"), k)
+          .cast("long").as("est_intersect"))
+      .orderBy("grp_a", "grp_b"))
+    assert(stored == direct,
+      s"stored-sketch theta rollup must equal direct sketching:\n$stored\nvs\n$direct")
+    // and the stored route must read ONLY the sketch table — no fact scan
+    val plan = physicalPlan(Aggregates.queries("q_agg_theta_stored")(spark, sf))
+    assert(!plan.contains("orders.parquet"),
+      s"stored-theta overlap must not rescan the fact table:\n$plan")
   }
 
   test("theta intersection: direct estimator inside its envelope; beats inclusion-exclusion where it collapses") {
