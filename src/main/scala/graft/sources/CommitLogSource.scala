@@ -280,6 +280,36 @@ object CommitLogSource {
       parameters.get("statsCols").toSeq.flatMap(_.split(','))
         .map(_.trim).filter(_.nonEmpty)).distinct
 
+  /** A pushed DELETE filter as a Column, or None when the shape has no
+    * faithful translation — `canDeleteWhere` then refuses the statement
+    * (a partial translation would delete the wrong rows). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => f1}
+    f match {
+      case f1.EqualTo(a, v) => Some(col(a) === lit(v))
+      case f1.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case f1.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case f1.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case f1.LessThan(a, v) => Some(col(a) < lit(v))
+      case f1.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case f1.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case f1.IsNull(a) => Some(col(a).isNull)
+      case f1.IsNotNull(a) => Some(col(a).isNotNull)
+      case f1.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case f1.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case f1.StringContains(a, v) => Some(col(a).contains(v))
+      case f1.And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+      case f1.Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+      case f1.Not(c) => filterToColumn(c).map(!_)
+      case f1.AlwaysTrue() => Some(lit(true))
+      case f1.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** The snapshot read plan for one committed version: Spark's own parquet
     * relation over a [[CommitLogFileIndex]]. Shared by the options route
     * and [[GraftCatalog]]. */
@@ -479,24 +509,36 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   * claim. Time travel, the change feed, dir-pruned range/point reads,
   * and streaming tails/sinks use the `graft.commitlog` format options
   * route. */
-private[sources] final class CommitLogCatalogTable(root: String)
+private[sources] final class CommitLogCatalogTable(root: String,
+    declaredSchema: Option[String] = None)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
   import org.apache.spark.sql.sources.InsertableRelation
   import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
   private def spark = SparkSession.active
-  private val commit = CommitLog.latest(spark, root).getOrElse(
+  // an EMPTY (created, never committed) table resolves through its
+  // CREATE TABLE schema (r13): it plans an empty scan and accepts its
+  // first INSERT — the SQL-only workflow. Schema priority mirrors the
+  // read path: the head commit's recorded DDL (evolution), else parquet
+  // footers (via ParquetTable inference), else the declared schema.
+  private val commitOpt = CommitLog.latest(spark, root)
+  if (commitOpt.isEmpty && declaredSchema.isEmpty)
     throw new IllegalArgumentException(
-      s"graft.commitlog: no commits at $root"))
+      s"graft.commitlog: no commits at $root and the catalog descriptor " +
+        "records no schema — CREATE TABLE with columns, or commit first")
   private val inner =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       s"graft.commitlog($root)", spark, CaseInsensitiveStringMap.empty(),
-      commit.dataDirs.map(d => s"$root/$d"),
-      commit.schemaDDL.map(StructType.fromDDL), classOf[ParquetFileFormat])
+      commitOpt.toSeq.flatMap(c => c.dataDirs.map(d => s"$root/$d")),
+      commitOpt.map(c => c.schemaDDL.orElse(
+        if (c.dataDirs.isEmpty) declaredSchema else None))
+        .getOrElse(declaredSchema).map(StructType.fromDDL),
+      classOf[ParquetFileFormat])
 
   override def name(): String = s"graft.commitlog($root)"
   override def schema(): StructType = inner.schema
@@ -506,6 +548,33 @@ private[sources] final class CommitLogCatalogTable(root: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     inner.newScanBuilder(options)
+
+  /** SQL `DELETE FROM` (r13): a copy-on-write rewrite commit through the
+    * protocol (action "delete", audited like any verb) keeping the rows
+    * that do NOT match the conjunction of `filters`. Only filters this
+    * translator can express as Columns are accepted — `canDeleteWhere`
+    * refuses anything else, so Spark falls back to an error instead of a
+    * silent partial delete. At 100 TB this is the purge/restore
+    * copy-on-write price; production narrows it to affected partitions
+    * under the same protocol. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => CommitLogSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val conds = filters.map(f => CommitLogSource.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft.commitlog: cannot push delete filter $f")))
+    val cond = conds.foldLeft(lit(true))(_ && _)
+    if (CommitLog.latest(spark, root).isEmpty) return // nothing to delete
+    CommitLog.commit(spark, root, "catalog", "delete")(cur =>
+      // a concurrent vacuum-to-nothing between the guard and the claim
+      // loop leaves no rows to delete: commit an empty state of the
+      // table's own schema rather than failing the statement
+      cur.map(_.filter(!cond)).getOrElse(
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          schema())))
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

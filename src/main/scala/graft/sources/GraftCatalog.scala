@@ -59,7 +59,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
   private def metaPath(ident: Identifier): HPath =
     new HPath(tableDir(ident), MetaFile)
 
-  private def readMeta(ident: Identifier): Option[(String, String)] = {
+  private def readMeta(ident: Identifier): Option[(String, String, Option[String])] = {
     val p = metaPath(ident)
     if (!fs.exists(p)) None
     else {
@@ -73,17 +73,24 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       } finally in.close()
       (text, text) match {
         case (ProviderRe(prov), LocationRe(loc)) =>
-          Some((unescapeJson(prov), unescapeJson(loc)))
+          val schema = text match {
+            case SchemaRe(ddl) => Some(unescapeJson(ddl))
+            case _ => None
+          }
+          Some((unescapeJson(prov), unescapeJson(loc), schema))
         case _ => throw new IllegalStateException(
           s"$p exists but is not a graft table descriptor: $text")
       }
     }
   }
 
-  private def writeMeta(ident: Identifier, provider: String, location: String): Unit = {
+  private def writeMeta(ident: Identifier, provider: String, location: String,
+      schemaDDL: Option[String] = None): Unit = {
     val out = fs.create(metaPath(ident), true)
+    val schema = schemaDDL
+      .map(d => s""", "schema": "${escapeJson(d)}"""").getOrElse("")
     try out.write(
-      s"""{"provider": "${escapeJson(provider)}", "location": "${escapeJson(location)}"}"""
+      s"""{"provider": "${escapeJson(provider)}", "location": "${escapeJson(location)}"$schema}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -102,20 +109,23 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     ident.namespace.isEmpty && fs.exists(metaPath(ident))
 
   override def loadTable(ident: Identifier): Table = readMeta(ident) match {
-    case Some((IndexProvider, loc)) =>
+    case Some((IndexProvider, loc, _)) =>
       new IndexTable(loc, InvertedIndex.metaBuckets(loc))
-    case Some((IvfProvider, loc)) => new IvfTable(loc)
-    case Some((CommitLogProvider, loc)) =>
+    case Some((IvfProvider, loc, _)) => new IvfTable(loc)
+    case Some((CommitLogProvider, loc, declared)) =>
       // loadTable runs per query resolution, so each query plans against
       // the newest commit AT RESOLUTION — snapshot isolation comes from
       // the pinned commit's immutable directory list, exactly like the
       // options route. Reads are DSv2 parquet (vectorized, pushdown);
-      // INSERT INTO / INSERT OVERWRITE route through the CommitLog
-      // protocol (r13: commitAppend / commit via the V1-write fallback —
-      // never a raw parquet write, which would bypass the log); time
-      // travel / CDF / streaming go through the options route.
-      new CommitLogCatalogTable(loc)
-    case Some((other, _)) => throw new IllegalStateException(
+      // INSERT INTO / INSERT OVERWRITE / DELETE FROM route through the
+      // CommitLog protocol (r13: commitAppend / commit via the V1-write
+      // fallback and SupportsDelete — never a raw parquet write, which
+      // would bypass the log); time travel / CDF / streaming go through
+      // the options route. `declared` is the CREATE TABLE schema from
+      // the descriptor — what an EMPTY (not-yet-committed) table plans
+      // and validates against until its first commit exists.
+      new CommitLogCatalogTable(loc, declared)
+    case Some((other, _, _)) => throw new IllegalStateException(
       s"table ${ident.name} has unknown provider $other")
     case None => throw new NoSuchTableException(ident)
   }
@@ -146,7 +156,20 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     val location = Option(info.properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(tableDir(ident).toString)
     fs.mkdirs(tableDir(ident))
-    writeMeta(ident, provider, location)
+    // commit-log tables (r13): record the CREATE TABLE schema in the
+    // descriptor so an EMPTY table resolves (plans an empty scan, accepts
+    // its first INSERT) before any commit exists — the SQL-only workflow
+    // `CREATE TABLE … USING graft.commitlog` then `INSERT INTO`. The log
+    // directory is initialized here so the location reads as a commit-log
+    // root from birth.
+    val declared = Option(info.schema).filter(_.nonEmpty)
+      .filter(_ => provider == CommitLogProvider).map(_.toDDL)
+    if (provider == CommitLogProvider) {
+      val locPath = new HPath(location)
+      locPath.getFileSystem(InvertedIndex.driverHadoopConf)
+        .mkdirs(new HPath(locPath, "_commits"))
+    }
+    writeMeta(ident, provider, location, declared)
     loadTable(ident)
   }
 
@@ -166,7 +189,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     * tables (created with LOCATION) keep their data. */
   override def dropTable(ident: Identifier): Boolean = readMeta(ident) match {
     case None => false
-    case Some((_, loc)) =>
+    case Some((_, loc, _)) =>
       val dir = tableDir(ident)
       val managed = new HPath(loc) == dir
       if (managed) fs.delete(dir, true)
@@ -194,9 +217,9 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (!fs.rename(tableDir(from), tableDir(to)))
       throw new java.io.IOException(s"rename ${from.name} -> ${to.name} failed")
     // a managed table's data moved with the directory: re-point the meta
-    readMeta(to).foreach { case (prov, loc) =>
+    readMeta(to).foreach { case (prov, loc, schema) =>
       if (new HPath(loc) == tableDir(from))
-        writeMeta(to, prov, tableDir(to).toString)
+        writeMeta(to, prov, tableDir(to).toString, schema)
     }
   }
 }
@@ -210,6 +233,7 @@ object GraftCatalog {
   // backslash round-trips instead of bricking the table name (ADVICE r7)
   private val ProviderRe = """"provider"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
   private val LocationRe = """"location"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
+  private val SchemaRe = """"schema"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
   private def escapeJson(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
   private def unescapeJson(s: String): String =

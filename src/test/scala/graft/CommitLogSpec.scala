@@ -1460,6 +1460,45 @@ class CommitLogSpec extends SparkSpec {
       "re-delivered txn batch must no-op")
   }
 
+  test("catalog SQL-only workflow: CREATE TABLE on an empty root, INSERT creates v1, DELETE FROM is an audited rewrite") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gcl2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl2.dir", catRoot)
+    try {
+      // CREATE TABLE with columns on a location with NO commits: the
+      // declared schema (recorded in the descriptor) resolves the empty
+      // table — it plans an empty scan instead of throwing (r13)
+      spark.sql("CREATE TABLE gcl2.t (id BIGINT, v STRING) " +
+        s"USING `graft.commitlog` LOCATION '$tableRoot'")
+      assert(spark.table("gcl2.t").schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(spark.table("gcl2.t").count() == 0L)
+      // first INSERT is the create commit (O(delta) through the protocol)
+      spark.sql("INSERT INTO gcl2.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      assert(CommitLog.latest(spark, tableRoot).get.version == 1L)
+      assert(spark.table("gcl2.t").count() == 3L)
+      // DELETE FROM: a copy-on-write rewrite commit, audited like any verb
+      spark.sql("DELETE FROM gcl2.t WHERE id = 2")
+      assert(rows(spark.table("gcl2.t").orderBy("id")) ==
+        Seq(Seq(1L, "a"), Seq(3L, "c")))
+      val del = CommitLog.latest(spark, tableRoot).get
+      assert(del.version == 2L && del.action == "delete" &&
+        del.writer == "catalog",
+        "SQL DELETE must be a protocol commit, not a file mutation")
+      // history intact: the deleted state stays time-travelable
+      assert(CommitLog.readVersion(spark, tableRoot, 1L).get.count() == 3L)
+      // compound predicates translate; a no-match delete keeps every row
+      spark.sql("DELETE FROM gcl2.t WHERE id > 10 AND v = 'zzz'")
+      assert(rows(spark.table("gcl2.t").orderBy("id")) ==
+        Seq(Seq(1L, "a"), Seq(3L, "c")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcl2.t")
+      spark.conf.unset("spark.sql.catalog.gcl2")
+      spark.conf.unset("spark.sql.catalog.gcl2.dir")
+    }
+  }
+
   test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
     import spark.implicits._
     val root = freshRoot()
