@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every pushdown/pruning/statistics behavior is identical (spec-asserted)
   * and a 100 TB deployment can swap this for a real metastore without
   * touching the connectors. */
-final class GraftCatalog extends TableCatalog with FunctionCatalog {
+final class GraftCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -222,10 +224,134 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
         writeMeta(to, prov, tableDir(to).toString, schema)
     }
   }
+
+  // ---- ProcedureCatalog (r13): the commit-log maintenance verbs as SQL
+  // stored procedures — `CALL graft.compact(table => 't')` etc., the
+  // OPTIMIZE/VACUUM/RESTORE surface a lakehouse operator schedules from
+  // SQL. Each procedure resolves the commitlog root from the table's
+  // descriptor and routes through the SAME library verbs the
+  // programmatic route uses (one protocol, two faces), returning a
+  // one-row result describing what was committed. ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"graft catalog has a single flat namespace, got ${namespace.mkString(".")}")
+    GraftCatalog.ProcedureNames.map(n => Identifier.of(Array.empty, n))
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    import org.apache.spark.unsafe.types.UTF8String
+    require(ident.namespace.isEmpty && GraftCatalog.ProcedureNames.contains(ident.name),
+      s"unknown graft procedure ${ident.name} — have " +
+        GraftCatalog.ProcedureNames.mkString(", "))
+
+    def commitLogRoot(table: String): String =
+      readMeta(Identifier.of(Array.empty, table)) match {
+        case Some((CommitLogProvider, loc, _)) => loc
+        case Some((other, _, _)) => throw new IllegalArgumentException(
+          s"graft procedures target graft.commitlog tables; '$table' is $other")
+        case None =>
+          throw new NoSuchTableException(Identifier.of(Array.empty, table))
+      }
+    def spark = org.apache.spark.sql.SparkSession.active
+    def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+    def inDef(n: String, t: DataType, d: String) =
+      ProcedureParameter.in(n, t).defaultValue(d).build()
+    def csv(s: String): Seq[String] =
+      s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+    def procedure(params: Array[ProcedureParameter], out: StructType)(
+        run: org.apache.spark.sql.catalyst.InternalRow => Seq[Any]): UnboundProcedure =
+      new UnboundProcedure {
+        override def name(): String = ident.name
+        override def description(): String = s"graft commit-log ${ident.name}"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = ident.name
+            override def description(): String = s"graft commit-log ${ident.name}"
+            override def parameters(): Array[ProcedureParameter] = params
+            override def isDeterministic: Boolean = false
+            override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+                : java.util.Iterator[Scan] = {
+              val vals = run(input).map {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }.toArray[Any]
+              val result: Scan = new LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(new GenericInternalRow(vals))
+              }
+              java.util.List.of(result).iterator()
+            }
+          }
+      }
+
+    ident.name match {
+      case "compact" =>
+        // OPTIMIZE: plain bin-packing, or clustered via sort_cols /
+        // zorder_cols (comma-separated; mutually exclusive like the
+        // library call). No-op on an already-compact head, like compact().
+        procedure(
+          Array(in("table", StringType),
+            inDef("target_files", IntegerType, "4"),
+            inDef("sort_cols", StringType, "''"),
+            inDef("zorder_cols", StringType, "''")),
+          StructType(Seq(StructField("version", LongType, nullable = false),
+            StructField("n_dirs", IntegerType, nullable = false)))) { input =>
+          val root = commitLogRoot(input.getUTF8String(0).toString)
+          val c = CommitLog.compact(spark, root, "procedure",
+            targetFiles = input.getInt(1),
+            sortCols = csv(input.getUTF8String(2).toString),
+            zorderCols = csv(input.getUTF8String(3).toString))
+            .getOrElse(throw new IllegalStateException(
+              "compact of an empty table — nothing to consolidate"))
+          Seq[Any](c.version, c.dataDirs.size)
+        }
+      case "vacuum" =>
+        procedure(
+          Array(in("table", StringType),
+            inDef("keep", IntegerType, "7"),
+            inDef("grace_ms", LongType, "600000")),
+          StructType(Seq(
+            StructField("dropped_versions", IntegerType, nullable = false)))) { input =>
+          val root = commitLogRoot(input.getUTF8String(0).toString)
+          Seq[Any](CommitLog.vacuum(spark, root, keep = input.getInt(1),
+            graceMs = input.getLong(2)))
+        }
+      case "restore" =>
+        procedure(
+          Array(in("table", StringType), in("version", LongType)),
+          StructType(Seq(
+            StructField("restored_to", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false)))) { input =>
+          val root = commitLogRoot(input.getUTF8String(0).toString)
+          val target = input.getLong(1)
+          val c = CommitLog.restore(spark, root, "procedure", target)
+          Seq[Any](target, c.version)
+        }
+      case "add_bloom" =>
+        procedure(
+          Array(in("table", StringType), in("column", StringType),
+            inDef("fpp", DoubleType, "0.001D")),
+          StructType(Seq(
+            StructField("sidecars_built", IntegerType, nullable = false)))) { input =>
+          val root = commitLogRoot(input.getUTF8String(0).toString)
+          Seq[Any](CommitLog.addBloom(spark, root,
+            input.getUTF8String(1).toString, input.getDouble(2)))
+        }
+    }
+  }
 }
 
 object GraftCatalog {
   val MetaFile = "_graft_table.json"
+  private[sources] val ProcedureNames =
+    Array("compact", "vacuum", "restore", "add_bloom")
   val IndexProvider = "graft.index"
   val IvfProvider = "graft.ivf"
   val CommitLogProvider = "graft.commitlog"

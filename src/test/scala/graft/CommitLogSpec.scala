@@ -1499,6 +1499,57 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("catalog procedures: CALL compact/vacuum/add_bloom/restore route through the protocol verbs") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gcl3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcl3.dir", catRoot)
+    try {
+      spark.sql("CREATE TABLE gcl3.t (id BIGINT, v STRING) " +
+        s"USING `graft.commitlog` LOCATION '$tableRoot'")
+      (1 to 3).foreach(k =>
+        Seq((k.toLong, s"v$k")).toDF("id", "v")
+          .write.format("graft.commitlog").mode("append").save(tableRoot))
+      assert(CommitLog.latest(spark, tableRoot).get.dataDirs.size == 3)
+      // OPTIMIZE from SQL: one consolidated dir, rowInvisible commit
+      val comp = spark.sql(
+        "CALL gcl3.compact(`table` => 't', target_files => 1)").collect()
+      assert(comp.length == 1 && comp.head.getLong(0) == 4L &&
+        comp.head.getInt(1) == 1)
+      val head = CommitLog.latest(spark, tableRoot).get
+      assert(head.action == "compact" && head.rowInvisible &&
+        head.writer == "procedure")
+      // VACUUM from SQL: retention drops the pre-compact versions
+      val vac = spark.sql(
+        "CALL gcl3.vacuum(`table` => 't', keep => 1, grace_ms => 0)").collect()
+      assert(vac.head.getInt(0) == 3)
+      assert(CommitLog.readVersion(spark, tableRoot, 1L).isEmpty)
+      // bloom sidecars from SQL
+      val blm = spark.sql(
+        "CALL gcl3.add_bloom(`table` => 't', `column` => 'id')").collect()
+      assert(blm.head.getInt(0) == 1)
+      // RESTORE from SQL: roll back an append as a new audited commit
+      Seq((99L, "bad")).toDF("id", "v")
+        .write.format("graft.commitlog").mode("append").save(tableRoot)
+      val res = spark.sql(
+        "CALL gcl3.restore(`table` => 't', version => 4)").collect()
+      assert(res.head.getLong(0) == 4L && res.head.getLong(1) == 6L)
+      assert(spark.table("gcl3.t").count() == 3L)
+      // the state rides the same protocol the library route reads
+      assert(rows(spark.table("gcl3.t").orderBy("id")) ==
+        rows(CommitLog.readLatest(spark, tableRoot).get.orderBy("id")))
+      // a procedure against a non-commitlog table fails loudly
+      intercept[Exception] {
+        spark.sql("CALL gcl3.compact(`table` => 'nope')").collect()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcl3.t")
+      spark.conf.unset("spark.sql.catalog.gcl3")
+      spark.conf.unset("spark.sql.catalog.gcl3.dir")
+    }
+  }
+
   test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
     import spark.implicits._
     val root = freshRoot()
