@@ -171,8 +171,10 @@ object CommitLog {
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
     * DDL carrying a control char — e.g. a backtick-quoted column name with
-    * \n — emitted raw, making the file invalid JSON for external readers). */
-  private def escapeJson(s: String): String = {
+    * \n — emitted raw, making the file invalid JSON for external readers).
+    * Shared with [[GraftCatalog]]'s descriptor writer (same field class —
+    * a schema DDL — must not have two divergent escapers). */
+  private[sources] def escapeJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -189,7 +191,7 @@ object CommitLog {
     }
     b.toString
   }
-  private def unescapeJson(s: String): String = {
+  private[sources] def unescapeJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -201,7 +203,14 @@ object CommitLog {
           case 'n' => b.append('\n'); i += 2
           case 'r' => b.append('\r'); i += 2
           case 't' => b.append('\t'); i += 2
-          case 'u' if i + 6 <= s.length =>
+          // an INVALID \u escape (bit rot in one string field) must not
+          // throw out of parse — readCommitFile's damage contract is
+          // degrade, and a throwing unescape would brick every reader AND
+          // writer (repairTornTail runs in claim loops). Emit the pair
+          // literally instead (code review r13).
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                Character.digit(c, 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => b.append(other); i += 2
@@ -989,6 +998,7 @@ object CommitLog {
     * `keep` must exceed the longest writer restart window or a very
     * stale writer may re-append its last batch. */
   def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] = {
+    val f = fs(spark, root)
     val top = newestPresentVersion(spark, root).getOrElse(return None)
     var v = top
     while (v >= 1) {
@@ -999,10 +1009,13 @@ object CommitLog {
             case _ => ()
           }
         case None =>
-          // only the tail can be torn (reads as None but files continue
-          // below it); any LOWER missing file is the retention edge —
-          // nothing older is retained, stop
-          if (v != top) return None
+          // a MISSING file below the top is the retention edge — nothing
+          // older is retained, stop. A PRESENT-but-unparseable file (the
+          // torn tail, or one bit-rotted commit) is SKIPPED, never a
+          // stop: halting there would hide every older watermark and
+          // turn one damaged file into duplicate appends (code review
+          // r13 — the pre-r13 listing walk skipped such files too).
+          if (v != top && !f.exists(commitPath(root, v))) return None
       }
       v -= 1
     }
@@ -1023,9 +1036,11 @@ object CommitLog {
     * `writeStream → commit log` exactly-once end-to-end. */
   def commitAppendOnce(spark: SparkSession, root: String, writer: String,
       action: String, appId: String, batchId: Long, maxAttempts: Int = 20,
-      statsCol: Option[String] = None)(delta: DataFrame): Commit = {
+      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil)(delta: DataFrame): Commit = {
     requireTag(appId, "appId") // embeds in the claim JSON
-    appendImpl(spark, root, writer, action, maxAttempts, statsCol.toSeq,
+    appendImpl(spark, root, writer, action, maxAttempts,
+      (statsCol.toSeq ++ statsCols).distinct,
       txn = Some((appId, batchId)), evolve = false)(delta)
   }
 

@@ -164,7 +164,7 @@ final class CommitLogSource extends DataSourceRegister
               "idempotent appends pin the head schema")
           CommitLog.commitAppendOnce(spark, root, writer, "append",
             appId = app, batchId = txnVersion.get,
-            statsCol = statsCols.headOption)(data)
+            statsCols = statsCols)(data)
         case None =>
           CommitLog.commitAppend(spark, root, writer,
             if (exists) "append" else "create",
@@ -216,7 +216,7 @@ final class CommitLogSource extends DataSourceRegister
       .getOrElse(throw new IllegalArgumentException(
         "graft.commitlog sink needs option(\"txnAppId\", ...) or a " +
           "checkpointLocation to derive a stable writer identity from"))
-    new CommitLogSink(root, appId, statsColsOf(parameters).headOption)
+    new CommitLogSink(root, appId, statsColsOf(parameters))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -564,13 +564,19 @@ private[sources] final class CommitLogCatalogTable(root: String,
     val conds = filters.map(f => CommitLogSource.filterToColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"graft.commitlog: cannot push delete filter $f")))
+    // SQL DELETE semantics: a row is deleted only where the predicate is
+    // TRUE — a NULL evaluation KEEPS the row. The keep-set is therefore
+    // NOT(coalesce(cond, false)); plain !cond would silently drop rows
+    // where the predicate is NULL (code review r13: `DELETE WHERE id = 2`
+    // must not delete a NULL-id row).
     val cond = conds.foldLeft(lit(true))(_ && _)
+    val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
     if (CommitLog.latest(spark, root).isEmpty) return // nothing to delete
     CommitLog.commit(spark, root, "catalog", "delete")(cur =>
       // a concurrent vacuum-to-nothing between the guard and the claim
       // loop leaves no rows to delete: commit an empty state of the
       // table's own schema rather than failing the statement
-      cur.map(_.filter(!cond)).getOrElse(
+      cur.map(_.filter(keep)).getOrElse(
         spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
           schema())))
     ()
@@ -824,16 +830,23 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
   * harmless). Scale: each batch costs O(batch) rows + one log file; the
   * table's compact/vacuum cadence bounds directory count. */
 private[sources] final class CommitLogSink(root: String, appId: String,
-    statsCol: Option[String]) extends Sink {
+    statsCols: Seq[String]) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val rows = data.queryExecution.toRdd.map(_.copy())
     val batch = org.apache.spark.sql.GraftBridge
       .internalCreateDataFrame(spark, rows, data.schema, isStreaming = false)
-    if (!batch.isEmpty)
-      CommitLog.commitAppendOnce(spark, root, writer = appId,
-        action = "stream-append", appId = appId, batchId = batchId,
-        statsCol = statsCol)(batch)
+    // materialize the batch ONCE (code review r13): the emptiness probe
+    // and the commit's parquet write are two actions — unpinned, each
+    // would recompute the whole upstream micro-batch (the classic
+    // multiple-actions-in-foreachBatch footgun, here inside the sink)
+    val pinned = batch.localCheckpoint(true)
+    try {
+      if (!pinned.isEmpty)
+        CommitLog.commitAppendOnce(spark, root, writer = appId,
+          action = "stream-append", appId = appId, batchId = batchId,
+          statsCols = statsCols)(pinned)
+    } finally pinned.unpersist()
   }
   override def toString: String = s"CommitLogSink($root, $appId)"
 }

@@ -356,14 +356,16 @@ object GraftCatalog {
   val IvfProvider = "graft.ivf"
   val CommitLogProvider = "graft.commitlog"
   // JSON-string values with escapes: a location containing a quote or
-  // backslash round-trips instead of bricking the table name (ADVICE r7)
+  // backslash round-trips instead of bricking the table name (ADVICE r7).
+  // Escaping is CommitLog's FULL escaper (code review r13: the r13 schema
+  // field is a DDL — the same field class whose control chars ADVICE r12
+  // flagged in the commit JSON; two divergent escapers in sibling files
+  // would re-open that hole here).
   private val ProviderRe = """"provider"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
   private val LocationRe = """"location"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
   private val SchemaRe = """"schema"\s*:\s*"((?:[^"\\]|\\.)+)"""".r.unanchored
-  private def escapeJson(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unescapeJson(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def escapeJson(s: String): String = CommitLog.escapeJson(s)
+  private def unescapeJson(s: String): String = CommitLog.unescapeJson(s)
 
   /** The `bucket` partition-transform function [[IndexScan]] reports its
     * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]

@@ -1492,6 +1492,13 @@ class CommitLogSpec extends SparkSpec {
       spark.sql("DELETE FROM gcl2.t WHERE id > 10 AND v = 'zzz'")
       assert(rows(spark.table("gcl2.t").orderBy("id")) ==
         Seq(Seq(1L, "a"), Seq(3L, "c")))
+      // SQL DELETE null semantics (code review r13): a row where the
+      // predicate evaluates to NULL is KEPT — delete only where TRUE
+      spark.sql("INSERT INTO gcl2.t VALUES (NULL, 'n')")
+      spark.sql("DELETE FROM gcl2.t WHERE id = 3")
+      assert(spark.table("gcl2.t").count() == 2L,
+        "a NULL-keyed row must survive an equality delete")
+      assert(spark.table("gcl2.t").filter(col("id").isNull).count() == 1L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcl2.t")
       spark.conf.unset("spark.sql.catalog.gcl2")
