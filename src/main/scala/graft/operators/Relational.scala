@@ -398,7 +398,46 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_replace: the Delta
+  // replaceWhere shape (r13) — a create carrying classes 25+26, then ONE
+  // partial-overwrite commit restating ONLY class 26 (price +1.0) via
+  // `mode("overwrite").option("replaceWhere", ...)`: kept rows are those
+  // NOT matching, incoming rows are constraint-checked to all satisfy the
+  // predicate (a row outside the claimed region fails the statement).
+  private val replaceCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def replaceLogFor(s: SparkSession, d: String): String =
+    replaceCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitreplace")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter((col("o_orderkey") % 100).isin(25, 26))
+        .write.format("graft.commitlog").save(root)
+      orders.filter(col("o_orderkey") % 100 === 26)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .write.format("graft.commitlog").mode("overwrite")
+        .option("replaceWhere", "o_orderkey % 100 = 26").save(root)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // PARTIAL OVERWRITE — replaceWhere (r13, the Delta restatement verb):
+    // the declared result reads the head after one serializable commit
+    // replaced exactly the class-26 region with its repriced restatement,
+    // leaving class 25 untouched. The oracle rebuilds both slices
+    // relationally — a leaked old row, a lost kept row, or a restatement
+    // that escaped its region all hash-fail. At 100 TB this is the
+    // idempotent "restate this day" pattern: one rewrite commit, bounded
+    // by the snapshot (production narrows to affected partitions).
+    "q_commit_log_replace" -> ((s, d) => {
+      val root = replaceLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Connector WRITE path end state (r13 — sources/CommitLogSource
     // .createRelation(mode)): the fixture's create + append + twice-
     // delivered txn append all route through the commit protocol from
@@ -968,6 +1007,15 @@ object Relational {
         "(CAST(4 AS BIGINT), 'operator', 'restore', 1, FALSE)) " +
         "AS h(version, writer, action, n_dirs, row_invisible) " +
         "ORDER BY version"),
+    "q_commit_log_replace" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 25 " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice + 1.0 " +
+        "FROM orders WHERE o_orderkey % 100 = 26) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_write" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

@@ -824,6 +824,27 @@ object CommitLog {
     load(spark, root, c)
   }
 
+  /** The REPLAY FLOOR for a wall-clock: the newest version whose
+    * monotonized timestamp is strictly BEFORE `tsMs`, or 0 when every
+    * retained commit is at-or-after it — a stream starting at this floor
+    * delivers exactly the commits at-or-after `tsMs` (Delta's
+    * `startingTimestamp` rule; same monotonization and loud missing-field
+    * behavior as [[commitAtTimestamp]]). A floor of 0 needs version 1
+    * retained to replay — the stream's own retention contract. */
+  def versionBeforeTimestamp(spark: SparkSession, root: String, tsMs: Long): Long = {
+    val cs = versions(spark, root)
+      .flatMap(v => readCommitFile(spark, root, v))
+    require(cs.nonEmpty, s"CommitLog: no commits at $root")
+    val missing = cs.filter(_.tsMs.isEmpty).map(_.version)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"CommitLog: startingTimestamp cannot resolve over $root — retained " +
+        s"commits ${missing.mkString(", ")} record no timestamp " +
+        "(pre-timestamp history); use startingVersion")
+    var eff = Long.MinValue
+    val resolved = cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
+    resolved.takeWhile(_._2 < tsMs).lastOption.map(_._1.version).getOrElse(0L)
+  }
+
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
   private def tryClaim(spark: SparkSession, root: String, v: Long,

@@ -170,10 +170,41 @@ final class CommitLogSource extends DataSourceRegister
             if (exists) "append" else "create",
             statsCols = statsCols, evolve = evolve)(data)
       }
-      case SaveMode.Overwrite =>
-        CommitLog.commit(spark, root, writer,
-          if (exists) "overwrite" else "create",
-          statsCols = statsCols)(_ => data)
+      case SaveMode.Overwrite => parameters.get("replaceWhere") match {
+        // PARTIAL overwrite (the Delta replaceWhere shape, r13): one
+        // serializable rewrite commit replacing exactly the rows matching
+        // the predicate with the incoming frame — the idempotent
+        // "restate this day/partition" pattern. Delta's constraint holds:
+        // every incoming row must itself satisfy the predicate, or the
+        // statement would silently write rows outside the region it
+        // claims to replace. Kept rows are those NOT matching (NULL
+        // evaluations keep, the DELETE rule).
+        case Some(condSql) =>
+          val cond = org.apache.spark.sql.functions.expr(condSql)
+          val pinned = data.localCheckpoint(true) // validate + commit: one evaluation
+          try {
+            val violating = pinned.filter(
+              !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
+            if (violating.limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"graft.commitlog: replaceWhere '$condSql' — incoming rows " +
+                  "must all satisfy the predicate; got " +
+                  violating.limit(1).collect().head.toString)
+            CommitLog.commit(spark, root, writer, "replace",
+              statsCols = statsCols) { cur =>
+              cur match {
+                case Some(prev) => prev.filter(
+                  !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
+                  .unionByName(pinned)
+                case None => pinned
+              }
+            }
+          } finally pinned.unpersist()
+        case None =>
+          CommitLog.commit(spark, root, writer,
+            if (exists) "overwrite" else "create",
+            statsCols = statsCols)(_ => data)
+      }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft.commitlog: $root already has commits — use " +
@@ -223,6 +254,12 @@ final class CommitLogSource extends DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
+    // option misuse fails at LOAD (sourceSchema runs at resolution), not
+    // only when the query starts
+    require(parameters.get("startingVersion").isEmpty ||
+      parameters.get("startingTimestamp").isEmpty,
+      "graft.commitlog stream takes startingVersion OR startingTimestamp, " +
+        "not both")
     val base = schema.orElse(
       CommitLog.readLatest(sqlContext.sparkSession, root).map(_.schema))
       .getOrElse(throw new IllegalArgumentException(
@@ -253,12 +290,23 @@ final class CommitLogSource extends DataSourceRegister
     // startingVersion opts into append REPLAY from that version, for
     // consumers that want the retained history as insert batches.
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    // startingTimestamp (r13, Delta's rule): replay from the first commit
+    // whose monotonized wall-clock is at-or-after the given epoch-ms —
+    // resolved ONCE at query start to a version floor (offsets stay
+    // versions, so the checkpoint is timestamp-free and restarts are
+    // deterministic even as the clock-to-version mapping grows)
+    val startingTimestamp = parameters.get("startingTimestamp").map(_.toLong)
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "graft.commitlog stream takes startingVersion OR startingTimestamp, " +
+        "not both")
+    val floor = startingVersion.orElse(startingTimestamp.map(ts =>
+      CommitLog.versionBeforeTimestamp(sqlContext.sparkSession, root, ts)))
     val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toInt)
     maxCommits.foreach(n => require(n >= 1,
       s"maxCommitsPerTrigger must be >= 1, got $n"))
     new CommitLogStreamSource(sqlContext.sparkSession, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      startingVersion, maxCommits, readChangeFeedOf(parameters))
+      floor, maxCommits, readChangeFeedOf(parameters))
   }
 }
 

@@ -1557,6 +1557,37 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("replaceWhere: replaces exactly the matching region, constraint-checks incoming rows, keeps NULL evaluations") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq[(java.lang.Long, String, Double)]((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "a", 30.0), (null, "x", 0.0))
+      .toDF("id", "grp", "v").write.format("graft.commitlog").save(root)
+    // restate the id <= 3 region: the NULL-id row's predicate evaluates
+    // to NULL — it must be KEPT (replace only where TRUE, the DELETE rule)
+    Seq((1L, "a", 11.0), (2L, "b", 21.0)).toDF("id", "grp", "v")
+      .write.format("graft.commitlog").mode("overwrite")
+      .option("replaceWhere", "id <= 3").save(root)
+    val head = CommitLog.latest(spark, root).get
+    assert(head.action == "replace" && head.version == 2L)
+    val got = spark.read.format("graft.commitlog").load(root)
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((Some(1L), "a", 11.0), (Some(2L), "b", 21.0),
+      (None, "x", 0.0)),
+      s"region swapped for the restatement, null-evaluating row kept: $got")
+    // history intact: the pre-restatement state stays travelable
+    assert(CommitLog.readVersion(spark, root, 1L).get.count() == 4L)
+    // the Delta constraint: an incoming row OUTSIDE the region fails the
+    // statement before anything commits
+    intercept[IllegalArgumentException] {
+      Seq((9L, "b", 9.0)).toDF("id", "grp", "v")
+        .write.format("graft.commitlog").mode("overwrite")
+        .option("replaceWhere", "id <= 3").save(root)
+    }
+    assert(CommitLog.latest(spark, root).get.version == 2L,
+      "a refused replaceWhere must not have committed")
+  }
+
   test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
     import spark.implicits._
     val root = freshRoot()

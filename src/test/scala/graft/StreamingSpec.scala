@@ -1047,6 +1047,47 @@ class StreamingSpec extends SparkSpec {
       s"CDF failure must carry the resync instruction: ${ex.getMessage}")
   }
 
+  test("graft.commitlog stream: startingTimestamp resolves to a version floor — replay delivers exactly the at-or-after commits") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val root = Files.createTempDirectory("graft-clts").toString
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    Thread.sleep(20L)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((2L, "b")).toDF("id", "v"))
+    Thread.sleep(20L)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c")).toDF("id", "v"))
+    val ts = CommitLog.history(spark, root).orderBy("version").collect()
+      .map(_.getAs[Long]("ts_ms"))
+    // floor resolution: strictly-before semantics, boundary included
+    assert(CommitLog.versionBeforeTimestamp(spark, root, ts(1)) == 1L)
+    assert(CommitLog.versionBeforeTimestamp(spark, root, ts(0)) == 0L)
+    assert(CommitLog.versionBeforeTimestamp(spark, root, ts(2) + 1000L) == 3L)
+    // the stream from v2's wall-clock delivers v2 and v3 only
+    val ckpt = Files.createTempDirectory("graft-clts-ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft.commitlog")
+      .option("startingTimestamp", ts(1).toString).load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == Seq(2L, 3L),
+      s"startingTimestamp must replay exactly the at-or-after commits: $got")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.commitlog")
+        .option("startingTimestamp", ts(1).toString)
+        .option("startingVersion", "1").load(root)
+    }
+  }
+
   test("graft.commitlog sink: writeStream appends exactly-once, and a zombie replay with the same txnAppId no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
