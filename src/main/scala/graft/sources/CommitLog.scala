@@ -1804,6 +1804,133 @@ object CommitLog {
       s"CommitLog: $writer lost $maxAttempts consecutive merge claims on $root")
   }
 
+  /** PARTIAL OVERWRITE — the Delta `replaceWhere` verb (r13): one
+    * serializable rewrite commit (action "replace") swaps exactly the
+    * rows matching `cond` for `data` — the idempotent "restate this
+    * day/partition" pattern. Delta's constraint holds: every incoming row
+    * must itself satisfy `cond` (NULL fails — the statement would
+    * otherwise write rows outside the region it claims to replace), and
+    * kept rows are those NOT matching, with NULL evaluations KEPT (the
+    * SQL DELETE rule).
+    *
+    * COPY-ON-WRITE with DIRECTORY PRUNING — the merge economics applied
+    * to restatement: only directories that MIGHT contain a matching row
+    * are rewritten; every other directory is carried into the new commit
+    * untouched (byte-identical files, stats preserved). "Might contain"
+    * is the SAME evidence decision the connector's filtered scans make
+    * ([[CommitLogSource.pruneDirsByEvidence]] over the predicate's
+    * resolved conjuncts: per-recorded-column min/max narrowing + bloom
+    * point probes), so a restatement and a scan can never disagree about
+    * which dirs a predicate touches; a predicate with no usable evidence
+    * conservatively rewrites everything. At 100 TB: restating one day of
+    * a time-clustered 1000-dir history rewrites the matching dirs plus
+    * the incoming rows, never the table.
+    *
+    * Row-VISIBLE (rows are retracted), no persisted changeset: the
+    * replaced region is unbounded (unlike a merge's keyed changeset), so
+    * incremental consumers resync — the [[changesSince]] plain-rewrite
+    * contract. The incoming frame is localCheckpoint-pinned: validation
+    * and every claim attempt's stage read one materialization. */
+  def replaceWhere(spark: SparkSession, root: String, writer: String,
+      cond: org.apache.spark.sql.Column, data: DataFrame,
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 20): Commit = {
+    requireTag(writer, "writer")
+    val declared = (statsCol.toSeq ++ statsCols).distinct
+    declared.foreach(sc => requireTag(sc, "statsCol"))
+    init(spark, root)
+    val f = fs(spark, root)
+    val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
+    val pinned = data.localCheckpoint(true)
+    try {
+      val violating = pinned.filter(keep)
+      if (violating.limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"CommitLog.replaceWhere: incoming rows must all satisfy the " +
+            s"predicate; got ${violating.limit(1).collect().head}")
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        repairTornTail(spark, root)
+        val cur = latest(spark, root)
+        val head = cur.getOrElse(
+          // empty table: the restatement is a create (ordinary commit
+          // loop; the predicate constrains only the incoming rows, and
+          // they were validated above)
+          return commit(spark, root, writer, "replace", maxAttempts,
+            statsCols = declared)(_ => pinned))
+        val headSchema = load(spark, root, head).schema
+        val same = headSchema.length == pinned.schema.length &&
+          headSchema.forall(hf => pinned.schema.exists(pf =>
+            pf.name == hf.name && pf.dataType == hf.dataType))
+        require(same,
+          s"replaceWhere schema mismatch vs head v${head.version}: head " +
+            s"${headSchema.simpleString} vs data ${pinned.schema.simpleString}")
+        if (declared.nonEmpty && head.statsCols.nonEmpty)
+          require(declared.toSet == head.statsCols.toSet,
+            s"statsCols ${declared.mkString("[", ",", "]")} conflict with " +
+              s"the table's recorded ${head.statsCols.mkString("[", ",", "]")}")
+        val effCols = if (declared.nonEmpty) declared else head.statsCols
+        // affected dirs: resolve the predicate against the head snapshot
+        // and hand its conjuncts to the shared evidence pruning — no
+        // Filter in the optimized plan (e.g. a constant-true predicate)
+        // means no evidence: rewrite everything, conservative
+        val conjuncts = {
+          val plan = load(spark, root, head).filter(cond)
+            .queryExecution.optimizedPlan
+          def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+            e match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                split(l) ++ split(r)
+              case other => Seq(other)
+            }
+          plan.collectFirst {
+            case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              split(fl.condition)
+          }.getOrElse(Nil)
+        }
+        val affected =
+          if (conjuncts.isEmpty) head.dataDirs
+          else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
+        val carried = head.dataDirs.filterNot(affected.contains)
+        val headCols = headSchema.fieldNames.map(col)
+        val incoming = pinned.select(headCols: _*)
+        val stage =
+          if (affected.isEmpty) incoming
+          else readDirs(spark, root, head.schemaDDL, affected)
+            .filter(keep).unionByName(incoming)
+        val nextV = head.version + 1
+        val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+        stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+        // self-maintaining bloom evidence, the merge rule: a bloomed
+        // table's restatement output gets its sidecar immediately
+        if (bloomColumn(spark, root).isDefined)
+          buildSidecar(spark, root, newDir, bloomColumn(spark, root).get,
+            fpp = 0.001)
+        val newByCol = dirStats(spark, s"$root/$newDir", effCols)
+        val newStats =
+          if (newByCol.nonEmpty) Map(newDir -> newByCol)
+          else Map.empty[String, Map[String, (Long, Long)]]
+        val allStats = head.stats
+          .filter { case (d, _) => carried.contains(d) } ++ newStats
+        val c = Commit(nextV, carried :+ newDir, writer, "replace", allStats,
+          statsCols = if (allStats.nonEmpty) effCols else Nil,
+          schemaDDL = head.schemaDDL,
+          tsMs = Some(System.currentTimeMillis()))
+        if (tryClaim(spark, root, nextV, render(c))) {
+          writeHeadPointer(f, root, nextV); return c
+        }
+        // lost the race: the affected set may differ under the new head
+        f.delete(new HPath(s"$root/$newDir"), true)
+        f.delete(bloomPath(root, newDir), false)
+        Thread.sleep(50L * attempt)
+      }
+      throw new java.io.IOException(
+        s"CommitLog: $writer lost $maxAttempts consecutive replace claims on $root")
+    } finally pinned.unpersist()
+  }
+
   /** Retain only the newest `keep` committed versions: older commit FILES
     * are dropped, then every `data-*-v<N>` directory no kept commit
     * references is swept — vacuumed-version data and crashed/lost

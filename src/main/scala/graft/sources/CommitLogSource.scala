@@ -174,32 +174,15 @@ final class CommitLogSource extends DataSourceRegister
         // PARTIAL overwrite (the Delta replaceWhere shape, r13): one
         // serializable rewrite commit replacing exactly the rows matching
         // the predicate with the incoming frame — the idempotent
-        // "restate this day/partition" pattern. Delta's constraint holds:
-        // every incoming row must itself satisfy the predicate, or the
-        // statement would silently write rows outside the region it
-        // claims to replace. Kept rows are those NOT matching (NULL
-        // evaluations keep, the DELETE rule).
+        // "restate this day/partition" pattern, with MERGE-style
+        // copy-on-write dir pruning: only dirs whose recorded evidence
+        // says they might hold a matching row are rewritten (see
+        // CommitLog.replaceWhere). Delta's constraint holds: every
+        // incoming row must itself satisfy the predicate.
         case Some(condSql) =>
-          val cond = org.apache.spark.sql.functions.expr(condSql)
-          val pinned = data.localCheckpoint(true) // validate + commit: one evaluation
-          try {
-            val violating = pinned.filter(
-              !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
-            if (violating.limit(1).count() > 0)
-              throw new IllegalArgumentException(
-                s"graft.commitlog: replaceWhere '$condSql' — incoming rows " +
-                  "must all satisfy the predicate; got " +
-                  violating.limit(1).collect().head.toString)
-            CommitLog.commit(spark, root, writer, "replace",
-              statsCols = statsCols) { cur =>
-              cur match {
-                case Some(prev) => prev.filter(
-                  !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
-                  .unionByName(pinned)
-                case None => pinned
-              }
-            }
-          } finally pinned.unpersist()
+          CommitLog.replaceWhere(spark, root, writer,
+            org.apache.spark.sql.functions.expr(condSql), data,
+            statsCols = statsCols)
         case None =>
           CommitLog.commit(spark, root, writer,
             if (exists) "overwrite" else "create",
@@ -370,70 +353,16 @@ object CommitLogSource {
       bucketSpec = None, fileFormat = new ParquetFileFormat,
       options = options)(spark)
   }
-}
 
-/** [[FileIndex]] over one committed version's immutable data directories.
-  *
-  * `listFiles` is where the commit log's metadata meets Catalyst: the
-  * pushed data filters are inspected for simple shapes on the table's
-  * RECORDED stats column (a conjunction of =, <, <=, >, >=, IN narrows to
-  * one [lo, hi] range) and RECORDED bloom column (=/IN literal sets), and
-  * whole directories are dropped through the library's own
-  * [[CommitLog.statsKeepDirs]] / [[CommitLog.bloomKeepDirs]] planning —
-  * `requireRecorded`/`requireMarker` = true, because here the constraint is
-  * DERIVED rather than caller-asserted, so a commit that never recorded
-  * evidence for the column is never pruned on it. Unrecognized filter
-  * shapes contribute nothing (conservative: scan). Row-level correctness
-  * never depends on any of this — Spark re-applies every filter after the
-  * scan, the same two-layer contract as [[CommitLog.readLatestWhere]].
-  *
-  * Listing happens ONCE per relation (directories are immutable until
-  * vacuum, and a vacuum old enough to race a running query would be a
-  * retention misconfiguration by the same contract the library route
-  * documents); `refresh()` is therefore a no-op — time travel and
-  * snapshot isolation come from the pinned [[CommitLog.Commit]]. */
-private[graft] final class CommitLogFileIndex(spark: SparkSession,
-    root: String, commit: CommitLog.Commit) extends FileIndex {
-
-  private val fsys =
-    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  // dir name -> its parquet files, listed once (immutable once committed).
-  // A MISSING directory fails loudly (code review r12): the commit lists
-  // it, so absence means a vacuum outran this query's snapshot (or
-  // external damage) — the library route's spark.read.parquet throws for
-  // the same state, and a silent empty would return partial rows (worst
-  // of all in a streaming batch, which must be exact or absent).
-  private lazy val byDir: Seq[(String, Array[FileStatus])] =
-    commit.dataDirs.map { d =>
-      val p = new HPath(root, d)
-      if (!fsys.exists(p)) throw new IllegalStateException(
-        s"graft.commitlog: data directory $p of version ${commit.version} " +
-          "is missing — vacuumed past this read's snapshot (raise retention " +
-          "or re-resolve the head) or externally damaged")
-      d -> fsys.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    }
-
-  override def rootPaths: Seq[HPath] =
-    commit.dataDirs.map(d => new HPath(root, d))
-  override def partitionSchema: StructType = StructType(Nil)
-  override def refresh(): Unit = ()
-  override def sizeInBytes: Long = byDir.iterator.flatMap(_._2).map(_.getLen).sum
-  override def inputFiles: Array[String] =
-    byDir.flatMap(_._2).map(_.getPath.toString).toArray
-
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = prunedDirs(dataFilters).toSet
-    Seq(PartitionDirectory(InternalRow.empty,
-      byDir.filter(kv => keep(kv._1)).flatMap(_._2).toArray))
-  }
-
-  /** The directories a scan constrained by `dataFilters` must read —
-    * exposed for the pruning spec (the connector twin of CommitLogSpec's
-    * inputFiles proofs). */
-  private[graft] def prunedDirs(dataFilters: Seq[Expression]): Seq[String] = {
+  /** The dirs of `commit` a scan (or a partial rewrite) constrained by
+    * `dataFilters` must touch — conservative evidence-based pruning over
+    * the commit's recorded per-column min/max stats and the table's bloom
+    * sidecars. Shared by [[CommitLogFileIndex.listFiles]] (pushed-filter
+    * scan planning) and [[CommitLog.replaceWhere]] (which dirs a
+    * restatement must rewrite), so the two decisions are identical by
+    * construction. */
+  private[graft] def pruneDirsByEvidence(spark: SparkSession, root: String,
+      commit: CommitLog.Commit, dataFilters: Seq[Expression]): Seq[String] = {
     // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
     // (r13: the stats set can hold several columns — each contributes its
     // own conjunct-derived range, and a dir survives only if EVERY
@@ -542,6 +471,75 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
       case BinaryType => Some(v.asInstanceOf[Array[Byte]])
       case _ => None
     }
+}
+
+/** [[FileIndex]] over one committed version's immutable data directories.
+  *
+  * `listFiles` is where the commit log's metadata meets Catalyst: the
+  * pushed data filters are inspected for simple shapes on the table's
+  * RECORDED stats column (a conjunction of =, <, <=, >, >=, IN narrows to
+  * one [lo, hi] range) and RECORDED bloom column (=/IN literal sets), and
+  * whole directories are dropped through the library's own
+  * [[CommitLog.statsKeepDirs]] / [[CommitLog.bloomKeepDirs]] planning —
+  * `requireRecorded`/`requireMarker` = true, because here the constraint is
+  * DERIVED rather than caller-asserted, so a commit that never recorded
+  * evidence for the column is never pruned on it. Unrecognized filter
+  * shapes contribute nothing (conservative: scan). Row-level correctness
+  * never depends on any of this — Spark re-applies every filter after the
+  * scan, the same two-layer contract as [[CommitLog.readLatestWhere]].
+  *
+  * Listing happens ONCE per relation (directories are immutable until
+  * vacuum, and a vacuum old enough to race a running query would be a
+  * retention misconfiguration by the same contract the library route
+  * documents); `refresh()` is therefore a no-op — time travel and
+  * snapshot isolation come from the pinned [[CommitLog.Commit]]. */
+private[graft] final class CommitLogFileIndex(spark: SparkSession,
+    root: String, commit: CommitLog.Commit) extends FileIndex {
+
+  private val fsys =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // dir name -> its parquet files, listed once (immutable once committed).
+  // A MISSING directory fails loudly (code review r12): the commit lists
+  // it, so absence means a vacuum outran this query's snapshot (or
+  // external damage) — the library route's spark.read.parquet throws for
+  // the same state, and a silent empty would return partial rows (worst
+  // of all in a streaming batch, which must be exact or absent).
+  private lazy val byDir: Seq[(String, Array[FileStatus])] =
+    commit.dataDirs.map { d =>
+      val p = new HPath(root, d)
+      if (!fsys.exists(p)) throw new IllegalStateException(
+        s"graft.commitlog: data directory $p of version ${commit.version} " +
+          "is missing — vacuumed past this read's snapshot (raise retention " +
+          "or re-resolve the head) or externally damaged")
+      d -> fsys.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+
+  override def rootPaths: Seq[HPath] =
+    commit.dataDirs.map(d => new HPath(root, d))
+  override def partitionSchema: StructType = StructType(Nil)
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = byDir.iterator.flatMap(_._2).map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    byDir.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = prunedDirs(dataFilters).toSet
+    Seq(PartitionDirectory(InternalRow.empty,
+      byDir.filter(kv => keep(kv._1)).flatMap(_._2).toArray))
+  }
+
+  /** The directories a scan constrained by `dataFilters` must read —
+    * exposed for the pruning spec (the connector twin of CommitLogSpec's
+    * inputFiles proofs). Decision shared with the library's
+    * [[CommitLog.replaceWhere]] (r13): both routes delegate to
+    * [[CommitLogSource.pruneDirsByEvidence]], so a partial overwrite and
+    * a filtered scan can never disagree about which dirs a predicate
+    * might touch. */
+  private[graft] def prunedDirs(dataFilters: Seq[Expression]): Seq[String] =
+    CommitLogSource.pruneDirsByEvidence(spark, root, commit, dataFilters)
 }
 
 /** Catalog face of a commit-log table ([[GraftCatalog]] provider

@@ -1588,6 +1588,55 @@ class CommitLogSpec extends SparkSpec {
       "a refused replaceWhere must not have committed")
   }
 
+  test("replaceWhere prunes: only dirs whose recorded evidence might match are rewritten; the rest carry byte-identical") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four dirs with disjoint recorded id ranges — the time-clustered
+    // append history a daily restatement runs against
+    (0 to 3).foreach { k =>
+      CommitLog.commitAppend(spark, root, "w", "append",
+        statsCol = Some("id"))(
+        (k * 100L until k * 100L + 100L).toDF("id")
+          .withColumn("v", lit(s"g$k")))
+    }
+    val before = CommitLog.latest(spark, root).get
+    val filesBefore = CommitLog.readLatest(spark, root).get.inputFiles.toSet
+    // restate the [100, 199] slice — recorded stats prove dirs 0/2/3
+    // cannot match, so they must be CARRIED, not rewritten
+    val restated = (100L until 150L).toDF("id")
+      .withColumn("v", lit("g1fix"))
+    val c = CommitLog.replaceWhere(spark, root, "restater",
+      col("id").between(100L, 199L), restated, statsCol = Some("id"))
+    assert(c.action == "replace" && c.version == 5L)
+    assert(c.dataDirs.toSet.intersect(before.dataDirs.toSet) ==
+      (before.dataDirs.toSet - before.dataDirs(1)),
+      "exactly the matching-range dir is rewritten; the others carry")
+    val filesAfter = CommitLog.readLatest(spark, root).get.inputFiles.toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "carried dirs share physical files across the restatement")
+    // carried dirs keep their recorded stats
+    assert(before.dataDirs.filterNot(_ == before.dataDirs(1))
+      .forall(d => c.stats.get(d) == before.stats.get(d)))
+    // correctness: region swapped, everything else untouched
+    val got = CommitLog.readLatest(spark, root).get
+    assert(got.count() == 350L)
+    assert(got.filter(col("id").between(100L, 199L)).count() == 50L)
+    assert(rows(got.filter(col("v") === "g1fix").agg(count(lit(1)))) ==
+      Seq(Seq(50L)))
+    // equals the naive filter-and-union rebuild
+    val naive = (0 to 3).flatMap(k => (k * 100L until k * 100L + 100L))
+      .filterNot(id => id >= 100L && id <= 199L) ++ (100L until 150L)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      naive.sorted)
+    // a predicate with NO usable evidence rewrites everything — still
+    // correct, conservatively
+    val all = CommitLog.replaceWhere(spark, root, "restater",
+      col("v") === "g0", (0L until 10L).toDF("id").withColumn("v", lit("g0")),
+      statsCol = Some("id"))
+    assert(all.dataDirs.size == 1, "no evidence for a string predicate: full rewrite")
+    assert(CommitLog.readLatest(spark, root).get.count() == 260L)
+  }
+
   test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
     import spark.implicits._
     val root = freshRoot()
