@@ -1498,10 +1498,13 @@ object CommitLog {
   /** PURGE (retention enforcement / right-to-be-forgotten): commit a head
     * WITHOUT the rows matching `pred`, then drop ALL retained history, so
     * no API path — readLatest, readVersion, appendedSince — can reach a
-    * purged row again. The rewrite rides the ordinary optimistic loop
+    * purged row again. The rewrite rides the [[prunedRewrite]] loop
     * (action="purge", row-VISIBLE: downstream consumers must resync,
     * because rows they already received are being retracted — silently
-    * skipping a retraction would be the bug). The logical purge is
+    * skipping a retraction would be the bug). NULL-evaluating rows are
+    * KEPT (r13 — "matching pred" means pred is TRUE, the SQL rule; the
+    * earlier `filter(!pred)` silently over-purged rows where the
+    * predicate evaluated NULL). The logical purge is
     * IMMEDIATE: vacuum(keep=1) deletes old commit files synchronously, so
     * dropped versions stop resolving the moment this returns; the retired
     * data DIRECTORIES linger up to `graceMs` (the same window that
@@ -1509,18 +1512,20 @@ object CommitLog {
     * later vacuum — call again with graceMs=0 once writers are quiesced
     * if physical deletion must also be synchronous.
     *
-    * Scale: one filtered snapshot rewrite — the unavoidable copy-on-write
-    * cost of retracting rows from immutable files; at 100 TB, production
-    * narrows the rewrite to affected partitions, same protocol. Returns
+    * Scale (r13): the rewrite is DIR-PRUNED by the shared evidence
+    * decision — directories whose recorded stats/bloom prove no matching
+    * row carry into the purge commit untouched (they hold nothing to
+    * forget), so purging a keyed or time-ranged slice of a clustered
+    * 100 TB history rewrites the matching dirs, never the table; the
+    * recorded stats column set survives (the pre-r13 path recorded no
+    * stats on the purged head, silently disabling skipping). Returns
     * None on an empty table. */
   def purge(spark: SparkSession, root: String, writer: String,
       graceMs: Long = 600000L)(
       pred: org.apache.spark.sql.Column): Option[Commit] =
     latest(spark, root).map { _ =>
-      val c = commit(spark, root, writer, "purge") { cur =>
-        // cur is always Some: versions only grow and the head existed
-        cur.get.filter(!pred)
-      }
+      val c = prunedRewrite(spark, root, writer, "purge", pred,
+        incoming = None, declared = Nil, maxAttempts = 20)
       vacuum(spark, root, keep = 1, graceMs)
       c
     }
@@ -1835,11 +1840,7 @@ object CommitLog {
       cond: org.apache.spark.sql.Column, data: DataFrame,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       maxAttempts: Int = 20): Commit = {
-    requireTag(writer, "writer")
     val declared = (statsCol.toSeq ++ statsCols).distinct
-    declared.foreach(sc => requireTag(sc, "statsCol"))
-    init(spark, root)
-    val f = fs(spark, root)
     val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
     val pinned = data.localCheckpoint(true)
     try {
@@ -1848,87 +1849,137 @@ object CommitLog {
         throw new IllegalArgumentException(
           s"CommitLog.replaceWhere: incoming rows must all satisfy the " +
             s"predicate; got ${violating.limit(1).collect().head}")
-      var attempt = 0
-      while (attempt < maxAttempts) {
-        attempt += 1
-        repairTornTail(spark, root)
-        val cur = latest(spark, root)
-        val head = cur.getOrElse(
-          // empty table: the restatement is a create (ordinary commit
-          // loop; the predicate constrains only the incoming rows, and
-          // they were validated above)
-          return commit(spark, root, writer, "replace", maxAttempts,
-            statsCols = declared)(_ => pinned))
-        val headSchema = load(spark, root, head).schema
-        val same = headSchema.length == pinned.schema.length &&
-          headSchema.forall(hf => pinned.schema.exists(pf =>
+      prunedRewrite(spark, root, writer, "replace", cond,
+        incoming = Some(pinned), declared = declared,
+        maxAttempts = maxAttempts)
+    } finally pinned.unpersist()
+  }
+
+  /** DELETE the rows where `cond` is TRUE (NULL evaluations keep their
+    * rows — the SQL rule) as one serializable dir-pruned rewrite commit
+    * (action "delete"): directories the shared evidence decision proves
+    * predicate-free carry untouched with stats preserved; a predicate
+    * provably matching nothing returns the head unchanged. History stays
+    * time-travelable (unlike [[purge]], which also drops it). None on an
+    * empty table. The `DELETE FROM` statement on catalog tables routes
+    * here (r13). */
+  def delete(spark: SparkSession, root: String, writer: String,
+      cond: org.apache.spark.sql.Column,
+      maxAttempts: Int = 20): Option[Commit] =
+    latest(spark, root).map(_ =>
+      prunedRewrite(spark, root, writer, "delete", cond,
+        incoming = None, declared = Nil, maxAttempts = maxAttempts))
+
+  /** The pruned-rewrite engine behind [[replaceWhere]] (incoming = the
+    * restatement), [[delete]], and [[purge]] (incoming = None): one serializable
+    * commit whose new directory holds the affected dirs' rows with the
+    * cond-TRUE region removed (plus the incoming restatement, if any),
+    * while every dir the shared evidence decision proves predicate-free
+    * is CARRIED untouched. A purge whose predicate provably matches no
+    * retained dir returns the head unchanged — nothing to forget. */
+  private def prunedRewrite(spark: SparkSession, root: String,
+      writer: String, action: String, cond: org.apache.spark.sql.Column,
+      incoming: Option[DataFrame], declared: Seq[String],
+      maxAttempts: Int): Commit = {
+    requireTag(writer, "writer"); requireTag(action, "action")
+    declared.foreach(sc => requireTag(sc, "statsCol"))
+    init(spark, root)
+    val f = fs(spark, root)
+    val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val cur = latest(spark, root)
+      val head = cur.getOrElse(incoming match {
+        // empty table: a restatement is a create (ordinary commit loop;
+        // the incoming rows were validated by the caller); a purge of an
+        // empty table has nothing to rewrite
+        case Some(inc) =>
+          return commit(spark, root, writer, action, maxAttempts,
+            statsCols = declared)(_ => inc)
+        case None => throw new IllegalStateException(
+          s"CommitLog: $action on an empty table — nothing to rewrite")
+      })
+      val headSchema = load(spark, root, head).schema
+      incoming.foreach { inc =>
+        val same = headSchema.length == inc.schema.length &&
+          headSchema.forall(hf => inc.schema.exists(pf =>
             pf.name == hf.name && pf.dataType == hf.dataType))
         require(same,
-          s"replaceWhere schema mismatch vs head v${head.version}: head " +
-            s"${headSchema.simpleString} vs data ${pinned.schema.simpleString}")
-        if (declared.nonEmpty && head.statsCols.nonEmpty)
-          require(declared.toSet == head.statsCols.toSet,
-            s"statsCols ${declared.mkString("[", ",", "]")} conflict with " +
-              s"the table's recorded ${head.statsCols.mkString("[", ",", "]")}")
-        val effCols = if (declared.nonEmpty) declared else head.statsCols
-        // affected dirs: resolve the predicate against the head snapshot
-        // and hand its conjuncts to the shared evidence pruning — no
-        // Filter in the optimized plan (e.g. a constant-true predicate)
-        // means no evidence: rewrite everything, conservative
-        val conjuncts = {
-          val plan = load(spark, root, head).filter(cond)
-            .queryExecution.optimizedPlan
-          def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
-              : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-            e match {
-              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-                split(l) ++ split(r)
-              case other => Seq(other)
-            }
-          plan.collectFirst {
-            case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              split(fl.condition)
-          }.getOrElse(Nil)
-        }
-        val affected =
-          if (conjuncts.isEmpty) head.dataDirs
-          else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
-        val carried = head.dataDirs.filterNot(affected.contains)
-        val headCols = headSchema.fieldNames.map(col)
-        val incoming = pinned.select(headCols: _*)
-        val stage =
-          if (affected.isEmpty) incoming
-          else readDirs(spark, root, head.schemaDDL, affected)
-            .filter(keep).unionByName(incoming)
-        val nextV = head.version + 1
-        val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-        stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
-        // self-maintaining bloom evidence, the merge rule: a bloomed
-        // table's restatement output gets its sidecar immediately
-        if (bloomColumn(spark, root).isDefined)
-          buildSidecar(spark, root, newDir, bloomColumn(spark, root).get,
-            fpp = 0.001)
-        val newByCol = dirStats(spark, s"$root/$newDir", effCols)
-        val newStats =
-          if (newByCol.nonEmpty) Map(newDir -> newByCol)
-          else Map.empty[String, Map[String, (Long, Long)]]
-        val allStats = head.stats
-          .filter { case (d, _) => carried.contains(d) } ++ newStats
-        val c = Commit(nextV, carried :+ newDir, writer, "replace", allStats,
-          statsCols = if (allStats.nonEmpty) effCols else Nil,
-          schemaDDL = head.schemaDDL,
-          tsMs = Some(System.currentTimeMillis()))
-        if (tryClaim(spark, root, nextV, render(c))) {
-          writeHeadPointer(f, root, nextV); return c
-        }
-        // lost the race: the affected set may differ under the new head
-        f.delete(new HPath(s"$root/$newDir"), true)
-        f.delete(bloomPath(root, newDir), false)
-        Thread.sleep(50L * attempt)
+          s"$action schema mismatch vs head v${head.version}: head " +
+            s"${headSchema.simpleString} vs data ${inc.schema.simpleString}")
       }
-      throw new java.io.IOException(
-        s"CommitLog: $writer lost $maxAttempts consecutive replace claims on $root")
-    } finally pinned.unpersist()
+      if (declared.nonEmpty && head.statsCols.nonEmpty)
+        require(declared.toSet == head.statsCols.toSet,
+          s"statsCols ${declared.mkString("[", ",", "]")} conflict with " +
+            s"the table's recorded ${head.statsCols.mkString("[", ",", "]")}")
+      val effCols = if (declared.nonEmpty) declared else head.statsCols
+      // affected dirs: resolve the predicate against the head snapshot
+      // and hand its conjuncts to the shared evidence pruning — no
+      // Filter in the optimized plan (e.g. a constant-true predicate)
+      // means no evidence: rewrite everything, conservative
+      val conjuncts = {
+        val plan = load(spark, root, head).filter(cond)
+          .queryExecution.optimizedPlan
+        def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              split(l) ++ split(r)
+            case other => Seq(other)
+          }
+        plan.collectFirst {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(fl.condition)
+        }.getOrElse(Nil)
+      }
+      val affected =
+        if (conjuncts.isEmpty) head.dataDirs
+        else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
+      // a predicate provably absent from every dir: a purge is a no-op
+      // (the head already holds nothing to forget); a restatement still
+      // commits (it INSERTS its region even where nothing matched)
+      if (affected.isEmpty && incoming.isEmpty) return head
+      val carried = head.dataDirs.filterNot(affected.contains)
+      val headCols = headSchema.fieldNames.map(col)
+      val kept =
+        if (affected.isEmpty) None
+        else Some(readDirs(spark, root, head.schemaDDL, affected).filter(keep))
+      val stage = (kept, incoming.map(_.select(headCols: _*))) match {
+        case (Some(k), Some(inc)) => k.unionByName(inc)
+        case (Some(k), None) => k
+        case (None, Some(inc)) => inc
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+      val nextV = head.version + 1
+      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // self-maintaining bloom evidence, the merge rule: a bloomed
+      // table's rewrite output gets its sidecar immediately
+      if (bloomColumn(spark, root).isDefined)
+        buildSidecar(spark, root, newDir, bloomColumn(spark, root).get,
+          fpp = 0.001)
+      val newByCol = dirStats(spark, s"$root/$newDir", effCols)
+      val newStats =
+        if (newByCol.nonEmpty) Map(newDir -> newByCol)
+        else Map.empty[String, Map[String, (Long, Long)]]
+      val allStats = head.stats
+        .filter { case (d, _) => carried.contains(d) } ++ newStats
+      val c = Commit(nextV, carried :+ newDir, writer, action, allStats,
+        statsCols = if (allStats.nonEmpty) effCols else Nil,
+        schemaDDL = head.schemaDDL,
+        tsMs = Some(System.currentTimeMillis()))
+      if (tryClaim(spark, root, nextV, render(c))) {
+        writeHeadPointer(f, root, nextV); return c
+      }
+      // lost the race: the affected set may differ under the new head
+      f.delete(new HPath(s"$root/$newDir"), true)
+      f.delete(bloomPath(root, newDir), false)
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive $action claims on $root")
   }
 
   /** Retain only the newest `keep` committed versions: older commit FILES

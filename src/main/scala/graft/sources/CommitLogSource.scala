@@ -610,21 +610,13 @@ private[sources] final class CommitLogCatalogTable(root: String,
     val conds = filters.map(f => CommitLogSource.filterToColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"graft.commitlog: cannot push delete filter $f")))
-    // SQL DELETE semantics: a row is deleted only where the predicate is
-    // TRUE — a NULL evaluation KEEPS the row. The keep-set is therefore
-    // NOT(coalesce(cond, false)); plain !cond would silently drop rows
-    // where the predicate is NULL (code review r13: `DELETE WHERE id = 2`
-    // must not delete a NULL-id row).
+    // SQL DELETE semantics live in CommitLog.delete (r13): rows are
+    // deleted only where the conjunction is TRUE (NULL evaluations keep),
+    // the rewrite is dir-pruned by the shared evidence decision (carried
+    // dirs byte-identical, stats preserved), and a provably-no-match
+    // predicate leaves the head untouched.
     val cond = conds.foldLeft(lit(true))(_ && _)
-    val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
-    if (CommitLog.latest(spark, root).isEmpty) return // nothing to delete
-    CommitLog.commit(spark, root, "catalog", "delete")(cur =>
-      // a concurrent vacuum-to-nothing between the guard and the claim
-      // loop leaves no rows to delete: commit an empty state of the
-      // table's own schema rather than failing the statement
-      cur.map(_.filter(keep)).getOrElse(
-        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
-          schema())))
+    CommitLog.delete(spark, root, "catalog", cond)
     ()
   }
 

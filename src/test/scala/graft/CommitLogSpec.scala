@@ -1637,6 +1637,55 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readLatest(spark, root).get.count() == 260L)
   }
 
+  test("delete and purge share the pruned rewrite: untouched dirs carry, stats survive, no-match is a no-op") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 to 3).foreach { k =>
+      CommitLog.commitAppend(spark, root, "w", "append",
+        statsCol = Some("id"))(
+        (k * 100L until k * 100L + 100L).toDF("id"))
+    }
+    val before = CommitLog.latest(spark, root).get
+    // DELETE a range confined to dir 2: the other three dirs carry
+    // byte-identical with their recorded stats, history stays travelable
+    val del = CommitLog.delete(spark, root, "cleaner",
+      col("id").between(250L, 299L)).get
+    assert(del.action == "delete" &&
+      del.dataDirs.toSet.intersect(before.dataDirs.toSet) ==
+        (before.dataDirs.toSet - before.dataDirs(2)),
+      "delete rewrites only the matching-range dir")
+    assert(before.dataDirs.filterNot(_ == before.dataDirs(2))
+      .forall(d => del.stats.get(d) == before.stats.get(d)),
+      "carried dirs keep their skipping stats through a delete")
+    assert(CommitLog.readLatest(spark, root).get.count() == 350L)
+    assert(CommitLog.readVersion(spark, root, before.version).get.count() == 400L,
+      "delete keeps history travelable (purge is the verb that drops it)")
+    // provably-no-match delete: the head is returned UNCHANGED
+    val noop = CommitLog.delete(spark, root, "cleaner",
+      col("id") > 10000L).get
+    assert(noop.version == del.version, "no-match delete must not commit")
+    // PURGE a range confined to dir 0: pruned the same way, but history
+    // drops and the purged dir is swept — nothing to forget remains
+    val headBefore = CommitLog.latest(spark, root).get
+    val purged = CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(
+      col("id") < 50L).get
+    assert(purged.action == "purge" &&
+      headBefore.dataDirs.filter(_ != before.dataDirs(0))
+        .forall(purged.dataDirs.contains),
+      "purge carries every dir the evidence proves clean")
+    assert(CommitLog.readLatest(spark, root).get.count() == 300L)
+    assert(CommitLog.readVersion(spark, root, del.version).isEmpty,
+      "purge drops retained history")
+    // NULL semantics (r13 fix): a NULL-evaluating row survives a purge
+    val root2 = freshRoot()
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "keepme"))
+      .toDF("id", "v").write.format("graft.commitlog").save(root2)
+    CommitLog.purge(spark, root2, "gdpr", graceMs = 0L)(col("id") === 1L)
+    val left = CommitLog.readLatest(spark, root2).get.collect()
+    assert(left.length == 1 && left.head.getString(1) == "keepme",
+      "purge removes rows matching TRUE only — NULL evaluations keep")
+  }
+
   test("timestampAsOf: at-or-before boundary, clock-skew monotonization, pre-history and missing-field failures are loud") {
     import spark.implicits._
     val root = freshRoot()
