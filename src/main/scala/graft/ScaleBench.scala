@@ -695,6 +695,40 @@ object ScaleBench {
         graft.sources.CommitLog.readLatest(s, bloomed).get
       }
 
+      // replaceWhere pruning payoff (r13): a CLUSTERED history (per-dir
+      // id ranges, stats recorded) restates ONE dir's range. With
+      // recorded stats the rewrite PROVES the other nm−1 dirs clean and
+      // rewrites 1 dir + the restatement; the evidence-less twin must
+      // rewrite the whole table. Same final state, asserted — the two
+      // prices of the Delta replaceWhere story: O(affected) vs O(table).
+      def replaceTable(tag: String, stats: Boolean): String = {
+        val dir = freshDir(tag)
+        val sc = if (stats) Some("id") else None
+        (0 until nm).foreach { k =>
+          graft.sources.CommitLog.commitAppend(s, dir, "w", "append",
+            statsCol = sc)(
+            s.range(k * perM, (k + 1) * perM).selectExpr("id", payloadExpr))
+        }
+        dir
+      }
+      def restatement = s.range(5L * perM, 5L * perM + perM / 2)
+        .selectExpr("id", "'restated' AS payload")
+      def timeReplace(tag: String, dir: String, stats: Boolean): Unit = {
+        val t0 = System.nanoTime()
+        val c = graft.sources.CommitLog.replaceWhere(s, dir, "r",
+          org.apache.spark.sql.functions.col("id")
+            .between(5L * perM, 6L * perM - 1L),
+          restatement, statsCol = if (stats) Some("id") else None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(graft.sources.CommitLog.readLatest(s, dir).get.count() ==
+          mergeN - perM + perM / 2, s"commitlog_$tag changed the row count")
+        println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":$mergeN,"sec":${r3(sec)},"reps":[1],"dirs_after":${c.dataDirs.size}}""")
+      }
+      timeReplace("replace_full_rewrite",
+        replaceTable("replfull", stats = false), stats = false)
+      timeReplace("replace_pruned",
+        replaceTable("replstat", stats = true), stats = true)
+
       // CONTENDED merges (r11 close): 4 writers each merge 100 keys
       // confined to a DIFFERENT dir of the bloomed table — disjoint
       // data, so with pruning each rewrites only its own dir and the
