@@ -265,7 +265,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
     def procedure(params: Array[ProcedureParameter], out: StructType)(
-        run: org.apache.spark.sql.catalyst.InternalRow => Seq[Any]): UnboundProcedure =
+        run: org.apache.spark.sql.catalyst.InternalRow => Seq[Seq[Any]]): UnboundProcedure =
       new UnboundProcedure {
         override def name(): String = ident.name
         override def description(): String = s"graft commit-log ${ident.name}"
@@ -277,14 +277,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             override def isDeterministic: Boolean = false
             override def call(input: org.apache.spark.sql.catalyst.InternalRow)
                 : java.util.Iterator[Scan] = {
-              val vals = run(input).map {
+              val out0 = run(input).map(r => new GenericInternalRow(r.map {
                 case s: String => UTF8String.fromString(s)
                 case other => other
-              }.toArray[Any]
+              }.toArray[Any])
+                : org.apache.spark.sql.catalyst.InternalRow)
               val result: Scan = new LocalScan {
                 override def readSchema(): StructType = out
                 override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-                  Array(new GenericInternalRow(vals))
+                  out0.toArray
               }
               java.util.List.of(result).iterator()
             }
@@ -310,7 +311,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             zorderCols = csv(input.getUTF8String(3).toString))
             .getOrElse(throw new IllegalStateException(
               "compact of an empty table — nothing to consolidate"))
-          Seq[Any](c.version, c.dataDirs.size)
+          Seq(Seq[Any](c.version, c.dataDirs.size))
         }
       case "vacuum" =>
         procedure(
@@ -320,8 +321,8 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           StructType(Seq(
             StructField("dropped_versions", IntegerType, nullable = false)))) { input =>
           val root = commitLogRoot(input.getUTF8String(0).toString)
-          Seq[Any](CommitLog.vacuum(spark, root, keep = input.getInt(1),
-            graceMs = input.getLong(2)))
+          Seq(Seq[Any](CommitLog.vacuum(spark, root, keep = input.getInt(1),
+            graceMs = input.getLong(2))))
         }
       case "restore" =>
         procedure(
@@ -332,7 +333,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           val root = commitLogRoot(input.getUTF8String(0).toString)
           val target = input.getLong(1)
           val c = CommitLog.restore(spark, root, "procedure", target)
-          Seq[Any](target, c.version)
+          Seq(Seq[Any](target, c.version))
         }
       case "add_bloom" =>
         procedure(
@@ -341,8 +342,29 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           StructType(Seq(
             StructField("sidecars_built", IntegerType, nullable = false)))) { input =>
           val root = commitLogRoot(input.getUTF8String(0).toString)
-          Seq[Any](CommitLog.addBloom(spark, root,
-            input.getUTF8String(1).toString, input.getDouble(2)))
+          Seq(Seq[Any](CommitLog.addBloom(spark, root,
+            input.getUTF8String(1).toString, input.getDouble(2))))
+        }
+      case "history" =>
+        // DESCRIBE HISTORY parity: the audit surface as a CALL result —
+        // who/when/what per retained version, read from the log alone
+        // (O(versions) tiny files, never a data dir; collected driver-side
+        // like every procedure result, bounded by retention)
+        procedure(
+          Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("ts_ms", LongType, nullable = true),
+            StructField("writer", StringType, nullable = false),
+            StructField("action", StringType, nullable = false),
+            StructField("n_dirs", IntegerType, nullable = false),
+            StructField("row_invisible",
+              org.apache.spark.sql.types.BooleanType, nullable = false)))) { input =>
+          val root = commitLogRoot(input.getUTF8String(0).toString)
+          CommitLog.history(spark, root).orderBy("version").collect().toSeq
+            .map(r => Seq[Any](r.getLong(0),
+              r.getAs[java.lang.Long]("ts_ms"),
+              r.getString(2), r.getString(3), r.getInt(4), r.getBoolean(5)))
         }
     }
   }
@@ -351,7 +373,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
 object GraftCatalog {
   val MetaFile = "_graft_table.json"
   private[sources] val ProcedureNames =
-    Array("compact", "vacuum", "restore", "add_bloom")
+    Array("compact", "vacuum", "restore", "add_bloom", "history")
   val IndexProvider = "graft.index"
   val IvfProvider = "graft.ivf"
   val CommitLogProvider = "graft.commitlog"

@@ -1546,6 +1546,14 @@ class CommitLogSpec extends SparkSpec {
       // the state rides the same protocol the library route reads
       assert(rows(spark.table("gcl3.t").orderBy("id")) ==
         rows(CommitLog.readLatest(spark, tableRoot).get.orderBy("id")))
+      // DESCRIBE HISTORY parity: the audit surface as a CALL result
+      val hist = spark.sql("CALL gcl3.history(`table` => 't')")
+        .orderBy("version").collect()
+      assert(hist.map(_.getString(3)).toSeq ==
+        Seq("compact", "append", "restore"),
+        s"history reflects the vacuumed suffix + the session's verbs")
+      assert(hist.forall(r => !r.isNullAt(1)),
+        "every commit carries its wall-clock in the CALL result")
       // a procedure against a non-commitlog table fails loudly
       intercept[Exception] {
         spark.sql("CALL gcl3.compact(`table` => 'nope')").collect()
