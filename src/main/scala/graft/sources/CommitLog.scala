@@ -798,23 +798,34 @@ object CommitLog {
     * explicitly outside the time-resolution contract. O(retained log
     * files), never a data read. */
   def commitAtTimestamp(spark: SparkSession, root: String, tsMs: Long): Commit = {
+    val resolved = monotonizedCommitClock(spark, root,
+      what = "timestampAsOf", alt = "versionAsOf")
+    val atOrBefore = resolved.takeWhile(_._2 <= tsMs)
+    if (atOrBefore.isEmpty) throw new IllegalArgumentException(
+      s"CommitLog: timestampAsOf $tsMs precedes the earliest retained " +
+        s"commit of $root (v${resolved.head._1.version} at " +
+        s"${resolved.head._2}) — that state is not retained")
+    atOrBefore.last._1
+  }
+
+  /** Every retained commit paired with its MONOTONIZED wall-clock
+    * (eff = max over predecessors — Delta's clock-skew clamp), ascending
+    * by version. The ONE copy of the time-resolution rules
+    * ([[commitAtTimestamp]] and [[versionBeforeTimestamp]] both read it,
+    * so batch timestampAsOf and the stream's startingTimestamp floor can
+    * never diverge); a retained commit missing the field throws loudly. */
+  private def monotonizedCommitClock(spark: SparkSession, root: String,
+      what: String, alt: String): Seq[(Commit, Long)] = {
     val cs = versions(spark, root)
       .flatMap(v => readCommitFile(spark, root, v))
     require(cs.nonEmpty, s"CommitLog: no commits at $root")
     val missing = cs.filter(_.tsMs.isEmpty).map(_.version)
     if (missing.nonEmpty) throw new IllegalStateException(
-      s"CommitLog: timestampAsOf cannot resolve over $root — retained " +
+      s"CommitLog: $what cannot resolve over $root — retained " +
         s"commits ${missing.mkString(", ")} record no timestamp " +
-        "(pre-timestamp history); use versionAsOf")
-    // monotonize in version order, then pick the last at-or-before
+        s"(pre-timestamp history); use $alt")
     var eff = Long.MinValue
-    val resolved = cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
-    val atOrBefore = resolved.takeWhile(_._2 <= tsMs)
-    if (atOrBefore.isEmpty) throw new IllegalArgumentException(
-      s"CommitLog: timestampAsOf $tsMs precedes the earliest retained " +
-        s"commit of $root (v${cs.head.version} at ${resolved.head._2}) — " +
-        "that state is not retained")
-    atOrBefore.last._1
+    cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
   }
 
   /** Load the snapshot as of wall-clock `tsMs` — [[commitAtTimestamp]]'s
@@ -831,19 +842,10 @@ object CommitLog {
     * `startingTimestamp` rule; same monotonization and loud missing-field
     * behavior as [[commitAtTimestamp]]). A floor of 0 needs version 1
     * retained to replay — the stream's own retention contract. */
-  def versionBeforeTimestamp(spark: SparkSession, root: String, tsMs: Long): Long = {
-    val cs = versions(spark, root)
-      .flatMap(v => readCommitFile(spark, root, v))
-    require(cs.nonEmpty, s"CommitLog: no commits at $root")
-    val missing = cs.filter(_.tsMs.isEmpty).map(_.version)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"CommitLog: startingTimestamp cannot resolve over $root — retained " +
-        s"commits ${missing.mkString(", ")} record no timestamp " +
-        "(pre-timestamp history); use startingVersion")
-    var eff = Long.MinValue
-    val resolved = cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
-    resolved.takeWhile(_._2 < tsMs).lastOption.map(_._1.version).getOrElse(0L)
-  }
+  def versionBeforeTimestamp(spark: SparkSession, root: String, tsMs: Long): Long =
+    monotonizedCommitClock(spark, root,
+      what = "startingTimestamp", alt = "startingVersion")
+      .takeWhile(_._2 < tsMs).lastOption.map(_._1.version).getOrElse(0L)
 
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
@@ -1844,11 +1846,11 @@ object CommitLog {
     val keep = !org.apache.spark.sql.functions.coalesce(cond, lit(false))
     val pinned = data.localCheckpoint(true)
     try {
-      val violating = pinned.filter(keep)
-      if (violating.limit(1).count() > 0)
+      val violating = pinned.filter(keep).take(1)
+      if (violating.nonEmpty)
         throw new IllegalArgumentException(
           s"CommitLog.replaceWhere: incoming rows must all satisfy the " +
-            s"predicate; got ${violating.limit(1).collect().head}")
+            s"predicate; got ${violating.head}")
       prunedRewrite(spark, root, writer, "replace", cond,
         incoming = Some(pinned), declared = declared,
         maxAttempts = maxAttempts)
@@ -1896,7 +1898,9 @@ object CommitLog {
         // the incoming rows were validated by the caller); a purge of an
         // empty table has nothing to rewrite
         case Some(inc) =>
-          return commit(spark, root, writer, action, maxAttempts,
+          // the creating verb, like every sibling write path on an
+          // empty table (code review r13: audit consumers key on it)
+          return commit(spark, root, writer, "create", maxAttempts,
             statsCols = declared)(_ => inc)
         case None => throw new IllegalStateException(
           s"CommitLog: $action on an empty table — nothing to rewrite")
@@ -1915,6 +1919,11 @@ object CommitLog {
           s"statsCols ${declared.mkString("[", ",", "]")} conflict with " +
             s"the table's recorded ${head.statsCols.mkString("[", ",", "]")}")
       val effCols = if (declared.nonEmpty) declared else head.statsCols
+      // a bad statsCol must fail BEFORE the staged snapshot write (the
+      // commitImpl/appendImpl guard; code review r13: without it a typo
+      // pays the full rewrite I/O and strands the staging)
+      effCols.foreach(sc => require(headSchema.fieldNames.contains(sc),
+        s"statsCol '$sc' not in head schema ${headSchema.simpleString}"))
       // affected dirs: resolve the predicate against the head snapshot
       // and hand its conjuncts to the shared evidence pruning — no
       // Filter in the optimized plan (e.g. a constant-true predicate)
@@ -1956,10 +1965,10 @@ object CommitLog {
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
       // self-maintaining bloom evidence, the merge rule: a bloomed
-      // table's rewrite output gets its sidecar immediately
-      if (bloomColumn(spark, root).isDefined)
-        buildSidecar(spark, root, newDir, bloomColumn(spark, root).get,
-          fpp = 0.001)
+      // table's rewrite output gets its sidecar immediately (marker read
+      // ONCE — code review r13)
+      bloomColumn(spark, root).foreach(bc =>
+        buildSidecar(spark, root, newDir, bc, fpp = 0.001))
       val newByCol = dirStats(spark, s"$root/$newDir", effCols)
       val newStats =
         if (newByCol.nonEmpty) Map(newDir -> newByCol)
