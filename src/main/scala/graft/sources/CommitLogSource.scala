@@ -35,6 +35,26 @@ import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, 
   * spark.readStream.format("graft.commitlog")
   *   .option("maxCommitsPerTrigger", "1")    // admission control
   *   .load("/tables/orders")                 // micro-batch append tail
+  *
+  * spark.readStream.format("graft.commitlog")
+  *   .option("readChangeFeed", "true")       // CDF stream: typed change
+  *   .load("/tables/orders")                 // rows, merges ride through
+  *
+  * df.write.format("graft.commitlog")        // WRITES route through the
+  *   .mode("append")                          // commit protocol (r13):
+  *   .option("evolve", "true")                // additive widening,
+  *   .option("statsCols", "day,tenant")       // recorded skipping stats,
+  *   .option("txnAppId", "job7")              // idempotent txn appends
+  *   .option("txnVersion", "42")
+  *   .save("/tables/orders")
+  *
+  * restated.write.format("graft.commitlog").mode("overwrite")
+  *   .option("replaceWhere", "day = 5")      // dir-pruned restatement
+  *   .save("/tables/orders")
+  *
+  * stream.writeStream.format("graft.commitlog")
+  *   .option("txnAppId", "ingest")           // exactly-once sink
+  *   .option("checkpointLocation", ckpt).start("/tables/orders")
   * }}}
   *
   * Architecture (the published Delta pattern, not a new read engine):
