@@ -419,7 +419,43 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_delete: two connector
+  // writes (classes 27, 28), then ONE CommitLog.delete commit removing the
+  // even class-28 keys — the dir-pruned copy-on-write DELETE verb behind
+  // SQL `DELETE FROM` (r13). History stays travelable (unlike purge).
+  private val deleteCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def deleteLogFor(s: SparkSession, d: String): String =
+    deleteCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitdelete")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === 27)
+        .write.format("graft.commitlog").save(root)
+      orders.filter(col("o_orderkey") % 100 === 28)
+        .write.format("graft.commitlog").mode("append").save(root)
+      graft.sources.CommitLog.delete(s, root, "cleaner",
+        col("o_orderkey") % 100 === 28 && col("o_orderkey") % 2 === 0)
+      root
+    }
+
   val queries: Map[String, Q] = Map(
+    // DELETE verb end state (r13 — CommitLog.delete, the engine behind
+    // SQL `DELETE FROM` on catalog tables): one audited dir-pruned
+    // copy-on-write commit removes exactly the rows where the predicate
+    // is TRUE; the oracle rebuilds the surviving set relationally, so an
+    // over-delete (the NULL-semantics bug class), a surviving matched
+    // row, or a lost unmatched row all hash-fail. History stays
+    // travelable — purge is the verb that drops it.
+    "q_commit_log_delete" -> ((s, d) => {
+      val root = deleteLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // PARTIAL OVERWRITE — replaceWhere (r13, the Delta restatement verb):
     // the declared result reads the head after one serializable commit
     // replaced exactly the class-26 region with its repriced restatement,
@@ -1007,6 +1043,15 @@ object Relational {
         "(CAST(4 AS BIGINT), 'operator', 'restore', 1, FALSE)) " +
         "AS h(version, writer, action, n_dirs, row_invisible) " +
         "ORDER BY version"),
+    "q_commit_log_delete" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 27 " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 28 AND o_orderkey % 2 = 1) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_replace" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, o_totalprice " +

@@ -103,16 +103,28 @@ final class CommitLogSource extends DataSourceRegister
     val root = rootOf(parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val timestampAsOf = parameters.get("timestampAsOf").map(_.toLong)
+    // the CDF window opens at a version, or (r13) at a wall-clock — the
+    // newest commit strictly before the timestamp becomes the exclusive
+    // base, so the feed delivers every commit at-or-after it (the
+    // startingTimestamp rule applied to the batch route)
     val changesSince = parameters.get("changesSince").map(_.toLong)
-    require(Seq(versionAsOf, timestampAsOf, changesSince)
-      .count(_.isDefined) <= 1,
-      "graft.commitlog takes versionAsOf OR timestampAsOf OR changesSince, " +
-        "not a combination")
+      .orElse(parameters.get("changesSinceTimestamp").map(ts =>
+        CommitLog.versionBeforeTimestamp(spark, root, ts.toLong)))
+    require(Seq(versionAsOf, timestampAsOf,
+      parameters.get("changesSince"),
+      parameters.get("changesSinceTimestamp")).count(_.isDefined) <= 1,
+      "graft.commitlog takes versionAsOf OR timestampAsOf OR changesSince " +
+        "OR changesSinceTimestamp, not a combination")
     changesSince match {
       case Some(since) =>
         val head = CommitLog.latest(spark, root).getOrElse(
           throw new IllegalArgumentException(
             s"graft.commitlog: no commits at $root"))
+        def notReadable(sinceV: Long): Nothing =
+          throw new IllegalArgumentException(
+            s"graft.commitlog: changes since v$sinceV at $root are not " +
+              "incrementally readable (rewrite/purge intervened, or the " +
+              "base version was vacuumed) — resync from a snapshot read")
         val df =
           if (head.version <= since)
             // already at (or past) the head: an EMPTY feed, so schedulable
@@ -120,11 +132,26 @@ final class CommitLogSource extends DataSourceRegister
             CommitLog.readCommit(spark, root, head).limit(0)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(head.version))
-          else CommitLog.changesSince(spark, root, since, head).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft.commitlog: changes since v$since at $root are not " +
-                "incrementally readable (rewrite/purge intervened, or the " +
-                "base version was vacuumed) — resync from a snapshot read"))
+          else if (since == 0L) {
+            // from-zero window ("everything"): v1's full content opens the
+            // feed as inserts — v1 must still be retained for the window
+            // to be exact (the stream's replay-from-0 contract)
+            val c1 = CommitLog.commitAt(spark, root, 1L).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft.commitlog: a changes window from version 0 at " +
+                  s"$root is impossible — version 1 was vacuumed; read a " +
+                  "snapshot instead"))
+            val first = CommitLog.readCommit(spark, root, c1)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(1L))
+            if (head.version <= 1L) first
+            else first.unionByName(
+              CommitLog.changesSince(spark, root, 1L, head)
+                .getOrElse(notReadable(1L)),
+              allowMissingColumns = true)
+          }
+          else CommitLog.changesSince(spark, root, since, head)
+            .getOrElse(notReadable(since))
         new CommitLogChangesRelation(sqlContext, df)
       case None =>
         val commit = (versionAsOf, timestampAsOf) match {

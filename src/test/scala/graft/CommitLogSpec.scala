@@ -1725,6 +1725,18 @@ class CommitLogSpec extends SparkSpec {
         .option("timestampAsOf", t1.toString)
         .option("versionAsOf", "1").load(root)
     }
+    // batch CDF window from a wall-clock (r13): the newest commit strictly
+    // before the timestamp is the exclusive base, so a window opening at
+    // v2's own clock equals changesSince(1)
+    assert(rows(spark.read.format("graft.commitlog")
+        .option("changesSinceTimestamp", t2.toString).load(root).orderBy("id")) ==
+      rows(spark.read.format("graft.commitlog")
+        .option("changesSince", "1").load(root).orderBy("id")))
+    // a window from before all history delivers EVERYTHING as typed
+    // changes — v1's content opens the feed as inserts
+    assert(spark.read.format("graft.commitlog")
+      .option("changesSinceTimestamp", (t1 - 1L).toString).load(root)
+      .count() == 2L)
     // CLOCK SKEW: forge v3 whose recorded ts is BEFORE v1's — Delta's
     // monotonization clamps its effective time to v2's, so a target of t2
     // resolves to v3 (the newest commit no later than t2 in commit order)
