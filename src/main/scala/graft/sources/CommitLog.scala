@@ -174,7 +174,7 @@ object CommitLog {
     * \n — emitted raw, making the file invalid JSON for external readers).
     * Shared with [[GraftCatalog]]'s descriptor writer (same field class —
     * a schema DDL — must not have two divergent escapers). */
-  private[sources] def escapeJson(s: String): String = {
+  private[graft] def escapeJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -191,7 +191,7 @@ object CommitLog {
     }
     b.toString
   }
-  private[sources] def unescapeJson(s: String): String = {
+  private[graft] def unescapeJson(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -207,13 +207,15 @@ object CommitLog {
           // throw out of parse — readCommitFile's damage contract is
           // degrade, and a throwing unescape would brick every reader AND
           // writer (repairTornTail runs in claim loops). Emit the pair
-          // literally instead (code review r13).
+          // literally instead (code review r13; ADVICE r13: literally
+          // means BOTH chars — dropping the backslash would degrade
+          // damaged strings lossily instead of round-tripping them).
           case 'u' if i + 6 <= s.length &&
               s.substring(i + 2, i + 6).forall(c =>
                 Character.digit(c, 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
-          case other => b.append(other); i += 2
+          case other => b.append('\\').append(other); i += 2
         }
       } else { b.append(ch); i += 1 }
     }
@@ -793,10 +795,14 @@ object CommitLog {
     * two writers' clocks disagree. Boundary semantics: a ts equal to a
     * commit's resolves TO that commit (at-or-before); a ts before the
     * earliest retained commit throws (nothing retained was live then);
-    * a RETAINED commit missing the field throws — a silent guess could
-    * time-travel to the wrong version, and pre-timestamp histories are
-    * explicitly outside the time-resolution contract. O(retained log
-    * files), never a data read. */
+    * a ts AFTER the newest commit's throws too (ADVICE r13 — the Delta
+    * after-latest-commit rule: a typo'd or future timestamp must fail
+    * loudly, not silently read current data; a caller that wants the
+    * head asks for the head); a RETAINED commit missing the field
+    * throws — a silent guess could time-travel to the wrong version,
+    * and pre-timestamp histories are explicitly outside the
+    * time-resolution contract. O(retained log files), never a data
+    * read. */
   def commitAtTimestamp(spark: SparkSession, root: String, tsMs: Long): Commit = {
     val resolved = monotonizedCommitClock(spark, root,
       what = "timestampAsOf", alt = "versionAsOf")
@@ -805,6 +811,11 @@ object CommitLog {
       s"CommitLog: timestampAsOf $tsMs precedes the earliest retained " +
         s"commit of $root (v${resolved.head._1.version} at " +
         s"${resolved.head._2}) — that state is not retained")
+    if (tsMs > resolved.last._2) throw new IllegalArgumentException(
+      s"CommitLog: timestampAsOf $tsMs is after the newest commit of " +
+        s"$root (v${resolved.last._1.version} at ${resolved.last._2}) — " +
+        "a future timestamp names no committed state; read the head " +
+        "(no option) or pass a timestamp at-or-before the newest commit's")
     atOrBefore.last._1
   }
 

@@ -103,6 +103,15 @@ final class CommitLogSource extends DataSourceRegister
     val root = rootOf(parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val timestampAsOf = parameters.get("timestampAsOf").map(_.toLong)
+    // option-combination validation FIRST (ADVICE r13): resolving
+    // changesSinceTimestamp below does log I/O and can throw its own
+    // resolution errors — a conflicting combination must get the clean
+    // conflict message, not a confusing downstream failure
+    require(Seq(versionAsOf, timestampAsOf,
+      parameters.get("changesSince"),
+      parameters.get("changesSinceTimestamp")).count(_.isDefined) <= 1,
+      "graft.commitlog takes versionAsOf OR timestampAsOf OR changesSince " +
+        "OR changesSinceTimestamp, not a combination")
     // the CDF window opens at a version, or (r13) at a wall-clock — the
     // newest commit strictly before the timestamp becomes the exclusive
     // base, so the feed delivers every commit at-or-after it (the
@@ -110,11 +119,6 @@ final class CommitLogSource extends DataSourceRegister
     val changesSince = parameters.get("changesSince").map(_.toLong)
       .orElse(parameters.get("changesSinceTimestamp").map(ts =>
         CommitLog.versionBeforeTimestamp(spark, root, ts.toLong)))
-    require(Seq(versionAsOf, timestampAsOf,
-      parameters.get("changesSince"),
-      parameters.get("changesSinceTimestamp")).count(_.isDefined) <= 1,
-      "graft.commitlog takes versionAsOf OR timestampAsOf OR changesSince " +
-        "OR changesSinceTimestamp, not a combination")
     changesSince match {
       case Some(since) =>
         val head = CommitLog.latest(spark, root).getOrElse(
@@ -679,12 +683,17 @@ private[sources] final class CommitLogCatalogTable(root: String,
               // schema by position; the rename pins the names so the
               // protocol's exact-schema check compares like for like
               val renamed = data.toDF(schema().fieldNames.toSeq: _*)
+              // first commit on an empty table records action "create"
+              // (ADVICE r13): the audit surface must show ONE creating
+              // verb whichever write face landed it — this is the
+              // connector route's exists check applied to the V1 fallback
+              val exists = CommitLog.latest(data.sparkSession, root).isDefined
               if (overwrite || overwriteFlag)
                 CommitLog.commit(data.sparkSession, root, "catalog",
-                  "overwrite")(_ => renamed)
+                  if (exists) "overwrite" else "create")(_ => renamed)
               else
                 CommitLog.commitAppend(data.sparkSession, root, "catalog",
-                  "append")(renamed)
+                  if (exists) "append" else "create")(renamed)
               ()
             }
           }

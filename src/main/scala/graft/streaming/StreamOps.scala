@@ -260,11 +260,31 @@ object StreamOps {
   }
 
   /** The current generation of a write-new-then-swap snapshot, if one has
-    * been committed yet. */
+    * been committed yet — with CRASH RECOVERY (ADVICE r13: swapSnapshot's
+    * doc promised the prior generation was recoverable, but nothing read
+    * it): when `current` is absent, fall back to the newest `old-<batch>`
+    * generation (the pre-batch state left by a crash in the
+    * retire-to-promote window — the engine re-delivers that batch, which
+    * folds in again), else the newest `next-<batch>` (a first-batch crash
+    * before promote: the staged fold is complete on disk, and both
+    * snapshot folds — dedup-by-latest and seq-wins — are idempotent under
+    * the batch's re-delivery). Only a never-started snapshot reads None. */
   private def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
     val cur = new org.apache.hadoop.fs.Path(dir, "current")
     val f = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+    if (f.exists(cur)) return Some(spark.read.parquet(cur.toString))
+    def newest(prefix: String): Option[String] =
+      if (!f.exists(base)) None
+      else Option(f.listStatus(base)).toSeq.flatten
+        .map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(prefix).toLong -> n).toOption)
+        .sortBy(_._1).lastOption.map(_._2)
+    newest("old-").orElse(newest("next-"))
+      .map(gen => spark.read.parquet(
+        new org.apache.hadoop.fs.Path(dir, gen).toString))
   }
 
   /** Write-new-then-swap generation replacement for the foreachBatch

@@ -1474,9 +1474,15 @@ class CommitLogSpec extends SparkSpec {
         s"USING `graft.commitlog` LOCATION '$tableRoot'")
       assert(spark.table("gcl2.t").schema.fieldNames.toSeq == Seq("id", "v"))
       assert(spark.table("gcl2.t").count() == 0L)
-      // first INSERT is the create commit (O(delta) through the protocol)
+      // first INSERT is the create commit (O(delta) through the protocol),
+      // and the audit surface records the CREATING verb — the same
+      // action the connector write route stamps for a first commit
+      // (ADVICE r13: the two write faces must not disagree about "create")
       spark.sql("INSERT INTO gcl2.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
-      assert(CommitLog.latest(spark, tableRoot).get.version == 1L)
+      val first = CommitLog.latest(spark, tableRoot).get
+      assert(first.version == 1L && first.action == "create",
+        s"catalog INSERT on an empty table must record 'create', got " +
+          first.action)
       assert(spark.table("gcl2.t").count() == 3L)
       // DELETE FROM: a copy-on-write rewrite commit, audited like any verb
       spark.sql("DELETE FROM gcl2.t WHERE id = 2")
@@ -1708,9 +1714,14 @@ class CommitLogSpec extends SparkSpec {
     // boundary: the EXACT timestamp resolves TO its commit (at-or-before)
     assert(CommitLog.commitAtTimestamp(spark, root, t1).version == 1L)
     assert(CommitLog.commitAtTimestamp(spark, root, t2).version == 2L)
-    // ordering: between the two → the earlier; far future → the head
+    // ordering: between the two → the earlier; a FUTURE timestamp throws
+    // (ADVICE r13, the Delta after-latest-commit rule — a typo'd clock
+    // must not silently read current data)
     assert(CommitLog.commitAtTimestamp(spark, root, (t1 + t2) / 2).version == 1L)
-    assert(CommitLog.commitAtTimestamp(spark, root, t2 + 1000000L).version == 2L)
+    val fut = intercept[IllegalArgumentException] {
+      CommitLog.commitAtTimestamp(spark, root, t2 + 1000000L)
+    }
+    assert(fut.getMessage.contains("after the newest commit"))
     // pre-history: before the earliest retained commit throws
     val pre = intercept[IllegalArgumentException] {
       CommitLog.commitAtTimestamp(spark, root, t1 - 1L)
@@ -1763,6 +1774,34 @@ class CommitLogSpec extends SparkSpec {
       miss.getMessage.contains("no timestamp"))
     // version travel is unaffected by the timestamp gaps
     assert(CommitLog.readVersion(spark, root, 1L).get.count() == 1L)
+  }
+
+  test("json escaping: control chars round-trip, damaged escapes degrade literally, option conflicts fail clean") {
+    import spark.implicits._
+    // full escaper round trip: every char class render escapes
+    val nasty = "a\"b\\c\nd\re\tfg"
+    assert(CommitLog.unescapeJson(CommitLog.escapeJson(nasty)) == nasty)
+    assert(!CommitLog.escapeJson(nasty).exists(_ < 0x20),
+      "escaped output must be valid JSON string content (no raw controls)")
+    // DAMAGED input (bit rot): an unrecognized escape and an invalid \u
+    // sequence emit BOTH chars literally (ADVICE r13 — the pre-fix code
+    // dropped the backslash, degrading damaged strings lossily)
+    assert(CommitLog.unescapeJson("x\\qy") == "x\\qy")
+    assert(CommitLog.unescapeJson("x\\" + "uZZ99y") == "x\\" + "uZZ99y")
+    assert(CommitLog.unescapeJson("x\\" + "u00") == "x\\" + "u00",
+      "a truncated \\u escape at end-of-string must not throw")
+    // option-combination conflicts fail with the clean conflict message
+    // BEFORE changesSinceTimestamp resolution does log I/O (ADVICE r13)
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("graft.commitlog").save(root)
+    val conflict = intercept[IllegalArgumentException] {
+      spark.read.format("graft.commitlog")
+        .option("changesSinceTimestamp", "123")
+        .option("versionAsOf", "1").load(root)
+    }
+    assert(conflict.getMessage.contains("not a combination"),
+      s"expected the clean option-conflict message, got: ${conflict.getMessage}")
   }
 
   test("per-column stats: any recorded column prunes through both routes; legacy flat commits still parse and prune") {

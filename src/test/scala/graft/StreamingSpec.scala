@@ -336,6 +336,35 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise the disorder the versioned fold fixes")
   }
 
+  test("snapshot swap crash recovery: a retired-but-unpromoted generation is found, not silently dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r13: a crash between swapSnapshot's retire and promote leaves
+    // old-<batch> on disk and `current` absent — the next batch must fold
+    // into that recoverable generation, not into an empty prior state.
+    val batch1 = Seq((1L, 10.0, 5L, "U"), (2L, 20.0, 4L, "U"))
+    val batch2 = Seq((3L, 30.0, 1L, "U"))
+    def asLog(rows: Seq[(Long, Double, Long, String)]) = {
+      val ms = MemoryStream[(Long, Double, Long, String)]
+      ms.addData(rows: _*)
+      ms.toDF().toDF("k", "v", "seq", "op")
+    }
+    val snap = Files.createTempDirectory("graft-cdc-crash").toString
+    StreamOps.runCdcSnapshot(asLog(batch1), "k", snap)
+    // simulate the retire-to-promote crash window: current was renamed to
+    // old-<next batch>, the promote never happened
+    val f = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(snap, "current"),
+      new org.apache.hadoop.fs.Path(snap, "old-0")))
+    StreamOps.runCdcSnapshot(asLog(batch2), "k", snap)
+    val live = graft.operators.DataModel.cdcLiveView(
+      spark.read.parquet(s"$snap/current")).orderBy("k")
+    assert(rows(live) == Seq(Seq(1L, 10.0), Seq(2L, 20.0), Seq(3L, 30.0)),
+      "recovery must fold into the retired generation — keys 1 and 2 " +
+        "exist only in the pre-crash snapshot")
+  }
+
   test("streaming ingestion maintains the inverted index via per-batch appends") {
     // The index-as-maintained-artifact story end-to-end: a document stream
     // builds the index on its first micro-batch and APPENDS segments on
