@@ -419,6 +419,13 @@ object Relational {
       root
     }
 
+  // Session-cached GraftCatalog directory for q_commit_log_travel_sql —
+  // the catalog names the commitLogFor table; the fixture under test is
+  // the VERSION AS OF statement resolution, not a new history.
+  private val travelCatCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def travelCatFor(s: SparkSession, d: String): String =
+    travelCatCache.getOrBuild(s, d) { graft.TempDirs.create("graft-travelcat") }
+
   // Session-cached commit-log table for q_commit_log_delete: two connector
   // writes (classes 27, 28), then ONE CommitLog.delete commit removing the
   // even class-28 keys — the dir-pruned copy-on-write DELETE verb behind
@@ -658,6 +665,26 @@ object Relational {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // SQL TIME TRAVEL by table NAME (r14 — VERDICT r13 #2): the same v2
+    // read as q_commit_log_travel, but through the STATEMENT —
+    // `SELECT … FROM gclt.orders_v VERSION AS OF 2` resolves through
+    // GraftCatalog.loadTable(ident, version) to a table pinned at v2's
+    // immutable directory list. The oracle is the identical relational
+    // rebuild, so the statement route and the library route are gated
+    // against the same truth; CommitLogSpec proves row-equality with the
+    // options route, TIMESTAMP AS OF, and the vacuumed-version loudness.
+    "q_commit_log_travel_sql" -> ((s, d) => {
+      val root = commitLogFor(s, d)
+      s.conf.set("spark.sql.catalog.gclt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gclt.dir", travelCatFor(s, d))
+      s.sql("CREATE TABLE IF NOT EXISTS gclt.orders_v " +
+        s"USING `graft.commitlog` LOCATION '$root'")
+      s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) " +
+        "AS total FROM gclt.orders_v VERSION AS OF 2 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
     // COMPACTION through the commit log (sources/CommitLog.compact — the
@@ -1113,6 +1140,15 @@ object Relational {
         "FROM orders WHERE o_orderkey % 100 = 0 " +
         "UNION ALL SELECT o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 100 = 1) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_travel_sql" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 0) " +
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),

@@ -100,7 +100,7 @@ final class CommitLogSource extends DataSourceRegister
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(spark, parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val timestampAsOf = parameters.get("timestampAsOf").map(_.toLong)
     // option-combination validation FIRST (ADVICE r13): resolving
@@ -198,7 +198,7 @@ final class CommitLogSource extends DataSourceRegister
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
+    val root = rootOf(spark, parameters)
     val writer = parameters.getOrElse("writer", "connector")
     val evolve = parameters.get("evolve").exists(_.toBoolean)
     val statsCols = statsColsOf(parameters)
@@ -272,7 +272,7 @@ final class CommitLogSource extends DataSourceRegister
     require(partitionColumns.isEmpty,
       "graft.commitlog sink does not take partitionBy — layout is the " +
         "table's compact/zorder cadence")
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map(p =>
         "sink-" + java.security.MessageDigest.getInstance("MD5")
@@ -287,7 +287,7 @@ final class CommitLogSource extends DataSourceRegister
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     // option misuse fails at LOAD (sourceSchema runs at resolution), not
     // only when the query starts
     require(parameters.get("startingVersion").isEmpty ||
@@ -315,7 +315,7 @@ final class CommitLogSource extends DataSourceRegister
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     // default (no startingVersion): BOOTSTRAP — first batch is the head
     // SNAPSHOT, then incremental appends (the runCommitLogTail contract;
     // code review r12: replaying history from v1 permanently fails on any
@@ -345,12 +345,21 @@ final class CommitLogSource extends DataSourceRegister
 }
 
 object CommitLogSource {
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.get("root").orElse(parameters.get("path"))
+  /** The table root: a filesystem path, or (r14) a `<catalog>.<table>`
+    * NAME resolved through the session's GraftCatalog registration — so
+    * CDF, time travel, streaming tails, and the exactly-once sink all
+    * work without a raw path once a table is cataloged
+    * ([[GraftCatalog.commitLogRootByName]] owns the sound-or-None
+    * detection: anything that could be a path stays a path). */
+  private def rootOf(spark: SparkSession,
+      parameters: Map[String, String]): String = {
+    val raw = parameters.get("root").orElse(parameters.get("path"))
       .orElse(parameters.get("location"))
       .getOrElse(throw new IllegalArgumentException(
-        "graft.commitlog requires .option(\"root\", <table root>) or " +
-          "load(<table root>)"))
+        "graft.commitlog requires .option(\"root\", <table root or " +
+          "catalog.table name>) or load(<table root>)"))
+    GraftCatalog.commitLogRootByName(spark, raw).getOrElse(raw)
+  }
 
   private def readChangeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
@@ -607,7 +616,8 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   * and streaming tails/sinks use the `graft.commitlog` format options
   * route. */
 private[sources] final class CommitLogCatalogTable(root: String,
-    declaredSchema: Option[String] = None)
+    declaredSchema: Option[String] = None,
+    pinnedCommit: Option[CommitLog.Commit] = None)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -623,11 +633,22 @@ private[sources] final class CommitLogCatalogTable(root: String,
   // first INSERT — the SQL-only workflow. Schema priority mirrors the
   // read path: the head commit's recorded DDL (evolution), else parquet
   // footers (via ParquetTable inference), else the declared schema.
-  private val commitOpt = CommitLog.latest(spark, root)
+  // `pinnedCommit` (r14) is the TIME-TRAVEL face: `SELECT … FROM t
+  // VERSION AS OF v / TIMESTAMP AS OF ts` resolves through
+  // GraftCatalog's loadTable overloads to a table pinned at that
+  // commit's immutable directory list — reads plan against it, and
+  // every mutating face refuses (history is immutable; writes target
+  // the head, never a past version).
+  private val commitOpt = pinnedCommit.orElse(CommitLog.latest(spark, root))
   if (commitOpt.isEmpty && declaredSchema.isEmpty)
     throw new IllegalArgumentException(
       s"graft.commitlog: no commits at $root and the catalog descriptor " +
         "records no schema — CREATE TABLE with columns, or commit first")
+  private def refuseIfPinned(what: String): Unit =
+    if (pinnedCommit.isDefined) throw new UnsupportedOperationException(
+      s"graft.commitlog: $what against a time-travel read of version " +
+        s"${pinnedCommit.get.version} — committed history is immutable; " +
+        "target the table without VERSION AS OF / TIMESTAMP AS OF")
   private val inner =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       s"graft.commitlog($root)", spark, CaseInsensitiveStringMap.empty(),
@@ -658,6 +679,7 @@ private[sources] final class CommitLogCatalogTable(root: String,
     filters.forall(f => CommitLogSource.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseIfPinned("DELETE")
     val conds = filters.map(f => CommitLogSource.filterToColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"graft.commitlog: cannot push delete filter $f")))
@@ -671,7 +693,8 @@ private[sources] final class CommitLogCatalogTable(root: String,
     ()
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseIfPinned("a write")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -699,6 +722,7 @@ private[sources] final class CommitLogCatalogTable(root: String,
           }
       }
     }
+  }
 }
 
 /** The change feed as a V1 [[TableScan]]: the rows come from

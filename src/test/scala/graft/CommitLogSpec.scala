@@ -1804,6 +1804,73 @@ class CommitLogSpec extends SparkSpec {
       s"expected the clean option-conflict message, got: ${conflict.getMessage}")
   }
 
+  test("time travel by table NAME: VERSION AS OF / TIMESTAMP AS OF statements, reader options on .table, named CDF") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gclv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclv.dir", catRoot)
+    try {
+      CommitLog.commit(spark, root, "w", "create") { _ =>
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+      Thread.sleep(20L)
+      CommitLog.commit(spark, root, "w", "adjust") { cur =>
+        cur.get.withColumn("v",
+          when(col("id") === 1L, lit("A")).otherwise(col("v"))) }
+      Thread.sleep(20L)
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((3L, "c")).toDF("id", "v"))
+      spark.sql(s"CREATE TABLE gclv.t USING `graft.commitlog` LOCATION '$root'")
+      // the STATEMENT resolves through loadTable(ident, version) and
+      // row-equals the path-options route (VERDICT r13 #2's done-when)
+      val stmt = spark.sql("SELECT * FROM gclv.t VERSION AS OF 2 ORDER BY id")
+      val opts = spark.read.format("graft.commitlog")
+        .option("versionAsOf", "2").load(root).orderBy("id")
+      assert(rows(stmt) == rows(opts) &&
+        rows(stmt) == Seq(Seq(1L, "A"), Seq(2L, "b")))
+      // reader OPTIONS on the named table resolve through the same
+      // overload (Spark's RelationResolution fromOptions path)
+      assert(rows(spark.read.option("versionAsOf", "2").table("gclv.t")
+        .orderBy("id")) == rows(stmt))
+      // TIMESTAMP AS OF: v2's own wall-clock resolves TO v2 (at-or-before)
+      // through the one monotonized clock; micros→ms is exact
+      val t2 = CommitLog.history(spark, root)
+        .filter(col("version") === 2).select("ts_ms").head().getLong(0)
+      val lit2 = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(t2),
+        java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+        .toString.replace('T', ' ')
+      assert(rows(spark.sql(
+        s"SELECT * FROM gclv.t TIMESTAMP AS OF '$lit2' ORDER BY id")) ==
+        rows(stmt))
+      // un-travelled statement still reads the head
+      assert(rows(spark.sql("SELECT * FROM gclv.t ORDER BY id")) ==
+        Seq(Seq(1L, "A"), Seq(2L, "b"), Seq(3L, "c")))
+      // batch CDF by NAME: the format route resolves gclv.t to the root
+      val cdf = spark.read.format("graft.commitlog")
+        .option("changesSince", "2").load("gclv.t")
+      assert(rows(cdf.select("id", "v", "_change_type", "_commit_version")
+        .orderBy("id")) == Seq(Seq(3L, "c", "insert", 3L)))
+      // a vacuumed version fails LOUDLY through the statement
+      CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+      val gone = intercept[Exception] {
+        spark.sql("SELECT * FROM gclv.t VERSION AS OF 2 ORDER BY id").collect()
+      }
+      assert(gone.getMessage.contains("vacuumed"),
+        s"expected the vacuumed-version error, got: ${gone.getMessage}")
+      // a name that is NOT a registered graft catalog stays a PATH (the
+      // sound-or-None rule): reading it fails as a missing path, and a
+      // genuine path containing dots is never hijacked
+      intercept[Exception] {
+        spark.read.format("graft.commitlog").load("nosuchcat.t")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gclv.t")
+      spark.conf.unset("spark.sql.catalog.gclv")
+      spark.conf.unset("spark.sql.catalog.gclv.dir")
+    }
+  }
+
   test("per-column stats: any recorded column prunes through both routes; legacy flat commits still parse and prune") {
     import spark.implicits._
     val root = freshRoot()

@@ -1049,6 +1049,66 @@ class StreamingSpec extends SparkSpec {
       "maxCommitsPerTrigger bounds CDF catch-up batches")
   }
 
+  test("graft.commitlog named-table routes: the CDF ride-through-merge proof runs against a catalog NAME end to end") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val catRoot = Files.createTempDirectory("graft-cdfn-cat").toString
+    val root = Files.createTempDirectory("graft-cdfn").toString
+    val ckpt = Files.createTempDirectory("graft-cdfn-ck").toString
+    spark.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcln.dir", catRoot)
+    try {
+      CommitLog.commit(spark, root, "w", "create") { _ =>
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+      spark.sql(s"CREATE TABLE gcln.t USING `graft.commitlog` LOCATION '$root'")
+      val state = scala.collection.mutable.Map.empty[Long, String]
+      def fold(changes: Seq[(Long, String, String, Long)]): Unit =
+        changes.sortBy(c => (c._4, c._1)).foreach {
+          case (id, v, "insert", _) => state(id) = v
+          case (id, v, "update_postimage", _) => state(id) = v
+          case (id, _, "delete", _) => state.remove(id)
+          case (_, _, "update_preimage", _) => ()
+          case other => fail(s"unknown change type: $other")
+        }
+      // every drain targets the NAME — no raw path crosses the API
+      fold(drainCommitLogChanges("gcln.t", ckpt))
+      assert(state == Map(1L -> "a", 2L -> "b"))
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((3L, "c")).toDF("id", "v"))
+      CommitLog.merge(spark, root, "m", "id",
+        Seq((1L, "A", false), (2L, "b", true)).toDF("id", "v", "del"),
+        deleteCol = Some("del"))
+      CommitLog.compact(spark, root, "opt")
+      val incr = drainCommitLogChanges("gcln.t", ckpt)
+      assert(incr.exists(_._3 == "update_postimage") &&
+        incr.exists(_._3 == "delete"),
+        s"the merge's changeset must ride through by name, got $incr")
+      fold(incr)
+      val head = rows(spark.table("gcln.t").orderBy("id"))
+        .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[String]).toMap
+      assert(state.toMap == head,
+        s"named-CDF-maintained state must equal the head: $state vs $head")
+      // exactly-once on the same checkpoint, still by name
+      assert(drainCommitLogChanges("gcln.t", ckpt).isEmpty)
+      // the exactly-once SINK also takes the name: stream one batch in
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((9L, "z"))
+      val sq = mem.toDF().toDF("id", "v").writeStream
+        .format("graft.commitlog").option("txnAppId", "namedsink")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cdfn-sk").toString)
+        .start("gcln.t")
+      try sq.processAllAvailable() finally sq.stop()
+      assert(rows(spark.table("gcln.t").orderBy("id")).map(_.head) ==
+        Seq(1L, 3L, 9L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcln.t")
+      spark.conf.unset("spark.sql.catalog.gcln")
+      spark.conf.unset("spark.sql.catalog.gcln.dir")
+    }
+  }
+
   test("graft.commitlog CDF stream: a plain rewrite still fails loudly — the feed must not resurrect retracted history") {
     import spark.implicits._
     import graft.sources.CommitLog
