@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, RollingFingerprint}
-import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf}
+import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf, RowLevelSqlStrategy}
 
 /** THE session-extension entry point: everything the engine injects into
   * Catalyst registers here (native functions, planner strategies, optimizer
@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((BloomOps.mightIdentifier, BloomOps.mightInfo,
       BloomOps.mightBuilder))
     ext.injectPlannerStrategy(_ => AsOfStrategy)
+    // SQL UPDATE / MERGE INTO on commit-log catalog tables (r14): runs
+    // before Spark's BasicOperators, which otherwise rejects both
+    ext.injectPlannerStrategy(_ => RowLevelSqlStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
     // opt-in via spark.graft.intervalJoin.enabled (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)

@@ -1,0 +1,315 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructField
+import graft.sources.{CommitLog, CommitLogCatalogTable}
+
+/** SQL `UPDATE` and `MERGE INTO` on catalog commit-log tables (r14 —
+  * VERDICT r13 #1): a planner strategy that intercepts the fully-analyzed
+  * [[UpdateTable]] / [[MergeIntoTable]] commands over a
+  * [[CommitLogCatalogTable]] (injected strategies run before Spark's
+  * built-ins, whose BasicOperators otherwise reject both statements for
+  * tables without SupportsRowLevelOperations) and compiles them onto the
+  * SAME library verbs every other write face uses — `UPDATE` →
+  * [[CommitLog.update]] (the prunedRewrite engine: evidence-pruned
+  * copy-on-write, untouched dirs carried byte-identical), `MERGE INTO` →
+  * [[CommitLog.merge]] (keyed copy-on-write with bloom/stats dir pruning
+  * and the persisted CDF changeset) — so the statement route produces
+  * claim JSON shape-identical to the library route by construction
+  * (spec-asserted), and NO second write engine exists.
+  *
+  * SOUND-OR-REFUSE (the r13 `SupportsDelete` translation discipline): a
+  * statement shape whose semantics the verbs cannot reproduce EXACTLY is
+  * refused at planning with an error naming the supported forms — never
+  * a silently-different execution. Supported:
+  *
+  *  - `UPDATE t SET c1 = e1, … [WHERE cond]` — top-level columns,
+  *    expressions over the table's own columns; rows where cond is TRUE
+  *    update, NULL/false keep (the SQL rule, enforced by the verb).
+  *  - `MERGE INTO t USING src ON t.key = <srcExpr>` with UNCONDITIONAL
+  *    clauses, at most one per kind: `WHEN MATCHED THEN UPDATE SET …`
+  *    (including SET *), `WHEN MATCHED THEN DELETE`, `WHEN NOT MATCHED
+  *    THEN INSERT …` (including INSERT *), in the combinations
+  *    update+insert (upsert), update-only, delete-only, insert-only,
+  *    delete+insert. The ON condition must be ONE equality whose target
+  *    side is a bare column — that column is the merge key the verbs'
+  *    pruning evidence (bloom sidecars, min/max stats) is keyed by.
+  *    Refused: conditional clauses (`WHEN MATCHED AND …`), multiple
+  *    clauses per kind, `WHEN NOT MATCHED BY SOURCE`, schema evolution —
+  *    each would need semantics [[CommitLog.merge]]'s replace-whole-row
+  *    contract cannot express exactly.
+  *
+  * MERGE compiles to ONE changeset: matched-update rows come from an
+  * inner join of the head snapshot (aliased `__t`) with the source
+  * (`__s`) so SET expressions may reference BOTH sides (`SET p = __t.p +
+  * src.p` works); not-matched inserts from the source anti-joined
+  * against the head; matched deletes as the source's distinct non-null
+  * keys flagged through the verb's deleteCol. A source holding two rows
+  * for one key fails the verb's one-row-per-key check — the
+  * MERGE-cardinality error, loud. The changeset is computed against the
+  * head AT STATEMENT START (snapshot-isolated read); the commit itself
+  * claims optimistically like every verb.
+  *
+  * Scale: the statement inherits the verbs' measured economics — a MERGE
+  * touching k of N bloomed/sorted dirs rewrites k dirs; an UPDATE whose
+  * predicate the recorded evidence excludes from most dirs rewrites only
+  * the possible ones. The pre-commit joins are changeset-bounded on the
+  * source side and scan the head once each — broadcastable when the
+  * source is small, exactly the Delta MERGE shape.
+  */
+object RowLevelSqlStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case UpdateTable(target, assignments, condition) =>
+      commitLogTarget(target) match {
+        case Some((table, targetAttrs)) =>
+          refuseIfTravel(table, "UPDATE")
+          val named = assignments.map(a => assignmentName(a, "UPDATE"))
+          val tSet = AttributeSet(targetAttrs)
+          // values/condition may reference only the table's own columns
+          // (Spark's analyzer guarantees it for UPDATE; re-checked so a
+          // future analyzer change degrades loudly, not wrongly)
+          (assignments.map(_.value) ++ condition.toSeq).foreach(e =>
+            requireOnly(e, tSet, "UPDATE"))
+          val assignCols = named.zip(assignments).map { case (n, a) =>
+            n -> GraftBridge.columnOf(unresolve(a.value)) }
+          val condCol = condition.map(e =>
+            GraftBridge.columnOf(unresolve(e))).getOrElse(lit(true))
+          Seq(GraftRowLevelExec("GraftUpdate", () => {
+            CommitLog.update(SparkSession.active, table.commitLogRoot,
+              "catalog", condCol, assignCols)
+            ()
+          }))
+        case None => Nil
+      }
+
+    case MergeIntoTable(target, source, mergeCondition, matchedActions,
+        notMatchedActions, notMatchedBySourceActions, withSchemaEvolution) =>
+      commitLogTarget(target) match {
+        case Some((table, targetAttrs)) =>
+          refuseIfTravel(table, "MERGE INTO")
+          if (notMatchedBySourceActions.nonEmpty)
+            refuse("WHEN NOT MATCHED BY SOURCE is not supported — " +
+              "CommitLog.merge keys changes by source rows")
+          if (withSchemaEvolution)
+            refuse("MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
+              "the table with commitAppend(evolve = true) first")
+          val matched = oneAction(matchedActions, "WHEN MATCHED")
+          val notMatched = oneAction(notMatchedActions, "WHEN NOT MATCHED")
+          if (matched.isEmpty && notMatched.isEmpty)
+            refuse("MERGE needs at least one clause")
+          matched.foreach {
+            case UpdateAction(None, _, _) | DeleteAction(None) => ()
+            case a => refuse(s"unsupported WHEN MATCHED clause $a — " +
+              "unconditional UPDATE SET … or DELETE only")
+          }
+          notMatched.foreach {
+            case InsertAction(None, _) => ()
+            case a => refuse(s"unsupported WHEN NOT MATCHED clause $a — " +
+              "unconditional INSERT only")
+          }
+          val tSet = AttributeSet(targetAttrs)
+          val sSet = source.outputSet
+          // the ON condition: one equality, target side a bare column
+          // (the merge key evidence pruning is keyed by), source side any
+          // source-only expression
+          val (keyAttr, srcKeyExpr) = mergeCondition match {
+            case EqualTo(l: AttributeReference, r)
+                if tSet.contains(l) && r.references.subsetOf(sSet) => (l, r)
+            case EqualTo(l, r: AttributeReference)
+                if tSet.contains(r) && l.references.subsetOf(sSet) => (r, l)
+            case other => refuse("the ON condition must be one equality " +
+              s"between a target column and a source expression, got $other")
+          }
+          // assignments: target column -> value expression (either side)
+          val updateAssigns = matched.collect {
+            case UpdateAction(None, assigns, _) =>
+              assigns.map(a => assignmentName(a, "MERGE UPDATE") -> a.value)
+          }.headOption
+          val insertAssigns = notMatched.collect {
+            case InsertAction(None, assigns) =>
+              assigns.map(a => assignmentName(a, "MERGE INSERT") -> a.value)
+          }.headOption
+          insertAssigns.foreach(_.foreach { case (_, v) =>
+            requireOnly(v, sSet, "MERGE INSERT") })
+          updateAssigns.foreach(_.foreach { case (_, v) =>
+            requireOnly(v, tSet ++ sSet, "MERGE UPDATE") })
+          val hasDelete = matched.exists(_.isInstanceOf[DeleteAction])
+          val root = table.commitLogRoot
+          Seq(GraftRowLevelExec("GraftMergeInto", () => runMerge(
+            root, source, keyAttr, srcKeyExpr, tSet, sSet,
+            updateAssigns, insertAssigns, hasDelete)))
+        case None => Nil
+      }
+
+    case _ => Nil
+  }
+
+  // ---- translation helpers (strategy time: refuse loudly, never guess) --
+
+  private def refuse(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft.commitlog row-level SQL: $why")
+
+  private def refuseIfTravel(t: CommitLogCatalogTable, what: String): Unit =
+    if (t.isTimeTravel) refuse(s"$what against a time-travel read — " +
+      "committed history is immutable")
+
+  /** The commit-log table under a statement's target plan, with the
+    * relation's output attributes (the side-classification anchor). */
+  private def commitLogTarget(plan: LogicalPlan)
+      : Option[(CommitLogCatalogTable, Seq[Attribute])] =
+    plan.collectFirst {
+      case r @ DataSourceV2Relation(t: CommitLogCatalogTable, _, _, _, _, _) =>
+        (t, r.output)
+      case DataSourceV2ScanRelation(
+          r @ DataSourceV2Relation(t: CommitLogCatalogTable, _, _, _, _, _),
+          _, output, _, _) => (t, output)
+    }
+
+  private def oneAction(actions: Seq[MergeAction],
+      kind: String): Option[MergeAction] = {
+    if (actions.size > 1)
+      refuse(s"at most one $kind clause (got ${actions.size}) — a second " +
+        "unconditional clause never fires, and conditional clauses are " +
+        "not supported")
+    actions.headOption
+  }
+
+  /** An assignment's target column name — top-level columns only (a
+    * nested-field key would need partial-row semantics the
+    * replace-whole-row verbs cannot express). */
+  private def assignmentName(a: Assignment, what: String): String = a.key match {
+    case ar: AttributeReference => ar.name
+    case other => refuse(s"$what assigns to $other — top-level columns only")
+  }
+
+  private def requireOnly(e: Expression, allowed: AttributeSet,
+      what: String): Unit =
+    if (!e.references.subsetOf(allowed))
+      refuse(s"$what expression $e references columns outside the " +
+        "statement's scope")
+
+  /** Re-resolvable copy of a statement expression: attribute references
+    * become unresolved single-part names, so the Column re-binds against
+    * the library verb's own head read. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** Same, for MERGE's two-sided expressions: target attrs re-bind under
+    * the `__t` alias (the head snapshot), source attrs under `__s` —
+    * exact even when both sides share column names. */
+  private def unresolveSided(e: Expression, tSet: AttributeSet,
+      sSet: AttributeSet): Expression = e.transform {
+    case a: AttributeReference if tSet.contains(a) =>
+      UnresolvedAttribute(Seq("__t", a.name))
+    case a: AttributeReference if sSet.contains(a) =>
+      UnresolvedAttribute(Seq("__s", a.name))
+    case a: AttributeReference =>
+      refuse(s"MERGE expression references $a, which is neither the " +
+        "target nor the source")
+  }
+
+  /** The MERGE body (exec time): build ONE changeset in the
+    * [[CommitLog.merge]] vocabulary — updates/inserts as full target
+    * rows, deletes as flagged keys — then commit through the verb. */
+  private def runMerge(root: String, source: LogicalPlan,
+      keyAttr: AttributeReference, srcKeyExpr: Expression,
+      tSet: AttributeSet, sSet: AttributeSet,
+      updateAssigns: Option[Seq[(String, Expression)]],
+      insertAssigns: Option[Seq[(String, Expression)]],
+      hasDelete: Boolean): Unit = {
+    val spark = SparkSession.active
+    val srcDF = GraftBridge.ofRows(spark, source).alias("__s")
+    val headOpt = CommitLog.readLatest(spark, root)
+    val headFields: Seq[StructField] = headOpt match {
+      case Some(h) => h.schema.fields.toSeq
+      case None =>
+        // MERGE into an empty table: only the insert clause can produce
+        // rows; its assignment targets define the created schema's names,
+        // and the analyzer has coerced the values to the table's declared
+        // types already
+        insertAssigns.getOrElse(refuse("MERGE into an empty table needs " +
+          "WHEN NOT MATCHED THEN INSERT")).map { case (n, v) =>
+          StructField(n, v.dataType) }
+    }
+    def tCol(name: String): Column =
+      GraftBridge.columnOf(UnresolvedAttribute(Seq("__t", name)))
+    def sided(e: Expression): Column =
+      GraftBridge.columnOf(unresolveSided(e, tSet, sSet))
+    val delCol = "__graft_del"
+    val keyCol = keyAttr.name
+    val joinCond = sided(EqualTo(keyAttr, srcKeyExpr))
+
+    val pieces = Vector.newBuilder[DataFrame]
+    headOpt match {
+      case Some(head) =>
+        val tA = head.alias("__t")
+        updateAssigns.foreach { assigns =>
+          val am = assigns.toMap
+          pieces += tA.join(srcDF, joinCond, "inner")
+            .select(headFields.map { f =>
+              am.get(f.name) match {
+                case Some(v) => sided(v).cast(f.dataType).as(f.name)
+                case None => tCol(f.name).as(f.name)
+              }
+            } :+ lit(false).as(delCol): _*)
+        }
+        if (hasDelete)
+          // distinct non-null source keys, flagged; absent keys no-op in
+          // the verb — exactly MERGE's unmatched-source-row semantics
+          pieces += srcDF.select(sided(srcKeyExpr).as(keyCol)).distinct()
+            .filter(col(keyCol).isNotNull)
+            .select(headFields.map { f =>
+              if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            } :+ lit(true).as(delCol): _*)
+        insertAssigns.foreach { assigns =>
+          val am = assigns.toMap
+          pieces += srcDF.join(tA, joinCond, "left_anti")
+            .select(headFields.map { f =>
+              val v = am.getOrElse(f.name, refuse(
+                s"MERGE INSERT must assign every column; '${f.name}' is " +
+                  "missing"))
+              sided(v).cast(f.dataType).as(f.name)
+            } :+ lit(false).as(delCol): _*)
+        }
+      case None =>
+        insertAssigns.foreach { assigns =>
+          val am = assigns.toMap
+          pieces += srcDF.select(headFields.map { f =>
+            sided(am(f.name)).cast(f.dataType).as(f.name)
+          } :+ lit(false).as(delCol): _*)
+        }
+    }
+    val parts = pieces.result()
+    if (parts.isEmpty) return // e.g. delete-only against an empty table
+    val changes = parts.reduce(_.unionByName(_))
+    CommitLog.merge(spark, root, "catalog", keyCol, changes,
+      deleteCol = Some(delCol))
+    ()
+  }
+}
+
+/** Eagerly-executed command node (the V2CommandExec shape): `run` fires
+  * once, whichever action touches the plan first; the statement returns
+  * no rows. */
+private[graft] case class GraftRowLevelExec(name: String, run: () => Unit)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val result: Array[InternalRow] = { run(); Array.empty }
+  override def executeCollect(): Array[InternalRow] = result
+  override protected def doExecute(): RDD[InternalRow] = {
+    result; sparkContext.emptyRDD
+  }
+  override def simpleString(maxFields: Int): String = name
+}

@@ -1883,17 +1883,42 @@ object CommitLog {
       prunedRewrite(spark, root, writer, "delete", cond,
         incoming = None, declared = Nil, maxAttempts = maxAttempts))
 
+  /** UPDATE the rows where `cond` is TRUE (NULL/false evaluations keep
+    * their values — the SQL rule), applying `assignments` (column name →
+    * new-value expression, evaluated per row over the table's columns
+    * and cast to the column's head type) as one serializable dir-pruned
+    * rewrite commit (action "update", r14 — the engine behind SQL
+    * `UPDATE` on catalog tables): directories the shared evidence
+    * decision proves predicate-free carry untouched with stats
+    * preserved; a predicate provably matching nothing returns the head
+    * unchanged. Row-VISIBLE (stored rows change), no persisted
+    * changeset: incremental consumers resync, the [[changesSince]]
+    * rewrite contract. None on an empty table. */
+  def update(spark: SparkSession, root: String, writer: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      maxAttempts: Int = 20): Option[Commit] = {
+    require(assignments.nonEmpty, "CommitLog.update needs assignments")
+    latest(spark, root).map(_ =>
+      prunedRewrite(spark, root, writer, "update", cond,
+        incoming = None, declared = Nil, maxAttempts = maxAttempts,
+        assignments = assignments))
+  }
+
   /** The pruned-rewrite engine behind [[replaceWhere]] (incoming = the
-    * restatement), [[delete]], and [[purge]] (incoming = None): one serializable
-    * commit whose new directory holds the affected dirs' rows with the
-    * cond-TRUE region removed (plus the incoming restatement, if any),
-    * while every dir the shared evidence decision proves predicate-free
-    * is CARRIED untouched. A purge whose predicate provably matches no
-    * retained dir returns the head unchanged — nothing to forget. */
+    * restatement), [[delete]], [[purge]] (incoming = None), and
+    * [[update]] (assignments nonEmpty): one serializable commit whose
+    * new directory holds the affected dirs' rows with the cond-TRUE
+    * region removed (delete shapes) or rewritten per the assignments
+    * (update), plus the incoming restatement if any, while every dir the
+    * shared evidence decision proves predicate-free is CARRIED untouched.
+    * A purge whose predicate provably matches no retained dir returns
+    * the head unchanged — nothing to forget. */
   private def prunedRewrite(spark: SparkSession, root: String,
       writer: String, action: String, cond: org.apache.spark.sql.Column,
       incoming: Option[DataFrame], declared: Seq[String],
-      maxAttempts: Int): Commit = {
+      maxAttempts: Int,
+      assignments: Seq[(String, org.apache.spark.sql.Column)] = Nil): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     declared.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
@@ -1961,11 +1986,34 @@ object CommitLog {
       // (the head already holds nothing to forget); a restatement still
       // commits (it INSERTS its region even where nothing matched)
       if (affected.isEmpty && incoming.isEmpty) return head
+      // assigned columns must exist in the head schema, checked before
+      // any staging I/O (the statsCol-guard rule)
+      assignments.foreach { case (n, _) =>
+        require(headSchema.fieldNames.contains(n),
+          s"$action assigns '$n', not in head schema ${headSchema.simpleString}")
+      }
       val carried = head.dataDirs.filterNot(affected.contains)
       val headCols = headSchema.fieldNames.map(col)
       val kept =
         if (affected.isEmpty) None
-        else Some(readDirs(spark, root, head.schemaDDL, affected).filter(keep))
+        else if (assignments.isEmpty)
+          Some(readDirs(spark, root, head.schemaDDL, affected).filter(keep))
+        else {
+          // UPDATE shape: every affected row survives; assigned columns
+          // take the new value where cond is TRUE (NULL/false keep the
+          // stored value — when()'s otherwise, the SQL rule), cast to
+          // the column's head type so the staged parquet cannot drift
+          val am = assignments.toMap
+          Some(readDirs(spark, root, head.schemaDDL, affected)
+            .select(headSchema.fields.toSeq.map { f =>
+              am.get(f.name) match {
+                case Some(v) =>
+                  when(cond, v.cast(f.dataType))
+                    .otherwise(col(f.name)).cast(f.dataType).as(f.name)
+                case None => col(f.name)
+              }
+            }: _*))
+        }
       val stage = (kept, incoming.map(_.select(headCols: _*))) match {
         case (Some(k), Some(inc)) => k.unionByName(inc)
         case (Some(k), None) => k

@@ -615,7 +615,7 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   * claim. Time travel, the change feed, dir-pruned range/point reads,
   * and streaming tails/sinks use the `graft.commitlog` format options
   * route. */
-private[sources] final class CommitLogCatalogTable(root: String,
+private[graft] final class CommitLogCatalogTable(root: String,
     declaredSchema: Option[String] = None,
     pinnedCommit: Option[CommitLog.Commit] = None)
     extends org.apache.spark.sql.connector.catalog.Table
@@ -649,6 +649,12 @@ private[sources] final class CommitLogCatalogTable(root: String,
       s"graft.commitlog: $what against a time-travel read of version " +
         s"${pinnedCommit.get.version} — committed history is immutable; " +
         "target the table without VERSION AS OF / TIMESTAMP AS OF")
+
+  /** The table root, for the row-level SQL strategy (r14 — UPDATE /
+    * MERGE INTO route through the library verbs on this root). */
+  private[graft] def commitLogRoot: String = root
+  /** Pinned (time-travel) tables refuse every mutating statement. */
+  private[graft] def isTimeTravel: Boolean = pinnedCommit.isDefined
   private val inner =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       s"graft.commitlog($root)", spark, CaseInsensitiveStringMap.empty(),

@@ -23,6 +23,13 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
 
+  /** A Column over a Catalyst expression — the public-API boundary the
+    * row-level SQL translation crosses (statement expressions, with
+    * attribute references rewritten to unresolved names, re-resolve
+    * against the library verbs' own DataFrames). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** The physical plan a FRESH QueryExecution over `df`'s logical plan
     * would run — what a `df.write...` action actually executes (writes
     * wrap the logical plan in a new command and re-run the optimizer;

@@ -1804,6 +1804,108 @@ class CommitLogSpec extends SparkSpec {
       s"expected the clean option-conflict message, got: ${conflict.getMessage}")
   }
 
+  test("SQL MERGE INTO is claim-JSON shape-identical to CommitLog.merge; SQL UPDATE prunes dirs and keeps NULL rows") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gclr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclr.dir", catRoot)
+    try {
+      // ---- twin histories: library route vs statement route ----
+      def seed(root: String): Unit = {
+        CommitLog.commit(spark, root, "w", "create",
+          statsCol = Some("id")) { _ =>
+          Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "p") }
+        CommitLog.commitAppend(spark, root, "w", "append",
+          statsCol = Some("id"))(
+          Seq((10L, "x", 10.0), (11L, "y", 11.0)).toDF("id", "v", "p"))
+      }
+      val rootL = freshRoot(); seed(rootL)
+      val rootS = freshRoot() + "/t"; seed(rootS)
+      spark.sql(s"CREATE TABLE gclr.t USING `graft.commitlog` LOCATION '$rootS'")
+      // library merge: update key 1, insert key 3 (a low-range changeset —
+      // the high-range dir must carry untouched in BOTH routes)
+      CommitLog.merge(spark, rootL, "catalog", "id",
+        Seq((1L, "A", 9.0), (3L, "c", 3.0)).toDF("id", "v", "p"))
+      // statement merge: the same changeset through MERGE INTO
+      Seq((1L, "A", 9.0), (3L, "c", 3.0)).toDF("id", "v", "p")
+        .createOrReplaceTempView("gclr_src")
+      spark.sql("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      // THE r13 write-path proof applied to MERGE (VERDICT r13 #1's
+      // done-when): same field set, same order, same action verb, same
+      // stats shape — the statement routes THROUGH CommitLog.merge
+      assert(normalizeJson(commitJson(rootS, 3L)) ==
+        normalizeJson(commitJson(rootL, 3L)),
+        s"statement merge claim must be shape-identical to the library " +
+          s"merge:\n${commitJson(rootS, 3L)}\nvs\n${commitJson(rootL, 3L)}")
+      assert(rows(spark.table("gclr.t").orderBy("id")) ==
+        rows(CommitLog.readLatest(spark, rootL).get.orderBy("id")))
+      // dir-carry through the STATEMENT: the (10,11) dir of the seed is
+      // still referenced (stats proved it key-disjoint from the changeset)
+      val seedHigh = CommitLog.commitAt(spark, rootS, 2L).get.dataDirs.last
+      val merged = CommitLog.latest(spark, rootS).get
+      assert(merged.dataDirs.contains(seedHigh),
+        "the statement merge must carry the evidence-excluded dir")
+      assert(merged.stats.get(seedHigh) ==
+        CommitLog.commitAt(spark, rootS, 2L).get.stats.get(seedHigh),
+        "carried dirs keep their recorded stats through SQL MERGE")
+      // the merge's CDF changeset exists on the statement route too
+      assert(CommitLog.changesSince(spark, rootS, 2L).isDefined,
+        "SQL MERGE must persist its change feed like the library merge")
+      // ---- SQL UPDATE: dir pruning + NULL semantics ----
+      spark.sql("INSERT INTO gclr.t VALUES (NULL, 'n', 0.0)")
+      val preUpdate = CommitLog.latest(spark, rootS).get
+      spark.sql("UPDATE gclr.t SET p = p + 100.0 WHERE id >= 10")
+      val upd = CommitLog.latest(spark, rootS).get
+      assert(upd.action == "update" && upd.writer == "catalog")
+      // rows: only ids >= 10 changed; the NULL-id row (predicate NULL)
+      // and low ids keep their values
+      val got = spark.table("gclr.t").collect()
+        .map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((Some(1L), "A", 9.0), (Some(2L), "b", 2.0),
+        (Some(3L), "c", 3.0), (Some(10L), "x", 110.0),
+        (Some(11L), "y", 111.0), (None, "n", 0.0)),
+        s"UPDATE must change exactly the TRUE-predicate rows: $got")
+      // evidence pruning: dirs whose recorded id stats exclude [10, ∞)
+      // carry byte-identical through the statement
+      val carried = preUpdate.dataDirs.toSet.intersect(upd.dataDirs.toSet)
+      assert(carried.nonEmpty,
+        s"UPDATE must carry evidence-excluded dirs: pre=${preUpdate.dataDirs} post=${upd.dataDirs}")
+      // history intact + travelable
+      assert(CommitLog.readVersion(spark, rootS, 3L).get.count() == 5L)
+      // ---- refusals: loud, at planning, nothing committed ----
+      val vBefore = CommitLog.latest(spark, rootS).get.version
+      def refused(sql: String, needle: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.getMessage.contains(needle),
+          s"expected refusal containing '$needle', got: ${e.getMessage}")
+      }
+      refused("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.p > 1 THEN DELETE", "unsupported WHEN MATCHED")
+      refused("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
+      refused("MERGE INTO gclr.t t USING gclr_src s " +
+        "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE",
+        "one equality")
+      assert(CommitLog.latest(spark, rootS).get.version == vBefore,
+        "refused statements must not have committed anything")
+      // MERGE cardinality: duplicate source keys fail the verb's
+      // one-row-per-key check, loudly
+      Seq((1L, "dup1", 1.0), (1L, "dup2", 2.0)).toDF("id", "v", "p")
+        .createOrReplaceTempView("gclr_dup")
+      val card = intercept[Exception] {
+        spark.sql("MERGE INTO gclr.t t USING gclr_dup s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET *")
+      }
+      assert(card.getMessage.contains("one row per"),
+        s"duplicate merge keys must fail the cardinality check: ${card.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gclr.t")
+      spark.conf.unset("spark.sql.catalog.gclr")
+      spark.conf.unset("spark.sql.catalog.gclr.dir")
+    }
+  }
+
   test("time travel by table NAME: VERSION AS OF / TIMESTAMP AS OF statements, reader options on .table, named CDF") {
     import spark.implicits._
     val catRoot = freshRoot()
