@@ -476,6 +476,37 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_constraint: class 34
+  // created, a CHECK constraint added (the Delta ALTER TABLE ADD
+  // CONSTRAINT verb, r14 — validates existing rows first), then a
+  // VIOLATING class-35 batch (negated prices) is rejected BEFORE any
+  // commit and the valid class-35 batch lands; a compact proves the
+  // constraint rides the carried metadata. Self-gating: broken
+  // enforcement would land the negative-price rows and hash-fail the
+  // oracle's class-34+35 rebuild.
+  private val constraintCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def constraintLogFor(s: SparkSession, d: String): String =
+    constraintCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitconstraint")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === 34)
+        .write.format("graft.commitlog").save(root)
+      graft.sources.CommitLog.addConstraint(s, root, "dba",
+        "price_positive", "o_totalprice > 0.0")
+      val bad = orders.filter(col("o_orderkey") % 100 === 35)
+        .withColumn("o_totalprice", -abs(col("o_totalprice")))
+      try {
+        bad.write.format("graft.commitlog").mode("append").save(root)
+        throw new IllegalStateException(
+          "constraint enforcement silently missed a violating batch")
+      } catch { case _: IllegalArgumentException => () }
+      orders.filter(col("o_orderkey") % 100 === 35)
+        .write.format("graft.commitlog").mode("append").save(root)
+      graft.sources.CommitLog.compact(s, root, "optimizer")
+      root
+    }
+
   // Session-cached GraftCatalog directory for q_commit_log_travel_sql —
   // the catalog names the commitLogFor table; the fixture under test is
   // the VERSION AS OF statement resolution, not a new history.
@@ -717,6 +748,24 @@ object Relational {
     "q_commit_log_travel" -> ((s, d) => {
       val root = commitLogFor(s, d)
       graft.sources.CommitLog.readVersion(s, root, 2L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // TABLE CONSTRAINTS end state (r14 — VERDICT r13 #3): a CHECK
+    // constraint recorded in the commit JSON gates every write verb
+    // before staging — the fixture's violating batch is rejected with no
+    // commit, the valid batch lands, and the constraint survives the
+    // compact; the oracle rebuilds classes 34+35, so enforcement that
+    // leaked the negative-price batch (or dropped the valid one)
+    // hash-fails. CommitLogSpec proves every-route rejection and
+    // append/compact/restore survival.
+    "q_commit_log_constraint" -> ((s, d) => {
+      val root = constraintLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -1233,6 +1282,11 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_constraint" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (34, 35) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_update" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, " +

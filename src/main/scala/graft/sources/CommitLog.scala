@@ -99,14 +99,31 @@ object CommitLog {
     * time (r13) — the evidence `TIMESTAMP AS OF` and the audit surface
     * need. Damage-tolerant like txn/stats: a commit missing the field
     * stays readable everywhere EXCEPT time-based resolution, which fails
-    * loudly on it ([[commitAtTimestamp]]) rather than silently guessing. */
+    * loudly on it ([[commitAtTimestamp]]) rather than silently guessing.
+    *
+    * `constraints` (r14 — the Delta CHECK-constraint story) is the
+    * table's enforced invariant list, (name → SQL expression), recorded
+    * in the commit JSON and carried forward by EVERY verb: a batch is
+    * accepted only if no constraint evaluates FALSE on any of its rows
+    * (NULL passes — the SQL CHECK rule; NOT NULL is `col IS NOT NULL`),
+    * checked BEFORE staging on every write face — append, insert,
+    * rewrite, merge, replaceWhere, update, the streaming sink — so a
+    * malformed batch never lands in an audited table through any route.
+    * [[addConstraint]] validates existing data first (the Delta ADD
+    * CONSTRAINT scan); [[dropConstraint]] removes; both are audited
+    * rowInvisible metadata commits. Damage-tolerant parse like
+    * txn/stats/schema: a bit-rotted block degrades to "no constraints"
+    * for READING (skipping must not gate readability) — the enforcement
+    * surface degrades with it, the documented trade of the
+    * damage-tolerant log. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String, stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowInvisible: Boolean = false, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       clusterSpec: Option[String] = None,
       schemaDDL: Option[String] = None,
-      tsMs: Option[Long] = None)
+      tsMs: Option[Long] = None,
+      constraints: Seq[(String, String)] = Nil)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -165,8 +182,15 @@ object CommitLog {
     // escaped content; render was the missing half)
     val schema = c.schemaDDL
       .map(ddl => s""","schema":"${escapeJson(ddl)}"""").getOrElse("")
+    // constraint names are requireTag-validated; expressions are
+    // arbitrary SQL text, so they take the schema field's full escaping
+    val cons =
+      if (c.constraints.isEmpty) ""
+      else c.constraints.map { case (n, e) =>
+        s"""{"name":"$n","expr":"${escapeJson(e)}"}"""
+      }.mkString(""","constraints":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$txn$schema$statsCols$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$txn$schema$cons$statsCols$stats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -334,11 +358,22 @@ object CommitLog {
         .matcher(s)
       if (m.find()) Some((m.group(1), m.group(2).toLong)) else None
     }
+    // constraints (r14): entries matched individually — damage-tolerant
+    // (a malformed entry is skipped, never unreadable), and the
+    // {"name":…,"expr":…} shape appears nowhere else in the commit JSON
+    def constraints: Seq[(String, String)] = {
+      val m = java.util.regex.Pattern
+        .compile("\\{\"name\":\"([^\"]+)\",\"expr\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}")
+        .matcher(s)
+      val b = Seq.newBuilder[(String, String)]
+      while (m.find()) b += m.group(1) -> unescapeJson(m.group(2))
+      b.result()
+    }
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
-        field("schema").map(unescapeJson), tsMs)
+        field("schema").map(unescapeJson), tsMs, constraints)
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -782,10 +817,94 @@ object CommitLog {
     versions(spark, root)
       .flatMap(v => readCommitFile(spark, root, v))
       .map(c => (c.version, c.tsMs, c.writer, c.action, c.dataDirs.size,
-        c.rowInvisible, c.clusterSpec, c.txn.map(_._1), c.txn.map(_._2)))
+        c.rowInvisible, c.clusterSpec, c.txn.map(_._1), c.txn.map(_._2),
+        c.constraints.map(_._1)))
       .toDF("version", "ts_ms", "writer", "action", "n_dirs",
-        "row_invisible", "cluster", "txn_app", "txn_batch")
+        "row_invisible", "cluster", "txn_app", "txn_batch", "constraints")
   }
+
+  /** Reject `df` if any row makes any of `cs` evaluate FALSE (NULL
+    * passes — the SQL CHECK rule). The ONE enforcement gate every write
+    * verb calls BEFORE staging, so a violating batch fails before any
+    * commit (or staging I/O) exists on any route. Cost: one
+    * filter+take(1) scan of the batch per constraint — constraints are
+    * few and the batch is the delta, never the table (except
+    * full-rewrite verbs, whose staged snapshot is being scanned for the
+    * write anyway). */
+  private def enforceConstraints(df: DataFrame,
+      cs: Seq[(String, String)]): Unit =
+    cs.foreach { case (n, e) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(e), lit(true))).take(1)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CommitLog: CHECK constraint '$n' ($e) is violated by " +
+          s"${bad.head} — the batch was rejected before any commit")
+    }
+
+  /** METADATA-ONLY commit: claim the next version with the head's data
+    * directories unchanged and `mutate` applied to the carried record —
+    * the [[addConstraint]]/[[dropConstraint]] engine. rowInvisible by
+    * construction (the snapshot is row-identical to its parent), so
+    * incremental consumers ride through; the ordinary optimistic loop,
+    * with `mutate` re-run against the fresh head after a lost claim
+    * (serializable like every verb). */
+  private def metadataCommit(spark: SparkSession, root: String,
+      writer: String, action: String, maxAttempts: Int = 20)(
+      mutate: Commit => Commit): Commit = {
+    requireTag(writer, "writer"); requireTag(action, "action")
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val cur = latest(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"CommitLog: $action on an empty table at $root"))
+      val c = mutate(cur).copy(version = cur.version + 1, writer = writer,
+        action = action, rowInvisible = true, txn = None,
+        tsMs = Some(System.currentTimeMillis()))
+      if (tryClaim(spark, root, c.version, render(c))) {
+        writeHeadPointer(f, root, c.version); return c
+      }
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive $action claims on $root")
+  }
+
+  /** ADD a CHECK constraint (r14 — the Delta `ALTER TABLE ADD CONSTRAINT
+    * CHECK` verb): records (name → SQL expression) in a new audited
+    * metadata commit after validating that EVERY existing row satisfies
+    * it (the Delta add-constraint table scan, re-run against the fresh
+    * head on a lost claim, so a racing violating append cannot slip
+    * under the new constraint). From this commit on, every write verb
+    * rejects violating batches before staging. NOT NULL is
+    * `addConstraint(…, "col IS NOT NULL")`. A malformed expression or a
+    * duplicate name fails loudly; nothing commits. */
+  def addConstraint(spark: SparkSession, root: String, writer: String,
+      name: String, exprSql: String, maxAttempts: Int = 20): Commit = {
+    requireTag(name, "constraint name")
+    metadataCommit(spark, root, writer, "constraint-add", maxAttempts) { cur =>
+      require(!cur.constraints.exists(_._1 == name),
+        s"CommitLog: constraint '$name' already exists on $root " +
+          s"(${cur.constraints.map(_._1).mkString(", ")})")
+      // existing data must satisfy the new invariant — checked against
+      // exactly the head this claim builds on (per-attempt, serializable)
+      enforceConstraints(load(spark, root, cur), Seq(name -> exprSql))
+      cur.copy(constraints = cur.constraints :+ (name -> exprSql))
+    }
+  }
+
+  /** DROP a constraint by name — an audited metadata commit; unknown
+    * names fail loudly (a typo'd drop must not silently "succeed"). */
+  def dropConstraint(spark: SparkSession, root: String, writer: String,
+      name: String, maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "constraint-drop", maxAttempts) { cur =>
+      require(cur.constraints.exists(_._1 == name),
+        s"CommitLog: no constraint '$name' on $root " +
+          s"(have ${cur.constraints.map(_._1).mkString(", ")})")
+      cur.copy(constraints = cur.constraints.filterNot(_._1 == name))
+    }
 
   /** TIMESTAMP-based version resolution (r13 — the Delta `TIMESTAMP AS
     * OF` rule): the newest commit whose wall-clock is at-or-before
@@ -978,13 +1097,19 @@ object CommitLog {
       // minutes of I/O with an orphaned staging left behind
       statsCols.foreach(sc => require(next.columns.contains(sc),
         s"statsCol '$sc' not in snapshot schema ${next.schema.simpleString}"))
+      // CHECK constraints gate every rewrite before staging (r14);
+      // rowInvisible verbs (compact) are row-identical to a parent that
+      // already passed, so re-scanning the table would buy nothing
+      val cons = cur.map(_.constraints).getOrElse(Nil)
+      if (!rowInvisible) enforceConstraints(next, cons)
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
       val byCol = dirStats(spark, s"$root/$dataDir", statsCols)
       val st = if (byCol.nonEmpty) Map(dataDir -> byCol)
         else Map.empty[String, Map[String, (Long, Long)]]
       val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
         statsCols = if (st.nonEmpty) statsCols else Nil,
-        clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()))
+        clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()),
+        constraints = cons)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1151,6 +1276,10 @@ object CommitLog {
             s"the table's recorded stats columns " +
             s"${h.statsCols.mkString("[", ",", "]")} — one stats column " +
             "set per table; change it with a rewrite")
+      // CHECK constraints gate the delta BEFORE its staging write (r14) —
+      // re-run against the fresh head on a lost claim like the schema
+      // check, so a concurrently-added constraint still rejects the batch
+      enforceConstraints(delta, h.constraints)
       evolvedDDL
     }
     var validatedAt: Option[Long] = headNow.map(_.version)
@@ -1209,7 +1338,8 @@ object CommitLog {
         // this commit's evolution wins; otherwise carry the head's
         // recorded schema forward (pre-evolution dirs stay in the union)
         schemaDDL = evolvedDDL.orElse(cur.flatMap(_.schemaDDL)),
-        tsMs = Some(System.currentTimeMillis()))
+        tsMs = Some(System.currentTimeMillis()),
+        constraints = cur.map(_.constraints).getOrElse(Nil))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1695,6 +1825,10 @@ object CommitLog {
           val eff = if (statsCol.nonEmpty) statsCol.toSeq else head.statsCols
           val inserts = changes.filter(!delFlag)
             .select(headSchema.fieldNames.map(col): _*)
+          // CHECK constraints gate the changeset's landing rows BEFORE
+          // any staging (r14); stored rows the merge keeps satisfy by
+          // induction (they passed when written), deletes land nothing
+          enforceConstraints(inserts, head.constraints)
           val bloomUsable = bloomColumn(spark, root).contains(keyCol) &&
             probeKeys.isDefined
           val statsUsable = head.statsCols.contains(keyCol)
@@ -1802,7 +1936,8 @@ object CommitLog {
         // carried (untouched) dirs may predate an evolution even though
         // the rewritten dir holds the full head schema — keep the record
         schemaDDL = cur.flatMap(_.schemaDDL),
-        tsMs = Some(System.currentTimeMillis()))
+        tsMs = Some(System.currentTimeMillis()),
+        constraints = cur.map(_.constraints).getOrElse(Nil))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -2014,6 +2149,12 @@ object CommitLog {
               }
             }: _*))
         }
+      // CHECK constraints (r14): a restatement's incoming rows and an
+      // update's rewritten rows are NEW values and gate before staging;
+      // delete/purge keeps only rows that satisfied when written
+      incoming.foreach(inc => enforceConstraints(inc, head.constraints))
+      if (assignments.nonEmpty)
+        kept.foreach(k => enforceConstraints(k, head.constraints))
       val stage = (kept, incoming.map(_.select(headCols: _*))) match {
         case (Some(k), Some(inc)) => k.unionByName(inc)
         case (Some(k), None) => k
@@ -2037,7 +2178,8 @@ object CommitLog {
       val c = Commit(nextV, carried :+ newDir, writer, action, allStats,
         statsCols = if (allStats.nonEmpty) effCols else Nil,
         schemaDDL = head.schemaDDL,
-        tsMs = Some(System.currentTimeMillis()))
+        tsMs = Some(System.currentTimeMillis()),
+        constraints = head.constraints)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }

@@ -1804,6 +1804,101 @@ class CommitLogSpec extends SparkSpec {
       s"expected the clean option-conflict message, got: ${conflict.getMessage}")
   }
 
+  test("CHECK constraints: every write route rejects before any commit; survive append/compact/restore; NULL passes") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gclc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclc.dir", catRoot)
+    try {
+      Seq((1L, "alpha", 1.0), (2L, "bravo", 2.0)).toDF("id", "v", "p")
+        .write.format("graft.commitlog").save(root)
+      spark.sql(s"CREATE TABLE gclc.t USING `graft.commitlog` LOCATION '$root'")
+      val added = CommitLog.addConstraint(spark, root, "dba", "p_pos", "p > 0.0")
+      assert(added.action == "constraint-add" && added.rowInvisible,
+        "adding a constraint is audited, row-invisible metadata")
+      assert(CommitLog.latest(spark, root).get.constraints ==
+        Seq("p_pos" -> "p > 0.0"),
+        "the constraint round-trips through the commit JSON")
+      // adding a constraint EXISTING data violates is refused
+      intercept[IllegalArgumentException] {
+        CommitLog.addConstraint(spark, root, "dba", "vlong", "length(v) > 5")
+      }
+      // duplicate names refused
+      intercept[IllegalArgumentException] {
+        CommitLog.addConstraint(spark, root, "dba", "p_pos", "p > 1.0")
+      }
+      def rejected(what: String)(op: => Unit): Unit = {
+        val v0 = CommitLog.latest(spark, root).get.version
+        val e = intercept[Exception] { op }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: chain(t.getCause)
+        assert(chain(e).exists(t => Option(t.getMessage).exists(
+          _.contains("CHECK constraint 'p_pos'"))),
+          s"$what must fail the constraint, got: ${e.getMessage}")
+        assert(CommitLog.latest(spark, root).get.version == v0,
+          s"$what must have committed NOTHING")
+      }
+      val bad = Seq((9L, "zulu", -5.0)).toDF("id", "v", "p")
+      rejected("library append") {
+        CommitLog.commitAppend(spark, root, "w", "append")(bad) }
+      rejected("idempotent append") {
+        CommitLog.commitAppendOnce(spark, root, "w", "append",
+          appId = "capp", batchId = 99L)(bad) }
+      rejected("connector df.write") {
+        bad.write.format("graft.commitlog").mode("append").save(root) }
+      rejected("INSERT INTO") {
+        spark.sql("INSERT INTO gclc.t VALUES (9, 'zulu', -5.0)") }
+      rejected("full rewrite") {
+        CommitLog.commit(spark, root, "w", "rewrite") { cur =>
+          cur.get.withColumn("p", -col("p")) } }
+      rejected("SQL UPDATE") {
+        spark.sql("UPDATE gclc.t SET p = -p WHERE id = 1") }
+      rejected("library merge insert") {
+        CommitLog.merge(spark, root, "m", "id", bad) }
+      rejected("SQL MERGE insert") {
+        bad.createOrReplaceTempView("gclc_bad")
+        spark.sql("MERGE INTO gclc.t t USING gclc_bad s ON t.id = s.id " +
+          "WHEN NOT MATCHED THEN INSERT *") }
+      rejected("replaceWhere") {
+        CommitLog.replaceWhere(spark, root, "w", col("id") === 1L,
+          Seq((1L, "alpha", -1.0)).toDF("id", "v", "p")) }
+      // NULL passes — the SQL CHECK rule (violated means FALSE)
+      spark.sql("INSERT INTO gclc.t VALUES (3, 'null-p', NULL)")
+      assert(spark.table("gclc.t").count() == 3L,
+        "a NULL-evaluating CHECK must accept the row")
+      // the constraint SURVIVES append + compact + restore
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((4L, "delta", 4.0)).toDF("id", "v", "p"))
+      CommitLog.compact(spark, root, "opt")
+      assert(CommitLog.latest(spark, root).get.constraints.nonEmpty,
+        "compact must carry constraints")
+      rejected("append after compact") {
+        CommitLog.commitAppend(spark, root, "w", "append")(bad) }
+      CommitLog.restore(spark, root,
+        "op", CommitLog.latest(spark, root).get.version - 1)
+      assert(CommitLog.latest(spark, root).get.constraints.nonEmpty,
+        "restore must carry constraints")
+      rejected("append after restore") {
+        CommitLog.commitAppend(spark, root, "w", "append")(bad) }
+      // history surfaces the constraint set
+      assert(CommitLog.history(spark, root)
+        .orderBy(col("version").desc).select("constraints")
+        .head().getSeq[String](0) == Seq("p_pos"))
+      // drop: violating batches land again; unknown drops are loud
+      CommitLog.dropConstraint(spark, root, "dba", "p_pos")
+      CommitLog.commitAppend(spark, root, "w", "append")(bad)
+      assert(spark.table("gclc.t").filter(col("p") < 0).count() == 1L)
+      intercept[IllegalArgumentException] {
+        CommitLog.dropConstraint(spark, root, "dba", "nope")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gclc.t")
+      spark.conf.unset("spark.sql.catalog.gclc")
+      spark.conf.unset("spark.sql.catalog.gclc.dir")
+    }
+  }
+
   test("SQL MERGE INTO is claim-JSON shape-identical to CommitLog.merge; SQL UPDATE prunes dirs and keeps NULL rows") {
     import spark.implicits._
     val catRoot = freshRoot()
