@@ -514,6 +514,12 @@ object Relational {
   private def travelCatFor(s: SparkSession, d: String): String =
     travelCatCache.getOrBuild(s, d) { graft.TempDirs.create("graft-travelcat") }
 
+  // Session-cached GraftCatalog directory for q_commit_log_call (names
+  // the restoreLogFor table for the CALL statement).
+  private val callCatCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def callCatFor(s: SparkSession, d: String): String =
+    callCatCache.getOrBuild(s, d) { graft.TempDirs.create("graft-callcat") }
+
   // Session-cached commit-log table for q_commit_log_delete: two connector
   // writes (classes 27, 28), then ONE CommitLog.delete commit removing the
   // even class-28 keys — the dir-pruned copy-on-write DELETE verb behind
@@ -657,6 +663,25 @@ object Relational {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // CALL procedure output as a DECLARED, oracle-gated query (r14 —
+    // VERDICT r13 #7): `CALL gclh.history(table => 'orders_h')` runs the
+    // stored procedure through Spark's CALL statement and the result —
+    // the same deterministic create→adjust→append→restore chain as
+    // q_commit_log_history — hash-matches the literal-VALUES oracle, so
+    // the ProcedureCatalog surface itself is now correctness-gated, not
+    // just spec-covered.
+    "q_commit_log_call" -> ((s, d) => {
+      val root = restoreLogFor(s, d)
+      s.conf.set("spark.sql.catalog.gclh", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gclh.dir", callCatFor(s, d))
+      s.sql("CREATE TABLE IF NOT EXISTS gclh.orders_h " +
+        s"USING `graft.commitlog` LOCATION '$root'")
+      s.sql("CALL gclh.history(`table` => 'orders_h')")
+        .select(col("version"), col("writer"), col("action"),
+          col("n_dirs"), col("row_invisible"))
+        .orderBy("version")
     }),
 
     // COMMIT HISTORY audit surface (CommitLog.history, r12 as a declared
@@ -1201,6 +1226,14 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_call" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'loader', 'create', 1, FALSE), " +
+        "(CAST(2 AS BIGINT), 'repricer', 'adjust', 1, FALSE), " +
+        "(CAST(3 AS BIGINT), 'loader', 'append', 2, FALSE), " +
+        "(CAST(4 AS BIGINT), 'operator', 'restore', 1, FALSE)) " +
+        "AS h(version, writer, action, n_dirs, row_invisible) " +
+        "ORDER BY version"),
     "q_commit_log_history" ->
       ("SELECT * FROM (VALUES " +
         "(CAST(1 AS BIGINT), 'loader', 'create', 1, FALSE), " +

@@ -337,15 +337,19 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           Seq(Seq[Any](c.version, c.dataDirs.size))
         }
       case "vacuum" =>
+        // retain_ms < 0 (the default) = count-based only; >= 0 adds the
+        // r14 time-based retention (drop only commits provably older)
         procedure(
           Array(in("table", StringType),
             inDef("keep", IntegerType, "7"),
-            inDef("grace_ms", LongType, "600000")),
+            inDef("grace_ms", LongType, "600000"),
+            inDef("retain_ms", LongType, "-1")),
           StructType(Seq(
             StructField("dropped_versions", IntegerType, nullable = false)))) { input =>
           val root = commitLogRoot(input.getUTF8String(0).toString)
           Seq(Seq[Any](CommitLog.vacuum(spark, root, keep = input.getInt(1),
-            graceMs = input.getLong(2))))
+            graceMs = input.getLong(2),
+            retainMs = Some(input.getLong(3)).filter(_ >= 0))))
         }
       case "restore" =>
         procedure(

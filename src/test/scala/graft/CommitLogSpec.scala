@@ -1804,6 +1804,73 @@ class CommitLogSpec extends SparkSpec {
       s"expected the clean option-conflict message, got: ${conflict.getMessage}")
   }
 
+  test("time-based vacuum: retainMs drops only provably-old commits, keeps the suffix invariant, respects watermark and grace") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    Thread.sleep(30L)
+    // v2 is a REWRITE so v1's directory becomes sweepable once v1 ages
+    // out (appends share dirs across versions — nothing would free)
+    CommitLog.commit(spark, root, "w", "adjust") { cur =>
+      cur.get.withColumn("v", lit("A")) }
+    Thread.sleep(30L)
+    // the newest commit carries an idempotent writer's txn watermark
+    CommitLog.commitAppendOnce(spark, root, "app1", "append",
+      appId = "app1", batchId = 7L)(Seq((3L, "c")).toDF("id", "v"))
+    val hist = CommitLog.history(spark, root).orderBy("version").collect()
+    val (t1, t2) = (hist(0).getAs[Long]("ts_ms"), hist(1).getAs[Long]("ts_ms"))
+    assert(t1 < t2, "fixture needs distinct wall-clocks")
+    // a window covering everything drops nothing, even with keep=1 —
+    // retainMs PROTECTS beyond the count floor
+    assert(CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L,
+      retainMs = Some(24L * 3600 * 1000)) == 0)
+    assert(CommitLog.readVersion(spark, root, 1L).isDefined)
+    // a cutoff between t1 and t2 drops exactly v1; the writer's
+    // watermark (inside the window) survives the scheduled sweep
+    val dir1 = CommitLog.commitAt(spark, root, 1L).get.dataDirs.head
+    assert(CommitLog.vacuum(spark, root, keep = 1, graceMs = 3600000L,
+      retainMs = Some(System.currentTimeMillis() - (t1 + t2) / 2)) == 1)
+    assert(CommitLog.commitAt(spark, root, 1L).isEmpty &&
+      CommitLog.commitAt(spark, root, 2L).isDefined)
+    assert(CommitLog.lastTxn(spark, root, "app1").contains(7L),
+      "a watermark inside the retention window must survive age sweeps")
+    // grace contract unchanged: v1's dir was young, so it survives the
+    // sweep even though its commit file is gone; a zero-grace re-sweep
+    // removes it (it is unreferenced by every kept commit)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, dir1)),
+      "graceMs must shield young data dirs from the age-based sweep")
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L,
+      retainMs = Some(System.currentTimeMillis() - (t1 + t2) / 2))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, dir1)))
+    // head is never dropped, whatever the cutoff: retainMs=0 makes every
+    // commit "old", the keep floor still holds the newest
+    assert(CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L,
+      retainMs = Some(0L)) == 1)
+    assert(CommitLog.latest(spark, root).get.version == 3L)
+    assert(CommitLog.readLatest(spark, root).get.count() == 2L)
+    // SUFFIX invariant under missing timestamps: a pre-timestamp commit
+    // is unprovably old — it is never time-dropped and shields every
+    // later commit from the age sweep (count-based still applies)
+    val root2 = freshRoot()
+    CommitLog.commit(spark, root2, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    val c1 = CommitLog.commitAt(spark, root2, 1L).get
+    // forge v1 WITHOUT a ts field (the pre-r13 commit shape)
+    Files.write(java.nio.file.Paths.get(root2, "_commits",
+      "v" + "%020d".format(1L) + ".json"),
+      (s"""{"version":1,"dataDirs":["${c1.dataDirs.head}"],""" +
+        """"writer":"old","action":"create"}""").getBytes("UTF-8"))
+    CommitLog.commitAppend(spark, root2, "w", "append")(
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(CommitLog.vacuum(spark, root2, keep = 1, graceMs = 0L,
+      retainMs = Some(0L)) == 0,
+      "an untimestamped commit must anchor the retained suffix")
+    assert(CommitLog.readVersion(spark, root2, 1L).isDefined)
+  }
+
   test("CHECK constraints: every write route rejects before any commit; survive append/compact/restore; NULL passes") {
     import spark.implicits._
     val catRoot = freshRoot()
