@@ -140,8 +140,17 @@ object RowLevelSqlStrategy extends SparkStrategy {
           }.headOption
           insertAssigns.foreach(_.foreach { case (_, v) =>
             requireOnly(v, sSet, "MERGE INSERT") })
-          updateAssigns.foreach(_.foreach { case (_, v) =>
-            requireOnly(v, tSet ++ sSet, "MERGE UPDATE") })
+          updateAssigns.foreach(_.foreach { case (n, v) =>
+            requireOnly(v, tSet ++ sSet, "MERGE UPDATE")
+            // reassigning the ON key would make the verb replace the
+            // WRONG stored row (changes are keyed by the key column):
+            // only the identity assignments SET key = s.key / t.key are
+            // expressible — anything else refuses (code review r14)
+            if (n == keyAttr.name &&
+                !v.semanticEquals(srcKeyExpr) && !v.semanticEquals(keyAttr))
+              refuse(s"UPDATE SET must not reassign the ON key column " +
+                s"'$n' (got $v) — a key change is a DELETE plus an INSERT")
+          })
           val hasDelete = matched.exists(_.isInstanceOf[DeleteAction])
           val root = table.commitLogRoot
           Seq(GraftRowLevelExec("GraftMergeInto", () => runMerge(
@@ -264,15 +273,26 @@ object RowLevelSqlStrategy extends SparkStrategy {
               }
             } :+ lit(false).as(delCol): _*)
         }
-        if (hasDelete)
-          // distinct non-null source keys, flagged; absent keys no-op in
-          // the verb — exactly MERGE's unmatched-source-row semantics
-          pieces += srcDF.select(sided(srcKeyExpr).as(keyCol)).distinct()
+        if (hasDelete) {
+          val delKeys = srcDF.select(sided(srcKeyExpr).as(keyCol)).distinct()
             .filter(col(keyCol).isNotNull)
+          // with an INSERT clause present, an unmatched source key is an
+          // insert — the delete piece must carry MATCHED keys only, or
+          // the same key appears twice and the verb's one-row-per-key
+          // check rejects a valid statement (code review r14); without
+          // one, unmatched flagged keys just no-op in the verb
+          val delMatched =
+            if (insertAssigns.isDefined)
+              delKeys.alias("__d").join(tA,
+                GraftBridge.columnOf(UnresolvedAttribute(Seq("__d", keyCol)))
+                  === tCol(keyCol), "left_semi")
+            else delKeys
+          pieces += delMatched
             .select(headFields.map { f =>
               if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name)
             } :+ lit(true).as(delCol): _*)
+        }
         insertAssigns.foreach { assigns =>
           val am = assigns.toMap
           pieces += srcDF.join(tA, joinCond, "left_anti")

@@ -1068,18 +1068,26 @@ object CommitLog {
     * column prune (one extra agg pair per column, same single scan). */
   def commit(spark: SparkSession, root: String, writer: String, action: String,
       maxAttempts: Int = 20, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil)(
+      statsCols: Seq[String] = Nil,
+      createOnEmpty: Boolean = false)(
       build: Option[DataFrame] => DataFrame): Commit =
     commitImpl(spark, root, writer, action, maxAttempts,
-      (statsCol.toSeq ++ statsCols).distinct, rowInvisible = false)(build)
+      (statsCol.toSeq ++ statsCols).distinct, rowInvisible = false,
+      createOnEmpty = createOnEmpty)(build)
 
   /** The rewrite engine behind [[commit]] (rowInvisible=false, always)
     * and [[compact]] (rowInvisible=true — only row-preserving internal
     * verbs may claim consumer-skippability). */
+  /** `createOnEmpty` (code review r14): the audit action is decided PER
+    * CLAIM ATTEMPT from the head the attempt actually builds on — a
+    * first commit records "create", anything else the caller's verb. A
+    * pre-loop exists check would mislabel under a racing first writer
+    * (the loser's retry would still stamp "create" at version 2). */
   private def commitImpl(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int, statsCols: Seq[String],
       rowInvisible: Boolean,
-      clusterSpec: Option[String] = None)(
+      clusterSpec: Option[String] = None,
+      createOnEmpty: Boolean = false)(
       build: Option[DataFrame] => DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     statsCols.foreach(sc => requireTag(sc, "statsCol")) // embeds in the JSON
@@ -1106,7 +1114,9 @@ object CommitLog {
       val byCol = dirStats(spark, s"$root/$dataDir", statsCols)
       val st = if (byCol.nonEmpty) Map(dataDir -> byCol)
         else Map.empty[String, Map[String, (Long, Long)]]
-      val c = Commit(nextV, Seq(dataDir), writer, action, st, rowInvisible,
+      val c = Commit(nextV, Seq(dataDir), writer,
+        if (createOnEmpty && cur.isEmpty) "create" else action,
+        st, rowInvisible,
         statsCols = if (st.nonEmpty) statsCols else Nil,
         clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()),
         constraints = cons)
@@ -1140,10 +1150,11 @@ object CommitLog {
       action: String, maxAttempts: Int = 20,
       statsCol: Option[String] = None,
       evolve: Boolean = false,
-      statsCols: Seq[String] = Nil)(delta: DataFrame): Commit =
+      statsCols: Seq[String] = Nil,
+      createOnEmpty: Boolean = false)(delta: DataFrame): Commit =
     appendImpl(spark, root, writer, action, maxAttempts,
       (statsCol.toSeq ++ statsCols).distinct,
-      txn = None, evolve = evolve)(delta)
+      txn = None, evolve = evolve, createOnEmpty = createOnEmpty)(delta)
 
   /** Newest retained txn watermark for `appId` — the largest batch id any
     * retained commit records for that app (commits are scanned newest-
@@ -1205,7 +1216,8 @@ object CommitLog {
 
   private def appendImpl(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int, statsCols: Seq[String],
-      txn: Option[(String, Long)], evolve: Boolean)(delta: DataFrame): Commit = {
+      txn: Option[(String, Long)], evolve: Boolean,
+      createOnEmpty: Boolean = false)(delta: DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     statsCols.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
@@ -1332,7 +1344,10 @@ object CommitLog {
         if (statsCols.nonEmpty) statsCols
         else cur.map(_.statsCols).getOrElse(Nil)
       val c = Commit(nextV, cur.map(_.dataDirs).getOrElse(Nil) :+ deltaDir,
-        writer, action, allStats,
+        writer,
+        // per-attempt create labeling (code review r14, see commitImpl)
+        if (createOnEmpty && cur.isEmpty) "create" else action,
+        allStats,
         statsCols = if (allStats.nonEmpty) effCols else Nil,
         txn = txn,
         // this commit's evolution wins; otherwise carry the head's

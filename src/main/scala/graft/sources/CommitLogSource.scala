@@ -217,9 +217,12 @@ final class CommitLogSource extends DataSourceRegister
             appId = app, batchId = txnVersion.get,
             statsCols = statsCols)(data)
         case None =>
-          CommitLog.commitAppend(spark, root, writer,
-            if (exists) "append" else "create",
-            statsCols = statsCols, evolve = evolve)(data)
+          // the create label resolves PER CLAIM ATTEMPT inside the verb
+          // (code review r14): a pre-read exists flag would stamp a
+          // racing loser's v2 as "create"
+          CommitLog.commitAppend(spark, root, writer, "append",
+            statsCols = statsCols, evolve = evolve,
+            createOnEmpty = true)(data)
       }
       case SaveMode.Overwrite => parameters.get("replaceWhere") match {
         // PARTIAL overwrite (the Delta replaceWhere shape, r13): one
@@ -235,9 +238,8 @@ final class CommitLogSource extends DataSourceRegister
             org.apache.spark.sql.functions.expr(condSql), data,
             statsCols = statsCols)
         case None =>
-          CommitLog.commit(spark, root, writer,
-            if (exists) "overwrite" else "create",
-            statsCols = statsCols)(_ => data)
+          CommitLog.commit(spark, root, writer, "overwrite",
+            statsCols = statsCols, createOnEmpty = true)(_ => data)
       }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
@@ -714,15 +716,15 @@ private[graft] final class CommitLogCatalogTable(root: String,
               val renamed = data.toDF(schema().fieldNames.toSeq: _*)
               // first commit on an empty table records action "create"
               // (ADVICE r13): the audit surface must show ONE creating
-              // verb whichever write face landed it — this is the
-              // connector route's exists check applied to the V1 fallback
-              val exists = CommitLog.latest(data.sparkSession, root).isDefined
+              // verb whichever write face landed it — decided PER CLAIM
+              // ATTEMPT inside the verb (code review r14: a pre-loop
+              // exists read mislabels a racing loser's v2 as "create")
               if (overwrite || overwriteFlag)
                 CommitLog.commit(data.sparkSession, root, "catalog",
-                  if (exists) "overwrite" else "create")(_ => renamed)
+                  "overwrite", createOnEmpty = true)(_ => renamed)
               else
                 CommitLog.commitAppend(data.sparkSession, root, "catalog",
-                  if (exists) "append" else "create")(renamed)
+                  "append", createOnEmpty = true)(renamed)
               ()
             }
           }

@@ -1501,6 +1501,8 @@ class CommitLogSpec extends SparkSpec {
       // SQL DELETE null semantics (code review r13): a row where the
       // predicate evaluates to NULL is KEPT — delete only where TRUE
       spark.sql("INSERT INTO gcl2.t VALUES (NULL, 'n')")
+      assert(CommitLog.latest(spark, tableRoot).get.action == "append",
+        "a second INSERT records the appending verb, not 'create'")
       spark.sql("DELETE FROM gcl2.t WHERE id = 3")
       assert(spark.table("gcl2.t").count() == 2L,
         "a NULL-keyed row must survive an equality delete")
@@ -2061,6 +2063,25 @@ class CommitLogSpec extends SparkSpec {
       }
       assert(card.getMessage.contains("one row per"),
         s"duplicate merge keys must fail the cardinality check: ${card.getMessage}")
+      // delete+insert combo with an UNMATCHED source key (code review
+      // r14): the delete piece must carry matched keys only, or the
+      // unmatched key appears both flagged and as an insert and the
+      // cardinality check rejects a valid statement
+      Seq((3L, "repl", 30.0), (77L, "new", 7.0)).toDF("id", "v", "p")
+        .createOrReplaceTempView("gclr_di")
+      spark.sql("MERGE INTO gclr.t t USING gclr_di s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+      val afterDI = spark.table("gclr.t").collect()
+        .map(r => Option(r.get(0))).toSet
+      assert(afterDI == Set(Some(1L), Some(2L), Some(10L), Some(11L),
+        Some(77L), None),
+        s"matched key 3 deletes, unmatched 77 inserts: $afterDI")
+      // reassigning the ON key in SET is refused (code review r14): the
+      // verb keys replacement by that column, so a non-identity key
+      // assignment would strand the old row and upsert a new key
+      refused("MERGE INTO gclr.t t USING gclr_di s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET id = s.id + 1, v = s.v, p = s.p",
+        "reassign the ON key")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclr.t")
       spark.conf.unset("spark.sql.catalog.gclr")
