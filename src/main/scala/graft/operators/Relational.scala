@@ -419,6 +419,29 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_cdf2: create (classes
+  // 36+37), then a DELETE (even class-37 keys) and an UPDATE (class-36
+  // keys divisible by 3: price +7.0) — the r14 pruned-rewrite verbs that
+  // persist their typed changesets, so the CHANGE FEED from v1 delivers
+  // deletes and pre/post images instead of forcing a resync (the merge
+  // CDF contract extended to the row-level SQL verbs).
+  private val cdf2Cache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def cdf2LogFor(s: SparkSession, d: String): String =
+    cdf2Cache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitcdf2")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.CommitLog.commit(s, root, "loader", "create") { _ =>
+        orders.filter((col("o_orderkey") % 100).isin(36, 37))
+      }
+      graft.sources.CommitLog.delete(s, root, "cleaner",
+        col("o_orderkey") % 100 === 37 && col("o_orderkey") % 2 === 0)
+      graft.sources.CommitLog.update(s, root, "repricer",
+        col("o_orderkey") % 100 === 36 && col("o_orderkey") % 3 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 7.0)))
+      root
+    }
+
   // Session-cached commit-log table for q_commit_log_update: classes 29+30
   // created through the connector, then ONE SQL `UPDATE … WHERE` statement
   // (r14) reprices class-29 open orders — routed by RowLevelSqlStrategy
@@ -959,6 +982,24 @@ object Relational {
     // delete, a double-delivered insert, or a mis-stamped version all
     // hash-fail. At 100 TB: consuming a merge costs the changeset's
     // size, not the table's.
+    // CHANGE FEED through the r14 row-level verbs (q_commit_log_cdf's
+    // sibling): the DELETE and UPDATE commits persist typed changesets,
+    // so the feed from v1 delivers the deleted rows and the update's
+    // pre/post images — each stamped with its commit version — instead
+    // of the pre-r14 resync. The oracle rebuilds every change row
+    // relationally, so a missing image, a wrong pre-value, or a feed
+    // that leaked non-matching rows all hash-fail.
+    "q_commit_log_cdf2" -> ((s, d) => {
+      val root = cdf2LogFor(s, d)
+      graft.sources.CommitLog.changesSince(s, root, 1L).get
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+            .as("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("commit_version", "change_type", "o_orderkey")
+    }),
+
     "q_commit_log_cdf" -> ((s, d) => {
       val root = cdfLogFor(s, d)
       graft.sources.CommitLog.changesSince(s, root, 1L).get
@@ -1386,6 +1427,20 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM merged GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_cdf2" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice, " +
+        "'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version " +
+        "FROM orders WHERE o_orderkey % 100 = 37 AND o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'update_preimage', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 36 AND o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_orderstatus, " +
+        "round(CAST(CAST(o_totalprice + 7.0 AS DECIMAL(18,2)) AS DOUBLE), 2), " +
+        "'update_postimage', CAST(3 AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 100 = 36 AND o_orderkey % 3 = 0 " +
+        "ORDER BY commit_version, change_type, o_orderkey"),
     "q_commit_log_cdf" ->
       ("SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice, " +

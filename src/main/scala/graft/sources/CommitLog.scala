@@ -2179,6 +2179,54 @@ object CommitLog {
       val nextV = head.version + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // CHANGE FEED for the pruned-rewrite verbs (r14): delete, update,
+      // and replaceWhere persist their typed changeset to
+      // `_changes/<newDir>` BEFORE the claim — the merge pattern — so
+      // [[changesSince]] and the CDF stream ride through them instead of
+      // forcing a resync. Rows are the cond-TRUE region only
+      // (delta-sized by the matched region, never the table): deletes as
+      // `delete`, an update as `update_preimage`+`update_postimage`, a
+      // restatement as `delete` of the region plus `insert` of the
+      // incoming rows. PURGE deliberately persists NOTHING — a feed that
+      // retained purged rows would defeat right-to-be-forgotten, so its
+      // consumers still resync (changesSince → None).
+      if (action != "purge") {
+        val matchedTrue = // the SQL-rule complement of the keep set
+          if (affected.isEmpty) None
+          else Some(readDirs(spark, root, head.schemaDDL, affected)
+            .filter(cond).select(headCols: _*))
+        val typed: Option[DataFrame] = action match {
+          case "delete" =>
+            matchedTrue.map(_.withColumn("_change_type", lit("delete")))
+          case "update" =>
+            matchedTrue.map { m =>
+              val am = assignments.toMap
+              val post = m.select(headSchema.fields.toSeq.map { f =>
+                am.get(f.name) match {
+                  case Some(v) => v.cast(f.dataType).as(f.name)
+                  case None => col(f.name)
+                }
+              }: _*)
+              m.withColumn("_change_type", lit("update_preimage"))
+                .unionByName(
+                  post.withColumn("_change_type", lit("update_postimage")))
+            }
+          case _ => // replace (and any future restatement shape)
+            val dels = matchedTrue
+              .map(_.withColumn("_change_type", lit("delete")))
+            val ins = incoming.map(_.select(headCols: _*)
+              .withColumn("_change_type", lit("insert")))
+            (dels, ins) match {
+              case (Some(d), Some(i)) => Some(d.unionByName(i))
+              case (d, i) => d.orElse(i)
+            }
+        }
+        typed.foreach { t =>
+          f.mkdirs(changesDir(root))
+          t.write.mode(SaveMode.Overwrite)
+            .parquet(changesPath(root, newDir).toString)
+        }
+      }
       // self-maintaining bloom evidence, the merge rule: a bloomed
       // table's rewrite output gets its sidecar immediately (marker read
       // ONCE — code review r13)
@@ -2200,6 +2248,7 @@ object CommitLog {
       }
       // lost the race: the affected set may differ under the new head
       f.delete(new HPath(s"$root/$newDir"), true)
+      f.delete(changesPath(root, newDir), true)
       f.delete(bloomPath(root, newDir), false)
       Thread.sleep(50L * attempt)
     }

@@ -901,6 +901,36 @@ class CommitLogSpec extends SparkSpec {
       "purge removes persisted changesets from history")
   }
 
+  test("change feed rides through delete, update, and replaceWhere; purge still demands resync") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v") } // v1
+    CommitLog.delete(spark, root, "w", col("id") === 2L)                    // v2
+    CommitLog.update(spark, root, "w", col("id") === 3L,
+      Seq("v" -> (col("v") + 5.0)))                                         // v3
+    CommitLog.replaceWhere(spark, root, "w", col("id") === 4L,
+      Seq((4L, 44.0)).toDF("id", "v"))                                      // v4
+    val feed = CommitLog.changesSince(spark, root, 1L).get
+      .orderBy("_commit_version", "_change_type", "id")
+    assert(rows(feed) == Seq(
+      Seq(2L, 20.0, "delete", 2L),
+      Seq(3L, 35.0, "update_postimage", 3L),
+      Seq(3L, 30.0, "update_preimage", 3L),
+      Seq(4L, 40.0, "delete", 4L),
+      Seq(4L, 44.0, "insert", 4L)),
+      "r14: the pruned-rewrite verbs persist typed changesets — " +
+        s"got ${rows(feed)}")
+    // a window opening mid-chain stitches the remaining feeds
+    assert(rows(CommitLog.changesSince(spark, root, 3L).get
+      .orderBy("_change_type")) ==
+      Seq(Seq(4L, 40.0, "delete", 4L), Seq(4L, 44.0, "insert", 4L)))
+    // PURGE persists nothing and (as before) drops history: resync
+    CommitLog.purge(spark, root, "gdpr", graceMs = 0L)(col("id") === 1L)
+    assert(CommitLog.changesSince(spark, root, 1L).isEmpty,
+      "purge must not be consumable as changes")
+  }
+
   test("changes tail rides through appends, merges, and compacts; purge demands resync") {
     import spark.implicits._
     import graft.streaming.StreamOps

@@ -1025,6 +1025,20 @@ class StreamingSpec extends SparkSpec {
       s"CDF-maintained state must equal the head: $state vs $head")
     // a resumed drain with nothing new delivers nothing (exactly-once)
     assert(drainCommitLogChanges(root, ckpt).isEmpty)
+    // r14: DELETE and UPDATE persist changesets too — the CDF stream
+    // rides through them instead of failing with the resync error
+    CommitLog.delete(spark, root, "w", col("id") === 3L)
+    CommitLog.update(spark, root, "w", col("id") === 4L,
+      Seq("v" -> org.apache.spark.sql.functions.upper(col("v"))))
+    val incr2 = drainCommitLogChanges(root, ckpt)
+    assert(incr2.exists(_._3 == "delete") &&
+      incr2.exists(_._3 == "update_postimage"),
+      s"delete/update changesets must arrive typed, got $incr2")
+    fold(incr2)
+    val head2 = rows(CommitLog.readLatest(spark, root).get.orderBy("id"))
+      .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[String]).toMap
+    assert(state.toMap == head2,
+      s"CDF state must ride through delete+update: $state vs $head2")
     // admission control still applies: replay three appends one commit
     // per trigger through the CDF route
     val root2 = Files.createTempDirectory("graft-cdfs2").toString
