@@ -895,6 +895,32 @@ object CommitLog {
     }
   }
 
+  /** METADATA-ONLY additive schema evolution (r14 — the `ALTER TABLE …
+    * ADD COLUMNS` face of the r12 evolve-append): record the widened
+    * schema (head's fields, new NULLABLE fields after) in a new audited
+    * metadata commit WITHOUT writing any data — every reader pins the
+    * recorded DDL, so existing directories fill the new columns with
+    * typed NULLs, exactly the evolve-append semantics minus the delta.
+    * rowInvisible (no row changes — consumers ride through); later
+    * appends must carry the widened schema, the exact-match contract. */
+  def evolveSchema(spark: SparkSession, root: String, writer: String,
+      added: Seq[org.apache.spark.sql.types.StructField],
+      maxAttempts: Int = 20): Commit = {
+    require(added.nonEmpty, "evolveSchema needs at least one column")
+    metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      val dup = added.map(_.name).filter(headSchema.fieldNames.contains)
+      require(dup.isEmpty,
+        s"evolveSchema: ${dup.mkString(", ")} already in head schema " +
+          headSchema.simpleString)
+      require(added.forall(_.nullable),
+        "evolveSchema adds NULLABLE columns only — existing rows read " +
+          "the new column as NULL")
+      cur.copy(schemaDDL = Some(org.apache.spark.sql.types.StructType(
+        headSchema.fields ++ added).toDDL))
+    }
+  }
+
   /** DROP a constraint by name — an audited metadata commit; unknown
     * names fail loudly (a typo'd drop must not silently "succeed"). */
   def dropConstraint(spark: SparkSession, root: String, writer: String,

@@ -668,6 +668,21 @@ private[graft] final class CommitLogCatalogTable(root: String,
 
   override def name(): String = s"graft.commitlog($root)"
   override def schema(): StructType = inner.schema
+  /** The head's recorded CHECK constraints, surfaced through the DSv2
+    * constraint API (r14) — DESCRIBE and catalog consumers see them;
+    * enforcement itself lives in the write verbs (one gate, every
+    * route), so these are reported VALID (addConstraint scanned) and
+    * enforced. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    commitOpt.map(_.constraints.map { case (n, e) =>
+      Constraint.check(n).predicateSql(e)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }.toArray).getOrElse(Array.empty)
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

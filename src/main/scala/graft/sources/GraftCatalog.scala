@@ -206,9 +206,67 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       .withPartitions(partitions)
       .withProperties(properties).build())
 
+  /** The catalog accepts constraint DDL (Spark 4's ANSI-constraint
+    * surface routes `ALTER TABLE … ADD/DROP CONSTRAINT` here only when
+    * this capability is declared). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** `ALTER TABLE` on commit-log tables (r14): three statement shapes
+    * compile onto the audited metadata verbs — `ADD CONSTRAINT name
+    * CHECK (…)` → [[CommitLog.addConstraint]] (validates existing data,
+    * then every write verb enforces), `DROP CONSTRAINT` →
+    * [[CommitLog.dropConstraint]], and `ADD COLUMNS` →
+    * [[CommitLog.evolveSchema]] (metadata-only additive widening;
+    * existing rows read the new column as typed NULL). Anything else —
+    * non-CHECK constraint kinds, NOT ENFORCED, renames/retypes/drops,
+    * positioned or defaulted columns — refuses loudly: the verbs cannot
+    * reproduce those semantics exactly. Index/ivf tables stay fixed. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables have fixed schemas; rebuild instead of altering")
+    readMeta(ident) match {
+      case Some((CommitLogProvider, loc, _)) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        changes.foreach {
+          case ac: TableChange.AddConstraint => ac.constraint match {
+            case ck: org.apache.spark.sql.connector.catalog.constraints.Check
+                if ck.enforced() && ck.predicateSql() != null =>
+              CommitLog.addConstraint(spark, loc, "catalog",
+                ck.name(), ck.predicateSql())
+            case other => throw new UnsupportedOperationException(
+              s"graft.commitlog enforces ENFORCED CHECK constraints " +
+                s"only, got $other — unique/pk/fk would be recorded " +
+                "but silently unenforced")
+          }
+          case dc: TableChange.DropConstraint =>
+            val exists = CommitLog.latest(spark, loc)
+              .exists(_.constraints.exists(_._1 == dc.name()))
+            if (exists || !dc.ifExists)
+              CommitLog.dropConstraint(spark, loc, "catalog", dc.name())
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames().length == 1,
+              "graft.commitlog ADD COLUMNS takes top-level columns, got " +
+                add.fieldNames().mkString("."))
+            require(add.position() == null,
+              "graft.commitlog ADD COLUMNS appends at the end — FIRST/" +
+                "AFTER would reorder committed parquet")
+            require(add.defaultValue() == null,
+              "graft.commitlog ADD COLUMNS takes no DEFAULT — existing " +
+                "rows read the new column as NULL")
+            require(add.isNullable,
+              "graft.commitlog ADD COLUMNS adds NULLABLE columns — " +
+                "existing rows hold no value for them")
+            CommitLog.evolveSchema(spark, loc, "catalog", Seq(
+              org.apache.spark.sql.types.StructField(
+                add.fieldNames()(0), add.dataType(), nullable = true)))
+          case other => throw new UnsupportedOperationException(
+            s"graft.commitlog ALTER TABLE supports ADD/DROP CONSTRAINT " +
+              s"and ADD COLUMNS; got $other")
+        }
+        loadTable(ident)
+      case _ => throw new UnsupportedOperationException(
+        "graft index/ivf tables have fixed schemas; rebuild instead of " +
+          "altering")
+    }
 
   /** Removes the NAME (and a managed table's data directory). External
     * tables (created with LOCATION) keep their data. */

@@ -1932,8 +1932,12 @@ class CommitLogSpec extends SparkSpec {
         val e = intercept[Exception] { op }
         def chain(t: Throwable): Seq[Throwable] =
           if (t == null) Nil else t +: chain(t.getCause)
-        assert(chain(e).exists(t => Option(t.getMessage).exists(
-          _.contains("CHECK constraint 'p_pos'"))),
+        // two legitimate gates: the verbs' own pre-staging check
+        // ("CHECK constraint 'p_pos' …"), and — on catalog INSERTs,
+        // since the table REPORTS its constraints through the DSv2 API —
+        // Spark's engine-level CHECK_CONSTRAINT_VIOLATION
+        assert(chain(e).exists(t => Option(t.getMessage).exists(m =>
+          m.contains("p_pos") && m.contains("CHECK"))),
           s"$what must fail the constraint, got: ${e.getMessage}")
         assert(CommitLog.latest(spark, root).get.version == v0,
           s"$what must have committed NOTHING")
@@ -1991,6 +1995,38 @@ class CommitLogSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         CommitLog.dropConstraint(spark, root, "dba", "nope")
       }
+      // ---- the SQL DDL face (r14): ALTER TABLE ADD/DROP CONSTRAINT
+      // route through the same verbs; constraints surface via the DSv2
+      // constraint API ----
+      spark.sql("ALTER TABLE gclc.t ADD CONSTRAINT p_cap CHECK (p < 1000.0)")
+      assert(CommitLog.latest(spark, root).get.constraints
+        .exists(_._1 == "p_cap"), "DDL-added constraint lands in the log")
+      val capped = intercept[Exception] {
+        spark.sql("INSERT INTO gclc.t VALUES (10, 'big', 5000.0)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(capped).exists(_.contains("p_cap")),
+        s"DDL constraint must enforce on INSERT: ${capped.getMessage}")
+      spark.sql("ALTER TABLE gclc.t DROP CONSTRAINT p_cap")
+      assert(!CommitLog.latest(spark, root).get.constraints
+        .exists(_._1 == "p_cap"))
+      // IF EXISTS on a missing name no-ops; plain drop is loud
+      spark.sql("ALTER TABLE gclc.t DROP CONSTRAINT IF EXISTS nope2")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gclc.t DROP CONSTRAINT nope2")
+      }
+      // ---- ADD COLUMNS: metadata-only additive evolution (r14) ----
+      spark.sql("ALTER TABLE gclc.t ADD COLUMNS (note STRING)")
+      val evolved = CommitLog.latest(spark, root).get
+      assert(evolved.action == "evolve" && evolved.rowInvisible,
+        "ADD COLUMNS is an audited metadata commit, no data rewrite")
+      assert(spark.table("gclc.t").schema.fieldNames.contains("note"))
+      assert(spark.table("gclc.t").filter(col("note").isNotNull).count() == 0L,
+        "existing rows read the new column as typed NULL")
+      spark.sql("INSERT INTO gclc.t VALUES (20, 'post', 1.0, 'noted')")
+      assert(spark.table("gclc.t").filter(col("note") === "noted").count() == 1L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclc.t")
       spark.conf.unset("spark.sql.catalog.gclc")
