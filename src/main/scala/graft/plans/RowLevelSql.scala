@@ -34,18 +34,22 @@ import graft.sources.{CommitLog, CommitLogCatalogTable}
   *  - `UPDATE t SET c1 = e1, … [WHERE cond]` — top-level columns,
   *    expressions over the table's own columns; rows where cond is TRUE
   *    update, NULL/false keep (the SQL rule, enforced by the verb).
-  *  - `MERGE INTO t USING src ON t.key = <srcExpr>` with UNCONDITIONAL
-  *    clauses, at most one per kind: `WHEN MATCHED THEN UPDATE SET …`
-  *    (including SET *), `WHEN MATCHED THEN DELETE`, `WHEN NOT MATCHED
-  *    THEN INSERT …` (including INSERT *), in the combinations
-  *    update+insert (upsert), update-only, delete-only, insert-only,
-  *    delete+insert. The ON condition must be ONE equality whose target
-  *    side is a bare column — that column is the merge key the verbs'
-  *    pruning evidence (bloom sidecars, min/max stats) is keyed by.
-  *    Refused: conditional clauses (`WHEN MATCHED AND …`), multiple
-  *    clauses per kind, `WHEN NOT MATCHED BY SOURCE`, schema evolution —
-  *    each would need semantics [[CommitLog.merge]]'s replace-whole-row
-  *    contract cannot express exactly.
+  *  - `MERGE INTO t USING src ON t.key = <srcExpr>` with any number of
+  *    `WHEN MATCHED [AND cond] THEN UPDATE SET … / DELETE` and `WHEN
+  *    NOT MATCHED [AND cond] THEN INSERT …` clauses (SET * / INSERT *
+  *    included), evaluated FIRST-MATCH-WINS (r14 close: conditional
+  *    clauses are exact — a clause's effective condition is its own
+  *    predicate TRUE and every earlier clause's NOT TRUE, and a matched
+  *    row no clause fires for is simply absent from the changeset, so
+  *    the verb leaves its key untouched). The ON condition must be ONE
+  *    equality whose target side is a bare column — that column is the
+  *    merge key the verbs' pruning evidence (bloom sidecars, min/max
+  *    stats) is keyed by. Refused: `WHEN NOT MATCHED BY SOURCE` and
+  *    schema evolution — semantics [[CommitLog.merge]]'s
+  *    replace-whole-row contract cannot express exactly; a target key
+  *    matched by rows taking DIFFERENT clauses (stored duplicates
+  *    splitting across clauses) fails the verb's one-row-per-key check
+  *    loudly rather than guessing.
   *
   * MERGE compiles to ONE changeset: matched-update rows come from an
   * inner join of the head snapshot (aliased `__t`) with the source
@@ -102,20 +106,8 @@ object RowLevelSqlStrategy extends SparkStrategy {
           if (withSchemaEvolution)
             refuse("MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
               "the table with commitAppend(evolve = true) first")
-          val matched = oneAction(matchedActions, "WHEN MATCHED")
-          val notMatched = oneAction(notMatchedActions, "WHEN NOT MATCHED")
-          if (matched.isEmpty && notMatched.isEmpty)
+          if (matchedActions.isEmpty && notMatchedActions.isEmpty)
             refuse("MERGE needs at least one clause")
-          matched.foreach {
-            case UpdateAction(None, _, _) | DeleteAction(None) => ()
-            case a => refuse(s"unsupported WHEN MATCHED clause $a — " +
-              "unconditional UPDATE SET … or DELETE only")
-          }
-          notMatched.foreach {
-            case InsertAction(None, _) => ()
-            case a => refuse(s"unsupported WHEN NOT MATCHED clause $a — " +
-              "unconditional INSERT only")
-          }
           val tSet = AttributeSet(targetAttrs)
           val sSet = source.outputSet
           // the ON condition: one equality, target side a bare column
@@ -129,33 +121,51 @@ object RowLevelSqlStrategy extends SparkStrategy {
             case other => refuse("the ON condition must be one equality " +
               s"between a target column and a source expression, got $other")
           }
-          // assignments: target column -> value expression (either side)
-          val updateAssigns = matched.collect {
-            case UpdateAction(None, assigns, _) =>
-              assigns.map(a => assignmentName(a, "MERGE UPDATE") -> a.value)
-          }.headOption
-          val insertAssigns = notMatched.collect {
-            case InsertAction(None, assigns) =>
-              assigns.map(a => assignmentName(a, "MERGE INSERT") -> a.value)
-          }.headOption
-          insertAssigns.foreach(_.foreach { case (_, v) =>
-            requireOnly(v, sSet, "MERGE INSERT") })
-          updateAssigns.foreach(_.foreach { case (n, v) =>
-            requireOnly(v, tSet ++ sSet, "MERGE UPDATE")
-            // reassigning the ON key would make the verb replace the
-            // WRONG stored row (changes are keyed by the key column):
-            // only the identity assignments SET key = s.key / t.key are
-            // expressible — anything else refuses (code review r14)
-            if (n == keyAttr.name &&
-                !v.semanticEquals(srcKeyExpr) && !v.semanticEquals(keyAttr))
-              refuse(s"UPDATE SET must not reassign the ON key column " +
-                s"'$n' (got $v) — a key change is a DELETE plus an INSERT")
-          })
-          val hasDelete = matched.exists(_.isInstanceOf[DeleteAction])
+          // CONDITIONAL clauses (r14 close), translated EXACTLY: clause
+          // conditions apply FIRST-MATCH-WINS per joined/source row, and
+          // a matched row no clause fires for is simply absent from the
+          // changeset — CommitLog.merge leaves absent keys untouched, so
+          // the SQL semantics fall out of key-absence. Matched
+          // conditions may reference both sides; not-matched conditions
+          // the source only (the SQL rule, re-checked).
+          val matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] =
+            matchedActions.map {
+              case UpdateAction(c, assigns, _) =>
+                val named = assigns.map(a =>
+                  assignmentName(a, "MERGE UPDATE") -> a.value)
+                named.foreach { case (n, v) =>
+                  requireOnly(v, tSet ++ sSet, "MERGE UPDATE")
+                  // reassigning the ON key would make the verb replace
+                  // the WRONG stored row (changes are keyed by that
+                  // column): only identity assignments are expressible
+                  if (n == keyAttr.name &&
+                      !v.semanticEquals(srcKeyExpr) && !v.semanticEquals(keyAttr))
+                    refuse(s"UPDATE SET must not reassign the ON key " +
+                      s"column '$n' (got $v) — a key change is a DELETE " +
+                      "plus an INSERT")
+                }
+                c.foreach(requireOnly(_, tSet ++ sSet, "WHEN MATCHED AND"))
+                (c, Some(named))
+              case DeleteAction(c) =>
+                c.foreach(requireOnly(_, tSet ++ sSet, "WHEN MATCHED AND"))
+                (c, None)
+              case a => refuse(s"unsupported WHEN MATCHED clause $a")
+            }
+          val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])] =
+            notMatchedActions.map {
+              case InsertAction(c, assigns) =>
+                val named = assigns.map(a =>
+                  assignmentName(a, "MERGE INSERT") -> a.value)
+                named.foreach { case (_, v) =>
+                  requireOnly(v, sSet, "MERGE INSERT") }
+                c.foreach(requireOnly(_, sSet, "WHEN NOT MATCHED AND"))
+                (c, named)
+              case a => refuse(s"unsupported WHEN NOT MATCHED clause $a")
+            }
           val root = table.commitLogRoot
           Seq(GraftRowLevelExec("GraftMergeInto", () => runMerge(
             root, source, keyAttr, srcKeyExpr, tSet, sSet,
-            updateAssigns, insertAssigns, hasDelete)))
+            matched, notMatched)))
         case None => Nil
       }
 
@@ -183,15 +193,6 @@ object RowLevelSqlStrategy extends SparkStrategy {
           r @ DataSourceV2Relation(t: CommitLogCatalogTable, _, _, _, _, _),
           _, output, _, _) => (t, output)
     }
-
-  private def oneAction(actions: Seq[MergeAction],
-      kind: String): Option[MergeAction] = {
-    if (actions.size > 1)
-      refuse(s"at most one $kind clause (got ${actions.size}) — a second " +
-        "unconditional clause never fires, and conditional clauses are " +
-        "not supported")
-    actions.headOption
-  }
 
   /** An assignment's target column name — top-level columns only (a
     * nested-field key would need partial-row semantics the
@@ -234,27 +235,37 @@ object RowLevelSqlStrategy extends SparkStrategy {
   private def runMerge(root: String, source: LogicalPlan,
       keyAttr: AttributeReference, srcKeyExpr: Expression,
       tSet: AttributeSet, sSet: AttributeSet,
-      updateAssigns: Option[Seq[(String, Expression)]],
-      insertAssigns: Option[Seq[(String, Expression)]],
-      hasDelete: Boolean): Unit = {
+      matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+      notMatched: Seq[(Option[Expression], Seq[(String, Expression)])]): Unit = {
     val spark = SparkSession.active
     val srcDF = GraftBridge.ofRows(spark, source).alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)
     val headFields: Seq[StructField] = headOpt match {
       case Some(h) => h.schema.fields.toSeq
       case None =>
-        // MERGE into an empty table: only the insert clause can produce
-        // rows; its assignment targets define the created schema's names,
-        // and the analyzer has coerced the values to the table's declared
-        // types already
-        insertAssigns.getOrElse(refuse("MERGE into an empty table needs " +
-          "WHEN NOT MATCHED THEN INSERT")).map { case (n, v) =>
-          StructField(n, v.dataType) }
+        // MERGE into an empty table: only insert clauses can produce
+        // rows; their assignment targets define the created schema's
+        // names, and the analyzer has coerced the values to the table's
+        // declared types already
+        notMatched.headOption.getOrElse(refuse("MERGE into an empty " +
+          "table needs WHEN NOT MATCHED THEN INSERT"))._2
+          .map { case (n, v) => StructField(n, v.dataType) }
     }
     def tCol(name: String): Column =
       GraftBridge.columnOf(UnresolvedAttribute(Seq("__t", name)))
     def sided(e: Expression): Column =
       GraftBridge.columnOf(unresolveSided(e, tSet, sSet))
+    // FIRST-MATCH-WINS effective condition for clause i: its own
+    // condition is TRUE and every earlier clause's is NOT TRUE (false or
+    // NULL — the SQL rule); an unconditional clause is lit(true), which
+    // makes later clauses dead by construction
+    def effConds(conds: Seq[Option[Expression]]): Seq[Column] = {
+      val fires = conds.map(c =>
+        c.map(e => org.apache.spark.sql.functions.coalesce(
+          sided(e), lit(false))).getOrElse(lit(true)))
+      fires.zipWithIndex.map { case (f, i) =>
+        fires.take(i).foldLeft(f)((acc, prior) => acc && !prior) }
+    }
     val delCol = "__graft_del"
     val keyCol = keyAttr.name
     val joinCond = sided(EqualTo(keyAttr, srcKeyExpr))
@@ -263,56 +274,58 @@ object RowLevelSqlStrategy extends SparkStrategy {
     headOpt match {
       case Some(head) =>
         val tA = head.alias("__t")
-        updateAssigns.foreach { assigns =>
-          val am = assigns.toMap
-          pieces += tA.join(srcDF, joinCond, "inner")
-            .select(headFields.map { f =>
-              am.get(f.name) match {
-                case Some(v) => sided(v).cast(f.dataType).as(f.name)
-                case None => tCol(f.name).as(f.name)
-              }
-            } :+ lit(false).as(delCol): _*)
+        // one inner join feeds every matched clause; each clause keeps
+        // the rows its effective condition fires for — a matched row no
+        // clause fires for is ABSENT from the changeset, so the verb
+        // leaves its key untouched (exactly the SQL semantics)
+        if (matched.nonEmpty) {
+          val joined = tA.join(srcDF, joinCond, "inner")
+          matched.zip(effConds(matched.map(_._1))).foreach {
+            case ((_, Some(assigns)), eff) => // UPDATE clause
+              val am = assigns.toMap
+              pieces += joined.filter(eff)
+                .select(headFields.map { f =>
+                  am.get(f.name) match {
+                    case Some(v) => sided(v).cast(f.dataType).as(f.name)
+                    case None => tCol(f.name).as(f.name)
+                  }
+                } :+ lit(false).as(delCol): _*)
+            case ((_, None), eff) => // DELETE clause
+              // only the key matters; distinct guards stored-dup keys
+              // (the verb deletes by key — all copies go)
+              pieces += joined.filter(eff)
+                .select(headFields.map { f =>
+                  if (f.name == keyCol) tCol(keyCol).cast(f.dataType).as(f.name)
+                  else lit(null).cast(f.dataType).as(f.name)
+                } :+ lit(true).as(delCol): _*)
+                .distinct()
+          }
         }
-        if (hasDelete) {
-          val delKeys = srcDF.select(sided(srcKeyExpr).as(keyCol)).distinct()
-            .filter(col(keyCol).isNotNull)
-          // with an INSERT clause present, an unmatched source key is an
-          // insert — the delete piece must carry MATCHED keys only, or
-          // the same key appears twice and the verb's one-row-per-key
-          // check rejects a valid statement (code review r14); without
-          // one, unmatched flagged keys just no-op in the verb
-          val delMatched =
-            if (insertAssigns.isDefined)
-              delKeys.alias("__d").join(tA,
-                GraftBridge.columnOf(UnresolvedAttribute(Seq("__d", keyCol)))
-                  === tCol(keyCol), "left_semi")
-            else delKeys
-          pieces += delMatched
-            .select(headFields.map { f =>
-              if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
-            } :+ lit(true).as(delCol): _*)
-        }
-        insertAssigns.foreach { assigns =>
-          val am = assigns.toMap
-          pieces += srcDF.join(tA, joinCond, "left_anti")
-            .select(headFields.map { f =>
-              val v = am.getOrElse(f.name, refuse(
-                s"MERGE INSERT must assign every column; '${f.name}' is " +
-                  "missing"))
-              sided(v).cast(f.dataType).as(f.name)
-            } :+ lit(false).as(delCol): _*)
+        if (notMatched.nonEmpty) {
+          val anti = srcDF.join(tA, joinCond, "left_anti")
+          notMatched.zip(effConds(notMatched.map(_._1))).foreach {
+            case ((_, assigns), eff) =>
+              val am = assigns.toMap
+              pieces += anti.filter(eff)
+                .select(headFields.map { f =>
+                  val v = am.getOrElse(f.name, refuse(
+                    s"MERGE INSERT must assign every column; '${f.name}' " +
+                      "is missing"))
+                  sided(v).cast(f.dataType).as(f.name)
+                } :+ lit(false).as(delCol): _*)
+          }
         }
       case None =>
-        insertAssigns.foreach { assigns =>
-          val am = assigns.toMap
-          pieces += srcDF.select(headFields.map { f =>
-            sided(am(f.name)).cast(f.dataType).as(f.name)
-          } :+ lit(false).as(delCol): _*)
+        notMatched.zip(effConds(notMatched.map(_._1))).foreach {
+          case ((_, assigns), eff) =>
+            val am = assigns.toMap
+            pieces += srcDF.filter(eff).select(headFields.map { f =>
+              sided(am(f.name)).cast(f.dataType).as(f.name)
+            } :+ lit(false).as(delCol): _*)
         }
     }
     val parts = pieces.result()
-    if (parts.isEmpty) return // e.g. delete-only against an empty table
+    if (parts.isEmpty) return // e.g. matched-only against an empty table
     val changes = parts.reduce(_.unionByName(_))
     CommitLog.merge(spark, root, "catalog", keyCol, changes,
       deleteCol = Some(delCol))

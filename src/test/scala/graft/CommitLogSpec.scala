@@ -2111,8 +2111,6 @@ class CommitLogSpec extends SparkSpec {
           s"expected refusal containing '$needle', got: ${e.getMessage}")
       }
       refused("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
-        "WHEN MATCHED AND s.p > 1 THEN DELETE", "unsupported WHEN MATCHED")
-      refused("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
         "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
       refused("MERGE INTO gclr.t t USING gclr_src s " +
         "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE",
@@ -2148,6 +2146,29 @@ class CommitLogSpec extends SparkSpec {
       refused("MERGE INTO gclr.t t USING gclr_di s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET id = s.id + 1, v = s.v, p = s.p",
         "reassign the ON key")
+      // CONDITIONAL clauses, first-match-wins (r14 close): a matched row
+      // takes the FIRST clause whose predicate is TRUE; rows no clause
+      // fires for stay untouched. State here: {1,2,10,11,77,null};
+      // source gclr_src = (1,'A',9.0),(3,'c',3.0) — only key 1 matches
+      spark.sql("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.p > 100 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET p = t.p + s.p " +
+        "WHEN NOT MATCHED AND s.p > 5 THEN INSERT *")
+      // key 1: s.p=9 not >100 → second clause updates p = 9.0+9.0;
+      // key 3 unmatched, s.p=3 not >5 → NOT inserted
+      val afterCond = spark.table("gclr.t").collect()
+        .map(r => (Option(r.get(0)), r.getDouble(2))).toMap
+      assert(afterCond(Some(1L)) == 18.0,
+        s"first-match-wins: the conditional DELETE must not fire: $afterCond")
+      assert(!afterCond.contains(Some(3L)),
+        "a conditional INSERT whose predicate is false must not insert")
+      // and the conditional DELETE fires when its predicate holds
+      spark.sql("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.p > 5 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET p = t.p + 1000.0")
+      assert(!spark.table("gclr.t").collect()
+        .exists(r => Option(r.get(0)).contains(1L)),
+        "the conditional DELETE fires for s.p = 9 > 5")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclr.t")
       spark.conf.unset("spark.sql.catalog.gclr")
