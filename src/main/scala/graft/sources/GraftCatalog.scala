@@ -195,6 +195,36 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         .mkdirs(new HPath(locPath, "_commits"))
     }
     writeMeta(ident, provider, location, declared)
+    // constraints declared in the CREATE TABLE statement (r14): recorded
+    // through the same audited verb the ALTER face uses — but only on a
+    // table with commits (addConstraint validates against data); an
+    // empty root records them on its first... no: the SQL-only workflow
+    // creates EMPTY tables, so CREATE-with-CHECK must land the
+    // constraint before any data exists. metadataCommit needs a head, so
+    // an empty table materializes one empty "create" commit first — the
+    // declared schema makes it readable either way.
+    val declaredChecks = Option(info.constraints).toSeq.flatten.map {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check
+          if ck.enforced() && ck.predicateSql() != null =>
+        ck.name() -> ck.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"graft.commitlog enforces ENFORCED CHECK constraints only, " +
+          s"got $other")
+    }
+    if (declaredChecks.nonEmpty) {
+      require(provider == CommitLogProvider,
+        s"constraints are a graft.commitlog capability, not $provider")
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (CommitLog.latest(spark, location).isEmpty)
+        // repartition(1) forces ONE footer-bearing (empty) parquet part —
+        // a zero-task write would leave an unreadable schemaless dir
+        CommitLog.commit(spark, location, "catalog", "create")(_ =>
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            info.schema).repartition(1))
+      declaredChecks.foreach { case (n, e) =>
+        CommitLog.addConstraint(spark, location, "catalog", n, e) }
+    }
     loadTable(ident)
   }
 

@@ -2027,6 +2027,23 @@ class CommitLogSpec extends SparkSpec {
         "existing rows read the new column as typed NULL")
       spark.sql("INSERT INTO gclc.t VALUES (20, 'post', 1.0, 'noted')")
       assert(spark.table("gclc.t").filter(col("note") === "noted").count() == 1L)
+      // ---- constraints declared AT CREATE TABLE (r14): recorded before
+      // any data exists; the first violating INSERT is rejected ----
+      val root2 = freshRoot() + "/t2"
+      spark.sql("CREATE TABLE gclc.t2 (id BIGINT, q DOUBLE, " +
+        "CONSTRAINT q_pos CHECK (q > 0.0)) " +
+        s"USING `graft.commitlog` LOCATION '$root2'")
+      assert(CommitLog.latest(spark, root2).get.constraints ==
+        Seq("q_pos" -> "q > 0.0"),
+        "CREATE-declared constraints land in the log before any data")
+      val bad2 = intercept[Exception] {
+        spark.sql("INSERT INTO gclc.t2 VALUES (1, -2.0)")
+      }
+      assert(msgs(bad2).exists(m => m.contains("q_pos") && m.contains("CHECK")),
+        s"CREATE-declared constraint must enforce: ${bad2.getMessage}")
+      spark.sql("INSERT INTO gclc.t2 VALUES (1, 2.0)")
+      assert(rows(spark.table("gclc.t2"))  == Seq(Seq(1L, 2.0)))
+      spark.sql("DROP TABLE gclc.t2")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclc.t")
       spark.conf.unset("spark.sql.catalog.gclc")
