@@ -161,8 +161,8 @@ object Relational {
   // Session-cached commit-log table for q_commit_log_merge: create + append
   // leave two dirs (key classes 6 and 7 mod 100, o_orderkey stats recorded),
   // then ONE merge commit applies updates (class-6 keys divisible by 3:
-  // price + 5.0), inserts (class 8 — all-new keys), and deletes (even
-  // class-7 keys) with copy-on-write dir pruning. CommitLogSpec proves the
+  // price + 5.0), inserts (class 8 — all-new keys), and deletes (class-7
+  // keys divisible by 3) with copy-on-write dir pruning. CommitLogSpec proves the
   // pruning mechanics (untouched dirs byte-identical); this fixture gates
   // the merged END STATE through DuckDB.
   private val mergeCache = new graft.SessionCache[String](graft.TempDirs.delete)
@@ -185,7 +185,7 @@ object Relational {
       val inserts = orders.filter(col("o_orderkey") % 100 === 8)
         .withColumn("_del", lit(false))
       val deletes = orders
-        .filter(col("o_orderkey") % 100 === 7 && col("o_orderkey") % 2 === 0)
+        .filter(col("o_orderkey") % 100 === 7 && col("o_orderkey") % 3 === 0)
         .withColumn("_del", lit(true))
       graft.sources.CommitLog.merge(s, root, "merger", "o_orderkey",
         updates.union(inserts).union(deletes), deleteCol = Some("_del"))
@@ -194,7 +194,7 @@ object Relational {
 
   // Session-cached commit-log table for q_commit_log_cdf: create (class
   // 12), append (class 13), then a merge applying updates (class-12 keys
-  // divisible by 3: price + 5.0) and deletes (even class-13 keys). The
+  // divisible by 3: price + 5.0) and deletes (class-13 keys divisible by 3). The
   // declared result is the CHANGE FEED from version 1: the append's rows
   // synthesized as inserts (zero extra storage) plus the merge's persisted
   // changeset as upserts/deletes, each stamped with its commit version.
@@ -214,7 +214,7 @@ object Relational {
         .withColumn("o_totalprice", col("o_totalprice") + 5.0)
         .withColumn("_del", lit(false))
       val deletes = orders
-        .filter(col("o_orderkey") % 100 === 13 && col("o_orderkey") % 2 === 0)
+        .filter(col("o_orderkey") % 100 === 13 && col("o_orderkey") % 3 === 0)
         .withColumn("_del", lit(true))
       graft.sources.CommitLog.merge(s, root, "merger", "o_orderkey",
         updates.union(deletes), deleteCol = Some("_del"))
@@ -420,7 +420,7 @@ object Relational {
     }
 
   // Session-cached commit-log table for q_commit_log_cdf2: create (classes
-  // 36+37), then a DELETE (even class-37 keys) and an UPDATE (class-36
+  // 36+37), then a DELETE (class-37 keys divisible by 3) and an UPDATE (class-36
   // keys divisible by 3: price +7.0) — the r14 pruned-rewrite verbs that
   // persist their typed changesets, so the CHANGE FEED from v1 delivers
   // deletes and pre/post images instead of forcing a resync (the merge
@@ -435,7 +435,7 @@ object Relational {
         orders.filter((col("o_orderkey") % 100).isin(36, 37))
       }
       graft.sources.CommitLog.delete(s, root, "cleaner",
-        col("o_orderkey") % 100 === 37 && col("o_orderkey") % 2 === 0)
+        col("o_orderkey") % 100 === 37 && col("o_orderkey") % 3 === 0)
       graft.sources.CommitLog.update(s, root, "repricer",
         col("o_orderkey") % 100 === 36 && col("o_orderkey") % 3 === 0,
         Seq("o_totalprice" -> (col("o_totalprice") + 7.0)))
@@ -545,7 +545,7 @@ object Relational {
 
   // Session-cached commit-log table for q_commit_log_delete: two connector
   // writes (classes 27, 28), then ONE CommitLog.delete commit removing the
-  // even class-28 keys — the dir-pruned copy-on-write DELETE verb behind
+  // class-28 keys divisible by 3 — the dir-pruned copy-on-write DELETE verb behind
   // SQL `DELETE FROM` (r13). History stays travelable (unlike purge).
   private val deleteCache = new graft.SessionCache[String](graft.TempDirs.delete)
   private def deleteLogFor(s: SparkSession, d: String): String =
@@ -558,7 +558,7 @@ object Relational {
       orders.filter(col("o_orderkey") % 100 === 28)
         .write.format("graft.commitlog").mode("append").save(root)
       graft.sources.CommitLog.delete(s, root, "cleaner",
-        col("o_orderkey") % 100 === 28 && col("o_orderkey") % 2 === 0)
+        col("o_orderkey") % 100 === 28 && col("o_orderkey") % 3 === 0)
       root
     }
 
@@ -1288,7 +1288,7 @@ object Relational {
         "SELECT o_orderstatus, o_totalprice " +
         "FROM orders WHERE o_orderkey % 100 = 27 " +
         "UNION ALL SELECT o_orderstatus, o_totalprice " +
-        "FROM orders WHERE o_orderkey % 100 = 28 AND o_orderkey % 2 = 1) " +
+        "FROM orders WHERE o_orderkey % 100 = 28 AND o_orderkey % 3 <> 0) " +
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
@@ -1420,7 +1420,7 @@ object Relational {
         "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, FALSE " +
         "FROM orders WHERE o_orderkey % 100 = 8 " +
         "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE " +
-        "FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey % 2 = 0), " +
+        "FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey % 3 = 0), " +
         "merged AS (" +
         "SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes) " +
         "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE NOT del) " +
@@ -1431,7 +1431,7 @@ object Relational {
       ("SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice, " +
         "'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version " +
-        "FROM orders WHERE o_orderkey % 100 = 37 AND o_orderkey % 2 = 0 " +
+        "FROM orders WHERE o_orderkey % 100 = 37 AND o_orderkey % 3 = 0 " +
         "UNION ALL SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
         "'update_preimage', CAST(3 AS BIGINT) " +
@@ -1449,7 +1449,7 @@ object Relational {
         "UNION ALL SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2), " +
         "'delete', CAST(3 AS BIGINT) " +
-        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 2 = 0 " +
+        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 3 = 0 " +
         "UNION ALL SELECT o_orderkey, o_orderstatus, " +
         "round(CAST(CAST(o_totalprice + 5.0 AS DECIMAL(18,2)) AS DOUBLE), 2), " +
         "'update_postimage', CAST(3 AS BIGINT) " +
@@ -1465,7 +1465,7 @@ object Relational {
         "THEN o_totalprice + 5.0 ELSE o_totalprice END AS p " +
         "FROM orders WHERE o_orderkey % 100 = 12 " +
         "UNION ALL SELECT o_orderstatus, o_totalprice " +
-        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 2 = 1) " +
+        "FROM orders WHERE o_orderkey % 100 = 13 AND o_orderkey % 3 <> 0) " +
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM final GROUP BY 1 ORDER BY 1"),

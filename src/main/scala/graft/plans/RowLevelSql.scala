@@ -240,6 +240,10 @@ object RowLevelSqlStrategy extends SparkStrategy {
     val spark = SparkSession.active
     val srcDF = GraftBridge.ofRows(spark, source).alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)
+    // MERGE into an EMPTY table with only matched clauses is a valid SQL
+    // no-op (nothing can match) — return, don't refuse (code review r14
+    // close)
+    if (headOpt.isEmpty && notMatched.isEmpty) return
     val headFields: Seq[StructField] = headOpt match {
       case Some(h) => h.schema.fields.toSeq
       case None =>
@@ -247,9 +251,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
         // rows; their assignment targets define the created schema's
         // names, and the analyzer has coerced the values to the table's
         // declared types already
-        notMatched.headOption.getOrElse(refuse("MERGE into an empty " +
-          "table needs WHEN NOT MATCHED THEN INSERT"))._2
-          .map { case (n, v) => StructField(n, v.dataType) }
+        notMatched.head._2.map { case (n, v) => StructField(n, v.dataType) }
     }
     def tCol(name: String): Column =
       GraftBridge.columnOf(UnresolvedAttribute(Seq("__t", name)))
@@ -320,12 +322,15 @@ object RowLevelSqlStrategy extends SparkStrategy {
           case ((_, assigns), eff) =>
             val am = assigns.toMap
             pieces += srcDF.filter(eff).select(headFields.map { f =>
-              sided(am(f.name)).cast(f.dataType).as(f.name)
+              val v = am.getOrElse(f.name, refuse(
+                s"MERGE INSERT must assign every column; '${f.name}' " +
+                  "is missing"))
+              sided(v).cast(f.dataType).as(f.name)
             } :+ lit(false).as(delCol): _*)
         }
     }
     val parts = pieces.result()
-    if (parts.isEmpty) return // e.g. matched-only against an empty table
+    if (parts.isEmpty) return // defensive: no clause produced a piece
     val changes = parts.reduce(_.unionByName(_))
     CommitLog.merge(spark, root, "catalog", keyCol, changes,
       deleteCol = Some(delCol))

@@ -909,10 +909,17 @@ object CommitLog {
     require(added.nonEmpty, "evolveSchema needs at least one column")
     metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
       val headSchema = load(spark, root, cur).schema
-      val dup = added.map(_.name).filter(headSchema.fieldNames.contains)
+      // CASE-INSENSITIVE duplicate checks (code review r14 close): Spark
+      // resolves case-insensitively by default, so committing both 'id'
+      // and 'ID' would make every later reference AMBIGUOUS_REFERENCE
+      val headLower = headSchema.fieldNames.map(_.toLowerCase).toSet
+      val dup = added.map(_.name).filter(n => headLower(n.toLowerCase))
       require(dup.isEmpty,
         s"evolveSchema: ${dup.mkString(", ")} already in head schema " +
           headSchema.simpleString)
+      val inDup = added.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
+      require(inDup.isEmpty,
+        s"evolveSchema: duplicate added columns ${inDup.keys.mkString(", ")}")
       require(added.forall(_.nullable),
         "evolveSchema adds NULLABLE columns only — existing rows read " +
           "the new column as NULL")
@@ -2020,11 +2027,12 @@ object CommitLog {
     * a time-clustered 1000-dir history rewrites the matching dirs plus
     * the incoming rows, never the table.
     *
-    * Row-VISIBLE (rows are retracted), no persisted changeset: the
-    * replaced region is unbounded (unlike a merge's keyed changeset), so
-    * incremental consumers resync — the [[changesSince]] plain-rewrite
-    * contract. The incoming frame is localCheckpoint-pinned: validation
-    * and every claim attempt's stage read one materialization. */
+    * Row-VISIBLE (rows are retracted), WITH a persisted changeset (r14
+    * close): the replaced region's rows land as `delete`s and the
+    * incoming frame as `insert`s, so [[changesSince]] and the CDF
+    * stream ride through the restatement. The incoming frame is
+    * localCheckpoint-pinned: validation and every claim attempt's stage
+    * read one materialization. */
   def replaceWhere(spark: SparkSession, root: String, writer: String,
       cond: org.apache.spark.sql.Column, data: DataFrame,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
@@ -2067,9 +2075,10 @@ object CommitLog {
     * `UPDATE` on catalog tables): directories the shared evidence
     * decision proves predicate-free carry untouched with stats
     * preserved; a predicate provably matching nothing returns the head
-    * unchanged. Row-VISIBLE (stored rows change), no persisted
-    * changeset: incremental consumers resync, the [[changesSince]]
-    * rewrite contract. None on an empty table. */
+    * unchanged. Row-VISIBLE (stored rows change), WITH a persisted
+    * changeset (r14 close): the cond-TRUE region's pre- and post-images
+    * land in the change feed, so [[changesSince]] and the CDF stream
+    * ride through instead of resyncing. None on an empty table. */
   def update(spark: SparkSession, root: String, writer: String,
       cond: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
@@ -2215,43 +2224,45 @@ object CommitLog {
       // restatement as `delete` of the region plus `insert` of the
       // incoming rows. PURGE deliberately persists NOTHING — a feed that
       // retained purged rows would defeat right-to-be-forgotten, so its
-      // consumers still resync (changesSince → None).
-      if (action != "purge") {
+      // consumers still resync (changesSince → None). SKIPPED when no
+      // dir was affected (code review r14 close): the commit is then
+      // append-shaped and [[changesSince]] synthesizes the inserts from
+      // the new dir itself — the feed file would never be read.
+      if (action != "purge" && affected.nonEmpty) {
         val matchedTrue = // the SQL-rule complement of the keep set
-          if (affected.isEmpty) None
-          else Some(readDirs(spark, root, head.schemaDDL, affected)
-            .filter(cond).select(headCols: _*))
-        val typed: Option[DataFrame] = action match {
+          readDirs(spark, root, head.schemaDDL, affected)
+            .filter(cond).select(headCols: _*)
+        val (typed, ckpt): (DataFrame, Option[DataFrame]) = action match {
           case "delete" =>
-            matchedTrue.map(_.withColumn("_change_type", lit("delete")))
+            (matchedTrue.withColumn("_change_type", lit("delete")), None)
           case "update" =>
-            matchedTrue.map { m =>
-              val am = assignments.toMap
-              val post = m.select(headSchema.fields.toSeq.map { f =>
-                am.get(f.name) match {
-                  case Some(v) => v.cast(f.dataType).as(f.name)
-                  case None => col(f.name)
-                }
-              }: _*)
-              m.withColumn("_change_type", lit("update_preimage"))
-                .unionByName(
-                  post.withColumn("_change_type", lit("update_postimage")))
-            }
+            // pre/post images derive from ONE materialized read of the
+            // delta-sized matched region (the merge pinning pattern —
+            // unpinned, the union's write would scan the affected dirs
+            // twice more; code review r14 close)
+            val m = matchedTrue.localCheckpoint(true)
+            val am = assignments.toMap
+            val post = m.select(headSchema.fields.toSeq.map { f =>
+              am.get(f.name) match {
+                case Some(v) => v.cast(f.dataType).as(f.name)
+                case None => col(f.name)
+              }
+            }: _*)
+            (m.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                post.withColumn("_change_type", lit("update_postimage"))),
+              Some(m))
           case _ => // replace (and any future restatement shape)
-            val dels = matchedTrue
-              .map(_.withColumn("_change_type", lit("delete")))
-            val ins = incoming.map(_.select(headCols: _*)
-              .withColumn("_change_type", lit("insert")))
-            (dels, ins) match {
-              case (Some(d), Some(i)) => Some(d.unionByName(i))
-              case (d, i) => d.orElse(i)
-            }
+            val dels = matchedTrue.withColumn("_change_type", lit("delete"))
+            (incoming.map(i => dels.unionByName(i.select(headCols: _*)
+              .withColumn("_change_type", lit("insert"))))
+              .getOrElse(dels), None)
         }
-        typed.foreach { t =>
+        try {
           f.mkdirs(changesDir(root))
-          t.write.mode(SaveMode.Overwrite)
+          typed.write.mode(SaveMode.Overwrite)
             .parquet(changesPath(root, newDir).toString)
-        }
+        } finally ckpt.foreach(_.unpersist())
       }
       // self-maintaining bloom evidence, the merge rule: a bloomed
       // table's rewrite output gets its sidecar immediately (marker read

@@ -194,15 +194,14 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       locPath.getFileSystem(InvertedIndex.driverHadoopConf)
         .mkdirs(new HPath(locPath, "_commits"))
     }
-    writeMeta(ident, provider, location, declared)
     // constraints declared in the CREATE TABLE statement (r14): recorded
-    // through the same audited verb the ALTER face uses — but only on a
-    // table with commits (addConstraint validates against data); an
-    // empty root records them on its first... no: the SQL-only workflow
-    // creates EMPTY tables, so CREATE-with-CHECK must land the
-    // constraint before any data exists. metadataCommit needs a head, so
-    // an empty table materializes one empty "create" commit first — the
-    // declared schema makes it readable either way.
+    // through the same audited verb the ALTER face uses. The SQL-only
+    // workflow creates EMPTY tables, so an empty root materializes one
+    // empty "create" commit first (metadataCommit needs a head). ALL of
+    // this runs BEFORE writeMeta (code review r14 close): a refused
+    // statement — unsupported constraint kind, wrong provider, existing
+    // data violating the CHECK — must not leave a phantom descriptor
+    // that turns the corrected retry into TableAlreadyExistsException.
     val declaredChecks = Option(info.constraints).toSeq.flatten.map {
       case ck: org.apache.spark.sql.connector.catalog.constraints.Check
           if ck.enforced() && ck.predicateSql() != null =>
@@ -215,18 +214,26 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       require(provider == CommitLogProvider,
         s"constraints are a graft.commitlog capability, not $provider")
       val spark = org.apache.spark.sql.SparkSession.active
-      if (CommitLog.latest(spark, location).isEmpty)
-        // repartition(1) forces ONE footer-bearing (empty) parquet part —
-        // a zero-task write would leave an unreadable schemaless dir
-        CommitLog.commit(spark, location, "catalog", "create")(_ =>
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            info.schema).repartition(1))
+      materializeIfEmpty(spark, location, info.schema)
       declaredChecks.foreach { case (n, e) =>
         CommitLog.addConstraint(spark, location, "catalog", n, e) }
     }
+    writeMeta(ident, provider, location, declared)
     loadTable(ident)
   }
+
+  /** One empty footer-bearing "create" commit on a commit-log root with
+    * no commits yet — what lets metadata verbs (constraints, ADD
+    * COLUMNS) run on a SQL-created table before its first INSERT.
+    * repartition(1) forces ONE (empty) parquet part: a zero-task write
+    * would leave an unreadable schemaless directory. */
+  private def materializeIfEmpty(spark: org.apache.spark.sql.SparkSession,
+      location: String, schema: StructType): Unit =
+    if (CommitLog.latest(spark, location).isEmpty)
+      CommitLog.commit(spark, location, "catalog", "create")(_ =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema).repartition(1))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -254,12 +261,42 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
     * reproduce those semantics exactly. Index/ivf tables stay fixed. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readMeta(ident) match {
-      case Some((CommitLogProvider, loc, _)) =>
+      case Some((CommitLogProvider, loc, declaredDDL)) =>
         val spark = org.apache.spark.sql.SparkSession.active
+        // a SQL-created table may have NO commits yet; metadata verbs
+        // need a head, so bootstrap the same empty create commit the
+        // constraint-declaring CREATE TABLE materializes (code review
+        // r14 close: ALTER before the first INSERT is a valid workflow)
+        def materialize(): Unit = declaredDDL match {
+          case Some(ddl) =>
+            materializeIfEmpty(spark, loc, StructType.fromDDL(ddl))
+          case None => () // commits exist, or addConstraint's own
+                          // empty-table error is the right message
+        }
+        // ONE statement = one evolution commit: all AddColumn changes
+        // batch into a single evolveSchema, so a failing column never
+        // leaves half the statement committed (code review r14 close)
+        val addedCols = changes.collect { case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft.commitlog ADD COLUMNS takes top-level columns, got " +
+              add.fieldNames().mkString("."))
+          require(add.position() == null,
+            "graft.commitlog ADD COLUMNS appends at the end — FIRST/" +
+              "AFTER would reorder committed parquet")
+          require(add.defaultValue() == null,
+            "graft.commitlog ADD COLUMNS takes no DEFAULT — existing " +
+              "rows read the new column as NULL")
+          require(add.isNullable,
+            "graft.commitlog ADD COLUMNS adds NULLABLE columns — " +
+              "existing rows hold no value for them")
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true)
+        }
         changes.foreach {
           case ac: TableChange.AddConstraint => ac.constraint match {
             case ck: org.apache.spark.sql.connector.catalog.constraints.Check
                 if ck.enforced() && ck.predicateSql() != null =>
+              materialize()
               CommitLog.addConstraint(spark, loc, "catalog",
                 ck.name(), ck.predicateSql())
             case other => throw new UnsupportedOperationException(
@@ -272,30 +309,20 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
               .exists(_.constraints.exists(_._1 == dc.name()))
             if (exists || !dc.ifExists)
               CommitLog.dropConstraint(spark, loc, "catalog", dc.name())
-          case add: TableChange.AddColumn =>
-            require(add.fieldNames().length == 1,
-              "graft.commitlog ADD COLUMNS takes top-level columns, got " +
-                add.fieldNames().mkString("."))
-            require(add.position() == null,
-              "graft.commitlog ADD COLUMNS appends at the end — FIRST/" +
-                "AFTER would reorder committed parquet")
-            require(add.defaultValue() == null,
-              "graft.commitlog ADD COLUMNS takes no DEFAULT — existing " +
-                "rows read the new column as NULL")
-            require(add.isNullable,
-              "graft.commitlog ADD COLUMNS adds NULLABLE columns — " +
-                "existing rows hold no value for them")
-            CommitLog.evolveSchema(spark, loc, "catalog", Seq(
-              org.apache.spark.sql.types.StructField(
-                add.fieldNames()(0), add.dataType(), nullable = true)))
+          case _: TableChange.AddColumn => () // batched below
           case other => throw new UnsupportedOperationException(
             s"graft.commitlog ALTER TABLE supports ADD/DROP CONSTRAINT " +
               s"and ADD COLUMNS; got $other")
         }
+        if (addedCols.nonEmpty) {
+          materialize()
+          CommitLog.evolveSchema(spark, loc, "catalog", addedCols)
+        }
         loadTable(ident)
-      case _ => throw new UnsupportedOperationException(
+      case Some(_) => throw new UnsupportedOperationException(
         "graft index/ivf tables have fixed schemas; rebuild instead of " +
           "altering")
+      case None => throw new NoSuchTableException(ident)
     }
 
   /** Removes the NAME (and a managed table's data directory). External

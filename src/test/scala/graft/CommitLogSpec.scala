@@ -2044,6 +2044,39 @@ class CommitLogSpec extends SparkSpec {
       spark.sql("INSERT INTO gclc.t2 VALUES (1, 2.0)")
       assert(rows(spark.table("gclc.t2"))  == Seq(Seq(1L, 2.0)))
       spark.sql("DROP TABLE gclc.t2")
+      // a REFUSED create leaves no phantom descriptor (code review r14
+      // close): the corrected retry must not hit TableAlreadyExists
+      val root3 = freshRoot() + "/t3"
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gclc.t3 (id BIGINT, " +
+          "CONSTRAINT c3 CHECK (id > 0) NOT ENFORCED) " +
+          s"USING `graft.commitlog` LOCATION '$root3'")
+      }
+      spark.sql("CREATE TABLE gclc.t3 (id BIGINT) " +
+        s"USING `graft.commitlog` LOCATION '$root3'")
+      assert(spark.table("gclc.t3").count() == 0L)
+      // ALTER on a SQL-created, never-inserted table works: the metadata
+      // verbs bootstrap the same empty create commit CREATE-with-CHECK
+      // materializes (code review r14 close)
+      spark.sql("ALTER TABLE gclc.t3 ADD CONSTRAINT id_pos CHECK (id > 0)")
+      intercept[Exception] { spark.sql("INSERT INTO gclc.t3 VALUES (-1)") }
+      // a multi-column ADD COLUMNS is ONE evolution commit — a failing
+      // statement can never leave half its columns behind
+      val vPre = CommitLog.latest(spark, root3).get.version
+      spark.sql("ALTER TABLE gclc.t3 ADD COLUMNS (a INT, b STRING)")
+      assert(CommitLog.latest(spark, root3).get.version == vPre + 1,
+        "two added columns must land as one metadata commit")
+      assert(spark.table("gclc.t3").schema.fieldNames.toSeq ==
+        Seq("id", "a", "b"))
+      spark.sql("DROP TABLE gclc.t3")
+      // ALTER on a nonexistent table reports table-not-found, not a
+      // misleading fixed-schema error
+      val gone2 = intercept[Exception] {
+        spark.sql("ALTER TABLE gclc.nope ADD COLUMNS (x INT)")
+      }
+      assert(msgs(gone2).exists(m => m.contains("not be found") ||
+        m.contains("NoSuchTable") || m.contains("TABLE_OR_VIEW_NOT_FOUND")),
+        s"expected table-not-found, got: ${gone2.getMessage}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclc.t")
       spark.conf.unset("spark.sql.catalog.gclc")
@@ -2186,6 +2219,17 @@ class CommitLogSpec extends SparkSpec {
       assert(!spark.table("gclr.t").collect()
         .exists(r => Option(r.get(0)).contains(1L)),
         "the conditional DELETE fires for s.p = 9 > 5")
+      // matched-only MERGE into an EMPTY table is a valid SQL no-op
+      // (nothing can match) — no commit, no error (code review r14 close)
+      val emptyRoot = freshRoot() + "/empty"
+      spark.sql("CREATE TABLE gclr.empty (id BIGINT, v STRING, p DOUBLE) " +
+        s"USING `graft.commitlog` LOCATION '$emptyRoot'")
+      spark.sql("MERGE INTO gclr.empty t USING gclr_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+      assert(CommitLog.latest(spark, emptyRoot).isEmpty &&
+        spark.table("gclr.empty").count() == 0L,
+        "matched-only MERGE into an empty table must no-op")
+      spark.sql("DROP TABLE gclr.empty")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gclr.t")
       spark.conf.unset("spark.sql.catalog.gclr")
