@@ -317,6 +317,17 @@ object Relational {
       root
     }
 
+  // Dataset-derived catalog NAME for the SQL fixtures (ADVICE r14):
+  // GraftCatalog.initialize captures its `dir` conf ONCE per name —
+  // Spark's CatalogManager caches the catalog instance — so a second
+  // dataset in one session re-setting `spark.sql.catalog.<name>.dir`
+  // would silently keep resolving tables against the FIRST dataset's
+  // root. Embedding the dataset dir's hash in the name gives each
+  // (session, dataset) pair its own catalog instance, matching the
+  // SessionCache keying of every fixture that registers one.
+  private def catName(tag: String, d: String): String =
+    s"$tag${java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)}"
+
   // Session-cached commit-log table for q_commit_log_insert: the CATALOG
   // write route (r13) — a GraftCatalog commitlog table accepts
   // `INSERT INTO` / `writeTo(...).append()` through the V1-write fallback,
@@ -332,12 +343,13 @@ object Relational {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       orders.filter(col("o_orderkey") % 100 === 21)
         .write.format("graft.commitlog").save(table)
-      s.conf.set("spark.sql.catalog.gclq", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gclq.dir", s"$root/cat")
-      s.sql("CREATE TABLE IF NOT EXISTS gclq.orders_cl " +
+      val cat = catName("gclq", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_cl " +
         s"USING `graft.commitlog` LOCATION '$table'")
       orders.filter(col("o_orderkey") % 100 === 22)
-        .writeTo("gclq.orders_cl").append()
+        .writeTo(s"$cat.orders_cl").append()
       root
     }
 
@@ -457,11 +469,12 @@ object Relational {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       orders.filter((col("o_orderkey") % 100).isin(29, 30))
         .write.format("graft.commitlog").save(table)
-      s.conf.set("spark.sql.catalog.gclu", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gclu.dir", s"$root/cat")
-      s.sql("CREATE TABLE IF NOT EXISTS gclu.orders_u " +
+      val cat = catName("gclu", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_u " +
         s"USING `graft.commitlog` LOCATION '$table'")
-      s.sql("UPDATE gclu.orders_u SET o_totalprice = o_totalprice + 10.0 " +
+      s.sql(s"UPDATE $cat.orders_u SET o_totalprice = o_totalprice + 10.0 " +
         "WHERE o_orderstatus = 'O' AND o_orderkey % 100 = 29")
       root
     }
@@ -483,16 +496,17 @@ object Relational {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       orders.filter((col("o_orderkey") % 100).isin(31, 32))
         .write.format("graft.commitlog").save(table)
-      s.conf.set("spark.sql.catalog.gclm", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gclm.dir", s"$root/cat")
-      s.sql("CREATE TABLE IF NOT EXISTS gclm.orders_m " +
+      val cat = catName("gclm", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_m " +
         s"USING `graft.commitlog` LOCATION '$table'")
       orders.filter(col("o_orderkey") % 100 === 31 &&
           col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 5.0)
         .union(orders.filter(col("o_orderkey") % 100 === 33))
         .createOrReplaceTempView("graft_merge_src")
-      s.sql("MERGE INTO gclm.orders_m t USING graft_merge_src s " +
+      s.sql(s"MERGE INTO $cat.orders_m t USING graft_merge_src s " +
         "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
@@ -624,7 +638,7 @@ object Relational {
     // oracle holds the created class plus the inserted class.
     "q_commit_log_insert" -> ((s, d) => {
       insertLogFor(s, d)
-      s.table("gclq.orders_cl")
+      s.table(s"${catName("gclq", d)}.orders_cl")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -697,11 +711,12 @@ object Relational {
     // just spec-covered.
     "q_commit_log_call" -> ((s, d) => {
       val root = restoreLogFor(s, d)
-      s.conf.set("spark.sql.catalog.gclh", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gclh.dir", callCatFor(s, d))
-      s.sql("CREATE TABLE IF NOT EXISTS gclh.orders_h " +
+      val cat = catName("gclh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", callCatFor(s, d))
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_h " +
         s"USING `graft.commitlog` LOCATION '$root'")
-      s.sql("CALL gclh.history(`table` => 'orders_h')")
+      s.sql(s"CALL $cat.history(`table` => 'orders_h')")
         .select(col("version"), col("writer"), col("action"),
           col("n_dirs"), col("row_invisible"))
         .orderBy("version")
@@ -830,7 +845,7 @@ object Relational {
     // missed matching row, or a lost carried class all hash-fail.
     "q_commit_log_update" -> ((s, d) => {
       updateLogFor(s, d)
-      s.table("gclu.orders_u")
+      s.table(s"${catName("gclu", d)}.orders_u")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -846,7 +861,7 @@ object Relational {
     // the merged end state relationally, the q_commit_log_merge pattern.
     "q_commit_log_merge_sql" -> ((s, d) => {
       mergeSqlLogFor(s, d)
-      s.table("gclm.orders_m")
+      s.table(s"${catName("gclm", d)}.orders_m")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -864,13 +879,14 @@ object Relational {
     // options route, TIMESTAMP AS OF, and the vacuumed-version loudness.
     "q_commit_log_travel_sql" -> ((s, d) => {
       val root = commitLogFor(s, d)
-      s.conf.set("spark.sql.catalog.gclt", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gclt.dir", travelCatFor(s, d))
-      s.sql("CREATE TABLE IF NOT EXISTS gclt.orders_v " +
+      val cat = catName("gclt", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", travelCatFor(s, d))
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_v " +
         s"USING `graft.commitlog` LOCATION '$root'")
       s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) " +
-        "AS total FROM gclt.orders_v VERSION AS OF 2 " +
+        s"AS total FROM $cat.orders_v VERSION AS OF 2 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 

@@ -4,12 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.sources.{CommitLog, CommitLogCatalogTable}
 
 /** SQL `UPDATE` and `MERGE INTO` on catalog commit-log tables (r14 —
@@ -21,7 +21,7 @@ import graft.sources.{CommitLog, CommitLogCatalogTable}
   * SAME library verbs every other write face uses — `UPDATE` →
   * [[CommitLog.update]] (the prunedRewrite engine: evidence-pruned
   * copy-on-write, untouched dirs carried byte-identical), `MERGE INTO` →
-  * [[CommitLog.merge]] (keyed copy-on-write with bloom/stats dir pruning
+  * [[CommitLog.mergeOn]] (keyed copy-on-write with bloom/stats dir pruning
   * and the persisted CDF changeset) — so the statement route produces
   * claim JSON shape-identical to the library route by construction
   * (spec-asserted), and NO second write engine exists.
@@ -31,43 +31,69 @@ import graft.sources.{CommitLog, CommitLogCatalogTable}
   * refused at planning with an error naming the supported forms — never
   * a silently-different execution. Supported:
   *
-  *  - `UPDATE t SET c1 = e1, … [WHERE cond]` — top-level columns,
-  *    expressions over the table's own columns; rows where cond is TRUE
-  *    update, NULL/false keep (the SQL rule, enforced by the verb).
-  *  - `MERGE INTO t USING src ON t.key = <srcExpr>` with any number of
-  *    `WHEN MATCHED [AND cond] THEN UPDATE SET … / DELETE` and `WHEN
-  *    NOT MATCHED [AND cond] THEN INSERT …` clauses (SET * / INSERT *
-  *    included), evaluated FIRST-MATCH-WINS (r14 close: conditional
-  *    clauses are exact — a clause's effective condition is its own
-  *    predicate TRUE and every earlier clause's NOT TRUE, and a matched
+  *  - `UPDATE t SET c1 = e1, s.f = e2, … [WHERE cond]` — top-level
+  *    columns AND struct FIELDS (r15 — VERDICT r14 #4: `SET s.f = e`
+  *    compiles to a whole-column `withField` replacement, sibling fields
+  *    carried from the stored row; a NULL struct stays NULL — there is
+  *    no row of fields to graft into — and assignments whose paths
+  *    overlap, or mix a whole column with its own fields, are refused as
+  *    order-ambiguous). Expressions over the table's own columns; rows
+  *    where cond is TRUE update, NULL/false keep (the SQL rule, enforced
+  *    by the verb).
+  *  - `MERGE INTO t USING src ON <conjunction of equalities>` — each
+  *    conjunct one equality between a bare target column and a source
+  *    expression (r15 — VERDICT r14 #2: compound (id, date)-style keys;
+  *    the column LIST keys [[CommitLog.mergeOn]]'s changeset and its
+  *    per-column composed pruning evidence) — with any number of `WHEN
+  *    MATCHED [AND cond] THEN UPDATE SET … / DELETE`, `WHEN NOT MATCHED
+  *    [AND cond] THEN INSERT …`, and `WHEN NOT MATCHED BY SOURCE [AND
+  *    cond] THEN UPDATE SET … / DELETE` clauses (r15 — VERDICT r14 #1:
+  *    the retention/sync clause family; its changeset piece is the head
+  *    anti-joined against the source's keys, head-scan-bounded, and its
+  *    conditions/assignments may reference the TARGET only, the SQL
+  *    rule), each list evaluated FIRST-MATCH-WINS (r14 close:
+  *    conditional clauses are exact — a clause's effective condition is
+  *    its own predicate TRUE and every earlier clause's NOT TRUE, and a
   *    row no clause fires for is simply absent from the changeset, so
-  *    the verb leaves its key untouched). The ON condition must be ONE
-  *    equality whose target side is a bare column — that column is the
-  *    merge key the verbs' pruning evidence (bloom sidecars, min/max
-  *    stats) is keyed by. Refused: `WHEN NOT MATCHED BY SOURCE` and
-  *    schema evolution — semantics [[CommitLog.merge]]'s
-  *    replace-whole-row contract cannot express exactly; a target key
-  *    matched by rows taking DIFFERENT clauses (stored duplicates
-  *    splitting across clauses) fails the verb's one-row-per-key check
-  *    loudly rather than guessing.
+  *    the verb leaves its key untouched). `WITH SCHEMA EVOLUTION` works
+  *    through the ANALYZER (r15 — VERDICT r14 #5: the table declares
+  *    AUTOMATIC_SCHEMA_EVOLUTION, so ResolveMergeIntoSchemaEvolution
+  *    computes the source-vs-target column adds and routes them through
+  *    GraftCatalog.alterTable → [[CommitLog.evolveSchema]], ONE audited
+  *    metadata-only commit, then re-resolves the target with the widened
+  *    schema — old dirs read the new columns as typed NULLs and
+  *    incremental consumers ride through; non-additive changes refuse in
+  *    alterTable). Refused: reassigning an ON key column to a new value
+  *    (a key change is a DELETE plus an INSERT), assigning struct FIELDS
+  *    of an ON key column, and MERGE-cardinality violations — a target
+  *    key taking a matched UPDATE more than once (duplicate source keys
+  *    matching one target key, or a stored-duplicate key) fails loudly
+  *    rather than guessing; duplicate source rows that are all NOT
+  *    MATCHED inserts are the standard SQL multi-insert and land as
+  *    separate rows (r15, ADVICE r14).
   *
   * MERGE compiles to ONE changeset: matched-update rows come from an
   * inner join of the head snapshot (aliased `__t`) with the source
   * (`__s`) so SET expressions may reference BOTH sides (`SET p = __t.p +
   * src.p` works); not-matched inserts from the source anti-joined
-  * against the head; matched deletes as the source's distinct non-null
-  * keys flagged through the verb's deleteCol. A source holding two rows
-  * for one key fails the verb's one-row-per-key check — the
-  * MERGE-cardinality error, loud. The changeset is computed against the
-  * head AT STATEMENT START (snapshot-isolated read); the commit itself
-  * claims optimistically like every verb.
+  * against the head; not-matched-by-source rows from the head
+  * anti-joined against the source; matched/by-source deletes as key
+  * tuples flagged through the verb's deleteCol (duplicate deletes of one
+  * key collapse — deleting a key twice is deleting it). The changeset is
+  * computed against the head AT STATEMENT START (snapshot-isolated
+  * read); the commit itself claims optimistically like every verb. A
+  * head row whose key tuple contains a NULL can never equi-match, so it
+  * is "not matched by source" — but a keyed changeset cannot address it
+  * and the verb refuses null keys loudly rather than guessing.
   *
   * Scale: the statement inherits the verbs' measured economics — a MERGE
   * touching k of N bloomed/sorted dirs rewrites k dirs; an UPDATE whose
   * predicate the recorded evidence excludes from most dirs rewrites only
   * the possible ones. The pre-commit joins are changeset-bounded on the
   * source side and scan the head once each — broadcastable when the
-  * source is small, exactly the Delta MERGE shape.
+  * source is small, exactly the Delta MERGE shape; the NOT MATCHED BY
+  * SOURCE anti-join adds one head-scan-bounded pass only when the clause
+  * family is present.
   */
 object RowLevelSqlStrategy extends SparkStrategy {
 
@@ -76,15 +102,23 @@ object RowLevelSqlStrategy extends SparkStrategy {
       commitLogTarget(target) match {
         case Some((table, targetAttrs)) =>
           refuseIfTravel(table, "UPDATE")
-          val named = assignments.map(a => assignmentName(a, "UPDATE"))
           val tSet = AttributeSet(targetAttrs)
           // values/condition may reference only the table's own columns
           // (Spark's analyzer guarantees it for UPDATE; re-checked so a
           // future analyzer change degrades loudly, not wrongly)
           (assignments.map(_.value) ++ condition.toSeq).foreach(e =>
             requireOnly(e, tSet, "UPDATE"))
-          val assignCols = named.zip(assignments).map { case (n, a) =>
-            n -> GraftBridge.columnOf(unresolve(a.value)) }
+          val pathed = assignments.map(a =>
+            assignmentPath(a, "UPDATE") -> a.value)
+          val assignCols = groupAssignments(pathed, "UPDATE").map {
+            case (top, as) =>
+              val base = GraftBridge.columnOf(UnresolvedAttribute.quoted(top))
+              val dt = targetAttrs.find(_.name.equalsIgnoreCase(top))
+                .map(_.dataType)
+                .getOrElse(refuse(s"UPDATE assigns to unknown column $top"))
+              top -> assembleColumn(top, dt, as, base,
+                e => GraftBridge.columnOf(unresolve(e)), "UPDATE")
+          }
           val condCol = condition.map(e =>
             GraftBridge.columnOf(unresolve(e))).getOrElse(lit(true))
           Seq(GraftRowLevelExec("GraftUpdate", () => {
@@ -96,56 +130,74 @@ object RowLevelSqlStrategy extends SparkStrategy {
       }
 
     case MergeIntoTable(target, source, mergeCondition, matchedActions,
-        notMatchedActions, notMatchedBySourceActions, withSchemaEvolution) =>
+        notMatchedActions, notMatchedBySourceActions, _) =>
+      // withSchemaEvolution needs no handling here: the analyzer already
+      // evolved the table (AUTOMATIC_SCHEMA_EVOLUTION →
+      // ResolveMergeIntoSchemaEvolution → alterTable → evolveSchema, one
+      // audited metadata commit) and re-resolved the target against the
+      // widened head before this strategy ever sees the plan
       commitLogTarget(target) match {
         case Some((table, targetAttrs)) =>
           refuseIfTravel(table, "MERGE INTO")
-          if (notMatchedBySourceActions.nonEmpty)
-            refuse("WHEN NOT MATCHED BY SOURCE is not supported — " +
-              "CommitLog.merge keys changes by source rows")
-          if (withSchemaEvolution)
-            refuse("MERGE WITH SCHEMA EVOLUTION is not supported — evolve " +
-              "the table with commitAppend(evolve = true) first")
-          if (matchedActions.isEmpty && notMatchedActions.isEmpty)
+          if (matchedActions.isEmpty && notMatchedActions.isEmpty &&
+              notMatchedBySourceActions.isEmpty)
             refuse("MERGE needs at least one clause")
           val tSet = AttributeSet(targetAttrs)
           val sSet = source.outputSet
-          // the ON condition: one equality, target side a bare column
-          // (the merge key evidence pruning is keyed by), source side any
-          // source-only expression
-          val (keyAttr, srcKeyExpr) = mergeCondition match {
-            case EqualTo(l: AttributeReference, r)
-                if tSet.contains(l) && r.references.subsetOf(sSet) => (l, r)
-            case EqualTo(l, r: AttributeReference)
-                if tSet.contains(r) && l.references.subsetOf(sSet) => (r, l)
-            case other => refuse("the ON condition must be one equality " +
-              s"between a target column and a source expression, got $other")
-          }
+          // the ON condition: a conjunction of equalities, each with one
+          // bare target column (a merge key the verb's composed pruning
+          // evidence is keyed by) and one source-only expression
+          val keyPairs: Seq[(AttributeReference, Expression)] =
+            splitConjuncts(mergeCondition).map {
+              case EqualTo(l: AttributeReference, r)
+                  if tSet.contains(l) && r.references.subsetOf(sSet) => (l, r)
+              case EqualTo(l, r: AttributeReference)
+                  if tSet.contains(r) && l.references.subsetOf(sSet) => (r, l)
+              case other => refuse("every ON conjunct must be one equality " +
+                s"between a target column and a source expression, got $other")
+            }
+          val dupKeys = keyPairs.map(_._1.name)
+            .groupBy(identity).filter(_._2.size > 1).keys
+          if (dupKeys.nonEmpty)
+            refuse(s"the ON condition equates target column " +
+              s"${dupKeys.mkString(", ")} more than once")
+          val keyByName: Map[String, (AttributeReference, Expression)] =
+            keyPairs.map(p => p._1.name -> p).toMap
           // CONDITIONAL clauses (r14 close), translated EXACTLY: clause
-          // conditions apply FIRST-MATCH-WINS per joined/source row, and
-          // a matched row no clause fires for is simply absent from the
-          // changeset — CommitLog.merge leaves absent keys untouched, so
-          // the SQL semantics fall out of key-absence. Matched
-          // conditions may reference both sides; not-matched conditions
-          // the source only (the SQL rule, re-checked).
-          val matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] =
+          // conditions apply FIRST-MATCH-WINS per joined/source/head row,
+          // and a row no clause fires for is simply absent from the
+          // changeset — CommitLog.mergeOn leaves absent keys untouched, so
+          // the SQL semantics fall out of key-absence. Matched conditions
+          // may reference both sides; not-matched conditions the source
+          // only; not-matched-by-source conditions the target only (the
+          // SQL rules, re-checked).
+          def checkUpdateAssigns(assigns: Seq[Assignment], allowed: AttributeSet,
+              what: String): Seq[(Seq[String], Expression)] = {
+            val named = assigns.map(a => assignmentPath(a, what) -> a.value)
+            named.foreach { case (path, v) =>
+              requireOnly(v, allowed, what)
+              keyByName.get(path.head).foreach { case (keyAttr, srcKeyExpr) =>
+                // reassigning the ON key would make the verb replace the
+                // WRONG stored row (changes are keyed by that column):
+                // only identity assignments are expressible, and a
+                // struct FIELD of a key is part of the key
+                if (path.size > 1)
+                  refuse(s"$what must not assign into struct field " +
+                    s"${path.mkString(".")} of ON key column '${path.head}'")
+                if (!v.semanticEquals(srcKeyExpr) && !v.semanticEquals(keyAttr))
+                  refuse(s"$what must not reassign the ON key column " +
+                    s"'${path.head}' (got $v) — a key change is a DELETE " +
+                    "plus an INSERT")
+              }
+            }
+            named
+          }
+          val matched: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])] =
             matchedActions.map {
               case UpdateAction(c, assigns, _) =>
-                val named = assigns.map(a =>
-                  assignmentName(a, "MERGE UPDATE") -> a.value)
-                named.foreach { case (n, v) =>
-                  requireOnly(v, tSet ++ sSet, "MERGE UPDATE")
-                  // reassigning the ON key would make the verb replace
-                  // the WRONG stored row (changes are keyed by that
-                  // column): only identity assignments are expressible
-                  if (n == keyAttr.name &&
-                      !v.semanticEquals(srcKeyExpr) && !v.semanticEquals(keyAttr))
-                    refuse(s"UPDATE SET must not reassign the ON key " +
-                      s"column '$n' (got $v) — a key change is a DELETE " +
-                      "plus an INSERT")
-                }
                 c.foreach(requireOnly(_, tSet ++ sSet, "WHEN MATCHED AND"))
-                (c, Some(named))
+                (c, Some(checkUpdateAssigns(assigns, tSet ++ sSet,
+                  "MERGE UPDATE")))
               case DeleteAction(c) =>
                 c.foreach(requireOnly(_, tSet ++ sSet, "WHEN MATCHED AND"))
                 (c, None)
@@ -154,18 +206,36 @@ object RowLevelSqlStrategy extends SparkStrategy {
           val notMatched: Seq[(Option[Expression], Seq[(String, Expression)])] =
             notMatchedActions.map {
               case InsertAction(c, assigns) =>
-                val named = assigns.map(a =>
-                  assignmentName(a, "MERGE INSERT") -> a.value)
+                val named = assigns.map { a =>
+                  val p = assignmentPath(a, "MERGE INSERT")
+                  if (p.size > 1) refuse("MERGE INSERT assigns whole " +
+                    s"columns, not struct fields (got ${p.mkString(".")})")
+                  p.head -> a.value
+                }
                 named.foreach { case (_, v) =>
                   requireOnly(v, sSet, "MERGE INSERT") }
                 c.foreach(requireOnly(_, sSet, "WHEN NOT MATCHED AND"))
                 (c, named)
               case a => refuse(s"unsupported WHEN NOT MATCHED clause $a")
             }
+          val bySource: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])] =
+            notMatchedBySourceActions.map {
+              case UpdateAction(c, assigns, _) =>
+                c.foreach(requireOnly(_, tSet,
+                  "WHEN NOT MATCHED BY SOURCE AND"))
+                (c, Some(checkUpdateAssigns(assigns, tSet,
+                  "NOT MATCHED BY SOURCE UPDATE")))
+              case DeleteAction(c) =>
+                c.foreach(requireOnly(_, tSet,
+                  "WHEN NOT MATCHED BY SOURCE AND"))
+                (c, None)
+              case a =>
+                refuse(s"unsupported WHEN NOT MATCHED BY SOURCE clause $a")
+            }
           val root = table.commitLogRoot
           Seq(GraftRowLevelExec("GraftMergeInto", () => runMerge(
-            root, source, keyAttr, srcKeyExpr, tSet, sSet,
-            matched, notMatched)))
+            root, source, keyPairs, tSet, sSet,
+            matched, notMatched, bySource)))
         case None => Nil
       }
 
@@ -182,6 +252,11 @@ object RowLevelSqlStrategy extends SparkStrategy {
     if (t.isTimeTravel) refuse(s"$what against a time-travel read — " +
       "committed history is immutable")
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   /** The commit-log table under a statement's target plan, with the
     * relation's output attributes (the side-classification anchor). */
   private def commitLogTarget(plan: LogicalPlan)
@@ -194,13 +269,72 @@ object RowLevelSqlStrategy extends SparkStrategy {
           _, output, _, _) => (t, output)
     }
 
-  /** An assignment's target column name — top-level columns only (a
-    * nested-field key would need partial-row semantics the
-    * replace-whole-row verbs cannot express). */
-  private def assignmentName(a: Assignment, what: String): String = a.key match {
-    case ar: AttributeReference => ar.name
-    case other => refuse(s"$what assigns to $other — top-level columns only")
+  /** An assignment's target as a column PATH — `c` is Seq(c), `s.f.g` is
+    * Seq(s, f, g) (r15 — struct-field assignment keys arrive as
+    * GetStructField chains because this table has no
+    * SupportsRowLevelOperations alignment). A path segment containing a
+    * dot is refused: the `withField` compilation below addresses nested
+    * fields by dot-joined name. */
+  private def assignmentPath(a: Assignment, what: String): Seq[String] = {
+    def unwind(e: Expression): Seq[String] = e match {
+      case ar: AttributeReference => Seq(ar.name)
+      case g: GetStructField => unwind(g.child) :+ g.extractFieldName
+      case other =>
+        refuse(s"$what assigns to $other — columns or struct fields only")
+    }
+    val p = unwind(a.key)
+    p.filter(_.contains(".")).foreach(seg =>
+      refuse(s"$what path segment '$seg' contains a dot — quoted " +
+        "dotted field names are not addressable through withField"))
+    p
   }
+
+  /** Group assignment paths by top-level column, refusing ambiguity: a
+    * path that is a prefix of another (including duplicates), or a whole
+    * column mixed with its own fields, has order-dependent semantics the
+    * statement does not declare. */
+  private def groupAssignments(pathed: Seq[(Seq[String], Expression)],
+      what: String): Seq[(String, Seq[(Seq[String], Expression)])] = {
+    val ps = pathed.map(_._1)
+    for (i <- ps.indices; j <- ps.indices if i != j)
+      if (ps(j).startsWith(ps(i)))
+        refuse(s"$what assigns both ${ps(i).mkString(".")} and " +
+          s"${ps(j).mkString(".")} — overlapping assignment targets are " +
+          "order-ambiguous")
+    pathed.groupBy(_._1.head).toSeq
+  }
+
+  /** The data type at `path` inside `dt` (case-insensitive, matching
+    * Spark's resolution), if every segment names a struct field. */
+  private def fieldTypeOf(dt: DataType, path: Seq[String]): Option[DataType] =
+    path.foldLeft(Option(dt)) {
+      case (Some(st: StructType), seg) =>
+        st.find(_.name.equalsIgnoreCase(seg)).map(_.dataType)
+      case _ => None
+    }
+
+  /** One top-level column's new value from its assignment group: a whole-
+    * column assignment replaces it; struct-field assignments fold
+    * `withField` over the ORIGINAL column (every RHS sees the stored
+    * row's values — the SQL simultaneous-assignment rule — because each
+    * value expression references `base`'s source row, never the
+    * accumulated result), each value cast to the field's declared type.
+    * A NULL struct stays NULL (the withField rule — there is no row of
+    * fields to graft into). */
+  private def assembleColumn(top: String, dt: DataType,
+      as: Seq[(Seq[String], Expression)], base: Column,
+      toCol: Expression => Column, what: String): Column =
+    if (as.exists(_._1.size == 1)) {
+      // groupAssignments guarantees a whole-column assignment is alone
+      toCol(as.head._2)
+    } else {
+      as.foldLeft(base) { case (acc, (path, v)) =>
+        val ft = fieldTypeOf(dt, path.tail).getOrElse(refuse(
+          s"$what: ${path.mkString(".")} does not name a struct field " +
+            s"inside $top (type ${dt.simpleString})"))
+        acc.withField(path.tail.mkString("."), toCol(v).cast(ft))
+      }
+    }
 
   private def requireOnly(e: Expression, allowed: AttributeSet,
       what: String): Unit =
@@ -230,19 +364,21 @@ object RowLevelSqlStrategy extends SparkStrategy {
   }
 
   /** The MERGE body (exec time): build ONE changeset in the
-    * [[CommitLog.merge]] vocabulary — updates/inserts as full target
-    * rows, deletes as flagged keys — then commit through the verb. */
+    * [[CommitLog.mergeOn]] vocabulary — updates/inserts as full target
+    * rows, deletes as flagged key tuples — then commit through the verb. */
   private def runMerge(root: String, source: LogicalPlan,
-      keyAttr: AttributeReference, srcKeyExpr: Expression,
+      keyPairs: Seq[(AttributeReference, Expression)],
       tSet: AttributeSet, sSet: AttributeSet,
-      matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
-      notMatched: Seq[(Option[Expression], Seq[(String, Expression)])]): Unit = {
+      matched: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])],
+      notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+      bySource: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])])
+      : Unit = {
     val spark = SparkSession.active
     val srcDF = GraftBridge.ofRows(spark, source).alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)
-    // MERGE into an EMPTY table with only matched clauses is a valid SQL
-    // no-op (nothing can match) — return, don't refuse (code review r14
-    // close)
+    // MERGE into an EMPTY table with only matched / by-source clauses is
+    // a valid SQL no-op (nothing can match, nothing is stored) — return,
+    // don't refuse (code review r14 close)
     if (headOpt.isEmpty && notMatched.isEmpty) return
     val headFields: Seq[StructField] = headOpt match {
       case Some(h) => h.schema.fields.toSeq
@@ -269,10 +405,38 @@ object RowLevelSqlStrategy extends SparkStrategy {
         fires.take(i).foldLeft(f)((acc, prior) => acc && !prior) }
     }
     val delCol = "__graft_del"
-    val keyCol = keyAttr.name
-    val joinCond = sided(EqualTo(keyAttr, srcKeyExpr))
+    val keyCols = keyPairs.map(_._1.name)
+    val joinCond = keyPairs.map { case (k, se) => sided(EqualTo(k, se)) }
+      .reduce(_ && _)
 
-    val pieces = Vector.newBuilder[DataFrame]
+    /** Full-row changeset piece for an UPDATE-shaped clause over `rows`:
+      * assigned columns take their (possibly withField-folded) new
+      * values, everything else carries the stored value. */
+    def updatePiece(rows: DataFrame, assigns: Seq[(Seq[String], Expression)],
+        eff: Column): DataFrame = {
+      val byTop = assigns.groupBy(_._1.head.toLowerCase)
+      rows.filter(eff).select(headFields.map { f =>
+        byTop.get(f.name.toLowerCase) match {
+          case Some(as) =>
+            assembleColumn(f.name, f.dataType, as, tCol(f.name), sided,
+              "MERGE UPDATE").cast(f.dataType).as(f.name)
+          case None => tCol(f.name).as(f.name)
+        }
+      } :+ lit(false).as(delCol): _*)
+    }
+    /** Key-tuple delete piece: only the key columns matter; distinct
+      * collapses stored-duplicate keys and duplicate delete firings (the
+      * verb deletes by key — all copies go, and deleting twice is
+      * deleting). */
+    def deletePiece(rows: DataFrame, eff: Column): DataFrame =
+      rows.filter(eff).select(headFields.map { f =>
+        if (keyCols.contains(f.name)) tCol(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ lit(true).as(delCol): _*)
+        .distinct()
+
+    val matchedPieces = Vector.newBuilder[DataFrame]
+    val otherPieces = Vector.newBuilder[DataFrame]
     headOpt match {
       case Some(head) =>
         val tA = head.alias("__t")
@@ -283,24 +447,23 @@ object RowLevelSqlStrategy extends SparkStrategy {
         if (matched.nonEmpty) {
           val joined = tA.join(srcDF, joinCond, "inner")
           matched.zip(effConds(matched.map(_._1))).foreach {
-            case ((_, Some(assigns)), eff) => // UPDATE clause
-              val am = assigns.toMap
-              pieces += joined.filter(eff)
-                .select(headFields.map { f =>
-                  am.get(f.name) match {
-                    case Some(v) => sided(v).cast(f.dataType).as(f.name)
-                    case None => tCol(f.name).as(f.name)
-                  }
-                } :+ lit(false).as(delCol): _*)
-            case ((_, None), eff) => // DELETE clause
-              // only the key matters; distinct guards stored-dup keys
-              // (the verb deletes by key — all copies go)
-              pieces += joined.filter(eff)
-                .select(headFields.map { f =>
-                  if (f.name == keyCol) tCol(keyCol).cast(f.dataType).as(f.name)
-                  else lit(null).cast(f.dataType).as(f.name)
-                } :+ lit(true).as(delCol): _*)
-                .distinct()
+            case ((_, Some(assigns)), eff) =>
+              matchedPieces += updatePiece(joined, assigns, eff)
+            case ((_, None), eff) =>
+              matchedPieces += deletePiece(joined, eff)
+          }
+        }
+        // NOT MATCHED BY SOURCE (r15): head rows whose key tuple no
+        // source row equi-matches — ONE anti-join feeds the clause list.
+        // Conditions/assignments are target-only (checked at planning),
+        // so every expression resolves on the anti side alone.
+        if (bySource.nonEmpty) {
+          val anti = tA.join(srcDF, joinCond, "left_anti")
+          bySource.zip(effConds(bySource.map(_._1))).foreach {
+            case ((_, Some(assigns)), eff) =>
+              otherPieces += updatePiece(anti, assigns, eff)
+            case ((_, None), eff) =>
+              otherPieces += deletePiece(anti, eff)
           }
         }
         if (notMatched.nonEmpty) {
@@ -308,7 +471,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
           notMatched.zip(effConds(notMatched.map(_._1))).foreach {
             case ((_, assigns), eff) =>
               val am = assigns.toMap
-              pieces += anti.filter(eff)
+              otherPieces += anti.filter(eff)
                 .select(headFields.map { f =>
                   val v = am.getOrElse(f.name, refuse(
                     s"MERGE INSERT must assign every column; '${f.name}' " +
@@ -321,7 +484,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
         notMatched.zip(effConds(notMatched.map(_._1))).foreach {
           case ((_, assigns), eff) =>
             val am = assigns.toMap
-            pieces += srcDF.filter(eff).select(headFields.map { f =>
+            otherPieces += srcDF.filter(eff).select(headFields.map { f =>
               val v = am.getOrElse(f.name, refuse(
                 s"MERGE INSERT must assign every column; '${f.name}' " +
                   "is missing"))
@@ -329,10 +492,41 @@ object RowLevelSqlStrategy extends SparkStrategy {
             } :+ lit(false).as(delCol): _*)
         }
     }
-    val parts = pieces.result()
+    // SQL MERGE cardinality (r15 — the check the verb's relaxed
+    // multi-insert rule no longer implies): a target key taking a
+    // matched UPDATE more than once — duplicate source keys matching one
+    // stored row, or a stored-duplicate key — must fail loudly, the
+    // standard MERGE_CARDINALITY_VIOLATION. Deletes collapse via
+    // distinct (r14 behavior: deleting a key twice is deleting it); a
+    // key splitting across an UPDATE and a DELETE is refused by the
+    // verb's mixed-flag rule. Inserts and by-source pieces are exempt:
+    // insert duplicates are the SQL multi-insert, and a by-source piece
+    // duplicates a key only for stored-duplicate rows, where updating
+    // each stored copy independently IS the SQL semantics — except that
+    // the verb's replace-by-key contract cannot express two differing
+    // result rows for one key, which its mixed/cardinality checks
+    // surface if the assignments diverge... they cannot: by-source
+    // assignments see only the row itself, so stored duplicates produce
+    // identical updated rows, and the changeset's multi-row key replaces
+    // the duplicates with themselves-updated, count preserved.
+    val mParts = matchedPieces.result()
+    if (mParts.nonEmpty) {
+      val updates = mParts.reduce(_.unionByName(_)).filter(!col(delCol))
+      val dup = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        "graft.commitlog MERGE cardinality violation: target key " +
+          keyCols.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+            .mkString("(", ", ", ")") +
+          " takes a matched UPDATE more than once (duplicate source keys," +
+          " or a stored-duplicate target key) — de-duplicate the source" +
+          " or pre-aggregate (q_upsert_latest)")
+    }
+    val parts = mParts ++ otherPieces.result()
     if (parts.isEmpty) return // defensive: no clause produced a piece
     val changes = parts.reduce(_.unionByName(_))
-    CommitLog.merge(spark, root, "catalog", keyCol, changes,
+    CommitLog.mergeOn(spark, root, "catalog", keyCols, changes,
       deleteCol = Some(delCol))
     ()
   }

@@ -882,16 +882,33 @@ object CommitLog {
     * `addConstraint(…, "col IS NOT NULL")`. A malformed expression or a
     * duplicate name fails loudly; nothing commits. */
   def addConstraint(spark: SparkSession, root: String, writer: String,
-      name: String, exprSql: String, maxAttempts: Int = 20): Commit = {
-    requireTag(name, "constraint name")
+      name: String, exprSql: String, maxAttempts: Int = 20): Commit =
+    addConstraints(spark, root, writer, Seq(name -> exprSql), maxAttempts)
+
+  /** ADD several CHECK constraints in ONE audited metadata commit — the
+    * `CREATE TABLE (… CHECK …, … CHECK …)` face (ADVICE r14: per-
+    * constraint commits meant a failed later constraint left the earlier
+    * ones live on a pre-existing external table, and the corrected
+    * retry then hit 'already exists'). All names are validated against
+    * the head AND each other, and EVERY existing row is checked against
+    * every new predicate, before anything commits — all-or-nothing. */
+  def addConstraints(spark: SparkSession, root: String, writer: String,
+      cs: Seq[(String, String)], maxAttempts: Int = 20): Commit = {
+    require(cs.nonEmpty, "addConstraints needs at least one constraint")
+    cs.foreach { case (n, _) => requireTag(n, "constraint name") }
+    val dup = cs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"CommitLog: duplicate constraint names ${dup.mkString(", ")}")
     metadataCommit(spark, root, writer, "constraint-add", maxAttempts) { cur =>
-      require(!cur.constraints.exists(_._1 == name),
-        s"CommitLog: constraint '$name' already exists on $root " +
+      val existing = cs.map(_._1).filter(n => cur.constraints.exists(_._1 == n))
+      require(existing.isEmpty,
+        s"CommitLog: constraint ${existing.map(n => s"'$n'").mkString(", ")} " +
+          s"already exists on $root " +
           s"(${cur.constraints.map(_._1).mkString(", ")})")
-      // existing data must satisfy the new invariant — checked against
+      // existing data must satisfy the new invariants — checked against
       // exactly the head this claim builds on (per-attempt, serializable)
-      enforceConstraints(load(spark, root, cur), Seq(name -> exprSql))
-      cur.copy(constraints = cur.constraints :+ (name -> exprSql))
+      enforceConstraints(load(spark, root, cur), cs)
+      cur.copy(constraints = cur.constraints ++ cs)
     }
   }
 
@@ -1726,8 +1743,12 @@ object CommitLog {
     * REPLACES the stored row (update), a new key INSERTS, and a row whose
     * `deleteCol` flag is true DELETES its key (no-op for absent keys).
     * `changes` must carry the head's schema (plus the optional flag
-    * column) and exactly one row per key; keys must be non-null (null
-    * never equi-matches — a null-keyed "update" would silently insert).
+    * column); keys must be non-null (null never equi-matches — a
+    * null-keyed "update" would silently insert). A key on MULTIPLE
+    * change rows is allowed only when all its rows are non-delete
+    * (r15, ADVICE r14 — the SQL multi-insert shape: the key's stored
+    * rows are replaced by ALL its changeset rows); a multi-row key
+    * carrying a delete flag refuses loudly.
     *
     * COPY-ON-WRITE with DIRECTORY PRUNING — the scale story: only
     * directories that MIGHT contain a merge key are rewritten; every
@@ -1768,29 +1789,56 @@ object CommitLog {
   def merge(spark: SparkSession, root: String, writer: String, keyCol: String,
       changes: DataFrame, deleteCol: Option[String] = None,
       statsCol: Option[String] = None, maxAttempts: Int = 20,
-      maxProbeKeys: Int = 10000): Commit = {
+      maxProbeKeys: Int = 10000): Commit =
+    mergeOn(spark, root, writer, Seq(keyCol), changes, deleteCol, statsCol,
+      maxAttempts, maxProbeKeys)
+
+  /** [[merge]] keyed by a column LIST (r15 — VERDICT r14 #2, the
+    * (id, date)-style compound key real tables merge on): a change row's
+    * key is the TUPLE of `keyCols` values. Everything in [[merge]]'s
+    * contract holds per tuple, and the pruning evidence COMPOSES: a
+    * directory is rewritten only when, for EVERY key column with
+    * recorded evidence (its bloom sidecar, its per-column [min, max]
+    * stats), that column's changeset values might be present — one
+    * provably-absent component prunes the dir, so multi-column keys
+    * prune at least as well as their strongest single column.
+    *
+    * Key-tuple cardinality (r15, ADVICE r14): a tuple appearing on
+    * MULTIPLE change rows is allowed only when every one of its rows is
+    * a non-delete — the key's stored rows (if any) are replaced by ALL
+    * its changeset rows, which is SQL MERGE's multi-insert semantics
+    * (several NOT MATCHED source rows for one key each insert). A
+    * multi-row tuple carrying a delete flag is ambiguous (delete, or
+    * replace, or both?) and refuses loudly. */
+  def mergeOn(spark: SparkSession, root: String, writer: String,
+      keyCols: Seq[String], changes: DataFrame,
+      deleteCol: Option[String] = None, statsCol: Option[String] = None,
+      maxAttempts: Int = 20, maxProbeKeys: Int = 10000): Commit = {
     requireTag(writer, "writer")
     statsCol.foreach(sc => requireTag(sc, "statsCol"))
+    require(keyCols.nonEmpty, "mergeOn needs at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate key columns in ${keyCols.mkString("(", ", ", ")")}")
     deleteCol.foreach(dc => require(changes.columns.contains(dc),
       s"deleteCol '$dc' not in changes schema ${changes.schema.simpleString}"))
-    require(changes.columns.contains(keyCol),
-      s"keyCol '$keyCol' not in changes schema ${changes.schema.simpleString}")
+    keyCols.foreach(k => require(changes.columns.contains(k),
+      s"keyCol '$k' not in changes schema ${changes.schema.simpleString}"))
     // materialize the changeset ONCE (ADVICE r11): validation, pruning
     // metadata, each claim attempt's staged rewrite, and the CDF pre-image
     // join all re-evaluate the plan — a non-deterministic changeset
-    // (rand(), a re-read mutable source) could pass the one-row-per-key
+    // (rand(), a re-read mutable source) could pass the key-cardinality
     // validation yet stage DIFFERENT rows, silently corrupting the
     // committed state and its feed. localCheckpoint pins the rows; every
     // downstream evaluation reads the materialized blocks.
     val pinned = changes.localCheckpoint(true)
-    try mergePinned(spark, root, writer, keyCol, pinned, deleteCol, statsCol,
+    try mergePinned(spark, root, writer, keyCols, pinned, deleteCol, statsCol,
       maxAttempts, maxProbeKeys)
     finally pinned.unpersist()
   }
 
-  /** [[merge]] body over the checkpoint-pinned changeset. */
+  /** [[mergeOn]] body over the checkpoint-pinned changeset. */
   private def mergePinned(spark: SparkSession, root: String, writer: String,
-      keyCol: String, changes: DataFrame, deleteCol: Option[String],
+      keyCols: Seq[String], changes: DataFrame, deleteCol: Option[String],
       statsCol: Option[String], maxAttempts: Int,
       maxProbeKeys: Int): Commit = {
     init(spark, root)
@@ -1798,42 +1846,77 @@ object CommitLog {
     val delFlag = deleteCol.map(col).getOrElse(lit(false))
 
     // changeset invariants + pruning metadata, computed ONCE (the
-    // changeset is attempt-invariant): one row per non-null key, the key
-    // range for stats pruning (usable only when EVERY key casts to long —
-    // a partial cast would shrink the range and wrongly prune), and the
-    // collected keys for bloom probing when they fit the driver budget
-    val kc = col(keyCol)
+    // changeset is attempt-invariant): non-null key tuples with the
+    // cardinality rule below, each column's key range for stats pruning
+    // (usable only when EVERY value casts to long — a partial cast would
+    // shrink the range and wrongly prune), and the collected per-column
+    // keys for bloom probing when they fit the driver budget
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val flagNull = deleteCol.map(dc => col(dc).isNull).getOrElse(lit(false))
-    val kstats = changes.agg(
-      count(lit(1)), count(when(kc.isNull, 1)),
-      org.apache.spark.sql.functions.count_distinct(kc),
-      min(kc.cast("long")), max(kc.cast("long")),
-      count(when(kc.isNotNull && kc.cast("long").isNull, 1)),
-      count(when(flagNull, 1))).head()
+    val keyTuple = org.apache.spark.sql.functions.struct(keyCols.map(col): _*)
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n"),
+        count(when(anyKeyNull, 1)).as("nulls"),
+        org.apache.spark.sql.functions.count_distinct(keyTuple).as("keys"),
+        count(when(flagNull, 1)).as("flagnulls")) ++
+        keyCols.flatMap { k =>
+          // try_cast, not cast: a non-numeric key column (a composite
+          // key's string component) simply yields NO range evidence —
+          // under ANSI mode a plain cast would throw out of the merge
+          val kc = col(k)
+          Seq(min(kc.try_cast("long")).as(s"min_$k"),
+            max(kc.try_cast("long")).as(s"max_$k"),
+            count(when(kc.isNotNull && kc.try_cast("long").isNull, 1))
+              .as(s"uncast_$k"))
+        }
+    val kstats = changes.agg(aggCols.head, aggCols.tail: _*).head()
     val (nRows, nNullKeys, nKeys) =
       (kstats.getLong(0), kstats.getLong(1), kstats.getLong(2))
-    require(nNullKeys == 0, s"merge keys ('$keyCol') must be non-null")
+    require(nNullKeys == 0,
+      s"merge keys (${keyCols.mkString("'", "', '", "'")}) must be non-null")
     // a NULL flag would silently act as a delete (filter(!flag) drops the
     // row from the inserts while its key is still anti-joined away) —
     // reject it at the edge like null keys
-    require(kstats.getLong(6) == 0,
+    require(kstats.getLong(3) == 0,
       s"merge delete flags ('${deleteCol.getOrElse("")}') must be non-null")
-    require(nRows == nKeys,
-      s"merge changes must hold one row per '$keyCol': $nRows rows over " +
-        s"$nKeys distinct keys — pre-aggregate the changeset (q_upsert_latest)")
+    // key-tuple cardinality (r15, ADVICE r14): multi-row tuples are the
+    // SQL multi-insert shape and must be all-non-delete; a tuple mixing
+    // a delete flag with any other row (or duplicated deletes) is
+    // ambiguous and refuses. Checked only when duplicates exist at all
+    // — the common one-row-per-key changeset pays one agg, no group pass.
+    if (nRows != nKeys) {
+      val delInt = delFlag.cast("int")
+      val bad = changes.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"), max(delInt).as("__d"))
+        .filter(col("__n") > 1 && col("__d") === 1)
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"merge changes hold multiple rows for key " +
+          s"${keyCols.zipWithIndex.map { case (k, i) => s"$k=${bad.head.get(i)}" }
+            .mkString("(", ", ", ")")} including a delete flag — a " +
+          "multi-row key must be all-insert (the SQL multi-insert shape); " +
+          "pre-aggregate the changeset otherwise (q_upsert_latest)")
+    }
     // an empty changeset changes nothing: answer from the log, never
     // rewrite (with no pruning evidence every dir would count as
     // affected and a 0-key merge would rewrite the whole table)
     if (nRows == 0)
       return latest(spark, root).getOrElse(throw new IllegalStateException(
         "merge of an empty changeset into an empty table — nothing to commit"))
-    val keysRange: Option[(Long, Long)] =
-      if (kstats.getLong(5) == 0 && !kstats.isNullAt(3))
-        Some((kstats.getLong(3), kstats.getLong(4)))
+    val keysRange: Map[String, (Long, Long)] = keyCols.flatMap { k =>
+      if (kstats.getLong(kstats.fieldIndex(s"uncast_$k")) == 0 &&
+          !kstats.isNullAt(kstats.fieldIndex(s"min_$k")))
+        Some(k -> (kstats.getLong(kstats.fieldIndex(s"min_$k")),
+          kstats.getLong(kstats.fieldIndex(s"max_$k"))))
       else None
-    val probeKeys: Option[Array[Any]] =
+    }.toMap
+    // per-column distinct values for bloom probing: each column's
+    // distinct count is bounded by the tuple count (every value appears
+    // in some tuple), so the nKeys budget bounds every collect here
+    val probeKeys: Option[Map[String, Array[Any]]] =
       if (nKeys <= maxProbeKeys)
-        Some(changes.select(kc).distinct().collect().map(_.get(0)))
+        Some(keyCols.map(k =>
+          k -> changes.select(col(k)).distinct().collect().map(_.get(0))).toMap)
       else None
     val hasInserts = changes.filter(!delFlag).limit(1).count() > 0
 
@@ -1853,8 +1936,8 @@ object CommitLog {
           (Nil, payload, statsCol.toSeq, None)
         case Some(head) =>
           val headSchema = load(spark, root, head).schema
-          require(headSchema.fieldNames.contains(keyCol),
-            s"keyCol '$keyCol' not in head schema ${headSchema.simpleString}")
+          keyCols.foreach(k => require(headSchema.fieldNames.contains(k),
+            s"keyCol '$k' not in head schema ${headSchema.simpleString}"))
           val payloadFields = changes.schema.filterNot(sf =>
             deleteCol.contains(sf.name))
           val same = headSchema.length == payloadFields.length &&
@@ -1877,22 +1960,27 @@ object CommitLog {
           // any staging (r14); stored rows the merge keeps satisfy by
           // induction (they passed when written), deletes land nothing
           enforceConstraints(inserts, head.constraints)
-          val bloomUsable = bloomColumn(spark, root).contains(keyCol) &&
-            probeKeys.isDefined
-          val statsUsable = head.statsCols.contains(keyCol)
-          def mightContain(d: String): Boolean = {
+          // COMPOSED evidence (r15): a dir might contain a matching row
+          // only if EVERY key column's evidence allows it — one column
+          // provably absent prunes the dir (a tuple match needs all
+          // components present). Bloom evidence exists for at most one
+          // column (the table's `_bloom/_column` marker); stats per
+          // recorded column.
+          val bloomCol = bloomColumn(spark, root).filter(keyCols.contains)
+          def mightContain(d: String): Boolean = keyCols.forall { k =>
             // missing/swept/corrupt sidecar ⇒ no bloom evidence for this
             // dir (fall through to stats/rewrite), never an exception out
             // of merge (ADVICE r11; readSidecar owns the degrade)
             val byBloom: Option[Boolean] =
-              if (!bloomUsable) None
+              if (!bloomCol.contains(k) || probeKeys.isEmpty) None
               else readSidecar(spark, root, d).flatMap(bf =>
-                scala.util.Try(probeKeys.get.exists(bf.mightContain)).toOption)
+                scala.util.Try(
+                  probeKeys.get.apply(k).exists(bf.mightContain)).toOption)
             byBloom.getOrElse {
-              !statsUsable ||
-                head.stats.get(d).flatMap(_.get(keyCol)).forall {
-                  case (lo, hi) => keysRange.forall { case (kLo, kHi) =>
-                    hi >= kLo && lo <= kHi }
+              !head.statsCols.contains(k) ||
+                head.stats.get(d).flatMap(_.get(k)).forall {
+                  case (lo, hi) => keysRange.get(k).forall {
+                    case (kLo, kHi) => hi >= kLo && lo <= kHi }
                 }
             }
           }
@@ -1906,9 +1994,9 @@ object CommitLog {
             (head.dataDirs, inserts, eff, None)
           } else {
             val old = readDirs(spark, root, head.schemaDDL, affected)
-            val keys = changes.select(kc).distinct()
+            val keys = changes.select(keyCols.map(col): _*).distinct()
             val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
-            val rebuilt = old.join(keyed, Seq(keyCol), "left_anti")
+            val rebuilt = old.join(keyed, keyCols, "left_anti")
               .select(headSchema.fieldNames.map(col): _*)
               .union(inserts)
             // CDF record, algebraically complete (the Delta change-type
@@ -1927,20 +2015,24 @@ object CommitLog {
             // via localCheckpoint and every derived frame — typed
             // pre-images, the present-key set, the insert/update split —
             // reads the tiny checkpoint instead of re-scanning the dirs
-            val keyFlags = changes.select(kc, delFlag.as("__del"))
+            // distinct: a multi-insert key holds several changeset rows
+            // with the same (keys, false) flag — the pre-image join must
+            // see each stored row ONCE, not once per insert copy
+            val keyFlags = changes
+              .select(keyCols.map(col) :+ delFlag.as("__del"): _*).distinct()
             val preT = old
               .join(broadcastIf(probeKeys.isDefined, keyFlags),
-                Seq(keyCol), "inner")
+                keyCols, "inner")
               .select(headCols :+ col("__del"): _*)
               .localCheckpoint(true)
             val preTyped = preT.select(headCols :+
               when(col("__del"), lit("delete"))
                 .otherwise(lit("update_preimage")).as("_change_type"): _*)
-            val preKeys = preT.select(kc).distinct()
+            val preKeys = preT.select(keyCols.map(col): _*).distinct()
               .withColumn("__present", lit(true))
             val post = inserts
               .join(broadcastIf(probeKeys.isDefined, preKeys),
-                Seq(keyCol), "left")
+                keyCols, "left")
               .withColumn("_change_type",
                 when(col("__present"), lit("update_postimage"))
                   .otherwise(lit("insert")))
@@ -1970,8 +2062,8 @@ object CommitLog {
       // their predecessors' output (SCALE.md measured the escalation).
       // Appends stay lean by contrast (cadence-bloomed): an append is
       // the hot path and must cost O(delta) writes only.
-      if (bloomColumn(spark, root).contains(keyCol))
-        buildSidecar(spark, root, newDir, keyCol, fpp = 0.001)
+      bloomColumn(spark, root).filter(keyCols.contains).foreach(k =>
+        buildSidecar(spark, root, newDir, k, fpp = 0.001))
       val newByCol = dirStats(spark, s"$root/$newDir", effStatsCols)
       val newStats =
         if (newByCol.nonEmpty) Map(newDir -> newByCol)
@@ -2313,10 +2405,13 @@ object CommitLog {
     * wall-clock (the [[commitAtTimestamp]] clock — a skewed-low stamp
     * cannot age a commit out early). Retention stays a SUFFIX of the
     * log (the invariant every incremental consumer relies on): the
-    * sweep keeps everything from the oldest protected commit on, so a
-    * commit missing its timestamp (pre-timestamp history — unprovably
-    * old, never time-dropped) also shields everything after it; such
-    * histories age out by count, not time. The txn-watermark contract
+    * sweep keeps everything from the oldest protected commit on. A
+    * commit missing its timestamp is provably old only when a LATER
+    * stamped commit's monotonized time is below the cutoff (commit
+    * order bounds it from above — ADVICE r14); an unproven one stays
+    * protected and shields everything after it, EXCEPT that a history
+    * with no timestamps at all carries no time evidence either way and
+    * ages out by count alone. The txn-watermark contract
     * is now expressible in time: set `retainMs` above the longest
     * writer restart window and an idempotent writer's newest watermark
     * commit survives every scheduled sweep regardless of commit rate. */
@@ -2330,15 +2425,34 @@ object CommitLog {
     val countProtectedFrom =
       committed.drop(math.max(0, committed.size - keep))
         .headOption.map(_.version)
+    // Time protection drops a commit only when it is PROVABLY older than
+    // the cutoff under the monotonized clock. A commit missing its stamp
+    // has no upper bound of its own, but any LATER stamped commit whose
+    // monotonized time is below the cutoff proves everything at-or-before
+    // it old (commit order bounds it from above) — so a pre-timestamp
+    // commit followed by old stamped commits ages out with them instead
+    // of freezing vacuum at itself (ADVICE r14: the old anchor-at-self
+    // rule made retainMs a permanent no-op over any history with one
+    // early unstamped commit). A history with NO stamps at all carries
+    // no time evidence either way: time protection is inexpressible, so
+    // it falls back to count-only (the scaladoc contract).
     val timeProtectedFrom = retainMs.flatMap { r =>
       val cutoff = System.currentTimeMillis() - r
       var eff = Long.MinValue
-      committed.find { c =>
-        c.tsMs match {
-          case Some(t) => eff = math.max(eff, t); eff >= cutoff
-          case None => true // unprovably old: protected, and a suffix anchor
+      var lastProvablyOld: Option[Long] = None
+      committed.foreach { c =>
+        c.tsMs.foreach { t =>
+          eff = math.max(eff, t)
+          if (eff < cutoff) lastProvablyOld = Some(c.version)
         }
-      }.map(_.version)
+      }
+      lastProvablyOld match {
+        case Some(v) => committed.find(_.version > v).map(_.version)
+        case None =>
+          if (committed.exists(_.tsMs.nonEmpty))
+            committed.headOption.map(_.version) // all within window: keep all
+          else None // pre-timestamp history: age out by count alone
+      }
     }
     val protectFrom: Long = (countProtectedFrom.toSeq ++ timeProtectedFrom)
       .reduceOption((a: Long, b: Long) => math.min(a, b))

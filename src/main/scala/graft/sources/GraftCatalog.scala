@@ -159,6 +159,17 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val provider = Option(info.properties.get(TableCatalog.PROP_PROVIDER))
       .getOrElse(IndexProvider)
+    // sound-or-refuse (VERDICT r14 #3): none of the graft providers lay
+    // data out by Spark partition transforms — commitlog clusters via
+    // dir-granularity stats + sorted/ZORDER compaction, index/ivf by
+    // their own bucket/cell layouts — so accepting PARTITIONED BY and
+    // silently ignoring it would misdescribe the committed layout
+    if (info.partitions != null && info.partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$provider tables do not support PARTITIONED BY (got " +
+          s"${info.partitions.mkString(", ")}) — graft.commitlog clusters " +
+          "via statsCols + compact(sortCols/zorderCols); index/ivf own " +
+          "their bucket/cell layouts")
     // commit-log tables carry whatever schema their commits hold — the
     // catalog only names an existing root (reads resolve the head's
     // schema at load); index/ivf schemas stay fixed-by-contract
@@ -215,10 +226,22 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         s"constraints are a graft.commitlog capability, not $provider")
       val spark = org.apache.spark.sql.SparkSession.active
       materializeIfEmpty(spark, location, info.schema)
-      declaredChecks.foreach { case (n, e) =>
-        CommitLog.addConstraint(spark, location, "catalog", n, e) }
-    }
-    writeMeta(ident, provider, location, declared)
+      // ONE metadata commit records the whole declared list (ADVICE r14):
+      // a constraint the LOCATION's existing data violates, or a bad
+      // name, fails before ANY enforcement lands — no partially-
+      // constrained external table, and the corrected retry starts clean
+      CommitLog.addConstraints(spark, location, "catalog", declaredChecks)
+      try writeMeta(ident, provider, location, declared)
+      catch { case t: Throwable =>
+        // descriptor write failed AFTER enforcement committed: roll the
+        // constraint commit back so the failed CREATE leaves the
+        // pre-existing external table's enforcement untouched
+        try declaredChecks.foreach { case (n, _) =>
+          CommitLog.dropConstraint(spark, location, "catalog", n) }
+        catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+      }
+    } else writeMeta(ident, provider, location, declared)
     loadTable(ident)
   }
 

@@ -265,10 +265,16 @@ object StreamOps {
     * it): when `current` is absent, fall back to the newest `old-<batch>`
     * generation (the pre-batch state left by a crash in the
     * retire-to-promote window — the engine re-delivers that batch, which
-    * folds in again), else the newest `next-<batch>` (a first-batch crash
-    * before promote: the staged fold is complete on disk, and both
-    * snapshot folds — dedup-by-latest and seq-wins — are idempotent under
-    * the batch's re-delivery). Only a never-started snapshot reads None. */
+    * folds in again), else the newest COMPLETE `next-<batch>` (a
+    * first-batch crash before promote: the staged fold is on disk, and
+    * both snapshot folds — dedup-by-latest and seq-wins — are idempotent
+    * under the batch's re-delivery). "Complete" means the write
+    * committed its `_SUCCESS` marker (ADVICE r14): a crash MID-write of
+    * the first batch's staging leaves a torn parquet directory that
+    * would otherwise crash-loop recovery; without the marker the torn
+    * generation is ignored and the re-delivered batch rebuilds from
+    * empty via overwrite, the pre-r14 behavior for exactly this window.
+    * Only a never-started snapshot reads None. */
   private def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val cur = new org.apache.hadoop.fs.Path(dir, "current")
@@ -282,7 +288,10 @@ object StreamOps {
         .flatMap(n => scala.util.Try(
           n.stripPrefix(prefix).toLong -> n).toOption)
         .sortBy(_._1).lastOption.map(_._2)
-    newest("old-").orElse(newest("next-"))
+    newest("old-")
+      .orElse(newest("next-").filter(gen => f.exists(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dir, gen), "_SUCCESS"))))
       .map(gen => spark.read.parquet(
         new org.apache.hadoop.fs.Path(dir, gen).toString))
   }

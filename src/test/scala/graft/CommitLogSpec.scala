@@ -1883,24 +1883,52 @@ class CommitLogSpec extends SparkSpec {
       retainMs = Some(0L)) == 1)
     assert(CommitLog.latest(spark, root).get.version == 3L)
     assert(CommitLog.readLatest(spark, root).get.count() == 2L)
-    // SUFFIX invariant under missing timestamps: a pre-timestamp commit
-    // is unprovably old — it is never time-dropped and shields every
-    // later commit from the age sweep (count-based still applies)
-    val root2 = freshRoot()
-    CommitLog.commit(spark, root2, "w", "create") { _ =>
-      Seq((1L, "a")).toDF("id", "v") }
-    val c1 = CommitLog.commitAt(spark, root2, 1L).get
-    // forge v1 WITHOUT a ts field (the pre-r13 commit shape)
-    Files.write(java.nio.file.Paths.get(root2, "_commits",
-      "v" + "%020d".format(1L) + ".json"),
-      (s"""{"version":1,"dataDirs":["${c1.dataDirs.head}"],""" +
-        """"writer":"old","action":"create"}""").getBytes("UTF-8"))
-    CommitLog.commitAppend(spark, root2, "w", "append")(
-      Seq((2L, "b")).toDF("id", "v"))
+    // MISSING timestamps (ADVICE r14): an unprovably-old commit anchors
+    // the suffix — but a LATER stamped commit below the cutoff PROVES it
+    // older (commit order bounds it from above), so a pre-timestamp
+    // history followed by old stamped commits ages out instead of
+    // freezing vacuum forever at the unstamped commit.
+    def forgeUnstamped(r: String, v: Long, dirs: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(r, "_commits",
+        "v" + "%020d".format(v) + ".json"),
+        (s"""{"version":$v,"dataDirs":[${dirs.map(d => s""""$d"""").mkString(",")}],""" +
+          """"writer":"old","action":"create"}""").getBytes("UTF-8"))
+    def seedUnstampedV1(r: String): Unit = {
+      CommitLog.commit(spark, r, "w", "create") { _ =>
+        Seq((1L, "a")).toDF("id", "v") }
+      forgeUnstamped(r, 1L, CommitLog.commitAt(spark, r, 1L).get.dataDirs)
+      CommitLog.commitAppend(spark, r, "w", "append")(
+        Seq((2L, "b")).toDF("id", "v"))
+    }
+    // (a) the later stamped commit is INSIDE the window: nothing proves
+    // the unstamped v1 old — it anchors the suffix, count floor included
+    val root2 = freshRoot(); seedUnstampedV1(root2)
     assert(CommitLog.vacuum(spark, root2, keep = 1, graceMs = 0L,
-      retainMs = Some(0L)) == 0,
-      "an untimestamped commit must anchor the retained suffix")
+      retainMs = Some(24L * 3600 * 1000)) == 0,
+      "an unproven untimestamped commit must anchor the retained suffix")
     assert(CommitLog.readVersion(spark, root2, 1L).isDefined)
+    // (b) cutoff = now: v2's stamp is below it, proving v1 older too —
+    // v1 drops (the ADVICE r14 fix; the old anchor-at-self rule froze
+    // vacuum permanently here), v2 held by the count floor
+    assert(CommitLog.vacuum(spark, root2, keep = 1, graceMs = 0L,
+      retainMs = Some(0L)) == 1,
+      "a later stamped commit below the cutoff proves the unstamped " +
+        "commit older — it must age out")
+    assert(CommitLog.commitAt(spark, root2, 1L).isEmpty &&
+      CommitLog.latest(spark, root2).get.version == 2L)
+    // (c) a history with NO timestamps at all carries no time evidence
+    // either way: time protection is inexpressible and it ages out by
+    // count alone (the scaladoc contract)
+    val root3 = freshRoot()
+    CommitLog.commit(spark, root3, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    CommitLog.commit(spark, root3, "w", "adjust") { cur =>
+      cur.get.withColumn("v", lit("A")) }
+    forgeUnstamped(root3, 1L, CommitLog.commitAt(spark, root3, 1L).get.dataDirs)
+    forgeUnstamped(root3, 2L, CommitLog.commitAt(spark, root3, 2L).get.dataDirs)
+    assert(CommitLog.vacuum(spark, root3, keep = 1, graceMs = 0L,
+      retainMs = Some(24L * 3600 * 1000)) == 1,
+      "a fully pre-timestamp history must age out by count alone")
   }
 
   test("CHECK constraints: every write route rejects before any commit; survive append/compact/restore; NULL passes") {
@@ -2160,23 +2188,32 @@ class CommitLogSpec extends SparkSpec {
         assert(e.getMessage.contains(needle),
           s"expected refusal containing '$needle', got: ${e.getMessage}")
       }
-      refused("MERGE INTO gclr.t t USING gclr_src s ON t.id = s.id " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
+      refused("MERGE INTO gclr.t t USING gclr_src s ON t.id > s.id " +
+        "WHEN MATCHED THEN DELETE", "one equality")
       refused("MERGE INTO gclr.t t USING gclr_src s " +
-        "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE",
+        "ON t.id = s.id OR t.v = s.v WHEN MATCHED THEN DELETE",
         "one equality")
       assert(CommitLog.latest(spark, rootS).get.version == vBefore,
         "refused statements must not have committed anything")
-      // MERGE cardinality: duplicate source keys fail the verb's
-      // one-row-per-key check, loudly
+      // MERGE cardinality (r15): duplicate source keys taking a matched
+      // UPDATE fail the statement's cardinality check, loudly — the
+      // verb's relaxed multi-insert rule no longer implies it
       Seq((1L, "dup1", 1.0), (1L, "dup2", 2.0)).toDF("id", "v", "p")
         .createOrReplaceTempView("gclr_dup")
       val card = intercept[Exception] {
         spark.sql("MERGE INTO gclr.t t USING gclr_dup s ON t.id = s.id " +
           "WHEN MATCHED THEN UPDATE SET *")
       }
-      assert(card.getMessage.contains("one row per"),
+      assert(card.getMessage.contains("cardinality"),
         s"duplicate merge keys must fail the cardinality check: ${card.getMessage}")
+      // duplicate source keys that are all NOT MATCHED inserts are the
+      // standard SQL multi-insert (r15, ADVICE r14): each row lands
+      spark.sql("MERGE INTO gclr.t t USING gclr_dup s ON t.id = s.id + 500 " +
+        "WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id + 500, s.v, s.p)")
+      val multi = spark.table("gclr.t").filter(col("id") === 501L).collect()
+      assert(multi.length == 2,
+        s"duplicate NOT MATCHED source rows must each insert: ${multi.toSeq}")
+      spark.sql("DELETE FROM gclr.t WHERE id = 501")
       // delete+insert combo with an UNMATCHED source key (code review
       // r14): the delete piece must carry matched keys only, or the
       // unmatched key appears both flagged and as an insert and the
@@ -2234,6 +2271,154 @@ class CommitLogSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gclr.t")
       spark.conf.unset("spark.sql.catalog.gclr")
       spark.conf.unset("spark.sql.catalog.gclr.dir")
+    }
+  }
+
+  test("r15 MERGE surface: NOT MATCHED BY SOURCE, composite ON keys, nested-field UPDATE SET, WITH SCHEMA EVOLUTION") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcln.dir", catRoot)
+    try {
+      // ---- NOT MATCHED BY SOURCE: delete + conditional update chain ----
+      val rootN = freshRoot() + "/n"
+      CommitLog.commit(spark, rootN, "w", "create", statsCol = Some("id")) { _ =>
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+          (10L, "x", 10.0), (11L, "y", 11.0)).toDF("id", "v", "p") }
+      spark.sql(s"CREATE TABLE gcln.t USING `graft.commitlog` LOCATION '$rootN'")
+      Seq((1L, "A", 9.0), (20L, "new", 20.0)).toDF("id", "v", "p")
+        .createOrReplaceTempView("gcln_src")
+      spark.sql("MERGE INTO gcln.t t USING gcln_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id >= 10 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v = 'b' THEN UPDATE SET p = t.p + 100.0")
+      // 1 matched→9.0; 20 inserted; 10,11 NMBS-deleted; 2 NMBS-updated
+      // (second clause — first didn't fire); 3 no clause fires → untouched
+      assert(rows(spark.table("gcln.t").orderBy("id")) == Seq(
+        Seq(1L, "A", 9.0), Seq(2L, "b", 102.0), Seq(3L, "c", 3.0),
+        Seq(20L, "new", 20.0)))
+      assert(CommitLog.latest(spark, rootN).get.action == "merge" &&
+        CommitLog.latest(spark, rootN).get.writer == "catalog")
+      // NMBS conditions may reference the TARGET only (the SQL rule)
+      val nmbsScope = intercept[Exception] {
+        spark.sql("MERGE INTO gcln.t t USING gcln_src s ON t.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE AND s.p > 0 THEN DELETE")
+      }
+      assert(nmbsScope.getMessage.contains("scope") ||
+        nmbsScope.getMessage.toLowerCase.contains("resolve"),
+        s"NMBS source reference must refuse: ${nmbsScope.getMessage}")
+
+      // ---- composite ON keys: tuple-keyed changeset + dir carry ----
+      val rootC = freshRoot() + "/c"
+      CommitLog.commit(spark, rootC, "w", "create", statsCol = Some("k1")) { _ =>
+        Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))
+          .toDF("k1", "k2", "total") }
+      CommitLog.commitAppend(spark, rootC, "w", "append", statsCol = Some("k1"))(
+        Seq((100L, "x", 100.0)).toDF("k1", "k2", "total"))
+      spark.sql(s"CREATE TABLE gcln.c USING `graft.commitlog` LOCATION '$rootC'")
+      Seq((1L, "x", 11.0), (3L, "z", 30.0)).toDF("k1", "k2", "total")
+        .createOrReplaceTempView("gcln_csrc")
+      spark.sql("MERGE INTO gcln.c t USING gcln_csrc s " +
+        "ON t.k1 = s.k1 AND t.k2 = s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      // (1,x) updated; (1,y) and (2,x) untouched (tuple key, not k1
+      // alone — a single-column key would have clobbered (1,y))
+      assert(rows(spark.table("gcln.c").orderBy("k1", "k2")) == Seq(
+        Seq(1L, "x", 11.0), Seq(1L, "y", 2.0), Seq(2L, "x", 3.0),
+        Seq(3L, "z", 30.0), Seq(100L, "x", 100.0)))
+      // the k1=100 dir carried untouched: per-column stats evidence on
+      // k1 proves it disjoint from the changeset's k1 range — one
+      // provably-absent component prunes the dir (composed evidence)
+      val cHead = CommitLog.latest(spark, rootC).get
+      val seedHigh = CommitLog.commitAt(spark, rootC, 2L).get.dataDirs.last
+      assert(cHead.dataDirs.contains(seedHigh),
+        s"composite merge must carry the evidence-excluded dir: ${cHead.dataDirs}")
+      // tuple-duplicate changeset rows carrying a delete flag refuse
+      val badDel = intercept[Exception] {
+        CommitLog.mergeOn(spark, rootC, "w", Seq("k1", "k2"),
+          Seq((1L, "x", 0.0, true), (1L, "x", 1.0, false))
+            .toDF("k1", "k2", "total", "del"), deleteCol = Some("del"))
+      }
+      assert(badDel.getMessage.contains("all-insert"), badDel.getMessage)
+      // reassigning ANY ON key column refuses (per-column check)
+      val reassign = intercept[Exception] {
+        spark.sql("MERGE INTO gcln.c t USING gcln_csrc s " +
+          "ON t.k1 = s.k1 AND t.k2 = s.k2 " +
+          "WHEN MATCHED THEN UPDATE SET k2 = 'w', total = s.total")
+      }
+      assert(reassign.getMessage.contains("reassign the ON key"),
+        reassign.getMessage)
+
+      // ---- nested-field UPDATE SET (withField compilation) ----
+      val rootS2 = freshRoot() + "/s"
+      val base = Seq((1L, "open", 10.0), (2L, "closed", 20.0),
+        (3L, "open", 30.0)).toDF("id", "st", "pr")
+        .select(col("id"),
+          struct(col("st").as("status"), col("pr").as("price")).as("info"))
+      val withNull = base.union(
+        Seq(4L).toDF("id").select(col("id"),
+          lit(null).cast("struct<status:string,price:double>").as("info")))
+      CommitLog.commit(spark, rootS2, "w", "create") { _ => withNull }
+      spark.sql(s"CREATE TABLE gcln.s USING `graft.commitlog` LOCATION '$rootS2'")
+      spark.sql("UPDATE gcln.s SET info.price = info.price * 2.0 " +
+        "WHERE id != 2")
+      val got = spark.table("gcln.s").orderBy("id").collect().map { r =>
+        val info = r.getStruct(1)
+        (r.getLong(0), Option(info).map(i =>
+          (i.getString(0), i.getDouble(1))))
+      }.toSeq
+      // sibling field `status` carried; id=2 (predicate false) untouched;
+      // id=4's NULL struct stays NULL (the withField rule — documented)
+      assert(got == Seq(
+        (1L, Some(("open", 20.0))), (2L, Some(("closed", 20.0))),
+        (3L, Some(("open", 60.0))), (4L, None)), got.toString)
+      // overlapping assignment targets are order-ambiguous — refused
+      val overlap = intercept[Exception] {
+        spark.sql("UPDATE gcln.s SET info = named_struct('status', 'x', " +
+          "'price', 0.0), info.price = 1.0")
+      }
+      assert(overlap.getMessage.contains("order-ambiguous") ||
+        overlap.getMessage.toLowerCase.contains("conflict"),
+        overlap.getMessage)
+
+      // ---- MERGE WITH SCHEMA EVOLUTION: evolve + merge, two commits ----
+      val rootE = freshRoot() + "/e"
+      CommitLog.commit(spark, rootE, "w", "create") { _ =>
+        Seq((1L, 1.0), (2L, 2.0)).toDF("id", "p") }
+      spark.sql(s"CREATE TABLE gcln.e USING `graft.commitlog` LOCATION '$rootE'")
+      Seq((1L, 9.0, "n1"), (5L, 50.0, "n5")).toDF("id", "p", "note")
+        .createOrReplaceTempView("gcln_esrc")
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gcln.e t " +
+        "USING gcln_esrc s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      // the analyzer's evolution rides GraftCatalog.alterTable →
+      // evolveSchema: ONE audited metadata-only commit, then the merge
+      val hist = CommitLog.history(spark, rootE).orderBy("version")
+        .collect().map(r => r.getString(3)).toSeq
+      assert(hist == Seq("create", "evolve", "merge"), hist.toString)
+      // old-dir rows read the evolved column as typed NULL; matched and
+      // inserted rows carry it
+      val eGot = spark.table("gcln.e").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)))).toSeq
+      assert(eGot == Seq((1L, 9.0, Some("n1")), (2L, 2.0, None),
+        (5L, 50.0, Some("n5"))), eGot.toString)
+      // the evolve commit is rowInvisible: incremental consumers ride
+      // through it (appendedSince from v1 must not throw on v2)
+      assert(CommitLog.history(spark, rootE)
+        .filter(col("action") === "evolve")
+        .select("row_invisible").head().getBoolean(0),
+        "the evolution commit must be metadata-only (rowInvisible)")
+      spark.sql("DROP TABLE gcln.t")
+      spark.sql("DROP TABLE gcln.c")
+      spark.sql("DROP TABLE gcln.s")
+      spark.sql("DROP TABLE gcln.e")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcln.t")
+      spark.conf.unset("spark.sql.catalog.gcln")
+      spark.conf.unset("spark.sql.catalog.gcln.dir")
     }
   }
 

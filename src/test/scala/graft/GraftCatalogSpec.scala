@@ -211,6 +211,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.dropTable(ident))
   }
 
+  test("r15 CREATE surface: commitlog CTAS, PARTITIONED BY refusal, one-commit constraint declaration") {
+    import spark.implicits._
+    ensureCatalog()
+    // ---- CTAS (VERDICT r14 #3b): CREATE TABLE … USING graft.commitlog
+    // AS SELECT routes through createTable + the V1-write append — the
+    // non-staging V2 path (create, then write; Spark drops the table on
+    // a failed write). The result must read back through BOTH faces.
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "p")
+      .createOrReplaceTempView("gcat_ctas_src")
+    spark.sql("CREATE TABLE graft.ctas_t USING `graft.commitlog` " +
+      "AS SELECT * FROM gcat_ctas_src")
+    try {
+      assert(rows(spark.table("graft.ctas_t").orderBy("id")) ==
+        Seq(Seq(1L, "a", 1.0), Seq(2L, "b", 2.0)),
+        "CTAS must land the SELECT through the commit protocol")
+      // the write went THROUGH the log: one auditable creating commit,
+      // never a raw parquet write (a managed table's location is its
+      // catalog directory)
+      val loc = s"$root/ctas_t"
+      val hist = graft.sources.CommitLog.history(spark, loc)
+        .orderBy("version").collect().map(r => r.getString(3)).toSeq
+      assert(hist.nonEmpty && hist.head == "create",
+        s"CTAS must commit through the protocol (got history $hist)")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.ctas_t")
+    // ---- PARTITIONED BY refuses loudly (VERDICT r14 #3a): none of the
+    // graft providers lay data out by Spark partition transforms
+    val part = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.part_t (id BIGINT, day STRING) " +
+        "USING `graft.commitlog` PARTITIONED BY (day)")
+    }
+    assert(part.getMessage.contains("PARTITIONED BY"), part.getMessage)
+    assert(!spark.catalog.tableExists("graft.part_t"),
+      "a refused CREATE must not leave a descriptor")
+    // ---- multi-constraint CREATE is ONE metadata commit (ADVICE r14):
+    // a later constraint the LOCATION's data violates must leave a
+    // pre-existing external table's enforcement UNTOUCHED, and the
+    // corrected retry must start clean (no 'already exists')
+    val extRoot = java.nio.file.Files.createTempDirectory("graft-cat-ext").toString
+    graft.sources.CommitLog.commit(spark, extRoot, "w", "create") { _ =>
+      Seq((1L, 5.0), (2L, -3.0)).toDF("id", "q") }
+    val bad = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cons_t (id BIGINT, q DOUBLE, " +
+        "CONSTRAINT id_pos CHECK (id > 0), CONSTRAINT q_pos CHECK (q > 0)) " +
+        s"USING `graft.commitlog` LOCATION '$extRoot'")
+    }
+    assert(bad.getMessage.contains("q_pos"), bad.getMessage)
+    assert(!spark.catalog.tableExists("graft.cons_t"),
+      "the failed CREATE must not leave a descriptor")
+    assert(graft.sources.CommitLog.latest(spark, extRoot).get.constraints.isEmpty,
+      "the failed CREATE must not leave ANY constraint on the external " +
+        "table — id_pos was declared before the violated q_pos (ADVICE r14)")
+    // corrected retry: drops the violated constraint, keeps the valid one
+    spark.sql("CREATE TABLE graft.cons_t (id BIGINT, q DOUBLE, " +
+      "CONSTRAINT id_pos CHECK (id > 0)) " +
+      s"USING `graft.commitlog` LOCATION '$extRoot'")
+    try {
+      val cs = graft.sources.CommitLog.latest(spark, extRoot).get.constraints
+      assert(cs.map(_._1) == Seq("id_pos"), cs.toString)
+      // both declared constraints land in ONE commit when valid
+      val extRoot2 = java.nio.file.Files.createTempDirectory("graft-cat-ex2").toString
+      graft.sources.CommitLog.commit(spark, extRoot2, "w", "create") { _ =>
+        Seq((1L, 5.0)).toDF("id", "q") }
+      val vBefore = graft.sources.CommitLog.latest(spark, extRoot2).get.version
+      spark.sql("CREATE TABLE graft.cons2_t (id BIGINT, q DOUBLE, " +
+        "CONSTRAINT id_pos CHECK (id > 0), CONSTRAINT q_pos CHECK (q > 0)) " +
+        s"USING `graft.commitlog` LOCATION '$extRoot2'")
+      try {
+        val head2 = graft.sources.CommitLog.latest(spark, extRoot2).get
+        assert(head2.version == vBefore + 1,
+          s"two declared constraints must land in ONE commit " +
+            s"(v$vBefore -> v${head2.version})")
+        assert(head2.constraints.map(_._1).toSet == Set("id_pos", "q_pos"))
+      } finally spark.sql("DROP TABLE IF EXISTS graft.cons2_t")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.cons_t")
+  }
+
   test("catalog inventory: list, rename, recreate after drop") {
     ensureCatalog()
     val idxDir = java.nio.file.Files.createTempDirectory("graft-cat-ls").toString

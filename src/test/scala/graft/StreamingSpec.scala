@@ -365,6 +365,44 @@ class StreamingSpec extends SparkSpec {
         "exist only in the pre-crash snapshot")
   }
 
+  test("snapshot recovery trusts next-<batch> only with its _SUCCESS marker: a torn first-batch staging is ignored, a complete one adopted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def asLog(rows: Seq[(Long, Double, Long, String)]) = {
+      val ms = MemoryStream[(Long, Double, Long, String)]
+      ms.addData(rows: _*)
+      ms.toDF().toDF("k", "v", "seq", "op")
+    }
+    // ADVICE r14: a crash MID-write of the first batch's next-0 leaves a
+    // torn parquet directory with no _SUCCESS; recovery adopting it as
+    // the authoritative snapshot would crash-loop the query on the torn
+    // footer. It must be ignored — the re-delivered batch rebuilds from
+    // empty via overwrite.
+    val snap = Files.createTempDirectory("graft-cdc-torn").toString
+    val tornDir = java.nio.file.Paths.get(snap, "next-0")
+    java.nio.file.Files.createDirectories(tornDir)
+    java.nio.file.Files.write(tornDir.resolve("part-00000.parquet"),
+      Array[Byte](80, 65, 82, 49, 1, 2, 3)) // "PAR1" + garbage, no footer
+    StreamOps.runCdcSnapshot(asLog(Seq((5L, 50.0, 1L, "U"))), "k", snap)
+    val live1 = graft.operators.DataModel.cdcLiveView(
+      spark.read.parquet(s"$snap/current"))
+    assert(rows(live1) == Seq(Seq(5L, 50.0)),
+      "a torn (markerless) staging must be ignored, not adopted")
+    // a COMPLETE pre-promote staging (crash AFTER the parquet job
+    // committed — _SUCCESS present — but before the rename) IS adopted
+    val f = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$snap/current/_SUCCESS")),
+      "fixture expects the parquet committer's _SUCCESS marker")
+    assert(f.rename(new org.apache.hadoop.fs.Path(snap, "current"),
+      new org.apache.hadoop.fs.Path(snap, "next-9")))
+    StreamOps.runCdcSnapshot(asLog(Seq((6L, 60.0, 1L, "U"))), "k", snap)
+    val live2 = graft.operators.DataModel.cdcLiveView(
+      spark.read.parquet(s"$snap/current")).orderBy("k")
+    assert(rows(live2) == Seq(Seq(5L, 50.0), Seq(6L, 60.0)),
+      "a complete (marker-bearing) staging must be adopted on recovery")
+  }
+
   test("streaming ingestion maintains the inverted index via per-batch appends") {
     // The index-as-maintained-artifact story end-to-end: a document stream
     // builds the index on its first micro-batch and APPENDS segments on
