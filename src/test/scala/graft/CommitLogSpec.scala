@@ -578,11 +578,22 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) == Seq(
       Seq(1L, "a", 10.0), Seq(2L, "B", 99.0), Seq(4L, "d", 40.0),
       Seq(5L, "e", 50.0)))
-    // guards: two rows per key, null keys, schema drift — each rejected
-    // before any staging write
+    // multi-row keys (r15, ADVICE r14): all-insert duplicates are the
+    // SQL multi-insert shape — the key's stored rows are replaced by ALL
+    // its changeset rows (here: key 1 stored once, lands twice)
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"))
+    assert(rows(CommitLog.readLatest(spark, root).get
+      .filter(col("id") === 1L).orderBy("tag")) ==
+      Seq(Seq(1L, "q", 1.0), Seq(1L, "r", 2.0)),
+      "an all-insert multi-row key must replace the stored rows with ALL " +
+        "its changeset rows")
+    // guards: a multi-row key carrying a delete flag, null keys, schema
+    // drift — each rejected before any staging write
     intercept[IllegalArgumentException] {
       CommitLog.merge(spark, root, "m", "id",
-        Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"))
+        Seq((1L, "q", 1.0, true), (1L, "r", 2.0, false))
+          .toDF("id", "tag", "v", "del"), deleteCol = Some("del"))
     }
     intercept[IllegalArgumentException] {
       CommitLog.merge(spark, root, "m", "id",
