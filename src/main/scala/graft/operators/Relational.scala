@@ -624,7 +624,10 @@ object Relational {
       val table = s"$root/table"
       val base = Tables.orders(s, d)
         .filter(col("o_orderkey") % 100 === 40)
-        .groupBy(col("o_orderstatus"), (col("o_orderkey") % 5).as("bucket"))
+        // % 7, NOT % 5: keys ≡ 40 (mod 100) are all ≡ 0 (mod 5), which
+        // would collapse the bucket to a constant and the composite key
+        // to status alone (code review r15 — the r14-close parity trap)
+        .groupBy(col("o_orderstatus"), (col("o_orderkey") % 7).as("bucket"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
@@ -1637,7 +1640,7 @@ object Relational {
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM merged GROUP BY 1 ORDER BY 1"),
     "q_commit_log_merge_multi" ->
-      ("WITH base AS (SELECT o_orderstatus, o_orderkey % 5 AS bucket, " +
+      ("WITH base AS (SELECT o_orderstatus, o_orderkey % 7 AS bucket, " +
         "count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM orders WHERE o_orderkey % 100 = 40 GROUP BY 1, 2), " +

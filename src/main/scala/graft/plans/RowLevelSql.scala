@@ -174,6 +174,10 @@ object RowLevelSqlStrategy extends SparkStrategy {
           def checkUpdateAssigns(assigns: Seq[Assignment], allowed: AttributeSet,
               what: String): Seq[(Seq[String], Expression)] = {
             val named = assigns.map(a => assignmentPath(a, what) -> a.value)
+            // overlap/duplicate refusal, same as UPDATE (code review r15:
+            // without it, SET info = …, info.price = … silently dropped
+            // the field assignment through the whole-column branch)
+            groupAssignments(named, what)
             named.foreach { case (path, v) =>
               requireOnly(v, allowed, what)
               keyByName.get(path.head).foreach { case (keyAttr, srcKeyExpr) =>
@@ -283,8 +287,12 @@ object RowLevelSqlStrategy extends SparkStrategy {
         refuse(s"$what assigns to $other — columns or struct fields only")
     }
     val p = unwind(a.key)
-    p.filter(_.contains(".")).foreach(seg =>
-      refuse(s"$what path segment '$seg' contains a dot — quoted " +
+    // only NESTED segments feed withField's dot-joined addressing; a
+    // top-level column literally named `a.b` resolves fine through
+    // UnresolvedAttribute.quoted (code review r15: refusing it would
+    // regress the r14 whole-column behavior)
+    p.tail.filter(_.contains(".")).foreach(seg =>
+      refuse(s"$what struct-field segment '$seg' contains a dot — quoted " +
         "dotted field names are not addressable through withField"))
     p
   }
@@ -424,19 +432,21 @@ object RowLevelSqlStrategy extends SparkStrategy {
         }
       } :+ lit(false).as(delCol): _*)
     }
-    /** Key-tuple delete piece: only the key columns matter; distinct
-      * collapses stored-duplicate keys and duplicate delete firings (the
-      * verb deletes by key — all copies go, and deleting twice is
-      * deleting). */
+    /** Key-tuple delete piece for ONE clause: only the key columns
+      * matter. De-duplication happens ONCE across ALL delete clauses
+      * (matched and by-source) after the union — per-clause distinct
+      * would leave a key firing two different DELETE clauses duplicated,
+      * and the verb's mixed/dup rule would refuse a legal all-delete
+      * statement (code review r15). */
     def deletePiece(rows: DataFrame, eff: Column): DataFrame =
       rows.filter(eff).select(headFields.map { f =>
         if (keyCols.contains(f.name)) tCol(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       } :+ lit(true).as(delCol): _*)
-        .distinct()
 
-    val matchedPieces = Vector.newBuilder[DataFrame]
-    val otherPieces = Vector.newBuilder[DataFrame]
+    val updatePieces = Vector.newBuilder[DataFrame] // matched UPDATEs
+    val deletePieces = Vector.newBuilder[DataFrame] // matched + by-source
+    val otherPieces = Vector.newBuilder[DataFrame]  // inserts, by-source upd
     headOpt match {
       case Some(head) =>
         val tA = head.alias("__t")
@@ -448,22 +458,26 @@ object RowLevelSqlStrategy extends SparkStrategy {
           val joined = tA.join(srcDF, joinCond, "inner")
           matched.zip(effConds(matched.map(_._1))).foreach {
             case ((_, Some(assigns)), eff) =>
-              matchedPieces += updatePiece(joined, assigns, eff)
+              updatePieces += updatePiece(joined, assigns, eff)
             case ((_, None), eff) =>
-              matchedPieces += deletePiece(joined, eff)
+              deletePieces += deletePiece(joined, eff)
           }
         }
         // NOT MATCHED BY SOURCE (r15): head rows whose key tuple no
         // source row equi-matches — ONE anti-join feeds the clause list.
         // Conditions/assignments are target-only (checked at planning),
-        // so every expression resolves on the anti side alone.
+        // so every expression resolves on the anti side alone. A
+        // by-source UPDATE duplicates a key only for stored-duplicate
+        // rows, where its target-only assignments produce identical
+        // updated rows — the multi-insert replace puts the duplicates
+        // back themselves-updated, count preserved (the SQL semantics).
         if (bySource.nonEmpty) {
           val anti = tA.join(srcDF, joinCond, "left_anti")
           bySource.zip(effConds(bySource.map(_._1))).foreach {
             case ((_, Some(assigns)), eff) =>
               otherPieces += updatePiece(anti, assigns, eff)
             case ((_, None), eff) =>
-              otherPieces += deletePiece(anti, eff)
+              deletePieces += deletePiece(anti, eff)
           }
         }
         if (notMatched.nonEmpty) {
@@ -492,42 +506,51 @@ object RowLevelSqlStrategy extends SparkStrategy {
             } :+ lit(false).as(delCol): _*)
         }
     }
-    // SQL MERGE cardinality (r15 — the check the verb's relaxed
-    // multi-insert rule no longer implies): a target key taking a
-    // matched UPDATE more than once — duplicate source keys matching one
-    // stored row, or a stored-duplicate key — must fail loudly, the
-    // standard MERGE_CARDINALITY_VIOLATION. Deletes collapse via
-    // distinct (r14 behavior: deleting a key twice is deleting it); a
-    // key splitting across an UPDATE and a DELETE is refused by the
-    // verb's mixed-flag rule. Inserts and by-source pieces are exempt:
-    // insert duplicates are the SQL multi-insert, and a by-source piece
-    // duplicates a key only for stored-duplicate rows, where updating
-    // each stored copy independently IS the SQL semantics — except that
-    // the verb's replace-by-key contract cannot express two differing
-    // result rows for one key, which its mixed/cardinality checks
-    // surface if the assignments diverge... they cannot: by-source
-    // assignments see only the row itself, so stored duplicates produce
-    // identical updated rows, and the changeset's multi-row key replaces
-    // the duplicates with themselves-updated, count preserved.
-    val mParts = matchedPieces.result()
-    if (mParts.nonEmpty) {
-      val updates = mParts.reduce(_.unionByName(_)).filter(!col(delCol))
-      val dup = updates.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalArgumentException(
-        "graft.commitlog MERGE cardinality violation: target key " +
-          keyCols.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
-            .mkString("(", ", ", ")") +
-          " takes a matched UPDATE more than once (duplicate source keys," +
-          " or a stored-duplicate target key) — de-duplicate the source" +
-          " or pre-aggregate (q_upsert_latest)")
+    // assemble ONE changeset, clause-tagged and checkpoint-PINNED before
+    // any validation (code review r15: the cardinality check must read
+    // the same materialized rows the verb commits — a non-deterministic
+    // source could otherwise pass the check yet stage duplicate matched
+    // updates, which the multi-insert opt-in would then accept
+    // silently). Deletes de-dup ONCE across clauses: deleting a key
+    // twice — even through two different DELETE clauses — is deleting it.
+    val marker = "__graft_clause"
+    val uParts = updatePieces.result().map(_.withColumn(marker, lit("mu")))
+    val dParts = {
+      val ps = deletePieces.result()
+      if (ps.isEmpty) Nil
+      else Seq(ps.reduce(_.unionByName(_)).distinct()
+        .withColumn(marker, lit("del")))
     }
-    val parts = mParts ++ otherPieces.result()
+    val oParts = otherPieces.result().map(_.withColumn(marker, lit("other")))
+    val parts = uParts ++ dParts ++ oParts
     if (parts.isEmpty) return // defensive: no clause produced a piece
-    val changes = parts.reduce(_.unionByName(_))
-    CommitLog.mergeOn(spark, root, "catalog", keyCols, changes,
-      deleteCol = Some(delCol))
+    val all = parts.reduce(_.unionByName(_)).localCheckpoint(true)
+    try {
+      // SQL MERGE cardinality (r15 — the check the verb's multi-insert
+      // opt-in no longer implies): a target key taking a matched UPDATE
+      // more than once — duplicate source keys matching one stored row,
+      // or a stored-duplicate key — fails loudly, the standard
+      // MERGE_CARDINALITY_VIOLATION. Inserts and by-source updates are
+      // exempt (the SQL multi-insert / stored-duplicate semantics); a
+      // key splitting across an UPDATE and a DELETE is refused by the
+      // verb's mixed-flag rule. Reads the pinned blocks — one tiny agg,
+      // no re-execution of the join.
+      if (uParts.nonEmpty) {
+        val dup = all.filter(col(marker) === "mu")
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          "graft.commitlog MERGE cardinality violation: target key " +
+            keyCols.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+              .mkString("(", ", ", ")") +
+            " takes a matched UPDATE more than once (duplicate source keys," +
+            " or a stored-duplicate target key) — de-duplicate the source" +
+            " or pre-aggregate (q_upsert_latest)")
+      }
+      CommitLog.mergeOn(spark, root, "catalog", keyCols, all.drop(marker),
+        deleteCol = Some(delCol), multiInsertKeys = true)
+    } finally all.unpersist()
     ()
   }
 }

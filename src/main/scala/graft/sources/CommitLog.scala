@@ -1743,12 +1743,12 @@ object CommitLog {
     * REPLACES the stored row (update), a new key INSERTS, and a row whose
     * `deleteCol` flag is true DELETES its key (no-op for absent keys).
     * `changes` must carry the head's schema (plus the optional flag
-    * column); keys must be non-null (null never equi-matches — a
-    * null-keyed "update" would silently insert). A key on MULTIPLE
-    * change rows is allowed only when all its rows are non-delete
-    * (r15, ADVICE r14 — the SQL multi-insert shape: the key's stored
-    * rows are replaced by ALL its changeset rows); a multi-row key
-    * carrying a delete flag refuses loudly.
+    * column) and — by default — exactly one row per key; keys must be
+    * non-null (null never equi-matches — a null-keyed "update" would
+    * silently insert). [[mergeOn]]'s `multiInsertKeys` opt-in relaxes
+    * the one-row rule to SQL multi-insert semantics for all-non-delete
+    * duplicates (r15, ADVICE r14); a multi-row key carrying a delete
+    * flag refuses loudly either way.
     *
     * COPY-ON-WRITE with DIRECTORY PRUNING — the scale story: only
     * directories that MIGHT contain a merge key are rewritten; every
@@ -1803,17 +1803,22 @@ object CommitLog {
     * provably-absent component prunes the dir, so multi-column keys
     * prune at least as well as their strongest single column.
     *
-    * Key-tuple cardinality (r15, ADVICE r14): a tuple appearing on
-    * MULTIPLE change rows is allowed only when every one of its rows is
-    * a non-delete — the key's stored rows (if any) are replaced by ALL
-    * its changeset rows, which is SQL MERGE's multi-insert semantics
-    * (several NOT MATCHED source rows for one key each insert). A
-    * multi-row tuple carrying a delete flag is ambiguous (delete, or
-    * replace, or both?) and refuses loudly. */
+    * Key-tuple cardinality (r15, ADVICE r14 + code review): by DEFAULT
+    * one row per tuple, refused loudly otherwise — the r14 contract,
+    * protecting a non-deaggregated upsert changeset from silent row
+    * multiplication. With `multiInsertKeys = true` (the SQL MERGE
+    * route's explicit opt-in), a tuple appearing on MULTIPLE change
+    * rows is allowed when every one of its rows is a non-delete: the
+    * key's stored rows (if any) are replaced by ALL its changeset rows
+    * — SQL MERGE's multi-insert semantics (several NOT MATCHED source
+    * rows for one key each insert). A multi-row tuple carrying a delete
+    * flag is ambiguous (delete, or replace, or both?) and refuses
+    * loudly under either setting. */
   def mergeOn(spark: SparkSession, root: String, writer: String,
       keyCols: Seq[String], changes: DataFrame,
       deleteCol: Option[String] = None, statsCol: Option[String] = None,
-      maxAttempts: Int = 20, maxProbeKeys: Int = 10000): Commit = {
+      maxAttempts: Int = 20, maxProbeKeys: Int = 10000,
+      multiInsertKeys: Boolean = false): Commit = {
     requireTag(writer, "writer")
     statsCol.foreach(sc => requireTag(sc, "statsCol"))
     require(keyCols.nonEmpty, "mergeOn needs at least one key column")
@@ -1832,7 +1837,7 @@ object CommitLog {
     // downstream evaluation reads the materialized blocks.
     val pinned = changes.localCheckpoint(true)
     try mergePinned(spark, root, writer, keyCols, pinned, deleteCol, statsCol,
-      maxAttempts, maxProbeKeys)
+      maxAttempts, maxProbeKeys, multiInsertKeys)
     finally pinned.unpersist()
   }
 
@@ -1840,7 +1845,7 @@ object CommitLog {
   private def mergePinned(spark: SparkSession, root: String, writer: String,
       keyCols: Seq[String], changes: DataFrame, deleteCol: Option[String],
       statsCol: Option[String], maxAttempts: Int,
-      maxProbeKeys: Int): Commit = {
+      maxProbeKeys: Int, multiInsertKeys: Boolean): Commit = {
     init(spark, root)
     val f = fs(spark, root)
     val delFlag = deleteCol.map(col).getOrElse(lit(false))
@@ -1879,12 +1884,20 @@ object CommitLog {
     // reject it at the edge like null keys
     require(kstats.getLong(3) == 0,
       s"merge delete flags ('${deleteCol.getOrElse("")}') must be non-null")
-    // key-tuple cardinality (r15, ADVICE r14): multi-row tuples are the
-    // SQL multi-insert shape and must be all-non-delete; a tuple mixing
-    // a delete flag with any other row (or duplicated deletes) is
-    // ambiguous and refuses. Checked only when duplicates exist at all
-    // — the common one-row-per-key changeset pays one agg, no group pass.
+    // key-tuple cardinality (r15, ADVICE r14 + code review): duplicates
+    // refuse by default (the r14 contract — a non-deaggregated upsert
+    // must fail loudly, never multiply rows); under the multiInsertKeys
+    // opt-in, all-non-delete duplicates are the SQL multi-insert shape
+    // and a tuple mixing a delete flag with any other row still refuses.
+    // The group pass runs only when duplicates exist at all — the common
+    // one-row-per-key changeset pays the one agg above, nothing more.
     if (nRows != nKeys) {
+      if (!multiInsertKeys) throw new IllegalArgumentException(
+        s"merge changes must hold one row per " +
+          s"${keyCols.mkString("(", ", ", ")")}: $nRows rows over " +
+          s"$nKeys distinct keys — pre-aggregate the changeset " +
+          "(q_upsert_latest), or opt into SQL multi-insert semantics " +
+          "with multiInsertKeys = true")
       val delInt = delFlag.cast("int")
       val bad = changes.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n"), max(delInt).as("__d"))

@@ -689,7 +689,16 @@ private[graft] final class CommitLogCatalogTable(root: String,
   // analyzer computes the source-vs-target ADDs and routes them through
   // GraftCatalog.alterTable → CommitLog.evolveSchema, one audited
   // metadata-only commit, then re-resolves the target with the widened
-  // schema; non-additive changes refuse loudly in alterTable.
+  // schema; non-additive changes refuse loudly in alterTable. KNOWN
+  // SEMANTICS (Spark's architecture, documented rather than hidden):
+  // the evolve commit lands during ANALYSIS, so a merge that
+  // subsequently fails — or a statement only analyzed (EXPLAIN) —
+  // still widens the schema. The widening is additive metadata only
+  // (old dirs read typed NULLs, rowInvisible — consumers ride
+  // through); re-running the corrected statement finds the column
+  // already present and evolves nothing. Delta folds evolution into
+  // the merge transaction; a two-commit sequence is this engine's
+  // declared shape (SURVEY §2.1 q_commit_log_merge_evolve).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

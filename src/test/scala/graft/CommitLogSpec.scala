@@ -578,22 +578,32 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(CommitLog.readLatest(spark, root).get.orderBy("id")) == Seq(
       Seq(1L, "a", 10.0), Seq(2L, "B", 99.0), Seq(4L, "d", 40.0),
       Seq(5L, "e", 50.0)))
-    // multi-row keys (r15, ADVICE r14): all-insert duplicates are the
-    // SQL multi-insert shape — the key's stored rows are replaced by ALL
-    // its changeset rows (here: key 1 stored once, lands twice)
-    CommitLog.merge(spark, root, "m", "id",
-      Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"))
+    // multi-row keys: by DEFAULT duplicates refuse (the r14 contract —
+    // a non-deaggregated upsert must fail loudly, never multiply rows)
+    val dupDefault = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, "m", "id",
+        Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"))
+    }
+    assert(dupDefault.getMessage.contains("one row per"), dupDefault.getMessage)
+    // under the multiInsertKeys opt-in (r15, ADVICE r14 — the SQL MERGE
+    // route), all-insert duplicates are the SQL multi-insert shape: the
+    // key's stored rows are replaced by ALL its changeset rows
+    CommitLog.mergeOn(spark, root, "m", Seq("id"),
+      Seq((1L, "q", 1.0), (1L, "r", 2.0)).toDF("id", "tag", "v"),
+      multiInsertKeys = true)
     assert(rows(CommitLog.readLatest(spark, root).get
       .filter(col("id") === 1L).orderBy("tag")) ==
       Seq(Seq(1L, "q", 1.0), Seq(1L, "r", 2.0)),
-      "an all-insert multi-row key must replace the stored rows with ALL " +
-        "its changeset rows")
-    // guards: a multi-row key carrying a delete flag, null keys, schema
-    // drift — each rejected before any staging write
+      "an opted-in all-insert multi-row key must replace the stored rows " +
+        "with ALL its changeset rows")
+    // guards: a multi-row key carrying a delete flag (refused even under
+    // the opt-in), null keys, schema drift — each rejected before any
+    // staging write
     intercept[IllegalArgumentException] {
-      CommitLog.merge(spark, root, "m", "id",
+      CommitLog.mergeOn(spark, root, "m", Seq("id"),
         Seq((1L, "q", 1.0, true), (1L, "r", 2.0, false))
-          .toDF("id", "tag", "v", "del"), deleteCol = Some("del"))
+          .toDF("id", "tag", "v", "del"), deleteCol = Some("del"),
+        multiInsertKeys = true)
     }
     intercept[IllegalArgumentException] {
       CommitLog.merge(spark, root, "m", "id",
@@ -2347,12 +2357,20 @@ class CommitLogSpec extends SparkSpec {
       assert(cHead.dataDirs.contains(seedHigh),
         s"composite merge must carry the evidence-excluded dir: ${cHead.dataDirs}")
       // tuple-duplicate changeset rows carrying a delete flag refuse
+      // even under the multi-insert opt-in (ambiguous: delete, replace,
+      // or both?); without the opt-in the plain one-row rule refuses
       val badDel = intercept[Exception] {
         CommitLog.mergeOn(spark, rootC, "w", Seq("k1", "k2"),
           Seq((1L, "x", 0.0, true), (1L, "x", 1.0, false))
-            .toDF("k1", "k2", "total", "del"), deleteCol = Some("del"))
+            .toDF("k1", "k2", "total", "del"), deleteCol = Some("del"),
+          multiInsertKeys = true)
       }
       assert(badDel.getMessage.contains("all-insert"), badDel.getMessage)
+      val badDup = intercept[Exception] {
+        CommitLog.mergeOn(spark, rootC, "w", Seq("k1", "k2"),
+          Seq((1L, "x", 0.0), (1L, "x", 1.0)).toDF("k1", "k2", "total"))
+      }
+      assert(badDup.getMessage.contains("one row per"), badDup.getMessage)
       // reassigning ANY ON key column refuses (per-column check)
       val reassign = intercept[Exception] {
         spark.sql("MERGE INTO gcln.c t USING gcln_csrc s " +
@@ -2393,6 +2411,33 @@ class CommitLogSpec extends SparkSpec {
       assert(overlap.getMessage.contains("order-ambiguous") ||
         overlap.getMessage.toLowerCase.contains("conflict"),
         overlap.getMessage)
+      // the same overlap refusal guards MERGE UPDATE SET (code review
+      // r15: without it the whole-column branch silently dropped the
+      // field assignment)
+      spark.table("gcln.s").limit(1).createOrReplaceTempView("gcln_ssrc")
+      val mOverlap = intercept[Exception] {
+        spark.sql("MERGE INTO gcln.s t USING gcln_ssrc s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET info = s.info, info.price = 1.0")
+      }
+      assert(mOverlap.getMessage.contains("order-ambiguous"),
+        mOverlap.getMessage)
+
+      // ---- deletes de-dup ACROSS clauses (code review r15): a key
+      // whose duplicate source rows split across two DELETE clauses is
+      // a legal all-delete statement — deleting a key twice is deleting
+      // it, never a cardinality refusal ----
+      val rootD = freshRoot() + "/d"
+      CommitLog.commit(spark, rootD, "w", "create") { _ =>
+        Seq((1L, 1.0), (2L, 2.0)).toDF("id", "p") }
+      spark.sql(s"CREATE TABLE gcln.d USING `graft.commitlog` LOCATION '$rootD'")
+      Seq((1L, 1.0), (1L, 99.0)).toDF("id", "p")
+        .createOrReplaceTempView("gcln_dsrc")
+      spark.sql("MERGE INTO gcln.d t USING gcln_dsrc s ON t.id = s.id " +
+        "WHEN MATCHED AND s.p > 50 THEN DELETE " +
+        "WHEN MATCHED THEN DELETE")
+      assert(rows(spark.table("gcln.d")) == Seq(Seq(2L, 2.0)),
+        "a key firing two DELETE clauses must delete, not refuse")
+      spark.sql("DROP TABLE gcln.d")
 
       // ---- MERGE WITH SCHEMA EVOLUTION: evolve + merge, two commits ----
       val rootE = freshRoot() + "/e"
