@@ -712,6 +712,36 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_replace_sql (r15):
+  // classes 45+46 created with an explicit `cls` column, then ONE SQL
+  // `INSERT INTO … REPLACE WHERE cls = 46 SELECT …` statement restates
+  // the class-46 region (+1.0) — Spark's OverwriteByExpression routed
+  // through SupportsOverwrite onto CommitLog.replaceWhere, the same
+  // dir-pruned restatement verb as the writer option (one verb, three
+  // faces). Incoming rows outside the claimed region fail the verb.
+  private val replaceSqlCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def replaceSqlLogFor(s: SparkSession, d: String): String =
+    replaceSqlCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitreplsql")
+      val table = s"$root/table"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 100).as("cls"))
+      orders.filter(col("cls").isin(45, 46))
+        .write.format("graft.commitlog").save(table)
+      val cat = catName("gclp", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_p " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      orders.filter(col("cls") === 46)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .createOrReplaceTempView("graft_replace_src")
+      s.sql(s"INSERT INTO $cat.orders_p REPLACE WHERE cls = 46 " +
+        "SELECT * FROM graft_replace_src")
+      root
+    }
+
   // Session-cached catalog for q_commit_log_ctas (r15 — VERDICT r14 #3):
   // `CREATE TABLE … USING graft.commitlog AS SELECT …` — the non-staging
   // V2 CTAS path (createTable, then the V1-write append through the
@@ -1075,6 +1105,21 @@ object Relational {
       s.read.format("graft.commitlog").load(s"$root/table")
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "note")
         .orderBy("o_orderkey")
+    }),
+
+    // SQL REPLACE WHERE (r15): `INSERT INTO … REPLACE WHERE cond
+    // SELECT …` is the statement face of the r13 partial-overwrite verb
+    // — the oracle rebuilds both slices relationally, so a leaked old
+    // row, a lost kept row, or a restatement escaping its region all
+    // hash-fail; an untranslatable predicate refuses at planning.
+    "q_commit_log_replace_sql" -> ((s, d) => {
+      val root = replaceSqlLogFor(s, d)
+      s.read.format("graft.commitlog").load(s"$root/table")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     // CTAS on a commit-log table (r15 — VERDICT r14 #3): CREATE TABLE …
@@ -1666,6 +1711,15 @@ object Relational {
         "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 'new' " +
         "FROM orders WHERE o_orderkey % 100 = 43 " +
         "ORDER BY o_orderkey"),
+    "q_commit_log_replace_sql" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 = 45 " +
+        "UNION ALL SELECT o_orderstatus, o_totalprice + 1.0 " +
+        "FROM orders WHERE o_orderkey % 100 = 46) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_ctas" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

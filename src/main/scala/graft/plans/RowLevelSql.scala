@@ -345,10 +345,19 @@ object RowLevelSqlStrategy extends SparkStrategy {
     }
 
   private def requireOnly(e: Expression, allowed: AttributeSet,
-      what: String): Unit =
+      what: String): Unit = {
+    // subqueries resolve against the STATEMENT's plan; the verbs re-bind
+    // expressions against their own head read, where a subplan's
+    // attributes would dangle — refuse at planning, never mis-bind
+    // (code review r15)
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      refuse(s"$what contains a subquery — materialize it into the " +
+        "source/table first")
     if (!e.references.subsetOf(allowed))
       refuse(s"$what expression $e references columns outside the " +
         "statement's scope")
+  }
 
   /** Re-resolvable copy of a statement expression: attribute references
     * become unresolved single-part names, so the Column re-binds against

@@ -699,9 +699,13 @@ private[graft] final class CommitLogCatalogTable(root: String,
   // already present and evolves nothing. Delta folds evolution into
   // the merge transaction; a two-commit sequence is this engine's
   // declared shape (SURVEY §2.1 q_commit_log_merge_evolve).
+  // OVERWRITE_BY_FILTER (r15): gates `INSERT INTO … REPLACE WHERE` —
+  // the statement face of CommitLog.replaceWhere (SupportsOverwrite in
+  // newWriteBuilder; untranslatable predicates refuse via canOverwrite).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
@@ -733,11 +737,36 @@ private[graft] final class CommitLogCatalogTable(root: String,
     ()
   }
 
+  /** Batch write faces, all through the commit protocol: append (INSERT
+    * INTO / writeTo.append), full overwrite (INSERT OVERWRITE /
+    * mode("overwrite")), and — r15 — PARTIAL overwrite by expression:
+    * `INSERT INTO t REPLACE WHERE cond SELECT …` routes Spark's
+    * OverwriteByExpression through [[SupportsOverwrite]] onto
+    * [[CommitLog.replaceWhere]], the SAME dir-pruned restatement verb
+    * the `replaceWhere` writer option uses (one verb, three faces).
+    * Delta's constraint holds on the statement too: every incoming row
+    * must satisfy the predicate, enforced by the verb at runtime. A
+    * predicate the filter translator cannot express refuses at planning
+    * (Spark's canOverwrite gate — never a silently-wider overwrite). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refuseIfPinned("a write")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall(f =>
+          f == org.apache.spark.sql.sources.AlwaysTrue ||
+            CommitLogSource.filterToColumn(f).isDefined)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        val eff = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
+        if (eff.isEmpty) overwrite = true
+        else replaceFilters = Some(eff)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -751,12 +780,23 @@ private[graft] final class CommitLogCatalogTable(root: String,
               // verb whichever write face landed it — decided PER CLAIM
               // ATTEMPT inside the verb (code review r14: a pre-loop
               // exists read mislabels a racing loser's v2 as "create")
-              if (overwrite || overwriteFlag)
-                CommitLog.commit(data.sparkSession, root, "catalog",
-                  "overwrite", createOnEmpty = true)(_ => renamed)
-              else
-                CommitLog.commitAppend(data.sparkSession, root, "catalog",
-                  "append", createOnEmpty = true)(renamed)
+              replaceFilters match {
+                case Some(fs) =>
+                  val cond = fs.map(f =>
+                    CommitLogSource.filterToColumn(f).getOrElse(
+                      throw new UnsupportedOperationException(
+                        s"graft.commitlog: cannot express REPLACE WHERE " +
+                          s"filter $f")))
+                    .reduce(_ && _)
+                  CommitLog.replaceWhere(data.sparkSession, root, "catalog",
+                    cond, renamed)
+                case None if overwrite || overwriteFlag =>
+                  CommitLog.commit(data.sparkSession, root, "catalog",
+                    "overwrite", createOnEmpty = true)(_ => renamed)
+                case None =>
+                  CommitLog.commitAppend(data.sparkSession, root, "catalog",
+                    "append", createOnEmpty = true)(renamed)
+              }
               ()
             }
           }

@@ -2478,6 +2478,83 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("composite-key merge composes BLOOM evidence: one provably-absent key component prunes the dir") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two dirs with disjoint k1 populations; k2 (a string) carries no
+    // evidence of its own — pruning must come from k1's bloom alone
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k1", "k2", "v") }
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((100L, "x", 100.0), (101L, "y", 101.0)).toDF("k1", "k2", "v"))
+    assert(CommitLog.addBloom(spark, root, "k1", 0.001) == 2)
+    val pre = CommitLog.latest(spark, root).get
+    CommitLog.mergeOn(spark, root, "m", Seq("k1", "k2"),
+      Seq((2L, "y", 99.0)).toDF("k1", "k2", "v"))
+    val post = CommitLog.latest(spark, root).get
+    // the k1∈{100,101} dir: its bloom definitely excludes k1=2, so the
+    // composed per-column decision prunes it — carried byte-identical
+    val highDir = pre.dataDirs.last
+    assert(post.dataDirs.contains(highDir),
+      s"bloom evidence on ONE key component must prune: pre=${pre.dataDirs} post=${post.dataDirs}")
+    assert(!post.dataDirs.contains(pre.dataDirs.head),
+      "the dir that might contain the key tuple must be rewritten")
+    assert(rows(CommitLog.readLatest(spark, root).get.orderBy("k1")) ==
+      Seq(Seq(1L, "x", 1.0), Seq(2L, "y", 99.0),
+        Seq(100L, "x", 100.0), Seq(101L, "y", 101.0)))
+  }
+
+  test("SQL INSERT INTO … REPLACE WHERE routes through CommitLog.replaceWhere; row-level subqueries refuse") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gclo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclo.dir", catRoot)
+    try {
+      val root = freshRoot() + "/t"
+      CommitLog.commit(spark, root, "w", "create", statsCol = Some("grp")) { _ =>
+        Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)).toDF("id", "v", "grp") }
+      spark.sql(s"CREATE TABLE gclo.t USING `graft.commitlog` LOCATION '$root'")
+      // the statement face of the r13 partial-overwrite verb: restate
+      // EXACTLY the grp=2 region; kept rows untouched, action audited
+      spark.sql("INSERT INTO gclo.t REPLACE WHERE grp = 2 " +
+        "SELECT CAST(30 AS BIGINT), 'C', CAST(2 AS BIGINT)")
+      assert(rows(spark.table("gclo.t").orderBy("id")) ==
+        Seq(Seq(1L, "a", 1L), Seq(2L, "b", 1L), Seq(30L, "C", 2L)))
+      assert(CommitLog.latest(spark, root).get.action == "replace" &&
+        CommitLog.latest(spark, root).get.writer == "catalog",
+        "the statement must route through CommitLog.replaceWhere")
+      // Delta's constraint holds on the statement: an incoming row
+      // OUTSIDE the claimed region fails the verb, nothing commits
+      val vBefore = CommitLog.latest(spark, root).get.version
+      intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO gclo.t REPLACE WHERE grp = 2 " +
+          "SELECT CAST(9 AS BIGINT), 'x', CAST(1 AS BIGINT)")
+      }
+      assert(CommitLog.latest(spark, root).get.version == vBefore)
+      // a predicate the filter translator cannot express refuses at
+      // planning (canOverwrite gate) — never a silently-wider overwrite
+      val nope = intercept[Exception] {
+        spark.sql("INSERT INTO gclo.t REPLACE WHERE grp % 2 = 0 " +
+          "SELECT CAST(40 AS BIGINT), 'D', CAST(2 AS BIGINT)")
+      }
+      assert(nope.getMessage.toLowerCase.contains("overwrite") ||
+        nope.getMessage.toLowerCase.contains("replace"),
+        nope.getMessage)
+      // subqueries in row-level statements refuse at planning (code
+      // review r15: the verbs re-bind expressions against their own head
+      // read, where a statement-bound subplan would dangle)
+      val sub = intercept[Exception] {
+        spark.sql("UPDATE gclo.t SET v = 'z' " +
+          "WHERE id IN (SELECT id FROM gclo.t WHERE grp = 2)")
+      }
+      assert(sub.getMessage.contains("subquery"), sub.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gclo.t")
+      spark.conf.unset("spark.sql.catalog.gclo")
+      spark.conf.unset("spark.sql.catalog.gclo.dir")
+    }
+  }
+
   test("time travel by table NAME: VERSION AS OF / TIMESTAMP AS OF statements, reader options on .table, named CDF") {
     import spark.implicits._
     val catRoot = freshRoot()
