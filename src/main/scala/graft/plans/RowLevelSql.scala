@@ -129,6 +129,28 @@ object RowLevelSqlStrategy extends SparkStrategy {
         case None => Nil
       }
 
+    // SQL DELETE with an ARBITRARY predicate (r15): the SupportsDelete
+    // route only accepts filter-TRANSLATABLE conjuncts (canDeleteWhere
+    // refuses `id % 3 = 0` and the statement dies at analysis) — here
+    // the full analyzed condition compiles onto CommitLog.delete, the
+    // same evidence-pruned rewrite engine, with the SQL NULL rule
+    // (TRUE deletes, NULL/false keeps) enforced by the verb. Subqueries
+    // refuse (requireOnly); SupportsDelete remains the fallback face.
+    case org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(
+        target, condition) =>
+      commitLogTarget(target) match {
+        case Some((table, targetAttrs)) =>
+          refuseIfTravel(table, "DELETE")
+          requireOnly(condition, AttributeSet(targetAttrs), "DELETE")
+          val condCol = GraftBridge.columnOf(unresolve(condition))
+          Seq(GraftRowLevelExec("GraftDelete", () => {
+            CommitLog.delete(SparkSession.active, table.commitLogRoot,
+              "catalog", condCol)
+            ()
+          }))
+        case None => Nil
+      }
+
     case MergeIntoTable(target, source, mergeCondition, matchedActions,
         notMatchedActions, notMatchedBySourceActions, _) =>
       // withSchemaEvolution needs no handling here: the analyzer already

@@ -2540,6 +2540,16 @@ class CommitLogSpec extends SparkSpec {
       assert(nope.getMessage.toLowerCase.contains("overwrite") ||
         nope.getMessage.toLowerCase.contains("replace"),
         nope.getMessage)
+      // DELETE with an ARBITRARY (filter-untranslatable) predicate
+      // routes through the strategy onto CommitLog.delete (r15): `%`
+      // arithmetic has no source Filter, so the SupportsDelete face
+      // alone refused this statement at analysis before
+      spark.sql("DELETE FROM gclo.t WHERE id % 2 = 0")
+      assert(rows(spark.table("gclo.t").orderBy("id")) ==
+        Seq(Seq(1L, "a", 1L)),
+        "DELETE must remove exactly the TRUE-predicate rows (2 and 30)")
+      assert(CommitLog.latest(spark, root).get.action == "delete" &&
+        CommitLog.latest(spark, root).get.writer == "catalog")
       // subqueries in row-level statements refuse at planning (code
       // review r15: the verbs re-bind expressions against their own head
       // read, where a statement-bound subplan would dangle)
