@@ -324,7 +324,11 @@ object Relational {
   // would silently keep resolving tables against the FIRST dataset's
   // root. Embedding the dataset dir's hash in the name gives each
   // (session, dataset) pair its own catalog instance, matching the
-  // SessionCache keying of every fixture that registers one.
+  // SessionCache keying of every fixture that registers one. The SQL
+  // fixtures' temp VIEWS carry the same suffix (code review r15):
+  // session-global view names would let two datasets' concurrent
+  // builders interleave view replacement and the statement that reads
+  // it, restating one dataset's table with the other's rows.
   private def catName(tag: String, d: String): String =
     s"$tag${java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)}"
 
@@ -505,8 +509,8 @@ object Relational {
           col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 5.0)
         .union(orders.filter(col("o_orderkey") % 100 === 33))
-        .createOrReplaceTempView("graft_merge_src")
-      s.sql(s"MERGE INTO $cat.orders_m t USING graft_merge_src s " +
+        .createOrReplaceTempView(s"graft_merge_src_${catName("gclm", d).drop(4)}")
+      s.sql(s"MERGE INTO $cat.orders_m t USING graft_merge_src_${catName("gclm", d).drop(4)} s " +
         "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
@@ -600,8 +604,8 @@ object Relational {
       orders.filter(col("o_orderkey") % 100 === 38 &&
           col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 5.0)
-        .createOrReplaceTempView("graft_nmbs_src")
-      s.sql(s"MERGE INTO $cat.orders_b t USING graft_nmbs_src s " +
+        .createOrReplaceTempView(s"graft_nmbs_src_${catName("gclb", d).drop(4)}")
+      s.sql(s"MERGE INTO $cat.orders_b t USING graft_nmbs_src_${catName("gclb", d).drop(4)} s " +
         "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 100 = 39 " +
@@ -641,8 +645,8 @@ object Relational {
         .withColumn("total", col("total") + 100.0)
         .union(base.filter(col("bucket") === 4)
           .withColumn("bucket", col("bucket") + 10))
-        .createOrReplaceTempView("graft_multi_src")
-      s.sql(s"MERGE INTO $cat.orders_k t USING graft_multi_src s " +
+        .createOrReplaceTempView(s"graft_multi_src_${catName("gclk", d).drop(4)}")
+      s.sql(s"MERGE INTO $cat.orders_k t USING graft_multi_src_${catName("gclk", d).drop(4)} s " +
         "ON t.o_orderstatus = s.o_orderstatus AND t.bucket = s.bucket " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
@@ -704,9 +708,9 @@ object Relational {
         .withColumn("note", lit("upd"))
         .union(orders.filter(col("o_orderkey") % 100 === 43)
           .withColumn("note", lit("new")))
-        .createOrReplaceTempView("graft_evolve_src")
+        .createOrReplaceTempView(s"graft_evolve_src_${catName("gcle", d).drop(4)}")
       s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $cat.orders_e t " +
-        "USING graft_evolve_src s ON t.o_orderkey = s.o_orderkey " +
+        s"USING graft_evolve_src_${catName("gcle", d).drop(4)} s ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
       root
@@ -736,9 +740,9 @@ object Relational {
         s"USING `graft.commitlog` LOCATION '$table'")
       orders.filter(col("cls") === 46)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-        .createOrReplaceTempView("graft_replace_src")
+        .createOrReplaceTempView(s"graft_replace_src_${catName("gclp", d).drop(4)}")
       s.sql(s"INSERT INTO $cat.orders_p REPLACE WHERE cls = 46 " +
-        "SELECT * FROM graft_replace_src")
+        s"SELECT * FROM graft_replace_src_${catName("gclp", d).drop(4)}")
       root
     }
 
@@ -758,9 +762,9 @@ object Relational {
       Tables.orders(s, d)
         .filter(col("o_orderkey") % 100 === 44)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .createOrReplaceTempView("graft_ctas_src")
+        .createOrReplaceTempView(s"graft_ctas_src_${catName("gclx", d).drop(4)}")
       s.sql(s"CREATE TABLE $cat.orders_x USING `graft.commitlog` " +
-        "AS SELECT * FROM graft_ctas_src")
+        s"AS SELECT * FROM graft_ctas_src_${catName("gclx", d).drop(4)}")
       root
     }
 

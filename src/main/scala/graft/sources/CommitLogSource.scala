@@ -757,9 +757,9 @@ private[graft] final class CommitLogCatalogTable(root: String,
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def canOverwrite(
           filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-        filters.forall(f =>
-          f == org.apache.spark.sql.sources.AlwaysTrue ||
-            CommitLogSource.filterToColumn(f).isDefined)
+        // filterToColumn maps AlwaysTrue to lit(true), so one check
+        // covers the truncate shape too (code review r15)
+        filters.forall(f => CommitLogSource.filterToColumn(f).isDefined)
       override def overwrite(
           filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
         val eff = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
