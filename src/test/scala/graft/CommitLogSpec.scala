@@ -2523,6 +2523,17 @@ class CommitLogSpec extends SparkSpec {
       assert(CommitLog.latest(spark, root).get.action == "replace" &&
         CommitLog.latest(spark, root).get.writer == "catalog",
         "the statement must route through CommitLog.replaceWhere")
+      // the r13 write-path proof applied to REPLACE WHERE: the statement
+      // claim is shape-identical to the library verb's (one engine)
+      val rootL = freshRoot() + "/twin"
+      CommitLog.commit(spark, rootL, "w", "create", statsCol = Some("grp")) { _ =>
+        Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)).toDF("id", "v", "grp") }
+      CommitLog.replaceWhere(spark, rootL, "catalog", col("grp") === 2,
+        Seq((30L, "C", 2L)).toDF("id", "v", "grp"))
+      assert(normalizeJson(commitJson(root, 2L)) ==
+        normalizeJson(commitJson(rootL, 2L)),
+        s"statement replace claim must be shape-identical to the library " +
+          s"verb's:\n${commitJson(root, 2L)}\nvs\n${commitJson(rootL, 2L)}")
       // Delta's constraint holds on the statement: an incoming row
       // OUTSIDE the claimed region fails the verb, nothing commits
       val vBefore = CommitLog.latest(spark, root).get.version

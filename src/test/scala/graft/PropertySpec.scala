@@ -522,6 +522,59 @@ class PropertySpec extends SparkSpec {
       assert(brute.exists(x => (x._1, x._2) == p), s"planted pair $p not in brute force")
   }
 
+  test("composite-key mergeOn equals its relational specification on arbitrary tuple changesets") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    // base: random rows over a small (k1, k2) TUPLE space, duplicate
+    // tuples allowed (mergeOn must remove every stored copy of a merged
+    // tuple — and ONLY that tuple: a single-column-key bug would clobber
+    // sibling k2 values under the same k1); changeset: unique tuples
+    // mixing updates, deletes, and absent tuples. A second merge then
+    // exercises the multiInsertKeys opt-in with duplicate absent-tuple
+    // inserts.
+    val baseGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 6L),
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(-9L, 9L)))
+    val tupleSpace = for { k1 <- 0L to 7L; k2 <- Seq("a", "b", "c") }
+      yield (k1, k2)
+    val chGen = Gen.someOf(tupleSpace).flatMap { keys =>
+      Gen.sequence[List[(Long, String, Long, Boolean)], (Long, String, Long, Boolean)](
+        keys.toList.map { case (k1, k2) =>
+          Gen.zip(Gen.const(k1), Gen.const(k2), Gen.chooseNum(-9L, 9L),
+            Gen.oneOf(true, false)) })
+    }
+    samples(Gen.zip(baseGen, chGen), 6).zipWithIndex.foreach {
+      case ((base, ch), i) =>
+        if (ch.nonEmpty) {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-mergeonprop$i").toString
+          val (b1, b2) = base.splitAt(base.size / 2)
+          CommitLog.commit(spark, root, "w", "create") { _ =>
+            b1.toDF("k1", "k2", "v")
+          }
+          CommitLog.commitAppend(spark, root, "w", "append")(
+            b2.toDF("k1", "k2", "v"))
+          CommitLog.mergeOn(spark, root, "m", Seq("k1", "k2"),
+            ch.toDF("k1", "k2", "v", "del"), deleteCol = Some("del"))
+          val chKeys = ch.map(c => (c._1, c._2)).toSet
+          val expected = (base.filterNot { case (k1, k2, _) => chKeys((k1, k2)) } ++
+            ch.collect { case (k1, k2, v, false) => (k1, k2, v) }).sorted
+          val got = CommitLog.readLatest(spark, root).get.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+          assert(got == expected, s"sample $i: mergeOn diverged from spec")
+          // multi-insert opt-in: duplicate rows for an ABSENT tuple each
+          // land (the SQL multi-insert shape)
+          CommitLog.mergeOn(spark, root, "m", Seq("k1", "k2"),
+            Seq((9L, "z", 1L, false), (9L, "z", 2L, false))
+              .toDF("k1", "k2", "v", "del"), deleteCol = Some("del"),
+            multiInsertKeys = true)
+          val got2 = CommitLog.readLatest(spark, root).get.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+          assert(got2 == (expected ++ Seq((9L, "z", 1L), (9L, "z", 2L))).sorted,
+            s"sample $i: multi-insert tuples must each land")
+        }
+    }
+  }
+
   test("commit-log merge equals its relational specification on arbitrary changesets") {
     import spark.implicits._
     import graft.sources.CommitLog
