@@ -746,6 +746,31 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_delete_sql (r15):
+  // classes 47+48 created, then ONE SQL `DELETE FROM … WHERE` with an
+  // ARITHMETIC predicate — a shape the SupportsDelete face cannot
+  // translate to source Filters, so it exercises the strategy route
+  // (RowLevelSqlStrategy → CommitLog.delete, the same evidence-pruned
+  // rewrite engine; NULL/false predicate rows keep, the SQL rule).
+  private val deleteSqlCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def deleteSqlLogFor(s: SparkSession, d: String): String =
+    deleteSqlCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitdelsql")
+      val table = s"$root/table"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter((col("o_orderkey") % 100).isin(47, 48))
+        .write.format("graft.commitlog").save(table)
+      val cat = catName("gcld", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_d " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      s.sql(s"DELETE FROM $cat.orders_d " +
+        "WHERE o_orderkey % 100 = 48 AND o_orderkey % 3 = 0")
+      root
+    }
+
   // Session-cached catalog for q_commit_log_ctas (r15 — VERDICT r14 #3):
   // `CREATE TABLE … USING graft.commitlog AS SELECT …` — the non-staging
   // V2 CTAS path (createTable, then the V1-write append through the
@@ -1109,6 +1134,23 @@ object Relational {
       s.read.format("graft.commitlog").load(s"$root/table")
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "note")
         .orderBy("o_orderkey")
+    }),
+
+    // SQL DELETE through the STRATEGY route (r15): an arithmetic
+    // predicate has no source-Filter translation, so this statement
+    // would have died at the canDeleteWhere gate — the planner strategy
+    // compiles the full condition onto CommitLog.delete. The oracle
+    // rebuilds the surviving set relationally: an over-delete (NULL
+    // semantics), a surviving matched row, or a lost unmatched row all
+    // hash-fail.
+    "q_commit_log_delete_sql" -> ((s, d) => {
+      val root = deleteSqlLogFor(s, d)
+      s.read.format("graft.commitlog").load(s"$root/table")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     // SQL REPLACE WHERE (r15): `INSERT INTO … REPLACE WHERE cond
@@ -1715,6 +1757,12 @@ object Relational {
         "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 'new' " +
         "FROM orders WHERE o_orderkey % 100 = 43 " +
         "ORDER BY o_orderkey"),
+    "q_commit_log_delete_sql" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (47, 48) " +
+        "AND NOT (o_orderkey % 100 = 48 AND o_orderkey % 3 = 0) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_replace_sql" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, o_totalprice " +
