@@ -2467,6 +2467,36 @@ class CommitLogSpec extends SparkSpec {
         .filter(col("action") === "evolve")
         .select("row_invisible").head().getBoolean(0),
         "the evolution commit must be metadata-only (rowInvisible)")
+      // DOCUMENTED two-commit semantics pinned: evolution happens at
+      // ANALYSIS, so even an only-EXPLAINed statement widens the schema
+      // (additive, idempotent — re-analysis finds the column present).
+      // If Spark ever moves the evolution out of the analyzer, this
+      // fails loudly and the docs must change with it.
+      Seq((1L, 9.0, "n", 1L)).toDF("id", "p", "note", "extra")
+        .createOrReplaceTempView("gcln_esrc2")
+      spark.sql("EXPLAIN MERGE WITH SCHEMA EVOLUTION INTO gcln.e t " +
+        "USING gcln_esrc2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.table("gcln.e").schema.fieldNames.contains("extra"),
+        "analyzer-driven evolution lands at analysis — the documented " +
+          "(and here pinned) EXPLAIN-evolves semantics")
+
+      // ---- NMBS UPDATE over STORED-duplicate keys (the documented
+      // benign case): target-only assignments produce identical updated
+      // rows per copy, and the multi-insert replace puts the duplicates
+      // back themselves-updated — count preserved, the SQL semantics ----
+      val rootDup = freshRoot() + "/dup"
+      CommitLog.commit(spark, rootDup, "w", "create") { _ =>
+        Seq((1L, 1.0), (1L, 1.0), (2L, 2.0)).toDF("id", "p") }
+      spark.sql(s"CREATE TABLE gcln.dup USING `graft.commitlog` LOCATION '$rootDup'")
+      Seq((9L, 0.0)).toDF("id", "p").createOrReplaceTempView("gcln_dupsrc")
+      spark.sql("MERGE INTO gcln.dup t USING gcln_dupsrc s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 1 " +
+        "THEN UPDATE SET p = t.p + 10.0")
+      assert(rows(spark.table("gcln.dup").orderBy("id", "p")) ==
+        Seq(Seq(1L, 11.0), Seq(1L, 11.0), Seq(2L, 2.0)),
+        "stored duplicates must each update, count preserved")
+      spark.sql("DROP TABLE gcln.dup")
       spark.sql("DROP TABLE gcln.t")
       spark.sql("DROP TABLE gcln.c")
       spark.sql("DROP TABLE gcln.s")
