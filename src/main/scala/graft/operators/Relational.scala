@@ -328,9 +328,17 @@ object Relational {
   // fixtures' temp VIEWS carry the same suffix (code review r15):
   // session-global view names would let two datasets' concurrent
   // builders interleave view replacement and the statement that reads
-  // it, restating one dataset's table with the other's rows.
-  private def catName(tag: String, d: String): String =
-    s"$tag${java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)}"
+  // it, restating one dataset's table with the other's rows. The suffix
+  // is an MD5 prefix (ADVICE r15), not String.hashCode: keying catalog
+  // identity on a 31-bit hash would let two dataset dirs collide and
+  // silently alias their catalogs — exactly the cross-dataset
+  // contamination the suffix exists to prevent. 12 hex chars (48 bits)
+  // makes a same-session collision practically impossible.
+  private def catName(tag: String, d: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tag + md5.take(6).map(b => f"$b%02x").mkString
+  }
 
   // Session-cached commit-log table for q_commit_log_insert: the CATALOG
   // write route (r13) — a GraftCatalog commitlog table accepts

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, monotonically_increasing_id}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.sources.{CommitLog, CommitLogCatalogTable}
 
@@ -413,7 +413,17 @@ object RowLevelSqlStrategy extends SparkStrategy {
       bySource: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])])
       : Unit = {
     val spark = SparkSession.active
-    val srcDF = GraftBridge.ofRows(spark, source).alias("__s")
+    // each source row carries a synthetic identity (ADVICE r15): the
+    // matched-DELETE cardinality check below counts DISTINCT source rows
+    // touching one target key, so two source rows deleting the same key
+    // violate (the SQL/Delta rule) while one source row deleting a
+    // stored-DUPLICATE key — several identical joined rows, one source
+    // identity — stays legal (deleting a duplicated key is deleting it).
+    // The id is non-deterministic per EVALUATION, but every consumer
+    // reads it from the one localCheckpoint-pinned changeset below.
+    val srcIdCol = "__graft_src_id"
+    val srcDF = GraftBridge.ofRows(spark, source)
+      .withColumn(srcIdCol, monotonically_increasing_id()).alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)
     // MERGE into an EMPTY table with only matched / by-source clauses is
     // a valid SQL no-op (nothing can match, nothing is stored) — return,
@@ -468,12 +478,16 @@ object RowLevelSqlStrategy extends SparkStrategy {
       * (matched and by-source) after the union — per-clause distinct
       * would leave a key firing two different DELETE clauses duplicated,
       * and the verb's mixed/dup rule would refuse a legal all-delete
-      * statement (code review r15). */
-    def deletePiece(rows: DataFrame, eff: Column): DataFrame =
+      * statement (code review r15). `srcId` (ADVICE r15) carries the
+      * source row's synthetic identity for the cardinality check —
+      * matched deletes pass the joined source id, by-source deletes
+      * (touched by NO source row by definition) pass NULL (exempt). */
+    def deletePiece(rows: DataFrame, eff: Column,
+        srcId: Column): DataFrame =
       rows.filter(eff).select(headFields.map { f =>
         if (keyCols.contains(f.name)) tCol(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      } :+ lit(true).as(delCol): _*)
+      } :+ lit(true).as(delCol) :+ srcId.cast("long").as(srcIdCol): _*)
 
     val updatePieces = Vector.newBuilder[DataFrame] // matched UPDATEs
     val deletePieces = Vector.newBuilder[DataFrame] // matched + by-source
@@ -491,7 +505,8 @@ object RowLevelSqlStrategy extends SparkStrategy {
             case ((_, Some(assigns)), eff) =>
               updatePieces += updatePiece(joined, assigns, eff)
             case ((_, None), eff) =>
-              deletePieces += deletePiece(joined, eff)
+              deletePieces += deletePiece(joined, eff,
+                col(s"__s.$srcIdCol"))
           }
         }
         // NOT MATCHED BY SOURCE (r15): head rows whose key tuple no
@@ -508,7 +523,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
             case ((_, Some(assigns)), eff) =>
               otherPieces += updatePiece(anti, assigns, eff)
             case ((_, None), eff) =>
-              deletePieces += deletePiece(anti, eff)
+              deletePieces += deletePiece(anti, eff, lit(null))
           }
         }
         if (notMatched.nonEmpty) {
@@ -545,14 +560,19 @@ object RowLevelSqlStrategy extends SparkStrategy {
     // silently). Deletes de-dup ONCE across clauses: deleting a key
     // twice — even through two different DELETE clauses — is deleting it.
     val marker = "__graft_clause"
-    val uParts = updatePieces.result().map(_.withColumn(marker, lit("mu")))
+    val uParts = updatePieces.result().map(_.withColumn(marker, lit("mu"))
+      .withColumn(srcIdCol, lit(null).cast("long")))
+    // delete pieces stay RAW here (pre-distinct, source ids attached):
+    // the cardinality check below must see every source row that fired a
+    // DELETE; the de-dup to the verb's one-row-per-key shape happens on
+    // the pinned changeset after the check (ADVICE r15)
     val dParts = {
       val ps = deletePieces.result()
       if (ps.isEmpty) Nil
-      else Seq(ps.reduce(_.unionByName(_)).distinct()
-        .withColumn(marker, lit("del")))
+      else Seq(ps.reduce(_.unionByName(_)).withColumn(marker, lit("del")))
     }
-    val oParts = otherPieces.result().map(_.withColumn(marker, lit("other")))
+    val oParts = otherPieces.result().map(_.withColumn(marker, lit("other"))
+      .withColumn(srcIdCol, lit(null).cast("long")))
     val parts = uParts ++ dParts ++ oParts
     if (parts.isEmpty) return // defensive: no clause produced a piece
     val all = parts.reduce(_.unionByName(_)).localCheckpoint(true)
@@ -579,7 +599,33 @@ object RowLevelSqlStrategy extends SparkStrategy {
             " or a stored-duplicate target key) — de-duplicate the source" +
             " or pre-aggregate (q_upsert_latest)")
       }
-      CommitLog.mergeOn(spark, root, "catalog", keyCols, all.drop(marker),
+      // matched-DELETE cardinality (ADVICE r15 — the SQL/Delta rule the
+      // update check alone left open): a target key DELETEd by more than
+      // one DISTINCT source row violates. count_distinct ignores NULL
+      // ids, so by-source deletes (no source row) and a stored-duplicate
+      // key deleted by ONE source row (several joined rows, one id) both
+      // stay legal — deleting a duplicated key is deleting it.
+      if (dParts.nonEmpty) {
+        val dup = all.filter(col(marker) === "del")
+          .groupBy(keyCols.map(col): _*)
+          .agg(count_distinct(col(srcIdCol)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          "graft.commitlog MERGE cardinality violation: target key " +
+            keyCols.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+              .mkString("(", ", ", ")") +
+            " is DELETEd by more than one source row — de-duplicate the" +
+            " source (each target row may be touched by at most one" +
+            " source row)")
+      }
+      // the verb's changeset: deletes de-dup to one row per key ACROSS
+      // clauses (reading the pinned blocks, post-check); everything else
+      // passes through as built
+      val deletes = all.filter(col(marker) === "del")
+        .drop(marker, srcIdCol).distinct()
+      val rest = all.filter(col(marker) =!= "del").drop(marker, srcIdCol)
+      CommitLog.mergeOn(spark, root, "catalog", keyCols,
+        rest.unionByName(deletes),
         deleteCol = Some(delCol), multiInsertKeys = true)
     } finally all.unpersist()
     ()

@@ -949,12 +949,25 @@ object CommitLog {
     * names fail loudly (a typo'd drop must not silently "succeed"). */
   def dropConstraint(spark: SparkSession, root: String, writer: String,
       name: String, maxAttempts: Int = 20): Commit =
+    dropConstraints(spark, root, writer, Seq(name), maxAttempts)
+
+  /** DROP several constraints in ONE audited metadata commit — the bulk
+    * twin of [[addConstraints]] (ADVICE r15: [[GraftCatalog]]'s rollback
+    * of a failed CREATE previously issued per-constraint drop commits
+    * that could themselves partially fail, leaving the pre-existing
+    * external table half-rolled-back). All names are validated against
+    * the head before anything commits — all-or-nothing, like the add. */
+  def dropConstraints(spark: SparkSession, root: String, writer: String,
+      names: Seq[String], maxAttempts: Int = 20): Commit = {
+    require(names.nonEmpty, "dropConstraints needs at least one name")
     metadataCommit(spark, root, writer, "constraint-drop", maxAttempts) { cur =>
-      require(cur.constraints.exists(_._1 == name),
-        s"CommitLog: no constraint '$name' on $root " +
-          s"(have ${cur.constraints.map(_._1).mkString(", ")})")
-      cur.copy(constraints = cur.constraints.filterNot(_._1 == name))
+      val missing = names.filterNot(n => cur.constraints.exists(_._1 == n))
+      require(missing.isEmpty,
+        s"CommitLog: no constraint ${missing.map(n => s"'$n'").mkString(", ")} " +
+          s"on $root (have ${cur.constraints.map(_._1).mkString(", ")})")
+      cur.copy(constraints = cur.constraints.filterNot(c => names.contains(c._1)))
     }
+  }
 
   /** TIMESTAMP-based version resolution (r13 — the Delta `TIMESTAMP AS
     * OF` rule): the newest commit whose wall-clock is at-or-before

@@ -234,10 +234,17 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
       try writeMeta(ident, provider, location, declared)
       catch { case t: Throwable =>
         // descriptor write failed AFTER enforcement committed: roll the
-        // constraint commit back so the failed CREATE leaves the
-        // pre-existing external table's enforcement untouched
-        try declaredChecks.foreach { case (n, _) =>
-          CommitLog.dropConstraint(spark, location, "catalog", n) }
+        // constraint commit back — ONE bulk drop commit (ADVICE r15:
+        // per-constraint drops could partially fail, leaving a
+        // half-rolled-back external table) — so the failed CREATE
+        // leaves the pre-existing table's enforcement untouched.
+        // KNOWN WINDOW (best-effort by nature): a process crash between
+        // the addConstraints commit and writeMeta leaves the external
+        // table constrained with no catalog descriptor; the recovery is
+        // `CommitLog.dropConstraints` against the location directly (the
+        // constraint commit is audited, so `history()` shows it).
+        try CommitLog.dropConstraints(spark, location, "catalog",
+          declaredChecks.map(_._1))
         catch { case s: Throwable => t.addSuppressed(s) }
         throw t
       }

@@ -2422,21 +2422,36 @@ class CommitLogSpec extends SparkSpec {
       assert(mOverlap.getMessage.contains("order-ambiguous"),
         mOverlap.getMessage)
 
-      // ---- deletes de-dup ACROSS clauses (code review r15): a key
-      // whose duplicate source rows split across two DELETE clauses is
-      // a legal all-delete statement — deleting a key twice is deleting
-      // it, never a cardinality refusal ----
+      // ---- matched-DELETE cardinality (ADVICE r15, superseding the
+      // r15 'deleting twice is deleting' relaxation): TWO distinct
+      // source rows deleting one target key is the SQL/Delta MERGE
+      // cardinality violation — refused loudly, whether the rows fire
+      // one DELETE clause or split across two. ONE source row deleting
+      // a stored-DUPLICATE target key stays legal (several identical
+      // joined rows, one source identity): each target row is touched
+      // by at most one source row, the standard's actual rule. ----
       val rootD = freshRoot() + "/d"
       CommitLog.commit(spark, rootD, "w", "create") { _ =>
-        Seq((1L, 1.0), (2L, 2.0)).toDF("id", "p") }
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (3L, 3.5)).toDF("id", "p") }
       spark.sql(s"CREATE TABLE gcln.d USING `graft.commitlog` LOCATION '$rootD'")
       Seq((1L, 1.0), (1L, 99.0)).toDF("id", "p")
         .createOrReplaceTempView("gcln_dsrc")
-      spark.sql("MERGE INTO gcln.d t USING gcln_dsrc s ON t.id = s.id " +
-        "WHEN MATCHED AND s.p > 50 THEN DELETE " +
+      val delCard = intercept[Exception] {
+        spark.sql("MERGE INTO gcln.d t USING gcln_dsrc s ON t.id = s.id " +
+          "WHEN MATCHED AND s.p > 50 THEN DELETE " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assert(delCard.getMessage.contains("cardinality"),
+        s"two source rows deleting one key must violate: ${delCard.getMessage}")
+      assert(rows(spark.table("gcln.d")).size == 4,
+        "a refused MERGE must not have deleted anything")
+      // one source row, stored-duplicate key 3: both stored copies go
+      Seq((3L, 0.0)).toDF("id", "p").createOrReplaceTempView("gcln_dsrc1")
+      spark.sql("MERGE INTO gcln.d t USING gcln_dsrc1 s ON t.id = s.id " +
         "WHEN MATCHED THEN DELETE")
-      assert(rows(spark.table("gcln.d")) == Seq(Seq(2L, 2.0)),
-        "a key firing two DELETE clauses must delete, not refuse")
+      assert(rows(spark.table("gcln.d")) == Seq(Seq(1L, 1.0), Seq(2L, 2.0)),
+        "one source row deleting a stored-duplicate key is legal and " +
+          "removes every stored copy")
       spark.sql("DROP TABLE gcln.d")
 
       // ---- MERGE WITH SCHEMA EVOLUTION: evolve + merge, two commits ----
