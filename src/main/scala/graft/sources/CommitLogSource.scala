@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
@@ -405,10 +405,21 @@ object CommitLogSource {
 
   /** The snapshot read plan for one committed version: Spark's own parquet
     * relation over a [[CommitLogFileIndex]]. Shared by the options route
-    * and [[GraftCatalog]]. */
+    * and [[GraftCatalog]].
+    *
+    * A commit carrying DELETION VECTORS (r16) cannot be a bare file scan
+    * — its visible rows are dirs MINUS vectors — so it plans as a
+    * [[CommitLogDvRelation]] over the library's one DV-aware read
+    * instead (pushed filters/columns still reach the inner parquet scans
+    * through Catalyst; directory-index pruning returns once [[CommitLog
+    * .compact]] materializes the vectors away — the transitional-state
+    * trade the DV write economics buy). */
   private[sources] def snapshotRelation(spark: SparkSession, root: String,
       commit: CommitLog.Commit,
-      options: Map[String, String]): HadoopFsRelation = {
+      options: Map[String, String]): BaseRelation = {
+    if (CommitLog.needsMergeOnRead(commit))
+      return new CommitLogDvRelation(spark.sqlContext,
+        CommitLog.readCommit(spark, root, commit))
     val schema = CommitLog.readCommit(spark, root, commit).schema
     HadoopFsRelation(new CommitLogFileIndex(spark, root, commit),
       partitionSchema = StructType(Nil), dataSchema = schema,
@@ -619,7 +630,8 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   * route. */
 private[graft] final class CommitLogCatalogTable(root: String,
     declaredSchema: Option[String] = None,
-    pinnedCommit: Option[CommitLog.Commit] = None)
+    pinnedCommit: Option[CommitLog.Commit] = None,
+    private[graft] val pendingEvolution: Seq[StructField] = Nil)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -667,7 +679,29 @@ private[graft] final class CommitLogCatalogTable(root: String,
       classOf[ParquetFileFormat])
 
   override def name(): String = s"graft.commitlog($root)"
-  override def schema(): StructType = inner.schema
+  /** A STAGED merge evolution (r16) widens the REPORTED schema so the
+    * evolution rule's re-resolution sees its added columns before any
+    * commit exists; the merge execution folds them into its one commit.
+    * Instances without a staged evolution (every ordinary read) report
+    * exactly the committed schema. */
+  override def schema(): StructType =
+    if (pendingEvolution.isEmpty) inner.schema
+    else StructType(inner.schema.fields ++ pendingEvolution)
+  /** The DECLARED clustering spec (r16 — `CREATE/ALTER … CLUSTER BY`),
+    * reported as the ClusterByTransform it arrived as, so DESCRIBE and
+    * catalog consumers see the recorded intent; the layout itself is
+    * maintained by the argument-less compact cadence. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    commitOpt.flatMap(_.clusterBy).map { sp =>
+      val cols =
+        (if (sp.startsWith("z:")) sp.stripPrefix("z:")
+         else sp.stripPrefix("sort:")).split(',').toIndexedSeq
+      Array[org.apache.spark.sql.connector.expressions.Transform](
+        org.apache.spark.sql.connector.expressions.ClusterByTransform(
+          cols.map(c => org.apache.spark.sql.connector.expressions
+            .Expressions.column(c))))
+    }.getOrElse(Array.empty)
   /** The head's recorded CHECK constraints, surfaced through the DSv2
     * constraint API (r14) — DESCRIBE and catalog consumers see them;
     * enforcement itself lives in the write verbs (one gate, every
@@ -683,22 +717,18 @@ private[graft] final class CommitLogCatalogTable(root: String,
         .build(): Constraint
     }.toArray).getOrElse(Array.empty)
   }
-  // AUTOMATIC_SCHEMA_EVOLUTION (r15 — VERDICT r14 #5): consumed ONLY by
-  // MERGE INTO … WITH SCHEMA EVOLUTION (DataSourceV2Relation
-  // .autoSchemaEvolution is its single reader in Spark 4.1) — the
-  // analyzer computes the source-vs-target ADDs and routes them through
-  // GraftCatalog.alterTable → CommitLog.evolveSchema, one audited
-  // metadata-only commit, then re-resolves the target with the widened
-  // schema; non-additive changes refuse loudly in alterTable. KNOWN
-  // SEMANTICS (Spark's architecture, documented rather than hidden):
-  // the evolve commit lands during ANALYSIS, so a merge that
-  // subsequently fails — or a statement only analyzed (EXPLAIN) —
-  // still widens the schema. The widening is additive metadata only
-  // (old dirs read typed NULLs, rowInvisible — consumers ride
-  // through); re-running the corrected statement finds the column
-  // already present and evolves nothing. Delta folds evolution into
-  // the merge transaction; a two-commit sequence is this engine's
-  // declared shape (SURVEY §2.1 q_commit_log_merge_evolve).
+  // AUTOMATIC_SCHEMA_EVOLUTION (r15; single-commit since r16 — VERDICT
+  // r15 #4): consumed ONLY by MERGE INTO … WITH SCHEMA EVOLUTION
+  // (DataSourceV2Relation.autoSchemaEvolution is its single reader in
+  // Spark 4.1) — the analyzer computes the source-vs-target ADDs and
+  // routes them through GraftCatalog.alterTable, which STAGES the
+  // widening (GraftCatalog.pendingEvolve — no commit) and overlays it
+  // on the rule's own re-resolution; the merge EXECUTION
+  // (RowLevelSqlStrategy → CommitLog.mergeOn(evolveTo)) folds it into
+  // its ONE row-visible commit, recording the widened schema there —
+  // the Delta single-transaction shape. An EXPLAINed or failing
+  // statement leaves NO commit (spec-pinned); non-additive changes
+  // refuse loudly in alterTable.
   // OVERWRITE_BY_FILTER (r15): gates `INSERT INTO … REPLACE WHERE` —
   // the statement face of CommitLog.replaceWhere (SupportsOverwrite in
   // newWriteBuilder; untranslatable predicates refuse via canOverwrite).
@@ -709,7 +739,28 @@ private[graft] final class CommitLogCatalogTable(root: String,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    inner.newScanBuilder(options)
+    commitOpt.filter(CommitLog.needsMergeOnRead) match {
+      case Some(c) =>
+        // DELETION-VECTOR / defaulted commits (r16) cannot plan as a
+        // bare parquet table — visible rows are dirs MINUS vectors,
+        // defaulted columns coalesce per dir generation. The V1Scan
+        // fallback hands Spark the library's one DV-aware read as a
+        // relation (the JDBC-source pattern), so the catalog route and
+        // the library route read IDENTICAL rows by construction; Spark
+        // applies filters/pruning above it.
+        new org.apache.spark.sql.connector.read.ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            new org.apache.spark.sql.connector.read.V1Scan {
+              override def readSchema(): StructType =
+                CommitLogCatalogTable.this.schema()
+              override def toV1TableScan[T <: BaseRelation with TableScan](
+                  context: org.apache.spark.sql.SQLContext): T =
+                new CommitLogDvRelation(context,
+                  CommitLog.readCommit(spark, root, c)).asInstanceOf[T]
+            }
+        }
+      case None => inner.newScanBuilder(options)
+    }
 
   /** SQL `DELETE FROM` (r13): a copy-on-write rewrite commit through the
     * protocol (action "delete", audited like any verb) keeping the rows
@@ -815,6 +866,48 @@ private[sources] final class CommitLogChangesRelation(
     extends BaseRelation with TableScan {
   override val schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
+}
+
+/** Snapshot relation for a DELETION-VECTOR-bearing commit (r16): the
+  * rows come from [[CommitLog.readCommit]]'s DV-aware plan (vectorized
+  * parquet scans anti-joined against the tiny vector dataset — Catalyst
+  * broadcasts it at the threshold-bounded sizes the delete verb
+  * commits). [[PrunedFilteredScan]]: required columns and every
+  * translatable pushed filter are applied to the DataFrame, so column
+  * pruning and parquet row-group skipping reach the inner scans;
+  * untranslatable filters are simply re-applied by Spark above (the
+  * default `unhandledFilters` contract — pushing here is an
+  * optimization, never a correctness gate). Also the [[TableScan]] face
+  * for the DSv2 V1Scan fallback ([[CommitLogCatalogTable]]). */
+private[sources] final class CommitLogDvRelation(
+    override val sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with PrunedFilteredScan with TableScan {
+  // reported NULLABLE throughout: the MoR plan can TIGHTEN nullability
+  // (a default's coalesce makes its column provably non-null), and the
+  // DSv2 V1Scan fallback requires the relation schema to match the
+  // table's — which reads parquet-nullable. Claiming nullable for a
+  // non-null column is always safe; the reverse would be the bug.
+  override val schema: StructType =
+    CommitLogDvRelation.nullify(df.schema).asInstanceOf[StructType]
+  override def buildScan(): RDD[Row] = df.rdd
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(CommitLogSource.filterToColumn)
+      .foldLeft(df)(_.filter(_))
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+}
+
+private[sources] object CommitLogDvRelation {
+  private def nullify(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullify(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullify(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullify(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 }
 
 /** Micro-batch tail of a commit-log table — the FileStreamSource shape

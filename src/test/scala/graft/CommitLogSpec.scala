@@ -2449,7 +2449,8 @@ class CommitLogSpec extends SparkSpec {
       Seq((3L, 0.0)).toDF("id", "p").createOrReplaceTempView("gcln_dsrc1")
       spark.sql("MERGE INTO gcln.d t USING gcln_dsrc1 s ON t.id = s.id " +
         "WHEN MATCHED THEN DELETE")
-      assert(rows(spark.table("gcln.d")) == Seq(Seq(1L, 1.0), Seq(2L, 2.0)),
+      assert(rows(spark.table("gcln.d").orderBy("id")) ==
+        Seq(Seq(1L, 1.0), Seq(2L, 2.0)),
         "one source row deleting a stored-duplicate key is legal and " +
           "removes every stored copy")
       spark.sql("DROP TABLE gcln.d")
@@ -2464,11 +2465,13 @@ class CommitLogSpec extends SparkSpec {
       spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gcln.e t " +
         "USING gcln_esrc s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-      // the analyzer's evolution rides GraftCatalog.alterTable →
-      // evolveSchema: ONE audited metadata-only commit, then the merge
+      // ONE commit (r16 — VERDICT r15 #4 / ADVICE r15): the analyzer's
+      // widening is STAGED (GraftCatalog.pendingEvolve) and the merge
+      // execution FOLDS it into its single row-visible commit — the
+      // Delta single-transaction shape; no separate evolve commit exists
       val hist = CommitLog.history(spark, rootE).orderBy("version")
         .collect().map(r => r.getString(3)).toSeq
-      assert(hist == Seq("create", "evolve", "merge"), hist.toString)
+      assert(hist == Seq("create", "merge"), hist.toString)
       // old-dir rows read the evolved column as typed NULL; matched and
       // inserted rows carry it
       val eGot = spark.table("gcln.e").orderBy("id").collect()
@@ -2476,25 +2479,39 @@ class CommitLogSpec extends SparkSpec {
           Option(r.getString(2)))).toSeq
       assert(eGot == Seq((1L, 9.0, Some("n1")), (2L, 2.0, None),
         (5L, 50.0, Some("n5"))), eGot.toString)
-      // the evolve commit is rowInvisible: incremental consumers ride
-      // through it (appendedSince from v1 must not throw on v2)
-      assert(CommitLog.history(spark, rootE)
-        .filter(col("action") === "evolve")
-        .select("row_invisible").head().getBoolean(0),
-        "the evolution commit must be metadata-only (rowInvisible)")
-      // DOCUMENTED two-commit semantics pinned: evolution happens at
-      // ANALYSIS, so even an only-EXPLAINed statement widens the schema
-      // (additive, idempotent — re-analysis finds the column present).
-      // If Spark ever moves the evolution out of the analyzer, this
-      // fails loudly and the docs must change with it.
+      // an only-EXPLAINed evolution statement leaves NO commit and NO
+      // schema change — analysis stages, execution commits (r16: the
+      // pre-r16 analyzer-commits shape widened on EXPLAIN)
+      val vBeforeExplain = CommitLog.latest(spark, rootE).get.version
       Seq((1L, 9.0, "n", 1L)).toDF("id", "p", "note", "extra")
         .createOrReplaceTempView("gcln_esrc2")
       spark.sql("EXPLAIN MERGE WITH SCHEMA EVOLUTION INTO gcln.e t " +
         "USING gcln_esrc2 s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-      assert(spark.table("gcln.e").schema.fieldNames.contains("extra"),
-        "analyzer-driven evolution lands at analysis — the documented " +
-          "(and here pinned) EXPLAIN-evolves semantics")
+      assert(CommitLog.latest(spark, rootE).get.version == vBeforeExplain,
+        "EXPLAIN must not commit anything")
+      assert(!spark.table("gcln.e").schema.fieldNames.contains("extra"),
+        "EXPLAIN must not widen the visible schema")
+      // the staged-but-unexecuted widening must not leak into an
+      // ordinary read OR a later evolution-free merge on the table
+      Seq((2L, 4.0, "m2")).toDF("id", "p", "note")
+        .createOrReplaceTempView("gcln_esrc3")
+      spark.sql("MERGE INTO gcln.e t USING gcln_esrc3 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+      assert(!spark.table("gcln.e").schema.fieldNames.contains("extra"))
+      assert(spark.table("gcln.e").filter(col("id") === 2L)
+        .select("p").head().getDouble(0) == 4.0)
+      // and EXECUTING the evolution now lands extra in ONE merge commit
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gcln.e t " +
+        "USING gcln_esrc2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val hist2 = CommitLog.history(spark, rootE).orderBy("version")
+        .collect().map(r => r.getString(3)).toSeq
+      assert(hist2 == Seq("create", "merge", "merge", "merge"),
+        hist2.toString)
+      assert(spark.table("gcln.e").filter(col("id") === 1L)
+        .select("extra").head().getLong(0) == 1L,
+        "the executed evolution lands the new column's values")
 
       // ---- NMBS UPDATE over STORED-duplicate keys (the documented
       // benign case): target-only assignments produce identical updated
@@ -2753,5 +2770,324 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.statsKeepDirs(legacy, "a", 50L, 60L,
       requireRecorded = true).isEmpty,
       "legacy stats still prune after the upgrade")
+  }
+
+  test("declared CLUSTER BY: CREATE records the spec, argument-less compact maintains it, ALTER re-declares and clears") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gccb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gccb.dir", catRoot)
+    try {
+      spark.sql("CREATE TABLE gccb.t (id BIGINT, x BIGINT, y BIGINT) " +
+        s"USING `graft.commitlog` CLUSTER BY (x, y) LOCATION '$tableRoot'")
+      val declared = CommitLog.latest(spark, tableRoot).get
+      assert(declared.clusterBy.contains("z:x,y"),
+        s"CREATE … CLUSTER BY must record the spec, got ${declared.clusterBy}")
+      assert(declared.rowInvisible, "the declaration is metadata-only")
+      // DESCRIBE face: the table reports the ClusterByTransform
+      val desc = spark.sql("DESCRIBE EXTENDED gccb.t").collect().mkString
+      assert(desc.contains("x") && desc.toLowerCase.contains("cluster"),
+        s"DESCRIBE must surface the clustering, got:\n$desc")
+      // two inserts fragment the head; the spec rides every append
+      spark.sql("INSERT INTO gccb.t SELECT id, id % 64, id DIV 64 " +
+        "FROM range(0, 2048)")
+      spark.sql("INSERT INTO gccb.t SELECT id, id % 64, id DIV 64 " +
+        "FROM range(2048, 4096)")
+      assert(CommitLog.latest(spark, tableRoot).get.clusterBy
+        .contains("z:x,y"), "appends must carry the declared spec")
+      // argument-less compact maintains the DECLARED layout
+      val c1 = CommitLog.compact(spark, tableRoot, "opt").get
+      assert(c1.clusterSpec.contains("z:x,y"),
+        s"compact with no columns must default to the declared spec, " +
+          s"got ${c1.clusterSpec}")
+      assert(spark.table("gccb.t").count() == 4096L)
+      // schedulable: a same-spec compact on the quiescent head no-ops
+      val c2 = CommitLog.compact(spark, tableRoot, "opt").get
+      assert(c2.version == c1.version, "same-spec compact must no-op")
+      // the CALL face with no layout arguments takes the same default
+      spark.sql("INSERT INTO gccb.t VALUES (9999, 1, 1)")
+      spark.sql("CALL gccb.compact('t')")
+      assert(CommitLog.latest(spark, tableRoot).get.clusterSpec
+        .contains("z:x,y"), "CALL compact() must maintain the declared spec")
+      // ALTER re-declares: one column → a range-sort layout
+      spark.sql("ALTER TABLE gccb.t CLUSTER BY (id)")
+      assert(CommitLog.latest(spark, tableRoot).get.clusterBy
+        .contains("sort:id"))
+      val c3 = CommitLog.compact(spark, tableRoot, "opt").get
+      assert(c3.clusterSpec.contains("sort:id"),
+        "a re-declared spec re-clusters even a packed head")
+      // CLUSTER BY NONE clears; compact then just bin-packs (no-op here)
+      spark.sql("ALTER TABLE gccb.t CLUSTER BY NONE")
+      assert(CommitLog.latest(spark, tableRoot).get.clusterBy.isEmpty)
+      val c4 = CommitLog.compact(spark, tableRoot, "opt").get
+      assert(c4.version == CommitLog.latest(spark, tableRoot).get.version &&
+        spark.table("gccb.t").count() == 4097L)
+      // a typo'd CLUSTER BY column refuses at CREATE, before the
+      // descriptor lands — the corrected retry starts clean
+      val badRoot = freshRoot() + "/b"
+      CommitLog.commit(spark, badRoot, "w", "create") { _ =>
+        Seq((1L, 2L)).toDF("a", "b") }
+      val bad = intercept[Exception] {
+        spark.sql("CREATE TABLE gccb.bad (a BIGINT, b BIGINT) " +
+          s"USING `graft.commitlog` CLUSTER BY (nope) LOCATION '$badRoot'")
+      }
+      assert(bad.getMessage.contains("nope"), bad.getMessage)
+      intercept[Exception] { spark.table("gccb.bad").collect() }
+      assert(CommitLog.latest(spark, badRoot).get.clusterBy.isEmpty,
+        "a refused CREATE must not leave a declared spec behind")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gccb.t")
+      spark.conf.unset("spark.sql.catalog.gccb")
+      spark.conf.unset("spark.sql.catalog.gccb.dir")
+    }
+  }
+
+  test("ADD COLUMNS DEFAULT: pre-evolution dirs read the constant, new writes store explicit values, every route agrees") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.dir", catRoot)
+    try {
+      CommitLog.commit(spark, tableRoot, "w", "create") { _ =>
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+      spark.sql(s"CREATE TABLE gcdf.t USING `graft.commitlog` LOCATION '$tableRoot'")
+      // the statement face: ALTER … ADD COLUMNS with DEFAULT
+      spark.sql("ALTER TABLE gcdf.t ADD COLUMNS (bonus DOUBLE DEFAULT 1.5)")
+      val evolved = CommitLog.latest(spark, tableRoot).get
+      assert(evolved.defaults.map(d => (d._1, d._3)) ==
+        Seq(("bonus", "1.5")), evolved.defaults.toString)
+      // pre-evolution dirs read the EXISTENCE default through all routes
+      def bonuses(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(r => Option(r.get(2))).toSeq
+      assert(bonuses(CommitLog.readLatest(spark, tableRoot).get) ==
+        Seq(Some(1.5), Some(1.5)), "library route")
+      assert(bonuses(spark.table("gcdf.t")) ==
+        Seq(Some(1.5), Some(1.5)), "catalog route")
+      assert(bonuses(spark.read.format("graft.commitlog").load(tableRoot)) ==
+        Seq(Some(1.5), Some(1.5)), "connector route")
+      // new writes store EXPLICIT values — including explicit NULL,
+      // which must stay NULL (existence default ≠ insert default)
+      spark.sql("INSERT INTO gcdf.t VALUES (3, 'c', 9.0), (4, 'd', NULL)")
+      assert(bonuses(spark.table("gcdf.t")) ==
+        Seq(Some(1.5), Some(1.5), Some(9.0), None))
+      // a constraint added NOW sees the default on old rows (the
+      // enforcement read is the default-applied snapshot)
+      CommitLog.addConstraint(spark, tableRoot, "w", "bonus_pos",
+        "bonus IS NULL OR bonus > 0")
+      // filters/aggregates see the default (pushdown-safe: the MoR
+      // relation re-applies everything above the coalesce)
+      assert(spark.table("gcdf.t").filter(col("bonus") === 1.5).count() == 2L)
+      assert(spark.sql("SELECT sum(bonus) FROM gcdf.t").head().getDouble(0)
+        == 12.0)
+      // time travel BEFORE the evolution shows the old schema
+      assert(!spark.sql("SELECT * FROM gcdf.t VERSION AS OF 1")
+        .schema.fieldNames.contains("bonus"))
+      // compact MATERIALIZES the default physically; reads agree after
+      CommitLog.compact(spark, tableRoot, "opt")
+      val afterCompact = CommitLog.latest(spark, tableRoot).get
+      assert(!CommitLog.needsMergeOnRead(afterCompact),
+        "a compacted head reads as a bare file scan again")
+      assert(bonuses(spark.table("gcdf.t")) ==
+        Seq(Some(1.5), Some(1.5), Some(9.0), None))
+      // a merge on the defaulted table must not drop the constant
+      CommitLog.merge(spark, tableRoot, "m", "id",
+        Seq((2L, "B", 2.5)).toDF("id", "v", "bonus"))
+      assert(bonuses(spark.table("gcdf.t")) ==
+        Seq(Some(1.5), Some(2.5), Some(9.0), None))
+      // CREATE TABLE with a column DEFAULT refuses (sound-or-refuse:
+      // nothing substitutes defaults at INSERT time)
+      val createDefault = intercept[Exception] {
+        spark.sql("CREATE TABLE gcdf.bad (id BIGINT, x INT DEFAULT 7) " +
+          s"USING `graft.commitlog` LOCATION '${freshRoot()}/bad'")
+      }
+      assert(createDefault.getMessage.toLowerCase.contains("default"),
+        createDefault.getMessage)
+      // a non-deterministic default refuses before anything commits
+      val vBefore = CommitLog.latest(spark, tableRoot).get.version
+      intercept[Exception] {
+        CommitLog.evolveSchema(spark, tableRoot, "w",
+          Seq(org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.DoubleType)),
+          defaults = Map("r" -> "rand()"))
+      }
+      assert(CommitLog.latest(spark, tableRoot).get.version == vBefore)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcdf.t")
+      spark.conf.unset("spark.sql.catalog.gcdf")
+      spark.conf.unset("spark.sql.catalog.gcdf.dir")
+    }
+  }
+
+  test("deletion vectors: scattered point deletes write O(changeset), fold, feed the CDF, compact away") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ids(lo: Long, hi: Long) =
+      (lo until hi).toDF("id").withColumn("v", col("id") % 10)
+    CommitLog.commit(spark, root, "w", "create") { _ => ids(0, 1000) }
+    CommitLog.commitAppend(spark, root, "w", "append")(ids(1000, 2000))
+    CommitLog.commitAppend(spark, root, "w", "append")(ids(2000, 3000))
+    val v3 = CommitLog.latest(spark, root).get
+    assert(v3.dataDirs.size == 3 && v3.dv.isEmpty)
+
+    // ---- 1% scattered delete: merge-on-read, NOT copy-on-write ----
+    val v4 = CommitLog.delete(spark, root, "w",
+      col("id") % 100 === 7).get
+    assert(v4.version == 4L && v4.action == "delete")
+    assert(v4.dataDirs == v3.dataDirs,
+      "a DV delete must not rewrite or add any data dir")
+    assert(v4.dv.keySet == v3.dataDirs.toSet &&
+      v4.dv.values.toSet.size == 1,
+      s"every affected dir maps to the one new vector: ${v4.dv}")
+    val got4 = CommitLog.readLatest(spark, root).get
+    assert(got4.count() == 2970L)
+    assert(got4.filter(col("id") % 100 === 7).count() == 0L)
+    // history: the pre-delete version still shows every row
+    assert(CommitLog.readVersion(spark, root, 3L).get.count() == 3000L)
+    // O(changeset) bytes: the vector dataset is tiny vs any data dir
+    val dvBytes = Files.walk(java.nio.file.Paths.get(root, "_dv"))
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    val dirBytes = Files.walk(java.nio.file.Paths.get(root, v3.dataDirs.head))
+      .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    assert(dvBytes < dirBytes,
+      s"vector bytes ($dvBytes) must undercut one dir rewrite ($dirBytes)")
+
+    // ---- second DV delete FOLDS into one vector generation ----
+    val v5 = CommitLog.delete(spark, root, "w",
+      col("id") % 100 === 13).get
+    assert(v5.dv.values.toSet.size == 1 &&
+      v5.dv.values.toSet != v4.dv.values.toSet,
+      "the fold writes a NEW vector dataset; dirs repoint to it")
+    val got5 = CommitLog.readLatest(spark, root).get
+    assert(got5.count() == 2940L)
+    assert(got5.filter(col("id") % 100 === 7 || col("id") % 100 === 13)
+      .count() == 0L, "the folded vector keeps BOTH generations' deletes")
+
+    // ---- connector + point/skip reads agree with the library ----
+    val conn = spark.read.format("graft.commitlog").load(root)
+    assert(conn.count() == 2940L)
+    assert(conn.filter(col("id") === 107L).count() == 0L &&
+      conn.filter(col("id") === 108L).count() == 1L,
+      "pushed filters stay exact over the DV relation")
+    assert(CommitLog.readLatestPoint(spark, root, "id", 213L).get.count() == 0L)
+
+    // ---- incremental consumers: resync or ride the feed ----
+    assert(CommitLog.appendedSince(spark, root, 3L).isEmpty,
+      "a DV commit retracts rows — append-only incrementality must resync")
+    val feed = CommitLog.changesSince(spark, root, 3L).get
+    assert(feed.filter(col("_commit_version") === 4L &&
+      col("_change_type") === "delete").count() == 30L)
+    assert(feed.filter(col("_commit_version") === 5L).count() == 30L)
+    // appends after the vector carry it and stay incrementally readable
+    CommitLog.commitAppend(spark, root, "w", "append")(ids(10000, 10100))
+    val v6 = CommitLog.latest(spark, root).get
+    assert(v6.dv == v5.dv, "an append must carry the vectors verbatim")
+    assert(CommitLog.appendedSince(spark, root, 5L).get.count() == 100L)
+    assert(CommitLog.readLatest(spark, root).get.count() == 3040L)
+
+    // ---- compact MATERIALIZES vectors; vacuum sweeps them ----
+    val compacted = CommitLog.compact(spark, root, "w").get
+    assert(compacted.dv.isEmpty && compacted.rowInvisible)
+    val after = CommitLog.readLatest(spark, root).get
+    assert(after.count() == 3040L &&
+      after.filter(col("id") % 100 === 7 && col("id") < 3000).count() == 0L)
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val dvDirFile = new java.io.File(root, "_dv")
+    assert(!dvDirFile.exists() || dvDirFile.listFiles().isEmpty,
+      s"vacuum must sweep unreferenced vectors: ${Option(dvDirFile.listFiles()).map(_.toSeq)}")
+
+    // ---- threshold: a big delete stays copy-on-write ----
+    val root2 = freshRoot()
+    CommitLog.commit(spark, root2, "w", "create") { _ => ids(0, 100) }
+    CommitLog.commitAppend(spark, root2, "w", "append")(ids(100, 200))
+    val cow = CommitLog.delete(spark, root2, "w", col("id") < 150).get
+    assert(cow.dv.isEmpty, "a 75%-matched delete must rewrite, not vector")
+    assert(CommitLog.readLatest(spark, root2).get.count() == 50L)
+    // and a merge / CoW rewrite of a vectored dir materializes the
+    // vector away without resurrecting its deletes
+    val root3 = freshRoot()
+    CommitLog.commit(spark, root3, "w", "create") { _ => ids(0, 1000) }
+    val dv3 = CommitLog.delete(spark, root3, "w", col("id") % 200 === 5).get
+    assert(dv3.dv.nonEmpty)
+    CommitLog.merge(spark, root3, "w", "id", Seq((208L, 99L)).toDF("id", "v"))
+    val m3 = CommitLog.readLatest(spark, root3).get
+    assert(m3.count() == 995L &&
+      m3.filter(col("id") === 208L).select("v").head().getLong(0) == 99L &&
+      m3.filter(col("id") === 205L).count() == 0L,
+      "a merge rewrite of a vectored dir materializes, never resurrects")
+    val cow3 = CommitLog.delete(spark, root3, "w", col("id") >= 100).get
+    assert(cow3.dv.isEmpty,
+      "the rewrite reads visible rows and materializes the vector away")
+    assert(rows(CommitLog.readLatest(spark, root3).get.orderBy("id"))
+      .map(_.head) == (0L until 100L).filterNot(_ == 5L),
+      "vectored deletes survive the copy-on-write rewrite")
+
+    // ---- full-dir drops ride the CoW route with its feed ----
+    val root4 = freshRoot()
+    CommitLog.commit(spark, root4, "w", "create") { _ => ids(0, 100) }
+    CommitLog.commitAppend(spark, root4, "w", "append")(ids(100, 200))
+    val base4 = CommitLog.latest(spark, root4).get
+    val drop = CommitLog.delete(spark, root4, "w", col("id") < 100).get
+    assert(drop.dv.isEmpty && CommitLog.readLatest(spark, root4).get
+      .agg(org.apache.spark.sql.functions.min(col("id"))).head().getLong(0) == 100L)
+    assert(CommitLog.changesSince(spark, root4, base4.version).get
+      .filter(col("_change_type") === "delete").count() == 100L)
+
+    // ---- strict parse: a damaged dv block makes the commit unreadable,
+    // never silently vector-less ----
+    val root5 = freshRoot()
+    CommitLog.commit(spark, root5, "w", "create") { _ => ids(0, 1000) }
+    CommitLog.delete(spark, root5, "w", col("id") % 500 === 3).get
+    val p5 = java.nio.file.Paths.get(root5, "_commits",
+      "v" + "%020d".format(2L) + ".json")
+    val damaged = new String(Files.readAllBytes(p5), "UTF-8")
+      .replaceFirst("\"dv\":\\{\"[^\"]+\"", "\"dv\":{\"x")
+    Files.write(p5, damaged.getBytes("UTF-8"))
+    assert(CommitLog.commitAt(spark, root5, 2L).isEmpty,
+      "a commit with a damaged dv block must not parse")
+    assert(CommitLog.latest(spark, root5).get.version == 1L,
+      "readers fall back behind the unreadable dv commit")
+  }
+
+  test("deletion vectors through the catalog: DELETE FROM takes the DV path; statements read and mutate the vectored table") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.dir", catRoot)
+    try {
+      CommitLog.commit(spark, tableRoot, "w", "create") { _ =>
+        (0L until 500L).toDF("id").withColumn("v", col("id") % 7) }
+      CommitLog.commitAppend(spark, tableRoot, "w", "append")(
+        (500L until 1000L).toDF("id").withColumn("v", col("id") % 7))
+      spark.sql(s"CREATE TABLE gdv.t USING `graft.commitlog` LOCATION '$tableRoot'")
+      // translatable IN-list point delete, 1% matched: SupportsDelete →
+      // CommitLog.delete → the DV path
+      spark.sql("DELETE FROM gdv.t WHERE id IN (3, 250, 499, 501, 750, 999)")
+      val head = CommitLog.latest(spark, tableRoot).get
+      assert(head.dv.nonEmpty, "a scattered statement delete must vector")
+      // the catalog read route (DSv2 V1Scan fallback) sees visible rows
+      assert(spark.table("gdv.t").count() == 994L)
+      assert(spark.table("gdv.t").filter(col("id") === 250L).count() == 0L)
+      assert(spark.sql("SELECT count(*) FROM gdv.t WHERE id < 10")
+        .head().getLong(0) == 9L)
+      // time travel pre-delete still shows every row
+      assert(spark.sql("SELECT count(*) FROM gdv.t VERSION AS OF 2")
+        .head().getLong(0) == 1000L)
+      // UPDATE over the vectored table: CoW carries/materializes soundly
+      spark.sql("UPDATE gdv.t SET v = -1 WHERE id = 4")
+      assert(spark.table("gdv.t").filter(col("v") === -1L).count() == 1L)
+      assert(spark.table("gdv.t").filter(col("id") === 3L).count() == 0L,
+        "the UPDATE rewrite must not resurrect vectored deletes")
+      // strategy-route DELETE (untranslatable predicate) on the table
+      spark.sql("DELETE FROM gdv.t WHERE id % 250 = 100")
+      assert(spark.table("gdv.t").filter(col("id") === 350L).count() == 0L)
+      assert(spark.table("gdv.t").count() == 990L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gdv.t")
+      spark.conf.unset("spark.sql.catalog.gdv")
+      spark.conf.unset("spark.sql.catalog.gdv.dir")
+    }
   }
 }

@@ -1107,12 +1107,17 @@ class StreamingSpec extends SparkSpec {
     val catRoot = Files.createTempDirectory("graft-cdfn-cat").toString
     val root = Files.createTempDirectory("graft-cdfn").toString
     val ckpt = Files.createTempDirectory("graft-cdfn-ck").toString
-    spark.conf.set("spark.sql.catalog.gcln", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gcln.dir", catRoot)
+    // suite-unique catalog name (r16): suites share one SparkSession and
+    // run in PARALLEL; Spark's CatalogManager caches a catalog instance
+    // (and its `dir`) by NAME on first use, so a name another suite also
+    // registers would race — the same stale-instance hazard ADVICE r14
+    // fixed for the fixture catalogs with dataset-hashed names
+    spark.conf.set("spark.sql.catalog.gclns", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclns.dir", catRoot)
     try {
       CommitLog.commit(spark, root, "w", "create") { _ =>
         Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
-      spark.sql(s"CREATE TABLE gcln.t USING `graft.commitlog` LOCATION '$root'")
+      spark.sql(s"CREATE TABLE gclns.t USING `graft.commitlog` LOCATION '$root'")
       val state = scala.collection.mutable.Map.empty[Long, String]
       def fold(changes: Seq[(Long, String, String, Long)]): Unit =
         changes.sortBy(c => (c._4, c._1)).foreach {
@@ -1123,7 +1128,7 @@ class StreamingSpec extends SparkSpec {
           case other => fail(s"unknown change type: $other")
         }
       // every drain targets the NAME — no raw path crosses the API
-      fold(drainCommitLogChanges("gcln.t", ckpt))
+      fold(drainCommitLogChanges("gclns.t", ckpt))
       assert(state == Map(1L -> "a", 2L -> "b"))
       CommitLog.commitAppend(spark, root, "w", "append")(
         Seq((3L, "c")).toDF("id", "v"))
@@ -1131,17 +1136,17 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, "A", false), (2L, "b", true)).toDF("id", "v", "del"),
         deleteCol = Some("del"))
       CommitLog.compact(spark, root, "opt")
-      val incr = drainCommitLogChanges("gcln.t", ckpt)
+      val incr = drainCommitLogChanges("gclns.t", ckpt)
       assert(incr.exists(_._3 == "update_postimage") &&
         incr.exists(_._3 == "delete"),
         s"the merge's changeset must ride through by name, got $incr")
       fold(incr)
-      val head = rows(spark.table("gcln.t").orderBy("id"))
+      val head = rows(spark.table("gclns.t").orderBy("id"))
         .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[String]).toMap
       assert(state.toMap == head,
         s"named-CDF-maintained state must equal the head: $state vs $head")
       // exactly-once on the same checkpoint, still by name
-      assert(drainCommitLogChanges("gcln.t", ckpt).isEmpty)
+      assert(drainCommitLogChanges("gclns.t", ckpt).isEmpty)
       // the exactly-once SINK also takes the name: stream one batch in
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[(Long, String)]
@@ -1150,14 +1155,14 @@ class StreamingSpec extends SparkSpec {
         .format("graft.commitlog").option("txnAppId", "namedsink")
         .option("checkpointLocation",
           Files.createTempDirectory("graft-cdfn-sk").toString)
-        .start("gcln.t")
+        .start("gclns.t")
       try sq.processAllAvailable() finally sq.stop()
-      assert(rows(spark.table("gcln.t").orderBy("id")).map(_.head) ==
+      assert(rows(spark.table("gclns.t").orderBy("id")).map(_.head) ==
         Seq(1L, 3L, 9L))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS gcln.t")
-      spark.conf.unset("spark.sql.catalog.gcln")
-      spark.conf.unset("spark.sql.catalog.gcln.dir")
+      spark.sql("DROP TABLE IF EXISTS gclns.t")
+      spark.conf.unset("spark.sql.catalog.gclns")
+      spark.conf.unset("spark.sql.catalog.gclns.dir")
     }
   }
 
