@@ -654,6 +654,42 @@ object Relational {
       root
     }
 
+  // Session-cached catalog table for q_commit_log_rename (r16 — VERDICT
+  // r15 #2, column mapping): class 56 created, `ALTER TABLE … RENAME
+  // COLUMN o_totalprice TO price` (ONE metadata commit — the fixture
+  // asserts zero data dirs moved and the frozen physical mapping), then
+  // class 57 INSERTed through the renamed schema (staged under the
+  // frozen physical name). The declared read aggregates `price` through
+  // `spark.table` — old dirs project physical→logical, the new dir
+  // proves the write path translates.
+  private val renameCache = new graft.SessionCache[String](graft.TempDirs.delete)
+  private def renameLogFor(s: SparkSession, d: String): String =
+    renameCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitrename")
+      val table = s"$root/table"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === 56)
+        .write.format("graft.commitlog").save(table)
+      val cat = catName("gcrn", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_rn " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      val before = graft.sources.CommitLog.latest(s, table).get
+      s.sql(s"ALTER TABLE $cat.orders_rn RENAME COLUMN o_totalprice TO price")
+      val after = graft.sources.CommitLog.latest(s, table).get
+      require(after.dataDirs == before.dataDirs && after.colMap.nonEmpty,
+        s"q_commit_log_rename must be metadata-only over a frozen " +
+          s"mapping, got dirs=${after.dataDirs} map=${after.colMap}")
+      orders.filter(col("o_orderkey") % 100 === 57)
+        .withColumnRenamed("o_totalprice", "price")
+        .createOrReplaceTempView(s"graft_rn_src_${catName("gcrn", d).drop(4)}")
+      s.sql(s"INSERT INTO $cat.orders_rn " +
+        s"SELECT * FROM graft_rn_src_${catName("gcrn", d).drop(4)}")
+      root
+    }
+
   // Session-cached commit-log table for q_commit_log_merge_nmbs (r15 —
   // VERDICT r14 #1): classes 38+39 created, then ONE SQL MERGE whose
   // WHEN NOT MATCHED BY SOURCE clauses run the retention/sync pattern —
@@ -902,6 +938,23 @@ object Relational {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // COLUMN MAPPING (r16 — VERDICT r15 #2): `RENAME COLUMN` as ONE
+    // metadata commit over frozen physical names (the fixture asserts
+    // zero data dirs moved), with a post-rename INSERT staged under the
+    // frozen physical — the declared read aggregates the renamed
+    // `price` through spark.table, so a lost mapping (physical names
+    // leaking), a stale projection, or a mistranslated write all
+    // hash-fail against the oracle's relational rebuild.
+    "q_commit_log_rename" -> ((s, d) => {
+      val root = renameLogFor(s, d)
+      s.table(s"${catName("gcrn", d)}.orders_rn")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
     }),
@@ -1740,6 +1793,11 @@ object Relational {
         "SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 51 " +
         "UNION ALL SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 52 " +
         "UNION ALL SELECT coalesce(min(o_orderkey), -1) FROM orders WHERE o_orderkey % 100 = 53) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_rename" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderkey % 100 IN (56, 57) " +
         "GROUP BY 1 ORDER BY 1"),
     "q_commit_log_dv_sql" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +

