@@ -2933,12 +2933,134 @@ object CommitLog {
   def update(spark: SparkSession, root: String, writer: String,
       cond: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      maxAttempts: Int = 20): Option[Commit] = {
+      maxAttempts: Int = 20, dvMaxFraction: Double = 0.2): Option[Commit] = {
     require(assignments.nonEmpty, "CommitLog.update needs assignments")
     latest(spark, root).map(_ =>
-      prunedRewrite(spark, root, writer, "update", cond,
-        incoming = None, declared = Nil, maxAttempts = maxAttempts,
-        assignments = assignments))
+      updateViaDv(spark, root, writer, cond, assignments, maxAttempts,
+        dvMaxFraction)
+        .getOrElse(prunedRewrite(spark, root, writer, "update", cond,
+          incoming = None, declared = Nil, maxAttempts = maxAttempts,
+          assignments = assignments)))
+  }
+
+  /** The merge-on-read half of [[update]] (r16, the [[deleteViaDv]]
+    * economics applied to UPDATE — Delta's DV-update shape): when the
+    * matched fraction of the affected dirs' visible rows is under the
+    * threshold, the stored pre-image rows are DV-DELETED in place and
+    * the assigned post-image rows land as one O(changeset) appended
+    * dir — one commit, ~changeset bytes written, instead of rewriting
+    * every might-match dir. Some(commit) when it landed this way (or
+    * the update provably matched nothing); None when the copy-on-write
+    * engine should run. The CDF carries update_preimage/postimage rows
+    * keyed by the new dir, so [[changesSince]] rides through. */
+  private def updateViaDv(spark: SparkSession, root: String,
+      writer: String, cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      maxAttempts: Int, dvMaxFraction: Double): Option[Commit] = {
+    requireTag(writer, "writer")
+    if (dvMaxFraction <= 0) return None
+    init(spark, root)
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val head = latest(spark, root).getOrElse(return None)
+      val headSchema = load(spark, root, head).schema
+      assignments.foreach { case (n, _) =>
+        require(headSchema.fieldNames.contains(n),
+          s"update assigns '$n', not in head schema ${headSchema.simpleString}")
+      }
+      val conjuncts = predicateConjuncts(spark, root, head, cond)
+      val affected =
+        if (conjuncts.isEmpty) head.dataDirs
+        else CommitLogSource.pruneDirsByEvidence(spark, root, head, conjuncts)
+      if (affected.isEmpty) return Some(head) // provably nothing matches
+      val withPos = visibleWithPos(spark, root, head, affected)
+      val counts = withPos
+        .agg(count(lit(1)).as("__n"), count(when(cond, 1)).as("__m"))
+        .head()
+      val (total, matched) = (counts.getLong(0), counts.getLong(1))
+      if (matched == 0) return Some(head) // TRUE nowhere: no-op
+      if (matched > dvMaxFraction * total) return None // CoW is cheaper
+      val nextV = head.version + 1
+      val dvName = s"dv-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      // the matched pre-image region, pinned ONCE (changeset-sized): it
+      // feeds the vector (positions), the post-images (assigned values),
+      // and the typed change feed
+      val m = withPos.filter(cond).localCheckpoint(true)
+      try {
+        val am = assignments.toMap
+        val post = m.select(headSchema.fields.toSeq.map { fd =>
+          am.get(fd.name) match {
+            case Some(v) => v.cast(fd.dataType).as(fd.name)
+            case None => col(fd.name)
+          }
+        }: _*)
+        // post-images are NEW values: constraints gate before staging
+        enforceConstraints(post, head.constraints)
+        // only dirs that actually contributed matched rows take the
+        // vector; evidence false-positives carry untouched
+        val dirOf = org.apache.spark.sql.functions
+          .regexp_extract(col(DvPathCol), "/(data-[^/]+)/[^/]*$", 1)
+        val touched = m.select(dirOf.as("__d")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val newPos = m.select(col(DvPathCol).as("path"),
+          col(DvPosCol).as("pos"))
+        val oldNames = touched.toSeq.flatMap(head.dv.get).distinct
+        val allDv =
+          if (oldNames.isEmpty) newPos
+          else newPos.unionByName(
+            spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
+              .filter(org.apache.spark.sql.functions
+                .regexp_extract(col("path"), "/(data-[^/]+)/[^/]*$", 1)
+                .isin(touched.toSeq: _*)))
+        f.mkdirs(dvDir(root))
+        allDv.write.mode(SaveMode.Overwrite)
+          .parquet(dvPath(root, dvName).toString)
+        toPhysical(post, head.colMap).write
+          .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+        // CDF keyed by the NEW DIR (the commit adds one — the merge
+        // pattern): pre-images then post-images, delta-sized
+        f.mkdirs(changesDir(root))
+        m.select(headSchema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type",
+            lit("update_postimage")))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(changesPath(root, newDir).toString)
+        bloomColumn(spark, root).foreach(bc =>
+          buildSidecar(spark, root, newDir,
+            head.colMap.getOrElse(bc, bc), fpp = 0.001))
+        val effCols = head.statsCols
+        val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
+          head.colMap)
+        val newStats =
+          if (newByCol.nonEmpty) Map(newDir -> newByCol)
+          else Map.empty[String, Map[String, (Long, Long)]]
+        val c = Commit(nextV, head.dataDirs :+ newDir, writer, "update",
+          head.stats ++ newStats,
+          statsCols = if ((head.stats ++ newStats).nonEmpty) effCols else Nil,
+          schemaDDL = head.schemaDDL,
+          tsMs = Some(System.currentTimeMillis()),
+          constraints = head.constraints,
+          dv = (head.dv -- touched) ++ touched.toSeq.map(_ -> dvName),
+          clusterBy = head.clusterBy,
+          defaults = head.defaults,
+          colMap = head.colMap)
+        if (tryClaim(spark, root, nextV, render(c))) {
+          writeHeadPointer(f, root, nextV); return Some(c)
+        }
+        f.delete(dvPath(root, dvName), true)
+        f.delete(new HPath(s"$root/$newDir"), true)
+        f.delete(changesPath(root, newDir), true)
+        f.delete(bloomPath(root, newDir), false)
+      } finally m.unpersist()
+      Thread.sleep(50L * attempt)
+    }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive update claims on $root")
   }
 
   /** The optimized predicate's conjuncts over `head`'s snapshot — the

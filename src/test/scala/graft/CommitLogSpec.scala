@@ -3134,6 +3134,40 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.changesSince(spark, root4, base4.version).get
       .filter(col("_change_type") === "delete").count() == 100L)
 
+    // ---- merge-on-read UPDATE (r16): pre-images vector out, post-
+    // images land as one O(changeset) appended dir, one commit ----
+    val rootU = freshRoot()
+    CommitLog.commit(spark, rootU, "w", "create") { _ => ids(0, 1000) }
+    CommitLog.commitAppend(spark, rootU, "w", "append")(ids(1000, 2000))
+    val preU = CommitLog.latest(spark, rootU).get
+    val u = CommitLog.update(spark, rootU, "w",
+      col("id") % 500 === 7, Seq("v" -> lit(-5L))).get
+    assert(u.dataDirs.take(2) == preU.dataDirs && u.dataDirs.size == 3,
+      s"a DV update carries every dir and appends the post-images: " +
+        s"${u.dataDirs}")
+    assert(u.dv.nonEmpty, "the pre-images must vector out")
+    val gotU = CommitLog.readLatest(spark, rootU).get
+    assert(gotU.count() == 2000L)
+    assert(gotU.filter(col("v") === -5L).count() == 4L &&
+      gotU.filter(col("id") === 7L).select("v").head().getLong(0) == -5L,
+      "post-images replace exactly the matched rows")
+    // the feed rides through, keyed by the post-image dir
+    val feedU = CommitLog.changesSince(spark, rootU, preU.version).get
+    assert(feedU.filter(col("_change_type") === "update_preimage")
+      .count() == 4L)
+    assert(feedU.filter(col("_change_type") === "update_postimage" &&
+      col("v") === -5L).count() == 4L)
+    // a big update stays copy-on-write
+    val cowU = CommitLog.update(spark, rootU, "w",
+      col("id") < 1500, Seq("v" -> lit(0L))).get
+    val afterCow = CommitLog.readLatest(spark, rootU).get
+    assert(cowU.dv.isEmpty &&
+      afterCow.filter(col("v") === 0L && col("id") < 1500).count() == 1500L,
+      "a 75%-matched update must rewrite, not vector")
+    assert(afterCow.filter(col("id") === 1507L).select("v")
+      .head().getLong(0) == -5L,
+      "the rewrite materializes the earlier DV update, never loses it")
+
     // ---- strict parse: a damaged dv block makes the commit unreadable,
     // never silently vector-less ----
     val root5 = freshRoot()
