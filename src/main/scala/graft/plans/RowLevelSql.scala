@@ -423,11 +423,19 @@ object RowLevelSqlStrategy extends SparkStrategy {
     // violate (the SQL/Delta rule) while one source row deleting a
     // stored-DUPLICATE key — several identical joined rows, one source
     // identity — stays legal (deleting a duplicated key is deleting it).
-    // The id is non-deterministic per EVALUATION, but every consumer
-    // reads it from the one localCheckpoint-pinned changeset below.
+    // The id is non-deterministic per EVALUATION, and the changeset's
+    // union re-evaluates the source subtree once PER PIECE — so the ids
+    // are pinned HERE, on one materialization of the source, before any
+    // piece is built (r16 code review: branch-local ids could differ for
+    // one source row across two DELETE clauses, spuriously tripping — or
+    // silently passing — the cardinality check). The source is
+    // changeset-sized; the pin is released in the finally below.
     val srcIdCol = "__graft_src_id"
-    val srcDF = GraftBridge.ofRows(spark, source)
-      .withColumn(srcIdCol, monotonically_increasing_id()).alias("__s")
+    val srcPinned = GraftBridge.ofRows(spark, source)
+      .withColumn(srcIdCol, monotonically_increasing_id())
+      .localCheckpoint(true)
+    try {
+    val srcDF = srcPinned.alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)
     // MERGE into an EMPTY table with only matched / by-source clauses is
     // a valid SQL no-op (nothing can match, nothing is stored) — return,
@@ -648,6 +656,7 @@ object RowLevelSqlStrategy extends SparkStrategy {
       if (pendingEff.nonEmpty)
         graft.sources.GraftCatalog.pendingEvolve.remove(root)
     } finally all.unpersist()
+    } finally srcPinned.unpersist()
     ()
   }
 }

@@ -670,6 +670,37 @@ object CommitLog {
   private val DvPosCol = "__graft_dv_pos"
   private val DvDirCol = "__graft_dv_dir"
 
+  // the dir segment of a `_metadata.file_path` / recorded vector `path`
+  // (dir names never contain '/'; parquet parts sit directly under the
+  // dir) — ONE definition for every DV consumer (code review r16)
+  private def dirOfPath(pathCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .regexp_extract(pathCol, "/(data-[^/]+)/[^/]*$", 1)
+
+  /** Prior vectors of `dirs` folded into `newPos` — the new dataset
+    * keeps ONE vector generation per dir (readers never chain
+    * anti-joins); rows for other dirs sharing an old dataset are
+    * filtered out so it stays O(these dirs' deletes). */
+  private def foldVectors(spark: SparkSession, root: String, head: Commit,
+      dirs: Seq[String], newPos: DataFrame): DataFrame = {
+    val oldNames = dirs.flatMap(head.dv.get).distinct
+    if (oldNames.isEmpty) newPos
+    else newPos.unionByName(
+      spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
+        .filter(dirOfPath(col("path")).isin(dirs: _*)))
+  }
+
+  /** Plain schema-pinned, mapping-translated read of `dirs` under `c` —
+    * for consumers that have already PROVEN the dirs carry no deletion
+    * vectors or applicable defaults (the streaming tail: its chain walk
+    * throws on any dv/colMap change, so within a valid window added dirs
+    * are unvectored and post-default). Everything else uses
+    * [[readCommitDirs]]. */
+  private[graft] def readDirsOf(spark: SparkSession, root: String,
+      c: Commit, dirs: Seq[String]): DataFrame =
+    readDirs(spark, root, c.schemaDDL, c.colMap, dirs)
+
   /** Read a SUBSET of `c`'s dirs with `c`'s deletion vectors AND
     * existence defaults applied — the ONE visible-rows read every
     * consumer (snapshot loads, the copy-on-write verbs' affected-dir
@@ -1265,6 +1296,8 @@ object CommitLog {
     // explicit values). The expression must be a deterministic constant
     // — validated by evaluating it once, typed, before anything commits
     // (a malformed default must not brick every future read).
+    // default column names embed UNESCAPED in the defaults block
+    defaults.keys.foreach(n => requireTag(n, "defaulted column name"))
     val badDefault = defaults.keySet -- added.map(_.name).toSet
     require(badDefault.isEmpty,
       s"defaults for ${badDefault.mkString(", ")} — defaults attach to " +
@@ -1276,6 +1309,23 @@ object CommitLog {
       require(probe.queryExecution.analyzed.expressions
         .forall(_.deterministic),
         s"DEFAULT for '$n' must be deterministic, got: $e")
+      // `deterministic` admits time/session-dependent expressions
+      // (current_date() is "deterministic" within one query) — but an
+      // existence default is re-evaluated at EVERY read, so such an
+      // expression would make the same committed snapshot answer
+      // differently tomorrow (r16 code review). Reject the CurrentLike
+      // family outright; the recorded text must be a true constant.
+      val timeish = probe.queryExecution.analyzed.expressions
+        .flatMap(_.collect {
+          case x if x.getClass.getSimpleName.startsWith("Current") ||
+              x.getClass.getSimpleName == "Now" ||
+              x.getClass.getSimpleName == "LocalTimestamp" => x
+        })
+      require(timeish.isEmpty,
+        s"DEFAULT for '$n' must be a CONSTANT — '$e' is time/session-" +
+          s"dependent (${timeish.map(_.getClass.getSimpleName).distinct
+            .mkString(", ")}); a re-evaluated default would change the " +
+          "same committed snapshot's answer over time")
       probe.collect() // evaluates: a bad cast or unresolvable fails HERE
     }
     metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
@@ -1374,7 +1424,11 @@ object CommitLog {
     * rewrite (map inequality breaks the chain). Time travel to
     * pre-rename versions shows the OLD name (their commits record it). */
   def renameColumn(spark: SparkSession, root: String, writer: String,
-      from: String, to: String, maxAttempts: Int = 20): Commit =
+      from: String, to: String, maxAttempts: Int = 20): Commit = {
+    // the new name re-keys statsCols / clusterBy, which embed UNESCAPED
+    // in the commit JSON (code review r16): reject at the API edge like
+    // every other tag — a quote or comma would corrupt a COMMITTED claim
+    requireTag(to, "column name")
     metadataCommit(spark, root, writer, "rename-column", maxAttempts,
         rowInvisible = false) { cur =>
       val headSchema = load(spark, root, cur).schema
@@ -1396,7 +1450,7 @@ object CommitLog {
         schemaDDL = Some(org.apache.spark.sql.types.StructType(
           headSchema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f)).toDDL),
-        colMap = (base - from) + (to -> base(from)),
+        colMap = (base - from) + (to -> base.getOrElse(from, from)),
         statsCols = cur.statsCols.map(n => if (n == from) to else n),
         stats = cur.stats.map { case (d, byCol) =>
           d -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
@@ -1410,6 +1464,7 @@ object CommitLog {
             .map(n => if (n == from) to else n).mkString(",")
         })
     }
+  }
 
   /** DROP a column (r16): ONE metadata commit, ZERO data rewritten —
     * the logical schema and column map lose the entry; the physical
@@ -2522,7 +2577,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
-      val (dirs, stage, effStatsCols, cdf, ddlOverride) = cur match {
+      val (dirs, stage, effStatsCols, cdf, ddlOverride, mintedMap) = cur match {
         case None =>
           // empty table: the merge is a create of the inserts
           if (!hasInserts)
@@ -2530,7 +2585,8 @@ object CommitLog {
               "merge into an empty table with no inserts — nothing to commit")
           val payload = changes.filter(!delFlag)
             .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
-          (Nil, payload, statsCol.toSeq, None, None)
+          (Nil, payload, statsCol.toSeq, None, None,
+            Map.empty[String, String])
         case Some(head) =>
           val baseSchema = load(spark, root, head).schema
           // fold a staged evolution (r16): columns a concurrent commit
@@ -2548,6 +2604,13 @@ object CommitLog {
           }
           val headSchema = org.apache.spark.sql.types.StructType(
             baseSchema.fields ++ pendingEff)
+          // under an ACTIVE column mapping, folded-evolution columns
+          // mint fresh physicals (r16 code review: re-adding a DROPPED
+          // logical name must never resurrect its old physical bytes)
+          val minted: Map[String, String] =
+            if (head.colMap.isEmpty) Map.empty
+            else pendingEff.map(f => f.name ->
+              s"col-${java.util.UUID.randomUUID().toString.take(8)}").toMap
           keyCols.foreach(k => require(headSchema.fieldNames.contains(k),
             s"keyCol '$k' not in head schema ${headSchema.simpleString}"))
           val payloadFields = changes.schema.filterNot(sf =>
@@ -2604,7 +2667,8 @@ object CommitLog {
             // the committed delta dir itself
             if (!hasInserts && pendingEff.isEmpty) return head // full no-op
             (head.dataDirs, inserts, eff, None,
-              if (pendingEff.isEmpty) None else Some(headSchema.toDDL))
+              if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
+              minted)
           } else {
             // affected dirs read DV-aware; a folded evolution's new
             // columns read as typed NULL for the kept stored rows
@@ -2656,12 +2720,13 @@ object CommitLog {
               .select(headCols :+ col("_change_type"): _*)
             (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
               Some((preTyped.union(post), preT)),
-              if (pendingEff.isEmpty) None else Some(headSchema.toDDL))
+              if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
+              minted)
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      val attemptMap = cur.map(_.colMap).getOrElse(Map.empty)
+      val attemptMap = cur.map(_.colMap).getOrElse(Map.empty) ++ mintedMap
       toPhysical(stage, attemptMap).write
         .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
       // change feed written BEFORE the claim, keyed by the new dir name
@@ -2798,7 +2863,12 @@ object CommitLog {
     *  - anything larger falls back to the dir-pruned copy-on-write
     *    rewrite (a scan-side anti-join against a big vector would tax
     *    every future read more than one rewrite costs).
-    * `dvMaxFraction = 0` forces copy-on-write (the pre-r16 shape). */
+    * The decision itself costs one counting pass over the affected
+    * dirs' visible rows; on the CoW fallback that pass is EXTRA read
+    * work (the rewrite re-scans the same dirs) — the price of choosing,
+    * bounded by the affected set and warm by the time the rewrite runs.
+    * `dvMaxFraction = 0` forces copy-on-write (the pre-r16 shape) and
+    * skips the pass entirely. */
   def delete(spark: SparkSession, root: String, writer: String,
       cond: org.apache.spark.sql.Column,
       maxAttempts: Int = 20, dvMaxFraction: Double = 0.2): Option[Commit] =
@@ -2836,8 +2906,7 @@ object CommitLog {
       // per-dir total and cond-TRUE counts (when(cond, 1) counts TRUE
       // only — the SQL rule; NULL keeps its row)
       val withPos = visibleWithPos(spark, root, head, affected)
-        .withColumn(DvDirCol, org.apache.spark.sql.functions
-          .regexp_extract(col(DvPathCol), "/(data-[^/]+)/[^/]*$", 1))
+        .withColumn(DvDirCol, dirOfPath(col(DvPathCol)))
       val perDir = withPos.groupBy(col(DvDirCol))
         .agg(count(lit(1)).as("__n"), count(when(cond, 1)).as("__m"))
         .collect() // O(affected dirs) rows — the planning decision
@@ -2863,18 +2932,7 @@ object CommitLog {
       try {
         val newPos = m.filter(col(DvDirCol).isin(partialDirs: _*))
           .select(col(DvPathCol).as("path"), col(DvPosCol).as("pos"))
-        // prior vectors for the partial dirs fold INTO the new dataset
-        // (one vector generation per dir, never a chain of anti-joins);
-        // rows for other dirs sharing an old dataset are filtered out so
-        // the new vector stays O(these dirs' deletes)
-        val oldNames = partialDirs.flatMap(head.dv.get).distinct
-        val allDv =
-          if (oldNames.isEmpty) newPos
-          else newPos.unionByName(
-            spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
-              .filter(org.apache.spark.sql.functions
-                .regexp_extract(col("path"), "/(data-[^/]+)/[^/]*$", 1)
-                .isin(partialDirs: _*)))
+        val allDv = foldVectors(spark, root, head, partialDirs, newPos)
         f.mkdirs(dvDir(root))
         allDv.write.mode(SaveMode.Overwrite)
           .parquet(dvPath(root, dvName).toString)
@@ -3002,20 +3060,11 @@ object CommitLog {
         enforceConstraints(post, head.constraints)
         // only dirs that actually contributed matched rows take the
         // vector; evidence false-positives carry untouched
-        val dirOf = org.apache.spark.sql.functions
-          .regexp_extract(col(DvPathCol), "/(data-[^/]+)/[^/]*$", 1)
-        val touched = m.select(dirOf.as("__d")).distinct()
-          .collect().map(_.getString(0)).toSet
+        val touched = m.select(dirOfPath(col(DvPathCol)).as("__d"))
+          .distinct().collect().map(_.getString(0)).toSet
         val newPos = m.select(col(DvPathCol).as("path"),
           col(DvPosCol).as("pos"))
-        val oldNames = touched.toSeq.flatMap(head.dv.get).distinct
-        val allDv =
-          if (oldNames.isEmpty) newPos
-          else newPos.unionByName(
-            spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
-              .filter(org.apache.spark.sql.functions
-                .regexp_extract(col("path"), "/(data-[^/]+)/[^/]*$", 1)
-                .isin(touched.toSeq: _*)))
+        val allDv = foldVectors(spark, root, head, touched.toSeq, newPos)
         f.mkdirs(dvDir(root))
         allDv.write.mode(SaveMode.Overwrite)
           .parquet(dvPath(root, dvName).toString)

@@ -995,18 +995,48 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
     val s = start.map(versionOf).getOrElse(floor)
     val e = versionOf(end)
     if (cdf) return getChangesBatch(s, e)
-    val dirs =
-      if (e <= s) Nil
-      else if (bootstrap && s == 0L)
-        // first delivery: the version-e SNAPSHOT (whatever shapes built
-        // it — merges, rewrites, compactions all fine: a snapshot is read
-        // as a state, not replayed as changes)
-        CommitLog.commitAt(spark, root, e).getOrElse(
+    val bootCommit: Option[CommitLog.Commit] =
+      if (e > s && bootstrap && s == 0L)
+        Some(CommitLog.commitAt(spark, root, e).getOrElse(
           throw new IllegalStateException(
             s"commit-log stream: bootstrap version $e at $root was " +
               "vacuumed between offset resolution and the batch read — " +
-              "raise retention")).dataDirs
-      else CommitLog.addedDirsBetween(spark, root, s, e)
+              "raise retention")))
+      else None
+    // MERGE-ON-READ batches (r16 code review): a bootstrap snapshot
+    // carrying deletion vectors / existence defaults / a column mapping,
+    // or an incremental window on a column-MAPPED table (physical file
+    // names ≠ the logical tableSchema), must NOT plan as a bare file
+    // scan — deliver the library's visible-rows read across the
+    // streaming boundary instead (the CDF route's idiom; the conversion
+    // cost is the batch's size, and the fast HadoopFsRelation path below
+    // stays the unmapped/unvectored common case).
+    val endCommit =
+      if (e > s) CommitLog.commitAt(spark, root, e) else None
+    val mapped = endCommit.exists(_.colMap.nonEmpty)
+    if (bootCommit.exists(CommitLog.needsMergeOnRead) || mapped) {
+      val batch: DataFrame = bootCommit match {
+        case Some(c) => CommitLog.readCommit(spark, root, c)
+        case None =>
+          val dirs = CommitLog.addedDirsBetween(spark, root, s, e)
+          if (dirs.isEmpty) emptyBatch()
+          else CommitLog.readDirsOf(spark, root, endCommit.get, dirs)
+      }
+      val pinned = batch.select(tableSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType)): _*)
+      return org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark,
+        pinned.queryExecution.toRdd.map(_.copy()), tableSchema,
+        isStreaming = true)
+    }
+    val dirs =
+      if (e <= s) Nil
+      else bootCommit match {
+        // first delivery: the version-e SNAPSHOT (whatever shapes built
+        // it — merges, rewrites, compactions all fine: a snapshot is read
+        // as a state, not replayed as changes)
+        case Some(c) => c.dataDirs
+        case None => CommitLog.addedDirsBetween(spark, root, s, e)
+      }
     // the FileStreamSource shape: a parquet HadoopFsRelation over exactly
     // the batch's files, wrapped isStreaming=true (the engine asserts it).
     // Schema pinned at query start: an additive evolution mid-stream keeps

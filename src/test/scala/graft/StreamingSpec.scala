@@ -866,6 +866,51 @@ class StreamingSpec extends SparkSpec {
     batches.asScala.toSeq
   }
 
+  test("graft.commitlog stream bootstraps merge-on-read state: deletion vectors and column mapping apply to the snapshot batch") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val root = Files.createTempDirectory("graft-clstream-mor").toString
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      (0L until 200L).toDF("id").withColumn("v", col("id") % 7) }
+    // a scattered DV delete + a rename: the bootstrap batch must deliver
+    // VISIBLE rows under LOGICAL names, never the raw parquet (r16 code
+    // review: the pre-fix path read dirs bare, resurrecting deleted rows
+    // and nulling renamed columns)
+    val dv = CommitLog.delete(spark, root, "w", col("id") % 50 === 3).get
+    assert(dv.dv.nonEmpty, "fixture must land as a vector")
+    CommitLog.renameColumn(spark, root, "w", "v", "w")
+    val batches = drainCommitLogTail(root,
+      Files.createTempDirectory("graft-clstream-mor-ck").toString)
+    assert(batches.size == 1, s"one bootstrap state batch: ${batches.size}")
+    val got = batches.head
+    assert(got.size == 196, s"vectored rows must not resurrect: ${got.size}")
+    assert(!got.exists(r => r.head.asInstanceOf[Long] % 50 == 3))
+    assert(got.head.size == 2 &&
+      got.find(_.head == 10L).get(1) == 3L,
+      "the renamed column streams its stored values under the mapping")
+    // appends AFTER the bootstrap on the mapped table keep streaming,
+    // translated (the chain guard allows an unchanged nonEmpty map)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      (1000L until 1010L).toDF("id").withColumn("w", col("id") % 7))
+    val batches2 = drainCommitLogTail(root,
+      Files.createTempDirectory("graft-clstream-mor-ck2").toString)
+    // fresh checkpoint: bootstrap again over head (196 + 10 rows)
+    assert(batches2.head.size == 206)
+    val inc = CommitLog.commitAppend(spark, root, "w", "append")(
+      (2000L until 2005L).toDF("id").withColumn("w", col("id") % 7))
+    // incremental batch on the mapped table (same checkpoint dir) —
+    // must deliver the 5 new rows with real values, not NULLs
+    val ck3 = Files.createTempDirectory("graft-clstream-mor-ck3").toString
+    val all3 = drainCommitLogTail(root, ck3)
+    assert(all3.head.size == 211)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      (3000L until 3003L).toDF("id").withColumn("w", col("id") % 7))
+    val incBatches = drainCommitLogTail(root, ck3)
+    assert(incBatches.size == 1 && incBatches.head.size == 3 &&
+      incBatches.head.forall(r => r(1) != null),
+      s"mapped incremental batches translate physical names: $incBatches")
+  }
+
   test("graft.commitlog streaming read: appends arrive as bounded micro-batches equal to the snapshot") {
     import spark.implicits._
     import graft.sources.CommitLog
