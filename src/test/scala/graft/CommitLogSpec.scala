@@ -638,10 +638,12 @@ class CommitLogSpec extends SparkSpec {
       spark.range(200L, 300L).toDF("id"))
     val before = CommitLog.latest(spark, root).get
     val filesBefore = CommitLog.readLatest(spark, root).get.inputFiles.toSet
-    // delete two keys confined to the MIDDLE dir
+    // delete two keys confined to the MIDDLE dir — dvMaxFraction = 0
+    // pins the COPY-ON-WRITE engine this test is about (the r17
+    // merge-on-read shape has its own spec)
     CommitLog.merge(spark, root, "m", "id",
       Seq((150L, true), (160L, true)).toDF("id", "del"),
-      deleteCol = Some("del"))
+      deleteCol = Some("del"), dvMaxFraction = 0)
     val after = CommitLog.latest(spark, root).get
     // outer dirs carried over verbatim — same dir names, same files,
     // stats preserved; only the middle dir was rewritten
@@ -668,8 +670,12 @@ class CommitLogSpec extends SparkSpec {
       spark.range(1L, 100L, 2L).toDF("id")) // odds
     CommitLog.addBloom(spark, root, "id")
     val before = CommitLog.latest(spark, root).get
+    // dvMaxFraction = 0 pins the COPY-ON-WRITE engine whose bloom
+    // pruning + self-maintained evidence this test asserts (the r17
+    // merge-on-read shape has its own spec)
     CommitLog.merge(spark, root, "m", "id",
-      Seq((11L, true), (13L, true)).toDF("id", "del"), deleteCol = Some("del"))
+      Seq((11L, true), (13L, true)).toDF("id", "del"),
+      deleteCol = Some("del"), dvMaxFraction = 0)
     val after = CommitLog.latest(spark, root).get
     assert(after.dataDirs.contains(before.dataDirs.head),
       "even dir untouched: its bloom proves both odd keys absent")
@@ -685,7 +691,8 @@ class CommitLogSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root, "_bloom/" + newOdd + ".bin")),
       "merge builds its output dir's sidecar itself")
     val after2 = CommitLog.merge(spark, root, "m", "id",
-      Seq((15L, true)).toDF("id", "del"), deleteCol = Some("del"))
+      Seq((15L, true)).toDF("id", "del"), deleteCol = Some("del"),
+      dvMaxFraction = 0)
     assert(after2.dataDirs.contains(before.dataDirs.head),
       "even dir still untouched across the second merge")
     assert(!after2.dataDirs.contains(newOdd))
@@ -1208,6 +1215,79 @@ class CommitLogSpec extends SparkSpec {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConj(l) ++ splitConj(r)
     case other => Seq(other)
+  }
+
+  test("typed data-skipping: string and timestamp predicates prune dirs; verbs share the decision (VERDICT r16 #2)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ts(y: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"$y%04d-$m%02d-01 00:00:00")
+    // three dirs keyed by a STRING status with disjoint TIMESTAMP ranges
+    Seq(("alpha", 2020), ("golf", 2021), ("tango", 2022)).foreach {
+      case (st, y) =>
+        CommitLog.commitAppend(spark, root, "w", "append",
+          statsCols = Seq("st", "ts"), createOnEmpty = true)(
+          (1 to 12).map(m => (st, ts(y, m), s"$st-$m")).toDF("st", "ts", "v"))
+    }
+    val head = CommitLog.latest(spark, root).get
+    assert(head.dataDirs.size == 3 &&
+      head.dataDirs.forall(d => head.stats.get(d).exists(bc =>
+        bc.contains("st") && bc.contains("ts"))),
+      s"string+timestamp stats must record: ${head.stats}")
+    val all = scannedFiles(spark.read.format("graft.commitlog").load(root))
+    def conn = spark.read.format("graft.commitlog").load(root)
+    // string equality: one dir
+    val eq = conn.filter(col("st") === "golf")
+    assert(eq.count() == 12L && scannedFiles(eq) < all,
+      s"string equality must prune (${scannedFiles(eq)} vs $all)")
+    // string range: 'g' < … < 't' keeps only the middle dir
+    val rng = conn.filter(col("st") > "b" && col("st") < "t")
+    assert(rng.count() == 12L && scannedFiles(rng) < all,
+      "string range must prune")
+    // prefix LIKE: upper bound = prefix padded 0xFF
+    val pre = conn.filter(col("st").startsWith("ta"))
+    assert(pre.count() == 12L && scannedFiles(pre) < all,
+      "string prefix must prune")
+    // timestamp range: one year's dir
+    val tsr = conn.filter(col("ts") >= lit(ts(2021, 1)) &&
+      col("ts") <= lit(ts(2021, 12)))
+    assert(tsr.count() == 12L && scannedFiles(tsr) < all,
+      "timestamp range must prune")
+    // IN over strings: min/max of the encodings
+    val inq = conn.filter(col("st").isin("tango", "golf"))
+    assert(inq.count() == 24L)
+    // soundness under collision: 7-byte-prefix SHARING values must NOT
+    // prune each other (the encoding is non-injective by design)
+    val root2 = freshRoot()
+    CommitLog.commitAppend(spark, root2, "w", "append",
+      statsCols = Seq("k"), createOnEmpty = true)(
+      Seq(("prefix-aaaaaaA", 1L)).toDF("k", "n"))
+    CommitLog.commitAppend(spark, root2, "w", "append",
+      statsCols = Seq("k"))(
+      Seq(("prefix-aaaaaaB", 2L)).toDF("k", "n"))
+    val coll = spark.read.format("graft.commitlog").load(root2)
+      .filter(col("k") === "prefix-aaaaaaB")
+    assert(rows(coll) == Seq(Seq("prefix-aaaaaaB", 2L)),
+      "colliding 7-byte prefixes widen ranges, never lose rows")
+    // the row-level verbs share the evidence: a string-keyed DELETE
+    // only touches the dir its predicate can reach (CoW-pinned so the
+    // dir shape is observable)
+    val before = CommitLog.latest(spark, root).get
+    val del = CommitLog.delete(spark, root, "d", col("st") === "alpha",
+      dvMaxFraction = 0).get
+    assert(before.dataDirs.count(del.dataDirs.contains) == 2,
+      s"string-evidence delete must carry the two clean dirs: " +
+        s"${before.dataDirs} -> ${del.dataDirs}")
+    assert(CommitLog.readLatest(spark, root).get.count() == 24L)
+    // and a string-keyed MERGE prunes by the changeset's encoded range
+    val m = CommitLog.merge(spark, root, "m", "st",
+      Seq(("tango", ts(2022, 6), "replaced")).toDF("st", "ts", "v"),
+      dvMaxFraction = 0)
+    assert(del.dataDirs.filter(m.dataDirs.contains).size == 1,
+      s"string-keyed merge must rewrite only the evidenced dir: " +
+        s"${del.dataDirs} -> ${m.dataDirs}")
+    assert(CommitLog.readLatest(spark, root).get
+      .filter(col("v") === "replaced").count() == 1L)
   }
 
   test("catalog route: spark.table equals readLatest; INSERT routes through the protocol") {
@@ -3223,5 +3303,181 @@ class CommitLogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gdv")
       spark.conf.unset("spark.sql.catalog.gdv.dir")
     }
+  }
+
+  test("merge-on-read MERGE: a scattered CDC upsert lands as one deletion vector + one O(changeset) dir (VERDICT r16 #1)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ids(lo: Long, hi: Long) =
+      (lo until hi).toDF("id").withColumn("v", col("id") % 10)
+    CommitLog.commit(spark, root, "w", "create") { _ => ids(0, 1000) }
+    CommitLog.commitAppend(spark, root, "w", "append")(ids(1000, 2000))
+    CommitLog.commitAppend(spark, root, "w", "append")(ids(2000, 3000))
+    val v3 = CommitLog.latest(spark, root).get
+
+    // 16 scattered keys across every dir: 8 updates, 4 deletes, 4 inserts
+    val changes = (
+      (0 until 8).map(i => (i * 300L + 7L, 99L, false)) ++
+      (0 until 4).map(i => (i * 700L + 13L, 0L, true)) ++
+      (0 until 4).map(i => (10000L + i, 5L, false))
+    ).toDF("id", "v", "del")
+    val c = CommitLog.merge(spark, root, "m", "id", changes,
+      deleteCol = Some("del"))
+    // SHAPE: every prior dir carried byte-identical; ONE appended dir;
+    // every touched dir repoints at ONE new folded vector
+    assert(c.action == "merge" && c.version == 4L)
+    assert(v3.dataDirs.forall(c.dataDirs.contains),
+      "merge-on-read must carry every prior dir untouched")
+    assert(c.dataDirs.size == v3.dataDirs.size + 1,
+      s"exactly one appended changeset dir: ${c.dataDirs}")
+    assert(c.dv.nonEmpty && c.dv.values.toSet.size == 1,
+      s"touched dirs repoint at the one folded vector: ${c.dv}")
+    assert(c.stats.keySet.intersect(v3.dataDirs.toSet) ==
+      v3.stats.keySet.intersect(v3.dataDirs.toSet),
+      "carried dirs keep their recorded stats")
+    // STATE: updates replaced, deletes gone, inserts present — every route
+    val got = CommitLog.readLatest(spark, root).get
+    assert(got.count() == 3000L) // -4 deletes +4 inserts
+    assert(got.filter(col("id") === 7L).select("v").head().getLong(0) == 99L)
+    assert(got.filter(col("id") === 2107L).select("v").head().getLong(0) == 99L)
+    assert(got.filter(col("id") === 13L || col("id") === 2113L).count() == 0L)
+    assert(got.filter(col("id") >= 10000L).count() == 4L)
+    val conn = spark.read.format("graft.commitlog").load(root)
+    assert(conn.count() == 3000L &&
+      conn.filter(col("id") === 713L).count() == 0L)
+    // history intact
+    assert(CommitLog.readVersion(spark, root, 3L).get.count() == 3000L &&
+      CommitLog.readVersion(spark, root, 3L).get
+        .filter(col("id") === 13L).count() == 1L)
+    // O(changeset) BYTES: vector + appended dir together undercut ONE
+    // dir rewrite (the copy-on-write price for the same merge)
+    def bytesUnder(p: String): Long =
+      Files.walk(java.nio.file.Paths.get(p))
+        .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    val changesetBytes = bytesUnder(s"$root/_dv") +
+      bytesUnder(s"$root/${c.dataDirs.diff(v3.dataDirs).head}")
+    assert(changesetBytes < bytesUnder(s"$root/${v3.dataDirs.head}"),
+      s"merge-on-read writes O(changeset): $changesetBytes bytes")
+    // CDF: algebraically complete, rides through changesSince
+    val feed = CommitLog.changesSince(spark, root, 3L).get
+    assert(feed.filter(col("_change_type") === "delete").count() == 4L)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() == 8L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 8L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 4L)
+    // a second DV merge FOLDS: still one vector generation per dir
+    val c5 = CommitLog.merge(spark, root, "m", "id",
+      Seq((607L, 77L, false), (1313L, 0L, true)).toDF("id", "v", "del"),
+      deleteCol = Some("del"))
+    // per-dir single generation: 607's LIVE copy sits in merge-1's delta
+    // dir (its v1 copy is already vectored invisible), 1313's in the v2
+    // dir — exactly those two repoint at the ONE new folded vector;
+    // untouched dirs keep their old one
+    val newVecs = c5.dv.values.toSet -- c.dv.values.toSet
+    val deltaDir = c.dataDirs.diff(v3.dataDirs).head
+    assert(newVecs.size == 1 && c5.dv.values.count(newVecs) == 2 &&
+      c5.dv.get(deltaDir) == newVecs.headOption &&
+      c5.dv.keySet == c.dv.keySet + deltaDir, s"${c.dv} -> ${c5.dv}")
+    val got5 = CommitLog.readLatest(spark, root).get
+    assert(got5.count() == 2999L &&
+      got5.filter(col("id") === 607L).select("v").head().getLong(0) == 77L &&
+      got5.filter(col("id") === 7L).select("v").head().getLong(0) == 99L,
+      "the folded vector keeps BOTH merges' retractions")
+    // compact MATERIALIZES the vectors away; reads agree after
+    CommitLog.compact(spark, root, "opt")
+    assert(CommitLog.latest(spark, root).get.dv.isEmpty)
+    assert(CommitLog.readLatest(spark, root).get.count() == 2999L)
+
+    // THRESHOLD: a widely-matched merge stays copy-on-write
+    val root2 = freshRoot()
+    CommitLog.commit(spark, root2, "w", "create") { _ => ids(0, 1000) }
+    val big = (0L until 800L).map(i => (i, 50L)).toDF("id", "v")
+    val cow = CommitLog.merge(spark, root2, "m", "id", big)
+    assert(cow.dv.isEmpty, "an 80%-matched merge must rewrite, not vector")
+    assert(CommitLog.readLatest(spark, root2).get
+      .filter(col("v") === 50L).count() == 800L)
+    // dvMaxFraction = 0 forces the pre-r17 copy-on-write shape
+    val root3 = freshRoot()
+    val v1r3 = CommitLog.commit(spark, root3, "w", "create") { _ =>
+      ids(0, 1000) }
+    val forced = CommitLog.merge(spark, root3, "m", "id",
+      Seq((7L, 99L)).toDF("id", "v"), dvMaxFraction = 0)
+    assert(forced.dv.isEmpty &&
+      v1r3.dataDirs.forall(d => !forced.dataDirs.contains(d)),
+      "dvMaxFraction = 0 keeps the pre-r17 copy-on-write rewrite")
+    assert(CommitLog.readLatest(spark, root3).get
+      .filter(col("id") === 7L).head().getLong(1) == 99L)
+  }
+
+  test("deletion vectors are location-independent: persisted root-relative, a relocated table keeps its deletes (ADVICE r16)") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      (0L until 1000L).toDF("id").withColumn("v", col("id") % 10) }
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      (1000L until 2000L).toDF("id").withColumn("v", col("id") % 10))
+    val dv = CommitLog.delete(spark, root, "w", col("id") % 100 === 7).get
+    assert(dv.dv.nonEmpty, "fixture must land as a vector")
+    // the persisted identity is `dir/file`, never an absolute URI — an
+    // absolute path would bake the table's location spelling into the
+    // vector and silently resurrect deletes after any relocation
+    val stored = spark.read
+      .parquet(s"$root/_dv/${dv.dv.values.head}")
+      .select("path").collect().map(_.getString(0))
+    assert(stored.nonEmpty &&
+      stored.forall(p => p.startsWith("data-") && p.count(_ == '/') == 1),
+      s"vectors persist root-relative dir/file identities: ${stored.take(3).toSeq}")
+    // relocate the WHOLE table directory; every read under the new
+    // spelling must keep the deletes applied
+    val moved = freshRoot() + "/moved"
+    Files.move(java.nio.file.Paths.get(root),
+      java.nio.file.Paths.get(moved))
+    val got = CommitLog.readLatest(spark, moved).get
+    assert(got.count() == 1980L, "relocation must not resurrect DV deletes")
+    assert(got.filter(col("id") % 100 === 7).count() == 0L)
+    val conn = spark.read.format("graft.commitlog").load(moved)
+    assert(conn.count() == 1980L &&
+      conn.filter(col("id") === 107L).count() == 0L,
+      "the connector route agrees at the new location")
+    // the relocated table keeps mutating: the next DV delete FOLDS the
+    // prior (relative) rows and stays relative
+    val dv2 = CommitLog.delete(spark, moved, "w", col("id") % 100 === 13).get
+    assert(dv2.dv.nonEmpty && dv2.dv.values.toSet != dv.dv.values.toSet)
+    val got2 = CommitLog.readLatest(spark, moved).get
+    assert(got2.count() == 1960L &&
+      got2.filter(col("id") % 100 === 7 || col("id") % 100 === 13)
+        .count() == 0L,
+      "the folded vector keeps both generations after the move")
+  }
+
+  test("RENAME/DROP COLUMN refuse when a recorded constraint fails to resolve (VERDICT r16 watch-item #3)") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 2L)).toDF("id", "v") }
+    CommitLog.addConstraint(spark, root, "w", "v_pos", "v > 0")
+    // damage the table out-of-band: the recorded constraint now
+    // references a column that does not resolve against the head —
+    // failing OPEN here would let DDL proceed past a constraint it
+    // cannot prove unrelated
+    val head = CommitLog.latest(spark, root).get
+    val p = java.nio.file.Paths.get(root, "_commits",
+      f"v${head.version}%020d.json")
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    assert(txt.contains("v > 0"), txt)
+    Files.write(p, txt.replace("v > 0", "ghost > 0").getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] {
+      CommitLog.renameColumn(spark, root, "w", "id", "id2") }
+    assert(e1.getMessage.contains("v_pos") &&
+      e1.getMessage.contains("does not resolve"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      CommitLog.dropColumn(spark, root, "w", "id") }
+    assert(e2.getMessage.contains("v_pos"), e2.getMessage)
+    // nothing committed: the refusals are pre-claim
+    assert(CommitLog.latest(spark, root).get.version == head.version)
+    // dropping the broken constraint unblocks the rename
+    CommitLog.dropConstraint(spark, root, "w", "v_pos")
+    CommitLog.renameColumn(spark, root, "w", "id", "id2")
+    assert(CommitLog.readLatest(spark, root).get.columns.toSeq ==
+      Seq("id2", "v"))
   }
 }

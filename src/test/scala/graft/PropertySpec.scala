@@ -600,7 +600,7 @@ class PropertySpec extends SparkSpec {
             b1.toDF("id", "v")
           }
           CommitLog.commitAppend(spark, root, "w", "append")(b2.toDF("id", "v"))
-          CommitLog.merge(spark, root, "m", "id",
+          val mc = CommitLog.merge(spark, root, "m", "id",
             ch.toDF("id", "v", "del"), deleteCol = Some("del"))
           val chKeys = ch.map(_._1).toSet
           val expected = (base.filterNot { case (k, _) => chKeys(k) } ++
@@ -608,6 +608,10 @@ class PropertySpec extends SparkSpec {
           val got = CommitLog.readLatest(spark, root).get.collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
           assert(got == expected, s"sample $i: merge diverged from spec")
+          // an all-delete changeset matching NOTHING is a provable no-op
+          // (r17): the head is returned unchanged, so there is no feed
+          // window to check — the state equality above is the whole spec
+          if (mc.version > 2L) {
           // and the change feed folds back to the same state: signed
           // count must net to (|head| − |base|)
           val feedDf = CommitLog.changesSince(spark, root, 2L).get
@@ -629,6 +633,7 @@ class PropertySpec extends SparkSpec {
             .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
           assert(rows(maintained.orderBy("g")) == rows(direct.orderBy("g")),
             s"sample $i: maintained aggregate diverged from recomputation")
+          }
         }
     }
   }

@@ -911,6 +911,42 @@ class StreamingSpec extends SparkSpec {
       s"mapped incremental batches translate physical names: $incBatches")
   }
 
+  test("graft.commitlog stream: an incremental window spanning append then ADD COLUMNS DEFAULT delivers the constant (ADVICE r16)") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val root = Files.createTempDirectory("graft-clstream-def").toString
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, 10L)).toDF("id", "v") }
+    // bootstrap pins the checkpoint's offset at v1
+    val ckpt = Files.createTempDirectory("graft-clstream-def-ck").toString
+    val boot = drainCommitLogTail(root, ckpt)
+    assert(boot.size == 1 && boot.head.size == 1)
+    // while the stream is DOWN: an append (v2), then ADD COLUMNS with an
+    // existence DEFAULT (v3). The restart's one window (1, 3] spans both
+    // — the v2 dir PREDATES the default, so the batch must deliver the
+    // recorded constant exactly like every snapshot route (pre-fix: the
+    // defaults commit is rowInvisible, the chain walk skips it, and the
+    // bare file scan delivered NULL)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((2L, 20L)).toDF("id", "v"))
+    CommitLog.evolveSchema(spark, root, "w",
+      Seq(org.apache.spark.sql.types.StructField("bonus",
+        org.apache.spark.sql.types.DoubleType)),
+      defaults = Map("bonus" -> "1.5"))
+    val inc = drainCommitLogTail(root, ckpt)
+    assert(inc.size == 1 && inc.head.size == 1, inc.toString)
+    val row = inc.head.head
+    assert(row.head == 2L && row(2) == 1.5,
+      s"the existence default must ride the incremental batch: $row")
+    // a dir appended AFTER the default stores explicit values and stays
+    // on the fast bare-scan path (no applicable default)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, 30L, 9.0)).toDF("id", "v", "bonus"))
+    val inc2 = drainCommitLogTail(root, ckpt)
+    assert(inc2.size == 1 && inc2.head == Seq(Seq(3L, 30L, 9.0)),
+      inc2.toString)
+  }
+
   test("graft.commitlog streaming read: appends arrive as bounded micro-batches equal to the snapshot") {
     import spark.implicits._
     import graft.sources.CommitLog
