@@ -619,6 +619,45 @@ object Relational {
       root
     }
 
+  // Session-cached catalog table for q_commit_log_evolve_nested (r17 —
+  // VERDICT r16 #4, nested additive evolution): class 60 created with a
+  // STRUCT column, then `ALTER TABLE … ADD COLUMNS (meta.bonus DOUBLE)`
+  // — ONE metadata commit, zero data rewritten (parquet's clipped read
+  // fills the nested field with typed NULL in the pre-evolution dir) —
+  // then an INSERT storing explicit nested values (including an
+  // explicit NULL, which must stay NULL).
+  private val evolveNestedCache =
+    new graft.SessionCache[String](graft.TempDirs.delete)
+  private def evolveNestedLogFor(s: SparkSession, d: String): String =
+    evolveNestedCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-commitevnest")
+      val table = s"$root/t"
+      graft.sources.CommitLog.commit(s, table, "w", "create") { _ =>
+        Tables.orders(s, d).filter(col("o_orderkey") % 100 === 60)
+          .select(col("o_orderkey"),
+            org.apache.spark.sql.functions.struct(
+              col("o_orderstatus").as("st")).as("meta"),
+            col("o_totalprice"))
+      }
+      val cat = catName("gcen", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/cat")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_nest " +
+        s"USING `graft.commitlog` LOCATION '$table'")
+      val before = graft.sources.CommitLog.latest(s, table).get
+      s.sql(s"ALTER TABLE $cat.orders_nest ADD COLUMNS (meta.bonus DOUBLE)")
+      val evolved = graft.sources.CommitLog.latest(s, table).get
+      require(evolved.dataDirs == before.dataDirs && evolved.rowInvisible &&
+        evolved.schemaDDL.exists(_.contains("bonus")),
+        s"q_commit_log_evolve_nested must widen by metadata alone, got " +
+          s"${evolved.schemaDDL} dirs=${evolved.dataDirs}")
+      s.sql(s"INSERT INTO $cat.orders_nest VALUES " +
+        "(900000060, named_struct('st', 'F', 'bonus', 2.5), 111.0), " +
+        "(900000061, named_struct('st', 'O', 'bonus', " +
+        "CAST(NULL AS DOUBLE)), 222.0)")
+      root
+    }
+
   // Session-cached commit-log table for q_commit_log_skip_str (r17 —
   // VERDICT r16 #2, TYPED data-skipping stats): three connector writes,
   // one per o_orderstatus value, with `statsCols` covering a STRING and
@@ -1018,6 +1057,25 @@ object Relational {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // NESTED ADDITIVE EVOLUTION (r17 — VERDICT r16 #4): `ADD COLUMNS
+    // (meta.bonus DOUBLE)` widens INSIDE the struct column as one
+    // metadata commit; the pre-evolution dir reads the nested field as
+    // typed NULL through the catalog route while post-evolution inserts
+    // store explicit values (incl. an explicit NULL that must stay
+    // NULL). The oracle rebuilds the final state relationally, so a
+    // clipped nested read, a lost insert value, or a default leaking
+    // where none exists all hash-fail.
+    "q_commit_log_evolve_nested" -> ((s, d) => {
+      val root = evolveNestedLogFor(s, d)
+      s.table(s"${catName("gcen", d)}.orders_nest")
+        .groupBy(col("meta.st").as("st"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"),
+          count(col("meta.bonus")).as("n_bonus"))
+        .orderBy("st")
     }),
 
     // TYPED DATA SKIPPING (r17 — VERDICT r16 #2): a status-split table
@@ -1918,6 +1976,17 @@ object Relational {
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +
         "FROM orders WHERE o_orderkey % 100 IN (56, 57) " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_commit_log_evolve_nested" ->
+      ("WITH snap AS (" +
+        "SELECT o_orderstatus AS st, o_totalprice AS tp, " +
+        "CAST(NULL AS DOUBLE) AS bonus " +
+        "FROM orders WHERE o_orderkey % 100 = 60 " +
+        "UNION ALL SELECT 'F', 111.0, 2.5 " +
+        "UNION ALL SELECT 'O', 222.0, CAST(NULL AS DOUBLE)) " +
+        "SELECT st, count(*) AS cnt, " +
+        "round(CAST(SUM(CAST(tp AS DECIMAL(18,2))) AS DOUBLE), 2) AS total, " +
+        "count(bonus) AS n_bonus " +
+        "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_skip_str" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total " +

@@ -524,8 +524,11 @@ object CommitLog {
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
-  private def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
+  private def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionsWith(fs(spark, root), root)
+
+  private def versionsWith(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[Long] = {
     if (!f.exists(logDir(root))) Nil
     else f.listStatus(logDir(root)).toSeq
       .map(_.getPath.getName)
@@ -534,8 +537,12 @@ object CommitLog {
       .sorted
   }
 
-  private def readCommitFile(spark: SparkSession, root: String, v: Long): Option[Commit] = {
-    val f = fs(spark, root)
+  private def readCommitFile(spark: SparkSession, root: String,
+      v: Long): Option[Commit] =
+    readCommitWith(fs(spark, root), root, v)
+
+  private def readCommitWith(f: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Option[Commit] = {
     val p = commitPath(root, v)
     // a concurrent vacuum may delete a listed commit file between the
     // listing and this open — absence reads as "not a commit" (the same
@@ -560,12 +567,173 @@ object CommitLog {
     * number), which [[latest]] repairs by probing forward. Failure is
     * swallowed — the pointer is pure advice. */
   private def writeHeadPointer(f: org.apache.hadoop.fs.FileSystem,
-      root: String, v: Long): Unit =
+      root: String, v: Long): Unit = {
     scala.util.Try {
       val out = f.create(headPath(root), true)
       try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    // every claim winner routes through here, so this is the ONE
+    // checkpoint cadence hook; advisory like the pointer itself
+    maybeWriteCheckpoint(f, root, v)
+    ()
+  }
+
+  // ---- commit-log CHECKPOINT (r17 — VERDICT r16 #5, the Delta
+  // `_last_checkpoint` idea adapted to self-contained commits): every
+  // [[CheckpointInterval]]-th claim winner folds the metadata INDEX of
+  // all retained commits — (version, ts, writer, action, …), NOT the
+  // data state, which each commit already records in full — into ONE
+  // advisory `_commits/_checkpoint.json`. A cold history()/timestamp
+  // resolution then costs O(1) file reads + O(commits since the
+  // checkpoint) instead of O(retained history) tiny JSON reads — at a
+  // high commit rate with time-based retention that is thousands of
+  // point reads saved per cold open. STRICTLY advisory: a missing,
+  // torn, or damaged checkpoint reads as None and every consumer falls
+  // back to the full walk (the head-pointer degrade rule); two racing
+  // winners both write valid contents (the index is derived from
+  // immutable commit files), last-write-wins. Vacuum REWRITES the file
+  // dropping swept entries (never references swept versions); the
+  // sweep→rewrite window is covered by the reader's leading existence
+  // probe. ----
+  private[sources] val CheckpointInterval = 10L
+  private def checkpointPath(root: String) =
+    new HPath(logDir(root), "_checkpoint.json")
+
+  /** One retained commit's metadata-index row — everything [[history]]
+    * and the timestamp clock need, nothing a data read needs. Tag-rule
+    * fields (writer, action, constraint names, cluster spec columns)
+    * are requireTag-validated at the API edge, so they embed unescaped
+    * like the commit JSON's own tag fields. */
+  private[sources] case class IndexEntry(v: Long, ts: Option[Long],
+      writer: String, action: String, inv: Boolean, ndirs: Int,
+      cluster: Option[String], txn: Option[(String, Long)],
+      cons: Seq[String])
+
+  private def entryOf(c: Commit): IndexEntry =
+    IndexEntry(c.version, c.tsMs, c.writer, c.action, c.rowInvisible,
+      c.dataDirs.size, c.clusterSpec, c.txn, c.constraints.map(_._1))
+
+  private def renderIndex(entries: Seq[IndexEntry]): String =
+    entries.map { e =>
+      val ts = e.ts.map(t => s""","ts":$t""").getOrElse("")
+      val cl = e.cluster.map(s => s""","cluster":"$s"""").getOrElse("")
+      val tx = e.txn.map { case (a, b) =>
+        s""","txnApp":"$a","txnBatch":$b""" }.getOrElse("")
+      val cn =
+        if (e.cons.isEmpty) ""
+        else e.cons.map("\"" + _ + "\"").mkString(""","cons":[""", ",", "]")
+      s"""{"v":${e.v}$ts,"writer":"${e.writer}","action":"${e.action}",""" +
+        s""""inv":${e.inv},"ndirs":${e.ndirs}$cl$tx$cn}"""
+    }.mkString("""{"entries":[""", ",", "]}")
+
+  private val IndexEntryRe =
+    ("""\{"v":(\d+)(?:,"ts":(\d+))?,"writer":"([^"]*)","action":"([^"]*)",""" +
+      """"inv":(true|false),"ndirs":(\d+)(?:,"cluster":"([^"]*)")?""" +
+      """(?:,"txnApp":"([^"]*)","txnBatch":(-?\d+))?""" +
+      """(?:,"cons":\[([^\]]*)\])?\}""").r
+
+  /** The checkpoint's entries, ascending — None when absent, torn, or
+    * damaged in ANY way (strict: every entry must parse and versions
+    * must strictly ascend; a half-readable index could silently hide
+    * history, so consumers walk instead). */
+  private def readCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Seq[IndexEntry]] = {
+    val p = checkpointPath(root)
+    val in = try f.open(p) catch { case _: java.io.IOException => return None }
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } catch { case _: java.io.IOException => return None }
+    finally in.close()
+    if (!txt.startsWith("""{"entries":[""") || !txt.endsWith("]}"))
+      return None
+    val body = txt.stripPrefix("""{"entries":[""").stripSuffix("]}")
+    if (body.isEmpty) return Some(Nil)
+    val ms = IndexEntryRe.findAllMatchIn(body).toSeq
+    val parsed = ms.map { m =>
+      IndexEntry(m.group(1).toLong, Option(m.group(2)).map(_.toLong),
+        m.group(3), m.group(4), m.group(5).toBoolean, m.group(6).toInt,
+        Option(m.group(7)),
+        (Option(m.group(8)), Option(m.group(9))) match {
+          case (Some(a), Some(b)) => Some((a, b.toLong))
+          case _ => None
+        },
+        Option(m.group(10)).filter(_.nonEmpty).toSeq
+          .flatMap(_.split(',').map(_.trim.stripPrefix("\"")
+            .stripSuffix("\""))))
+    }
+    // strict: the matches must tile the whole body (nothing unparsed
+    // between them) and versions must strictly ascend
+    val tiled = ms.map(m => body.substring(m.start, m.end))
+      .mkString(",") == body
+    if (!tiled || parsed.isEmpty ||
+        parsed.sliding(2).exists(w => w.size == 2 && w(0).v >= w(1).v))
+      None
+    else Some(parsed)
+  }
+
+  private def writeIndexFile(f: org.apache.hadoop.fs.FileSystem,
+      root: String, entries: Seq[IndexEntry]): Unit = {
+    val out = f.create(checkpointPath(root), true)
+    try out.write(renderIndex(entries).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fold and write the checkpoint when `upTo` hits the cadence —
+    * O(CheckpointInterval) commit reads amortized (the prior checkpoint
+    * carries everything older); the FIRST checkpoint folds the whole
+    * retained history once. Failures are swallowed: advisory. */
+  private def maybeWriteCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+      root: String, upTo: Long): Unit =
+    if (upTo % CheckpointInterval == 0L) {
+      scala.util.Try {
+        val prev = readCheckpoint(f, root).getOrElse(Nil)
+          .filter(_.v <= upTo)
+        // drop swept-prefix leftovers (vacuum rewrites, but a crash
+        // between its sweep and rewrite must not fossilize phantoms)
+        val base = prev.dropWhile(e => !f.exists(commitPath(root, e.v)))
+        val start = base.lastOption.map(_.v + 1).getOrElse(
+          versionsWith(f, root).headOption.getOrElse(upTo))
+        val tail = (start to upTo)
+          .flatMap(v => readCommitWith(f, root, v)).map(entryOf)
+        writeIndexFile(f, root, base ++ tail)
+      }
+      ()
+    }
+
+  /** The metadata index of every retained commit, ascending — the ONE
+    * read path behind [[history]] and the timestamp clock: checkpoint
+    * entries (existence-probed past any swept prefix) + a tail walk of
+    * the commits after it; full listing walk when no usable checkpoint
+    * exists. Equal to the walk by construction — spec-asserted, incl.
+    * the corruption fallback. */
+  private def commitIndex(spark: SparkSession, root: String): Seq[IndexEntry] = {
+    val f = fs(spark, root)
+    readCheckpoint(f, root) match {
+      case Some(entries) if entries.nonEmpty =>
+        val live = entries.dropWhile(e => !f.exists(commitPath(root, e.v)))
+        if (live.isEmpty)
+          versions(spark, root)
+            .flatMap(v => readCommitFile(spark, root, v)).map(entryOf)
+        else {
+          val tail = Vector.newBuilder[IndexEntry]
+          var v = live.last.v + 1
+          var c = readCommitFile(spark, root, v)
+          while (c.isDefined) {
+            tail += entryOf(c.get); v += 1
+            c = readCommitFile(spark, root, v)
+          }
+          live ++ tail.result()
+        }
+      case _ =>
+        versions(spark, root)
+          .flatMap(v => readCommitFile(spark, root, v)).map(entryOf)
+    }
+  }
 
   /** The advisory head pointer's value, if present and parseable (torn or
     * corrupt content reads as None — the walk fallback). */
@@ -889,6 +1057,30 @@ object CommitLog {
       if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
       else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
     }.toMap
+  }
+
+  /** Type equality IGNORING nullability at every depth (r17): top-level
+    * comparisons already ignore nullability (it lives on StructField,
+    * not DataType), but struct-valued columns smuggle nested
+    * nullability into DataType equality — a delta built from non-null
+    * literals would spuriously mismatch the recorded nullable DDL
+    * despite identical names and types at every level. Writing
+    * non-null values into a nullable field is always safe. */
+  private def sameTypeLoose(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name &&
+            sameTypeLoose(f.dataType, g.dataType) }
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeLoose(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeLoose(x.keyType, y.keyType) &&
+          sameTypeLoose(x.valueType, y.valueType)
+      case _ => a == b
+    }
   }
 
   /** A column mapped into the ONE long stats domain (r17 — VERDICT r16
@@ -1270,11 +1462,11 @@ object CommitLog {
     * (O(versions) tiny files), never a data dir. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    versions(spark, root)
-      .flatMap(v => readCommitFile(spark, root, v))
-      .map(c => (c.version, c.tsMs, c.writer, c.action, c.dataDirs.size,
-        c.rowInvisible, c.clusterSpec, c.txn.map(_._1), c.txn.map(_._2),
-        c.constraints.map(_._1)))
+    // checkpoint-accelerated (r17): O(1) + O(since-checkpoint) reads on
+    // a cold open instead of one tiny JSON read per retained version
+    commitIndex(spark, root)
+      .map(e => (e.v, e.ts, e.writer, e.action, e.ndirs,
+        e.inv, e.cluster, e.txn.map(_._1), e.txn.map(_._2), e.cons))
       .toDF("version", "ts_ms", "writer", "action", "n_dirs",
         "row_invisible", "cluster", "txn_app", "txn_batch", "constraints")
   }
@@ -1450,6 +1642,68 @@ object CommitLog {
           if (cur.colMap.isEmpty) cur.colMap
           else cur.colMap ++ added.map(f => f.name ->
             s"col-${java.util.UUID.randomUUID().toString.take(8)}"))
+    }
+  }
+
+  /** NESTED additive schema evolution (r17 — VERDICT r16 #4): add
+    * NULLABLE fields INSIDE an existing struct column, arbitrarily
+    * deep — the `ALTER TABLE … ADD COLUMNS (s.f T)` shape real event
+    * schemas evolve by. ONE rowInvisible metadata commit records the
+    * widened DDL and NOTHING else moves: parquet's schema-clipped read
+    * (the same pinned-DDL scan every route already uses) fills a
+    * nested field missing from a pre-evolution file with typed NULL,
+    * at any depth — probed on this Spark and spec-asserted — so old
+    * dirs, merges, compactions, and the connector/catalog routes all
+    * ride through the widening with zero data I/O. Restrictions, each
+    * loud: fields are NULLABLE and appended at the end of their struct
+    * (no FIRST/AFTER reordering of committed parquet), the path must
+    * resolve to a STRUCT column (array/map element structs are out of
+    * scope), no existence DEFAULTs (a nested default would need a
+    * struct-rebuilding coalesce on every read — add the field, then
+    * UPDATE), case-insensitive duplicate checks like the top-level
+    * verb. Column mapping composes: only TOP-LEVEL names are mapped,
+    * so the nested widening keys by the parent's logical name and the
+    * physical scan translates the top level as always. */
+  def evolveStructFields(spark: SparkSession, root: String, writer: String,
+      path: Seq[String], added: Seq[org.apache.spark.sql.types.StructField],
+      maxAttempts: Int = 20): Commit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(path.nonEmpty,
+      "evolveStructFields needs the struct column's path — top-level " +
+        "adds go through evolveSchema")
+    require(added.nonEmpty, "evolveStructFields needs at least one field")
+    require(added.forall(_.nullable),
+      "evolveStructFields adds NULLABLE fields only — existing rows " +
+        "read the new field as NULL")
+    val inDup = added.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
+    require(inDup.isEmpty,
+      s"evolveStructFields: duplicate added fields ${inDup.keys.mkString(", ")}")
+    def widen(st: StructType, p: Seq[String], at: String): StructType =
+      p match {
+        case Seq() =>
+          val lower = st.fieldNames.map(_.toLowerCase).toSet
+          val dup = added.map(_.name).filter(n => lower(n.toLowerCase))
+          require(dup.isEmpty,
+            s"evolveStructFields: ${dup.mkString(", ")} already in " +
+              s"$at (${st.simpleString})")
+          StructType(st.fields ++ added)
+        case seg +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(seg))
+          require(i >= 0, s"evolveStructFields: no field '$seg' in $at " +
+            s"(${st.simpleString})")
+          st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i, st.fields(i)
+                .copy(dataType = widen(inner, rest, s"$at.$seg"))))
+            case other => throw new IllegalArgumentException(
+              s"evolveStructFields: '$at.$seg' is ${other.simpleString}, " +
+                "not a struct — only struct columns take nested adds")
+          }
+      }
+    metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      cur.copy(schemaDDL =
+        Some(widen(headSchema, path, "<root>").toDDL))
     }
   }
 
@@ -1653,34 +1907,39 @@ object CommitLog {
     val atOrBefore = resolved.takeWhile(_._2 <= tsMs)
     if (atOrBefore.isEmpty) throw new IllegalArgumentException(
       s"CommitLog: timestampAsOf $tsMs precedes the earliest retained " +
-        s"commit of $root (v${resolved.head._1.version} at " +
+        s"commit of $root (v${resolved.head._1.v} at " +
         s"${resolved.head._2}) — that state is not retained")
     if (tsMs > resolved.last._2) throw new IllegalArgumentException(
       s"CommitLog: timestampAsOf $tsMs is after the newest commit of " +
-        s"$root (v${resolved.last._1.version} at ${resolved.last._2}) — " +
+        s"$root (v${resolved.last._1.v} at ${resolved.last._2}) — " +
         "a future timestamp names no committed state; read the head " +
         "(no option) or pass a timestamp at-or-before the newest commit's")
-    atOrBefore.last._1
+    // the clock resolves over the metadata INDEX (checkpoint-accelerated,
+    // r17); the full record is then ONE point read
+    val v = atOrBefore.last._1.v
+    readCommitFile(spark, root, v).getOrElse(throw new IllegalStateException(
+      s"CommitLog: version $v of $root vanished between timestamp " +
+        "resolution and its read (racing vacuum) — raise retention"))
   }
 
-  /** Every retained commit paired with its MONOTONIZED wall-clock
-    * (eff = max over predecessors — Delta's clock-skew clamp), ascending
-    * by version. The ONE copy of the time-resolution rules
-    * ([[commitAtTimestamp]] and [[versionBeforeTimestamp]] both read it,
-    * so batch timestampAsOf and the stream's startingTimestamp floor can
-    * never diverge); a retained commit missing the field throws loudly. */
+  /** Every retained commit's index row paired with its MONOTONIZED
+    * wall-clock (eff = max over predecessors — Delta's clock-skew
+    * clamp), ascending by version. The ONE copy of the time-resolution
+    * rules ([[commitAtTimestamp]] and [[versionBeforeTimestamp]] both
+    * read it, so batch timestampAsOf and the stream's startingTimestamp
+    * floor can never diverge); a retained commit missing the field
+    * throws loudly. Checkpoint-accelerated through [[commitIndex]]. */
   private def monotonizedCommitClock(spark: SparkSession, root: String,
-      what: String, alt: String): Seq[(Commit, Long)] = {
-    val cs = versions(spark, root)
-      .flatMap(v => readCommitFile(spark, root, v))
+      what: String, alt: String): Seq[(IndexEntry, Long)] = {
+    val cs = commitIndex(spark, root)
     require(cs.nonEmpty, s"CommitLog: no commits at $root")
-    val missing = cs.filter(_.tsMs.isEmpty).map(_.version)
+    val missing = cs.filter(_.ts.isEmpty).map(_.v)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"CommitLog: $what cannot resolve over $root — retained " +
         s"commits ${missing.mkString(", ")} record no timestamp " +
         s"(pre-timestamp history); use $alt")
     var eff = Long.MinValue
-    cs.map { c => eff = math.max(eff, c.tsMs.get); (c, eff) }
+    cs.map { c => eff = math.max(eff, c.ts.get); (c, eff) }
   }
 
   /** Load the snapshot as of wall-clock `tsMs` — [[commitAtTimestamp]]'s
@@ -1700,7 +1959,7 @@ object CommitLog {
   def versionBeforeTimestamp(spark: SparkSession, root: String, tsMs: Long): Long =
     monotonizedCommitClock(spark, root,
       what = "startingTimestamp", alt = "startingVersion")
-      .takeWhile(_._2 < tsMs).lastOption.map(_._1.version).getOrElse(0L)
+      .takeWhile(_._2 < tsMs).lastOption.map(_._1.v).getOrElse(0L)
 
   /** Atomic create-exclusive of the claim file with `content`. True =
     * this writer owns the version. */
@@ -1986,7 +2245,7 @@ object CommitLog {
       if (!evolve) {
         val same = headSchema.length == delta.schema.length &&
           headSchema.zip(delta.schema).forall { case (a, b) =>
-            a.name == b.name && a.dataType == b.dataType }
+            a.name == b.name && sameTypeLoose(a.dataType, b.dataType) }
         require(same,
           s"commitAppend schema mismatch vs head v${h.version}: " +
             s"head ${headSchema.simpleString} vs delta ${delta.schema.simpleString} " +
@@ -1995,7 +2254,7 @@ object CommitLog {
       } else {
         val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
         val broken = headSchema.filterNot(hf =>
-          deltaTypes.get(hf.name).contains(hf.dataType))
+          deltaTypes.get(hf.name).exists(sameTypeLoose(_, hf.dataType)))
         require(broken.isEmpty,
           s"commitAppend(evolve) vs head v${h.version}: evolution is " +
             s"ADDITIVE only — delta must carry every head column unchanged, " +
@@ -2751,7 +3010,7 @@ object CommitLog {
             deleteCol.contains(sf.name))
           val same = headSchema.length == payloadFields.length &&
             headSchema.forall(hf => payloadFields.exists(pf =>
-              pf.name == hf.name && pf.dataType == hf.dataType))
+              pf.name == hf.name && sameTypeLoose(pf.dataType, hf.dataType)))
           require(same,
             s"merge schema mismatch vs head v${head.version}: head " +
               s"${headSchema.simpleString} vs changes (minus deleteCol) " +
@@ -3383,7 +3642,7 @@ object CommitLog {
       incoming.foreach { inc =>
         val same = headSchema.length == inc.schema.length &&
           headSchema.forall(hf => inc.schema.exists(pf =>
-            pf.name == hf.name && pf.dataType == hf.dataType))
+            pf.name == hf.name && sameTypeLoose(pf.dataType, hf.dataType)))
         require(same,
           s"$action schema mismatch vs head v${head.version}: head " +
             s"${headSchema.simpleString} vs data ${inc.schema.simpleString}")
@@ -3615,6 +3874,18 @@ object CommitLog {
       .getOrElse(Long.MaxValue)
     val (old, kept) = committed.partition(_.version < protectFrom)
     old.foreach(c => f.delete(commitPath(root, c.version), false))
+    // the checkpoint must never reference swept versions (r17): rewrite
+    // it dropping the swept prefix, or remove it when nothing it lists
+    // survives; a crash mid-rewrite reads as damage → walk fallback, and
+    // the reader's leading existence probe covers the sweep→rewrite
+    // window either way. Best-effort like every advisory artifact.
+    if (old.nonEmpty) scala.util.Try {
+      readCheckpoint(f, root).foreach { entries =>
+        val live = entries.filter(_.v >= protectFrom)
+        if (live.isEmpty) f.delete(checkpointPath(root), false)
+        else if (live.size != entries.size) writeIndexFile(f, root, live)
+      }
+    }
     val live = kept.flatMap(_.dataDirs).toSet
     val newestCommitted = committed.lastOption.map(_.version).getOrElse(0L)
     def targetVersion(dirName: String): Option[Long] = nameVersion(dirName)

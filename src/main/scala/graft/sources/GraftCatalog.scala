@@ -374,10 +374,29 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         // ONE statement = one evolution commit: all AddColumn changes
         // batch into a single evolveSchema, so a failing column never
         // leaves half the statement committed (code review r14 close)
-        val addedCols = changes.collect { case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            "graft.commitlog ADD COLUMNS takes top-level columns, got " +
-              add.fieldNames().mkString("."))
+        // NESTED adds (r17 — VERDICT r16 #4): `ADD COLUMNS (s.f T)`
+        // routes to CommitLog.evolveStructFields — one metadata commit
+        // per parent struct path, nothing rewritten (parquet's clipped
+        // read fills the missing nested field with typed NULL). No
+        // DEFAULT for nested fields, no FIRST/AFTER, nullable only.
+        val nestedCols = changes.collect {
+          case add: TableChange.AddColumn if add.fieldNames().length > 1 =>
+            require(add.position() == null,
+              "graft.commitlog ADD COLUMNS appends at the end — FIRST/" +
+                "AFTER would reorder committed parquet")
+            require(add.isNullable,
+              "graft.commitlog ADD COLUMNS adds NULLABLE fields — " +
+                "existing rows hold no value for them")
+            require(add.defaultValue() == null,
+              "graft.commitlog nested ADD COLUMNS takes no DEFAULT — " +
+                "existence defaults are top-level; add the field, then " +
+                "UPDATE")
+            (add.fieldNames().init.toSeq,
+              org.apache.spark.sql.types.StructField(
+                add.fieldNames().last, add.dataType(), nullable = true))
+        }
+        val addedCols = changes.collect {
+          case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
           require(add.position() == null,
             "graft.commitlog ADD COLUMNS appends at the end — FIRST/" +
               "AFTER would reorder committed parquet")
@@ -479,6 +498,17 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
               addedCols.map(_._1),
               defaults = addedCols.collect {
                 case (f, Some(sql)) => f.name -> sql }.toMap)
+          }
+        }
+        if (nestedCols.nonEmpty) {
+          require(!GraftCatalog.fromMergeEvolution,
+            "graft.commitlog MERGE schema evolution is top-level " +
+              "additive only — nested source fields need an explicit " +
+              "ALTER TABLE … ADD COLUMNS (s.f T) first")
+          materialize()
+          nestedCols.groupBy(_._1).foreach { case (path, fs) =>
+            CommitLog.evolveStructFields(spark, loc, "catalog",
+              path, fs.map(_._2))
           }
         }
         loadTable(ident)

@@ -3449,6 +3449,162 @@ class CommitLogSpec extends SparkSpec {
       "the folded vector keeps both generations after the move")
   }
 
+  test("nested additive schema evolution: one metadata commit, old dirs read typed NULL at any depth, every route agrees (VERDICT r16 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField}
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "st", "x")
+        .select(col("id"), struct(col("st"), col("x")).as("meta")) }
+    val v1 = CommitLog.latest(spark, root).get
+    // ONE rowInvisible metadata commit, zero data dirs moved
+    val c = CommitLog.evolveStructFields(spark, root, "w", Seq("meta"),
+      Seq(StructField("score", DoubleType)))
+    assert(c.rowInvisible && c.dataDirs == v1.dataDirs &&
+      c.version == v1.version + 1)
+    val got = CommitLog.readLatest(spark, root).get
+    assert(got.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("st", "x", "score"))
+    assert(rows(got.select(col("id"), col("meta.score")).orderBy("id")) ==
+      Seq(Seq(1L, null), Seq(2L, null)),
+      "pre-evolution dirs read the nested field as typed NULL")
+    // post-evolution appends store explicit nested values
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c", 3.0, 9.5)).toDF("id", "st", "x", "score")
+        .select(col("id"),
+          struct(col("st"), col("x"), col("score")).as("meta")))
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").select("meta.score").collect()
+        .map(r => Option(r.get(0))).toSeq
+    assert(scores(CommitLog.readLatest(spark, root).get) ==
+      Seq(None, None, Some(9.5)), "library route")
+    assert(scores(spark.read.format("graft.commitlog").load(root)) ==
+      Seq(None, None, Some(9.5)), "connector route")
+    // filters/aggregates over the filled field
+    assert(CommitLog.readLatest(spark, root).get
+      .filter(col("meta.score").isNull).count() == 2L)
+    // a merge over the widened schema rides through old+new dirs
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((2L, "b", 2.0, 5.5)).toDF("id", "st", "x", "score")
+        .select(col("id"),
+          struct(col("st"), col("x"), col("score")).as("meta")))
+    assert(scores(CommitLog.readLatest(spark, root).get) ==
+      Seq(None, Some(5.5), Some(9.5)))
+    // compact MATERIALIZES the nested NULLs; reads agree after
+    CommitLog.compact(spark, root, "opt")
+    assert(scores(CommitLog.readLatest(spark, root).get) ==
+      Seq(None, Some(5.5), Some(9.5)))
+    // time travel before the evolution shows the narrow struct
+    assert(CommitLog.readVersion(spark, root, 1L).get
+      .schema("meta").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("st", "x"))
+    // DEEP nesting: a second-level add
+    val root2 = freshRoot() + "/deep"
+    CommitLog.commit(spark, root2, "w", "create") { _ =>
+      Seq((1L, 5L)).toDF("id", "xv")
+        .select(col("id"), struct(struct(col("xv")).as("inner")).as("o")) }
+    CommitLog.evolveStructFields(spark, root2, "w", Seq("o", "inner"),
+      Seq(StructField("y", StringType)))
+    assert(rows(CommitLog.readLatest(spark, root2).get
+      .select(col("o.inner.y"))) == Seq(Seq(null)),
+      "a two-level nested add reads NULL from the old dir")
+    // refusals, each loud and commit-free
+    val vBefore = CommitLog.latest(spark, root2).get.version
+    intercept[IllegalArgumentException] { // not a struct
+      CommitLog.evolveStructFields(spark, root2, "w", Seq("id"),
+        Seq(StructField("z", StringType))) }
+    intercept[IllegalArgumentException] { // duplicate (case-insensitive)
+      CommitLog.evolveStructFields(spark, root2, "w", Seq("o", "inner"),
+        Seq(StructField("Y", StringType))) }
+    intercept[IllegalArgumentException] { // non-nullable
+      CommitLog.evolveStructFields(spark, root2, "w", Seq("o"),
+        Seq(StructField("req", StringType, nullable = false))) }
+    intercept[IllegalArgumentException] { // missing path
+      CommitLog.evolveStructFields(spark, root2, "w", Seq("ghost"),
+        Seq(StructField("z", StringType))) }
+    assert(CommitLog.latest(spark, root2).get.version == vBefore,
+      "refusals are pre-claim")
+    // the statement face: ALTER TABLE … ADD COLUMNS (meta.tag STRING)
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gne", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gne.dir", catRoot)
+    try {
+      spark.sql(s"CREATE TABLE gne.t USING `graft.commitlog` LOCATION '$root'")
+      spark.sql("ALTER TABLE gne.t ADD COLUMNS (meta.tag STRING)")
+      assert(spark.table("gne.t").select("meta.tag").collect()
+        .forall(_.isNullAt(0)), "catalog route reads the nested NULL")
+      spark.sql("INSERT INTO gne.t VALUES " +
+        "(4, named_struct('st', 'd', 'x', 4.0, 'score', 1.5, 'tag', 'new'))")
+      assert(rows(spark.table("gne.t").filter(col("id") === 4L)
+        .select(col("meta.tag"))) == Seq(Seq("new")))
+      // nested DEFAULT refuses loudly
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE gne.t ADD COLUMNS (meta.d DOUBLE DEFAULT 1.0)") }
+      assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gne.t")
+      spark.conf.unset("spark.sql.catalog.gne")
+      spark.conf.unset("spark.sql.catalog.gne.dir")
+    }
+  }
+
+  test("commit-log checkpoint: cold history/timestamp reads fold through _checkpoint; damage and vacuum degrade soundly (VERDICT r16 #5)") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "v") }
+    (2 to 23).foreach(i =>
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val ckptFile = new java.io.File(root, "_commits/_checkpoint.json")
+    assert(ckptFile.exists(), "the 10th/20th claims must fold a checkpoint")
+    val txt = new String(Files.readAllBytes(ckptFile.toPath), "UTF-8")
+    assert(txt.count(_ == '{') == 21, // wrapper + one per entry ≤ v20
+      s"checkpoint at v23 folds exactly versions 1..20: $txt")
+    // cold-open equality: the checkpoint route and the pure walk agree
+    val viaCkpt = rows(CommitLog.history(spark, root).orderBy("version"))
+    assert(viaCkpt.size == 23 &&
+      viaCkpt.map(_.head) == (1L to 23L),
+      "history must cover checkpointed AND post-checkpoint commits")
+    val tsMid = viaCkpt(10)(1).asInstanceOf[Long] // v11's ts
+    val atMid = CommitLog.commitAtTimestamp(spark, root, tsMid)
+    val backup = txt
+    Files.delete(ckptFile.toPath)
+    assert(rows(CommitLog.history(spark, root).orderBy("version")) ==
+      viaCkpt, "no checkpoint: the walk returns the identical history")
+    assert(CommitLog.commitAtTimestamp(spark, root, tsMid).version ==
+      atMid.version, "timestamp resolution agrees with the walk")
+    // corruption: a torn/damaged checkpoint reads as absent, never wrong
+    Files.write(ckptFile.toPath,
+      backup.dropRight(25).getBytes("UTF-8"))
+    assert(rows(CommitLog.history(spark, root).orderBy("version")) ==
+      viaCkpt, "a torn checkpoint degrades to the walk")
+    Files.write(ckptFile.toPath, "not json at all".getBytes("UTF-8"))
+    assert(CommitLog.commitAtTimestamp(spark, root, tsMid).version ==
+      atMid.version, "garbage degrades to the walk")
+    // the next cadence claim REPLACES the damaged file with a sound fold
+    (24 to 30).foreach(i =>
+      CommitLog.commitAppend(spark, root, "w", "append")(
+        Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val txt30 = new String(Files.readAllBytes(ckptFile.toPath), "UTF-8")
+    assert(txt30.count(_ == '{') == 31,
+      s"v30's claim must re-fold the full retained history: $txt30")
+    assert(rows(CommitLog.history(spark, root)).size == 30)
+    // vacuum: swept versions leave the checkpoint (never referenced)
+    CommitLog.vacuum(spark, root, keep = 5, graceMs = 0L)
+    val afterVac = rows(CommitLog.history(spark, root).orderBy("version"))
+    assert(afterVac.map(_.head) == (26L to 30L),
+      s"history after vacuum lists only retained versions: $afterVac")
+    val txtVac = new String(Files.readAllBytes(ckptFile.toPath), "UTF-8")
+    assert(!txtVac.contains("\"v\":25,") && txtVac.contains("\"v\":26"),
+      s"vacuum must rewrite the checkpoint past the sweep: $txtVac")
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAtTimestamp(spark, root, tsMid) }
+  }
+
   test("RENAME/DROP COLUMN refuse when a recorded constraint fails to resolve (VERDICT r16 watch-item #3)") {
     import spark.implicits._
     val root = freshRoot() + "/t"
