@@ -282,6 +282,54 @@ object ScaleBench {
       }
     }
 
+    if (enabled("ivfband")) {
+      // ANN scale band (r17 — VERDICT r16 #6): build + probe the ON-DISK
+      // IVF index at 100 k / 1 M vectors with the autoK quantizer,
+      // recording build seconds, probe latency for a 64-query batch, and
+      // PRUNED-vs-FULL read bytes (sizes of the probed cid partitions vs
+      // the whole assigned dataset) — the claim under test is that a
+      // probe reads nprobe-of-k directories, not the corpus, so probe
+      // cost and bytes stay ~flat while the corpus grows 10×.
+      val ivfPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_IVF",
+        "100000,1000000")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      def dirBytes(p: java.io.File): Long =
+        if (p.isFile) p.length()
+        else Option(p.listFiles()).toSeq.flatten.map(dirBytes).sum
+      for (n <- ivfPoints) {
+        val e = writeRead(s, synthEmbeds(s, n), s"$root/ivfband_emb_$n")
+        val dir = s"$root/ivfband_idx_$n"
+        val k = Similarity.IvfIndex.autoK(n)
+        if (!new java.io.File(dir).exists()) {
+          val t0 = System.nanoTime()
+          val idx = Similarity.IvfIndex.build(e, k, 3)
+          try Similarity.IvfIndex.write(idx, dir) finally idx.drop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""SCALE_ROW:{"op":"ivfband_build_k$k","n":$n,"sec":${r3(sec)},"reps":[1]}""")
+        }
+        val queries = synthEmbeds(s, 64).selectExpr("vec_id AS qid", "v")
+          .localCheckpoint(true)
+        measure("ivfband_probe_top10", n, reps) {
+          Similarity.IvfIndex.searchOnDisk(s, dir, queries, nprobe = 8,
+            k = 10)
+        }
+        // pruned-vs-full bytes: the probe touches exactly the probed
+        // cells' partitions; everything else never leaves disk
+        val fullBytes = dirBytes(new java.io.File(s"$dir/assigned"))
+        def bytesRow(tag: String, q: org.apache.spark.sql.DataFrame): Unit = {
+          val probed = Similarity.IvfIndex.probedCells(s, dir, q, 8)
+          val prunedBytes = probed.map(c =>
+            dirBytes(new java.io.File(s"$dir/assigned/cid=$c"))).sum
+          println(s"""SCALE_ROW:{"op":"ivfband_$tag","n":$n,"sec":0.0,"reps":[1],"cells_probed":${probed.size},"cells_total":$k,"bytes_pruned":$prunedBytes,"bytes_full":$fullBytes}""")
+        }
+        // the batch unions 64 queries' probes; the single-query row is
+        // the per-probe pruning signal (nprobe of k cells, corpus-free)
+        bytesRow("probe_bytes_batch64", queries)
+        bytesRow("probe_bytes_1q", queries.limit(1))
+        queries.unpersist()
+      }
+    }
+
     if (enabled("geo")) {
       // Grid-blocked radius join: candidate volume is Θ(output) with a
       // bounded constant — probes×9 over 864 grid buckets gives

