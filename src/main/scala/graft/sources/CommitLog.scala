@@ -1796,8 +1796,8 @@ object CommitLog {
         s"RENAME COLUMN '$from': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
           "the constraint, rename, re-add it under the new name")
-      require(!bloomColumn(spark, root).contains(from),
-        s"RENAME COLUMN '$from': it is the table's bloom column — " +
+      require(!bloomColumns(spark, root).contains(from),
+        s"RENAME COLUMN '$from': it is one of the table's bloom columns — " +
           "sidecars are keyed outside the log; compact+rebuild first")
       val base = activatedMap(cur, headSchema)
       cur.copy(
@@ -1844,7 +1844,7 @@ object CommitLog {
         s"DROP COLUMN '$name': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
           "the constraint first")
-      require(!bloomColumn(spark, root).contains(name),
+      require(!bloomColumns(spark, root).contains(name),
         s"DROP COLUMN '$name': it is the table's bloom column — " +
           "sidecars are keyed outside the log; compact+rebuild first")
       require(!cur.clusterBy.exists(sp =>
@@ -2561,6 +2561,44 @@ object CommitLog {
   private def bloomPath(root: String, dir: String) =
     new HPath(bloomDir(root), dir + ".bin")
   private def bloomColPath(root: String) = new HPath(bloomDir(root), "_column")
+  // MULTI-COLUMN blooms (r17): the FIRST bloom column keeps the legacy
+  // flat layout (`_column` marker + `_bloom/<dir>.bin`), every further
+  // column takes a one-writer-wins marker under `_columns/<col>` and
+  // sidecars under `_bloom/col=<col>/<dir>.bin` — existing tables keep
+  // working unchanged, and the evidence rules COMPOSE (a merge/scan may
+  // now prune on several bloomed columns at once).
+  private def bloomColsDir(root: String) = new HPath(bloomDir(root), "_columns")
+  private def bloomColMarker(root: String, c: String) =
+    new HPath(bloomColsDir(root), c)
+  private def extraBloomColumns(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] =
+    if (!f.exists(bloomColsDir(root))) Nil
+    else Option(f.listStatus(bloomColsDir(root))).toSeq.flatten
+      .map(_.getPath.getName).filterNot(_.startsWith(".tmp-")).sorted
+
+  /** Delete every per-column sidecar of `dir` (legacy + r17 extras) —
+    * lost-claim cleanup and vacuum both need the full set. */
+  private def deleteSidecars(f: org.apache.hadoop.fs.FileSystem,
+      root: String, dir: String): Unit = {
+    f.delete(bloomPath(root, dir), false)
+    extraBloomColumns(f, root).foreach(c =>
+      f.delete(new HPath(bloomDir(root), s"col=$c/$dir.bin"), false))
+  }
+
+  /** Every bloom column of the table — the legacy marker's column first
+    * (flat sidecar layout), then the r17 extra columns (per-column
+    * subtrees), each with its own complete advisory sidecar set. */
+  def bloomColumns(spark: SparkSession, root: String): Seq[String] = {
+    val legacy = bloomColumn(spark, root)
+    (legacy.toSeq ++ extraBloomColumns(fs(spark, root), root)).distinct
+  }
+
+  /** The sidecar path for (`colName`, `dir`) under the layout rule:
+    * the legacy marker's column stays flat; extras live per-column. */
+  private def sidecarPathFor(root: String, legacy: Option[String],
+      colName: String, dir: String): HPath =
+    if (legacy.contains(colName)) bloomPath(root, dir)
+    else new HPath(bloomDir(root), s"col=$colName/$dir.bin")
 
   /** The table's bloom column, from the `_bloom/_column` marker (r11):
     * sidecars are raw BloomFilter bytes keyed by dir name, so the marker
@@ -2603,20 +2641,36 @@ object CommitLog {
     * call builds only sidecars that don't exist yet, so run it after
     * appends to keep point reads cheap. Returns the number built.
     * Supports long- and string-typed columns (the
-    * `DataFrameStatFunctions.bloomFilter` contract). */
+    * `DataFrameStatFunctions.bloomFilter` contract).
+    *
+    * MULTIPLE bloom columns (r17): call once per column. The first
+    * column claims the legacy layout; each further column registers a
+    * `_columns/<col>` marker and keeps its own homogeneous sidecar
+    * subtree, so merges/scans COMPOSE "definitely absent" answers
+    * across every bloomed column (a composite-key merge prunes a dir
+    * when ANY key component's sidecar clears it). */
   def addBloom(spark: SparkSession, root: String, colName: String,
       fpp: Double = 0.001): Int =
     latest(spark, root).map { head =>
       val f = fs(spark, root)
       f.mkdirs(bloomDir(root))
-      // ONE bloom column per table (the stats-column rule's sidecar
-      // twin): existing sidecars' members came from the marker's column,
-      // so building new ones over a different column would leave a
-      // heterogeneous set no reader could prune with safely
+      // the FIRST bloom column claims the legacy flat layout; FURTHER
+      // columns (r17 — multi-column blooms) each take a one-writer-wins
+      // `_columns/<col>` marker and their own per-column sidecar
+      // subtree, so every column's sidecar set stays homogeneous (the
+      // r11 rule, now per column instead of per table)
+      requireTag(colName, "bloom column")
       bloomColumn(spark, root) match {
-        case Some(existing) => require(existing == colName,
-          s"bloom column '$colName' conflicts with the table's existing " +
-            s"bloom column '$existing' — one bloom column per table")
+        case Some(existing) =>
+          if (existing != colName &&
+              !extraBloomColumns(f, root).contains(colName)) {
+            f.mkdirs(bloomColsDir(root))
+            // losing the claim is fine — the marker then exists with
+            // exactly this name either way (names ARE the content)
+            atomicCreate(f, bloomColMarker(root, colName),
+              colName.getBytes(StandardCharsets.UTF_8))
+            ()
+          }
         case None =>
           // atomic create-exclusive: two concurrent addBloom calls with
           // different columns must not interleave check-then-overwrite
@@ -2647,18 +2701,26 @@ object CommitLog {
                 s"claimed '${winner.getOrElse("<torn marker>")}' — one per table")
           }
       }
+      val legacy = bloomColumn(spark, root)
       head.dataDirs.count { d =>
-        !f.exists(bloomPath(root, d)) && {
+        val p = sidecarPathFor(root, legacy, colName, d)
+        !f.exists(p) && {
           // dirs store PHYSICAL names under an active mapping (r16)
-          buildSidecar(spark, root, d,
-            head.colMap.getOrElse(colName, colName), fpp)
+          buildSidecarAt(spark, root, d,
+            head.colMap.getOrElse(colName, colName), fpp, p)
           true
         }
       }
     }.getOrElse(0)
 
+  /** Legacy-layout sidecar build for the marker column — the verbs'
+    * self-bloom path resolves its own target via [[sidecarPathFor]]. */
   private def buildSidecar(spark: SparkSession, root: String, d: String,
-      colName: String, fpp: Double): Unit = {
+      colName: String, fpp: Double): Unit =
+    buildSidecarAt(spark, root, d, colName, fpp, bloomPath(root, d))
+
+  private def buildSidecarAt(spark: SparkSession, root: String, d: String,
+      colName: String, fpp: Double, p: HPath): Unit = {
     val f = fs(spark, root)
     val df = spark.read.parquet(s"$root/$d")
     require(df.columns.contains(colName),
@@ -2668,7 +2730,8 @@ object CommitLog {
     // readFrom), and a no-evidence empty dir scans for free anyway
     if (n == 0) return
     val bf = df.stat.bloomFilter(colName, n, fpp)
-    val out = f.create(bloomPath(root, d), true)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
     try bf.writeTo(out) finally out.close()
   }
 
@@ -2695,9 +2758,11 @@ object CommitLog {
     * between exists and open (ADVICE r11), or corrupt all read as None —
     * sidecars are advisory, absence means "scan the dir". */
   private[sources] def readSidecar(spark: SparkSession, root: String,
-      dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val f = fs(spark, root)
-    val p = bloomPath(root, dir)
+      dir: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    readSidecarAt(fs(spark, root), bloomPath(root, dir))
+
+  private def readSidecarAt(f: org.apache.hadoop.fs.FileSystem,
+      p: HPath): Option[org.apache.spark.util.sketch.BloomFilter] = {
     if (!f.exists(p)) None
     else {
       val in = try f.open(p) catch {
@@ -2721,13 +2786,20 @@ object CommitLog {
   private[graft] def bloomKeepDirs(spark: SparkSession, root: String,
       c: Commit, colName: String, values: Seq[Any],
       requireMarker: Boolean): Seq[String] = {
-    val marker = bloomColumn(spark, root)
+    val f = fs(spark, root)
+    val legacy = bloomColumn(spark, root)
+    val registered = legacy.contains(colName) ||
+      extraBloomColumns(f, root).contains(colName)
+    // usable iff the column is REGISTERED (legacy marker or an r17
+    // `_columns/<col>` marker — the sidecars then describe exactly this
+    // column's members); the marker-less pre-r11 table keeps the
+    // caller-asserted legacy contract on the library route only
     val usable =
-      if (requireMarker) marker.contains(colName)
-      else marker.forall(_ == colName)
+      if (requireMarker) registered
+      else registered || (legacy.isEmpty && extraBloomColumns(f, root).isEmpty)
     if (!usable || values.isEmpty) c.dataDirs
     else c.dataDirs.filter { d =>
-      readSidecar(spark, root, d).forall(bf =>
+      readSidecarAt(f, sidecarPathFor(root, legacy, colName, d)).forall(bf =>
         scala.util.Try(values.exists(bf.mightContain)).getOrElse(true))
     }
   }
@@ -3073,14 +3145,20 @@ object CommitLog {
           // components present). Bloom evidence exists for at most one
           // column (the table's `_bloom/_column` marker); stats per
           // recorded column.
-          val bloomCol = bloomColumn(spark, root).filter(keyCols.contains)
+          // multi-column blooms (r17): EVERY registered bloom column
+          // among the merge keys contributes point evidence — composite
+          // keys now prune on each bloomed component, not just one
+          val legacyBloom = bloomColumn(spark, root)
+          val bloomKeyCols = bloomColumns(spark, root).toSet
+            .intersect(keyCols.toSet)
           def mightContain(d: String): Boolean = keyCols.forall { k =>
             // missing/swept/corrupt sidecar ⇒ no bloom evidence for this
             // dir (fall through to stats/rewrite), never an exception out
             // of merge (ADVICE r11; readSidecar owns the degrade)
             val byBloom: Option[Boolean] =
-              if (!bloomCol.contains(k) || probeKeys.isEmpty) None
-              else readSidecar(spark, root, d).flatMap(bf =>
+              if (!bloomKeyCols.contains(k) || probeKeys.isEmpty) None
+              else readSidecarAt(fs(spark, root),
+                sidecarPathFor(root, legacyBloom, k, d)).flatMap(bf =>
                 scala.util.Try(
                   probeKeys.get.apply(k).exists(bf.mightContain)).toOption)
             byBloom.getOrElse {
@@ -3239,9 +3317,13 @@ object CommitLog {
       // their predecessors' output (SCALE.md measured the escalation).
       // Appends stay lean by contrast (cadence-bloomed): an append is
       // the hot path and must cost O(delta) writes only.
-      if (stageData) bloomColumn(spark, root).filter(keyCols.contains)
-        .foreach(k => buildSidecar(spark, root, newDir,
-          attemptMap.getOrElse(k, k), fpp = 0.001))
+      if (stageData) {
+        val legacySb = bloomColumn(spark, root)
+        bloomColumns(spark, root).filter(keyCols.contains)
+          .foreach(k => buildSidecarAt(spark, root, newDir,
+            attemptMap.getOrElse(k, k), fpp = 0.001,
+            sidecarPathFor(root, legacySb, k, newDir)))
+      }
       val newByCol =
         if (stageData) dirStatsLogical(spark, s"$root/$newDir", effStatsCols,
           attemptMap)
@@ -3291,7 +3373,7 @@ object CommitLog {
       // and any staged vector, then re-prune from scratch
       f.delete(new HPath(s"$root/$newDir"), true)
       f.delete(changesPath(root, feedKey), true)
-      f.delete(bloomPath(root, newDir), false)
+      deleteSidecars(f, root, newDir)
       if (dvPlan.isDefined) f.delete(dvPath(root, dvName), true)
       Thread.sleep(50L * attempt)
     }
@@ -3584,9 +3666,13 @@ object CommitLog {
             lit("update_postimage")))
           .write.mode(SaveMode.Overwrite)
           .parquet(changesPath(root, newDir).toString)
-        bloomColumn(spark, root).foreach(bc =>
-          buildSidecar(spark, root, newDir,
-            head.colMap.getOrElse(bc, bc), fpp = 0.001))
+        locally {
+          val legacySb = bloomColumn(spark, root)
+          bloomColumns(spark, root).foreach(bc =>
+            buildSidecarAt(spark, root, newDir,
+              head.colMap.getOrElse(bc, bc), fpp = 0.001,
+              sidecarPathFor(root, legacySb, bc, newDir)))
+        }
         val effCols = head.statsCols
         val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
           head.colMap)
@@ -3609,7 +3695,7 @@ object CommitLog {
         f.delete(dvPath(root, dvName), true)
         f.delete(new HPath(s"$root/$newDir"), true)
         f.delete(changesPath(root, newDir), true)
-        f.delete(bloomPath(root, newDir), false)
+        deleteSidecars(f, root, newDir)
       } finally m.unpersist()
       Thread.sleep(50L * attempt)
     }
@@ -3805,9 +3891,13 @@ object CommitLog {
       // self-maintaining bloom evidence, the merge rule: a bloomed
       // table's rewrite output gets its sidecar immediately (marker read
       // ONCE — code review r13)
-      bloomColumn(spark, root).foreach(bc =>
-        buildSidecar(spark, root, newDir,
-          head.colMap.getOrElse(bc, bc), fpp = 0.001))
+      {
+        val legacySb = bloomColumn(spark, root)
+        bloomColumns(spark, root).foreach(bc =>
+          buildSidecarAt(spark, root, newDir,
+            head.colMap.getOrElse(bc, bc), fpp = 0.001,
+            sidecarPathFor(root, legacySb, bc, newDir)))
+      }
       val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
         head.colMap)
       val newStats =
@@ -3832,7 +3922,7 @@ object CommitLog {
       // lost the race: the affected set may differ under the new head
       f.delete(new HPath(s"$root/$newDir"), true)
       f.delete(changesPath(root, newDir), true)
-      f.delete(bloomPath(root, newDir), false)
+      deleteSidecars(f, root, newDir)
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -3970,17 +4060,29 @@ object CommitLog {
     // stranded bloom sidecars: advisory metadata keyed by dir name, so a
     // sidecar is garbage exactly when no kept commit references its dir
     // AND the dir itself is gone (swept above or by an earlier pass)
-    if (f.exists(bloomDir(root)))
+    if (f.exists(bloomDir(root))) {
+      def sweepable(name: String): Boolean =
+        name.endsWith(".bin") && {
+          val d = name.stripSuffix(".bin")
+          !live.contains(d) && !f.exists(new HPath(root, d))
+        }
       Option(f.listStatus(bloomDir(root))).toSeq.flatten
         .filter { st =>
           // only `<dir>.bin` sidecars are sweepable — the `_column`
-          // marker is table-lifetime metadata, not keyed to any dir
-          st.getPath.getName.endsWith(".bin") && {
-            val d = st.getPath.getName.stripSuffix(".bin")
-            !live.contains(d) && !f.exists(new HPath(root, d))
-          }
+          // marker (and the `_columns/` marker dir) is table-lifetime
+          // metadata, not keyed to any dir
+          st.isFile && sweepable(st.getPath.getName)
         }
         .foreach(st => f.delete(st.getPath, false))
+      // r17 per-column sidecar subtrees: same rule per `col=<name>/`
+      Option(f.listStatus(bloomDir(root))).toSeq.flatten
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("col="))
+        .foreach { cd =>
+          Option(f.listStatus(cd.getPath)).toSeq.flatten
+            .filter(st => st.isFile && sweepable(st.getPath.getName))
+            .foreach(st => f.delete(st.getPath, false))
+        }
+    }
     // crashed atomicCreate stagings: the local-fs claim path writes a
     // .tmp-<uuid> sibling before hard-linking; a crash between write and
     // the finally-delete leaks it forever (versions() ignores tmp names,

@@ -500,28 +500,29 @@ object CommitLogSource {
     // value in the set), so a dir whose sidecar rejects every probed value
     // provably holds no qualifying row. The union across such conjuncts
     // only widens the probe — conservative.
-    val bloomVals: Seq[Any] = CommitLog.bloomColumn(spark, root) match {
-      case Some(bc) =>
-        dataFilters.flatMap {
-          case EqualTo(a: Attribute, Literal(v, dt)) if a.name == bc =>
-            bloomValue(v, dt).toSeq
-          case EqualTo(Literal(v, dt), a: Attribute) if a.name == bc =>
-            bloomValue(v, dt).toSeq
-          case In(a: Attribute, elems) if a.name == bc &&
-              elems.forall(_.isInstanceOf[Literal]) =>
-            val vs = elems.map { case Literal(v, dt) => bloomValue(v, dt) }
-            if (vs.nonEmpty && vs.forall(_.isDefined)) vs.flatten
-            else Nil // any unconvertible element: set incomplete, unusable
-          case _ => Nil
-        }
-      case None => Nil
-    }
-    if (bloomVals.isEmpty) statsKept
-    else {
-      val bloomKept = CommitLog.bloomKeepDirs(spark, root, commit,
-        CommitLog.bloomColumn(spark, root).get, bloomVals,
-        requireMarker = true).toSet
-      statsKept.filter(bloomKept)
+    // multi-column blooms (r17): EVERY registered bloom column with a
+    // complete equality/IN value set among the conjuncts contributes a
+    // point probe; keep-sets intersect (the conjuncts are ANDed), so
+    // composite predicates prune on each bloomed column at once
+    CommitLog.bloomColumns(spark, root).foldLeft(statsKept) { (kept, bc) =>
+      val vals: Seq[Any] = dataFilters.flatMap {
+        case EqualTo(a: Attribute, Literal(v, dt)) if a.name == bc =>
+          bloomValue(v, dt).toSeq
+        case EqualTo(Literal(v, dt), a: Attribute) if a.name == bc =>
+          bloomValue(v, dt).toSeq
+        case In(a: Attribute, elems) if a.name == bc &&
+            elems.forall(_.isInstanceOf[Literal]) =>
+          val vs = elems.map { case Literal(v, dt) => bloomValue(v, dt) }
+          if (vs.nonEmpty && vs.forall(_.isDefined)) vs.flatten
+          else Nil // any unconvertible element: set incomplete, unusable
+        case _ => Nil
+      }
+      if (vals.isEmpty) kept
+      else {
+        val bloomKept = CommitLog.bloomKeepDirs(spark, root, commit,
+          bc, vals, requireMarker = true).toSet
+        kept.filter(bloomKept)
+      }
     }
   }
 

@@ -762,11 +762,17 @@ class CommitLogSpec extends SparkSpec {
     // a wrong prune would return empty); it scans and answers correctly
     assert(rows(CommitLog.readLatestWhere(spark, root, "b", 150L, 250L).get) ==
       Seq(Seq(2L, 200L)))
-    // bloom column is equally exclusive, and a point lookup on the
-    // OTHER column ignores the sidecars (scan-all) instead of consulting
-    // blooms about the wrong values
+    // bloom columns: a point lookup on an UNREGISTERED column ignores
+    // the sidecars (scan-all) instead of consulting blooms about the
+    // wrong values; a SECOND column is ALLOWED since r17 — it builds its
+    // own homogeneous per-column sidecar set (the r11 homogeneity rule,
+    // now per column instead of per table) and the lookup then prunes
     CommitLog.addBloom(spark, root, "a")
-    intercept[IllegalArgumentException] { CommitLog.addBloom(spark, root, "b") }
+    assert(rows(CommitLog.readLatestPoint(spark, root, "b", 100L).get) ==
+      Seq(Seq(1L, 100L)), "unregistered column: scan, never a wrong prune")
+    assert(CommitLog.addBloom(spark, root, "b") == 1,
+      "a second bloom column builds its own sidecar set (r17)")
+    assert(CommitLog.bloomColumns(spark, root) == Seq("a", "b"))
     assert(rows(CommitLog.readLatestPoint(spark, root, "b", 100L).get) ==
       Seq(Seq(1L, 100L)))
   }
@@ -3447,6 +3453,84 @@ class CommitLogSpec extends SparkSpec {
       got2.filter(col("id") % 100 === 7 || col("id") % 100 === 13)
         .count() == 0L,
       "the folded vector keeps both generations after the move")
+  }
+
+  test("multi-column blooms: per-column sidecar sets compose point evidence on merges and scans; guards and vacuum follow (r17)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three dirs where NEITHER column's ranges can prune (interleaved)
+    // but each column's bloom separates a different pair:
+    //   A: even ids, codes a*     B: odd ids, codes a*     C: odd ids, codes c*
+    def mk(ids: Seq[Long], pre: String) =
+      ids.map(i => (i, s"$pre$i", i * 10)).toDF("id", "code", "v")
+    CommitLog.commitAppend(spark, root, "w", "append", createOnEmpty = true)(
+      mk(0L until 200L by 2, "a"))
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      mk(1L until 200L by 2, "a"))
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      mk(201L until 400L by 2, "c"))
+    assert(CommitLog.addBloom(spark, root, "id") == 3)
+    assert(CommitLog.addBloom(spark, root, "code") == 3,
+      "a SECOND bloom column must build its own sidecar set")
+    assert(CommitLog.bloomColumns(spark, root) == Seq("id", "code"))
+    // the extra column's sidecars live in their own subtree
+    assert(new java.io.File(root, "_bloom/col=code").listFiles()
+      .count(_.getName.endsWith(".bin")) == 3)
+    val head = CommitLog.latest(spark, root).get
+    val Seq(dirA, dirB, dirC) = head.dataDirs
+
+    // point reads prune on EITHER column (library route)
+    assert(rows(CommitLog.readLatestPoint(spark, root, "code", "c203").get)
+      == Seq(Seq(203L, "c203", 2030L)))
+    assert(CommitLog.bloomKeepDirs(spark, root, head, "code",
+      Seq("c203"), requireMarker = true) == Seq(dirC))
+    assert(CommitLog.bloomKeepDirs(spark, root, head, "id",
+      Seq(Long.box(42L)), requireMarker = true) == Seq(dirA))
+
+    // connector route: pushed equality on the EXTRA bloom column prunes
+    val all = scannedFiles(spark.read.format("graft.commitlog").load(root))
+    val byCode = spark.read.format("graft.commitlog").load(root)
+      .filter(col("code") === "c203")
+    assert(rows(byCode) == Seq(Seq(203L, "c203", 2030L)) &&
+      scannedFiles(byCode) < all, "extra-column bloom must prune the scan")
+    // COMPOSED: id bloom clears C (even id), code bloom clears A+B
+    // ("c" code) — together they clear everything
+    val composed = spark.read.format("graft.commitlog").load(root)
+      .filter(col("id") === 42L && col("code") === "c9999")
+    assert(composed.count() == 0L && scannedFiles(composed) < all)
+
+    // a COMPOSITE-key merge composes the same evidence: key (id=even,
+    // code=c*) exists nowhere — id bloom prunes B/C, code bloom prunes
+    // A/B ⇒ affected EMPTY ⇒ the pure-insert append path
+    val m = CommitLog.mergeOn(spark, root, "m", Seq("id", "code"),
+      Seq((500L, "c500", 1L)).toDF("id", "code", "v"))
+    assert(head.dataDirs.forall(m.dataDirs.contains) &&
+      m.dataDirs.size == 4,
+      s"composed bloom evidence must prove the merge a pure insert: ${m.dataDirs}")
+    assert(CommitLog.readLatest(spark, root).get.count() == 301L)
+    // the merge's delta dir self-bloomed BOTH key columns
+    val delta = m.dataDirs.last
+    assert(new java.io.File(root, s"_bloom/$delta.bin").exists() &&
+      new java.io.File(root, s"_bloom/col=code/$delta.bin").exists(),
+      "self-bloom covers every bloomed key column")
+
+    // guards: neither bloom column may rename/drop
+    intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, root, "w", "code", "code2") }
+    intercept[IllegalArgumentException] {
+      CommitLog.dropColumn(spark, root, "w", "code") }
+
+    // compact + vacuum: dead dirs' per-column sidecars sweep too
+    CommitLog.compact(spark, root, "opt")
+    CommitLog.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val leftFlat = Option(new java.io.File(root, "_bloom").listFiles())
+      .toSeq.flatten.filter(_.getName.endsWith(".bin")).map(_.getName)
+    val leftCode = Option(new java.io.File(root, "_bloom/col=code")
+      .listFiles()).toSeq.flatten.map(_.getName)
+    val liveDirs = CommitLog.latest(spark, root).get.dataDirs.toSet
+    assert(leftFlat.forall(n => liveDirs(n.stripSuffix(".bin"))) &&
+      leftCode.forall(n => liveDirs(n.stripSuffix(".bin"))),
+      s"vacuum must sweep dead sidecars in every layout: $leftFlat $leftCode")
   }
 
   test("claim-backend seam: every claim routes through the installed backend; a losing backend fails loudly and cleanly (VERDICT r16 #7)") {
