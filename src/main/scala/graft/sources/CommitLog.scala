@@ -2799,7 +2799,12 @@ object CommitLog {
       else registered || (legacy.isEmpty && extraBloomColumns(f, root).isEmpty)
     if (!usable || values.isEmpty) c.dataDirs
     else c.dataDirs.filter { d =>
-      readSidecarAt(f, sidecarPathFor(root, legacy, colName, d)).forall(bf =>
+      // a marker-less pre-r11 table's caller-asserted sidecars live in
+      // the flat legacy layout — registered columns resolve by the rule
+      val p =
+        if (registered) sidecarPathFor(root, legacy, colName, d)
+        else bloomPath(root, d)
+      readSidecarAt(f, p).forall(bf =>
         scala.util.Try(values.exists(bf.mightContain)).getOrElse(true))
     }
   }
