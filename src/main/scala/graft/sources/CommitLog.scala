@@ -184,7 +184,42 @@ object CommitLog {
       dv: Map[String, String] = Map.empty,
       clusterBy: Option[String] = None,
       defaults: Seq[(String, Long, String)] = Nil,
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      statsTyped: Set[String] = Set.empty)
+
+  /** Raised when a commit requires a table feature this binary does not
+    * implement (r18 — VERDICT r17 #2, the Delta table-features idea).
+    * Deliberately NOT a parse degrade: every route must refuse the table
+    * loudly rather than read it wrong (a dv-unaware reader would
+    * resurrect deleted rows; a colmap-unaware one would return the wrong
+    * columns; a defaults-unaware one NULL where the constant belongs). */
+  final class UnsupportedTableFeatureException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The reader-required features THIS binary implements. A commit whose
+    * recorded `features` set exceeds it refuses to parse (see
+    * [[UnsupportedTableFeatureException]]); a commit writes exactly the
+    * features its own state requires (see [[gatedFeatures]]), so a table
+    * that stops using one (e.g. a compact materializes all vectors)
+    * becomes readable by lesser binaries again. */
+  private[graft] val SupportedFeatures: Set[String] =
+    Set("dv", "colmap", "colmap-nested", "defaults")
+
+  /** The features `c`'s state requires of ANY reader: deletion vectors
+    * to anti-join, a column mapping to project through, existence
+    * defaults to coalesce. Derived from the commit itself — no caller
+    * bookkeeping, and carried state keeps its gate automatically. */
+  private[graft] def gatedFeatures(c: Commit): Set[String] = {
+    var s = Set.empty[String]
+    if (c.dv.nonEmpty) s += "dv"
+    if (c.colMap.nonEmpty) s += "colmap"
+    // PATH-keyed entries (r18): a top-level-only colmap binary would
+    // scan logical nested names that don't exist physically and read
+    // silent typed NULLs — gate separately so it refuses instead
+    if (c.colMap.keys.exists(_.contains('.'))) s += "colmap-nested"
+    if (c.defaults.nonEmpty) s += "defaults"
+    s
+  }
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -229,6 +264,16 @@ object CommitLog {
       if (c.statsCols.isEmpty || c.stats.isEmpty) ""
       else c.statsCols.map(n => "\"" + n + "\"")
         .mkString(""","statsCols":[""", ",", "]")
+    // stats-ENCODING generation (r18 — ADVICE r17): the dirs whose
+    // recorded ranges were computed under the TYPED statDomain (string
+    // prefix encoding). String-domain narrowing applies ONLY to these;
+    // a pre-r17 dir recorded numeric-cast string stats (e.g. "100" →
+    // 100), which a prefix-encoded probe would misprune. Dir names are
+    // UUID-based internal identifiers — unescaped, the dataDirs rule.
+    val statsTyped =
+      if (c.statsTyped.isEmpty || c.stats.isEmpty) ""
+      else c.statsTyped.toSeq.sorted.map(d => "\"" + d + "\"")
+        .mkString(""","statsTyped":[""", ",", "]")
     val cluster = c.clusterSpec
       .map(sp => s""","cluster":"$sp"""").getOrElse("")
     // the DECLARED spec (r16) — built from requireTag'd column names +
@@ -239,6 +284,14 @@ object CommitLog {
       s""","txn":{"app":"$app","batch":$b}"""
     }.getOrElse("")
     val inv = if (c.rowInvisible) ""","rowInvisible":true""" else ""
+    // protocol feature gates (r18): the reader-required feature set of
+    // THIS commit's state — names are engine constants ([a-z]), unescaped
+    val feats = {
+      val g = gatedFeatures(c)
+      if (g.isEmpty) ""
+      else g.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","features":[""", ",", "]")
+    }
     val ts = c.tsMs.map(t => s""","ts":$t""").getOrElse("")
     // the recorded table schema (r12 additive evolution) is the one field
     // whose content is NOT tag-restricted — a DDL string carries spaces,
@@ -276,7 +329,7 @@ object CommitLog {
         s"""{"l":"${escapeJson(l)}","p":"${escapeJson(p)}"}"""
       }.mkString(""","colMap":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -427,6 +480,21 @@ object CommitLog {
         b.result()
       } else field("statsCol").toSeq
     }
+    // stats-encoding generation (r18): OPTIONAL and damage-tolerant like
+    // stats — absent or malformed reads as EMPTY, which only disables
+    // string-domain narrowing for the commit's dirs (conservative: scan)
+    def statsTyped: Set[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"statsTyped\":\\[([^\\]]*)\\]").matcher(s)
+      if (!m.find()) Set.empty
+      else {
+        val item = java.util.regex.Pattern
+          .compile("\"([^\"]+)\"").matcher(m.group(1))
+        val b = Set.newBuilder[String]
+        while (item.find()) b += item.group(1)
+        b.result()
+      }
+    }
     // commit wall-clock (r13): OPTIONAL and damage-tolerant like txn —
     // a malformed field reads as "no timestamp" (version-travel still
     // works; time-travel fails loudly at resolution)
@@ -514,13 +582,42 @@ object CommitLog {
       if (s.contains(expected)) Some(b.result()) else None
     }
     if (!s.trim.endsWith("}")) None
-    else for { d <- dirs; if d.nonEmpty; w <- field("writer");
+    else {
+    // PROTOCOL FEATURE GATES (r18 — VERDICT r17 #2): a commit lists the
+    // reader-REQUIRED features of its state; one this binary does not
+    // implement REFUSES — a THROW, never a parse degrade. Degrading
+    // would be catastrophic both ways: treated as torn, repairTornTail
+    // would DELETE a valid newer writer's commit; skipped, every
+    // consumer would resolve an OLDER head and silently resurrect
+    // deleted rows / misname columns. Absent field = no gated features
+    // (full backward compatibility for existing histories). The literal
+    // key cannot collide with user content: schema/constraint/default
+    // strings are JSON-escaped, so their quotes render as \" and never
+    // match the raw `"features":[` pattern.
+    val fm = java.util.regex.Pattern
+      .compile("\"features\":\\[([^\\]]*)\\]").matcher(s)
+    if (fm.find()) {
+      val it = java.util.regex.Pattern.compile("\"([^\"]+)\"")
+        .matcher(fm.group(1))
+      val names = Seq.newBuilder[String]
+      while (it.find()) names += it.group(1)
+      val unknown = names.result().filterNot(SupportedFeatures)
+      if (unknown.nonEmpty) throw new UnsupportedTableFeatureException(
+        s"graft.commitlog: version $v requires table feature(s) " +
+          s"${unknown.mkString("'", "', '", "'")} this reader does not " +
+          s"implement (supported: ${SupportedFeatures.toSeq.sorted
+            .mkString(", ")}) — upgrade the binary; reading through " +
+          "would corrupt results (resurrected deletes, wrong columns, " +
+          "missing defaults)")
+    }
+    for { d <- dirs; if d.nonEmpty; w <- field("writer");
         a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict;
         cm <- colMapStrict }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
         field("schema").map(unescapeJson), tsMs, constraints, dvm,
-        field("clusterBy"), dfs, cm)
+        field("clusterBy"), dfs, cm, statsTyped)
+    }
   }
 
   /** All version numbers present in the log (committed OR torn), ascending. */
@@ -796,22 +893,33 @@ object CommitLog {
     schemaDDL match {
       case Some(ddl) =>
         val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        // COLUMN MAPPING (r16): scan under the frozen PHYSICAL names —
-        // every dir stores one physical name per column, ever — then
-        // project back to the logical names. The position columns (when
-        // asked for) attach BEFORE the projection: _metadata resolves on
-        // the scan, and the rename is a plain projection above it.
+        // COLUMN MAPPING (r16, nested r18): scan under the frozen
+        // PHYSICAL names — every dir stores one physical name per
+        // column/field, ever — then project back to the logical names.
+        // The position columns (when asked for) attach BEFORE the
+        // projection: _metadata resolves on the scan. Top-level names
+        // restore via the positional toDF; struct columns carrying
+        // NESTED mappings additionally take a same-typed struct CAST,
+        // which renames fields at every depth without moving data.
         val physical =
-          if (colMap.isEmpty) logical
-          else org.apache.spark.sql.types.StructType(logical.fields.map(f =>
-            f.copy(name = colMap.getOrElse(f.name, f.name))))
+          if (colMap.isEmpty) logical else physicalSchema(logical, colMap)
         var df = spark.read.schema(physical).parquet(paths: _*)
         if (withPos) df = df
           .withColumn(DvPathCol, col("_metadata.file_path"))
           .withColumn(DvPosCol, col("_metadata.row_index"))
         if (colMap.isEmpty) df
-        else df.toDF((logical.fieldNames.toSeq ++
-          (if (withPos) Seq(DvPathCol, DvPosCol) else Nil)): _*)
+        else {
+          val posNames = if (withPos) Seq(DvPathCol, DvPosCol) else Nil
+          val top = df.toDF((logical.fieldNames.toSeq ++ posNames): _*)
+          val needCast = logical.fields.zip(physical.fields)
+            .exists { case (lf, pf) => lf.dataType != pf.dataType }
+          if (!needCast) top
+          else top.select((logical.fields.toSeq.zip(physical.fields).map {
+            case (lf, pf) =>
+              if (pf.dataType == lf.dataType) bt(lf.name)
+              else bt(lf.name).cast(lf.dataType).as(lf.name)
+          } ++ posNames.map(bt)): _*)
+        }
       case None =>
         // a nonEmpty colMap always travels with a recorded DDL (the
         // activating verb records both) — footer-first otherwise
@@ -927,13 +1035,58 @@ object CommitLog {
   private[graft] def dirsNeedDefaults(c: Commit, dirs: Seq[String]): Boolean =
     c.defaults.nonEmpty && dirs.exists(d => defaultsFor(c, d).nonEmpty)
 
+  /** `name` as a column reference that NEVER parses as a nested path —
+    * backticked, with embedded backticks doubled (frozen physical names
+    * are user logical names or col-uuids; a dotted one must not resolve
+    * as field extraction). */
+  private def bt(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** The PHYSICAL schema a logical schema scans (and stages) under:
+    * every field at every depth takes its frozen physical name from the
+    * path-keyed map — top-level entries are the r16 map unchanged;
+    * NESTED entries (r18 — VERDICT r17 #3) key by the dot-joined
+    * logical path ("s.f"). Unmapped names are identity. Types are
+    * untouched: a physical schema differs from its logical twin in
+    * NAMES only, which is what makes the projection back a plain
+    * struct cast. */
+  private def physicalSchema(logical: org.apache.spark.sql.types.StructType,
+      colMap: Map[String, String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val lp = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val dt = f.dataType match {
+          case s: StructType => walk(s, lp)
+          case other => other
+        }
+        f.copy(name = colMap.getOrElse(lp, f.name), dataType = dt)
+      })
+    walk(logical, "")
+  }
+
   /** A logical-named frame renamed to its PHYSICAL staging names under
     * an active column mapping (identity otherwise) — every partial-
     * rewrite verb writes through this, so all dirs stay uniformly
-    * physical-named; full rewrites materialize logical names instead. */
+    * physical-named; full rewrites materialize logical names instead.
+    * Top-level names rename positionally (toDF); struct columns under a
+    * NESTED mapping (r18) additionally cast to their physical struct
+    * type, renaming inner fields without moving data. */
   private def toPhysical(df: DataFrame, colMap: Map[String, String]): DataFrame =
     if (colMap.isEmpty) df
-    else df.toDF(df.columns.toSeq.map(cn => colMap.getOrElse(cn, cn)): _*)
+    else {
+      val phys = physicalSchema(
+        org.apache.spark.sql.types.StructType(df.schema.fields), colMap)
+      val top = df.toDF(phys.fieldNames.toSeq: _*)
+      val needCast = df.schema.fields.zip(phys.fields)
+        .exists { case (lf, pf) => lf.dataType != pf.dataType }
+      if (!needCast) top
+      else top.select(phys.fields.toSeq.map { pf =>
+        val c = bt(pf.name)
+        if (top.schema(pf.name).dataType == pf.dataType) c
+        else c.cast(pf.dataType).as(pf.name)
+      }: _*)
+    }
 
   /** [[dirStats]] over a PHYSICAL-named staged dir, keyed back to the
     * logical column names the commit records. */
@@ -1085,9 +1238,11 @@ object CommitLog {
 
   /** A column mapped into the ONE long stats domain (r17 — VERDICT r16
     * #2, typed data skipping): integrals cast exactly (the pre-r17
-    * behavior); DATEs take their epoch-day and TIMESTAMPs their
-    * epoch-micros — exactly the Catalyst literal's internal value, so
-    * the predicate side converts losslessly; STRINGs take their first 7
+    * behavior); DATEs take their epoch-day (the Catalyst literal's
+    * internal value) and TIMESTAMPs their epoch-SECONDS — the legacy
+    * cast's domain, kept byte-identical so mixed histories prune
+    * soundly; the literal side floor-divides its internal micros to
+    * match; STRINGs take their first 7
     * UTF-8 bytes as a zero-right-padded big-endian unsigned long — a
     * MONOTONE (non-strict) image of Spark's binary string order, so the
     * [min, max] of the encoding is a sound conservative range for any
@@ -1170,7 +1325,8 @@ object CommitLog {
     * keeps the library route's legacy caller-asserted contract for pre-r11
     * commits (whose flat stats parse under the "" sentinel column). */
   private[graft] def statsKeepDirs(c: Commit, statsCol: String, lo: Long,
-      hi: Long, requireRecorded: Boolean): Seq[String] = {
+      hi: Long, requireRecorded: Boolean,
+      typedDomain: Boolean = false): Seq[String] = {
     val usable =
       if (requireRecorded) c.statsCols.contains(statsCol)
       else c.statsCols.isEmpty || c.statsCols.contains(statsCol)
@@ -1181,6 +1337,11 @@ object CommitLog {
         if (!requireRecorded && c.statsCols.isEmpty) byCol.get("") else None)
     c.dataDirs.filter(d =>
       !usable ||
+        // typedDomain (r18 — ADVICE r17): the probe [lo, hi] is in the
+        // r17 string-prefix encoding, which a dir whose stats predate it
+        // (numeric-cast strings) cannot be compared against — such dirs
+        // are KEPT, exactly as if they recorded no stats for the column
+        (typedDomain && !c.statsTyped.contains(d)) ||
         c.stats.get(d).flatMap(range).forall { case (dLo, dHi) =>
           dHi >= lo && dLo <= hi })
   }
@@ -1574,6 +1735,14 @@ object CommitLog {
       maxAttempts: Int = 20,
       defaults: Map[String, String] = Map.empty): Commit = {
     require(added.nonEmpty, "evolveSchema needs at least one column")
+    evolveColumns(spark, root, writer, added, defaults, Nil, maxAttempts)
+  }
+
+  /** Validate `defaults` for an evolution adding `added` (extracted from
+    * [[evolveSchema]] so the combined verb shares it verbatim). */
+  private def validateDefaults(spark: SparkSession,
+      added: Seq[org.apache.spark.sql.types.StructField],
+      defaults: Map[String, String]): Unit = {
     // EXISTENCE defaults (r16 — VERDICT r15 #5): recorded per added
     // column, applied by readers to pre-evolution dirs only (their
     // typed-NULL fill coalesces to the constant; later writes store
@@ -1612,24 +1781,88 @@ object CommitLog {
           "same committed snapshot's answer over time")
       probe.collect() // evaluates: a bad cast or unresolvable fails HERE
     }
+  }
+
+  /** ONE-STATEMENT additive evolution, top-level AND nested (ADVICE r17:
+    * the catalog's `ALTER TABLE … ADD COLUMNS` used to commit top-level
+    * adds first and then one commit PER parent struct path, so a
+    * statement mixing valid and invalid adds could leave the table
+    * half-evolved — and broke the documented 'one statement = one
+    * evolution commit' invariant). Every path and name is validated
+    * against the head schema INSIDE the one claim attempt, so nothing
+    * commits unless everything resolves; nested paths resolve against
+    * the schema WITH the statement's own top-level adds applied (a
+    * statement may add a struct and a field inside it). */
+  def evolveColumns(spark: SparkSession, root: String, writer: String,
+      topAdded: Seq[org.apache.spark.sql.types.StructField],
+      defaults: Map[String, String],
+      nested: Seq[(Seq[String], Seq[org.apache.spark.sql.types.StructField])],
+      maxAttempts: Int = 20): Commit = {
+    import org.apache.spark.sql.types.StructType
+    require(topAdded.nonEmpty || nested.nonEmpty,
+      "evolveColumns needs at least one added column or nested field")
+    nested.foreach { case (path, fs) =>
+      require(path.nonEmpty,
+        "evolveColumns: a nested add needs the struct column's path")
+      require(fs.nonEmpty,
+        s"evolveColumns: no fields to add under ${path.mkString(".")}")
+      require(fs.forall(_.nullable),
+        "evolveColumns adds NULLABLE fields only — existing rows read " +
+          "the new field as NULL")
+      val inDup = fs.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
+      require(inDup.isEmpty,
+        s"evolveColumns: duplicate added fields ${inDup.keys.mkString(", ")} " +
+          s"under ${path.mkString(".")}")
+    }
+    validateDefaults(spark, topAdded, defaults)
     metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
       val headSchema = load(spark, root, cur).schema
       // CASE-INSENSITIVE duplicate checks (code review r14 close): Spark
       // resolves case-insensitively by default, so committing both 'id'
       // and 'ID' would make every later reference AMBIGUOUS_REFERENCE
       val headLower = headSchema.fieldNames.map(_.toLowerCase).toSet
-      val dup = added.map(_.name).filter(n => headLower(n.toLowerCase))
+      val dup = topAdded.map(_.name).filter(n => headLower(n.toLowerCase))
       require(dup.isEmpty,
         s"evolveSchema: ${dup.mkString(", ")} already in head schema " +
           headSchema.simpleString)
-      val inDup = added.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
+      val inDup = topAdded.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
       require(inDup.isEmpty,
         s"evolveSchema: duplicate added columns ${inDup.keys.mkString(", ")}")
-      require(added.forall(_.nullable),
+      require(topAdded.forall(_.nullable),
         "evolveSchema adds NULLABLE columns only — existing rows read " +
           "the new column as NULL (or its recorded DEFAULT)")
-      cur.copy(schemaDDL = Some(org.apache.spark.sql.types.StructType(
-        headSchema.fields ++ added).toDDL),
+      // nested adds widen AFTER the top-level adds, against the same
+      // in-statement schema — every path must resolve or nothing commits
+      val topWidened = StructType(headSchema.fields ++ topAdded)
+      val widened = nested.foldLeft(topWidened) { case (st, (path, fs)) =>
+        widenStructAt(st, path, fs, "<root>")
+      }
+      // under an ACTIVE mapping (r18 — nested column mapping), nested
+      // adds take fresh path-keyed physicals like top-level ones: a
+      // nested name re-added after a DROP must never resurrect the
+      // dropped field's stored bytes. Keys canonicalize to the schema's
+      // segment spelling (paths resolve case-insensitively above).
+      def canonicalPath(st: StructType, p: Seq[String]): Seq[String] =
+        p match {
+          case Seq() => Nil
+          case seg +: rest =>
+            val f = st.fields.find(_.name.equalsIgnoreCase(seg)).get
+            f.name +: (f.dataType match {
+              case s: StructType => canonicalPath(s, rest)
+              case _ => Nil
+            })
+        }
+      val nestedPhysicals =
+        if (cur.colMap.isEmpty) Nil
+        else nested.flatMap { case (path, fs) =>
+          (path ++ fs.map(_.name)).foreach(seg =>
+            require(!seg.contains('.'),
+              s"ADD COLUMNS: '$seg' contains '.' — ambiguous under " +
+                "path-keyed column mapping"))
+          fs.map(f => canonicalPath(widened, path :+ f.name).mkString(".") ->
+            s"col-${java.util.UUID.randomUUID().toString.take(8)}")
+        }
+      cur.copy(schemaDDL = Some(widened.toDDL),
         // since = THIS commit's version: dirs staged before it predate
         // the column and coalesce to the constant; dirs at-or-after
         // store explicit values
@@ -1640,8 +1873,41 @@ object CommitLog {
         // must never resurrect the dropped column's stored bytes
         colMap =
           if (cur.colMap.isEmpty) cur.colMap
-          else cur.colMap ++ added.map(f => f.name ->
-            s"col-${java.util.UUID.randomUUID().toString.take(8)}"))
+          else cur.colMap ++ topAdded.map(f => f.name ->
+            s"col-${java.util.UUID.randomUUID().toString.take(8)}") ++
+            nestedPhysicals)
+    }
+  }
+
+  /** `st` with `fields` appended to the struct at `path` (case-
+    * insensitive segment resolution, loud refusal on a non-struct or
+    * missing segment and on duplicate names at the target) — the nested
+    * widening shared by [[evolveStructFields]] and [[evolveColumns]]. */
+  private def widenStructAt(st: org.apache.spark.sql.types.StructType,
+      path: Seq[String],
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      at: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    path match {
+      case Seq() =>
+        val lower = st.fieldNames.map(_.toLowerCase).toSet
+        val dup = fields.map(_.name).filter(n => lower(n.toLowerCase))
+        require(dup.isEmpty,
+          s"evolveStructFields: ${dup.mkString(", ")} already in " +
+            s"$at (${st.simpleString})")
+        StructType(st.fields ++ fields)
+      case seg +: rest =>
+        val i = st.fields.indexWhere(_.name.equalsIgnoreCase(seg))
+        require(i >= 0, s"evolveStructFields: no field '$seg' in $at " +
+          s"(${st.simpleString})")
+        st.fields(i).dataType match {
+          case inner: StructType =>
+            StructType(st.fields.updated(i, st.fields(i)
+              .copy(dataType = widenStructAt(inner, rest, fields, s"$at.$seg"))))
+          case other => throw new IllegalArgumentException(
+            s"evolveStructFields: '$at.$seg' is ${other.simpleString}, " +
+              "not a struct — only struct columns take nested adds")
+        }
     }
   }
 
@@ -1667,44 +1933,11 @@ object CommitLog {
   def evolveStructFields(spark: SparkSession, root: String, writer: String,
       path: Seq[String], added: Seq[org.apache.spark.sql.types.StructField],
       maxAttempts: Int = 20): Commit = {
-    import org.apache.spark.sql.types.{StructField, StructType}
     require(path.nonEmpty,
       "evolveStructFields needs the struct column's path — top-level " +
         "adds go through evolveSchema")
-    require(added.nonEmpty, "evolveStructFields needs at least one field")
-    require(added.forall(_.nullable),
-      "evolveStructFields adds NULLABLE fields only — existing rows " +
-        "read the new field as NULL")
-    val inDup = added.groupBy(_.name.toLowerCase).filter(_._2.size > 1)
-    require(inDup.isEmpty,
-      s"evolveStructFields: duplicate added fields ${inDup.keys.mkString(", ")}")
-    def widen(st: StructType, p: Seq[String], at: String): StructType =
-      p match {
-        case Seq() =>
-          val lower = st.fieldNames.map(_.toLowerCase).toSet
-          val dup = added.map(_.name).filter(n => lower(n.toLowerCase))
-          require(dup.isEmpty,
-            s"evolveStructFields: ${dup.mkString(", ")} already in " +
-              s"$at (${st.simpleString})")
-          StructType(st.fields ++ added)
-        case seg +: rest =>
-          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(seg))
-          require(i >= 0, s"evolveStructFields: no field '$seg' in $at " +
-            s"(${st.simpleString})")
-          st.fields(i).dataType match {
-            case inner: StructType =>
-              StructType(st.fields.updated(i, st.fields(i)
-                .copy(dataType = widen(inner, rest, s"$at.$seg"))))
-            case other => throw new IllegalArgumentException(
-              s"evolveStructFields: '$at.$seg' is ${other.simpleString}, " +
-                "not a struct — only struct columns take nested adds")
-          }
-      }
-    metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
-      val headSchema = load(spark, root, cur).schema
-      cur.copy(schemaDDL =
-        Some(widen(headSchema, path, "<root>").toDDL))
-    }
+    evolveColumns(spark, root, writer, Nil, Map.empty, Seq(path -> added),
+      maxAttempts)
   }
 
   /** RECORD (or, with `cols` empty, CLEAR) the table's DECLARED
@@ -1783,6 +2016,11 @@ object CommitLog {
     // in the commit JSON (code review r16): reject at the API edge like
     // every other tag — a quote or comma would corrupt a COMMITTED claim
     requireTag(to, "column name")
+    // and dot-free (r18): path-keyed nested mapping joins paths with
+    // '.', so a dotted top-level logical name would be ambiguous
+    require(!to.contains('.'),
+      s"RENAME COLUMN: '$to' contains '.' — ambiguous under path-keyed " +
+        "column mapping")
     metadataCommit(spark, root, writer, "rename-column", maxAttempts,
         rowInvisible = false) { cur =>
       val headSchema = load(spark, root, cur).schema
@@ -1800,11 +2038,17 @@ object CommitLog {
         s"RENAME COLUMN '$from': it is one of the table's bloom columns — " +
           "sidecars are keyed outside the log; compact+rebuild first")
       val base = activatedMap(cur, headSchema)
+      // nested entries under the renamed column follow their parent
+      // (r18 — the path-keyed map keys by CURRENT logical paths)
+      val reKeyed = base.map { case (k, v) =>
+        (if (k.startsWith(from + ".")) to + k.substring(from.length)
+         else k) -> v
+      }
       cur.copy(
         schemaDDL = Some(org.apache.spark.sql.types.StructType(
           headSchema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f)).toDDL),
-        colMap = (base - from) + (to -> base.getOrElse(from, from)),
+        colMap = (reKeyed - from) + (to -> base.getOrElse(from, from)),
         statsCols = cur.statsCols.map(n => if (n == from) to else n),
         stats = cur.stats.map { case (d, byCol) =>
           d -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
@@ -1819,6 +2063,180 @@ object CommitLog {
         })
     }
   }
+
+  /** Struct-extraction paths a recorded constraint references, resolved
+    * against the head — the path-wise hazard check for NESTED
+    * rename/drop (r18): `s.f > 0` yields Seq("s","f"); a whole-struct
+    * reference yields Seq("s"). Same refuse-loudly contract as
+    * [[constraintRefs]]. */
+  private def constraintRefPaths(spark: SparkSession, root: String,
+      cur: Commit, name: String, exprSql: String): Set[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GetStructField}
+    def pathOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[Seq[String]] = e match {
+      case a: AttributeReference => Some(Seq(a.name))
+      case g: GetStructField =>
+        pathOf(g.child).map(_ :+ g.extractFieldName)
+      case _ => None
+    }
+    scala.util.Try {
+      val analyzed = load(spark, root, cur)
+        .select(org.apache.spark.sql.functions.expr(exprSql))
+        .queryExecution.analyzed.expressions
+      // MAXIMAL paths only: a GetStructField chain records its full
+      // path WITHOUT also recording its child attribute — the bare
+      // Seq("s") would overlap every field under s and spuriously
+      // block sibling renames
+      val acc = scala.collection.mutable.Set.empty[Seq[String]]
+      def walk(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+        e match {
+          case g: GetStructField => pathOf(g) match {
+            case Some(p) => acc += p
+            case None => g.children.foreach(walk)
+          }
+          case a: AttributeReference => acc += Seq(a.name)
+          case other => other.children.foreach(walk)
+        }
+      analyzed.foreach(walk)
+      acc.toSet
+    }.getOrElse(throw new IllegalStateException(
+      s"constraint '$name' (`$exprSql`) does not resolve against the " +
+        s"head schema of $root — the table is already inconsistent; " +
+        "drop the constraint before renaming or dropping fields"))
+  }
+
+  /** True when constraint path `p` and DDL-target path `q` overlap —
+    * either is a prefix of the other (renaming s.f breaks `s.f > 0`
+    * AND `s IS NOT NULL`; renaming s breaks both). Case-insensitive,
+    * Spark's resolution rule. */
+  private def pathsOverlap(p: Seq[String], q: Seq[String]): Boolean = {
+    val n = math.min(p.length, q.length)
+    (0 until n).forall(i => p(i).equalsIgnoreCase(q(i)))
+  }
+
+  /** `st` with the struct field at `path` renamed (`to` nonEmpty) or
+    * DROPPED (`to` empty) — segments resolve exactly; intermediates
+    * must be structs. */
+  private def renameOrDropAt(st: org.apache.spark.sql.types.StructType,
+      path: Seq[String], to: Option[String], at: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val i = st.fields.indexWhere(_.name == path.head)
+    require(i >= 0, s"no field '${path.head}' in $at (${st.simpleString})")
+    path match {
+      case Seq(_) => to match {
+        case Some(t) =>
+          require(!st.fields.exists(f => f.name.equalsIgnoreCase(t)),
+            s"'$t' already exists in $at (${st.simpleString})")
+          StructType(st.fields.updated(i, st.fields(i).copy(name = t)))
+        case None =>
+          require(st.length > 1,
+            s"cannot drop the last field of $at (${st.simpleString})")
+          StructType(st.fields.patch(i, Nil, 1))
+      }
+      case _ +: rest => st.fields(i).dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(i, st.fields(i).copy(dataType =
+            renameOrDropAt(inner, rest, to, s"$at.${path.head}"))))
+        case other => throw new IllegalArgumentException(
+          s"'$at.${path.head}' is ${other.simpleString}, not a struct")
+      }
+    }
+  }
+
+  /** Shared pre-flight for the NESTED mapping verbs: dotted names would
+    * be ambiguous against the dot-joined path keys, so both the table's
+    * top-level names and every path segment must be dot-free before a
+    * nested entry may exist. */
+  private def requireDotFreeFor(verb: String, path: Seq[String],
+      headSchema: org.apache.spark.sql.types.StructType): Unit = {
+    require(path.length >= 2,
+      s"$verb takes a NESTED field path (s.f…) — top-level columns go " +
+        "through the column verb")
+    path.foreach(seg => require(!seg.contains('.'),
+      s"$verb: path segment '$seg' contains '.' — unsupported under " +
+        "path-keyed column mapping"))
+    val dotted = headSchema.fieldNames.filter(_.contains('.'))
+    require(dotted.isEmpty,
+      s"$verb: top-level column(s) ${dotted.mkString("'", "', '", "'")} " +
+        "contain '.', which is ambiguous against path-keyed mapping — " +
+        "rename them first")
+  }
+
+  /** RENAME a struct FIELD (r18 — VERDICT r17 #3, nested column
+    * mapping): ONE metadata commit, ZERO data rewritten — the logical
+    * path re-points at the field's frozen physical name in the
+    * path-keyed column map; deeper entries under the renamed field
+    * re-key with it. Activating the map freezes top-level names exactly
+    * like [[renameColumn]] (the commit gates "colmap", and any nested
+    * entry additionally gates "colmap-nested" — a top-level-only binary
+    * must refuse rather than read logical nested names that don't exist
+    * physically). Refused path-wise when a CHECK constraint references
+    * the field or any ancestor/descendant. ROW-VISIBLE resync
+    * semantics, the rename contract; time travel to pre-rename versions
+    * shows the old nested name (their commits record it). */
+  def renameStructField(spark: SparkSession, root: String, writer: String,
+      path: Seq[String], to: String, maxAttempts: Int = 20): Commit = {
+    requireTag(to, "field name")
+    require(!to.contains('.'),
+      s"RENAME nested field: '$to' contains '.' — unsupported under " +
+        "path-keyed column mapping")
+    metadataCommit(spark, root, writer, "rename-column", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      requireDotFreeFor("RENAME nested field", path, headSchema)
+      val blocking = cur.constraints.filter { case (cn, e) =>
+        constraintRefPaths(spark, root, cur, cn, e)
+          .exists(p => pathsOverlap(p, path)) }
+      require(blocking.isEmpty,
+        s"RENAME nested field '${path.mkString(".")}': constraint" +
+          s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
+          "the constraint, rename, re-add it under the new path")
+      val widened = renameOrDropAt(headSchema, path, Some(to), "<root>")
+      val base = activatedMap(cur, headSchema)
+      val key = path.mkString(".")
+      val newKey = (path.init :+ to).mkString(".")
+      // deeper entries under the renamed field follow their parent
+      val reKeyed = base.map { case (k, v) =>
+        (if (k.startsWith(key + ".")) newKey + k.substring(key.length)
+         else k) -> v
+      }
+      cur.copy(
+        schemaDDL = Some(widened.toDDL),
+        colMap = (reKeyed - key) +
+          (newKey -> base.getOrElse(key, path.last)))
+    }
+  }
+
+  /** DROP a struct FIELD (r18): ONE metadata commit, ZERO data
+    * rewritten — the logical schema loses the field, its path-keyed map
+    * entries go with it, and the physical bytes stay unread forever. A
+    * later re-ADD of the same nested name takes a fresh `col-<uuid>`
+    * physical ([[evolveColumns]] under an active map), so dropped data
+    * can never resurrect. Same refusals and resync semantics as
+    * [[renameStructField]]; additionally refused for a struct's last
+    * field (drop the column instead). */
+  def dropStructField(spark: SparkSession, root: String, writer: String,
+      path: Seq[String], maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "drop-column", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      requireDotFreeFor("DROP nested field", path, headSchema)
+      val blocking = cur.constraints.filter { case (cn, e) =>
+        constraintRefPaths(spark, root, cur, cn, e)
+          .exists(p => pathsOverlap(p, path)) }
+      require(blocking.isEmpty,
+        s"DROP nested field '${path.mkString(".")}': constraint" +
+          s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
+          "the constraint first")
+      val narrowed = renameOrDropAt(headSchema, path, None, "<root>")
+      val base = activatedMap(cur, headSchema)
+      val key = path.mkString(".")
+      cur.copy(
+        schemaDDL = Some(narrowed.toDDL),
+        colMap = base.filterNot { case (k, _) =>
+          k == key || k.startsWith(key + ".") })
+    }
 
   /** DROP a column (r16): ONE metadata commit, ZERO data rewritten —
     * the logical schema and column map lose the entry; the physical
@@ -1845,7 +2263,7 @@ object CommitLog {
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
           "the constraint first")
       require(!bloomColumns(spark, root).contains(name),
-        s"DROP COLUMN '$name': it is the table's bloom column — " +
+        s"DROP COLUMN '$name': it is one of the table's bloom columns — " +
           "sidecars are keyed outside the log; compact+rebuild first")
       require(!cur.clusterBy.exists(sp =>
         sp.stripPrefix("z:").stripPrefix("sort:").split(',').contains(name)),
@@ -1855,11 +2273,69 @@ object CommitLog {
       cur.copy(
         schemaDDL = Some(org.apache.spark.sql.types.StructType(
           headSchema.fields.filterNot(_.name == name)).toDDL),
-        colMap = base - name,
+        // nested entries under the dropped column go with it (r18)
+        colMap = base.filterNot { case (k, _) =>
+          k == name || k.startsWith(name + ".") },
         statsCols = cur.statsCols.filterNot(_ == name),
         stats = cur.stats.map { case (d, byCol) => d -> (byCol - name) },
         defaults = cur.defaults.filterNot(_._1 == name))
     }
+
+  /** SAFE type widening (r18 — VERDICT r17 #4, the Delta/Iceberg `ALTER
+    * COLUMN … TYPE` evolution): retype a top-level column to a strictly
+    * WIDER type as ONE metadata commit, ZERO data rewritten — the
+    * recorded DDL pins the new type and every route's pinned-schema scan
+    * reads old directories through parquet's lossless read-side
+    * promotion (int32 files under a bigint schema, float under double,
+    * decimal precision growth — supported by this Spark's vectorized
+    * reader and spec-probed). Allowed, losslessly and only losslessly:
+    * byte→short/int/long, short→int/long, int→long, float→double, and
+    * decimal(p,s)→decimal(p',s) with p'>p (same scale). Everything else
+    * keeps refusing loudly — narrowing or cross-family retypes would
+    * corrupt stored values, and nested fields are out of scope (rewrite
+    * through a new column).
+    *
+    * Collateral soundness, each checked rather than assumed: recorded
+    * per-dir STATS keep their domain (every integral maps to the one
+    * long domain unchanged; fractional/decimal columns never narrow a
+    * probe — litLong returns None — so their recorded ranges are inert);
+    * BLOOM sidecars hash integrals as longs on both build and probe, so
+    * int-built sidecars answer long probes identically; existence
+    * DEFAULTS re-cast to the recorded (now wider) type at read;
+    * CONSTRAINTS reference the unchanged name. rowInvisible = false:
+    * the column CONTRACT changed, so incremental consumers resync like
+    * a rename (downstream schemas would silently diverge otherwise). */
+  def widenColumnType(spark: SparkSession, root: String, writer: String,
+      name: String, to: org.apache.spark.sql.types.DataType,
+      maxAttempts: Int = 20): Commit = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, g: DecimalType) =>
+        g.precision > f.precision && g.scale == f.scale
+      case _ => false
+    }
+    metadataCommit(spark, root, writer, "retype", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      val i = headSchema.fieldNames.indexOf(name)
+      require(i >= 0,
+        s"ALTER COLUMN TYPE: no top-level column '$name' in " +
+          s"${headSchema.simpleString} — nested fields are out of scope")
+      val from = headSchema.fields(i).dataType
+      require(widens(from, to),
+        s"ALTER COLUMN TYPE: '$name' ${from.simpleString} -> " +
+          s"${to.simpleString} is not a safe widening (allowed: " +
+          "byte/short/int -> wider integral, float -> double, " +
+          "decimal(p,s) -> decimal(p'>p,s)) — rewrite through a new " +
+          "column instead")
+      cur.copy(schemaDDL = Some(StructType(headSchema.fields.updated(i,
+        headSchema.fields(i).copy(dataType = to))).toDDL))
+    }
+  }
 
   /** DROP a constraint by name — an audited metadata commit; unknown
     * names fail loudly (a typo'd drop must not silently "succeed"). */
@@ -2144,7 +2620,8 @@ object CommitLog {
         clusterSpec = clusterSpec, tsMs = Some(System.currentTimeMillis()),
         constraints = cons,
         clusterBy = cur.flatMap(_.clusterBy),
-        defaults = cur.map(_.defaults).getOrElse(Nil))
+        defaults = cur.map(_.defaults).getOrElse(Nil),
+        statsTyped = if (st.nonEmpty) Set(dataDir) else Set.empty)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -2410,7 +2887,9 @@ object CommitLog {
         dv = cur.map(_.dv).getOrElse(Map.empty),
         clusterBy = cur.flatMap(_.clusterBy),
         defaults = cur.map(_.defaults).getOrElse(Nil),
-        colMap = stagedMap)
+        colMap = stagedMap,
+        statsTyped = cur.map(_.statsTyped).getOrElse(Set.empty) ++
+          (if (deltaByCol.nonEmpty) Set(deltaDir) else Set.empty))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -2424,21 +2903,28 @@ object CommitLog {
   }
 
   /** COMPACTION (the lakehouse OPTIMIZE): consolidate the head's
-    * accumulated directory list — a rewrite base plus N append deltas,
-    * each with its own small files — into ONE directory of `targetFiles`
-    * parquet files, committed through the ordinary optimistic [[commit]]
-    * loop as action="compact". Rows are read-equivalent by construction
-    * (the build is identity over the head snapshot), and serializable
-    * under concurrent writers: if an append lands mid-compact, the lost
-    * claim re-reads the NEW head and re-consolidates it, so no committed
-    * row is ever dropped. `coalesce` (not repartition) collapses the read
-    * partitions without a shuffle — the same bin-packing-without-shuffle
-    * shape Delta's OPTIMIZE uses; output files inherit read-partition
-    * sizing, which is parquet-block-bounded and good enough.
+    * accumulated directory fragmentation — a packed base plus N append
+    * deltas, each with its own small files — committed through the
+    * optimistic claim loop as action="compact". Rows are read-equivalent
+    * by construction (the build is identity over the visible rows), and
+    * serializable under concurrent writers: if an append lands
+    * mid-compact, the lost claim re-reads the NEW head and re-plans, so
+    * no committed row is ever dropped. `coalesce` (not repartition)
+    * collapses the read partitions without a shuffle — the same
+    * bin-packing-without-shuffle shape Delta's OPTIMIZE uses.
     *
-    * Already-compact heads (one dir, ≤ targetFiles files) return the
-    * existing commit untouched — compaction must be safely schedulable on
-    * a cadence without rewriting quiescent tables. The commit is marked
+    * TWO modes (r18 — VERDICT r17 #1). The argument-less cadence BIN-
+    * PACKS ([[packCompact]]): only dirs under `packBytes` of parquet or
+    * carrying a deletion vector consolidate into one new dir; every
+    * well-packed dir carries byte-identical with stats preserved — each
+    * hit costs O(fragmented tail), never O(table). Explicit
+    * sortCols/zorderCols — or a declared CLUSTER BY the retained history
+    * shows was never applied, or applied differently — take the FULL
+    * whole-head re-cluster ([[fullCompact]], the OPTIMIZE FULL shape),
+    * which additionally materializes vectors, defaults, and logical
+    * names. Already-conformant heads return the existing commit
+    * untouched — compaction must be safely schedulable on a cadence
+    * without rewriting quiescent tables. The commit is marked
     * `rowInvisible`, so incremental consumers ([[appendedSince]], the
     * changefeed tail) skip it instead of resyncing — OPTIMIZE never
     * re-delivers the table downstream.
@@ -2446,37 +2932,31 @@ object CommitLog {
     * Scale: an uncompacted 1000-append day leaves 1000 directories whose
     * listing + footer reads dominate scan planning long before the data
     * scan starts (SCALE.md r10 measured 8.3 s of planning per 2048 files);
-    * compact + [[vacuum]] bound the head at O(targetFiles +
+    * compact + [[vacuum]] bound the head at O(packed dirs +
     * appends-since-compact) files regardless of history length, at the
-    * cost of one full-snapshot rewrite — amortized across the appends it
-    * absorbs, exactly the OPTIMIZE trade. Returns None on an empty table. */
+    * cost of rewriting the fragmented tail — amortized across the appends
+    * it absorbs, exactly the OPTIMIZE trade. Returns None on an empty
+    * table. */
   def compact(spark: SparkSession, root: String, writer: String,
       targetFiles: Int = 4, maxAttempts: Int = 20,
       statsCol: Option[String] = None,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Option[Commit] = {
+      zorderCols: Seq[String] = Nil,
+      packBytes: Long = DefaultPackBytes): Option[Commit] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "pass sortCols (1-D clustering) OR zorderCols (multi-dim), not both")
     require(zorderCols.isEmpty || zorderCols.size >= 2,
       s"zorderCols needs >= 2 dims (use sortCols for one): $zorderCols")
     latest(spark, root).map { head =>
-      // multi-dir heads always compact — count files (one listing per
-      // dir) only in the single-dir case, where it decides the no-op
-      def nFiles = {
-        val f = fs(spark, root)
-        head.dataDirs.iterator.map { d =>
-          Option(f.listStatus(new HPath(root, d))).toSeq.flatten
-            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        }.sum
-      }
       (sortCols ++ zorderCols).foreach(c => requireTag(c, "cluster column"))
+      val explicit = sortCols.nonEmpty || zorderCols.nonEmpty
       // no explicit columns: default to the table's DECLARED spec (r16 —
       // `CREATE/ALTER TABLE … CLUSTER BY` via [[setClusterBy]]), so a
       // scheduled argument-less compact maintains the declared layout —
       // the liquid-clustering cadence. Explicit arguments override.
       val (effSortCols, effZorderCols) =
-        if (sortCols.nonEmpty || zorderCols.nonEmpty) (sortCols, zorderCols)
+        if (explicit) (sortCols, zorderCols)
         else head.clusterBy match {
           case Some(sp) if sp.startsWith("z:") =>
             (Nil, sp.stripPrefix("z:").split(',').toSeq)
@@ -2484,47 +2964,213 @@ object CommitLog {
             (sp.stripPrefix("sort:").split(',').toSeq, Nil)
           case _ => (Nil, Nil)
         }
-      // the cluster spec is RECORDED in the compact commit, so a
-      // scheduled same-spec clustering compact on a quiescent head is a
-      // no-op (the schedulability contract) — it re-clusters only when
-      // the head is fragmented, under-packed, or clustered differently
       val requested =
         if (effZorderCols.nonEmpty) Some("z:" + effZorderCols.mkString(","))
         else if (effSortCols.nonEmpty) Some("sort:" + effSortCols.mkString(","))
         else None
-      // a head carrying deletion vectors ALWAYS compacts (r16): the
-      // rewrite below reads visible rows, so compaction is what
-      // MATERIALIZES vectors away (the Delta OPTIMIZE contract) — a
-      // dv-bearing head is never "already compact"
-      if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
-          head.dv.isEmpty &&
-          (requested.isEmpty || head.clusterSpec == requested))
-        head
-      else commitImpl(spark, root, writer, "compact", maxAttempts,
-        // compaction is row-invisible maintenance: keep the table's
-        // recorded stats column set alive unless the caller overrides
-        if (statsCol.nonEmpty) statsCol.toSeq else head.statsCols,
-        rowInvisible = true, clusterSpec = requested) { cur =>
-        // cur is always Some here: versions only grow, and the head
-        // existed when compaction started. Plain compact coalesces
-        // (no shuffle); SORTED compact range-partitions + sorts on
-        // sortCols so each output file covers a NARROW key range —
-        // parquet row-group min/max stats then prune pushed key
-        // predicates inside the one consolidated dir, the sub-dir
-        // granularity the per-dir stats can't reach; ZORDER compact
-        // (the full OPTIMIZE ZORDER BY) clusters on the Morton key of
-        // 2+ dims so every file is narrow in ALL of them — skippable on
-        // a predicate over ANY dim. The shuffle is the documented price
-        // of clustering.
-        val snap = cur.get
+      val effStatsCols =
+        if (statsCol.nonEmpty) statsCol.toSeq else head.statsCols
+      // FULL-vs-INCREMENTAL (r18 — VERDICT r17 #1): explicit layout
+      // arguments demand a whole-head re-cluster (the OPTIMIZE FULL
+      // shape), as does a DECLARED spec the retained history shows was
+      // never applied (or was applied differently) by a maintenance
+      // pass — the one-time price of establishing a layout. Every other
+      // cadence hit BIN-PACKS: only under-packed/dv-bearing dirs
+      // consolidate; well-packed dirs carry byte-identical, so a steady
+      // append cadence costs O(fragmented tail), never O(table).
+      val full = explicit ||
+        (requested.nonEmpty && lastAppliedSpec(spark, root, head) != requested)
+      if (full) fullCompact(spark, root, writer, head, targetFiles,
+        maxAttempts, effStatsCols, effSortCols, effZorderCols, requested)
+      else packCompact(spark, root, writer, targetFiles, maxAttempts,
+        effStatsCols, effSortCols, effZorderCols, requested, packBytes)
+    }
+  }
+
+  /** Default byte threshold below which a directory counts as
+    * under-packed for the argument-less [[compact]] cadence — 128 MiB,
+    * a comfortable parquet file size at production scale. Fixture-scale
+    * tables sit entirely below it, so small tables keep the historical
+    * consolidate-everything behavior. */
+  val DefaultPackBytes: Long = 128L << 20
+
+  /** The clustering spec the last retained maintenance pass APPLIED —
+    * the argument-less cadence's layout bookkeeping. Walks from the head
+    * to the first compact (its recorded spec answers) or the first
+    * layout-resetting full rewrite / retention edge (None — nothing is
+    * known to be clustered). Cost: O(commits since the last compact)
+    * point reads from the head pointer, the lastTxn walk shape.
+    * Best-effort in the safe-for-correctness direction: compaction
+    * never changes rows, only layout quality. */
+  private def lastAppliedSpec(spark: SparkSession, root: String,
+      head: Commit): Option[String] = {
+    val f = fs(spark, root)
+    var v = head.version
+    while (v >= 1) {
+      readCommitFile(spark, root, v) match {
+        case Some(c) =>
+          if (c.action == "compact") return c.clusterSpec
+          if (c.action == "create" || c.action == "restore" ||
+              c.action == "overwrite") return None
+        case None =>
+          // retention edge (the lastTxn rule): nothing older is known
+          if (v != head.version && !f.exists(commitPath(root, v)))
+            return None
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** The whole-head rewrite (pre-r18 compact): one consolidated dir of
+    * `targetFiles` files, everything materialized (vectors, defaults,
+    * logical names — commitImpl records no dv/colMap/schemaDDL). Plain
+    * compact coalesces (no shuffle); SORTED compact range-partitions +
+    * sorts so each file covers a NARROW key range — parquet row-group
+    * min/max then prune pushed key predicates inside the consolidated
+    * dir; ZORDER compact clusters on the Morton key of 2+ dims so every
+    * file is narrow in ALL of them. The shuffle is the documented price
+    * of clustering. Already-conformant quiescent heads return untouched
+    * (the schedulable-cadence contract). */
+  private def fullCompact(spark: SparkSession, root: String, writer: String,
+      head: Commit, targetFiles: Int, maxAttempts: Int,
+      effStatsCols: Seq[String], effSortCols: Seq[String],
+      effZorderCols: Seq[String], requested: Option[String]): Commit = {
+    // multi-dir heads always compact — count files (one listing per
+    // dir) only in the single-dir case, where it decides the no-op.
+    // A head carrying deletion vectors ALWAYS compacts (r16): the
+    // rewrite reads visible rows, so compaction is what MATERIALIZES
+    // vectors away — a dv-bearing head is never "already compact".
+    def nFiles = {
+      val f = fs(spark, root)
+      head.dataDirs.iterator.map { d =>
+        Option(f.listStatus(new HPath(root, d))).toSeq.flatten
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }.sum
+    }
+    if (head.dataDirs.size <= 1 && nFiles <= targetFiles &&
+        head.dv.isEmpty &&
+        (requested.isEmpty || head.clusterSpec == requested))
+      head
+    else commitImpl(spark, root, writer, "compact", maxAttempts,
+      effStatsCols, rowInvisible = true, clusterSpec = requested) { cur =>
+      // cur is always Some here: versions only grow, and the head
+      // existed when compaction started
+      val snap = cur.get
+      if (effZorderCols.nonEmpty)
+        graft.operators.Layout.clusterZOrdered(snap, effZorderCols, targetFiles)
+      else if (effSortCols.isEmpty) snap.coalesce(targetFiles)
+      else snap
+        .repartitionByRange(targetFiles, effSortCols.map(col): _*)
+        .sortWithinPartitions(effSortCols.map(col): _*)
+    }
+  }
+
+  /** INCREMENTAL (bin-packing) compaction (r18 — VERDICT r17 #1, the
+    * Delta OPTIMIZE bin-pack): consolidate ONLY the under-packed tail —
+    * dirs below `packBytes` of parquet, plus every dv-bearing dir (the
+    * rewrite materializes its vector away) — into one new directory,
+    * carrying every well-packed dir BYTE-IDENTICAL with its stats,
+    * vectors (none, by construction), and column-map entries preserved:
+    * the prunedRewrite carry discipline applied to the maintenance verb
+    * itself. On an append cadence each hit costs O(appends since the
+    * last pack), never O(table) — the last O(table) maintenance verb
+    * gone. No-ops (returns the head) when packing would buy nothing:
+    * at most one under-packed dir, no vectors, and that dir within the
+    * file target. Degenerates to [[fullCompact]] when EVERY dir is
+    * under-packed (nothing to carry — the full rewrite additionally
+    * materializes logical names and clears the column map, which a
+    * carrying pack must preserve). Under a declared same-spec
+    * clustering cadence the packed tail is clustered by the spec —
+    * incremental liquid clustering; carried dirs keep the layout their
+    * own maintenance pass gave them. */
+  private def packCompact(spark: SparkSession, root: String, writer: String,
+      targetFiles: Int, maxAttempts: Int, declaredStats: Seq[String],
+      effSortCols: Seq[String], effZorderCols: Seq[String],
+      requested: Option[String], packBytes: Long): Commit = {
+    init(spark, root)
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      repairTornTail(spark, root)
+      val head = latest(spark, root).getOrElse(throw new IllegalStateException(
+        s"CommitLog: compact lost the head of $root mid-flight — vacuumed?"))
+      val effCols = if (declaredStats.nonEmpty) declaredStats else head.statsCols
+      val files: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
+        head.dataDirs.map { d =>
+          d -> Option(f.listStatus(new HPath(root, d))).toSeq.flatten
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .toSeq
+        }.toMap
+      val under = head.dataDirs.filter(d => head.dv.contains(d) ||
+        files(d).map(_.getLen).sum < packBytes)
+      // packing must BUY something: ≥2 dirs merge into one, a vector
+      // materializes away, or an over-fragmented single dir re-packs —
+      // otherwise the cadence no-ops (schedulable on quiescent tables)
+      val needsWork = under.size >= 2 || under.exists(head.dv.contains) ||
+        under.exists(d => files(d).size > targetFiles)
+      if (!needsWork) return head
+      val carried = head.dataDirs.filterNot(under.toSet)
+      if (carried.isEmpty)
+        return fullCompact(spark, root, writer, head, targetFiles,
+          maxAttempts, effCols, effSortCols, effZorderCols, requested)
+      val nextV = head.version + 1
+      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+      // visible rows of ONLY the under-packed dirs — DV-aware and
+      // defaults-aware (the prunedRewrite read); staged under PHYSICAL
+      // names so carried and packed dirs stay uniformly readable
+      val stage0 = readCommitDirs(spark, root, head, under)
+      val stage =
         if (effZorderCols.nonEmpty)
-          graft.operators.Layout.clusterZOrdered(snap, effZorderCols, targetFiles)
-        else if (effSortCols.isEmpty) snap.coalesce(targetFiles)
-        else snap
+          graft.operators.Layout.clusterZOrdered(stage0, effZorderCols, targetFiles)
+        else if (effSortCols.isEmpty) stage0.coalesce(targetFiles)
+        else stage0
           .repartitionByRange(targetFiles, effSortCols.map(col): _*)
           .sortWithinPartitions(effSortCols.map(col): _*)
+      toPhysical(stage, head.colMap).write
+        .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // self-maintaining bloom evidence, the rewrite-verbs rule
+      locally {
+        val legacySb = bloomColumn(spark, root)
+        bloomColumns(spark, root).foreach(bc =>
+          buildSidecarAt(spark, root, newDir,
+            head.colMap.getOrElse(bc, bc), fpp = 0.001,
+            sidecarPathFor(root, legacySb, bc, newDir)))
       }
+      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
+        head.colMap)
+      val newStats =
+        if (newByCol.nonEmpty) Map(newDir -> newByCol)
+        else Map.empty[String, Map[String, (Long, Long)]]
+      val allStats = head.stats
+        .filter { case (d, _) => carried.contains(d) } ++ newStats
+      val c = Commit(nextV, carried :+ newDir, writer, "compact", allStats,
+        rowInvisible = true,
+        statsCols = if (allStats.nonEmpty) effCols else Nil,
+        clusterSpec = requested,
+        schemaDDL = head.schemaDDL,
+        tsMs = Some(System.currentTimeMillis()),
+        constraints = head.constraints,
+        // carried dirs are never dv-bearing (dv ⇒ under-packed ⇒
+        // rewritten), so the packed head holds no vectors for the
+        // packed region and the carried region alike
+        dv = head.dv.filter { case (d, _) => carried.contains(d) },
+        clusterBy = head.clusterBy,
+        defaults = head.defaults,
+        colMap = head.colMap,
+        statsTyped = head.statsTyped.intersect(carried.toSet) ++
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
+      if (tryClaim(spark, root, nextV, render(c))) {
+        writeHeadPointer(f, root, nextV); return c
+      }
+      // lost the race: the under-packed set may differ under the new head
+      f.delete(new HPath(s"$root/$newDir"), true)
+      deleteSidecars(f, root, newDir)
+      Thread.sleep(50L * attempt)
     }
+    throw new java.io.IOException(
+      s"CommitLog: $writer lost $maxAttempts consecutive compact claims on $root")
   }
 
   /** RESTORE (the Delta RESTORE verb, r12): make the table's head the
@@ -2696,9 +3342,21 @@ object CommitLog {
           }
           if (!claimed) {
             val winner = bloomColumn(spark, root)
-            require(winner.contains(colName),
-              s"bloom column '$colName' conflicts with concurrently " +
-                s"claimed '${winner.getOrElse("<torn marker>")}' — one per table")
+            // losing the legacy claim to a DIFFERENT column is not a
+            // conflict since r17's multi-column blooms (ADVICE r17): fall
+            // through to the extra-column registration the same call
+            // would have taken had the winner's marker existed up front.
+            // Only a still-torn marker (no readable winner) refuses — a
+            // retry after the grace window repairs or resolves it.
+            if (winner.isEmpty) throw new IllegalStateException(
+              s"bloom column '$colName': the table's bloom marker is torn " +
+                "and still within its repair grace — retry")
+            if (!winner.contains(colName)) {
+              f.mkdirs(bloomColsDir(root))
+              atomicCreate(f, bloomColMarker(root, colName),
+                colName.getBytes(StandardCharsets.UTF_8))
+              ()
+            }
           }
       }
       val legacy = bloomColumn(spark, root)
@@ -3365,7 +4023,10 @@ object CommitLog {
         },
         clusterBy = cur.flatMap(_.clusterBy),
         defaults = cur.map(_.defaults).getOrElse(Nil),
-        colMap = attemptMap)
+        colMap = attemptMap,
+        statsTyped = cur.map(_.statsTyped).getOrElse(Set.empty)
+          .intersect(commitDirs.toSet) ++
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -3553,7 +4214,8 @@ object CommitLog {
             partialDirs.map(_ -> dvName),
           clusterBy = head.clusterBy,
           defaults = head.defaults,
-          colMap = head.colMap)
+          colMap = head.colMap,
+          statsTyped = head.statsTyped.intersect(keptDirs.toSet))
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -3693,7 +4355,9 @@ object CommitLog {
           dv = (head.dv -- touched) ++ touched.toSeq.map(_ -> dvName),
           clusterBy = head.clusterBy,
           defaults = head.defaults,
-          colMap = head.colMap)
+          colMap = head.colMap,
+          statsTyped = head.statsTyped ++
+            (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -3920,7 +4584,9 @@ object CommitLog {
         dv = head.dv.filter { case (d, _) => carried.contains(d) },
         clusterBy = head.clusterBy,
         defaults = head.defaults,
-        colMap = head.colMap)
+        colMap = head.colMap,
+        statsTyped = head.statsTyped.intersect(carried.toSet) ++
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }

