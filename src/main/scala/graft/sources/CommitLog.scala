@@ -185,7 +185,8 @@ object CommitLog {
       clusterBy: Option[String] = None,
       defaults: Seq[(String, Long, String)] = Nil,
       colMap: Map[String, String] = Map.empty,
-      statsTyped: Set[String] = Set.empty)
+      statsTyped: Set[String] = Set.empty,
+      fstats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   /** Raised when a commit requires a table feature this binary does not
     * implement (r18 — VERDICT r17 #2, the Delta table-features idea).
@@ -264,6 +265,20 @@ object CommitLog {
       if (c.statsCols.isEmpty || c.stats.isEmpty) ""
       else c.statsCols.map(n => "\"" + n + "\"")
         .mkString(""","statsCols":[""", ",", "]")
+    // PER-FILE stats (r18 — VERDICT r17 #5/#6): "dir/file" → col →
+    // [lo, hi], written by append/compact/rewrite for their NEW dirs so
+    // pruning inside a big bin-packed dir skips parquet footer reads at
+    // planning. Advisory (absent = footer-time pruning only) and always
+    // in the TYPED stat domain (the field did not exist before r18).
+    // Keys are dir names + parquet part-file names — [A-Za-z0-9_.=/-],
+    // unescaped like dataDirs.
+    val fstats =
+      if (c.fstats.isEmpty) ""
+      else c.fstats.toSeq.sortBy(_._1).map { case (df, byCol) =>
+        "\"" + df + "\":{" + byCol.toSeq.sortBy(_._1).map { case (cn, (lo, hi)) =>
+          "\"" + cn + "\":[" + lo + "," + hi + "]"
+        }.mkString(",") + "}"
+      }.mkString(""","fstats":{""", ",", "}")
     // stats-ENCODING generation (r18 — ADVICE r17): the dirs whose
     // recorded ranges were computed under the TYPED statDomain (string
     // prefix encoding). String-domain narrowing applies ONLY to these;
@@ -329,7 +344,7 @@ object CommitLog {
         s"""{"l":"${escapeJson(l)}","p":"${escapeJson(p)}"}"""
       }.mkString(""","colMap":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats$fstats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -480,6 +495,41 @@ object CommitLog {
         b.result()
       } else field("statsCol").toSeq
     }
+    // per-file stats (r18): OPTIONAL and damage-tolerant like stats —
+    // absent or malformed reads as EMPTY, which only degrades pruning
+    // inside kept dirs back to parquet footer time (conservative: scan)
+    def fstats: Map[String, Map[String, (Long, Long)]] = {
+      val at = s.indexOf("\"fstats\":{")
+      if (at < 0) return Map.empty
+      val open = at + "\"fstats\":".length
+      var depth = 0
+      var i = open
+      var body: String = null
+      while (i < s.length && body == null) {
+        s.charAt(i) match {
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) body = s.substring(open + 1, i)
+          case _ => ()
+        }
+        i += 1
+      }
+      if (body == null) return Map.empty // unbalanced: degrade
+      val b = Map.newBuilder[String, Map[String, (Long, Long)]]
+      val nested = java.util.regex.Pattern
+        .compile("\"([^\"]+)\":\\{([^}]*)\\}").matcher(body)
+      while (nested.find()) {
+        val inner = java.util.regex.Pattern
+          .compile("\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]")
+          .matcher(nested.group(2))
+        val cb = Map.newBuilder[String, (Long, Long)]
+        while (inner.find())
+          cb += inner.group(1) -> (inner.group(2).toLong, inner.group(3).toLong)
+        b += nested.group(1) -> cb.result()
+      }
+      b.result()
+    }
     // stats-encoding generation (r18): OPTIONAL and damage-tolerant like
     // stats — absent or malformed reads as EMPTY, which only disables
     // string-domain narrowing for the commit's dirs (conservative: scan)
@@ -616,7 +666,7 @@ object CommitLog {
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
         field("schema").map(unescapeJson), tsMs, constraints, dvm,
-        field("clusterBy"), dfs, cm, statsTyped)
+        field("clusterBy"), dfs, cm, statsTyped, fstats)
     }
   }
 
@@ -1211,6 +1261,72 @@ object CommitLog {
       else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
     }.toMap
   }
+
+  /** Per-FILE [min, max] over one staged directory (r18 — VERDICT r17
+    * #6, the Delta AddFile-stats shape at file granularity): keyed
+    * `dir/fileName` → col → range in the TYPED stat domain, ONE grouped
+    * scan of the new dir ([[dirStats]]'s agg list GROUPed BY
+    * `_metadata.file_name`). The collect is bounded by the dir's file
+    * count (≤ targetFiles for compacts, the write's partition count for
+    * appends). Columns all-null in a file are absent for that file —
+    * "no stats, always read". Production harvests parquet footers at
+    * write time instead; the commit shape and read path are identical. */
+  private def dirFileStats(spark: SparkSession, path: String,
+      dirName: String, cols: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] = {
+    if (cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(path)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.flatMap { c =>
+      val e = statDomain(col(c), types.get(c))
+      Seq(min(e), max(e))
+    }
+    val rows = df.groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.iterator.map { r =>
+      val byCol = cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+        else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      }.toMap
+      s"$dirName/${r.getString(0)}" -> byCol
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** [[dirFileStats]] over a PHYSICAL-named staged dir, keyed back to
+    * the logical column names the commit records. */
+  private def dirFileStatsLogical(spark: SparkSession, path: String,
+      dirName: String, cols: Seq[String], colMap: Map[String, String])
+      : Map[String, Map[String, (Long, Long)]] = {
+    if (colMap.isEmpty) return dirFileStats(spark, path, dirName, cols)
+    val phys = cols.map(c => colMap.getOrElse(c, c))
+    dirFileStats(spark, path, dirName, phys).map { case (df, byCol) =>
+      df -> cols.zip(phys).flatMap { case (l, p) =>
+        byCol.get(p).map(l -> _) }.toMap
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** The per-file stats entries belonging to `dirs` — the carry filter
+    * every dir-carrying commit applies (entries key as `dir/file`). */
+  private def carryFstats(fstats: Map[String, Map[String, (Long, Long)]],
+      dirs: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+    if (fstats.isEmpty) fstats
+    else {
+      val pre = dirs.map(_ + "/")
+      fstats.filter { case (k, _) => pre.exists(k.startsWith) }
+    }
+
+  /** True when file `dir/file` of `c` may hold rows satisfying every
+    * probe — files without recorded per-file stats are always kept
+    * (advisory, prune-only). Probes are in the typed domain; fstats are
+    * ALWAYS typed (the field postdates the encoding), so no per-dir
+    * generation gate applies here. */
+  private[graft] def fileKeep(c: Commit, dir: String, file: String,
+      probes: Seq[(String, Long, Long)]): Boolean =
+    probes.isEmpty || c.fstats.isEmpty ||
+      c.fstats.get(s"$dir/$file").forall(byCol =>
+        probes.forall { case (cn, lo, hi) =>
+          byCol.get(cn).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        })
 
   /** Type equality IGNORING nullability at every depth (r17): top-level
     * comparisons already ignore nullability (it lives on StructField,
@@ -2052,6 +2168,8 @@ object CommitLog {
         statsCols = cur.statsCols.map(n => if (n == from) to else n),
         stats = cur.stats.map { case (d, byCol) =>
           d -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
+        fstats = cur.fstats.map { case (k, byCol) =>
+          k -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
         defaults = cur.defaults.map { case (n, v, e) =>
           (if (n == from) to else n, v, e) },
         clusterBy = cur.clusterBy.map { sp =>
@@ -2278,6 +2396,7 @@ object CommitLog {
           k == name || k.startsWith(name + ".") },
         statsCols = cur.statsCols.filterNot(_ == name),
         stats = cur.stats.map { case (d, byCol) => d -> (byCol - name) },
+        fstats = cur.fstats.map { case (k, byCol) => k -> (byCol - name) },
         defaults = cur.defaults.filterNot(_._1 == name))
     }
 
@@ -2613,6 +2732,9 @@ object CommitLog {
       val byCol = dirStats(spark, s"$root/$dataDir", statsCols)
       val st = if (byCol.nonEmpty) Map(dataDir -> byCol)
         else Map.empty[String, Map[String, (Long, Long)]]
+      val byFile =
+        if (byCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+        else dirFileStats(spark, s"$root/$dataDir", dataDir, statsCols)
       val c = Commit(nextV, Seq(dataDir), writer,
         if (createOnEmpty && cur.isEmpty) "create" else action,
         st, rowInvisible,
@@ -2621,7 +2743,8 @@ object CommitLog {
         constraints = cons,
         clusterBy = cur.flatMap(_.clusterBy),
         defaults = cur.map(_.defaults).getOrElse(Nil),
-        statsTyped = if (st.nonEmpty) Set(dataDir) else Set.empty)
+        statsTyped = if (st.nonEmpty) Set(dataDir) else Set.empty,
+        fstats = byFile)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -2815,6 +2938,10 @@ object CommitLog {
       .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
     val deltaByCol = dirStatsLogical(spark, s"$root/$deltaDir", statsCols,
       stagedMap)
+    var deltaByFile =
+      if (deltaByCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else dirFileStatsLogical(spark, s"$root/$deltaDir", deltaDir,
+        statsCols, stagedMap)
     def deltaStats =
       if (deltaByCol.nonEmpty) Map(deltaDir -> deltaByCol)
       else Map.empty[String, Map[String, (Long, Long)]]
@@ -2864,6 +2991,12 @@ object CommitLog {
         stagedMap = cur.map(_.colMap).getOrElse(Map.empty)
         toPhysical(delta, stagedMap).write
           .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
+        // same rows, fresh dir: the per-DIR ranges are unchanged, but
+        // the per-file keys embed the new dir and file names
+        deltaByFile =
+          if (deltaByCol.isEmpty) Map.empty
+          else dirFileStatsLogical(spark, s"$root/$deltaDir", deltaDir,
+            statsCols, stagedMap)
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
@@ -2889,7 +3022,8 @@ object CommitLog {
         defaults = cur.map(_.defaults).getOrElse(Nil),
         colMap = stagedMap,
         statsTyped = cur.map(_.statsTyped).getOrElse(Set.empty) ++
-          (if (deltaByCol.nonEmpty) Set(deltaDir) else Set.empty))
+          (if (deltaByCol.nonEmpty) Set(deltaDir) else Set.empty),
+        fstats = cur.map(_.fstats).getOrElse(Map.empty) ++ deltaByFile)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -3160,7 +3294,11 @@ object CommitLog {
         defaults = head.defaults,
         colMap = head.colMap,
         statsTyped = head.statsTyped.intersect(carried.toSet) ++
-          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+        fstats = carryFstats(head.fstats, carried) ++
+          (if (newByCol.isEmpty) Map.empty
+           else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
+             effCols, head.colMap)))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -4026,7 +4164,11 @@ object CommitLog {
         colMap = attemptMap,
         statsTyped = cur.map(_.statsTyped).getOrElse(Set.empty)
           .intersect(commitDirs.toSet) ++
-          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+        fstats = carryFstats(cur.map(_.fstats).getOrElse(Map.empty), dirs) ++
+          (if (newByCol.isEmpty) Map.empty
+           else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
+             effStatsCols, attemptMap)))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -4215,7 +4357,8 @@ object CommitLog {
           clusterBy = head.clusterBy,
           defaults = head.defaults,
           colMap = head.colMap,
-          statsTyped = head.statsTyped.intersect(keptDirs.toSet))
+          statsTyped = head.statsTyped.intersect(keptDirs.toSet),
+          fstats = carryFstats(head.fstats, keptDirs))
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -4357,7 +4500,11 @@ object CommitLog {
           defaults = head.defaults,
           colMap = head.colMap,
           statsTyped = head.statsTyped ++
-            (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
+            (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+          fstats = head.fstats ++
+            (if (newByCol.isEmpty) Map.empty
+             else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
+               effCols, head.colMap)))
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -4586,7 +4733,11 @@ object CommitLog {
         defaults = head.defaults,
         colMap = head.colMap,
         statsTyped = head.statsTyped.intersect(carried.toSet) ++
-          (if (newByCol.nonEmpty) Set(newDir) else Set.empty))
+          (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+        fstats = carryFstats(head.fstats, carried) ++
+          (if (newByCol.isEmpty) Map.empty
+           else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
+             effCols, head.colMap)))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }

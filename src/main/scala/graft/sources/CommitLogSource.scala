@@ -434,15 +434,16 @@ object CommitLogSource {
     * scan planning) and [[CommitLog.replaceWhere]] (which dirs a
     * restatement must rewrite), so the two decisions are identical by
     * construction. */
-  private[graft] def pruneDirsByEvidence(spark: SparkSession, root: String,
-      commit: CommitLog.Commit, dataFilters: Seq[Expression]): Seq[String] = {
-    // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
-    // (r13: the stats set can hold several columns — each contributes its
-    // own conjunct-derived range, and a dir survives only if EVERY
-    // recorded column's range intersects; intersecting keep-sets is sound
-    // because the pushed conjuncts are ANDed) ----
-    val statsKept: Seq[String] = commit.statsCols.foldLeft(commit.dataDirs) {
-      (kept, sc) =>
+  /** The conjunct-derived [lo, hi] probe for every RECORDED stats column
+    * (r13/r18): each recorded column contributes its own range narrowed
+    * from the pushed conjuncts; the boolean marks a STRING-domain probe
+    * (comparable only against typed-generation dir stats — ADVICE r17).
+    * Shared by the per-DIR pruning below and the per-FILE pruning in
+    * [[CommitLogFileIndex.listFiles]] so the two granularities can never
+    * disagree about what a predicate implies. */
+  private[graft] def evidenceProbes(commit: CommitLog.Commit,
+      dataFilters: Seq[Expression]): Seq[(String, Long, Long, Boolean)] =
+    commit.statsCols.flatMap { sc =>
         var lo = Long.MinValue
         var hi = Long.MaxValue
         var any = false
@@ -498,13 +499,23 @@ object CommitLogSource {
             narrowHi(encodeStringStat(p.toString, 0xff))
           case _ => () // unrecognized shape: contributes no narrowing
         }
-        if (!any) kept
-        else {
+        if (!any) None else Some((sc, lo, hi, strDom))
+    }
+
+  private[graft] def pruneDirsByEvidence(spark: SparkSession, root: String,
+      commit: CommitLog.Commit, dataFilters: Seq[Expression]): Seq[String] = {
+    // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
+    // (r13: the stats set can hold several columns — each contributes its
+    // own conjunct-derived range, and a dir survives only if EVERY
+    // recorded column's range intersects; intersecting keep-sets is sound
+    // because the pushed conjuncts are ANDed) ----
+    val statsKept: Seq[String] =
+      evidenceProbes(commit, dataFilters).foldLeft(commit.dataDirs) {
+        case (kept, (sc, lo, hi, strDom)) =>
           val keep = CommitLog.statsKeepDirs(commit, sc, lo, hi,
             requireRecorded = true, typedDomain = strDom).toSet
           kept.filter(keep)
-        }
-    }
+      }
     // ---- bloom sidecars: point-probe an equality/IN literal set ----
     // Per-conjunct soundness: a value set is used only when it is COMPLETE
     // for its conjunct (every row satisfying the conjunct has its column
@@ -649,8 +660,19 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val keep = prunedDirs(dataFilters).toSet
+    // PER-FILE pruning inside kept dirs (r18 — VERDICT r17 #6): commits
+    // since r18 record `dir/file` → col → [min, max]; the SAME probes
+    // that pruned dirs drop individual files whose recorded ranges miss,
+    // so a predicate inside a big bin-packed (sorted/zordered) dir skips
+    // files WITHOUT parquet footer reads at planning. Files/dirs without
+    // recorded per-file stats are always kept — advisory, prune-only.
+    val probes = CommitLogSource.evidenceProbes(commit, dataFilters)
+      .map { case (sc, lo, hi, _) => (sc, lo, hi) }
     Seq(PartitionDirectory(InternalRow.empty,
-      byDir.filter(kv => keep(kv._1)).flatMap(_._2).toArray))
+      byDir.filter(kv => keep(kv._1)).flatMap { case (d, fs) =>
+        fs.filter(st =>
+          CommitLog.fileKeep(commit, d, st.getPath.getName, probes))
+      }.toArray))
   }
 
   /** The directories a scan constrained by `dataFilters` must read —
