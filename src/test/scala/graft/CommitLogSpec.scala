@@ -1721,13 +1721,17 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.commitAppend(spark, root, "w", "append",
       statsCols = Seq("k"), createOnEmpty = true)(
       Seq(("100", 1L), ("999", 2L)).toDF("k", "n"))
-    // forge the pre-r17 commit: legacy numeric ranges, no statsTyped tag
+    // forge the pre-r17 commit: legacy numeric ranges, no statsTyped
+    // tag, and no per-file stats either (both fields postdate the
+    // typed encoding — a real pre-r17 writer wrote neither)
     val v1 = new java.io.File(root,
       "_commits/v" + ("%020d".format(1L)) + ".json")
-    val forged = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+    val raw = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+    val fsAt = raw.indexOf(",\"fstats\":{")
+    val forged = (if (fsAt < 0) raw else raw.substring(0, fsAt) + "}")
       .replaceAll("\"k\":\\[-?\\d+,-?\\d+\\]", "\"k\":[100,999]")
       .replaceAll(",\"statsTyped\":\\[[^\\]]*\\]", "")
-    assert(!forged.contains("statsTyped"))
+    assert(!forged.contains("statsTyped") && !forged.contains("fstats"))
     Files.write(v1.toPath, forged.getBytes("UTF-8"))
     // a typed-encoding dir appended ON TOP of the legacy one: its own
     // stats carry the r18 generation marker, the legacy dir stays untagged
