@@ -186,7 +186,11 @@ object CommitLog {
       defaults: Seq[(String, Long, String)] = Nil,
       colMap: Map[String, String] = Map.empty,
       statsTyped: Set[String] = Set.empty,
-      fstats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      fstats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      // parse-only (never rendered as such — render derives the recorded
+      // set from state): writer obligations the head records that THIS
+      // binary does not implement; nonEmpty refuses every write verb
+      unknownWriterFeatures: Set[String] = Set.empty)
 
   /** Raised when a commit requires a table feature this binary does not
     * implement (r18 — VERDICT r17 #2, the Delta table-features idea).
@@ -221,6 +225,35 @@ object CommitLog {
     if (c.defaults.nonEmpty) s += "defaults"
     s
   }
+
+  /** WRITER feature gates (r18 — the Delta reader/writer-version split):
+    * obligations a commit's state places on WRITERS only. Reads of such
+    * a table are safe without them — which is exactly why the reader
+    * gate cannot cover them: CHECK constraints parse damage-TOLERANT
+    * (a reader ignoring them returns correct rows), but a writer that
+    * does not enforce them before staging would corrupt the table's
+    * declared invariants. A head recording a writer feature outside
+    * [[SupportedWriterFeatures]] REFUSES every write verb (reads stay
+    * available); our own gate set derives from state like the reader's. */
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    Set("constraints")
+
+  private[graft] def gatedWriterFeatures(c: Commit): Set[String] =
+    if (c.constraints.nonEmpty) Set("constraints") else Set.empty
+
+  /** Refuse a write verb when the head carries writer obligations this
+    * binary does not implement — called by every commit path before any
+    * staging I/O. */
+  private def requireWritable(c: Commit): Unit =
+    if (c.unknownWriterFeatures.nonEmpty)
+      throw new UnsupportedTableFeatureException(
+        s"graft.commitlog: version ${c.version} requires WRITER table " +
+          s"feature(s) ${c.unknownWriterFeatures.toSeq.sorted
+            .mkString("'", "', '", "'")} this binary does not implement " +
+          s"(supported: ${SupportedWriterFeatures.toSeq.sorted
+            .mkString(", ")}) — the table stays READABLE; upgrade the " +
+          "binary to write (committing without upholding the recorded " +
+          "obligations would corrupt the table's declared invariants)")
 
   private val Width = 20 // zero-padded version in the filename => lex order
 
@@ -307,6 +340,13 @@ object CommitLog {
       else g.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","features":[""", ",", "]")
     }
+    // writer-obligation gates (r18): derived from state like `features`
+    val wfeats = {
+      val g = gatedWriterFeatures(c)
+      if (g.isEmpty) ""
+      else g.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","writerFeatures":[""", ",", "]")
+    }
     val ts = c.tsMs.map(t => s""","ts":$t""").getOrElse("")
     // the recorded table schema (r12 additive evolution) is the one field
     // whose content is NOT tag-restricted — a DDL string carries spaces,
@@ -344,7 +384,7 @@ object CommitLog {
         s"""{"l":"${escapeJson(l)}","p":"${escapeJson(p)}"}"""
       }.mkString(""","colMap":[""", ",", "]")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats$fstats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$wfeats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats$fstats}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -660,13 +700,28 @@ object CommitLog {
           "would corrupt results (resurrected deletes, wrong columns, " +
           "missing defaults)")
     }
+    // WRITER feature gates parse TOLERANTLY for readers (reads of a
+    // writer-gated table are safe by definition); the unknown remainder
+    // rides on the Commit and refuses every write verb (requireWritable)
+    val unknownWriter: Set[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"writerFeatures\":\\[([^\\]]*)\\]").matcher(s)
+      if (!m.find()) Set.empty
+      else {
+        val it = java.util.regex.Pattern.compile("\"([^\"]+)\"")
+          .matcher(m.group(1))
+        val b = Set.newBuilder[String]
+        while (it.find()) b += it.group(1)
+        b.result() -- SupportedWriterFeatures
+      }
+    }
     for { d <- dirs; if d.nonEmpty; w <- field("writer");
         a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict;
         cm <- colMapStrict }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
         field("schema").map(unescapeJson), tsMs, constraints, dvm,
-        field("clusterBy"), dfs, cm, statsTyped, fstats)
+        field("clusterBy"), dfs, cm, statsTyped, fstats, unknownWriter)
     }
   }
 
@@ -1786,6 +1841,7 @@ object CommitLog {
       val cur = latest(spark, root).getOrElse(
         throw new IllegalStateException(
           s"CommitLog: $action on an empty table at $root"))
+      requireWritable(cur)
       val c = mutate(cur).copy(version = cur.version + 1, writer = writer,
         action = action, rowInvisible = rowInvisible, txn = None,
         tsMs = Some(System.currentTimeMillis()))
@@ -2716,6 +2772,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
+      cur.foreach(requireWritable) // writer gates refuse before staging
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       val next = build(cur.map(c => load(spark, root, c)))
@@ -2861,6 +2918,7 @@ object CommitLog {
     // the head exactly (nullability may widen — parquet reads it back
     // nullable anyway).
     val headNow = latest(spark, root)
+    headNow.foreach(requireWritable) // writer gates refuse pre-staging
     // ADDITIVE SCHEMA EVOLUTION (r12): under an EXPLICIT evolve=true, a
     // delta may carry a superset of the head's columns — the new commit
     // then RECORDS the widened schema (head's fields in their order, new
@@ -2950,6 +3008,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
+      cur.foreach(requireWritable)
       // zombie-writer guard: a racing instance of the same app may have
       // committed this batch since the pre-check. Re-verify AFTER reading
       // `cur` (ordering matters): our claim succeeds only if no commit
@@ -3230,6 +3289,7 @@ object CommitLog {
       repairTornTail(spark, root)
       val head = latest(spark, root).getOrElse(throw new IllegalStateException(
         s"CommitLog: compact lost the head of $root mid-flight — vacuumed?"))
+      requireWritable(head)
       val effCols = if (declaredStats.nonEmpty) declaredStats else head.statsCols
       val files: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] =
         head.dataDirs.map { d =>
@@ -3889,6 +3949,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
+      cur.foreach(requireWritable)
       val (dirs, stage, effStatsCols, cdf, ddlOverride, mintedMap,
         dvPlan) = cur match {
         case None =>
@@ -4299,6 +4360,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val head = latest(spark, root).getOrElse(return None)
+      requireWritable(head)
       val conjuncts = predicateConjuncts(spark, root, head, cond)
       val affected =
         if (conjuncts.isEmpty) head.dataDirs
@@ -4429,6 +4491,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val head = latest(spark, root).getOrElse(return None)
+      requireWritable(head)
       val headSchema = load(spark, root, head).schema
       assignments.foreach { case (n, _) =>
         require(headSchema.fieldNames.contains(n),
@@ -4575,6 +4638,7 @@ object CommitLog {
       attempt += 1
       repairTornTail(spark, root)
       val cur = latest(spark, root)
+      cur.foreach(requireWritable)
       val head = cur.getOrElse(incoming match {
         // empty table: a restatement is a create (ordinary commit loop;
         // the incoming rows were validated by the caller); a purge of an

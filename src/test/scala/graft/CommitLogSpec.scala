@@ -745,6 +745,55 @@ class CommitLogSpec extends SparkSpec {
       !new String(Files.readAllBytes(fileOf(c.version)), "UTF-8")
         .contains("\"features\""),
       "materializing the vector away must drop the dv gate")
+
+    // ---- WRITER gates (the Delta reader/writer split): constraints
+    // parse damage-TOLERANT (reads without enforcing are correct), so
+    // the obligation rides a separate writerFeatures set — an unknown
+    // one refuses every WRITE verb while reads keep working ----
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val rootW = freshRoot() + "/w"
+    def wfileOf(v: Long) = java.nio.file.Paths.get(rootW, "_commits",
+      "v" + "%020d".format(v) + ".json")
+    CommitLog.commit(spark, rootW, "w", "create") { _ =>
+      (0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v") }
+    assert(!new String(Files.readAllBytes(wfileOf(1L)), "UTF-8")
+      .contains("writerFeatures"),
+      "an unconstrained table records no writer obligations")
+    CommitLog.addConstraint(spark, rootW, "w", "pos_v", "v >= 0")
+    val wtxt = new String(Files.readAllBytes(wfileOf(2L)), "UTF-8")
+    assert(wtxt.contains("\"writerFeatures\":[\"constraints\"]"),
+      s"a constrained head must record the writer obligation: $wtxt")
+    Files.write(wfileOf(2L), wtxt.replace("[\"constraints\"]",
+      "[\"constraints\",\"time-locks\"]").getBytes("UTF-8"))
+    // reads stay available on every route
+    assert(CommitLog.readLatest(spark, rootW).get.count() == 10L)
+    assert(spark.read.format("graft.commitlog").load(rootW).count() == 10L)
+    def wrefuses(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      assert(Option(e.getMessage).exists(m =>
+        m.contains("time-locks") && m.contains("WRITER")),
+        s"expected a writer-feature refusal, got: $e")
+    }
+    wrefuses(CommitLog.commitAppend(spark, rootW, "w", "append")(
+      Seq((99L, 1.0)).toDF("id", "v")))
+    wrefuses(CommitLog.merge(spark, rootW, "m", "id",
+      Seq((1L, 5.0)).toDF("id", "v")))
+    wrefuses(CommitLog.delete(spark, rootW, "d", col("id") === 1L))
+    wrefuses(CommitLog.update(spark, rootW, "u", col("id") === 1L,
+      Seq("v" -> lit(9.0))))
+    wrefuses(CommitLog.evolveSchema(spark, rootW, "w",
+      Seq(StructField("z", LongType))))
+    assert(CommitLog.latest(spark, rootW).get.version == 2L,
+      "refused writes commit nothing")
+    // un-forge: writes work again and the recorded obligation ENFORCES
+    Files.write(wfileOf(2L), wtxt.getBytes("UTF-8"))
+    CommitLog.commitAppend(spark, rootW, "w", "append")(
+      Seq((99L, 1.0)).toDF("id", "v"))
+    assert(CommitLog.readLatest(spark, rootW).get.count() == 11L)
+    intercept[Exception] {
+      CommitLog.commitAppend(spark, rootW, "w", "append")(
+        Seq((100L, -1.0)).toDF("id", "v"))
+    }
   }
 
   test("min/max stats skip non-intersecting dirs; stats-less dirs always read") {
