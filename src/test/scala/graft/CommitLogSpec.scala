@@ -622,6 +622,46 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("pack compact racing appends stays serializable: the carried base survives, no committed row lost") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    val packBytes = 64L << 10
+    CommitLog.commit(spark, root, "seed", "create") { _ =>
+      (0L until 50000L).toDF("id").coalesce(1) }
+    val base = CommitLog.latest(spark, root).get.dataDirs.head
+    (1 to 2).foreach(k =>
+      CommitLog.commitAppend(spark, root, "w0", "append")(
+        (100000L + k * 10L until 100000L + k * 10L + 10L).toDF("id")))
+    // one packer racing three appenders: a lost pack claim must re-plan
+    // the under-packed set against the NEW head, so whichever order the
+    // claims serialize in, every committed row survives and the
+    // well-packed base carries untouched
+    val packer = Future(CommitLog.compact(spark, root, "opt",
+      targetFiles = 2, packBytes = packBytes))
+    val appenders = (1 to 3).map { w =>
+      Future {
+        (1 to 2).foreach { i =>
+          CommitLog.commitAppend(spark, root, s"w$w", "append")(
+            Seq(1000000L + w * 100L + i).toDF("id"))
+        }
+      }
+    }
+    (packer +: appenders).foreach(Await.result(_, 5.minutes))
+    val head = CommitLog.latest(spark, root).get
+    assert(head.version == 10L,
+      s"create + 8 appends + 1 pack must serialize to v10, got ${head.version}")
+    assert(CommitLog.readLatest(spark, root).get.count() == 50026L,
+      "no committed row may be lost under a racing pack")
+    assert(head.dataDirs.contains(base),
+      s"the well-packed base must carry through the racing pack: ${head.dataDirs}")
+    val h = CommitLog.history(spark, root).collect()
+    assert(h.count(_.getString(3) == "compact") == 1,
+      "exactly one pack commit in the serial chain")
+  }
+
   test("per-file stats prune files INSIDE a kept dir at planning (VERDICT r17 #6)") {
     import spark.implicits._
     val root = freshRoot()
