@@ -80,7 +80,8 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.install(
+      GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen path once so the first timed query doesn't absorb
     // one-time session setup costs.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, RollingFingerprint}
-import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf, RowLevelSqlStrategy}
+import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf, RestoreV1ScanStatistics, RowLevelSqlStrategy}
 
 /** THE session-extension entry point: everything the engine injects into
   * Catalyst registers here (native functions, planner strategies, optimizer
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before Spark's BasicOperators, which otherwise rejects both
     ext.injectPlannerStrategy(_ => RowLevelSqlStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    // NOTE: RestoreV1ScanStatistics (r19) is NOT injectable here — every
+    // extensions hook (optimizer rule, pre-CBO) runs BEFORE the V2
+    // push-down batch that creates the V1ScanWrapper it rewrites; it
+    // installs as experimental.extraOptimizations ("User Provided
+    // Optimizers", the LAST batch) via GraftSession.install
     // opt-in via spark.graft.intervalJoin.enabled (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
   }

@@ -24,5 +24,22 @@ object GraftSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(cpus: Int): SparkSession = builder(s"local[$cpus]", cpus).getOrCreate()
+  def local(cpus: Int): SparkSession =
+    install(builder(s"local[$cpus]", cpus).getOrCreate())
+
+  /** Post-create installation for the one hook the extensions API cannot
+    * reach (r19): `experimental.extraOptimizations` runs as the LAST
+    * optimizer batch ("User Provided Optimizers") — the only injection
+    * point sequenced AFTER the V2 push-down batch that creates the
+    * V1ScanWrapper [[graft.plans.RestoreV1ScanStatistics]] rewrites
+    * (injectOptimizerRule and injectPreCBORule both run before it).
+    * Idempotent; every engine entry point wraps its getOrCreate. */
+  def install(s: SparkSession): SparkSession = {
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.RestoreV1ScanStatistics))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+
+          graft.plans.RestoreV1ScanStatistics
+    s
+  }
 }

@@ -152,7 +152,8 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     def enabled(fam: String) = only.forall(_.contains(fam))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val s = GraftSession.install(
+      GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate())
     s.sparkContext.setLogLevel("WARN")
 
     if (enabled("dedup")) {

@@ -187,6 +187,45 @@ object CommitLog {
       colMap: Map[String, String] = Map.empty,
       statsTyped: Set[String] = Set.empty,
       fstats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      // PARTITION COLUMNS (r19 — VERDICT r18 #1, the hive/Delta
+      // PARTITIONED BY story): the table's declared partition column
+      // list, set once while the table holds no data ([[setPartitionBy]])
+      // and carried by every verb. Unlike hive layouts the partition
+      // columns STAY IN the parquet files (the Iceberg choice), so every
+      // existing read path — including a partition-unaware binary — reads
+      // correct rows; the spec is a WRITER obligation (split staged data
+      // per partition tuple) plus a pruning accelerator, never a reader
+      // requirement. Parse-STRICT: a writer reading a damaged spec as
+      // absent would stage unsplit dirs and drop the spec from the
+      // carried record.
+      partitionBy: Seq[String] = Nil,
+      // dir → partition VALUES (rendered strings, aligned with
+      // partitionBy): exact per-dir identity for partition pruning and
+      // partition-addressed restatement. ADVISORY prune-only per dir — a
+      // dir with no entry (staged by a pre-partitioning commit, or by a
+      // verb that does not split, e.g. merge) is kept by every partition
+      // filter. Parse-STRICT like the spec (a half-parsed map could
+      // misprune a dir into silence).
+      partVals: Map[String, Seq[String]] = Map.empty,
+      // EXACT per-dir row counts (r19 — VERDICT r18 #4): recorded from
+      // parquet footers at staging time by every dir-creating verb, so
+      // the connector reports exact Statistics(rowCount) and Spark's
+      // broadcast/AQE decisions see truth instead of a size estimate.
+      // Advisory and damage-tolerant (absent = size-estimate planning).
+      rows: Map[String, Long] = Map.empty,
+      // dir → rows logically deleted by its deletion vector (cumulative
+      // across folds) — subtracted from `rows` for visible-count
+      // statistics. Maintained wherever `dv` is; advisory like `rows`.
+      dvRows: Map[String, Long] = Map.empty,
+      // GENERATED COLUMNS (r19 — VERDICT r18 #2, the Delta `GENERATED
+      // ALWAYS AS` story): (column, SQL expression). Every write verb
+      // materializes the column when the batch omits it and VALIDATES
+      // supplied values against the expression (a conflicting explicit
+      // value refuses before staging). Values are stored in the files,
+      // so reads need nothing — a writer obligation, gated like
+      // constraints. Parse-STRICT: a writer reading a damaged list as
+      // absent would stop enforcing the recorded invariant.
+      gens: Seq[(String, String)] = Nil,
       // parse-only (never rendered as such — render derives the recorded
       // set from state): writer obligations the head records that THIS
       // binary does not implement; nonEmpty refuses every write verb
@@ -236,10 +275,20 @@ object CommitLog {
     * [[SupportedWriterFeatures]] REFUSES every write verb (reads stay
     * available); our own gate set derives from state like the reader's. */
   private[graft] val SupportedWriterFeatures: Set[String] =
-    Set("constraints")
+    Set("constraints", "partitioning", "generated")
 
-  private[graft] def gatedWriterFeatures(c: Commit): Set[String] =
-    if (c.constraints.nonEmpty) Set("constraints") else Set.empty
+  private[graft] def gatedWriterFeatures(c: Commit): Set[String] = {
+    var s = Set.empty[String]
+    if (c.constraints.nonEmpty) s += "constraints"
+    // a partition-unaware writer would stage unsplit dirs (breaking the
+    // per-dir partition identity restatement granularity) and drop the
+    // spec from its carried record; reads stay safe (values in files)
+    if (c.partitionBy.nonEmpty) s += "partitioning"
+    // a generation-unaware writer would store values violating the
+    // recorded expression; reads of stored values stay safe
+    if (c.gens.nonEmpty) s += "generated"
+    s
+  }
 
   /** Refuse a write verb when the head carries writer obligations this
     * binary does not implement — called by every commit path before any
@@ -383,8 +432,39 @@ object CommitLog {
       else c.colMap.toSeq.sortBy(_._1).map { case (l, p) =>
         s"""{"l":"${escapeJson(l)}","p":"${escapeJson(p)}"}"""
       }.mkString(""","colMap":[""", ",", "]")
+    // generated columns (r19): names are user column names, expressions
+    // arbitrary SQL — full escaping on both, the constraints pattern
+    val gens =
+      if (c.gens.isEmpty) ""
+      else c.gens.map { case (n, e) =>
+        s"""{"col":"${escapeJson(n)}","gexpr":"${escapeJson(e)}"}"""
+      }.mkString(""","gens":[""", ",", "]")
+    // partition spec + per-dir values (r19): column names and values are
+    // user content — escaped; dir keys follow the dataDirs rule
+    val partBy =
+      if (c.partitionBy.isEmpty) ""
+      else c.partitionBy.map(n => "\"" + escapeJson(n) + "\"")
+        .mkString(""","partitionBy":[""", ",", "]")
+    val parts =
+      if (c.partVals.isEmpty || c.partitionBy.isEmpty) ""
+      else c.partVals.toSeq.sortBy(_._1).map { case (d, vs) =>
+        "\"" + d + "\":[" + vs.map(v => "\"" + escapeJson(v) + "\"")
+          .mkString(",") + "]"
+      }.mkString(""","parts":{""", ",", "}")
+    // exact per-dir row counts (r19): advisory statistics — dir keys by
+    // the dataDirs rule, values plain longs
+    val rowsJ =
+      if (c.rows.isEmpty) ""
+      else c.rows.toSeq.sortBy(_._1).map { case (d, n) =>
+        "\"" + d + "\":" + n
+      }.mkString(""","rows":{""", ",", "}")
+    val dvRowsJ =
+      if (c.dvRows.isEmpty || c.dv.isEmpty) ""
+      else c.dvRows.toSeq.sortBy(_._1).map { case (d, n) =>
+        "\"" + d + "\":" + n
+      }.mkString(""","dvRows":{""", ",", "}")
     s"""{"version":${c.version},"dataDirs":[${c.dataDirs.map(d => "\"" + d + "\"").mkString(",")}],""" +
-      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$wfeats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$dvf$statsCols$statsTyped$stats$fstats}"""
+      s""""writer":"${c.writer}","action":"${c.action}"$inv$feats$wfeats$ts$cluster$clusterBy$txn$schema$cons$defs$cmap$gens$partBy$parts$dvf$statsCols$statsTyped$stats$fstats$rowsJ$dvRowsJ}"""
   }
 
   /** Full JSON string escaping (ADVICE r12: backslash+quote alone left a
@@ -654,6 +734,111 @@ object CommitLog {
       val expected = "\"defaults\":[" + texts.result().mkString(",") + "]"
       if (s.contains(expected)) Some(b.result()) else None
     }
+    // generated columns (r19): STRICT like defaults — a writer reading
+    // a damaged list as absent would stop enforcing the recorded
+    // invariant on its own writes. Same reconstruction rule.
+    def gensStrict: Option[Seq[(String, String)]] = {
+      if (!s.contains("\"gens\":[")) return Some(Nil)
+      val m = java.util.regex.Pattern.compile(
+        "\\{\"col\":\"((?:[^\"\\\\]|\\\\.)*)\",\"gexpr\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}")
+        .matcher(s)
+      val texts = Seq.newBuilder[String]
+      val b = Seq.newBuilder[(String, String)]
+      while (m.find()) {
+        texts += m.group(0)
+        b += unescapeJson(m.group(1)) -> unescapeJson(m.group(2))
+      }
+      val expected = "\"gens\":[" + texts.result().mkString(",") + "]"
+      if (s.contains(expected)) Some(b.result()) else None
+    }
+    // one ESCAPED string starting at s(i) == '"' → (unescaped value,
+    // index past the closing quote). The strict scanner under the r19
+    // partition fields: escaped content cannot carry a raw quote, so
+    // the scan is unambiguous; malformation = None = whole-parse fail.
+    def scanStr(i: Int): Option[(String, Int)] = {
+      if (i >= s.length || s.charAt(i) != '"') return None
+      val sb = new StringBuilder
+      var j = i + 1
+      while (j < s.length) {
+        s.charAt(j) match {
+          case '\\' =>
+            if (j + 1 >= s.length) return None
+            sb.append(s.charAt(j)).append(s.charAt(j + 1)); j += 2
+          case '"' => return Some((unescapeJson(sb.toString), j + 1))
+          case ch => sb.append(ch); j += 1
+        }
+      }
+      None
+    }
+    // `["a","b",…]` starting at s(at) == '[' → (values, index past ']')
+    def scanStrArray(at: Int): Option[(Seq[String], Int)] = {
+      if (at >= s.length || s.charAt(at) != '[') return None
+      var j = at + 1
+      val b = Seq.newBuilder[String]
+      if (j < s.length && s.charAt(j) == ']') return Some((Nil, j + 1))
+      while (true) {
+        scanStr(j) match {
+          case None => return None
+          case Some((v, nj)) =>
+            b += v
+            if (nj < s.length && s.charAt(nj) == ',') j = nj + 1
+            else if (nj < s.length && s.charAt(nj) == ']')
+              return Some((b.result(), nj + 1))
+            else return None
+        }
+      }
+      None // unreachable
+    }
+    // partition spec (r19): STRICT — a writer reading a damaged spec as
+    // absent would stage unsplit dirs and carry a spec-less record
+    def partitionByStrict: Option[Seq[String]] = {
+      val key = "\"partitionBy\":"
+      val at = s.indexOf(key)
+      if (at < 0) Some(Nil) else scanStrArray(at + key.length).map(_._1)
+    }
+    // per-dir partition values (r19): STRICT — a half-parsed map could
+    // misprune a dir into silence (the one wrong direction)
+    def partValsStrict: Option[Map[String, Seq[String]]] = {
+      val key = "\"parts\":{"
+      val at = s.indexOf(key)
+      if (at < 0) return Some(Map.empty)
+      var j = at + key.length
+      val b = Map.newBuilder[String, Seq[String]]
+      if (j < s.length && s.charAt(j) == '}') return Some(b.result())
+      while (true) {
+        scanStr(j) match {
+          case None => return None
+          case Some((d, nj)) =>
+            if (nj >= s.length || s.charAt(nj) != ':') return None
+            scanStrArray(nj + 1) match {
+              case None => return None
+              case Some((vs, nk)) =>
+                b += d -> vs
+                if (nk < s.length && s.charAt(nk) == ',') j = nk + 1
+                else if (nk < s.length && s.charAt(nk) == '}')
+                  return Some(b.result())
+                else return None
+            }
+        }
+      }
+      None // unreachable
+    }
+    // exact per-dir row counts (r19): OPTIONAL and damage-tolerant like
+    // stats — absent or malformed reads as EMPTY, which only degrades
+    // planning statistics back to size estimates (never wrong rows)
+    def rowsOf(key: String): Map[String, Long] = {
+      val marker = "\"" + key + "\":{"
+      val at = s.indexOf(marker)
+      if (at < 0) return Map.empty
+      val open = at + marker.length
+      val close = s.indexOf('}', open)
+      if (close < 0) return Map.empty
+      val m = java.util.regex.Pattern
+        .compile("\"([^\"]+)\":(\\d+)").matcher(s.substring(open, close))
+      val b = Map.newBuilder[String, Long]
+      while (m.find()) b += m.group(1) -> m.group(2).toLong
+      b.result()
+    }
     // column mapping (r16): STRICT like dv/defaults — a damaged map
     // would read the wrong (physical) names, or after a drop+re-add the
     // wrong column's bytes. Same reconstruction rule as defaults.
@@ -717,11 +902,15 @@ object CommitLog {
     }
     for { d <- dirs; if d.nonEmpty; w <- field("writer");
         a <- field("action"); dvm <- dvMap; dfs <- defaultsStrict;
-        cm <- colMapStrict }
+        cm <- colMapStrict; gs <- gensStrict; pby <- partitionByStrict;
+        pvs <- partValsStrict }
       yield Commit(v, d, w, a, stats, s.contains("\"rowInvisible\":true"),
         statsCols, txn, field("cluster"),
         field("schema").map(unescapeJson), tsMs, constraints, dvm,
-        field("clusterBy"), dfs, cm, statsTyped, fstats, unknownWriter)
+        field("clusterBy"), dfs, cm, statsTyped, fstats,
+        partitionBy = pby, partVals = pvs,
+        rows = rowsOf("rows"), dvRows = rowsOf("dvRows"), gens = gs,
+        unknownWriterFeatures = unknownWriter)
     }
   }
 
@@ -1360,6 +1549,120 @@ object CommitLog {
     }.filter(_._2.nonEmpty)
   }
 
+  /** EXACT row count of one staged directory from its parquet FOOTERS
+    * (r19 — VERDICT r18 #4): a driver-side loop over the dir's files,
+    * each footer read O(KB) — no Spark job, no data bytes. Recorded in
+    * the commit so planning statistics report truth. */
+  private def dirRowCount(spark: SparkSession, path: String): Long = {
+    val p = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = p.getFileSystem(conf)
+    Option(f.listStatus(p)).toSeq.flatten
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Undo hive-style %XX path escaping of a partition value as written
+    * by Spark's partitioned writer (the `col=value` dir names). */
+  private def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 3 <= v.length) {
+        val h = v.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(h, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Stage `df` SPLIT per partition tuple (r19 — VERDICT r18 #1): ONE
+    * write pass (`partitionBy` over shadow string copies of the
+    * partition columns, so the real columns STAY IN the files — the
+    * Iceberg choice), then each per-tuple leaf renames to its own data
+    * dir `data-<uuid>-p<i>-v<tentative>` (version LAST — [[nameVersion]]
+    * keys vacuum and existence defaults on the `-v` suffix). Returns
+    * dirName → rendered values in `partCols` order. NULL partition
+    * values refuse (hive's default-partition marker would alias every
+    * null tuple). An empty batch stages no dirs. */
+  private def stagePartitioned(spark: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String], colMap: Map[String, String],
+      tentative: Long): Seq[(String, Seq[String])] = {
+    val f = fs(spark, root)
+    val stage = s"stage-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
+    val phys = partCols.map(c => colMap.getOrElse(c, c))
+    val shadows = phys.indices.map(i => s"__gp$i")
+    val tagged = phys.zip(shadows).foldLeft(toPhysical(df, colMap)) {
+      case (d, (p, sh)) =>
+        d.withColumn(sh, col("`" + p.replace("`", "``") + "`").cast("string"))
+    }
+    try {
+      tagged.write.mode(SaveMode.Overwrite)
+        .partitionBy(shadows: _*).parquet(s"$root/$stage")
+      // walk stage/__gp0=a/__gp1=b/… — one leaf per present tuple
+      def leaves(p: HPath, depth: Int): Seq[(HPath, Seq[String])] =
+        if (depth == shadows.length) Seq((p, Nil))
+        else Option(f.listStatus(p)).toSeq.flatten.filter(_.isDirectory)
+          .flatMap { st =>
+            val n = st.getPath.getName
+            val eq = n.indexOf('=')
+            if (eq < 0) Nil
+            else {
+              val v = unescapePathValue(n.substring(eq + 1))
+              leaves(st.getPath, depth + 1)
+                .map { case (lp, vs) => (lp, v +: vs) }
+            }
+          }
+      val ls = leaves(new HPath(root, stage), 0)
+      ls.foreach { case (_, vs) =>
+        require(!vs.contains("__HIVE_DEFAULT_PARTITION__"),
+          s"CommitLog: partition columns (${partCols.mkString(", ")}) " +
+            "must be non-null — a null tuple has no partition identity")
+      }
+      ls.zipWithIndex.map { case ((lp, vs), i) =>
+        val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-p$i-v$tentative"
+        if (!f.rename(lp, new HPath(root, d)))
+          throw new java.io.IOException(
+            s"CommitLog: failed to move staged partition $lp to $d")
+        d -> vs
+      }
+    } finally f.delete(new HPath(root, stage), true)
+  }
+
+  /** MATERIALIZE omitted generated columns (r19 — VERDICT r18 #2): a
+    * batch that does not carry a recorded GENERATED column gets it
+    * computed from the recorded expression; supplied columns pass
+    * through to [[enforceGenerated]]'s validation instead. */
+  private def conformGenerated(df: DataFrame,
+      gens: Seq[(String, String)]): DataFrame =
+    gens.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** REFUSE a batch whose supplied values for a GENERATED column differ
+    * from the recorded expression (null-safe comparison — the Delta
+    * rule: supply the generated value exactly, or omit the column). */
+  private def enforceGenerated(df: DataFrame,
+      gens: Seq[(String, String)]): Unit =
+    gens.foreach { case (n, e) =>
+      if (df.columns.contains(n)) {
+        val bad = df.filter(!(col("`" + n.replace("`", "``") + "`") <=>
+          org.apache.spark.sql.functions.expr(e))).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"CommitLog: GENERATED ALWAYS AS column '$n' must equal ($e); " +
+            s"got ${bad.head} — omit the column or supply the generated " +
+            "value; the batch was rejected before any commit")
+      }
+    }
+
   /** The per-file stats entries belonging to `dirs` — the carry filter
     * every dir-carrying commit applies (entries key as `dir/file`). */
   private def carryFstats(fstats: Map[String, Map[String, (Long, Long)]],
@@ -1664,7 +1967,14 @@ object CommitLog {
                   case Seq(one) => Some(one)
                   case _ => None
                 }
-              case _ => None
+              // a PARTITIONED rewrite (r19) stages one dir per partition
+              // tuple and keys its one feed file by the first — probe
+              // the added dirs for it (bounded by the restated tuples)
+              case several =>
+                several.filter(d => f.exists(changesPath(root, d))) match {
+                  case Seq(one) => Some(one)
+                  case _ => None
+                }
             }
             val p = key match {
               case Some(k) => changesPath(root, k)
@@ -2140,6 +2450,123 @@ object CommitLog {
     }
   }
 
+  /** Partition-value types the spec accepts (r19): atomic types whose
+    * string rendering under Spark's cast is deterministic and
+    * reproducible from a pushed literal — what [[stagePartitioned]]
+    * records and the connector's partition pruning re-renders. */
+  private val PartitionableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, ByteType, ShortType, IntegerType, LongType, DateType,
+      BooleanType)
+  }
+
+  /** DECLARE the table's partition columns (r19 — VERDICT r18 #1, the
+    * `CREATE TABLE … PARTITIONED BY` face): one audited metadata commit
+    * recording the spec; every later write verb stages its data SPLIT
+    * per partition tuple (one dir per tuple, exact per-dir values in the
+    * commit), partition-filtered reads plan only matching dirs, and a
+    * partition-addressed restatement (`INSERT OVERWRITE … PARTITION` /
+    * REPLACE WHERE) rewrites only that partition's dirs. Declarable only
+    * while the table holds NO visible data (the Delta rule: partitioning
+    * an existing layout is a full rewrite — run one explicitly); columns
+    * must exist with a [[PartitionableTypes]] type and be distinct. */
+  def setPartitionBy(spark: SparkSession, root: String, writer: String,
+      cols: Seq[String], maxAttempts: Int = 20): Commit = {
+    require(cols.nonEmpty, "setPartitionBy needs at least one column")
+    require(cols.distinct == cols,
+      s"duplicate PARTITIONED BY columns in ${cols.mkString("(", ", ", ")")}")
+    metadataCommit(spark, root, writer, "partition-by", maxAttempts) { cur =>
+      require(cur.partitionBy.isEmpty || cur.partitionBy == cols,
+        s"CommitLog: $root is already partitioned by " +
+          s"${cur.partitionBy.mkString("(", ", ", ")")} — changing the " +
+          "spec of committed data needs an explicit full rewrite")
+      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+        s"CommitLog: PARTITIONED BY on $root after data was committed — " +
+          "declare partitioning at CREATE (before the first insert), or " +
+          "rewrite explicitly")
+      val headSchema = load(spark, root, cur).schema
+      cols.foreach { c =>
+        val fld = headSchema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY column '$c' not in head schema " +
+              headSchema.simpleString))
+        require(PartitionableTypes.contains(fld.dataType),
+          s"PARTITIONED BY column '$c' has type ${fld.dataType.sql} — " +
+            "partition columns take string/integral/date/boolean " +
+            "(derive a bucket column for anything else)")
+      }
+      cur.copy(partitionBy = cols)
+    }
+  }
+
+  /** Rollback half of [[setPartitionBy]] for [[GraftCatalog]]'s failed-
+    * CREATE unwind — valid only while the table still holds no data
+    * (the same emptiness the set verb proved). */
+  private[graft] def clearPartitionBy(spark: SparkSession, root: String,
+      writer: String, maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "partition-by", maxAttempts) { cur =>
+      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+        s"CommitLog: cannot clear PARTITIONED BY on $root after data " +
+          "was committed")
+      cur.copy(partitionBy = Nil, partVals = Map.empty)
+    }
+
+  /** Rollback half of [[setGeneratedColumns]] — same emptiness rule. */
+  private[graft] def clearGeneratedColumns(spark: SparkSession, root: String,
+      writer: String, maxAttempts: Int = 20): Commit =
+    metadataCommit(spark, root, writer, "generated-cols", maxAttempts) { cur =>
+      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+        s"CommitLog: cannot clear GENERATED columns on $root after data " +
+          "was committed")
+      cur.copy(gens = Nil)
+    }
+
+  /** DECLARE generated columns (r19 — VERDICT r18 #2, the Delta
+    * `GENERATED ALWAYS AS (expr)` face): one audited metadata commit
+    * recording (column, expression SQL). From this commit on every write
+    * verb MATERIALIZES an omitted generated column from its expression
+    * and REFUSES a batch supplying conflicting explicit values; recorded
+    * stats on the column prune dirs like any other. Declarable only
+    * while the table holds no visible data (existing rows were never
+    * validated); expressions must resolve against the head schema,
+    * reference only non-generated columns, and be deterministic. */
+  def setGeneratedColumns(spark: SparkSession, root: String, writer: String,
+      gens: Seq[(String, String)], maxAttempts: Int = 20): Commit = {
+    require(gens.nonEmpty, "setGeneratedColumns needs at least one column")
+    require(gens.map(_._1).distinct == gens.map(_._1),
+      s"duplicate GENERATED columns in ${gens.map(_._1).mkString(", ")}")
+    metadataCommit(spark, root, writer, "generated-cols", maxAttempts) { cur =>
+      require(cur.gens.isEmpty || cur.gens == gens,
+        s"CommitLog: $root already records generated columns " +
+          s"${cur.gens.map(_._1).mkString("(", ", ", ")")} — redeclaring " +
+          "needs an explicit full rewrite")
+      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+        s"CommitLog: GENERATED ALWAYS AS on $root after data was " +
+          "committed — declare at CREATE (existing rows were never " +
+          "validated against the expression)")
+      val head = load(spark, root, cur)
+      val genNames = gens.map(_._1).toSet
+      gens.foreach { case (n, e) =>
+        require(head.schema.fieldNames.contains(n),
+          s"GENERATED column '$n' not in head schema " +
+            head.schema.simpleString)
+        val expr = org.apache.spark.sql.functions.expr(e)
+        val analyzed = scala.util.Try(
+          head.select(expr).queryExecution.analyzed)
+          .getOrElse(throw new IllegalArgumentException(
+            s"GENERATED column '$n': expression ($e) does not resolve " +
+              s"against ${head.schema.simpleString}"))
+        require(analyzed.expressions.forall(_.deterministic),
+          s"GENERATED column '$n': expression ($e) must be deterministic")
+        val refs = analyzed.expressions.flatMap(_.references.map(_.name))
+        require(!refs.exists(genNames.contains),
+          s"GENERATED column '$n': expression ($e) may not reference " +
+            "another generated column")
+      }
+      cur.copy(gens = gens)
+    }
+  }
+
   /** Attribute names a recorded constraint expression references, for
     * the rename/drop guards — resolved against the head's logical
     * schema, never a string match. A constraint that does NOT resolve
@@ -2209,6 +2636,16 @@ object CommitLog {
       require(!bloomColumns(spark, root).contains(from),
         s"RENAME COLUMN '$from': it is one of the table's bloom columns — " +
           "sidecars are keyed outside the log; compact+rebuild first")
+      // a generation EXPRESSION referencing the column is SQL text the
+      // verb cannot rewrite — refuse, the constraints rule (r19); the
+      // generated column itself re-keys below like statsCols/clusterBy
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefs(spark, root, cur, s"generated '$gn'", ge)
+          .contains(from) }
+      require(genBlocking.isEmpty,
+        s"RENAME COLUMN '$from': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       val base = activatedMap(cur, headSchema)
       // nested entries under the renamed column follow their parent
       // (r18 — the path-keyed map keys by CURRENT logical paths)
@@ -2228,6 +2665,11 @@ object CommitLog {
           k -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
         defaults = cur.defaults.map { case (n, v, e) =>
           (if (n == from) to else n, v, e) },
+        // partition spec and generated-column NAMES re-key like
+        // statsCols (r19); partVals are name-free values, untouched
+        partitionBy = cur.partitionBy.map(n => if (n == from) to else n),
+        gens = cur.gens.map { case (n, e) =>
+          (if (n == from) to else n, e) },
         clusterBy = cur.clusterBy.map { sp =>
           val (pre, cols) =
             if (sp.startsWith("z:")) ("z:", sp.stripPrefix("z:"))
@@ -2443,6 +2885,21 @@ object CommitLog {
         sp.stripPrefix("z:").stripPrefix("sort:").split(',').contains(name)),
         s"DROP COLUMN '$name': the declared CLUSTER BY references it — " +
           "re-declare the clustering first")
+      // partition columns give every dir its identity; generated columns
+      // (and their inputs) are declared invariants — both refuse (r19)
+      require(!cur.partitionBy.contains(name),
+        s"DROP COLUMN '$name': it is a partition column — per-dir " +
+          "partition identity keys on it; rewrite explicitly")
+      require(!cur.gens.exists(_._1 == name),
+        s"DROP COLUMN '$name': it is GENERATED ALWAYS AS — redeclare " +
+          "the table to remove the generation")
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefs(spark, root, cur, s"generated '$gn'", ge)
+          .contains(name) }
+      require(genBlocking.isEmpty,
+        s"DROP COLUMN '$name': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       val base = activatedMap(cur, headSchema)
       cur.copy(
         schemaDDL = Some(org.apache.spark.sql.types.StructType(
@@ -2774,8 +3231,12 @@ object CommitLog {
       val cur = latest(spark, root)
       cur.foreach(requireWritable) // writer gates refuse before staging
       val nextV = cur.map(_.version).getOrElse(0L) + 1
-      val dataDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      val next = build(cur.map(c => load(spark, root, c)))
+      // GENERATED columns (r19): conform-or-refuse the rebuilt snapshot
+      // like any batch; rowInvisible verbs (compact) are row-identical
+      // to a parent that already passed
+      val gens = cur.map(_.gens).getOrElse(Nil)
+      val next0 = build(cur.map(c => load(spark, root, c)))
+      val next = if (rowInvisible) next0 else conformGenerated(next0, gens)
       // a bad statsCol must fail BEFORE the snapshot write, not after
       // minutes of I/O with an orphaned staging left behind
       statsCols.foreach(sc => require(next.columns.contains(sc),
@@ -2784,15 +3245,35 @@ object CommitLog {
       // rowInvisible verbs (compact) are row-identical to a parent that
       // already passed, so re-scanning the table would buy nothing
       val cons = cur.map(_.constraints).getOrElse(Nil)
-      if (!rowInvisible) enforceConstraints(next, cons)
-      next.write.mode(SaveMode.Overwrite).parquet(s"$root/$dataDir")
-      val byCol = dirStats(spark, s"$root/$dataDir", statsCols)
-      val st = if (byCol.nonEmpty) Map(dataDir -> byCol)
-        else Map.empty[String, Map[String, (Long, Long)]]
-      val byFile =
-        if (byCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-        else dirFileStats(spark, s"$root/$dataDir", dataDir, statsCols)
-      val c = Commit(nextV, Seq(dataDir), writer,
+      if (!rowInvisible) { enforceConstraints(next, cons)
+        enforceGenerated(next, gens) }
+      // partition spec (r19): a partitioned table's rewrite stages SPLIT
+      // per partition tuple (logical names — the rewrite clears any map)
+      val pby = cur.map(_.partitionBy).getOrElse(Nil)
+      val staged: Seq[(String, Seq[String])] = {
+        val split =
+          if (pby.isEmpty) Nil
+          else stagePartitioned(spark, root, next, pby, Map.empty, nextV)
+        // unpartitioned — or an EMPTY partitioned snapshot, which splits
+        // to zero dirs but a commit must list at least one (parse rule):
+        // stage the one (possibly empty) unsplit dir instead
+        if (split.nonEmpty) split
+        else {
+          val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+          next.write.mode(SaveMode.Overwrite).parquet(s"$root/$d")
+          Seq(d -> Nil)
+        }
+      }
+      val st = staged.map { case (d, _) =>
+        d -> dirStats(spark, s"$root/$d", statsCols)
+      }.filter(_._2.nonEmpty).toMap
+      val byFile = staged.flatMap { case (d, _) =>
+        if (st.getOrElse(d, Map.empty).isEmpty) Nil
+        else dirFileStats(spark, s"$root/$d", d, statsCols)
+      }.toMap
+      val rowsNew = staged.map { case (d, _) =>
+        d -> dirRowCount(spark, s"$root/$d") }.toMap
+      val c = Commit(nextV, staged.map(_._1), writer,
         if (createOnEmpty && cur.isEmpty) "create" else action,
         st, rowInvisible,
         statsCols = if (st.nonEmpty) statsCols else Nil,
@@ -2800,8 +3281,13 @@ object CommitLog {
         constraints = cons,
         clusterBy = cur.flatMap(_.clusterBy),
         defaults = cur.map(_.defaults).getOrElse(Nil),
-        statsTyped = if (st.nonEmpty) Set(dataDir) else Set.empty,
-        fstats = byFile)
+        statsTyped = st.keySet,
+        fstats = byFile,
+        partitionBy = pby,
+        partVals = staged.collect { case (d, vs) if vs.nonEmpty => d -> vs }
+          .toMap,
+        rows = rowsNew,
+        gens = gens)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -2809,7 +3295,7 @@ object CommitLog {
       // stale staging (built against an outdated snapshot), back off
       // linearly (also paces retries while a torn-young tail ages past
       // the repair grace), and retry
-      f.delete(new HPath(s"$root/$dataDir"), true)
+      staged.foreach(dn => f.delete(new HPath(s"$root/${dn._1}"), true))
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -2899,7 +3385,7 @@ object CommitLog {
   private def appendImpl(spark: SparkSession, root: String, writer: String,
       action: String, maxAttempts: Int, statsCols: Seq[String],
       txn: Option[(String, Long)], evolve: Boolean,
-      createOnEmpty: Boolean = false)(delta: DataFrame): Commit = {
+      createOnEmpty: Boolean = false)(delta0: DataFrame): Commit = {
     requireTag(writer, "writer"); requireTag(action, "action")
     statsCols.foreach(sc => requireTag(sc, "statsCol"))
     init(spark, root)
@@ -2919,6 +3405,11 @@ object CommitLog {
     // nullable anyway).
     val headNow = latest(spark, root)
     headNow.foreach(requireWritable) // writer gates refuse pre-staging
+    // GENERATED columns (r19): an omitted generated column materializes
+    // from its recorded expression BEFORE the schema check compares like
+    // for like; supplied columns validate in validateSchemaAgainst
+    val delta = headNow.map(h => conformGenerated(delta0, h.gens))
+      .getOrElse(delta0)
     // ADDITIVE SCHEMA EVOLUTION (r12): under an EXPLICIT evolve=true, a
     // delta may carry a superset of the head's columns — the new commit
     // then RECORDS the widened schema (head's fields in their order, new
@@ -2981,6 +3472,9 @@ object CommitLog {
       // re-run against the fresh head on a lost claim like the schema
       // check, so a concurrently-added constraint still rejects the batch
       enforceConstraints(delta, h.constraints)
+      // supplied GENERATED-column values must equal the recorded
+      // expression (r19) — re-run against the fresh head like the rest
+      enforceGenerated(delta, h.gens)
       evolvedDDL
     }
     var validatedAt: Option[Long] = headNow.map(_.version)
@@ -2989,20 +3483,37 @@ object CommitLog {
     statsCols.foreach(sc => require(delta.columns.contains(sc),
       s"statsCol '$sc' not in delta schema ${delta.schema.simpleString}"))
     var tentative = headNow.map(_.version).getOrElse(0L) + 1
-    var deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     // column mapping (r16): stage under the head's frozen PHYSICAL names
     var stagedMap = headNow.map(_.colMap).getOrElse(Map.empty)
-    toPhysical(delta, stagedMap).write
-      .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
-    val deltaByCol = dirStatsLogical(spark, s"$root/$deltaDir", statsCols,
-      stagedMap)
-    var deltaByFile =
-      if (deltaByCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-      else dirFileStatsLogical(spark, s"$root/$deltaDir", deltaDir,
-        statsCols, stagedMap)
-    def deltaStats =
-      if (deltaByCol.nonEmpty) Map(deltaDir -> deltaByCol)
-      else Map.empty[String, Map[String, (Long, Long)]]
+    // partition spec (r19): a partitioned table's delta stages SPLIT per
+    // partition tuple — one dir per tuple, each with its recorded values
+    var stagedPartBy = headNow.map(_.partitionBy).getOrElse(Nil)
+    def stageDelta(): Seq[(String, Seq[String])] =
+      if (stagedPartBy.isEmpty) {
+        val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
+        toPhysical(delta, stagedMap).write
+          .mode(SaveMode.Overwrite).parquet(s"$root/$d")
+        Seq(d -> Nil)
+      } else stagePartitioned(spark, root, delta, stagedPartBy, stagedMap,
+        tentative)
+    var deltaDirs = stageDelta()
+    def deleteStaged(): Unit =
+      deltaDirs.foreach(dn => f.delete(new HPath(s"$root/${dn._1}"), true))
+    def statsOfStaged(): (Map[String, Map[String, (Long, Long)]],
+        Map[String, Map[String, (Long, Long)]], Map[String, Long]) = {
+      val byCol = deltaDirs.map { case (d, _) =>
+        d -> dirStatsLogical(spark, s"$root/$d", statsCols, stagedMap)
+      }.filter(_._2.nonEmpty).toMap
+      val byFile = deltaDirs.flatMap { case (d, _) =>
+        if (byCol.getOrElse(d, Map.empty).isEmpty) Nil
+        else dirFileStatsLogical(spark, s"$root/$d", d, statsCols, stagedMap)
+      }.toMap
+      // exact per-dir row counts (r19): driver-side parquet footer reads
+      val rc = deltaDirs.map { case (d, _) =>
+        d -> dirRowCount(spark, s"$root/$d") }.toMap
+      (byCol, byFile, rc)
+    }
+    var (deltaStats, deltaByFile, deltaRows) = statsOfStaged()
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -3017,7 +3528,7 @@ object CommitLog {
       // claim or sees the watermark; it can never append.
       txn.foreach { case (app, b) =>
         if (lastTxn(spark, root, app).exists(_ >= b)) {
-          f.delete(new HPath(s"$root/$deltaDir"), true)
+          deleteStaged()
           return latest(spark, root).getOrElse(throw new IllegalStateException(
             s"CommitLog: txn watermark for $app exists but no commit parses"))
         }
@@ -3030,9 +3541,7 @@ object CommitLog {
       if (cur.map(_.version) != validatedAt) {
         val ddl =
           try cur.flatMap(validateSchemaAgainst)
-          catch { case e: Throwable =>
-            f.delete(new HPath(s"$root/$deltaDir"), true); throw e
-          }
+          catch { case e: Throwable => deleteStaged(); throw e }
         evolvedDDL = ddl
         validatedAt = cur.map(_.version)
       }
@@ -3040,29 +3549,27 @@ object CommitLog {
       // name-embedded version predates the default's `since`, so readers
       // would wrongly coalesce the delta's explicit NULLs to the
       // constant; a RENAME/DROP landed: our staging's physical names are
-      // stale. Either way: re-stage the same rows under a fresh name
-      // with the fresh map (rare race; one extra delta write).
+      // stale; a PARTITION SPEC landed (r19): our staging isn't split.
+      // Either way: re-stage the same rows under fresh names with the
+      // fresh map/spec (rare race; one extra delta write).
       if (cur.exists(_.defaults.exists(_._2 > tentative)) ||
-          cur.map(_.colMap).getOrElse(Map.empty) != stagedMap) {
-        f.delete(new HPath(s"$root/$deltaDir"), true)
+          cur.map(_.colMap).getOrElse(Map.empty) != stagedMap ||
+          cur.map(_.partitionBy).getOrElse(Nil) != stagedPartBy) {
+        deleteStaged()
         tentative = cur.map(_.version).getOrElse(0L) + 1
-        deltaDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
         stagedMap = cur.map(_.colMap).getOrElse(Map.empty)
-        toPhysical(delta, stagedMap).write
-          .mode(SaveMode.Overwrite).parquet(s"$root/$deltaDir")
-        // same rows, fresh dir: the per-DIR ranges are unchanged, but
-        // the per-file keys embed the new dir and file names
-        deltaByFile =
-          if (deltaByCol.isEmpty) Map.empty
-          else dirFileStatsLogical(spark, s"$root/$deltaDir", deltaDir,
-            statsCols, stagedMap)
+        stagedPartBy = cur.map(_.partitionBy).getOrElse(Nil)
+        deltaDirs = stageDelta()
+        val t = statsOfStaged()
+        deltaStats = t._1; deltaByFile = t._2; deltaRows = t._3
       }
       val nextV = cur.map(_.version).getOrElse(0L) + 1
       val allStats = cur.map(_.stats).getOrElse(Map.empty) ++ deltaStats
       val effCols =
         if (statsCols.nonEmpty) statsCols
         else cur.map(_.statsCols).getOrElse(Nil)
-      val c = Commit(nextV, cur.map(_.dataDirs).getOrElse(Nil) :+ deltaDir,
+      val c = Commit(nextV,
+        cur.map(_.dataDirs).getOrElse(Nil) ++ deltaDirs.map(_._1),
         writer,
         // per-attempt create labeling (code review r14, see commitImpl)
         if (createOnEmpty && cur.isEmpty) "create" else action,
@@ -3081,8 +3588,14 @@ object CommitLog {
         defaults = cur.map(_.defaults).getOrElse(Nil),
         colMap = stagedMap,
         statsTyped = cur.map(_.statsTyped).getOrElse(Set.empty) ++
-          (if (deltaByCol.nonEmpty) Set(deltaDir) else Set.empty),
-        fstats = cur.map(_.fstats).getOrElse(Map.empty) ++ deltaByFile)
+          deltaStats.keySet,
+        fstats = cur.map(_.fstats).getOrElse(Map.empty) ++ deltaByFile,
+        partitionBy = stagedPartBy,
+        partVals = cur.map(_.partVals).getOrElse(Map.empty) ++
+          deltaDirs.collect { case (d, vs) if vs.nonEmpty => d -> vs },
+        rows = cur.map(_.rows).getOrElse(Map.empty) ++ deltaRows,
+        dvRows = cur.map(_.dvRows).getOrElse(Map.empty),
+        gens = cur.map(_.gens).getOrElse(Nil))
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
@@ -3090,7 +3603,7 @@ object CommitLog {
     }
     // give up: remove the never-committed delta so it reads as a lost
     // staging (vacuum would sweep it anyway once its version is passed)
-    f.delete(new HPath(s"$root/$deltaDir"), true)
+    deleteStaged()
     throw new java.io.IOException(
       s"CommitLog: $writer lost $maxAttempts consecutive append claims on $root")
   }
@@ -3310,7 +3823,6 @@ object CommitLog {
         return fullCompact(spark, root, writer, head, targetFiles,
           maxAttempts, effCols, effSortCols, effZorderCols, requested)
       val nextV = head.version + 1
-      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
       // visible rows of ONLY the under-packed dirs — DV-aware and
       // defaults-aware (the prunedRewrite read); staged under PHYSICAL
       // names so carried and packed dirs stay uniformly readable.
@@ -3330,24 +3842,40 @@ object CommitLog {
         else stage0
           .repartitionByRange(outFiles, effSortCols.map(col): _*)
           .sortWithinPartitions(effSortCols.map(col): _*)
-      toPhysical(stage, head.colMap).write
-        .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // partition spec (r19): the packed tail splits per partition tuple
+      // so the consolidated dirs keep exact partition identity (pruning
+      // survives the pack cadence); an empty tail stages one empty dir
+      val newDirs: Seq[(String, Seq[String])] = {
+        val split =
+          if (head.partitionBy.isEmpty) Nil
+          else stagePartitioned(spark, root, stage, head.partitionBy,
+            head.colMap, nextV)
+        if (split.nonEmpty) split
+        else {
+          val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+          toPhysical(stage, head.colMap).write
+            .mode(SaveMode.Overwrite).parquet(s"$root/$d")
+          Seq(d -> Nil)
+        }
+      }
       // self-maintaining bloom evidence, the rewrite-verbs rule
       locally {
         val legacySb = bloomColumn(spark, root)
         bloomColumns(spark, root).foreach(bc =>
-          buildSidecarAt(spark, root, newDir,
-            head.colMap.getOrElse(bc, bc), fpp = 0.001,
-            sidecarPathFor(root, legacySb, bc, newDir)))
+          newDirs.foreach { case (nd, _) =>
+            buildSidecarAt(spark, root, nd,
+              head.colMap.getOrElse(bc, bc), fpp = 0.001,
+              sidecarPathFor(root, legacySb, bc, nd)) })
       }
-      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
-        head.colMap)
-      val newStats =
-        if (newByCol.nonEmpty) Map(newDir -> newByCol)
-        else Map.empty[String, Map[String, (Long, Long)]]
+      val newStats = newDirs.map { case (nd, _) =>
+        nd -> dirStatsLogical(spark, s"$root/$nd", effCols, head.colMap)
+      }.filter(_._2.nonEmpty).toMap
+      val newRows = newDirs.map { case (nd, _) =>
+        nd -> dirRowCount(spark, s"$root/$nd") }.toMap
       val allStats = head.stats
         .filter { case (d, _) => carried.contains(d) } ++ newStats
-      val c = Commit(nextV, carried :+ newDir, writer, "compact", allStats,
+      val c = Commit(nextV, carried ++ newDirs.map(_._1), writer,
+        "compact", allStats,
         rowInvisible = true,
         statsCols = if (allStats.nonEmpty) effCols else Nil,
         clusterSpec = requested,
@@ -3362,17 +3890,28 @@ object CommitLog {
         defaults = head.defaults,
         colMap = head.colMap,
         statsTyped = head.statsTyped.intersect(carried.toSet) ++
-          (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+          newStats.keySet,
         fstats = carryFstats(head.fstats, carried) ++
-          (if (newByCol.isEmpty) Map.empty
-           else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
-             effCols, head.colMap)))
+          newDirs.flatMap { case (nd, _) =>
+            if (newStats.getOrElse(nd, Map.empty).isEmpty) Nil
+            else dirFileStatsLogical(spark, s"$root/$nd", nd,
+              effCols, head.colMap) }.toMap,
+        partitionBy = head.partitionBy,
+        partVals = head.partVals.filter { case (d, _) =>
+          carried.contains(d) } ++
+          newDirs.collect { case (d, vs) if vs.nonEmpty => d -> vs },
+        rows = head.rows.filter { case (d, _) =>
+          carried.contains(d) } ++ newRows,
+        dvRows = head.dvRows.filter { case (d, _) => carried.contains(d) },
+        gens = head.gens)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
       // lost the race: the under-packed set may differ under the new head
-      f.delete(new HPath(s"$root/$newDir"), true)
-      deleteSidecars(f, root, newDir)
+      newDirs.foreach { case (nd, _) =>
+        f.delete(new HPath(s"$root/$nd"), true)
+        deleteSidecars(f, root, nd)
+      }
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -4007,8 +4546,10 @@ object CommitLog {
             .select(headSchema.fieldNames.map(col): _*)
           // CHECK constraints gate the changeset's landing rows BEFORE
           // any staging (r14); stored rows the merge keeps satisfy by
-          // induction (they passed when written), deletes land nothing
+          // induction (they passed when written), deletes land nothing.
+          // GENERATED columns validate on the same landing surface (r19).
           enforceConstraints(inserts, head.constraints)
+          enforceGenerated(inserts, head.gens)
           // COMPOSED evidence (r15): a dir might contain a matching row
           // only if EVERY key column's evidence allows it — one column
           // provably absent prunes the dir (a tuple match needs all
@@ -4237,7 +4778,24 @@ object CommitLog {
         fstats = carryFstats(cur.map(_.fstats).getOrElse(Map.empty), dirs) ++
           (if (newByCol.isEmpty) Map.empty
            else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
-             effStatsCols, attemptMap)))
+             effStatsCols, attemptMap)),
+        partitionBy = cur.map(_.partitionBy).getOrElse(Nil),
+        // the merged output dir carries no partition identity (kept by
+        // every partition filter — conservative); carried dirs ride
+        partVals = cur.map(_.partVals).getOrElse(Map.empty)
+          .filter { case (d, _) => dirs.contains(d) },
+        rows = cur.map(_.rows).getOrElse(Map.empty)
+          .filter { case (d, _) => dirs.contains(d) } ++
+          (if (stageData)
+            Map(newDir -> dirRowCount(spark, s"$root/$newDir"))
+          else Map.empty),
+        // touched dirs' vectored share changed without a per-dir count
+        // in hand — drop their entries (their statistics degrade to the
+        // size estimate, never to a wrong exact count)
+        dvRows = cur.map(_.dvRows).getOrElse(Map.empty)
+          .filter { case (d, _) => dirs.contains(d) } --
+          dvPlan.map(_._2).getOrElse(Nil),
+        gens = cur.map(_.gens).getOrElse(Nil))
       // release the pre-image checkpoint whether the claim wins, loses,
       // or THROWS (a transient store error must not leak the blocks) —
       // each attempt materializes its own
@@ -4428,7 +4986,16 @@ object CommitLog {
           defaults = head.defaults,
           colMap = head.colMap,
           statsTyped = head.statsTyped.intersect(keptDirs.toSet),
-          fstats = carryFstats(head.fstats, keptDirs))
+          fstats = carryFstats(head.fstats, keptDirs),
+          partitionBy = head.partitionBy,
+          partVals = head.partVals.filter { case (d, _) =>
+            keptDirs.contains(d) },
+          // recorded totals stay AS-WRITTEN; the vectored share rides in
+          // dvRows (cumulative across folds) so visible = rows − dvRows
+          rows = head.rows.filter { case (d, _) => keptDirs.contains(d) },
+          dvRows = (head.dvRows -- fullDirs) ++ partial.map {
+            case (d, _, m) => d -> (head.dvRows.getOrElse(d, 0L) + m) },
+          gens = head.gens)
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -4524,12 +5091,17 @@ object CommitLog {
             case None => col(fd.name)
           }
         }: _*)
-        // post-images are NEW values: constraints gate before staging
+        // post-images are NEW values: constraints and generated columns
+        // gate before staging
         enforceConstraints(post, head.constraints)
+        enforceGenerated(post, head.gens)
         // only dirs that actually contributed matched rows take the
-        // vector; evidence false-positives carry untouched
-        val touched = m.select(dirOfPath(col(DvPathCol)).as("__d"))
-          .distinct().collect().map(_.getString(0)).toSet
+        // vector; evidence false-positives carry untouched (counts per
+        // dir feed the dvRows statistics — r19)
+        val touchedCounts = m.select(dirOfPath(col(DvPathCol)).as("__d"))
+          .groupBy(col("__d")).agg(count(lit(1)).as("__m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val touched = touchedCounts.keySet
         val newPos = m.select(relPath(col(DvPathCol)).as("path"),
           col(DvPosCol).as("pos"))
         val allDv = foldVectors(spark, root, head, touched.toSeq, newPos)
@@ -4575,7 +5147,15 @@ object CommitLog {
           fstats = head.fstats ++
             (if (newByCol.isEmpty) Map.empty
              else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
-               effCols, head.colMap)))
+               effCols, head.colMap)),
+          partitionBy = head.partitionBy,
+          // the post-image dir carries no partition identity (kept by
+          // every partition filter — conservative); existing entries ride
+          partVals = head.partVals,
+          rows = head.rows + (newDir -> dirRowCount(spark, s"$root/$newDir")),
+          dvRows = head.dvRows ++ touchedCounts.map { case (d, n) =>
+            d -> (head.dvRows.getOrElse(d, 0L) + n) },
+          gens = head.gens)
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
         }
@@ -4712,10 +5292,13 @@ object CommitLog {
         }
       // CHECK constraints (r14): a restatement's incoming rows and an
       // update's rewritten rows are NEW values and gate before staging;
-      // delete/purge keeps only rows that satisfied when written
-      incoming.foreach(inc => enforceConstraints(inc, head.constraints))
+      // delete/purge keeps only rows that satisfied when written.
+      // GENERATED columns (r19) validate on the same new-value surfaces.
+      incoming.foreach { inc => enforceConstraints(inc, head.constraints)
+        enforceGenerated(inc, head.gens) }
       if (assignments.nonEmpty)
-        kept.foreach(k => enforceConstraints(k, head.constraints))
+        kept.foreach { k => enforceConstraints(k, head.constraints)
+          enforceGenerated(k, head.gens) }
       val stage = (kept, incoming.map(_.select(headCols: _*))) match {
         case (Some(k), Some(inc)) => k.unionByName(inc)
         case (Some(k), None) => k
@@ -4723,9 +5306,27 @@ object CommitLog {
         case (None, None) => throw new IllegalStateException("unreachable")
       }
       val nextV = head.version + 1
-      val newDir = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
-      toPhysical(stage, head.colMap).write
-        .mode(SaveMode.Overwrite).parquet(s"$root/$newDir")
+      // partition spec (r19): a partitioned table's restatement stages
+      // SPLIT per partition tuple — a one-day restatement then rewrites
+      // only that day's dirs and every other partition carries
+      // byte-identical. An empty remainder still stages one (possibly
+      // empty) dir: the commit needs a feed key and ≥1 dir is free.
+      val newDirs: Seq[(String, Seq[String])] = {
+        val split =
+          if (head.partitionBy.isEmpty) Nil
+          else stagePartitioned(spark, root, stage, head.partitionBy,
+            head.colMap, nextV)
+        if (split.nonEmpty) split
+        else {
+          val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-v$nextV"
+          toPhysical(stage, head.colMap).write
+            .mode(SaveMode.Overwrite).parquet(s"$root/$d")
+          Seq(d -> Nil)
+        }
+      }
+      // the change feed keys on the FIRST new dir ([[changesSince]]
+      // probes the added dirs for the one feed file)
+      val newDir = newDirs.head._1
       // CHANGE FEED for the pruned-rewrite verbs (r14): delete, update,
       // and replaceWhere persist their typed changeset to
       // `_changes/<newDir>` BEFORE the claim — the merge pattern — so
@@ -4782,18 +5383,20 @@ object CommitLog {
       {
         val legacySb = bloomColumn(spark, root)
         bloomColumns(spark, root).foreach(bc =>
-          buildSidecarAt(spark, root, newDir,
-            head.colMap.getOrElse(bc, bc), fpp = 0.001,
-            sidecarPathFor(root, legacySb, bc, newDir)))
+          newDirs.foreach { case (nd, _) =>
+            buildSidecarAt(spark, root, nd,
+              head.colMap.getOrElse(bc, bc), fpp = 0.001,
+              sidecarPathFor(root, legacySb, bc, nd)) })
       }
-      val newByCol = dirStatsLogical(spark, s"$root/$newDir", effCols,
-        head.colMap)
-      val newStats =
-        if (newByCol.nonEmpty) Map(newDir -> newByCol)
-        else Map.empty[String, Map[String, (Long, Long)]]
+      val newStats = newDirs.map { case (nd, _) =>
+        nd -> dirStatsLogical(spark, s"$root/$nd", effCols, head.colMap)
+      }.filter(_._2.nonEmpty).toMap
+      val newRows = newDirs.map { case (nd, _) =>
+        nd -> dirRowCount(spark, s"$root/$nd") }.toMap
       val allStats = head.stats
         .filter { case (d, _) => carried.contains(d) } ++ newStats
-      val c = Commit(nextV, carried :+ newDir, writer, action, allStats,
+      val c = Commit(nextV, carried ++ newDirs.map(_._1), writer, action,
+        allStats,
         statsCols = if (allStats.nonEmpty) effCols else Nil,
         schemaDDL = head.schemaDDL,
         tsMs = Some(System.currentTimeMillis()),
@@ -4805,18 +5408,29 @@ object CommitLog {
         defaults = head.defaults,
         colMap = head.colMap,
         statsTyped = head.statsTyped.intersect(carried.toSet) ++
-          (if (newByCol.nonEmpty) Set(newDir) else Set.empty),
+          newStats.keySet,
         fstats = carryFstats(head.fstats, carried) ++
-          (if (newByCol.isEmpty) Map.empty
-           else dirFileStatsLogical(spark, s"$root/$newDir", newDir,
-             effCols, head.colMap)))
+          newDirs.flatMap { case (nd, _) =>
+            if (newStats.getOrElse(nd, Map.empty).isEmpty) Nil
+            else dirFileStatsLogical(spark, s"$root/$nd", nd,
+              effCols, head.colMap) }.toMap,
+        partitionBy = head.partitionBy,
+        partVals = head.partVals.filter { case (d, _) =>
+          carried.contains(d) } ++
+          newDirs.collect { case (d, vs) if vs.nonEmpty => d -> vs },
+        rows = head.rows.filter { case (d, _) =>
+          carried.contains(d) } ++ newRows,
+        dvRows = head.dvRows.filter { case (d, _) => carried.contains(d) },
+        gens = head.gens)
       if (tryClaim(spark, root, nextV, render(c))) {
         writeHeadPointer(f, root, nextV); return c
       }
       // lost the race: the affected set may differ under the new head
-      f.delete(new HPath(s"$root/$newDir"), true)
+      newDirs.foreach { case (nd, _) =>
+        f.delete(new HPath(s"$root/$nd"), true)
+        deleteSidecars(f, root, nd)
+      }
       f.delete(changesPath(root, newDir), true)
-      deleteSidecars(f, root, newDir)
       Thread.sleep(50L * attempt)
     }
     throw new java.io.IOException(
@@ -4917,6 +5531,16 @@ object CommitLog {
       .filter { st =>
         st.isDirectory && st.getPath.getName.startsWith("data-") &&
           !live.contains(st.getPath.getName) &&
+          targetVersion(st.getPath.getName).exists(_ <= newestCommitted) &&
+          now - st.getModificationTime > graceMs
+      }
+      .foreach(st => f.delete(st.getPath, true))
+    // crashed partition-split stagings (r19): `stage-*-v<N>` parents are
+    // pre-rename scratch — never referenced by any commit — so the sweep
+    // needs only the version-passed + grace gates of the data-dir rule
+    Option(f.listStatus(new HPath(root))).toSeq.flatten
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("stage-") &&
           targetVersion(st.getPath.getName).exists(_ <= newestCommitted) &&
           now - st.getModificationTime > graceMs
       }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** The connector surface for [[CommitLog]] tables (VERDICT r11 #1/#3) —
   * the same packaging the graft.index / graft.ivf sources already have, so
@@ -464,6 +464,13 @@ object CommitLogSource {
             litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
           case EqualTo(l: Literal, a: Attribute) if a.name == sc =>
             litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
+          // <=> with a non-null literal narrows exactly like = (r19 —
+          // the static partition-overwrite face); null literals skip
+          // (litLong returns None)
+          case EqualNullSafe(a: Attribute, l: Literal) if a.name == sc =>
+            litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
+          case EqualNullSafe(l: Literal, a: Attribute) if a.name == sc =>
+            litLongDom(l).foreach { v => narrowLo(v); narrowHi(v) }
           // strict bounds kept LOOSE (>v treated as >=v): pruning may only
           // ever be conservative, and dir stats are inclusive ranges
           case GreaterThan(a: Attribute, l: Literal) if a.name == sc =>
@@ -502,15 +509,86 @@ object CommitLogSource {
         if (!any) None else Some((sc, lo, hi, strDom))
     }
 
+  /** A pushed literal rendered EXACTLY as the write side recorded the
+    * dir's partition values (Spark's cast-to-string over the
+    * partitionable types) — None outside that set: the conjunct then
+    * cannot prune. The JVM twin of [[CommitLog.stagePartitioned]]'s
+    * shadow-column cast. */
+  private def partValue(v: Any, dt: DataType): Option[String] =
+    if (v == null) None
+    else dt match {
+      case StringType => Some(v.toString)
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        Some(v.toString)
+      case DateType => Some(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString)
+      case _ => None
+    }
+
+  /** PARTITION pruning (r19 — VERDICT r18 #1): a dir whose recorded
+    * partition tuple fails an equality/IN conjunct on a partition column
+    * provably holds no qualifying row — exact identity, not a range.
+    * Dirs without recorded values (pre-partitioning commits, verbs that
+    * stage unsplit) are always kept: advisory, prune-only, the stats
+    * discipline. Keep-sets intersect across partition columns (the
+    * conjuncts are ANDed). */
+  private[graft] def partKeepDirs(commit: CommitLog.Commit,
+      dataFilters: Seq[Expression],
+      from: Seq[String]): Seq[String] = {
+    if (commit.partitionBy.isEmpty || commit.partVals.isEmpty)
+      return from
+    commit.partitionBy.zipWithIndex.foldLeft(from) {
+      case (kept, (pc, idx)) =>
+        // a conjunct contributes only when its value set is COMPLETE for
+        // the column (every qualifying row's value is in the set)
+        val sets: Seq[Set[String]] = dataFilters.flatMap {
+          case EqualTo(a: Attribute, l: Literal) if a.name == pc =>
+            partValue(l.value, l.dataType).map(Set(_))
+          case EqualTo(l: Literal, a: Attribute) if a.name == pc =>
+            partValue(l.value, l.dataType).map(Set(_))
+          // the static INSERT OVERWRITE … PARTITION face compiles to
+          // <=> (null-safe); a non-null literal prunes exactly like =,
+          // and a null literal contributes nothing (partValue = None)
+          case EqualNullSafe(a: Attribute, l: Literal) if a.name == pc =>
+            partValue(l.value, l.dataType).map(Set(_))
+          case EqualNullSafe(l: Literal, a: Attribute) if a.name == pc =>
+            partValue(l.value, l.dataType).map(Set(_))
+          case In(a: Attribute, elems) if a.name == pc &&
+              elems.forall(_.isInstanceOf[Literal]) =>
+            val vs = elems.map { case Literal(v, dt) => partValue(v, dt) }
+            if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten.toSet)
+            else None
+          case _ => None
+        }
+        if (sets.isEmpty) kept
+        else kept.filter { d =>
+          commit.partVals.get(d) match {
+            case Some(vs) if vs.length > idx =>
+              sets.forall(_.contains(vs(idx)))
+            case _ => true // no recorded identity: kept (advisory)
+          }
+        }
+    }
+  }
+
   private[graft] def pruneDirsByEvidence(spark: SparkSession, root: String,
       commit: CommitLog.Commit, dataFilters: Seq[Expression]): Seq[String] = {
+    // ---- recorded-EMPTY dirs first (r19): a dir whose commit recorded
+    // exactly 0 rows (the SQL-created seed, an emptied restatement
+    // remainder) can never contribute — drop it from every plan. The
+    // stats discipline: a missing/malformed entry keeps the dir. ----
+    val nonEmpty = commit.dataDirs
+      .filterNot(d => commit.rows.get(d).contains(0L))
+    // ---- partition identity (r19): exact per-dir values, the
+    // cheapest and sharpest evidence a partitioned table has ----
+    val partKept = partKeepDirs(commit, dataFilters, nonEmpty)
     // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
     // (r13: the stats set can hold several columns — each contributes its
     // own conjunct-derived range, and a dir survives only if EVERY
     // recorded column's range intersects; intersecting keep-sets is sound
     // because the pushed conjuncts are ANDed) ----
     val statsKept: Seq[String] =
-      evidenceProbes(commit, dataFilters).foldLeft(commit.dataDirs) {
+      evidenceProbes(commit, dataFilters).foldLeft(partKept) {
         case (kept, (sc, lo, hi, strDom)) =>
           val keep = CommitLog.statsKeepDirs(commit, sc, lo, hi,
             requireRecorded = true, typedDomain = strDom).toSet
@@ -686,6 +764,106 @@ private[graft] final class CommitLogFileIndex(spark: SparkSession,
     CommitLogSource.pruneDirsByEvidence(spark, root, commit, dataFilters)
 }
 
+/** [[org.apache.spark.sql.execution.datasources.v2.parquet
+  * .ParquetScanBuilder]] for the CATALOG route (r19), adding two things
+  * Spark's parquet table cannot know on its own:
+  *
+  *  - DIR-LEVEL PRUNING from the commit record: the pushed data filters
+  *    run through the SAME [[CommitLogSource.pruneDirsByEvidence]] the
+  *    options route and replaceWhere use (stats + bloom + partition
+  *    identity + recorded-empty), and the scan is rebuilt over only the
+  *    kept dirs — `spark.table` now plans like the format route instead
+  *    of footer-pruning every committed dir.
+  *  - EXACT ROW-COUNT statistics (VERDICT r18 #4): FileScan statistics
+  *    are compressed-byte estimates with no row count, which mis-size
+  *    small-row/many-file dims; the commit knows the truth per dir. The
+  *    reported count is the KEPT dirs' sum — an upper bound under
+  *    pushed filters (Spark re-applies them above and estimates
+  *    selectivity there), the same overestimate-only direction as
+  *    Spark's own file-size stats. Skipped under a pushed aggregate
+  *    (the scan's output cardinality is the group count, unknown).
+  *
+  * Pushdown behavior is inherited UNCHANGED — only `build()` differs. */
+private final class CommitLogScanBuilder(
+    sparkSession: SparkSession,
+    root: String, commit: CommitLog.Commit,
+    fileIndex: org.apache.spark.sql.execution.datasources
+      .PartitioningAwareFileIndex,
+    schema: StructType, dataSchema: StructType,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.execution.datasources.v2.parquet
+    .ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema,
+      options) {
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val built = super.build()
+    val keep = CommitLogSource.pruneDirsByEvidence(sparkSession, root,
+      commit, built.dataFilters).toSet
+    val keptDirs = commit.dataDirs.filter(keep)
+    val rebuilt =
+      if (keptDirs.size == commit.dataDirs.size) built
+      else new org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScan(built.sparkSession, built.hadoopConf,
+          new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+            sparkSession, keptDirs.map(d => new HPath(root, d)),
+            Map.empty, Some(dataSchema)),
+          built.dataSchema, built.readDataSchema, built.readPartitionSchema,
+          built.pushedFilters, built.options, built.pushedAggregate,
+          built.partitionFilters, built.dataFilters,
+          built.pushedVariantExtractions)
+    val exact: Option[Long] =
+      if (built.pushedAggregate.isDefined) None
+      // dv is empty on this route (dv-bearing commits plan as V1Scan)
+      else if (keptDirs.forall(commit.rows.contains))
+        Some(keptDirs.map(commit.rows).sum)
+      else None
+    exact match {
+      case Some(n) => new CommitLogStatsScan(rebuilt, n)
+      case None => rebuilt
+    }
+  }
+}
+
+/** [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
+  * overriding only `estimateStatistics` with the exact visible row
+  * count; execution, pushdown state, metadata, and metrics are the
+  * parquet scan's own (same constructor state). */
+private final class CommitLogStatsScan(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    rowCount: Long)
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+    inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+    inner.pushedFilters, inner.options, inner.pushedAggregate,
+    inner.partitionFilters, inner.dataFilters,
+    inner.pushedVariantExtractions) {
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      // in-memory width estimate: per-field default sizes + row overhead
+      // (Spark's own LeafNode sizing idiom) — truer than compressed file
+      // bytes for broadcast decisions on small-row dims
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          math.max(1L, rowCount * (readSchema().defaultSize + 8L)))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowCount)
+    }
+}
+
+private[graft] object CommitLogCatalogTable {
+  /** The commit's EXACT visible row count (r19) — Some only when every
+    * dir recorded its count and every dv-bearing dir its vectored
+    * count; anything less degrades the route to size estimates, never
+    * to a wrong exact number. */
+  private[graft] def exactVisibleRows(c: CommitLog.Commit): Option[Long] =
+    if (c.dataDirs.nonEmpty && c.dataDirs.forall(c.rows.contains) &&
+        c.dv.keySet.forall(c.dvRows.contains))
+      Some(math.max(0L, c.dataDirs.map(c.rows).sum -
+        c.dv.keySet.toSeq.map(c.dvRows).sum))
+    else None
+}
+
 /** Catalog face of a commit-log table ([[GraftCatalog]] provider
   * `graft.commitlog`): `spark.table("graft.my_table")` plans a DSv2
   * parquet read (vectorized, filter/column pushdown) over the NEWEST
@@ -758,13 +936,21 @@ private[graft] final class CommitLogCatalogTable(root: String,
   override def schema(): StructType =
     if (pendingEvolution.isEmpty) inner.schema
     else StructType(inner.schema.fields ++ pendingEvolution)
-  /** The DECLARED clustering spec (r16 — `CREATE/ALTER … CLUSTER BY`),
-    * reported as the ClusterByTransform it arrived as, so DESCRIBE and
-    * catalog consumers see the recorded intent; the layout itself is
-    * maintained by the argument-less compact cadence. */
+  /** The DECLARED partition spec (r19 — `CREATE … PARTITIONED BY`),
+    * reported as the identity transforms it arrived as, or the DECLARED
+    * clustering spec (r16 — `CREATE/ALTER … CLUSTER BY`) as its
+    * ClusterByTransform — so DESCRIBE and catalog consumers see the
+    * recorded intent. Partition layout is enforced by the write verbs
+    * (split staging); clustering by the argument-less compact cadence.
+    * The two are mutually exclusive by SQL grammar. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    commitOpt.flatMap(_.clusterBy).map { sp =>
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val pby = commitOpt.map(_.partitionBy).getOrElse(Nil)
+    if (pby.nonEmpty)
+      pby.map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): org.apache.spark.sql.connector.expressions.Transform)
+        .toArray
+    else commitOpt.flatMap(_.clusterBy).map { sp =>
       val cols =
         (if (sp.startsWith("z:")) sp.stripPrefix("z:")
          else sp.stripPrefix("sort:")).split(',').toIndexedSeq
@@ -773,6 +959,7 @@ private[graft] final class CommitLogCatalogTable(root: String,
           cols.map(c => org.apache.spark.sql.connector.expressions
             .Expressions.column(c))))
     }.getOrElse(Array.empty)
+  }
   /** The head's recorded CHECK constraints, surfaced through the DSv2
     * constraint API (r14) — DESCRIBE and catalog consumers see them;
     * enforcement itself lives in the write verbs (one gate, every
@@ -821,16 +1008,44 @@ private[graft] final class CommitLogCatalogTable(root: String,
         // applies filters/pruning above it.
         new org.apache.spark.sql.connector.read.ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            new org.apache.spark.sql.connector.read.V1Scan {
+            new org.apache.spark.sql.connector.read.V1Scan
+                with org.apache.spark.sql.connector.read
+                  .SupportsReportStatistics {
               override def readSchema(): StructType =
                 CommitLogCatalogTable.this.schema()
               override def toV1TableScan[T <: BaseRelation with TableScan](
                   context: org.apache.spark.sql.SQLContext): T =
                 new CommitLogDvRelation(context,
-                  CommitLog.readCommit(spark, root, c)).asInstanceOf[T]
+                  CommitLog.readCommit(spark, root, c),
+                  CommitLogCatalogTable.exactVisibleRows(c))
+                  .asInstanceOf[T]
+              // exact visible-count statistics (r19): rows − vectored
+              // deletes when every dir recorded them — without this the
+              // V1 fallback reports defaultSizeInBytes and a tiny
+              // merge-on-read dim can never broadcast
+              override def estimateStatistics()
+                  : org.apache.spark.sql.connector.read.Statistics =
+                new org.apache.spark.sql.connector.read.Statistics {
+                  private val n = CommitLogCatalogTable.exactVisibleRows(c)
+                  override def sizeInBytes(): java.util.OptionalLong =
+                    n.map(v => java.util.OptionalLong.of(math.max(1L,
+                      v * (readSchema().defaultSize + 8L))))
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def numRows(): java.util.OptionalLong =
+                    n.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                }
             }
         }
-      case None => inner.newScanBuilder(options)
+      case None => commitOpt match {
+        // commit-record planning for the catalog route (r19): dir-level
+        // pruning through the shared evidence decision + exact row-count
+        // statistics, both from the pinned commit
+        case Some(c) if c.dataDirs.nonEmpty =>
+          new CommitLogScanBuilder(spark, root, c, inner.fileIndex,
+            schema(), inner.dataSchema, options)
+        case _ => inner.newScanBuilder(options)
+      }
     }
 
   /** SQL `DELETE FROM` (r13): a copy-on-write rewrite commit through the
@@ -951,8 +1166,16 @@ private[sources] final class CommitLogChangesRelation(
   * optimization, never a correctness gate). Also the [[TableScan]] face
   * for the DSv2 V1Scan fallback ([[CommitLogCatalogTable]]). */
 private[sources] final class CommitLogDvRelation(
-    override val sqlContext: SQLContext, df: DataFrame)
+    override val sqlContext: SQLContext, df: DataFrame,
+    exactRows: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan with TableScan {
+  /** Exact visible size when the commit recorded every dir's count
+    * (r19): rows − vectored deletes, in-memory row width — so even the
+    * merge-on-read route sizes broadcasts by truth. */
+  override def sizeInBytes: Long = exactRows match {
+    case Some(n) => math.max(1L, n * (schema.defaultSize + 8L))
+    case None => super.sizeInBytes
+  }
   // reported NULLABLE throughout: the MoR plan can TIGHTEN nullability
   // (a default's coalesce makes its column provably non-null), and the
   // DSv2 V1Scan fallback requires the relation schema to match the

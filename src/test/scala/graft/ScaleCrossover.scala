@@ -133,12 +133,12 @@ object ScaleCrossover {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.builder("local[32]", 32)
+    val spark = GraftSession.install(GraftSession.builder("local[32]", 32)
       // measure the EXPLICIT skew fallback: AQE's automatic split must not
       // rescue the naive side (the declared pair exists for paths AQE
       // can't reach — custom sinks, non-SMJ/SHJ operators)
       .config("spark.sql.adaptive.skewJoin.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     def report(probe: String, m: Int, rows: Long, quad: Double, lin: Double): Unit =
       println(f"SCALEX: {" +

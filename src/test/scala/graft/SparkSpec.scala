@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (same config surface as the driver's
   * Verify/Bench sessions, smaller parallelism for test speed). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4)
-    .appName("graft-test").getOrCreate()
+  lazy val spark: SparkSession = GraftSession.install(
+    GraftSession.builder("local[4]", 4)
+      .appName("graft-test").getOrCreate())
 
   val sf: String = "/root/testdata/sf0.001"
 
