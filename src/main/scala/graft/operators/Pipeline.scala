@@ -32,6 +32,25 @@ object Pipeline {
   private val DuckNToks =
     "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER)"
 
+  // Session-cached corpus-trained merges file for q_token_budget_bpe_trained
+  // (r19 — VERDICT r18 #5): ONE trainOnCorpus pass per (session, sf dir),
+  // cached as the containing temp DIR (evict deletes the tree). The file
+  // is an immutable artifact — Bpe.vocabAt memoizes per PATH and never
+  // invalidates — which a fresh dir per (session, sf) satisfies: same
+  // corpus trains byte-identical merges, so memo reuse is always correct.
+  private val trainedMergesCache =
+    new graft.SessionCache[String](graft.TempDirs.delete)
+  private def trainedMergesFor(s: SparkSession, d: String): String = {
+    val dir = trainedMergesCache.getOrBuild(s, d) {
+      val root = graft.TempDirs.create("graft-bpe-trained")
+      graft.functions.Bpe.writeMerges(s"$root/merges.txt",
+        graft.functions.Bpe.trainOnCorpus(
+          Tables.documents(s, d).select("text"), "text", 5000))
+      root
+    }
+    s"$dir/merges.txt"
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic ~1/8 hash sample of orders: keep rows whose md5(key)
     // starts below '20' (32/256 of the hex space). Map-only, reproducible,
@@ -86,6 +105,31 @@ object Pipeline {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
         .withColumn("toks", expr("bpe_token_count(text)"))
+        .withColumn("cum_toks", sum(col("toks").cast("long")).over(w))
+        .filter(col("cum_toks") <= 4000)
+        .select(col("lang"), col("doc_id"), col("toks"), col("cum_toks"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // The q_token_budget_bpe walk under a vocabulary TRAINED ON THE
+    // CORPUS ITSELF (r19 — VERDICT r18 #5): Bpe.trainOnCorpus reduces
+    // the documents table to distinct pre-tokenized words + counts in
+    // ONE partial-aggregated shuffle, runs the published merge loop
+    // over the reduced table (deterministic tie-break), persists the
+    // merges file, and the count column is the same codegen'd native
+    // expression loading it through the file route — the full
+    // first-mile loop: curate → train tokenizer → budget in ITS tokens.
+    // Trained counts run LOWER than the committed default's (the corpus
+    // trains to its own fixpoint: every repeated word one token).
+    // NO-ORACLE by contract like its sibling (DuckDB cannot run the
+    // training loop or the merge walk); the spec pins trainOnCorpus ==
+    // driver-side train and budget totals against brute-force encoding.
+    "q_token_budget_bpe_trained" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("toks",
+          expr(s"bpe_token_count(text, '${trainedMergesFor(s, d)}')"))
         .withColumn("cum_toks", sum(col("toks").cast("long")).over(w))
         .filter(col("cum_toks") <= 4000)
         .select(col("lang"), col("doc_id"), col("toks"), col("cum_toks"))

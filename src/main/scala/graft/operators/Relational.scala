@@ -655,6 +655,24 @@ object Relational {
         "(900000060, named_struct('st', 'F', 'bonus', 2.5), 111.0), " +
         "(900000061, named_struct('st', 'O', 'bonus', " +
         "CAST(NULL AS DOUBLE)), 222.0)")
+      // NESTED existence DEFAULT (r19 — VERDICT r18 #3): every dir
+      // staged so far predates the field, so ALL prior rows read
+      // tier='std' through the withField rebuild (gated
+      // 'defaults-nested'); the post-default insert stores explicit
+      // values — incl. an explicit NULL that must stay NULL
+      val preDefault = graft.sources.CommitLog.latest(s, table).get
+      s.sql(s"ALTER TABLE $cat.orders_nest " +
+        "ADD COLUMNS (meta.tier STRING DEFAULT 'std')")
+      val defaulted = graft.sources.CommitLog.latest(s, table).get
+      require(defaulted.dataDirs == preDefault.dataDirs &&
+        defaulted.defaults.exists(d => d._1 == "meta.tier" && d._3 == "'std'"),
+        s"q_commit_log_evolve_nested: the nested DEFAULT must land as one " +
+          s"metadata commit, got ${defaulted.defaults}")
+      s.sql(s"INSERT INTO $cat.orders_nest VALUES " +
+        "(900000062, named_struct('st', 'F', 'bonus', 3.5, " +
+        "'tier', 'gold'), 333.0), " +
+        "(900000063, named_struct('st', 'O', 'bonus', " +
+        "CAST(NULL AS DOUBLE), 'tier', CAST(NULL AS STRING)), 444.0)")
       root
     }
 
@@ -841,7 +859,8 @@ object Relational {
       val table = s"$root/table"
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          (col("o_orderkey") % 1000).cast("int").as("qty"))
+          (col("o_orderkey") % 1000).cast("int").as("qty"),
+          struct((col("o_orderkey") % 1000).cast("int").as("q2")).as("m"))
       orders.filter(col("o_orderkey") % 100 === 61)
         .write.format("graft.commitlog").save(table)
       val cat = catName("gcwd", d)
@@ -851,14 +870,21 @@ object Relational {
         s"USING `graft.commitlog` LOCATION '$table'")
       val before = graft.sources.CommitLog.latest(s, table).get
       s.sql(s"ALTER TABLE $cat.orders_wd ALTER COLUMN qty TYPE BIGINT")
+      // the NESTED leaf widens through the same whitelist (r19 —
+      // VERDICT r18 #3): one metadata commit, the int32 leaf under the
+      // pinned bigint schema reads through parquet's per-leaf promotion
+      s.sql(s"ALTER TABLE $cat.orders_wd ALTER COLUMN m.q2 TYPE BIGINT")
       val after = graft.sources.CommitLog.latest(s, table).get
-      require(after.dataDirs == before.dataDirs && after.action == "retype",
+      require(after.dataDirs == before.dataDirs && after.action == "retype" &&
+        after.schemaDDL.exists(_.contains("q2: BIGINT")),
         s"q_commit_log_widen must retype metadata-only, got " +
-          s"dirs=${after.dataDirs} action=${after.action}")
+          s"dirs=${after.dataDirs} action=${after.action} " +
+          s"ddl=${after.schemaDDL}")
       val view = s"graft_wd_src_${catName("gcwd", d).drop(4)}"
       orders.filter(col("o_orderkey") % 100 === 62)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          (col("qty").cast("bigint") + 4000000000L).as("qty"))
+          (col("qty").cast("bigint") + 4000000000L).as("qty"),
+          struct((col("m.q2").cast("bigint") + 4000000000L).as("q2")).as("m"))
         .createOrReplaceTempView(view)
       s.sql(s"INSERT INTO $cat.orders_wd SELECT * FROM $view")
       root
@@ -1228,7 +1254,9 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"),
-          count(col("meta.bonus")).as("n_bonus"))
+          count(col("meta.bonus")).as("n_bonus"),
+          count(col("meta.tier")).as("n_tier"),
+          count(when(col("meta.tier") === "std", 1)).as("n_std"))
         .orderBy("st")
     }),
 
@@ -1292,17 +1320,20 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
-    // SAFE TYPE WIDENING (r18 — VERDICT r17 #4): `ALTER COLUMN qty TYPE
-    // BIGINT` as ONE metadata commit (the fixture asserts zero dirs
-    // moved); old int32 dirs read through parquet's lossless read-side
+    // SAFE TYPE WIDENING (r18 — VERDICT r17 #4; nested r19 — VERDICT
+    // r18 #3): `ALTER COLUMN qty TYPE BIGINT` AND the nested leaf
+    // `ALTER COLUMN m.q2 TYPE BIGINT`, each ONE metadata commit (the
+    // fixture asserts zero dirs moved); old int32 dirs — top-level and
+    // nested leaf alike — read through parquet's lossless read-side
     // promotion under the pinned bigint schema, and the post-retype
-    // append holds values beyond int range — the declared read sums the
-    // widened column across the mixed dirs through spark.table.
+    // append holds values beyond int range — the declared read sums
+    // both widened columns across the mixed dirs through spark.table.
     "q_commit_log_widen" -> ((s, d) => {
       widenLogFor(s, d)
       s.table(s"${catName("gcwd", d)}.orders_wd")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sq"))
+        .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sq"),
+          sum(col("m.q2")).as("sq2"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2184,13 +2215,17 @@ object Relational {
     "q_commit_log_evolve_nested" ->
       ("WITH snap AS (" +
         "SELECT o_orderstatus AS st, o_totalprice AS tp, " +
-        "CAST(NULL AS DOUBLE) AS bonus " +
+        "CAST(NULL AS DOUBLE) AS bonus, 'std' AS tier " +
         "FROM orders WHERE o_orderkey % 100 = 60 " +
-        "UNION ALL SELECT 'F', 111.0, 2.5 " +
-        "UNION ALL SELECT 'O', 222.0, CAST(NULL AS DOUBLE)) " +
+        "UNION ALL SELECT 'F', 111.0, 2.5, 'std' " +
+        "UNION ALL SELECT 'O', 222.0, CAST(NULL AS DOUBLE), 'std' " +
+        "UNION ALL SELECT 'F', 333.0, 3.5, 'gold' " +
+        "UNION ALL SELECT 'O', 444.0, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS VARCHAR)) " +
         "SELECT st, count(*) AS cnt, " +
         "round(CAST(SUM(CAST(tp AS DECIMAL(18,2))) AS DOUBLE), 2) AS total, " +
-        "count(bonus) AS n_bonus " +
+        "count(bonus) AS n_bonus, count(tier) AS n_tier, " +
+        "count(CASE WHEN tier = 'std' THEN 1 END) AS n_std " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_skip_str" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS cnt, " +
@@ -2219,7 +2254,8 @@ object Relational {
         "SELECT o_orderstatus, CAST(o_orderkey % 1000 AS BIGINT) + 4000000000 AS qty " +
         "FROM orders WHERE o_orderkey % 100 = 62) " +
         "SELECT o_orderstatus, count(*) AS cnt, " +
-        "CAST(sum(qty) AS BIGINT) AS sq " +
+        "CAST(sum(qty) AS BIGINT) AS sq, " +
+        "CAST(sum(qty) AS BIGINT) AS sq2 " +
         "FROM snap GROUP BY 1 ORDER BY 1"),
     "q_commit_log_partition" ->
       ("WITH base AS (SELECT CAST(year(o_orderdate) AS STRING) AS yr, " +

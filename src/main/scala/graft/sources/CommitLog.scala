@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, when}
 
 /** Lakehouse-style OPTIMISTIC COMMIT LOG (SURVEY.md §3.2; VERDICT r10
@@ -247,7 +247,7 @@ object CommitLog {
     * that stops using one (e.g. a compact materializes all vectors)
     * becomes readable by lesser binaries again. */
   private[graft] val SupportedFeatures: Set[String] =
-    Set("dv", "colmap", "colmap-nested", "defaults")
+    Set("dv", "colmap", "colmap-nested", "defaults", "defaults-nested")
 
   /** The features `c`'s state requires of ANY reader: deletion vectors
     * to anti-join, a column mapping to project through, existence
@@ -262,6 +262,12 @@ object CommitLog {
     // silent typed NULLs — gate separately so it refuses instead
     if (c.colMap.keys.exists(_.contains('.'))) s += "colmap-nested"
     if (c.defaults.nonEmpty) s += "defaults"
+    // PATH-keyed defaults (r19): a top-level-only defaults binary
+    // matches default names against COLUMN names, so a dotted entry
+    // would silently never coalesce — old rows would read typed NULL
+    // where the recorded constant belongs. Gate separately, refuse
+    // loudly instead.
+    if (c.defaults.exists(_._1.contains('.'))) s += "defaults-nested"
     s
   }
 
@@ -1415,23 +1421,61 @@ object CommitLog {
       case None => Nil
     }
 
+  /** The recorded type at dot-joined `path` in `schemaDDL` (None when
+    * unresolvable) — what a default's constant casts to at read, so a
+    * later safe WIDENING of the defaulted column re-casts the same
+    * recorded text to the wider type. */
+  private def typeAtPath(schemaDDL: Option[String], path: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.StructType
+    def walk(st: StructType, segs: List[String])
+        : Option[org.apache.spark.sql.types.DataType] = segs match {
+      case Nil => None
+      case seg :: rest =>
+        st.fields.find(_.name == seg).flatMap { f =>
+          if (rest.isEmpty) Some(f.dataType)
+          else f.dataType match {
+            case inner: StructType => walk(inner, rest)
+            case _ => None
+          }
+        }
+    }
+    schemaDDL.flatMap(ddl => walk(StructType.fromDDL(ddl),
+      path.split('.').toList))
+  }
+
   /** Coalesce each defaulted column to its recorded constant, cast to
     * the recorded schema's type; non-defaulted columns (including the
-    * DV position columns) pass through untouched. */
+    * DV position columns) pass through untouched. Dot-keyed entries
+    * (r19 — NESTED existence defaults) rebuild their top-level struct
+    * with `withField`, coalescing the FIELD: a pre-evolution dir's
+    * clipped typed-NULL fill reads the constant wherever the parent
+    * struct EXISTS; a NULL parent stays NULL (the row genuinely holds
+    * no struct — `withField` on a NULL struct is NULL, exactly the
+    * contract), and post-`since` dirs never reach here (an explicit
+    * NULL field stays NULL). */
   private def applyDefaults(df: DataFrame, defs: Seq[(String, String)],
       schemaDDL: Option[String]): DataFrame =
     if (defs.isEmpty) df
     else {
-      val types = schemaDDL.map(ddl =>
-        org.apache.spark.sql.types.StructType.fromDDL(ddl)
-          .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      val F = org.apache.spark.sql.functions
+      def typedDefault(n: String, e: String): Column = {
+        val d = F.expr(e)
+        typeAtPath(schemaDDL, n).map(d.cast).getOrElse(d)
+      }
+      val (nested, top) = defs.partition(_._1.contains('.'))
+      val nestedByTop = nested.groupBy(_._1.takeWhile(_ != '.'))
       df.select(df.columns.toSeq.map { cn =>
-        defs.find(_._1 == cn) match {
-          case Some((n, e)) =>
-            val d = org.apache.spark.sql.functions.expr(e)
-            org.apache.spark.sql.functions.coalesce(col(n),
-              types.get(n).map(d.cast).getOrElse(d)).as(n)
+        val base = top.find(_._1 == cn) match {
+          case Some((n, e)) => F.coalesce(col(n), typedDefault(n, e))
           case None => col(cn)
+        }
+        nestedByTop.get(cn) match {
+          case Some(ds) => ds.foldLeft(base) { case (c0, (n, e)) =>
+            c0.withField(n.substring(cn.length + 1),
+              F.coalesce(col(n), typedDefault(n, e)))
+          }.as(cn)
+          case None => base.as(cn)
         }
       }: _*)
     }
@@ -1680,7 +1724,7 @@ object CommitLog {
     * generation gate applies here. */
   private[graft] def fileKeep(c: Commit, dir: String, file: String,
       probes: Seq[(String, Long, Long)]): Boolean =
-    probes.isEmpty || c.fstats.isEmpty ||
+    probes.isEmpty ||
       c.fstats.get(s"$dir/$file").forall(byCol =>
         probes.forall { case (cn, lo, hi) =>
           byCol.get(cn).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
@@ -2220,10 +2264,12 @@ object CommitLog {
     evolveColumns(spark, root, writer, added, defaults, Nil, maxAttempts)
   }
 
-  /** Validate `defaults` for an evolution adding `added` (extracted from
+  /** Validate `defaults` for an evolution adding the columns/fields in
+    * `added` — keys are top-level names OR dot-joined nested paths (r19),
+    * each mapping to the added field it attaches to (extracted from
     * [[evolveSchema]] so the combined verb shares it verbatim). */
   private def validateDefaults(spark: SparkSession,
-      added: Seq[org.apache.spark.sql.types.StructField],
+      added: Map[String, org.apache.spark.sql.types.StructField],
       defaults: Map[String, String]): Unit = {
     // EXISTENCE defaults (r16 — VERDICT r15 #5): recorded per added
     // column, applied by readers to pre-evolution dirs only (their
@@ -2233,12 +2279,12 @@ object CommitLog {
     // (a malformed default must not brick every future read).
     // default column names embed UNESCAPED in the defaults block
     defaults.keys.foreach(n => requireTag(n, "defaulted column name"))
-    val badDefault = defaults.keySet -- added.map(_.name).toSet
+    val badDefault = defaults.keySet -- added.keySet
     require(badDefault.isEmpty,
       s"defaults for ${badDefault.mkString(", ")} — defaults attach to " +
         "the columns being ADDED")
     defaults.foreach { case (n, e) =>
-      val f = added.find(_.name == n).get
+      val f = added(n)
       val probe = spark.range(1)
         .select(org.apache.spark.sql.functions.expr(e).cast(f.dataType))
       require(probe.queryExecution.analyzed.expressions
@@ -2296,7 +2342,23 @@ object CommitLog {
         s"evolveColumns: duplicate added fields ${inDup.keys.mkString(", ")} " +
           s"under ${path.mkString(".")}")
     }
-    validateDefaults(spark, topAdded, defaults)
+    // defaults key by top-level NAME or dot-joined nested PATH (r19 —
+    // VERDICT r18 #3): a dotted key attaches to the nested field this
+    // statement adds at that path. Dotted keys demand dot-free path
+    // segments (a segment containing '.' would make the key ambiguous —
+    // the colmap rule applied to the defaults block).
+    val defaultTargets: Map[String, org.apache.spark.sql.types.StructField] =
+      topAdded.map(f => f.name -> f).toMap ++
+        nested.flatMap { case (path, fs) =>
+          fs.map(f => (path :+ f.name).mkString(".") -> f) }
+    if (defaults.keys.exists(_.contains('.')))
+      nested.foreach { case (path, fs) =>
+        (path ++ fs.map(_.name)).foreach(seg =>
+          require(!seg.contains('.'),
+            s"evolveColumns: '$seg' contains '.' — ambiguous under " +
+              "path-keyed nested defaults"))
+      }
+    validateDefaults(spark, defaultTargets, defaults)
     metadataCommit(spark, root, writer, "evolve", maxAttempts) { cur =>
       val headSchema = load(spark, root, cur).schema
       // CASE-INSENSITIVE duplicate checks (code review r14 close): Spark
@@ -2313,6 +2375,13 @@ object CommitLog {
       require(topAdded.forall(_.nullable),
         "evolveSchema adds NULLABLE columns only — existing rows read " +
           "the new column as NULL (or its recorded DEFAULT)")
+      if (defaults.keys.exists(_.contains('.'))) {
+        val dotted = headSchema.fieldNames.filter(_.contains('.'))
+        require(dotted.isEmpty,
+          s"evolveColumns: top-level column(s) ${dotted.mkString("'", "', '", "'")} " +
+            "contain '.', ambiguous against path-keyed nested defaults — " +
+            "rename them first")
+      }
       // nested adds widen AFTER the top-level adds, against the same
       // in-statement schema — every path must resolve or nothing commits
       val topWidened = StructType(headSchema.fields ++ topAdded)
@@ -2406,20 +2475,30 @@ object CommitLog {
     * loud: fields are NULLABLE and appended at the end of their struct
     * (no FIRST/AFTER reordering of committed parquet), the path must
     * resolve to a STRUCT column (array/map element structs are out of
-    * scope), no existence DEFAULTs (a nested default would need a
-    * struct-rebuilding coalesce on every read — add the field, then
-    * UPDATE), case-insensitive duplicate checks like the top-level
-    * verb. Column mapping composes: only TOP-LEVEL names are mapped,
-    * so the nested widening keys by the parent's logical name and the
-    * physical scan translates the top level as always. */
+    * scope), case-insensitive duplicate checks like the top-level
+    * verb. Existence DEFAULTS at depth (r19 — VERDICT r18 #3) key by
+    * the added field's NAME here (recorded under its dot-joined path):
+    * pre-evolution dirs read the constant wherever the parent struct
+    * exists — [[applyDefaults]]'s `withField` rebuild — and the commit
+    * gates the reader-required 'defaults-nested' feature, since a
+    * top-level-only defaults binary would silently read NULL where the
+    * constant belongs. Column mapping composes: only TOP-LEVEL names
+    * are mapped, so the nested widening keys by the parent's logical
+    * name and the physical scan translates the top level as always. */
   def evolveStructFields(spark: SparkSession, root: String, writer: String,
       path: Seq[String], added: Seq[org.apache.spark.sql.types.StructField],
-      maxAttempts: Int = 20): Commit = {
+      maxAttempts: Int = 20,
+      defaults: Map[String, String] = Map.empty): Commit = {
     require(path.nonEmpty,
       "evolveStructFields needs the struct column's path — top-level " +
         "adds go through evolveSchema")
-    evolveColumns(spark, root, writer, Nil, Map.empty, Seq(path -> added),
-      maxAttempts)
+    val badKey = defaults.keySet -- added.map(_.name).toSet
+    require(badKey.isEmpty,
+      s"evolveStructFields: defaults for ${badKey.mkString(", ")} — " +
+        "keys are the added fields' names")
+    evolveColumns(spark, root, writer, Nil,
+      defaults.map { case (n, e) => (path :+ n).mkString(".") -> e },
+      Seq(path -> added), maxAttempts)
   }
 
   /** RECORD (or, with `cols` empty, CLEAR) the table's DECLARED
@@ -2664,7 +2743,9 @@ object CommitLog {
         fstats = cur.fstats.map { case (k, byCol) =>
           k -> byCol.map { case (n, r) => (if (n == from) to else n) -> r } },
         defaults = cur.defaults.map { case (n, v, e) =>
-          (if (n == from) to else n, v, e) },
+          (if (n == from) to
+           else if (n.startsWith(from + ".")) to + n.substring(from.length)
+           else n, v, e) },
         // partition spec and generated-column NAMES re-key like
         // statsCols (r19); partVals are name-free values, untouched
         partitionBy = cur.partitionBy.map(n => if (n == from) to else n),
@@ -2808,6 +2889,15 @@ object CommitLog {
         s"RENAME nested field '${path.mkString(".")}': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
           "the constraint, rename, re-add it under the new path")
+      // a generation EXPRESSION referencing the path is SQL text the
+      // verb cannot rewrite — refuse path-wise like constraints (r19)
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefPaths(spark, root, cur, s"generated '$gn'", ge)
+          .exists(p => pathsOverlap(p, path)) }
+      require(genBlocking.isEmpty,
+        s"RENAME nested field '${path.mkString(".")}': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       val widened = renameOrDropAt(headSchema, path, Some(to), "<root>")
       val base = activatedMap(cur, headSchema)
       val key = path.mkString(".")
@@ -2820,7 +2910,13 @@ object CommitLog {
       cur.copy(
         schemaDDL = Some(widened.toDDL),
         colMap = (reKeyed - key) +
-          (newKey -> base.getOrElse(key, path.last)))
+          (newKey -> base.getOrElse(key, path.last)),
+        // path-keyed existence defaults follow the rename (r19) — on
+        // the field itself and on anything deeper under it
+        defaults = cur.defaults.map { case (n, v, e) =>
+          (if (n == key) newKey
+           else if (n.startsWith(key + ".")) newKey + n.substring(key.length)
+           else n, v, e) })
     }
   }
 
@@ -2845,13 +2941,24 @@ object CommitLog {
         s"DROP nested field '${path.mkString(".")}': constraint" +
           s" ${blocking.map(_._1).mkString(", ")} references it — drop " +
           "the constraint first")
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefPaths(spark, root, cur, s"generated '$gn'", ge)
+          .exists(p => pathsOverlap(p, path)) }
+      require(genBlocking.isEmpty,
+        s"DROP nested field '${path.mkString(".")}': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       val narrowed = renameOrDropAt(headSchema, path, None, "<root>")
       val base = activatedMap(cur, headSchema)
       val key = path.mkString(".")
       cur.copy(
         schemaDDL = Some(narrowed.toDDL),
         colMap = base.filterNot { case (k, _) =>
-          k == key || k.startsWith(key + ".") })
+          k == key || k.startsWith(key + ".") },
+        // path-keyed existence defaults on the dropped field (or under
+        // it) go with it (r19)
+        defaults = cur.defaults.filterNot { case (n, _, _) =>
+          n == key || n.startsWith(key + ".") })
     }
 
   /** DROP a column (r16): ONE metadata commit, ZERO data rewritten —
@@ -2910,7 +3017,9 @@ object CommitLog {
         statsCols = cur.statsCols.filterNot(_ == name),
         stats = cur.stats.map { case (d, byCol) => d -> (byCol - name) },
         fstats = cur.fstats.map { case (k, byCol) => k -> (byCol - name) },
-        defaults = cur.defaults.filterNot(_._1 == name))
+        // path-keyed defaults under the dropped column go with it (r19)
+        defaults = cur.defaults.filterNot { case (n, _, _) =>
+          n == name || n.startsWith(name + ".") })
     }
 
   /** SAFE type widening (r18 — VERDICT r17 #4, the Delta/Iceberg `ALTER
@@ -2924,8 +3033,8 @@ object CommitLog {
     * byte→short/int/long, short→int/long, int→long, float→double, and
     * decimal(p,s)→decimal(p',s) with p'>p (same scale). Everything else
     * keeps refusing loudly — narrowing or cross-family retypes would
-    * corrupt stored values, and nested fields are out of scope (rewrite
-    * through a new column).
+    * corrupt stored values. Nested struct FIELDS widen through
+    * [[widenStructFieldType]] (r19) under the same whitelist.
     *
     * Collateral soundness, each checked rather than assumed: recorded
     * per-dir STATS keep their domain (every integral maps to the one
@@ -2941,7 +3050,29 @@ object CommitLog {
       name: String, to: org.apache.spark.sql.types.DataType,
       maxAttempts: Int = 20): Commit = {
     import org.apache.spark.sql.types._
-    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+    metadataCommit(spark, root, writer, "retype", maxAttempts,
+        rowInvisible = false) { cur =>
+      val headSchema = load(spark, root, cur).schema
+      val i = headSchema.fieldNames.indexOf(name)
+      require(i >= 0,
+        s"ALTER COLUMN TYPE: no top-level column '$name' in " +
+          s"${headSchema.simpleString} — nested fields widen through " +
+          "the (s.f) path form")
+      val from = headSchema.fields(i).dataType
+      requireSafeWidening(s"'$name'", from, to)
+      cur.copy(schemaDDL = Some(StructType(headSchema.fields.updated(i,
+        headSchema.fields(i).copy(dataType = to))).toDDL))
+    }
+  }
+
+  /** The ONE safe-widening whitelist [[widenColumnType]] and
+    * [[widenStructFieldType]] share — lossless read-side promotions
+    * only. */
+  private def requireSafeWidening(what: String,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
@@ -2950,22 +3081,59 @@ object CommitLog {
         g.precision > f.precision && g.scale == f.scale
       case _ => false
     }
+    require(ok,
+      s"ALTER COLUMN TYPE: $what ${from.simpleString} -> " +
+        s"${to.simpleString} is not a safe widening (allowed: " +
+        "byte/short/int -> wider integral, float -> double, " +
+        "decimal(p,s) -> decimal(p'>p,s)) — rewrite through a new " +
+        "column instead")
+  }
+
+  /** SAFE type widening of a NESTED struct field (r19 — VERDICT r18 #3):
+    * `ALTER COLUMN s.f TYPE bigint` as ONE metadata commit, ZERO data
+    * rewritten — the same whitelist and contract as the top-level
+    * [[widenColumnType]]; parquet's read-side promotion is per LEAF
+    * column, so a nested int32 leaf under a pinned bigint schema
+    * promotes exactly like a top-level one (spec-probed across mixed
+    * narrow/wide dirs on the library, connector, and catalog routes).
+    * Path segments resolve exactly through structs ([[renameOrDropAt]]'s
+    * rule); collateral stays sound by construction: per-dir STATS,
+    * BLOOM sidecars, PARTITION and GENERATED columns are all top-level
+    * names (nested fields can't carry them), a recorded NESTED DEFAULT
+    * re-casts to the widened type at read (the dotted-path type lookup
+    * in [[applyDefaults]]), and CONSTRAINTS reference the unchanged
+    * path. rowInvisible = false like the top-level verb: the field's
+    * CONTRACT changed, incremental consumers resync. */
+  def widenStructFieldType(spark: SparkSession, root: String,
+      writer: String, path: Seq[String],
+      to: org.apache.spark.sql.types.DataType,
+      maxAttempts: Int = 20): Commit = {
+    import org.apache.spark.sql.types.StructType
     metadataCommit(spark, root, writer, "retype", maxAttempts,
         rowInvisible = false) { cur =>
       val headSchema = load(spark, root, cur).schema
-      val i = headSchema.fieldNames.indexOf(name)
-      require(i >= 0,
-        s"ALTER COLUMN TYPE: no top-level column '$name' in " +
-          s"${headSchema.simpleString} — nested fields are out of scope")
-      val from = headSchema.fields(i).dataType
-      require(widens(from, to),
-        s"ALTER COLUMN TYPE: '$name' ${from.simpleString} -> " +
-          s"${to.simpleString} is not a safe widening (allowed: " +
-          "byte/short/int -> wider integral, float -> double, " +
-          "decimal(p,s) -> decimal(p'>p,s)) — rewrite through a new " +
-          "column instead")
-      cur.copy(schemaDDL = Some(StructType(headSchema.fields.updated(i,
-        headSchema.fields(i).copy(dataType = to))).toDDL))
+      requireDotFreeFor("ALTER nested COLUMN TYPE", path, headSchema)
+      def retypeAt(st: StructType, p: Seq[String], at: String): StructType = {
+        val i = st.fields.indexWhere(_.name == p.head)
+        require(i >= 0,
+          s"ALTER COLUMN TYPE: no field '${p.head}' in $at " +
+            s"(${st.simpleString})")
+        p match {
+          case Seq(_) =>
+            requireSafeWidening(s"'${path.mkString(".")}'",
+              st.fields(i).dataType, to)
+            StructType(st.fields.updated(i, st.fields(i).copy(dataType = to)))
+          case seg +: rest => st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i, st.fields(i).copy(dataType =
+                retypeAt(inner, rest, s"$at.$seg"))))
+            case other => throw new IllegalArgumentException(
+              s"ALTER COLUMN TYPE: '$at.$seg' is ${other.simpleString}, " +
+                "not a struct")
+          }
+        }
+      }
+      cur.copy(schemaDDL = Some(retypeAt(headSchema, path, "<root>").toDDL))
     }
   }
 
@@ -3088,7 +3256,25 @@ object CommitLog {
     * becomes a configuration instead of a rewrite. The default backend
     * is the previous inline logic verbatim; the racing-writers suites
     * exercise the seam by construction (every claim routes through it,
-    * spec-asserted with a counting wrapper + a lose-everything fake). */
+    * spec-asserted with a counting wrapper + a lose-everything fake).
+    *
+    * Backend-selection matrix (r19 — VERDICT r18 #6; pick by what the
+    * store can promise, all three raced through the same 8-writer
+    * serializability spec):
+    *
+    *   - [[DefaultClaimBackend]] (hard-link / create-exclusive): POSIX
+    *     filesystems, HDFS, and HDFS-likes with an atomic create flag
+    *     (ABFS). Zero extra moving parts — the flag is the condition.
+    *   - [[LockLease.ConditionalPutClaimBackend]] (If-None-Match
+    *     conditional create): object stores that evaluate a
+    *     precondition atomically with the PUT — S3 (2024+), GCS, Azure
+    *     Blob. Still zero external services; the store's own condition
+    *     is the mutual exclusion.
+    *   - [[LockLease.LockLeaseClaimBackend]] (leased locks + fencing
+    *     tokens over blind PUT): stores offering ONLY last-writer-wins
+    *     PUT (pre-conditional-write S3) — the Delta-on-S3
+    *     DynamoDB-table shape, the one regime that needs external
+    *     coordination. */
   trait ClaimBackend {
     /** Atomically create `p` carrying `bytes` — true iff THIS caller
       * created it; false iff it already existed. Must be atomic under

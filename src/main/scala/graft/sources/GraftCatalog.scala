@@ -416,8 +416,8 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
         // against the head before claiming, so a failing column never
         // leaves half the statement committed. Nested `ADD COLUMNS
         // (s.f T)` rewrites nothing (parquet's clipped read fills the
-        // missing nested field with typed NULL). No DEFAULT for nested
-        // fields, no FIRST/AFTER, nullable only.
+        // missing nested field with typed NULL, or its recorded
+        // DEFAULT — r19). No FIRST/AFTER, nullable only.
         val nestedCols = changes.collect {
           case add: TableChange.AddColumn if add.fieldNames().length > 1 =>
             require(add.position() == null,
@@ -426,13 +426,14 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             require(add.isNullable,
               "graft.commitlog ADD COLUMNS adds NULLABLE fields — " +
                 "existing rows hold no value for them")
-            require(add.defaultValue() == null,
-              "graft.commitlog nested ADD COLUMNS takes no DEFAULT — " +
-                "existence defaults are top-level; add the field, then " +
-                "UPDATE")
+            // nested DEFAULT (r19 — VERDICT r18 #3): recorded under the
+            // dot-joined path; pre-evolution dirs read the constant
+            // wherever the parent struct exists (the withField rebuild,
+            // 'defaults-nested'-gated)
             (add.fieldNames().init.toSeq,
               org.apache.spark.sql.types.StructField(
-                add.fieldNames().last, add.dataType(), nullable = true))
+                add.fieldNames().last, add.dataType(), nullable = true),
+              Option(add.defaultValue()).map(_.getSql()))
         }
         val addedCols = changes.collect {
           case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
@@ -508,12 +509,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
           // only, one metadata commit, old dirs read through parquet's
           // lossless read-side promotion
           case ut: TableChange.UpdateColumnType =>
-            require(ut.fieldNames().length == 1,
-              "graft.commitlog ALTER COLUMN TYPE takes top-level " +
-                s"columns, got ${ut.fieldNames().mkString(".")}")
             materialize()
-            CommitLog.widenColumnType(spark, loc, "catalog",
-              ut.fieldNames()(0), ut.newDataType())
+            if (ut.fieldNames().length == 1)
+              CommitLog.widenColumnType(spark, loc, "catalog",
+                ut.fieldNames()(0), ut.newDataType())
+            else
+              // nested struct fields widen under the same whitelist
+              // (r19 — VERDICT r18 #3), one metadata commit
+              CommitLog.widenStructFieldType(spark, loc, "catalog",
+                ut.fieldNames().toSeq, ut.newDataType())
           case other => throw new UnsupportedOperationException(
             s"graft.commitlog ALTER TABLE supports ADD/DROP CONSTRAINT, " +
               s"ADD COLUMNS, CLUSTER BY, RENAME COLUMN, DROP COLUMN and " +
@@ -558,13 +562,17 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog
             CommitLog.evolveColumns(spark, loc, "catalog",
               addedCols.map(_._1),
               defaults = addedCols.collect {
-                case (f, Some(sql)) => f.name -> sql }.toMap,
+                case (f, Some(sql)) => f.name -> sql }.toMap ++
+                nestedCols.collect { case (path, f, Some(sql)) =>
+                  (path :+ f.name).mkString(".") -> sql },
               nested = nestedCols.groupBy(_._1).toSeq.sortBy(_._1.mkString("."))
                 .map { case (path, fs) => path -> fs.map(_._2) })
           }
         } else if (nestedCols.nonEmpty) {
           materialize()
-          CommitLog.evolveColumns(spark, loc, "catalog", Nil, Map.empty,
+          CommitLog.evolveColumns(spark, loc, "catalog", Nil,
+            nestedCols.collect { case (path, f, Some(sql)) =>
+              (path :+ f.name).mkString(".") -> sql }.toMap,
             nestedCols.groupBy(_._1).toSeq.sortBy(_._1.mkString("."))
               .map { case (path, fs) => path -> fs.map(_._2) })
         }

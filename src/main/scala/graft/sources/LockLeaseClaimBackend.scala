@@ -140,4 +140,60 @@ object LockLease {
       leaseMs: Long = 30000L): LockLeaseClaimBackend =
     new LockLeaseClaimBackend(new InMemoryLockService, new BlindPutStore(fs),
       owner, leaseMs)
+
+  /** A store face with CONDITIONAL PUT (r19 — VERDICT r18 #6): the
+    * If-None-Match/create-if-absent shape modern object stores expose
+    * natively (S3 `If-None-Match: *` since 2024, GCS
+    * `x-goog-if-generation-match: 0`, Azure Blob `If-None-Match: *`) —
+    * the store itself evaluates "no object at this key" ATOMICALLY with
+    * the PUT, so a commit claim needs NO external lock service at all:
+    * claim = one conditional create, exactly the default backend's
+    * contract re-hosted on the store's condition instead of the
+    * filesystem's create-exclusive flag.
+    *
+    * The simulation makes the service-side atomicity explicit: the
+    * exists-check and the write execute under ONE store-scoped monitor
+    * (a real store scopes it to the bucket's strong-consistency
+    * domain), and the bytes land via temp-file + atomic move so a
+    * winning claim is all-or-nothing visible — the object-store PUT
+    * contract. Reads go through the ordinary filesystem, so every
+    * CommitLog reader sees claims normally. */
+  final class ConditionalPutStore(f: FileSystem) {
+    /** Conditional create — true iff NO object existed at `p` and the
+      * bytes landed; false iff the key was already taken (the 412 /
+      * PreconditionFailed answer). Atomic under concurrent callers by
+      * the store's own condition evaluation. */
+    def putIfAbsent(p: HPath, bytes: Array[Byte]): Boolean = synchronized {
+      if (f.exists(p)) false
+      else {
+        val local = java.nio.file.Paths.get(
+          Option(p.toUri.getPath).getOrElse(p.toString))
+        val tmp = local.resolveSibling(
+          s".cput-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, local,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+  }
+
+  /** The conditional-put [[CommitLog.ClaimBackend]]: claim = ONE
+    * conditional create against the store, nothing else — no lock
+    * service, no lease clock, no fencing, because the store's own
+    * atomic condition IS the mutual exclusion. The preferred backend
+    * wherever the store offers it (see the selection matrix on
+    * [[CommitLog.ClaimBackend]]); [[LockLeaseClaimBackend]] remains for
+    * the blind-PUT-only regime. */
+  final class ConditionalPutClaimBackend(store: ConditionalPutStore)
+      extends CommitLog.ClaimBackend {
+    override def tryCreate(f: FileSystem, p: HPath,
+        bytes: Array[Byte]): Boolean = store.putIfAbsent(p, bytes)
+  }
+
+  /** Convenience: a conditional-put backend over `fs` (one store per
+    * simulated deployment — its monitor stands in for the service's
+    * bucket-scoped condition evaluation). */
+  def conditionalPutBackend(fs: FileSystem): ConditionalPutClaimBackend =
+    new ConditionalPutClaimBackend(new ConditionalPutStore(fs))
 }

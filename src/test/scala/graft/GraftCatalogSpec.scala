@@ -211,7 +211,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.dropTable(ident))
   }
 
-  test("r15 CREATE surface: commitlog CTAS, PARTITIONED BY refusal, one-commit constraint declaration") {
+  test("r15 CREATE surface: commitlog CTAS, PARTITIONED BY transforms, one-commit constraint declaration") {
     import spark.implicits._
     ensureCatalog()
     // ---- CTAS (VERDICT r14 #3b): CREATE TABLE … USING graft.commitlog
@@ -235,14 +235,24 @@ class GraftCatalogSpec extends SparkSpec {
       assert(hist.nonEmpty && hist.head == "create",
         s"CTAS must commit through the protocol (got history $hist)")
     } finally spark.sql("DROP TABLE IF EXISTS graft.ctas_t")
-    // ---- PARTITIONED BY refuses loudly (VERDICT r14 #3a): none of the
-    // graft providers lay data out by Spark partition transforms
+    // ---- PARTITIONED BY: identity transforms are SUPPORTED since r19
+    // (VERDICT r18 #1 — the spec records through the audited verb;
+    // PartitionSpec covers the split staging/pruning/overwrite
+    // machinery); non-identity transforms still refuse loudly — the
+    // engine records exact column identity, not transformed values
+    spark.sql("CREATE TABLE graft.part_t (id BIGINT, day STRING) " +
+      "USING `graft.commitlog` PARTITIONED BY (day)")
+    try {
+      assert(graft.sources.CommitLog.latest(spark, s"$root/part_t").get
+        .partitionBy == Seq("day"),
+        "identity PARTITIONED BY must record the spec at CREATE")
+    } finally spark.sql("DROP TABLE graft.part_t")
     val part = intercept[Exception] {
-      spark.sql("CREATE TABLE graft.part_t (id BIGINT, day STRING) " +
-        "USING `graft.commitlog` PARTITIONED BY (day)")
+      spark.sql("CREATE TABLE graft.part_b (id BIGINT, day STRING) " +
+        "USING `graft.commitlog` PARTITIONED BY (bucket(4, id))")
     }
     assert(part.getMessage.contains("PARTITIONED BY"), part.getMessage)
-    assert(!spark.catalog.tableExists("graft.part_t"),
+    assert(!spark.catalog.tableExists("graft.part_b"),
       "a refused CREATE must not leave a descriptor")
     // ---- multi-constraint CREATE is ONE metadata commit (ADVICE r14):
     // a later constraint the LOCATION's data violates must leave a

@@ -236,6 +236,52 @@ class NativeFunctionSpec extends SparkSpec {
     }
   }
 
+  test("corpus BPE training (r19 — VERDICT r18 #5): trainOnCorpus == driver train byte-identical; the declared trained-vocab walk counts its tokens") {
+    import graft.functions.{Bpe, BpeVocab}
+    val docs = Tables.documents(spark, sf).select("text")
+    // the distributed reduction (flatMap preTokens → groupBy → count →
+    // driver loop) must train the SAME merges as the all-driver
+    // derivation over the same corpus — byte-identical file content
+    val distributed = Bpe.trainOnCorpus(docs, "text", 5000)
+    val freqs = docs.collect().iterator
+      .flatMap(r => Bpe.preTokens(r.getString(0)))
+      .foldLeft(Map.empty[String, Long])((m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L))
+      .toSeq.sortBy(_._1)
+    assert(distributed.toSeq == Bpe.train(freqs, 5000).toSeq,
+      "the one-shuffle reduction must not change what training sees")
+    assert(distributed.length >= 100 && distributed.exists(_._1.startsWith(" ")),
+      "corpus training learns a real vocabulary with word-boundary symbols")
+    // minFreq is the documented truncation knob — it must only SHRINK
+    // what training sees (a valid vocabulary either way)
+    val truncated = Bpe.trainOnCorpus(docs, "text", 5000, minFreq = 2L)
+    assert(truncated.nonEmpty && truncated.length <= distributed.length + 50,
+      s"minFreq truncation stays a plausible vocabulary: ${truncated.length}")
+    // the DECLARED query: budgets in the trained tokens — every toks
+    // value equals brute-force encoding under the trained vocabulary
+    val out = graft.operators.Pipeline
+      .queries("q_token_budget_bpe_trained")(spark, sf)
+    val vocab = new BpeVocab(distributed)
+    val joined = out.join(Tables.documents(spark, sf), Seq("lang", "doc_id"))
+      .select("text", "toks").collect()
+    assert(joined.nonEmpty, "the trained-budget walk must keep rows")
+    joined.foreach { r =>
+      val want = vocab.countTokens(r.getString(0))
+      assert(r.getInt(1) == want,
+        s"declared toks ${r.getInt(1)} != trained-vocab count $want")
+    }
+    // trained-to-fixpoint counts compress the corpus harder than the
+    // committed 183-rank default — the point of training on the corpus
+    import spark.implicits._
+    val sample = joined.map(_.getString(0)).toSeq.toDF("text")
+    val trainedTotal = joined.map(_.getInt(1).toLong).sum
+    val defaultTotal = sample.select(sum(expr("bpe_token_count(text)")))
+      .head().getLong(0)
+    assert(trainedTotal < defaultTotal,
+      s"corpus-trained ranks must out-compress the default: " +
+        s"$trainedTotal vs $defaultTotal")
+  }
+
   test("MinHashAggregator: dup docs collide, merge order irrelevant, partition-invariant") {
     import spark.implicits._
     val agg = new MinHashAggregator(16).toColumn

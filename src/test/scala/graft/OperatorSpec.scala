@@ -44,7 +44,9 @@ class OperatorSpec extends SparkSpec {
       "q_agg_theta_intersect", "q_agg_theta_stored",
       // DuckDB cannot run the committed greedy-merge BPE walk; the
       // expression is property-tested against an independent brute force
-      "q_token_budget_bpe")
+      "q_token_budget_bpe",
+      // nor the corpus training loop feeding the trained-vocab twin
+      "q_token_budget_bpe_trained")
     assert(noOracle == expectedNoOracle)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

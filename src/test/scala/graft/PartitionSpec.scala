@@ -18,8 +18,8 @@ class PartitionSpec extends SparkSpec {
   private lazy val catRoot = Files.createTempDirectory("graft-part-cat").toString
 
   private def ensureCatalog(): Unit = {
-    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.dir", catRoot)
+    spark.conf.set("spark.sql.catalog.gpart", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpart.dir", catRoot)
   }
 
   /** Files the executed plan actually scanned (fresh-DF rule: the
@@ -167,16 +167,16 @@ class PartitionSpec extends SparkSpec {
 
   test("SQL: CREATE PARTITIONED BY + INSERT + OVERWRITE PARTITION route through the verbs") {
     ensureCatalog()
-    spark.sql("CREATE TABLE graft.part_events (day STRING, id BIGINT, " +
+    spark.sql("CREATE TABLE gpart.part_events (day STRING, id BIGINT, " +
       "v STRING) USING `graft.commitlog` PARTITIONED BY (day)")
     try {
       val loc = catRoot + "/part_events"
       assert(CommitLog.latest(spark, loc).get.partitionBy == Seq("day"))
-      spark.sql("INSERT INTO graft.part_events VALUES " +
+      spark.sql("INSERT INTO gpart.part_events VALUES " +
         s"('${day(1)}', 1, 'a'), ('${day(2)}', 2, 'b'), ('${day(2)}', 3, 'c')")
       // the catalog table reports its partitioning (DESCRIBE face)
       import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
-      val cat = spark.sessionState.catalogManager.catalog("graft")
+      val cat = spark.sessionState.catalogManager.catalog("gpart")
         .asInstanceOf[TableCatalog]
       val t = cat.loadTable(Identifier.of(Array.empty, "part_events"))
       assert(t.partitioning().map(_.describe()).toSeq == Seq("day") &&
@@ -187,26 +187,26 @@ class PartitionSpec extends SparkSpec {
       val d2files = head.partVals.collect {
         case (dir, Seq(v)) if v == day(2) => dir }.toSet
       assert(d2files.nonEmpty)
-      val q = spark.table("graft.part_events")
+      val q = spark.table("gpart.part_events")
         .filter(col("day") === day(2))
       assert(scannedFiles(q) < head.dataDirs.size,
         "partition filter must prune dirs through the catalog route")
-      assert(rows(spark.table("graft.part_events")
+      assert(rows(spark.table("gpart.part_events")
         .filter(col("day") === day(2)).select("id").orderBy("id")) ==
         Seq(Seq(2L), Seq(3L)))
       // static INSERT OVERWRITE ... PARTITION restates ONLY that day
       val before = CommitLog.latest(spark, loc).get
       val d1dir = before.partVals.collect {
         case (dir, Seq(v)) if v == day(1) => dir }.toSet
-      spark.sql("INSERT OVERWRITE graft.part_events " +
+      spark.sql("INSERT OVERWRITE gpart.part_events " +
         s"PARTITION (day = '${day(2)}') SELECT 9L, 'z'")
       val after = CommitLog.latest(spark, loc).get
       assert(d1dir.subsetOf(after.dataDirs.toSet),
         "day-1 dirs must carry through a day-2 partition overwrite")
-      assert(rows(spark.table("graft.part_events").orderBy("id")
+      assert(rows(spark.table("gpart.part_events").orderBy("id")
         .select("day", "id", "v")) ==
         Seq(Seq(day(1), 1L, "a"), Seq(day(2), 9L, "z")))
-    } finally spark.sql("DROP TABLE graft.part_events")
+    } finally spark.sql("DROP TABLE gpart.part_events")
   }
 
   test("generated columns: omitted materializes, conflicting refuses, stats prune") {
@@ -242,29 +242,29 @@ class PartitionSpec extends SparkSpec {
 
   test("SQL: GENERATED ALWAYS AS at CREATE round-trips through INSERT and MERGE") {
     ensureCatalog()
-    spark.sql("CREATE TABLE graft.gen_docs (id BIGINT, day STRING, " +
+    spark.sql("CREATE TABLE gpart.gen_docs (id BIGINT, day STRING, " +
       "bucket BIGINT GENERATED ALWAYS AS (id % 4)) USING `graft.commitlog`")
     try {
       val loc = catRoot + "/gen_docs"
       assert(CommitLog.latest(spark, loc).get.gens ==
         Seq("bucket" -> "id % 4"))
-      spark.sql("INSERT INTO graft.gen_docs VALUES (6, 'd1', 2), (9, 'd2', 1)")
-      assert(rows(spark.table("graft.gen_docs").orderBy("id")
+      spark.sql("INSERT INTO gpart.gen_docs VALUES (6, 'd1', 2), (9, 'd2', 1)")
+      assert(rows(spark.table("gpart.gen_docs").orderBy("id")
         .select("id", "bucket")) == Seq(Seq(6L, 2L), Seq(9L, 1L)))
       // a violating INSERT refuses loudly, nothing commits
       val v = CommitLog.latest(spark, loc).get.version
       intercept[Exception] {
-        spark.sql("INSERT INTO graft.gen_docs VALUES (7, 'd3', 0)")
+        spark.sql("INSERT INTO gpart.gen_docs VALUES (7, 'd3', 0)")
       }
       assert(CommitLog.latest(spark, loc).get.version == v)
       // MERGE validates its landing rows against the expression too
-      spark.sql("MERGE INTO graft.gen_docs t USING (SELECT 6L AS id, " +
+      spark.sql("MERGE INTO gpart.gen_docs t USING (SELECT 6L AS id, " +
         "'D1' AS day, 2L AS bucket) s ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET t.day = s.day " +
         "WHEN NOT MATCHED THEN INSERT *")
-      assert(rows(spark.table("graft.gen_docs").filter(col("id") === 6L)
+      assert(rows(spark.table("gpart.gen_docs").filter(col("id") === 6L)
         .select("day", "bucket")) == Seq(Seq("D1", 2L)))
-    } finally spark.sql("DROP TABLE graft.gen_docs")
+    } finally spark.sql("DROP TABLE gpart.gen_docs")
   }
 
   test("partition + rows + gens fields round-trip the commit JSON verbatim") {
@@ -303,7 +303,7 @@ class PartitionSpec extends SparkSpec {
     assert(fileBytes > 4 * exactBytes, s"fixture: fileBytes=$fileBytes")
     val threshold = (fileBytes + exactBytes) / 2
     ensureCatalog()
-    spark.sql("CREATE TABLE graft.stats_dim (k BIGINT, nm STRING) USING " +
+    spark.sql("CREATE TABLE gpart.stats_dim (k BIGINT, nm STRING) USING " +
       s"`graft.commitlog` LOCATION '$root'")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -312,7 +312,7 @@ class PartitionSpec extends SparkSpec {
       // facts big enough that ONLY the dim is broadcast-eligible
       val facts = spark.range(200000L)
         .select((col("id") % 64L).as("k"), col("id").as("x"))
-      def joined = facts.join(spark.table("graft.stats_dim"), "k")
+      def joined = facts.join(spark.table("gpart.stats_dim"), "k")
       assert(physicalPlan(joined).contains("BroadcastHashJoin"),
         s"exact rowCount must broadcast the dim:\n${physicalPlan(joined)}")
       // control: the OPTIONS route reports file bytes (no exact count
@@ -331,13 +331,13 @@ class PartitionSpec extends SparkSpec {
       assert(h2.colMap.nonEmpty && h2.dv.nonEmpty, s"fixture: ${h2.dv}")
       assert(graft.sources.CommitLogCatalogTable.exactVisibleRows(h2)
         .contains(32L), s"rows=${h2.rows} dvRows=${h2.dvRows}")
-      def joined2 = facts.join(spark.table("graft.stats_dim"), "k")
+      def joined2 = facts.join(spark.table("gpart.stats_dim"), "k")
       assert(physicalPlan(joined2).contains("BroadcastHashJoin"),
         s"exact count must survive dv+colmap:\n${physicalPlan(joined2)}")
       assert(joined2.count() === 100000L)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE graft.stats_dim")
+      spark.sql("DROP TABLE gpart.stats_dim")
     }
   }
 
