@@ -571,6 +571,81 @@ object CommitLogSource {
     }
   }
 
+  /** DERIVED partition probes (r19 close — the Delta generated-
+    * partition-column pruning rule): when a PARTITION column is
+    * GENERATED ALWAYS AS an expression over exactly ONE other column
+    * and the query pins that input with an equality/IN literal
+    * conjunct, every qualifying row's partition value IS the expression
+    * evaluated at the literal — so a filter on the INPUT (`ts = X`)
+    * prunes the generated day/bucket partitions without the user ever
+    * naming them. The value is computed by Catalyst constant folding,
+    * ZERO jobs: parse the recorded expression, bind the literal through
+    * a one-row subquery (`l.sql` renders it — no textual substitution
+    * inside the expression), and read the folded Literal off the
+    * OPTIMIZED plan; a deterministic expression of a literal always
+    * folds, and a non-deterministic one never does. Anything
+    * failure-shaped — multi-input expressions, parse errors, unfolded
+    * plans, unrenderable or NULL outputs — contributes nothing:
+    * conservative, prune-only, the stats discipline. */
+  private def genPartitionProbes(spark: SparkSession,
+      commit: CommitLog.Commit, dataFilters: Seq[Expression])
+      : Map[String, Set[String]] = {
+    if (commit.gens.isEmpty || commit.partitionBy.isEmpty) return Map.empty
+    def fold(genExpr: String, inName: String, l: Literal): Option[String] =
+      try {
+        val df = spark.sql(
+          s"SELECT ($genExpr) AS __g FROM (SELECT ${l.sql} AS `$inName`) __t")
+        df.queryExecution.optimizedPlan.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical.Project(
+              Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+                fl: Literal, _)), _) =>
+            partValue(fl.value, fl.dataType)
+          // ConvertToLocalRelation may fold the whole one-row plan away
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+              if lr.data.length == 1 && lr.output.length == 1 =>
+            partValue(lr.data.head.get(0, lr.output.head.dataType),
+              lr.output.head.dataType)
+        }.flatten
+      } catch { case scala.util.control.NonFatal(_) => None }
+    commit.gens.flatMap { case (p, e) =>
+      if (!commit.partitionBy.contains(p)) None
+      else {
+        val refs = try {
+          spark.sessionState.sqlParser.parseExpression(e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name
+          }.distinct
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+        refs match {
+          case Seq(in) if in != p && !in.contains('.') &&
+              !in.contains('`') =>
+            // conjuncts whose literal value set is COMPLETE for the
+            // input column (every qualifying row's input is in the set)
+            val sets: Seq[Set[String]] = dataFilters.flatMap {
+              case EqualTo(a: Attribute, l: Literal) if a.name == in =>
+                fold(e, in, l).map(Set(_))
+              case EqualTo(l: Literal, a: Attribute) if a.name == in =>
+                fold(e, in, l).map(Set(_))
+              case EqualNullSafe(a: Attribute, l: Literal) if a.name == in =>
+                fold(e, in, l).map(Set(_))
+              case EqualNullSafe(l: Literal, a: Attribute) if a.name == in =>
+                fold(e, in, l).map(Set(_))
+              case In(a: Attribute, elems) if a.name == in &&
+                  elems.forall(_.isInstanceOf[Literal]) =>
+                val vs = elems.map { case le: Literal => fold(e, in, le) }
+                if (vs.nonEmpty && vs.forall(_.isDefined))
+                  Some(vs.flatten.toSet)
+                else None // any unfoldable element: set incomplete
+              case _ => None
+            }
+            if (sets.isEmpty) None
+            else Some(p -> sets.reduce(_ intersect _))
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
   private[graft] def pruneDirsByEvidence(spark: SparkSession, root: String,
       commit: CommitLog.Commit, dataFilters: Seq[Expression]): Seq[String] = {
     // ---- recorded-EMPTY dirs first (r19): a dir whose commit recorded
@@ -581,7 +656,19 @@ object CommitLogSource {
       .filterNot(d => commit.rows.get(d).contains(0L))
     // ---- partition identity (r19): exact per-dir values, the
     // cheapest and sharpest evidence a partitioned table has ----
-    val partKept = partKeepDirs(commit, dataFilters, nonEmpty)
+    val partKept0 = partKeepDirs(commit, dataFilters, nonEmpty)
+    // ---- generated-input probes: a pinned generation INPUT implies
+    // the partition value — intersect like any other evidence ----
+    val partKept = genPartitionProbes(spark, commit, dataFilters)
+      .foldLeft(partKept0) { case (kept, (pc, set)) =>
+        val idx = commit.partitionBy.indexOf(pc)
+        kept.filter { d =>
+          commit.partVals.get(d) match {
+            case Some(vs) if vs.length > idx => set.contains(vs(idx))
+            case _ => true // no recorded identity: kept (advisory)
+          }
+        }
+      }
     // ---- min/max stats: narrow a [lo, hi] range PER RECORDED COLUMN
     // (r13: the stats set can hold several columns — each contributes its
     // own conjunct-derived range, and a dir survives only if EVERY

@@ -267,6 +267,106 @@ class PartitionSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE gpart.gen_docs")
   }
 
+  test("generated column AS partition column: the derive-a-bucket story composes end to end (r19)") {
+    import spark.implicits._
+    // the PARTITIONED BY refusal for transforms tells users to "derive
+    // bucket columns as GENERATED" — prove that composition: a write
+    // omitting the generated partition column gets it materialized from
+    // the recorded expression FIRST, then stages split per its value
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq.empty[(Long, String, Long)].toDF("id", "nm", "bucket")
+        .repartition(1) }
+    CommitLog.setGeneratedColumns(spark, root, "w", Seq("bucket" -> "id % 3"))
+    CommitLog.setPartitionBy(spark, root, "w", Seq("bucket"))
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "nm"))
+    val head = CommitLog.latest(spark, root).get
+    val liveVals = head.partVals.collect {
+      case (dir, vs) if head.rows.get(dir).exists(_ > 0L) => vs }
+    assert(liveVals.map(_.head).toSeq.sorted == Seq("0", "1", "2"),
+      s"one staged dir per materialized bucket value: ${head.partVals}")
+    // a partition filter on the GENERATED column prunes to its dirs
+    val q = spark.read.format("graft.commitlog").load(root)
+      .filter(col("bucket") === 1L)
+    assert(rows(q.select("id").orderBy("id")) == Seq(Seq(1L), Seq(4L)))
+    assert(scannedFiles(q) <
+      scannedFiles(spark.read.format("graft.commitlog").load(root)),
+      "the bucket filter must plan only bucket-1 dirs")
+    // the one-statement SQL face: GENERATED + PARTITIONED BY together
+    ensureCatalog()
+    spark.sql("CREATE TABLE gpart.gen_part (id BIGINT, nm STRING, " +
+      "bucket BIGINT GENERATED ALWAYS AS (id % 4)) " +
+      "USING `graft.commitlog` PARTITIONED BY (bucket)")
+    try {
+      val loc = catRoot + "/gen_part"
+      val h0 = CommitLog.latest(spark, loc).get
+      assert(h0.gens == Seq("bucket" -> "id % 4") &&
+        h0.partitionBy == Seq("bucket"),
+        s"one CREATE records both specs: ${h0.gens} / ${h0.partitionBy}")
+      spark.sql("INSERT INTO gpart.gen_part VALUES " +
+        "(6, 'x', 2), (9, 'y', 1), (10, 'z', 2)")
+      val h1 = CommitLog.latest(spark, loc).get
+      assert(h1.partVals.collect {
+        case (dir, vs) if h1.rows.get(dir).exists(_ > 0L) => vs.head
+      }.toSeq.sorted == Seq("1", "2"),
+        s"the insert stages one dir per generated bucket: ${h1.partVals}")
+      // a row violating the generation refuses before any commit
+      val v = CommitLog.latest(spark, loc).get.version
+      intercept[Exception] {
+        spark.sql("INSERT INTO gpart.gen_part VALUES (7, 'w', 0)") }
+      assert(CommitLog.latest(spark, loc).get.version == v)
+      assert(rows(spark.table("gpart.gen_part")
+        .filter(col("bucket") === 2L).select("id").orderBy("id")) ==
+        Seq(Seq(6L), Seq(10L)))
+    } finally spark.sql("DROP TABLE gpart.gen_part")
+  }
+
+  test("generated-input partition pruning: a filter on the generation INPUT alone prunes the generated partitions (r19)") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq.empty[(Long, String, String)].toDF("id", "ts", "day")
+        .repartition(1) }
+    CommitLog.setGeneratedColumns(spark, root, "w",
+      Seq("day" -> "substring(ts, 1, 10)"))
+    CommitLog.setPartitionBy(spark, root, "w", Seq("day"))
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((1L, s"${day(1)}T08:00:00"), (2L, s"${day(1)}T09:00:00"),
+        (3L, s"${day(2)}T08:00:00"), (4L, s"${day(3)}T10:00:00"))
+        .toDF("id", "ts"))
+    val head = CommitLog.latest(spark, root).get
+    assert(head.partVals.collect {
+      case (d, vs) if head.rows.get(d).exists(_ > 0L) => vs.head
+    }.toSeq.sorted == Seq(day(1), day(2), day(3)))
+    def read = spark.read.format("graft.commitlog").load(root)
+    val full = scannedFiles(read)
+    // the query pins the INPUT, never naming the partition column —
+    // the recorded generation expression folded at the literal implies
+    // day = day(2), so only that partition's dirs plan
+    val q = read.filter(col("ts") === s"${day(2)}T08:00:00")
+    assert(rows(q.select("id")) == Seq(Seq(3L)))
+    assert(scannedFiles(q) < full,
+      s"a pinned generation input must prune generated partitions " +
+        s"(${scannedFiles(q)} vs $full)")
+    // an IN set folds per element; the derived keep-set is their union
+    val q2 = read.filter(col("ts").isin(
+      s"${day(1)}T08:00:00", s"${day(3)}T10:00:00"))
+    assert(rows(q2.select("id").orderBy("id")) == Seq(Seq(1L), Seq(4L)))
+    assert(scannedFiles(q2) < full,
+      "the IN probe must drop the unmentioned day")
+    // shapes the probe cannot serve stay correct on the full plan:
+    // ranges derive nothing (substring is not order-preserving evidence)
+    assert(rows(read.filter(col("ts") > s"${day(2)}")
+      .select("id").orderBy("id")) == Seq(Seq(3L), Seq(4L)))
+    // and an explicit filter on BOTH input and partition column
+    // intersects evidence soundly
+    val q3 = read.filter(col("ts") === s"${day(2)}T08:00:00" &&
+      col("day") === day(2))
+    assert(rows(q3.select("id")) == Seq(Seq(3L)))
+    assert(scannedFiles(q3) < full)
+  }
+
   test("partition + rows + gens fields round-trip the commit JSON verbatim") {
     import spark.implicits._
     val root = freshRoot()

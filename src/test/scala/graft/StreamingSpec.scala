@@ -947,6 +947,34 @@ class StreamingSpec extends SparkSpec {
       inc2.toString)
   }
 
+  test("graft.commitlog stream: a NESTED existence default rides the incremental batch (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    import graft.sources.CommitLog
+    val root = Files.createTempDirectory("graft-clstream-ndef").toString
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      Seq((1L, "a")).toDF("id", "st")
+        .select(col("id"), struct(col("st")).as("m")) }
+    val ckpt = Files.createTempDirectory("graft-clstream-ndef-ck").toString
+    assert(drainCommitLogTail(root, ckpt).size == 1)
+    // while the stream is DOWN: an append (v2), then a NESTED defaulted
+    // add (v3) — the restart's window spans both, and the v2 dir
+    // predates the field, so the batch must deliver the constant
+    // through the same withField rebuild every snapshot route uses
+    CommitLog.commitAppend(spark, root, "w", "append")(
+      Seq((2L, "b")).toDF("id", "st")
+        .select(col("id"), struct(col("st")).as("m")))
+    CommitLog.evolveStructFields(spark, root, "w", Seq("m"),
+      Seq(org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType)),
+      defaults = Map("tier" -> "'std'"))
+    val inc = drainCommitLogTail(root, ckpt)
+    assert(inc.size == 1 && inc.head.size == 1, inc.toString)
+    val m = inc.head.head(1).asInstanceOf[org.apache.spark.sql.Row]
+    assert(inc.head.head.head == 2L && m.getString(1) == "std",
+      s"the nested default must ride the incremental batch: ${inc.head}")
+  }
+
   test("graft.commitlog streaming read: appends arrive as bounded micro-batches equal to the snapshot") {
     import spark.implicits._
     import graft.sources.CommitLog
