@@ -1643,6 +1643,15 @@ object CommitLog {
     val stage = s"stage-${java.util.UUID.randomUUID().toString.take(8)}-v$tentative"
     val phys = partCols.map(c => colMap.getOrElse(c, c))
     val shadows = phys.indices.map(i => s"__gp$i")
+    // the shadow names are reserved: a real column called __gp<i> would
+    // be silently OVERWRITTEN by withColumn and then stripped from the
+    // staged files by partitionBy — refuse loudly instead (code review
+    // r19)
+    val clash = df.columns.filter(_.startsWith("__gp"))
+    require(clash.isEmpty,
+      s"CommitLog: column name(s) ${clash.mkString("'", "', '", "'")} " +
+        "collide with the reserved __gp<i> partition-staging shadows — " +
+        "rename them before writing to a partitioned table")
     val tagged = phys.zip(shadows).foldLeft(toPhysical(df, colMap)) {
       case (d, (p, sh)) =>
         d.withColumn(sh, col("`" + p.replace("`", "``") + "`").cast("string"))
@@ -1666,9 +1675,15 @@ object CommitLog {
           }
       val ls = leaves(new HPath(root, stage), 0)
       ls.foreach { case (_, vs) =>
+        // Spark renders BOTH null and empty-string partition values as
+        // the hive default leaf, so the two are indistinguishable here —
+        // the refusal names both (code review r19: a valid '' row used
+        // to be rejected with a "must be non-null" message)
         require(!vs.contains("__HIVE_DEFAULT_PARTITION__"),
           s"CommitLog: partition columns (${partCols.mkString(", ")}) " +
-            "must be non-null — a null tuple has no partition identity")
+            "must be non-null and non-empty — a null (or empty-string) " +
+            "tuple has no distinguishable partition identity in the " +
+            "hive-style layout")
       }
       ls.zipWithIndex.map { case ((lp, vs), i) =>
         val d = s"data-${java.util.UUID.randomUUID().toString.take(8)}-p$i-v$tentative"
@@ -1683,13 +1698,28 @@ object CommitLog {
   /** MATERIALIZE omitted generated columns (r19 — VERDICT r18 #2): a
     * batch that does not carry a recorded GENERATED column gets it
     * computed from the recorded expression; supplied columns pass
-    * through to [[enforceGenerated]]'s validation instead. */
+    * through to [[enforceGenerated]]'s validation instead. A
+    * materialized column lands at the END of the frame, so the result
+    * re-projects to `headOrder` (code review r19: the positional schema
+    * check would otherwise refuse every legitimate omit-and-materialize
+    * append on a table whose generated column is declared mid-schema);
+    * columns beyond the head — an evolve append's additions — keep
+    * their delta order after the head block. */
   private def conformGenerated(df: DataFrame,
-      gens: Seq[(String, String)]): DataFrame =
-    gens.foldLeft(df) { case (d, (n, e)) =>
+      gens: Seq[(String, String)], headOrder: Seq[String]): DataFrame = {
+    val withGens = gens.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.contains(n)) d
       else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
     }
+    if (withGens eq df) df
+    else {
+      val present = withGens.columns.toSet
+      val ordered = headOrder.filter(present) ++
+        withGens.columns.filterNot(headOrder.contains(_))
+      withGens.select(ordered.map(c =>
+        col("`" + c.replace("`", "``") + "`")): _*)
+    }
+  }
 
   /** REFUSE a batch whose supplied values for a GENERATED column differ
     * from the recorded expression (null-safe comparison — the Delta
@@ -3422,7 +3452,10 @@ object CommitLog {
       // to a parent that already passed
       val gens = cur.map(_.gens).getOrElse(Nil)
       val next0 = build(cur.map(c => load(spark, root, c)))
-      val next = if (rowInvisible) next0 else conformGenerated(next0, gens)
+      val next =
+        if (rowInvisible) next0
+        else conformGenerated(next0, gens, cur.map(c =>
+          load(spark, root, c).schema.fieldNames.toSeq).getOrElse(Nil))
       // a bad statsCol must fail BEFORE the snapshot write, not after
       // minutes of I/O with an orphaned staging left behind
       statsCols.foreach(sc => require(next.columns.contains(sc),
@@ -3594,7 +3627,8 @@ object CommitLog {
     // GENERATED columns (r19): an omitted generated column materializes
     // from its recorded expression BEFORE the schema check compares like
     // for like; supplied columns validate in validateSchemaAgainst
-    val delta = headNow.map(h => conformGenerated(delta0, h.gens))
+    val delta = headNow.map(h => conformGenerated(delta0, h.gens,
+        load(spark, root, h).schema.fieldNames.toSeq))
       .getOrElse(delta0)
     // ADDITIVE SCHEMA EVOLUTION (r12): under an EXPLICIT evolve=true, a
     // delta may carry a superset of the head's columns — the new commit
@@ -5179,8 +5213,13 @@ object CommitLog {
           // recorded totals stay AS-WRITTEN; the vectored share rides in
           // dvRows (cumulative across folds) so visible = rows − dvRows
           rows = head.rows.filter { case (d, _) => keptDirs.contains(d) },
-          dvRows = (head.dvRows -- fullDirs) ++ partial.map {
-            case (d, _, m) => d -> (head.dvRows.getOrElse(d, 0L) + m) },
+          // cumulative only when the prior vectored share is KNOWN: a
+          // dir whose earlier fold dropped its count (the merge-on-read
+          // degrade) stays absent — seeding it at 0 would let the exact
+          // visible-rows statistic silently undercount (code review r19)
+          dvRows = (head.dvRows -- fullDirs) ++ partial.collect {
+            case (d, _, m) if head.dvRows.contains(d) || !head.dv.contains(d) =>
+              d -> (head.dvRows.getOrElse(d, 0L) + m) },
           gens = head.gens)
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)
@@ -5339,8 +5378,11 @@ object CommitLog {
           // every partition filter — conservative); existing entries ride
           partVals = head.partVals,
           rows = head.rows + (newDir -> dirRowCount(spark, s"$root/$newDir")),
-          dvRows = head.dvRows ++ touchedCounts.map { case (d, n) =>
-            d -> (head.dvRows.getOrElse(d, 0L) + n) },
+          // same unknown-stays-unknown rule as the delete fold (code
+          // review r19): never seed a dv-bearing dir's count at 0
+          dvRows = head.dvRows ++ touchedCounts.collect {
+            case (d, n) if head.dvRows.contains(d) || !head.dv.contains(d) =>
+              d -> (head.dvRows.getOrElse(d, 0L) + n) },
           gens = head.gens)
         if (tryClaim(spark, root, nextV, render(c))) {
           writeHeadPointer(f, root, nextV); return Some(c)

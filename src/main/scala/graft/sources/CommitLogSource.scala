@@ -540,26 +540,17 @@ object CommitLogSource {
     commit.partitionBy.zipWithIndex.foldLeft(from) {
       case (kept, (pc, idx)) =>
         // a conjunct contributes only when its value set is COMPLETE for
-        // the column (every qualifying row's value is in the set)
-        val sets: Seq[Set[String]] = dataFilters.flatMap {
-          case EqualTo(a: Attribute, l: Literal) if a.name == pc =>
-            partValue(l.value, l.dataType).map(Set(_))
-          case EqualTo(l: Literal, a: Attribute) if a.name == pc =>
-            partValue(l.value, l.dataType).map(Set(_))
-          // the static INSERT OVERWRITE … PARTITION face compiles to
-          // <=> (null-safe); a non-null literal prunes exactly like =,
-          // and a null literal contributes nothing (partValue = None)
-          case EqualNullSafe(a: Attribute, l: Literal) if a.name == pc =>
-            partValue(l.value, l.dataType).map(Set(_))
-          case EqualNullSafe(l: Literal, a: Attribute) if a.name == pc =>
-            partValue(l.value, l.dataType).map(Set(_))
-          case In(a: Attribute, elems) if a.name == pc &&
-              elems.forall(_.isInstanceOf[Literal]) =>
-            val vs = elems.map { case Literal(v, dt) => partValue(v, dt) }
+        // the column (every qualifying row's value is in the set); the
+        // static INSERT OVERWRITE … PARTITION face compiles to <=>
+        // (null-safe) — a non-null literal prunes exactly like =, and a
+        // null literal contributes nothing (partValue = None disables
+        // its conjunct)
+        val sets: Seq[Set[String]] =
+          completeLiteralSets(dataFilters, pc).flatMap { lits =>
+            val vs = lits.map(l => partValue(l.value, l.dataType))
             if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten.toSet)
             else None
-          case _ => None
-        }
+          }
         if (sets.isEmpty) kept
         else kept.filter { d =>
           commit.partVals.get(d) match {
@@ -571,6 +562,29 @@ object CommitLogSource {
     }
   }
 
+  /** The equality/IN conjuncts pinning `name` whose literal set is
+    * COMPLETE — every row satisfying the conjunct has its value among
+    * the returned literals (code review r19: this extraction existed in
+    * three near-identical copies). One inner Seq per conjunct; callers
+    * map their own rendering over the literals, and any element that
+    * fails to render disables that conjunct (prune-only soundness: an
+    * incomplete set must never prune). EqualNullSafe with a null
+    * literal yields Literal(null) — renderers return None for it, which
+    * correctly disables the conjunct. */
+  private def completeLiteralSets(filters: Seq[Expression],
+      name: String): Seq[Seq[Literal]] = filters.flatMap {
+    case EqualTo(a: Attribute, l: Literal) if a.name == name => Some(Seq(l))
+    case EqualTo(l: Literal, a: Attribute) if a.name == name => Some(Seq(l))
+    case EqualNullSafe(a: Attribute, l: Literal) if a.name == name =>
+      Some(Seq(l))
+    case EqualNullSafe(l: Literal, a: Attribute) if a.name == name =>
+      Some(Seq(l))
+    case In(a: Attribute, elems) if a.name == name &&
+        elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>
+      Some(elems.map(_.asInstanceOf[Literal]))
+    case _ => None
+  }
+
   /** DERIVED partition probes (r19 close — the Delta generated-
     * partition-column pruning rule): when a PARTITION column is
     * GENERATED ALWAYS AS an expression over exactly ONE other column
@@ -578,34 +592,54 @@ object CommitLogSource {
     * conjunct, every qualifying row's partition value IS the expression
     * evaluated at the literal — so a filter on the INPUT (`ts = X`)
     * prunes the generated day/bucket partitions without the user ever
-    * naming them. The value is computed by Catalyst constant folding,
-    * ZERO jobs: parse the recorded expression, bind the literal through
-    * a one-row subquery (`l.sql` renders it — no textual substitution
-    * inside the expression), and read the folded Literal off the
-    * OPTIMIZED plan; a deterministic expression of a literal always
-    * folds, and a non-deterministic one never does. Anything
-    * failure-shaped — multi-input expressions, parse errors, unfolded
-    * plans, unrenderable or NULL outputs — contributes nothing:
+    * naming them. The values are computed by Catalyst constant folding,
+    * ZERO jobs and ONE optimizer pass per conjunct (code review r19 —
+    * not per IN element): all of a conjunct's literals bind through a
+    * single VALUES relation (`l.sql` renders each — no textual
+    * substitution inside the expression), and
+    * `ConvertToLocalRelation` evaluates the projection into a
+    * LocalRelation read off the OPTIMIZED plan; a deterministic
+    * expression always folds this way, a non-deterministic one never
+    * does. SESSION-CONFIG independence: the recorded values were
+    * computed under the WRITER's session, so any fold whose analyzed
+    * tree carries a timezone-dependent node is refused (Cast only when
+    * the type pair actually consults the zone) — a zone-sensitive
+    * expression folded under THIS session's spark.sql.session.timeZone
+    * could disagree and mis-prune, and pruneDirsByEvidence also feeds
+    * DELETE/UPDATE affected-dir selection, where a wrong prune is
+    * silent wrong data. Anything failure-shaped — multi-input
+    * expressions, parse errors, unfolded plans, unrenderable or NULL
+    * outputs, row-count mismatches — contributes nothing:
     * conservative, prune-only, the stats discipline. */
   private def genPartitionProbes(spark: SparkSession,
       commit: CommitLog.Commit, dataFilters: Seq[Expression])
       : Map[String, Set[String]] = {
     if (commit.gens.isEmpty || commit.partitionBy.isEmpty) return Map.empty
-    def fold(genExpr: String, inName: String, l: Literal): Option[String] =
+    def foldAll(genExpr: String, inName: String,
+        lits: Seq[Literal]): Option[Set[String]] =
       try {
-        val df = spark.sql(
-          s"SELECT ($genExpr) AS __g FROM (SELECT ${l.sql} AS `$inName`) __t")
-        df.queryExecution.optimizedPlan.collectFirst {
-          case org.apache.spark.sql.catalyst.plans.logical.Project(
-              Seq(org.apache.spark.sql.catalyst.expressions.Alias(
-                fl: Literal, _)), _) =>
-            partValue(fl.value, fl.dataType)
-          // ConvertToLocalRelation may fold the whole one-row plan away
+        val rows = lits.map(l => s"(${l.sql})").mkString(", ")
+        val df = spark.sql(s"SELECT ($genExpr) AS __g " +
+          s"FROM (VALUES $rows) AS __t(`$inName`)")
+        val tzSensitive = df.queryExecution.analyzed.expressions
+          .exists(_.exists {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .needsTimeZone(c.child.dataType, c.dataType)
+            case _: org.apache.spark.sql.catalyst.expressions
+                .TimeZoneAwareExpression => true
+            case _ => false
+          })
+        if (tzSensitive) return None
+        df.queryExecution.optimizedPlan match {
           case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-              if lr.data.length == 1 && lr.output.length == 1 =>
-            partValue(lr.data.head.get(0, lr.output.head.dataType),
-              lr.output.head.dataType)
-        }.flatten
+              if lr.output.length == 1 && lr.data.length == lits.length =>
+            val dt = lr.output.head.dataType
+            val vs = lr.data.map(r => partValue(r.get(0, dt), dt))
+            if (vs.forall(_.isDefined)) Some(vs.flatten.toSet)
+            else None // any unrenderable element: set incomplete
+          case _ => None // did not fold (non-deterministic, unresolved)
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     commit.gens.flatMap { case (p, e) =>
       if (!commit.partitionBy.contains(p)) None
@@ -619,25 +653,9 @@ object CommitLogSource {
         refs match {
           case Seq(in) if in != p && !in.contains('.') &&
               !in.contains('`') =>
-            // conjuncts whose literal value set is COMPLETE for the
-            // input column (every qualifying row's input is in the set)
-            val sets: Seq[Set[String]] = dataFilters.flatMap {
-              case EqualTo(a: Attribute, l: Literal) if a.name == in =>
-                fold(e, in, l).map(Set(_))
-              case EqualTo(l: Literal, a: Attribute) if a.name == in =>
-                fold(e, in, l).map(Set(_))
-              case EqualNullSafe(a: Attribute, l: Literal) if a.name == in =>
-                fold(e, in, l).map(Set(_))
-              case EqualNullSafe(l: Literal, a: Attribute) if a.name == in =>
-                fold(e, in, l).map(Set(_))
-              case In(a: Attribute, elems) if a.name == in &&
-                  elems.forall(_.isInstanceOf[Literal]) =>
-                val vs = elems.map { case le: Literal => fold(e, in, le) }
-                if (vs.nonEmpty && vs.forall(_.isDefined))
-                  Some(vs.flatten.toSet)
-                else None // any unfoldable element: set incomplete
-              case _ => None
-            }
+            val sets: Seq[Set[String]] =
+              completeLiteralSets(dataFilters, in).flatMap(lits =>
+                foldAll(e, in, lits))
             if (sets.isEmpty) None
             else Some(p -> sets.reduce(_ intersect _))
           case _ => None
@@ -692,18 +710,12 @@ object CommitLogSource {
     // point probe; keep-sets intersect (the conjuncts are ANDed), so
     // composite predicates prune on each bloomed column at once
     CommitLog.bloomColumns(spark, root).foldLeft(statsKept) { (kept, bc) =>
-      val vals: Seq[Any] = dataFilters.flatMap {
-        case EqualTo(a: Attribute, Literal(v, dt)) if a.name == bc =>
-          bloomValue(v, dt).toSeq
-        case EqualTo(Literal(v, dt), a: Attribute) if a.name == bc =>
-          bloomValue(v, dt).toSeq
-        case In(a: Attribute, elems) if a.name == bc &&
-            elems.forall(_.isInstanceOf[Literal]) =>
-          val vs = elems.map { case Literal(v, dt) => bloomValue(v, dt) }
-          if (vs.nonEmpty && vs.forall(_.isDefined)) vs.flatten
+      val vals: Seq[Any] = completeLiteralSets(dataFilters, bc)
+        .flatMap { lits =>
+          val vs = lits.map(l => bloomValue(l.value, l.dataType))
+          if (vs.forall(_.isDefined)) vs.flatten
           else Nil // any unconvertible element: set incomplete, unusable
-        case _ => Nil
-      }
+        }
       if (vals.isEmpty) kept
       else {
         val bloomKept = CommitLog.bloomKeepDirs(spark, root, commit,

@@ -238,6 +238,27 @@ class PartitionSpec extends SparkSpec {
     val pruned = spark.read.format("graft.commitlog").load(root)
       .filter(col("bucket") === 3L)
     assert(rows(pruned) == Seq(Seq(33L, 3L)))
+    // a generated column declared MID-schema: omit-and-materialize must
+    // land it at its declared position (code review r19 — the
+    // materialized column lands LAST in the frame; without the
+    // re-projection the positional schema check refused every
+    // legitimate append on such a table)
+    val root2 = freshRoot()
+    CommitLog.commit(spark, root2, "w", "create") { _ =>
+      Seq.empty[(Long, Long, String)].toDF("id", "bucket", "v")
+        .repartition(1) }
+    CommitLog.setGeneratedColumns(spark, root2, "w",
+      Seq("bucket" -> "id % 10"))
+    CommitLog.commitAppend(spark, root2, "w", "append")(
+      Seq((15L, "a"), (27L, "b")).toDF("id", "v"))
+    assert(rows(CommitLog.readLatest(spark, root2).get.orderBy("id")) ==
+      Seq(Seq(15L, 5L, "a"), Seq(27L, 7L, "b")),
+      "the materialized mid-schema column must sit at its position")
+    // the full-rewrite verb conforms through the same path
+    CommitLog.commit(spark, root2, "w", "rewrite") { cur =>
+      cur.get.filter(col("id") === 15L).drop("bucket") }
+    assert(rows(CommitLog.readLatest(spark, root2).get) ==
+      Seq(Seq(15L, 5L, "a")))
   }
 
   test("SQL: GENERATED ALWAYS AS at CREATE round-trips through INSERT and MERGE") {
@@ -265,6 +286,42 @@ class PartitionSpec extends SparkSpec {
       assert(rows(spark.table("gpart.gen_docs").filter(col("id") === 6L)
         .select("day", "bucket")) == Seq(Seq("D1", 2L)))
     } finally spark.sql("DROP TABLE gpart.gen_docs")
+  }
+
+  test("dv-fold statistics: an unknown prior vectored share stays unknown — never a wrong exact count (code review r19)") {
+    import spark.implicits._
+    val root = freshRoot()
+    CommitLog.commit(spark, root, "w", "create") { _ =>
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1) }
+    // dv delete #1: the vectored share records exactly
+    CommitLog.delete(spark, root, "w", col("k") === 1L, dvMaxFraction = 0.99)
+    val h1 = CommitLog.latest(spark, root).get
+    assert(h1.dv.nonEmpty && h1.dvRows.values.sum == 1L)
+    assert(graft.sources.CommitLogCatalogTable.exactVisibleRows(h1)
+      .contains(9L))
+    // a merge-on-read MERGE folds the dir's vector and DROPS its dvRows
+    // entry (the documented degrade: the folded share has no per-dir
+    // count in hand)
+    CommitLog.merge(spark, root, "w", "k", Seq((3L, "Z")).toDF("k", "v"),
+      dvMaxFraction = 0.99)
+    val h2 = CommitLog.latest(spark, root).get
+    assert(h2.dv.nonEmpty && !h2.dv.keySet.forall(h2.dvRows.contains),
+      s"fixture: the merge must leave a dv-bearing dir without a " +
+        s"count, got dv=${h2.dv} dvRows=${h2.dvRows}")
+    assert(graft.sources.CommitLogCatalogTable.exactVisibleRows(h2).isEmpty,
+      "an unknown vectored share must degrade the exact statistic")
+    // dv delete #2 on the SAME dir: the unknown share must STAY unknown
+    // — re-seeding the count at 0 + 1 would report a confidently WRONG
+    // exact row count to join planning
+    CommitLog.delete(spark, root, "w", col("k") === 2L, dvMaxFraction = 0.99)
+    val h3 = CommitLog.latest(spark, root).get
+    assert(graft.sources.CommitLogCatalogTable.exactVisibleRows(h3).isEmpty,
+      s"the re-vectored dir must not resurrect an exact count: " +
+        s"rows=${h3.rows} dvRows=${h3.dvRows}")
+    // the data itself stays right throughout
+    assert(CommitLog.readLatest(spark, root).get.count() == 8L)
+    assert(CommitLog.readLatest(spark, root).get
+      .filter(col("k") === 3L).head().getString(1) == "Z")
   }
 
   test("generated column AS partition column: the derive-a-bucket story composes end to end (r19)") {
