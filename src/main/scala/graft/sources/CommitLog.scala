@@ -1612,20 +1612,15 @@ object CommitLog {
   }
 
   /** Undo hive-style %XX path escaping of a partition value as written
-    * by Spark's partitioned writer (the `col=value` dir names). */
-  private def unescapePathValue(v: String): String = {
-    val sb = new StringBuilder(v.length)
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '%' && i + 3 <= v.length) {
-        val h = v.substring(i + 1, i + 3)
-        try { sb.append(Integer.parseInt(h, 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+    * by Spark's partitioned writer (the `col=value` dir names) —
+    * Spark's OWN inverse of the escaping it applied, so the decoder can
+    * never drift from the encoder (code review r19: a hand-rolled copy
+    * would silently corrupt recorded partition values if upstream
+    * escaping ever changed — and those values feed DELETE/replaceWhere
+    * dir selection). */
+  private def unescapePathValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
 
   /** Stage `df` SPLIT per partition tuple (r19 — VERDICT r18 #1): ONE
     * write pass (`partitionBy` over shadow string copies of the
@@ -1645,14 +1640,18 @@ object CommitLog {
     val shadows = phys.indices.map(i => s"__gp$i")
     // the shadow names are reserved: a real column called __gp<i> would
     // be silently OVERWRITTEN by withColumn and then stripped from the
-    // staged files by partitionBy — refuse loudly instead (code review
-    // r19)
-    val clash = df.columns.filter(_.startsWith("__gp"))
+    // staged files by partitionBy — refuse loudly instead. Checked on
+    // the PHYSICAL frame (code review r19, twice: the first cut checked
+    // df.columns, which misses a colMap whose frozen physical name is
+    // __gp-prefixed — e.g. a column born '__gp0' later renamed away)
+    val physFrame = toPhysical(df, colMap)
+    val clash = physFrame.columns.filter(_.startsWith("__gp"))
     require(clash.isEmpty,
-      s"CommitLog: column name(s) ${clash.mkString("'", "', '", "'")} " +
-        "collide with the reserved __gp<i> partition-staging shadows — " +
-        "rename them before writing to a partitioned table")
-    val tagged = phys.zip(shadows).foldLeft(toPhysical(df, colMap)) {
+      s"CommitLog: physical column name(s) " +
+        s"${clash.mkString("'", "', '", "'")} collide with the reserved " +
+        "__gp<i> partition-staging shadows — rewrite the table to shed " +
+        "them before writing partitioned")
+    val tagged = phys.zip(shadows).foldLeft(physFrame) {
       case (d, (p, sh)) =>
         d.withColumn(sh, col("`" + p.replace("`", "``") + "`").cast("string"))
     }
@@ -2377,6 +2376,16 @@ object CommitLog {
     // statement adds at that path. Dotted keys demand dot-free path
     // segments (a segment containing '.' would make the key ambiguous —
     // the colmap rule applied to the defaults block).
+    // a TOP-LEVEL added column whose literal name contains '.' could
+    // carry a default that applyDefaults would misread as a nested
+    // path (grouped under a head segment that doesn't exist — the
+    // constant would silently never coalesce); refuse the combination
+    // (code review r19)
+    defaults.keys.filter(_.contains('.')).foreach(k =>
+      require(!topAdded.exists(_.name == k),
+        s"DEFAULT for added column '$k': its name contains '.', which " +
+          "is ambiguous with path-keyed nested defaults — rename the " +
+          "column"))
     val defaultTargets: Map[String, org.apache.spark.sql.types.StructField] =
       topAdded.map(f => f.name -> f).toMap ++
         nested.flatMap { case (path, fs) =>
@@ -2559,6 +2568,19 @@ object CommitLog {
     }
   }
 
+  /** True when the table holds NO committed rows — the gate for
+    * declaring (or clearing) partitioning/generation. Pre-r19 commits
+    * record no per-dir `rows` entry, so an absent entry falls back to
+    * ONE driver-side footer count per dir (code review r19: treating
+    * absence as non-empty locked genuinely empty legacy tables out of
+    * the declarations forever). */
+  private def tableIsEmpty(spark: SparkSession, root: String,
+      cur: Commit): Boolean =
+    cur.dataDirs.forall(d => cur.rows.get(d) match {
+      case Some(n) => n == 0L
+      case None => dirRowCount(spark, s"$root/$d") == 0L
+    })
+
   /** Partition-value types the spec accepts (r19): atomic types whose
     * string rendering under Spark's cast is deterministic and
     * reproducible from a pushed literal — what [[stagePartitioned]]
@@ -2589,7 +2611,7 @@ object CommitLog {
         s"CommitLog: $root is already partitioned by " +
           s"${cur.partitionBy.mkString("(", ", ", ")")} — changing the " +
           "spec of committed data needs an explicit full rewrite")
-      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+      require(tableIsEmpty(spark, root, cur),
         s"CommitLog: PARTITIONED BY on $root after data was committed — " +
           "declare partitioning at CREATE (before the first insert), or " +
           "rewrite explicitly")
@@ -2614,7 +2636,7 @@ object CommitLog {
   private[graft] def clearPartitionBy(spark: SparkSession, root: String,
       writer: String, maxAttempts: Int = 20): Commit =
     metadataCommit(spark, root, writer, "partition-by", maxAttempts) { cur =>
-      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+      require(tableIsEmpty(spark, root, cur),
         s"CommitLog: cannot clear PARTITIONED BY on $root after data " +
           "was committed")
       cur.copy(partitionBy = Nil, partVals = Map.empty)
@@ -2624,7 +2646,7 @@ object CommitLog {
   private[graft] def clearGeneratedColumns(spark: SparkSession, root: String,
       writer: String, maxAttempts: Int = 20): Commit =
     metadataCommit(spark, root, writer, "generated-cols", maxAttempts) { cur =>
-      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+      require(tableIsEmpty(spark, root, cur),
         s"CommitLog: cannot clear GENERATED columns on $root after data " +
           "was committed")
       cur.copy(gens = Nil)
@@ -2649,7 +2671,7 @@ object CommitLog {
         s"CommitLog: $root already records generated columns " +
           s"${cur.gens.map(_._1).mkString("(", ", ", ")")} — redeclaring " +
           "needs an explicit full rewrite")
-      require(cur.dataDirs.forall(d => cur.rows.get(d).contains(0L)),
+      require(tableIsEmpty(spark, root, cur),
         s"CommitLog: GENERATED ALWAYS AS on $root after data was " +
           "committed — declare at CREATE (existing rows were never " +
           "validated against the expression)")
@@ -2667,6 +2689,23 @@ object CommitLog {
               s"against ${head.schema.simpleString}"))
         require(analyzed.expressions.forall(_.deterministic),
           s"GENERATED column '$n': expression ($e) must be deterministic")
+        // `deterministic` admits SESSION-dependent foldables —
+        // current_database(), current_user(), current_date() — whose
+        // value differs writer to writer: enforceGenerated would then
+        // refuse valid rows written under another session's identity,
+        // and the derived partition probe would fold a different value
+        // than the writer recorded and mis-prune (code review r19; the
+        // validateDefaults rule applied to generation)
+        val sessionish = analyzed.expressions.flatMap(_.collect {
+          case x if x.getClass.getSimpleName.startsWith("Current") ||
+              x.getClass.getSimpleName == "Now" ||
+              x.getClass.getSimpleName == "LocalTimestamp" => x
+        })
+        require(sessionish.isEmpty,
+          s"GENERATED column '$n': expression ($e) is time/session-" +
+            s"dependent (${sessionish.map(_.getClass.getSimpleName)
+              .distinct.mkString(", ")}) — generation must compute the " +
+            "same value under every writer's session")
         val refs = analyzed.expressions.flatMap(_.references.map(_.name))
         require(!refs.exists(genNames.contains),
           s"GENERATED column '$n': expression ($e) may not reference " +
@@ -3090,6 +3129,22 @@ object CommitLog {
           "the (s.f) path form")
       val from = headSchema.fields(i).dataType
       requireSafeWidening(s"'$name'", from, to)
+      // a generation PRODUCING the column (its expression's type would
+      // no longer match the recorded schema) or READING it (the
+      // materialized output type changes) would silently break every
+      // later omit-and-materialize append with a misleading
+      // schema-mismatch error — refuse like rename/drop (code review
+      // r19)
+      require(!cur.gens.exists(_._1 == name),
+        s"ALTER COLUMN TYPE: '$name' is GENERATED ALWAYS AS — " +
+          "redeclare the table to change the generated type")
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefs(spark, root, cur, s"generated '$gn'", ge)
+          .contains(name) }
+      require(genBlocking.isEmpty,
+        s"ALTER COLUMN TYPE '$name': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       cur.copy(schemaDDL = Some(StructType(headSchema.fields.updated(i,
         headSchema.fields(i).copy(dataType = to))).toDDL))
     }
@@ -3143,6 +3198,15 @@ object CommitLog {
         rowInvisible = false) { cur =>
       val headSchema = load(spark, root, cur).schema
       requireDotFreeFor("ALTER nested COLUMN TYPE", path, headSchema)
+      // generation-input guard, path-wise like the nested rename/drop
+      // verbs (code review r19)
+      val genBlocking = cur.gens.filter { case (gn, ge) =>
+        constraintRefPaths(spark, root, cur, s"generated '$gn'", ge)
+          .exists(p => pathsOverlap(p, path)) }
+      require(genBlocking.isEmpty,
+        s"ALTER COLUMN TYPE '${path.mkString(".")}': generated column" +
+          s" ${genBlocking.map(_._1).mkString(", ")} computes from it — " +
+          "redeclare the table to change generation inputs")
       def retypeAt(st: StructType, p: Seq[String], at: String): StructType = {
         val i = st.fields.indexWhere(_.name == p.head)
         require(i >= 0,

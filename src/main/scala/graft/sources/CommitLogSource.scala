@@ -621,16 +621,23 @@ object CommitLogSource {
         val rows = lits.map(l => s"(${l.sql})").mkString(", ")
         val df = spark.sql(s"SELECT ($genExpr) AS __g " +
           s"FROM (VALUES $rows) AS __t(`$inName`)")
-        val tzSensitive = df.queryExecution.analyzed.expressions
+        val sessionSensitive = df.queryExecution.analyzed.expressions
           .exists(_.exists {
             case c: org.apache.spark.sql.catalyst.expressions.Cast =>
               org.apache.spark.sql.catalyst.expressions.Cast
                 .needsTimeZone(c.child.dataType, c.dataType)
             case _: org.apache.spark.sql.catalyst.expressions
                 .TimeZoneAwareExpression => true
+            // the CurrentLike family is deterministic-within-a-query but
+            // session-dependent (current_database(), current_user()) —
+            // setGeneratedColumns refuses these since r19, but a
+            // legacy-recorded expression must still never fold here
+            case x if x.getClass.getSimpleName.startsWith("Current") ||
+                x.getClass.getSimpleName == "Now" ||
+                x.getClass.getSimpleName == "LocalTimestamp" => true
             case _ => false
           })
-        if (tzSensitive) return None
+        if (sessionSensitive) return None
         df.queryExecution.optimizedPlan match {
           case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
               if lr.output.length == 1 && lr.data.length == lits.length =>
@@ -943,8 +950,8 @@ private final class CommitLogStatsScan(
       // (Spark's own LeafNode sizing idiom) — truer than compressed file
       // bytes for broadcast decisions on small-row dims
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(
-          math.max(1L, rowCount * (readSchema().defaultSize + 8L)))
+        java.util.OptionalLong.of(CommitLogCatalogTable
+          .rowWidthBytes(rowCount, readSchema()))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rowCount)
     }
@@ -955,6 +962,15 @@ private[graft] object CommitLogCatalogTable {
     * dir recorded its count and every dv-bearing dir its vectored
     * count; anything less degrades the route to size estimates, never
     * to a wrong exact number. */
+  /** In-memory width estimate for `n` rows of `schema`: per-field
+    * default sizes + row overhead (Spark's own LeafNode sizing idiom) —
+    * truer than compressed file bytes for broadcast decisions on
+    * small-row dims. The ONE copy all three statistics routes share
+    * (code review r19: catalog scan, V1-DV fallback, relation). */
+  private[sources] def rowWidthBytes(n: Long,
+      schema: StructType): Long =
+    math.max(1L, n * (schema.defaultSize + 8L))
+
   private[graft] def exactVisibleRows(c: CommitLog.Commit): Option[Long] =
     if (c.dataDirs.nonEmpty && c.dataDirs.forall(c.rows.contains) &&
         c.dv.keySet.forall(c.dvRows.contains))
@@ -1127,8 +1143,8 @@ private[graft] final class CommitLogCatalogTable(root: String,
                 new org.apache.spark.sql.connector.read.Statistics {
                   private val n = CommitLogCatalogTable.exactVisibleRows(c)
                   override def sizeInBytes(): java.util.OptionalLong =
-                    n.map(v => java.util.OptionalLong.of(math.max(1L,
-                      v * (readSchema().defaultSize + 8L))))
+                    n.map(v => java.util.OptionalLong.of(
+                      CommitLogCatalogTable.rowWidthBytes(v, readSchema())))
                       .getOrElse(java.util.OptionalLong.empty())
                   override def numRows(): java.util.OptionalLong =
                     n.map(java.util.OptionalLong.of)
@@ -1272,7 +1288,7 @@ private[sources] final class CommitLogDvRelation(
     * (r19): rows − vectored deletes, in-memory row width — so even the
     * merge-on-read route sizes broadcasts by truth. */
   override def sizeInBytes: Long = exactRows match {
-    case Some(n) => math.max(1L, n * (schema.defaultSize + 8L))
+    case Some(n) => CommitLogCatalogTable.rowWidthBytes(n, schema)
     case None => super.sizeInBytes
   }
   // reported NULLABLE throughout: the MoR plan can TIGHTEN nullability

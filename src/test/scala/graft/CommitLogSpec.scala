@@ -816,6 +816,15 @@ class CommitLogSpec extends SparkSpec {
     val dr = CommitLog.dropStructField(spark, root, "w", Seq("m", "pr"))
     assert(!dr.defaults.exists(_._1 == "m.pr"),
       s"a dropped field's default goes with it: ${dr.defaults}")
+    // a TOP-LEVEL added column whose literal name contains '.' may not
+    // carry a default — applyDefaults would misread the key as a nested
+    // path and the constant would silently never coalesce (code review
+    // r19)
+    intercept[IllegalArgumentException] {
+      CommitLog.evolveSchema(spark, root, "w",
+        Seq(org.apache.spark.sql.types.StructField("odd.name", StringType)),
+        defaults = Map("odd.name" -> "'x'"))
+    }
     // the SQL statement face: ADD COLUMNS (m.x T DEFAULT c) records the
     // path-keyed default through the catalog in ONE commit
     val catRoot = freshRoot()

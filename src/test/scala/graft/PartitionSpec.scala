@@ -163,6 +163,33 @@ class PartitionSpec extends SparkSpec {
     // a partition-unaware binary must refuse to WRITE (feature-gated)
     val head = CommitLog.latest(spark, root2).get
     assert(CommitLog.gatedWriterFeatures(head).contains("partitioning"))
+    // a PRE-r19 empty table records no per-dir `rows` entry — the
+    // emptiness gate falls back to a footer count instead of treating
+    // absence as non-empty (code review r19: the strict form locked
+    // genuinely empty legacy tables out of the declaration forever)
+    val root3 = freshRoot()
+    CommitLog.commit(spark, root3, "w", "create") { _ =>
+      Seq.empty[(String, Long)].toDF("day", "n").repartition(1) }
+    val headFile = java.nio.file.Paths.get(root3, "_commits",
+      "v" + "%020d".format(1L) + ".json")
+    val txt = new String(java.nio.file.Files.readAllBytes(headFile), "UTF-8")
+    assert(txt.contains("\"rows\":"), s"fixture: $txt")
+    java.nio.file.Files.write(headFile,
+      txt.replaceAll(""","rows":\{[^}]*\}""", "").getBytes("UTF-8"))
+    assert(CommitLog.latest(spark, root3).get.rows.isEmpty,
+      "fixture: the forged legacy head must carry no rows map")
+    CommitLog.setPartitionBy(spark, root3, "w", Seq("day"))
+    assert(CommitLog.latest(spark, root3).get.partitionBy == Seq("day"))
+    // a RESERVED-shadow physical column refuses before any staging
+    // write (it would be silently overwritten then stripped)
+    val root4 = freshRoot()
+    CommitLog.commit(spark, root4, "w", "create") { _ =>
+      Seq.empty[(String, Long)].toDF("day", "__gp0").repartition(1) }
+    CommitLog.setPartitionBy(spark, root4, "w", Seq("day"))
+    intercept[IllegalArgumentException] {
+      CommitLog.commitAppend(spark, root4, "w", "append")(
+        Seq(("d1", 1L)).toDF("day", "__gp0"))
+    }
   }
 
   test("SQL: CREATE PARTITIONED BY + INSERT + OVERWRITE PARTITION route through the verbs") {
@@ -259,6 +286,24 @@ class PartitionSpec extends SparkSpec {
       cur.get.filter(col("id") === 15L).drop("bucket") }
     assert(rows(CommitLog.readLatest(spark, root2).get) ==
       Seq(Seq(15L, 5L, "a")))
+    // guards added by the r19 review, each loud: a SESSION-dependent
+    // generation would enforce inconsistently writer-to-writer and
+    // mis-fold derived partition probes; widening a generated column or
+    // its INPUT would break every later omit-and-materialize append
+    // with a misleading schema-mismatch error
+    val root3 = freshRoot()
+    CommitLog.commit(spark, root3, "w", "create") { _ =>
+      Seq.empty[(Int, Int, String)].toDF("i", "b", "day").repartition(1) }
+    intercept[IllegalArgumentException] {
+      CommitLog.setGeneratedColumns(spark, root3, "w",
+        Seq("day" -> "CAST(current_date() AS STRING)")) }
+    CommitLog.setGeneratedColumns(spark, root3, "w", Seq("b" -> "i % 5"))
+    intercept[IllegalArgumentException] { // the generated column itself
+      CommitLog.widenColumnType(spark, root3, "w", "b",
+        org.apache.spark.sql.types.LongType) }
+    intercept[IllegalArgumentException] { // its input
+      CommitLog.widenColumnType(spark, root3, "w", "i",
+        org.apache.spark.sql.types.LongType) }
   }
 
   test("SQL: GENERATED ALWAYS AS at CREATE round-trips through INSERT and MERGE") {
