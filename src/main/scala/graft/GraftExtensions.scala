@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, RollingFingerprint}
+import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, GramMaxCount, NearestCells, RollingFingerprint}
 import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf, RestoreV1ScanStatistics, RowLevelSqlStrategy}
 
 /** THE session-extension entry point: everything the engine injects into
@@ -16,6 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RollingFingerprint.builder))
     ext.injectFunction((BpeTokenCount.identifier, BpeTokenCount.info,
       BpeTokenCount.builder))
+    // r19 optimization round: fused JVM replacements for interpreted
+    // HOF pipelines on the IVF-probe and repetition-score hot paths
+    ext.injectFunction((NearestCells.identifier, NearestCells.info,
+      NearestCells.builder))
+    ext.injectFunction((GramMaxCount.identifier, GramMaxCount.info,
+      GramMaxCount.builder))
     ext.injectFunction((BloomOps.aggIdentifier, BloomOps.aggInfo,
       BloomOps.aggBuilder))
     ext.injectFunction((BloomOps.mightIdentifier, BloomOps.mightInfo,

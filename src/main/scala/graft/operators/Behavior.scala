@@ -164,11 +164,18 @@ object Behavior {
     // group-cardinality-sized broadcasts.
     "q_anomaly_mad" -> ((s, d) => {
       val ev = Tables.events(s, d)
+      // r19: the group size n rides the SAME window partitioning as the
+      // rank (count over an unordered frame on the event_type partition)
+      // instead of a separate groupBy + broadcast join — the before-plan
+      // scanned events 9× across 10 Exchanges because every lowerMedian
+      // call re-derived its input twice (rank pass + count pass); this
+      // form derives it once per call (4 scans / 4 Exchanges after,
+      // guide §2.4 "two operations keyed the same way share one
+      // exchange"). Same lower-median order statistic, bit-identical.
       def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
         val w = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
-        val n = df.groupBy("event_type").agg(count(lit(1)).as("n"))
         df.withColumn("rn", row_number().over(w))
-          .join(broadcast(n), "event_type")
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
           .filter(col("rn") === expr("(n + 1) div 2"))
           .select(col("event_type"), col(valueCol).as(out))
       }

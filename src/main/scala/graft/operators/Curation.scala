@@ -25,8 +25,9 @@ import graft.Tables
   *  - PII scrubbing is pure per-row expression work (regexp_extract_all /
   *    regexp_replace are codegen'd): map-only, shuffle-free, scales
   *    linearly with executors.
-  *  - Repetition scoring shuffles once on (doc_id, gram) with map-side
-  *    partial aggregation; the per-doc reduce state is one (max, sum) pair.
+  *  - Repetition scoring is per-row since r19 (the top-gram count of one
+  *    doc is the longest equal run of its own sorted gram array): map-only,
+  *    no gram ever shuffles.
   *  - Rebalancing aggregates per-language counts (a handful of rows),
   *    broadcasts them back, and filters with a DETERMINISTIC per-doc
   *    uniform hash — reproducible across runs, engines, and cluster
@@ -58,14 +59,23 @@ object Curation {
     * counted once via the running-max interval merge. */
   private[graft] def substringDupCoverage(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("p")
+    // r19: the gram key is two independently-seeded xxhash64 words (128
+    // bits total — the same collision envelope the md5 key had) instead of
+    // md5's 32-char hex string: xxhash64 is whole-stage-codegen'd while
+    // md5 pays a MessageDigest + hex-encode per position, and the
+    // (h1, h2) key groups/joins/shuffles as 16 fixed bytes instead of a
+    // 32-byte string (guide §2.3 narrower types, §4 built-ins). The hash
+    // never reaches the output, so results are unchanged.
     val grams = docs
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
-        expr(s"transform(sequence(1, size(t)-${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))"))
-        .as(Seq("p", "gh")))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("gh")
-    val runs = grams.join(dup, "gh")
+        expr(s"transform(sequence(1, size(t)-${k - 1}), i -> concat_ws(' ', slice(t, i, $k)))"))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), col("n_toks"), col("p"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(8191L), col("g")).as("h2"))
+    val dup = grams.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h1", "h2")
+    val runs = grams.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"), col("n_toks"), col("p").cast("long").as("p"))
       .withColumn("new_run", when(
         col("p") > coalesce(
@@ -88,11 +98,19 @@ object Curation {
     * Output: (doc_id, n_toks, avg_logprob) — token-weighted mean
     * ln(c_term / total_tokens) over the input's own unigram counts. */
   private[graft] def unigramLogprob(docs: DataFrame): DataFrame = {
+    // r19: the before-plan evaluated the explode+tf subtree three times
+    // (tf itself, cnt = regroup of tf, tot = re-aggregate of cnt — 3 doc
+    // scans, 8 Exchanges). Two algebraic identities remove both extra
+    // passes with bit-identical counts: the per-term corpus count is a
+    // whole-partition window over the SAME tf frame (one shuffle on term,
+    // guide §2.4), and the corpus total Σ_term c = Σ all tf = Σ_doc
+    // size(t) — a map-only aggregate over the token arrays that never
+    // explodes a token.
     val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
-    val tot = cnt.agg(sum(col("c")).as("tot"))
-    tf.join(cnt, "term").crossJoin(broadcast(tot))
+    val tot = docs.agg(sum(size(col("t")).cast("long")).as("tot"))
+    tf.withColumn("c", sum("tf").over(Window.partitionBy("term")))
+      .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_toks"),
         round(
@@ -186,17 +204,25 @@ object Curation {
 
     // Gopher-style repetition signal: the fraction of a doc's word-2-grams
     // occupied by its single most frequent 2-gram (high = boilerplate/spam).
+    // r19: computed PER ROW — the top gram count of one doc is the longest
+    // equal run of its own sorted gram list, so exploding every gram
+    // instance into a (doc_id, g) shuffle plus a second per-doc shuffle
+    // (the before-plan's 3 Exchanges) bought nothing: the signal is
+    // row-local. gram_max_count is the fused native pass (an interpreted
+    // aggregate()-HOF version of the same idea measured SLOWER than the
+    // shuffle it removed — see GramMaxCount's scaladoc). Map-only now (one
+    // Exchange left, the output sort); at 100 TB this also removes the one
+    // shuffle whose bytes scaled with token count (guide §2.4).
+    // max(count) ≡ longest sorted run and sum(count) ≡ size(t)−1, so the
+    // division round-trips bit-identically against the same oracle.
     "q_text_repetition" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), toksOf.as("t"))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))"))
-          .as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(round(max("c").cast("double") / sum("c").cast("double"), 6)
-          .as("top2_frac"))
+        .select(col("doc_id"),
+          round(expr("CAST(gram_max_count(t, 2) AS DOUBLE)") /
+            expr("CAST(size(t) - 1 AS DOUBLE)"), 6)
+            .as("top2_frac"))
         .orderBy("doc_id")),
 
     // Document chunking for RAG / context-window prep: 64-token windows at
@@ -278,13 +304,17 @@ object Curation {
     // The per-language count table is tiny → broadcast back to the corpus.
     "q_lang_rebalance" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // r19: same shape fix as q_mix_temperature — materialize the
+      // group-sized count frame its two consumers share, broadcast the
+      // group-sized final join.
       val n = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .localCheckpoint()
       val u = (col("doc_id") * lit(2654435761L) + lit(97L)) % lit(1000000007L)
       val kept = docs.join(broadcast(n), "lang")
         .filter(u.cast("double") / 1000000007.0 <
           least(lit(1.0), lit(120.0) / col("n_total")))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      n.join(kept, Seq("lang"), "left")
+      n.join(broadcast(kept), Seq("lang"), "left")
         .na.fill(0L, Seq("n_kept"))
         .select("lang", "n_total", "n_kept")
         .orderBy("lang")
@@ -293,8 +323,9 @@ object Curation {
     // Substring-level dedup (the Lee et al. 2022 ExactSubstr concern at
     // token-10-gram granularity): for every doc, the fraction of its tokens
     // covered by some 10-gram that occurs MORE THAN ONCE in the corpus
-    // (cross-doc or within-doc). Plan: one shuffle keyed on the gram md5
-    // (the 10-gram TEXT never shuffles — only its 32-byte hash and a
+    // (cross-doc or within-doc). Plan: one shuffle keyed on the gram's
+    // 128-bit double-xxhash64 key (the 10-gram TEXT never shuffles —
+    // only two fixed 8-byte hash words and a
     // position), an inner join back to positions, then per-doc interval
     // union via a running-max window (overlapping/touching [p, p+9] spans
     // merge into contiguous runs, so covered tokens are counted once).
@@ -351,7 +382,14 @@ object Curation {
     // filter.
     "q_mix_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // r19: the per-source count frame is group-cardinality-sized but
+      // feeds the plan in three places (rate table ×2 + its own total);
+      // left lazy it re-scanned documents once per reference (5 scans, 8
+      // Exchanges, and a SortMergeJoin over the handful-of-sources frame
+      // in the before-plan). One materialization + broadcasting the final
+      // group-sized join leaves two document scans and no sort-merge.
       val n = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .localCheckpoint()
       val w = n.withColumn("w",
         sqrt(col("n_total").cast("double")).cast("decimal(28,12)"))
       val tot = w.agg(sum(col("w")).as("tot"))
@@ -365,7 +403,7 @@ object Curation {
       val kept = docs.join(broadcast(rated), "source")
         .filter(u.cast("double") / 1000000007.0 < col("rate"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
-      rated.join(kept, Seq("source"), "left")
+      rated.join(broadcast(kept), Seq("source"), "left")
         .na.fill(0L, Seq("n_kept"))
         .select("source", "n_total", "n_kept", "rate")
         .orderBy("source")

@@ -126,10 +126,19 @@ object DataModel {
         .select(col("c_nationkey"), col("c_custkey").as("cur"))
         .withColumn("prev", lag("cur", 1).over(w))
         .filter(col("prev").isNotNull)
+      // r19: materialize the frames the iterative plan re-references —
+      // lazy, Catalyst re-derived the whole lag-window subtree once per
+      // reference (the before-plan is 218 physical ops / 33 Exchanges /
+      // 20 scans; edges feeds contrib in every round, nodes feeds r0 and
+      // every round's left join, deg every round's divisor). This IS the
+      // per-round lineage truncation the scaladoc promises (same device
+      // as connectedComponents); after: 65 ops / 7 Exchanges / 10 scans
+      // (of the materialized RDDs, not re-derived windows).
       val edges = chain.select(col("prev").as("src"), col("cur").as("dst"))
         .unionByName(chain.select(col("cur").as("src"), col("prev").as("dst")))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
       val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
       def step(prev: DataFrame): DataFrame = {
         val contrib = edges
@@ -211,11 +220,17 @@ object DataModel {
         .withColumn("rk", row_number().over(w))
       val r2 = ranked.select(col("c_nationkey").as("nk2"),
         col("c_custkey").as("dst"), col("rk").as("rkd"))
+      // r19: the edge list feeds three consumers (both wedge sides inside
+      // triangleCount plus the nk ownership join); lazy, Catalyst expanded
+      // the rank-window + self-join subtree once per consumer (93 ops, 18
+      // Exchanges in the before-plan). One materialization per execution
+      // truncates that to the triangle joins themselves.
       val edges = ranked
         .join(r2, col("c_nationkey") === col("nk2") &&
           (col("rkd") - col("rk")).isin(1, 2))
         .select(col("c_nationkey").as("nk"), col("c_custkey").as("src"),
           col("dst"))
+        .localCheckpoint()
       triangleCount(edges.select("src", "dst"))
         .join(edges.select(col("src").as("a"), col("nk")).distinct(), Seq("a"))
         .groupBy("nk").agg(sum(col("tri")).as("triangles"))

@@ -308,12 +308,21 @@ object Joins {
     // salt bucket), so the oracle is the unsalted join. AQE's skew-join
     // split is the automatic alternative; this is the explicit form for
     // engines/sinks where AQE can't reach (SCALE.md §skew).
+    // shuffle_hash (r19): salting exists to spread a SHUFFLED join's hot
+    // key across reducers — but Catalyst sizes the dim by its pre-explode
+    // scan estimate and picked a broadcast join, replicating the ×salts
+    // dim into one driver-built hash relation per execution (the exact
+    // single-node hotspot salting is meant to avoid; guide §3.1 "estimates
+    // are often badly wrong after explode"). The hint restores the shape
+    // the operator demonstrates and the shape that survives a dim too big
+    // to broadcast; measured 1.74 s → see OPTIMIZATION_r19.md.
     "q_join_salted" -> ((s, d) => {
       val salts = 8
       val fact = Tables.lineitem(s, d)
         .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
       val dim = Tables.orders(s, d)
         .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+        .hint("shuffle_hash")
       fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),

@@ -47,15 +47,15 @@ object Similarity {
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
 
   /** Assign each vector to its nearest centroid (0-based `cid`); argmin ties
-    * break to the lowest index via array_position. Map-only: centroids ride
-    * along as a broadcast literal. */
+    * break to the lowest index. Map-only: centroids ride along as a
+    * broadcast literal. r19: one fused nearest_cells pass (same distances
+    * in the same fold order, same tie-break — see NearestCells) instead of
+    * the interpreted transform/aggregate/zip_with HOF chain that paid a
+    * boxed lambda call per (centroid × dim) per row. */
   def assignToCentroid(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     e.withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
-      .withColumn("dists", expr(
-        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
-      .withColumn("cid",
-        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
-      .drop("cs", "dists")
+      .withColumn("cid", expr("element_at(nearest_cells(v, cs, 1), 1)"))
+      .drop("cs")
 
   /** Multi-probe query-side assignment: explode each row to its `nprobe`
     * nearest centroid cells (ties break to the lowest cell index via the
@@ -67,14 +67,10 @@ object Similarity {
     */
   def probeCells(e: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame =
     e.withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
-      .withColumn("dists", expr(
-        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
-      // the generator must sit at the top level of the projection (no outer
-      // cast), so the int cast happens inside the transform lambda
-      .withColumn("cid", explode(expr(
-        s"transform(slice(array_sort(zip_with(dists, sequence(0, size(dists) - 1), " +
-          s"(d, i) -> struct(d AS d, i AS i))), 1, $nprobe), p -> CAST(p.i AS INT))")))
-      .drop("cs", "dists")
+      // r19: fused nearest_cells (nearest-first, ties to the lower index —
+      // bit-identical to the struct(d, i) array_sort HOF chain it replaces)
+      .withColumn("cid", explode(expr(s"nearest_cells(v, cs, $nprobe)")))
+      .drop("cs")
 
   /** IVF search against an ALREADY-ASSIGNED corpus (vec_id, v, cid):
     * queries (qid, v) probe their `nprobe` nearest cells, candidates are
@@ -133,12 +129,11 @@ object Similarity {
       nprobe: Int, topn: Int, maxCell: Long = 1L << 20): DataFrame = {
     val withProbes = e
       .withColumn("cs", array(centroids.map(c => typedlit(c)): _*))
-      .withColumn("dists", expr(
-        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x))"))
-      .withColumn("probes", expr(
-        s"transform(slice(array_sort(zip_with(dists, sequence(0, size(dists) - 1), " +
-          s"(d, i) -> struct(d AS d, i AS i))), 1, $nprobe), p -> CAST(p.i AS INT))"))
-      .drop("cs", "dists")
+      // r19: fused nearest_cells (see probeCells) — this pass runs over the
+      // FULL corpus at every execution, so it was the query's dominant
+      // per-row cost as an interpreted HOF chain
+      .withColumn("probes", expr(s"nearest_cells(v, cs, $nprobe)"))
+      .drop("cs")
     // Materialize the probed corpus ONCE per execution: the centroid
     // literal (k×dims doubles) would otherwise be embedded — and the
     // probe transform recomputed — in all three downstream subtrees
@@ -148,14 +143,27 @@ object Similarity {
     // cell-partitioned on-disk index write (IvfIndex.write).
     val probed = withProbes.withColumn("cid", explode(col("probes")))
       .localCheckpoint()
+    // The small-cells frame is ≤ k rows but feeds BOTH sides of the
+    // self-join below: left as a lazy plan, Catalyst duplicated the whole
+    // groupBy subtree (2 aggregations + 2 Exchanges + 2 broadcast builds
+    // per execution — see plans/r19/q_dedup_embed_blocked_before.txt ops
+    // 3-11 vs 16-24). Materializing the ≤ k-row frame once removes the
+    // duplicate pass while keeping the broadcast-join shape that scales
+    // (k grows with the corpus, so a driver-side collect would not).
     val smallCells = probed.groupBy("cid").agg(count(lit(1)).as("cn"))
       .filter(col("cn") <= maxCell).select("cid")
+      .localCheckpoint()
     val kept = probed.join(broadcast(smallCells), Seq("cid"))
     val a = kept.select(col("cid"), col("vec_id").as("da"),
       col("v").as("va"), col("probes").as("pa"))
     val b = kept.select(col("cid"), col("vec_id").as("db"),
       col("v").as("vb"), col("probes").as("pb"))
-    a.join(b, Seq("cid"))
+    // shuffle_hash (r19): the cell-keyed self-join must not broadcast (the
+    // build side is the corpus itself) and needs no sort order — a hash
+    // join per co-shuffled cell partition is the candidate-generation
+    // shape at every scale (guide §3.1: prefer shuffled-hash over
+    // sort-merge when per-partition builds fit).
+    a.join(b.hint("shuffle_hash"), Seq("cid"))
       .filter(col("da") < col("db") &&
         col("cid") === expr("array_min(array_intersect(pa, pb))"))
       .select(col("da"), col("db"),

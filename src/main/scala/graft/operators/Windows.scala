@@ -172,12 +172,16 @@ object Windows {
     // idiom as q_join_lateral). RANGE over a timestamp is set-based: rows
     // tied on ts are frame peers, so the result is deterministic without an
     // event_id tiebreak. One shuffle on user_id; per-row frame state is the
-    // sliding hour, not the partition. (The events views come from
-    // Tables.registerAll, so ts arrives rebuilt on the Spark side; the
+    // sliding hour, not the partition. (The events view comes from
+    // Tables.table, so ts arrives rebuilt on the Spark side; the
     // parquet ns timestamps are µs-aligned, so both engines see identical
     // instants.)
     "q_window_time_range" -> ((s, d) => {
-      graft.Tables.registerAll(s, d)
+      // r19: register only the view the SQL reads — registerAll opened all
+      // 10 parquet footers per execution for a query that touches events
+      // alone (the accessor still goes through Tables.table, so ts arrives
+      // rebuilt exactly as registerAll would have registered it).
+      graft.Tables.table(s, d, "events").createOrReplaceTempView("events")
       s.sql(TimeRangeSql)
     }),
 

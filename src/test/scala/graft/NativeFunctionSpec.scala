@@ -64,6 +64,71 @@ class NativeFunctionSpec extends SparkSpec {
     assert(vals(0).isNullAt(0) && vals(1).isNullAt(0) && !vals(2).isNullAt(0))
   }
 
+  test("nearest_cells equals the HOF sort/slice probe pipeline it replaced (r19)") {
+    // The exact expression pipeline probeCells/assignToCentroid ran before
+    // r19 — distances via zip_with fold, (d, i) struct sort, nprobe slice.
+    def hofProbes(nprobe: Int) = expr(
+      s"transform(slice(array_sort(zip_with(" +
+        "transform(cs, c -> aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)), " +
+        "sequence(0, size(cs) - 1), (d, i) -> struct(d AS d, i AS i))), " +
+        s"1, $nprobe), p -> CAST(p.i AS INT))")
+    val e = Tables.embeddings(spark, sf)
+      .select(ColumnOps.toDoubleArray(col("embedding")).as("v"))
+    val cents = Similarity.kmeansCentroids(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), ColumnOps.toDoubleArray(col("embedding")).as("v")),
+      k = 8, iters = 2)
+    val withCs = e.withColumn("cs", array(cents.map(c => typedLit(c)): _*))
+    for (np <- Seq(1, 3, 8, 99)) { // 99 > k: both degrade to all k cells
+      val diffs = withCs.select(
+        expr(s"nearest_cells(v, cs, $np)").as("native"),
+        hofProbes(np).as("hof"))
+        .filter(!(col("native") <=> col("hof"))).count()
+      assert(diffs == 0, s"nearest_cells(nprobe=$np) must equal the HOF pipeline")
+    }
+    // duplicate centroids: ties must break to the lower index on both paths
+    val dup = e.limit(32).withColumn("cs",
+      array(typedLit(cents.head), typedLit(cents.head), typedLit(cents(1))))
+    val tieDiffs = dup.select(
+      expr("nearest_cells(v, cs, 2)").as("native"),
+      hofProbes(2).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(tieDiffs == 0, "equal distances must order by index, like the struct sort")
+  }
+
+  test("gram_max_count equals the explode/groupBy gram multiplicity (r19)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(graft.functions.TextTokens.ToksSql).as("t"))
+      .filter(size(col("t")) >= 2)
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("want"))
+    val diffs = docs
+      .select(col("doc_id"), expr("gram_max_count(t, 2)").as("got"))
+      .join(viaShuffle, "doc_id")
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(diffs == 0, "per-row run count must equal the shuffled multiplicity")
+    // adversarial shapes: repeated grams, all-equal tokens, minimum size —
+    // expected values derived by hand from the gram multiset
+    val edge = Seq(
+      (Seq("a", "b", "a", "b", "a"), 2L), // "a b" ×2, "b a" ×2
+      (Seq("x", "x", "x", "x"), 3L),      // "x x" ×3
+      (Seq("p", "q"), 1L),                // one gram
+      (Seq("b", "a", "b", "a", "b", "c", "b", "a"), 3L)).toDF("t", "want")
+    val edgeDiffs = edge
+      .select(expr("gram_max_count(t, 2)").as("got"), col("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(edgeDiffs == 0, "edge shapes must match the hand-counted multiplicity")
+    // null in, null out; too-short in, null out
+    val r = Seq((Seq("only"))).toDF("t")
+      .select(expr("gram_max_count(t, 2)"), expr("gram_max_count(CAST(NULL AS ARRAY<STRING>), 2)"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native top-k query equals the HOF top-k query") {
     val a = rows(Similarity.queries("q_sim_topk")(spark, sf))
     val b = rows(Similarity.queries("q_sim_topk_native")(spark, sf))
