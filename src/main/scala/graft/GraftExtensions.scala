@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{BloomOps, BpeTokenCount, CosineSimilarity, GramMaxCount, NearestCells, RollingFingerprint}
+import graft.functions.{AdcDist, BloomOps, BpeTokenCount, CosineSimilarity, GramMaxCount, Grams, NearestCells, RollingFingerprint, Tokens}
 import graft.plans.{AsOfStrategy, IntervalJoinRewrite, PushFilterThroughAsOf, RestoreV1ScanStatistics, RowLevelSqlStrategy}
 
 /** THE session-extension entry point: everything the engine injects into
@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NearestCells.builder))
     ext.injectFunction((GramMaxCount.identifier, GramMaxCount.info,
       GramMaxCount.builder))
+    ext.injectFunction((Grams.identifier, Grams.info, Grams.builder))
+    ext.injectFunction((Tokens.identifier, Tokens.info, Tokens.builder))
+    ext.injectFunction((AdcDist.identifier, AdcDist.info, AdcDist.builder))
     ext.injectFunction((BloomOps.aggIdentifier, BloomOps.aggInfo,
       BloomOps.aggBuilder))
     ext.injectFunction((BloomOps.mightIdentifier, BloomOps.mightInfo,

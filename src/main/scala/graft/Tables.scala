@@ -18,8 +18,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // r19: session-scoped memo of each table's INFERRED parquet schema —
+  // `spark.read.parquet(path)` with no schema re-reads a file footer to
+  // infer it on EVERY DataFrame construction, a fixed per-query-execution
+  // tax across all ~215 declared queries. Passing the memoized schema is
+  // the catalog pattern (schema from metadata, not a footer read); the
+  // DATA is still read from parquet on every execution — this caches
+  // table metadata, never rows or results.
+  private val schemaCache = new SessionCache[StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrBuild(spark, path)(
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Schema-pinned non-parquet ingestion (VERDICT r9 missing #3 — the most
     * common first mile for a real user is JSONL or CSV, not parquet).

@@ -36,7 +36,7 @@ object ColumnOps {
     * `list_filter(string_split(text,' '), w -> w <> '')`).
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    call_function("graft_tokens", text)
 
   /** Sequential-fold dot product of two double-array columns. Matches
     * DuckDB's sequential list_aggregate('sum') fold order.

@@ -48,9 +48,10 @@ object GeoOps {
     *    defeats any fixed longitude window; polar populations are
     *    vanishing, so a catch-all bucket is the right trade).
     * A pair with a polar member is caught by the other member probing the
-    * polar band's catch-all key; that match may exist in only ONE probe
+    * polar band's catch-all key; matches may exist in only ONE probe
     * direction, so pairs are canonicalized (least/greatest) AFTER the
-    * join instead of by join role. Probes explode ×9 (array_distinct'd);
+    * join instead of by join role. Probes explode ≤×6 in one canonical
+    * direction per cell pair (r19 — see the probe-set comment below);
     * the join is a pure equi-join on (band, cell) — no nested loop at any
     * corpus size — then the exact haversine confirms, rounded BEFORE the
     * threshold compare so boundary ulps can't flip membership across
@@ -91,27 +92,80 @@ object GeoOps {
     val homes = keyed.select(col("k").as("db"), col("lat").as("latb"),
       col("lon").as("lonb"), col("px").as("xb"), col("py").as("yb"),
       col("pz").as("zb"), col("band"), col("cell"))
+    // r19: CANONICAL one-direction probing — ≤6 plain struct expressions
+    // + array_distinct instead of the original ×9 interpreted HOF probe
+    // window. Two changes vs the 9-probe scheme, results identical:
+    //
+    // (a) codegen-able expressions replace the transform/filter/flatten
+    //     lambda chain (out-of-range bands emit the home key, already in
+    //     the array, instead of a filtered null);
+    // (b) each unordered CELL pair is probed in ONE direction instead of
+    //     two, halving candidate pairs, chord/haversine evaluations, and
+    //     the final distinct's input. Probe set per point:
+    //       (0,0)   own cell — same-cell pairs; the selfp filter below
+    //               keeps only da < db so each pair appears once;
+    //       (0,+1)  right neighbor — same-band cross-cell pairs: exactly
+    //               one of the two cells is the other's +1 (mod 24);
+    //       (+1,-1..+1) the band above — cross-band pairs are generated
+    //               from BELOW only. Sufficient because a qualifying
+    //               pair's lon window exceeds ±1 cells only when its
+    //               poleward member sits in a polar band, and probes INTO
+    //               a polar band collapse to that band's catch-all key;
+    //       (-1 catch-all) from band 4 only — the one cross-band case the
+    //               up-probe cannot cover from below: a band-3 (south
+    //               polar) member more than ±1 lon-cells away from its
+    //               band-4 partner; the band-4 point probes the catch-all
+    //               (3, 0) directly. (North mirror needs nothing: for a
+    //               (31, 32) pair the band-31 point's up-probes all map
+    //               to (32, 0).)
+    // Every unordered qualifying pair is still generated at least once
+    // (PropertySpec's brute-force adversaries: polar, wraparound, exact
+    // boundary); duplicates (e.g. band-3/4 pairs caught from both sides)
+    // are removed by the existing final distinct.
+    val probeKeys = {
+      val home = struct(col("band").as("band"), col("cell").as("cell"))
+      def up(dc: Int) = {
+        val b1 = col("band") + lit(1)
+        when(b1 > 35, home).otherwise(
+          struct(b1.as("band"),
+            when(b1 <= 3 || b1 >= 32, lit(0))
+              .otherwise(pmod(col("cellRaw") + lit(dc), lit(24)))
+              .cast("int").as("cell")))
+      }
+      val right = struct(col("band").as("band"),
+        when(col("band") <= 3 || col("band") >= 32, lit(0))
+          .otherwise(pmod(col("cellRaw") + lit(1), lit(24)))
+          .cast("int").as("cell"))
+      val downCatch = when(col("band") === 4,
+        struct(lit(3).cast("int").as("band"), lit(0).cast("int").as("cell")))
+        .otherwise(home)
+      array_distinct(array(home, right, up(-1), up(0), up(1), downCatch))
+    }
     val probes = keyed.select(col("k").as("da"), col("lat").as("lata"),
       col("lon").as("lona"), col("px").as("xa"), col("py").as("ya"),
-      col("pz").as("za"),
-      explode(expr(
-        "array_distinct(flatten(transform(array(-1, 0, 1), db -> " +
-          "filter(transform(array(-1, 0, 1), dc -> " +
-          "IF(band + db < 0 OR band + db > 35, " +
-          "CAST(null AS struct<band: int, cell: int>), " +
-          "struct(band + db AS band, " +
-          "IF(band + db <= 3 OR band + db >= 32, 0, " +
-          "CAST(pmod(cellRaw + dc, 24) AS INT)) AS cell))), " +
-          "x -> x IS NOT NULL))))")).as("bk"))
+      col("pz").as("za"), col("band").as("hb"), col("cell").as("hc"),
+      explode(probeKeys).as("bk"))
       .select(col("da"), col("lata"), col("lona"),
         col("xa"), col("ya"), col("za"),
+        // selfp marks the (0,0) self-probe: same-cell pairs arise ONLY
+        // there, in both orderings — keep da < db once, below
+        (col("bk.band") === col("hb") && col("bk.cell") === col("hc"))
+          .as("selfp"),
         col("bk.band").as("band"), col("bk.cell").as("cell"))
     val chord2 =
       (col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) +
         (col("za") - col("zb")) * (col("za") - col("zb"))
-    probes.join(homes, Seq("band", "cell"))
+    // r19: pin the build side — Catalyst's size estimate picked the
+    // EXPLODED probe side (≤6 keys/point) as the broadcast build once the
+    // canonical scheme shrank it, paying a per-execution driver-side
+    // broadcast of the larger frame; the homes side is strictly smaller
+    // (one row per point) and is the natural build relation (guide §3.1).
+    probes.join(broadcast(homes), Seq("band", "cell"))
       .filter(col("da") =!= col("db"))
+      // same-cell matches come from the self-probe in both orderings;
+      // every other probe direction is already canonical — keep one
+      .filter(!col("selfp") || col("da") < col("db"))
       .filter(chord2 <= lit(chord2Max))
       .select(
         least(col("da"), col("db")).as("pa"),

@@ -6,5 +6,10 @@ package graft.functions
   * de-synchronize the operators whose oracles assume one token definition.
   * The DuckDB twin is [[graft.operators.TextAnalysis.DuckToks]]. */
 object TextTokens {
-  val ToksSql: String = "filter(split(text, ' '), w -> w <> '')"
+  // r19: the fused native byte-scan tokenizer (functions/Tokens.scala)
+  // replaces the HOF formulation `filter(split(text, ' '), w -> w <> '')`
+  // everywhere at once — same token arrays by construction (the native
+  // expression's scaladoc carries the argument; NativeFunctionSpec asserts
+  // equality on the corpus plus adversarial strings).
+  val ToksSql: String = "graft_tokens(text)"
 }

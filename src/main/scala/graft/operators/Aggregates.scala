@@ -94,25 +94,40 @@ object Aggregates {
     // twin, wrong at scale). accuracy=1000 bounds rank error at n/1000.
     // Approximate => no DuckDB oracle; the spec pins each approx quantile
     // inside the exact neighboring-quantile envelope.
+    // r19: ONE percentile_approx(col, array(...)) call — two separate
+    // calls each built their own GK sketch over the group (2× the update
+    // and merge work); the array form queries both ranks from one sketch,
+    // and the sketch depends only on (data, accuracy), so the answers are
+    // bit-identical to the two-call form's.
     "q_agg_approx_quantile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
-            .as("p95_approx"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("pa"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          element_at(col("pa"), 1).as("p50_approx"),
+          element_at(col("pa"), 2).as("p95_approx"),
+          col("cnt"))
         .orderBy("l_returnflag")),
 
     // ROLLUP over a star join; grouping nulls coalesced to 'ALL' so null
     // ordering can't diverge between engines.
+    // r19: pre-aggregate to the finest grouping (nation, segment) BEFORE
+    // the rollup so Expand triples ~125 partial rows, not every joined
+    // fact row (guide §2.2; same device as q_agg_grouping_sets). SUM and
+    // COUNT re-aggregate associatively: sum(per-group decimal sums) and
+    // sum(per-group counts) are exactly the one-level values, and the
+    // final .cast("double")/long output types are unchanged.
     "q_agg_rollup" -> ((s, d) =>
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast(dec2)).as("s"), count(lit(1)).as("c"))
         .rollup(col("n_name"), col("c_mktsegment"))
-        .agg(sumExact2(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+        .agg(sum(col("s")).cast("double").as("revenue"), sum(col("c")).as("cnt"))
         .select(
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
@@ -120,10 +135,14 @@ object Aggregates {
         .orderBy("nation", "segment")),
 
     // CUBE (all 4 grouping combinations via Expand).
+    // r19: same pre-aggregation as q_agg_rollup — Expand quadruples ~15
+    // (status, priority) partial rows instead of every order (guide §2.2).
     "q_agg_cube" -> ((s, d) =>
       Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"), sum(col("o_totalprice").cast(dec2)).as("s"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), sumExact2(col("o_totalprice")).as("revenue"))
+        .agg(sum(col("c")).as("cnt"), sum(col("s")).cast("double").as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -132,9 +151,25 @@ object Aggregates {
 
     // GROUPING SETS via the SQL surface (SURVEY.md §4 entry point 2). The
     // SQL string is valid in both engines, so the oracle is the same text.
+    // r19: the fact rows are pre-aggregated to the FINEST grouping
+    // (l_returnflag, l_linestatus) before the grouping-sets step, so
+    // Expand triples ~6 pre-aggregated rows instead of every lineitem row
+    // (the before-plan ran Expand directly on the scan — 3× the fact rows
+    // through the partial aggregate, 3 decimal adds per row instead of 1;
+    // guide §2.2 partial aggregation). Equivalence is the associativity
+    // of SUM/COUNT re-aggregation: SUM(per-group SUM) = SUM, SUM(per-group
+    // COUNT) = COUNT(*); the oracle keeps the original one-level text.
     "q_agg_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(GroupingSetsSql)
+      s.sql(
+        "WITH base AS (SELECT l_returnflag, l_linestatus, " +
+          "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s, count(*) AS c " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus) " +
+          "SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+          "COALESCE(l_linestatus, 'ALL') AS ls, " +
+          "CAST(SUM(s) AS DOUBLE) AS sum_qty, SUM(c) AS cnt FROM base " +
+          "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+          "ORDER BY rf, ls")
     }),
 
     // PIVOT: revenue by nation × market segment widened to one column per
@@ -293,18 +328,52 @@ object Aggregates {
     // aggregate buffers the group's values, so separate calls triple the
     // buffered state and the sort — the array form shares one buffer
     // (measured 3.8 s → one-buffer cost at sf0.1).
-    "q_agg_percentile_cont" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))").as("ps"),
-          count(lit(1)).as("cnt"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 6).as("p25"),
-          round(element_at(col("ps"), 2), 6).as("p50"),
-          round(element_at(col("ps"), 3), 6).as("p90"),
-          col("cnt"))
-        .orderBy("l_returnflag")),
+    // r19 rewrite (guide §4/§5): the `percentile(...)` TypedImperativeAggregate
+    // buffered every group value in a boxed OpenHashMap (one put per row,
+    // full-map serde through the exchange, a boxed key sort per group in
+    // ONE reduce task). Same exact order statistic via rank selection:
+    // row_number over the group-sorted values (UnsafeExternalSorter, 3
+    // parallel partitions), keep ONLY the ≤2 rows at floor/ceil of each
+    // target position p·(n−1), interpolate with Percentile.getPercentile's
+    // exact formula `vlo·(hi−pos) + vhi·(pos−lo)` (lower value when
+    // lo == hi) — so the pre-round doubles are bit-identical to the
+    // aggregate's. Null prices are excluded from ranks like the aggregate
+    // excludes them (and an all-null group keeps its row via the left
+    // join, percentiles null); cnt stays count(*) over ALL rows.
+    "q_agg_percentile_cont" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val cnts = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), count(col("l_extendedprice")).as("nn"))
+      val ranked = li.filter(col("l_extendedprice").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(cnts.select(col("l_returnflag"), col("nn"))),
+          "l_returnflag")
+      val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+      val sel = ps.flatMap { case (p, nm) =>
+        val pos = lit(p) * (col("nn") - lit(1)).cast("double")
+        Seq(
+          max(when(col("rn").cast("double") === floor(pos) + lit(1.0),
+            col("l_extendedprice"))).as(s"lo_$nm"),
+          max(when(col("rn").cast("double") === ceil(pos) + lit(1.0),
+            col("l_extendedprice"))).as(s"hi_$nm"))
+      } :+ max(col("nn")).as("nn")
+      val picked = ranked.groupBy("l_returnflag").agg(sel.head, sel.tail: _*)
+      val out = ps.map { case (p, nm) =>
+        val pos = lit(p) * (col("nn") - lit(1)).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        round(when(lo === hi, col(s"lo_$nm")).otherwise(
+          col(s"lo_$nm") * (hi - pos) + col(s"hi_$nm") * (pos - lo)), 6)
+          .as(nm)
+      }
+      cnts.select(col("l_returnflag"), col("cnt"))
+        .join(picked, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag") +: out :+ col("cnt"): _*)
+        .orderBy("l_returnflag")
+    }),
 
     // SKETCH SET ALGEBRA: distinct-customer overlap between order
     // statuses by inclusion-exclusion over the stored HLL sketches —

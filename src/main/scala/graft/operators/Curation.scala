@@ -42,13 +42,15 @@ object Curation {
 
   private def toksOf = expr(graft.functions.TextTokens.ToksSql)
 
-  /** Word 5-gram shingles: (doc_id, g) for every window position. */
+  /** Word 5-gram shingles: (doc_id, g) for every window position.
+    * r19: the gram strings come from the fused native `grams` expression
+    * (functions/Grams.scala) instead of the interpreted
+    * transform/sequence/slice/concat_ws HOF chain — same strings by
+    * construction (UTF8String.concatWs IS concat_ws's runtime). */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toksOf.as("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))"))
-        .as("g"))
+      .select(col("doc_id"), explode(expr("grams(t, 5, ' ')")).as("g"))
 
   /** Duplicated-k-gram coverage per doc (the q_dedup_substring engine,
     * parameterized over the corpus so PropertySpec can drive it with
@@ -69,8 +71,7 @@ object Curation {
     val grams = docs
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
-        expr(s"transform(sequence(1, size(t)-${k - 1}), i -> concat_ws(' ', slice(t, i, $k)))"))
-        .as(Seq("p", "g")))
+        expr(s"grams(t, $k, ' ')")).as(Seq("p", "g")))
       .select(col("doc_id"), col("n_toks"), col("p"),
         xxhash64(col("g")).as("h1"), xxhash64(lit(8191L), col("g")).as("h2"))
     val dup = grams.groupBy("h1", "h2").agg(count(lit(1)).as("c"))
@@ -431,12 +432,11 @@ object Curation {
       val t = Tables.documents(s, d)
         .withColumn("toks", expr(graft.functions.TextTokens.ToksSql))
         .filter(size(col("toks")) > 0)
+      // r19: bigrams via the fused native `grams` (same strings — tokens
+      // are never null, so concat-with-'_' ≡ concatWs-with-'_'; size<2
+      // yields the empty array the `when` guard used to supply).
       val feats = t.select(col("doc_id"),
-        explode(concat(col("toks"),
-          when(size(col("toks")) >= 2, expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"))
-            .otherwise(expr("CAST(array() AS array<string>)")))).as("f"))
+        explode(concat(col("toks"), expr("grams(toks, 2, '_')"))).as("f"))
       feats.withColumn("h", substring(md5(col("f")), 1, 2))
         .join(weights, "h")
         .groupBy("doc_id")

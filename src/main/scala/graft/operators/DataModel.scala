@@ -410,17 +410,29 @@ object DataModel {
     * which kill updated keys), and inserts of fresh keys (≡0 mod 1000,
     * +20M — beyond any testdata orderkey). */
   private[graft] def cdcChangelog(orders: DataFrame): DataFrame = {
-    def wave(filterMod: Int, seq: Long, op: String, price: org.apache.spark.sql.Column) =
-      orders.filter(pmod(col("o_orderkey"), lit(filterMod)) === 0)
-        .select(col("o_orderkey"), price.as("o_totalprice"),
-          lit(seq).as("seq"), lit(op).as("op"))
-    wave(31, 1L, "U", col("o_totalprice") + lit(5.0))
-      .unionByName(wave(62, 2L, "U", col("o_totalprice") + lit(7.0)))
-      .unionByName(wave(97, 3L, "D", col("o_totalprice")))
-      .unionByName(
-        orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
-          .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
-            lit(1.0).as("o_totalprice"), lit(1L).as("seq"), lit("U").as("op")))
+    // r19: ONE orders scan emitting all four change waves per row via a
+    // codegen'd explode + null filter — the union-of-filtered-scans form
+    // read the orders parquet four times per execution. Same rows (union
+    // order is immaterial: cdcApply's window orders by (seq desc, op) and
+    // no key carries duplicate (seq, op) pairs across waves).
+    def waveStruct(filterMod: Int, seq: Long, op: String,
+        key: org.apache.spark.sql.Column,
+        price: org.apache.spark.sql.Column) =
+      when(pmod(col("o_orderkey"), lit(filterMod)) === 0,
+        struct(key.as("o_orderkey"), price.as("o_totalprice"),
+          lit(seq).as("seq"), lit(op).as("op")))
+    orders
+      .select(explode(array(
+        waveStruct(31, 1L, "U", col("o_orderkey"),
+          col("o_totalprice") + lit(5.0)),
+        waveStruct(62, 2L, "U", col("o_orderkey"),
+          col("o_totalprice") + lit(7.0)),
+        waveStruct(97, 3L, "D", col("o_orderkey"), col("o_totalprice")),
+        waveStruct(1000, 1L, "U", col("o_orderkey") + lit(20000000L),
+          lit(1.0)))).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("w.o_orderkey"), col("w.o_totalprice"), col("w.seq"),
+        col("w.op"))
   }
 
   /** Generic oriented triangle count. Edges are canonicalized to u < v and

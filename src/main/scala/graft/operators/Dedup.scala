@@ -35,11 +35,12 @@ object Dedup {
     * row instead of joining it back against the full shingle set). */
   private[graft] def shinglesKeeping(docs: DataFrame, keep: Column*): DataFrame =
     docs.select(col("doc_id") +: keep :+
-        expr("filter(split(text, ' '), w -> w <> '')").as("words"): _*)
+        expr(graft.functions.TextTokens.ToksSql).as("words"): _*)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id") +: keep :+ explode(array_distinct(
-        expr("transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3)))")))
-        .as("sh"): _*)
+        // r19: fused native `grams` replaces the interpreted
+        // transform/slice/concat_ws HOF (same strings by construction)
+        expr("grams(words, 3, ' ')"))).as("sh"): _*)
 
   /** Stop-shingle / hot-bucket document-frequency cap: a shingle (or LSH
     * bucket) shared by df docs emits df·(df−1)/2 candidate pairs, so one
@@ -455,7 +456,7 @@ object Dedup {
   /** 32-bit SimHash fingerprint per doc from token hashes. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
+      explode(expr(graft.functions.TextTokens.ToksSql)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 32).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
@@ -619,7 +620,13 @@ object Dedup {
     // SimHash fingerprints + near-pairs at Hamming distance <= 2.
     // Hash-dependent => no oracle; DedupSimilaritySpec checks planted dups collide.
     "q_dedup_simhash" -> ((s, d) => {
-      val fps = simhash(Tables.documents(s, d))
+      // r19: materialize the fingerprints once per execution — referenced
+      // on BOTH sides of the banded self-join, Catalyst re-derived the
+      // whole token-explode + 32-bitsum aggregation subtree twice (the
+      // corpus-dominant stage of this query; the fps frame itself is one
+      // row per doc). Same per-execution materialization device as
+      // q_graph_pagerank / q_mix_temperature (guide §2.4).
+      val fps = simhash(Tables.documents(s, d)).localCheckpoint()
       val a = fps.select(col("doc_id").as("da"), col("fingerprint").as("fa"))
       val b = fps.select(col("doc_id").as("db"), col("fingerprint").as("fb"))
       // Band on bytes of the fingerprint: a pair within Hamming<=6 of 32 bits

@@ -28,7 +28,7 @@ object Pipeline {
 
   /** Whitespace token count — same formula as TextAnalysis (and its oracle),
     * so budget math agrees across engines. */
-  private val nToks = size(expr("filter(split(text, ' '), w -> w <> '')"))
+  private val nToks = size(expr(graft.functions.TextTokens.ToksSql))
   private val DuckNToks =
     "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER)"
 

@@ -615,9 +615,11 @@ object Similarity {
         .select(col("qid"), col("cid"), col("lut"))
       encoded.join(broadcast(q), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("adist", expr(
-          s"aggregate(sequence(0, ${m - 1}), 0D, (acc, j) -> " +
-            "acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))"))
+        // r19: fused native adc_dist (functions/AdcDist.scala) replaces the
+        // interpreted aggregate-over-sequence HOF — one sequence allocation
+        // + m boxed lambda evaluations per corpus CANDIDATE (the ADC scan's
+        // hot loop). Same sum, same null semantics (see the scaladoc).
+        .withColumn("adist", expr("adc_dist(lut, codes)"))
         .select(col("qid"), col("vec_id"), col("adist"))
     }
 

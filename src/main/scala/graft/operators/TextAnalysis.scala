@@ -29,10 +29,19 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que"),
     "zh" -> Seq("zhi", "de", "le"))
 
-  private[graft] def markerScore(markers: Seq[String]): Column = {
-    val arr = markers.map(m => s"'$m'").mkString(", ")
-    size(expr(s"filter(${graft.functions.TextTokens.ToksSql}, w -> array_contains(array($arr), w))"))
-  }
+  private[graft] def markerScore(markers: Seq[String]): Column =
+    markerScoreOf(toks, markers)
+
+  /** Marker-occurrence count over an existing token column. r19: the count
+    * of tokens in the (distinct) marker set equals the sum over markers of
+    * that marker's occurrence count, and one occurrence count is
+    * `size(t) - size(array_remove(t, m))` — codegen'd collection
+    * expressions, replacing the interpreted filter/array_contains lambda
+    * the HOF formulation evaluated per token. Taking the tokens as a
+    * column also lets q_text_langid tokenize once for all 5 languages
+    * (it re-ran the tokenizer per language before). */
+  private[graft] def markerScoreOf(t: Column, markers: Seq[String]): Column =
+    markers.map(m => size(t) - size(array_remove(t, lit(m)))).reduce(_ + _)
 
   // Session-scoped inverted-index memo: built once per (session, table dir)
   // into a temp directory; lookups are then bucket-pruned reads. Mirrors
@@ -100,9 +109,13 @@ object TextAnalysis {
 
     // Language-ID by marker-word counts, argmax with fixed tie order.
     "q_text_langid" -> ((s, d) => {
-      val scored = Tables.documents(s, d).select(
-        col("doc_id") +:
-          Markers.toSeq.sortBy(_._1).map { case (l, ws) => markerScore(ws).as(s"s_$l") }: _*)
+      // r19: tokenize once into `t`, score all 5 languages off that column
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(
+          col("doc_id") +:
+            Markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+              markerScoreOf(col("t"), ws).as(s"s_$l") }: _*)
       val langs = Markers.keys.toSeq.sorted
       val m = greatest(langs.map(l => col(s"s_$l")): _*)
       val predicted = langs.tail.foldLeft(
@@ -118,20 +131,23 @@ object TextAnalysis {
     // Quality scoring: length/word-length/stopword-ratio features + a pinned
     // composite score (formula mirrored exactly in the oracle).
     "q_text_quality" -> ((s, d) => {
-      val stopHits = markerScore(Markers("en"))
+      // r19: tokenize once into `t` (the feature row used 6 independent
+      // tokenizer evaluations before); same expressions otherwise
+      val stopHits = markerScoreOf(col("t"), Markers("en"))
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("t"))
         // zero-token docs are excluded on both sides (x/0 semantics differ
         // between engines)
-        .filter(size(toks) > 0)
+        .filter(size(col("t")) > 0)
         .select(
           col("doc_id"),
           length(col("text")).as("text_chars"),
-          size(toks).as("n_tokens"),
-          round(length(expr("replace(text, ' ', '')")).cast("double") / size(toks), 6)
+          size(col("t")).as("n_tokens"),
+          round(length(expr("replace(text, ' ', '')")).cast("double") / size(col("t")), 6)
             .as("avg_word_len"),
-          round(stopHits.cast("double") / size(toks), 6).as("stop_ratio"),
-          round(least(size(toks).cast("double") / lit(100.0), lit(1.0)) *
-            (lit(1.0) - abs(stopHits.cast("double") / size(toks) - lit(0.1))), 6)
+          round(stopHits.cast("double") / size(col("t")), 6).as("stop_ratio"),
+          round(least(size(col("t")).cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - abs(stopHits.cast("double") / size(col("t")) - lit(0.1))), 6)
             .as("quality"))
         .orderBy("doc_id")
     }),
@@ -141,11 +157,16 @@ object TextAnalysis {
     "q_text_tfidf_top" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("source"), explode(toks).as("term"))
       val tf = t.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d)
         .agg(countDistinct(col("source")).as("ns"))
       val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
-      tf.join(dfc, "term").crossJoin(broadcast(n))
+      // r19: df = count of (source, term) rows per term — a whole-partition
+      // window over the SAME tf frame instead of a regroup + self-join,
+      // which re-derived the explode+groupBy subtree on both sides (guide
+      // §2.4; same identity as unigramLogprob's corpus counts). Counts are
+      // bit-identical.
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log((col("ns") + 1).cast("double") / (col("df") + 1)), 6))
         .withColumn("rn", row_number().over(w))

@@ -130,11 +130,18 @@ object Windows {
 
     // Distributed top-k per group: rank within brand, keep top 2. Revenue is
     // ranked on the exact decimal so ordering is engine-independent.
+    // r19: aggregate lineitem by l_partkey BEFORE the dim join (guide
+    // §2.2/§3) — p_partkey is unique in part, so p_brand is functionally
+    // determined by the key and the per-(brand, partkey) sums equal the
+    // per-partkey sums; the broadcast probe now touches ~#parts aggregated
+    // rows instead of every lineitem row, and the shuffle carries
+    // (partkey, decimal) pairs with no brand string.
     "q_topk_per_group" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_partkey")
+        .groupBy("l_partkey")
         .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_partkey"), col("rev_dec"))
       val w = Window.partitionBy("p_brand").orderBy(col("rev_dec").desc, col("p_partkey"))
       rev.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
@@ -148,10 +155,12 @@ object Windows {
     // instead of every part — the 100 TB top-k (SCALE.md §Windows).
     "q_topk_per_group_agg" -> ((s, d) => {
       import s.implicits._
+      // r19: same aggregate-before-join as q_topk_per_group
       val rev = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_partkey")
+        .groupBy("l_partkey")
         .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_partkey"), col("rev_dec"))
       val ds = rev.select(col("p_brand"), col("p_partkey"),
         col("rev_dec").cast("decimal(38,18)"))
         .as[(String, Long, BigDecimal)]

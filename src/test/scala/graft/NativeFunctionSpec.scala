@@ -129,6 +129,87 @@ class NativeFunctionSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("grams equals the transform/slice/concat_ws HOF formulation (r19)") {
+    import spark.implicits._
+    // real corpus, every k and separator the call sites use (5-gram ' '
+    // shingles, 10-gram ' ' dedup keys, 3-gram ' ' Jaccard shingles,
+    // 2-gram '_' classifier features)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(graft.functions.TextTokens.ToksSql).as("t"))
+    for ((k, sep) <- Seq((2, "_"), (3, " "), (5, " "), (10, " "))) {
+      val diffs = docs.filter(size(col("t")) >= k)
+        .select(
+          expr(s"grams(t, $k, '$sep')").as("got"),
+          expr(s"transform(sequence(1, size(t)-${k - 1}), " +
+            s"i -> concat_ws('$sep', slice(t, i, $k)))").as("want"))
+        .filter(!(col("got") <=> col("want"))).count()
+      assert(diffs == 0, s"grams(t, $k, '$sep') must equal the HOF strings")
+    }
+    // edge shapes: too-short input -> empty array (what the HOF callers
+    // guarded with a size filter); null tokens skipped like concat_ws;
+    // null input -> null
+    val edge = Seq(
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", null, "b"), Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("a b", "b c"))).toDF("t", "want")
+    val k2 = edge.select(expr("grams(t, 2, ' ')").as("got"), col("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(k2 == 0, "edge shapes must match concat_ws semantics")
+    val r = edge.limit(1)
+      .select(expr("grams(CAST(NULL AS ARRAY<STRING>), 2, ' ')")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_tokens equals the filter/split HOF tokenizer (r19)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val hof = expr("filter(split(text, ' '), w -> w <> '')")
+    val diffs = docs.select(
+      expr("graft_tokens(text)").as("got"), hof.as("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(diffs == 0, "native tokenizer must equal split-then-drop-empties")
+    // adversarial strings: leading/trailing/consecutive spaces, all-space,
+    // empty, multi-byte UTF-8 around spaces, non-space whitespace KEPT
+    val edge = Seq("", " ", "   ", "a", " a", "a ", "  a  b ", "a\tb c",
+      "héllo wörld", "日本 語  テスト", "a\nb", "ε  δ").toDF("text")
+    val edgeDiffs = edge.select(
+      expr("graft_tokens(text)").as("got"), hof.as("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(edgeDiffs == 0, "edge strings must match the HOF tokenizer")
+    val r = edge.limit(1)
+      .select(expr("graft_tokens(CAST(NULL AS STRING))")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("adc_dist equals the aggregate-over-sequence HOF lookup sum (r19)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val m = 8
+    val rows = (0 until 200).map { _ =>
+      val lut = Seq.fill(m)(Seq.fill(16)(rnd.nextDouble()))
+      val codes = Seq.fill(m)(rnd.nextInt(16))
+      (lut, codes)
+    }
+    val df = rows.toDF("lut", "codes")
+    val hof = expr(
+      s"aggregate(sequence(0, ${m - 1}), 0D, (acc, j) -> " +
+        "acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))")
+    val diffs = df.select(expr("adc_dist(lut, codes)").as("got"), hof.as("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(diffs == 0, "native ADC sum must equal the HOF fold on valid codes")
+    // an out-of-range code (impossible from encodeResiduals, whose codes
+    // are array_position-derived 0..ksub-1) yields null — the HOF under
+    // ANSI (Spark 4 default) would THROW here, so the native's null is
+    // strictly more defensive, never a silent wrong sum
+    val oob = Seq((Seq.fill(m)(Seq.fill(16)(1.0)), Seq.fill(m - 1)(0) :+ 99))
+      .toDF("lut", "codes")
+    assert(oob.select(expr("adc_dist(lut, codes)")).head().isNullAt(0))
+    val r = df.limit(1).select(
+      expr("adc_dist(CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), codes)"),
+      expr("adc_dist(lut, CAST(NULL AS ARRAY<INT>))")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native top-k query equals the HOF top-k query") {
     val a = rows(Similarity.queries("q_sim_topk")(spark, sf))
     val b = rows(Similarity.queries("q_sim_topk_native")(spark, sf))
