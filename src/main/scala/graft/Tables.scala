@@ -27,6 +27,21 @@ object Tables {
   // table metadata, never rows or results.
   private val schemaCache = new SessionCache[StructType]()
 
+  /** r19: spread rows across the session's shuffle parallelism before a
+    * per-row-EXPENSIVE stage (heavy expressions, explode + partial
+    * aggregation). The testdata parquet files are single-row-group, so a
+    * scan is one task no matter the split config, and everything up to
+    * the first exchange would otherwise run serially — the single-file /
+    * single-row-group straggler shape (guide §2), which a production
+    * corpus hits whenever one input file dominates. The exchange carries
+    * the frame once (small at every gate scale); the parallelism comes
+    * from spark.sql.shuffle.partitions, which GraftSession derives from
+    * the session's core count — never a hard-coded local constant. An
+    * EXPLICIT partition count keeps AQE's small-shuffle coalescing from
+    * folding the fan-out back into one task. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrBuild(spark, path)(

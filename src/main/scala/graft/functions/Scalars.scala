@@ -113,8 +113,10 @@ object Scalars {
           col("text").rlike("ing ").as("has_ing"))
         .orderBy("doc_id")),
 
+    // r19: fanOut before the per-row JSON parses — the single-row-group
+    // events scan otherwise parses all rows in ONE task (guide §2).
     "q_scalar_json" -> ((s, d) =>
-      Tables.events(s, d)
+      Tables.fanOut(Tables.events(s, d).select("event_id", "props"))
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").as("k_str"),
@@ -157,8 +159,10 @@ object Scalars {
     // is paid once per row, and Variant's shredded binary beats repeated
     // get_json_object string scans. DuckDB oracle reads the same paths with
     // its native JSON type.
+    // r19: fanOut before parse_json (same single-task-scan reason as
+    // q_scalar_json)
     "q_scalar_variant" -> ((s, d) =>
-      Tables.events(s, d)
+      Tables.fanOut(Tables.events(s, d).select("event_id", "props"))
         .withColumn("v", parse_json(col("props")))
         .select(
           col("event_id"),

@@ -22,9 +22,13 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
     // Flagship: TPC-H Q1-style pricing summary (SURVEY.md §2.4).
+    // r19: fanOut before the 7-aggregate decimal partial aggregation —
+    // the single-row-group scan otherwise runs it in ONE task (guide §2).
     "q_agg_pricing_summary" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sumExact2(col("l_quantity")).as("sum_qty"),

@@ -68,7 +68,7 @@ object Curation {
     // (h1, h2) key groups/joins/shuffles as 16 fixed bytes instead of a
     // 32-byte string (guide §2.3 narrower types, §4 built-ins). The hash
     // never reaches the output, so results are unchanged.
-    val grams = docs
+    val grams = graft.Tables.fanOut(docs)
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), size(col("t")).as("n_toks"), posexplode(
         expr(s"grams(t, $k, ' ')")).as(Seq("p", "g")))
@@ -189,8 +189,10 @@ object Curation {
     // carries no PII, so each doc is augmented with a synthetic address and
     // number first (same augmentation in the oracle) — the point is the
     // scrub expressions, which are codegen'd and map-only.
+    // r19: fanOut before the three regex passes (single-task scan, §2)
     "q_pii_scrub" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d)
+        .select("doc_id", "text"))
         .select(col("doc_id"), concat(col("text"),
           lit(" contact user"), col("doc_id"),
           lit("@example.com or 555-123-4567 now")).as("aug"))
@@ -217,8 +219,8 @@ object Curation {
     // max(count) ≡ longest sorted run and sum(count) ≡ size(t)−1, so the
     // division round-trips bit-identically against the same oracle.
     "q_text_repetition" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), toksOf.as("t"))
+      Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), toksOf.as("t")))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
           round(expr("CAST(gram_max_count(t, 2) AS DOUBLE)") /
@@ -429,9 +431,9 @@ object Curation {
       val weights = broadcast(s.range(256).select(
         format_string("%02x", col("id")).as("h"),
         (col("id") * 2 - 255).as("wv")))
-      val t = Tables.documents(s, d)
-        .withColumn("toks", expr(graft.functions.TextTokens.ToksSql))
-        .filter(size(col("toks")) > 0)
+      val t = Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), expr(graft.functions.TextTokens.ToksSql).as("toks"))
+        .filter(size(col("toks")) > 0))
       // r19: bigrams via the fused native `grams` (same strings — tokens
       // are never null, so concat-with-'_' ≡ concatWs-with-'_'; size<2
       // yields the empty array the `when` guard used to supply).

@@ -946,7 +946,16 @@ object Similarity {
     // threshold on (max pairwise cosine ≈ 0.51, measured).
     "q_dedup_embed" -> ((s, d) => {
       val e = corpus(s, d)
+      // r19: the corpus parquet is ONE split at test scale, so the
+      // declared quadratic pair loop (n²/2 fused cosines) ran in a single
+      // task. Spread the STREAM side across the session's shuffle
+      // parallelism (an n-row exchange, nothing against the n²/2 loop it
+      // parallelizes; explicit numPartitions so AQE's small-shuffle
+      // coalescing can't fold it back to one task). Result unchanged —
+      // TakeOrdered merges per-partition top-20s exactly (guide §2
+      // stragglers).
       val a = e.select(col("vec_id").as("da"), col("v").as("va"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
       a.crossJoin(b).filter(col("da") < col("db"))
         .select(col("da"), col("db"),

@@ -110,8 +110,8 @@ object TextAnalysis {
     // Language-ID by marker-word counts, argmax with fixed tie order.
     "q_text_langid" -> ((s, d) => {
       // r19: tokenize once into `t`, score all 5 languages off that column
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
+      val scored = Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t")))
         .select(
           col("doc_id") +:
             Markers.toSeq.sortBy(_._1).map { case (l, ws) =>
