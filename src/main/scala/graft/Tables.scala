@@ -38,9 +38,21 @@ object Tables {
     * from spark.sql.shuffle.partitions, which GraftSession derives from
     * the session's core count — never a hard-coded local constant. An
     * EXPLICIT partition count keeps AQE's small-shuffle coalescing from
-    * folding the fan-out back into one task. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    * folding the fan-out back into one task.
+    *
+    * CONDITIONAL (r19 follow-up): the fan-out is an input-skew remedy, so
+    * it only fires when the scan is actually under-parallelized — fewer
+    * input files than the session's shuffle parallelism (splittability is
+    * at best one task per file here; with many files the scan already
+    * fans itself out and the extra exchange would just move the payload
+    * bytes once for nothing, the guide §8 anti-pattern). A production
+    * multi-file corpus therefore takes the identity path; the single-file
+    * testdata (and any one-giant-file ingest) takes the repartition. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles >= parts) df else df.repartition(parts)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
