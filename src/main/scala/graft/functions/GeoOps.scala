@@ -118,15 +118,33 @@ object GeoOps {
     //               (3, 0) directly. (North mirror needs nothing: for a
     //               (31, 32) pair the band-31 point's up-probes all map
     //               to (32, 0).)
-    // Every unordered qualifying pair is still generated at least once
-    // (PropertySpec's brute-force adversaries: polar, wraparound, exact
-    // boundary); duplicates (e.g. band-3/4 pairs caught from both sides)
-    // are removed by the existing final distinct.
+    //
+    // r19 follow-up — EXACTLY-ONCE generation, distinct dropped. The one
+    // double-generation case of the scheme above was the band-3/band-4
+    // pair whose members sit within ±1 lon-cells: the band-3 point's
+    // up-probe reached it AND the band-4 partner's (3, 0) catch-all
+    // reached it back. Band-3 points now probe UP not at all (up() emits
+    // the home key for band === 3): the catch-all alone generates every
+    // band-3×band-4 pair — it joins ALL band-3 homes, which all live at
+    // the one key (3, 0), so nothing is lost and no pair is generated
+    // twice. Every other direction was already single:
+    //   - self pairs: ordered da < db once;
+    //   - same-band cross-cell: from the left point only (the mod-24
+    //     cycle can't close at length 2);
+    //   - cross-band non-polar: from below only;
+    //   - polar adjacencies (2×3, 31×32, 32×33, ...): the poleward key is
+    //     a catch-all the lower point probes; the polar point's own
+    //     probes never reach back down.
+    // With generation exactly-once, the final .distinct() — a full
+    // shuffle + hash-aggregate of every qualifying pair — is deleted
+    // outright (guide §2.4 "a distinct on data that is already unique").
+    // PropertySpec's brute-force equality (polar, wraparound, boundary
+    // adversaries) and the sf0.01 oracle gate the claim.
     val probeKeys = {
       val home = struct(col("band").as("band"), col("cell").as("cell"))
       def up(dc: Int) = {
         val b1 = col("band") + lit(1)
-        when(b1 > 35, home).otherwise(
+        when(b1 > 35 || col("band") === 3, home).otherwise(
           struct(b1.as("band"),
             when(b1 <= 3 || b1 >= 32, lit(0))
               .otherwise(pmod(col("cellRaw") + lit(dc), lit(24)))
@@ -175,6 +193,5 @@ object GeoOps {
           .as("dist_km"))
       .filter(col("dist_km") <= radiusKm)
       .select(col("pa").as("da"), col("pb").as("db"), col("dist_km"))
-      .distinct()
   }
 }

@@ -96,23 +96,39 @@ object Behavior {
 
     // Ordered funnel signup -> view -> purchase: each stage requires an
     // event STRICTLY AFTER the previous stage's first completion (not just
-    // any co-occurrence). Three grouped passes, each a semi-join back on
-    // user_id — never an event-level self-join.
+    // any co-occurrence) — never an event-level self-join.
+    // r19: ONE scan, ONE exchange. The original chained three grouped
+    // passes (m1; m2 = min view after m1; m3 = min purchase after m2),
+    // each a semi-join back on user_id — and because Catalyst does not
+    // share common subtrees across a union, the s1 aggregate was
+    // evaluated 3× and s2 2× (6 events scans in the physical plan). The
+    // same three first-completion times now stack as conditional mins
+    // over the user_id window partition: m1 = min(ts | signup),
+    // m2 = min(ts | view ∧ ts > m1), m3 = min(ts | purchase ∧ ts > m2) —
+    // each window reads the previous one's column, all three share the
+    // one user_id exchange. Stage user-counts are then non-null counts
+    // over the per-user frame (count(mK) ≡ the old per-stage group
+    // count: a user reaches stage K iff mK is non-null), unstacked to
+    // the same 3-row (stage, users) output.
     "q_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("m1"))
-      val s2 = ev.filter(col("event_type") === "view")
-        .join(s1, "user_id").filter(col("ts") > col("m1"))
-        .groupBy("user_id").agg(min("ts").as("m2"))
-      val s3 = ev.filter(col("event_type") === "purchase")
-        .join(s2, "user_id").filter(col("ts") > col("m2"))
-        .groupBy("user_id").agg(min("ts").as("m3"))
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).cast("long").as("users"))
-          .select(lit(name).as("stage"), col("users"))
-      stage("1_signup", s1).union(stage("2_then_view", s2))
-        .union(stage("3_then_purchase", s3))
+      val wu = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, d)
+        .withColumn("m1",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .withColumn("m2",
+          min(when(col("event_type") === "view" && col("ts") > col("m1"),
+            col("ts"))).over(wu))
+        .withColumn("m3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("m2"),
+            col("ts"))).over(wu))
+        .groupBy("user_id")
+        .agg(max("m1").as("m1"), max("m2").as("m2"), max("m3").as("m3"))
+      perUser
+        .agg(count(col("m1")).as("c1"), count(col("m2")).as("c2"),
+          count(col("m3")).as("c3"))
+        .select(expr(
+          "stack(3, '1_signup', c1, '2_then_view', c2, " +
+            "'3_then_purchase', c3) as (stage, users)"))
         .orderBy("stage")
     }),
 
@@ -121,9 +137,13 @@ object Behavior {
     // active in. Day-difference math, not date_trunc('week'), so week
     // boundaries cannot differ between engines.
     "q_retention" -> ((s, d) => {
+      // r19: the per-user cohort anchor (first-event day) rides a window
+      // over the same user_id partitioning the join would have shuffled
+      // on — one scan and one exchange instead of two scans + a grouped
+      // aggregate + a join back (guide §2.4). min(day) per user is
+      // identical either way.
       val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
-      val cohort = ev.groupBy("user_id").agg(min("day").as("day0"))
-      ev.join(cohort, "user_id")
+      ev.withColumn("day0", min("day").over(Window.partitionBy("user_id")))
         .select(col("user_id"),
           floor(datediff(col("day0"), lit("2024-01-01").cast("date")) / 7)
             .as("cohort_week"),
@@ -164,26 +184,35 @@ object Behavior {
     // group-cardinality-sized broadcasts.
     "q_anomaly_mad" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      // r19: the group size n rides the SAME window partitioning as the
-      // rank (count over an unordered frame on the event_type partition)
-      // instead of a separate groupBy + broadcast join — the before-plan
-      // scanned events 9× across 10 Exchanges because every lowerMedian
-      // call re-derived its input twice (rank pass + count pass); this
-      // form derives it once per call (4 scans / 4 Exchanges after,
-      // guide §2.4 "two operations keyed the same way share one
-      // exchange"). Same lower-median order statistic, bit-identical.
-      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-        val w = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("event_type"), col(valueCol).as(out))
-      }
-      val med = lowerMedian(ev, "value", "med")
-      val withMed = ev.join(broadcast(med), "event_type")
+      // r19 (second pass): ONE scan, ONE exchange — the med and mad order
+      // statistics ride stacked windows over the SAME event_type
+      // partitioning instead of two filtered one-row frames broadcast-
+      // joined back onto two more derivations of the input (the previous
+      // form still scanned events 3× across 3 Exchanges). The lower
+      // median is picked exactly as before — row_number over
+      // (value, event_id), the rank (n+1) div 2 — but instead of
+      // filter + join, the picked value is replicated across its
+      // partition as max(when(rn = target, v)) over the unordered frame
+      // (a one-value conditional max: bit-identical selection, no
+      // broadcast round-trip). resid, the second ranked pass, and the
+      // final per-group aggregate all stay inside the one exchange
+      // (guide §2.4: operations keyed the same way share one exchange);
+      // the groupBy's input partitioning already matches, so Catalyst
+      // plans no further shuffle before the output sort.
+      val wPart = Window.partitionBy("event_type")
+      val wVal = wPart.orderBy("value", "event_id")
+      ev
+        .withColumn("rnv", row_number().over(wVal))
+        .withColumn("n", count(lit(1)).over(wPart))
+        .withColumn("med",
+          max(when(col("rnv") === expr("(n + 1) div 2"), col("value")))
+            .over(wPart))
         .withColumn("resid", abs(col("value") - col("med")))
-      val mad = lowerMedian(withMed, "resid", "mad")
-      withMed.join(broadcast(mad), "event_type")
+        .withColumn("rnr",
+          row_number().over(wPart.orderBy("resid", "event_id")))
+        .withColumn("mad",
+          max(when(col("rnr") === expr("(n + 1) div 2"), col("resid")))
+            .over(wPart))
         .groupBy("event_type")
         .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
           sum(when(col("resid") > col("mad") * 6, 1L).otherwise(0L))
