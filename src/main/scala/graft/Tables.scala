@@ -54,6 +54,26 @@ object Tables {
     if (nFiles >= parts) df else df.repartition(parts)
   }
 
+  /** Keyed variant of [[fanOut]] for an under-parallelized scan feeding a
+    * groupBy on `keys`: hash-repartitioning on the SAME keys the aggregate
+    * needs means the aggregation runs fully parallel AFTER one exchange of
+    * the raw rows, with no second exchange (the aggregate's required
+    * HashPartitioning is already satisfied) — where the round-robin
+    * [[fanOut]] would pay the fan-out exchange AND the aggregate's own.
+    * The trade vs no fan-out at all: the keyed exchange carries raw rows
+    * instead of map-side partials, but the partial aggregation otherwise
+    * runs inside the one serial scan task. Same conditionality as
+    * [[fanOut]]: a multi-file corpus takes the identity path and keeps
+    * classic partial aggregation. Exact aggregates (decimal sums, count,
+    * min/max) are partitioning-independent, so results are unchanged —
+    * callers must not route partitioning-SENSITIVE aggregates (sketches)
+    * through this. */
+  def fanOutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles >= parts) df else df.repartition(parts, keys: _*)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrBuild(spark, path)(

@@ -345,6 +345,11 @@ object Aggregates {
     // excludes them (and an all-null group keeps its row via the left
     // join, percentiles null); cnt stays count(*) over ALL rows.
     "q_agg_percentile_cont" -> ((s, d) => {
+      // (r19 follow-up, measured and REVERTED: riding nn on an unordered
+      // count window over the same partitioning removed one scan + the
+      // broadcast join but measured 1.26 → ~1.6-2.0 s across three
+      // windows — the whole-partition window buffers every row a second
+      // time, costing more than the 3-row broadcast it replaced.)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag").orderBy("l_extendedprice")
       val li = Tables.lineitem(s, d)

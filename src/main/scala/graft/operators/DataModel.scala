@@ -24,7 +24,10 @@ object DataModel {
     // built path string: 150k `orders/<id>` strings through the shuffle
     // plus a string min-aggregate, pure plan tax for identical output.
     "q_key_hierarchy" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      // r19: fanOutBy(l_orderkey) — the single-row-group scan otherwise
+      // runs the 150k-key partial aggregate in one task; hashing on the
+      // group key parallelizes it with no second exchange.
+      Tables.fanOutBy(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("children"), min(col("l_linenumber")).as("min_line"))
         .orderBy("l_orderkey")

@@ -168,6 +168,9 @@ object Joins {
 
     // 4-way star join: fact table joined to progressively smaller dims —
     // customer/nation broadcast; lineitem⋈orders co-shuffles on orderkey.
+    // (r19: a fanOut ahead of the broadcast probes was measured SLOWER —
+    // 1.13 → 1.7 s — the per-row work is three cheap hash probes, below
+    // the exchange's own cost; see OPTIMIZATION_r19.md.)
     "q_join_multi" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))

@@ -214,13 +214,19 @@ object Pipeline {
     // implementation documents). Cost: two grouped counts + broadcast
     // totals — a drift gate must be cheap enough to run every ingest.
     "q_profile_drift" -> ((s, d) => {
+      // r19: ONE orders scan with conditional counts replaces two filtered
+      // scans grouped separately and full-outer-joined — a bucket absent
+      // on one side counts 0 there, which is exactly the full_outer +
+      // na.fill(0) semantics the two-frame psiReport applied (the report
+      // math itself is unchanged and shared via psiReportCounts).
       val cutoff = lit("1997-01-01").cast("timestamp")
       val o = Tables.orders(s, d)
-      val old = ordersDriftBuckets(o.filter(col("o_orderdate") < cutoff))
-        .groupBy("feature", "bucket").agg(count(lit(1)).as("n_old"))
-      val cur = ordersDriftBuckets(o.filter(col("o_orderdate") >= cutoff))
-        .groupBy("feature", "bucket").agg(count(lit(1)).as("n_new"))
-      psiReport(old, cur).orderBy("feature", "bucket")
+      val counts = ordersDriftBuckets(
+        o.withColumn("__new", col("o_orderdate") >= cutoff), Seq("__new"))
+        .groupBy("feature", "bucket")
+        .agg(count_if(!col("__new")).as("n_old"),
+          count_if(col("__new")).as("n_new"))
+      psiReportCounts(counts).orderBy("feature", "bucket")
     }),
 
     // Referential-integrity gate (the cross-table half of the data-quality
@@ -312,15 +318,17 @@ object Pipeline {
   /** The orders-table feature bucketing q_profile_drift profiles: a
     * fixed-edge price bucket + the priority categorical, one (feature,
     * bucket) row per feature per input row. */
-  private[graft] def ordersDriftBuckets(df: DataFrame): DataFrame =
-    df.select(
+  private[graft] def ordersDriftBuckets(df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(keep.map(col) :+
       explode(array(
         struct(lit("price_bucket").as("feature"),
           concat(lit("b"), least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
             .cast("string")).as("bucket")),
         struct(lit("priority").as("feature"),
-          col("o_orderpriority").as("bucket")))).as("f"))
-      .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
+          col("o_orderpriority").as("bucket")))).as("f"): _*)
+      .select(keep.map(col) ++ Seq(
+        col("f.feature").as("feature"), col("f.bucket").as("bucket")): _*)
 
   /** Generic per-bucket PSI report from two bucket-count frames —
     * (feature, bucket, n_old) vs (feature, bucket, n_new). Shared by the
@@ -329,13 +337,22 @@ object Pipeline {
     * math. Every emitted number is a fixed sequence of scalar ops (no
     * cross-bucket float summation); one-sided buckets carry a NULL term
     * (undefined ln — the documented PSI convention). */
-  private[graft] def psiReport(old: DataFrame, cur: DataFrame): DataFrame = {
-    val tOld = old.groupBy("feature").agg(sum("n_old").as("t_old"))
-    val tNew = cur.groupBy("feature").agg(sum("n_new").as("t_new"))
+  private[graft] def psiReport(old: DataFrame, cur: DataFrame): DataFrame =
+    psiReportCounts(
+      old.join(cur, Seq("feature", "bucket"), "full_outer")
+        .na.fill(0L, Seq("n_old", "n_new")))
+
+  /** Same report from ONE combined (feature, bucket, n_old, n_new) count
+    * frame — the r19 single-pass shape q_profile_drift feeds (a bucket
+    * absent on one side carries count 0 there, exactly the full_outer +
+    * na.fill(0) semantics of the two-frame entry above, which now
+    * delegates here so the math can never diverge between the entries). */
+  private[graft] def psiReportCounts(counts: DataFrame): DataFrame = {
+    val tOld = counts.groupBy("feature").agg(sum("n_old").as("t_old"))
+    val tNew = counts.groupBy("feature").agg(sum("n_new").as("t_new"))
     val pOld = col("n_old").cast("double") / col("t_old")
     val pNew = col("n_new").cast("double") / col("t_new")
-    old.join(cur, Seq("feature", "bucket"), "full_outer")
-      .na.fill(0L, Seq("n_old", "n_new"))
+    counts
       .join(broadcast(tOld), "feature").join(broadcast(tNew), "feature")
       .select(col("feature"), col("bucket"), col("n_old"), col("n_new"),
         round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),

@@ -136,8 +136,13 @@ object Windows {
     // per-partkey sums; the broadcast probe now touches ~#parts aggregated
     // rows instead of every lineitem row, and the shuffle carries
     // (partkey, decimal) pairs with no brand string.
+    // r19 follow-up: fanOutBy(l_partkey) — hash-repartition the
+    // single-row-group scan on the aggregate's own key, so the decimal
+    // revenue aggregation runs fully parallel after ONE exchange (the
+    // groupBy's required partitioning is already satisfied; a round-robin
+    // fan-out would have paid a second exchange).
     "q_topk_per_group" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
+      val rev = Tables.fanOutBy(Tables.lineitem(s, d), col("l_partkey"))
         .groupBy("l_partkey")
         .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
@@ -155,8 +160,8 @@ object Windows {
     // instead of every part — the 100 TB top-k (SCALE.md §Windows).
     "q_topk_per_group_agg" -> ((s, d) => {
       import s.implicits._
-      // r19: same aggregate-before-join as q_topk_per_group
-      val rev = Tables.lineitem(s, d)
+      // r19: same aggregate-before-join + fanOutBy as q_topk_per_group
+      val rev = Tables.fanOutBy(Tables.lineitem(s, d), col("l_partkey"))
         .groupBy("l_partkey")
         .agg(sum(revenueExpr(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
