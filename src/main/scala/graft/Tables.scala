@@ -48,10 +48,31 @@ object Tables {
     * bytes once for nothing, the guide §8 anti-pattern). A production
     * multi-file corpus therefore takes the identity path; the single-file
     * testdata (and any one-giant-file ingest) takes the repartition. */
+  /** Estimated scan parallelism (r20, ADVICE r19): file count alone
+    * under-estimates — Spark splits a file larger than maxPartitionBytes
+    * across tasks, so one big multi-row-group file already scans in
+    * parallel and must not be fanned out (the exchange would move the
+    * payload for nothing). Estimate = max(files, total bytes / split
+    * size); single-row-group files can defeat the bytes term (splits
+    * beyond the one row group come up empty), which errs toward skipping
+    * the fan-out — the conservative side (no standing payload shuffle).
+    * NonFatal only: an OOM/Interrupted must propagate, not silently
+    * degrade into a repartition decision. */
+  private def scanParallelism(df: DataFrame): Int =
+    try {
+      val nFiles = df.inputFiles.length
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf
+          .get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val bySize =
+        (bytes / maxSplit).min(BigInt(Int.MaxValue)).toInt
+      math.max(nFiles, bySize)
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+
   def fanOut(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (nFiles >= parts) df else df.repartition(parts)
+    if (scanParallelism(df) >= parts) df else df.repartition(parts)
   }
 
   /** Keyed variant of [[fanOut]] for an under-parallelized scan feeding a
@@ -70,8 +91,7 @@ object Tables {
     * through this. */
   def fanOutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (nFiles >= parts) df else df.repartition(parts, keys: _*)
+    if (scanParallelism(df) >= parts) df else df.repartition(parts, keys: _*)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

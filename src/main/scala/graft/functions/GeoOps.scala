@@ -37,7 +37,12 @@ object GeoOps {
 
   /** COMPLETE grid-blocked radius self-join (radius ≤ 500 km): pairs of
     * `pts` rows (`k`, `lat`, `lon`) within `radiusKm`, found without an
-    * all-pairs cross join. Blocking, with the completeness argument:
+    * all-pairs cross join. CONTRACT: `k` must be unique per point — pair
+    * generation is exactly-once (the r19 rewrite deleted the final
+    * `.distinct()`), so duplicate keys, or duplicate rows sharing a key,
+    * surface as duplicate output rows; dedupe-by-k is the caller's job
+    * (da =!= db also drops genuine pairs between distinct points that
+    * share a k). Blocking, with the completeness argument:
     *  - 5° latitude bands: 500 km ≤ 4.497° of latitude ⇒ a qualifying
     *    pair's bands differ by ≤ 1;
     *  - non-polar bands (\|lat\| ≤ 70, bands 4..31) use a 15° longitude
@@ -175,11 +180,16 @@ object GeoOps {
         (col("ya") - col("yb")) * (col("ya") - col("yb")) +
         (col("za") - col("zb")) * (col("za") - col("zb"))
     // r19: pin the build side — Catalyst's size estimate picked the
-    // EXPLODED probe side (≤6 keys/point) as the broadcast build once the
-    // canonical scheme shrank it, paying a per-execution driver-side
-    // broadcast of the larger frame; the homes side is strictly smaller
-    // (one row per point) and is the natural build relation (guide §3.1).
-    probes.join(broadcast(homes), Seq("band", "cell"))
+    // EXPLODED probe side (≤6 keys/point) as the build once the canonical
+    // scheme shrank it; the homes side is strictly smaller (one row per
+    // point) and is the natural build relation (guide §3.1).
+    // r20: shuffle_hash, NOT broadcast — homes is one row per corpus
+    // point, so a broadcast pins an O(corpus) hash relation on the driver
+    // (fine at sf0.1, an OOM at 100 TB). A shuffled hash join with homes
+    // as the per-partition build side keeps the build O(corpus/partitions)
+    // and needs no sort — the same device the salted join and the dedup
+    // corpus self-join use.
+    probes.join(homes.hint("shuffle_hash"), Seq("band", "cell"))
       .filter(col("da") =!= col("db"))
       // same-cell matches come from the self-probe in both orderings;
       // every other probe direction is already canonical — keep one

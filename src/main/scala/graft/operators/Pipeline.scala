@@ -346,10 +346,17 @@ object Pipeline {
     * frame — the r19 single-pass shape q_profile_drift feeds (a bucket
     * absent on one side carries count 0 there, exactly the full_outer +
     * na.fill(0) semantics of the two-frame entry above, which now
-    * delegates here so the math can never diverge between the entries). */
+    * delegates here so the math can never diverge between the entries).
+    * A feature with NO rows on one side (t_old = 0 or t_new = 0) is
+    * DROPPED whole — PSI against an empty side is undefined (every term
+    * would divide by a zero total), and dropping is what the original
+    * two-frame form's inner totals-joins did (r20, ADVICE r19: the r19
+    * delegation briefly let such features through with a 0/0 share). */
   private[graft] def psiReportCounts(counts: DataFrame): DataFrame = {
     val tOld = counts.groupBy("feature").agg(sum("n_old").as("t_old"))
+      .filter(col("t_old") > 0)
     val tNew = counts.groupBy("feature").agg(sum("n_new").as("t_new"))
+      .filter(col("t_new") > 0)
     val pOld = col("n_old").cast("double") / col("t_old")
     val pNew = col("n_new").cast("double") / col("t_new")
     counts

@@ -323,6 +323,12 @@ class OperatorSpec extends SparkSpec {
     val keyedExchange = "Exchange (?!RoundRobinPartitioning)".r
     assert(keyedExchange.findFirstIn(pii).isEmpty,
       s"PII scrub must not shuffle on a key (round-robin fan-out only):\n$pii")
+    // r20 (ADVICE r19): "only" means ONE — the single conditional fan-out
+    // ahead of the regex passes. More round-robin exchanges anywhere in
+    // the plan would be a regression the keyed-only check can't see.
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(pii).size
+    assert(rr <= 1,
+      s"PII scrub allows at most the one fan-out exchange, found $rr:\n$pii")
   }
 
   test("bloom decontamination equals the exact route; the probe is a bloom expression, not a set join") {

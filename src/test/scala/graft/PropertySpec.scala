@@ -444,7 +444,15 @@ class PropertySpec extends SparkSpec {
     val gen = Gen.listOfN(12, Gen.zip(
       Gen.oneOf("f1", "f2"), Gen.chooseNum(0, 5).map(i => s"b$i"),
       Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))
-    samples(gen, 6).foreach { xs =>
+    // r20 (ADVICE r19): force a ONE-SIDED feature into every sample — f3
+    // exists only on the new side — so the drop-the-whole-feature
+    // semantics (psiReportCounts filters t_old = 0 / t_new = 0 features;
+    // the random generator essentially never produces an all-zero side)
+    // is actually exercised: if the engine let f3 through with a 0/0
+    // share, `got` would carry rows `want` excludes and the equality
+    // below would fail.
+    val oneSided = List(("f3", "b0", 0L, 7L), ("f3", "b1", 0L, 3L))
+    samples(gen, 6).map(oneSided ++ _).foreach { xs =>
       // collapse duplicate (feature, bucket) rows; drop all-zero buckets
       // on each side independently (a zero count row is "absent")
       val m = xs.groupBy(x => (x._1, x._2))
