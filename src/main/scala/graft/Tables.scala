@@ -94,6 +94,39 @@ object Tables {
     if (scanParallelism(df) >= parts) df else df.repartition(parts, keys: _*)
   }
 
+  /** Final presentation sort for REPORT-sized outputs (r20, guide §2.4
+    * "an orderBy used only to make output deterministic"). A trailing
+    * `.orderBy(keys)` plans as THREE extra steps per execution — a
+    * range-bounds sampling pass over the child, a range exchange, and the
+    * sort — i.e. two whole extra jobs under AQE, paid by every execution
+    * of ~every declared query. When the output is a bounded report (group
+    * counts over enum-grade keys: order status, return flag, language —
+    * cardinality independent of corpus size), `coalesce(1) +
+    * sortWithinPartitions` produces the IDENTICAL row sequence (same
+    * comparator, total keys, one partition = global order) with no
+    * sampling job and no range exchange; the single task sorts a handful
+    * of rows at ANY corpus scale, and the upstream aggregation keeps its
+    * parallelism (partial aggregates are unaffected; only the final,
+    * groups-sized reduce folds into the one task).
+    *
+    * NOT for O(input) outputs — full-table projections, per-row scores,
+    * change feeds: those keep the distributed range sort (a single-task
+    * sort of a billion rows is the straggler shape §2 exists to kill).
+    * Callers assert that the output is report-sized BY CONSTRUCTION
+    * (bounded group cardinality), not just small at the test SF. */
+  def reportSort(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(keys: _*)
+
+  /** Chainable syntax for [[reportSort]]: `frame.reportSort("k")` is a
+    * drop-in replacement for a trailing `.orderBy("k")` on report-sized
+    * output (same row sequence — see [[reportSort]]'s contract). */
+  implicit class ReportSortSyntax(private val df: DataFrame) {
+    def reportSort(key: String, keys: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(key, keys: _*)
+    def reportSort(keys: org.apache.spark.sql.Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(keys: _*)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrBuild(spark, path)(

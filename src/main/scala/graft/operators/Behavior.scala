@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables.ReportSortSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,7 +130,7 @@ object Behavior {
         .select(expr(
           "stack(3, '1_signup', c1, '2_then_view', c2, " +
             "'3_then_purchase', c3) as (stage, users)"))
-        .orderBy("stage")
+        .reportSort("stage")
     }),
 
     // Cohort retention: users bucketed by first-event week (vs the dataset
@@ -151,7 +152,7 @@ object Behavior {
         .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("users"))
-        .orderBy("cohort_week", "week_offset")
+        .reportSort("cohort_week", "week_offset")
     }),
 
     // Per-group feature standardization (z-score): each event's value
@@ -311,7 +312,7 @@ object Behavior {
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("from_type", "to_type")
+        .reportSort("from_type", "to_type")
     }))
 
   val oracles: Map[String, String] = Map(

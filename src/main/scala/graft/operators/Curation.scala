@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables.ReportSortSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -288,7 +289,7 @@ object Curation {
         .groupBy("lang")
         .agg(count(lit(1)).cast("int").as("n_kept"),
           round(avg("quality"), 6).as("avg_quality"))
-        .orderBy("lang")
+        .reportSort("lang")
     }),
 
     // Encoding scalar family: base64 / hex / byte length over utf-8 text —
@@ -320,7 +321,7 @@ object Curation {
       n.join(broadcast(kept), Seq("lang"), "left")
         .na.fill(0L, Seq("n_kept"))
         .select("lang", "n_total", "n_kept")
-        .orderBy("lang")
+        .reportSort("lang")
     }),
 
     // Substring-level dedup (the Lee et al. 2022 ExactSubstr concern at
@@ -409,7 +410,7 @@ object Curation {
       rated.join(broadcast(kept), Seq("source"), "left")
         .na.fill(0L, Seq("n_kept"))
         .select("source", "n_total", "n_kept", "rate")
-        .orderBy("source")
+        .reportSort("source")
     }),
 
     // Hashed-feature linear quality classifier — the fastText shape

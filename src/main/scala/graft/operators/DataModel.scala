@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables.ReportSortSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -238,7 +239,7 @@ object DataModel {
         .join(edges.select(col("src").as("a"), col("nk")).distinct(), Seq("a"))
         .groupBy("nk").agg(sum(col("tri")).as("triangles"))
         .withColumnRenamed("nk", "c_nationkey")
-        .orderBy("c_nationkey")
+        .reportSort("c_nationkey")
     }),
 
     // Slowly-changing-dimension Type-2 build (Kimball): collapse each

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables.ReportSortSyntax
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -524,7 +525,7 @@ object Dedup {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang")
+        .reportSort("lang")
     }),
 
     // Ground-truth near-dup pairs by exact 3-shingle Jaccard >= 0.8
@@ -575,7 +576,7 @@ object Dedup {
       docs.join(exactClusters(s, d).filter(col("doc_id") =!= col("cluster")),
           Seq("doc_id"), "left_anti")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang")
+        .reportSort("lang")
     }),
 
     // Survivor selection with a KEEP-BEST policy — "keep the most complete
@@ -590,7 +591,7 @@ object Dedup {
       keepBestSurvivors(docs, exactClusters(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang")
+        .reportSort("lang")
     }),
 
     // The PRODUCTION dedup pipeline end-to-end: minhash+LSH candidates

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables.ReportSortSyntax
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -126,7 +127,7 @@ object Layout {
         .agg(count(lit(1)).as("n"),
           min("x16").as("min_x"), max("x16").as("max_x"),
           min("y16").as("min_y"), max("y16").as("max_y"))
-        .orderBy("bucket")
+        .reportSort("bucket")
     }))
 
   private val ZSql =

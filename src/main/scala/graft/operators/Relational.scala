@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.ReportSortSyntax
 
 /** SURVEY.md §2.1 (scans/sources/sinks), §2.2 (projection/filter/predicates),
   * §2.6 (sort/limit/top-k), §2.7 (set ops).
@@ -1216,7 +1217,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // DELETION-VECTOR delete (r16 — VERDICT r15 #1, merge-on-read): one
@@ -1236,7 +1237,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // NESTED ADDITIVE EVOLUTION (r17 — VERDICT r16 #4): `ADD COLUMNS
@@ -1257,7 +1258,7 @@ object Relational {
           count(col("meta.bonus")).as("n_bonus"),
           count(col("meta.tier")).as("n_tier"),
           count(when(col("meta.tier") === "std", 1)).as("n_std"))
-        .orderBy("st")
+        .reportSort("st")
     }),
 
     // TYPED DATA SKIPPING (r17 — VERDICT r16 #2): a status-split table
@@ -1278,7 +1279,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("yr")
+        .reportSort("yr")
     }),
 
     // MERGE-ON-READ MERGE (r17 — VERDICT r16 #1): a scattered CDC
@@ -1298,7 +1299,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // COLUMN MAPPING (r16 — VERDICT r15 #2): `RENAME COLUMN` as ONE
@@ -1317,7 +1318,7 @@ object Relational {
             .as("total"),
           round(sum(col("meta.weight").cast("decimal(18,2)")).cast("double"), 2)
             .as("wtotal"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // SAFE TYPE WIDENING (r18 — VERDICT r17 #4; nested r19 — VERDICT
@@ -1334,7 +1335,7 @@ object Relational {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sq"),
           sum(col("m.q2")).as("sq2"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // PARTITION COLUMNS (r19 — VERDICT r18 #1): a year-partitioned
@@ -1352,7 +1353,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("yr")
+        .reportSort("yr")
     }),
 
     // GENERATED COLUMNS (r19 — VERDICT r18 #2): `bucket BIGINT GENERATED
@@ -1368,7 +1369,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("bucket")
+        .reportSort("bucket")
     }),
 
     // The STATEMENT face of the DV delete (r16): `DELETE FROM <cat>.t
@@ -1383,7 +1384,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // PARTIAL OVERWRITE — replaceWhere (r13, the Delta restatement verb):
@@ -1401,7 +1402,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // Connector WRITE path end state (r13 — sources/CommitLogSource
@@ -1419,7 +1420,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // Catalog INSERT route (r13 — CommitLogCatalogTable.newWriteBuilder):
@@ -1435,7 +1436,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // TIMESTAMP AS OF (r13 — CommitLog.commitAtTimestamp + the connector's
@@ -1453,7 +1454,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // PER-COLUMN data skipping (r13 — the Delta multi-column min/max
@@ -1473,7 +1474,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // RESTORE through the commit log (CommitLog.restore — the Delta
@@ -1491,7 +1492,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // CALL procedure output as a DECLARED, oracle-gated query (r14 —
@@ -1511,7 +1512,7 @@ object Relational {
       s.sql(s"CALL $cat.history(`table` => 'orders_h')")
         .select(col("version"), col("writer"), col("action"),
           col("n_dirs"), col("row_invisible"))
-        .orderBy("version")
+        .reportSort("version")
     }),
 
     // COMMIT HISTORY audit surface (CommitLog.history, r12 as a declared
@@ -1527,7 +1528,7 @@ object Relational {
       graft.sources.CommitLog.history(s, root)
         .select(col("version"), col("writer"), col("action"),
           col("n_dirs"), col("row_invisible"))
-        .orderBy("version")
+        .reportSort("version")
     }),
 
     // CONNECTOR route over the commit log (sources/CommitLogSource.scala —
@@ -1547,7 +1548,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // ADDITIVE SCHEMA EVOLUTION on the commit log (CommitLog.commitAppend
@@ -1589,7 +1590,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // TIME TRAVEL over the same commit log: the declared result reads
@@ -1607,7 +1608,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // TABLE CONSTRAINTS end state (r14 — VERDICT r13 #3): a CHECK
@@ -1625,7 +1626,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // SQL UPDATE end state (r14 — VERDICT r13 #1, the single most common
@@ -1642,7 +1643,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // SQL MERGE INTO end state (r14 — VERDICT r13 #1): the classic
@@ -1658,7 +1659,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // MERGE … WHEN NOT MATCHED BY SOURCE (r15 — VERDICT r14 #1): the
@@ -1675,7 +1676,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // COMPOSITE-key MERGE (r15 — VERDICT r14 #2): the changeset is keyed
@@ -1685,7 +1686,7 @@ object Relational {
       val root = multiKeyLogFor(s, d)
       s.read.format("graft.commitlog").load(s"$root/table")
         .select(col("o_orderstatus"), col("bucket"), col("cnt"), col("total"))
-        .orderBy("o_orderstatus", "bucket")
+        .reportSort("o_orderstatus", "bucket")
     }),
 
     // NESTED-field SQL UPDATE (r15 — VERDICT r14 #4): `SET info.price =
@@ -1726,7 +1727,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // SQL REPLACE WHERE (r15): `INSERT INTO … REPLACE WHERE cond
@@ -1741,7 +1742,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // CTAS on a commit-log table (r15 — VERDICT r14 #3): CREATE TABLE …
@@ -1755,7 +1756,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // SQL TIME TRAVEL by table NAME (r14 — VERDICT r13 #2): the same v2
@@ -1795,7 +1796,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // DATA SKIPPING through commit-log min/max stats (CommitLog
@@ -1814,7 +1815,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // POINT-lookup data skipping via BLOOM SIDECARS (CommitLog
@@ -1830,7 +1831,7 @@ object Relational {
       val root = skipLogFor(s, d)
       graft.sources.CommitLog.readLatestPoint(s, root, "o_orderkey", 32L).get
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "bucket")
-        .orderBy("o_orderkey")
+        .reportSort("o_orderkey")
     }),
 
     // MERGE INTO through the commit log (CommitLog.merge — the Delta
@@ -1849,7 +1850,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // EXACTLY-ONCE idempotent appends (CommitLog.commitAppendOnce — the
@@ -1867,7 +1868,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // CHANGE DATA FEED over the commit log (CommitLog.changesSince — the
@@ -1939,7 +1940,7 @@ object Relational {
         .maintainAggFromChanges(base, changes, "o_orderstatus", "o_totalprice")
         .select(col("o_orderstatus"), col("cnt"),
           round(col("total").cast("double"), 2).as("total"))
-        .orderBy("o_orderstatus")
+        .reportSort("o_orderstatus")
     }),
 
     // Schema-evolved read: one directory, two parquet generations, the
@@ -2045,7 +2046,7 @@ object Relational {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
             .as("rev"))
-        .orderBy("day")
+        .reportSort("day")
     }),
 
     // Namespace iteration (reference walks __namespace__ [U]): one branch per
@@ -2056,7 +2057,7 @@ object Relational {
       val branches = (0 to 7).map(i => docs.filter(col("source") === s"src$i"))
       branches.reduce(_ unionByName _)
         .groupBy("source").agg(count(lit(1)).as("cnt"))
-        .orderBy("source")
+        .reportSort("source")
     }),
 
     // Equality property filter (Datastore's core predicate [U]).
